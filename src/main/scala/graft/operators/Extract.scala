@@ -1,0 +1,104 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+import graft.schema.Schemas
+
+/** The reference's extract+transform stage re-expressed as one declarative
+  * projection (reference `embeddings-pipeline.py:132-273`).
+  *
+  * The reference paginates Mongo in 1000-doc batches and loops per document
+  * in Python; here the whole thing is a single `select` over a document
+  * DataFrame — Catalyst pushes the filters and column pruning into the scan
+  * and whole-stage codegen fuses the projection, so it parallelizes across
+  * however many partitions the source has (the 100 TB path).
+  */
+object Extract {
+
+  /** F2: embeddings non-null, present and non-empty
+    * (`embeddings-pipeline.py:147`; `size` returns -1/0 for null/empty so
+    * `isNotNull && size > 0` covers all three Mongo clauses). */
+  def nonEmptyEmbeddings(df: DataFrame, col: String = "embeddings"): DataFrame =
+    df.where(df(col).isNotNull && size(df(col)) > 0)
+
+  /** F3/F4: per-source incremental filter — strict `>` against the
+    * per-source watermark, inclusive `>=` against the fallback date when a
+    * source has no watermark yet (`embeddings-pipeline.py:151-158`).
+    *
+    * `watermarks` is a tiny (source, wm) DataFrame — broadcast so the
+    * filter costs one map-side hash probe per row, never a shuffle.
+    */
+  def incrementalFilter(
+      df: DataFrame,
+      watermarks: DataFrame,
+      fallback: Timestamp,
+      tsCol: String = "timestamp",
+      srcCol: String = "source"): DataFrame = {
+    val wm = broadcast(watermarks.withColumnRenamed("wm", "__wm"))
+    df.join(wm, Seq(srcCol), "left")
+      .where(when(col("__wm").isNotNull, col(tsCol) > col("__wm"))
+        .otherwise(col(tsCol) >= lit(fallback)))
+      .drop("__wm")
+  }
+
+  /** P2–P4: the normalized, truncated merge key
+    * (`embeddings-pipeline.py:198-207`): `cleaned_ref` suffixed with
+    * `_color` only when color is non-empty, collation-normalized, capped. */
+  def mainRefco(cleanedRef: Column, color: Column,
+      maxLen: Int = Schemas.MainRefcoMaxLength): Column =
+    substring(
+      F.normalizeKey(concat_ws("_", cleanedRef, F.emptyToNull(color))),
+      1, maxLen)
+
+  /** P5: first element of `country` when non-empty, else null
+    * (`embeddings-pipeline.py:210-214`; contract schema fixes
+    * array<string>, scalar inputs are normalized at ingest). */
+  def countryCode(country: Column): Column =
+    when(size(country) > 0, element_at(country, 1))
+
+  /** P6: `"{source} ({country_code})"` — preserving the Python f-string
+    * quirk that a missing country formats as the literal `"None"`
+    * (`embeddings-pipeline.py:216`). */
+  def displayName(source: Column, countryCode: Column): Column =
+    concat(source, lit(" ("), coalesce(countryCode, lit("None")), lit(")"))
+
+  /** P7: `timestamp.isoformat()` — Python omits the fraction entirely when
+    * microseconds are zero (`embeddings-pipeline.py:227`). */
+  def isoTimestamp(ts: Column): Column =
+    when(date_format(ts, "SSSSSS") === "000000",
+      date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"))
+      .otherwise(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+
+  /** P1–P8: the full per-document transform producing the staged-record
+    * contract schema (`embeddings-pipeline.py:182-235`, FIXTURES.md §A.2).
+    * Rows lacking a timestamp are dropped, mirroring the per-doc
+    * KeyError→skip path (`:227,233-235`). */
+  def deriveRecord(docs: DataFrame): DataFrame = {
+    val cc = countryCode(col("country"))
+    docs
+      .where(col("timestamp").isNotNull)
+      .select(
+        coalesce(col("cleaned_ref"), lit("")).as("cleaned_ref"),
+        coalesce(col("category"), lit("")).as("category"),
+        mainRefco(coalesce(col("cleaned_ref"), lit("")), coalesce(col("color"), lit("")))
+          .as("main_refco"),
+        displayName(col("source"), cc).as("display_name"),
+        col("embeddings_type"),
+        coalesce(col("for_matching"), lit(false)).as("for_matching"),
+        col("embeddings").as("embedding_vector"),
+        isoTimestamp(col("timestamp")).as("original_timestamp"))
+  }
+
+  /** Vector width validation against the target DDL's `VECTOR(FLOAT, 128)`
+    * (`CONFIGURATION.md:109`) — Spark has no fixed-length vector type, so
+    * enforce with a predicate; `strict=false` nulls out bad vectors
+    * instead of dropping rows. */
+  def validateVectorDim(df: DataFrame, col: String,
+      dim: Int = Schemas.EmbeddingDim, strict: Boolean = true): DataFrame =
+    if (strict) df.where(size(df(col)) === dim)
+    else df.withColumn(col, when(size(df(col)) === dim, df(col)))
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting
+  * (BASELINE.json north star).
+  *
+  * Everything is built from codegen'd built-ins and higher-order functions
+  * — one narrow projection per operator, no UDFs, no shuffles.
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that")
+
+  private def words(textCol: Column): Column = split(textCol, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column = size(words(textCol)).cast("long")
+
+  /** BPE-ish subword count estimate: words are split on a regex of letter
+    * runs / digit runs / punctuation, approximating byte-pair tokenizer
+    * granularity without a vocab. */
+  def subwordCount(textCol: Column): Column =
+    size(filter(
+      split(textCol, """(?<=[a-zA-Z])(?=[^a-zA-Z\s])|(?<=[^a-zA-Z\s])(?=[a-zA-Z])|\s+"""),
+      w => length(w) > 0)).cast("long")
+
+  /** Quality stats: token count, mean token length, stopword count/ratio,
+    * punctuation count/ratio — the classic C4-style quality signals. */
+  def withQualityStats(df: DataFrame, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val nTok = size(ws).cast("long")
+    val nStop = size(filter(ws, w => w.isin(Stopwords: _*))).cast("long")
+    val nPunct = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), """[.,;:!?'"()\[\]]""", ""))).cast("long")
+    df.withColumn("n_tokens", nTok)
+      .withColumn("mean_token_len",
+        (length(col(textCol)) - nTok + 1).cast("double") / nTok.cast("double"))
+      .withColumn("n_stopwords", nStop)
+      .withColumn("stopword_ratio", nStop.cast("double") / nTok.cast("double"))
+      .withColumn("n_punct", nPunct)
+      .withColumn("punct_ratio", nPunct.cast("double") / length(col(textCol)).cast("double"))
+  }
+
+  /** Composite quality bucket from integer-exact threshold tests (engine-
+    * independent: no float comparisons). */
+  def qualityBucket(df: DataFrame, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val nTok = size(ws).cast("long")
+    val nStop = size(filter(ws, w => w.isin(Stopwords: _*))).cast("long")
+    df.withColumn("quality",
+      when(nTok < 5, "too_short")
+        .when(nStop * 10 > nTok * 8, "boilerplate") // stopword ratio > 0.8
+        .when(nStop === 0, "no_stopwords")
+        .otherwise("ok"))
+  }
+
+  /** Language-ID heuristic: count marker-word hits per language, pick the
+    * argmax with deterministic tie-break on language code. N-gram-free but
+    * the same shape as a real n-gram scorer (the markers are the model). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "and", "is", "of", "to", "it"),
+    "es" -> Seq("el", "la", "los", "es", "y", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "wo3", "ni3"))
+
+  def withLangId(df: DataFrame, textCol: String, out: String = "lang_pred"): DataFrame = {
+    val ws = words(col(textCol))
+    val scored = LangMarkers.map { case (lang, markers) =>
+      struct(size(filter(ws, w => w.isin(markers: _*))).cast("long").as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax: max over (score, reversed-lang) structs => highest score,
+    // ties -> lexicographically smallest language code.
+    val best = scored.reduce((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    df.withColumn(out, best.getField("lang"))
+  }
+
+  /** Polynomial rolling-hash document fingerprint, word-order sensitive:
+    * wordVal = fold(chars: acc*31 + codepoint) mod M;
+    * doc = fold(words: acc*131 + wordVal) mod M.
+    * Pure integer arithmetic via higher-order functions — exact, portable,
+    * and cheap (one projection). */
+  val FingerprintMod = 1000000007L
+
+  def fingerprint(textCol: Column): Column = {
+    val m = lit(FingerprintMod)
+    val wordVal = (w: Column) => aggregate(
+      sequence(lit(1), length(w)),
+      lit(0L),
+      (acc, i) => pmod(acc * 31 + ascii(substring(w, i, lit(1))).cast("long"), m))
+    aggregate(words(textCol), lit(0L),
+      (acc, w) => pmod(acc * 131 + wordVal(w), m))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join-based MERGE upsert — the reference's Snowflake `MERGE INTO`
+  * (J3, `embeddings-pipeline.py:294-352`) re-expressed on vanilla Spark.
+  *
+  * Plain Parquet has no transactional MERGE, so the merge is a full-outer
+  * join on the key with per-column `coalesce`, honoring the reference's
+  * quirk that `cleaned_ref` is inserted but never updated on match (update
+  * list `:330-338` omits it; insert list `:340-345` includes it).
+  *
+  * Scale notes: the updates side is typically small relative to the target
+  * (one incremental batch), so Spark plans a shuffled hash / sort-merge
+  * join partitioned by the key — each of 1000 executors rewrites only its
+  * key range. Idempotence (merge twice ≡ merge once) preserves the
+  * reference's at-least-once + idempotent-upsert contract (SURVEY.md §2.9).
+  */
+object Upsert {
+
+  /** Pure merge: returns the post-merge relation.
+    *
+    * @param insertOnlyCols columns taken from the target when the key
+    *   matches (the `cleaned_ref` quirk); all other shared non-key columns
+    *   take the update's value on match.
+    * @param targetOnlyCols columns that exist only in the target schema
+    *   keep their target value and are null for inserted rows, unless
+    *   listed in `refreshExprs` (e.g. `embedding_inserted_at`).
+    * @param refreshExprs columns recomputed for every touched row, e.g.
+    *   `embedding_inserted_at -> current_timestamp()` (P9, `:318`).
+    */
+  def merge(
+      target: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      insertOnlyCols: Set[String] = Set.empty,
+      refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty): DataFrame = {
+    val t = target.as("t")
+    val u = updates.as("u")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
+    val joined = t.join(u, cond, "full_outer")
+
+    val updateCols = updates.columns.toSet -- keys
+    val outCols = target.columns.map { c =>
+      if (keys.contains(c)) coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
+      else if (refreshExprs.contains(c)) refreshExprs(c).as(c)
+      else if (!updateCols.contains(c)) col(s"t.$c").as(c)
+      else if (insertOnlyCols.contains(c)) coalesce(col(s"t.$c"), col(s"u.$c")).as(c)
+      else coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
+    }
+    joined.select(outCols.toIndexedSeq: _*)
+  }
+
+  /** MERGE into a Parquet dataset with write-temp-then-swap atomicity
+    * (SURVEY.md §7.3): the new snapshot lands in `<path>.tmp-swap`, then the
+    * directories are renamed. A missing target behaves as an empty table
+    * (first run = pure insert). */
+  def mergeIntoParquet(
+      spark: SparkSession,
+      targetPath: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      insertOnlyCols: Set[String] = Set.empty,
+      refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit = {
+    val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new Path(targetPath))
+    val target =
+      if (exists) spark.read.parquet(targetPath)
+      else {
+        val extra = updates.schema.fields.filterNot(f => refreshExprs.contains(f.name))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            extra ++ refreshExprs.keys.map(k =>
+              org.apache.spark.sql.types.StructField(k,
+                org.apache.spark.sql.types.TimestampType))))
+      }
+    val merged = merge(target, updates, keys, insertOnlyCols, refreshExprs)
+
+    val tmp = new Path(targetPath + ".tmp-swap")
+    val old = new Path(targetPath + ".old-swap")
+    merged.write.mode("overwrite").option("compression", "snappy")
+      .parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (exists) fs.rename(new Path(targetPath), old)
+    fs.rename(tmp, new Path(targetPath))
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+}
