@@ -2,10 +2,10 @@ package graft.functions
 
 import java.text.Normalizer
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
-import org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes
+import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Unicode → ASCII transliteration as a native Catalyst expression.
@@ -18,10 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * divergence documented in SURVEY.md §7.4. Codegen-enabled so it stays
   * inside whole-stage codegen on the hot path.
   */
-case class AsciiFold(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+case class AsciiFold(child: Expression) extends UnaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  // `ExpectsInputTypes`/`AbstractDataType` are private[sql] in Spark 4.1,
+  // so validate the input type directly instead.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ascii_fold requires a string argument, got ${child.dataType.catalogString}")
+
   override def dataType: DataType = StringType
   override def prettyName: String = "ascii_fold"
 

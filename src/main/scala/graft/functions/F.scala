@@ -40,9 +40,9 @@ object F {
     * (`SELECT ascii_fold(x), cosine_sim(a, b) ...`). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("ascii_fold", es => AsciiFold(es.head), "builtin")
-    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "builtin")
+    reg.createOrReplaceTempFunction("ascii_fold", es => AsciiFold(es.head), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "built-in")
   }
 }

@@ -185,7 +185,8 @@ object Dedup {
       .select(col(idCol).as("id"), col("simhash"))
     val banded = sig.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
-        b => shiftrightunsigned(col("simhash"), (b * 16).cast("int")).bitwiseAND(0xFFFFL)))
+        b => call_function("shiftrightunsigned", col("simhash"), (b * 16).cast("int"))
+          .bitwiseAND(0xFFFFL)))
         .as(Seq("band", "chunk")))
     val l = banded.select(col("id").as("a_id"), col("simhash").as("a_sig"),
       col("band"), col("chunk"))
