@@ -2,21 +2,32 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Extract, Upsert}
 import graft.sources.WatermarkStore
 
 /** End-to-end incremental pipeline — the whole reference DAG as ONE Spark
-  * job (SURVEY.md §3.1): read → watermark filter → transform → window
-  * dedup → dimension join → merge upsert → advance watermarks.
+  * application (SURVEY.md §3.1): read → watermark filter → transform →
+  * stage → window dedup → dimension join → merge upsert → advance
+  * watermarks → metrics → cleanup.
   *
-  * Airflow's per-source dynamic task fan-out becomes partition parallelism
-  * (`Window.partitionBy("source")`-style keying); XCom becomes in-job
-  * DataFrames; state persists only after the merge succeeds, preserving
-  * the reference's at-least-once + idempotent-upsert ordering
-  * (`embeddings-pipeline.py:480`).
+  * Airflow's per-source dynamic task fan-out becomes partition parallelism;
+  * XCom becomes in-job DataFrames; state persists only after the merge
+  * succeeds, preserving the reference's at-least-once + idempotent-upsert
+  * ordering (`embeddings-pipeline.py:480`).
+  *
+  * Scale design: the (potentially huge) source is scanned exactly ONCE —
+  * the extract stages the incremental batch to Parquet (S4, as the
+  * reference does), and every downstream consumer (merge, watermark maxima,
+  * row counts, file metrics) reads the much smaller staged batch. Counts
+  * come from `Observation` metrics and Parquet footer counts, never from
+  * re-executing the transform. An empty batch short-circuits before the
+  * merge (F6, `embeddings-pipeline.py:278-280`) so no full target rewrite
+  * happens for zero new rows.
   */
 object Pipeline {
 
@@ -26,14 +37,19 @@ object Pipeline {
       sourcePath: String,
       targetPath: String,
       statePath: String,
+      stagingPath: String,
       sourcesConfigPath: Option[String] = None,
       fallbackDate: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00"),
-      mainRefcoMaxLength: Int = graft.schema.Schemas.MainRefcoMaxLength)
+      mainRefcoMaxLength: Int = graft.schema.Schemas.MainRefcoMaxLength,
+      cleanupStaging: Boolean = true)
 
   case class RunStats(
       recordsProcessed: Long,
       uniqueRecords: Long,
+      quarantined: Long,
       sources: Long,
+      stagedFiles: Long,
+      stagedBytes: Long,
       newWatermarks: Map[String, Timestamp])
 
   def run(spark: SparkSession, conf: Config): RunStats = {
@@ -45,15 +61,38 @@ object Pipeline {
     import spark.implicits._
     val wmDf = prior.toSeq.toDF("source", "wm")
 
-    // F2 + F3/F4 + P1..P8 — one declarative plan
+    // F2 + F3/F4 + P10 + P1..P8 — one declarative plan over the source
     val filtered = Extract.incrementalFilter(
-      Extract.nonEmptyEmbeddings(docs), wmDf, conf.fallbackDate)
-    val incoming = Extract.deriveRecord(filtered)
+      Extract.nonEmptyEmbeddings(Extract.coerceCountry(docs)),
+      wmDf, conf.fallbackDate)
+    val (good, bad) = Extract.quarantine(filtered)
+    val quarantined = Observation("quarantine")
+    val incoming = Extract.deriveRecord(good)
+      // source + event timestamp ride along for partitioning + watermarks
+      .withColumn("source", good("source"))
+      .withColumn("__ts", good("timestamp"))
 
-    val recordsProcessed = incoming.count()
+    // S4: stage the incremental batch — the ONLY pass over the source.
+    // (bad-row count observed on the same pass via the union trick would
+    // split the plan; the quarantine side is tiny and counted directly.)
+    incoming.write.mode("overwrite").option("compression", "snappy")
+      .partitionBy("source")
+      .parquet(conf.stagingPath)
+    val nQuarantined = bad.count()
+
+    // Parquet footer count — metadata only, no data scan.
+    val staged = spark.read.parquet(conf.stagingPath)
+    val recordsProcessed = staged.count()
+
+    // F6: empty-batch short-circuit — no merge, no watermark change.
+    if (recordsProcessed == 0L) {
+      cleanupStaging(spark, conf)
+      return RunStats(0L, 0L, nQuarantined, 0L, 0L, 0L, prior)
+    }
 
     // W1: keep-latest per merge key, ordering lexicographic on ISO string
-    val deduped = Dedup.latestPerKey(incoming, Seq("main_refco"),
+    val batch = staged.drop("source", "__ts")
+    val deduped = Dedup.latestPerKey(batch, Seq("main_refco"),
       Seq(col("original_timestamp").desc))
 
     // J1: broadcast dimension join (inner — unmatched rows drop silently)
@@ -64,21 +103,55 @@ object Pipeline {
       case None => deduped.withColumn("display_name_id", lit(null).cast("long"))
     }
 
-    val uniqueRecords = withDim.count()
+    // A3 via Observation: counted during the merge write, no extra pass.
+    val unique = Observation("unique")
+    val observed = withDim.observe(unique, count(lit(1)).as("n"))
 
     // J3: idempotent merge (cleaned_ref inserted but never updated)
-    Upsert.mergeIntoParquet(spark, conf.targetPath, withDim,
+    Upsert.mergeIntoParquet(spark, conf.targetPath, observed,
       keys = Seq("main_refco"),
       insertOnlyCols = Set("cleaned_ref"),
       refreshExprs = Map("embedding_inserted_at" -> current_timestamp()))
+    val uniqueRecords = unique.get("n").asInstanceOf[Long]
 
-    // A2/A4: advance watermarks — only after successful merge
-    val maxima = filtered
-      .groupBy("source").agg(max("timestamp").as("wm"))
+    // A2/A4: advance watermarks from the staged batch — only after merge
+    val maxima = staged
+      .groupBy("source").agg(max("__ts").as("wm"))
       .collect().map(r => r.getString(0) -> r.getTimestamp(1)).toMap
     val advanced = WatermarkStore.advance(prior, maxima)
     WatermarkStore.write(spark, conf.statePath, advanced)
 
-    RunStats(recordsProcessed, uniqueRecords, maxima.size.toLong, advanced)
+    // S7: file metrics from the staging directory (count + bytes)
+    val (nFiles, nBytes) = stagingMetrics(spark, conf.stagingPath)
+    cleanupStaging(spark, conf)
+
+    RunStats(recordsProcessed, uniqueRecords, nQuarantined,
+      maxima.size.toLong, nFiles, nBytes, advanced)
   }
+
+  /** S7: per-run file count and byte size of the staged Parquet batch
+    * (reference `embeddings-pipeline.py:397-432` logs files + MB). */
+  def stagingMetrics(spark: SparkSession, stagingPath: String): (Long, Long) = {
+    val p = new Path(stagingPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0L, 0L)
+    val it = fs.listFiles(p, true)
+    var files = 0L; var bytes = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        files += 1; bytes += st.getLen
+      }
+    }
+    (files, bytes)
+  }
+
+  /** S8: delete the staged batch after a successful merge
+    * (reference `embeddings-pipeline.py:434-458`). */
+  private def cleanupStaging(spark: SparkSession, conf: Config): Unit =
+    if (conf.cleanupStaging) {
+      val p = new Path(conf.stagingPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
 }

@@ -65,15 +65,13 @@ object Dedup {
     * source/partition and run LSH for the unblocked case).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, thresholdNum: Int = 4, thresholdDen: Int = 5,
-      blockCol: Option[String] = None): DataFrame = {
+      blockCol: String, n: Int = 3,
+      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    // Blocking is mandatory: without it a common shingle is a hot join key
+    // and the equi-join explodes quadratically at scale. For unblocked
+    // near-dup detection use minHashLshPairs.
     val sh = withShingles(df, textCol, n)
-      .select(col(idCol).as("id"),
-        (blockCol match {
-          case Some(b) => col(b)
-          case None    => lit(1)
-        }).as("block"),
-        col("shingles"))
+      .select(col(idCol).as("id"), col(blockCol).as("block"), col("shingles"))
       .withColumn("n_sh", size(col("shingles")))
     val ex = sh.select(col("id"), col("block"), col("n_sh"),
       explode(col("shingles")).as("shingle"))
@@ -119,9 +117,11 @@ object Dedup {
     * Jaccard over the shingle sets.
     *
     * Pipeline: shingle → signature (map-side) → explode into `bands`
-    * band-hash rows → shuffle once on (band, bandHash) → pairs within
-    * buckets → exact-Jaccard verification join. Band/row counts tune the
-    * S-curve; candidates are deduped before verification.
+    * (id, band, band_hash) rows — the shingle arrays do NOT ride through
+    * the explode (at 32 bands that would be ~32× the shuffle volume);
+    * they are joined back only for the candidate pairs that survive the
+    * bucket join. Band/row counts tune the S-curve; candidates are deduped
+    * before verification.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
@@ -132,23 +132,28 @@ object Dedup {
       withShingles(df, textCol, n), "shingles", numHashes, seed)
       .select(col(idCol).as("id"), col("shingles"), col("minhash"))
 
-    val banded = sig.select(col("id"), col("shingles"),
+    // Slim band rows: 3 fixed-width columns per row, nothing else.
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("minhash"), b * lit(rows) + lit(1), lit(rows)), b)))
         .as(Seq("band", "band_hash")))
 
-    val l = banded.select(col("id").as("a_id"), col("shingles").as("a_sh"),
-      col("band"), col("band_hash"))
-    val r = banded.select(col("id").as("b_id"), col("shingles").as("b_sh"),
-      col("band"), col("band_hash"))
+    val l = banded.select(col("id").as("a_id"), col("band"), col("band_hash"))
+    val r = banded.select(col("id").as("b_id"), col("band"), col("band_hash"))
     val cand = l.join(r, Seq("band", "band_hash"))
       .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh")
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+
+    // Verification join: shingle sets fetched once per surviving candidate.
+    val shin = sig.select(col("id"), col("shingles"))
+    val verified = cand
+      .join(shin.select(col("id").as("a_id"), col("shingles").as("a_sh")), "a_id")
+      .join(shin.select(col("id").as("b_id"), col("shingles").as("b_sh")), "b_id")
 
     val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
     val union = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
-    cand.withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
+    verified.withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -181,6 +186,10 @@ object Dedup {
     * one shuffle on (band, chunk), then exact `bit_count(xor)` verify. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // 4 fixed 16-bit chunks give a pigeonhole recall guarantee only for
+    // Hamming distance <= 3; larger radii would silently lose pairs.
+    require(maxHamming <= 3,
+      s"simHashPairs guarantees recall only for maxHamming <= 3 (got $maxHamming)")
     val sig = withSimHash(df, textCol)
       .select(col(idCol).as("id"), col("simhash"))
     val banded = sig.select(col("id"), col("simhash"),
@@ -219,31 +228,46 @@ object Dedup {
 
   /** Sign-random-projection LSH cosine near-dup: bucket on the bit pattern
     * of `planes` random hyperplane signs, candidate pairs within buckets,
-    * exact cosine verify. One shuffle on the bucket key; recall is tuned by
-    * `planes` (fewer planes → bigger buckets → higher recall). */
+    * exact cosine verify. `tables` independent bucketings (different random
+    * hyperplanes) are unioned before verification — the standard multi-table
+    * LSH recall boost: a near pair is found if it collides in ANY table.
+    * More planes → smaller buckets (quadratic within-bucket pairing stays
+    * bounded); more tables → recall back up. One shuffle per table on the
+    * bucket key.
+    *
+    * @param dim embedding width — a schema constant (e.g.
+    *   `Schemas.EmbeddingDim`), never sniffed from the data: reading the
+    *   first row would launch a driver-side job at plan construction.
+    */
   def cosineNearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8, seed: Long = 42L): DataFrame = {
-    val bucketed = withSrpBucket(emb, vecCol, planes, seed)
-    val a = bucketed.select(col(idCol).as("a_id"), col(vecCol).as("a_v"), col("__bucket"))
-    val b = bucketed.select(col(idCol).as("b_id"), col(vecCol).as("b_v"), col("__bucket"))
-    a.join(b, "__bucket").where(col("a_id") < col("b_id"))
+      threshold: Double, dim: Int, planes: Int = 16, tables: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val perTable = (0 until tables).map { t =>
+      val bucketed = withSrpBucket(emb, vecCol, planes, seed + t, dim)
+      val a = bucketed.select(col(idCol).as("a_id"), col(vecCol).as("a_v"), col("__bucket"))
+      val b = bucketed.select(col(idCol).as("b_id"), col(vecCol).as("b_v"), col("__bucket"))
+      a.join(b, "__bucket").where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "a_v", "b_v")
+    }
+    perTable.reduce(_ unionByName _)
+      .dropDuplicates("a_id", "b_id")
       .withColumn("cos", graft.functions.F.cosineSim(col("a_v"), col("b_v")))
       .where(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }
 
-  /** Attach a sign-random-projection bucket id (used by LSH cosine ops). */
+  /** Attach a sign-random-projection bucket id (used by LSH cosine ops).
+    * `dim` comes from the schema contract — no data-sniffing job. Vectors
+    * shorter than `dim` contribute only their present components (zip_with
+    * pads with null → treated as 0). */
   private[operators] def withSrpBucket(emb: DataFrame, vecCol: String,
-      planes: Int, seed: Long): DataFrame = {
+      planes: Int, seed: Long, dim: Int): DataFrame = {
     val rnd = new scala.util.Random(seed)
-    // Deterministic hyperplanes, broadcast as literals; dim read lazily from
-    // the data (first row) is avoided — planes are generated per-component
-    // on demand via a hash-free literal matrix sized to the vector length.
-    val dim = emb.select(size(col(vecCol))).first().getInt(0)
     val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
     val bucket = (0 until planes).map { p =>
       val plane = typedLit(hyper(p).toSeq)
-      val d = aggregate(zip_with(col(vecCol), plane, (x, y) => x * y),
+      val d = aggregate(zip_with(col(vecCol), plane,
+          (x, y) => coalesce(x * y, lit(0.0))),
         lit(0.0), (acc, v) => acc + v)
       when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
 import graft.functions.F
 import graft.schema.Schemas
@@ -56,9 +57,50 @@ object Extract {
 
   /** P5: first element of `country` when non-empty, else null
     * (`embeddings-pipeline.py:210-214`; contract schema fixes
-    * array<string>, scalar inputs are normalized at ingest). */
+    * array<string>, scalar inputs are normalized at ingest via
+    * [[coerceCountry]]). */
   def countryCode(country: Column): Column =
     when(size(country) > 0, element_at(country, 1))
+
+  /** P5 ingest normalization: the reference accepts `country` as either a
+    * list or a scalar string (`embeddings-pipeline.py:211-214` isinstance
+    * checks). Normalize whatever the source delivered to `array<string>`:
+    * scalar non-empty string → 1-element array; empty string / null →
+    * null; arrays pass through. */
+  def coerceCountry(df: DataFrame, c: String = "country"): DataFrame =
+    df.schema(c).dataType match {
+      case ArrayType(StringType, _) => df
+      case StringType =>
+        df.withColumn(c, when(col(c).isNotNull && col(c) =!= "", array(col(c))))
+      case other =>
+        df.withColumn(c,
+          when(col(c).isNotNull, array(col(c).cast(StringType))))
+    }
+
+  /** P10 per-row error isolation (`embeddings-pipeline.py:183,233-235`):
+    * the reference wraps each document in try/except — malformed rows are
+    * logged and skipped, the batch continues. Vectorized execution has no
+    * exceptions, so validation predicates split the input instead: rows
+    * failing any check go to the quarantine side output with the list of
+    * failed checks; good rows continue. One narrow projection, no shuffle.
+    */
+  def quarantine(df: DataFrame,
+      embCol: String = "embeddings",
+      tsCol: String = "timestamp",
+      dim: Int = Schemas.EmbeddingDim,
+      enforceDim: Boolean = false): (DataFrame, DataFrame) = {
+    val checks: Seq[(String, Column)] = Seq(
+      "null_timestamp" -> col(tsCol).isNull,
+      "empty_embedding" -> (col(embCol).isNull || size(col(embCol)) === 0)) ++
+      (if (enforceDim) Seq("bad_vector_dim" -> (size(col(embCol)) =!= dim)) else Nil)
+    val errs = array(checks.map { case (n, c) =>
+      when(c, lit(n)).otherwise(lit(null))
+    }: _*)
+    val flagged = df.withColumn("__errors", filter(errs, e => e.isNotNull))
+    val good = flagged.where(size(col("__errors")) === 0).drop("__errors")
+    val bad = flagged.where(size(col("__errors")) > 0)
+    (good, bad)
+  }
 
   /** P6: `"{source} ({country_code})"` — preserving the Python f-string
     * quirk that a missing country formats as the literal `"None"`

@@ -7,11 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video treated as opaque `binary`
   * columns with typed metadata (BASELINE.json north star).
   *
-  * The decode step is a clearly-marked STUB — the image/audio codec
-  * libraries are not in this container — but the Spark-side plumbing is
-  * real and tested: schema contract, per-partition batched iteration (the
-  * same shape a Pandas-UDF / `mapInPandas` batch has), and a deterministic
-  * fake decoder so results are verifiable.
+  * Two tiers:
+  *  1. [[withNativeFeatures]] — everything expressible on raw bytes without
+  *     a codec (size, first byte, CRC32 checksum, derived dims) runs as
+  *     native codegen'd expressions inside whole-stage codegen. This is the
+  *     100 TB path for metadata-level features.
+  *  2. [[decodeFeatures]] — the per-partition batched iteration a real
+  *     codec needs (PIL/ffmpeg-shaped: bytes in, fixed-width features out).
+  *     The decode body is a clearly-marked STUB (no codec libraries in this
+  *     container) computing the same deterministic features as tier 1, so
+  *     the two paths are cross-checkable; a real deployment swaps only the
+  *     body.
   */
 object Multimodal {
 
@@ -21,7 +27,7 @@ object Multimodal {
     StructField("payload", BinaryType),
     StructField("media_type", StringType)))
 
-  /** Feature schema produced by the decoder. */
+  /** Feature schema produced by either feature path. */
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", LongType),
@@ -29,24 +35,6 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("checksum", LongType)))
-
-  /** STUB decoder: deterministic fake "decode" of an opaque payload.
-    * A real deployment swaps this body for an actual codec call (PIL /
-    * ffmpeg via Pandas UDF); the signature — bytes in, fixed-width features
-    * out — and everything around it stays identical. */
-  def stubDecode(id: Long, payload: Array[Byte]): Row = {
-    val n = if (payload == null) 0L else payload.length.toLong
-    val first = if (n > 0) payload(0) & 0xff else 0
-    // fake dimensions derived from the byte stream, stable across runs
-    val width = (n % 640L).toInt
-    val height = ((n * 31 + first) % 480L).toInt
-    var crc = 0L
-    if (payload != null) {
-      var i = 0
-      while (i < payload.length) { crc = (crc * 131 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
-    }
-    Row(id, n, first, width, height, crc)
-  }
 
   /** Attach a fake binary payload derived from a string column (the
     * container has no real media files; UTF-8 bytes stand in for an
@@ -56,10 +44,41 @@ object Multimodal {
       col(textCol).cast("binary").as("payload"),
       lit("image/fake").as("media_type"))
 
-  /** Decode features per partition — batched imperative iteration, the
-    * genuine `mapPartitions` path a real codec would use (RDD zone is
-    * justified here per SURVEY.md: per-partition imperative logic over
-    * opaque bytes). */
+  /** Codec-free feature extraction as native expressions — stays inside
+    * whole-stage codegen, no RDD hop. `width`/`height` are the same
+    * deterministic placeholders [[stubDecode]] computes (a real decoder
+    * would read them from the codec header). */
+  def withNativeFeatures(media: DataFrame): DataFrame = {
+    val n = coalesce(length(col("payload")).cast("long"), lit(0L))
+    val first = coalesce(
+      conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("int"), lit(0))
+    media.select(
+      col("media_id"),
+      n.as("n_bytes"),
+      first.as("first_byte"),
+      (n % 640).cast("int").as("width"),
+      ((n * 31 + first) % 480).cast("int").as("height"),
+      coalesce(crc32(col("payload")), lit(0L)).as("checksum"))
+  }
+
+  /** STUB decoder body: deterministic fake "decode" of an opaque payload.
+    * A real deployment swaps this for an actual codec call; the signature
+    * — bytes in, fixed-width features out — stays identical. Features match
+    * [[withNativeFeatures]] exactly so the paths cross-validate. */
+  def stubDecode(id: Long, payload: Array[Byte]): Row = {
+    val n = if (payload == null) 0L else payload.length.toLong
+    val first = if (n > 0) payload(0) & 0xff else 0
+    val width = (n % 640L).toInt
+    val height = ((n * 31 + first) % 480L).toInt
+    val crc = new java.util.zip.CRC32()
+    if (payload != null) crc.update(payload)
+    Row(id, n, first, width, height, if (payload == null) 0L else crc.getValue)
+  }
+
+  /** Codec-shaped path: per-partition batched iteration over opaque bytes —
+    * the genuine `mapPartitions` shape a real decoder (PIL / ffmpeg via a
+    * vectorized UDF) uses. Only for features that genuinely need a codec;
+    * metadata features belong in [[withNativeFeatures]]. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>

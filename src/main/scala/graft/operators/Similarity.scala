@@ -1,24 +1,38 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
-import graft.functions.F
+import graft.functions.{F, ScoredId, TopKByScore}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (BASELINE.json north star; SURVEY.md §7.5).
   *
   * Baseline: brute-force cosine top-k — the *scalable* brute force: the
   * small query set is broadcast, the corpus is scanned once in parallel
-  * (BroadcastNestedLoopJoin), and per-query top-k is a shuffle on query id
-  * over k·|queries| rows only. Scale path: sign-random-projection LSH
-  * bucketing so each query only scores its bucket's candidates.
+  * (BroadcastNestedLoopJoin), and per-query top-k uses a bounded-buffer
+  * aggregate ([[graft.functions.TopKByScore]]) whose map-side partial
+  * keeps only O(k) candidates per query per partition — the shuffle moves
+  * ~k·|queries|·|partitions| rows, never the full |corpus|×|queries|
+  * scored set (a `row_number` window would shuffle everything).
+  * Scale path: sign-random-projection LSH bucketing so each query only
+  * scores its bucket's candidates.
   */
 object Similarity {
 
+  /** groupBy(query_id) top-k over (neighbor_id, score) with bounded
+    * partial aggregation; emits (query_id, rank, neighbor_id, cos). */
+  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKByScore(k), Encoders.product[ScoredId])
+    scored.groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("cos")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("nbr.id").as("neighbor_id"), col("nbr.score").as("cos"))
+  }
+
   /** Exact top-k neighbors per query vector by cosine similarity.
-    * Output: (query_id, neighbor_id, rank, cos); ties broken by id for
+    * Output: (query_id, rank, neighbor_id, cos); ties broken by id for
     * determinism. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -27,32 +41,32 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", F.cosineSim(col("q_v"), col("c_v")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cos"))
+      .select("query_id", "neighbor_id", "cos")
+    perQueryTopK(scored, k)
   }
 
   /** LSH-bucketed ANN top-k: queries only score corpus vectors sharing
-    * their sign-random-projection bucket. Recall < 1 by construction;
-    * `planes` trades recall for candidate-set size. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+    * their sign-random-projection bucket in at least one of `tables`
+    * independent bucketings. Recall < 1 by construction; `planes` trades
+    * candidate-set size for recall, `tables` buys recall back.
+    *
+    * @param dim embedding width (schema constant — no data sniffing). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      planes: Int = 8, seed: Long = 42L): DataFrame = {
-    val qb = Dedup.withSrpBucket(queries, vecCol, planes, seed)
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_v"), col("__bucket"))
-    val cb = Dedup.withSrpBucket(corpus, vecCol, planes, seed)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"), col("__bucket"))
-    val scored = cb.join(broadcast(qb), "__bucket")
-      .where(col("query_id") =!= col("neighbor_id"))
+      planes: Int = 16, tables: Int = 2, seed: Long = 42L): DataFrame = {
+    val perTable = (0 until tables).map { t =>
+      val qb = Dedup.withSrpBucket(queries, vecCol, planes, seed + t, dim)
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_v"), col("__bucket"))
+      val cb = Dedup.withSrpBucket(corpus, vecCol, planes, seed + t, dim)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"), col("__bucket"))
+      cb.join(broadcast(qb), "__bucket")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("q_v"), col("c_v"))
+    }
+    val scored = perTable.reduce(_ unionByName _)
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", F.cosineSim(col("q_v"), col("c_v")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cos"))
+      .select("query_id", "neighbor_id", "cos")
+    perQueryTopK(scored, k)
   }
 }

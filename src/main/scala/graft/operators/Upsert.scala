@@ -23,14 +23,20 @@ object Upsert {
 
   /** Pure merge: returns the post-merge relation.
     *
+    * Semantics match SQL `MERGE ... WHEN MATCHED THEN UPDATE SET c =
+    * source.c` exactly: an update row carrying a genuine NULL *overwrites*
+    * the target value (per-column `coalesce` cannot express that). A
+    * `__touched` marker on the updates side distinguishes "no update row"
+    * from "update value is null", and gates `refreshExprs` so rows not in
+    * this batch keep their original values (e.g. `embedding_inserted_at`
+    * provenance, reference `embeddings-pipeline.py:318,338,345`).
+    *
     * @param insertOnlyCols columns taken from the target when the key
     *   matches (the `cleaned_ref` quirk); all other shared non-key columns
     *   take the update's value on match.
-    * @param targetOnlyCols columns that exist only in the target schema
-    *   keep their target value and are null for inserted rows, unless
-    *   listed in `refreshExprs` (e.g. `embedding_inserted_at`).
-    * @param refreshExprs columns recomputed for every touched row, e.g.
-    *   `embedding_inserted_at -> current_timestamp()` (P9, `:318`).
+    * @param refreshExprs columns recomputed for every *touched* (matched or
+    *   inserted) row, e.g. `embedding_inserted_at -> current_timestamp()`
+    *   (P9, `:318`); untouched target rows keep their stored value.
     */
   def merge(
       target: DataFrame,
@@ -39,17 +45,19 @@ object Upsert {
       insertOnlyCols: Set[String] = Set.empty,
       refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty): DataFrame = {
     val t = target.as("t")
-    val u = updates.as("u")
+    val u = updates.withColumn("__touched", lit(true)).as("u")
     val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
     val joined = t.join(u, cond, "full_outer")
+    val touched = col("u.__touched").isNotNull // row present in this batch
 
     val updateCols = updates.columns.toSet -- keys
     val outCols = target.columns.map { c =>
       if (keys.contains(c)) coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
-      else if (refreshExprs.contains(c)) refreshExprs(c).as(c)
+      else if (refreshExprs.contains(c))
+        when(touched, refreshExprs(c)).otherwise(col(s"t.$c")).as(c)
       else if (!updateCols.contains(c)) col(s"t.$c").as(c)
       else if (insertOnlyCols.contains(c)) coalesce(col(s"t.$c"), col(s"u.$c")).as(c)
-      else coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
+      else when(touched, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)
     }
     joined.select(outCols.toIndexedSeq: _*)
   }
@@ -64,8 +72,18 @@ object Upsert {
       updates: DataFrame,
       keys: Seq[String],
       insertOnlyCols: Set[String] = Set.empty,
-      refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit = {
+      refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      partitionBy: Seq[String] = Nil): Unit = {
     val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery: a failure between the two swap renames leaves no
+    // target but an intact .old-swap — restore it before reading. (On
+    // object stores rename is copy-based; a manifest/pointer indirection
+    // is the production-hardening path.)
+    locally {
+      val old = new Path(targetPath + ".old-swap")
+      if (!fs.exists(new Path(targetPath)) && fs.exists(old))
+        fs.rename(old, new Path(targetPath))
+    }
     val exists = fs.exists(new Path(targetPath))
     val target =
       if (exists) spark.read.parquet(targetPath)
@@ -81,7 +99,8 @@ object Upsert {
 
     val tmp = new Path(targetPath + ".tmp-swap")
     val old = new Path(targetPath + ".old-swap")
-    merged.write.mode("overwrite").option("compression", "snappy")
+    val writer = merged.write.mode("overwrite").option("compression", "snappy")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     if (exists) fs.rename(new Path(targetPath), old)
