@@ -1,13 +1,486 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+import graft.operators.{Dedup, Extract, Multimodal, Similarity, TextAnalysis, Upsert}
+import graft.streaming.IncrementalStream
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline extension operators), each with an
+  * equivalent DuckDB oracle in [[oracleSql]].
+  *
+  * Determinism rules applied throughout (the driver hash-compares values):
+  *  - aggregates over doubles go through exact DECIMAL arithmetic and are
+  *    cast to double only at the very end (float summation order would
+  *    otherwise diverge between engines);
+  *  - timestamps are emitted as formatted strings (Spark writes
+  *    UTC-adjusted parquet timestamps, DuckDB reads naive ones — strings
+  *    sidestep the logical-type mismatch);
+  *  - every ranking has a total order (explicit tie-break columns);
+  *  - cosine scores are bit-identical by construction: the Spark kernel
+  *    widens float elements to double and accumulates ascending
+  *    (VectorExprs.scala), exactly like DuckDB's
+  *    `list_cosine_similarity(CAST(... AS DOUBLE[]), ...)`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (reference merge-source, `embeddings-pipeline.py:297-326`)
+    * on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("merge_source")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- helpers
+
+  private def ts6(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Stand-in country_code on the documents table: null for "en" docs so the
+    * reference's `"(None)"` display-name quirk (P6) is exercised. */
+  private def docCountry: Column = when(col("lang") =!= "en", col("lang"))
+
+  /** The documents table re-cast as the reference's source-document shape:
+    * source→cleaned_ref-ish key parts, lang→color, doc_id→recency. */
+  private def docRecord(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      Extract.mainRefco(col("source"), col("lang")).as("main_refco"),
+      Extract.displayName(col("source"), docCountry).as("display_name"),
+      col("n_chars"))
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/F: filtered+projected scan with parquet pushdown.
+    "pushdown_scan" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_returnflag") === "R" &&
+          col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // S2/A1: distinct-key scan.
+    "distinct_scan" -> ((s, dir) => Tables.documents(s, dir).select("source").distinct()),
+
+    // A2/A3-family: the classic pricing-summary aggregate, decimal-exact.
+    "q1_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+      val ep = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(12,2)")
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(ep).cast("double").as("sum_base_price"),
+        sum(ep * (lit(1).cast("decimal(12,2)") - disc)).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+    }),
+
+    // J1-family: star-schema join, broadcast dims, exact decimal revenue.
+    "star_join" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")))
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey").agg(sum(rev).as("rev"))
+        .orderBy(col("rev").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("rev").cast("double").as("revenue"))
+    }),
+
+    // F3/F4: per-source incremental watermark filter (strict > vs >=).
+    "incremental_filter" -> ((s, dir) => {
+      import s.implicits._
+      val wm = Seq(
+        ("click", Timestamp.valueOf("2024-01-20 00:00:00")),
+        ("view", Timestamp.valueOf("2024-01-10 00:00:00"))).toDF("event_type", "wm")
+      Extract.incrementalFilter(Tables.events(s, dir), wm,
+          Timestamp.valueOf("2024-01-15 00:00:00"), tsCol = "ts", srcCol = "event_type")
+        .select(col("event_id"), col("event_type"), ts6(col("ts")).as("ts_str"))
+    }),
+
+    // F2: non-null non-empty embeddings.
+    "non_empty_embeddings" -> ((s, dir) =>
+      Extract.nonEmptyEmbeddings(Tables.embeddings(s, dir), "embedding")
+        .select(col("vec_id"), col("label"), size(col("embedding")).as("dim"))),
+
+    // W1: keep-latest per key.
+    "latest_per_key" -> ((s, dir) =>
+      Dedup.latestPerKey(Tables.events(s, dir), Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id"), col("event_type"), ts6(col("ts")).as("ts_str"))),
+
+    // §2.7: generalized top-k per key.
+    "topk_per_key" -> ((s, dir) =>
+      Dedup.topKPerKey(Tables.events(s, dir), 3, Seq("user_id"),
+          Seq(col("value").desc, col("event_id")))
+        .select("user_id", "event_id", "value")),
+
+    // A2/A4: per-source max watermark.
+    "max_watermark" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(max(col("ts")).as("wm"))
+        .select(col("event_type"), ts6(col("wm")).as("wm_str"))),
+
+    // P2–P4: normalized, truncated merge key (custom ascii_fold expression).
+    "main_refco" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Extract.mainRefco(col("text"), col("lang")).as("main_refco"))),
+
+    // P6: display name incl. the "(None)" quirk.
+    "display_name" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Extract.displayName(col("source"), docCountry).as("display_name"))),
+
+    // P7: Python-isoformat timestamp strings (no fraction when micros==0).
+    "iso_timestamp" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), Extract.isoTimestamp(col("ts")).as("iso_ts"))),
+
+    // Flagship: cast projection → window dedup → broadcast dim join
+    // (reference merge-source, `embeddings-pipeline.py:297-326`).
+    "merge_source" -> ((s, dir) => {
+      val rec = docRecord(Tables.documents(s, dir))
+      val deduped = Dedup.latestPerKey(rec, Seq("main_refco"), Seq(col("doc_id").desc))
+      val dim = rec.select("display_name").distinct()
+        .where(!col("display_name").endsWith("(None)"))
+        .withColumn("display_name_id",
+          row_number().over(Window.orderBy("display_name")).cast("long"))
+      deduped.join(broadcast(dim), Seq("display_name"), "inner")
+        .select("main_refco", "display_name", "display_name_id", "doc_id", "n_chars")
+    }),
+
+    // J3: MERGE semantics — NULL-carrying updates overwrite, cleaned_ref is
+    // insert-only, target-only rows pass through untouched.
+    "merge_upsert" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val target = docs.where(col("doc_id") % 3 === 0).select(
+        col("doc_id"), col("source").as("cleaned_ref"),
+        col("lang").as("category"), col("n_chars").as("val"))
+      val updates = docs.where(col("doc_id") % 2 === 0).select(
+        col("doc_id"), concat(lit("u_"), col("source")).as("cleaned_ref"),
+        when(col("doc_id") % 5 =!= 0, concat(lit("u_"), col("lang"))).as("category"),
+        (col("n_chars") + 1).as("val"))
+      Upsert.merge(target, updates, Seq("doc_id"), insertOnlyCols = Set("cleaned_ref"))
+    }),
+
+    // Exact dedup with deterministic tie-break.
+    "exact_dedup" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), Seq("source", "lang"), col("doc_id"))
+        .select("doc_id", "source", "lang", "n_chars")),
+
+    // n-gram Jaccard near-dup pairs (integer-exact threshold), blocked by source.
+    "ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        blockCol = "source", n = 3, thresholdNum = 1, thresholdDen = 10)),
+
+    // MinHash-LSH near-dup pairs (no SQL oracle: xxhash64 permutations).
+    "minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.1)),
+
+    // SimHash near-dup pairs (no SQL oracle: xxhash64 bit mixing).
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)),
+
+    // ANN brute-force cosine top-k (bounded partial-aggregate top-k).
+    "cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.where(col("vec_id") < 20), emb, k = 5)
+    }),
+
+    // Exact cosine near-duplicate pairs (verification-scale).
+    "cosine_neardup" -> ((s, dir) =>
+      Dedup.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)),
+
+    // ANN via SRP-LSH buckets (recall<1 by construction — rows-only check).
+    "ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb.where(col("vec_id") < 20), emb, k = 5, dim = 64,
+        planes = 8, tables = 4)
+    }),
+
+    // Text quality stats (token counts, ratios) — integer-exact inputs.
+    "token_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.withQualityStats(docs, "text")
+        .withColumn("n_subwords", TextAnalysis.subwordCount(col("text")))
+        .select("doc_id", "n_tokens", "mean_token_len", "n_stopwords",
+          "stopword_ratio", "n_punct", "punct_ratio", "n_subwords")
+    }),
+
+    // Composite quality bucketing, aggregated.
+    "quality_bucket" -> ((s, dir) =>
+      TextAnalysis.qualityBucket(Tables.documents(s, dir), "text")
+        .groupBy("quality").agg(count(lit(1)).as("n"))),
+
+    // Language-ID heuristic (marker-word argmax, deterministic ties).
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.withLangId(Tables.documents(s, dir), "text")
+        .select("doc_id", "lang_pred")),
+
+    // Rolling-hash document fingerprint (pure integer arithmetic).
+    "fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    // Multimodal: opaque-binary feature extraction as native expressions
+    // (checksum cross-checked against the mapPartitions decoder in tests).
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.withNativeFeatures(
+          Multimodal.attachFakeMedia(Tables.documents(s, dir), "doc_id", "text"))
+        .select("media_id", "n_bytes", "first_byte", "width", "height")),
+
+    // Streaming-shaped windowed aggregation (event-time tumbling window),
+    // run on the batch path; value summed in exact decimal.
+    "windowed_counts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("value", col("value").cast("decimal(18,6)"))
+      IncrementalStream.windowedCounts(ev)
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("w_end"),
+          col("event_type"), col("n"), col("total_value").cast("double").as("total_value"))
+    }))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val NormalizedKey =
+    "substring(lower(rtrim(translate(strip_accents(%s), '.$', ''))), 1, 100)"
+  private val Stop =
+    TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+  private def langScore(markers: Seq[String]): String =
+    s"len(list_filter(ws, w -> w IN ${markers.map(m => s"'$m'").mkString("(", ",", ")")}))"
+
+  def oracleSql: Map[String, String] = Map(
+    "pushdown_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        | WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
+
+    "distinct_scan" -> "SELECT DISTINCT source FROM documents",
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "star_join" ->
+      """SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue FROM (
+        |  SELECT l_orderkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_orderkey
+        |  ORDER BY rev DESC, l_orderkey LIMIT 10)""".stripMargin,
+
+    "incremental_filter" ->
+      """SELECT event_id, event_type,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        |FROM events
+        |WHERE CASE WHEN event_type = 'click' THEN ts > TIMESTAMP '2024-01-20 00:00:00'
+        |           WHEN event_type = 'view' THEN ts > TIMESTAMP '2024-01-10 00:00:00'
+        |           ELSE ts >= TIMESTAMP '2024-01-15 00:00:00' END""".stripMargin,
+
+    "non_empty_embeddings" ->
+      """SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim
+        |FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0""".stripMargin,
+
+    "latest_per_key" ->
+      """SELECT user_id, event_id, event_type,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
+    "topk_per_key" ->
+      """SELECT user_id, event_id, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) <= 3""".stripMargin,
+
+    "max_watermark" ->
+      """SELECT event_type,
+        |  strftime(CAST(MAX(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS wm_str
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "main_refco" ->
+      s"""SELECT doc_id, ${NormalizedKey.format("text || '_' || lang")} AS main_refco
+         |FROM documents""".stripMargin,
+
+    "display_name" ->
+      """SELECT doc_id,
+        |  source || ' (' || coalesce(CASE WHEN lang <> 'en' THEN lang END, 'None') || ')'
+        |    AS display_name
+        |FROM documents""".stripMargin,
+
+    "iso_timestamp" ->
+      """SELECT event_id,
+        |  CASE WHEN microsecond(CAST(ts AS TIMESTAMP)) % 1000000 = 0
+        |       THEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S')
+        |       ELSE strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') END AS iso_ts
+        |FROM events""".stripMargin,
+
+    "merge_source" ->
+      s"""WITH rec AS (
+         |  SELECT doc_id, ${NormalizedKey.format("source || '_' || lang")} AS main_refco,
+         |    source || ' (' || coalesce(CASE WHEN lang <> 'en' THEN lang END, 'None') || ')'
+         |      AS display_name,
+         |    n_chars
+         |  FROM documents),
+         |deduped AS (
+         |  SELECT * FROM rec
+         |  QUALIFY row_number() OVER (PARTITION BY main_refco ORDER BY doc_id DESC) = 1),
+         |dim AS (
+         |  SELECT display_name,
+         |    CAST(row_number() OVER (ORDER BY display_name) AS BIGINT) AS display_name_id
+         |  FROM (SELECT DISTINCT display_name FROM rec
+         |        WHERE display_name NOT LIKE '%(None)'))
+         |SELECT d.main_refco, d.display_name, dim.display_name_id, d.doc_id, d.n_chars
+         |FROM deduped d JOIN dim USING (display_name)""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH t AS (
+        |  SELECT doc_id, source AS cleaned_ref, lang AS category, n_chars AS val
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |u AS (
+        |  SELECT doc_id, 'u_' || source AS cleaned_ref,
+        |    CASE WHEN doc_id % 5 <> 0 THEN 'u_' || lang END AS category,
+        |    n_chars + 1 AS val
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT coalesce(t.doc_id, u.doc_id) AS doc_id,
+        |  coalesce(t.cleaned_ref, u.cleaned_ref) AS cleaned_ref,
+        |  CASE WHEN u.doc_id IS NOT NULL THEN u.category ELSE t.category END AS category,
+        |  CASE WHEN u.doc_id IS NOT NULL THEN u.val ELSE t.val END AS val
+        |FROM t FULL OUTER JOIN u ON t.doc_id = u.doc_id""".stripMargin,
+
+    "exact_dedup" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) = 1""".stripMargin,
+
+    "ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+        |       FROM w),
+        |e AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS shingle FROM sh),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS inter
+        |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.source = b.source
+        |                       AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) AS jaccard
+        |FROM p WHERE 10 * inter >= 1 * (a_n + b_n - inter)""".stripMargin,
+
+    "cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT)
+        |    AS rank,
+        |  neighbor_id, cos
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+
+    "cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  list_cosine_similarity(a.v, b.v) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
+
+    "token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) /
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+         |  CAST(len(list_filter(string_split(text, ' '), w -> w IN $Stop)) AS BIGINT)
+         |    AS n_stopwords,
+         |  CAST(len(list_filter(string_split(text, ' '), w -> w IN $Stop)) AS DOUBLE) /
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]]', '', 'g')) AS BIGINT)
+         |    AS n_punct,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]]', '', 'g')) AS DOUBLE) /
+         |    CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_subwords
+         |FROM documents""".stripMargin,
+
+    "quality_bucket" ->
+      s"""WITH s AS (SELECT
+         |    len(string_split(text, ' ')) AS n_tok,
+         |    len(list_filter(string_split(text, ' '), w -> w IN $Stop)) AS n_stop
+         |  FROM documents)
+         |SELECT CASE WHEN n_tok < 5 THEN 'too_short'
+         |            WHEN n_stop * 10 > n_tok * 8 THEN 'boilerplate'
+         |            WHEN n_stop = 0 THEN 'no_stopwords'
+         |            ELSE 'ok' END AS quality,
+         |  COUNT(*) AS n
+         |FROM s GROUP BY 1""".stripMargin,
+
+    "lang_id" -> {
+      val scores = TextAnalysis.LangMarkers
+        .map { case (lang, ms) => s"${langScore(ms)} AS s_$lang" }.mkString(",\n    ")
+      // First language (list order de,en,es,fr,zh) >= all later ones ==
+      // the running strict-max argmax the Spark reduce computes.
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |s AS (SELECT doc_id,
+         |    $scores
+         |  FROM w)
+         |SELECT doc_id,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM s""".stripMargin
+    },
+
+    "fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_transform(string_split(text, ' '),
+         |      w -> list_reduce([CAST(ascii(w[i:i]) AS BIGINT) for i in range(1, len(w) + 1)],
+         |                       (acc, c) -> (acc * 31 + c) % ${TextAnalysis.FingerprintMod})),
+         |    (acc, wv) -> (acc * 131 + wv) % ${TextAnalysis.FingerprintMod}) AS fingerprint
+         |FROM documents""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(text[1:1]) AS INTEGER) AS first_byte,
+        |  CAST(strlen(text) % 640 AS INTEGER) AS width,
+        |  CAST((strlen(text) * 31 + ascii(text[1:1])) % 480 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+
+    "windowed_counts" ->
+      """SELECT
+        |  strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+        |    AS w_start,
+        |  strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour',
+        |           '%Y-%m-%d %H:%M:%S') AS w_end,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin)
 }

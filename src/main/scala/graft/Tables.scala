@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Readers for the driver's synthetic testdata tables (TESTDATA.md).
   * One parquet per table; filters and column pruning push into the scan. */
@@ -15,7 +16,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects (no nanosecond TimestampType). Read it as raw nanos via
+    * the legacy flag and convert to microseconds with integer arithmetic
+    * (`div` — a double division would lose precision on epoch-nanos). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
