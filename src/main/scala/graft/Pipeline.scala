@@ -61,16 +61,17 @@ object Pipeline {
     import spark.implicits._
     val wmDf = prior.toSeq.toDF("source", "wm")
 
-    // F2 + F3/F4 + P10 + P1..P8 — one declarative plan over the source
-    val filtered = Extract.incrementalFilter(
-      Extract.nonEmptyEmbeddings(Extract.coerceCountry(docs)),
-      wmDf, conf.fallbackDate)
-    val (good, bad) = Extract.quarantine(filtered)
+    // F2 + P10 + F3/F4 + P1..P8 — one declarative plan over the source.
+    // Quarantine runs BEFORE the watermark filter: a null-timestamp row is
+    // malformed (the reference's KeyError→skip path, `:227,233-235`), and
+    // the incremental predicate would silently drop it otherwise.
+    val (good, bad) = Extract.quarantine(
+      Extract.nonEmptyEmbeddings(Extract.coerceCountry(docs)))
+    val filtered = Extract.incrementalFilter(good, wmDf, conf.fallbackDate)
     val quarantined = Observation("quarantine")
-    val incoming = Extract.deriveRecord(good)
-      // source + event timestamp ride along for partitioning + watermarks
-      .withColumn("source", good("source"))
-      .withColumn("__ts", good("timestamp"))
+    // source + event timestamp ride along for partitioning + watermarks
+    val incoming = Extract.deriveRecord(filtered, keep = Seq("source", "timestamp"))
+      .withColumnRenamed("timestamp", "__ts")
 
     // S4: stage the incremental batch — the ONLY pass over the source.
     // (bad-row count observed on the same pass via the union trick would
@@ -80,8 +81,9 @@ object Pipeline {
       .parquet(conf.stagingPath)
     val nQuarantined = bad.count()
 
-    // Parquet footer count — metadata only, no data scan.
-    val staged = spark.read.parquet(conf.stagingPath)
+    // Parquet footer count — metadata only, no data scan. Explicit schema:
+    // an empty staged batch has no footers to infer from (F6 rerun path).
+    val staged = spark.read.schema(incoming.schema).parquet(conf.stagingPath)
     val recordsProcessed = staged.count()
 
     // F6: empty-batch short-circuit — no merge, no watermark change.

@@ -119,11 +119,14 @@ object Extract {
     * contract schema (`embeddings-pipeline.py:182-235`, FIXTURES.md §A.2).
     * Rows lacking a timestamp are dropped, mirroring the per-doc
     * KeyError→skip path (`:227,233-235`). */
-  def deriveRecord(docs: DataFrame): DataFrame = {
+  /** @param keep source columns carried through the projection unchanged
+    *   (e.g. `source`/`timestamp` for downstream partitioning/watermarks —
+    *   referencing them *after* this projection would be unresolvable). */
+  def deriveRecord(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val cc = countryCode(col("country"))
     docs
       .where(col("timestamp").isNotNull)
-      .select(
+      .select(Seq(
         coalesce(col("cleaned_ref"), lit("")).as("cleaned_ref"),
         coalesce(col("category"), lit("")).as("category"),
         mainRefco(coalesce(col("cleaned_ref"), lit("")), coalesce(col("color"), lit("")))
@@ -132,7 +135,8 @@ object Extract {
         col("embeddings_type"),
         coalesce(col("for_matching"), lit(false)).as("for_matching"),
         col("embeddings").as("embedding_vector"),
-        isoTimestamp(col("timestamp")).as("original_timestamp"))
+        isoTimestamp(col("timestamp")).as("original_timestamp")) ++
+        keep.map(col): _*)
   }
 
   /** Vector width validation against the target DDL's `VECTOR(FLOAT, 128)`

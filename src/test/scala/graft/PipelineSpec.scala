@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SaveMode
+
+import graft.sources.WatermarkStore
+
+/** End-to-end incremental pipeline over a temp source/target/state dir:
+  * first run backfills, rerun with no new data short-circuits (F6), new
+  * data merges incrementally and advances watermarks. */
+class PipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def doc(src: String, ts: String, ref: String, color: String,
+      emb: Seq[Float] = Seq(1f, 2f)) =
+    (src, Option(Timestamp.valueOf(ts)), emb, ref, color, "cat",
+      Seq("US"), Option.empty[String], false)
+
+  private val cols = Seq("source", "timestamp", "embeddings", "cleaned_ref",
+    "color", "category", "country", "embeddings_type", "for_matching")
+
+  test("backfill, empty-run short-circuit, incremental advance") {
+    val dir = Files.createTempDirectory("graft-pipe").toString
+    val conf = Pipeline.Config(
+      sourcePath = s"$dir/source",
+      targetPath = s"$dir/target",
+      statePath = s"$dir/state.json",
+      stagingPath = s"$dir/staging")
+
+    Seq(
+      doc("s1", "2024-02-01 10:00:00", "r1", ""),
+      doc("s1", "2024-02-02 10:00:00", "r1", ""),     // same key, newer
+      doc("s2", "2024-02-03 10:00:00", "r2", "red"),
+      // null timestamp → P10 quarantine (empty embeddings would already be
+      // dropped by the F2 scan filter, mirroring the reference's Mongo query)
+      ("s2", Option.empty[Timestamp], Seq(1f, 2f),
+        "bad", "", "cat", Seq("US"), Option.empty[String], false)
+    ).toDF(cols: _*).write.mode(SaveMode.Overwrite).parquet(conf.sourcePath)
+
+    val run1 = Pipeline.run(spark, conf)
+    assert(run1.recordsProcessed == 3L)
+    assert(run1.quarantined == 1L)
+    val t1 = spark.read.parquet(conf.targetPath)
+    assert(t1.count() == 2L) // r1 deduped to latest, r2_red
+    assert(WatermarkStore.read(spark, conf.statePath) == Map(
+      "s1" -> Timestamp.valueOf("2024-02-02 10:00:00"),
+      "s2" -> Timestamp.valueOf("2024-02-03 10:00:00")))
+
+    // Rerun with no new rows: F6 short-circuit, target untouched.
+    val run2 = Pipeline.run(spark, conf)
+    assert(run2.recordsProcessed == 0L)
+    assert(WatermarkStore.read(spark, conf.statePath).size == 2)
+
+    // New increment for s1 only (strictly newer than its watermark).
+    Seq(doc("s1", "2024-02-05 10:00:00", "r9", ""))
+      .toDF(cols: _*).write.mode(SaveMode.Append).parquet(conf.sourcePath)
+    val run3 = Pipeline.run(spark, conf)
+    assert(run3.recordsProcessed == 1L)
+    val t3 = spark.read.parquet(conf.targetPath)
+    assert(t3.count() == 3L)
+    assert(WatermarkStore.read(spark, conf.statePath)("s1") ==
+      Timestamp.valueOf("2024-02-05 10:00:00"))
+  }
+}

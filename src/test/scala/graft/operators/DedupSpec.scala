@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("W1: keep-latest per key with deterministic tie-break") {
+    val df = Seq(
+      ("k1", "2024-01-01T00:00:00", 1L),
+      ("k1", "2024-01-02T00:00:00", 2L),
+      ("k1", "2024-01-02T00:00:00", 3L), // timestamp tie -> larger id wins
+      ("k2", "2024-01-01T00:00:00", 4L)).toDF("key", "ots", "id")
+    val out = Dedup.latestPerKey(df, Seq("key"),
+      Seq(col("ots").desc, col("id").desc))
+    assert(out.select("id").as[Long].collect().toSet == Set(3L, 4L))
+  }
+
+  test("exact dedup keeps the smallest tie-break row") {
+    val df = Seq(("a", 10L), ("a", 3L), ("b", 7L)).toDF("k", "id")
+    val out = Dedup.exact(df, Seq("k"), col("id"))
+    assert(out.select("id").as[Long].collect().toSet == Set(3L, 7L))
+  }
+
+  test("shingles: distinct word n-grams; short docs yield empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val out = Dedup.withShingles(df, "text", 3)
+      .select("shingles").as[Seq[String]].collect()
+    assert(out.contains(Seq("a b c", "b c d")))
+    assert(out.contains(Seq.empty))
+  }
+
+  test("n-gram Jaccard finds the planted near-duplicate pair only") {
+    val near1 = "the quick brown fox jumps over the lazy dog today"
+    val near2 = "the quick brown fox jumps over the lazy cat today"
+    val other = "completely different words with nothing shared here at all"
+    val df = Seq((1L, near1, "b"), (2L, near2, "b"), (3L, other, "b"))
+      .toDF("doc_id", "text", "src")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", "src",
+      n = 3, thresholdNum = 1, thresholdDen = 2)
+    val pairs = out.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("MinHash-LSH pairs ⊇ verified-exact pairs on planted near-dups") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w40", "zz") // jaccard ≈ 35/41 over 3-shingles
+    val rand = new scala.util.Random(7)
+    val noise = (1 to 20).map(i =>
+      (100L + i, (1 to 40).map(_ => s"n${rand.nextInt(500)}").mkString(" ")))
+    val df = ((1L, base) +: (2L, nearDup) +: noise).toDF("doc_id", "text")
+    val lsh = Dedup.minHashLshPairs(df, "doc_id", "text",
+      n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+    val pairs = lsh.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("SimHash: identical docs collide at hamming 0; verify filter is exact") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally unrelated content stream")).toDF("doc_id", "text")
+    val out = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 3)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect()
+    assert(out.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 4)
+    }
+  }
+
+  test("cosine near-dup: exact and LSH agree on a planted duplicate") {
+    val v = Seq.fill(8)(1.0f)
+    val near = 0.99f +: Seq.fill(7)(1.0f)
+    val far = Seq.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = Seq((1L, v), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val exact = Dedup.cosineNearDupPairs(df, "vec_id", "embedding", 0.99)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)))
+    val lsh = Dedup.cosineNearDupPairsLsh(df, "vec_id", "embedding", 0.99,
+      dim = 8, planes = 4, tables = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((1L, 2L)))
+  }
+}

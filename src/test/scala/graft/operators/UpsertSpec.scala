@@ -1,0 +1,76 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** J3 MERGE semantics (reference `embeddings-pipeline.py:294-352`). */
+class UpsertSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def target: DataFrame = Seq(
+    ("k1", "ref1", Some("old1"), 10L),
+    ("k2", "ref2", Some("old2"), 20L)).toDF("key", "cleaned_ref", "etype", "v")
+
+  test("matched rows: genuine NULL in the update overwrites the target") {
+    val updates = Seq(("k1", "refU", None: Option[String], 11L))
+      .toDF("key", "cleaned_ref", "etype", "v")
+    val out = Upsert.merge(target, updates, Seq("key"),
+      insertOnlyCols = Set("cleaned_ref"))
+    val k1 = out.where($"key" === "k1").as[(String, String, Option[String], Long)].head()
+    assert(k1 == (("k1", "ref1", None, 11L))) // etype cleared, cleaned_ref kept
+  }
+
+  test("cleaned_ref quirk: not updated on match, inserted on miss") {
+    val updates = Seq(
+      ("k2", "refU2", Some("new2"), 21L),
+      ("k3", "refU3", Some("new3"), 30L)).toDF("key", "cleaned_ref", "etype", "v")
+    val out = Upsert.merge(target, updates, Seq("key"),
+      insertOnlyCols = Set("cleaned_ref"))
+    val rows = out.as[(String, String, Option[String], Long)].collect().toSet
+    assert(rows == Set(
+      ("k1", "ref1", Some("old1"), 10L),  // untouched
+      ("k2", "ref2", Some("new2"), 21L),  // updated, cleaned_ref preserved
+      ("k3", "refU3", Some("new3"), 30L)  // inserted with cleaned_ref
+    ))
+  }
+
+  test("refreshExprs stamp only touched rows") {
+    val updates = Seq(("k2", "refU2", Some("new2"), 21L))
+      .toDF("key", "cleaned_ref", "etype", "v")
+    val stamped = target.withColumn("inserted_at",
+      lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+    val out = Upsert.merge(stamped, updates, Seq("key"),
+      insertOnlyCols = Set("cleaned_ref"),
+      refreshExprs = Map("inserted_at" ->
+        lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))))
+    val byKey = out.select("key", "inserted_at")
+      .as[(String, java.sql.Timestamp)].collect().toMap
+    assert(byKey("k1") == java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+    assert(byKey("k2") == java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+  }
+
+  test("idempotence: merging the same batch twice equals merging once") {
+    val updates = Seq(
+      ("k2", "refU2", Some("new2"), 21L),
+      ("k3", "refU3", None: Option[String], 30L)).toDF("key", "cleaned_ref", "etype", "v")
+    val once = Upsert.merge(target, updates, Seq("key"), Set("cleaned_ref"))
+    val twice = Upsert.merge(once, updates, Seq("key"), Set("cleaned_ref"))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("mergeIntoParquet: first run inserts, second merges, swap survives") {
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    val path = s"$dir/table"
+    val updates = Seq(("k1", 1L), ("k2", 2L)).toDF("key", "v")
+    Upsert.mergeIntoParquet(spark, path, updates, Seq("key"))
+    assert(spark.read.parquet(path).count() == 2)
+    val more = Seq(("k2", 22L), ("k3", 3L)).toDF("key", "v")
+    Upsert.mergeIntoParquet(spark, path, more, Seq("key"))
+    val out = spark.read.parquet(path).as[(String, Long)].collect().toMap
+    assert(out == Map("k1" -> 1L, "k2" -> 22L, "k3" -> 3L))
+  }
+}
