@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses bare JSON lines from stdout; sbt's default
+// LoggedOutput prefixes forked-process output with "[info] ", which breaks
+// that parse (BENCH_r02.json: parsed=null). StdoutOutput passes the forked
+// JVM's stdout through verbatim (Spark logs go to stderr and stay there).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -32,6 +32,29 @@ object F {
   /** L2 norm of an array<float|double> column. */
   def l2Norm(a: Column): Column = Glue.column(L2Norm(Glue.expression(a)))
 
+  /** MinHash signature of an array<string> shingle column
+    * (see [[MinHashSig]]). */
+  def minHashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    Glue.column(MinHashSig(Glue.expression(shingles), numHashes, seed))
+
+  /** 64-bit SimHash of an array<string> word column (see [[SimHash64]]). */
+  def simHash64(words: Column): Column =
+    Glue.column(SimHash64(Glue.expression(words)))
+
+  /** LSH band hashes of a MinHash signature (see [[MinHashBands]]). */
+  def minHashBands(sig: Column, bands: Int): Column =
+    Glue.column(MinHashBands(Glue.expression(sig), bands))
+
+  /** Count of array<string> elements in a fixed vocabulary
+    * (see [[CountInSet]]). */
+  def countInSet(words: Column, vocab: Seq[String]): Column =
+    Glue.column(CountInSet(Glue.expression(words), vocab))
+
+  /** Distinct word n-gram shingles of an array<string> column
+    * (see [[WordShingles]]). */
+  def wordShingles(words: Column, n: Int): Column =
+    Glue.column(WordShingles(Glue.expression(words), n))
+
   /** Empty string → null (used to reproduce the reference's
     * "suffix only when color is non-empty" semantics, `:198-199`). */
   def emptyToNull(c: Column): Column = when(c === lit(""), lit(null)).otherwise(c)
@@ -44,5 +67,6 @@ object F {
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
   }
 }

@@ -1,0 +1,251 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native signature kernels for the near-duplicate operators.
+  *
+  * The higher-order-function formulations (`transform`/`aggregate` lambdas)
+  * are interpreted row-at-a-time by Catalyst — and because `CollapseProject`
+  * inlines cheap aliases, a 128-permutation MinHash written as
+  * `transform(sequence(0,127), i -> aggregate(hashes, ...))` re-evaluates
+  * the shingle-hash array once per permutation: O(perms × shingles)
+  * interpreted evals per row. These expressions do the same math in one
+  * tight JVM loop per row — O(shingles) string hashes + O(perms × shingles)
+  * long ops — and stay inside whole-stage codegen via `doGenCode`.
+  *
+  * String hashing is `XXH64` with seed 42, bit-identical to Spark's
+  * `xxhash64` built-in, so signatures match the HOF formulation they
+  * replace.
+  */
+private[functions] trait StringArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+}
+
+/** `minhash_sig(shingles)` — `numHashes` universal-hash permutations
+  * `(a·h + b) mod p` (p = 2^31−1, Mersenne) over xxhash64 shingle hashes;
+  * element k of the result is the minimum of permutation k over all
+  * shingles. Empty input ⇒ all-`Long.MaxValue` signature (matches the HOF
+  * `aggregate` seed). */
+case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with StringArrayInput {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  // 2^31-1 keeps a*h + b within Long range (a, h < 2^31 => a*h < 2^62).
+  private val P = (1L << 31) - 1
+  private val (as, bs) = {
+    val rnd = new scala.util.Random(seed)
+    (Array.fill(numHashes)(1 + rnd.nextLong().abs % (P - 1)),
+      Array.fill(numHashes)(rnd.nextLong().abs % P))
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = java.lang.Math.floorMod(
+        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L), P)
+      var j = 0
+      while (j < numHashes) {
+        val v = java.lang.Math.floorMod(as(j) * h + bs(j), P)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** `word_shingles(words, n)` — distinct word n-gram shingles (space-joined,
+  * first-occurrence order) of an array<string> column. Fewer than n words ⇒
+  * empty array. The HOF equivalent
+  * (`array_distinct(transform(sequence(...), i -> concat_ws(slice(...))))`)
+  * allocates a sliced array + interpreted concat per shingle and an O(k²)
+  * interpreted distinct; this is one pass with a hash set. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with StringArrayInput {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  def compute(arr: ArrayData): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val w = arr.numElements()
+    if (w < n) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]((w - n + 1) * 2)
+    var i = 0
+    while (i <= w - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** `count_in_set(words, set)` — how many elements of an array<string>
+  * column are members of a small compile-time vocabulary (stopword
+  * counting, language-marker scoring). One hash-set probe per element in a
+  * tight loop; the interpreted-HOF equivalent
+  * `size(filter(ws, w -> w.isin(...)))` evaluates a lambda per element per
+  * use site. Null elements don't count. */
+case class CountInSet(child: Expression, words: Seq[String])
+    extends UnaryExpression with StringArrayInput {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "count_in_set"
+
+  @transient private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](words.size * 2)
+    words.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  def compute(arr: ArrayData): Long = {
+    var c = 0L
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("countInSet", this, classOf[CountInSet].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CountInSet =
+    copy(child = c)
+}
+
+/** `minhash_bands(sig, bands)` — LSH band hashes of a MinHash signature:
+  * the signature is cut into `bands` equal slices and each slice is hashed
+  * (xxhash64-chained over its elements, seeded by the band index, so equal
+  * hashes imply equal band content up to hash collision). Kept as a
+  * separate expression from [[MinHashSig]] so the signature is computed
+  * once per row — an HOF `transform` lambda over the sig column would let
+  * `CollapseProject` inline the signature into the lambda body and
+  * re-evaluate it once per band. */
+case class MinHashBands(child: Expression, bands: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  def compute(sig: ArrayData): ArrayData = {
+    val n = sig.numElements()
+    val rows = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong
+      var i = b * rows
+      val end = i + rows
+      while (i < end) { acc = XXH64.hashLong(sig.getLong(i), acc); i += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashBands", this, classOf[MinHashBands].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashBands =
+    copy(child = c)
+}
+
+/** `simhash64(words)` — 64-bit SimHash: per bit j, sum +1/−1 weighted by
+  * bit j of each word's xxhash64; the sign of the sum becomes signature
+  * bit j. Empty input ⇒ 0 (all sums non-positive, matching the HOF
+  * formulation's `when(c > 0, ...)` bit rule). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with StringArrayInput {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  def compute(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this, classOf[SimHash64].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}

@@ -40,20 +40,13 @@ object Dedup {
   // Text shingles (shared by MinHash / Jaccard)
   // --------------------------------------------------------------------
 
-  /** Distinct word n-gram shingles per document as an array column —
-    * computed with higher-order functions (no explode, no shuffle). */
+  /** Distinct word n-gram shingles per document as an array column — one
+    * native codegen'd expression ([[graft.functions.WordShingles]]): no
+    * explode, no shuffle, no interpreted lambda evals. */
   def withShingles(df: DataFrame, textCol: String, n: Int,
-      out: String = "shingles"): DataFrame = {
-    val ws = split(col(textCol), " ")
-    // guard: Spark's sequence(a, b) DESCENDS when b < a, so short docs
-    // need an explicit empty-array branch.
-    val sh = when(size(ws) >= n,
-      transform(
-        sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    df.withColumn(out, array_distinct(sh))
-  }
+      out: String = "shingles"): DataFrame =
+    df.withColumn(out,
+      graft.functions.F.wordShingles(split(col(textCol), " "), n))
 
   /** Exact n-gram Jaccard near-duplicate pairs within a blocking column.
     *
@@ -70,7 +63,7 @@ object Dedup {
     // Blocking is mandatory: without it a common shingle is a hot join key
     // and the equi-join explodes quadratically at scale. For unblocked
     // near-dup detection use minHashLshPairs.
-    val sh = withShingles(df, textCol, n)
+    val sh = withShingles(Par.spread(df), textCol, n)
       .select(col(idCol).as("id"), col(blockCol).as("block"), col("shingles"))
       .withColumn("n_sh", size(col("shingles")))
     val ex = sh.select(col("id"), col("block"), col("n_sh"),
@@ -92,26 +85,13 @@ object Dedup {
   // MinHash + LSH
   // --------------------------------------------------------------------
 
-  // 2^31-1: keeps a*h + b within Long range (a, h < 2^31 => a*h < 2^62).
-  private val MersennePrime = (1L << 31) - 1
-
   /** Per-document MinHash signature (numHashes universal-hash permutations
-    * over xxhash64 shingle hashes), computed entirely with higher-order
-    * functions in one projection — no explode, no extra shuffle. */
+    * over xxhash64 shingle hashes) — a single native codegen'd expression
+    * ([[graft.functions.MinHashSig]]): one tight loop per row, no explode,
+    * no extra shuffle, no interpreted lambda evals. */
   def withMinHashSignature(df: DataFrame, shinglesCol: String,
-      numHashes: Int, seed: Long = 42L, out: String = "minhash"): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val as = Array.fill(numHashes)(1 + rnd.nextLong().abs % (MersennePrime - 1))
-    val bs = Array.fill(numHashes)(rnd.nextLong().abs % MersennePrime)
-    val hashes = transform(col(shinglesCol), s => xxhash64(s))
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)), i => {
-      val a = element_at(typedLit(as.toSeq), (i + 1).cast("int"))
-      val b = element_at(typedLit(bs.toSeq), (i + 1).cast("int"))
-      aggregate(hashes, lit(Long.MaxValue),
-        (acc, h) => least(acc, pmod(a * pmod(h, lit(MersennePrime)) + b, lit(MersennePrime))))
-    })
-    df.withColumn(out, sig)
-  }
+      numHashes: Int, seed: Long = 42L, out: String = "minhash"): DataFrame =
+    df.withColumn(out, graft.functions.F.minHashSig(col(shinglesCol), numHashes, seed))
 
   /** MinHash-LSH near-duplicate candidate pairs, verified with exact
     * Jaccard over the shingle sets.
@@ -127,15 +107,16 @@ object Dedup {
       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val sig = withMinHashSignature(
-      withShingles(df, textCol, n), "shingles", numHashes, seed)
+      withShingles(Par.spread(df), textCol, n), "shingles", numHashes, seed)
       .select(col(idCol).as("id"), col("shingles"), col("minhash"))
 
-    // Slim band rows: 3 fixed-width columns per row, nothing else.
+    // Slim band rows: 3 fixed-width columns per row, nothing else. Band
+    // hashing is a native expression over the materialized signature — an
+    // HOF lambda here would re-inline (and re-compute) the signature per
+    // band via CollapseProject.
     val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("minhash"), b * lit(rows) + lit(1), lit(rows)), b)))
+      posexplode(graft.functions.F.minHashBands(col("minhash"), bands))
         .as(Seq("band", "band_hash")))
 
     val l = banded.select(col("id").as("a_id"), col("band"), col("band_hash"))
@@ -162,23 +143,12 @@ object Dedup {
   // SimHash
   // --------------------------------------------------------------------
 
-  /** 64-bit SimHash over word hashes, as one higher-order-function
-    * projection: for each bit j, sum +1/-1 weighted by bit j of each word's
-    * xxhash64; sign becomes the signature bit. */
-  def withSimHash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame = {
-    val hashes = transform(split(col(textCol), " "), w => xxhash64(w))
-    val counts = aggregate(hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, j) => a + when(
-          call_function("shiftright", h, j.cast("int")).bitwiseAND(lit(1L)) === 1, 1L)
-          .otherwise(-1L)))
-    val sig = aggregate(zip_with(counts, sequence(lit(0), lit(63)),
-      (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j.cast("int")))
-        .otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-    df.withColumn(out, sig)
-  }
+  /** 64-bit SimHash over word hashes — a single native codegen'd
+    * expression ([[graft.functions.SimHash64]]): for each bit j, sum +1/-1
+    * weighted by bit j of each word's xxhash64; sign becomes the signature
+    * bit. */
+  def withSimHash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
+    df.withColumn(out, graft.functions.F.simHash64(split(col(textCol), " ")))
 
   /** SimHash near-duplicate pairs with Hamming distance <= maxHamming,
     * found by banding the 64-bit signature into 16-bit chunks (pigeonhole:
@@ -190,7 +160,7 @@ object Dedup {
     // Hamming distance <= 3; larger radii would silently lose pairs.
     require(maxHamming <= 3,
       s"simHashPairs guarantees recall only for maxHamming <= 3 (got $maxHamming)")
-    val sig = withSimHash(df, textCol)
+    val sig = withSimHash(Par.spread(df), textCol)
       .select(col(idCol).as("id"), col("simhash"))
     val banded = sig.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
@@ -218,7 +188,9 @@ object Dedup {
     * [[cosineNearDupPairsLsh]]. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("a_v"))
+    // spread: the cross join's parallelism is the stream side's partition
+    // count — a single-split embedding table would score on one core.
+    val a = Par.spread(emb).select(col(idCol).as("a_id"), col(vecCol).as("a_v"))
     val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("b_v"))
     a.crossJoin(b).where(col("a_id") < col("b_id"))
       .withColumn("cos", graft.functions.F.cosineSim(col("a_v"), col("b_v")))
@@ -242,8 +214,9 @@ object Dedup {
   def cosineNearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, planes: Int = 16, tables: Int = 2,
       seed: Long = 42L): DataFrame = {
+    val spreadEmb = Par.spread(emb)
     val perTable = (0 until tables).map { t =>
-      val bucketed = withSrpBucket(emb, vecCol, planes, seed + t, dim)
+      val bucketed = withSrpBucket(spreadEmb, vecCol, planes, seed + t, dim)
       val a = bucketed.select(col(idCol).as("a_id"), col(vecCol).as("a_v"), col("__bucket"))
       val b = bucketed.select(col(idCol).as("b_id"), col(vecCol).as("b_v"), col("__bucket"))
       a.join(b, "__bucket").where(col("a_id") < col("b_id"))

@@ -37,7 +37,9 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"))
+    // spread: scan parallelism of the broadcast-nested-loop join equals the
+    // corpus partition count — a single-split corpus would score on one core.
+    val c = Par.spread(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", F.cosineSim(col("q_v"), col("c_v")))
@@ -54,10 +56,11 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       planes: Int = 16, tables: Int = 2, seed: Long = 42L): DataFrame = {
+    val spreadCorpus = Par.spread(corpus)
     val perTable = (0 until tables).map { t =>
       val qb = Dedup.withSrpBucket(queries, vecCol, planes, seed + t, dim)
         .select(col(idCol).as("query_id"), col(vecCol).as("q_v"), col("__bucket"))
-      val cb = Dedup.withSrpBucket(corpus, vecCol, planes, seed + t, dim)
+      val cb = Dedup.withSrpBucket(spreadCorpus, vecCol, planes, seed + t, dim)
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"), col("__bucket"))
       cb.join(broadcast(qb), "__bucket")
         .where(col("query_id") =!= col("neighbor_id"))

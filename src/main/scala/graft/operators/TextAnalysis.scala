@@ -34,7 +34,7 @@ object TextAnalysis {
   def withQualityStats(df: DataFrame, textCol: String): DataFrame = {
     val ws = words(col(textCol))
     val nTok = size(ws).cast("long")
-    val nStop = size(filter(ws, w => w.isin(Stopwords: _*))).cast("long")
+    val nStop = graft.functions.F.countInSet(ws, Stopwords)
     val nPunct = (length(col(textCol)) -
       length(regexp_replace(col(textCol), """[.,;:!?'"()\[\]]""", ""))).cast("long")
     df.withColumn("n_tokens", nTok)
@@ -51,7 +51,7 @@ object TextAnalysis {
   def qualityBucket(df: DataFrame, textCol: String): DataFrame = {
     val ws = words(col(textCol))
     val nTok = size(ws).cast("long")
-    val nStop = size(filter(ws, w => w.isin(Stopwords: _*))).cast("long")
+    val nStop = graft.functions.F.countInSet(ws, Stopwords)
     df.withColumn("quality",
       when(nTok < 5, "too_short")
         .when(nStop * 10 > nTok * 8, "boilerplate") // stopword ratio > 0.8
@@ -72,7 +72,7 @@ object TextAnalysis {
   def withLangId(df: DataFrame, textCol: String, out: String = "lang_pred"): DataFrame = {
     val ws = words(col(textCol))
     val scored = LangMarkers.map { case (lang, markers) =>
-      struct(size(filter(ws, w => w.isin(markers: _*))).cast("long").as("score"),
+      struct(graft.functions.F.countInSet(ws, markers).as("score"),
         lit(lang).as("lang"))
     }
     // argmax: max over (score, reversed-lang) structs => highest score,
