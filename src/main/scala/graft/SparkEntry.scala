@@ -135,6 +135,61 @@ object SparkEntry {
         .select(col("doc_id"),
           Extract.mainRefco(col("text"), col("lang")).as("main_refco"))),
 
+    // P1–P8 + F7 composite: the full per-document transform (deriveRecord)
+    // over a document-shaped source derived deterministically from the
+    // documents table — exercises field defaults, the empty-color branch of
+    // main_refco, the "(None)" display name, nullable embeddings_type,
+    // for_matching default, ISO timestamps with and without micros, and the
+    // null-timestamp row drop.
+    "derive_record" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select(
+        col("doc_id"),
+        col("source"),
+        when(col("doc_id") % 97 =!= 0,
+          timestamp_micros(lit(1704067200000000L) +
+            col("doc_id") * 1000000L + (col("doc_id") % 2) * 123456L))
+          .as("timestamp"),
+        when(col("doc_id") % 13 =!= 0,
+          array(col("doc_id").cast("float"), col("n_chars").cast("float")))
+          .as("embeddings"),
+        col("source").as("cleaned_ref"),
+        when(col("lang") =!= "en", col("lang")).otherwise(lit("")).as("color"),
+        when(col("doc_id") % 7 =!= 0, col("lang")).as("category"),
+        when(col("lang") =!= "en", array(col("lang"))).as("country"),
+        when(col("doc_id") % 5 =!= 0, lit("dense")).as("embeddings_type"),
+        when(col("doc_id") % 3 === 0, lit(true)).as("for_matching"))
+      Extract.deriveRecord(Extract.nonEmptyEmbeddings(src))
+        .withColumn("emb_dim", size(col("embedding_vector")))
+        .drop("embedding_vector")
+    }),
+
+    // P5 incl. scalar coercion: a scalar-string country column normalized
+    // at ingest (coerceCountry), then first-element extraction.
+    "country_code" -> ((s, dir) => {
+      val scalar = Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+          .when(col("lang") === "en", lit(""))
+          .otherwise(col("lang")).as("country"))
+      Extract.coerceCountry(scalar)
+        .select(col("doc_id"),
+          Extract.countryCode(col("country")).as("country_code"))
+    }),
+
+    // P10: per-row error isolation — malformed rows land in the quarantine
+    // side output with their failed checks, the batch continues.
+    "quarantine" -> ((s, dir) => {
+      val src = Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        when(col("vec_id") % 10 === 1, array().cast("array<float>"))
+          .when(col("vec_id") % 10 =!= 0, col("embedding")).as("embeddings"),
+        when(col("vec_id") % 7 =!= 0,
+          timestamp_micros(lit(1704067200000000L) + col("vec_id") * 1000000L))
+          .as("timestamp"))
+      val (_, bad) = Extract.quarantine(src)
+      bad.select(col("vec_id"), array_join(col("__errors"), ",").as("errors"))
+    }),
+
     // P6: display name incl. the "(None)" quirk.
     "display_name" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -325,6 +380,37 @@ object SparkEntry {
     "main_refco" ->
       s"""SELECT doc_id, ${NormalizedKey.format("text || '_' || lang")} AS main_refco
          |FROM documents""".stripMargin,
+
+    "derive_record" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |    make_timestamp(1704067200000000 + doc_id * 1000000 + (doc_id % 2) * 123456) AS ts
+         |  FROM documents)
+         |SELECT source AS cleaned_ref,
+         |  CASE WHEN doc_id % 7 <> 0 THEN lang ELSE '' END AS category,
+         |  ${NormalizedKey.format(
+             "source || CASE WHEN lang <> 'en' THEN '_' || lang ELSE '' END")} AS main_refco,
+         |  source || ' (' || CASE WHEN lang <> 'en' THEN lang ELSE 'None' END || ')'
+         |    AS display_name,
+         |  CASE WHEN doc_id % 5 <> 0 THEN 'dense' END AS embeddings_type,
+         |  doc_id % 3 = 0 AS for_matching,
+         |  CASE WHEN doc_id % 2 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+         |       ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') END AS original_timestamp,
+         |  CAST(2 AS INTEGER) AS emb_dim
+         |FROM src WHERE doc_id % 13 <> 0 AND doc_id % 97 <> 0""".stripMargin,
+
+    "country_code" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 <> 0 AND lang <> 'en' THEN lang END AS country_code
+        |FROM documents""".stripMargin,
+
+    "quarantine" ->
+      """SELECT vec_id,
+        |  concat_ws(',',
+        |    CASE WHEN vec_id % 7 = 0 THEN 'null_timestamp' END,
+        |    CASE WHEN vec_id % 10 IN (0, 1) THEN 'empty_embedding' END) AS errors
+        |FROM embeddings
+        |WHERE vec_id % 7 = 0 OR vec_id % 10 IN (0, 1)""".stripMargin,
 
     "display_name" ->
       """SELECT doc_id,

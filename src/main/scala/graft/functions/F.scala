@@ -55,6 +55,11 @@ object F {
   def wordShingles(words: Column, n: Int): Column =
     Glue.column(WordShingles(Glue.expression(words), n))
 
+  /** Sign-random-projection LSH bucket id of an array<float|double> column
+    * (see [[SrpBucket]]). */
+  def srpBucket(vec: Column, planes: Int, seed: Long, dim: Int): Column =
+    Glue.column(SrpBucket(Glue.expression(vec), planes, seed, dim))
+
   /** Empty string → null (used to reproduce the reference's
     * "suffix only when color is non-empty" semantics, `:198-199`). */
   def emptyToNull(c: Column): Column = when(c === lit(""), lit(null)).otherwise(c)

@@ -83,6 +83,55 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `srp_bucket(v)` — sign-random-projection LSH bucket id: bit p of the
+  * result is the sign of `v · hyperplane_p` for `planes` Gaussian random
+  * hyperplanes drawn from `seed`. Vectors shorter than `dim` contribute
+  * only their present components (missing terms = 0). Native replacement
+  * for the interpreted `zip_with`/`aggregate` formulation — O(planes × dim)
+  * fused multiply-adds per row in one loop. */
+case class SrpBucket(child: Expression, planes: Int, seed: Long, dim: Int)
+    extends UnaryExpression with VectorElemTypes {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_bucket"
+  private lazy val cf = elemIsFloat(child.dataType)
+
+  // planes × dim Gaussian hyperplane matrix, row-major; generation order
+  // matches Array.fill(planes, dim)(rnd.nextGaussian()).
+  @transient private lazy val hyper: Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes * dim)(rnd.nextGaussian())
+  }
+
+  def compute(a: Any): Long = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var d = 0.0
+      val base = p * dim
+      var i = 0
+      while (i < n) {
+        val v = if (cf) arr.getFloat(i).toDouble else arr.getDouble(i)
+        d += v * hyper(base + i)
+        i += 1
+      }
+      if (d >= 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srpBucket", this, classOf[SrpBucket].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SrpBucket = copy(child = c)
+}
+
 /** `l2_norm(a)` — native expression with whole-stage codegen. */
 case class L2Norm(child: Expression)
     extends UnaryExpression with VectorElemTypes {

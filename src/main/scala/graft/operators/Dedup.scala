@@ -229,21 +229,12 @@ object Dedup {
       .select("a_id", "b_id", "cos")
   }
 
-  /** Attach a sign-random-projection bucket id (used by LSH cosine ops).
+  /** Attach a sign-random-projection bucket id (used by LSH cosine ops) —
+    * one native codegen'd expression ([[graft.functions.SrpBucket]]).
     * `dim` comes from the schema contract — no data-sniffing job. Vectors
-    * shorter than `dim` contribute only their present components (zip_with
-    * pads with null → treated as 0). */
+    * shorter than `dim` contribute only their present components. */
   private[operators] def withSrpBucket(emb: DataFrame, vecCol: String,
-      planes: Int, seed: Long, dim: Int): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
-    val bucket = (0 until planes).map { p =>
-      val plane = typedLit(hyper(p).toSeq)
-      val d = aggregate(zip_with(col(vecCol), plane,
-          (x, y) => coalesce(x * y, lit(0.0))),
-        lit(0.0), (acc, v) => acc + v)
-      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    emb.withColumn("__bucket", bucket)
-  }
+      planes: Int, seed: Long, dim: Int): DataFrame =
+    emb.withColumn("__bucket",
+      graft.functions.F.srpBucket(col(vecCol), planes, seed, dim))
 }
