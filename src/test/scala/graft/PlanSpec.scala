@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** Physical-plan shape assertions: the scale properties the operators
+  * promise (pushdown, pruning, broadcast, partial aggregation before the
+  * shuffle) verified against the actual Catalyst output, so a regression
+  * in plan quality fails the build — not just a slow benchmark. */
+class PlanSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    // flatten through AQE wrapper nodes; executedPlan (not inputPlan) — the
+    // input plan predates EnsureRequirements, so it has no Exchange nodes.
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(collectAll)
+  }
+
+  test("pushdown_scan: filters reach the parquet scan; schema is pruned") {
+    val s = plan("pushdown_scan").toString
+    assert(s.contains("PushedFilters: [IsNotNull(l_returnflag)"),
+      s"filters not pushed into scan:\n$s")
+    assert(s.contains("EqualTo(l_returnflag,R)"))
+    assert(!s.contains("l_extendedprice"),
+      "scan reads columns the query never uses")
+  }
+
+  test("merge_source: the dimension join is broadcast, not shuffled") {
+    val s = plan("merge_source").toString
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast join:\n$s")
+  }
+
+  test("cosine_topk: partial top-k aggregation runs before the exchange") {
+    val nodes = collectAll(plan("cosine_topk"))
+    val aggs = nodes.filter(_.nodeName.contains("ObjectHashAggregate"))
+    assert(aggs.size >= 2,
+      s"expected partial+final top-k aggregate, got ${aggs.map(_.nodeName)}")
+    // the partial aggregate must sit BELOW the exchange: the exchange's
+    // subtree contains an aggregate, so only k-bounded state is shuffled —
+    // never the full |corpus|x|queries| scored set.
+    val exchanges = nodes.collect { case e: Exchange => e }
+    assert(exchanges.exists(e =>
+      collectAll(e.child).exists(_.nodeName.contains("ObjectHashAggregate"))),
+      "scored set is shuffled before any aggregation")
+  }
+
+  test("minhash_lsh: band rows carry no shingle arrays through the shuffle") {
+    val nodes = collectAll(plan("minhash_lsh"))
+    val exchanges = nodes.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    // The candidate-join exchanges must move only slim (id, band, hash)
+    // rows; the shingles array may only travel to the verification join.
+    val bandExchanges = exchanges.filter(
+      _.output.exists(_.name == "band_hash"))
+    assert(bandExchanges.nonEmpty, "no band-bucket exchange found")
+    bandExchanges.foreach { e =>
+      assert(!e.output.exists(a => a.name.contains("shingle") || a.name == "minhash"),
+        s"band exchange carries heavy columns: ${e.output.map(_.name)}")
+    }
+  }
+
+  test("incremental_filter: watermark map is broadcast to the scan side") {
+    val s = plan("incremental_filter").toString
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),
+      s"watermark join should broadcast the tiny watermark side:\n$s")
+  }
+
+  test("q1_agg: partial aggregation before the group-by exchange") {
+    val nodes = collectAll(plan("q1_agg"))
+    val exchanges = nodes.collect { case e: Exchange => e }
+    assert(exchanges.exists(e =>
+      collectAll(e.child).exists(_.nodeName.contains("HashAggregate"))),
+      "no map-side partial aggregate below the exchange")
+  }
+
+  private def wscgCount(df: DataFrame): Int =
+    collectAll(df.queryExecution.executedPlan)
+      .count(_.nodeName.contains("WholeStageCodegen"))
+
+  test("native expressions stay inside whole-stage codegen") {
+    // fingerprint + main_refco use custom expressions (rolling hash,
+    // ascii_fold); if they fell out of codegen the projection would not be
+    // fused into a WholeStageCodegen stage.
+    Seq("fingerprint", "main_refco").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      assert(wscgCount(df) >= 1, s"$q runs outside whole-stage codegen")
+    }
+  }
+}
