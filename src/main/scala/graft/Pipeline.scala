@@ -68,7 +68,6 @@ object Pipeline {
     val (good, bad) = Extract.quarantine(
       Extract.nonEmptyEmbeddings(Extract.coerceCountry(docs)))
     val filtered = Extract.incrementalFilter(good, wmDf, conf.fallbackDate)
-    val quarantined = Observation("quarantine")
     // source + event timestamp ride along for partitioning + watermarks
     val incoming = Extract.deriveRecord(filtered, keep = Seq("source", "timestamp"))
       .withColumnRenamed("timestamp", "__ts")

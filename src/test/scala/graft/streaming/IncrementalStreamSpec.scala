@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+
+import graft.SparkSpecBase
+import graft.schema.Schemas
+
+/** End-to-end Structured Streaming execution: two AvailableNow passes over
+  * a growing source directory, checkpoint-tracked, each micro-batch merged
+  * into the parquet target (SURVEY.md §2.9 design 2). */
+class IncrementalStreamSpec extends SparkSpecBase {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(name).toString
+
+  private def doc(source: String, ts: String, emb: Seq[Float], ref: String,
+      color: String, category: String): Row =
+    Row(source, Timestamp.valueOf(ts), emb, ref, color, category,
+      null, null, null)
+
+  private def writeBatch(dir: String, rows: Seq[Row], part: String): Unit = {
+    // the file stream source lists the directory non-recursively — land
+    // each batch as a single flat file
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Schemas.sourceDoc)
+    val staging = tmp(s"stage-$part")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val f = new java.io.File(staging).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(f.toPath, java.nio.file.Paths.get(s"$dir/$part.parquet"))
+  }
+
+  test("streaming upsert: two AvailableNow passes, checkpointed, merged") {
+    val src = tmp("stream-src"); val ckpt = tmp("stream-ckpt")
+    val target = tmp("stream-target") + "/out"
+
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-01 10:00:00", Seq(1f, 2f), "a", "", "c1"),
+      doc("s1", "2024-01-02 10:00:00", Seq(3f, 4f), "a", "", "c2"), // newer a
+      doc("s2", "2024-01-01 11:00:00", Seq(5f, 6f), "b", "red", "c3")),
+      "batch0")
+
+    IncrementalStream.start(spark, src, target, ckpt).awaitTermination()
+
+    val after1 = spark.read.parquet(target)
+      .select("main_refco", "category").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // keep-latest dedup within the batch: key "a" took the newer category
+    assert(after1 == Map("a" -> "c2", "b_red" -> "c3"))
+
+    // second file: an update for key "a" and a brand-new key — the
+    // checkpoint must skip batch0 (no duplicate processing) and the merge
+    // must update + insert.
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-03 10:00:00", Seq(7f, 8f), "a", "", "c9"),
+      doc("s3", "2024-01-03 12:00:00", Seq(9f, 1f), "c", "", "c4")),
+      "batch1")
+
+    IncrementalStream.start(spark, src, target, ckpt).awaitTermination()
+
+    val after2 = spark.read.parquet(target)
+      .select("main_refco", "category", "original_timestamp").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(after2.keySet == Set("a", "b_red", "c"))
+    assert(after2("a")._1 == "c9") // updated on match
+    assert(after2("a")._2 == "2024-01-03T10:00:00")
+    assert(after2("b_red")._1 == "c3") // untouched row survives
+  }
+}
