@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Dedup, Extract, Multimodal, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Extract, Multimodal, Sessionize, Similarity, TextAnalysis, Upsert}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -296,6 +296,16 @@ object SparkEntry {
           Multimodal.attachFakeMedia(Tables.documents(s, dir), "doc_id", "text"))
         .select("media_id", "n_bytes", "first_byte", "width", "height")),
 
+    // Gap-based sessionization (custom-state operator family): batch
+    // gaps-and-islands plan; the streaming twin (flatMapGroupsWithState)
+    // is equivalence-tested in SessionizeSpec.
+    "sessionize" -> ((s, dir) =>
+      Sessionize.sessions(Tables.events(s, dir), gapSeconds = 1800)
+        .select(col("user_id"), col("session_id"),
+          ts6(col("session_start")).as("s_start"),
+          ts6(col("session_end")).as("s_end"),
+          col("n_events"))),
+
     // Streaming-shaped windowed aggregation (event-time tumbling window),
     // run on the batch path; value summed in exact decimal.
     "windowed_counts" -> ((s, dir) => {
@@ -559,6 +569,21 @@ object SparkEntry {
         |  CAST(strlen(text) % 640 AS INTEGER) AS width,
         |  CAST((strlen(text) * 31 + ascii(text[1:1])) % 480 AS INTEGER) AS height
         |FROM documents""".stripMargin,
+
+    "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    1 + SUM(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM g)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "windowed_counts" ->
       """SELECT

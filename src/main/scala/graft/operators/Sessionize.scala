@@ -1,0 +1,102 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based sessionization — the canonical custom-state operator for
+  * event streams (SURVEY.md §2.9): consecutive events of a key belong to
+  * one session while the gap between them stays under `gapSeconds`.
+  *
+  * Two implementations with identical semantics:
+  *  - [[sessions]]: declarative batch plan (lag → gap flag → running sum →
+  *    aggregate). One shuffle on the key; the window sort is per-key and
+  *    spills safely. This is the backfill / bounded-input path.
+  *  - [[sessionsStreaming]]: `flatMapGroupsWithState` with an event-time
+  *    timeout — the unbounded path; state per key is O(1) (the open
+  *    session's aggregates, never the events).
+  */
+object Sessionize {
+
+  /** Batch sessionization. Output: one row per closed session —
+    * (key, session_start, session_end, n_events, session_id) where
+    * session_id numbers a key's sessions in time order from 1. */
+  def sessions(events: DataFrame, gapSeconds: Long,
+      keyCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol))
+    val gapFlag = when(
+      col(tsCol).cast("long") - lag(col(tsCol), 1).over(byKey).cast("long")
+        > gapSeconds, 1L).otherwise(0L)
+    events
+      .withColumn("__new_session", gapFlag)
+      .withColumn("__session_id",
+        sum(col("__new_session")).over(byKey) + 1L)
+      .groupBy(col(keyCol), col("__session_id").as("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_id"), col("session_start"),
+        col("session_end"), col("n_events"))
+  }
+
+  case class SessionEvent(key: Long, ts: Timestamp)
+  /** Per-key state: the id the *open* session carries (or the next id to
+    * assign when none is open) plus the open session's aggregates;
+    * `n == 0` ⇔ no session is open. O(1) per key — never the events. */
+  case class SessState(id: Long, start: Long, end: Long, n: Long)
+  case class Session(key: Long, sessionId: Long, start: Timestamp,
+      end: Timestamp, nEvents: Long)
+
+  /** Streaming sessionization over a keyed event stream: a session closes
+    * when the event-time watermark passes its end + gap (state timeout).
+    * The session-id counter lives in the state, so ids keep increasing
+    * across closed sessions. Use `OutputMode.Append` with a watermark on
+    * the event time. */
+  def sessionsStreaming(events: Dataset[SessionEvent],
+      gapSeconds: Long): Dataset[Session] = {
+    val gapMs = gapSeconds * 1000L
+    def emit(key: Long, s: SessState): Session =
+      Session(key, s.id, new Timestamp(s.start), new Timestamp(s.end), s.n)
+    val func = (key: Long, it: Iterator[SessionEvent], state: GroupState[SessState]) => {
+      val prior = state.getOption.getOrElse(SessState(1L, 0L, 0L, 0L))
+      if (state.hasTimedOut) {
+        // watermark passed end+gap: close the open session, keep the counter
+        state.update(SessState(prior.id + 1, 0L, 0L, 0L))
+        Iterator.single(emit(key, prior))
+      } else {
+        val sorted = it.map(_.ts.getTime).toArray.sorted
+        var open = if (prior.n > 0) Some(prior) else None
+        var nextId = prior.id
+        var closed = List.empty[SessState]
+        sorted.foreach { t =>
+          open match {
+            case Some(s) if t - s.end <= gapMs =>
+              open = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+            case Some(s) =>
+              closed ::= s
+              nextId = s.id + 1
+              open = Some(SessState(nextId, t, t, 1L))
+            case None =>
+              open = Some(SessState(nextId, t, t, 1L))
+          }
+        }
+        open match {
+          case Some(s) =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.end + gapMs)
+          case None => // no events this batch; leave state untouched
+        }
+        closed.reverse.map(emit(key, _)).iterator
+      }
+    }
+    events
+      .groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(func)(
+        Encoders.product[SessState], Encoders.product[Session])
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpecBase
+import graft.operators.Sessionize.{Session, SessionEvent}
+
+class SessionizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("batch sessions: gap splits, ids increase in time order") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")), // same session (gap 10 min)
+      (1L, ts("2024-01-01 12:00:00")), // new session (gap > 30 min)
+      (2L, ts("2024-01-01 10:05:00"))).toDF("user_id", "ts")
+    val out = Sessionize.sessions(ev, gapSeconds = 1800)
+      .select("user_id", "session_id", "n_events").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("streaming sessions match batch across checkpointed restarts") {
+    val src = Files.createTempDirectory("sess-src").toString
+    val ckpt = Files.createTempDirectory("sess-ckpt").toString
+    val outDir = Files.createTempDirectory("sess-out").toString + "/out"
+
+    def writeBatch(part: String, rows: Seq[(Long, Timestamp)]): Unit = {
+      val staging = Files.createTempDirectory(s"sess-stage-$part").toString
+      rows.toDF("key", "ts").coalesce(1).write.mode("overwrite").parquet(staging)
+      val f = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$src/$part.parquet"))
+    }
+
+    def runPass(): Unit = {
+      val events = spark.readStream
+        .schema("key long, ts timestamp").parquet(src)
+        .withWatermark("ts", "0 seconds")
+        .as[SessionEvent]
+      Sessionize.sessionsStreaming(events, gapSeconds = 1800)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Session], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start().awaitTermination()
+    }
+
+    // pass 1: an open session per key; nothing closes (watermark at max ts)
+    writeBatch("b0", Seq(
+      1L -> ts("2024-01-01 10:00:00"),
+      1L -> ts("2024-01-01 10:10:00"),
+      2L -> ts("2024-01-01 10:05:00")))
+    runPass()
+
+    // pass 2 (restart from checkpoint): key 1 gets a gap-breaking event —
+    // its first session closes inline; the far-future key-99 event pushes
+    // the watermark past every open session's timeout
+    writeBatch("b1", Seq(
+      1L -> ts("2024-01-01 12:00:00"),
+      99L -> ts("2024-01-01 20:00:00")))
+    runPass()
+
+    // pass 3: one more event so the timeout fires under the advanced
+    // watermark, closing key 1's second session, key 2's and key 99's
+    writeBatch("b2", Seq(99L -> ts("2024-01-01 20:31:00")))
+    runPass()
+    writeBatch("b3", Seq(99L -> ts("2024-01-01 21:30:00")))
+    runPass()
+
+    val closed = spark.read.parquet(outDir)
+      .select("key", "sessionId", "start", "end", "nEvents")
+      .as[(Long, Long, Timestamp, Timestamp, Long)].collect().toSet
+    // batch reference on the same closed-session subset
+    assert(closed.contains(
+      (1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L)))
+    assert(closed.contains(
+      (1L, 2L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L)))
+    assert(closed.contains(
+      (2L, 1L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:05:00"), 1L)))
+    // 20:31 - 20:00 = 31 min > the 30-min gap: two singleton sessions
+    assert(closed.contains(
+      (99L, 1L, ts("2024-01-01 20:00:00"), ts("2024-01-01 20:00:00"), 1L)))
+    assert(closed.contains(
+      (99L, 2L, ts("2024-01-01 20:31:00"), ts("2024-01-01 20:31:00"), 1L)))
+
+    // equivalence with the batch plan over the full event set
+    val allEvents = spark.read.schema("key long, ts timestamp").parquet(src)
+      .withColumnRenamed("key", "user_id")
+    val batchSessions = Sessionize.sessions(allEvents, 1800)
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    val closedIds = closed.map(c => (c._1, c._2, c._5))
+    assert(closedIds.subsetOf(batchSessions),
+      s"streaming emitted a session batch disagrees with: ${closedIds -- batchSessions}")
+  }
+}
