@@ -36,6 +36,26 @@ object Dedup {
   def exact(df: DataFrame, keys: Seq[String], tieBreak: Column): DataFrame =
     topKPerKey(df, 1, keys, Seq(tieBreak.asc))
 
+  /** Skew-safe two-phase top-k: identical result to [[topKPerKey]], but a
+    * hot key never lands on one reducer. Phase 1 shuffles on
+    * (keys, salt) — `saltBuckets` reducers share each key's rows and keep
+    * only k each — so phase 2's per-key sort sees at most k·saltBuckets
+    * rows per key instead of the key's full row count. Use when a key can
+    * hold a disproportionate share of the input (the 100 TB power-law
+    * case); plain [[topKPerKey]] is one shuffle cheaper when keys are
+    * balanced.
+    *
+    * @param saltOn plain columns whose hash spreads a key's rows across
+    *   buckets (e.g. the row id / timestamp) — deterministic, no `rand()`,
+    *   so reruns produce identical results. */
+  def topKPerKeySalted(df: DataFrame, k: Int, keys: Seq[String],
+      order: Seq[Column], saltOn: Seq[Column], saltBuckets: Int = 32): DataFrame = {
+    val salt = pmod(xxhash64(saltOn: _*), lit(saltBuckets))
+    val local = topKPerKey(df.withColumn("__salt", salt), k,
+      keys :+ "__salt", order).drop("__salt")
+    topKPerKey(local, k, keys, order)
+  }
+
   // --------------------------------------------------------------------
   // Text shingles (shared by MinHash / Jaccard)
   // --------------------------------------------------------------------

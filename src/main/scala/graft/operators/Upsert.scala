@@ -107,4 +107,47 @@ object Upsert {
     fs.rename(tmp, new Path(targetPath))
     if (fs.exists(old)) fs.delete(old, true)
   }
+
+  /** MERGE into a bucketed managed table — the co-located-join variant of
+    * [[mergeIntoParquet]] for the 100 TB case.
+    *
+    * The target is stored `bucketBy(numBuckets, keys)` on the merge key,
+    * so the merge's full-outer join reads the target pre-partitioned:
+    * ONLY the (small) incremental batch shuffles; the big target side has
+    * no Exchange in the plan. The rewrite preserves the bucketing, so
+    * every subsequent run gets the same co-location. (An overwrite still
+    * rewrites all buckets — that is inherent to plain Spark tables; the
+    * bucketing removes the per-run shuffle of the target, which at 1000
+    * executors is the dominating movement.)
+    */
+  def mergeIntoBucketedTable(
+      spark: SparkSession,
+      table: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      numBuckets: Int = 64,
+      insertOnlyCols: Set[String] = Set.empty,
+      refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit = {
+    def writeBucketed(df: DataFrame, mode: String, to: String): Unit =
+      df.write.mode(mode)
+        .bucketBy(numBuckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .option("compression", "snappy")
+        .format("parquet")
+        .saveAsTable(to)
+
+    if (!spark.catalog.tableExists(table)) {
+      writeBucketed(updates, "error", table)
+      return
+    }
+    val merged = merge(spark.table(table), updates, keys,
+      insertOnlyCols, refreshExprs)
+    // Overwriting a table while reading it is illegal; stage the merge
+    // result in a swap table, then swap names (metadata-only).
+    val swap = table + "_swap"
+    spark.sql(s"DROP TABLE IF EXISTS $swap")
+    writeBucketed(merged, "error", swap)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $swap RENAME TO $table")
+  }
 }
