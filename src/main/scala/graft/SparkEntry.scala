@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Dedup, Extract, Multimodal, Sessionize, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Extract, Ivf, Multimodal, Sessionize, Similarity, TextAnalysis, Upsert}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -257,6 +257,15 @@ object SparkEntry {
     "cosine_neardup" -> ((s, dir) =>
       Dedup.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)),
 
+    // ANN via IVF coarse quantizer. Probing all cells makes the result
+    // exactly brute force — that is what the oracle checks; the
+    // nprobe < nlist recall path is property-tested in IvfSpec.
+    "ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = Ivf.trainCentroids(emb, "embedding", nlist = 8, iters = 1)
+      Ivf.ivfTopK(emb.where(col("vec_id") < 20), emb, k = 5, centroids, nprobe = 8)
+    }),
+
     // ANN via SRP-LSH buckets (recall<1 by construction — rows-only check).
     "ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -486,6 +495,21 @@ object SparkEntry {
         |SELECT a_id, b_id,
         |  CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) AS jaccard
         |FROM p WHERE 10 * inter >= 1 * (a_n + b_n - inter)""".stripMargin,
+
+    // ann_ivf probes every cell, so its result is exactly brute force —
+    // same oracle as cosine_topk.
+    "ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT)
+        |    AS rank,
+        |  neighbor_id, cos
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
 
     "cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

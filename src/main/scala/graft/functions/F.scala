@@ -60,6 +60,11 @@ object F {
   def srpBucket(vec: Column, planes: Int, seed: Long, dim: Int): Column =
     Glue.column(SrpBucket(Glue.expression(vec), planes, seed, dim))
 
+  /** Ids of the `nprobe` nearest (cosine) centroids for a vector column
+    * (see [[NearestCentroids]]). */
+  def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    Glue.column(NearestCentroids(Glue.expression(vec), centroids, nprobe))
+
   /** Empty string → null (used to reproduce the reference's
     * "suffix only when color is non-empty" semantics, `:198-199`). */
   def emptyToNull(c: Column): Column = when(c === lit(""), lit(null)).otherwise(c)

@@ -83,6 +83,60 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `nearest_centroids(v)` — ids of the `nprobe` centroids most cosine-
+  * similar to the vector, in descending similarity order. The centroid
+  * table (an IVF coarse quantizer, k×dim doubles) rides inside the
+  * expression — driver-side metadata broadcast with the plan, exactly like
+  * a broadcast dim table. O(k·dim) fused multiply-adds per row. */
+case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
+    nprobe: Int) extends UnaryExpression with VectorElemTypes {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+  private lazy val cf = elemIsFloat(child.dataType)
+
+  @transient private lazy val flat: Array[Array[Double]] = {
+    // pre-normalized: cosine argmax over centroids == dot argmax
+    centroids.map { c =>
+      val a = c.toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0.0) a else a.map(_ / n)
+    }.toArray
+  }
+
+  def compute(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val k = flat.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cen = flat(c)
+      val n = math.min(arr.numElements(), cen.length)
+      var s = 0.0; var i = 0
+      while (i < n) {
+        s += (if (cf) arr.getFloat(i).toDouble else arr.getDouble(i)) * cen(i)
+        i += 1
+      }
+      scores(c) = s
+      c += 1
+    }
+    val order = scores.indices.sortBy(i => (-scores(i), i)).take(nprobe)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      order.map(Int.box).toArray[Any])
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroids", this,
+      classOf[NearestCentroids].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroids =
+    copy(child = c)
+}
+
 /** `srp_bucket(v)` — sign-random-projection LSH bucket id: bit p of the
   * result is the sign of `v · hyperplane_p` for `planes` Gaussian random
   * hyperplanes drawn from `seed`. Vectors shorter than `dim` contribute

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path next to SRP-LSH (SURVEY.md §2.12): corpus vectors are
+  * assigned to their nearest centroid once; a query scores only the
+  * vectors in its `nprobe` nearest cells, so the scanned fraction is
+  * ~`nprobe / nlist` of the corpus.
+  *
+  * Training is deterministic, declarative Lloyd's over DataFrames: init
+  * cells by `id % nlist`, then `iters` rounds of assign (native
+  * [[graft.functions.NearestCentroids]]) + per-dimension mean (posexplode
+  * → groupBy(cell, dim) → re-assemble). At 100 TB you train on a sample —
+  * pass a sampled `corpus` — and the centroid table (nlist × dim doubles)
+  * stays driver-side metadata, exactly like a broadcast dimension table.
+  */
+object Ivf {
+
+  /** Train `nlist` cosine centroids. Returns the centroid table indexed by
+    * cell id; a cell that loses all members keeps its previous centroid. */
+  def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
+      iters: Int = 2, idCol: String = "vec_id"): Seq[Seq[Double]] = {
+    val spread = Par.spread(corpus)
+    def means(assigned: DataFrame): Map[Int, Seq[Double]] =
+      assigned
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+        .groupBy("__cell", "__dim").agg(avg(col("__x").cast("double")).as("__m"))
+        .groupBy("__cell")
+        .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__m")))),
+          s => s.getField("__m")).as("__centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq)
+        .toMap
+
+    def toTable(m: Map[Int, Seq[Double]], prev: Int => Seq[Double]): Seq[Seq[Double]] =
+      (0 until nlist).map(c => m.getOrElse(c, prev(c)))
+
+    val init = means(
+      spread.withColumn("__cell", pmod(col(idCol), lit(nlist)).cast("int")))
+    val dim = init.values.headOption.map(_.size).getOrElse(0)
+    var centroids = toTable(init, _ => Seq.fill(dim)(0.0))
+    var it = 0
+    while (it < iters) {
+      val next = means(spread.withColumn("__cell",
+        element_at(F.nearestCentroids(col(vecCol), centroids, 1), 1)))
+      centroids = toTable(next, centroids)
+      it += 1
+    }
+    centroids
+  }
+
+  /** ANN top-k via IVF: output (query_id, rank, neighbor_id, cos) like
+    * [[Similarity.bruteForceTopK]]; recall < 1 unless `nprobe == nlist`
+    * (then the result is exactly brute force). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = Par.spread(corpus).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_v"),
+      element_at(F.nearestCentroids(col(vecCol), centroids, 1), 1).as("__cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"),
+      explode(F.nearestCentroids(col(vecCol), centroids, nprobe)).as("__cell"))
+    val scored = c.join(broadcast(q), "__cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", F.cosineSim(col("q_v"), col("c_v")))
+      .select("query_id", "neighbor_id", "cos")
+    Similarity.perQueryTopK(scored, k)
+  }
+}

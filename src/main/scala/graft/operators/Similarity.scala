@@ -22,7 +22,7 @@ object Similarity {
 
   /** groupBy(query_id) top-k over (neighbor_id, score) with bounded
     * partial aggregation; emits (query_id, rank, neighbor_id, cos). */
-  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKByScore(k), Encoders.product[ScoredId])
     scored.groupBy("query_id")
       .agg(topk(col("neighbor_id"), col("cos")).as("nbrs"))

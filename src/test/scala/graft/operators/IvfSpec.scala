@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class IvfSpec extends SparkSpecBase {
+
+  private val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("ivfTopK with nprobe == nlist is exactly brute force") {
+    val centroids = Ivf.trainCentroids(emb, "embedding", nlist = 4, iters = 1)
+    val queries = emb.where(col("vec_id") < 5)
+    val ivf = Ivf.ivfTopK(queries, emb, k = 3, centroids, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf == brute)
+  }
+
+  test("ivfTopK with nprobe < nlist returns a bounded candidate subset") {
+    val centroids = Ivf.trainCentroids(emb, "embedding", nlist = 8, iters = 2)
+    val queries = emb.where(col("vec_id") < 5)
+    val out = Ivf.ivfTopK(queries, emb, k = 3, centroids, nprobe = 2)
+    // every query still gets answers, ranked correctly
+    val byQuery = out.groupBy("query_id").agg(count(lit(1)).as("n"),
+      max("rank").as("maxr")).collect()
+    assert(byQuery.length == 5)
+    byQuery.foreach { r =>
+      assert(r.getLong(1) <= 3 && r.getLong(1) == r.getLong(2))
+    }
+    // a probed-cell neighbor's cosine ordering is preserved
+    val ranks = out.where(col("query_id") === 0)
+      .orderBy("rank").select("cos").collect().map(_.getDouble(0))
+    assert(ranks.sameElements(ranks.sorted(Ordering[Double].reverse)))
+  }
+
+  test("trainer is deterministic") {
+    val a = Ivf.trainCentroids(emb, "embedding", nlist = 4, iters = 2)
+    val b = Ivf.trainCentroids(emb, "embedding", nlist = 4, iters = 2)
+    assert(a == b)
+  }
+}
