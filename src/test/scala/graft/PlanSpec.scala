@@ -83,6 +83,12 @@ class PlanSpec extends SparkSpecBase {
       "no map-side partial aggregate below the exchange")
   }
 
+  test("sessionize: one shuffle total — aggregate reuses window partitioning") {
+    val exchanges = collectAll(plan("sessionize")).collect { case e: Exchange => e }
+    assert(exchanges.size == 1,
+      s"expected the lag-window exchange only, got ${exchanges.size}")
+  }
+
   private def wscgCount(df: DataFrame): Int =
     collectAll(df.queryExecution.executedPlan)
       .count(_.nodeName.contains("WholeStageCodegen"))
