@@ -65,6 +65,12 @@ object F {
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
     Glue.column(NearestCentroids(Glue.expression(vec), centroids, nprobe))
 
+  /** Polynomial rolling-hash fingerprint of an array<string> word column
+    * (see [[PolyFingerprint]]). */
+  def polyFingerprint(words: Column, wordMul: Long = 31L, docMul: Long = 131L,
+      mod: Long = 1000000007L): Column =
+    Glue.column(PolyFingerprint(Glue.expression(words), wordMul, docMul, mod))
+
   /** Empty string → null (used to reproduce the reference's
     * "suffix only when color is non-empty" semantics, `:198-199`). */
   def emptyToNull(c: Column): Column = when(c === lit(""), lit(null)).otherwise(c)

@@ -209,6 +209,49 @@ case class MinHashBands(child: Expression, bands: Int)
     copy(child = c)
 }
 
+/** `poly_fingerprint(words)` — word-order-sensitive polynomial rolling
+  * hash: `wordVal = fold(codepoints: acc·wordMul + cp) mod m`, then
+  * `doc = fold(words: acc·docMul + wordVal) mod m`. Pure integer
+  * arithmetic, bit-identical to the SQL formulation
+  * (`ascii()` = leading codepoint; iteration is per character), but one
+  * tight loop per row instead of an interpreted aggregate-in-aggregate
+  * (which re-evaluated `substring`+`ascii` per character per row). */
+case class PolyFingerprint(child: Expression, wordMul: Long, docMul: Long,
+    mod: Long) extends UnaryExpression with StringArrayInput {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_fingerprint"
+
+  def compute(arr: ArrayData): Long = {
+    var doc = 0L
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var w = 0L
+      var j = 0
+      while (j < s.length) {
+        val cp = s.codePointAt(j)
+        w = java.lang.Math.floorMod(w * wordMul + cp, mod)
+        j += Character.charCount(cp)
+      }
+      doc = java.lang.Math.floorMod(doc * docMul + w, mod)
+      i += 1
+    }
+    doc
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("polyFingerprint", this, classOf[PolyFingerprint].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PolyFingerprint =
+    copy(child = c)
+}
+
 /** `simhash64(words)` — 64-bit SimHash: per bit j, sum +1/−1 weighted by
   * bit j of each word's xxhash64; the sign of the sum becomes signature
   * bit j. Empty input ⇒ 0 (all sums non-positive, matching the HOF

@@ -24,7 +24,15 @@ object Ivf {
     * cell id; a cell that loses all members keeps its previous centroid. */
   def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
       iters: Int = 2, idCol: String = "vec_id"): Seq[Seq[Double]] = {
-    val spread = Par.spread(corpus)
+    // iterative training re-reads the corpus once per round: cache the
+    // (sampled) training set for the duration of the loop
+    val spread = Par.spread(corpus).persist()
+    try trainOn(spread, vecCol, nlist, iters, idCol)
+    finally spread.unpersist()
+  }
+
+  private def trainOn(spread: DataFrame, vecCol: String, nlist: Int,
+      iters: Int, idCol: String): Seq[Seq[Double]] = {
     def means(assigned: DataFrame): Map[Int, Seq[Double]] =
       assigned
         .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__dim", "__x")))

@@ -85,17 +85,11 @@ object TextAnalysis {
   /** Polynomial rolling-hash document fingerprint, word-order sensitive:
     * wordVal = fold(chars: acc*31 + codepoint) mod M;
     * doc = fold(words: acc*131 + wordVal) mod M.
-    * Pure integer arithmetic via higher-order functions — exact, portable,
-    * and cheap (one projection). */
+    * Pure integer arithmetic in one native codegen'd expression
+    * ([[graft.functions.PolyFingerprint]]) — exact, portable, one
+    * projection. */
   val FingerprintMod = 1000000007L
 
-  def fingerprint(textCol: Column): Column = {
-    val m = lit(FingerprintMod)
-    val wordVal = (w: Column) => aggregate(
-      sequence(lit(1), length(w)),
-      lit(0L),
-      (acc, i) => pmod(acc * 31 + ascii(substring(w, i, lit(1))).cast("long"), m))
-    aggregate(words(textCol), lit(0L),
-      (acc, w) => pmod(acc * 131 + wordVal(w), m))
-  }
+  def fingerprint(textCol: Column): Column =
+    graft.functions.F.polyFingerprint(words(textCol))
 }
