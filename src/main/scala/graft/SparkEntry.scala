@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Dedup, Extract, Ivf, Multimodal, Sessionize, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Extract, Ivf, Joins, Multimodal, Sessionize, Similarity, TextAnalysis, Upsert}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -305,6 +305,22 @@ object SparkEntry {
           Multimodal.attachFakeMedia(Tables.documents(s, dir), "doc_id", "text"))
         .select("media_id", "n_bytes", "first_byte", "width", "height")),
 
+    // AS-OF join (merge formulation — one shuffle, no theta-join blow-up):
+    // each click picks up the latest view at-or-before it per user.
+    "asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = Dedup.latestPerKey(
+          ev.where(col("event_type") === "view"),
+          Seq("user_id", "ts"), Seq(col("event_id").desc))
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+          col("value"))
+      Joins.asofJoin(clicks, views, Seq("user_id"), "ts", Seq("view_id", "value"))
+        .select(col("event_id"), col("user_id"), ts6(col("ts")).as("ts_str"),
+          col("asof_view_id"), col("asof_value"))
+    }),
+
     // Gap-based sessionization (custom-state operator family): batch
     // gaps-and-islands plan; the streaming twin (flatMapGroupsWithState)
     // is equivalence-tested in SessionizeSpec.
@@ -593,6 +609,19 @@ object SparkEntry {
         |  CAST(strlen(text) % 640 AS INTEGER) AS width,
         |  CAST((strlen(text) * 31 + ascii(text[1:1])) % 480 AS INTEGER) AS height
         |FROM documents""".stripMargin,
+
+    "asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, event_id AS view_id, value FROM events
+        |  WHERE event_type = 'view'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |SELECT l.event_id, l.user_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |  r.view_id AS asof_view_id, r.value AS asof_value
+        |FROM clicks l ASOF LEFT JOIN views r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
 
     "sessionize" ->
       """WITH g AS (
