@@ -58,6 +58,39 @@ class BucketedMergeSpec extends SparkSpecBase {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("hash-bucketed merge rewrites only the touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("hb-merge").toString + "/t"
+    val base = (1L to 40L).map(i => (i, s"r$i", i * 10)).toDF("id", "ref", "v")
+    Upsert.mergeIntoHashBucketedParquet(spark, dir, base, Seq("id"), nBuckets = 4)
+
+    def bucketFiles(b: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/__bucket=$b")
+      if (!d.exists) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    // bucket of id=1 under the same hash the operator uses
+    val touchedBucket = spark.range(1).select(
+      pmod(xxhash64(lit(1L)), lit(4)).cast("int")).collect().head.getInt(0)
+    val untouchedBucket = (0 until 4).find { b =>
+      b != touchedBucket && bucketFiles(b).nonEmpty
+    }.get
+    val before = bucketFiles(untouchedBucket)
+
+    val updates = Seq((1L, "R1", 999L), (100L, "r100", 1000L))
+      .toDF("id", "ref", "v")
+      // keep the second update in the same bucket as id=1 so exactly one
+      // partition is touched
+      .where(pmod(xxhash64(col("id")), lit(4)).cast("int") === touchedBucket)
+    Upsert.mergeIntoHashBucketedParquet(spark, dir, updates, Seq("id"), nBuckets = 4)
+
+    val after = spark.read.parquet(dir)
+    assert(after.where(col("id") === 1).select("v").as[Long].head() == 999L)
+    assert(after.where(col("id") === 2).select("v").as[Long].head() == 20L)
+    assert(bucketFiles(untouchedBucket) == before,
+      "untouched partition was rewritten")
+  }
+
   test("salted top-k equals plain top-k, including on a hot key") {
     val hot = (1 to 500).map(i => (1L, i.toLong))
     val cold = Seq((2L, 7L), (2L, 3L), (3L, 9L))
