@@ -41,7 +41,11 @@ object Pipeline {
       sourcesConfigPath: Option[String] = None,
       fallbackDate: Timestamp = Timestamp.valueOf("2024-01-01 00:00:00"),
       mainRefcoMaxLength: Int = graft.schema.Schemas.MainRefcoMaxLength,
-      cleanupStaging: Boolean = true)
+      cleanupStaging: Boolean = true,
+      /** > 0 ⇒ hash-bucket-partitioned target with partition-pruned
+        * incremental merges (only touched buckets read + rewritten — the
+        * 100 TB layout); 0 ⇒ atomic swap-rewrite of the whole target. */
+      mergeBuckets: Int = 0)
 
   case class RunStats(
       recordsProcessed: Long,
@@ -109,10 +113,16 @@ object Pipeline {
     val observed = withDim.observe(unique, count(lit(1)).as("n"))
 
     // J3: idempotent merge (cleaned_ref inserted but never updated)
-    Upsert.mergeIntoParquet(spark, conf.targetPath, observed,
-      keys = Seq("main_refco"),
-      insertOnlyCols = Set("cleaned_ref"),
-      refreshExprs = Map("embedding_inserted_at" -> current_timestamp()))
+    if (conf.mergeBuckets > 0)
+      Upsert.mergeIntoHashBucketedParquet(spark, conf.targetPath, observed,
+        keys = Seq("main_refco"), nBuckets = conf.mergeBuckets,
+        insertOnlyCols = Set("cleaned_ref"),
+        refreshExprs = Map("embedding_inserted_at" -> current_timestamp()))
+    else
+      Upsert.mergeIntoParquet(spark, conf.targetPath, observed,
+        keys = Seq("main_refco"),
+        insertOnlyCols = Set("cleaned_ref"),
+        refreshExprs = Map("embedding_inserted_at" -> current_timestamp()))
     val uniqueRecords = unique.get("n").asInstanceOf[Long]
 
     // A2/A4: advance watermarks from the staged batch — only after merge

@@ -63,4 +63,29 @@ class PipelineSpec extends SparkSpecBase {
     assert(WatermarkStore.read(spark, conf.statePath)("s1") ==
       Timestamp.valueOf("2024-02-05 10:00:00"))
   }
+
+  test("pipeline with hash-bucketed incremental merge target") {
+    val dir = Files.createTempDirectory("graft-pipe-hb").toString
+    val conf = Pipeline.Config(
+      sourcePath = s"$dir/source",
+      targetPath = s"$dir/target",
+      statePath = s"$dir/state.json",
+      stagingPath = s"$dir/staging",
+      mergeBuckets = 8)
+
+    Seq(
+      doc("s1", "2024-02-01 10:00:00", "r1", ""),
+      doc("s2", "2024-02-03 10:00:00", "r2", "red"))
+      .toDF(cols: _*).write.mode(SaveMode.Overwrite).parquet(conf.sourcePath)
+    assert(Pipeline.run(spark, conf).uniqueRecords == 2L)
+
+    Seq(doc("s1", "2024-02-05 10:00:00", "r1", "")) // update same key
+      .toDF(cols: _*).write.mode(SaveMode.Append).parquet(conf.sourcePath)
+    Pipeline.run(spark, conf)
+
+    val t = spark.read.parquet(conf.targetPath)
+    assert(t.count() == 2L)
+    assert(t.where($"main_refco" === "r1")
+      .select("original_timestamp").as[String].head() == "2024-02-05T10:00:00")
+  }
 }
