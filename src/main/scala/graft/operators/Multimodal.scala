@@ -90,4 +90,67 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, featureSchema)
   }
+
+  /** STUB resize codec body: deterministic fake decode→scale→re-encode.
+    * The real body is `decode(payload).resize(w, h).encode()`; the stub
+    * folds the payload down to `targetW * targetH / 64` bytes by XOR so
+    * output size tracks the target dims and content still depends on every
+    * input byte. */
+  def stubResize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    if (payload == null) return null
+    val n = math.max(1, targetW * targetH / 64)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < payload.length) { out(i % n) = (out(i % n) ^ payload(i)).toByte; i += 1 }
+    out
+  }
+
+  /** Resize: payload → payload at target dims, keeping the media schema —
+    * per-partition batched iteration (a real impl holds ONE codec instance
+    * per partition, not per row; the stub mirrors that shape). */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload", "media_type").rdd
+      .mapPartitions { it =>
+        // per-partition "codec" init goes here in a real deployment
+        it.map { r =>
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          Row(r.getLong(0), stubResize(payload, targetW, targetH),
+            r.getString(2))
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Frame-sample output schema: one row per sampled frame. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType)))
+
+  /** STUB frame extraction: slices the payload into `n` contiguous chunks
+    * (a real body seeks the container's keyframes). */
+  def stubFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    if (payload == null || payload.isEmpty) return Seq.empty
+    val step = math.max(1, payload.length / n)
+    (0 until math.min(n, payload.length)).map { i =>
+      payload.slice(i * step, math.min(payload.length, i * step + step))
+    }
+  }
+
+  /** Frame sampling: one media row → up to `n` frame rows. Flat-mapped
+    * per partition (batched, codec-per-partition shape); the fan-out is
+    * bounded by `n`, so a 100 TB video table expands predictably. */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        stubFrames(payload, n).zipWithIndex.map { case (f, i) =>
+          Row(r.getLong(0), i, f)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
 }
