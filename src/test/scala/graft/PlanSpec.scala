@@ -83,6 +83,14 @@ class PlanSpec extends SparkSpecBase {
       "no map-side partial aggregate below the exchange")
   }
 
+  test("asof_join: window merge formulation — no join node in the plan") {
+    val nodes = collectAll(plan("asof_join"))
+    assert(nodes.exists(_.nodeName.contains("Window")))
+    assert(!nodes.exists(n => n.nodeName.contains("SortMergeJoin") ||
+      n.nodeName.contains("BroadcastNestedLoop")),
+      s"as-of should be a union+window, not a join: ${nodes.map(_.nodeName).distinct}")
+  }
+
   test("sessionize: one shuffle total — aggregate reuses window partitioning") {
     val exchanges = collectAll(plan("sessionize")).collect { case e: Exchange => e }
     assert(exchanges.size == 1,
