@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Dedup, Extract, Ivf, Joins, Multimodal, Sessionize, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Embeddings, Extract, Ivf, Joins, Multimodal, Sessionize, Similarity, TextAnalysis, Upsert}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -226,6 +226,23 @@ object SparkEntry {
         when(col("doc_id") % 5 =!= 0, concat(lit("u_"), col("lang"))).as("category"),
         (col("n_chars") + 1).as("val"))
       Upsert.merge(target, updates, Seq("doc_id"), insertOnlyCols = Set("cleaned_ref"))
+    }),
+
+    // Per-key corpus cap (training-data curation): at most 10 docs per
+    // source, picked by a deterministic engine-portable hash.
+    "cap_per_key" -> ((s, dir) =>
+      Dedup.capPerKey(Tables.documents(s, dir), 10, Seq("source"), "doc_id")
+        .select("doc_id", "source")),
+
+    // Int8 embedding quantization with per-vector scale; codes emitted as
+    // an order-sensitive integer checksum (exact in both engines).
+    "quantize_embeddings" -> ((s, dir) => {
+      val q = Embeddings.quantizeInt8(Tables.embeddings(s, dir), "embedding")
+      q.select(col("vec_id"), col("q8_scale"),
+        aggregate(
+          zip_with(col("q8"), sequence(lit(1), size(col("q8"))),
+            (qv, i) => qv.cast("long") * i),
+          lit(0L), (a, b) => a + b).as("q_checksum"))
     }),
 
     // Exact dedup with deterministic tie-break.
@@ -492,6 +509,25 @@ object SparkEntry {
         |  CASE WHEN u.doc_id IS NOT NULL THEN u.category ELSE t.category END AS category,
         |  CASE WHEN u.doc_id IS NOT NULL THEN u.val ELSE t.val END AS val
         |FROM t FULL OUTER JOIN u ON t.doc_id = u.doc_id""".stripMargin,
+
+    "cap_per_key" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 10""".stripMargin,
+
+    "quantize_embeddings" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS q8_scale
+        |      FROM e),
+        |q AS (SELECT vec_id, q8_scale,
+        |        CASE WHEN q8_scale > 0
+        |             THEN list_transform(v, x -> CAST(round(x / q8_scale * 127) AS BIGINT))
+        |             ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+        |      FROM s)
+        |SELECT vec_id, q8_scale,
+        |  CAST(list_sum([qv[i] * i for i in range(1, len(qv) + 1)]) AS BIGINT) AS q_checksum
+        |FROM q""".stripMargin,
 
     "exact_dedup" ->
       """SELECT doc_id, source, lang, n_chars FROM documents

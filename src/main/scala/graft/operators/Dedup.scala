@@ -36,6 +36,17 @@ object Dedup {
   def exact(df: DataFrame, keys: Seq[String], tieBreak: Column): DataFrame =
     topKPerKey(df, 1, keys, Seq(tieBreak.asc))
 
+  /** Per-key document cap with a deterministic pseudo-random pick — the
+    * training-data curation op that bounds any one domain/source's share
+    * of the corpus. Rows are ranked by a Knuth multiplicative hash of
+    * `idCol` (exact integer arithmetic, reproducible in any engine — no
+    * `rand()`, no engine-specific hash), so the kept sample is stable
+    * across runs and engines. One shuffle on the key. */
+  def capPerKey(df: DataFrame, k: Int, keys: Seq[String], idCol: String): DataFrame =
+    topKPerKey(df, k, keys,
+      Seq(pmod(col(idCol) * lit(2654435761L), lit(4294967296L)).asc,
+        col(idCol).asc))
+
   /** Skew-safe two-phase top-k: identical result to [[topKPerKey]], but a
     * hot key never lands on one reducer. Phase 1 shuffles on
     * (keys, salt) — `saltBuckets` reducers share each key's rows and keep
