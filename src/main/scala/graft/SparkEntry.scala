@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Dedup, Embeddings, Extract, Ivf, Joins, Multimodal, Sessionize, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Sessionize, Similarity, TextAnalysis, Upsert}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -226,6 +226,21 @@ object SparkEntry {
         when(col("doc_id") % 5 =!= 0, concat(lit("u_"), col("lang"))).as("category"),
         (col("n_chars") + 1).as("val"))
       Upsert.merge(target, updates, Seq("doc_id"), insertOnlyCols = Set("cleaned_ref"))
+    }),
+
+    // Near-dup pairs → duplicate groups: weakly-connected components by
+    // min-label propagation over a deterministic edge set.
+    // Edge shape mirrors real near-dup output: small dense clusters
+    // (5-blocks chained to their block leader) — min-label converges in
+    // ~2 rounds. Long-chain graphs are the documented large-star/small-star
+    // upgrade path, not the dedup regime.
+    "connected_components" -> ((s, dir) => {
+      val edges = Tables.documents(s, dir)
+        .select(col("doc_id").as("a"),
+          (col("doc_id") - pmod(col("doc_id"), lit(5))).as("b"))
+        .where(col("a") =!= col("b"))
+      Graph.connectedComponents(edges, "a", "b")
+        .select(col("id"), col("label").as("component"))
     }),
 
     // Per-key corpus cap (training-data curation): at most 10 docs per
@@ -509,6 +524,17 @@ object SparkEntry {
         |  CASE WHEN u.doc_id IS NOT NULL THEN u.category ELSE t.category END AS category,
         |  CASE WHEN u.doc_id IS NOT NULL THEN u.val ELSE t.val END AS val
         |FROM t FULL OUTER JOIN u ON t.doc_id = u.doc_id""".stripMargin,
+
+    "connected_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS a, doc_id - (doc_id % 5) AS b FROM documents
+        |  WHERE doc_id <> doc_id - (doc_id % 5)),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(id, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+        |SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id""".stripMargin,
 
     "cap_per_key" ->
       """SELECT doc_id, source FROM documents
