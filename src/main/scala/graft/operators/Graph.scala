@@ -34,8 +34,11 @@ object Graph {
     while (changed > 0 && i < maxIters) {
       val prop = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("label"))
+      // localCheckpoint truncates the lineage: each round references the
+      // previous frame twice, so without it the logical plan doubles per
+      // round and plan processing blows up exponentially.
       val next = labels.unionByName(prop)
-        .groupBy("id").agg(min("label").as("label")).persist()
+        .groupBy("id").agg(min("label").as("label")).localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "__old"), "id")
         .where(col("label") =!= col("__old")).count()
       labels.unpersist()
@@ -44,6 +47,65 @@ object Graph {
     }
     sym.unpersist()
     labels
+  }
+
+  /** Weakly-connected components via alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — O(log n) rounds on ANY graph shape, including the
+    * long chains where min-label propagation needs O(diameter) rounds.
+    * Same output contract as [[connectedComponents]].
+    *
+    * Each round is two join+aggregate passes over the current edge list;
+    * the edge list contracts monotonically toward stars around each
+    * component's minimum.
+    */
+  def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 30): DataFrame = {
+    // large-star over the symmetric view: every neighbor v > u hooks to
+    // m = min(Γ(u) ∪ {u}); output directed (larger → smaller) edges.
+    def largeStar(cur: DataFrame): DataFrame = {
+      val symm = cur.unionByName(
+        cur.select(col("v").as("u"), col("u").as("v")))
+      val m = symm.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      symm.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    // small-star over directed (u > v) edges: u and all its smaller
+    // neighbors hook to the smallest of them.
+    def smallStar(cur: DataFrame): DataFrame = {
+      val m = cur.groupBy("u").agg(min(col("v")).as("m")) // all v < u
+      cur.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    }
+
+    val nodes = edges.select(col(aCol).as("id"))
+      .unionByName(edges.select(col(bCol).as("id"))).distinct().persist()
+    var cur = edges
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var i = 0
+    var done = false
+    while (!done && i < maxIters) {
+      // localCheckpoint: each round references cur 4x (two symmetric
+      // views in each star) — without lineage truncation the logical plan
+      // grows 4^rounds and plan processing OOMs.
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      done = next.count() == cur.count() && next.exceptAll(cur).isEmpty
+      cur.unpersist()
+      cur = next
+      i += 1
+    }
+    // converged: every non-root points at its component minimum.
+    // (nodes/cur stay persisted — the returned frame is lazy and built on
+    // them; unpersisting here would force the whole iterative lineage to
+    // recompute on first use.)
+    nodes.join(cur, nodes("id") === cur("u"), "left")
+      .groupBy("id").agg(least(min(col("v")), first(col("id"))).as("label"))
   }
 
   /** Collapse near-dup pairs into keep/drop decisions: every node incident
