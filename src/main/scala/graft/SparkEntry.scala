@@ -337,6 +337,39 @@ object SparkEntry {
           Multimodal.attachFakeMedia(Tables.documents(s, dir), "doc_id", "text"))
         .select("media_id", "n_bytes", "first_byte", "width", "height")),
 
+    // Window-function surface: lag/lead/row_number/ntile over a totally
+    // ordered per-user frame.
+    "window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).select(
+        col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        row_number().over(w).cast("long").as("rn"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
+    // ROLLUP aggregate with grouping indicators, decimal-exact sums.
+    "rollup_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))),
+
+    // Pivot: per-user event-type value sums as columns (decimal-exact).
+    "pivot_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("value", col("value").cast("decimal(18,6)"))
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(sum(col("value")))
+        .select(col("user_id"),
+          col("click").cast("double").as("click"),
+          col("view").cast("double").as("view"),
+          col("purchase").cast("double").as("purchase"))),
+
     // AS-OF join (merge formulation — one shuffle, no theta-join blow-up):
     // each click picks up the latest view at-or-before it per user.
     "asof_join" -> ((s, dir) => {
@@ -671,6 +704,29 @@ object SparkEntry {
         |  CAST(strlen(text) % 640 AS INTEGER) AS width,
         |  CAST((strlen(text) * 31 + ascii(text[1:1])) % 480 AS INTEGER) AS height
         |FROM documents""".stripMargin,
+
+    "window_funcs" ->
+      """SELECT user_id, event_id,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  row_number() OVER w AS rn,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "pivot_agg" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "asof_join" ->
       """WITH clicks AS (
