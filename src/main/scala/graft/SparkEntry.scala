@@ -337,6 +337,16 @@ object SparkEntry {
           Multimodal.attachFakeMedia(Tables.documents(s, dir), "doc_id", "text"))
         .select("media_id", "n_bytes", "first_byte", "width", "height")),
 
+    // Set operations at (user, day) grain: days a user clicked AND viewed
+    // but did not purchase.
+    "set_ops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def userDays(t: String) =
+        ev.where(col("event_type") === t)
+          .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      userDays("click").intersect(userDays("view")).except(userDays("purchase"))
+    }),
+
     // Window-function surface: lag/lead/row_number/ntile over a totally
     // ordered per-user frame.
     "window_funcs" -> ((s, dir) => {
@@ -704,6 +714,16 @@ object SparkEntry {
         |  CAST(strlen(text) % 640 AS INTEGER) AS width,
         |  CAST((strlen(text) * 31 + ascii(text[1:1])) % 480 AS INTEGER) AS height
         |FROM documents""".stripMargin,
+
+    "set_ops" ->
+      """SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+        |FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+        |FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     "window_funcs" ->
       """SELECT user_id, event_id,

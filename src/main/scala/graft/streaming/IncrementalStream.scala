@@ -39,6 +39,17 @@ object IncrementalStream {
       .start()
   }
 
+  /** Streaming exact dedup with BOUNDED state: re-deliveries of the same
+    * key arriving within the watermark window are dropped, and the
+    * engine evicts key state once the watermark passes — unlike plain
+    * `dropDuplicates`, whose state grows without bound on an infinite
+    * stream. This is the at-least-once-source → exactly-once-sink dedup
+    * for the incremental pipeline's redelivery case. */
+  def dedupWithinWatermark(df: DataFrame, keyCols: Seq[String],
+      tsCol: String, lateness: String): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Event-time windowed aggregation with a watermark — the idiomatic
     * replacement for the reference's batch watermark bookkeeping when the
     * source is a true stream. */

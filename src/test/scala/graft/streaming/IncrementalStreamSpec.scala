@@ -13,6 +13,7 @@ import graft.schema.Schemas
   * a growing source directory, checkpoint-tracked, each micro-batch merged
   * into the parquet target (SURVEY.md §2.9 design 2). */
 class IncrementalStreamSpec extends SparkSpecBase {
+  import spark.implicits._
 
   private def tmp(name: String): String =
     Files.createTempDirectory(name).toString
@@ -69,5 +70,51 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(after2("a")._1 == "c9") // updated on match
     assert(after2("a")._2 == "2024-01-03T10:00:00")
     assert(after2("b_red")._1 == "c3") // untouched row survives
+  }
+
+  test("streaming dedup within watermark drops cross-batch re-deliveries") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val src = tmp("dedup-src"); val ckpt = tmp("dedup-ckpt")
+    val outDir = tmp("dedup-out") + "/out"
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("ts", TimestampType)))
+
+    def write(part: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = tmp(s"dedup-stage-$part")
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (k, t) => Row(k, Timestamp.valueOf(t)) }, 1), schema)
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val f = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$src/$part.parquet"))
+    }
+
+    def runPass(): Unit = {
+      val in = spark.readStream.schema(schema).parquet(src)
+      IncrementalStream.dedupWithinWatermark(in, Seq("k"), "ts", "1 hour")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }.start().awaitTermination()
+    }
+
+    write("b0", Seq(
+      1L -> "2024-01-01 10:00:00",
+      1L -> "2024-01-01 10:00:05", // in-batch re-delivery
+      2L -> "2024-01-01 10:01:00"))
+    runPass()
+    write("b1", Seq(
+      1L -> "2024-01-01 10:10:00", // cross-batch re-delivery, in watermark
+      3L -> "2024-01-01 10:20:00"))
+    runPass()
+
+    val out = spark.read.parquet(outDir).select("k")
+      .as[Long].collect().sorted
+    assert(out.sameElements(Array(1L, 2L, 3L)), out.mkString(","))
   }
 }
