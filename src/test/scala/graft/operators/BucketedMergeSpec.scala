@@ -91,6 +91,20 @@ class BucketedMergeSpec extends SparkSpecBase {
       "untouched partition was rewritten")
   }
 
+  test("hash-bucketed layout: bucket filter prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("hb-prune").toString + "/t"
+    val base = (1L to 40L).map(i => (i, i * 10)).toDF("id", "v")
+    Upsert.mergeIntoHashBucketedParquet(spark, dir, base, Seq("id"), nBuckets = 4)
+    val scan = spark.read.parquet(dir).where(col("__bucket") === 1)
+    val s = scan.queryExecution.executedPlan.toString
+    assert(s.contains("PartitionFilters") && s.contains("__bucket"),
+      s"bucket predicate did not reach partition pruning:\n$s")
+    // only one directory's files are read
+    val files = scan.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("__bucket=1")), files.mkString("\n"))
+  }
+
   test("salted top-k equals plain top-k, including on a hot key") {
     val hot = (1 to 500).map(i => (1L, i.toLong))
     val cold = Seq((2L, 7L), (2L, 3L), (3L, 9L))
