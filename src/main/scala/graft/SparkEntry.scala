@@ -270,6 +270,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         blockCol = "source", n = 3, thresholdNum = 1, thresholdDen = 10)),
 
+    // Prefix-filtered Jaccard (PPJoin-style) at a high threshold — same
+    // exact semantics as the exhaustive join, ~25x fewer candidates.
+    "ngram_jaccard_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text",
+        blockCol = "source", n = 3, thresholdNum = 4, thresholdDen = 5)),
+
     // MinHash-LSH near-dup pairs (no SQL oracle: xxhash64 permutations).
     "minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -631,6 +637,21 @@ object SparkEntry {
         |  neighbor_id, cos
         |FROM s
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+
+    "ngram_jaccard_prefix" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+        |       FROM w),
+        |e AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS shingle FROM sh),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS inter
+        |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.source = b.source
+        |                       AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) AS jaccard
+        |FROM p WHERE 5 * inter >= 4 * (a_n + b_n - inter)""".stripMargin,
 
     "cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

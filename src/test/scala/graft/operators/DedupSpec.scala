@@ -44,6 +44,22 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("prefix-filtered Jaccard equals the exhaustive join") {
+    val near1 = "the quick brown fox jumps over the lazy dog today"
+    val near2 = "the quick brown fox jumps over the lazy cat today"
+    val other = "completely different words with nothing shared here at all"
+    val df = Seq((1L, near1, "b"), (2L, near2, "b"), (3L, other, "b"),
+      (4L, near1, "c")) // same text, different block -> no cross-block pair
+      .toDF("doc_id", "text", "src")
+    val exhaustive = Dedup.ngramJaccardPairs(df, "doc_id", "text", "src",
+      n = 3, thresholdNum = 1, thresholdDen = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val prefix = Dedup.ngramJaccardPairsPrefix(df, "doc_id", "text", "src",
+      n = 3, thresholdNum = 1, thresholdDen = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(prefix == exhaustive && prefix == Set((1L, 2L)))
+  }
+
   test("MinHash-LSH pairs ⊇ verified-exact pairs on planted near-dups") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = base.replace("w40", "zz") // jaccard ≈ 35/41 over 3-shingles
