@@ -325,6 +325,16 @@ object SparkEntry {
       TextAnalysis.qualityBucket(Tables.documents(s, dir), "text")
         .groupBy("quality").agg(count(lit(1)).as("n"))),
 
+    // Corpus vocabulary stats: top 20 terms by document frequency
+    // (stopword discovery / vocabulary pruning for tokenizer training).
+    "top_terms" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(20)),
+
     // Language-ID heuristic (marker-word argmax, deterministic ties).
     "lang_id" -> ((s, dir) =>
       TextAnalysis.withLangId(Tables.documents(s, dir), "text")
@@ -700,6 +710,13 @@ object SparkEntry {
          |            ELSE 'ok' END AS quality,
          |  COUNT(*) AS n
          |FROM s GROUP BY 1""".stripMargin,
+
+    "top_terms" ->
+      """SELECT term, COUNT(*) AS df FROM (
+        |  SELECT unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents)
+        |WHERE term <> ''
+        |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
 
     "lang_id" -> {
       val scores = TextAnalysis.LangMarkers
