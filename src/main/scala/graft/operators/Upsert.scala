@@ -148,7 +148,10 @@ object Upsert {
           .where(col("__bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
         merge(target, withBucket, keys, insertOnlyCols, refreshExprs)
       }
-      merged.write.mode("overwrite").option("compression", "snappy")
+      // key-sorted within each partition file: parquet min/max row-group
+      // statistics then prune key point-lookups inside a bucket too.
+      merged.sortWithinPartitions(keys.map(col): _*)
+        .write.mode("overwrite").option("compression", "snappy")
         .partitionBy("__bucket").parquet(targetPath)
     } finally {
       prior match {
