@@ -303,11 +303,12 @@ object Dedup {
       a.join(b, "__bucket").where(col("a_id") < col("b_id"))
         .select("a_id", "b_id", "a_v", "b_v")
     }
+    // score before the cross-table dedup — the dedup exchange then moves
+    // (a, b, cos) scalars instead of two vectors per candidate row.
     perTable.reduce(_ unionByName _)
-      .dropDuplicates("a_id", "b_id")
       .withColumn("cos", graft.functions.F.cosineSim(col("a_v"), col("b_v")))
       .where(col("cos") >= threshold)
-      .select("a_id", "b_id", "cos")
+      .groupBy("a_id", "b_id").agg(max(col("cos")).as("cos"))
   }
 
   /** Attach a sign-random-projection bucket id (used by LSH cosine ops) —

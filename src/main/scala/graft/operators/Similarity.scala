@@ -66,10 +66,12 @@ object Similarity {
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"), col("q_v"), col("c_v"))
     }
+    // score BEFORE the cross-table dedup: cosine is map-side and identical
+    // for a pair in every table, so max() dedups while the exchange moves
+    // (query, neighbor, cos) scalars — not two vectors per candidate row.
     val scored = perTable.reduce(_ unionByName _)
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", F.cosineSim(col("q_v"), col("c_v")))
-      .select("query_id", "neighbor_id", "cos")
+      .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     perQueryTopK(scored, k)
   }
 }
