@@ -325,6 +325,16 @@ object SparkEntry {
       TextAnalysis.qualityBucket(Tables.documents(s, dir), "text")
         .groupBy("quality").agg(count(lit(1)).as("n"))),
 
+    // PII redaction over text carrying synthetic emails/URLs (derived
+    // deterministically from doc_id so the oracle can rebuild them).
+    "redact_pii" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.redact(
+            concat(col("text"), lit(" user"), col("doc_id"),
+              lit("@example.com via http://site"), col("doc_id"),
+              lit(".org/x then done"))).as("clean"))),
+
     // Corpus vocabulary stats: top 20 terms by document frequency
     // (stopword discovery / vocabulary pruning for tokenizer training).
     "top_terms" -> ((s, dir) =>
@@ -710,6 +720,15 @@ object SparkEntry {
          |            ELSE 'ok' END AS quality,
          |  COUNT(*) AS n
          |FROM s GROUP BY 1""".stripMargin,
+
+    "redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' user' || doc_id || '@example.com via http://site' || doc_id || '.org/x then done',
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean
+        |FROM documents""".stripMargin,
 
     "top_terms" ->
       """SELECT term, COUNT(*) AS df FROM (

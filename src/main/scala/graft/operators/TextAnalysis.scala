@@ -82,6 +82,18 @@ object TextAnalysis {
     df.withColumn(out, best.getField("lang"))
   }
 
+  /** PII scrubbing for training corpora: emails and URLs replaced by
+    * placeholder tokens. Patterns stay within the common subset of Java
+    * regex and RE2 (no lookaround), so behavior is engine-portable;
+    * `regexp_replace` is codegen'd — one projection, no UDF. */
+  val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val UrlPattern = """https?://[^ ]+"""
+
+  def redact(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(textCol, UrlPattern, "<URL>"),
+      EmailPattern, "<EMAIL>")
+
   /** Polynomial rolling-hash document fingerprint, word-order sensitive:
     * wordVal = fold(chars: acc*31 + codepoint) mod M;
     * doc = fold(words: acc*131 + wordVal) mod M.
