@@ -141,7 +141,11 @@ object Upsert {
     val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      val merged = if (!exists) withBucket else {
+      // First write: the refresh columns (e.g. embedding_inserted_at) must
+      // be stamped here too — they exist on the target, not the updates.
+      val merged = if (!exists)
+        refreshExprs.foldLeft(withBucket) { case (df, (c, e)) => df.withColumn(c, e) }
+      else {
         val touched = withBucket.select("__bucket").distinct()
           .collect().map(_.getInt(0))
         val target = spark.read.parquet(targetPath)

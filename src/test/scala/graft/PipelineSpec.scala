@@ -87,5 +87,7 @@ class PipelineSpec extends SparkSpecBase {
     assert(t.count() == 2L)
     assert(t.where($"main_refco" === "r1")
       .select("original_timestamp").as[String].head() == "2024-02-05T10:00:00")
+    // refresh column present and stamped from the FIRST bucketed write on
+    assert(t.where($"embedding_inserted_at".isNull).count() == 0L)
   }
 }
