@@ -68,21 +68,30 @@ object Pipeline {
     // F2 + P10 + F3/F4 + P1..P8 — one declarative plan over the source.
     // Quarantine runs BEFORE the watermark filter: a null-timestamp row is
     // malformed (the reference's KeyError→skip path, `:227,233-235`), and
-    // the incremental predicate would silently drop it otherwise.
-    val (good, bad) = Extract.quarantine(
-      Extract.nonEmptyEmbeddings(Extract.coerceCountry(docs)))
+    // the incremental predicate would silently drop it otherwise. The
+    // bad-row count is observed BELOW the good-row filter, so it rides the
+    // staging pass — the reference logs-and-skips bad rows (`:233-235`),
+    // it does not persist them, and a separate bad.count() would re-scan
+    // the entire source.
+    val quarantineObs = Observation("quarantine")
+    val flagged = Extract.flagErrors(
+        Extract.nonEmptyEmbeddings(Extract.coerceCountry(docs)))
+      .observe(quarantineObs,
+        sum(when(size(col("__errors")) > 0, 1L).otherwise(0L)).as("n_bad"))
+    val good = flagged.where(size(col("__errors")) === 0).drop("__errors")
     val filtered = Extract.incrementalFilter(good, wmDf, conf.fallbackDate)
     // source + event timestamp ride along for partitioning + watermarks
     val incoming = Extract.deriveRecord(filtered, keep = Seq("source", "timestamp"))
       .withColumnRenamed("timestamp", "__ts")
 
     // S4: stage the incremental batch — the ONLY pass over the source.
-    // (bad-row count observed on the same pass via the union trick would
-    // split the plan; the quarantine side is tiny and counted directly.)
     incoming.write.mode("overwrite").option("compression", "snappy")
       .partitionBy("source")
       .parquet(conf.stagingPath)
-    val nQuarantined = bad.count()
+    val nQuarantined = quarantineObs.get("n_bad") match {
+      case n: Long => n
+      case null => 0L
+    }
 
     // Parquet footer count — metadata only, no data scan. Explicit schema:
     // an empty staged batch has no footers to infer from (F6 rerun path).

@@ -89,6 +89,21 @@ object Extract {
       tsCol: String = "timestamp",
       dim: Int = Schemas.EmbeddingDim,
       enforceDim: Boolean = false): (DataFrame, DataFrame) = {
+    val flagged = flagErrors(df, embCol, tsCol, dim, enforceDim)
+    val good = flagged.where(size(col("__errors")) === 0).drop("__errors")
+    val bad = flagged.where(size(col("__errors")) > 0)
+    (good, bad)
+  }
+
+  /** The P10 validation projection itself: every row flagged with its
+    * failed checks in `__errors` (empty array = good). Lets callers count
+    * or route bad rows in the SAME pass that consumes the good ones (via
+    * `observe`), instead of re-scanning the source for the bad side. */
+  def flagErrors(df: DataFrame,
+      embCol: String = "embeddings",
+      tsCol: String = "timestamp",
+      dim: Int = Schemas.EmbeddingDim,
+      enforceDim: Boolean = false): DataFrame = {
     val checks: Seq[(String, Column)] = Seq(
       "null_timestamp" -> col(tsCol).isNull,
       "empty_embedding" -> (col(embCol).isNull || size(col(embCol)) === 0)) ++
@@ -96,10 +111,7 @@ object Extract {
     val errs = array(checks.map { case (n, c) =>
       when(c, lit(n)).otherwise(lit(null))
     }: _*)
-    val flagged = df.withColumn("__errors", filter(errs, e => e.isNotNull))
-    val good = flagged.where(size(col("__errors")) === 0).drop("__errors")
-    val bad = flagged.where(size(col("__errors")) > 0)
-    (good, bad)
+    df.withColumn("__errors", filter(errs, e => e.isNotNull))
   }
 
   /** P6: `"{source} ({country_code})"` — preserving the Python f-string
