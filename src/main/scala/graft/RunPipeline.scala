@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point for the daily incremental run — the piece an external
+  * scheduler (cron/Airflow) invokes via `spark-submit`, replacing the
+  * reference's DAG schedule (`embeddings-pipeline.py:89`, `0 8 * * *`):
+  *
+  * {{{
+  *   spark-submit --class graft.RunPipeline <jar> \
+  *     <sourcePath> <targetPath> <statePath> <stagingPath> \
+  *     [--dims <sourcesConfigPath>] [--fallback '2024-01-01 00:00:00'] \
+  *     [--merge-buckets 256]
+  * }}}
+  *
+  * Master/executor sizing come from spark-submit; the session gets the
+  * [[GraftConf]] scale profile. Exit code 0 only after merge + watermark
+  * advance succeed (state is written last — the reference's
+  * at-least-once + idempotent-merge ordering, `:480`).
+  */
+object RunPipeline {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: RunPipeline <source> <target> <state> <staging> " +
+        "[--dims p] [--fallback ts] [--merge-buckets n]")
+    val Array(source, target, state, staging) = args.take(4)
+    val opts = args.drop(4).sliding(2, 2).collect {
+      case Array(k, v) => k -> v
+    }.toMap
+
+    val spark = SparkSession.builder().appName("graft-pipeline").getOrCreate()
+    GraftConf.applyScaleProfile(spark)
+    try {
+      val stats = Pipeline.run(spark, Pipeline.Config(
+        sourcePath = source,
+        targetPath = target,
+        statePath = state,
+        stagingPath = staging,
+        sourcesConfigPath = opts.get("--dims"),
+        fallbackDate = opts.get("--fallback").map(Timestamp.valueOf)
+          .getOrElse(Timestamp.valueOf("2024-01-01 00:00:00")),
+        mergeBuckets = opts.get("--merge-buckets").map(_.toInt).getOrElse(0)))
+      // one parseable summary line, mirroring the reference's run metrics
+      // log (`embeddings-pipeline.py:420-432`)
+      println(s"""{"records":${stats.recordsProcessed},""" +
+        s""""unique":${stats.uniqueRecords},""" +
+        s""""quarantined":${stats.quarantined},""" +
+        s""""sources":${stats.sources},""" +
+        s""""staged_files":${stats.stagedFiles},""" +
+        s""""staged_bytes":${stats.stagedBytes}}""")
+    } finally spark.stop()
+  }
+}
