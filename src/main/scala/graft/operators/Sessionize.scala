@@ -68,6 +68,11 @@ object Sessionize {
         state.update(SessState(prior.id + 1, 0L, 0L, 0L))
         Iterator.single(emit(key, prior))
       } else {
+        // Events are merged in sorted order; an out-of-order arrival within
+        // `gap` of the open session (incl. BEFORE its start) extends it on
+        // either side. Events more than `gap` older than the open session's
+        // start would belong to an already-gone earlier session — pick the
+        // watermark delay >= the source's max disorder to exclude them.
         val sorted = it.map(_.ts.getTime).toArray.sorted
         var open = if (prior.n > 0) Some(prior) else None
         var nextId = prior.id
@@ -75,7 +80,8 @@ object Sessionize {
         sorted.foreach { t =>
           open match {
             case Some(s) if t - s.end <= gapMs =>
-              open = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+              open = Some(s.copy(start = math.min(s.start, t),
+                end = math.max(s.end, t), n = s.n + 1))
             case Some(s) =>
               closed ::= s
               nextId = s.id + 1

@@ -103,4 +103,48 @@ class SessionizeSpec extends SparkSpecBase {
     assert(closedIds.subsetOf(batchSessions),
       s"streaming emitted a session batch disagrees with: ${closedIds -- batchSessions}")
   }
+
+  test("out-of-order arrival within the watermark extends a session backwards") {
+    val src = Files.createTempDirectory("sessb-src").toString
+    val ckpt = Files.createTempDirectory("sessb-ckpt").toString
+    val outDir = Files.createTempDirectory("sessb-out").toString + "/out"
+
+    def writeBatch(part: String, rows: Seq[(Long, Timestamp)]): Unit = {
+      val staging = Files.createTempDirectory(s"sessb-stage-$part").toString
+      rows.toDF("key", "ts").coalesce(1).write.mode("overwrite").parquet(staging)
+      val f = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$src/$part.parquet"))
+    }
+    def runPass(): Unit = {
+      val events = spark.readStream
+        .schema("key long, ts timestamp").parquet(src)
+        // delay must exceed the source's max disorder for backward extension
+        .withWatermark("ts", "2 hours")
+        .as[SessionEvent]
+      Sessionize.sessionsStreaming(events, gapSeconds = 1800)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Session], _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }.start().awaitTermination()
+    }
+
+    writeBatch("b0", Seq(7L -> ts("2024-01-01 21:00:00")))
+    runPass()
+    // arrives a batch later but only 10 min disordered — within the delay
+    writeBatch("b1", Seq(7L -> ts("2024-01-01 20:50:00")))
+    runPass()
+    writeBatch("b2", Seq(8L -> ts("2024-01-02 02:00:00"))) // wm -> 00:00
+    runPass()
+    writeBatch("b3", Seq(8L -> ts("2024-01-02 02:05:00"))) // fire timeout
+    runPass()
+
+    val k7 = spark.read.parquet(outDir).where($"key" === 7L)
+      .select("start", "end", "nEvents")
+      .as[(Timestamp, Timestamp, Long)].collect().toSet
+    assert(k7 == Set((ts("2024-01-01 20:50:00"), ts("2024-01-01 21:00:00"), 2L)),
+      s"late event did not extend the session backwards: $k7")
+  }
 }
