@@ -206,10 +206,16 @@ object SparkEntry {
     "merge_source" -> ((s, dir) => {
       val rec = docRecord(Tables.documents(s, dir))
       val deduped = Dedup.latestPerKey(rec, Seq("main_refco"), Seq(col("doc_id").desc))
+      // Sort-free surrogate id: a deterministic polynomial hash of the name
+      // (engine-portable, oracle recomputes it in SQL). A global
+      // `row_number().over(Window.orderBy(...))` would serialize the dim
+      // build onto one partition — fine for a bounded dim, a scale wart in
+      // the flagship plan (and it logged WindowExec single-partition
+      // warnings). Hashing keeps the dim build embarrassingly parallel.
       val dim = rec.select("display_name").distinct()
         .where(!col("display_name").endsWith("(None)"))
         .withColumn("display_name_id",
-          row_number().over(Window.orderBy("display_name")).cast("long"))
+          F.polyFingerprint(array(col("display_name"))))
       deduped.join(broadcast(dim), Seq("display_name"), "inner")
         .select("main_refco", "display_name", "display_name_id", "doc_id", "n_chars")
     }),
@@ -276,12 +282,18 @@ object SparkEntry {
       Dedup.ngramJaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text",
         blockCol = "source", n = 3, thresholdNum = 4, thresholdDen = 5)),
 
-    // MinHash-LSH near-dup pairs (no SQL oracle: xxhash64 permutations).
+    // MinHash-LSH near-dup pairs. The portable shingle hash + seed-derived
+    // permutation coefficients make the signature (and so the band
+    // collisions) exactly recomputable in SQL — the oracle mirrors the
+    // whole LSH algorithm, candidates and all, so the match is exact
+    // regardless of recall.
     "minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numHashes = 128, bands = 32, threshold = 0.1)),
 
-    // SimHash near-dup pairs (no SQL oracle: xxhash64 bit mixing).
+    // SimHash near-dup pairs. Banding has GUARANTEED recall at Hamming<=3
+    // (pigeonhole), so with the portable word hash the oracle is simply
+    // the exact all-pairs Hamming join over mirrored signatures.
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)),
 
@@ -291,9 +303,22 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.where(col("vec_id") < 20), emb, k = 5)
     }),
 
-    // Exact cosine near-duplicate pairs (verification-scale).
-    "cosine_neardup" -> ((s, dir) =>
+    // Exact cosine near-duplicate pairs — crossJoin, quadratic BY DESIGN:
+    // the verification-scale ground truth. The registered scale path is
+    // cosine_neardup_lsh below.
+    "cosine_neardup_exact" -> ((s, dir) =>
       Dedup.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)),
+
+    // SRP-LSH cosine near-dup — the 100 TB path: bucketed candidates, no
+    // cartesian product anywhere in the plan. The hyperplanes are a pure
+    // function of the seed, so the oracle interpolates them as literals
+    // and mirrors bucketing + verification exactly (recall does not need
+    // to be 1 for the oracle to match — it recomputes the same buckets).
+    // planes/tables are sized for the sf corpus (wider corpora take more
+    // planes: bucket occupancy ~ n / 2^planes per table).
+    "cosine_neardup_lsh" -> ((s, dir) =>
+      Dedup.cosineNearDupPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.4, dim = 64, planes = 4, tables = 4)),
 
     // ANN via IVF coarse quantizer. Probing all cells makes the result
     // exactly brute force — that is what the oracle checks; the
@@ -450,6 +475,28 @@ object SparkEntry {
     "substring(lower(rtrim(translate(strip_accents(%s), '.$', ''))), 1, 100)"
   private val Stop =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+  /** DuckDB rendering of `z * c mod 2^64` for `z` held in UBIGINT: HUGEINT
+    * is signed-128 so `z·c` can overflow it — split `z` at 2^32 and
+    * recombine (`lo·c + ((hi·c) mod 2^32)·2^32`, all < 2^97). Mirrors the
+    * wrapping Long multiply in [[graft.functions.PortableHash.mix64]]. */
+  private def sqlMulMod64(z: String, c: String): String =
+    s"CAST(((CAST($z AS HUGEINT) % 4294967296) * $c" +
+      s" + ((CAST($z AS HUGEINT) // 4294967296) * $c % 4294967296) * 4294967296)" +
+      s" % 18446744073709551616 AS UBIGINT)"
+
+  /** VALUES rows `(table, plane, hyperplane_vector)` for the SRP-LSH
+    * oracle — the exact doubles the Spark expression uses
+    * ([[graft.functions.SrpBucket.hyperplanes]]), shortest-roundtrip
+    * formatted so SQL parses back the identical bits. */
+  private def srpPlanesValues(planes: Int, dim: Int, seed: Long, tables: Int): String =
+    (0 until tables).flatMap { t =>
+      val h = graft.functions.SrpBucket.hyperplanes(planes, dim, seed + t)
+      (0 until planes).map { p =>
+        val vec = h.slice(p * dim, (p + 1) * dim).mkString("[", ",", "]")
+        s"($t, $p, CAST($vec AS DOUBLE[]))"
+      }
+    }.mkString(",\n")
+
   private def langScore(markers: Seq[String]): String =
     s"len(list_filter(ws, w -> w IN ${markers.map(m => s"'$m'").mkString("(", ",", ")")}))"
 
@@ -573,7 +620,11 @@ object SparkEntry {
          |  QUALIFY row_number() OVER (PARTITION BY main_refco ORDER BY doc_id DESC) = 1),
          |dim AS (
          |  SELECT display_name,
-         |    CAST(row_number() OVER (ORDER BY display_name) AS BIGINT) AS display_name_id
+         |    list_reduce(
+         |      [CAST(ascii(display_name[i:i]) AS BIGINT)
+         |       for i in range(1, len(display_name) + 1)],
+         |      (acc, c) -> (acc * 31 + c) % ${TextAnalysis.FingerprintMod})
+         |      AS display_name_id
          |  FROM (SELECT DISTINCT display_name FROM rec
          |        WHERE display_name NOT LIKE '%(None)'))
          |SELECT d.main_refco, d.display_name, dim.display_name_id, d.doc_id, d.n_chars
@@ -673,6 +724,72 @@ object SparkEntry {
         |  CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) AS jaccard
         |FROM p WHERE 5 * inter >= 4 * (a_n + b_n - inter)""".stripMargin,
 
+    // Full MinHash-LSH mirror: portable shingle hash, literal-interpolated
+    // permutation coefficients, band collisions re-derived by comparing the
+    // signature slices themselves (band-hash equality <=> slice equality up
+    // to a 2^-64 collision), then exact-Jaccard verification — so the
+    // match is exact regardless of LSH recall.
+    "minhash_lsh" -> {
+      val (a, b) = graft.functions.MinHashSig.coeffs(128, 42L)
+      val aLit = a.mkString("[", ",", "]")
+      val bLit = b.mkString("[", ",", "]")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+         |       FROM w),
+         |hs AS (SELECT doc_id, sh,
+         |         list_transform(sh, s ->
+         |           list_reduce([CAST(ascii(s[i:i]) AS BIGINT) for i in range(1, len(s) + 1)],
+         |                       (acc, c) -> (acc * 31 + c) % ${graft.functions.MinHashSig.HashMod})) AS hv
+         |       FROM sh),
+         |sg AS (SELECT doc_id, sh,
+         |         list_transform(generate_series(1, 128), j ->
+         |           coalesce(list_min(list_transform(hv,
+         |                      h -> ($aLit[j] * h + $bLit[j]) % ${graft.functions.MinHashSig.P})),
+         |                    9223372036854775807)) AS sig
+         |       FROM hs),
+         |bands AS (SELECT doc_id, bs.b, list_slice(sig, bs.b * 4 + 1, bs.b * 4 + 4) AS slice
+         |          FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM bands a JOIN bands b
+         |           ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id),
+         |v AS (SELECT a_id, b_id,
+         |        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
+         |        CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS tot
+         |      FROM cand JOIN sh sa ON sa.doc_id = cand.a_id
+         |                JOIN sh sb ON sb.doc_id = cand.b_id)
+         |SELECT a_id, b_id, inter / (tot - inter) AS jaccard
+         |FROM v WHERE tot - inter > 0 AND inter / (tot - inter) >= 0.1""".stripMargin
+    },
+
+    // Exact SimHash mirror (portable word hash splitmix-finalized in
+    // HUGEINT/UBIGINT arithmetic). No banding needed here: the Spark
+    // operator's 16-bit-chunk candidates have guaranteed recall at
+    // Hamming<=3 (pigeonhole), so its output IS the all-pairs answer.
+    "simhash_pairs" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |h0 AS (SELECT doc_id, list_transform(ws, s ->
+         |        CAST((CASE WHEN len(s) = 0 THEN 0 ELSE
+         |          list_reduce([CAST(ascii(s[i:i]) AS HUGEINT) for i in range(1, len(s) + 1)],
+         |                      (acc, c) -> (acc * 31 + c) % 18446744073709551616) END) AS UBIGINT)) AS z
+         |       FROM w),
+         |h1 AS (SELECT doc_id, list_transform(z, x -> xor(x, x >> 30)) AS z FROM h0),
+         |h2 AS (SELECT doc_id, list_transform(z, x -> ${sqlMulMod64("x", "13787848793156543929")}) AS z FROM h1),
+         |h3 AS (SELECT doc_id, list_transform(z, x -> xor(x, x >> 27)) AS z FROM h2),
+         |h4 AS (SELECT doc_id, list_transform(z, x -> ${sqlMulMod64("x", "10723151780598845931")}) AS z FROM h3),
+         |h5 AS (SELECT doc_id, list_transform(z, x -> xor(x, x >> 31)) AS wh FROM h4),
+         |sig AS (SELECT doc_id,
+         |  list_reduce(list_transform(generate_series(0, 63), j ->
+         |    CASE WHEN list_sum(list_transform(wh,
+         |           x -> CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN (CAST(1 AS UBIGINT) << j) ELSE CAST(0 AS UBIGINT) END),
+         |    (a, b) -> a | b) AS sig
+         |  FROM h5)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+
     "cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 20),
@@ -686,12 +803,34 @@ object SparkEntry {
         |FROM s
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
 
-    "cosine_neardup" ->
+    "cosine_neardup_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  list_cosine_similarity(a.v, b.v) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
+
+    // Full algorithm mirror: the seed-derived hyperplanes are interpolated
+    // as literals, bucketing + sign rule + verification recomputed in SQL —
+    // so the oracle matches the LSH output exactly whatever its recall.
+    "cosine_neardup_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |hp AS (SELECT * FROM (VALUES
+         |${srpPlanesValues(planes = 4, dim = 64, seed = 42L, tables = 4)}
+         |) AS t(t, p, pv)),
+         |bits AS (SELECT e.vec_id, hp.t, hp.p,
+         |    CASE WHEN list_reduce(
+         |           list_transform(generate_series(1, 64), i -> v[i] * pv[i]),
+         |           (a, b) -> a + b) >= 0
+         |         THEN 1 << hp.p ELSE 0 END AS bit
+         |  FROM e CROSS JOIN hp),
+         |buck AS (SELECT vec_id, t, sum(bit) AS bucket FROM bits GROUP BY vec_id, t),
+         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |         FROM buck a JOIN buck b
+         |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, list_cosine_similarity(ea.v, eb.v) AS cos
+         |FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
+         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4""".stripMargin,
 
     "token_stats" ->
       s"""SELECT doc_id,

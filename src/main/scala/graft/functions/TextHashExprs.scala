@@ -17,10 +17,53 @@ import org.apache.spark.sql.types._
   * tight JVM loop per row — O(shingles) string hashes + O(perms × shingles)
   * long ops — and stay inside whole-stage codegen via `doGenCode`.
   *
-  * String hashing is `XXH64` with seed 42, bit-identical to Spark's
-  * `xxhash64` built-in, so signatures match the HOF formulation they
-  * replace.
+  * String hashing is engine-portable ([[PortableHash]]): a per-codepoint
+  * polynomial fold plus (for 64-bit needs) the splitmix64 finalizer — both
+  * exactly reproducible in plain SQL integer arithmetic. That is what lets
+  * the driver's DuckDB oracles mirror the LSH algorithms bit-for-bit
+  * (signatures, buckets, band collisions) instead of settling for
+  * rows-only checks: no xxhash64 on any signature path.
   */
+
+/** Engine-portable string hashing shared by the signature kernels.
+  *
+  * Two primitives, both pure integer arithmetic reproducible in any SQL
+  * engine (the DuckDB formulations live in `SparkEntry.oracleSql`):
+  *
+  *  - [[poly31Mod]]: Rabin–Karp fold `acc·31 + codepoint (mod m)` with
+  *    `m < 2^31` — safe for universal-hash composition `(a·h + b) mod p`
+  *    in 64-bit arithmetic.
+  *  - [[mix64]]: the same fold in wrapping 64-bit arithmetic, then the
+  *    splitmix64 finalizer (Steele et al., public domain) so short
+  *    strings still populate all 64 bits — SimHash needs uniform bits.
+  */
+object PortableHash {
+  def poly31Mod(s: org.apache.spark.unsafe.types.UTF8String, mod: Long): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = java.lang.Math.floorMod(h * 31L + cp, mod)
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  def mix64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var z = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      z = z * 31L + cp // wrapping = mod 2^64
+      i += Character.charCount(cp)
+    }
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}
 private[functions] trait StringArrayInput { self: UnaryExpression =>
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -30,32 +73,28 @@ private[functions] trait StringArrayInput { self: UnaryExpression =>
 }
 
 /** `minhash_sig(shingles)` — `numHashes` universal-hash permutations
-  * `(a·h + b) mod p` (p = 2^31−1, Mersenne) over xxhash64 shingle hashes;
-  * element k of the result is the minimum of permutation k over all
-  * shingles. Empty input ⇒ all-`Long.MaxValue` signature (matches the HOF
-  * `aggregate` seed). */
+  * `(a·h + b) mod p` (p = 2^31−1, Mersenne) over portable
+  * [[PortableHash.poly31Mod]] shingle hashes; element k of the result is
+  * the minimum of permutation k over all shingles. Empty input ⇒
+  * all-`Long.MaxValue` signature (matches the HOF `aggregate` seed).
+  * The permutation coefficients are pure functions of `(numHashes, seed)`
+  * ([[MinHashSig.coeffs]]) so an oracle can interpolate them as literals
+  * and recompute the signature exactly in SQL. */
 case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression with StringArrayInput {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  // 2^31-1 keeps a*h + b within Long range (a, h < 2^31 => a*h < 2^62).
-  private val P = (1L << 31) - 1
-  private val (as, bs) = {
-    val rnd = new scala.util.Random(seed)
-    (Array.fill(numHashes)(1 + rnd.nextLong().abs % (P - 1)),
-      Array.fill(numHashes)(rnd.nextLong().abs % P))
-  }
+  private val P = MinHashSig.P
+  private val (as, bs) = MinHashSig.coeffs(numHashes, seed)
 
   def compute(arr: ArrayData): ArrayData = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = java.lang.Math.floorMod(
-        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L), P)
+      val h = PortableHash.poly31Mod(arr.getUTF8String(i), MinHashSig.HashMod)
       var j = 0
       while (j < numHashes) {
         val v = java.lang.Math.floorMod(as(j) * h + bs(j), P)
@@ -76,6 +115,24 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
 
   override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)
+}
+
+object MinHashSig {
+  /** Permutation modulus: 2^31−1 (Mersenne) keeps `a·h + b` within Long
+    * range (`a, h < 2^31 ⇒ a·h < 2^62`). */
+  val P: Long = (1L << 31) - 1
+
+  /** Shingle-hash modulus for [[PortableHash.poly31Mod]] (< 2^31 so the
+    * universal-hash products stay in Long range). */
+  val HashMod: Long = 1000000007L
+
+  /** The `(a, b)` universal-hash coefficient arrays for a given
+    * `(numHashes, seed)` — deterministic, shared with SQL oracles. */
+  def coeffs(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    (Array.fill(numHashes)(1 + rnd.nextLong().abs % (P - 1)),
+      Array.fill(numHashes)(rnd.nextLong().abs % P))
+  }
 }
 
 /** `word_shingles(words, n)` — distinct word n-gram shingles (space-joined,
@@ -253,9 +310,11 @@ case class PolyFingerprint(child: Expression, wordMul: Long, docMul: Long,
 }
 
 /** `simhash64(words)` — 64-bit SimHash: per bit j, sum +1/−1 weighted by
-  * bit j of each word's xxhash64; the sign of the sum becomes signature
-  * bit j. Empty input ⇒ 0 (all sums non-positive, matching the HOF
-  * formulation's `when(c > 0, ...)` bit rule). */
+  * bit j of each word's [[PortableHash.mix64]] hash; the sign of the sum
+  * becomes signature bit j (set iff the sum is > 0). Empty input ⇒ 0 (all
+  * sums non-positive, matching the HOF formulation's `when(c > 0, ...)`
+  * bit rule). The portable word hash makes the whole signature — and so
+  * the Hamming-distance pair set — recomputable in plain SQL. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with StringArrayInput {
 
@@ -267,8 +326,7 @@ case class SimHash64(child: Expression)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val h = PortableHash.mix64(arr.getUTF8String(i))
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

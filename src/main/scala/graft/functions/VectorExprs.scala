@@ -149,12 +149,11 @@ case class SrpBucket(child: Expression, planes: Int, seed: Long, dim: Int)
   override def prettyName: String = "srp_bucket"
   private lazy val cf = elemIsFloat(child.dataType)
 
-  // planes × dim Gaussian hyperplane matrix, row-major; generation order
-  // matches Array.fill(planes, dim)(rnd.nextGaussian()).
-  @transient private lazy val hyper: Array[Double] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(planes * dim)(rnd.nextGaussian())
-  }
+  // planes × dim Gaussian hyperplane matrix, row-major — a pure function
+  // of (planes, dim, seed), exposed via SrpBucket.hyperplanes so SQL
+  // oracles can interpolate the exact same doubles as literals.
+  @transient private lazy val hyper: Array[Double] =
+    SrpBucket.hyperplanes(planes, dim, seed)
 
   def compute(a: Any): Long = {
     val arr = a.asInstanceOf[ArrayData]
@@ -184,6 +183,17 @@ case class SrpBucket(child: Expression, planes: Int, seed: Long, dim: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): SrpBucket = copy(child = c)
+}
+
+object SrpBucket {
+  /** The deterministic Gaussian hyperplane matrix for `(planes, dim, seed)`,
+    * row-major (plane p occupies `[p·dim, (p+1)·dim)`). Doubles are emitted
+    * by `Double.toString` with shortest-roundtrip precision, so literal
+    * interpolation into SQL reproduces the exact bits. */
+  def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes * dim)(rnd.nextGaussian())
+  }
 }
 
 /** `l2_norm(a)` — native expression with whole-stage codegen. */
