@@ -45,7 +45,13 @@ object Pipeline {
       /** > 0 ⇒ hash-bucket-partitioned target with partition-pruned
         * incremental merges (only touched buckets read + rewritten — the
         * 100 TB layout); 0 ⇒ atomic swap-rewrite of the whole target. */
-      mergeBuckets: Int = 0)
+      mergeBuckets: Int = 0,
+      /** Enforce the target DDL's fixed vector width `VECTOR(FLOAT, dim)`
+        * (`CONFIGURATION.md:109`): ragged vectors are quarantined
+        * (`bad_vector_dim`) instead of flowing into a target that would
+        * reject them. */
+      enforceVectorDim: Boolean = true,
+      vectorDim: Int = graft.schema.Schemas.EmbeddingDim)
 
   case class RunStats(
       recordsProcessed: Long,
@@ -75,7 +81,8 @@ object Pipeline {
     // the entire source.
     val quarantineObs = Observation("quarantine")
     val flagged = Extract.flagErrors(
-        Extract.nonEmptyEmbeddings(Extract.coerceCountry(docs)))
+        Extract.nonEmptyEmbeddings(Extract.coerceCountry(docs)),
+        dim = conf.vectorDim, enforceDim = conf.enforceVectorDim)
       .observe(quarantineObs,
         sum(when(size(col("__errors")) > 0, 1L).otherwise(0L)).as("n_bad"))
     val good = flagged.where(size(col("__errors")) === 0).drop("__errors")

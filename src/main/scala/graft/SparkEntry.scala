@@ -656,10 +656,14 @@ object SparkEntry {
         |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a)
         |SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id""".stripMargin,
 
+    // Knuth hash in the same overflow-free split form as Dedup.capPerKey
+    // (equal values wherever the naive multiply doesn't overflow).
     "cap_per_key" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source
-        |  ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 10""".stripMargin,
+        |  ORDER BY ((doc_id % 4294967296 % 65536) * 2654435761
+        |            + ((doc_id % 4294967296 // 65536) * 2654435761 % 65536) * 65536)
+        |           % 4294967296, doc_id) <= 10""".stripMargin,
 
     "quantize_embeddings" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -41,11 +41,24 @@ object Dedup {
     * of the corpus. Rows are ranked by a Knuth multiplicative hash of
     * `idCol` (exact integer arithmetic, reproducible in any engine — no
     * `rand()`, no engine-specific hash), so the kept sample is stable
-    * across runs and engines. One shuffle on the key. */
-  def capPerKey(df: DataFrame, k: Int, keys: Seq[String], idCol: String): DataFrame =
-    topKPerKey(df, k, keys,
-      Seq(pmod(col(idCol) * lit(2654435761L), lit(4294967296L)).asc,
-        col(idCol).asc))
+    * across runs and engines. One shuffle on the key.
+    *
+    * The hash `(id · 2654435761) mod 2^32` is computed overflow-free: a
+    * naive Long multiply overflows for ids ≥ ~3.5e9 (throws under ANSI
+    * mode — exactly the large-id regime this op targets), so the low
+    * 32 bits of the id are split at 2^16 and recombined
+    * (`l0·A + ((l1·A) mod 2^16)·2^16, mod 2^32` — every term < 2^48).
+    * Identical values to the naive form wherever that form doesn't
+    * overflow. */
+  def capPerKey(df: DataFrame, k: Int, keys: Seq[String], idCol: String): DataFrame = {
+    val A = lit(2654435761L)
+    val m = pmod(col(idCol), lit(4294967296L)) // low 32 bits, non-negative
+    val l0 = m.bitwiseAND(lit(65535L))
+    val l1 = shiftright(m, 16)
+    val rank = pmod(l0 * A + pmod(l1 * A, lit(65536L)) * lit(65536L),
+      lit(4294967296L))
+    topKPerKey(df, k, keys, Seq(rank.asc, col(idCol).asc))
+  }
 
   /** Skew-safe two-phase top-k: identical result to [[topKPerKey]], but a
     * hot key never lands on one reducer. Phase 1 shuffles on

@@ -24,17 +24,24 @@ object Joins {
     *   (emitted as `asof_<name>`); right rows should be unique per
     *   (key, ts) — pre-dedup with [[Dedup.latestPerKey]] otherwise
     *   (among equal-ts right rows the last in (ts) order wins).
+    *
+    * The payload rides as ONE struct per right row, and the window carries
+    * the latest non-null STRUCT (not each column independently): a matched
+    * right row whose payload value is a genuine NULL surfaces that NULL,
+    * exactly like SQL ASOF JOIN — per-column `last(ignoreNulls)` would
+    * skip it and leak a stale value from an older right row.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
     val lTagged = left
       .withColumn("__side", lit(1))
-      .withColumns(rightCols.map(c => s"__r_$c" -> lit(null).cast(
-        right.schema(c).dataType)).toMap)
+      .withColumn("__r", lit(null).cast(rStructType))
     val rTagged = right
-      .select((keys :+ tsCol).map(col) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+      .select((keys :+ tsCol).map(col) :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
       .withColumn("__side", lit(0))
       .withColumns(leftCols.filterNot((keys :+ tsCol).contains)
         .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
@@ -42,12 +49,11 @@ object Joins {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(lTagged.unionByName(rTagged)) {
-      case (df, c) => df.withColumn(s"asof_$c",
-        last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = lTagged.unionByName(rTagged)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
     filled.where(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightCols.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Range join against interval bounds: rows of `facts` matched to the

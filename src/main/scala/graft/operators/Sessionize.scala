@@ -55,18 +55,36 @@ object Sessionize {
     * when the event-time watermark passes its end + gap (state timeout).
     * The session-id counter lives in the state, so ids keep increasing
     * across closed sessions. Use `OutputMode.Append` with a watermark on
-    * the event time. */
+    * the event time.
+    *
+    * State is O(1) per key AND bounded in key count: after a session
+    * closes, the counter-only state survives `idleTtlSeconds` (so a key
+    * that comes back keeps its id sequence) and is then evicted by a
+    * re-armed cleanup timeout — an infinite stream of transient keys
+    * cannot grow the state store without bound. A key returning after
+    * eviction restarts its ids at 1. */
   def sessionsStreaming(events: Dataset[SessionEvent],
-      gapSeconds: Long): Dataset[Session] = {
+      gapSeconds: Long, idleTtlSeconds: Long = 86400L): Dataset[Session] = {
     val gapMs = gapSeconds * 1000L
+    val ttlMs = idleTtlSeconds * 1000L
     def emit(key: Long, s: SessState): Session =
       Session(key, s.id, new Timestamp(s.start), new Timestamp(s.end), s.n)
     val func = (key: Long, it: Iterator[SessionEvent], state: GroupState[SessState]) => {
       val prior = state.getOption.getOrElse(SessState(1L, 0L, 0L, 0L))
       if (state.hasTimedOut) {
-        // watermark passed end+gap: close the open session, keep the counter
-        state.update(SessState(prior.id + 1, 0L, 0L, 0L))
-        Iterator.single(emit(key, prior))
+        if (prior.n == 0L) {
+          // cleanup timeout of an idle counter-only state: evict it
+          state.remove()
+          Iterator.empty
+        } else {
+          // watermark passed end+gap: close the open session, keep the
+          // counter for id continuity, and arm the eviction timeout (must
+          // stay above the current watermark or Spark rejects it).
+          state.update(SessState(prior.id + 1, 0L, 0L, 0L))
+          state.setTimeoutTimestamp(
+            math.max(prior.end + gapMs, state.getCurrentWatermarkMs()) + ttlMs)
+          Iterator.single(emit(key, prior))
+        }
       } else {
         // Events are merged in sorted order; an out-of-order arrival within
         // `gap` of the open session (incl. BEFORE its start) extends it on

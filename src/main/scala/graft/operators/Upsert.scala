@@ -121,8 +121,13 @@ object Upsert {
     * the batch's bucket spread, not the target size: at 100 TB with
     * nBuckets=4096 a 1%-spread batch reads and rewrites ~1% of the table.
     * Trade-off vs [[mergeIntoParquet]]'s swap: per-partition overwrite is
-    * not atomic across buckets (a crash mid-write can leave a torn batch —
-    * rerun-safe because the merge is idempotent).
+    * not atomic across buckets (a crash mid-write can leave a torn batch).
+    * A per-run manifest (`_merge_manifest.json`: batch id + touched bucket
+    * list, written atomically BEFORE the overwrite, cleared after) makes
+    * the torn window detectable: the next run refuses to proceed with a
+    * DIFFERENT batch while a manifest is pending, and re-running the SAME
+    * batch id is the deterministic recovery (the merge is idempotent —
+    * property-tested in UpsertSpec).
     */
   def mergeIntoHashBucketedParquet(
       spark: SparkSession,
@@ -131,13 +136,25 @@ object Upsert {
       keys: Seq[String],
       nBuckets: Int = 256,
       insertOnlyCols: Set[String] = Set.empty,
-      refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit = {
+      refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      batchId: String = "adhoc"): Unit = {
     require(!updates.columns.contains("__bucket"), "updates must not carry __bucket")
     val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
     val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new Path(targetPath))
 
+    pendingManifest(spark, targetPath).foreach { case (pendingBatch, _) =>
+      require(pendingBatch == batchId,
+        s"target $targetPath has a torn run: batch '$pendingBatch' crashed " +
+          s"mid-overwrite and batch '$batchId' is not its re-run. Re-run " +
+          "the pending batch (idempotent) or clear _merge_manifest.json.")
+    }
+
     val withBucket = updates.withColumn("__bucket", bucketOf)
+    val touched = withBucket.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    writeManifest(fs, targetPath, batchId, touched.toIndexedSeq)
+
     val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -146,8 +163,6 @@ object Upsert {
       val merged = if (!exists)
         refreshExprs.foldLeft(withBucket) { case (df, (c, e)) => df.withColumn(c, e) }
       else {
-        val touched = withBucket.select("__bucket").distinct()
-          .collect().map(_.getInt(0))
         val target = spark.read.parquet(targetPath)
           .where(col("__bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
         merge(target, withBucket, keys, insertOnlyCols, refreshExprs)
@@ -157,12 +172,49 @@ object Upsert {
       merged.sortWithinPartitions(keys.map(col): _*)
         .write.mode("overwrite").option("compression", "snappy")
         .partitionBy("__bucket").parquet(targetPath)
+      fs.delete(manifestPath(targetPath), false)
     } finally {
       prior match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
+  }
+
+  private def manifestPath(targetPath: String): Path =
+    new Path(new Path(targetPath).getParent,
+      new Path(targetPath).getName + "._merge_manifest.json")
+
+  /** The pending (batchId, touched buckets) of a crashed hash-bucketed
+    * merge, if any — present only between a run's manifest write and its
+    * successful completion. */
+  def pendingManifest(spark: SparkSession, targetPath: String): Option[(String, Seq[Int])] = {
+    val p = manifestPath(targetPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val batch = "\"batch_id\"\\s*:\\s*\"([^\"]*)\"".r
+        .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+      val buckets = "\"buckets\"\\s*:\\s*\\[([^\\]]*)\\]".r
+        .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toIndexedSeq
+      Some((batch, buckets))
+    }
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, targetPath: String,
+      batchId: String, buckets: Seq[Int]): Unit = {
+    val p = manifestPath(targetPath)
+    val tmp = new Path(p.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"batch_id":"$batchId","buckets":[${buckets.mkString(",")}]}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
   }
 
   /** MERGE into a bucketed managed table — the co-located-join variant of
@@ -193,15 +245,29 @@ object Upsert {
         .format("parquet")
         .saveAsTable(to)
 
+    val swap = table + "_swap"
+    // Crash recovery (mirrors mergeIntoParquet's .old-swap restore): a
+    // failure between the swap DROP and RENAME below leaves the canonical
+    // name absent while the fully-merged snapshot sits in the swap table.
+    // Restore it BEFORE the first-write/merge decision — otherwise this
+    // run would treat the target as a first write and recreate it from
+    // the incremental batch alone, silently orphaning the merged data.
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(swap))
+      spark.sql(s"ALTER TABLE $swap RENAME TO $table")
+
     if (!spark.catalog.tableExists(table)) {
-      writeBucketed(updates, "error", table)
+      // First write: stamp refresh columns here — they exist only on the
+      // target side of a merge, and later merges expect them in the schema.
+      val stamped = refreshExprs.foldLeft(updates) {
+        case (df, (c, e)) => df.withColumn(c, e)
+      }
+      writeBucketed(stamped, "error", table)
       return
     }
     val merged = merge(spark.table(table), updates, keys,
       insertOnlyCols, refreshExprs)
     // Overwriting a table while reading it is illegal; stage the merge
     // result in a swap table, then swap names (metadata-only).
-    val swap = table + "_swap"
     spark.sql(s"DROP TABLE IF EXISTS $swap")
     writeBucketed(merged, "error", swap)
     spark.sql(s"DROP TABLE $table")

@@ -27,7 +27,8 @@ class PipelineSpec extends SparkSpecBase {
       sourcePath = s"$dir/source",
       targetPath = s"$dir/target",
       statePath = s"$dir/state.json",
-      stagingPath = s"$dir/staging")
+      stagingPath = s"$dir/staging",
+      vectorDim = 2)
 
     Seq(
       doc("s1", "2024-02-01 10:00:00", "r1", ""),
@@ -71,7 +72,8 @@ class PipelineSpec extends SparkSpecBase {
       targetPath = s"$dir/target",
       statePath = s"$dir/state.json",
       stagingPath = s"$dir/staging",
-      mergeBuckets = 8)
+      mergeBuckets = 8,
+      vectorDim = 2)
 
     Seq(
       doc("s1", "2024-02-01 10:00:00", "r1", ""),
@@ -89,5 +91,26 @@ class PipelineSpec extends SparkSpecBase {
       .select("original_timestamp").as[String].head() == "2024-02-05T10:00:00")
     // refresh column present and stamped from the FIRST bucketed write on
     assert(t.where($"embedding_inserted_at".isNull).count() == 0L)
+  }
+
+  test("ragged vector is quarantined, never reaches the target") {
+    val dir = Files.createTempDirectory("graft-pipe-dim").toString
+    val conf = Pipeline.Config(
+      sourcePath = s"$dir/source",
+      targetPath = s"$dir/target",
+      statePath = s"$dir/state.json",
+      stagingPath = s"$dir/staging",
+      vectorDim = 2) // target DDL VECTOR(FLOAT, 2) for this fixture
+
+    Seq(
+      doc("s1", "2024-02-01 10:00:00", "ok", ""),
+      doc("s1", "2024-02-02 10:00:00", "ragged", "", emb = Seq(1f, 2f, 3f)))
+      .toDF(cols: _*).write.mode(SaveMode.Overwrite).parquet(conf.sourcePath)
+
+    val stats = Pipeline.run(spark, conf)
+    assert(stats.quarantined == 1L)
+    assert(stats.recordsProcessed == 1L)
+    val t = spark.read.parquet(conf.targetPath)
+    assert(t.select("main_refco").as[String].collect().toSeq == Seq("ok"))
   }
 }

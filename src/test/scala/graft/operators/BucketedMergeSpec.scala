@@ -105,6 +105,64 @@ class BucketedMergeSpec extends SparkSpecBase {
     assert(files.nonEmpty && files.forall(_.contains("__bucket=1")), files.mkString("\n"))
   }
 
+  test("bucketed-table swap crash: merged data restored from the swap table") {
+    val table = "bucketed_swap_crash_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_swap")
+
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    Upsert.mergeIntoBucketedTable(spark, table, base, Seq("id"), numBuckets = 2)
+    Upsert.mergeIntoBucketedTable(spark, table,
+      Seq((3L, 30L)).toDF("id", "v"), Seq("id"), numBuckets = 2)
+
+    // Simulate a crash between `DROP TABLE t` and `RENAME t_swap TO t`:
+    // the canonical name is gone, the fully-merged snapshot is in the swap.
+    spark.sql(s"ALTER TABLE $table RENAME TO ${table}_swap")
+
+    Upsert.mergeIntoBucketedTable(spark, table,
+      Seq((2L, 99L), (4L, 40L)).toDF("id", "v"), Seq("id"), numBuckets = 2)
+    val after = spark.table(table).orderBy("id").as[(Long, Long)].collect().toSeq
+    // without the recovery rename this would be just the last batch
+    assert(after == Seq((1L, 10L), (2L, 99L), (3L, 30L), (4L, 40L)))
+
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_swap")
+  }
+
+  test("hash-bucketed merge: pending manifest detects a torn batch") {
+    val dir = java.nio.file.Files.createTempDirectory("hb-manifest").toString + "/t"
+    val base = (1L to 20L).map(i => (i, i * 10)).toDF("id", "v")
+    Upsert.mergeIntoHashBucketedParquet(spark, dir, base, Seq("id"),
+      nBuckets = 4, batchId = "b1")
+    // successful run clears its manifest
+    assert(Upsert.pendingManifest(spark, dir).isEmpty)
+
+    // simulate a crash: manifest of batch b2 written, overwrite incomplete
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = new org.apache.hadoop.fs.Path(dir + "._merge_manifest.json")
+    val out = fs.create(m, true)
+    out.write("""{"batch_id":"b2","buckets":[0,2]}""".getBytes("UTF-8"))
+    out.close()
+    assert(Upsert.pendingManifest(spark, dir).contains(("b2", Seq(0, 2))))
+
+    // a different batch must refuse to run over the torn window
+    val next = Seq((21L, 210L)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergeIntoHashBucketedParquet(spark, dir, next, Seq("id"),
+        nBuckets = 4, batchId = "b3")
+    }
+    assert(e.getMessage.contains("torn run"))
+
+    // re-running the pending batch is the recovery: converges + clears
+    val b2 = Seq((1L, 111L)).toDF("id", "v")
+    Upsert.mergeIntoHashBucketedParquet(spark, dir, b2, Seq("id"),
+      nBuckets = 4, batchId = "b2")
+    assert(Upsert.pendingManifest(spark, dir).isEmpty)
+    assert(spark.read.parquet(dir).where(col("id") === 1)
+      .select("v").as[Long].head() == 111L)
+  }
+
   test("salted top-k equals plain top-k, including on a hot key") {
     val hot = (1 to 500).map(i => (1L, i.toLong))
     val cold = Seq((2L, 7L), (2L, 3L), (3L, 9L))

@@ -97,4 +97,18 @@ class DedupSpec extends SparkSpecBase {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(lsh == Set((1L, 2L)))
   }
+
+  test("capPerKey: overflow-free Knuth hash on ids beyond 2^32") {
+    // ids ≥ ~3.5e9 overflow a naive id*2654435761 Long multiply (throws
+    // under ANSI mode); the split form must agree with BigInt arithmetic.
+    val ids = Seq(1L, 7L, 3_500_000_001L, 4_294_967_295L, 8_589_934_593L,
+      Long.MaxValue, Long.MaxValue - 41L)
+    val df = ids.map(i => (i, "k")).toDF("id", "key")
+    val kept = Dedup.capPerKey(df, 3, Seq("key"), "id")
+      .select("id").as[Long].collect().toSet
+    def knuth(id: Long): BigInt =
+      (BigInt(id).mod(BigInt(2).pow(32)) * 2654435761L).mod(BigInt(2).pow(32))
+    val expected = ids.sortBy(i => (knuth(i), BigInt(i))).take(3).toSet
+    assert(kept == expected)
+  }
 }

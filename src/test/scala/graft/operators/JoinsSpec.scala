@@ -31,6 +31,21 @@ class JoinsSpec extends SparkSpecBase {
       "t3" -> Some(200.0)))
   }
 
+  test("asofJoin: a matched right row's genuine NULL is surfaced, not skipped") {
+    val trades = Seq((1L, ts("2024-01-01 10:00:20"), "t1"))
+      .toDF("key", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0), "m0"),
+      // the matched (latest at-or-before) quote carries a NULL px: true
+      // ASOF semantics return that NULL, never the older 100.0
+      (1L, ts("2024-01-01 10:00:10"), Option.empty[Double], "m1"))
+      .toDF("key", "ts", "px", "mkt")
+    val out = Joins.asofJoin(trades, quotes, Seq("key"), "ts", Seq("px", "mkt"))
+      .select("trade", "asof_px", "asof_mkt")
+      .as[(String, Option[Double], String)].collect().toSeq
+    assert(out == Seq(("t1", None, "m1")))
+  }
+
   test("rangeJoin: facts land in their containing interval, end exclusive") {
     val facts = Seq(
       (1L, ts("2024-01-01 10:30:00"), "a"),

@@ -104,6 +104,55 @@ class SessionizeSpec extends SparkSpecBase {
       s"streaming emitted a session batch disagrees with: ${closedIds -- batchSessions}")
   }
 
+  test("idle key state is evicted after the TTL (ids restart from 1)") {
+    val src = Files.createTempDirectory("sesst-src").toString
+    val ckpt = Files.createTempDirectory("sesst-ckpt").toString
+    val outDir = Files.createTempDirectory("sesst-out").toString + "/out"
+
+    def writeBatch(part: String, rows: Seq[(Long, Timestamp)]): Unit = {
+      val staging = Files.createTempDirectory(s"sesst-stage-$part").toString
+      rows.toDF("key", "ts").coalesce(1).write.mode("overwrite").parquet(staging)
+      val f = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$src/$part.parquet"))
+    }
+    def runPass(): Unit = {
+      val events = spark.readStream
+        .schema("key long, ts timestamp").parquet(src)
+        .withWatermark("ts", "0 seconds")
+        .as[SessionEvent]
+      Sessionize.sessionsStreaming(events, gapSeconds = 1800,
+          idleTtlSeconds = 600)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Session], _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }.start().awaitTermination()
+    }
+
+    writeBatch("b0", Seq(5L -> ts("2024-01-01 10:00:00")))
+    runPass()
+    // wm -> 11:00 closes key 5's session (id 1); cleanup armed for 11:10
+    writeBatch("b1", Seq(99L -> ts("2024-01-01 11:00:00")))
+    runPass()
+    // wm -> 11:20 > cleanup timeout: key 5's counter state is evicted
+    writeBatch("b2", Seq(99L -> ts("2024-01-01 11:20:00")))
+    runPass()
+    // key 5 returns after eviction: its ids restart at 1
+    writeBatch("b3", Seq(5L -> ts("2024-01-01 12:00:00")))
+    runPass()
+    writeBatch("b4", Seq(99L -> ts("2024-01-01 23:00:00"))) // close it
+    runPass()
+
+    val k5 = spark.read.parquet(outDir).where($"key" === 5L)
+      .select("sessionId", "start").as[(Long, Timestamp)].collect().toSet
+    assert(k5 == Set(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 12:00:00"))), // id restarted: state was evicted
+      s"expected id restart after TTL eviction, got $k5")
+  }
+
   test("out-of-order arrival within the watermark extends a session backwards") {
     val src = Files.createTempDirectory("sessb-src").toString
     val ckpt = Files.createTempDirectory("sessb-ckpt").toString
