@@ -51,7 +51,12 @@ object Pipeline {
         * (`bad_vector_dim`) instead of flowing into a target that would
         * reject them. */
       enforceVectorDim: Boolean = true,
-      vectorDim: Int = graft.schema.Schemas.EmbeddingDim)
+      vectorDim: Int = graft.schema.Schemas.EmbeddingDim,
+      /** `"parquet"` (columnar stand-in for the reference's document scan)
+        * or `"json"` (schema-on-read over schemaless documents via
+        * [[graft.sources.DocumentSource]]; malformed lines are
+        * quarantine-counted as `malformed_json`). */
+      sourceFormat: String = "parquet")
 
   case class RunStats(
       recordsProcessed: Long,
@@ -63,8 +68,21 @@ object Pipeline {
       newWatermarks: Map[String, Timestamp])
 
   def run(spark: SparkSession, conf: Config): RunStats = {
-    val docs = spark.read.schema(graft.schema.Schemas.sourceDoc)
-      .parquet(conf.sourcePath)
+    // F2 rides the scan: the reference's Mongo query filters empty
+    // embeddings server-side. The JSON path additionally keeps malformed
+    // lines alive (flag `__malformed`) so they reach the quarantine count
+    // instead of vanishing in the filter.
+    val (docs, extraChecks) = conf.sourceFormat match {
+      case "json" =>
+        val d = graft.sources.DocumentSource.readJson(spark, conf.sourcePath)
+        (d.where(col("__malformed") ||
+            (col("embeddings").isNotNull && size(col("embeddings")) > 0)),
+          Seq("malformed_json" -> col("__malformed")))
+      case _ =>
+        (Extract.nonEmptyEmbeddings(Extract.coerceCountry(
+          spark.read.schema(graft.schema.Schemas.sourceDoc)
+            .parquet(conf.sourcePath))), Nil)
+    }
 
     // S3: watermark state (missing file => full backfill from fallback)
     val prior = WatermarkStore.read(spark, conf.statePath)
@@ -80,12 +98,13 @@ object Pipeline {
     // it does not persist them, and a separate bad.count() would re-scan
     // the entire source.
     val quarantineObs = Observation("quarantine")
-    val flagged = Extract.flagErrors(
-        Extract.nonEmptyEmbeddings(Extract.coerceCountry(docs)),
-        dim = conf.vectorDim, enforceDim = conf.enforceVectorDim)
+    val flagged = Extract.flagErrors(docs,
+        dim = conf.vectorDim, enforceDim = conf.enforceVectorDim,
+        extraChecks = extraChecks)
       .observe(quarantineObs,
         sum(when(size(col("__errors")) > 0, 1L).otherwise(0L)).as("n_bad"))
-    val good = flagged.where(size(col("__errors")) === 0).drop("__errors")
+    val good = flagged.where(size(col("__errors")) === 0)
+      .drop("__errors", "__malformed")
     val filtered = Extract.incrementalFilter(good, wmDf, conf.fallbackDate)
     // source + event timestamp ride along for partitioning + watermarks
     val incoming = Extract.deriveRecord(filtered, keep = Seq("source", "timestamp"))

@@ -322,10 +322,15 @@ object SparkEntry {
 
     // ANN via IVF coarse quantizer. Probing all cells makes the result
     // exactly brute force — that is what the oracle checks; the
-    // nprobe < nlist recall path is property-tested in IvfSpec.
+    // nprobe < nlist recall path is property-tested in IvfSpec. The
+    // quantizer trains on a deterministic 25% SAMPLE of the corpus — the
+    // 100 TB shape (Lloyd rounds over the full table would re-scan it per
+    // iteration; centroid quality needs only a sample, and nprobe=nlist
+    // keeps the result exact regardless of where the centroids land).
     "ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val centroids = Ivf.trainCentroids(emb, "embedding", nlist = 8, iters = 1)
+      val sample = emb.where(pmod(col("vec_id"), lit(4)) === 0)
+      val centroids = Ivf.trainCentroids(sample, "embedding", nlist = 8, iters = 1)
       Ivf.ivfTopK(emb.where(col("vec_id") < 20), emb, k = 5, centroids, nprobe = 8)
     }),
 

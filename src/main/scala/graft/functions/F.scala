@@ -75,14 +75,13 @@ object F {
     * "suffix only when color is non-empty" semantics, `:198-199`). */
   def emptyToNull(c: Column): Column = when(c === lit(""), lit(null)).otherwise(c)
 
-  /** Register the custom expressions for SQL usage
-    * (`SELECT ascii_fold(x), cosine_sim(a, b) ...`). */
+  /** Register the full custom-expression SQL surface on a live session
+    * (`SELECT ascii_fold(x), minhash_sig(sh, 128), srp_bucket(v, ...)`) —
+    * the same [[FunctionDefs]] set GraftExtensions injects cluster-wide. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("ascii_fold", es => AsciiFold(es.head), "built-in")
-    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "built-in")
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    FunctionDefs.all.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The engine's SQL function surface as `(name, usage, builder)` triples —
+  * the single source of truth consumed by both
+  * [[graft.GraftExtensions]] (cluster-wide injection via
+  * `spark.sql.extensions`) and [[F.registerAll]] (per-session registry).
+  *
+  * Scalar configuration arguments (hash counts, seeds, vocabularies) must
+  * be foldable literals in the SQL call — they parameterize expression
+  * construction (permutation tables, hyperplanes, hash sets built once on
+  * the driver), not per-row inputs.
+  */
+object FunctionDefs {
+
+  private def litLong(e: Expression, fn: String, arg: String): Long = {
+    require(e.foldable, s"$fn: $arg must be a literal")
+    e.eval() match {
+      case i: java.lang.Integer => i.toLong
+      case l: java.lang.Long => l
+      case s: java.lang.Short => s.toLong
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
+  }
+
+  private def litStrings(e: Expression, fn: String, arg: String): Seq[String] = {
+    require(e.foldable, s"$fn: $arg must be a literal array")
+    e.eval() match {
+      case a: ArrayData =>
+        a.toObjectArray(StringType).map(_.asInstanceOf[UTF8String].toString).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an array<string> literal, got $other")
+    }
+  }
+
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("ascii_fold",
+      "ascii_fold(str) - Unicode->ASCII transliteration",
+      es => AsciiFold(es.head)),
+    ("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two vectors",
+      es => CosineSim(es(0), es(1))),
+    ("dot_product",
+      "dot_product(a, b) - dot product of two vectors",
+      es => DotProduct(es(0), es(1))),
+    ("l2_norm",
+      "l2_norm(a) - L2 norm of a vector",
+      es => L2Norm(es.head)),
+    ("simhash64",
+      "simhash64(words) - 64-bit SimHash of a string array",
+      es => SimHash64(es.head)),
+    ("word_shingles",
+      "word_shingles(words, n) - distinct word n-gram shingles",
+      es => WordShingles(es(0), litLong(es(1), "word_shingles", "n").toInt)),
+    ("minhash_sig",
+      "minhash_sig(shingles, numHashes[, seed]) - MinHash signature",
+      es => MinHashSig(es(0), litLong(es(1), "minhash_sig", "numHashes").toInt,
+        if (es.length > 2) litLong(es(2), "minhash_sig", "seed") else 42L)),
+    ("minhash_bands",
+      "minhash_bands(sig, bands) - LSH band hashes of a MinHash signature",
+      es => MinHashBands(es(0), litLong(es(1), "minhash_bands", "bands").toInt)),
+    ("count_in_set",
+      "count_in_set(words, vocab) - count of elements in a literal vocabulary",
+      es => CountInSet(es(0), litStrings(es(1), "count_in_set", "vocab"))),
+    ("poly_fingerprint",
+      "poly_fingerprint(words[, wordMul, docMul, mod]) - polynomial rolling-hash fingerprint",
+      es => PolyFingerprint(es(0),
+        if (es.length > 1) litLong(es(1), "poly_fingerprint", "wordMul") else 31L,
+        if (es.length > 2) litLong(es(2), "poly_fingerprint", "docMul") else 131L,
+        if (es.length > 3) litLong(es(3), "poly_fingerprint", "mod") else 1000000007L)),
+    ("srp_bucket",
+      "srp_bucket(vec, planes, seed, dim) - sign-random-projection LSH bucket id",
+      es => SrpBucket(es(0), litLong(es(1), "srp_bucket", "planes").toInt,
+        litLong(es(2), "srp_bucket", "seed"),
+        litLong(es(3), "srp_bucket", "dim").toInt)))
+}

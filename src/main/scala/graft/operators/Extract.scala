@@ -103,11 +103,13 @@ object Extract {
       embCol: String = "embeddings",
       tsCol: String = "timestamp",
       dim: Int = Schemas.EmbeddingDim,
-      enforceDim: Boolean = false): DataFrame = {
+      enforceDim: Boolean = false,
+      extraChecks: Seq[(String, Column)] = Nil): DataFrame = {
     val checks: Seq[(String, Column)] = Seq(
       "null_timestamp" -> col(tsCol).isNull,
       "empty_embedding" -> (col(embCol).isNull || size(col(embCol)) === 0)) ++
-      (if (enforceDim) Seq("bad_vector_dim" -> (size(col(embCol)) =!= dim)) else Nil)
+      (if (enforceDim) Seq("bad_vector_dim" -> (size(col(embCol)) =!= dim)) else Nil) ++
+      extraChecks
     val errs = array(checks.map { case (n, c) =>
       when(c, lit(n)).otherwise(lit(null))
     }: _*)

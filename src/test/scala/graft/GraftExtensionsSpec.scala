@@ -36,6 +36,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getDouble(2) == 11.0)
       assert(row.getDouble(3) == 5.0)
       assert(row.getBoolean(4))
+
+      // the full signature/LSH surface resolves and agrees with the
+      // Column-API expressions it mirrors
+      val row2 = spark.sql(
+        """SELECT
+          |  word_shingles(array('a', 'b', 'c', 'a', 'b'), 2) AS sh,
+          |  minhash_sig(array('x y', 'y z'), 4) AS sig,
+          |  minhash_sig(array('x y', 'y z'), 4, 42L) AS sig_seeded,
+          |  minhash_bands(minhash_sig(array('x y', 'y z'), 4), 2) AS bands,
+          |  count_in_set(array('the', 'cat', 'the'), array('the', 'a')) AS n_stop,
+          |  poly_fingerprint(array('ab', 'c')) AS fp,
+          |  srp_bucket(array(1.0D, -2.0D), 4, 42L, 2) AS bucket
+          |""".stripMargin).collect().head
+      assert(row2.getSeq[String](0) == Seq("a b", "b c", "c a")) // distinct
+      val sig = row2.getSeq[Long](1)
+      assert(sig.length == 4 && sig == row2.getSeq[Long](2))
+      assert(row2.getSeq[Long](3).length == 2)
+      assert(row2.getLong(4) == 2L)
+      // poly_fingerprint: ((0*31+97)*31+98) % p = 3105, (3105*131 + 99) % p
+      assert(row2.getLong(5) == (3105L * 131L + 99L) % 1000000007L)
+      locally {
+        import spark.implicits._
+        val viaColumn = Seq(Tuple1(Seq(1.0, -2.0))).toDF("v")
+          .select(graft.functions.F.srpBucket(org.apache.spark.sql.functions.col("v"),
+            4, 42L, 2)).collect().head.getLong(0)
+        assert(row2.getLong(6) == viaColumn)
+      }
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

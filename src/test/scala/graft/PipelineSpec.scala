@@ -93,6 +93,76 @@ class PipelineSpec extends SparkSpecBase {
     assert(t.where($"embedding_inserted_at".isNull).count() == 0L)
   }
 
+  test("JSON document source: schema-on-read, scalar/array country, malformed counted") {
+    val dir = Files.createTempDirectory("graft-pipe-json").toString
+    val conf = Pipeline.Config(
+      sourcePath = s"$dir/source",
+      targetPath = s"$dir/target",
+      statePath = s"$dir/state.json",
+      stagingPath = s"$dir/staging",
+      vectorDim = 2,
+      sourceFormat = "json")
+
+    Files.createDirectories(java.nio.file.Paths.get(conf.sourcePath))
+    val lines = Seq(
+      // array country
+      """{"source":"s1","timestamp":"2024-02-01 10:00:00","embeddings":[1.0,2.0],""" +
+        """"cleaned_ref":"r1","color":"","category":"cat","country":["US","CA"],""" +
+        """"for_matching":false}""",
+      // scalar country — the isinstance coercion path
+      """{"source":"s2","timestamp":"2024-02-02 10:00:00","embeddings":[3.0,4.0],""" +
+        """"cleaned_ref":"r2","color":"red","category":"cat","country":"FR",""" +
+        """"for_matching":true}""",
+      // malformed line -> quarantine count, not a crash and not silent loss
+      """{"source":"s3", BROKEN""")
+    Files.write(java.nio.file.Paths.get(s"${conf.sourcePath}/docs.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val stats = Pipeline.run(spark, conf)
+    assert(stats.quarantined == 1L)
+    assert(stats.recordsProcessed == 2L)
+    val t = spark.read.parquet(conf.targetPath)
+    val names = t.select("display_name").as[String].collect().toSet
+    assert(names == Set("s1 (US)", "s2 (FR)")) // array takes head, scalar wraps
+  }
+
+  test("retry wrapper: a transient post-merge failure converges on rerun") {
+    val dir = Files.createTempDirectory("graft-pipe-retry").toString
+    def conf(sub: String) = Pipeline.Config(
+      sourcePath = s"$dir/source",
+      targetPath = s"$dir/$sub/target",
+      statePath = s"$dir/$sub/state.json",
+      stagingPath = s"$dir/$sub/staging",
+      vectorDim = 2)
+    Seq(
+      doc("s1", "2024-02-01 10:00:00", "r1", ""),
+      doc("s2", "2024-02-03 10:00:00", "r2", "red"))
+      .toDF(cols: _*).write.mode(SaveMode.Overwrite).parquet(s"$dir/source")
+
+    // reference run: one clean pass
+    Pipeline.run(spark, conf("clean"))
+    val expected = spark.read.parquet(s"$dir/clean/target")
+      .select("main_refco", "original_timestamp")
+      .as[(String, String)].collect().toSet
+
+    // flaky run: first attempt completes the merge then dies (the
+    // at-least-once window); the retry must converge, not double-apply
+    var attempts = 0
+    val flaky = (s: org.apache.spark.sql.SparkSession, c: Pipeline.Config) => {
+      attempts += 1
+      val stats = Pipeline.run(s, c)
+      if (attempts == 1) throw new RuntimeException("transient sink error")
+      stats
+    }
+    val stats = RunPipeline.runWithRetries(spark, conf("flaky"), retries = 2, flaky)
+    assert(attempts == 2)
+    assert(stats.recordsProcessed == 0L) // attempt 2 was the F6 no-op rerun
+    val got = spark.read.parquet(s"$dir/flaky/target")
+      .select("main_refco", "original_timestamp")
+      .as[(String, String)].collect().toSet
+    assert(got == expected)
+  }
+
   test("ragged vector is quarantined, never reaches the target") {
     val dir = Files.createTempDirectory("graft-pipe-dim").toString
     val conf = Pipeline.Config(
