@@ -334,7 +334,9 @@ object SparkEntry {
       Ivf.ivfTopK(emb.where(col("vec_id") < 20), emb, k = 5, centroids, nprobe = 8)
     }),
 
-    // ANN via SRP-LSH buckets (recall<1 by construction — rows-only check).
+    // ANN via SRP-LSH buckets. Recall < 1 by construction, but the oracle
+    // needs no recall assumption: it mirrors the bucketing with the same
+    // literal hyperplanes and ranks the same candidate set.
     "ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb.where(col("vec_id") < 20), emb, k = 5, dim = 64,
@@ -818,6 +820,35 @@ object SparkEntry {
         |  list_cosine_similarity(a.v, b.v) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
+
+    // SRP-LSH ANN mirror: same literal-hyperplane bucketing as
+    // cosine_neardup_lsh, then per-query ranking over the candidate set
+    // (rank order identical to cosine_topk's proven tie-break).
+    "ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |hp AS (SELECT * FROM (VALUES
+         |${srpPlanesValues(planes = 8, dim = 64, seed = 42L, tables = 4)}
+         |) AS t(t, p, pv)),
+         |bits AS (SELECT e.vec_id, hp.t, hp.p,
+         |    CASE WHEN list_reduce(
+         |           list_transform(generate_series(1, 64), i -> v[i] * pv[i]),
+         |           (a, b) -> a + b) >= 0
+         |         THEN 1 << hp.p ELSE 0 END AS bit
+         |  FROM e CROSS JOIN hp),
+         |buck AS (SELECT vec_id, t, sum(bit) AS bucket FROM bits GROUP BY vec_id, t),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |         FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+         |         WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |s AS (SELECT query_id, neighbor_id,
+         |        list_cosine_similarity(eq.v, ec.v) AS cos
+         |      FROM cand JOIN e eq ON eq.vec_id = query_id
+         |                JOIN e ec ON ec.vec_id = neighbor_id)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT)
+         |    AS rank,
+         |  neighbor_id, cos
+         |FROM s
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
 
     // Full algorithm mirror: the seed-derived hyperplanes are interpolated
     // as literals, bucketing + sign rule + verification recomputed in SQL —

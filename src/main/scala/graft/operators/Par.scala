@@ -16,8 +16,20 @@ private[graft] object Par {
     * ~10^6 splits and passes through untouched), so the extra shuffle
     * moves at most a few partitions' worth of rows.
     */
+  /** Split estimation is pure driver-side metadata — file count plus
+    * catalog size over `maxPartitionBytes` — NOT `df.rdd.getNumPartitions`,
+    * which would force a physical-plan conversion (and bypass AQE) at
+    * plan-construction time. Non-file-backed plans (in-memory relations,
+    * post-shuffle stages) pass through: their parallelism follows
+    * `spark.sql.shuffle.partitions` already. */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles.length
+    if (files == 0) return df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxPart = BigInt(spark.sessionState.conf.filesMaxPartitionBytes).max(BigInt(1))
+    val estSplits = BigInt(files).max(bytes / maxPart)
+    if (estSplits >= target) df else df.repartition(target)
   }
 }
