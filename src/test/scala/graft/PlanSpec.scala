@@ -69,6 +69,30 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("cosine_neardup_lsh: no cartesian product anywhere in the plan") {
+    // the registered near-dup query is the scale path: candidates come
+    // from bucket equi-joins only. (The quadratic ground truth lives
+    // under cosine_neardup_exact, by design.)
+    val nodes = collectAll(plan("cosine_neardup_lsh"))
+    assert(!nodes.exists(n => n.nodeName.contains("CartesianProduct") ||
+      n.nodeName.contains("BroadcastNestedLoopJoin")),
+      s"LSH near-dup plan degenerated to a cross join: ${nodes.map(_.nodeName).distinct}")
+  }
+
+  test("merge_source: no single-partition window in the flagship plan") {
+    // the per-key dedup window is fine (partitioned by main_refco); what
+    // must never appear is a WindowExec with an EMPTY partition spec — the
+    // old global-sort dim-id serialized the dim build onto one partition.
+    val globalWindows = collectAll(plan("merge_source")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"flagship plan sorts globally on one partition: $globalWindows")
+  }
+
   test("incremental_filter: watermark map is broadcast to the scan side") {
     val s = plan("incremental_filter").toString
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"),

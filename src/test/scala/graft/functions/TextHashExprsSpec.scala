@@ -54,6 +54,24 @@ class TextHashExprsSpec extends SparkSpecBase {
     assert(out(0) == 0L) // "" splits to [""] -> word value 0
   }
 
+  test("PortableHash: pinned reference values (the SQL oracles mirror these)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // Cross-validated against an independent SQL/HUGEINT implementation —
+    // a change here silently breaks every LSH oracle, so pin the bits.
+    def m(s: String) = PortableHash.mix64(UTF8String.fromString(s))
+    assert(m("hello") == 3767173640193804509L)
+    assert(m("a") == -5836808829438595943L) // 12609935244270955673 as signed
+    assert(m("") == 0L)
+    assert(m("the quick brown") == -2463379447589441768L)
+    assert(m("Ünïcode") == -7614929992301265699L) // codepoint-level, not byte
+    def p(s: String) = PortableHash.poly31Mod(UTF8String.fromString(s), 1000000007L)
+    assert(p("") == 0L)
+    assert(p("a") == 97L)
+    assert(p("ab") == 97L * 31 + 98) // 3105
+    // supplementary plane: one codepoint, not a surrogate pair
+    assert(p(new String(Character.toChars(0x1F600))) == 0x1F600L)
+  }
+
   test("SrpBucket: identical vectors share a bucket; dim mismatch is safe") {
     val out = Seq(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f), Seq(1f, 2f))
       .toDF("v")
