@@ -177,16 +177,18 @@ object SparkEntry {
     }),
 
     // P10: per-row error isolation — malformed rows land in the quarantine
-    // side output with their failed checks, the batch continues.
+    // side output with their failed checks (incl. the VECTOR(FLOAT, dim)
+    // width gate), the batch continues.
     "quarantine" -> ((s, dir) => {
       val src = Tables.embeddings(s, dir).select(
         col("vec_id"),
         when(col("vec_id") % 10 === 1, array().cast("array<float>"))
+          .when(col("vec_id") % 13 === 2, slice(col("embedding"), 1, 32))
           .when(col("vec_id") % 10 =!= 0, col("embedding")).as("embeddings"),
         when(col("vec_id") % 7 =!= 0,
           timestamp_micros(lit(1704067200000000L) + col("vec_id") * 1000000L))
           .as("timestamp"))
-      val (_, bad) = Extract.quarantine(src)
+      val (_, bad) = Extract.quarantine(src, dim = 64, enforceDim = true)
       bad.select(col("vec_id"), array_join(col("__errors"), ",").as("errors"))
     }),
 
@@ -598,9 +600,12 @@ object SparkEntry {
       """SELECT vec_id,
         |  concat_ws(',',
         |    CASE WHEN vec_id % 7 = 0 THEN 'null_timestamp' END,
-        |    CASE WHEN vec_id % 10 IN (0, 1) THEN 'empty_embedding' END) AS errors
+        |    CASE WHEN vec_id % 10 = 1
+        |           OR (vec_id % 10 = 0 AND vec_id % 13 <> 2) THEN 'empty_embedding' END,
+        |    CASE WHEN vec_id % 10 = 1 OR vec_id % 13 = 2 THEN 'bad_vector_dim' END)
+        |    AS errors
         |FROM embeddings
-        |WHERE vec_id % 7 = 0 OR vec_id % 10 IN (0, 1)""".stripMargin,
+        |WHERE vec_id % 7 = 0 OR vec_id % 10 IN (0, 1) OR vec_id % 13 = 2""".stripMargin,
 
     "display_name" ->
       """SELECT doc_id,

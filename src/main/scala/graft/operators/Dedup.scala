@@ -180,7 +180,8 @@ object Dedup {
   // --------------------------------------------------------------------
 
   /** Per-document MinHash signature (numHashes universal-hash permutations
-    * over xxhash64 shingle hashes) — a single native codegen'd expression
+    * over engine-portable [[graft.functions.PortableHash]] shingle
+    * hashes) — a single native codegen'd expression
     * ([[graft.functions.MinHashSig]]): one tight loop per row, no explode,
     * no extra shuffle, no interpreted lambda evals. */
   def withMinHashSignature(df: DataFrame, shinglesCol: String,
@@ -237,9 +238,10 @@ object Dedup {
   // SimHash
   // --------------------------------------------------------------------
 
-  /** 64-bit SimHash over word hashes — a single native codegen'd
-    * expression ([[graft.functions.SimHash64]]): for each bit j, sum +1/-1
-    * weighted by bit j of each word's xxhash64; sign becomes the signature
+  /** 64-bit SimHash over engine-portable word hashes — a single native
+    * codegen'd expression ([[graft.functions.SimHash64]]): for each bit j,
+    * sum +1/-1 weighted by bit j of each word's
+    * [[graft.functions.PortableHash.mix64]]; sign becomes the signature
     * bit. */
   def withSimHash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
     df.withColumn(out, graft.functions.F.simHash64(split(col(textCol), " ")))
