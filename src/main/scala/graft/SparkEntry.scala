@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Sessionize, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Decontaminate, Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Sessionize, Similarity, TextAnalysis, Upsert}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -283,6 +283,18 @@ object SparkEntry {
     "ngram_jaccard_prefix" -> ((s, dir) =>
       Dedup.ngramJaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text",
         blockCol = "source", n = 3, thresholdNum = 4, thresholdDen = 5)),
+
+    // Benchmark decontamination: per-doc count of n-grams shared with a
+    // held-out eval set (docs where doc_id % 50 == 0 stand in for the
+    // benchmark). The eval shingle set is broadcast — the corpus is never
+    // shuffled on text.
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+      val corpus = docs.where(pmod(col("doc_id"), lit(50)) =!= 0)
+      Decontaminate.flag(corpus, "doc_id", "text", bench, "text", n = 3)
+        .select("doc_id", "source", "n_overlap", "contaminated")
+    }),
 
     // MinHash-LSH near-dup pairs. The portable shingle hash + seed-derived
     // permutation coefficients make the signature (and so the band
@@ -709,6 +721,21 @@ object SparkEntry {
         |SELECT a_id, b_id,
         |  CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) AS jaccard
         |FROM p WHERE 10 * inter >= 1 * (a_n + b_n - inter)""".stripMargin,
+
+    "decontaminate" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+        |       FROM w),
+        |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 50 = 0),
+        |corp AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 50 <> 0),
+        |ov AS (SELECT doc_id, count(*) AS n_overlap
+        |       FROM corp JOIN bench USING (shingle) GROUP BY 1)
+        |SELECT d.doc_id, d.source,
+        |  coalesce(ov.n_overlap, 0) AS n_overlap,
+        |  coalesce(ov.n_overlap, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN ov USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0""".stripMargin,
 
     // ann_ivf probes every cell, so its result is exactly brute force —
     // same oracle as cosine_topk.
