@@ -310,17 +310,20 @@ object Dedup {
   def cosineNearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, planes: Int = 16, tables: Int = 2,
       seed: Long = 42L): DataFrame = {
-    val spreadEmb = Par.spread(emb)
-    val perTable = (0 until tables).map { t =>
-      val bucketed = withSrpBucket(spreadEmb, vecCol, planes, seed + t, dim)
-      val a = bucketed.select(col(idCol).as("a_id"), col(vecCol).as("a_v"), col("__bucket"))
-      val b = bucketed.select(col(idCol).as("b_id"), col(vecCol).as("b_v"), col("__bucket"))
-      a.join(b, "__bucket").where(col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "a_v", "b_v")
-    }
+    // ALL table buckets come from ONE projection over ONE scan (an array of
+    // per-table SrpBucket values, posexploded to (table, bucket) rows) —
+    // a per-table loop would rescan and re-shuffle the corpus `tables`
+    // times for hash values that cost nanoseconds to compute.
+    val bucketed = withSrpBuckets(Par.spread(emb), vecCol, planes, seed, dim, tables)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(col("__buckets")).as(Seq("__table", "__bucket")))
+    val a = bucketed.select(col("id").as("a_id"), col("v").as("a_v"),
+      col("__table"), col("__bucket"))
+    val b = bucketed.select(col("id").as("b_id"), col("v").as("b_v"),
+      col("__table"), col("__bucket"))
     // score before the cross-table dedup — the dedup exchange then moves
     // (a, b, cos) scalars instead of two vectors per candidate row.
-    perTable.reduce(_ unionByName _)
+    a.join(b, Seq("__table", "__bucket")).where(col("a_id") < col("b_id"))
       .withColumn("cos", graft.functions.F.cosineSim(col("a_v"), col("b_v")))
       .where(col("cos") >= threshold)
       .groupBy("a_id", "b_id").agg(max(col("cos")).as("cos"))
@@ -334,4 +337,13 @@ object Dedup {
       planes: Int, seed: Long, dim: Int): DataFrame =
     emb.withColumn("__bucket",
       graft.functions.F.srpBucket(col(vecCol), planes, seed, dim))
+
+  /** All `tables` independent SRP buckets as one array column `__buckets`
+    * (table t uses seed + t — identical buckets to `tables` separate
+    * [[withSrpBucket]] calls). One projection, one scan: multi-table LSH
+    * recall without multi-scan cost. */
+  private[operators] def withSrpBuckets(emb: DataFrame, vecCol: String,
+      planes: Int, seed: Long, dim: Int, tables: Int): DataFrame =
+    emb.withColumn("__buckets", array((0 until tables).map(t =>
+      graft.functions.F.srpBucket(col(vecCol), planes, seed + t, dim)): _*))
 }

@@ -56,20 +56,22 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       planes: Int = 16, tables: Int = 2, seed: Long = 42L): DataFrame = {
-    val spreadCorpus = Par.spread(corpus)
-    val perTable = (0 until tables).map { t =>
-      val qb = Dedup.withSrpBucket(queries, vecCol, planes, seed + t, dim)
-        .select(col(idCol).as("query_id"), col(vecCol).as("q_v"), col("__bucket"))
-      val cb = Dedup.withSrpBucket(spreadCorpus, vecCol, planes, seed + t, dim)
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"), col("__bucket"))
-      cb.join(broadcast(qb), "__bucket")
-        .where(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"), col("q_v"), col("c_v"))
-    }
+    // ONE corpus scan: every table's bucket comes from one projection (an
+    // array of per-table SrpBucket values, posexploded to (table, bucket)),
+    // and the broadcast bucket join runs once on (table, bucket). A
+    // per-table loop would rescan + re-bucket the corpus `tables` times —
+    // the scans are the cost at 100 TB, not the hashes.
+    def exploded(df: DataFrame, id: String, vec: String): DataFrame =
+      Dedup.withSrpBuckets(df, vecCol, planes, seed, dim, tables)
+        .select(col(idCol).as(id), col(vecCol).as(vec),
+          posexplode(col("__buckets")).as(Seq("__table", "__bucket")))
+    val qb = exploded(queries, "query_id", "q_v")
+    val cb = exploded(Par.spread(corpus), "neighbor_id", "c_v")
     // score BEFORE the cross-table dedup: cosine is map-side and identical
     // for a pair in every table, so max() dedups while the exchange moves
     // (query, neighbor, cos) scalars — not two vectors per candidate row.
-    val scored = perTable.reduce(_ unionByName _)
+    val scored = cb.join(broadcast(qb), Seq("__table", "__bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", F.cosineSim(col("q_v"), col("c_v")))
       .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     perQueryTopK(scored, k)

@@ -79,6 +79,31 @@ class PlanSpec extends SparkSpecBase {
       s"LSH near-dup plan degenerated to a cross join: ${nodes.map(_.nodeName).distinct}")
   }
 
+  test("ann_lsh: multi-table LSH scans the corpus exactly once") {
+    // all table buckets come from one projection + posexplode; a per-table
+    // loop would add one corpus scan per table. The query side sits under
+    // the broadcast exchange; the corpus side must be a single scan.
+    val nodes = collectAll(plan("ann_lsh"))
+    val broadcastScans = nodes
+      .filter(_.nodeName.contains("BroadcastExchange"))
+      .flatMap(e => collectAll(e))
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val allScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val corpusScans = allScans.size - broadcastScans.size
+    assert(corpusScans == 1,
+      s"expected 1 corpus-side scan, got $corpusScans (total ${allScans.size})")
+  }
+
+  test("cosine_neardup_lsh: one scan per self-join side, regardless of tables") {
+    // single-scan multi-table bucketing: 2 scans total (the self-join's two
+    // sides); the old per-table loop produced 2 x tables scans.
+    val scans = collectAll(plan("cosine_neardup_lsh")).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.size == 2,
+      s"expected 2 scans (self-join sides), got ${scans.size}")
+  }
+
   test("merge_source: no single-partition window in the flagship plan") {
     // the per-key dedup window is fine (partitioned by main_refco); what
     // must never appear is a WindowExec with an EMPTY partition spec — the
