@@ -62,10 +62,56 @@ object Upsert {
     joined.select(outCols.toIndexedSeq: _*)
   }
 
-  /** MERGE into a Parquet dataset with write-temp-then-swap atomicity
-    * (SURVEY.md §7.3): the new snapshot lands in `<path>.tmp-swap`, then the
-    * directories are renamed. A missing target behaves as an empty table
-    * (first run = pure insert). */
+  // ------------------------------------------------------------------
+  // Snapshot-pointer target layout (object-store-safe commit, SURVEY §7.3)
+  //
+  //   <targetPath>/_current            ← pointer file: name of live snapshot
+  //   <targetPath>/snap-000000000/     ← immutable Parquet snapshot dirs
+  //
+  // Directory rename is atomic on HDFS but COPY-based (and non-atomic) on
+  // S3/GCS — where a 100 TB target actually lives. The commit here never
+  // renames a directory: a new snapshot is fully written under a fresh
+  // name, then a tiny pointer FILE is replaced atomically (tmp file +
+  // FileContext rename-with-overwrite; on an object store this is one
+  // small PUT). A crash at ANY point leaves the pointer referencing the
+  // previous complete snapshot — readers never observe a torn table — and
+  // the orphan snapshot directory is clobbered/garbage-collected by the
+  // next successful run.
+  // ------------------------------------------------------------------
+
+  private def pointerPath(targetPath: String): Path = new Path(targetPath, "_current")
+
+  /** Name of the committed live snapshot directory under `targetPath`
+    * (e.g. `snap-000000003`), if a pointer has been published. */
+  def currentSnapshot(spark: SparkSession, targetPath: String): Option[String] = {
+    val p = pointerPath(targetPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Option(s).filter(_.nonEmpty)
+    }
+  }
+
+  /** Read the committed state of a merge target: resolves the `_current`
+    * pointer when present; otherwise reads `targetPath` directly (the
+    * hash-bucketed layout of [[mergeIntoHashBucketedParquet]], which has
+    * no pointer). */
+  def readTarget(spark: SparkSession, targetPath: String): DataFrame =
+    currentSnapshot(spark, targetPath) match {
+      case Some(snap) => spark.read.parquet(new Path(targetPath, snap).toString)
+      case None => spark.read.parquet(targetPath)
+    }
+
+  /** MERGE into a snapshot-pointer Parquet target. The merged result is
+    * written as a NEW snapshot directory, then the `_current` pointer file
+    * is atomically replaced — no directory rename anywhere on the commit
+    * path (see layout note above). A missing target behaves as an empty
+    * table (first run = pure insert). Older snapshots are deleted after a
+    * successful commit (retention 1; production would keep N for readers
+    * in flight / time travel). */
   def mergeIntoParquet(
       spark: SparkSession,
       targetPath: String,
@@ -74,38 +120,47 @@ object Upsert {
       insertOnlyCols: Set[String] = Set.empty,
       refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty,
       partitionBy: Seq[String] = Nil): Unit = {
-    val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Crash recovery: a failure between the two swap renames leaves no
-    // target but an intact .old-swap — restore it before reading. (On
-    // object stores rename is copy-based; a manifest/pointer indirection
-    // is the production-hardening path.)
-    locally {
-      val old = new Path(targetPath + ".old-swap")
-      if (!fs.exists(new Path(targetPath)) && fs.exists(old))
-        fs.rename(old, new Path(targetPath))
-    }
-    val exists = fs.exists(new Path(targetPath))
-    val target =
-      if (exists) spark.read.parquet(targetPath)
-      else {
+    val root = new Path(targetPath)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hadoopConf)
+    val current = currentSnapshot(spark, targetPath)
+    val target = current match {
+      case Some(snap) => spark.read.parquet(new Path(root, snap).toString)
+      case None =>
         val extra = updates.schema.fields.filterNot(f => refreshExprs.contains(f.name))
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(
             extra ++ refreshExprs.keys.map(k =>
               org.apache.spark.sql.types.StructField(k,
                 org.apache.spark.sql.types.TimestampType))))
-      }
+    }
     val merged = merge(target, updates, keys, insertOnlyCols, refreshExprs)
 
-    val tmp = new Path(targetPath + ".tmp-swap")
-    val old = new Path(targetPath + ".old-swap")
+    // Monotonic snapshot ids; a crashed attempt's orphan dir at the next id
+    // is simply overwritten by the retry (merge is idempotent).
+    val nextId = current.map(_.stripPrefix("snap-").toLong + 1).getOrElse(0L)
+    val snapName = f"snap-$nextId%09d"
     val writer = merged.write.mode("overwrite").option("compression", "snappy")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (exists) fs.rename(new Path(targetPath), old)
-    fs.rename(tmp, new Path(targetPath))
-    if (fs.exists(old)) fs.delete(old, true)
+      .parquet(new Path(root, snapName).toString)
+
+    // Publish: write the pointer beside the target, then rename-with-
+    // overwrite onto _current — a single-file atomic replace.
+    val tmp = new Path(root, s"_current.tmp-$nextId")
+    val out = fs.create(tmp, true)
+    try out.write(snapName.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, hadoopConf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(pointerPath(targetPath)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+
+    // GC: everything but the just-committed snapshot (incl. crashed runs'
+    // orphan dirs and stale pointer tmps).
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if ((st.isDirectory && n.startsWith("snap-") && n != snapName) ||
+          (!st.isDirectory && n.startsWith("_current.tmp-")))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** MERGE into a hash-bucket-partitioned Parquet dataset, rewriting ONLY

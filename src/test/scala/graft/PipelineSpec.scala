@@ -43,7 +43,7 @@ class PipelineSpec extends SparkSpecBase {
     val run1 = Pipeline.run(spark, conf)
     assert(run1.recordsProcessed == 3L)
     assert(run1.quarantined == 1L)
-    val t1 = spark.read.parquet(conf.targetPath)
+    val t1 = graft.operators.Upsert.readTarget(spark, conf.targetPath)
     assert(t1.count() == 2L) // r1 deduped to latest, r2_red
     assert(WatermarkStore.read(spark, conf.statePath) == Map(
       "s1" -> Timestamp.valueOf("2024-02-02 10:00:00"),
@@ -59,7 +59,7 @@ class PipelineSpec extends SparkSpecBase {
       .toDF(cols: _*).write.mode(SaveMode.Append).parquet(conf.sourcePath)
     val run3 = Pipeline.run(spark, conf)
     assert(run3.recordsProcessed == 1L)
-    val t3 = spark.read.parquet(conf.targetPath)
+    val t3 = graft.operators.Upsert.readTarget(spark, conf.targetPath)
     assert(t3.count() == 3L)
     assert(WatermarkStore.read(spark, conf.statePath)("s1") ==
       Timestamp.valueOf("2024-02-05 10:00:00"))
@@ -85,7 +85,7 @@ class PipelineSpec extends SparkSpecBase {
       .toDF(cols: _*).write.mode(SaveMode.Append).parquet(conf.sourcePath)
     Pipeline.run(spark, conf)
 
-    val t = spark.read.parquet(conf.targetPath)
+    val t = graft.operators.Upsert.readTarget(spark, conf.targetPath)
     assert(t.count() == 2L)
     assert(t.where($"main_refco" === "r1")
       .select("original_timestamp").as[String].head() == "2024-02-05T10:00:00")
@@ -121,7 +121,7 @@ class PipelineSpec extends SparkSpecBase {
     val stats = Pipeline.run(spark, conf)
     assert(stats.quarantined == 1L)
     assert(stats.recordsProcessed == 2L)
-    val t = spark.read.parquet(conf.targetPath)
+    val t = graft.operators.Upsert.readTarget(spark, conf.targetPath)
     val names = t.select("display_name").as[String].collect().toSet
     assert(names == Set("s1 (US)", "s2 (FR)")) // array takes head, scalar wraps
   }
@@ -141,7 +141,7 @@ class PipelineSpec extends SparkSpecBase {
 
     // reference run: one clean pass
     Pipeline.run(spark, conf("clean"))
-    val expected = spark.read.parquet(s"$dir/clean/target")
+    val expected = graft.operators.Upsert.readTarget(spark, s"$dir/clean/target")
       .select("main_refco", "original_timestamp")
       .as[(String, String)].collect().toSet
 
@@ -157,7 +157,7 @@ class PipelineSpec extends SparkSpecBase {
     val stats = RunPipeline.runWithRetries(spark, conf("flaky"), retries = 2, flaky)
     assert(attempts == 2)
     assert(stats.recordsProcessed == 0L) // attempt 2 was the F6 no-op rerun
-    val got = spark.read.parquet(s"$dir/flaky/target")
+    val got = graft.operators.Upsert.readTarget(spark, s"$dir/flaky/target")
       .select("main_refco", "original_timestamp")
       .as[(String, String)].collect().toSet
     assert(got == expected)
@@ -180,7 +180,7 @@ class PipelineSpec extends SparkSpecBase {
     val stats = Pipeline.run(spark, conf)
     assert(stats.quarantined == 1L)
     assert(stats.recordsProcessed == 1L)
-    val t = spark.read.parquet(conf.targetPath)
+    val t = graft.operators.Upsert.readTarget(spark, conf.targetPath)
     assert(t.select("main_refco").as[String].collect().toSeq == Seq("ok"))
   }
 }

@@ -62,15 +62,41 @@ class UpsertSpec extends SparkSpecBase {
     assert(once.collect().toSet == twice.collect().toSet)
   }
 
-  test("mergeIntoParquet: first run inserts, second merges, swap survives") {
+  test("mergeIntoParquet: first run inserts, second merges, pointer advances") {
     val dir = Files.createTempDirectory("graft-upsert").toString
     val path = s"$dir/table"
     val updates = Seq(("k1", 1L), ("k2", 2L)).toDF("key", "v")
     Upsert.mergeIntoParquet(spark, path, updates, Seq("key"))
-    assert(spark.read.parquet(path).count() == 2)
+    assert(Upsert.readTarget(spark, path).count() == 2)
+    assert(Upsert.currentSnapshot(spark, path).contains("snap-000000000"))
     val more = Seq(("k2", 22L), ("k3", 3L)).toDF("key", "v")
     Upsert.mergeIntoParquet(spark, path, more, Seq("key"))
-    val out = spark.read.parquet(path).as[(String, Long)].collect().toMap
+    val out = Upsert.readTarget(spark, path).as[(String, Long)].collect().toMap
     assert(out == Map("k1" -> 1L, "k2" -> 22L, "k3" -> 3L))
+    assert(Upsert.currentSnapshot(spark, path).contains("snap-000000001"))
+  }
+
+  test("mergeIntoParquet: crash before pointer publish never tears the table") {
+    val dir = Files.createTempDirectory("graft-upsert-crash").toString
+    val path = s"$dir/table"
+    Upsert.mergeIntoParquet(spark, path,
+      Seq(("k1", 1L), ("k2", 2L)).toDF("key", "v"), Seq("key"))
+
+    // Simulate a run that died AFTER fully writing its snapshot but BEFORE
+    // publishing the pointer: an orphan snap-000000001 with bogus content.
+    Seq(("junk", -1L)).toDF("key", "v").write
+      .parquet(s"$path/snap-000000001")
+    // Readers resolve the pointer — the orphan is invisible.
+    val seen = Upsert.readTarget(spark, path).as[(String, Long)].collect().toMap
+    assert(seen == Map("k1" -> 1L, "k2" -> 2L))
+
+    // The retry overwrites the orphan dir, publishes, and GCs old snapshots.
+    Upsert.mergeIntoParquet(spark, path,
+      Seq(("k2", 22L), ("k3", 3L)).toDF("key", "v"), Seq("key"))
+    val out = Upsert.readTarget(spark, path).as[(String, Long)].collect().toMap
+    assert(out == Map("k1" -> 1L, "k2" -> 22L, "k3" -> 3L))
+    val snaps = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("snap-")).toSet
+    assert(snaps == Set("snap-000000001"), s"GC left: $snaps")
   }
 }

@@ -47,7 +47,7 @@ class IncrementalStreamSpec extends SparkSpecBase {
 
     IncrementalStream.start(spark, src, target, ckpt).awaitTermination()
 
-    val after1 = spark.read.parquet(target)
+    val after1 = graft.operators.Upsert.readTarget(spark, target)
       .select("main_refco", "category").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     // keep-latest dedup within the batch: key "a" took the newer category
@@ -63,7 +63,7 @@ class IncrementalStreamSpec extends SparkSpecBase {
 
     IncrementalStream.start(spark, src, target, ckpt).awaitTermination()
 
-    val after2 = spark.read.parquet(target)
+    val after2 = graft.operators.Upsert.readTarget(spark, target)
       .select("main_refco", "category", "original_timestamp").collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
     assert(after2.keySet == Set("a", "b_red", "c"))
