@@ -78,4 +78,80 @@ object Ivf {
       .select("query_id", "neighbor_id", "cos")
     Similarity.perQueryTopK(scored, k)
   }
+
+  // ------------------------------------------------------------------
+  // Persisted IVF index: build once / probe many. At 100 TB the index
+  // build is a JOB, not a query prelude — centroids and cell assignments
+  // live as tables and are maintained incrementally as the corpus grows.
+  //
+  //   <indexPath>/centroids/   (cell INT, centroid ARRAY<DOUBLE>) — nlist rows
+  //   <indexPath>/cells/       corpus rows + __cell, partitionBy(__cell)
+  //
+  // Probes read ONLY the probed cells' directories (partition pruning on
+  // the literal probed-cell list), so a probe touches ~nprobe/nlist of the
+  // stored corpus; incremental adds assign against the FROZEN centroids
+  // and append only the new rows' partitions.
+  // ------------------------------------------------------------------
+
+  /** Train on `trainOn` (pass a sample at scale) and persist centroids +
+    * full-corpus cell assignments under `indexPath`. */
+  def buildIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      corpus: DataFrame, trainOn: DataFrame, nlist: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = trainCentroids(trainOn, vecCol, nlist, iters, idCol)
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    appendCells(spark, indexPath, corpus, idCol, vecCol, overwrite = true)
+  }
+
+  /** The persisted centroid table, cell-ordered — O(nlist × dim) driver
+    * metadata, like a broadcast dimension. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$indexPath/centroids").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+
+  /** Incrementally index new vectors WITHOUT retraining: assign against
+    * the stored centroids and append — the merge-path maintenance hook.
+    * (Standard IVF practice: centroids drift slowly; retrain is a periodic
+    * offline job, not a per-batch one.) */
+  def addToIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      vectors: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    appendCells(spark, indexPath, vectors, idCol, vecCol, overwrite = false)
+
+  private def appendCells(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, vectors: DataFrame, idCol: String, vecCol: String,
+      overwrite: Boolean): Unit = {
+    val centroids = loadCentroids(spark, indexPath)
+    Par.spread(vectors)
+      .withColumn("__cell",
+        element_at(F.nearestCentroids(col(vecCol), centroids, 1), 1))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .option("compression", "snappy")
+      .partitionBy("__cell").parquet(s"$indexPath/cells")
+  }
+
+  /** ANN top-k over a persisted index — same output contract as
+    * [[ivfTopK]], but the corpus side is the stored cell table pruned to
+    * the probed cells (the driver collects at most nlist cell ids from the
+    * small broadcast query side — O(config), not data). */
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = loadCentroids(spark, indexPath)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"),
+      explode(F.nearestCentroids(col(vecCol), centroids, nprobe)).as("__cell"))
+    val probed = q.select("__cell").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(s"$indexPath/cells")
+      .where(col("__cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"), col("__cell"))
+    val scored = c.join(broadcast(q), "__cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", F.cosineSim(col("q_v"), col("c_v")))
+      .select("query_id", "neighbor_id", "cos")
+    Similarity.perQueryTopK(scored, k)
+  }
 }

@@ -38,6 +38,31 @@ class IvfSpec extends SparkSpecBase {
     assert(ranks.sameElements(ranks.sorted(Ordering[Double].reverse)))
   }
 
+  test("persisted index: incremental add without retrain; probe stays exact") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    val base = emb.where(col("vec_id") < 400)
+    val rest = emb.where(col("vec_id") >= 400)
+    Ivf.buildIndex(spark, idx, base, trainOn = base, nlist = 4, iters = 1)
+    val frozen = Ivf.loadCentroids(spark, idx)
+
+    // merge-path maintenance: new vectors are assigned against the FROZEN
+    // centroids and appended — no retrain, no rewrite of existing cells.
+    Ivf.addToIndex(spark, idx, rest)
+    assert(Ivf.loadCentroids(spark, idx) == frozen, "add retrained centroids")
+    assert(spark.read.parquet(s"$idx/cells").count() == emb.count())
+
+    // nprobe == nlist probe over the grown index is exactly brute force
+    // over the full corpus — added vectors are first-class index members.
+    val queries = emb.where(col("vec_id") < 5)
+    val viaIndex = Ivf.probeIndex(spark, idx, queries, k = 3, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaIndex == brute)
+  }
+
   test("trainer is deterministic") {
     val a = Ivf.trainCentroids(emb, "embedding", nlist = 4, iters = 2)
     val b = Ivf.trainCentroids(emb, "embedding", nlist = 4, iters = 2)
