@@ -29,18 +29,32 @@ object Graph {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
     labels.count() // materialize before the loop re-reads it
+    val labelType = labels.schema("label").dataType
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
       val prop = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("label"))
+      // The convergence check rides the SAME job that materializes the
+      // round: the old label travels through the aggregate (labels
+      // contributes exactly one non-null __old row per id) and an
+      // Observation counts label changes while the eager localCheckpoint
+      // executes — no separate join+count job per round.
+      val obs = org.apache.spark.sql.Observation(s"cc-changed-$i")
       // localCheckpoint truncates the lineage: each round references the
       // previous frame twice, so without it the logical plan doubles per
       // round and plan processing blows up exponentially.
-      val next = labels.unionByName(prop)
-        .groupBy("id").agg(min("label").as("label")).localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "__old"), "id")
-        .where(col("label") =!= col("__old")).count()
+      val next = labels.withColumn("__old", col("label"))
+        .unionByName(prop.withColumn("__old", lit(null).cast(labelType)))
+        .groupBy("id").agg(min("label").as("label"), max("__old").as("__old"))
+        .observe(obs,
+          sum(when(col("label") =!= col("__old"), 1L).otherwise(0L)).as("changed"))
+        .drop("__old")
+        .localCheckpoint()
+      changed = obs.get("changed") match {
+        case n: Long => n
+        case null => 0L
+      }
       labels.unpersist()
       labels = next
       i += 1

@@ -19,6 +19,30 @@ class GraphSpec extends SparkSpecBase {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("one job per propagation round — convergence rides the checkpoint") {
+    val sc = spark.sparkContext
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // AQE splits a query into per-stage jobs, which would make the count
+    // nondeterministic; the job-shape property under test is AQE-independent.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("cc-jobcount", "cc job count probe")
+    try {
+      val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+      Graph.connectedComponents(edges, "a", "b") // converges eagerly (4 rounds)
+    } finally {
+      sc.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    def jobCount = sc.statusTracker.getJobIdsForGroup("cc-jobcount").length
+    var last = -1; var cur = jobCount
+    while (cur != last) { Thread.sleep(200); last = cur; cur = jobCount }
+    // 1 setup job + 2 per round (the label-broadcast exchange job and the
+    // checkpoint job, whose Observation carries the changed-count) = 9.
+    // The old separate join+count added its own scan + broadcast job per
+    // round (>= 13 on this graph).
+    assert(cur <= 9, s"expected <= 9 jobs (setup + 4 rounds x 2), got $cur")
+  }
+
   test("large-star/small-star matches min-label on a long chain") {
     // a 30-node chain: diameter 29 — the shape that punishes min-label
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
