@@ -12,11 +12,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Re-expresses the reference's `unidecode(...)` call inside
   * `mimic_utf8_general_ci` (reference `embeddings-pipeline.py:63-72`): NFD
-  * decomposition + combining-mark strip (covers Latin accents) plus a small
-  * direct map for Latin letters that do not decompose (ß, Ø, Æ, …). Full
-  * `unidecode` parity (CJK → pinyin etc.) would need its mapping table;
-  * divergence documented in SURVEY.md §7.4. Codegen-enabled so it stays
-  * inside whole-stage codegen on the hot path.
+  * decomposition + combining-mark strip (covers Latin accents) plus a
+  * direct map for Latin letters that do not decompose — the Latin-1 set
+  * (ß, Ø, Æ, …) hand-typed, the full Latin-Extended-A/B + IPA blocks
+  * derived from the JDK's Unicode tables (see `derived`). Output is pure
+  * ASCII by construction (property-tested). Full `unidecode` parity
+  * (CJK → pinyin etc.) would need its mapping table; divergence documented
+  * in SURVEY.md §7.4. Codegen-enabled so it stays inside whole-stage
+  * codegen on the hot path.
   */
 case class AsciiFold(child: Expression) extends UnaryExpression {
 
@@ -43,12 +46,58 @@ case class AsciiFold(child: Expression) extends UnaryExpression {
 }
 
 object AsciiFold {
-  private val direct: Map[Char, String] = Map(
+  private val manual: Map[Char, String] = Map(
     'Æ' -> "AE", 'æ' -> "ae", 'Ø' -> "O", 'ø' -> "o",
     'Đ' -> "D", 'đ' -> "d", 'Ð' -> "D", 'ð' -> "d",
     'ß' -> "ss", 'Þ' -> "TH", 'þ' -> "th",
     'Œ' -> "OE", 'œ' -> "oe", 'Ł' -> "L", 'ł' -> "l",
-    'ı' -> "i", 'Ħ' -> "H", 'ħ' -> "h", 'Ŧ' -> "T", 'ŧ' -> "t")
+    'ı' -> "i", 'Ħ' -> "H", 'ħ' -> "h", 'Ŧ' -> "T", 'ŧ' -> "t",
+    'ĸ' -> "k", 'ŉ' -> "n", 'Ŋ' -> "NG", 'ŋ' -> "ng")
+
+  private def stripMarks(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (Character.getType(s.charAt(i)) != Character.NON_SPACING_MARK)
+        sb.append(s.charAt(i))
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def isAsciiNonEmpty(s: String): Boolean =
+    s.nonEmpty && s.forall(_ < 128)
+
+  /** Latin Extended-A/B + IPA Extensions (U+0100–U+02AF) letters that
+    * survive NFD with no
+    * ASCII base — folded via (a) NFKD compatibility decomposition (long s,
+    * the DZ/LJ/NJ digraphs, ŀ) or (b) the base letter named in the Unicode
+    * character name ("LATIN CAPITAL LETTER B WITH HOOK" → "B") —
+    * unidecode's convention, derived from the JDK's Unicode tables instead
+    * of a hand-typed table, so the full block is covered. Letters with no
+    * Latin base (tone letters, clicks, ezh…) stay unmapped and are dropped
+    * by [[fold]], like unidecode's unmappable codepoints. */
+  private val derived: Map[Char, String] = {
+    val namePat = "LATIN (CAPITAL|SMALL) LETTER ([A-Z]{1,2})( WITH .+)?".r
+    (0x0100 to 0x02AF).flatMap { cp =>
+      val ch = cp.toChar
+      val viaNfd =
+        stripMarks(Normalizer.normalize(ch.toString, Normalizer.Form.NFD))
+      if (isAsciiNonEmpty(viaNfd)) None // fold's NFD path already covers it
+      else {
+        val viaNfkd =
+          stripMarks(Normalizer.normalize(ch.toString, Normalizer.Form.NFKD))
+        if (isAsciiNonEmpty(viaNfkd)) Some(ch -> viaNfkd)
+        else Option(Character.getName(cp)).collect {
+          case namePat(kase, base, _) =>
+            ch -> (if (kase == "SMALL") base.toLowerCase(java.util.Locale.ROOT)
+                   else base)
+        }
+      }
+    }.toMap
+  }
+
+  private val direct: Map[Char, String] = derived ++ manual
 
   /** ASCII-fold a string: NFD + strip combining marks + direct map.
     * Non-decomposable non-ASCII characters are dropped (matching

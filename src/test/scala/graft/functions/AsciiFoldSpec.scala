@@ -27,6 +27,40 @@ class AsciiFoldSpec extends SparkSpecBase {
     assert(AsciiFold.fold("a中b") == "ab")
   }
 
+  test("fold: full Latin-Extended-A coverage — every letter folds to ASCII") {
+    (0x0100 to 0x017F).foreach { cp =>
+      val out = AsciiFold.fold(cp.toChar.toString)
+      assert(out.nonEmpty && out.forall(_ < 128),
+        f"U+$cp%04X '${cp.toChar}' folded to '$out'")
+    }
+  }
+
+  test("fold: Latin-Extended-B hooks, digraphs, and long s") {
+    assert(AsciiFold.fold("Ɓƈɗ") == "Bcd")   // hook letters (name-derived)
+    assert(AsciiFold.fold("Ǆǅǆ") == "DZDzdz") // digraphs (NFKD-derived)
+    assert(AsciiFold.fold("ǉǌ") == "ljnj")
+    assert(AsciiFold.fold("ſ") == "s")        // long s (NFKD)
+    assert(AsciiFold.fold("Ɗʼn") == "Dn")
+    assert(AsciiFold.fold("Ƙƙ") == "Kk")
+    assert(AsciiFold.fold("Ơơư") == "Oou")    // horn accents via plain NFD
+  }
+
+  test("property: fold output is always pure ASCII") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // bias toward the interesting planes: Latin-1/Ext-A/Ext-B + arbitrary
+    val charGen = Gen.frequency(
+      3 -> Gen.choose(0x20.toChar, 0x7E.toChar),
+      3 -> Gen.choose(0xC0.toChar, 0x24F.toChar),
+      1 -> org.scalacheck.Arbitrary.arbitrary[Char])
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    val prop = Prop.forAll(strGen) { s =>
+      AsciiFold.fold(s).forall(_ < 128)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("normalizeKey matches the reference transform end-to-end") {
     import spark.implicits._
     val df = Seq("Café.Güell$ ", "A.B$C  ", "ok").toDF("s")
