@@ -15,9 +15,19 @@ import graft.operators.{Dedup, Extract, Upsert}
 object IncrementalStream {
 
   /** Start the streaming upsert. Each micro-batch runs
-    * filter → transform → dedup → merge, identical to the batch path. */
+    * filter → transform → dedup → merge, identical to the batch path.
+    *
+    * @param nearDupTextCol when set, each batch is additionally filtered
+    *   against the ACCUMULATED target (not just within the batch): rows
+    *   whose text is a MinHash-LSH near-duplicate of an already-merged row
+    *   under a different key are dropped before the merge. Candidate
+    *   generation is the bucketed LSH join — never a batch × target
+    *   cartesian — so the cost scales with colliding buckets, and the
+    *   check survives restarts because the target itself is the state.
+    */
   def start(spark: SparkSession, sourceDir: String, targetPath: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, nearDupTextCol: Option[String] = None,
+      nearDupThreshold: Double = 0.8, nearDupShingle: Int = 3): StreamingQuery = {
     val docs = spark.readStream
       .schema(graft.schema.Schemas.sourceDoc)
       .parquet(sourceDir)
@@ -29,14 +39,50 @@ object IncrementalStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val deduped = Dedup.latestPerKey(batch, Seq("main_refco"),
+        val s = batch.sparkSession
+        val within = Dedup.latestPerKey(batch, Seq("main_refco"),
           Seq(col("original_timestamp").desc))
-        Upsert.mergeIntoParquet(batch.sparkSession, targetPath, deduped,
+        val deduped = nearDupTextCol match {
+          case Some(tc) =>
+            val tgt = Upsert.currentSnapshot(s, targetPath)
+              .map(_ => Upsert.readTarget(s, targetPath))
+            dropNearDups(within, tgt, tc, nearDupThreshold, nearDupShingle)
+          case None => within
+        }
+        Upsert.mergeIntoParquet(s, targetPath, deduped,
           keys = Seq("main_refco"),
           insertOnlyCols = Set("cleaned_ref"),
           refreshExprs = Map("embedding_inserted_at" -> current_timestamp()))
       }
       .start()
+  }
+
+  /** Drop batch rows whose `textCol` is a MinHash-LSH near-duplicate
+    * (Jaccard >= threshold) of a target row or of a smaller-keyed batch
+    * row. Same-key pairs are exempt: an update to an existing key is the
+    * merge's job, not a duplicate. */
+  private[streaming] def dropNearDups(batch: DataFrame,
+      target: Option[DataFrame], textCol: String, threshold: Double,
+      n: Int): DataFrame = {
+    val tag = (origin: String, df: DataFrame) => df.select(
+      concat(lit(origin), col("main_refco")).as("__id"),
+      col(textCol).as("__text"))
+    val all = target.foldLeft(tag("b:", batch))((acc, t) =>
+      acc.unionByName(tag("t:", t)))
+    val pairs = Dedup.minHashLshPairs(all, "__id", "__text",
+      n = n, threshold = threshold)
+    val key = (c: org.apache.spark.sql.Column) => regexp_replace(c, "^[bt]:", "")
+    // "b:" < "t:", so a batch-vs-target pair always has the batch row as
+    // a_id; batch-vs-batch keeps the smaller key; target-internal pairs
+    // fall out of the startsWith filter.
+    val drops = pairs
+      .where(key(col("a_id")) =!= key(col("b_id")))
+      .select(when(col("b_id").startsWith("t:"), col("a_id"))
+        .otherwise(col("b_id")).as("__drop"))
+      .where(col("__drop").startsWith("b:"))
+      .select(regexp_replace(col("__drop"), "^b:", "").as("main_refco"))
+      .distinct()
+    batch.join(drops, Seq("main_refco"), "left_anti")
   }
 
   /** Streaming exact dedup with BOUNDED state: re-deliveries of the same

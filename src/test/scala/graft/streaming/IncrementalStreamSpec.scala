@@ -72,6 +72,58 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(after2("b_red")._1 == "c3") // untouched row survives
   }
 
+  test("near-dup in batch 2 of a restarted stream is dropped vs the target") {
+    val src = tmp("neardup-src"); val ckpt = tmp("neardup-ckpt")
+    val target = tmp("neardup-target") + "/out"
+    val run = () => IncrementalStream.start(spark, src, target, ckpt,
+      nearDupTextCol = Some("cleaned_ref"), nearDupShingle = 1)
+      .awaitTermination()
+
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-01 10:00:00", Seq(1f, 2f),
+        "alpha beta gamma delta epsilon", "", "c1")), "batch0")
+    run()
+
+    // Restarted stream, new batch: one near-duplicate of the ALREADY-MERGED
+    // row under a different key (unigram Jaccard 5/6 >= 0.8), one novel row.
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-02 10:00:00", Seq(3f, 4f),
+        "alpha beta gamma delta epsilon zeta", "", "c2"),
+      doc("s1", "2024-01-02 11:00:00", Seq(5f, 6f),
+        "totally different thing", "", "c3")), "batch1")
+    run()
+
+    val keys = graft.operators.Upsert.readTarget(spark, target)
+      .select("main_refco", "category").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(keys == Map(
+      "alpha beta gamma delta epsilon" -> "c1",
+      "totally different thing" -> "c3"), keys.toString)
+  }
+
+  test("near-dup filter exempts same-key updates") {
+    val src = tmp("samekey-src"); val ckpt = tmp("samekey-ckpt")
+    val target = tmp("samekey-target") + "/out"
+    val run = () => IncrementalStream.start(spark, src, target, ckpt,
+      nearDupTextCol = Some("cleaned_ref"), nearDupShingle = 1)
+      .awaitTermination()
+
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-01 10:00:00", Seq(1f, 2f),
+        "alpha beta gamma delta epsilon", "", "c1")), "batch0")
+    run()
+    // identical text = identical key: that is an UPDATE, not a duplicate
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-02 10:00:00", Seq(3f, 4f),
+        "alpha beta gamma delta epsilon", "", "c9")), "batch1")
+    run()
+
+    val keys = graft.operators.Upsert.readTarget(spark, target)
+      .select("main_refco", "category").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(keys == Map("alpha beta gamma delta epsilon" -> "c9"), keys.toString)
+  }
+
   test("streaming dedup within watermark drops cross-batch re-deliveries") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
