@@ -56,7 +56,15 @@ object Pipeline {
         * or `"json"` (schema-on-read over schemaless documents via
         * [[graft.sources.DocumentSource]]; malformed lines are
         * quarantine-counted as `malformed_json`). */
-      sourceFormat: String = "parquet")
+      sourceFormat: String = "parquet",
+      /** When set, the run maintains a persisted IVF ANN index over the
+        * target's vectors ([[graft.operators.Ivf]]): the first batch
+        * builds it (training on the batch), later batches are assigned
+        * against the frozen centroids and appended — the index build is a
+        * job, not a query prelude, and probes stay available between
+        * runs. */
+      ivfIndexPath: Option[String] = None,
+      ivfNlist: Int = 16)
 
   case class RunStats(
       recordsProcessed: Long,
@@ -159,6 +167,21 @@ object Pipeline {
         insertOnlyCols = Set("cleaned_ref"),
         refreshExprs = Map("embedding_inserted_at" -> current_timestamp()))
     val uniqueRecords = unique.get("n").asInstanceOf[Long]
+
+    // Incremental ANN index maintenance: assign ONLY this batch's vectors
+    // (against frozen centroids after the first run) — never a rebuild.
+    conf.ivfIndexPath.foreach { idx =>
+      val vecs = withDim.select(col("main_refco"), col("embedding_vector"))
+      if (new Path(s"$idx/centroids").getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+          .exists(new Path(s"$idx/centroids")))
+        graft.operators.Ivf.addToIndex(spark, idx, vecs,
+          idCol = "main_refco", vecCol = "embedding_vector")
+      else
+        graft.operators.Ivf.buildIndex(spark, idx, vecs, trainOn = vecs,
+          nlist = conf.ivfNlist, iters = 1,
+          idCol = "main_refco", vecCol = "embedding_vector")
+    }
 
     // A2/A4: advance watermarks from the staged batch — only after merge
     val maxima = staged

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling profiler (SURVEY §6): derives a 5× corpus (sf0.5) from sf0.1
+  * into /tmp (testdata is read-only) and measures how the most expensive
+  * registered queries scale, reporting the exponent
+  * `log(t_sf0.5 / t_sf0.1) / log 5` per query.
+  *
+  * Replicas are made DISJOINT, not cloned — cloning would manufacture
+  * quadratic near-dup pair blowups that say nothing about scaling shape:
+  * documents get every word suffixed `_i` (within-replica shingle
+  * structure identical, cross-replica Jaccard 0), embeddings get a
+  * per-(replica, dim) deterministic sign flip (within-replica geometry
+  * preserved, cross-replica cosine decorrelated), events/users and
+  * lineitem orders get shifted key ranges.
+  */
+object ScaleProfile {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val out = "/tmp/scale/sf0.5"
+    val reps = 5
+
+    def replicate(build: Int => DataFrame, path: String): Unit =
+      (0 until reps).map(build).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(path)
+
+    if (!new java.io.File(s"$out/lineitem.parquet").isDirectory) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      replicate(i => docs
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+        .withColumn("text", if (i == 0) col("text")
+          else concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(w, lit("_" + i))))),
+        s"$out/documents.parquet")
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      replicate(i => emb
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L))
+        .withColumn("embedding", if (i == 0) col("embedding")
+          else transform(col("embedding"), (x, j) =>
+            (x * (pmod(xxhash64(lit(i), j), lit(2)) * 2 - 1)).cast("float"))),
+        s"$out/embeddings.parquet")
+      // events.ts is INT64 nanos under the legacy flag; keep it a raw long
+      // so Tables.events' `ts div 1000` conversion applies unchanged.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      replicate(i => ev
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 100000L)),
+        s"$out/events.parquet")
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      replicate(i => li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 10000000L)),
+        s"$out/lineitem.parquet")
+      System.err.println("[scale] derived sf0.5")
+    }
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median3(f: => Double): Double = (1 to 3).map(_ => f).sorted.apply(1)
+
+    val qs = Seq("ngram_jaccard_prefix", "simhash_pairs", "connected_components",
+      "cosine_neardup_lsh", "ann_lsh", "ann_ivf", "sessionize", "rollup_agg")
+    qs.foreach(q => time(q, src)) // warmup: codegen + JIT
+    qs.foreach(q => time(q, out))
+    qs.foreach { q =>
+      val t1 = median3(time(q, src))
+      val t5 = median3(time(q, out))
+      val expn = math.log(t5 / t1) / math.log(5.0)
+      println(f"SCALE $q%-24s sf0.1=$t1%6.2f s  sf0.5=$t5%6.2f s  exponent=$expn%5.2f")
+    }
+
+    // The LSH near-dup knob: planes must track log2(n) to hold bucket
+    // occupancy (and thus within-bucket quadratic pairing) constant.
+    // planes=4 is sized for the sf correctness corpus; at 5x, planes=7
+    // restores sf0.1-level occupancy.
+    def lshPlanes(dir: String, planes: Int): Double = {
+      val t0 = System.nanoTime()
+      operators.Dedup.cosineNearDupPairsLsh(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", threshold = 0.4, dim = 64,
+        planes = planes, tables = 4)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    lshPlanes(out, 7)
+    val tp = median3(lshPlanes(out, 7))
+    println(f"SCALE cosine_neardup_lsh sf0.5 with occupancy-matched planes=7: $tp%6.2f s")
+    spark.stop()
+  }
+}

@@ -47,8 +47,10 @@ object Ivf {
     def toTable(m: Map[Int, Seq[Double]], prev: Int => Seq[Double]): Seq[Seq[Double]] =
       (0 until nlist).map(c => m.getOrElse(c, prev(c)))
 
+    // hash-based init so any id type (numeric or string key) seeds cells
     val init = means(
-      spread.withColumn("__cell", pmod(col(idCol), lit(nlist)).cast("int")))
+      spread.withColumn("__cell",
+        pmod(xxhash64(col(idCol)), lit(nlist)).cast("int")))
     val dim = init.values.headOption.map(_.size).getOrElse(0)
     var centroids = toTable(init, _ => Seq.fill(dim)(0.0))
     var it = 0

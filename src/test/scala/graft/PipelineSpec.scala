@@ -21,6 +21,34 @@ class PipelineSpec extends SparkSpecBase {
   private val cols = Seq("source", "timestamp", "embeddings", "cleaned_ref",
     "color", "category", "country", "embeddings_type", "for_matching")
 
+  test("pipeline maintains a persisted IVF index incrementally") {
+    val dir = Files.createTempDirectory("graft-pipe-ivf").toString
+    val conf = Pipeline.Config(
+      sourcePath = s"$dir/source",
+      targetPath = s"$dir/target",
+      statePath = s"$dir/state.json",
+      stagingPath = s"$dir/staging",
+      vectorDim = 2,
+      ivfIndexPath = Some(s"$dir/ivf"), ivfNlist = 2)
+
+    Seq(
+      doc("s1", "2024-02-01 10:00:00", "r1", "", Seq(1f, 2f)),
+      doc("s2", "2024-02-01 11:00:00", "r2", "red", Seq(5f, 1f))
+    ).toDF(cols: _*).write.mode(SaveMode.Overwrite).parquet(conf.sourcePath)
+    Pipeline.run(spark, conf)
+    val frozen = graft.operators.Ivf.loadCentroids(spark, s"$dir/ivf")
+    assert(frozen.size == 2)
+
+    // second batch: a new key appends against the FROZEN centroids
+    Seq(doc("s1", "2024-03-01 10:00:00", "r3", "", Seq(0f, 3f)))
+      .toDF(cols: _*).write.mode(SaveMode.Overwrite).parquet(conf.sourcePath)
+    Pipeline.run(spark, conf)
+    assert(graft.operators.Ivf.loadCentroids(spark, s"$dir/ivf") == frozen,
+      "incremental run retrained the index")
+    val cells = spark.read.parquet(s"$dir/ivf/cells")
+    assert(cells.select("main_refco").distinct().count() == 3)
+  }
+
   test("backfill, empty-run short-circuit, incremental advance") {
     val dir = Files.createTempDirectory("graft-pipe").toString
     val conf = Pipeline.Config(
