@@ -104,6 +104,15 @@ class PlanSpec extends SparkSpecBase {
       s"expected 2 scans (self-join sides), got ${scans.size}")
   }
 
+  test("ann_ivf: probe prunes the cell table to the probed partitions") {
+    // the persisted index's cell table is partitioned by __cell; the probe
+    // must reach it as a partition filter (directory pruning), not a
+    // post-scan predicate.
+    val s = plan("ann_ivf").toString
+    assert("PartitionFilters: \\[[^\\]]*__cell".r.findFirstIn(s).isDefined,
+      s"probe scan has no __cell partition filter:\n$s")
+  }
+
   test("merge_source: no single-partition window in the flagship plan") {
     // the per-key dedup window is fine (partitioned by main_refco); what
     // must never appear is a WindowExec with an EMPTY partition spec — the
