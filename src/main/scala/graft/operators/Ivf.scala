@@ -136,6 +136,28 @@ object Ivf {
       .partitionBy("__cell").parquet(s"$indexPath/cells")
   }
 
+  /** Compact the cell table: every incremental [[addToIndex]] appends its
+    * own files into each touched `__cell` partition, so a long-running
+    * index accumulates small files (the classic streaming-ingest tax —
+    * probe scan cost becomes file-count-bound instead of byte-bound).
+    * Rewrites the cells hash-clustered so each cell lands in one task →
+    * one file per cell directory. A maintenance JOB, like the periodic
+    * centroid retrain: run it without concurrent probes (or place the
+    * index behind the same snapshot-pointer commit as merge targets). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    val tmp = s"$indexPath/cells-compact-tmp"
+    cells.repartition(col("__cell"))
+      .write.mode("overwrite").option("compression", "snappy")
+      .partitionBy("__cell").parquet(tmp)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/cells"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$indexPath/cells"))
+  }
+
   /** ANN top-k over a persisted index — same output contract as
     * [[ivfTopK]], but the corpus side is the stored cell table pruned to
     * the probed cells (the driver collects at most nlist cell ids from the

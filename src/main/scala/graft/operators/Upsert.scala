@@ -109,9 +109,12 @@ object Upsert {
     * written as a NEW snapshot directory, then the `_current` pointer file
     * is atomically replaced — no directory rename anywhere on the commit
     * path (see layout note above). A missing target behaves as an empty
-    * table (first run = pure insert). Older snapshots are deleted after a
-    * successful commit (retention 1; production would keep N for readers
-    * in flight / time travel). */
+    * table (first run = pure insert).
+    *
+    * @param keepSnapshots snapshot dirs retained after a successful commit
+    *   (>= 1; the live one counts). Retention > 1 keeps recent snapshots
+    *   readable for in-flight readers and time travel — resolve an old one
+    *   with [[snapshots]] — at the cost of their storage. */
   def mergeIntoParquet(
       spark: SparkSession,
       targetPath: String,
@@ -119,7 +122,9 @@ object Upsert {
       keys: Seq[String],
       insertOnlyCols: Set[String] = Set.empty,
       refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      keepSnapshots: Int = 1): Unit = {
+    require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
     val root = new Path(targetPath)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(hadoopConf)
@@ -153,14 +158,29 @@ object Upsert {
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(pointerPath(targetPath)),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
 
-    // GC: everything but the just-committed snapshot (incl. crashed runs'
-    // orphan dirs and stale pointer tmps).
+    // GC: keep the newest `keepSnapshots` snapshot dirs (the committed one
+    // is the newest by construction); delete older ones, crashed runs'
+    // future-id orphans, and stale pointer tmps.
+    val retained = (nextId - keepSnapshots + 1) to nextId
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if ((st.isDirectory && n.startsWith("snap-") && n != snapName) ||
-          (!st.isDirectory && n.startsWith("_current.tmp-")))
+      val staleSnap = st.isDirectory && n.startsWith("snap-") &&
+        !retained.contains(n.stripPrefix("snap-").toLong)
+      if (staleSnap || (!st.isDirectory && n.startsWith("_current.tmp-")))
         fs.delete(st.getPath, true)
     }
+  }
+
+  /** Snapshot dir names currently on disk under a merge target, oldest
+    * first — read one directly for time travel:
+    * `spark.read.parquet(s"$target/$snap")`. */
+  def snapshots(spark: SparkSession, targetPath: String): Seq[String] = {
+    val root = new Path(targetPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap-"))
+      .map(_.getPath.getName).sorted
   }
 
   /** MERGE into a hash-bucket-partitioned Parquet dataset, rewriting ONLY

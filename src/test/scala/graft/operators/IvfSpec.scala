@@ -63,6 +63,32 @@ class IvfSpec extends SparkSpecBase {
     assert(viaIndex == brute)
   }
 
+  test("compactIndex collapses per-add small files; probe results unchanged") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    Ivf.buildIndex(spark, idx, emb.where(col("vec_id") < 200),
+      trainOn = emb.where(col("vec_id") < 200), nlist = 2, iters = 1)
+    (0 until 3).foreach { i =>
+      Ivf.addToIndex(spark, idx,
+        emb.where(col("vec_id") >= 200 + i * 100 && col("vec_id") < 300 + i * 100))
+    }
+    def filesPerCell: Map[String, Int] = {
+      val cellDirs = new java.io.File(s"$idx/cells").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("__cell="))
+      cellDirs.map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val queries = emb.where(col("vec_id") < 5)
+    val before = Ivf.probeIndex(spark, idx, queries, k = 3, nprobe = 2)
+      .collect().map(_.toString).sorted
+    assert(filesPerCell.values.exists(_ > 1), "appends did not fragment")
+
+    Ivf.compactIndex(spark, idx)
+    assert(filesPerCell.values.forall(_ == 1), s"still fragmented: $filesPerCell")
+    val after = Ivf.probeIndex(spark, idx, queries, k = 3, nprobe = 2)
+      .collect().map(_.toString).sorted
+    assert(before.sameElements(after))
+  }
+
   test("trainer is deterministic") {
     val a = Ivf.trainCentroids(emb, "embedding", nlist = 4, iters = 2)
     val b = Ivf.trainCentroids(emb, "embedding", nlist = 4, iters = 2)

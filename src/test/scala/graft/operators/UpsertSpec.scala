@@ -76,6 +76,24 @@ class UpsertSpec extends SparkSpecBase {
     assert(Upsert.currentSnapshot(spark, path).contains("snap-000000001"))
   }
 
+  test("mergeIntoParquet: keepSnapshots retains history for time travel") {
+    val dir = Files.createTempDirectory("graft-upsert-retain").toString
+    val path = s"$dir/table"
+    def mergeKeep2(rows: Seq[(String, Long)]): Unit =
+      Upsert.mergeIntoParquet(spark, path, rows.toDF("key", "v"), Seq("key"),
+        keepSnapshots = 2)
+    mergeKeep2(Seq(("k1", 1L)))
+    mergeKeep2(Seq(("k2", 2L)))
+    mergeKeep2(Seq(("k3", 3L)))
+    assert(Upsert.snapshots(spark, path) ==
+      Seq("snap-000000001", "snap-000000002"))
+    assert(Upsert.readTarget(spark, path).count() == 3)
+    // time travel: the previous snapshot is still a complete table
+    val prev = spark.read.parquet(s"$path/snap-000000001")
+      .as[(String, Long)].collect().toMap
+    assert(prev == Map("k1" -> 1L, "k2" -> 2L))
+  }
+
   test("mergeIntoParquet: crash before pointer publish never tears the table") {
     val dir = Files.createTempDirectory("graft-upsert-crash").toString
     val path = s"$dir/table"
