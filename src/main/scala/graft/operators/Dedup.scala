@@ -234,6 +234,53 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** The two persistable MinHash index tables for `df`:
+    * sigs (id, minhash ARRAY<LONG>) and bands (id, band, band_hash) —
+    * what an incremental/streaming dedup stores so later batches join
+    * against stored bands instead of recomputing signatures over the
+    * whole accumulated corpus. Bands are slim on purpose (storing the
+    * signature on the exploded band rows would be a `bands`× blowup). */
+  def minHashIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sig = withMinHashSignature(
+      withShingles(Par.spread(df), textCol, n), "shingles", numHashes, seed)
+      .select(col(idCol).as("id"), col("minhash"))
+    val banded = sig.select(col("id"),
+      posexplode(graft.functions.F.minHashBands(col("minhash"), bands))
+        .as(Seq("band", "band_hash")))
+    (sig, banded)
+  }
+
+  /** Near-duplicate pairs of a (small) batch AGAINST a persisted MinHash
+    * index — the incremental twin of [[minHashLshPairs]]: candidates come
+    * from the batch-bands × stored-bands equi-join, and verification is
+    * the ESTIMATED Jaccard (fraction of agreeing signature components —
+    * unbiased, σ = √(J(1−J)/numHashes) ≈ 0.03 at 128 hashes), so the
+    * accumulated corpus is never rescanned and its text never reread.
+    * Output: (batch_id, index_id, est_jaccard). */
+  def minHashPairsAgainstIndex(batchSigs: DataFrame, batchBands: DataFrame,
+      storedSigs: DataFrame, storedBands: DataFrame,
+      numHashes: Int, threshold: Double): DataFrame = {
+    val cand = batchBands.select(col("id").as("batch_id"), col("band"), col("band_hash"))
+      .join(storedBands.select(col("id").as("index_id"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .where(col("batch_id") =!= col("index_id"))
+      .select("batch_id", "index_id").dropDuplicates("batch_id", "index_id")
+    val verified = cand
+      .join(batchSigs.select(col("id").as("batch_id"), col("minhash").as("b_sig")),
+        "batch_id")
+      .join(storedSigs.select(col("id").as("index_id"), col("minhash").as("t_sig")),
+        "index_id")
+    val agreeing = aggregate(
+      zip_with(col("b_sig"), col("t_sig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    verified.withColumn("est_jaccard", agreeing.cast("double") / numHashes)
+      .where(col("est_jaccard") >= threshold)
+      .select("batch_id", "index_id", "est_jaccard")
+  }
+
   // --------------------------------------------------------------------
   // SimHash
   // --------------------------------------------------------------------

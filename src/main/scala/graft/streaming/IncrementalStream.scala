@@ -27,7 +27,8 @@ object IncrementalStream {
     */
   def start(spark: SparkSession, sourceDir: String, targetPath: String,
       checkpointDir: String, nearDupTextCol: Option[String] = None,
-      nearDupThreshold: Double = 0.8, nearDupShingle: Int = 3): StreamingQuery = {
+      nearDupThreshold: Double = 0.8, nearDupShingle: Int = 3,
+      nearDupIndexPath: Option[String] = None): StreamingQuery = {
     val docs = spark.readStream
       .schema(graft.schema.Schemas.sourceDoc)
       .parquet(sourceDir)
@@ -42,12 +43,15 @@ object IncrementalStream {
         val s = batch.sparkSession
         val within = Dedup.latestPerKey(batch, Seq("main_refco"),
           Seq(col("original_timestamp").desc))
-        val deduped = nearDupTextCol match {
-          case Some(tc) =>
+        val deduped = (nearDupTextCol, nearDupIndexPath) match {
+          case (Some(tc), Some(idx)) =>
+            dropNearDupsIndexed(s, within, idx, tc,
+              nearDupThreshold, nearDupShingle)
+          case (Some(tc), None) =>
             val tgt = Upsert.currentSnapshot(s, targetPath)
               .map(_ => Upsert.readTarget(s, targetPath))
             dropNearDups(within, tgt, tc, nearDupThreshold, nearDupShingle)
-          case None => within
+          case _ => within
         }
         Upsert.mergeIntoParquet(s, targetPath, deduped,
           keys = Seq("main_refco"),
@@ -55,6 +59,65 @@ object IncrementalStream {
           refreshExprs = Map("embedding_inserted_at" -> current_timestamp()))
       }
       .start()
+  }
+
+  /** Index-backed near-dup filter — the 100 TB shape of [[dropNearDups]]:
+    * instead of rescanning the accumulated target's TEXT every batch to
+    * recompute signatures, the stream maintains a persisted MinHash index
+    * (sigs + slim band rows, [[Dedup.minHashIndex]]) and each batch (a)
+    * drops within-batch near-dups, (b) drops rows whose estimated
+    * signature Jaccard against an indexed row (different key) clears the
+    * threshold, then (c) appends only the SURVIVORS' index rows. Per-batch
+    * cost scales with the batch and its band collisions, not the corpus.
+    * Same-key matches are exempt (updates are the merge's job). A key
+    * update leaves its old signature in the index; rebuild periodically
+    * with [[rebuildNearDupIndex]] (maintenance job, like IVF compaction). */
+  private[streaming] def dropNearDupsIndexed(spark: SparkSession,
+      batch: DataFrame, indexPath: String, textCol: String,
+      threshold: Double, n: Int, numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    // (a) within-batch: exact-verified LSH pairs, keep the smaller key
+    val selfPairs = Dedup.minHashLshPairs(batch, "main_refco", textCol,
+      n = n, numHashes = numHashes, bands = bands, threshold = threshold)
+    val withinKept = batch.join(
+      selfPairs.select(col("b_id").as("main_refco")).distinct(),
+      Seq("main_refco"), "left_anti")
+
+    val hasIndex = new org.apache.hadoop.fs.Path(s"$indexPath/sigs")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$indexPath/sigs"))
+    val (batchSigs, batchBands) = Dedup.minHashIndex(withinKept,
+      "main_refco", textCol, n = n, numHashes = numHashes, bands = bands)
+    val kept = if (!hasIndex) withinKept else {
+      // same-key pairs are already excluded inside the candidate join —
+      // an update to an existing key passes through to the merge.
+      val drops = Dedup.minHashPairsAgainstIndex(batchSigs, batchBands,
+          spark.read.parquet(s"$indexPath/sigs"),
+          spark.read.parquet(s"$indexPath/bands"),
+          numHashes, threshold)
+        .select(col("batch_id").as("main_refco")).distinct()
+      withinKept.join(drops, Seq("main_refco"), "left_anti")
+    }
+    // (c) index only the survivors (computed from kept, not the full batch)
+    val (keptSigs, keptBands) = Dedup.minHashIndex(kept, "main_refco",
+      textCol, n = n, numHashes = numHashes, bands = bands)
+    val mode = if (hasIndex) "append" else "overwrite"
+    keptSigs.write.mode(mode).parquet(s"$indexPath/sigs")
+    keptBands.write.mode(mode).parquet(s"$indexPath/bands")
+    kept
+  }
+
+  /** Rebuild the near-dup index from the CURRENT target contents —
+    * drops signatures of overwritten/old rows that accumulate as the
+    * append-only index ages. */
+  def rebuildNearDupIndex(spark: SparkSession, targetPath: String,
+      indexPath: String, textCol: String, n: Int = 3,
+      numHashes: Int = 128, bands: Int = 32): Unit = {
+    val (sigs, bandRows) = Dedup.minHashIndex(
+      Upsert.readTarget(spark, targetPath), "main_refco", textCol,
+      n = n, numHashes = numHashes, bands = bands)
+    sigs.write.mode("overwrite").parquet(s"$indexPath/sigs")
+    bandRows.write.mode("overwrite").parquet(s"$indexPath/bands")
   }
 
   /** Drop batch rows whose `textCol` is a MinHash-LSH near-duplicate

@@ -101,6 +101,50 @@ class IncrementalStreamSpec extends SparkSpecBase {
       "totally different thing" -> "c3"), keys.toString)
   }
 
+  test("indexed near-dup filter: no target text rescan, survives restarts") {
+    val src = tmp("idx-neardup-src"); val ckpt = tmp("idx-neardup-ckpt")
+    val base = tmp("idx-neardup-target")
+    val target = base + "/out"; val idx = base + "/lsh-index"
+    val run = () => IncrementalStream.start(spark, src, target, ckpt,
+      nearDupTextCol = Some("cleaned_ref"), nearDupShingle = 1,
+      nearDupThreshold = 0.6, nearDupIndexPath = Some(idx))
+      .awaitTermination()
+
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-01 10:00:00", Seq(1f, 2f),
+        "alpha beta gamma delta epsilon", "", "c1")), "batch0")
+    run()
+    assert(spark.read.parquet(s"$idx/sigs").count() == 1)
+
+    // restart: a near-dup of the INDEXED row (est Jaccard ~0.83 >= 0.6)
+    // under a new key, and a novel row — only the novel row merges and
+    // only it is appended to the index.
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-02 10:00:00", Seq(3f, 4f),
+        "alpha beta gamma delta epsilon zeta", "", "c2"),
+      doc("s1", "2024-01-02 11:00:00", Seq(5f, 6f),
+        "totally different thing", "", "c3")), "batch1")
+    run()
+
+    val keys = graft.operators.Upsert.readTarget(spark, target)
+      .select("main_refco", "category").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(keys == Map(
+      "alpha beta gamma delta epsilon" -> "c1",
+      "totally different thing" -> "c3"), keys.toString)
+    assert(spark.read.parquet(s"$idx/sigs").count() == 2)
+
+    // same-key update still passes (exempt in the candidate join)
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-03 10:00:00", Seq(7f, 8f),
+        "alpha beta gamma delta epsilon", "", "c9")), "batch2")
+    run()
+    val cat = graft.operators.Upsert.readTarget(spark, target)
+      .where("main_refco = 'alpha beta gamma delta epsilon'")
+      .select("category").collect().head.getString(0)
+    assert(cat == "c9")
+  }
+
   test("near-dup filter exempts same-key updates") {
     val src = tmp("samekey-src"); val ckpt = tmp("samekey-ckpt")
     val target = tmp("samekey-target") + "/out"
