@@ -305,6 +305,23 @@ object SparkEntry {
       Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numHashes = 128, bands = 32, threshold = 0.1)),
 
+    // Index-verified MinHash pairs: the same LSH candidate machinery, but
+    // verification is the ESTIMATED Jaccard (fraction of agreeing
+    // signature components) — the math the streaming near-dup index uses
+    // (Dedup.minHashPairsAgainstIndex) so the corpus text is read once to
+    // build the index and never again. Self-indexed here, ordered a < b.
+    // agreement/128 is a dyadic rational, so the double compares exactly
+    // against the SQL mirror.
+    "minhash_lsh_est" -> ((s, dir) => {
+      val (sigs, bandRows) = Dedup.minHashIndex(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, numHashes = 128, bands = 32)
+      Dedup.minHashPairsAgainstIndex(sigs, bandRows, sigs, bandRows,
+          numHashes = 128, threshold = 0.1)
+        .where(col("batch_id") < col("index_id"))
+        .select(col("batch_id").as("a_id"), col("index_id").as("b_id"),
+          col("est_jaccard"))
+    }),
+
     // SimHash near-dup pairs. Banding has GUARANTEED recall at Hamming<=3
     // (pigeonhole), so with the portable word hash the oracle is simply
     // the exact all-pairs Hamming join over mirrored signatures.
@@ -813,6 +830,41 @@ object SparkEntry {
          |                JOIN sh sb ON sb.doc_id = cand.b_id)
          |SELECT a_id, b_id, inter / (tot - inter) AS jaccard
          |FROM v WHERE tot - inter > 0 AND inter / (tot - inter) >= 0.1""".stripMargin
+    },
+
+    // minhash_lsh_est: same signature + band pipeline, but verification is
+    // the estimated Jaccard — the agreeing-component fraction of the two
+    // 128-long signatures (the streaming index's verification math).
+    "minhash_lsh_est" -> {
+      val (a, b) = graft.functions.MinHashSig.coeffs(128, 42L)
+      val aLit = a.mkString("[", ",", "]")
+      val bLit = b.mkString("[", ",", "]")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+         |       FROM w),
+         |hs AS (SELECT doc_id,
+         |         list_transform(sh, s ->
+         |           list_reduce([CAST(ascii(s[i:i]) AS BIGINT) for i in range(1, len(s) + 1)],
+         |                       (acc, c) -> (acc * 31 + c) % ${graft.functions.MinHashSig.HashMod})) AS hv
+         |       FROM sh),
+         |sg AS (SELECT doc_id,
+         |         list_transform(generate_series(1, 128), j ->
+         |           coalesce(list_min(list_transform(hv,
+         |                      h -> ($aLit[j] * h + $bLit[j]) % ${graft.functions.MinHashSig.P})),
+         |                    9223372036854775807)) AS sig
+         |       FROM hs),
+         |bands AS (SELECT doc_id, bs.b, list_slice(sig, bs.b * 4 + 1, bs.b * 4 + 4) AS slice
+         |          FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM bands a JOIN bands b
+         |           ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id),
+         |v AS (SELECT a_id, b_id,
+         |        CAST(len(list_filter(generate_series(1, 128),
+         |               j -> sa.sig[j] = sb.sig[j])) AS DOUBLE) / 128 AS est_jaccard
+         |      FROM cand JOIN sg sa ON sa.doc_id = cand.a_id
+         |                JOIN sg sb ON sb.doc_id = cand.b_id)
+         |SELECT a_id, b_id, est_jaccard FROM v WHERE est_jaccard >= 0.1""".stripMargin
     },
 
     // Exact SimHash mirror (portable word hash splitmix-finalized in
