@@ -44,8 +44,15 @@ object Pipeline {
       cleanupStaging: Boolean = true,
       /** > 0 ⇒ hash-bucket-partitioned target with partition-pruned
         * incremental merges (only touched buckets read + rewritten — the
-        * 100 TB layout); 0 ⇒ atomic swap-rewrite of the whole target. */
+        * 100 TB layout); 0 ⇒ snapshot-pointer rewrite of the whole
+        * target. */
       mergeBuckets: Int = 0,
+      /** With mergeBuckets > 0: commit each run via the immutable-file
+        * manifest layout ([[graft.operators.Upsert.mergeIntoManifestBucketedParquet]])
+        * — incremental bucket rewrite AND atomic object-store-safe
+        * publish, no torn window. false keeps the dynamic-partition-
+        * overwrite layout (torn runs detected via `_merge_manifest`). */
+      manifestCommit: Boolean = false,
       /** Enforce the target DDL's fixed vector width `VECTOR(FLOAT, dim)`
         * (`CONFIGURATION.md:109`): ragged vectors are quarantined
         * (`bad_vector_dim`) instead of flowing into a target that would
@@ -156,7 +163,12 @@ object Pipeline {
     val observed = withDim.observe(unique, count(lit(1)).as("n"))
 
     // J3: idempotent merge (cleaned_ref inserted but never updated)
-    if (conf.mergeBuckets > 0)
+    if (conf.mergeBuckets > 0 && conf.manifestCommit)
+      Upsert.mergeIntoManifestBucketedParquet(spark, conf.targetPath, observed,
+        keys = Seq("main_refco"), nBuckets = conf.mergeBuckets,
+        insertOnlyCols = Set("cleaned_ref"),
+        refreshExprs = Map("embedding_inserted_at" -> current_timestamp()))
+    else if (conf.mergeBuckets > 0)
       Upsert.mergeIntoHashBucketedParquet(spark, conf.targetPath, observed,
         keys = Seq("main_refco"), nBuckets = conf.mergeBuckets,
         insertOnlyCols = Set("cleaned_ref"),

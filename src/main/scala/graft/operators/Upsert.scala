@@ -96,12 +96,17 @@ object Upsert {
   }
 
   /** Read the committed state of a merge target: resolves the `_current`
-    * pointer when present; otherwise reads `targetPath` directly (the
+    * pointer when present — to a manifest (manifest-bucketed layout) or a
+    * snapshot directory — otherwise reads `targetPath` directly (the
     * hash-bucketed layout of [[mergeIntoHashBucketedParquet]], which has
     * no pointer). */
   def readTarget(spark: SparkSession, targetPath: String): DataFrame =
     currentSnapshot(spark, targetPath) match {
-      case Some(snap) => spark.read.parquet(new Path(targetPath, snap).toString)
+      case Some(snap) =>
+        val mf = new Path(targetPath, s"$snap.manifest.json")
+        if (mf.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mf))
+          readManifestTable(spark, targetPath)
+        else spark.read.parquet(new Path(targetPath, snap).toString)
       case None => spark.read.parquet(targetPath)
     }
 
@@ -253,6 +258,150 @@ object Upsert {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Manifest-bucketed target: incremental merge + atomic commit TOGETHER.
+  //
+  //   <targetPath>/data/run-<id>/__bucket_p=<k>/part-*.parquet  (immutable)
+  //   <targetPath>/snap-<id>.manifest.json   bucket -> [file paths]
+  //   <targetPath>/_current                  pointer file (atomic replace)
+  //
+  // mergeIntoHashBucketedParquet rewrites only touched buckets but its
+  // dynamic partition overwrite mutates live directories (torn window,
+  // detected via _merge_manifest). mergeIntoParquet commits atomically but
+  // rewrites the whole table. This layout does both: a run writes NEW
+  // files for its touched buckets only, the new manifest re-points those
+  // buckets while untouched buckets keep their existing file entries (no
+  // data copied), and the commit is one pointer-file replace. Data files
+  // are immutable — a crash anywhere leaves the old manifest's file set
+  // fully intact. The same idea as table formats like Iceberg/Delta,
+  // reduced to the single-writer pipeline this engine needs.
+  // `__bucket` rides IN the data files (the `__bucket_p=` directory level
+  // exists only to split files per bucket at write time), so manifest
+  // readers need no partition-discovery basePath.
+  // ------------------------------------------------------------------
+
+  /** The committed manifest of a manifest-bucketed target:
+    * bucket -> immutable data-file paths. Empty if never committed. */
+  def readBucketManifest(spark: SparkSession,
+      targetPath: String): Map[Int, Seq[String]] =
+    currentSnapshot(spark, targetPath) match {
+      case None => Map.empty
+      case Some(snap) =>
+        val p = new Path(targetPath, s"$snap.manifest.json")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        "\"(\\d+)\"\\s*:\\s*\\[([^\\]]*)\\]".r.findAllMatchIn(body).map { m =>
+          m.group(1).toInt -> m.group(2).split(",").map(_.trim)
+            .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
+        }.toMap
+    }
+
+  /** Read a manifest-bucketed target, optionally pruned to `buckets` —
+    * pruning selects manifest ENTRIES, so unneeded files are never listed,
+    * let alone scanned. */
+  def readManifestTable(spark: SparkSession, targetPath: String,
+      buckets: Option[Seq[Int]] = None): DataFrame = {
+    val manifest = readBucketManifest(spark, targetPath)
+    val wanted = buckets match {
+      case Some(bs) => bs.flatMap(b => manifest.getOrElse(b, Nil))
+      case None => manifest.values.flatten.toSeq
+    }
+    if (wanted.isEmpty)
+      throw new IllegalStateException(s"no committed data under $targetPath")
+    spark.read.parquet(wanted: _*)
+  }
+
+  /** MERGE into a manifest-bucketed target (see layout note above): reads
+    * only the touched buckets' files, writes only their replacements, and
+    * commits with one atomic pointer replace. Cost per run scales with the
+    * batch's bucket spread; a crash at any point is invisible to readers. */
+  def mergeIntoManifestBucketedParquet(
+      spark: SparkSession,
+      targetPath: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      nBuckets: Int = 256,
+      insertOnlyCols: Set[String] = Set.empty,
+      refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit = {
+    require(!updates.columns.contains("__bucket"), "updates must not carry __bucket")
+    val root = new Path(targetPath)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hadoopConf)
+    val manifest = readBucketManifest(spark, targetPath)
+    val current = currentSnapshot(spark, targetPath)
+
+    val withBucket = updates.withColumn("__bucket",
+      pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int"))
+    val touched = withBucket.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).sorted // O(nBuckets) driver-side ids
+    val touchedFiles = touched.flatMap(b => manifest.getOrElse(b, Nil)).toSeq
+
+    val merged =
+      if (touchedFiles.isEmpty)
+        refreshExprs.foldLeft(withBucket) { case (df, (c, e)) => df.withColumn(c, e) }
+      else merge(spark.read.parquet(touchedFiles: _*), withBucket,
+        keys, insertOnlyCols, refreshExprs)
+
+    // New immutable files for the touched buckets only. The extra
+    // `__bucket_p` copy exists so partitioned writing splits files per
+    // bucket while `__bucket` stays a data column for manifest readers.
+    val nextId = current.map(_.stripPrefix("snap-").toLong + 1).getOrElse(0L)
+    val runDir = new Path(root, f"data/run-$nextId%09d")
+    merged.withColumn("__bucket_p", col("__bucket"))
+      .sortWithinPartitions(keys.map(col): _*) // row-group stats prune keys
+      .write.mode("overwrite").option("compression", "snappy")
+      .partitionBy("__bucket_p").parquet(runDir.toString)
+    val newEntries: Map[Int, Seq[String]] = fs.listStatus(runDir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket_p="))
+      .map { st =>
+        val bucket = st.getPath.getName.stripPrefix("__bucket_p=").toInt
+        bucket -> fs.listStatus(st.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString)
+      }.toMap
+
+    // Untouched buckets keep their existing entries verbatim — no copy.
+    val nextManifest = manifest ++ newEntries
+    val snapName = f"snap-$nextId%09d"
+    val json = nextManifest.toSeq.sortBy(_._1).map { case (b, files) =>
+      s""""$b": [${files.map(f => "\"" + f + "\"").mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    val manifestFile = new Path(root, s"$snapName.manifest.json")
+    val outM = fs.create(manifestFile, true)
+    try outM.write(json.getBytes("UTF-8")) finally outM.close()
+
+    // Atomic publish, then GC of unreferenced files/run dirs + old
+    // manifests (retention 1, like mergeIntoParquet).
+    val tmp = new Path(root, s"_current.tmp-$nextId")
+    val outP = fs.create(tmp, true)
+    try outP.write(snapName.getBytes("UTF-8")) finally outP.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, hadoopConf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(pointerPath(targetPath)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+
+    val live = nextManifest.values.flatten.toSet
+    val dataRoot = new Path(root, "data")
+    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { run =>
+      var kept = false
+      fs.listStatus(run.getPath).foreach { part =>
+        if (part.isDirectory) fs.listStatus(part.getPath).foreach { f =>
+          if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+              !live.contains(f.getPath.toString)) fs.delete(f.getPath, false)
+          else if (f.isFile && f.getPath.getName.endsWith(".parquet")) kept = true
+        }
+      }
+      if (!kept) fs.delete(run.getPath, true)
+    }
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if ((n.endsWith(".manifest.json") && n != s"$snapName.manifest.json") ||
+          (!st.isDirectory && n.startsWith("_current.tmp-")))
+        fs.delete(st.getPath, false)
     }
   }
 

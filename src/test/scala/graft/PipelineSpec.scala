@@ -21,6 +21,37 @@ class PipelineSpec extends SparkSpecBase {
   private val cols = Seq("source", "timestamp", "embeddings", "cleaned_ref",
     "color", "category", "country", "embeddings_type", "for_matching")
 
+  test("manifest-commit bucketed pipeline merges incrementally") {
+    val dir = Files.createTempDirectory("graft-pipe-manifest").toString
+    val conf = Pipeline.Config(
+      sourcePath = s"$dir/source",
+      targetPath = s"$dir/target",
+      statePath = s"$dir/state.json",
+      stagingPath = s"$dir/staging",
+      vectorDim = 2,
+      mergeBuckets = 4, manifestCommit = true)
+
+    Seq(
+      doc("s1", "2024-02-01 10:00:00", "r1", ""),
+      doc("s2", "2024-02-01 11:00:00", "r2", "red")
+    ).toDF(cols: _*).write.mode(SaveMode.Overwrite).parquet(conf.sourcePath)
+    Pipeline.run(spark, conf)
+    val m1 = graft.operators.Upsert.readBucketManifest(spark, conf.targetPath)
+    assert(m1.nonEmpty)
+
+    Seq(
+      doc("s1", "2024-03-01 10:00:00", "r1", "", Seq(9f, 9f)), // update
+      doc("s1", "2024-03-01 11:00:00", "r3", "")               // insert
+    ).toDF(cols: _*).write.mode(SaveMode.Overwrite).parquet(conf.sourcePath)
+    Pipeline.run(spark, conf)
+
+    val t = graft.operators.Upsert.readTarget(spark, conf.targetPath)
+    val byKey = t.select("main_refco", "embedding_vector").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(byKey.keySet == Set("r1", "r2_red", "r3"))
+    assert(byKey("r1") == Seq(9f, 9f)) // updated through the manifest merge
+  }
+
   test("pipeline maintains a persisted IVF index incrementally") {
     val dir = Files.createTempDirectory("graft-pipe-ivf").toString
     val conf = Pipeline.Config(

@@ -1,0 +1,83 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+
+/** Manifest-bucketed target: incremental bucket rewrite + atomic
+  * pointer commit together (the object-store-safe upgrade over dynamic
+  * partition overwrite's torn window). */
+class ManifestMergeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def mkTarget(): String =
+    Files.createTempDirectory("graft-manifest").toString + "/table"
+
+  test("incremental merge rewrites only touched buckets; content is exact") {
+    val path = mkTarget()
+    val first = (0L until 40L).map(k => (k, s"v$k")).toDF("key", "v")
+    Upsert.mergeIntoManifestBucketedParquet(spark, path, first,
+      Seq("key"), nBuckets = 4)
+    val m1 = Upsert.readBucketManifest(spark, path)
+    assert(m1.keySet == Set(0, 1, 2, 3))
+
+    // one key -> one touched bucket; the other 3 buckets must keep their
+    // file entries verbatim (no rewrite, no copy)
+    val upd = Seq((7L, "UPDATED"), (1007L, "NEW")).toDF("key", "v")
+    Upsert.mergeIntoManifestBucketedParquet(spark, path, upd,
+      Seq("key"), nBuckets = 4)
+    val m2 = Upsert.readBucketManifest(spark, path)
+    val touched = m2.keySet.filter(b => m1.getOrElse(b, Nil) != m2(b))
+    assert(touched.size <= 2, s"too many buckets rewritten: $touched")
+    (m2.keySet -- touched).foreach(b => assert(m2(b) == m1(b)))
+
+    val out = Upsert.readManifestTable(spark, path)
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(out.size == 41)
+    assert(out(7L) == "UPDATED" && out(1007L) == "NEW" && out(8L) == "v8")
+  }
+
+  test("bucket pruning reads only the asked-for buckets' files") {
+    val path = mkTarget()
+    val rows = (0L until 40L).map(k => (k, k * 10)).toDF("key", "v")
+    Upsert.mergeIntoManifestBucketedParquet(spark, path, rows,
+      Seq("key"), nBuckets = 4)
+    val manifest = Upsert.readBucketManifest(spark, path)
+    val b0 = Upsert.readManifestTable(spark, path, buckets = Some(Seq(0)))
+    assert(b0.select("__bucket").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+    assert(b0.count() ==
+      Upsert.readManifestTable(spark, path).where("__bucket = 0").count())
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    assert(b0.inputFiles.map(norm).toSet == manifest(0).map(norm).toSet)
+  }
+
+  test("crash after data+manifest write but before publish is invisible") {
+    val path = mkTarget()
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("key", "v"), Seq("key"), nBuckets = 2)
+
+    // simulate the crashed run: orphan run dir + orphan manifest, no
+    // pointer advance
+    Seq((1L, "TORN")).toDF("key", "v").withColumn("__bucket",
+        org.apache.spark.sql.functions.lit(0))
+      .withColumn("__bucket_p", org.apache.spark.sql.functions.lit(0))
+      .write.partitionBy("__bucket_p").parquet(s"$path/data/run-000000001")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/snap-000000001.manifest.json"),
+      """{"0": ["/nonexistent"]}""")
+
+    val seen = Upsert.readManifestTable(spark, path)
+      .select("key", "v").as[(String, String)].collect()
+    assert(seen.map(_._2).toSet == Set("a", "b"), "reader saw the torn run")
+
+    // the retry converges and GCs the orphans
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((1L, "a2")).toDF("key", "v"), Seq("key"), nBuckets = 2)
+    val out = Upsert.readManifestTable(spark, path)
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a2", 2L -> "b"))
+    val manifests = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.endsWith(".manifest.json")).toSeq
+    assert(manifests == Seq("snap-000000001.manifest.json"))
+  }
+}
