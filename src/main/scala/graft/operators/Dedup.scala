@@ -376,18 +376,11 @@ object Dedup {
       .groupBy("a_id", "b_id").agg(max(col("cos")).as("cos"))
   }
 
-  /** Attach a sign-random-projection bucket id (used by LSH cosine ops) —
-    * one native codegen'd expression ([[graft.functions.SrpBucket]]).
-    * `dim` comes from the schema contract — no data-sniffing job. Vectors
-    * shorter than `dim` contribute only their present components. */
-  private[operators] def withSrpBucket(emb: DataFrame, vecCol: String,
-      planes: Int, seed: Long, dim: Int): DataFrame =
-    emb.withColumn("__bucket",
-      graft.functions.F.srpBucket(col(vecCol), planes, seed, dim))
-
   /** All `tables` independent SRP buckets as one array column `__buckets`
-    * (table t uses seed + t — identical buckets to `tables` separate
-    * [[withSrpBucket]] calls). One projection, one scan: multi-table LSH
+    * (table t uses seed + t; each element is one native codegen'd
+    * [[graft.functions.SrpBucket]], `dim` from the schema contract — no
+    * data-sniffing job; vectors shorter than `dim` contribute only their
+    * present components). One projection, one scan: multi-table LSH
     * recall without multi-scan cost. */
   private[operators] def withSrpBuckets(emb: DataFrame, vecCol: String,
       planes: Int, seed: Long, dim: Int, tables: Int): DataFrame =

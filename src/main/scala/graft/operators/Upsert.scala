@@ -327,8 +327,10 @@ object Upsert {
       keys: Seq[String],
       nBuckets: Int = 256,
       insertOnlyCols: Set[String] = Set.empty,
-      refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit = {
+      refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      keepSnapshots: Int = 1): Unit = {
     require(!updates.columns.contains("__bucket"), "updates must not carry __bucket")
+    require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
     val root = new Path(targetPath)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(hadoopConf)
@@ -384,7 +386,24 @@ object Upsert {
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(pointerPath(targetPath)),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
 
-    val live = nextManifest.values.flatten.toSet
+    // Retention mirrors mergeIntoParquet: keep the newest `keepSnapshots`
+    // manifests; live files = the union they reference, so an in-flight
+    // reader holding a retained manifest never loses a file under it.
+    val retainedIds = (nextId - keepSnapshots + 1) to nextId
+    val retainedManifests = retainedIds.map(i => f"snap-$i%09d.manifest.json").toSet
+    val live = retainedIds.flatMap { i =>
+      if (i == nextId) nextManifest.values.flatten
+      else {
+        val p = new Path(root, f"snap-$i%09d.manifest.json")
+        if (!fs.exists(p)) Nil
+        else {
+          val in = fs.open(p)
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+        }
+      }
+    }.toSet
     val dataRoot = new Path(root, "data")
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { run =>
       var kept = false
@@ -399,7 +418,7 @@ object Upsert {
     }
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if ((n.endsWith(".manifest.json") && n != s"$snapName.manifest.json") ||
+      if ((n.endsWith(".manifest.json") && !retainedManifests.contains(n)) ||
           (!st.isDirectory && n.startsWith("_current.tmp-")))
         fs.delete(st.getPath, false)
     }

@@ -51,6 +51,29 @@ class ManifestMergeSpec extends SparkSpecBase {
     assert(b0.inputFiles.map(norm).toSet == manifest(0).map(norm).toSet)
   }
 
+  test("keepSnapshots=2 retains the previous manifest and its files") {
+    val path = mkTarget()
+    def mergeKeep2(rows: Seq[(Long, String)]): Unit =
+      Upsert.mergeIntoManifestBucketedParquet(spark, path,
+        rows.toDF("key", "v"), Seq("key"), nBuckets = 2, keepSnapshots = 2)
+    mergeKeep2((0L until 10L).map(k => (k, s"v$k")))
+    mergeKeep2(Seq((3L, "u3")))
+    mergeKeep2(Seq((4L, "u4")))
+    val manifests = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.endsWith(".manifest.json")).sorted.toSeq
+    assert(manifests == Seq("snap-000000001.manifest.json",
+      "snap-000000002.manifest.json"))
+    // every file the retained previous manifest references still exists
+    val prev = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/snap-000000001.manifest.json"))
+    "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(prev).map(_.group(1)).foreach { f =>
+      assert(new java.io.File(new java.net.URI(f).getPath).isFile, s"GC ate $f")
+    }
+    val out = Upsert.readManifestTable(spark, path)
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(out(3L) == "u3" && out(4L) == "u4" && out(5L) == "v5")
+  }
+
   test("crash after data+manifest write but before publish is invisible") {
     val path = mkTarget()
     Upsert.mergeIntoManifestBucketedParquet(spark, path,
