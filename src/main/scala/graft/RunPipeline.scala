@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.RunPipeline <jar> \
   *     <sourcePath> <targetPath> <statePath> <stagingPath> \
   *     [--dims <sourcesConfigPath>] [--fallback '2024-01-01 00:00:00'] \
-  *     [--merge-buckets 256] [--format json] [--retries 3]
+  *     [--merge-buckets 256] [--manifest-commit true] [--format json] \
+  *     [--ivf-index <indexPath>] [--ivf-nlist 16] [--retries 3]
   * }}}
   *
   * Master/executor sizing come from spark-submit; the session gets the
@@ -48,7 +49,10 @@ object RunPipeline {
         fallbackDate = opts.get("--fallback").map(Timestamp.valueOf)
           .getOrElse(Timestamp.valueOf("2024-01-01 00:00:00")),
         mergeBuckets = opts.get("--merge-buckets").map(_.toInt).getOrElse(0),
-        sourceFormat = opts.getOrElse("--format", "parquet"))
+        manifestCommit = opts.get("--manifest-commit").exists(_.toBoolean),
+        sourceFormat = opts.getOrElse("--format", "parquet"),
+        ivfIndexPath = opts.get("--ivf-index"),
+        ivfNlist = opts.get("--ivf-nlist").map(_.toInt).getOrElse(16))
       val stats = runWithRetries(spark, conf,
         opts.get("--retries").map(_.toInt).getOrElse(0))
       // one parseable summary line, mirroring the reference's run metrics
@@ -65,8 +69,9 @@ object RunPipeline {
   /** Run the pipeline, retrying the WHOLE run on failure up to `retries`
     * extra attempts. Each retry starts from the persisted state: the
     * watermarks of a failed run were never advanced, and a half-written
-    * merge either restores from its swap (atomic path) or is detected via
-    * the run manifest and idempotently rewritten (bucketed path). */
+    * merge is invisible behind the snapshot/manifest pointer (the retry
+    * simply re-merges); the bucketed dynamic-overwrite path detects torn
+    * runs via `_merge_manifest` and is idempotently rewritten. */
   def runWithRetries(spark: SparkSession, conf: Pipeline.Config,
       retries: Int,
       runFn: (SparkSession, Pipeline.Config) => Pipeline.RunStats = Pipeline.run)
