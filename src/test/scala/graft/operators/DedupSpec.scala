@@ -60,6 +60,25 @@ class DedupSpec extends SparkSpecBase {
     assert(prefix == exhaustive && prefix == Set((1L, 2L)))
   }
 
+  test("index-estimated Jaccard tracks exact Jaccard within 3 sigma") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"), // J(1,2) = 1
+      (3L, "a b c d e f g h x y") // J(1,3) = 8/12
+    ).toDF("doc_id", "text")
+    val (sigs, bands) = Dedup.minHashIndex(docs, "doc_id", "text",
+      n = 1, numHashes = 128, bands = 32)
+    val est = Dedup.minHashPairsAgainstIndex(sigs, bands, sigs, bands,
+        numHashes = 128, threshold = 0.0)
+      .where(col("batch_id") < col("index_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((1L, 2L)) == 1.0) // identical docs: signatures equal exactly
+    val exact = 8.0 / 12.0
+    val sigma = math.sqrt(exact * (1 - exact) / 128)
+    assert(math.abs(est((1L, 3L)) - exact) <= 3 * sigma,
+      s"est ${est((1L, 3L))} vs exact $exact")
+  }
+
   test("MinHash-LSH pairs ⊇ verified-exact pairs on planted near-dups") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = base.replace("w40", "zz") // jaccard ≈ 35/41 over 3-shingles
