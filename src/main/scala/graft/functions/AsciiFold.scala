@@ -97,7 +97,61 @@ object AsciiFold {
     }.toMap
   }
 
-  private val direct: Map[Char, String] = derived ++ manual
+  // Standard romanizations keyed by the letter token in the Unicode
+  // character name — ~55 tokens unlock BOTH cases of every base letter in
+  // the Greek and Cyrillic blocks (accented forms NFD-decompose to these
+  // bases at fold time, so they need no entries of their own).
+  private val greekTokens = Map(
+    "ALPHA" -> "a", "BETA" -> "b", "GAMMA" -> "g", "DELTA" -> "d",
+    "EPSILON" -> "e", "ZETA" -> "z", "ETA" -> "e", "THETA" -> "th",
+    "IOTA" -> "i", "KAPPA" -> "k", "LAMDA" -> "l", "MU" -> "m",
+    "NU" -> "n", "XI" -> "x", "OMICRON" -> "o", "PI" -> "p",
+    "RHO" -> "r", "SIGMA" -> "s", "FINAL SIGMA" -> "s", "TAU" -> "t",
+    "UPSILON" -> "u", "PHI" -> "ph", "CHI" -> "ch", "PSI" -> "ps",
+    "OMEGA" -> "o")
+  private val cyrillicTokens = Map(
+    "A" -> "a", "BE" -> "b", "VE" -> "v", "GHE" -> "g", "DE" -> "d",
+    "IE" -> "e", "ZHE" -> "zh", "ZE" -> "z", "I" -> "i", "SHORT I" -> "i",
+    "KA" -> "k", "EL" -> "l", "EM" -> "m", "EN" -> "n", "O" -> "o",
+    "PE" -> "p", "ER" -> "r", "ES" -> "s", "TE" -> "t", "U" -> "u",
+    "EF" -> "f", "HA" -> "kh", "TSE" -> "ts", "CHE" -> "ch",
+    "SHA" -> "sh", "SHCHA" -> "shch", "HARD SIGN" -> "", "YERU" -> "y",
+    "SOFT SIGN" -> "", "E" -> "e", "YU" -> "yu", "YA" -> "ya",
+    "IO" -> "yo", "GJE" -> "g", "DJE" -> "d", "TSHE" -> "c",
+    "KJE" -> "k", "LJE" -> "lj", "NJE" -> "nj", "DZE" -> "dz",
+    "DZHE" -> "dz", "YI" -> "yi", "UKRAINIAN IE" -> "ye",
+    "BYELORUSSIAN-UKRAINIAN I" -> "i", "GHE WITH UPTURN" -> "g",
+    "JE" -> "j")
+
+  /** Greek + Cyrillic (U+0370–U+04FF) romanization, derived like
+    * `derived`: the letter token from the Unicode character name looked up
+    * in a standard-romanization table, both cases from one entry
+    * ("CYRILLIC CAPITAL LETTER SHCHA" → "Shch"). Accented forms decompose
+    * under NFD first, so only base letters need mapping. Not a `unidecode`
+    * clone (it is a romanization convention choice); divergence documented
+    * in SURVEY §7.4 — the merge-key oracle corpus is Latin. */
+  private val romanized: Map[Char, String] = {
+    val pat = "(GREEK|CYRILLIC) (CAPITAL|SMALL) LETTER ([A-Z \\-]+?)( WITH .+)?".r
+    (0x0370 to 0x04FF).flatMap { cp =>
+      val ch = cp.toChar
+      val nfd = Normalizer.normalize(ch.toString, Normalizer.Form.NFD)
+      if (nfd.length > 1) None // accented: folds via its base letter
+      else Option(Character.getName(cp)).flatMap {
+        case pat(script, kase, token, suffix) =>
+          val table = if (script == "GREEK") greekTokens else cyrillicTokens
+          // "GHE WITH UPTURN" is its own letter, not an accented GHE
+          table.get(token + Option(suffix).getOrElse("")).orElse(table.get(token))
+            .map { r =>
+              ch -> (if (kase == "CAPITAL" && r.nonEmpty)
+                r.substring(0, 1).toUpperCase(java.util.Locale.ROOT) + r.substring(1)
+              else r)
+            }
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private val direct: Map[Char, String] = derived ++ romanized ++ manual
 
   /** ASCII-fold a string: NFD + strip combining marks + direct map.
     * Non-decomposable non-ASCII characters are dropped (matching

@@ -45,6 +45,16 @@ class AsciiFoldSpec extends SparkSpecBase {
     assert(AsciiFold.fold("Ơơư") == "Oou")    // horn accents via plain NFD
   }
 
+  test("fold: Cyrillic and Greek romanize via name-derived tables") {
+    assert(AsciiFold.fold("Москва") == "Moskva")
+    assert(AsciiFold.fold("Щи и борщ") == "Shchi i borshch")
+    assert(AsciiFold.fold("объём") == "obem") // hard sign dropped, ё → е base
+    assert(AsciiFold.fold("Йогурт") == "Iogurt") // Й decomposes to И + breve
+    assert(AsciiFold.fold("Αθήνα") == "Athena")
+    assert(AsciiFold.fold("ςσ") == "ss")
+    assert(AsciiFold.fold("Ψυχή") == "Psuche")
+  }
+
   test("property: fold output is always pure ASCII") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // bias toward the interesting planes: Latin-1/Ext-A/Ext-B + arbitrary
