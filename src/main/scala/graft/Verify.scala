@@ -20,14 +20,25 @@ object Verify {
     // independent and the wall time is bounded by the slowest stragglers
     // instead of the serial sum.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // Per-query self-report (round-5 lesson: the driver's correctness file
+    // came back empty with no way to tell which side died — now every run
+    // leaves a verify_status.json naming each query's outcome and cost).
+    val status =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, Double)]()
     val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
-        override def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
+        override def run(): Unit = {
+          val t0 = System.nanoTime()
+          def secs = (System.nanoTime() - t0) / 1e9
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            status.put(name, ("ok", secs))
+          } catch { case e: Throwable =>
+            status.put(name, (s"err: ${e.getMessage}", secs))
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
+        }
       })
     }
     tasks.foreach(_.get())
@@ -47,6 +58,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val statusJson = {
+      import scala.jdk.CollectionConverters._
+      status.asScala.toSeq.sortBy(_._1).map { case (name, (st, s)) =>
+        s"${q(name)}: {${q("status")}: ${q(st)}, ${q("seconds")}: ${f"$s%.2f"}}"
+      }.mkString("{", ",", "}")
+    }
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"), statusJson)
     spark.stop()
   }
 }

@@ -247,11 +247,17 @@ object Dedup {
     val sig = withMinHashSignature(
       withShingles(Par.spread(df), textCol, n), "shingles", numHashes, seed)
       .select(col(idCol).as("id"), col("minhash"))
-    val banded = sig.select(col("id"),
+    (sig, bandRows(sig, bands))
+  }
+
+  /** Slim (id, band, band_hash) rows derived from an (id, minhash)
+    * signature frame — split out so a caller that persists the signatures
+    * (one pass over the text per micro-batch) can derive the band rows
+    * from the CACHED sigs instead of re-running the signature lineage. */
+  def bandRows(sigs: DataFrame, bands: Int): DataFrame =
+    sigs.select(col("id"),
       posexplode(graft.functions.F.minHashBands(col("minhash"), bands))
         .as(Seq("band", "band_hash")))
-    (sig, banded)
-  }
 
   /** Near-duplicate pairs of a (small) batch AGAINST a persisted MinHash
     * index — the incremental twin of [[minHashLshPairs]]: candidates come

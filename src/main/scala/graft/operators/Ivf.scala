@@ -108,6 +108,40 @@ object Ivf {
     appendCells(spark, indexPath, corpus, idCol, vecCol, overwrite = true)
   }
 
+  /** Deterministic cache dir for the index built over one source file:
+    * `<root>/graft-ivf-index-<srcTag>-<snapFp>` where `srcTag` is a 64-bit
+    * fingerprint of the source path alone (groups all snapshots of the
+    * same source) and `snapFp` fingerprints (path, mtime, length) so any
+    * data change forces a new dir. 64-bit [[graft.functions.PortableHash
+    * .mix64]], not `String.hashCode`: 32 bits collide across corpora (two
+    * different datasets silently sharing an index → wrong ANN results)
+    * and `math.abs(Int.MinValue)` is negative. */
+  def cachedIndexDir(src: java.io.File, root: String = "/tmp"): String = {
+    def fp(s: String): String = java.lang.Long.toHexString(
+      graft.functions.PortableHash.mix64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    val srcTag = fp(src.getAbsolutePath)
+    val snapFp = fp(s"${src.getAbsolutePath}:${src.lastModified}:${src.length}")
+    s"$root/graft-ivf-index-$srcTag-$snapFp"
+  }
+
+  /** GC superseded cache dirs: removes every `graft-ivf-index-<srcTag>-*`
+    * sibling of `keep` (same source, stale snapshot) and leaves other
+    * sources' indexes alone. Call right before rebuilding. */
+  def gcSupersededIndexes(keep: String): Unit = {
+    val keepDir = new java.io.File(keep)
+    val name = keepDir.getName                  // graft-ivf-index-<tag>-<fp>
+    val prefix = name.substring(0, name.lastIndexOf('-') + 1)
+    Option(keepDir.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.getName != name)
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
   /** The persisted centroid table, cell-ordered — O(nlist × dim) driver
     * metadata, like a broadcast dimension. */
   def loadCentroids(spark: org.apache.spark.sql.SparkSession,

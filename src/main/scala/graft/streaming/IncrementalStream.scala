@@ -86,25 +86,37 @@ object IncrementalStream {
     val hasIndex = new org.apache.hadoop.fs.Path(s"$indexPath/sigs")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(s"$indexPath/sigs"))
-    val (batchSigs, batchBands) = Dedup.minHashIndex(withinKept,
+    // ONE signature pass over the batch text per micro-batch: the sigs
+    // are persisted, the band rows derive from the cached sigs, and the
+    // survivors' index rows are semi-joins on the kept keys — without the
+    // cache, the candidate join plus the two index writes would each
+    // re-run the shingle+128-perm lineage.
+    val (rawSigs, _) = Dedup.minHashIndex(withinKept,
       "main_refco", textCol, n = n, numHashes = numHashes, bands = bands)
-    val kept = if (!hasIndex) withinKept else {
-      // same-key pairs are already excluded inside the candidate join —
-      // an update to an existing key passes through to the merge.
-      val drops = Dedup.minHashPairsAgainstIndex(batchSigs, batchBands,
-          spark.read.parquet(s"$indexPath/sigs"),
-          spark.read.parquet(s"$indexPath/bands"),
-          numHashes, threshold)
-        .select(col("batch_id").as("main_refco")).distinct()
-      withinKept.join(drops, Seq("main_refco"), "left_anti")
-    }
-    // (c) index only the survivors (computed from kept, not the full batch)
-    val (keptSigs, keptBands) = Dedup.minHashIndex(kept, "main_refco",
-      textCol, n = n, numHashes = numHashes, bands = bands)
-    val mode = if (hasIndex) "append" else "overwrite"
-    keptSigs.write.mode(mode).parquet(s"$indexPath/sigs")
-    keptBands.write.mode(mode).parquet(s"$indexPath/bands")
-    kept
+    val batchSigs = rawSigs.persist()
+    val batchBands = Dedup.bandRows(batchSigs, bands)
+    try {
+      val kept = if (!hasIndex) withinKept else {
+        // same-key pairs are already excluded inside the candidate join —
+        // an update to an existing key passes through to the merge.
+        val drops = Dedup.minHashPairsAgainstIndex(batchSigs, batchBands,
+            spark.read.parquet(s"$indexPath/sigs"),
+            spark.read.parquet(s"$indexPath/bands"),
+            numHashes, threshold)
+          .select(col("batch_id").as("main_refco")).distinct()
+        withinKept.join(drops, Seq("main_refco"), "left_anti")
+      }
+      // (c) index only the survivors: filter the already-computed rows
+      val keptKeys = kept.select(col("main_refco").as("id"))
+      val keptSigs = batchSigs.join(keptKeys, Seq("id"), "left_semi")
+      val keptBands = batchBands.join(keptKeys, Seq("id"), "left_semi")
+      val mode = if (hasIndex) "append" else "overwrite"
+      keptSigs.write.mode(mode).parquet(s"$indexPath/sigs")
+      keptBands.write.mode(mode).parquet(s"$indexPath/bands")
+      // materialize before unpersist: `kept` is returned lazily and must
+      // not silently re-run the signature lineage after the cache is gone
+      kept.localCheckpoint()
+    } finally batchSigs.unpersist()
   }
 
   /** Rebuild the near-dup index from the CURRENT target contents —

@@ -94,4 +94,39 @@ class IvfSpec extends SparkSpecBase {
     val b = Ivf.trainCentroids(emb, "embedding", nlist = 4, iters = 2)
     assert(a == b)
   }
+
+  test("cachedIndexDir: distinct corpora never share a dir; data change rekeys") {
+    val root = java.nio.file.Files.createTempDirectory("ivf-key").toFile
+    def mk(name: String, content: String): java.io.File = {
+      val f = new java.io.File(root, name)
+      java.nio.file.Files.writeString(f.toPath, content)
+      f
+    }
+    val a = mk("corpus_a.parquet", "aaaa")
+    val b = mk("corpus_b.parquet", "bbbb")
+    assert(Ivf.cachedIndexDir(a, root.getPath) != Ivf.cachedIndexDir(b, root.getPath))
+    val before = Ivf.cachedIndexDir(a, root.getPath)
+    // same path, changed data (mtime and/or length) → different snapshot dir
+    java.nio.file.Files.writeString(a.toPath, "aaaa-changed")
+    a.setLastModified(a.lastModified + 10000)
+    assert(Ivf.cachedIndexDir(a, root.getPath) != before)
+  }
+
+  test("gcSupersededIndexes removes only stale snapshots of the same source") {
+    val root = java.nio.file.Files.createTempDirectory("ivf-gc").toFile
+    val src = new java.io.File(root, "corpus.parquet")
+    java.nio.file.Files.writeString(src.toPath, "v1")
+    val keep = Ivf.cachedIndexDir(src, root.getPath)
+    val keepName = new java.io.File(keep).getName
+    val srcPrefix = keepName.substring(0, keepName.lastIndexOf('-') + 1)
+    val stale = new java.io.File(root, srcPrefix + "deadbeef")
+    new java.io.File(stale, "centroids").mkdirs()
+    val other = new java.io.File(root, "graft-ivf-index-ffff0000-cafebabe")
+    new java.io.File(other, "centroids").mkdirs()
+    new java.io.File(keep).mkdirs()
+    Ivf.gcSupersededIndexes(keep)
+    assert(!stale.exists(), "stale snapshot of same source must be removed")
+    assert(other.exists(), "other sources' indexes must survive")
+    assert(new java.io.File(keep).exists())
+  }
 }

@@ -3,12 +3,25 @@
 parquet in the Verify outDir, run the oracle SQL from oracle_sql.json in
 DuckDB against the sf testdata tables and compare row sets exactly.
 
-Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+Also enforces a per-oracle time budget (round-5 lesson: one >10-minute
+DuckDB oracle timed out the driver's correctness step and the round's
+CORRECTNESS file was committed empty — a slow oracle must fail HERE,
+before the driver ever sees it) and checks the Verify-side self-report
+verify_status.json for Spark-side failures.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [--budget-seconds N]
 """
-import sys, os, json, glob
+import sys, os, json, glob, time
 import duckdb
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+budget = 60.0
+for i, a in enumerate(sys.argv):
+    if a == "--budget-seconds":
+        budget = float(sys.argv[i + 1])
+    elif a.startswith("--budget-seconds="):
+        budget = float(a.split("=", 1)[1])
+sf_dir, out_dir = args[0], args[1]
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[: -len(".parquet")]
@@ -16,6 +29,18 @@ for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
 
 oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 fails = []
+
+status_path = os.path.join(out_dir, "verify_status.json")
+if not os.path.exists(status_path):
+    fails.append("verify_status.json")
+    print("MISSING verify_status.json — Verify did not self-report")
+else:
+    vstatus = json.load(open(status_path))
+    for q, st in sorted(vstatus.items()):
+        if st.get("status") != "ok":
+            fails.append(q)
+            print(f"{q:24s} FAIL spark-side: {st.get('status')}")
+
 for q in sorted(os.listdir(out_dir)):
     qdir = os.path.join(out_dir, q)
     if not os.path.isdir(qdir):
@@ -24,17 +49,23 @@ for q in sorted(os.listdir(out_dir)):
     if q not in oracles:
         print(f"{q:24s} rows={len(got)} (no oracle — rows-only)")
         continue
+    t0 = time.monotonic()
     want = con.sql(oracles[q]).df()
+    secs = time.monotonic() - t0
+    over = secs > budget
+    if over:
+        fails.append(q)
+    tag = f"{secs:6.1f}s" + (" OVER-BUDGET" if over else "")
     cols_got, cols_want = sorted(got.columns), sorted(want.columns)
     if cols_got != cols_want:
         fails.append(q)
-        print(f"{q:24s} FAIL schema: got {cols_got} want {cols_want}")
+        print(f"{q:24s} {tag} FAIL schema: got {cols_got} want {cols_want}")
         continue
     g = got[cols_got].sort_values(cols_got).reset_index(drop=True)
     w = want[cols_want].sort_values(cols_want).reset_index(drop=True)
     if len(g) != len(w):
         fails.append(q)
-        print(f"{q:24s} FAIL rows: got {len(g)} want {len(w)}")
+        print(f"{q:24s} {tag} FAIL rows: got {len(g)} want {len(w)}")
         continue
     eq = g.equals(w)
     if not eq:
@@ -43,10 +74,10 @@ for q in sorted(os.listdir(out_dir)):
         diff = ~((g == w) | (g.isna() & w.isna()))
         bad = diff.any(axis=1)
         fails.append(q)
-        print(f"{q:24s} FAIL values: {bad.sum()} differing rows; first:")
+        print(f"{q:24s} {tag} FAIL values: {bad.sum()} differing rows; first:")
         print(pd.concat([g[bad].head(3).add_suffix("_got"),
                          w[bad].head(3).add_suffix("_want")], axis=1))
     else:
-        print(f"{q:24s} OK rows={len(g)}")
-print("FAILED:" if fails else "ALL OK", fails)
+        print(f"{q:24s} {tag} OK rows={len(g)}")
+print("FAILED:" if fails else "ALL OK", sorted(set(fails)))
 sys.exit(1 if fails else 0)
