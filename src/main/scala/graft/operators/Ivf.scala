@@ -152,11 +152,31 @@ object Ivf {
   /** Incrementally index new vectors WITHOUT retraining: assign against
     * the stored centroids and append — the merge-path maintenance hook.
     * (Standard IVF practice: centroids drift slowly; retrain is a periodic
-    * offline job, not a per-batch one.) */
+    * offline job, not a per-batch one.)
+    *
+    * IDEMPOTENT: the batch is anti-joined against the ids already in the
+    * cells table, so a retried run (at-least-once orchestration) appends
+    * nothing the second time, and an UPDATE to an existing key does not
+    * leave two rows for the same id (a probe would return the same
+    * neighbor twice). The anti-join side reads only the id column of the
+    * stored cells (column-pruned scan). Consequence: an updated key keeps
+    * its ORIGINAL indexed vector until the periodic rebuild — schedule
+    * [[buildIndex]] over the current corpus the same way
+    * `IncrementalStream.rebuildNearDupIndex` refreshes the near-dup index
+    * (both indexes age the same way under key updates). */
   def addToIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       vectors: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit =
-    appendCells(spark, indexPath, vectors, idCol, vecCol, overwrite = false)
+      vecCol: String = "embedding"): Unit = {
+    val cellsPath = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
+    val hasCells = cellsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cellsPath)
+    val fresh =
+      if (!hasCells) vectors
+      else vectors.join(
+        spark.read.parquet(s"$indexPath/cells").select(col(idCol)),
+        Seq(idCol), "left_anti")
+    appendCells(spark, indexPath, fresh, idCol, vecCol, overwrite = !hasCells)
+  }
 
   private def appendCells(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, vectors: DataFrame, idCol: String, vecCol: String,
@@ -179,8 +199,12 @@ object Ivf {
     * centroid retrain: run it without concurrent probes (or place the
     * index behind the same snapshot-pointer commit as merge targets). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Unit = {
+      indexPath: String, idCol: String = "vec_id"): Unit = {
+    // dropDuplicates(id): defensive cleanup for indexes that accumulated
+    // same-id rows before addToIndex became idempotent (duplicate ids are
+    // identical-or-stale vectors; keeping either is no worse than before).
     val cells = spark.read.parquet(s"$indexPath/cells")
+      .dropDuplicates(idCol)
     val tmp = s"$indexPath/cells-compact-tmp"
     cells.repartition(col("__cell"))
       .write.mode("overwrite").option("compression", "snappy")

@@ -81,6 +81,50 @@ object Upsert {
 
   private def pointerPath(targetPath: String): Path = new Path(targetPath, "_current")
 
+  /** Atomically publish the `_current` pointer: tmp file +
+    * FileContext rename-with-overwrite (one small PUT on an object store). */
+  private def publishPointer(fs: org.apache.hadoop.fs.FileSystem,
+      hadoopConf: org.apache.hadoop.conf.Configuration, targetPath: String,
+      snapName: String, tmpTag: String): Unit = {
+    val tmp = new Path(targetPath, s"_current.tmp-$tmpTag")
+    val out = fs.create(tmp, true)
+    try out.write(snapName.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, hadoopConf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(pointerPath(targetPath)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Adopt a pre-pointer plain-Parquet target in place: a directory that
+    * holds data files (or partition dirs) but no `_current` pointer is the
+    * layout this merge wrote BEFORE the snapshot-pointer commit existed.
+    * Treating it as an empty table would publish a first snapshot holding
+    * only the new batch — every prior row silently vanishes from view
+    * (readers resolve the pointer). The existing contents are moved into
+    * `snap-000000000` and a pointer to it is published, so the merge that
+    * follows sees them as the current snapshot. Idempotent: a crash
+    * mid-adoption leaves loose files that the retry keeps moving; the
+    * pointer is only published once everything is inside the snapshot. */
+  private def adoptLegacyTarget(fs: org.apache.hadoop.fs.FileSystem,
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      targetPath: String): Unit = {
+    val root = new Path(targetPath)
+    if (!fs.exists(root) || fs.exists(pointerPath(targetPath))) return
+    val legacy = fs.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") &&
+        !(st.isDirectory && n.startsWith("snap-"))
+    }
+    if (legacy.isEmpty) return // empty or a crashed-first-merge orphan snap
+    val snap = new Path(root, "snap-000000000")
+    fs.mkdirs(snap)
+    legacy.foreach { st =>
+      if (!fs.rename(st.getPath, new Path(snap, st.getPath.getName)))
+        throw new java.io.IOException(
+          s"legacy adoption: could not move ${st.getPath} into $snap")
+    }
+    publishPointer(fs, hadoopConf, targetPath, "snap-000000000", "adopt")
+  }
+
   /** Name of the committed live snapshot directory under `targetPath`
     * (e.g. `snap-000000003`), if a pointer has been published. */
   def currentSnapshot(spark: SparkSession, targetPath: String): Option[String] = {
@@ -133,6 +177,7 @@ object Upsert {
     val root = new Path(targetPath)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(hadoopConf)
+    adoptLegacyTarget(fs, hadoopConf, targetPath)
     val current = currentSnapshot(spark, targetPath)
     val target = current match {
       case Some(snap) => spark.read.parquet(new Path(root, snap).toString)
@@ -156,12 +201,7 @@ object Upsert {
 
     // Publish: write the pointer beside the target, then rename-with-
     // overwrite onto _current — a single-file atomic replace.
-    val tmp = new Path(root, s"_current.tmp-$nextId")
-    val out = fs.create(tmp, true)
-    try out.write(snapName.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, hadoopConf)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(pointerPath(targetPath)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString)
 
     // GC: keep the newest `keepSnapshots` snapshot dirs (the committed one
     // is the newest by construction); delete older ones, crashed runs'
@@ -283,9 +323,30 @@ object Upsert {
   // readers need no partition-discovery basePath.
   // ------------------------------------------------------------------
 
-  /** The committed manifest of a manifest-bucketed target:
-    * bucket -> immutable data-file paths. Empty if never committed. */
-  def readBucketManifest(spark: SparkSession,
+  /** Manifest entries are stored RELATIVE to the table root (e.g.
+    * `data/run-000000001/__bucket_p=3/part-x.parquet`): absolute qualified
+    * paths would make liveness-by-string-compare break on any
+    * `fs.defaultFS`/qualification drift or table relocation — the GC would
+    * see every referenced file as dead and delete it. Entries that do look
+    * absolute (legacy manifests: a leading `/` or a scheme) still resolve
+    * verbatim. */
+  private def resolveEntry(targetPath: String, entry: String): String =
+    if (entry.startsWith("/") || entry.contains("://")) entry
+    else new Path(targetPath, entry).toString
+
+  /** Scheme/authority-free normal form used ONLY for liveness compares. */
+  private def normalize(fs: org.apache.hadoop.fs.FileSystem, p: Path): String =
+    fs.makeQualified(p).toUri.getPath
+
+  private def relativizeToRoot(fs: org.apache.hadoop.fs.FileSystem,
+      targetPath: String, p: Path): String = {
+    val rootN = normalize(fs, new Path(targetPath))
+    val fileN = normalize(fs, p)
+    if (fileN.startsWith(rootN + "/")) fileN.substring(rootN.length + 1)
+    else fileN // outside the root (shouldn't happen): keep absolute
+  }
+
+  private def readBucketManifestRaw(spark: SparkSession,
       targetPath: String): Map[Int, Seq[String]] =
     currentSnapshot(spark, targetPath) match {
       case None => Map.empty
@@ -299,6 +360,15 @@ object Upsert {
           m.group(1).toInt -> m.group(2).split(",").map(_.trim)
             .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
         }.toMap
+    }
+
+  /** The committed manifest of a manifest-bucketed target:
+    * bucket -> immutable data-file paths, resolved against the table root
+    * (directly readable). Empty if never committed. */
+  def readBucketManifest(spark: SparkSession,
+      targetPath: String): Map[Int, Seq[String]] =
+    readBucketManifestRaw(spark, targetPath).map { case (b, files) =>
+      b -> files.map(resolveEntry(targetPath, _))
     }
 
   /** Read a manifest-bucketed target, optionally pruned to `buckets` —
@@ -334,14 +404,15 @@ object Upsert {
     val root = new Path(targetPath)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(hadoopConf)
-    val manifest = readBucketManifest(spark, targetPath)
+    val manifest = readBucketManifestRaw(spark, targetPath)
     val current = currentSnapshot(spark, targetPath)
 
     val withBucket = updates.withColumn("__bucket",
       pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int"))
     val touched = withBucket.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted // O(nBuckets) driver-side ids
-    val touchedFiles = touched.flatMap(b => manifest.getOrElse(b, Nil)).toSeq
+    val touchedFiles = touched.flatMap(b => manifest.getOrElse(b, Nil))
+      .map(resolveEntry(targetPath, _)).toSeq
 
     val merged =
       if (touchedFiles.isEmpty)
@@ -364,7 +435,7 @@ object Upsert {
         val bucket = st.getPath.getName.stripPrefix("__bucket_p=").toInt
         bucket -> fs.listStatus(st.getPath).toSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString)
+          .map(f => relativizeToRoot(fs, targetPath, f.getPath))
       }.toMap
 
     // Untouched buckets keep their existing entries verbatim — no copy.
@@ -379,18 +450,16 @@ object Upsert {
 
     // Atomic publish, then GC of unreferenced files/run dirs + old
     // manifests (retention 1, like mergeIntoParquet).
-    val tmp = new Path(root, s"_current.tmp-$nextId")
-    val outP = fs.create(tmp, true)
-    try outP.write(snapName.getBytes("UTF-8")) finally outP.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, hadoopConf)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(pointerPath(targetPath)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString)
 
     // Retention mirrors mergeIntoParquet: keep the newest `keepSnapshots`
     // manifests; live files = the union they reference, so an in-flight
     // reader holding a retained manifest never loses a file under it.
     val retainedIds = (nextId - keepSnapshots + 1) to nextId
     val retainedManifests = retainedIds.map(i => f"snap-$i%09d.manifest.json").toSet
+    // Liveness compares use the scheme-free normal form on BOTH sides, so
+    // neither qualification drift nor legacy-absolute entries can make a
+    // live file look dead.
     val live = retainedIds.flatMap { i =>
       if (i == nextId) nextManifest.values.flatten
       else {
@@ -403,14 +472,14 @@ object Upsert {
           "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
         }
       }
-    }.toSet
+    }.map(e => normalize(fs, new Path(resolveEntry(targetPath, e)))).toSet
     val dataRoot = new Path(root, "data")
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { run =>
       var kept = false
       fs.listStatus(run.getPath).foreach { part =>
         if (part.isDirectory) fs.listStatus(part.getPath).foreach { f =>
           if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
-              !live.contains(f.getPath.toString)) fs.delete(f.getPath, false)
+              !live.contains(normalize(fs, f.getPath))) fs.delete(f.getPath, false)
           else if (f.isFile && f.getPath.getName.endsWith(".parquet")) kept = true
         }
       }

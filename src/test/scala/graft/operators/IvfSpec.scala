@@ -63,6 +63,27 @@ class IvfSpec extends SparkSpecBase {
     assert(viaIndex == brute)
   }
 
+  test("addToIndex is idempotent: retried batch and key updates never duplicate ids") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idem").toString
+    val base = emb.where(col("vec_id") < 400)
+    val batch = emb.where(col("vec_id") >= 400)
+    Ivf.buildIndex(spark, idx, base, trainOn = base, nlist = 4, iters = 1)
+    Ivf.addToIndex(spark, idx, batch)
+    val n = spark.read.parquet(s"$idx/cells").count()
+    // at-least-once retry: same batch again appends nothing
+    Ivf.addToIndex(spark, idx, batch)
+    assert(spark.read.parquet(s"$idx/cells").count() == n, "retry double-appended")
+    // update to existing keys: no second row per id (probe would return
+    // the same neighbor twice); the new vector waits for the rebuild job
+    val updated = batch.withColumn("embedding",
+      expr("transform(embedding, x -> -x)"))
+    Ivf.addToIndex(spark, idx, updated)
+    val cells = spark.read.parquet(s"$idx/cells")
+    assert(cells.count() == n)
+    assert(cells.groupBy("vec_id").count().where(col("count") > 1).isEmpty,
+      "duplicate ids in cells")
+  }
+
   test("compactIndex collapses per-add small files; probe results unchanged") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
     Ivf.buildIndex(spark, idx, emb.where(col("vec_id") < 200),

@@ -117,4 +117,38 @@ class UpsertSpec extends SparkSpecBase {
       .filter(_.startsWith("snap-")).toSet
     assert(snaps == Set("snap-000000001"), s"GC left: $snaps")
   }
+
+  test("mergeIntoParquet adopts a legacy plain-Parquet target (no _current)") {
+    val dir = Files.createTempDirectory("graft-upsert-legacy").toString
+    val path = s"$dir/table"
+    // The pre-pointer layout: data files directly under targetPath.
+    Seq(("k1", 1L), ("k2", 2L)).toDF("key", "v")
+      .write.parquet(path)
+    assert(Upsert.currentSnapshot(spark, path).isEmpty)
+    // First merge after the layout change must NOT treat it as empty.
+    Upsert.mergeIntoParquet(spark, path,
+      Seq(("k2", 22L), ("k3", 3L)).toDF("key", "v"), Seq("key"))
+    val out = Upsert.readTarget(spark, path).as[(String, Long)].collect().toMap
+    assert(out == Map("k1" -> 1L, "k2" -> 22L, "k3" -> 3L),
+      s"legacy rows must survive adoption, got $out")
+    // adopted as snap-000000000, merged into snap-000000001
+    assert(Upsert.currentSnapshot(spark, path).contains("snap-000000001"))
+    // no loose legacy part files left behind at the root
+    val loose = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    assert(loose.isEmpty, s"loose legacy files remain: ${loose.mkString(",")}")
+  }
+
+  test("legacy adoption keeps a partitioned legacy layout readable") {
+    val dir = Files.createTempDirectory("graft-upsert-legacy-part").toString
+    val path = s"$dir/table"
+    Seq(("k1", 1L, "a"), ("k2", 2L, "b")).toDF("key", "v", "source")
+      .write.partitionBy("source").parquet(path)
+    Upsert.mergeIntoParquet(spark, path,
+      Seq(("k3", 3L, "a")).toDF("key", "v", "source"), Seq("key"),
+      partitionBy = Seq("source"))
+    val out = Upsert.readTarget(spark, path)
+      .select("key", "v").as[(String, Long)].collect().toMap
+    assert(out == Map("k1" -> 1L, "k2" -> 2L, "k3" -> 3L))
+  }
 }
