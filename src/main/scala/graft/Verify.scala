@@ -61,7 +61,7 @@ object Verify {
     val statusJson = {
       import scala.jdk.CollectionConverters._
       status.asScala.toSeq.sortBy(_._1).map { case (name, (st, s)) =>
-        s"${q(name)}: {${q("status")}: ${q(st)}, ${q("seconds")}: ${f"$s%.2f"}}"
+        s"${q(name)}: {${q("status")}: ${q(st)}, ${q("seconds")}: ${String.format(java.util.Locale.ROOT, "%.2f", Double.box(s))}}"
       }.mkString("{", ",", "}")
     }
     Files.writeString(Paths.get(s"$outDir/verify_status.json"), statusJson)

@@ -112,7 +112,11 @@ object Upsert {
     val legacy = fs.listStatus(root).filter { st =>
       val n = st.getPath.getName
       !n.startsWith("_") && !n.startsWith(".") &&
-        !(st.isDirectory && n.startsWith("snap-"))
+        !(st.isDirectory && n.startsWith("snap-")) &&
+        // a crashed manifest-bucketed first commit can leave a stray
+        // snap-*.manifest.json FILE at the root; adopting it into the
+        // snapshot would break spark.read.parquet on the snapshot dir
+        !n.endsWith(".manifest.json")
     }
     if (legacy.isEmpty) return // empty or a crashed-first-merge orphan snap
     val snap = new Path(root, "snap-000000000")

@@ -96,7 +96,7 @@ object IncrementalStream {
     val batchSigs = rawSigs.persist()
     val batchBands = Dedup.bandRows(batchSigs, bands)
     try {
-      val kept = if (!hasIndex) withinKept else {
+      val keptLazy = if (!hasIndex) withinKept else {
         // same-key pairs are already excluded inside the candidate join —
         // an update to an existing key passes through to the merge.
         val drops = Dedup.minHashPairsAgainstIndex(batchSigs, batchBands,
@@ -106,6 +106,11 @@ object IncrementalStream {
           .select(col("batch_id").as("main_refco")).distinct()
         withinKept.join(drops, Seq("main_refco"), "left_anti")
       }
+      // Materialize the survivors ONCE (eager checkpoint) before anything
+      // reads them: the index-side candidate anti-join is the expensive
+      // step, and without this the keptSigs write, the keptBands write
+      // and the returned frame would each re-execute it.
+      val kept = keptLazy.localCheckpoint()
       // (c) index only the survivors: filter the already-computed rows
       val keptKeys = kept.select(col("main_refco").as("id"))
       val keptSigs = batchSigs.join(keptKeys, Seq("id"), "left_semi")
@@ -113,9 +118,7 @@ object IncrementalStream {
       val mode = if (hasIndex) "append" else "overwrite"
       keptSigs.write.mode(mode).parquet(s"$indexPath/sigs")
       keptBands.write.mode(mode).parquet(s"$indexPath/bands")
-      // materialize before unpersist: `kept` is returned lazily and must
-      // not silently re-run the signature lineage after the cache is gone
-      kept.localCheckpoint()
+      kept
     } finally batchSigs.unpersist()
   }
 

@@ -66,8 +66,13 @@ class ManifestMergeSpec extends SparkSpecBase {
     // every file the retained previous manifest references still exists
     val prev = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$path/snap-000000001.manifest.json"))
+    // entries are root-relative (legacy manifests may hold absolute URIs)
     "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(prev).map(_.group(1)).foreach { f =>
-      assert(new java.io.File(new java.net.URI(f).getPath).isFile, s"GC ate $f")
+      val resolved =
+        if (f.contains("://") || f.startsWith("/"))
+          new java.io.File(new java.net.URI(f).getPath)
+        else new java.io.File(path, f)
+      assert(resolved.isFile, s"GC ate $f")
     }
     val out = Upsert.readManifestTable(spark, path)
       .select("key", "v").as[(Long, String)].collect().toMap

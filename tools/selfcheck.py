@@ -11,18 +11,31 @@ verify_status.json for Spark-side failures.
 
 Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [--budget-seconds N]
 """
-import sys, os, json, glob, time
+import sys, os, json, glob, time, argparse, threading
 import duckdb
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-budget = 60.0
-for i, a in enumerate(sys.argv):
-    if a == "--budget-seconds":
-        budget = float(sys.argv[i + 1])
-    elif a.startswith("--budget-seconds="):
-        budget = float(a.split("=", 1)[1])
-sf_dir, out_dir = args[0], args[1]
+ap = argparse.ArgumentParser()
+ap.add_argument("sf_dir")
+ap.add_argument("out_dir")
+ap.add_argument("--budget-seconds", type=float, default=60.0)
+ns = ap.parse_args()
+sf_dir, out_dir, budget = ns.sf_dir, ns.out_dir, ns.budget_seconds
 con = duckdb.connect()
+
+
+def run_budgeted(sql):
+    """Run an oracle with the budget ENFORCED: a watchdog thread calls
+    con.interrupt() at the deadline, so a hung or pathologically slow
+    oracle fails within ~budget seconds instead of running to completion
+    (the round-5 'slow oracle silently zeroes the round' failure mode)."""
+    timer = threading.Timer(budget, con.interrupt)
+    timer.start()
+    try:
+        return con.sql(sql).df(), None
+    except Exception as e:  # duckdb.InterruptException on timeout
+        return None, f"{type(e).__name__}: {e}"
+    finally:
+        timer.cancel()
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[: -len(".parquet")]
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
@@ -50,8 +63,12 @@ for q in sorted(os.listdir(out_dir)):
         print(f"{q:24s} rows={len(got)} (no oracle — rows-only)")
         continue
     t0 = time.monotonic()
-    want = con.sql(oracles[q]).df()
+    want, err = run_budgeted(oracles[q])
     secs = time.monotonic() - t0
+    if err is not None:
+        fails.append(q)
+        print(f"{q:24s} {secs:6.1f}s FAIL oracle ({'INTERRUPTED over budget' if secs >= budget else err})")
+        continue
     over = secs > budget
     if over:
         fails.append(q)
