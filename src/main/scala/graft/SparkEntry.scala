@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Decontaminate, Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Sessionize, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Decontaminate, Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis, Upsert}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -428,6 +428,42 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    // Gopher-style intra-document repetition counters (native one-pass
+    // expression, no shuffle) + integer-exact duplicate-word /
+    // top-bigram-coverage ratios in permille.
+    "repetition_stats" -> ((s, dir) =>
+      TextAnalysis.withRepetitionStats(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+          col("top_word_count"), col("n_bigrams"), col("n_distinct_bigrams"),
+          col("top_bigram_count"),
+          expr("(n_words - n_distinct_words) * 1000 div n_words")
+            .as("dup_word_permille"),
+          expr("CASE WHEN n_bigrams = 0 THEN 0 " +
+            "ELSE top_bigram_count * 1000 div n_bigrams END")
+            .as("top_bigram_permille"))),
+
+    // Per-document distinctive terms: TF-IDF's ordering in pure integers
+    // (tf DESC, df ASC) — vocabulary df table broadcast, one doc-keyed
+    // shuffle shared by the tf agg and the top-k window.
+    "tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopK(Tables.documents(s, dir), "doc_id", "text", k = 3)),
+
+    // Deterministic stratified sample: per-source rates, membership a pure
+    // hash function of (doc_id, salt) — reproducible across runs and
+    // mirrorable bit-for-bit by the oracle. Scan-stage filter, no shuffle.
+    "stratified_sample" -> ((s, dir) =>
+      Sampling.stratified(Tables.documents(s, dir), "source", "doc_id",
+          rates = Map("src0" -> 0.05, "src1" -> 0.9, "src2" -> 0.5),
+          defaultRate = 0.25, salt = "graft")
+        .select("doc_id", "source")),
+
+    // Sequence packing: cut fixed-token-budget training bins per source by
+    // prefix sum (ONE shuffle; the window and the per-bin agg share the
+    // source-hash exchange).
+    "pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(Tables.documents(s, dir), "source", "doc_id",
+        TextAnalysis.tokenCount(col("text")), capTokens = 512)),
 
     // Multimodal: opaque-binary feature extraction as native expressions
     // (checksum cross-checked against the mapPartitions decoder in tests).
@@ -1026,6 +1062,71 @@ object SparkEntry {
         |  FROM documents)
         |WHERE term <> ''
         |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
+
+    // Full mirror of the native one-pass expression: word and adjacent-
+    // bigram count maps as unnest+GROUP BY; ratios use // (floor div) to
+    // match Spark's `div` on the same non-negative integers.
+    "repetition_stats" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wc AS (SELECT doc_id, word, COUNT(*) AS c
+        |       FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY 1, 2),
+        |wa AS (SELECT doc_id, COUNT(*) AS n_distinct_words,
+        |              MAX(c) AS top_word_count FROM wc GROUP BY 1),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS c
+        |       FROM (SELECT doc_id,
+        |               unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS b
+        |             FROM w) GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, COUNT(*) AS n_distinct_bigrams,
+        |              MAX(c) AS top_bigram_count FROM bc GROUP BY 1)
+        |SELECT w.doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(wa.n_distinct_words AS BIGINT) AS n_distinct_words,
+        |  CAST(wa.top_word_count AS BIGINT) AS top_word_count,
+        |  CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(ba.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+        |  CAST(COALESCE(ba.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+        |  CAST((len(ws) - wa.n_distinct_words) * 1000 // len(ws) AS BIGINT)
+        |    AS dup_word_permille,
+        |  CAST(CASE WHEN len(ws) <= 1 THEN 0
+        |            ELSE COALESCE(ba.top_bigram_count, 0) * 1000 // (len(ws) - 1)
+        |       END AS BIGINT) AS top_bigram_permille
+        |FROM w JOIN wa USING (doc_id) LEFT JOIN ba USING (doc_id)""".stripMargin,
+
+    "tfidf_topk" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |        ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rn
+        |      FROM tf JOIN dfq USING (term))
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        |FROM r WHERE rn <= 3""".stripMargin,
+
+    // Same md5-hex threshold literals the Spark predicate uses
+    // (Sampling.hexThreshold), so membership matches bit-for-bit.
+    "stratified_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) <
+         |  CASE source
+         |    WHEN 'src0' THEN '${graft.operators.Sampling.hexThreshold(0.05)}'
+         |    WHEN 'src1' THEN '${graft.operators.Sampling.hexThreshold(0.9)}'
+         |    WHEN 'src2' THEN '${graft.operators.Sampling.hexThreshold(0.5)}'
+         |    ELSE '${graft.operators.Sampling.hexThreshold(0.25)}' END""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    len(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT source, doc_id, tok,
+        |    SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - tok) // 512 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     "lang_id" -> {
       val scores = TextAnalysis.LangMarkers

@@ -55,6 +55,11 @@ object F {
   def wordShingles(words: Column, n: Int): Column =
     Glue.column(WordShingles(Glue.expression(words), n))
 
+  /** Intra-document repetition counters over an array<string> word column
+    * (see [[RepetitionStats]]). */
+  def repetitionStats(words: Column): Column =
+    Glue.column(RepetitionStats(Glue.expression(words)))
+
   /** Sign-random-projection LSH bucket id of an array<float|double> column
     * (see [[SrpBucket]]). */
   def srpBucket(vec: Column, planes: Int, seed: Long, dim: Int): Column =

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling and sequence packing for training-data curation
+  * (BASELINE.json north star: data-mixture construction at 100 TB).
+  *
+  * Sampling here is DETERMINISTIC — membership is a pure function of the
+  * row id and a salt, not of `rand()` — so a sample is (a) reproducible
+  * across runs/retries (a re-run of a failed partition keeps the same
+  * rows: exactly-once semantics without coordination), (b) consistent
+  * across tables (joining two tables sampled with the same salt keeps
+  * matching keys), (c) mirrorable bit-for-bit by a SQL oracle. That is
+  * the standard trick web-scale corpora use (hash-mod sharding in CCNet /
+  * RefinedWeb); `df.sample()` can give none of those.
+  */
+object Sampling {
+
+  /** Keep-predicate of a deterministic Bernoulli sample at `rate`:
+    * the first 8 hex chars of `md5(id ++ ":" ++ salt)` — a uniform 32-bit
+    * value in hex — compared lexicographically against the rate threshold.
+    * Pure per-row expression: no shuffle, no join, pushes into the scan. */
+  def hashKeep(idCol: Column, rate: Double, salt: String): Column =
+    if (rate >= 1.0) lit(true)
+    else if (rate <= 0.0) lit(false)
+    else substring(md5(concat(idCol.cast("string"), lit(":" + salt))), 1, 8) <
+      lit(hexThreshold(rate))
+
+  /** The 8-hex-digit threshold string for `rate` (shared with oracles):
+    * keep iff hex32(hash) < hex32(rate·2^32). */
+  def hexThreshold(rate: Double): String =
+    f"${math.min((rate * 4294967296.0).toLong, 4294967295L)}%08x"
+
+  /** Stratified sample: a per-stratum rate map over `keyCol` (strata
+    * absent from the map get `defaultRate`). Deterministic per `salt`.
+    *
+    * 100 TB shape: the rate lookup is a literal CASE chain (strata are
+    * few — sources, languages, quality buckets), so the whole operator is
+    * a single scan-stage filter; partition pruning on `keyCol` still
+    * applies, and a `rate == 0` stratum prunes entirely. */
+  def stratified(df: DataFrame, keyCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "graft"): DataFrame = {
+    val keep = rates.foldLeft(when(lit(false), lit(false))) {
+      case (acc, (k, r)) => acc.when(col(keyCol) === k, hashKeep(col(idCol), r, salt))
+    }.otherwise(hashKeep(col(idCol), defaultRate, salt))
+    df.where(keep)
+  }
+
+  /** Pack documents into fixed-budget training sequences: within each
+    * `keyCol` group, order by `idCol`, and cut a new bin every time the
+    * running token total crosses a multiple of `capTokens` (a document
+    * whose START offset lies in bin b belongs to bin b). Returns one row
+    * per (key, bin) with document count and token totals.
+    *
+    * This is offset-chunking, not best-fit bin packing — deliberately:
+    * it is deterministic, order-preserving, single-pass, and expressible
+    * as a prefix sum (bin = (cumsum − tokens) ÷ cap), so it scales as ONE
+    * shuffle on `keyCol` (the window and the groupBy share the hash
+    * partitioning — Catalyst reuses the exchange) where true bin packing
+    * is NP-hard and sequential. Over-cap single documents get a bin of
+    * their own rather than being split: splitting is the tokenizer's job.
+    */
+  def packSequences(df: DataFrame, keyCol: String, idCol: String,
+      tokens: Column, capTokens: Long): DataFrame = {
+    require(capTokens > 0, s"capTokens must be positive, got $capTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__tok", tokens.cast("long"))
+      .withColumn("__bin", ((sum(col("__tok")).over(w) - col("__tok")) / capTokens)
+        .cast("long"))
+      .groupBy(col(keyCol), col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("total_tokens"))
+  }
+}

@@ -46,6 +46,44 @@ object TextAnalysis {
       .withColumn("punct_ratio", nPunct.cast("double") / length(col(textCol)).cast("double"))
   }
 
+  /** Intra-document repetition counters (Gopher-style quality signals):
+    * appends the six long fields of
+    * [[graft.functions.RepetitionStats]] — `n_words`,
+    * `n_distinct_words`, `top_word_count`, `n_bigrams`,
+    * `n_distinct_bigrams`, `top_bigram_count`. One-pass native
+    * expression, per-row ⇒ no shuffle; the six struct-field reads share
+    * the underlying expression via whole-stage-codegen subexpression
+    * elimination. Ratios (duplicate-word fraction, top-bigram coverage)
+    * are integer arithmetic on these counters — see the
+    * `repetition_stats` query for the `div`-based engine-exact form. */
+  def withRepetitionStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__rep", graft.functions.F.repetitionStats(words(col(textCol))))
+      .select(df.columns.map(col) :+ col("__rep.*"): _*)
+
+  /** Per-document top-`k` distinctive terms, ranked by
+    * `(tf DESC, df ASC, term ASC)` — term frequency favors what the
+    * document repeats, document frequency penalizes corpus-common words.
+    * This is TF-IDF's ordering expressed in pure integers (for a fixed
+    * tf, TF·IDF is monotone decreasing in df), so results are exact
+    * across engines — no float log in sight.
+    *
+    * 100 TB shape: the (doc, term) counts aggregate partially map-side;
+    * the vocabulary table (distinct terms) is orders of magnitude smaller
+    * than the corpus, so the df lookup is a broadcast join; the final
+    * top-k is one window over the same doc-keyed shuffle as the tf
+    * aggregation. */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    Dedup.topKPerKey(tf.join(broadcast(dfreq), Seq("term")), k, Seq(idCol),
+        Seq(col("tf").desc, col("df").asc, col("term").asc))
+      .select(col(idCol), col("term"), col("tf"), col("df"))
+  }
+
   /** Composite quality bucket from integer-exact threshold tests (engine-
     * independent: no float comparisons). */
   def qualityBucket(df: DataFrame, textCol: String): DataFrame = {

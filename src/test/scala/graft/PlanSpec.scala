@@ -168,4 +168,26 @@ class PlanSpec extends SparkSpecBase {
       assert(wscgCount(df) >= 1, s"$q runs outside whole-stage codegen")
     }
   }
+
+  test("repetition_stats / stratified_sample: pure scan-stage, no shuffle") {
+    // both are per-row (native counter expression / hash predicate) — at
+    // 100 TB they must run entirely map-side inside the scan stage
+    Seq("repetition_stats", "stratified_sample").foreach { q =>
+      val ex = collectAll(plan(q)).collect { case e: Exchange => e }
+      assert(ex.isEmpty, s"$q shuffles: ${ex.map(_.nodeName)}")
+    }
+  }
+
+  test("pack_sequences: window and per-bin agg share ONE shuffle") {
+    // partitionBy(source) for the prefix sum also satisfies the
+    // (source, bin) clustering of the groupBy — EnsureRequirements must
+    // not insert a second exchange
+    val ex = collectAll(plan("pack_sequences")).collect { case e: Exchange => e }
+    assert(ex.size == 1, s"expected exactly 1 exchange, got ${ex.map(_.nodeName)}")
+  }
+
+  test("tfidf_topk: vocabulary df lookup is a broadcast join") {
+    val s = plan("tfidf_topk").toString
+    assert(s.contains("BroadcastHashJoin"), s"df join not broadcast:\n$s")
+  }
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class SamplingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val ids = (0L until 2000L).toDF("id")
+
+  test("hashKeep: deterministic, rate-accurate, and nested by rate") {
+    val at = Map(0.1 -> ids.where(Sampling.hashKeep(col("id"), 0.1, "s")),
+      0.5 -> ids.where(Sampling.hashKeep(col("id"), 0.5, "s")))
+    val n10 = at(0.1).count()
+    // md5 is uniform: 2000 draws at rate 0.1 → ~200 ± 5σ (σ≈13.4)
+    assert(math.abs(n10 - 200) < 67, s"rate 0.1 kept $n10 of 2000")
+    // re-evaluation is identical (no rand() anywhere)
+    assert(at(0.1).collect().toSeq == at(0.1).collect().toSeq)
+    // a lower-rate sample is a SUBSET of a higher-rate one (same salt):
+    // hash < t1 < t2 — the property that makes samples shrinkable/growable
+    // without resampling
+    val s10 = at(0.1).as[Long].collect().toSet
+    val s50 = at(0.5).as[Long].collect().toSet
+    assert(s10.subsetOf(s50))
+    // degenerate rates short-circuit
+    assert(ids.where(Sampling.hashKeep(col("id"), 0.0, "s")).count() == 0)
+    assert(ids.where(Sampling.hashKeep(col("id"), 1.0, "s")).count() == 2000)
+    // different salt → a different (independent) sample
+    val sOther = ids.where(Sampling.hashKeep(col("id"), 0.1, "t"))
+      .as[Long].collect().toSet
+    assert(sOther != s10)
+  }
+
+  test("hashKeep: consistent across tables (join-preserving)") {
+    val other = ids.withColumn("v", col("id") * 2)
+    val a = ids.where(Sampling.hashKeep(col("id"), 0.3, "s")).as[Long].collect().toSet
+    val b = other.where(Sampling.hashKeep(col("id"), 0.3, "s"))
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "same id+salt must sample identically in every table")
+  }
+
+  test("stratified: per-stratum rates with default") {
+    val df = (0L until 3000L).map(i => (i, s"k${i % 3}")).toDF("id", "key")
+    val out = Sampling.stratified(df, "key", "id",
+      rates = Map("k0" -> 0.0, "k1" -> 1.0), defaultRate = 0.5)
+    val byKey = out.groupBy("key").count().as[(String, Long)].collect().toMap
+    assert(!byKey.contains("k0"))
+    assert(byKey("k1") == 1000L)
+    assert(math.abs(byKey("k2") - 500L) < 80, s"default-rate stratum: $byKey")
+  }
+
+  test("packSequences: prefix-sum binning, conservation, over-cap docs") {
+    // key a: tokens 300,300,300 with cap 512 → starts at 0,300,600 →
+    // bins 0,0,1. key b: a single 2000-token doc → its own bin 0.
+    val df = Seq(("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 300L),
+      ("b", 9L, 2000L)).toDF("key", "id", "tok")
+    val out = Sampling.packSequences(df, "key", "id", col("tok"), 512L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(("a", 0L, 2L, 600L), ("a", 1L, 1L, 300L),
+      ("b", 0L, 1L, 2000L)))
+    // conservation: every doc lands in exactly one bin
+    val packed = Sampling.packSequences(df, "key", "id", col("tok"), 512L)
+    assert(packed.agg(sum("n_docs"), sum("total_tokens"))
+      .as[(Long, Long)].head() == ((4L, 2900L)))
+  }
+
+  test("packSequences: bins are contiguous id ranges in input order") {
+    val df = (0L until 100L).map(i => ("k", i, 37L)).toDF("key", "id", "tok")
+    // 37 tokens/doc, cap 512: floor(37i/512) must be non-decreasing and
+    // each bin's doc count within ceil(512/37)=14 of each other
+    val bins = Sampling.packSequences(df, "key", "id", col("tok"), 512L)
+      .orderBy("bin").as[(String, Long, Long, Long)].collect()
+    assert(bins.map(_._2).toSeq == bins.indices.map(_.toLong))
+    assert(bins.forall { case (_, _, n, tok) => tok == n * 37 && n <= 14 })
+  }
+}

@@ -46,4 +46,37 @@ class TextAnalysisSpec extends SparkSpecBase {
     // known value: 'a'=97, 'b'=98; doc = (97*131 + 98) mod p
     assert(fp(0) == (97L * 131 + 98) % TextAnalysis.FingerprintMod)
   }
+
+  test("repetition stats: exact counters on crafted docs") {
+    val df = Seq("a b a b a", "x", "one two three four").toDF("text")
+    val rows = TextAnalysis.withRepetitionStats(df, "text")
+      .select("n_words", "n_distinct_words", "top_word_count",
+        "n_bigrams", "n_distinct_bigrams", "top_bigram_count")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // words a,b,a,b,a → top 'a'×3; bigrams "a b"×2, "b a"×2 → top 2
+    assert(rows(0) == ((5L, 2L, 3L, 4L, 2L, 2L)))
+    assert(rows(1) == ((1L, 1L, 1L, 0L, 0L, 0L))) // single word, no bigrams
+    assert(rows(2) == ((4L, 4L, 1L, 3L, 3L, 1L))) // all distinct
+  }
+
+  test("repetition stats: null text yields null struct fields") {
+    val df = Seq(Some("a a"), None).toDF("text")
+    val out = TextAnalysis.withRepetitionStats(df, "text")
+      .select("n_words").collect()
+    assert(out(0).getLong(0) == 2L && out(1).isNullAt(0))
+  }
+
+  test("tfIdfTopK: tf desc, then rarity (df asc), then term; k bound") {
+    // 'rare' appears in 1 doc, 'common' in all 3: equal tf in doc 1 must
+    // rank 'rare' first
+    val docs = Seq((1L, "rare common rare common zz"),
+      (2L, "common common filler pad pad"),
+      (3L, "common filler other words here")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 2)
+    val d1 = out.where(col("doc_id") === 1).orderBy(col("tf").desc, col("df"))
+      .select("term", "tf", "df").as[(String, Long, Long)].collect().toSeq
+    assert(d1 == Seq(("rare", 2L, 1L), ("common", 2L, 3L)))
+    val counts = out.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 2))
+  }
 }
