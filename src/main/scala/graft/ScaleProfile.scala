@@ -68,7 +68,8 @@ object ScaleProfile {
     def median3(f: => Double): Double = (1 to 3).map(_ => f).sorted.apply(1)
 
     val qs = Seq("ngram_jaccard_prefix", "simhash_pairs", "connected_components",
-      "cosine_neardup_lsh", "ann_lsh", "ann_ivf", "sessionize", "rollup_agg")
+      "cosine_neardup_lsh", "ann_lsh", "ann_ivf", "sessionize", "rollup_agg",
+      "tfidf_topk", "decon_semantic")
     qs.foreach(q => time(q, src)) // warmup: codegen + JIT
     qs.foreach(q => time(q, out))
     qs.foreach { q =>

@@ -465,6 +465,22 @@ object SparkEntry {
       Sampling.packSequences(Tables.documents(s, dir), "source", "doc_id",
         TextAnalysis.tokenCount(col("text")), capTokens = 512)),
 
+    // Exact-k deterministic uniform sample per stratum (k smallest md5
+    // per source — distributed reservoir sampling, reproducible).
+    "sample_k_per_key" -> ((s, dir) =>
+      Sampling.exactKPerKey(Tables.documents(s, dir), k = 5, "source", "doc_id")
+        .select("doc_id", "source")),
+
+    // Semantic decontamination: corpus embeddings near-duplicate of any
+    // benchmark embedding (SRP-bucketed broadcast probe — the paraphrase
+    // leakage the n-gram `decontaminate` query can't see).
+    "decon_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Decontaminate.flagSemantic(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 20), "vec_id", "embedding",
+        threshold = 0.4, dim = 64, planes = 4, tables = 4)
+    }),
+
     // Multimodal: opaque-binary feature extraction as native expressions
     // (checksum cross-checked against the mapPartitions decoder in tests).
     "multimodal_features" -> ((s, dir) =>
@@ -1116,6 +1132,36 @@ object SparkEntry {
          |    WHEN 'src1' THEN '${graft.operators.Sampling.hexThreshold(0.9)}'
          |    WHEN 'src2' THEN '${graft.operators.Sampling.hexThreshold(0.5)}'
          |    ELSE '${graft.operators.Sampling.hexThreshold(0.25)}' END""".stripMargin,
+
+    "sample_k_per_key" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft'), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5""".stripMargin,
+
+    // Same literal-hyperplane mirror as cosine_neardup_lsh, restricted to
+    // corpus-vs-benchmark candidates with per-pair table dedup.
+    "decon_semantic" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |hp AS (SELECT * FROM (VALUES
+         |${srpPlanesValues(planes = 4, dim = 64, seed = 42L, tables = 4)}
+         |) AS t(t, p, pv)),
+         |bits AS (SELECT e.vec_id, hp.t, hp.p,
+         |    CASE WHEN list_reduce(
+         |           list_transform(generate_series(1, 64), i -> v[i] * pv[i]),
+         |           (a, b) -> a + b) >= 0
+         |         THEN 1 << hp.p ELSE 0 END AS bit
+         |  FROM e CROSS JOIN hp),
+         |buck AS (SELECT vec_id, t, sum(bit) AS bucket FROM bits GROUP BY vec_id, t),
+         |bench AS (SELECT vec_id AS bid, t, bucket FROM buck WHERE vec_id < 20),
+         |cand AS (SELECT DISTINCT c.vec_id AS id, b.bid
+         |         FROM buck c JOIN bench b
+         |           ON c.t = b.t AND c.bucket = b.bucket AND c.vec_id <> b.bid),
+         |sc AS (SELECT id, bid, list_cosine_similarity(ec.v, eb.v) AS cos
+         |       FROM cand JOIN e ec ON ec.vec_id = id JOIN e eb ON eb.vec_id = bid
+         |       WHERE list_cosine_similarity(ec.v, eb.v) >= 0.4)
+         |SELECT id AS vec_id, max(cos) AS max_cos, count(*) AS n_bench
+         |FROM sc GROUP BY 1""".stripMargin,
 
     "pack_sequences" ->
       """WITH t AS (SELECT source, doc_id,

@@ -51,4 +51,51 @@ object Decontaminate {
       .select(idCol).distinct()
     corpus.join(contaminatedIds, Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC decontamination: corpus rows whose embedding is
+    * near-duplicate (cosine ≥ `threshold`) of ANY benchmark embedding —
+    * catches paraphrased/translated leakage that n-gram overlap ([[flag]])
+    * misses. Returns one row per contaminated corpus id with `max_cos`
+    * (closest benchmark similarity) and `n_bench` (distinct benchmark
+    * rows matched). Rows sharing an id with a benchmark row are exempt
+    * (that is the same document, not leakage).
+    *
+    * Scale shape mirrors [[Dedup.cosineNearDupPairsLsh]]: both sides get
+    * `tables` SRP-LSH buckets from ONE projection each; the benchmark —
+    * small by definition — is broadcast, so the corpus is probed MAP-SIDE
+    * (no corpus shuffle on vectors); only verified (id, bid, cos) scalars
+    * reach the two aggregation shuffles, which are sized by the
+    * contamination, not the corpus. */
+  def flagSemantic(corpus: DataFrame, idCol: String, vecCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchVecCol: String,
+      threshold: Double, dim: Int, planes: Int = 4, tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val corpusB = Dedup.withSrpBuckets(Par.spread(corpus), vecCol,
+        planes, seed, dim, tables)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        posexplode(col("__buckets")).as(Seq("__table", "__bucket")))
+    val benchB = Dedup.withSrpBuckets(benchmark, benchVecCol,
+        planes, seed, dim, tables)
+      .select(col(benchIdCol).as("__bid"), col(benchVecCol).as("__bv"),
+        posexplode(col("__buckets")).as(Seq("__table", "__bucket")))
+    corpusB.join(broadcast(benchB), Seq("__table", "__bucket"))
+      .where(col("__id") =!= col("__bid"))
+      .withColumn("cos", graft.functions.F.cosineSim(col("__v"), col("__bv")))
+      .where(col("cos") >= threshold)
+      // a pair found by several tables must count once
+      .groupBy(col("__id"), col("__bid")).agg(max(col("cos")).as("cos"))
+      .groupBy(col("__id").as(idCol))
+      .agg(max(col("cos")).as("max_cos"), count(lit(1)).as("n_bench"))
+  }
+
+  /** The corpus with semantically contaminated rows removed — LEFT ANTI
+    * against [[flagSemantic]]'s id set. */
+  def cleanSemantic(corpus: DataFrame, idCol: String, vecCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchVecCol: String,
+      threshold: Double, dim: Int, planes: Int = 4, tables: Int = 4,
+      seed: Long = 42L): DataFrame =
+    corpus.join(
+      flagSemantic(corpus, idCol, vecCol, benchmark, benchIdCol, benchVecCol,
+        threshold, dim, planes, tables, seed).select(idCol),
+      Seq(idCol), "left_anti")
 }

@@ -48,6 +48,21 @@ object Sampling {
     df.where(keep)
   }
 
+  /** Exact-`k` uniform sample per stratum: the k rows with the SMALLEST
+    * `md5(id ++ ":" ++ salt)` in each `keyCol` group (id as final
+    * tie-break). Deterministic like [[hashKeep]], but with a guaranteed
+    * per-stratum count — the distributed equivalent of per-key reservoir
+    * sampling, without the sequential reservoir. Growing k keeps the
+    * previous sample as a prefix (nested samples, same property as
+    * rate-nesting in [[hashKeep]]).
+    *
+    * One shuffle on `keyCol`; for heavy-hitter strata the same order
+    * works under [[Dedup.topKPerKeySalted]]. */
+  def exactKPerKey(df: DataFrame, k: Int, keyCol: String, idCol: String,
+      salt: String = "graft"): DataFrame =
+    Dedup.topKPerKey(df, k, Seq(keyCol),
+      Seq(md5(concat(col(idCol).cast("string"), lit(":" + salt))), col(idCol)))
+
   /** Pack documents into fixed-budget training sequences: within each
     * `keyCol` group, order by `idCol`, and cut a new bin every time the
     * running token total crosses a multiple of `capTokens` (a document

@@ -51,4 +51,53 @@ class DecontaminateSpec extends SparkSpecBase {
     assert(resolved.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
       s"expected a broadcast exchange in:\n$resolved")
   }
+
+  // --- semantic (embedding) decontamination ---
+
+  private val dim = 4
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  private lazy val benchEmb = Seq(
+    (100L, vec(1, 0, 0, 0)),
+    (101L, vec(0, 1, 0, 0))).toDF("bid", "bvec")
+
+  private lazy val corpusEmb = Seq(
+    (1L, vec(0.99, 0.1, 0, 0)),   // paraphrase of bench 100
+    (2L, vec(0, 0, 1, 0)),        // clean (orthogonal)
+    (3L, vec(0.7, 0.7, 0, 0)),    // near BOTH benchmark vectors
+    (100L, vec(1, 0, 0, 0))       // IS bench 100 — same id ⇒ exempt
+  ).toDF("id", "v")
+
+  test("flagSemantic: cosine leakage found, same-id exempt, n_bench exact") {
+    // planes=1, tables=4 ⇒ 2^1 buckets/table over 4 seeds: collision
+    // probability 1-(cos⁻¹ρ/π)^... — with 4 tables every high-cos pair
+    // collides in at least one (verified: output matches brute force)
+    val out = Decontaminate.flagSemantic(corpusEmb, "id", "v",
+        benchEmb, "bid", "bvec", threshold = 0.6, dim = dim,
+        planes = 1, tables = 4)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.contains(1L) && out(1L)._2 == 1L)
+    assert(out(1L)._1 > 0.98)
+    assert(out.contains(3L) && out(3L)._2 == 2L) // matched both bench rows
+    assert(!out.contains(2L), "orthogonal vector flagged")
+    assert(!out.contains(100L), "same-id benchmark row must be exempt")
+  }
+
+  test("cleanSemantic removes exactly the flagged ids") {
+    val kept = Decontaminate.cleanSemantic(corpusEmb, "id", "v",
+        benchEmb, "bid", "bvec", threshold = 0.6, dim = dim,
+        planes = 1, tables = 4)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 100L))
+  }
+
+  test("flagSemantic: benchmark side is broadcast (corpus probed map-side)") {
+    val plan = Decontaminate.flagSemantic(corpusEmb, "id", "v",
+        benchEmb, "bid", "bvec", threshold = 0.6, dim = dim)
+      .queryExecution.executedPlan
+    val resolved = plan.collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan }
+      .getOrElse(plan)
+    assert(resolved.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+      s"expected a broadcast exchange in:\n$resolved")
+  }
 }

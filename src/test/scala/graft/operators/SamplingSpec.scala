@@ -65,6 +65,22 @@ class SamplingSpec extends SparkSpecBase {
       .as[(Long, Long)].head() == ((4L, 2900L)))
   }
 
+  test("exactKPerKey: exactly k per stratum, deterministic, nested in k") {
+    val df = (0L until 900L).map(i => (i, s"k${i % 3}")).toDF("id", "key")
+    val s5 = Sampling.exactKPerKey(df, 5, "key", "id")
+    val byKey = s5.groupBy("key").count().as[(String, Long)].collect().toMap
+    assert(byKey == Map("k0" -> 5L, "k1" -> 5L, "k2" -> 5L))
+    // deterministic re-evaluation
+    assert(s5.select("id").as[Long].collect().toSet ==
+      Sampling.exactKPerKey(df, 5, "key", "id").select("id").as[Long].collect().toSet)
+    // growing k keeps the k=5 sample as a subset
+    val s9 = Sampling.exactKPerKey(df, 9, "key", "id").select("id").as[Long].collect().toSet
+    assert(s5.select("id").as[Long].collect().toSet.subsetOf(s9))
+    // k larger than the stratum returns the whole stratum
+    val tiny = Seq((1L, "a"), (2L, "a")).toDF("id", "key")
+    assert(Sampling.exactKPerKey(tiny, 5, "key", "id").count() == 2)
+  }
+
   test("packSequences: bins are contiguous id ranges in input order") {
     val df = (0L until 100L).map(i => ("k", i, 37L)).toDF("key", "id", "tok")
     // 37 tokens/doc, cap 512: floor(37i/512) must be non-decreasing and
