@@ -465,6 +465,13 @@ object SparkEntry {
       Sampling.packSequences(Tables.documents(s, dir), "source", "doc_id",
         TextAnalysis.tokenCount(col("text")), capTokens = 512)),
 
+    // Corpus-adaptive fluency proxy: distinct-bigram overlap with the
+    // corpus's own top-K bigram vocabulary (integer permille — no LM, no
+    // float logprobs; broadcast vocab probe).
+    "fluency_score" -> ((s, dir) =>
+      TextAnalysis.bigramFamiliarity(Tables.documents(s, dir), "doc_id",
+        "text", vocabK = 500)),
+
     // Exact-k deterministic uniform sample per stratum (k smallest md5
     // per source — distributed reservoir sampling, reproducible).
     "sample_k_per_key" -> ((s, dir) =>
@@ -1132,6 +1139,27 @@ object SparkEntry {
          |    WHEN 'src1' THEN '${graft.operators.Sampling.hexThreshold(0.9)}'
          |    WHEN 'src2' THEN '${graft.operators.Sampling.hexThreshold(0.5)}'
          |    ELSE '${graft.operators.Sampling.hexThreshold(0.25)}' END""".stripMargin,
+
+    "fluency_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])) AS b
+        |  FROM w),
+        |vocab AS (SELECT b FROM (SELECT b, COUNT(*) AS df FROM bg GROUP BY 1)
+        |          ORDER BY df DESC, b LIMIT 500),
+        |fam AS (SELECT doc_id, COUNT(*) AS n_familiar
+        |        FROM bg JOIN vocab USING (b) GROUP BY 1),
+        |base AS (SELECT doc_id,
+        |    len(list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]))
+        |      AS n_bigrams_distinct
+        |  FROM w)
+        |SELECT base.doc_id,
+        |  CAST(n_bigrams_distinct AS BIGINT) AS n_bigrams_distinct,
+        |  CAST(COALESCE(n_familiar, 0) AS BIGINT) AS n_familiar,
+        |  CAST(CASE WHEN n_bigrams_distinct = 0 THEN 0
+        |            ELSE COALESCE(n_familiar, 0) * 1000 // n_bigrams_distinct
+        |       END AS BIGINT) AS familiar_permille
+        |FROM base LEFT JOIN fam USING (doc_id)""".stripMargin,
 
     "sample_k_per_key" ->
       """SELECT doc_id, source FROM (

@@ -84,6 +84,38 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"))
   }
 
+  /** Corpus-adaptive fluency score — an LM-free perplexity proxy: how
+    * many of a document's distinct word bigrams appear in the corpus's
+    * own top-`vocabK` bigram vocabulary (ranked by document frequency,
+    * ties broken by the bigram string). Fluent text is built from common
+    * transitions; word salad and mangled extractions are not. The score
+    * is pure integer arithmetic (`familiar_permille`), so the oracle
+    * matches exactly — no float log-probabilities.
+    *
+    * 100 TB shape: two corpus passes, which is inherent (the vocabulary
+    * must exist before scoring): (1) bigram df aggregation — map-side
+    * partial agg, top-K via TakeOrdered (never a global sort); (2) score
+    * pass — the K-row vocabulary is broadcast, the probe is map-side,
+    * and the only shuffle carries (id, n_familiar) pairs. */
+  def bigramFamiliarity(docs: DataFrame, idCol: String, textCol: String,
+      vocabK: Int = 1000): DataFrame = {
+    def bigrams(df: DataFrame) = df.select(col(idCol),
+      explode(graft.functions.F.wordShingles(words(col(textCol)), 2)).as("b"))
+    val vocab = bigrams(Par.spread(docs))
+      .groupBy("b").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("b")).limit(vocabK).select("b")
+    val fam = bigrams(Par.spread(docs)).join(broadcast(vocab), "b")
+      .groupBy(idCol).agg(count(lit(1)).as("n_familiar"))
+    docs.select(col(idCol),
+        size(graft.functions.F.wordShingles(words(col(textCol)), 2))
+          .cast("long").as("n_bigrams_distinct"))
+      .join(fam, Seq(idCol), "left")
+      .withColumn("n_familiar", coalesce(col("n_familiar"), lit(0L)))
+      .withColumn("familiar_permille",
+        expr("CASE WHEN n_bigrams_distinct = 0 THEN 0 " +
+          "ELSE n_familiar * 1000 div n_bigrams_distinct END"))
+  }
+
   /** Composite quality bucket from integer-exact threshold tests (engine-
     * independent: no float comparisons). */
   def qualityBucket(df: DataFrame, textCol: String): DataFrame = {

@@ -66,6 +66,23 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(0).getLong(0) == 2L && out(1).isNullAt(0))
   }
 
+  test("bigramFamiliarity: common transitions score, salad doesn't") {
+    val docs = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "zz qq"))
+      .toDF("doc_id", "text")
+    // df: "the cat"=2, everything else 1 → vocabK=1 keeps only "the cat"
+    val out = TextAnalysis.bigramFamiliarity(docs, "doc_id", "text", vocabK = 1)
+      .select("doc_id", "n_bigrams_distinct", "n_familiar", "familiar_permille")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 1L, 500L)))
+    assert(out(2L) == ((2L, 2L, 1L, 500L)))
+    assert(out(3L) == ((3L, 1L, 0L, 0L)))
+    // single-word doc: no bigrams, permille 0 (no divide-by-zero)
+    val one = TextAnalysis.bigramFamiliarity(
+        Seq((9L, "word")).toDF("doc_id", "text"), "doc_id", "text", vocabK = 1)
+      .select("familiar_permille").as[Long].head()
+    assert(one == 0L)
+  }
+
   test("tfIdfTopK: tf desc, then rarity (df asc), then term; k bound") {
     // 'rare' appears in 1 doc, 'common' in all 3: equal tf in doc 1 must
     // rank 'rare' first
