@@ -15,10 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * decomposition + combining-mark strip (covers Latin accents) plus a
   * direct map for Latin letters that do not decompose — the Latin-1 set
   * (ß, Ø, Æ, …) hand-typed, the full Latin-Extended-A/B + IPA blocks
-  * derived from the JDK's Unicode tables (see `derived`). Output is pure
-  * ASCII by construction (property-tested). Full `unidecode` parity
-  * (CJK → pinyin etc.) would need its mapping table; divergence documented
-  * in SURVEY.md §7.4. Codegen-enabled so it stays inside whole-stage
+  * derived from the JDK's Unicode tables (see `derived`), Greek/Cyrillic
+  * romanization name-derived (`romanized`), and CJK via [[CjkFold]]
+  * (algorithmic Hangul + name-derived kana + bounded pinyin table +
+  * fullwidth offsets). Output is pure ASCII by construction
+  * (property-tested). Residual `unidecode` divergences (romanization
+  * conventions, hanzi outside the bounded table) documented in
+  * SURVEY.md §7.4.1. Codegen-enabled so it stays inside whole-stage
   * codegen on the hot path.
   */
 case class AsciiFold(child: Expression) extends UnaryExpression {
@@ -153,31 +156,42 @@ object AsciiFold {
 
   private val direct: Map[Char, String] = derived ++ romanized ++ manual
 
-  /** ASCII-fold a string: NFD + strip combining marks + direct map.
-    * Non-decomposable non-ASCII characters are dropped (matching
-    * `unidecode`'s behavior of erasing unmappable codepoints). */
+  /** ASCII-fold a string: per character, direct/CJK map lookup first, then
+    * NFD decomposition of the single character (so precomposed forms that
+    * carry meaning — voiced kana, Hangul syllables — hit their table entry
+    * BEFORE decomposition erases it; accented Latin/Greek/Cyrillic reach
+    * their base letter through the recursion). Non-decomposable non-ASCII
+    * characters are dropped (matching `unidecode`'s behavior of erasing
+    * unmappable codepoints). */
   def fold(s: String): String = {
-    // Fast path: pure ASCII needs no normalization (the overwhelmingly
-    // common case at 100 TB scale — avoid the NFD allocation).
+    // Fast path: pure ASCII needs no work (the overwhelmingly common case
+    // at 100 TB scale — avoid every allocation).
     var ascii = true
     var j = 0
     while (ascii && j < s.length) { if (s.charAt(j) >= 128) ascii = false; j += 1 }
     if (ascii) return s
 
-    val nfd = Normalizer.normalize(s, Normalizer.Form.NFD)
-    val sb = new java.lang.StringBuilder(nfd.length)
+    val sb = new java.lang.StringBuilder(s.length)
+    foldInto(s, sb)
+    sb.toString
+  }
+
+  private def foldInto(s: String, sb: java.lang.StringBuilder): Unit = {
     var i = 0
-    while (i < nfd.length) {
-      val ch = nfd.charAt(i)
-      if (Character.getType(ch) != Character.NON_SPACING_MARK) {
-        if (ch < 128) sb.append(ch)
-        else direct.get(ch) match {
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch < 128) sb.append(ch)
+      else if (Character.getType(ch) != Character.NON_SPACING_MARK) {
+        direct.get(ch).orElse(CjkFold.fold(ch)) match {
           case Some(rep) => sb.append(rep)
-          case None      => // unmappable: drop, like unidecode
+          case None =>
+            val nfd = Normalizer.normalize(ch.toString, Normalizer.Form.NFD)
+            if (nfd.length == 1 && nfd.charAt(0) == ch) {
+              // no decomposition and no mapping: drop, like unidecode
+            } else foldInto(nfd, sb)
         }
       }
       i += 1
     }
-    sb.toString
   }
 }

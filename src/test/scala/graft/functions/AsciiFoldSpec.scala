@@ -24,7 +24,53 @@ class AsciiFoldSpec extends SparkSpecBase {
   }
 
   test("fold: unmappable codepoints are dropped (unidecode-style)") {
-    assert(AsciiFold.fold("a中b") == "ab")
+    assert(AsciiFold.fold("a☃b") == "ab")  // snowman: no transliteration
+    assert(AsciiFold.fold("a鿿b") == "ab")  // hanzi outside the pinyin table
+  }
+
+  test("fold: CJK hanzi romanize to toneless pinyin with syllable spaces") {
+    assert(AsciiFold.fold("中国") == "zhong guo ")
+    assert(AsciiFold.fold("你好世界") == "ni hao shi jie ")
+    assert(AsciiFold.fold("数据处理") == "shu ju chu li ")
+    assert(AsciiFold.fold("的了是不在") == "de le shi bu zai ")
+  }
+
+  test("fold: Hangul syllables decompose algorithmically (jamo style)") {
+    assert(AsciiFold.fold("한국") == "hangug")
+    assert(AsciiFold.fold("서울") == "seoul")
+    assert(AsciiFold.fold("안녕") == "annyeong")
+    // Full block: every one of the 11172 syllables folds to non-empty ASCII
+    (0xAC00 to 0xD7A3).foreach { cp =>
+      val out = AsciiFold.fold(cp.toChar.toString)
+      assert(out.nonEmpty && out.forall(_ < 128), f"U+$cp%04X -> '$out'")
+    }
+  }
+
+  test("fold: kana romanize via name-derived Hepburn") {
+    assert(AsciiFold.fold("カタカナ") == "katakana")
+    assert(AsciiFold.fold("しんぶん") == "shinbun")
+    assert(AsciiFold.fold("すし") == "sushi")
+    assert(AsciiFold.fold("つじ") == "tsuji") // Nihon-shiki names → Hepburn
+  }
+
+  test("fold: fullwidth forms fold to their ASCII originals") {
+    assert(AsciiFold.fold("ＡＢＣ１２３") == "ABC123")
+    assert(AsciiFold.fold("（ｘ＋ｙ）") == "(x+y)")
+    assert(AsciiFold.fold("日本。") == "ri ben . ")
+  }
+
+  test("property: CJK blocks fold to pure ASCII") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val charGen = Gen.frequency(
+      2 -> Gen.choose(0x4E00.toChar, 0x9FFF.toChar),  // CJK ideographs
+      2 -> Gen.choose(0xAC00.toChar, 0xD7A3.toChar),  // Hangul syllables
+      1 -> Gen.choose(0x3041.toChar, 0x30FF.toChar),  // kana
+      1 -> Gen.choose(0xFF01.toChar, 0xFF5E.toChar))  // fullwidth
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    val prop = Prop.forAll(strGen) { s => AsciiFold.fold(s).forall(_ < 128) }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("fold: full Latin-Extended-A coverage — every letter folds to ASCII") {
