@@ -284,6 +284,11 @@ object SparkEntry {
       Dedup.ngramJaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text",
         blockCol = "source", n = 3, thresholdNum = 4, thresholdDen = 5)),
 
+    // Exact repeated-span stats (aggregate-form exact-substring dedup):
+    // per doc, distinct 3-token spans and how many appear in other docs.
+    "repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpanStats(Tables.documents(s, dir), "doc_id", "text", k = 3)),
+
     // Benchmark decontamination: per-doc count of n-grams shared with a
     // held-out eval set (docs where doc_id % 50 == 0 stand in for the
     // benchmark). The eval shingle set is broadcast — the corpus is never
@@ -807,6 +812,20 @@ object SparkEntry {
         |SELECT a_id, b_id,
         |  CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) AS jaccard
         |FROM p WHERE 10 * inter >= 1 * (a_n + b_n - inter)""".stripMargin,
+
+    "repeated_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+        |       FROM w),
+        |e AS (SELECT doc_id, unnest(sh) AS span FROM sh),
+        |f AS (SELECT span, count(*) AS n_docs FROM e GROUP BY 1),
+        |d AS (SELECT e.doc_id, count(*) AS n_shared
+        |      FROM e JOIN f USING (span) WHERE f.n_docs > 1 GROUP BY 1)
+        |SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_spans,
+        |  coalesce(d.n_shared, 0) AS n_shared,
+        |  len(s.sh) > 0 AND 2 * coalesce(d.n_shared, 0) >= len(s.sh) AS mostly_duplicated
+        |FROM sh s LEFT JOIN d USING (doc_id)""".stripMargin,
 
     "decontaminate" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),

@@ -177,6 +177,51 @@ object Dedup {
 
   // --------------------------------------------------------------------
   // MinHash + LSH
+  /** Per-document repeated-span statistics — the aggregate form of
+    * exact-substring dedup (spans of k consecutive tokens appearing
+    * verbatim in more than one document mark boilerplate / mirrored /
+    * templated text that near-dup measures at the whole-document level
+    * miss). For each document: its number of DISTINCT k-token spans and
+    * how many of those also occur in at least one OTHER document, plus an
+    * integer-exact `mostly_duplicated` flag (shared spans ≥ half).
+    *
+    * Scale shape: span rows ≈ token count (linear), and the span
+    * frequency table is an AGGREGATION, not a join — no blocking needed,
+    * no quadratic candidate set, unlike pairwise n-gram Jaccard. Two
+    * shuffles total: spans by span (freq count reuses the exchange for
+    * the back-join) and the per-doc count by doc. Spans are distinct
+    * per doc (via [[withShingles]]), so a span's occurrence count IS its
+    * distinct-document count, and within-doc self-repetition never
+    * inflates the shared count. At 100 TB, shuffle the 64-bit portable
+    * span hash instead of the span text to slim the exchange (collisions
+    * only ever over-count by hash-collision probability).
+    */
+  def repeatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    // Slim id-only scan (column-pruned: no text read) so zero-span docs
+    // still appear in the output.
+    val ids = df.select(col(idCol).as("doc_id"))
+    // The span frequency is a COUNT() OVER (PARTITION BY span) window, not
+    // a groupBy+self-join: the text is scanned and shingled exactly ONCE
+    // (one Generate in the plan — asserted in PlanSpec), with one shuffle
+    // on span and one on doc_id. The window's in-partition sort on span is
+    // the price; at 100 TB re-reading + re-shingling the corpus (what the
+    // self-join shape does) costs far more.
+    val ex = withShingles(Par.spread(df), textCol, k)
+      .select(col(idCol).as("doc_id"), explode(col("shingles")).as("span"))
+    val perDoc = ex
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("span")))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+    ids.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("mostly_duplicated",
+        col("n_spans") > 0 && lit(2) * col("n_shared") >= col("n_spans"))
+  }
+
   // --------------------------------------------------------------------
 
   /** Per-document MinHash signature (numHashes universal-hash permutations

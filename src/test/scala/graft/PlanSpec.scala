@@ -190,4 +190,13 @@ class PlanSpec extends SparkSpecBase {
     val s = plan("tfidf_topk").toString
     assert(s.contains("BroadcastHashJoin"), s"df join not broadcast:\n$s")
   }
+
+  test("repeated_spans: text is shingled exactly once (one Generate)") {
+    // the span-frequency window rides the span shuffle instead of a
+    // groupBy+self-join — a second Generate would mean the corpus text is
+    // read and shingled twice, the 100 TB anti-pattern this shape avoids
+    val gens = collectAll(plan("repeated_spans"))
+      .filter(_.nodeName.contains("Generate"))
+    assert(gens.size == 1, s"expected 1 Generate, got ${gens.size}")
+  }
 }

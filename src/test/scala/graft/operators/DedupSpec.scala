@@ -32,6 +32,37 @@ class DedupSpec extends SparkSpecBase {
     assert(out.contains(Seq.empty))
   }
 
+  test("repeatedSpanStats: cross-doc spans count, self-repetition does not") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps high"),     // shares "the quick brown",
+      (2L, "the quick brown cat sits low"),       //   "quick brown"? no: k=3 spans
+      (3L, "totally unique words here only now"), // nothing shared
+      (4L, "echo echo echo echo echo")            // self-repetition only
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanStats(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // docs 1,2 share exactly the span "the quick brown"
+    assert(out(1L) == ((4L, 1L, false)))
+    assert(out(2L) == ((4L, 1L, false)))
+    assert(out(3L) == ((4L, 0L, false)))
+    // doc 4: one distinct span ("echo echo echo"), in no other doc
+    assert(out(4L) == ((1L, 0L, false)))
+  }
+
+  test("repeatedSpanStats: mostly_duplicated flags a templated doc") {
+    val df = Seq(
+      (1L, "boiler plate header text body one"),
+      (2L, "boiler plate header text body two"),
+      (3L, "fresh different content entirely here")).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanStats(df, "doc_id", "text", k = 3)
+      .where(col("mostly_duplicated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // docs 1,2 share spans "boiler plate header", "plate header text",
+    // "header text body" = 3 of their 4 spans each -> mostly duplicated
+    assert(out == Set(1L, 2L))
+  }
+
   test("n-gram Jaccard finds the planted near-duplicate pair only") {
     val near1 = "the quick brown fox jumps over the lazy dog today"
     val near2 = "the quick brown fox jumps over the lazy cat today"
