@@ -434,6 +434,16 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
+    // C4-style line cleaning. The synthetic corpus is single-line,
+    // punctuation-free text, so the registered rules are the ones that
+    // vary here (min words per line + a blocklist word present in ~half
+    // the docs); the terminal-punctuation rule and multi-line re-join are
+    // covered by TextAnalysisSpec on crafted documents.
+    "line_clean" -> ((s, dir) =>
+      TextAnalysis.lineClean(Tables.documents(s, dir), "doc_id", "text",
+        lineSep = "\n", minWordsPerLine = 30, requireTerminalPunct = false,
+        blockWords = Seq("customer"))),
+
     // Gopher-style intra-document repetition counters (native one-pass
     // expression, no shuffle) + integer-exact duplicate-word /
     // top-bigram-coverage ratios in permille.
@@ -1104,6 +1114,19 @@ object SparkEntry {
         |  FROM documents)
         |WHERE term <> ''
         |GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
+
+    "line_clean" ->
+      """WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+        |k AS (SELECT doc_id, lines,
+        |        list_filter(lines, x ->
+        |          len(string_split(trim(x), ' ')) >= 30
+        |          AND NOT contains(lower(trim(x)), 'customer')) AS kept
+        |      FROM l)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+        |FROM k""".stripMargin,
 
     // Full mirror of the native one-pass expression: word and adjacent-
     // bigram count maps as unnest+GROUP BY; ratios use // (floor div) to

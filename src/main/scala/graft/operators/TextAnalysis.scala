@@ -164,6 +164,42 @@ object TextAnalysis {
       regexp_replace(textCol, UrlPattern, "<URL>"),
       EmailPattern, "<EMAIL>")
 
+  /** C4-style line-level cleaning (the rule family behind the C4/mC4 web
+    * corpora): split a document into lines, keep only lines that (a) have
+    * at least `minWordsPerLine` whitespace words, (b) end in a terminal
+    * punctuation mark (when `requireTerminalPunct`), and (c) contain no
+    * blocklisted substring (case-insensitive) — then re-join survivors.
+    * Output keeps the per-doc counters (`n_lines`, `n_kept`) so a page
+    * gate (e.g. C4's "≥ 5 kept sentences") is a downstream filter.
+    *
+    * Scale shape: pure per-row array work — split / higher-order filter /
+    * re-join in ONE projection, no explode, no shuffle, no UDF. At 100 TB
+    * this runs entirely inside the scan stage.
+    */
+  def lineClean(df: DataFrame, idCol: String, textCol: String,
+      lineSep: String = "\n", minWordsPerLine: Int = 3,
+      requireTerminalPunct: Boolean = true,
+      blockWords: Seq[String] = Seq("javascript", "lorem ipsum", "{")): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(lineSep))
+    def keep(l: Column): Column = {
+      val t = trim(l)
+      val wordsOk = size(split(t, " ")) >= minWordsPerLine
+      val termOk =
+        if (requireTerminalPunct) substring(t, -1, 1).isin(".", "!", "?", "\"")
+        else lit(true)
+      val blockOk = blockWords
+        .map(b => !lower(t).contains(lit(b.toLowerCase(java.util.Locale.ROOT))))
+        .foldLeft(lit(true))(_ && _)
+      wordsOk && termOk && blockOk
+    }
+    df.select(col(idCol).as("doc_id"), lines.as("__lines"))
+      .withColumn("__kept", filter(col("__lines"), keep _))
+      .select(col("doc_id"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), lineSep).as("text_clean"))
+  }
+
   /** Polynomial rolling-hash document fingerprint, word-order sensitive:
     * wordVal = fold(chars: acc*31 + codepoint) mod M;
     * doc = fold(words: acc*131 + wordVal) mod M.

@@ -83,6 +83,35 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(one == 0L)
   }
 
+  test("lineClean: C4 rules — terminal punct, min words, blocklist") {
+    val doc =
+      "This line survives the cleaning pass.\n" +         // kept
+      "too short.\n" +                                     // < 3 words
+      "No terminal punctuation on this line\n" +           // no . ! ? "
+      "Enable JavaScript to view this page.\n" +           // blocklist (ci)
+      "Does this one survive the cut?\n" +                 // kept (?)
+      "if (x) { return; }\n" +                             // blocklist {
+      "He said \"quoted lines also count.\""               // kept (")
+    val out = TextAnalysis.lineClean(
+        Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, String)].head()
+    assert(out._2 == 7L && out._3 == 3L)
+    assert(out._4 ==
+      "This line survives the cleaning pass.\n" +
+      "Does this one survive the cut?\n" +
+      "He said \"quoted lines also count.\"")
+  }
+
+  test("lineClean: empty and whitespace docs yield zero kept, not errors") {
+    val out = TextAnalysis.lineClean(
+        Seq((1L, ""), (2L, "   \n  ")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("doc_id", "n_kept", "text_clean")
+      .as[(Long, Long, String)].collect()
+      .map { case (k, v, t) => k -> ((v, t)) }.toMap
+    assert(out == Map(1L -> ((0L, "")), 2L -> ((0L, ""))))
+  }
+
   test("tfIdfTopK: tf desc, then rarity (df asc), then term; k bound") {
     // 'rare' appears in 1 doc, 'common' in all 3: equal tf in doc 1 must
     // rank 'rare' first
