@@ -480,6 +480,13 @@ object SparkEntry {
       Sampling.packSequences(Tables.documents(s, dir), "source", "doc_id",
         TextAnalysis.tokenCount(col("text")), capTokens = 512)),
 
+    // Deterministic global shuffle into training shards (engine-portable
+    // Knuth hash rank; one shuffle on shard, per-shard positions).
+    "global_shuffle" -> ((s, dir) =>
+      Sampling.globalShuffle(Tables.documents(s, dir), "doc_id",
+          numShards = 8, seed = 42L)
+        .select("doc_id", "shard", "pos")),
+
     // Corpus-adaptive fluency proxy: distinct-bigram overlap with the
     // corpus's own top-K bigram vocabulary (integer permille — no LM, no
     // float logprobs; broadcast vocab probe).
@@ -1243,6 +1250,18 @@ object SparkEntry {
         |SELECT source, CAST((cum - tok) // 512 AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // Same overflow-free Knuth-hash form as cap_per_key, seed folded in.
+    "global_shuffle" ->
+      """WITH r AS (SELECT doc_id,
+        |    (((doc_id % 4294967296 + 42) % 4294967296 % 65536) * 2654435761
+        |     + (((doc_id % 4294967296 + 42) % 4294967296 // 65536) * 2654435761 % 65536) * 65536)
+        |    % 4294967296 AS rank
+        |  FROM documents)
+        |SELECT doc_id, CAST(rank % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY rank % 8 ORDER BY rank, doc_id)
+        |       AS BIGINT) AS pos
+        |FROM r""".stripMargin,
 
     "lang_id" -> {
       val scores = TextAnalysis.LangMarkers

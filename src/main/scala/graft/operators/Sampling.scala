@@ -90,4 +90,35 @@ object Sampling {
       .groupBy(col(keyCol), col("__bin").as("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("total_tokens"))
   }
+
+  /** Deterministic global shuffle + sharding — the reproducible training
+    * order every run of a data pipeline must agree on. Each row gets a
+    * pseudo-random rank from the overflow-free Knuth multiplicative hash
+    * of `id + seed` (exact integer arithmetic — no `rand()`, identical in
+    * any engine; change `seed` for a fresh permutation), a shard
+    * `rank mod numShards`, and a position within its shard.
+    *
+    * Scale shape: NO global sort. The plan is one shuffle on `shard` plus
+    * an in-shard sort for the `row_number` — each shard orders
+    * independently, which is exactly how shard files are written; a total
+    * order across 100 TB would range-partition and serialize on the
+    * biggest shard instead. Rank ties are broken by id, so positions are
+    * unique and stable. */
+  def globalShuffle(df: DataFrame, idCol: String, numShards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val A = lit(2654435761L)
+    val seedLow = lit(java.lang.Math.floorMod(seed, 4294967296L))
+    val m = pmod(pmod(col(idCol), lit(4294967296L)) + seedLow, lit(4294967296L))
+    val l0 = m.bitwiseAND(lit(65535L))
+    val l1 = shiftright(m, 16)
+    val rank = pmod(l0 * A + pmod(l1 * A, lit(65536L)) * lit(65536L),
+      lit(4294967296L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__rank"), col(idCol))
+    df.withColumn("__rank", rank)
+      .withColumn("shard", pmod(col("__rank"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__rank")
+  }
 }

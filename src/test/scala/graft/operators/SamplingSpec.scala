@@ -81,6 +81,30 @@ class SamplingSpec extends SparkSpecBase {
     assert(Sampling.exactKPerKey(tiny, 5, "key", "id").count() == 2)
   }
 
+  test("globalShuffle: deterministic permutation, contiguous shard positions") {
+    val df = (0L until 500L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val out = Sampling.globalShuffle(df, "id", numShards = 8, seed = 42L)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(out.length == 500)
+    // same seed → identical assignment
+    val again = Sampling.globalShuffle(df, "id", numShards = 8, seed = 42L)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // different seed → a different permutation
+    val other = Sampling.globalShuffle(df, "id", numShards = 8, seed = 7L)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(!out.sortBy(_._1).sameElements(other.sortBy(_._1)))
+    // every shard used; positions within a shard are exactly 1..n
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet == (0 until 8).toSet)
+    byShard.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // the order is not the identity (it actually shuffles)
+    val shard0 = out.filter(_._2 == 0).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 != shard0.sorted)
+  }
+
   test("packSequences: bins are contiguous id ranges in input order") {
     val df = (0L until 100L).map(i => ("k", i, 37L)).toDF("key", "id", "tok")
     // 37 tokens/doc, cap 512: floor(37i/512) must be non-decreasing and
