@@ -487,6 +487,14 @@ object SparkEntry {
           numShards = 8, seed = 42L)
         .select("doc_id", "shard", "pos")),
 
+    // Data-mixture sampling: 50/30/20 across three sources under a 2000-
+    // token budget; greedy deterministic selection, unlisted sources out.
+    "mix_sources" -> ((s, dir) =>
+      Sampling.mixSources(Tables.documents(s, dir), "doc_id", "source",
+        TextAnalysis.tokenCount(col("text")),
+        weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        totalTokens = 2000L, seed = 42L)),
+
     // Corpus-adaptive fluency proxy: distinct-bigram overlap with the
     // corpus's own top-K bigram vocabulary (integer permille — no LM, no
     // float logprobs; broadcast vocab probe).
@@ -1250,6 +1258,24 @@ object SparkEntry {
         |SELECT source, CAST((cum - tok) // 512 AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // Budgets are integer literals (⌊w·2000⌋ precomputed) so the oracle
+    // never touches a float; rank = the same seeded Knuth-hash form.
+    "mix_sources" ->
+      """WITH b AS (SELECT * FROM (VALUES ('src0', 1000), ('src1', 600),
+        |                                 ('src2', 400)) AS t(source, budget)),
+        |r AS (SELECT doc_id, source, len(string_split(text, ' ')) AS tok,
+        |    (((doc_id % 4294967296 + 42) % 4294967296 % 65536) * 2654435761
+        |     + (((doc_id % 4294967296 + 42) % 4294967296 // 65536) * 2654435761 % 65536) * 65536)
+        |    % 4294967296 AS rank
+        |  FROM documents),
+        |c AS (SELECT r.doc_id, r.source, r.tok, b.budget,
+        |    SUM(tok) OVER (PARTITION BY r.source ORDER BY rank, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS strt
+        |  FROM r JOIN b USING (source))
+        |SELECT doc_id, source, CAST(tok AS BIGINT) AS tokens,
+        |  CAST(strt AS BIGINT) AS tok_start
+        |FROM c WHERE strt < budget""".stripMargin,
 
     // Same overflow-free Knuth-hash form as cap_per_key, seed folded in.
     "global_shuffle" ->

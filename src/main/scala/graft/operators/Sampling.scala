@@ -107,18 +107,63 @@ object Sampling {
   def globalShuffle(df: DataFrame, idCol: String, numShards: Int,
       seed: Long = 0L): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
-    val A = lit(2654435761L)
-    val seedLow = lit(java.lang.Math.floorMod(seed, 4294967296L))
-    val m = pmod(pmod(col(idCol), lit(4294967296L)) + seedLow, lit(4294967296L))
-    val l0 = m.bitwiseAND(lit(65535L))
-    val l1 = shiftright(m, 16)
-    val rank = pmod(l0 * A + pmod(l1 * A, lit(65536L)) * lit(65536L),
-      lit(4294967296L))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__rank"), col(idCol))
-    df.withColumn("__rank", rank)
+    df.withColumn("__rank", knuthRank(col(idCol), seed))
       .withColumn("shard", pmod(col("__rank"), lit(numShards.toLong)).cast("int"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__rank")
+  }
+
+  /** Overflow-free Knuth multiplicative hash of `id + seed` (same form as
+    * [[Dedup.capPerKey]]'s rank): exact integer arithmetic, identical in
+    * any engine, ANSI-safe for the full Long id range. */
+  def knuthRank(id: Column, seed: Long): Column = {
+    val A = lit(2654435761L)
+    val seedLow = lit(java.lang.Math.floorMod(seed, 4294967296L))
+    val m = pmod(pmod(id, lit(4294967296L)) + seedLow, lit(4294967296L))
+    val l0 = m.bitwiseAND(lit(65535L))
+    val l1 = shiftright(m, 16)
+    pmod(l0 * A + pmod(l1 * A, lit(65536L)) * lit(65536L), lit(4294967296L))
+  }
+
+  /** Data-mixture sampling: realize per-source target weights as a
+    * deterministic document selection under a global token budget (the
+    * "mix web 50% / books 30% / code 20% into this training run" op).
+    * Each listed source gets an integer budget `⌊weight · totalTokens⌋`;
+    * its documents are ordered by the reproducible [[knuthRank]] and kept
+    * GREEDILY while their prefix-sum START offset is under the budget —
+    * so each source lands in `[budget, budget + max_doc_tokens)` selected
+    * tokens, every run and every engine picking the identical set.
+    * Sources absent from `weights` are excluded (weight 0).
+    *
+    * Scale shape: the weights table is a handful of rows — broadcast
+    * join, never a shuffle of the corpus on anything but `keyCol` for
+    * the prefix-sum window. One shuffle total. Changing the mixture or
+    * budget re-selects WITHOUT re-reading text: inputs are (id, key,
+    * token count) — run it over the slim stats projection, not the
+    * corpus. */
+  def mixSources(df: DataFrame, idCol: String, keyCol: String,
+      tokens: Column, weights: Map[String, Double], totalTokens: Long,
+      seed: Long = 0L): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive, got $totalTokens")
+    require(weights.values.forall(w => w >= 0 && w.isFinite),
+      "weights must be non-negative and finite")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgets = weights.toSeq
+      .map { case (k, w) => (k, math.floor(w * totalTokens).toLong) }
+      .toDF(keyCol, "__budget")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("__rank"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__tok", tokens.cast("long"))
+      .withColumn("__rank", knuthRank(col(idCol), seed))
+      .join(broadcast(budgets), Seq(keyCol))
+      .withColumn("__start", sum(col("__tok")).over(win) - col("__tok"))
+      .where(col("__start") < col("__budget"))
+      .select(col(idCol), col(keyCol), col("__tok").as("tokens"),
+        col("__start").as("tok_start"))
   }
 }

@@ -105,6 +105,43 @@ class SamplingSpec extends SparkSpecBase {
     assert(shard0 != shard0.sorted)
   }
 
+  test("mixSources: budgets realized greedily, unlisted sources excluded") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}", "x " * 20))
+      .toDF("id", "src", "text")
+    val tok = lit(20L)
+    val out = Sampling.mixSources(df, "id", "src", tok,
+      weights = Map("s0" -> 0.6, "s1" -> 0.4), totalTokens = 1000L, seed = 1L)
+      .select("id", "src", "tokens", "tok_start")
+      .as[(Long, String, Long, Long)].collect()
+    // s2 unlisted -> absent
+    assert(out.forall(_._2 != "s2"))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // budgets 600/400, docs of 20 tokens: selection covers the budget
+    // exactly (20 | 600 and 20 | 400)
+    assert(bySrc == Map("s0" -> 600L, "s1" -> 400L))
+    // determinism and seed sensitivity
+    val again = Sampling.mixSources(df, "id", "src", tok,
+      Map("s0" -> 0.6, "s1" -> 0.4), 1000L, seed = 1L)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+    val other = Sampling.mixSources(df, "id", "src", tok,
+      Map("s0" -> 0.6, "s1" -> 0.4), 1000L, seed = 2L)
+      .select("id").as[Long].collect().toSet
+    assert(other != again)
+  }
+
+  test("mixSources: ragged doc sizes overshoot by less than one document") {
+    val df = (0L until 100L).map(i => (i, "s0", 7L + (i % 13))).toDF("id", "src", "tok")
+    val out = Sampling.mixSources(df, "id", "src", col("tok"),
+      Map("s0" -> 1.0), totalTokens = 200L, seed = 5L)
+      .select("tokens", "tok_start").as[(Long, Long)].collect()
+    val total = out.map(_._1).sum
+    val maxDoc = 19L
+    assert(total >= 200L && total < 200L + maxDoc)
+    // starts are strictly below the budget
+    assert(out.forall(_._2 < 200L))
+  }
+
   test("packSequences: bins are contiguous id ranges in input order") {
     val df = (0L until 100L).map(i => ("k", i, 37L)).toDF("key", "id", "tok")
     // 37 tokens/doc, cap 512: floor(37i/512) must be non-decreasing and
