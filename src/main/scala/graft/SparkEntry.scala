@@ -289,6 +289,13 @@ object SparkEntry {
     "repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpanStats(Tables.documents(s, dir), "doc_id", "text", k = 3)),
 
+    // End-to-end dedup: Jaccard pairs -> connected components -> keep the
+    // minimum id per duplicate cluster; unpaired docs pass through.
+    "dedup_survivors" -> ((s, dir) =>
+      Dedup.dedupSurvivors(Tables.documents(s, dir), "doc_id", "text",
+          blockCol = "source", n = 3, thresholdNum = 1, thresholdDen = 50)
+        .select("doc_id", "source", "lang", "n_chars")),
+
     // Benchmark decontamination: per-doc count of n-grams shared with a
     // held-out eval set (docs where doc_id % 50 == 0 stand in for the
     // benchmark). The eval shingle set is broadcast — the corpus is never
@@ -851,6 +858,30 @@ object SparkEntry {
         |  coalesce(d.n_shared, 0) AS n_shared,
         |  len(s.sh) > 0 AND 2 * coalesce(d.n_shared, 0) >= len(s.sh) AS mostly_duplicated
         |FROM sh s LEFT JOIN d USING (doc_id)""".stripMargin,
+
+    // Full-pipeline mirror: the ngram_jaccard pair CTEs at 1/50, the
+    // connected_components recursive CTE, then the anti-joined survivors.
+    "dedup_survivors" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+        |       FROM w),
+        |e AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS shingle FROM sh),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS inter
+        |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.source = b.source
+        |                       AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT a_id, b_id FROM p WHERE 50 * inter >= 1 * (a_n + b_n - inter)),
+        |sym AS (SELECT a_id AS a, b_id AS b FROM pr UNION SELECT b_id, a_id FROM pr),
+        |reach(id, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        |drops AS (SELECT id FROM (SELECT id, LEAST(id, MIN(r)) AS component
+        |                          FROM reach GROUP BY id) WHERE id <> component)
+        |SELECT d.doc_id, d.source, d.lang, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM drops)""".stripMargin,
 
     "decontaminate" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),

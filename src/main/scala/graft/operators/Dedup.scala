@@ -177,6 +177,29 @@ object Dedup {
 
   // --------------------------------------------------------------------
   // MinHash + LSH
+  /** End-to-end near-duplicate REMOVAL: pairs → duplicate clusters →
+    * one canonical survivor per cluster — the composed operation a
+    * training-data pipeline actually runs (the pair/component queries are
+    * its observable stages). Clusters come from
+    * [[graft.operators.Graph.connectedComponents]] over the exact
+    * blocked-Jaccard pairs; the survivor is the cluster's minimum id
+    * (deterministic), and documents in no pair pass through untouched.
+    *
+    * Scale shape: the drop list is only the duplicate cluster members —
+    * a small fraction of the corpus — so the final LEFT ANTI join
+    * broadcasts under AQE; the corpus is never shuffled on anything but
+    * the pair machinery's own keys. Swap the pair stage for
+    * [[minHashLshPairs]] when blocking keys aren't available. */
+  def dedupSurvivors(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int = 3, thresholdNum: Int = 4,
+      thresholdDen: Int = 5): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, blockCol,
+      n, thresholdNum, thresholdDen)
+    val drops = Graph.dedupByPairs(pairs, "a_id", "b_id")
+      .where(!col("keep")).select(col("id").as("__drop_id"))
+    df.join(drops, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Per-document repeated-span statistics — the aggregate form of
     * exact-substring dedup (spans of k consecutive tokens appearing
     * verbatim in more than one document mark boilerplate / mirrored /

@@ -81,4 +81,21 @@ class GraphSpec extends SparkSpecBase {
       assert(out.exists(r => r._1 == rep && r._3))
     }
   }
+
+  test("dedupSurvivors: min id survives each planted cluster, rest intact") {
+    // docs 1,2,3 near-identical (one cluster via transitivity), 4,5
+    // identical (second cluster), 6 unique, 9 too short for any shingle
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s"),
+      (2L, "alpha beta gamma delta epsilon eta", "s"),
+      (3L, "alpha beta gamma delta theta eta", "s"),
+      (4L, "one two three four five six seven", "s"),
+      (5L, "one two three four five six seven", "s"),
+      (6L, "completely different text lives here fine", "s"),
+      (9L, "tiny", "s")).toDF("doc_id", "text", "source")
+    val kept = Dedup.dedupSurvivors(df, "doc_id", "text", "source",
+        n = 3, thresholdNum = 1, thresholdDen = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 6L, 9L))
+  }
 }
