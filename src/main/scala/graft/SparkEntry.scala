@@ -363,6 +363,13 @@ object SparkEntry {
       Dedup.cosineNearDupPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.4, dim = 64, planes = 4, tables = 4)),
 
+    // SemDeDup-style semantic dedup: LSH cosine pairs -> components ->
+    // keep min id per semantic cluster; the corpus minus the drop list.
+    "semdedup_survivors" -> ((s, dir) =>
+      Dedup.semanticDedupSurvivors(Tables.embeddings(s, dir), "vec_id",
+          "embedding", threshold = 0.4, dim = 64, planes = 4, tables = 4)
+        .select("vec_id", "label")),
+
     // ANN via a PERSISTED IVF index: build (train on a deterministic 25%
     // sample + write centroid table + cell-partitioned assignments) is a
     // separate job from probe — the 100 TB shape, where the index is built
@@ -1116,6 +1123,36 @@ object SparkEntry {
          |SELECT a_id, b_id, list_cosine_similarity(ea.v, eb.v) AS cos
          |FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
          |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4""".stripMargin,
+
+    // The cosine_neardup_lsh pair mirror (literal hyperplanes) + the
+    // recursive-CC survivor tail from dedup_survivors.
+    "semdedup_survivors" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |hp AS (SELECT * FROM (VALUES
+         |${srpPlanesValues(planes = 4, dim = 64, seed = 42L, tables = 4)}
+         |) AS t(t, p, pv)),
+         |bits AS (SELECT e.vec_id, hp.t, hp.p,
+         |    CASE WHEN list_reduce(
+         |           list_transform(generate_series(1, 64), i -> v[i] * pv[i]),
+         |           (a, b) -> a + b) >= 0
+         |         THEN 1 << hp.p ELSE 0 END AS bit
+         |  FROM e CROSS JOIN hp),
+         |buck AS (SELECT vec_id, t, sum(bit) AS bucket FROM bits GROUP BY vec_id, t),
+         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |         FROM buck a JOIN buck b
+         |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pr AS (SELECT a_id, b_id
+         |       FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
+         |       WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4),
+         |sym AS (SELECT a_id AS a, b_id AS b FROM pr UNION SELECT b_id, a_id FROM pr),
+         |reach(id, r) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+         |drops AS (SELECT id FROM (SELECT id, LEAST(id, MIN(r)) AS component
+         |                          FROM reach GROUP BY id) WHERE id <> component)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id FROM drops)""".stripMargin,
 
     "token_stats" ->
       s"""SELECT doc_id,

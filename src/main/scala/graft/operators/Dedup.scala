@@ -450,6 +450,24 @@ object Dedup {
       .groupBy("a_id", "b_id").agg(max(col("cos")).as("cos"))
   }
 
+  /** SemDeDup-style semantic dedup of an embedding corpus: SRP-LSH
+    * cosine near-dup pairs → connected components → keep the minimum id
+    * per semantic cluster (same survivor policy as [[dedupSurvivors]],
+    * over vectors instead of shingles). Catches paraphrases and
+    * re-encodings that exact/text dedup misses; recall follows the LSH
+    * table/plane knobs (the scale trade SemDeDup makes — the pair stage
+    * never forms a quadratic candidate set).
+    */
+  def semanticDedupSurvivors(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, planes: Int = 16, tables: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val pairs = cosineNearDupPairsLsh(emb, idCol, vecCol, threshold, dim,
+      planes, tables, seed)
+    val drops = Graph.dedupByPairs(pairs, "a_id", "b_id")
+      .where(!col("keep")).select(col("id").as("__drop_id"))
+    emb.join(drops, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** All `tables` independent SRP buckets as one array column `__buckets`
     * (table t uses seed + t; each element is one native codegen'd
     * [[graft.functions.SrpBucket]], `dim` from the schema contract — no

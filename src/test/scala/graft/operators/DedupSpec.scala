@@ -63,6 +63,18 @@ class DedupSpec extends SparkSpecBase {
     assert(out == Set(1L, 2L))
   }
 
+  test("semanticDedupSurvivors: planted duplicate vector dropped, min kept") {
+    val base = (1 to 64).map(_.toFloat / 64f)
+    val near = base.updated(0, 0.9f) // cosine ~1 with base
+    val far = (1 to 64).map(i => if (i % 2 == 0) 1f else -1f)
+    val df = Seq((1L, base, 0), (2L, near, 0), (3L, far, 1))
+      .toDF("vec_id", "embedding", "label")
+    val kept = Dedup.semanticDedupSurvivors(df, "vec_id", "embedding",
+        threshold = 0.9, dim = 64, planes = 2, tables = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("n-gram Jaccard finds the planted near-duplicate pair only") {
     val near1 = "the quick brown fox jumps over the lazy dog today"
     val near2 = "the quick brown fox jumps over the lazy cat today"
