@@ -501,6 +501,14 @@ object SparkEntry {
           numShards = 8, seed = 42L)
         .select("doc_id", "shard", "pos")),
 
+    // Quantile gate: drop the shortest ~10% of documents by token count
+    // (integer-exact histogram quantile, ties kept).
+    "quantile_filter" -> ((s, dir) =>
+      Sampling.quantileFilter(Tables.documents(s, dir),
+          TextAnalysis.tokenCount(col("text")), qNum = 1, qDen = 10,
+          out = "n_tokens")
+        .select("doc_id", "n_tokens")),
+
     // Data-mixture sampling: 50/30/20 across three sources under a 2000-
     // token budget; greedy deterministic selection, unlisted sources out.
     "mix_sources" -> ((s, dir) =>
@@ -1326,6 +1334,16 @@ object SparkEntry {
         |SELECT source, CAST((cum - tok) // 512 AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "quantile_filter" ->
+      """WITH m AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT n_tokens, count(*) AS c FROM m GROUP BY 1),
+        |cu AS (SELECT n_tokens, SUM(c) OVER (ORDER BY n_tokens
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+        |t AS (SELECT min(n_tokens) AS thr FROM cu
+        |      WHERE cum * 10 >= (SELECT count(*) FROM m) * 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM m, t WHERE m.n_tokens >= t.thr""".stripMargin,
 
     // Budgets are integer literals (⌊w·2000⌋ precomputed) so the oracle
     // never touches a float; rank = the same seeded Knuth-hash form.

@@ -127,6 +127,33 @@ object Sampling {
     pmod(l0 * A + pmod(l1 * A, lit(65536L)) * lit(65536L), lit(4294967296L))
   }
 
+  /** Quantile-threshold filter: drop rows whose integer quality metric
+    * falls below the corpus's q-quantile (`qNum/qDen`) — the Gopher-style
+    * "drop the shortest 10%" gate, integer-exact and engine-portable.
+    *
+    * Scale shape: NO global sort and no giant window. The quantile comes
+    * from a HISTOGRAM — groupBy the metric value (distinct values ≪ rows:
+    * token counts, permille scores…), cumulative-sum that tiny table, and
+    * broadcast the single threshold row back. The corpus is touched by
+    * one map-side-combined aggregation and one broadcast-filtered scan.
+    * Ties at the threshold are kept, so at most ⌈q·n⌉ rows drop. */
+  def quantileFilter(df: DataFrame, metric: Column, qNum: Int, qDen: Int,
+      out: String = "metric"): DataFrame = {
+    require(qDen > 0 && qNum >= 0 && qNum <= qDen,
+      s"quantile $qNum/$qDen out of range")
+    val m = df.withColumn(out, metric.cast("long"))
+    val counts = m.groupBy(out).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(out)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val thr = counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .crossJoin(broadcast(counts.agg(sum(col("__c")).as("__n"))))
+      .where(col("__cum") * qDen >= col("__n") * qNum)
+      .agg(min(col(out)).as("__thr"))
+    m.crossJoin(broadcast(thr)).where(col(out) >= col("__thr")).drop("__thr")
+  }
+
   /** Data-mixture sampling: realize per-source target weights as a
     * deterministic document selection under a global token budget (the
     * "mix web 50% / books 30% / code 20% into this training run" op).

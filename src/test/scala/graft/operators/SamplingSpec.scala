@@ -142,6 +142,25 @@ class SamplingSpec extends SparkSpecBase {
     assert(out.forall(_._2 < 200L))
   }
 
+  test("quantileFilter: drops below the exact histogram quantile, keeps ties") {
+    // metric values 1..100, one row each: 10% quantile threshold = 10
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "m")
+    val kept = Sampling.quantileFilter(df, col("m"), 1, 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept == (10L to 100L).toSet)
+    // heavy ties AT the threshold are kept: 50 rows of 5, 50 rows of 9
+    val ties = ((1L to 50L).map(i => (i, 5L)) ++ (51L to 100L).map(i => (i, 9L)))
+      .toDF("id", "m")
+    val keptT = Sampling.quantileFilter(ties, col("m"), 1, 10)
+      .select("id").as[Long].collect().toSet
+    // cum(5)=50 >= 10 -> threshold 5 -> nothing drops
+    assert(keptT.size == 100)
+    // q=0 keeps everything; q=1 keeps only the max-metric rows
+    assert(Sampling.quantileFilter(df, col("m"), 0, 10).count() == 100)
+    assert(Sampling.quantileFilter(df, col("m"), 10, 10)
+      .select("id").as[Long].collect().toSet == Set(100L))
+  }
+
   test("packSequences: bins are contiguous id ranges in input order") {
     val df = (0L until 100L).map(i => ("k", i, 37L)).toDF("key", "id", "tok")
     // 37 tokens/doc, cap 512: floor(37i/512) must be non-decreasing and
