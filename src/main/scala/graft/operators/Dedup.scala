@@ -209,11 +209,11 @@ object Dedup {
     * integer-exact `mostly_duplicated` flag (shared spans ≥ half).
     *
     * Scale shape: span rows ≈ token count (linear), and the span
-    * frequency table is an AGGREGATION, not a join — no blocking needed,
-    * no quadratic candidate set, unlike pairwise n-gram Jaccard. Two
-    * shuffles total: spans by span (freq count reuses the exchange for
-    * the back-join) and the per-doc count by doc. Spans are distinct
-    * per doc (via [[withShingles]]), so a span's occurrence count IS its
+    * frequency table is an AGGREGATION with map-side combine — no
+    * blocking needed, no quadratic candidate set, and (see the in-body
+    * note) no plan node that co-locates a hot span's occurrences, unlike
+    * pairwise n-gram Jaccard. Spans are distinct per doc (via
+    * [[withShingles]]), so a span's occurrence count IS its
     * distinct-document count, and within-doc self-repetition never
     * inflates the shared count. At 100 TB, shuffle the 64-bit portable
     * span hash instead of the span text to slim the exchange (collisions
@@ -221,26 +221,31 @@ object Dedup {
     */
   def repeatedSpanStats(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    // Slim id-only scan (column-pruned: no text read) so zero-span docs
-    // still appear in the output.
-    val ids = df.select(col(idCol).as("doc_id"))
-    // The span frequency is a COUNT() OVER (PARTITION BY span) window, not
-    // a groupBy+self-join: the text is scanned and shingled exactly ONCE
-    // (one Generate in the plan — asserted in PlanSpec), with one shuffle
-    // on span and one on doc_id. The window's in-partition sort on span is
-    // the price; at 100 TB re-reading + re-shingling the corpus (what the
-    // self-join shape does) costs far more.
-    val ex = withShingles(Par.spread(df), textCol, k)
-      .select(col(idCol).as("doc_id"), explode(col("shingles")).as("span"))
-    val perDoc = ex
-      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("span")))
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_spans"),
-        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
-    ids.join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+    // Skew-safe two-pass shape. A hot span (a universal k-gram) can occur
+    // in a large fraction of ALL documents, so any plan that co-locates a
+    // span's occurrences — a COUNT() OVER (PARTITION BY span) window, or
+    // a join back on span — puts an unbounded row group on one task. This
+    // shape never moves hot-span rows after the map side:
+    //   pass 1: explode spans (the one Generate, asserted in PlanSpec) →
+    //     groupBy(span){count, min(doc)} — partial aggregation crushes a
+    //     hot span to one row per map task; spans with count 1 are owned
+    //     by exactly the doc min() names, so per-doc UNIQUE-span counts
+    //     need no join back on span at all.
+    //   pass 2: map-only (doc_id, size(shingles)) projection — re-reads
+    //     text but shuffles nothing.
+    // n_shared = n_spans − n_unique, identical output to the direct form.
+    val sh = withShingles(Par.spread(df), textCol, k)
+      .select(col(idCol).as("doc_id"), col("shingles"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("span"))
+    val uniq = ex.groupBy("span")
+      .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__owner"))
+      .where(col("__n") === 1)
+      .groupBy(col("__owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_spans"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        (col("n_spans") - coalesce(col("n_unique"), lit(0L))).as("n_shared"))
       .withColumn("mostly_duplicated",
         col("n_spans") > 0 && lit(2) * col("n_shared") >= col("n_spans"))
   }

@@ -191,12 +191,19 @@ class PlanSpec extends SparkSpecBase {
     assert(s.contains("BroadcastHashJoin"), s"df join not broadcast:\n$s")
   }
 
-  test("repeated_spans: text is shingled exactly once (one Generate)") {
-    // the span-frequency window rides the span shuffle instead of a
-    // groupBy+self-join — a second Generate would mean the corpus text is
-    // read and shingled twice, the 100 TB anti-pattern this shape avoids
-    val gens = collectAll(plan("repeated_spans"))
-      .filter(_.nodeName.contains("Generate"))
+  test("repeated_spans: spans explode once; no plan node co-locates a span") {
+    // one Generate: the span explosion (the shuffle-volume producer) runs
+    // once — the second text pass is a map-only size() projection. And no
+    // Window/Sort on the span column: a window or sort-merge join keyed
+    // on span would put every occurrence of a hot span on one task (the
+    // 100 TB skew-killer this shape exists to avoid); the span aggregate
+    // must be a HashAggregate pair with map-side partial combine.
+    val nodes = collectAll(plan("repeated_spans"))
+    val gens = nodes.filter(_.nodeName.contains("Generate"))
     assert(gens.size == 1, s"expected 1 Generate, got ${gens.size}")
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      "unexpected Window node (hot-span skew risk)")
+    assert(!nodes.exists(n => n.nodeName.contains("SortMergeJoin") &&
+      n.toString.contains("span")), "span-keyed sort-merge join (skew risk)")
   }
 }
