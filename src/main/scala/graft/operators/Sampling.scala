@@ -164,12 +164,19 @@ object Sampling {
     * tokens, every run and every engine picking the identical set.
     * Sources absent from `weights` are excluded (weight 0).
     *
-    * Scale shape: the weights table is a handful of rows — broadcast
-    * join, never a shuffle of the corpus on anything but `keyCol` for
-    * the prefix-sum window. One shuffle total. Changing the mixture or
-    * budget re-selects WITHOUT re-reading text: inputs are (id, key,
-    * token count) — run it over the slim stats projection, not the
-    * corpus. */
+    * Scale shape: a DISTRIBUTED prefix sum, because a plain
+    * `SUM() OVER (PARTITION BY source)` window puts an entire source on
+    * one task — and at 100 TB one source (web crawl) can be most of the
+    * corpus. Two phases, bit-identical result: (1) coarse sums per
+    * (source, rank-bucket) — map-side-combined aggregation, hot sources
+    * crushed before the shuffle; cumulative-sum the ≤`sources × 8192`
+    * bucket table and broadcast the bucket start offsets back; (2) exact
+    * within-bucket windows, whose partitions hold ~1/8192 of a source
+    * (ranks are pseudo-uniform) — bounded, no straggler. The weights
+    * table broadcasts; the corpus shuffles once, on the fine-grained
+    * (source, bucket) key. Changing the mixture or budget re-selects
+    * WITHOUT re-reading text: inputs are (id, key, token count) — run it
+    * over the slim stats projection, not the corpus. */
   def mixSources(df: DataFrame, idCol: String, keyCol: String,
       tokens: Column, weights: Map[String, Double], totalTokens: Long,
       seed: Long = 0L): DataFrame = {
@@ -181,14 +188,27 @@ object Sampling {
     val budgets = weights.toSeq
       .map { case (k, w) => (k, math.floor(w * totalTokens).toLong) }
       .toDF(keyCol, "__budget")
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy(col("__rank"), col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("__tok", tokens.cast("long"))
+    // bucket = rank div 2^19: 8192 order-aligned buckets over the 2^32
+    // rank space (ties share a rank, hence a bucket — order is exact)
+    val base = df.withColumn("__tok", tokens.cast("long"))
       .withColumn("__rank", knuthRank(col(idCol), seed))
       .join(broadcast(budgets), Seq(keyCol))
-      .withColumn("__start", sum(col("__tok")).over(win) - col("__tok"))
+      .withColumn("__bucket", shiftright(col("__rank"), 19))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("__bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val bucketStarts = base.groupBy(keyCol, "__bucket")
+      .agg(sum(col("__tok")).as("__bsum"))
+      .withColumn("__bstart", sum(col("__bsum")).over(wB) - col("__bsum"))
+      .select(col(keyCol), col("__bucket"), col("__bstart"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol, "__bucket").orderBy(col("__rank"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    base.join(broadcast(bucketStarts), Seq(keyCol, "__bucket"))
+      .withColumn("__start",
+        col("__bstart") + sum(col("__tok")).over(wIn) - col("__tok"))
       .where(col("__start") < col("__budget"))
       .select(col(idCol), col(keyCol), col("__tok").as("tokens"),
         col("__start").as("tok_start"))
