@@ -103,7 +103,10 @@ object Sampling {
     * independently, which is exactly how shard files are written; a total
     * order across 100 TB would range-partition and serialize on the
     * biggest shard instead. Rank ties are broken by id, so positions are
-    * unique and stable. */
+    * unique and stable. One shard = one window partition = one writer
+    * task BY DESIGN (the shard file is the unit of sequential output), so
+    * size `numShards` to the corpus: 100 TB runs use tens of thousands of
+    * shards, keeping every partition task-sized. */
   def globalShuffle(df: DataFrame, idCol: String, numShards: Int,
       seed: Long = 0L): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
