@@ -501,6 +501,14 @@ object SparkEntry {
           numShards = 8, seed = 42L)
         .select("doc_id", "shard", "pos")),
 
+    // Importance sampling by token count: expected-100-doc weighted
+    // Bernoulli, pure integer arithmetic, scan-stage predicate.
+    "weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
+          TextAnalysis.tokenCount(col("text")), expectK = 100L,
+          maxWeight = 1000L, seed = 42L)
+        .select(col("doc_id"), col("__w").as("weight"))),
+
     // Quantile gate: drop the shortest ~10% of documents by token count
     // (integer-exact histogram quantile, ties kept).
     "quantile_filter" -> ((s, dir) =>
@@ -1334,6 +1342,17 @@ object SparkEntry {
         |SELECT source, CAST((cum - tok) // 512 AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // Same seeded Knuth rank; threshold in exact integer // arithmetic.
+    "weighted_sample" ->
+      """WITH m AS (SELECT doc_id,
+        |    least(len(string_split(text, ' ')), 1000) AS w FROM documents),
+        |t AS (SELECT SUM(w) AS totalW FROM m WHERE w > 0)
+        |SELECT doc_id, CAST(w AS BIGINT) AS weight FROM m, t
+        |WHERE w > 0 AND
+        |  (((doc_id % 4294967296 + 42) % 4294967296 % 65536) * 2654435761
+        |   + (((doc_id % 4294967296 + 42) % 4294967296 // 65536) * 2654435761 % 65536) * 65536)
+        |  % 4294967296 < (100 * 4294967296 * w) // totalW""".stripMargin,
 
     "quantile_filter" ->
       """WITH m AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),

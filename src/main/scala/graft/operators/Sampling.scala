@@ -130,6 +130,37 @@ object Sampling {
     pmod(l0 * A + pmod(l1 * A, lit(65536L)) * lit(65536L), lit(4294967296L))
   }
 
+  /** Weighted Bernoulli sampling: keep each row with probability
+    * `expectK · w / totalW` (truncated at 1) — importance sampling of a
+    * corpus by an integer weight (token count, quality score), expected
+    * sample size `expectK`, every arithmetic step integer-exact and
+    * engine-portable (no `rand()`, no floats): row kept iff
+    * `knuthRank(id, seed) < (expectK · 2³² · w) div totalW`.
+    *
+    * Scale shape: `totalW` is one map-side-combined aggregate broadcast
+    * back as a literal-sized row; the keep decision is then a pure
+    * scan-stage predicate — no shuffle of the corpus at all.
+    *
+    * Overflow bound: `expectK · 2³² · w` must stay under 2⁶³, i.e.
+    * `expectK · w < 2³¹` — guarded at the driver for the weights the
+    * caller supplies via `maxWeight`. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      expectK: Long, maxWeight: Long, seed: Long = 0L): DataFrame = {
+    require(expectK > 0, s"expectK must be positive, got $expectK")
+    require(maxWeight > 0 && expectK * maxWeight < (1L << 31),
+      s"expectK * maxWeight must stay below 2^31 (got $expectK * $maxWeight)")
+    // weights are CLAMPED to maxWeight (an over-heavy row caps at the
+    // guarded probability instead of silently vanishing); non-positive
+    // weights never sample
+    val m = df.withColumn("__w", least(weight.cast("long"), lit(maxWeight)))
+    val total = m.where(col("__w") > 0).agg(sum(col("__w")).as("__totalW"))
+    m.crossJoin(broadcast(total))
+      .where(col("__w") > 0)
+      .where(knuthRank(col(idCol), seed) <
+        expr(s"(${expectK}L * 4294967296L * __w) div __totalW"))
+      .drop("__totalW")
+  }
+
   /** Quantile-threshold filter: drop rows whose integer quality metric
     * falls below the corpus's q-quantile (`qNum/qDen`) — the Gopher-style
     * "drop the shortest 10%" gate, integer-exact and engine-portable.

@@ -142,6 +142,30 @@ class SamplingSpec extends SparkSpecBase {
     assert(out.forall(_._2 < 200L))
   }
 
+  test("weightedSample: inclusion tracks weight; deterministic; K-accurate") {
+    // two weight classes: w=90 rows should be sampled ~9x as often as w=10
+    val df = ((0L until 2000L).map(i => (i, 10L)) ++
+      (2000L until 4000L).map(i => (i, 90L))).toDF("id", "w")
+    val out = Sampling.weightedSample(df, "id", col("w"),
+      expectK = 400L, maxWeight = 100L, seed = 3L)
+      .select("id").as[Long].collect().toSet
+    val light = out.count(_ < 2000L).toDouble
+    val heavy = out.count(_ >= 2000L).toDouble
+    // expected: light 400*10/100000*2000 = 40? totalW = 2000*10+2000*90 =
+    // 200000; p_light = 400*10/200000 = 2% -> 40; p_heavy = 18% -> 360
+    assert(out.size > 300 && out.size < 500, s"got ${out.size}")
+    assert(heavy / light > 5.0, s"heavy=$heavy light=$light")
+    // deterministic
+    val again = Sampling.weightedSample(df, "id", col("w"), 400L, 100L, seed = 3L)
+      .select("id").as[Long].collect().toSet
+    assert(again == out)
+    // zero/negative weights never sample; clamping keeps over-heavy rows
+    val edge = Seq((1L, 0L), (2L, -5L), (3L, 1000000L)).toDF("id", "w")
+    val kept = Sampling.weightedSample(edge, "id", col("w"), 10L, 100L, seed = 1L)
+      .select("id").as[Long].collect().toSet
+    assert(!kept.contains(1L) && !kept.contains(2L))
+  }
+
   test("quantileFilter: drops below the exact histogram quantile, keeps ties") {
     // metric values 1..100, one row each: 10% quantile threshold = 10
     val df = (1L to 100L).map(i => (i, i)).toDF("id", "m")
