@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Decontaminate, Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Decontaminate, Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -500,6 +500,14 @@ object SparkEntry {
       Sampling.globalShuffle(Tables.documents(s, dir), "doc_id",
           numShards = 8, seed = 42L)
         .select("doc_id", "shard", "pos")),
+
+    // Quantile sketch: p10/p50/p90 of token count from a deterministic
+    // bottom-256 sample (mergeable, one bounded pass; exact oracle
+    // because the sample itself is hash-deterministic).
+    "bottomk_quantiles" -> ((s, dir) =>
+      Sketch.bottomKQuantiles(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.tokenCount(col("text")), k = 256,
+        qs = Seq(10, 50, 90), seed = 42L)),
 
     // Importance sampling by token count: expected-100-doc weighted
     // Bernoulli, pure integer arithmetic, scan-stage predicate.
@@ -1342,6 +1350,22 @@ object SparkEntry {
         |SELECT source, CAST((cum - tok) // 512 AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // The bottom-256 sample is deterministic (same Knuth ranks), so the
+    // oracle rebuilds the identical sample and nearest-rank positions.
+    "bottomk_quantiles" ->
+      """WITH s AS (SELECT doc_id AS id, len(string_split(text, ' ')) AS v,
+        |    (((doc_id % 4294967296 + 42) % 4294967296 % 65536) * 2654435761
+        |     + (((doc_id % 4294967296 + 42) % 4294967296 // 65536) * 2654435761 % 65536) * 65536)
+        |    % 4294967296 AS rank
+        |  FROM documents ORDER BY rank, id LIMIT 256),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, id) AS i,
+        |             count(*) OVER () AS cnt FROM s)
+        |SELECT
+        |  CAST(max(CASE WHEN i = 1 + (10 * (cnt - 1)) // 100 THEN v END) AS BIGINT) AS p10,
+        |  CAST(max(CASE WHEN i = 1 + (50 * (cnt - 1)) // 100 THEN v END) AS BIGINT) AS p50,
+        |  CAST(max(CASE WHEN i = 1 + (90 * (cnt - 1)) // 100 THEN v END) AS BIGINT) AS p90
+        |FROM r""".stripMargin,
 
     // Same seeded Knuth rank; threshold in exact integer // arithmetic.
     "weighted_sample" ->

@@ -40,6 +40,31 @@ class SketchSpec extends SparkSpecBase {
     }
   }
 
+  test("bottom-k sample merges losslessly and estimates quantiles in bound") {
+    import graft.operators.Sketch
+    val df = (0L until 10000L).map(i => (i, i % 1000)).toDF("id", "v")
+    // mergeability is EXACT: bottom-k(whole) == bottom-k(bottom-k(half1) ∪ bottom-k(half2))
+    val whole = Sketch.bottomK(df, "id", 200, seed = 9L)
+      .select("id").as[Long].collect().toSet
+    val h1 = Sketch.bottomK(df.where(col("id") < 5000), "id", 200, seed = 9L)
+    val h2 = Sketch.bottomK(df.where(col("id") >= 5000), "id", 200, seed = 9L)
+    val merged = Sketch.bottomK(h1.unionByName(h2), "id", 200, seed = 9L)
+      .select("id").as[Long].collect().toSet
+    assert(merged == whole)
+    // quantile accuracy: v uniform over 0..999 -> p50 near 500, p90 near
+    // 900; rank error O(n/sqrt(k)) ~ 7% of range at k=200 (3 sigma)
+    val est = Sketch.bottomKQuantiles(df, "id", col("v"), k = 200,
+      qs = Seq(10, 50, 90), seed = 9L)
+      .as[(Long, Long, Long)].head()
+    assert(math.abs(est._1 - 100) < 120, s"p10=${est._1}")
+    assert(math.abs(est._2 - 500) < 120, s"p50=${est._2}")
+    assert(math.abs(est._3 - 900) < 120, s"p90=${est._3}")
+    // deterministic
+    val again = Sketch.bottomKQuantiles(df, "id", col("v"), 200,
+      Seq(10, 50, 90), seed = 9L).as[(Long, Long, Long)].head()
+    assert(again == est)
+  }
+
   test("bloom filter has no false negatives on inserted keys") {
     val bf = events.stat.bloomFilter("user_id", expectedNumItems = 1000, fpp = 0.03)
     val users = events.select("user_id").distinct().as[Long].collect()
