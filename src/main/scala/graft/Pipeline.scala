@@ -71,7 +71,15 @@ object Pipeline {
         * job, not a query prelude, and probes stay available between
         * runs. */
       ivfIndexPath: Option[String] = None,
-      ivfNlist: Int = 16)
+      ivfNlist: Int = 16,
+      /** Batch-level curation stage, applied AFTER the window dedup and
+        * BEFORE the dimension join + merge: compose the library's
+        * curation operators (quality gates, [[graft.operators.Sampling]]
+        * caps/mixtures, [[graft.operators.Dedup]] survivor selection)
+        * over the staged batch — curation never rescans the source, and
+        * `uniqueRecords` counts what actually merged. Identity when
+        * unset. */
+      curate: Option[DataFrame => DataFrame] = None)
 
   case class RunStats(
       recordsProcessed: Long,
@@ -150,12 +158,16 @@ object Pipeline {
     val deduped = Dedup.latestPerKey(batch, Seq("main_refco"),
       Seq(col("original_timestamp").desc))
 
+    // Optional curation stage over the staged batch (quality gates,
+    // caps, survivor selection) — runs on the small batch, not the source.
+    val curated = conf.curate.fold(deduped)(f => f(deduped))
+
     // J1: broadcast dimension join (inner — unmatched rows drop silently)
     val withDim = conf.sourcesConfigPath match {
       case Some(p) =>
         val dim = spark.read.parquet(p).select("display_name", "display_name_id")
-        deduped.join(broadcast(dim), Seq("display_name"), "inner")
-      case None => deduped.withColumn("display_name_id", lit(null).cast("long"))
+        curated.join(broadcast(dim), Seq("display_name"), "inner")
+      case None => curated.withColumn("display_name_id", lit(null).cast("long"))
     }
 
     // A3 via Observation: counted during the merge write, no extra pass.

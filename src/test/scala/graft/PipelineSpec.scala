@@ -124,6 +124,34 @@ class PipelineSpec extends SparkSpecBase {
       Timestamp.valueOf("2024-02-05 10:00:00"))
   }
 
+  test("curation hook filters the batch before merge; stats count post-curation") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-pipe").toString
+    val conf = Pipeline.Config(
+      sourcePath = s"$dir/source",
+      targetPath = s"$dir/target",
+      statePath = s"$dir/state.json",
+      stagingPath = s"$dir/staging",
+      vectorDim = 2,
+      // curation: quantile gate on key length composed from the library —
+      // keeps keys at or above the batch's median length
+      curate = Some(df => graft.operators.Sampling.quantileFilter(
+        df, length(col("main_refco")), 5, 10, out = "__len").drop("__len")))
+
+    Seq(
+      doc("s1", "2024-02-01 10:00:00", "r1", ""),
+      doc("s1", "2024-02-01 11:00:00", "rlonger2", ""),
+      doc("s1", "2024-02-01 12:00:00", "rlongest3", "")
+    ).toDF(cols: _*).write.mode(SaveMode.Overwrite).parquet(conf.sourcePath)
+
+    val run1 = Pipeline.run(spark, conf)
+    assert(run1.recordsProcessed == 3L) // staged before curation
+    assert(run1.uniqueRecords == 2L)    // short key dropped by the gate
+    val t = graft.operators.Upsert.readTarget(spark, conf.targetPath)
+    assert(t.select("main_refco").as[String].collect().toSet ==
+      Set("rlonger2", "rlongest3"))
+  }
+
   test("pipeline with hash-bucketed incremental merge target") {
     val dir = Files.createTempDirectory("graft-pipe-hb").toString
     val conf = Pipeline.Config(
