@@ -501,6 +501,17 @@ object SparkEntry {
           numShards = 8, seed = 42L)
         .select("doc_id", "shard", "pos")),
 
+    // Corpus analytics: cross-source shared-shingle matrix (mixture
+    // design / leak tracing) — no shingle self-join, set-bounded pairs.
+    "source_overlap" -> ((s, dir) =>
+      TextAnalysis.sourceOverlapMatrix(Tables.documents(s, dir), "source",
+        "text", n = 3)),
+
+    // Corpus analytics: per-source lexical diversity (type-token ratio).
+    "source_diversity" -> ((s, dir) =>
+      TextAnalysis.sourceDiversity(Tables.documents(s, dir), "source",
+        "doc_id", "text", n = 3)),
+
     // Quantile sketch: p10/p50/p90 of token count from a deterministic
     // bottom-256 sample (mergeable, one bounded pass; exact oracle
     // because the sample itself is hash-deterministic).
@@ -1350,6 +1361,31 @@ object SparkEntry {
         |SELECT source, CAST((cum - tok) // 512 AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "source_overlap" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT source, doc_id,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+        |       FROM w),
+        |d AS (SELECT DISTINCT source, unnest(sh) AS s FROM sh),
+        |p AS (SELECT a.source AS sa, b.source AS sb
+        |      FROM d a JOIN d b ON a.s = b.s AND a.source < b.source)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  count(*) AS n_shared_shingles
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "source_diversity" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT source, doc_id,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+        |       FROM w),
+        |e AS (SELECT source, doc_id, unnest(sh) AS s FROM sh)
+        |SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(count(DISTINCT s) AS BIGINT) AS n_distinct_shingles,
+        |  CAST(count(DISTINCT s) * 1000 // count(*) AS BIGINT) AS ttr_permille
+        |FROM e GROUP BY 1""".stripMargin,
 
     // The bottom-256 sample is deterministic (same Knuth ranks), so the
     // oracle rebuilds the identical sample and nearest-rank positions.

@@ -164,6 +164,49 @@ object TextAnalysis {
       regexp_replace(textCol, UrlPattern, "<URL>"),
       EmailPattern, "<EMAIL>")
 
+  /** Cross-source content-overlap matrix: for every source pair, how many
+    * distinct word n-gram shingles they share — the corpus diagnostic
+    * behind mixture design (two "different" sources sharing most of their
+    * shingles are one source for training purposes) and leak tracing.
+    *
+    * Scale shape: NEVER a shingle self-join (a hot shingle would go
+    * quadratic in documents). Instead groupBy(shingle) with a
+    * `collect_set(source)` — partially aggregable, and the set is bounded
+    * by the SOURCE count, not the document count — then pairs explode
+    * within each ≤|sources| set, so the worst shingle costs
+    * |sources|²/2 rows, independent of corpus size. */
+  def sourceOverlapMatrix(df: DataFrame, keyCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = graft.operators.Dedup
+      .withShingles(Par.spread(df), textCol, n)
+      .select(col(keyCol).as("__k"), explode(col("shingles")).as("__s"))
+    sh.groupBy("__s").agg(collect_set(col("__k")).as("__ks"))
+      .select(col("__s"), explode(col("__ks")).as("source_a"), col("__ks"))
+      .select(col("__s"), col("source_a"), explode(col("__ks")).as("source_b"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
+  /** Per-source lexical-diversity profile: document count, shingle
+    * occurrences, distinct shingles, and a type-token ratio in permille
+    * (integer-exact). A source whose TTR collapses is template spam.
+    * One aggregation; the distinct count two-phases on (source, shingle)
+    * so hot sources stay partial-aggregated. */
+  def sourceDiversity(df: DataFrame, keyCol: String, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val sh = graft.operators.Dedup
+      .withShingles(Par.spread(df), textCol, n)
+      .select(col(keyCol).as("source"), col(idCol).as("__id"),
+        explode(col("shingles")).as("__s"))
+    sh.groupBy("source").agg(
+        countDistinct(col("__id")).as("n_docs"),
+        count(lit(1)).as("n_shingles"),
+        countDistinct(col("__s")).as("n_distinct_shingles"))
+      .withColumn("ttr_permille",
+        expr("n_distinct_shingles * 1000 div n_shingles"))
+  }
+
   /** C4-style line-level cleaning (the rule family behind the C4/mC4 web
     * corpora): split a document into lines, keep only lines that (a) have
     * at least `minWordsPerLine` whitespace words, (b) end in a terminal

@@ -83,6 +83,32 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(one == 0L)
   }
 
+  test("sourceOverlapMatrix: shared distinct shingles per source pair") {
+    val df = Seq(
+      (1L, "a b c d", "s1"),   // shingles: "a b c", "b c d"
+      (2L, "a b c x", "s2"),   // shares "a b c" with s1
+      (3L, "a b c d", "s2"),   // shares both with s1; dup within s2 dedups
+      (4L, "p q r s", "s3")    // shares nothing
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceOverlapMatrix(df, "source", "text", n = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("s1", "s2", 2L)))
+  }
+
+  test("sourceDiversity: TTR collapses for a templated source") {
+    val df = Seq(
+      (1L, "a b c d e", "tpl"), (2L, "a b c d e", "tpl"),
+      (3L, "p q r s t", "div"), (4L, "u v w x y", "div")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceDiversity(df, "source", "doc_id", "text", n = 3)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // tpl: 2 docs x 3 shingles, all duplicated -> 3 distinct / 6 = 500
+    assert(out("tpl") == (("tpl", 2L, 6L, 3L, 500L)))
+    // div: 6 occurrences, all distinct -> 1000
+    assert(out("div") == (("div", 2L, 6L, 6L, 1000L)))
+  }
+
   test("lineClean: C4 rules — terminal punct, min words, blocklist") {
     val doc =
       "This line survives the cleaning pass.\n" +         // kept
