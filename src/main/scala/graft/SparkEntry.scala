@@ -501,6 +501,14 @@ object SparkEntry {
           numShards = 8, seed = 42L)
         .select("doc_id", "shard", "pos")),
 
+    // Binary-quantized ANN: Hamming prefilter over packed sign bits, then
+    // exact cosine re-rank of the surviving candidates.
+    "ann_binary" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.binaryRerankTopK(emb.where(col("vec_id") < 20), emb,
+        k = 5, dim = 64, candidates = 100)
+    }),
+
     // Corpus analytics: cross-source shared-shingle matrix (mixture
     // design / leak tracing) — no shingle self-join, set-bounded pairs.
     "source_overlap" -> ((s, dir) =>
@@ -1361,6 +1369,33 @@ object SparkEntry {
         |SELECT source, CAST((cum - tok) // 512 AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // Signatures, Hamming candidate ranks, and both tiebreaks mirrored
+    // exactly (sign bits packed into two 32-bit halves in BIGINTs).
+    "ann_binary" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sig AS (SELECT vec_id,
+        |    list_sum([CASE WHEN v[i+1] >= 0 THEN CAST(1 AS BIGINT) << (i % 32) ELSE 0 END
+        |              for i in range(0, 32)]) AS lo,
+        |    list_sum([CASE WHEN v[i+1] >= 0 THEN CAST(1 AS BIGINT) << (i % 32) ELSE 0 END
+        |              for i in range(32, 64)]) AS hi
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, lo AS ql, hi AS qh FROM sig WHERE vec_id < 20),
+        |h AS (SELECT query_id, s.vec_id AS neighbor_id,
+        |    bit_count(xor(s.lo, ql)) + bit_count(xor(s.hi, qh)) AS ham
+        |  FROM sig s, q WHERE s.vec_id <> query_id),
+        |cand AS (SELECT query_id, neighbor_id FROM h
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) <= 100),
+        |s2 AS (SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(eq.v, ec.v) AS cos
+        |  FROM cand JOIN e eq ON eq.vec_id = query_id
+        |            JOIN e ec ON ec.vec_id = neighbor_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT)
+        |    AS rank,
+        |  neighbor_id, cos
+        |FROM s2
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
 
     "source_overlap" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),

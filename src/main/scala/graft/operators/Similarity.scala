@@ -76,4 +76,63 @@ object Similarity {
       .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     perQueryTopK(scored, k)
   }
+
+  /** Sign-bit (1-bit-per-dimension) binary signature of the first `dim`
+    * components, packed into two 32-bit halves (two BIGINTs — 63-bit
+    * shifts would overflow a signed mirror). Hamming distance between
+    * signatures approximates angular distance: 32 bytes of signature per
+    * vector instead of `4·dim`, so a signature scan is memory-bandwidth
+    * cheap — the FAISS-style binary prefilter. */
+  private[operators] def withBinarySig(df: DataFrame, vecCol: String,
+      dim: Int): DataFrame = {
+    require(dim <= 64, s"binary signature packs <= 64 dims, got $dim")
+    def half(lo: Int, hi: Int): Column =
+      (lo until hi).map(i =>
+        when(element_at(col(vecCol), i + 1) >= 0f,
+          lit(1L << (i % 32))).otherwise(lit(0L)))
+        .reduce(_ + _)
+    df.withColumn("__sig_lo", half(0, math.min(32, dim)))
+      .withColumn("__sig_hi", if (dim > 32) half(32, dim) else lit(0L))
+  }
+
+  /** Binary-quantized ANN: rank the corpus per query by HAMMING distance
+    * over sign-bit signatures (integer, deterministic, tie-broken by id),
+    * keep `candidates` per query, then exact-cosine re-rank to top-k —
+    * approximate recall, exact arithmetic at every step.
+    *
+    * Scale shape: the signature pass scans 32 bytes/vector instead of the
+    * full embedding (the candidate generation is bandwidth-bound, not
+    * FLOP-bound), per-query Hamming top-C uses the bounded partial
+    * aggregate (shuffle ≈ C·|queries|·|partitions| scalar rows), and full
+    * vectors are joined back ONLY for the C·|queries| survivors. */
+  def binaryRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, candidates: Int = 100,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val q = withBinarySig(queries, vecCol, dim)
+      .select(col(idCol).as("query_id"), col("__sig_lo").as("__q_lo"),
+        col("__sig_hi").as("__q_hi"))
+    val c = withBinarySig(Par.spread(corpus), vecCol, dim)
+      .select(col(idCol).as("neighbor_id"), col("__sig_lo"), col("__sig_hi"))
+    // Hamming rank rides the bounded top-k aggregate (score = −ham, and
+    // TopKByScore's (score desc, id asc) order makes selection
+    // deterministic) — a row_number window here would shuffle the whole
+    // |corpus|×|queries| scored set instead of O(C) rows per partition.
+    val ham = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__ham",
+        bit_count(col("__sig_lo").bitwiseXOR(col("__q_lo"))) +
+        bit_count(col("__sig_hi").bitwiseXOR(col("__q_hi"))))
+    val cand = perQueryTopK(
+      ham.select(col("query_id"), col("neighbor_id"),
+        (-col("__ham")).cast("double").as("cos")), candidates)
+      .select("query_id", "neighbor_id")
+    // vectors join back only for the surviving candidate ids
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"))
+    val scored = cand.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("cos", F.cosineSim(col("q_v"), col("c_v")))
+      .select("query_id", "neighbor_id", "cos")
+    perQueryTopK(scored, k)
+  }
 }

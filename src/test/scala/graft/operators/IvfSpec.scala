@@ -21,6 +21,33 @@ class IvfSpec extends SparkSpecBase {
     assert(ivf == brute)
   }
 
+  test("binaryRerankTopK: candidates = corpus gives exactly brute force") {
+    val queries = emb.where(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val bin = Similarity.binaryRerankTopK(queries, emb, k = 3, dim = 64,
+        candidates = n)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bin == brute)
+  }
+
+  test("binaryRerankTopK: Hamming prefilter keeps the planted twin at top") {
+    import spark.implicits._
+    val base = (1 to 64).map(i => (if (i % 3 == 0) -1f else 1f) * i / 64f)
+    val twin = base.map(_ * 2f) // same signs -> hamming 0, cosine 1
+    val noise = (1 to 64).map(i => (if (i % 2 == 0) -1f else 1f) * i / 64f)
+    val corpus = Seq((1L, base), (2L, twin), (3L, noise))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.binaryRerankTopK(
+        corpus.where(col("vec_id") === 1), corpus, k = 1, dim = 64,
+        candidates = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(out == 2L)
+  }
+
   test("ivfTopK with nprobe < nlist returns a bounded candidate subset") {
     val centroids = Ivf.trainCentroids(emb, "embedding", nlist = 8, iters = 2)
     val queries = emb.where(col("vec_id") < 5)
