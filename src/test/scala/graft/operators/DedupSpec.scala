@@ -50,6 +50,28 @@ class DedupSpec extends SparkSpecBase {
     assert(out(4L) == ((1L, 0L, false)))
   }
 
+  test("repeatedSpanStats: ownership form equals the naive frequency join") {
+    // random-ish corpus with heavy span sharing across docs
+    val docs = (0L until 60L).map { i =>
+      val words = (0 until 12).map(j => s"w${(i * 7 + j * 3) % 23}")
+      (i, words.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val fast = Dedup.repeatedSpanStats(df, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    // naive reference: explode, frequency table, join back on span
+    val ex = Dedup.withShingles(df, "text", 3)
+      .select(col("doc_id"), explode(col("shingles")).as("span"))
+    val freq = ex.groupBy("span").agg(count(lit(1)).as("n"))
+    val naive = ex.join(freq, "span")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("mostly_duplicated",
+        col("n_spans") > 0 && lit(2) * col("n_shared") >= col("n_spans"))
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(fast == naive)
+  }
+
   test("repeatedSpanStats: mostly_duplicated flags a templated doc") {
     val df = Seq(
       (1L, "boiler plate header text body one"),

@@ -130,6 +130,31 @@ class SamplingSpec extends SparkSpecBase {
     assert(other != again)
   }
 
+  test("mixSources: distributed prefix sum equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    // random-ish ragged weights across skewed sources (s0 has 10x the docs)
+    val rows = (0L until 900L).map(i => (i, "s0", 3L + i % 17)) ++
+      (900L until 1000L).map(i => (i, "s1", 5L + i % 7))
+    val df = rows.toDF("id", "src", "tok")
+    val weights = Map("s0" -> 0.7, "s1" -> 0.3)
+    val dist = Sampling.mixSources(df, "id", "src", col("tok"),
+      weights, totalTokens = 2500L, seed = 11L)
+      .select("id", "tok_start").as[(Long, Long)].collect().toMap
+    // naive reference: one SUM() OVER (PARTITION BY src) global window
+    val naive = df
+      .withColumn("__rank", Sampling.knuthRank(col("id"), 11L))
+      .withColumn("__budget",
+        when(col("src") === "s0", 1750L).otherwise(750L))
+      .withColumn("__start",
+        sum(col("tok")).over(Window.partitionBy("src")
+          .orderBy(col("__rank"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("tok"))
+      .where(col("__start") < col("__budget"))
+      .select("id", "__start").as[(Long, Long)].collect().toMap
+    assert(dist == naive)
+  }
+
   test("mixSources: ragged doc sizes overshoot by less than one document") {
     val df = (0L until 100L).map(i => (i, "s0", 7L + (i % 13))).toDF("id", "src", "tok")
     val out = Sampling.mixSources(df, "id", "src", col("tok"),
