@@ -268,6 +268,39 @@ object SparkEntry {
           lit(0L), (a, b) => a + b).as("q_checksum"))
     }),
 
+    // Chunk→document embedding pooling: element-wise sum of fixed-point-
+    // scaled vectors per label via the partial-aggregable VectorSumLong
+    // (exchange = groups×dim, not rows×dim). Emitted as integer checksums.
+    "pool_embeddings" -> ((s, dir) => {
+      val pooled = Embeddings.poolEmbeddings(
+        Tables.embeddings(s, dir), "embedding", Seq("label"))
+      val seqIdx = sequence(lit(1), size(col("pool_sum_q")))
+      pooled.select(col("label"), col("n_vecs"),
+        size(col("pool_sum_q")).cast("long").as("dim"),
+        when(size(col("pool_sum_q")) > 0,
+          aggregate(zip_with(col("pool_sum_q"), seqIdx, (v, i) => v * i),
+            lit(0L), (a, b) => a + b)).otherwise(0L).as("pool_checksum"),
+        aggregate(transform(col("pool_sum_q"), v => abs(v)),
+          lit(0L), (a, b) => a + b).as("pool_l1"))
+    }),
+
+    // Fixed-token sliding-window chunking with stride (the op that
+    // produces the chunks an embeddings pipeline embeds); pure scan-stage.
+    "chunk_documents" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 32, stride = 24)),
+
+    // C4-style cross-document boilerplate-line removal. The synthetic
+    // corpus is single-line, so the query builds a 3-line page per doc
+    // (header/text/footer) whose header+footer lines repeat across docs —
+    // real cross-doc removal, exactly mirrored by the oracle.
+    "boilerplate_lines" -> ((s, dir) => {
+      val pages = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n", concat(lit("src: "), col("source")), col("text"),
+          concat(lit("lang: "), col("lang"))).as("page"))
+      TextAnalysis.removeBoilerplateLines(pages, "doc_id", "page", minDocs = 3)
+    }),
+
     // Exact dedup with deterministic tie-break.
     "exact_dedup" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), Seq("source", "lang"), col("doc_id"))
@@ -879,6 +912,45 @@ object SparkEntry {
     "exact_dedup" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) = 1""".stripMargin,
+
+    "pool_embeddings" ->
+      """WITH e AS (SELECT label,
+        |        list_transform(CAST(embedding AS DOUBLE[]),
+        |          x -> CAST(round(x * 1048576) AS BIGINT)) AS q
+        |      FROM embeddings),
+        |n AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY label),
+        |u AS (SELECT label, unnest(range(1, len(q) + 1)) AS pos, unnest(q) AS v FROM e),
+        |s AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS sv FROM u GROUP BY label, pos),
+        |p AS (SELECT label, CAST(max(pos) AS BIGINT) AS dim,
+        |        CAST(sum(sv * pos) AS BIGINT) AS pool_checksum,
+        |        CAST(sum(abs(sv)) AS BIGINT) AS pool_l1
+        |      FROM s GROUP BY label)
+        |SELECT n.label, n.n_vecs, coalesce(p.dim, 0) AS dim,
+        |  coalesce(p.pool_checksum, 0) AS pool_checksum,
+        |  coalesce(p.pool_l1, 0) AS pool_l1
+        |FROM n LEFT JOIN p USING (label)""".stripMargin,
+
+    "chunk_documents" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS st FROM w)
+        |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+        |  CAST(least(len(ws) - st, 32) AS BIGINT) AS n_tokens,
+        |  array_to_string(ws[st + 1 : st + 32], ' ') AS chunk_text
+        |FROM c""".stripMargin,
+
+    "boilerplate_lines" ->
+      """WITH d AS (SELECT doc_id,
+        |        'src: ' || source || chr(10) || text || chr(10) || 'lang: ' || lang AS page
+        |      FROM documents),
+        |w AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS line FROM w),
+        |f AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+        |k AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(line, chr(10) ORDER BY pos) AS text_clean
+        |      FROM l ANTI JOIN f USING (line) GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.ls) AS BIGINT) AS n_lines,
+        |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.text_clean, '') AS text_clean
+        |FROM w LEFT JOIN k USING (doc_id)""".stripMargin,
 
     "ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),

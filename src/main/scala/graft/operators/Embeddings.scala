@@ -33,4 +33,39 @@ object Embeddings {
   /** Reconstruct array<double> from the int8 codes + scale. */
   def dequantize(qCol: Column, scaleCol: Column): Column =
     transform(qCol, q => q.cast("double") * scaleCol / 127)
+
+  /** Chunk→document embedding pooling: element-wise SUM of each group's
+    * vectors plus the group count (mean pooling = sum / n downstream; we
+    * emit the sum because it is the mergeable quantity — pooling pooled
+    * groups works, and integer division conventions differ per consumer).
+    *
+    * Exactness contract: float elements are scaled to longs
+    * (`round(x * 2^20)`) BEFORE summation, so the result is
+    * order-independent and engine-exact — float accumulation order across
+    * partitions would otherwise make the pooled vector nondeterministic
+    * run-to-run (the same property the repo's DECIMAL aggregates rely on,
+    * in fixed-point form). 2^20 keeps |x| ≤ 8e12 per element away from
+    * Long overflow for any realistic group size.
+    *
+    * Scale shape: [[graft.functions.VectorSumLong]] is a partially
+    * aggregable Aggregator — the exchange carries one dim-width array per
+    * group per map partition (groups×dim), never the rows×dim blow-up of
+    * the posexplode/groupBy-position shape.
+    *
+    * Output: (groupCols*, n_vecs, pool_sum_q: array<long>) with elements
+    * in units of 2^-20.
+    */
+  val PoolScaleBits = 20
+
+  def poolEmbeddings(df: DataFrame, vecCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val toQ = transform(col(vecCol),
+      x => round(x.cast("double") * (1L << PoolScaleBits)).cast("long"))
+    val vsum = org.apache.spark.sql.functions.udaf(
+      new graft.functions.VectorSumLong,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    df.select(groupCols.map(col) :+ toQ.as("__q"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_vecs"), vsum(col("__q")).as("pool_sum_q"))
+  }
 }

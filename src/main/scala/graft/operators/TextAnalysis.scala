@@ -243,6 +243,92 @@ object TextAnalysis {
         array_join(col("__kept"), lineSep).as("text_clean"))
   }
 
+  /** Fixed-token sliding-window chunking — the upstream operator of every
+    * embeddings pipeline (the reference embeds pre-chunked documents;
+    * `embeddings-pipeline.py:185-190` reads the resulting vectors): split a
+    * document into windows of `chunkTokens` whitespace tokens starting at
+    * every multiple of `stride` (stride < chunkTokens ⇒ overlapping
+    * context windows; stride == chunkTokens ⇒ disjoint). The final window
+    * may be shorter; a document shorter than one window yields exactly one
+    * chunk. Output: (doc_id, chunk_id, n_tokens, chunk_text) where
+    * chunk_id = start/stride — deterministic, so (doc_id, chunk_id) is a
+    * stable key for downstream embedding/pooling joins.
+    *
+    * Scale shape: one projection + one Generate (posexplode) — no shuffle,
+    * no UDF; at 100 TB this runs entirely inside the scan stage, and the
+    * output is written partitioned however the embedder wants it.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkTokens > 0 && stride > 0,
+      s"chunkTokens/stride must be positive (got $chunkTokens/$stride)")
+    val ws = words(col(textCol))
+    // Window starts: multiples of stride below the token count (a doc with
+    // n tokens has ceil(n / stride) windows; slice() below handles the
+    // short tail window).
+    val starts = filter(
+      sequence(lit(0), greatest(size(ws) - 1, lit(0)), lit(stride)),
+      st => st < size(ws))
+    df.select(col(idCol).as("doc_id"), ws.as("__ws"), starts.as("__starts"))
+      .select(col("doc_id"),
+        explode(transform(col("__starts"), (st, i) => struct(
+          i.cast("long").as("chunk_id"),
+          least(size(col("__ws")) - st, lit(chunkTokens)).cast("long").as("n_tokens"),
+          array_join(slice(col("__ws"), st + 1, lit(chunkTokens)), " ").as("chunk_text")
+        ))).as("__c"))
+      .select(col("doc_id"), col("__c.chunk_id"), col("__c.n_tokens"),
+        col("__c.chunk_text"))
+  }
+
+  /** C4-style cross-document boilerplate-line removal: a line that occurs
+    * in at least `minDocs` DISTINCT documents (navigation menus, cookie
+    * banners, license headers) is dropped from every document; survivors
+    * are re-joined in original position order. Complements [[lineClean]]
+    * (per-doc rules — no corpus context) and
+    * [[graft.operators.Dedup.repeatedSpanStats]] (token spans, stats only):
+    * this one consults the whole corpus and rewrites the text.
+    * Output: (doc_id, n_lines, n_kept, text_clean) — a fully-boilerplate
+    * document survives with n_kept = 0 and empty text_clean, so the page
+    * gate stays a downstream filter decision.
+    *
+    * Scale shape: the frequent-line set is computed by a partially-
+    * aggregable count-distinct on the line value (map-side combine crushes
+    * hot boilerplate lines — millions of copies of a cookie banner arrive
+    * at the reducer as per-partition partials, never as raw rows), is tiny
+    * relative to the corpus (only lines repeated across ≥ minDocs docs),
+    * and joins back BROADCAST as a left-anti — the corpus-side line rows
+    * are never shuffled on the line value, so a hot line cannot skew a
+    * partition. The only corpus-side exchange is the positional
+    * re-assembly, keyed on doc_id (bounded per-doc row counts ⇒ no skew).
+    */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3, lineSep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    val sepLit = java.util.regex.Pattern.quote(lineSep)
+    val lines = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), sepLit)).as(Seq("__pos", "__line")))
+    val frequent = lines
+      .groupBy(col("__line"))
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select("__line")
+    val kept = lines
+      .join(broadcast(frequent), Seq("__line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s.getField("__line")),
+          lineSep).as("text_clean"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), sepLit)).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Polynomial rolling-hash document fingerprint, word-order sensitive:
     * wordVal = fold(chars: acc*31 + codepoint) mod M;
     * doc = fold(words: acc*131 + wordVal) mod M.

@@ -206,4 +206,36 @@ class PlanSpec extends SparkSpecBase {
     assert(!nodes.exists(n => n.nodeName.contains("SortMergeJoin") &&
       n.toString.contains("span")), "span-keyed sort-merge join (skew risk)")
   }
+
+  test("chunk_documents: pure scan-stage — one Generate, no shuffle") {
+    val nodes = collectAll(plan("chunk_documents"))
+    val ex = nodes.collect { case e: Exchange => e }
+    assert(ex.isEmpty, s"chunking shuffles: ${ex.map(_.nodeName)}")
+    assert(nodes.count(_.nodeName.contains("Generate")) == 1)
+  }
+
+  test("pool_embeddings: vector sum is partially aggregated before the exchange") {
+    // the VectorSumLong aggregator must plan as partial+final around the
+    // group exchange — the exchange then carries one dim-width array per
+    // (group x map partition), never the rows x dim posexplode blow-up
+    val nodes = collectAll(plan("pool_embeddings"))
+    assert(!nodes.exists(_.nodeName.contains("Generate")),
+      "pooling exploded vectors to (row, position) — rows x dim exchange")
+    val exchanges = nodes.collect { case e: Exchange => e }
+    assert(exchanges.exists(e =>
+      collectAll(e.child).exists(_.nodeName.contains("Aggregate"))),
+      "vectors are shuffled before any partial aggregation")
+  }
+
+  test("boilerplate_lines: frequent-line set joins back broadcast anti") {
+    // corpus-side line rows must never be shuffled on the line value — a
+    // hot boilerplate line (millions of copies) would land on one task
+    val s = plan("boilerplate_lines").toString
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"),
+      s"expected broadcast left-anti join:\n$s")
+    val smj = collectAll(plan("boilerplate_lines"))
+      .filter(n => n.nodeName.contains("SortMergeJoin") &&
+        n.toString.contains("__line"))
+    assert(smj.isEmpty, "line-keyed sort-merge join (hot-line skew risk)")
+  }
 }

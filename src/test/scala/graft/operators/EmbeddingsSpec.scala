@@ -18,6 +18,46 @@ class EmbeddingsSpec extends SparkSpecBase {
     assert(err.where(col("max_err") > col("bound")).count() == 0)
   }
 
+  test("poolEmbeddings: element-wise fixed-point sum per group") {
+    val df = Seq(
+      (1, Seq(1.0f, -2.0f)),
+      (1, Seq(0.5f, 0.25f)),
+      (2, Seq(3.0f, 0.0f))).toDF("label", "embedding")
+    val out = Embeddings.poolEmbeddings(df, "embedding", Seq("label"))
+      .orderBy("label")
+      .select("label", "n_vecs", "pool_sum_q")
+      .as[(Int, Long, Seq[Long])].collect().toSeq
+    val s = 1L << Embeddings.PoolScaleBits
+    assert(out == Seq(
+      (1, 2L, Seq((1.5 * s).toLong, (-1.75 * s).toLong)),
+      (2, 1L, Seq(3 * s, 0L))))
+  }
+
+  test("poolEmbeddings: mergeable — pooling the pools equals pooling the whole") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("half", (col("vec_id") % 2).cast("int"))
+    val whole = Embeddings.poolEmbeddings(emb, "embedding", Seq("label"))
+      .select(col("label"), col("n_vecs"), col("pool_sum_q"))
+    // pool each half separately, then merge by summing counts and vectors
+    val halves = Embeddings.poolEmbeddings(emb, "embedding", Seq("label", "half"))
+    val merged = halves.groupBy("label").agg(
+      sum("n_vecs").as("n_vecs"),
+      aggregate(collect_list(col("pool_sum_q")),
+        transform(first(col("pool_sum_q")), _ => lit(0L)),
+        (acc, v) => zip_with(acc, v, (a, b) => a + b)).as("pool_sum_q"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+  }
+
+  test("poolEmbeddings: ragged vectors sum up to the longest, missing = 0") {
+    val df = Seq(
+      (1, Seq(1.0f, 1.0f, 1.0f)),
+      (1, Seq(2.0f))).toDF("label", "embedding")
+    val s = 1L << Embeddings.PoolScaleBits
+    val out = Embeddings.poolEmbeddings(df, "embedding", Seq("label"))
+      .select("pool_sum_q").as[Seq[Long]].head()
+    assert(out == Seq(3 * s, s, s))
+  }
+
   test("zero and empty vectors quantize safely") {
     val df = Seq(
       (1L, Seq(0f, 0f)),

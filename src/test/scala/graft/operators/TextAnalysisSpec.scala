@@ -138,6 +138,68 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out == Map(1L -> ((0L, "")), 2L -> ((0L, ""))))
   }
 
+  test("chunkDocuments: disjoint + overlapping windows, short tail, tiny doc") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens
+      (2L, "x y")            // shorter than one window
+    ).toDF("doc_id", "text")
+    // chunk=3, stride=2 -> doc 1 starts at 0,2,4,6
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 3L, "a b c"),
+      (1L, 1L, 3L, "c d e"),
+      (1L, 2L, 3L, "e f g"),
+      (1L, 3L, 1L, "g"),
+      (2L, 0L, 2L, "x y")))
+  }
+
+  test("chunkDocuments: chunks reconstruct the document when stride == chunk") {
+    val docs = Seq((1L, (1 to 23).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 5, stride = 5)
+      .orderBy("chunk_id").select("chunk_text").as[String].collect()
+    assert(out.mkString(" ") == docs.select("text").as[String].head())
+    assert(out.length == 5) // ceil(23/5)
+  }
+
+  test("removeBoilerplateLines: frequent lines drop, position order kept") {
+    val header = "COOKIE BANNER"
+    val docs = Seq(
+      (1L, s"$header\nalpha one\nbeta two"),
+      (2L, s"$header\ngamma three\nbeta two"),
+      (3L, s"$header\ndelta four"),
+      (4L, s"$header\n$header") // fully boilerplate
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text",
+        minDocs = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // header appears in 4 docs (>= 3) -> removed everywhere; "beta two"
+    // appears in only 2 docs -> kept.
+    assert(out == Seq(
+      (1L, 3L, 2L, "alpha one\nbeta two"),
+      (2L, 3L, 2L, "gamma three\nbeta two"),
+      (3L, 2L, 1L, "delta four"),
+      (4L, 2L, 0L, "")))
+  }
+
+  test("removeBoilerplateLines: duplicate lines within ONE doc don't count") {
+    // "refrain" repeats 3x inside doc 1 but exists in only 2 DISTINCT docs:
+    // below minDocs=3, so it must survive (count is per-document).
+    val docs = Seq(
+      (1L, "refrain\nrefrain\nrefrain"),
+      (2L, "refrain\nsolo line here")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text",
+        minDocs = 3)
+      .orderBy("doc_id").select("n_kept").as[Long].collect().toSeq
+    assert(out == Seq(3L, 2L))
+  }
+
   test("tfIdfTopK: tf desc, then rarity (df asc), then term; k bound") {
     // 'rare' appears in 1 doc, 'common' in all 3: equal tf in doc 1 must
     // rank 'rare' first
