@@ -37,13 +37,21 @@ object Upsert {
     * @param refreshExprs columns recomputed for every *touched* (matched or
     *   inserted) row, e.g. `embedding_inserted_at -> current_timestamp()`
     *   (P9, `:318`); untouched target rows keep their stored value.
+    * @param evolveSchema when true, update columns absent from the target
+    *   are APPENDED to the output schema (Delta/Iceberg-style additive
+    *   schema evolution): touched rows carry the update's value, untouched
+    *   rows read NULL — exactly what the full-outer join already yields.
+    *   When false (default) unknown update columns are dropped, preserving
+    *   the fixed-contract behavior (SURVEY §1.4: the cast list at
+    *   `embeddings-pipeline.py:310-318` is authoritative).
     */
   def merge(
       target: DataFrame,
       updates: DataFrame,
       keys: Seq[String],
       insertOnlyCols: Set[String] = Set.empty,
-      refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty): DataFrame = {
+      refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      evolveSchema: Boolean = false): DataFrame = {
     val t = target.as("t")
     val u = updates.withColumn("__touched", lit(true)).as("u")
     val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
@@ -59,7 +67,13 @@ object Upsert {
       else if (insertOnlyCols.contains(c)) coalesce(col(s"t.$c"), col(s"u.$c")).as(c)
       else when(touched, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)
     }
-    joined.select(outCols.toIndexedSeq: _*)
+    // Additive evolution: columns only the updates side has. The outer
+    // join already leaves them NULL on unmatched (untouched) target rows.
+    val appended =
+      if (!evolveSchema) Array.empty[org.apache.spark.sql.Column]
+      else updates.columns.filterNot(target.columns.contains)
+        .map(c => col(s"u.$c").as(c))
+    joined.select((outCols ++ appended).toIndexedSeq: _*)
   }
 
   // ------------------------------------------------------------------
@@ -167,7 +181,13 @@ object Upsert {
     * @param keepSnapshots snapshot dirs retained after a successful commit
     *   (>= 1; the live one counts). Retention > 1 keeps recent snapshots
     *   readable for in-flight readers and time travel — resolve an old one
-    *   with [[snapshots]] — at the cost of their storage. */
+    *   with [[snapshots]] / [[readTargetAt]] — at the cost of their storage.
+    * @param evolveSchema additive schema evolution (see [[merge]]). Only
+    *   offered on THIS layout: every snapshot is a full rewrite, so all
+    *   files of a snapshot share one schema. The bucketed layouts keep
+    *   untouched buckets' files verbatim — evolving them would mix schemas
+    *   within one table and force mergeSchema on every read; evolve via a
+    *   one-off full rewrite instead. */
   def mergeIntoParquet(
       spark: SparkSession,
       targetPath: String,
@@ -176,7 +196,8 @@ object Upsert {
       insertOnlyCols: Set[String] = Set.empty,
       refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty,
       partitionBy: Seq[String] = Nil,
-      keepSnapshots: Int = 1): Unit = {
+      keepSnapshots: Int = 1,
+      evolveSchema: Boolean = false): Unit = {
     require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
     val root = new Path(targetPath)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -193,7 +214,8 @@ object Upsert {
               org.apache.spark.sql.types.StructField(k,
                 org.apache.spark.sql.types.TimestampType))))
     }
-    val merged = merge(target, updates, keys, insertOnlyCols, refreshExprs)
+    val merged = merge(target, updates, keys, insertOnlyCols, refreshExprs,
+      evolveSchema)
 
     // Monotonic snapshot ids; a crashed attempt's orphan dir at the next id
     // is simply overwritten by the retry (merge is idempotent).
@@ -220,16 +242,38 @@ object Upsert {
     }
   }
 
-  /** Snapshot dir names currently on disk under a merge target, oldest
-    * first — read one directly for time travel:
-    * `spark.read.parquet(s"$target/$snap")`. */
+  /** Time travel: read a merge target AS OF a retained snapshot (a name
+    * from [[snapshots]]). Works for both the plain snapshot-pointer layout
+    * (reads the snapshot dir) and the manifest-bucketed layout (reads the
+    * file set recorded in that snapshot's manifest — data files are
+    * immutable and shared across manifests, so any retained manifest is a
+    * consistent table version). */
+  def readTargetAt(spark: SparkSession, targetPath: String,
+      snapshot: String): DataFrame = {
+    val mf = new Path(targetPath, s"$snapshot.manifest.json")
+    if (mf.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mf)) {
+      val files = readBucketManifestRaw(spark, targetPath, Some(snapshot))
+        .values.flatten.toSeq.map(resolveEntry(targetPath, _))
+      if (files.isEmpty)
+        throw new IllegalStateException(s"empty manifest $snapshot under $targetPath")
+      spark.read.parquet(files: _*)
+    } else spark.read.parquet(new Path(targetPath, snapshot).toString)
+  }
+
+  /** Snapshot names currently on disk under a merge target, oldest first
+    * — snapshot DIRS (plain layout) or retained manifest FILES
+    * (manifest-bucketed layout). Read one with [[readTargetAt]]. */
   def snapshots(spark: SparkSession, targetPath: String): Seq[String] = {
     val root = new Path(targetPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap-"))
-      .map(_.getPath.getName).sorted
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("snap-") =>
+        st.getPath.getName
+      case st if !st.isDirectory && st.getPath.getName.startsWith("snap-") &&
+          st.getPath.getName.endsWith(".manifest.json") =>
+        st.getPath.getName.stripSuffix(".manifest.json")
+    }.sorted
   }
 
   /** MERGE into a hash-bucket-partitioned Parquet dataset, rewriting ONLY
@@ -351,8 +395,9 @@ object Upsert {
   }
 
   private def readBucketManifestRaw(spark: SparkSession,
-      targetPath: String): Map[Int, Seq[String]] =
-    currentSnapshot(spark, targetPath) match {
+      targetPath: String,
+      snapshot: Option[String] = None): Map[Int, Seq[String]] =
+    snapshot.orElse(currentSnapshot(spark, targetPath)) match {
       case None => Map.empty
       case Some(snap) =>
         val p = new Path(targetPath, s"$snap.manifest.json")

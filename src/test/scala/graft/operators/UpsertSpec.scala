@@ -94,6 +94,74 @@ class UpsertSpec extends SparkSpecBase {
     assert(prev == Map("k1" -> 1L, "k2" -> 2L))
   }
 
+  test("schema evolution: new update column appends; untouched rows read NULL") {
+    val updates = Seq(
+      ("k1", "refU", Some("new1"), 11L, "extra1"),  // matched
+      ("k3", "refU3", Some("new3"), 30L, "extra3")) // inserted
+      .toDF("key", "cleaned_ref", "etype", "v", "note")
+    val out = Upsert.merge(target, updates, Seq("key"), evolveSchema = true)
+    assert(out.columns.toSeq == Seq("key", "cleaned_ref", "etype", "v", "note"))
+    val byKey = out.select("key", "note").as[(String, Option[String])]
+      .collect().toMap
+    assert(byKey == Map("k1" -> Some("extra1"), "k3" -> Some("extra3"),
+      "k2" -> None)) // untouched: NULL, not dropped
+    // default stays contract-fixed: unknown columns are dropped
+    val fixed = Upsert.merge(target, updates, Seq("key"))
+    assert(!fixed.columns.contains("note"))
+  }
+
+  test("mergeIntoParquet: evolveSchema persists across snapshots") {
+    val dir = Files.createTempDirectory("graft-upsert-evolve").toString
+    val path = s"$dir/table"
+    Upsert.mergeIntoParquet(spark, path,
+      Seq(("k1", 1L), ("k2", 2L)).toDF("key", "v"), Seq("key"))
+    Upsert.mergeIntoParquet(spark, path,
+      Seq(("k2", 20L, "en"), ("k3", 30L, "fr")).toDF("key", "v", "lang"),
+      Seq("key"), evolveSchema = true, keepSnapshots = 2)
+    val now = Upsert.readTarget(spark, path)
+      .select("key", "v", "lang").as[(String, Long, Option[String])]
+      .collect().map { case (k, v, l) => k -> ((v, l)) }.toMap
+    assert(now == Map("k1" -> ((1L, None)), "k2" -> ((20L, Some("en"))),
+      "k3" -> ((30L, Some("fr")))))
+    // a later non-evolving merge keeps the evolved column (it is in the
+    // target schema now)
+    Upsert.mergeIntoParquet(spark, path,
+      Seq(("k1", 100L)).toDF("key", "v"), Seq("key"), keepSnapshots = 2)
+    val after = Upsert.readTarget(spark, path)
+    assert(after.columns.contains("lang") &&
+      after.where($"key" === "k2" && $"lang" === "en").count() == 1)
+  }
+
+  test("readTargetAt: plain and manifest-bucketed time travel") {
+    val dir = Files.createTempDirectory("graft-upsert-tt").toString
+    val plain = s"$dir/plain"
+    Upsert.mergeIntoParquet(spark, plain, Seq(("k1", 1L)).toDF("key", "v"),
+      Seq("key"), keepSnapshots = 2)
+    Upsert.mergeIntoParquet(spark, plain, Seq(("k1", 9L)).toDF("key", "v"),
+      Seq("key"), keepSnapshots = 2)
+    val snaps = Upsert.snapshots(spark, plain)
+    assert(snaps.size == 2)
+    assert(Upsert.readTargetAt(spark, plain, snaps.head)
+      .as[(String, Long)].head() == (("k1", 1L)))
+    assert(Upsert.readTargetAt(spark, plain, snaps.last)
+      .as[(String, Long)].head() == (("k1", 9L)))
+
+    val mb = s"$dir/mb"
+    Upsert.mergeIntoManifestBucketedParquet(spark, mb,
+      (0L until 10L).map(k => (k, s"v$k")).toDF("key", "v"), Seq("key"),
+      nBuckets = 2, keepSnapshots = 2)
+    Upsert.mergeIntoManifestBucketedParquet(spark, mb,
+      Seq((3L, "u3")).toDF("key", "v"), Seq("key"),
+      nBuckets = 2, keepSnapshots = 2)
+    val mbSnaps = Upsert.snapshots(spark, mb)
+    assert(mbSnaps.size == 2, s"manifest snapshots: $mbSnaps")
+    val old = Upsert.readTargetAt(spark, mb, mbSnaps.head)
+    assert(old.where($"key" === 3L).select("v").as[String].head() == "v3")
+    val cur = Upsert.readTargetAt(spark, mb, mbSnaps.last)
+    assert(cur.where($"key" === 3L).select("v").as[String].head() == "u3")
+    assert(old.count() == 10 && cur.count() == 10)
+  }
+
   test("mergeIntoParquet: crash before pointer publish never tears the table") {
     val dir = Files.createTempDirectory("graft-upsert-crash").toString
     val path = s"$dir/table"
