@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Decontaminate, Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert}
+import graft.operators.{Clustering, Decontaminate, Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -425,6 +425,20 @@ object SparkEntry {
         Ivf.buildIndex(s, idx, emb, trainOn = sample, nlist = 8, iters = 1)
       }
       Ivf.probeIndex(s, idx, emb.where(col("vec_id") < 20), k = 5, nprobe = 8)
+    }),
+
+    // Cluster-based curation analytics: nearest-seed assignment (seeds =
+    // the first 8 corpus vectors — deterministic and SQL-mirrorable) then
+    // per-cluster label purity. Assignment is a per-row argmax compiled
+    // from literal seed vectors: zero shuffle until the slim count agg.
+    "cluster_purity" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val seeds = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      Clustering.labelPurity(
+        Clustering.assignToSeeds(emb, seeds, "embedding"),
+        "cluster_id", "label")
     }),
 
     // ANN via SRP-LSH buckets. Recall < 1 by construction, but the oracle
@@ -1019,6 +1033,26 @@ object SparkEntry {
         |  coalesce(ov.n_overlap, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN ov USING (doc_id)
         |WHERE d.doc_id % 50 <> 0""".stripMargin,
+
+    // Full-algorithm mirror: same seed set (vec_id < 8), same argmax
+    // (cosine DESC, seed ASC), same purity arithmetic in integers.
+    "cluster_purity" ->
+      """WITH seeds AS (SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS sv
+        |               FROM embeddings WHERE vec_id < 8),
+        |a AS (SELECT e.vec_id, e.label, s.cluster_id,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv) DESC,
+        |                   s.cluster_id) AS rn
+        |      FROM embeddings e, seeds s),
+        |b AS (SELECT vec_id, label, cluster_id FROM a WHERE rn = 1),
+        |cl AS (SELECT cluster_id, label, count(*) AS n FROM b GROUP BY 1, 2),
+        |t AS (SELECT cluster_id, n, label,
+        |        row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, label) AS rn,
+        |        sum(n) OVER (PARTITION BY cluster_id) AS tot
+        |      FROM cl)
+        |SELECT cluster_id, CAST(tot AS BIGINT) AS n_vecs, label AS top_label,
+        |  CAST(n AS BIGINT) AS top_n, CAST(n * 1000 // tot AS BIGINT) AS purity_permille
+        |FROM t WHERE rn = 1""".stripMargin,
 
     // ann_ivf probes every cell, so its result is exactly brute force —
     // same oracle as cosine_topk.

@@ -227,6 +227,20 @@ class PlanSpec extends SparkSpecBase {
       "vectors are shuffled before any partial aggregation")
   }
 
+  test("cluster_purity: assignment is scan-stage; corpus reduces before exchange") {
+    // nearest-seed assignment compiles literal seeds into one projection —
+    // no join or Generate anywhere; the first exchange must sit above a
+    // partial aggregate (slim (cluster, label) counts, not corpus rows)
+    val nodes = collectAll(plan("cluster_purity"))
+    assert(!nodes.exists(n => n.nodeName.contains("Join")),
+      "assignment should not join seed rows")
+    assert(!nodes.exists(_.nodeName.contains("Generate")))
+    val exchanges = nodes.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty && exchanges.forall(e =>
+      collectAll(e.child).exists(_.nodeName.contains("Aggregate"))),
+      "corpus rows cross an exchange un-aggregated")
+  }
+
   test("boilerplate_lines: frequent-line set joins back broadcast anti") {
     // corpus-side line rows must never be shuffled on the line value — a
     // hot boilerplate line (millions of copies) would land on one task
