@@ -329,6 +329,14 @@ object SparkEntry {
           blockCol = "source", n = 3, thresholdNum = 1, thresholdDen = 50)
         .select("doc_id", "source", "lang", "n_chars")),
 
+    // Quality-policy dedup: same clusters as dedup_survivors, but the
+    // LONGEST member (n_chars, tie: min id) survives each cluster.
+    "dedup_survivors_best" -> ((s, dir) =>
+      Dedup.dedupSurvivorsBest(Tables.documents(s, dir), "doc_id", "text",
+          blockCol = "source", qualityCol = "n_chars",
+          n = 3, thresholdNum = 1, thresholdDen = 50)
+        .select("doc_id", "source", "lang", "n_chars")),
+
     // Benchmark decontamination: per-doc count of n-grams shared with a
     // held-out eval set (docs where doc_id % 50 == 0 stand in for the
     // benchmark). The eval shingle set is broadcast — the corpus is never
@@ -1016,6 +1024,34 @@ object SparkEntry {
         |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
         |drops AS (SELECT id FROM (SELECT id, LEAST(id, MIN(r)) AS component
         |                          FROM reach GROUP BY id) WHERE id <> component)
+        |SELECT d.doc_id, d.source, d.lang, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM drops)""".stripMargin,
+
+    // Same recursive-CC tail as dedup_survivors; the survivor rank swaps
+    // min-id for (n_chars DESC, id).
+    "dedup_survivors_best" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+        |       FROM w),
+        |e AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS shingle FROM sh),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS inter
+        |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.source = b.source
+        |                       AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT a_id, b_id FROM p WHERE 50 * inter >= 1 * (a_n + b_n - inter)),
+        |sym AS (SELECT a_id AS a, b_id AS b FROM pr UNION SELECT b_id, a_id FROM pr),
+        |reach(id, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+        |m AS (SELECT comp.id, comp.component, d.n_chars
+        |      FROM comp JOIN documents d ON comp.id = d.doc_id),
+        |drops AS (SELECT id FROM (
+        |    SELECT id, row_number() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC, id) AS rn FROM m) WHERE rn > 1)
         |SELECT d.doc_id, d.source, d.lang, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM drops)""".stripMargin,
 

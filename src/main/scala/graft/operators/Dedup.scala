@@ -200,6 +200,22 @@ object Dedup {
     df.join(drops, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** [[dedupSurvivors]] with a quality-based survivor policy: per duplicate
+    * cluster the row with the highest `qualityCol` survives (ties: smallest
+    * id) — keep-the-best-copy, the policy production dedup wants when
+    * copies differ in completeness. Same pair/component machinery; only
+    * the representative choice changes ([[Graph.dedupByPairsBest]]). */
+  def dedupSurvivorsBest(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, qualityCol: String, n: Int = 3,
+      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, blockCol,
+      n, thresholdNum, thresholdDen)
+    val drops = Graph.dedupByPairsBest(pairs, "a_id", "b_id",
+        df, idCol, qualityCol)
+      .where(!col("keep")).select(col("id").as("__drop_id"))
+    df.join(drops, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Per-document repeated-span statistics — the aggregate form of
     * exact-substring dedup (spans of k consecutive tokens appearing
     * verbatim in more than one document mark boilerplate / mirrored /

@@ -150,4 +150,25 @@ object Graph {
     connectedComponents(pairs, aCol, bCol)
       .select(col("id"), col("label").as("representative"))
       .withColumn("keep", col("id") === col("representative"))
+
+  /** Keep/drop decisions with a QUALITY-based representative: per duplicate
+    * cluster, the member with the highest `qCol` survives (ties: smallest
+    * id) — what production dedup actually wants (keep the longest /
+    * highest-scoring copy), vs [[dedupByPairs]]'s arbitrary-but-stable
+    * min-id policy. `quality` is joined only onto the PAIRED ids (the
+    * component table — tiny relative to the corpus), then one slim
+    * per-component argmax picks survivors; nothing corpus-sized shuffles.
+    */
+  def dedupByPairsBest(pairs: DataFrame, aCol: String, bCol: String,
+      quality: DataFrame, qIdCol: String, qCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val withQ = comp.join(
+      quality.select(col(qIdCol).as("id"), col(qCol).as("__q")), "id")
+    val best = withQ.groupBy("label")
+      .agg(min(struct((-col("__q")).as("__neg_q"), col("id"))).as("__b"))
+      .select(col("label"), col("__b.id").as("representative"))
+    withQ.join(best, "label")
+      .select(col("id"), col("representative"),
+        (col("id") === col("representative")).as("keep"))
+  }
 }

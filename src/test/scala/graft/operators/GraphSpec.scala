@@ -98,4 +98,33 @@ class GraphSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L, 6L, 9L))
   }
+
+  test("dedupSurvivorsBest: highest quality survives, not min id") {
+    // cluster {1,2,3}: doc 2 is the longest -> must survive over min-id 1;
+    // cluster {4,5}: equal length -> tie falls back to min id 4
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s", 36L),
+      (2L, "alpha beta gamma delta epsilon eta x", "s", 99L),
+      (3L, "alpha beta gamma delta theta eta", "s", 32L),
+      (4L, "one two three four five six seven", "s", 33L),
+      (5L, "one two three four five six seven", "s", 33L),
+      (6L, "completely different text lives here fine", "s", 41L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val kept = Dedup.dedupSurvivorsBest(df, "doc_id", "text", "source",
+        qualityCol = "n_chars", n = 3, thresholdNum = 1, thresholdDen = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 6L))
+  }
+
+  test("dedupByPairsBest: representative is argmax quality within component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val quality = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0), (10L, 1.0), (11L, 1.0))
+      .toDF("id", "q")
+    val out = Graph.dedupByPairsBest(pairs, "a", "b", quality, "id", "q")
+      .select("id", "representative", "keep")
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L))
+    assert(out.filter(_._3).map(_._1) == Seq(2L, 10L))
+  }
 }
