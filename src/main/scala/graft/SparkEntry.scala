@@ -480,7 +480,9 @@ object SparkEntry {
           TextAnalysis.redact(
             concat(col("text"), lit(" user"), col("doc_id"),
               lit("@example.com via http://site"), col("doc_id"),
-              lit(".org/x then done"))).as("clean"))),
+              lit(".org/x call +1-555-"), (col("doc_id") + 1000000),
+              lit(" from 10.0."), pmod(col("doc_id"), lit(256)),
+              lit(".7 then done"))).as("clean"))),
 
     // Corpus vocabulary stats: top 20 terms by document frequency
     // (stopword discovery / vocabulary pruning for tokenizer training).
@@ -1371,9 +1373,15 @@ object SparkEntry {
       """SELECT doc_id,
         |  regexp_replace(
         |    regexp_replace(
-        |      text || ' user' || doc_id || '@example.com via http://site' || doc_id || '.org/x then done',
-        |      'https?://[^ ]+', '<URL>', 'g'),
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean
+        |      regexp_replace(
+        |        regexp_replace(
+        |          text || ' user' || doc_id || '@example.com via http://site' || doc_id
+        |               || '.org/x call +1-555-' || (doc_id + 1000000)
+        |               || ' from 10.0.' || (doc_id % 256) || '.7 then done',
+        |          'https?://[^ ]+', '<URL>', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+\d{1,3}-\d{3}-\d{3,10}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
         |FROM documents""".stripMargin,
 
     "top_terms" ->

@@ -158,11 +158,24 @@ object TextAnalysis {
     * `regexp_replace` is codegen'd — one projection, no UDF. */
   val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   val UrlPattern = """https?://[^ ]+"""
+  /** +CC-AAA-NNN… international-dialing shape: strict enough to dodge
+    * dates/ids, loose enough for real numbers. Portable Java/RE2 subset. */
+  val PhonePattern = """\+\d{1,3}-\d{3}-\d{3,10}"""
+  val Ipv4Pattern = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
 
+  /** PII scrub: URL first (so addresses inside URLs redact as the URL),
+    * then email, phone, IPv4. Every pattern is in the portable
+    * Java-regex/RE2 intersection (no lookaround, no backrefs) with
+    * leftmost-first semantics in both engines — codegen'd
+    * `regexp_replace`s, no UDF. */
   def redact(textCol: Column): Column =
     regexp_replace(
-      regexp_replace(textCol, UrlPattern, "<URL>"),
-      EmailPattern, "<EMAIL>")
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(textCol, UrlPattern, "<URL>"),
+          EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
 
   /** Cross-source content-overlap matrix: for every source pair, how many
     * distinct word n-gram shingles they share — the corpus diagnostic

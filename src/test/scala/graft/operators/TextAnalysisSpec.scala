@@ -138,6 +138,20 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out == Map(1L -> ((0L, "")), 2L -> ((0L, ""))))
   }
 
+  test("redact: all four PII families; URLs swallow embedded addresses") {
+    val df = Seq(
+      ("mail bob.smith+x@corp.io now", "mail <EMAIL> now"),
+      ("see https://a.b/10.0.0.1?u=x@y.zz ok", "see <URL> ok"),
+      ("dial +44-020-79460000 today", "dial <PHONE> today"),
+      ("host 192.168.0.255 down", "host <IP> down"),
+      // not PII: version strings (too few octets), bare small numbers
+      ("v1.2.3 release 42", "v1.2.3 release 42")
+    ).toDF("text", "want")
+    val out = df.select(TextAnalysis.redact(col("text")).as("got"), col("want"))
+      .as[(String, String)].collect()
+    out.foreach { case (got, want) => assert(got == want, s"got=$got") }
+  }
+
   test("chunkDocuments: disjoint + overlapping windows, short tail, tiny doc") {
     val docs = Seq(
       (1L, "a b c d e f g"), // 7 tokens
