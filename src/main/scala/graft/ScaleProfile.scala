@@ -71,7 +71,9 @@ object ScaleProfile {
     val qs = Seq("ngram_jaccard_prefix", "simhash_pairs", "connected_components",
       "cosine_neardup_lsh", "ann_lsh", "ann_ivf", "sessionize", "rollup_agg",
       "tfidf_topk", "decon_semantic", "minhash_lsh_est",
-      "repeated_spans", "dedup_survivors", "semdedup_survivors", "mix_sources")
+      "repeated_spans", "dedup_survivors", "semdedup_survivors", "mix_sources",
+      "pool_embeddings", "boilerplate_lines", "cluster_purity",
+      "chunk_documents", "dedup_survivors_best")
     qs.foreach(q => time(q, src)) // warmup: codegen + JIT
     qs.foreach(q => time(q, out))
     qs.foreach { q =>

@@ -601,6 +601,14 @@ object SparkEntry {
           out = "n_tokens")
         .select("doc_id", "n_tokens")),
 
+    // Per-source quantile gate: each source drops ITS bottom quartile by
+    // token count (a global cut would gut the lower-scoring sources).
+    "quantile_filter_by_source" -> ((s, dir) =>
+      Sampling.quantileFilterPerKey(Tables.documents(s, dir), "source",
+          TextAnalysis.tokenCount(col("text")), qNum = 1, qDen = 4,
+          out = "n_tokens")
+        .select("doc_id", "source", "n_tokens")),
+
     // Data-mixture sampling: 50/30/20 across three sources under a 2000-
     // token budget; greedy deterministic selection, unlisted sources out.
     "mix_sources" -> ((s, dir) =>
@@ -1608,6 +1616,18 @@ object SparkEntry {
         |      WHERE cum * 10 >= (SELECT count(*) FROM m) * 1)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM m, t WHERE m.n_tokens >= t.thr""".stripMargin,
+
+    "quantile_filter_by_source" ->
+      """WITH m AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT source, n_tokens, count(*) AS c FROM m GROUP BY 1, 2),
+        |cu AS (SELECT source, n_tokens,
+        |         SUM(c) OVER (PARTITION BY source ORDER BY n_tokens
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(c) OVER (PARTITION BY source) AS n FROM c),
+        |t AS (SELECT source, min(n_tokens) AS thr FROM cu
+        |      WHERE cum * 4 >= n * 1 GROUP BY source)
+        |SELECT m.doc_id, m.source, CAST(m.n_tokens AS BIGINT) AS n_tokens
+        |FROM m JOIN t USING (source) WHERE m.n_tokens >= t.thr""".stripMargin,
 
     // Budgets are integer literals (⌊w·2000⌋ precomputed) so the oracle
     // never touches a float; rank = the same seeded Knuth-hash form.

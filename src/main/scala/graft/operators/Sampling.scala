@@ -188,6 +188,39 @@ object Sampling {
     m.crossJoin(broadcast(thr)).where(col(out) >= col("__thr")).drop("__thr")
   }
 
+  /** Per-key (per-source) variant of [[quantileFilter]]: drop each KEY's
+    * bottom `qNum/qDen` by the metric — the form production quality gates
+    * take, because quality-metric distributions differ per source (a
+    * permille score that is median for web crawl may be top-decile for
+    * code) and a global cut would gut the lower-scoring sources.
+    *
+    * Same histogram shape, one level down: counts groupBy (key, metric)
+    * — map-side-combined, bounded by |keys|·|distinct metric values| —
+    * cumulative window over that tiny table (partitioned by key, so no
+    * single-partition warning and no skew: partitions hold distinct
+    * VALUES, not rows), per-key threshold row broadcast back. Ties at the
+    * threshold are kept. Corpus cost: one aggregation + one
+    * broadcast-joined scan-stage filter; corpus rows never shuffle. */
+  def quantileFilterPerKey(df: DataFrame, keyCol: String, metric: Column,
+      qNum: Int, qDen: Int, out: String = "metric"): DataFrame = {
+    require(qDen > 0 && qNum >= 0 && qNum <= qDen,
+      s"quantile $qNum/$qDen out of range")
+    val m = df.withColumn(out, metric.cast("long"))
+    val counts = m.groupBy(col(keyCol), col(out)).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(out)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    val thr = counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .where(col("__cum") * qDen >= col("__n") * qNum)
+      .groupBy(col(keyCol)).agg(min(col(out)).as("__thr"))
+    m.join(broadcast(thr), Seq(keyCol)).where(col(out) >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Data-mixture sampling: realize per-source target weights as a
     * deterministic document selection under a global token budget (the
     * "mix web 50% / books 30% / code 20% into this training run" op).

@@ -241,6 +241,20 @@ class PlanSpec extends SparkSpecBase {
       "corpus rows cross an exchange un-aggregated")
   }
 
+  test("quantile_filter_by_source: thresholds broadcast back; corpus never shuffles") {
+    // the histogram shape: corpus rows reduce to (key, metric) counts
+    // map-side before any exchange; the per-key threshold table joins
+    // back broadcast, so the keep/drop decision is a scan-stage predicate
+    val nodes = collectAll(plan("quantile_filter_by_source"))
+    val s = plan("quantile_filter_by_source").toString
+    assert(s.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$s")
+    val exchanges = nodes.collect { case e: Exchange => e }
+    assert(exchanges.forall(e =>
+      collectAll(e.child).exists(n => n.nodeName.contains("Aggregate") ||
+        n.nodeName.contains("Exchange"))),
+      "corpus rows cross an exchange un-aggregated")
+  }
+
   test("boilerplate_lines: frequent-line set joins back broadcast anti") {
     // corpus-side line rows must never be shuffled on the line value — a
     // hot boilerplate line (millions of copies) would land on one task

@@ -210,6 +210,29 @@ class SamplingSpec extends SparkSpecBase {
       .select("id").as[Long].collect().toSet == Set(100L))
   }
 
+  test("quantileFilterPerKey: each key cuts at its OWN quantile") {
+    // key a: values 1..100 -> q25 threshold 25; key b: values 1001..1100
+    // -> threshold 1025. A global cut at q25 would drop all of a's low
+    // half and none of b's.
+    val df = ((1L to 100L).map(i => ("a", i, i)) ++
+      (1L to 100L).map(i => ("b", i, 1000L + i))).toDF("k", "id", "m")
+    val kept = Sampling.quantileFilterPerKey(df, "k", col("m"), 1, 4)
+      .select("k", "id").as[(String, Long)].collect().toSet
+    assert(kept == ((25L to 100L).map("a" -> _) ++
+      (25L to 100L).map("b" -> _)).toSet)
+    // single-key input degenerates to the global filter
+    val one = (1L to 100L).map(i => ("only", i, i)).toDF("k", "id", "m")
+    val perKey = Sampling.quantileFilterPerKey(one, "k", col("m"), 1, 10)
+      .select("id").as[Long].collect().toSet
+    val global = Sampling.quantileFilter(one, col("m"), 1, 10)
+      .select("id").as[Long].collect().toSet
+    assert(perKey == global)
+    // a constant-valued key keeps everything at any q < 1
+    val const = (1L to 20L).map(i => ("c", i, 7L)).toDF("k", "id", "m")
+    assert(Sampling.quantileFilterPerKey(const, "k", col("m"), 3, 4)
+      .count() == 20)
+  }
+
   test("packSequences: bins are contiguous id ranges in input order") {
     val df = (0L until 100L).map(i => ("k", i, 37L)).toDF("key", "id", "tok")
     // 37 tokens/doc, cap 512: floor(37i/512) must be non-decreasing and

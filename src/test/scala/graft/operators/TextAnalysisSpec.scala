@@ -214,6 +214,53 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out == Seq(3L, 2L))
   }
 
+  test("removeBoilerplateLines: broadcast-anti shape equals a naive reference") {
+    // random-ish multi-line corpus with heavy line sharing across docs
+    val docs = (0L until 50L).map { i =>
+      val lines = (0 until 5).map(j => s"line ${(i * 11 + j * 5) % 17}")
+      (i, lines.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val fast = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text",
+        minDocs = 4)
+      .as[(Long, Long, Long, String)].collect().toSet
+    // naive reference: explode, distinct-doc frequency, filter, regroup
+    val l = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val freq = l.groupBy("line").agg(countDistinct("doc_id").as("nd"))
+    val naive = l.join(freq, "line").where(col("nd") < 4)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("text_clean"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines")), Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(fast == naive)
+  }
+
+  test("chunkDocuments: every token is covered; overlap = chunk - stride") {
+    val docs = (0L until 30L).map { i =>
+      (i, (0 until (5 + (i % 20)).toInt).map(j => s"t${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 6, stride = 4)
+    // rebuild each doc from its chunks: drop the (chunk-stride)-token
+    // overlap from every non-first chunk, then concatenate in order
+    // (a trailing chunk shorter than the overlap contributes no new
+    // tokens — its tail slice is empty and flattens away)
+    val rebuilt = chunks
+      .withColumn("tailArr", when(col("chunk_id") === 0, split(col("chunk_text"), " "))
+        .otherwise(slice(split(col("chunk_text"), " "), 3, 1000)))
+      .groupBy("doc_id").agg(concat_ws(" ", flatten(transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("tailArr")))),
+        s => s.getField("tailArr")))).as("re"))
+      .join(docs, "doc_id")
+    assert(rebuilt.where(col("re") =!= col("text")).count() == 0)
+  }
+
   test("tfIdfTopK: tf desc, then rarity (df asc), then term; k bound") {
     // 'rare' appears in 1 doc, 'common' in all 3: equal tf in doc 1 must
     // rank 'rare' first
