@@ -61,4 +61,22 @@ class MergePropertySpec extends SparkSpecBase {
       }
     })
   }
+
+  test("property: schema evolution preserves idempotence and old-row NULLs") {
+    // updates carry an extra column the target lacks; retry-safety must
+    // survive evolution, and rows outside the batch must read NULL for it
+    run(Prop.forAll(batchGen, batchGen) { (t, u) =>
+      val uDf = df(u).withColumn("extra", concat(lit("x"), col("id")))
+      val once = Upsert.merge(df(t), uDf, Seq("id"), evolveSchema = true)
+      val twice = Upsert.merge(once, uDf, Seq("id"))
+      val got = once.select("id", "extra").as[(Long, Option[String])]
+        .collect().toMap
+      val uKeys = u.map(_._1).toSet
+      val idempotent = twice.select("id", "extra")
+        .as[(Long, Option[String])].collect().toMap == got
+      idempotent && got.forall { case (k, extra) =>
+        if (uKeys.contains(k)) extra.contains(s"x$k") else extra.isEmpty
+      }
+    })
+  }
 }
