@@ -301,6 +301,19 @@ object SparkEntry {
       TextAnalysis.removeBoilerplateLines(pages, "doc_id", "page", minDocs = 3)
     }),
 
+    // JL random projection 64→16 dims (±1 matrix, fixed-point): emitted
+    // as order-sensitive integer checksums, exact in both engines.
+    "random_projection" -> ((s, dir) => {
+      val pr = Embeddings.randomProject(Tables.embeddings(s, dir),
+        "embedding", outDim = 16, seed = 77L, dim = 64)
+      pr.select(col("vec_id"),
+        aggregate(zip_with(col("projected"),
+            sequence(lit(1), size(col("projected"))), (v, i) => v * i),
+          lit(0L), (a, b) => a + b).as("pr_checksum"),
+        aggregate(transform(col("projected"), v => abs(v)),
+          lit(0L), (a, b) => a + b).as("pr_l1"))
+    }),
+
     // Exact dedup with deterministic tie-break.
     "exact_dedup" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), Seq("source", "lang"), col("doc_id"))
@@ -944,6 +957,30 @@ object SparkEntry {
     "exact_dedup" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) = 1""".stripMargin,
+
+    // Full-algorithm mirror: the SAME ±1 sign matrix (integer literals
+    // from RandomProject.signs) over the same fixed-point inputs —
+    // relational join form, no nested list lambdas (round-5 DuckDB cost
+    // lesson).
+    "random_projection" -> {
+      val signsLit = graft.functions.RandomProject.signs(16, 64, 77L)
+        .mkString("[", ",", "]")
+      s"""WITH e AS (SELECT vec_id,
+         |        list_transform(CAST(embedding AS DOUBLE[]),
+         |          x -> CAST(round(x * 1048576) AS BIGINT)) AS q
+         |      FROM embeddings),
+         |u AS (SELECT vec_id, unnest(range(1, least(len(q), 64) + 1)) AS i,
+         |             unnest(q[1:64]) AS v FROM e),
+         |m AS (SELECT unnest(range(0, 1024)) AS k, unnest($signsLit) AS sgn),
+         |d AS (SELECT u.vec_id, m.k // 64 AS j, sum(m.sgn * u.v) AS s
+         |      FROM u JOIN m ON m.k % 64 = u.i - 1
+         |      GROUP BY 1, 2),
+         |p AS (SELECT vec_id, CAST(sum(s * (j + 1)) AS BIGINT) AS pr_checksum,
+         |             CAST(sum(abs(s)) AS BIGINT) AS pr_l1 FROM d GROUP BY 1)
+         |SELECT e.vec_id, coalesce(p.pr_checksum, 0) AS pr_checksum,
+         |  coalesce(p.pr_l1, 0) AS pr_l1
+         |FROM e LEFT JOIN p USING (vec_id)""".stripMargin
+    },
 
     "pool_embeddings" ->
       """WITH e AS (SELECT label,

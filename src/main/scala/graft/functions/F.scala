@@ -65,6 +65,11 @@ object F {
   def srpBucket(vec: Column, planes: Int, seed: Long, dim: Int): Column =
     Glue.column(SrpBucket(Glue.expression(vec), planes, seed, dim))
 
+  /** Achlioptas ±1 fixed-point random projection of an array<float|double>
+    * column to `outDim` integer components (see [[RandomProject]]). */
+  def randomProject(vec: Column, outDim: Int, seed: Long, dim: Int): Column =
+    Glue.column(RandomProject(Glue.expression(vec), outDim, seed, dim))
+
   /** Ids of the `nprobe` nearest (cosine) centroids for a vector column
     * (see [[NearestCentroids]]). */
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =

@@ -196,6 +196,79 @@ object SrpBucket {
   }
 }
 
+/** `random_project(v)` — Achlioptas ±1 random projection to `outDim`
+  * integer components: `out_j = Σ_i sign(j,i) · round(v_i · 2²⁰)` with a
+  * deterministic ±1 sign matrix drawn from `seed`. The
+  * Johnson–Lindenstrauss dimensionality reduction for embedding
+  * storage/bandwidth (project 64→16 dims for coarse candidate scoring;
+  * exact re-rank uses the originals) — in FIXED-POINT, so the result is
+  * order-independent, engine-exact, and oracle-mirrorable with integer
+  * literals (±1 matrix + scaled inputs; no float dot products anywhere).
+  * Vectors shorter than `dim` contribute their present components.
+  * Per-row, codegen'd: scan-stage at 100 TB. */
+case class RandomProject(child: Expression, outDim: Int, seed: Long, dim: Int)
+    extends UnaryExpression with VectorElemTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "random_project"
+  private lazy val cf = elemIsFloat(child.dataType)
+
+  @transient private lazy val signs: Array[Int] =
+    RandomProject.signs(outDim, dim, seed)
+
+  def compute(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = if (cf) arr.getFloat(i).toDouble else arr.getDouble(i)
+      // HALF_UP away from zero — the SQL round() convention in both Spark
+      // and DuckDB (Java Math.round is half-toward-+∞ and diverges on
+      // negative exact halves, which fixed-point scaling does produce)
+      val y = v * RandomProject.Scale
+      q(i) = (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+      i += 1
+    }
+    val out = new Array[Any](outDim)
+    var j = 0
+    while (j < outDim) {
+      val base = j * dim
+      var s = 0L
+      var k = 0
+      while (k < n) { s += signs(base + k) * q(k); k += 1 }
+      out(j) = s
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("randomProject", this,
+      classOf[RandomProject].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): RandomProject =
+    copy(child = c)
+}
+
+object RandomProject {
+  /** Fixed-point input scale (2²⁰ — same convention as
+    * [[graft.operators.Embeddings.PoolScaleBits]]). */
+  val Scale: Double = (1L << 20).toDouble
+
+  /** Deterministic ±1 sign matrix for `(outDim, dim, seed)`, row-major
+    * (output component j occupies `[j·dim, (j+1)·dim)`) — integer
+    * literals, so SQL oracles interpolate it exactly. */
+  def signs(outDim: Int, dim: Int, seed: Long): Array[Int] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(outDim * dim)(if (rnd.nextBoolean()) 1 else -1)
+  }
+}
+
 /** `l2_norm(a)` — native expression with whole-stage codegen. */
 case class L2Norm(child: Expression)
     extends UnaryExpression with VectorElemTypes {

@@ -34,6 +34,17 @@ object Embeddings {
   def dequantize(qCol: Column, scaleCol: Column): Column =
     transform(qCol, q => q.cast("double") * scaleCol / 127)
 
+  /** Johnson–Lindenstrauss dimensionality reduction: project `vecCol` to
+    * `outDim` integer components with a deterministic ±1 matrix
+    * ([[graft.functions.RandomProject]]) — 4× (64→16) storage/bandwidth
+    * cut for coarse candidate scoring; inner products are preserved in
+    * expectation (JL), exact re-rank reads the original vectors. Per-row
+    * codegen'd expression: scan-stage, zero shuffle. */
+  def randomProject(df: DataFrame, vecCol: String, outDim: Int,
+      seed: Long, dim: Int, out: String = "projected"): DataFrame =
+    df.withColumn(out,
+      graft.functions.F.randomProject(col(vecCol), outDim, seed, dim))
+
   /** Chunk→document embedding pooling: element-wise SUM of each group's
     * vectors plus the group count (mean pooling = sum / n downstream; we
     * emit the sum because it is the mergeable quantity — pooling pooled

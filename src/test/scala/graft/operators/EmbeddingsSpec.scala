@@ -58,6 +58,42 @@ class EmbeddingsSpec extends SparkSpecBase {
     assert(out == Seq(3 * s, s, s))
   }
 
+  test("randomProject: hand-checked fixed-point projection") {
+    // dim=2, outDim=2: recompute the expected values from the same sign
+    // matrix the expression uses
+    val signs = graft.functions.RandomProject.signs(2, 2, 123L)
+    val s = 1L << 20
+    val df = Seq((1L, Seq(1.0f, -0.5f))).toDF("vec_id", "embedding")
+    val got = Embeddings.randomProject(df, "embedding", outDim = 2,
+      seed = 123L, dim = 2).select("projected").as[Seq[Long]].head()
+    val q = Seq(s, -s / 2)
+    val want = Seq(
+      signs(0) * q(0) + signs(1) * q(1),
+      signs(2) * q(0) + signs(3) * q(1))
+    assert(got == want)
+  }
+
+  test("randomProject: linear on exactly-representable inputs; short vectors ok") {
+    // multiples of 2^-20 are exact in float for these magnitudes, so
+    // round(x*2^20) is linear and proj(a + b) == proj(a) + proj(b)
+    val a = Seq(0.25f, -1.5f, 0.125f, 2.0f)
+    val b = Seq(1.0f, 0.5f, -0.75f, 0.0f)
+    val ab = a.zip(b).map { case (x, y) => x + y }
+    val df = Seq((1L, a), (2L, b), (3L, ab)).toDF("vec_id", "embedding")
+    val pr = Embeddings.randomProject(df, "embedding", outDim = 8,
+        seed = 9L, dim = 4)
+      .select("vec_id", "projected").as[(Long, Seq[Long])].collect().toMap
+    assert(pr(3L) == pr(1L).zip(pr(2L)).map { case (x, y) => x + y })
+    // a vector shorter than dim contributes only its present components:
+    // equal to the zero-padded twin
+    val short = Seq((1L, Seq(1.0f, -2.0f)), (2L, Seq(1.0f, -2.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val ps = Embeddings.randomProject(short, "embedding", outDim = 8,
+        seed = 9L, dim = 4)
+      .select("projected").as[Seq[Long]].collect()
+    assert(ps(0) == ps(1))
+  }
+
   test("zero and empty vectors quantize safely") {
     val df = Seq(
       (1L, Seq(0f, 0f)),
