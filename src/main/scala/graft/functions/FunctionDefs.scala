@@ -77,5 +77,10 @@ object FunctionDefs {
       "srp_bucket(vec, planes, seed, dim) - sign-random-projection LSH bucket id",
       es => SrpBucket(es(0), litLong(es(1), "srp_bucket", "planes").toInt,
         litLong(es(2), "srp_bucket", "seed"),
-        litLong(es(3), "srp_bucket", "dim").toInt)))
+        litLong(es(3), "srp_bucket", "dim").toInt)),
+    ("random_project",
+      "random_project(vec, outDim, seed, dim) - fixed-point ±1 JL projection to outDim longs",
+      es => RandomProject(es(0), litLong(es(1), "random_project", "outDim").toInt,
+        litLong(es(2), "random_project", "seed"),
+        litLong(es(3), "random_project", "dim").toInt)))
 }

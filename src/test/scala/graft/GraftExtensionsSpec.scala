@@ -47,7 +47,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  minhash_bands(minhash_sig(array('x y', 'y z'), 4), 2) AS bands,
           |  count_in_set(array('the', 'cat', 'the'), array('the', 'a')) AS n_stop,
           |  poly_fingerprint(array('ab', 'c')) AS fp,
-          |  srp_bucket(array(1.0D, -2.0D), 4, 42L, 2) AS bucket
+          |  srp_bucket(array(1.0D, -2.0D), 4, 42L, 2) AS bucket,
+          |  random_project(array(1.0D, -2.0D), 4, 7L, 2) AS projected
           |""".stripMargin).collect().head
       assert(row2.getSeq[String](0) == Seq("a b", "b c", "c a")) // distinct
       val sig = row2.getSeq[Long](1)
@@ -62,6 +63,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
           .select(graft.functions.F.srpBucket(org.apache.spark.sql.functions.col("v"),
             4, 42L, 2)).collect().head.getLong(0)
         assert(row2.getLong(6) == viaColumn)
+      }
+      locally {
+        val signs = graft.functions.RandomProject.signs(4, 2, 7L)
+        val s = 1L << 20
+        val want = (0 until 4).map(j => signs(2 * j) * s + signs(2 * j + 1) * (-2 * s))
+        assert(row2.getSeq[Long](7) == want)
       }
     } finally {
       SparkSession.clearActiveSession()
