@@ -469,12 +469,34 @@ object Upsert {
       else merge(spark.read.parquet(touchedFiles: _*), withBucket,
         keys, insertOnlyCols, refreshExprs)
 
+    val nextId = current.map(_.stripPrefix("snap-").toLong + 1).getOrElse(0L)
+    commitManifestSnapshot(spark, targetPath, merged, touched, manifest,
+      keys, nextId, keepSnapshots)
+  }
+
+  /** Shared commit tail for manifest-bucketed mutations (merge, delete):
+    * write `rows` as new immutable files for exactly the `touched`
+    * buckets, record them in a new manifest (untouched buckets keep their
+    * existing entries verbatim — no copy; a touched bucket whose rewrite
+    * produced NO rows maps to an empty entry, which is how deletes empty
+    * a bucket), atomically publish, and GC to `keepSnapshots`. */
+  private def commitManifestSnapshot(
+      spark: SparkSession,
+      targetPath: String,
+      rows: DataFrame,
+      touched: Seq[Int],
+      manifest: Map[Int, Seq[String]],
+      keys: Seq[String],
+      nextId: Long,
+      keepSnapshots: Int): Unit = {
+    val root = new Path(targetPath)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hadoopConf)
     // New immutable files for the touched buckets only. The extra
     // `__bucket_p` copy exists so partitioned writing splits files per
     // bucket while `__bucket` stays a data column for manifest readers.
-    val nextId = current.map(_.stripPrefix("snap-").toLong + 1).getOrElse(0L)
     val runDir = new Path(root, f"data/run-$nextId%09d")
-    merged.withColumn("__bucket_p", col("__bucket"))
+    rows.withColumn("__bucket_p", col("__bucket"))
       .sortWithinPartitions(keys.map(col): _*) // row-group stats prune keys
       .write.mode("overwrite").option("compression", "snappy")
       .partitionBy("__bucket_p").parquet(runDir.toString)
@@ -487,8 +509,8 @@ object Upsert {
           .map(f => relativizeToRoot(fs, targetPath, f.getPath))
       }.toMap
 
-    // Untouched buckets keep their existing entries verbatim — no copy.
-    val nextManifest = manifest ++ newEntries
+    val nextManifest = manifest ++
+      touched.map(b => b -> newEntries.getOrElse(b, Nil)).toMap
     val snapName = f"snap-$nextId%09d"
     val json = nextManifest.toSeq.sortBy(_._1).map { case (b, files) =>
       s""""$b": [${files.map(f => "\"" + f + "\"").mkString(",")}]"""
@@ -540,6 +562,87 @@ object Upsert {
           (!st.isDirectory && n.startsWith("_current.tmp-")))
         fs.delete(st.getPath, false)
     }
+  }
+
+  /** DELETE on a snapshot-pointer target: remove the rows matching
+    * `predicate` as a NEW snapshot (same atomic pointer commit as
+    * [[mergeIntoParquet]] — the delete is invisible until published, and
+    * retained older snapshots still time-travel to the pre-delete state,
+    * so retention policy is also the compliance-erasure horizon). The
+    * right-to-be-forgotten operation a long-lived training corpus needs.
+    * Returns the number of rows removed. No-op (0) on an empty target. */
+  def deleteFromParquet(
+      spark: SparkSession,
+      targetPath: String,
+      predicate: org.apache.spark.sql.Column,
+      partitionBy: Seq[String] = Nil,
+      keepSnapshots: Int = 1): Long = {
+    require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
+    val root = new Path(targetPath)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hadoopConf)
+    if (!fs.exists(root)) return 0L
+    adoptLegacyTarget(fs, hadoopConf, targetPath)
+    currentSnapshot(spark, targetPath) match {
+      case None => 0L
+      case Some(snap) =>
+        val target = spark.read.parquet(new Path(root, snap).toString)
+        // NOT(pred) keeps rows where pred is NULL too — SQL DELETE
+        // semantics (only rows where the predicate IS TRUE are removed)
+        val remaining = target.where(!coalesce(predicate, lit(false)))
+        val before = target.count()
+        val nextId = snap.stripPrefix("snap-").toLong + 1
+        val snapName = f"snap-$nextId%09d"
+        val writer = remaining.write.mode("overwrite")
+          .option("compression", "snappy")
+        (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+          .parquet(new Path(root, snapName).toString)
+        val after = spark.read.parquet(new Path(root, snapName).toString).count()
+        publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString)
+        val retained = (nextId - keepSnapshots + 1) to nextId
+        fs.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          val staleSnap = st.isDirectory && n.startsWith("snap-") &&
+            !retained.contains(n.stripPrefix("snap-").toLong)
+          if (staleSnap || (!st.isDirectory && n.startsWith("_current.tmp-")))
+            fs.delete(st.getPath, true)
+        }
+        before - after
+    }
+  }
+
+  /** DELETE by key on a manifest-bucketed target: remove every row whose
+    * key appears in `deleteKeys`, rewriting ONLY the buckets those keys
+    * hash to — the erasure job touches ~|keys|/nBuckets of the table, not
+    * all of it — under the same atomic manifest publish as the merge. A
+    * bucket whose rows are all deleted gets an EMPTY manifest entry (the
+    * bucket exists, holds nothing). Untouched buckets keep their file
+    * entries verbatim. */
+  def deleteKeysFromManifestBucketedParquet(
+      spark: SparkSession,
+      targetPath: String,
+      deleteKeys: DataFrame,
+      keys: Seq[String],
+      nBuckets: Int = 256,
+      keepSnapshots: Int = 1): Unit = {
+    require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
+    val manifest = readBucketManifestRaw(spark, targetPath)
+    if (manifest.isEmpty) return
+    val current = currentSnapshot(spark, targetPath)
+    val delKeys = deleteKeys.select(keys.map(col): _*).distinct()
+      .withColumn("__bucket",
+        pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int"))
+    val touched = delKeys.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+      .filter(manifest.contains) // keys hashing to never-written buckets
+    if (touched.isEmpty) return
+    val touchedFiles = touched.flatMap(b => manifest.getOrElse(b, Nil))
+      .map(resolveEntry(targetPath, _)).toSeq
+    val remaining = spark.read.parquet(touchedFiles: _*)
+      .join(delKeys.drop("__bucket"), keys, "left_anti")
+    val nextId = current.map(_.stripPrefix("snap-").toLong + 1).getOrElse(0L)
+    commitManifestSnapshot(spark, targetPath, remaining, touched.toSeq,
+      manifest, keys, nextId, keepSnapshots)
   }
 
   private def manifestPath(targetPath: String): Path =

@@ -2,6 +2,8 @@ package graft.operators
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpecBase
 
 /** Manifest-bucketed target: incremental bucket rewrite + atomic
@@ -35,6 +37,46 @@ class ManifestMergeSpec extends SparkSpecBase {
       .select("key", "v").as[(Long, String)].collect().toMap
     assert(out.size == 41)
     assert(out(7L) == "UPDATED" && out(1007L) == "NEW" && out(8L) == "v8")
+  }
+
+  test("deleteKeys rewrites only the keys' buckets; emptied bucket -> empty entry") {
+    val path = mkTarget()
+    val rows = (0L until 40L).map(k => (k, s"v$k")).toDF("key", "v")
+    Upsert.mergeIntoManifestBucketedParquet(spark, path, rows,
+      Seq("key"), nBuckets = 4)
+    val m1 = Upsert.readBucketManifest(spark, path)
+    // keys of bucket 0, computed with the merge's own hash
+    val bucketOf = rows.select($"key",
+      pmod(xxhash64($"key"), lit(4)).cast("int").as("b"))
+      .as[(Long, Int)].collect().toMap
+    val b0Keys = bucketOf.filter(_._2 == 0).keys.toSeq
+    assert(b0Keys.nonEmpty)
+
+    // partial delete: two bucket-0 keys go, everything else untouched
+    val twoKeys = b0Keys.take(2)
+    Upsert.deleteKeysFromManifestBucketedParquet(spark, path,
+      twoKeys.toDF("key"), Seq("key"), nBuckets = 4)
+    val m2 = Upsert.readBucketManifest(spark, path)
+    (1 to 3).foreach(b => assert(m2(b) == m1(b), s"bucket $b was rewritten"))
+    assert(m2(0) != m1(0))
+    val out = Upsert.readManifestTable(spark, path)
+      .select("key").as[Long].collect().toSet
+    assert(out == (0L until 40L).toSet -- twoKeys)
+
+    // full-bucket delete: bucket 0's entry becomes EMPTY; table readable
+    Upsert.deleteKeysFromManifestBucketedParquet(spark, path,
+      b0Keys.toDF("key"), Seq("key"), nBuckets = 4)
+    val m3 = Upsert.readBucketManifest(spark, path)
+    assert(m3(0).isEmpty, s"expected empty bucket-0 entry: ${m3(0)}")
+    assert(Upsert.readManifestTable(spark, path)
+      .select("key").as[Long].collect().toSet ==
+      (0L until 40L).toSet -- b0Keys)
+
+    // a later merge repopulates the emptied bucket
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((b0Keys.head, "BACK")).toDF("key", "v"), Seq("key"), nBuckets = 4)
+    assert(Upsert.readManifestTable(spark, path)
+      .where($"key" === b0Keys.head).select("v").as[String].head() == "BACK")
   }
 
   test("bucket pruning reads only the asked-for buckets' files") {

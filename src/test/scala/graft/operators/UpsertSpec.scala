@@ -162,6 +162,27 @@ class UpsertSpec extends SparkSpecBase {
     assert(old.count() == 10 && cur.count() == 10)
   }
 
+  test("deleteFromParquet: predicate rows go, NULL-predicate rows stay") {
+    val dir = Files.createTempDirectory("graft-upsert-del").toString
+    val path = s"$dir/table"
+    Upsert.mergeIntoParquet(spark, path,
+      Seq(("k1", Some(1L)), ("k2", Some(9L)), ("k3", None)).toDF("key", "v"),
+      Seq("key"), keepSnapshots = 2)
+    val removed = Upsert.deleteFromParquet(spark, path, $"v" > 5,
+      keepSnapshots = 2)
+    assert(removed == 1L)
+    // k3's predicate is NULL -> kept (SQL DELETE semantics)
+    assert(Upsert.readTarget(spark, path).select("key").as[String]
+      .collect().toSet == Set("k1", "k3"))
+    // the pre-delete snapshot is still readable (erasure horizon =
+    // retention policy)
+    val snaps = Upsert.snapshots(spark, path)
+    assert(snaps.size == 2)
+    assert(Upsert.readTargetAt(spark, path, snaps.head).count() == 3)
+    // deleting from a missing/empty target is a no-op
+    assert(Upsert.deleteFromParquet(spark, s"$dir/nope", $"v" > 0) == 0L)
+  }
+
   test("mergeIntoParquet: crash before pointer publish never tears the table") {
     val dir = Files.createTempDirectory("graft-upsert-crash").toString
     val path = s"$dir/table"
