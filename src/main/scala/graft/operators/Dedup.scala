@@ -339,6 +339,31 @@ object Dedup {
     (sig, bandRows(sig, bands))
   }
 
+  /** Erase keys from a persisted MinHash near-dup index (sigs + band
+    * rows, [[minHashIndex]] layout) — the index-side half of a compliance
+    * delete: signatures are content-derived, so an index still holding
+    * them is not an erasure. Both tables are slim scalar rows (no text),
+    * so the anti-join rewrite costs index-size, not corpus-size; the swap
+    * is the same delete+rename as [[graft.operators.Ivf.compactIndex]] —
+    * a maintenance job, run without concurrent probes. */
+  def deleteFromNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, keys: DataFrame, keyCol: String = "id"): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ks = keys.select(col(keyCol).as("id")).distinct()
+    Seq("sigs", "bands").foreach { t =>
+      val path = s"$indexPath/$t"
+      if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
+        val tmp = s"$indexPath/$t-delete-tmp"
+        spark.read.parquet(path).join(ks, Seq("id"), "left_anti")
+          .write.mode("overwrite").option("compression", "snappy").parquet(tmp)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(path))
+      }
+    }
+  }
+
   /** Slim (id, band, band_hash) rows derived from an (id, minhash)
     * signature frame — split out so a caller that persists the signatures
     * (one pass over the text per micro-batch) can derive the band rows

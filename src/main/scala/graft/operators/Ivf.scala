@@ -190,6 +190,41 @@ object Ivf {
       .partitionBy("__cell").parquet(s"$indexPath/cells")
   }
 
+  /** Erase vectors from a persisted index — the index-side half of a
+    * compliance delete ([[Upsert.deleteFromParquet]] removes the rows; an
+    * ANN index still holding the vectors is not an erasure). Rewrites
+    * ONLY the `__cell` partitions the deleted ids live in (found via a
+    * column-pruned (id, __cell) scan), so the job touches ~|ids|/nlist of
+    * the stored corpus; an emptied cell's directory is removed outright.
+    * Like [[compactIndex]], a maintenance job — run without concurrent
+    * probes. */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, ids: DataFrame, idCol: String = "vec_id"): Unit = {
+    val cellsPath = s"$indexPath/cells"
+    val idsD = ids.select(col(idCol)).distinct()
+    val touched = spark.read.parquet(cellsPath)
+      .select(col(idCol), col("__cell"))
+      .join(idsD, Seq(idCol), "left_semi")
+      .select("__cell").distinct()
+      .collect().map(_.getAs[Number]("__cell").intValue()).sorted
+    if (touched.isEmpty) return
+    val remaining = spark.read.parquet(cellsPath)
+      .where(col("__cell").isin(touched.map(Int.box).toIndexedSeq: _*)) // partition-pruned
+      .join(idsD, Seq(idCol), "left_anti")
+    val tmp = s"$indexPath/cells-delete-tmp"
+    remaining.write.mode("overwrite").option("compression", "snappy")
+      .partitionBy("__cell").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { c =>
+      val live = new org.apache.hadoop.fs.Path(s"$cellsPath/__cell=$c")
+      val fresh = new org.apache.hadoop.fs.Path(s"$tmp/__cell=$c")
+      fs.delete(live, true)
+      if (fs.exists(fresh)) fs.rename(fresh, live) // absent ⇒ cell emptied
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** Compact the cell table: every incremental [[addToIndex]] appends its
     * own files into each touched `__cell` partition, so a long-running
     * index accumulates small files (the classic streaming-ingest tax —

@@ -144,6 +144,31 @@ class DedupSpec extends SparkSpecBase {
       s"est ${est((1L, 3L))} vs exact $exact")
   }
 
+  test("deleteFromNearDupIndex: erased keys leave both sigs and bands") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "k l m n o p q r s t")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-mh-del").toString
+    val (sigs, bands) = Dedup.minHashIndex(docs, "doc_id", "text",
+      n = 1, numHashes = 128, bands = 32)
+    sigs.write.parquet(s"$idx/sigs")
+    bands.write.parquet(s"$idx/bands")
+    Dedup.deleteFromNearDupIndex(spark, idx, Seq(2L).toDF("id"))
+    val sigIds = spark.read.parquet(s"$idx/sigs")
+      .select("id").as[Long].collect().toSet
+    val bandIds = spark.read.parquet(s"$idx/bands")
+      .select("id").as[Long].collect().toSet
+    assert(sigIds == Set(1L, 3L) && bandIds == Set(1L, 3L))
+    // the erased doc no longer collides with its surviving twin
+    val est = Dedup.minHashPairsAgainstIndex(
+      spark.read.parquet(s"$idx/sigs"), spark.read.parquet(s"$idx/bands"),
+      spark.read.parquet(s"$idx/sigs"), spark.read.parquet(s"$idx/bands"),
+      numHashes = 128, threshold = 0.0)
+      .where(col("batch_id") =!= col("index_id")).count()
+    assert(est == 0L)
+  }
+
   test("MinHash-LSH pairs ⊇ verified-exact pairs on planted near-dups") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = base.replace("w40", "zz") // jaccard ≈ 35/41 over 3-shingles

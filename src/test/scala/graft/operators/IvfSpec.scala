@@ -90,6 +90,40 @@ class IvfSpec extends SparkSpecBase {
     assert(viaIndex == brute)
   }
 
+  test("deleteFromIndex: erased ids vanish; only their cells are rewritten") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    Ivf.buildIndex(spark, idx, emb, trainOn = emb, nlist = 4, iters = 1)
+    val cellsDir = new java.io.File(s"$idx/cells")
+    def fileSet(): Map[String, Set[String]] = cellsDir.listFiles()
+      .filter(_.isDirectory).map(d => d.getName ->
+        d.listFiles().map(_.getName).toSet).toMap
+    val before = fileSet()
+
+    val victims = Seq(3L, 17L, 42L)
+    val victimCells = spark.read.parquet(s"$idx/cells")
+      .where(col("vec_id").isin(victims.map(Long.box): _*))
+      .select("__cell").distinct().as[Int].collect()
+      .map(c => s"__cell=$c").toSet
+    Ivf.deleteFromIndex(spark, idx, victims.toDF("vec_id"))
+
+    // erased ids are gone from storage and never probed back
+    val left = spark.read.parquet(s"$idx/cells")
+    assert(left.where(col("vec_id").isin(victims.map(Long.box): _*)).count() == 0)
+    assert(left.count() == emb.count() - victims.size)
+    val probed = Ivf.probeIndex(spark, idx, emb.where(col("vec_id") < 5),
+      k = 10, nprobe = 4).select("neighbor_id").as[Long].collect().toSet
+    assert(victims.forall(!probed.contains(_)))
+    // untouched cell dirs keep their exact files
+    val after = fileSet()
+    (before.keySet -- victimCells).foreach { c =>
+      assert(after(c) == before(c), s"untouched $c was rewritten")
+    }
+    // deleting unknown ids is a no-op
+    Ivf.deleteFromIndex(spark, idx, Seq(999999L).toDF("vec_id"))
+    assert(spark.read.parquet(s"$idx/cells").count() == emb.count() - victims.size)
+  }
+
   test("addToIndex is idempotent: retried batch and key updates never duplicate ids") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idem").toString
     val base = emb.where(col("vec_id") < 400)
