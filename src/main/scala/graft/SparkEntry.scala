@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Clustering, Decontaminate, Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert}
+import graft.operators.{Clustering, Decontaminate, Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -613,6 +613,15 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")), qNum = 1, qDen = 10,
           out = "n_tokens")
         .select("doc_id", "n_tokens")),
+
+    // Data-quality gate report: every rule evaluated in ONE scan, exact
+    // violation counts per rule (the go/no-go input before merge).
+    "data_quality" -> ((s, dir) =>
+      Validate.report(Tables.documents(s, dir), Seq(
+        "empty_text" -> (length(col("text")) === 0),
+        "short_text" -> (col("n_chars") < 200),
+        "chars_mismatch" -> (col("n_chars") =!= length(col("text"))),
+        "unknown_lang" -> !col("lang").isin("en", "de", "fr", "es")))),
 
     // Per-source quantile gate: each source drops ITS bottom quartile by
     // token count (a global cut would gut the lower-scoring sources).
@@ -1653,6 +1662,26 @@ object SparkEntry {
         |      WHERE cum * 10 >= (SELECT count(*) FROM m) * 1)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM m, t WHERE m.n_tokens >= t.thr""".stripMargin,
+
+    "data_quality" ->
+      """WITH m AS (SELECT
+        |    CASE WHEN len(text) = 0 THEN 1 ELSE 0 END AS empty_text,
+        |    CASE WHEN n_chars < 200 THEN 1 ELSE 0 END AS short_text,
+        |    CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END AS chars_mismatch,
+        |    CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 1 ELSE 0 END AS unknown_lang
+        |  FROM documents)
+        |SELECT 'empty_text' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(empty_text) AS BIGINT) AS n_violations,
+        |  CAST(sum(empty_text) * 1000 // count(*) AS BIGINT) AS violation_permille FROM m
+        |UNION ALL SELECT 'short_text', CAST(count(*) AS BIGINT),
+        |  CAST(sum(short_text) AS BIGINT),
+        |  CAST(sum(short_text) * 1000 // count(*) AS BIGINT) FROM m
+        |UNION ALL SELECT 'chars_mismatch', CAST(count(*) AS BIGINT),
+        |  CAST(sum(chars_mismatch) AS BIGINT),
+        |  CAST(sum(chars_mismatch) * 1000 // count(*) AS BIGINT) FROM m
+        |UNION ALL SELECT 'unknown_lang', CAST(count(*) AS BIGINT),
+        |  CAST(sum(unknown_lang) AS BIGINT),
+        |  CAST(sum(unknown_lang) * 1000 // count(*) AS BIGINT) FROM m""".stripMargin,
 
     "quantile_filter_by_source" ->
       """WITH m AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),

@@ -611,6 +611,50 @@ object Upsert {
     }
   }
 
+  /** DELETE by key list on a snapshot-pointer target: anti-join form of
+    * [[deleteFromParquet]] — the key list stays distributed (no driver
+    * collect), so an arbitrarily large erasure list works. Returns rows
+    * removed. */
+  def deleteKeysFromParquet(
+      spark: SparkSession,
+      targetPath: String,
+      deleteKeys: DataFrame,
+      keys: Seq[String],
+      partitionBy: Seq[String] = Nil,
+      keepSnapshots: Int = 1): Long = {
+    require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
+    val root = new Path(targetPath)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hadoopConf)
+    if (!fs.exists(root)) return 0L
+    adoptLegacyTarget(fs, hadoopConf, targetPath)
+    currentSnapshot(spark, targetPath) match {
+      case None => 0L
+      case Some(snap) =>
+        val target = spark.read.parquet(new Path(root, snap).toString)
+        val remaining = target.join(
+          deleteKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        val before = target.count()
+        val nextId = snap.stripPrefix("snap-").toLong + 1
+        val snapName = f"snap-$nextId%09d"
+        val writer = remaining.write.mode("overwrite")
+          .option("compression", "snappy")
+        (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+          .parquet(new Path(root, snapName).toString)
+        val after = spark.read.parquet(new Path(root, snapName).toString).count()
+        publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString)
+        val retained = (nextId - keepSnapshots + 1) to nextId
+        fs.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          val staleSnap = st.isDirectory && n.startsWith("snap-") &&
+            !retained.contains(n.stripPrefix("snap-").toLong)
+          if (staleSnap || (!st.isDirectory && n.startsWith("_current.tmp-")))
+            fs.delete(st.getPath, true)
+        }
+        before - after
+    }
+  }
+
   /** DELETE by key on a manifest-bucketed target: remove every row whose
     * key appears in `deleteKeys`, rewriting ONLY the buckets those keys
     * hash to — the erasure job touches ~|keys|/nBuckets of the table, not

@@ -183,6 +183,19 @@ class UpsertSpec extends SparkSpecBase {
     assert(Upsert.deleteFromParquet(spark, s"$dir/nope", $"v" > 0) == 0L)
   }
 
+  test("deleteKeysFromParquet: distributed key-list erasure") {
+    val dir = Files.createTempDirectory("graft-upsert-delk").toString
+    val path = s"$dir/table"
+    Upsert.mergeIntoParquet(spark, path,
+      (0L until 20L).map(k => (s"k$k", k)).toDF("key", "v"), Seq("key"))
+    val removed = Upsert.deleteKeysFromParquet(spark, path,
+      Seq("k3", "k7", "k3", "nope").toDF("key"), Seq("key"))
+    assert(removed == 2L)
+    assert(Upsert.readTarget(spark, path).count() == 18L)
+    assert(Upsert.readTarget(spark, path)
+      .where($"key".isin("k3", "k7")).count() == 0L)
+  }
+
   test("mergeIntoParquet: crash before pointer publish never tears the table") {
     val dir = Files.createTempDirectory("graft-upsert-crash").toString
     val path = s"$dir/table"
