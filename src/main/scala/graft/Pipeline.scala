@@ -79,7 +79,16 @@ object Pipeline {
         * over the staged batch — curation never rescans the source, and
         * `uniqueRecords` counts what actually merged. Identity when
         * unset. */
-      curate: Option[DataFrame => DataFrame] = None)
+      curate: Option[DataFrame => DataFrame] = None,
+      /** Data-quality gate over the staged batch, checked BEFORE curation
+        * and merge: named violation predicates with per-rule budgets
+        * ([[graft.operators.Validate.enforce]]). A batch over budget
+        * aborts the run (throws) with the offending rules named — the
+        * watermark does not advance, so a retry re-reads the same
+        * increment after the upstream problem is fixed. One extra pass
+        * over the staged batch (small), not the source. */
+      qualityRules: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      qualityBudgets: Map[String, Long] = Map.empty)
 
   case class RunStats(
       recordsProcessed: Long,
@@ -158,8 +167,11 @@ object Pipeline {
     val deduped = Dedup.latestPerKey(batch, Seq("main_refco"),
       Seq(col("original_timestamp").desc))
 
-    // Optional curation stage over the staged batch (quality gates,
-    // caps, survivor selection) — runs on the small batch, not the source.
+    // Quality gate first (fail fast, before any merge work), then the
+    // optional curation stage — both run on the small batch, not the
+    // source.
+    if (conf.qualityRules.nonEmpty)
+      operators.Validate.enforce(deduped, conf.qualityRules, conf.qualityBudgets)
     val curated = conf.curate.fold(deduped)(f => f(deduped))
 
     // J1: broadcast dimension join (inner — unmatched rows drop silently)

@@ -13,7 +13,8 @@ import org.apache.spark.sql.SparkSession
   *     <sourcePath> <targetPath> <statePath> <stagingPath> \
   *     [--dims <sourcesConfigPath>] [--fallback '2024-01-01 00:00:00'] \
   *     [--merge-buckets 256] [--manifest-commit true] [--format json] \
-  *     [--ivf-index <indexPath>] [--ivf-nlist 16] [--retries 3]
+  *     [--ivf-index <indexPath>] [--ivf-nlist 16] [--retries 3] \
+  *     [--quality 'rule:sql_predicate;...'] [--quality-budgets 'rule=5;...']
   * }}}
   *
   * Master/executor sizing come from spark-submit; the session gets the
@@ -52,7 +53,17 @@ object RunPipeline {
         manifestCommit = opts.get("--manifest-commit").exists(_.toBoolean),
         sourceFormat = opts.getOrElse("--format", "parquet"),
         ivfIndexPath = opts.get("--ivf-index"),
-        ivfNlist = opts.get("--ivf-nlist").map(_.toInt).getOrElse(16))
+        ivfNlist = opts.get("--ivf-nlist").map(_.toInt).getOrElse(16),
+        // --quality 'name:sqlPredicate;name2:pred2' — predicates parsed
+        // with expr(), TRUE = violation; --quality-budgets 'name=5;...'
+        qualityRules = opts.get("--quality").map(_.split(";").toSeq.map { r =>
+          val Array(n, p) = r.split(":", 2)
+          n -> org.apache.spark.sql.functions.expr(p)
+        }).getOrElse(Nil),
+        qualityBudgets = opts.get("--quality-budgets").map(_.split(";").map { b =>
+          val Array(n, v) = b.split("=", 2)
+          n -> v.toLong
+        }.toMap).getOrElse(Map.empty))
       val stats = runWithRetries(spark, conf,
         opts.get("--retries").map(_.toInt).getOrElse(0))
       // one parseable summary line, mirroring the reference's run metrics

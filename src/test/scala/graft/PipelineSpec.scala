@@ -152,6 +152,34 @@ class PipelineSpec extends SparkSpecBase {
       Set("rlonger2", "rlongest3"))
   }
 
+  test("quality gate aborts an over-budget batch; watermark does not advance") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-pipe-gate").toString
+    def conf(budget: Long) = Pipeline.Config(
+      sourcePath = s"$dir/source",
+      targetPath = s"$dir/target",
+      statePath = s"$dir/state.json",
+      stagingPath = s"$dir/staging",
+      vectorDim = 2,
+      qualityRules = Seq("short_key" -> (length(col("main_refco")) < 3)),
+      qualityBudgets = Map("short_key" -> budget))
+
+    Seq(
+      doc("s1", "2024-02-01 10:00:00", "r1", ""), // short key: 1 violation
+      doc("s1", "2024-02-01 11:00:00", "rlonger", "")
+    ).toDF(cols: _*).write.mode(SaveMode.Overwrite).parquet(s"$dir/source")
+
+    val e = intercept[IllegalStateException] { Pipeline.run(spark, conf(0L)) }
+    assert(e.getMessage.contains("short_key=1"))
+    // the failed run must not have advanced state or written the target
+    assert(!new java.io.File(s"$dir/state.json").exists())
+
+    // same batch under a tolerant budget goes through
+    val ok = Pipeline.run(spark, conf(1L))
+    assert(ok.uniqueRecords == 2L)
+    assert(graft.operators.Upsert.readTarget(spark, s"$dir/target").count() == 2L)
+  }
+
   test("pipeline with hash-bucketed incremental merge target") {
     val dir = Files.createTempDirectory("graft-pipe-hb").toString
     val conf = Pipeline.Config(
