@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions.col
   */
 object RunErasure {
   def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().appName("graft-erasure").getOrCreate()
+    GraftConf.applyScaleProfile(spark)
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** The erasure job body (separated from [[main]]'s session lifecycle so
+    * tests can drive the CLI surface on a shared session). */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: RunErasure <target> <keysPath> [--key-col c] " +
         "[--merge-buckets n] [--keep-snapshots n] " +
@@ -38,9 +46,7 @@ object RunErasure {
     val keyCol = opts.getOrElse("--key-col", "main_refco")
     val keep = opts.get("--keep-snapshots").map(_.toInt).getOrElse(1)
 
-    val spark = SparkSession.builder().appName("graft-erasure").getOrCreate()
-    GraftConf.applyScaleProfile(spark)
-    try {
+    locally {
       val keys =
         (if (keysPath.endsWith(".json")) spark.read.json(keysPath)
          else spark.read.parquet(keysPath)).select(col(keyCol))
@@ -72,6 +78,6 @@ object RunErasure {
           keys.toDF("id"))
         System.err.println(s"[erasure] near-dup index scrubbed: $idx")
       }
-    } finally spark.stop()
+    }
   }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Ivf, Upsert}
+
+/** End-to-end CLI surface: one RunErasure invocation scrubs the merge
+  * target AND both content-derived indexes. */
+class RunErasureSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("erases a key list from snapshot target, IVF index, near-dup index") {
+    val dir = Files.createTempDirectory("graft-erasure").toString
+    val target = s"$dir/target"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+
+    Upsert.mergeIntoParquet(spark, target, emb, Seq("vec_id"))
+    val ivfIdx = s"$dir/ivf"
+    Ivf.buildIndex(spark, ivfIdx, emb, trainOn = emb, nlist = 4, iters = 1,
+      idCol = "vec_id")
+    val ndIdx = s"$dir/neardup"
+    val docs = emb.select(col("vec_id").as("doc_id"),
+      concat_ws(" ", transform(col("embedding"), x => (x > 0).cast("string")))
+        .as("text"))
+    val (sigs, bands) = Dedup.minHashIndex(docs, "doc_id", "text", n = 1)
+    sigs.write.parquet(s"$ndIdx/sigs")
+    bands.write.parquet(s"$ndIdx/bands")
+
+    val victims = Seq(5L, 11L)
+    victims.toDF("vec_id").write.parquet(s"$dir/keys")
+    RunErasure.run(spark, Array(target, s"$dir/keys",
+      "--key-col", "vec_id",
+      "--ivf-index", ivfIdx,
+      "--neardup-index", ndIdx))
+
+    val inTarget = Upsert.readTarget(spark, target)
+      .where(col("vec_id").isin(victims.map(Long.box): _*)).count()
+    val inIvf = spark.read.parquet(s"$ivfIdx/cells")
+      .where(col("vec_id").isin(victims.map(Long.box): _*)).count()
+    val inSigs = spark.read.parquet(s"$ndIdx/sigs")
+      .where(col("id").isin(victims.map(Long.box): _*)).count()
+    val inBands = spark.read.parquet(s"$ndIdx/bands")
+      .where(col("id").isin(victims.map(Long.box): _*)).count()
+    assert(inTarget == 0 && inIvf == 0 && inSigs == 0 && inBands == 0)
+    // nothing else was lost
+    assert(Upsert.readTarget(spark, target).count() == emb.count() - 2)
+    assert(spark.read.parquet(s"$ivfIdx/cells").count() == emb.count() - 2)
+  }
+
+  test("manifest-bucketed target auto-detected and bucket-pruned") {
+    val dir = Files.createTempDirectory("graft-erasure-mb").toString
+    val target = s"$dir/target"
+    val rows = (0L until 30L).map(k => (k, s"v$k")).toDF("key", "v")
+    Upsert.mergeIntoManifestBucketedParquet(spark, target, rows,
+      Seq("key"), nBuckets = 4)
+    Seq(3L, 9L).toDF("key").write.parquet(s"$dir/keys")
+    RunErasure.run(spark, Array(target, s"$dir/keys",
+      "--key-col", "key", "--merge-buckets", "4"))
+    val left = Upsert.readManifestTable(spark, target)
+      .select("key").as[Long].collect().toSet
+    assert(left == (0L until 30L).toSet -- Seq(3L, 9L))
+  }
+}
