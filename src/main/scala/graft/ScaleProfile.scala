@@ -73,7 +73,8 @@ object ScaleProfile {
       "tfidf_topk", "decon_semantic", "minhash_lsh_est",
       "repeated_spans", "dedup_survivors", "semdedup_survivors", "mix_sources",
       "pool_embeddings", "boilerplate_lines", "cluster_purity",
-      "chunk_documents", "dedup_survivors_best")
+      "chunk_documents", "dedup_survivors_best",
+      "random_projection", "data_quality", "quantile_filter_by_source")
     qs.foreach(q => time(q, src)) // warmup: codegen + JIT
     qs.foreach(q => time(q, out))
     qs.foreach { q =>

@@ -93,5 +93,11 @@ object F {
     FunctionDefs.all.foreach { case (name, _, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // Typed aggregators register through the UDF registry (they are not
+    // Expression builders): vector_sum_long is the pooling kernel —
+    // partial-aggregable element-wise sum over array<long>.
+    spark.udf.register("vector_sum_long",
+      org.apache.spark.sql.functions.udaf(new VectorSumLong,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()))
   }
 }

@@ -129,4 +129,13 @@ class AsciiFoldSpec extends SparkSpecBase {
     val r = spark.sql("SELECT ascii_fold('Dvořák') AS f").collect().head.getString(0)
     assert(r == "Dvorak")
   }
+
+  test("vector_sum_long aggregates element-wise from SQL") {
+    F.registerAll(spark)
+    val r = spark.sql(
+      """SELECT vector_sum_long(v) AS s FROM VALUES
+        |  (array(1L, 2L)), (array(10L, 20L, 30L)) AS t(v)""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    assert(r == Seq(11L, 22L, 30L))
+  }
 }
