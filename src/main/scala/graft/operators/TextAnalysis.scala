@@ -58,7 +58,7 @@ object TextAnalysis {
     * `repetition_stats` query for the `div`-based engine-exact form. */
   def withRepetitionStats(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("__rep", graft.functions.F.repetitionStats(words(col(textCol))))
-      .select(df.columns.map(col) :+ col("__rep.*"): _*)
+      .select((df.columns.map(col) :+ col("__rep.*")).toIndexedSeq: _*)
 
   /** Per-document top-`k` distinctive terms, ranked by
     * `(tf DESC, df ASC, term ASC)` — term frequency favors what the

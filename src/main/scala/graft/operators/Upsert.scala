@@ -470,8 +470,8 @@ object Upsert {
         keys, insertOnlyCols, refreshExprs)
 
     val nextId = current.map(_.stripPrefix("snap-").toLong + 1).getOrElse(0L)
-    commitManifestSnapshot(spark, targetPath, merged, touched, manifest,
-      keys, nextId, keepSnapshots)
+    commitManifestSnapshot(spark, targetPath, merged, touched.toIndexedSeq,
+      manifest, keys, nextId, keepSnapshots)
   }
 
   /** Shared commit tail for manifest-bucketed mutations (merge, delete):
