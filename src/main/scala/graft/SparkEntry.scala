@@ -417,6 +417,23 @@ object SparkEntry {
       Dedup.cosineNearDupPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.4, dim = 64, planes = 4, tables = 4)),
 
+    // In-engine recall evaluation of the LSH near-dup path against the
+    // exact ground truth — the tuning harness for planes/tables (run at
+    // sample scale: the exact side is the labeled quadratic operator).
+    "lsh_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Dedup.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+        .select("a_id", "b_id")
+      val lsh = Dedup.cosineNearDupPairsLsh(emb, "vec_id", "embedding",
+        threshold = 0.4, dim = 64, planes = 4, tables = 4)
+        .select("a_id", "b_id")
+      val hit = exact.join(lsh, Seq("a_id", "b_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_permille", expr("n_hit * 1000 div n_exact"))
+    }),
+
     // SemDeDup-style semantic dedup: LSH cosine pairs -> components ->
     // keep min id per semantic cluster; the corpus minus the drop list.
     "semdedup_survivors" -> ((s, dir) =>
@@ -1364,6 +1381,37 @@ object SparkEntry {
          |SELECT a_id, b_id, list_cosine_similarity(ea.v, eb.v) AS cos
          |FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
          |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4""".stripMargin,
+
+    // Splice of the exact ground-truth CTE and the literal-hyperplane LSH
+    // mirror, counted: recall is exactly reproducible because both sides
+    // run the full algorithms.
+    "lsh_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |       FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |       WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+         |hp AS (SELECT * FROM (VALUES
+         |${srpPlanesValues(planes = 4, dim = 64, seed = 42L, tables = 4)}
+         |) AS t(t, p, pv)),
+         |bits AS (SELECT e.vec_id, hp.t, hp.p,
+         |    CASE WHEN list_reduce(
+         |           list_transform(generate_series(1, 64), i -> v[i] * pv[i]),
+         |           (a, b) -> a + b) >= 0
+         |         THEN 1 << hp.p ELSE 0 END AS bit
+         |  FROM e CROSS JOIN hp),
+         |buck AS (SELECT vec_id, t, sum(bit) AS bucket FROM bits GROUP BY vec_id, t),
+         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |         FROM buck a JOIN buck b
+         |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |ls AS (SELECT a_id, b_id
+         |       FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
+         |       WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4),
+         |hit AS (SELECT * FROM ex SEMI JOIN ls USING (a_id, b_id))
+         |SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+         |  CAST((SELECT count(*) FROM ls) AS BIGINT) AS n_lsh,
+         |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+         |  CAST((SELECT count(*) FROM hit) * 1000 //
+         |       (SELECT count(*) FROM ex) AS BIGINT) AS recall_permille""".stripMargin,
 
     // The cosine_neardup_lsh pair mirror (literal hyperplanes) + the
     // recursive-CC survivor tail from dedup_survivors.
