@@ -417,6 +417,13 @@ object SparkEntry {
       Dedup.cosineNearDupPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.4, dim = 64, planes = 4, tables = 4)),
 
+    // Classifier evaluation in-engine: confusion matrix of the lang-ID
+    // heuristic against the table's labels (+ integer accuracy signal).
+    "langid_confusion" -> ((s, dir) =>
+      TextAnalysis.withLangId(Tables.documents(s, dir), "text")
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .withColumn("correct", col("lang") === col("lang_pred"))),
+
     // In-engine recall evaluation of the LSH near-dup path against the
     // exact ground truth — the tuning harness for planes/tables (run at
     // sample scale: the exact side is the labeled quadratic operator).
@@ -1381,6 +1388,26 @@ object SparkEntry {
          |SELECT a_id, b_id, list_cosine_similarity(ea.v, eb.v) AS cos
          |FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
          |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4""".stripMargin,
+
+    // The lang_id argmax mirror grouped against the labels.
+    "langid_confusion" -> {
+      val scores = TextAnalysis.LangMarkers
+        .map { case (lang, ms) => s"${langScore(ms)} AS s_$lang" }.mkString(",\n    ")
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |    $scores
+         |  FROM w),
+         |p AS (SELECT doc_id, lang,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM s)
+         |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
+         |  lang = lang_pred AS correct
+         |FROM p GROUP BY lang, lang_pred""".stripMargin
+    },
 
     // Splice of the exact ground-truth CTE and the literal-hyperplane LSH
     // mirror, counted: recall is exactly reproducible because both sides
