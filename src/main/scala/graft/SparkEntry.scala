@@ -486,6 +486,16 @@ object SparkEntry {
         "cluster_id", "label")
     }),
 
+    // Per-cluster outliers: the 5 members farthest from their seed —
+    // the prune-before-trusting-a-cluster curation signal.
+    "cluster_outliers" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val seeds = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      Clustering.clusterOutliers(emb, seeds, "embedding", "vec_id", k = 5)
+    }),
+
     // ANN via SRP-LSH buckets. Recall < 1 by construction, but the oracle
     // needs no recall assumption: it mirrors the bucketing with the same
     // literal hyperplanes and ranks the same candidate set.
@@ -1149,6 +1159,21 @@ object SparkEntry {
         |  coalesce(ov.n_overlap, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN ov USING (doc_id)
         |WHERE d.doc_id % 50 <> 0""".stripMargin,
+
+    // Same assignment mirror as cluster_purity, then per-cluster bottom-k
+    // by the assigned cosine (ascending, tie on id).
+    "cluster_outliers" ->
+      """WITH seeds AS (SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS sv
+        |               FROM embeddings WHERE vec_id < 8),
+        |a AS (SELECT e.vec_id, s.cluster_id,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv) AS cos_to_seed,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv) DESC,
+        |                   s.cluster_id) AS rn
+        |      FROM embeddings e, seeds s)
+        |SELECT vec_id, cluster_id, cos_to_seed FROM a WHERE rn = 1
+        |QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |  ORDER BY cos_to_seed ASC, vec_id) <= 5""".stripMargin,
 
     // Full-algorithm mirror: same seed set (vec_id < 8), same argmax
     // (cosine DESC, seed ASC), same purity arithmetic in integers.

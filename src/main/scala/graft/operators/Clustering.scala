@@ -24,7 +24,8 @@ object Clustering {
     * assignment is deterministic and engine-reproducible given the
     * bit-exact cosine kernel of [[graft.functions.F.cosineSim]]). */
   def assignToSeeds(corpus: DataFrame, seeds: Seq[(Long, Seq[Float])],
-      vecCol: String, out: String = "cluster_id"): DataFrame = {
+      vecCol: String, out: String = "cluster_id",
+      scoreOut: String = ""): DataFrame = {
     require(seeds.nonEmpty, "need at least one seed vector")
     // array_min over (negated cosine, seed id) structs = lexicographic
     // argmax with ascending-id tie-break; negation is a sign flip (exact).
@@ -32,7 +33,25 @@ object Clustering {
       struct((-F.cosineSim(col(vecCol), typedlit(vec))).as("__neg_cos"),
         lit(cid).as("__cid"))
     }
-    corpus.withColumn(out, array_min(array(cands: _*)).getField("__cid"))
+    val best = array_min(array(cands: _*))
+    val assigned = corpus.withColumn(out, best.getField("__cid"))
+    if (scoreOut.isEmpty) assigned
+    else assigned.withColumn(scoreOut, -best.getField("__neg_cos"))
+  }
+
+  /** Per-cluster outliers: the `k` members FARTHEST from their own seed
+    * (lowest cosine; ties on ascending id) — what cluster-level curation
+    * prunes (noise, mislabeled points, mode mixtures) before trusting a
+    * cluster. Assignment stays scan-stage; the per-cluster top-k is one
+    * bounded window over the (cluster, score) rows. Output:
+    * (idCol, clusterCol, cos_to_seed). */
+  def clusterOutliers(corpus: DataFrame, seeds: Seq[(Long, Seq[Float])],
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val assigned = assignToSeeds(corpus, seeds, vecCol,
+      scoreOut = "cos_to_seed")
+    Dedup.topKPerKey(assigned, k, Seq("cluster_id"),
+        Seq(col("cos_to_seed").asc, col(idCol).asc))
+      .select(col(idCol), col("cluster_id"), col("cos_to_seed"))
   }
 
   /** Per-cluster label-purity stats over an assigned corpus:

@@ -36,6 +36,24 @@ class ClusteringSpec extends SparkSpecBase {
       (1L, 2L, 5, 1L, 500L)))
   }
 
+  test("clusterOutliers: planted far point ranks as its cluster's worst") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)),    // on the seed: cos 1
+      (11L, Seq(0.9f, 0.1f)),    // near
+      (12L, Seq(0.5f, 0.45f)),   // still seed 0, but far
+      (13L, Seq(0.0f, 1.0f))     // seed 1 exactly
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.clusterOutliers(corpus, seeds, "embedding",
+        "vec_id", k = 1)
+      .select("cluster_id", "vec_id").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 12L) // lowest cosine within cluster 0
+    assert(out(1L) == 13L) // only member
+    // k larger than the cluster returns the whole cluster
+    val all = Clustering.clusterOutliers(corpus, seeds, "embedding",
+      "vec_id", k = 10)
+    assert(all.count() == 4)
+  }
+
   test("every corpus vector lands in exactly one cluster") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val seedRows = emb.where(col("vec_id") < 4).orderBy("vec_id")
