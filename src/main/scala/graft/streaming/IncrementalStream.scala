@@ -174,6 +174,27 @@ object IncrementalStream {
     df.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream equi-join bounded by event time: a left row joins
+    * right rows with the same key whose timestamps lie within `within`
+    * of its own (the canonical clicks-to-impressions enrichment). Both
+    * sides carry watermarks AND the join condition bounds the time gap,
+    * so the engine can size and EVICT the buffered join state — without
+    * the time bound a stream-stream join must buffer one side forever.
+    * State survives restarts via the checkpoint: a right row arriving in
+    * a later micro-batch (or run) still joins a buffered left row until
+    * the watermark passes it. */
+  def joinWithinWatermark(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTs: String, rightTs: String,
+      lateness: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness).as("l")
+    val r = right.withWatermark(rightTs, lateness).as("r")
+    val keyCond = keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val timeCond =
+      col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $within") &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within")
+    l.join(r, keyCond && timeCond, "inner")
+  }
+
   /** Event-time windowed aggregation with a watermark — the idiomatic
     * replacement for the reference's batch watermark bookkeeping when the
     * source is a true stream. */

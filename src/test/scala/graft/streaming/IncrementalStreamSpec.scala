@@ -168,6 +168,58 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(keys == Map("alpha beta gamma delta epsilon" -> "c9"), keys.toString)
   }
 
+  test("stream-stream join within time bound; buffered state joins across runs") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val lSrc = tmp("ssj-l"); val rSrc = tmp("ssj-r")
+    val ckpt = tmp("ssj-ckpt"); val outDir = tmp("ssj-out") + "/out"
+    val lSchema = StructType(Seq(StructField("k", LongType),
+      StructField("l_id", StringType), StructField("lts", TimestampType)))
+    val rSchema = StructType(Seq(StructField("k", LongType),
+      StructField("r_id", StringType), StructField("rts", TimestampType)))
+
+    def write(src: String, schema: StructType, part: String, rows: Seq[Row]): Unit = {
+      val staging = tmp(s"ssj-stage-$part")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val f = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$src/$part.parquet"))
+    }
+
+    def runPass(): Unit = {
+      val l = spark.readStream.schema(lSchema).parquet(lSrc)
+      val r = spark.readStream.schema(rSchema).parquet(rSrc)
+      IncrementalStream.joinWithinWatermark(l, r, Seq("k"), "lts", "rts",
+          lateness = "1 hour", within = "10 minutes")
+        .select(org.apache.spark.sql.functions.col("l_id"),
+          org.apache.spark.sql.functions.col("r_id"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }.start().awaitTermination()
+    }
+
+    write(lSrc, lSchema, "b0", Seq(
+      Row(1L, "L1", Timestamp.valueOf("2024-01-01 10:00:00")),
+      Row(2L, "L2", Timestamp.valueOf("2024-01-01 10:00:00"))))
+    write(rSrc, rSchema, "b0", Seq(
+      Row(1L, "R1", Timestamp.valueOf("2024-01-01 10:05:00")), // in window
+      Row(2L, "R2", Timestamp.valueOf("2024-01-01 10:30:00")), // out of window
+      Row(3L, "R3", Timestamp.valueOf("2024-01-01 10:06:00")))) // no left
+    runPass()
+    // second run: a late right row for k=1 still joins the buffered left
+    write(rSrc, rSchema, "b1", Seq(
+      Row(1L, "R4", Timestamp.valueOf("2024-01-01 10:08:00"))))
+    runPass()
+
+    val got = spark.read.parquet(outDir)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("L1", "R1"), ("L1", "R4")), got.mkString(","))
+  }
+
   test("streaming dedup within watermark drops cross-batch re-deliveries") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
