@@ -78,6 +78,12 @@ object RunErasure {
           keys.toDF("id"))
         System.err.println(s"[erasure] near-dup index scrubbed: $idx")
       }
+      // --vacuum true: expire retained pre-delete snapshots NOW — they
+      // still hold the erased rows for time travel until GC'd.
+      if (opts.get("--vacuum").exists(_.toBoolean)) {
+        operators.Upsert.vacuum(spark, target, keep)
+        System.err.println(s"[erasure] vacuumed to $keep snapshot(s)")
+      }
     }
   }
 }

@@ -689,6 +689,65 @@ object Upsert {
       manifest, keys, nextId, keepSnapshots)
   }
 
+  /** Tighten retention NOW, without a new commit: keep the newest
+    * `keepSnapshots` snapshots (the live one counts) and GC the rest —
+    * both layouts. The compliance companion to the delete ops: after an
+    * erasure commit, RETAINED older snapshots still hold the erased rows
+    * for time travel; vacuum(1) makes the erasure horizon immediate. */
+  def vacuum(spark: SparkSession, targetPath: String,
+      keepSnapshots: Int = 1): Unit = {
+    require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
+    val root = new Path(targetPath)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hadoopConf)
+    if (!fs.exists(root)) return
+    currentSnapshot(spark, targetPath).foreach { snap =>
+      val curId = snap.stripPrefix("snap-").toLong
+      val retainedIds = (curId - keepSnapshots + 1) to curId
+      val mf = new Path(root, s"$snap.manifest.json")
+      if (fs.exists(mf)) {
+        // manifest layout: live files = union of retained manifests
+        val retainedManifests =
+          retainedIds.map(i => f"snap-$i%09d.manifest.json").toSet
+        val live = retainedIds.flatMap { i =>
+          val p = new Path(root, f"snap-$i%09d.manifest.json")
+          if (!fs.exists(p)) Nil
+          else {
+            val in = fs.open(p)
+            val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+            "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+          }
+        }.map(e => normalize(fs, new Path(resolveEntry(targetPath, e)))).toSet
+        val dataRoot = new Path(root, "data")
+        if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { run =>
+          var kept = false
+          fs.listStatus(run.getPath).foreach { part =>
+            if (part.isDirectory) fs.listStatus(part.getPath).foreach { f =>
+              if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+                  !live.contains(normalize(fs, f.getPath))) fs.delete(f.getPath, false)
+              else if (f.isFile && f.getPath.getName.endsWith(".parquet")) kept = true
+            }
+          }
+          if (!kept) fs.delete(run.getPath, true)
+        }
+        fs.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          if (n.endsWith(".manifest.json") && !retainedManifests.contains(n))
+            fs.delete(st.getPath, false)
+        }
+      } else {
+        // plain snapshot layout: drop snapshot dirs outside retention
+        fs.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("snap-") &&
+              !retainedIds.contains(n.stripPrefix("snap-").toLong))
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
+
   private def manifestPath(targetPath: String): Path =
     new Path(new Path(targetPath).getParent,
       new Path(targetPath).getName + "._merge_manifest.json")

@@ -79,6 +79,32 @@ class ManifestMergeSpec extends SparkSpecBase {
       .where($"key" === b0Keys.head).select("v").as[String].head() == "BACK")
   }
 
+  test("vacuum on a manifest target keeps only the live manifest's files") {
+    val path = mkTarget()
+    def mergeKeep3(rows: Seq[(Long, String)]): Unit =
+      Upsert.mergeIntoManifestBucketedParquet(spark, path,
+        rows.toDF("key", "v"), Seq("key"), nBuckets = 2, keepSnapshots = 3)
+    mergeKeep3((0L until 10L).map(k => (k, s"v$k")))
+    mergeKeep3(Seq((3L, "u3")))
+    Upsert.deleteKeysFromManifestBucketedParquet(spark, path,
+      Seq(7L).toDF("key"), Seq("key"), nBuckets = 2, keepSnapshots = 3)
+    assert(Upsert.snapshots(spark, path).size == 3)
+    Upsert.vacuum(spark, path)
+    assert(Upsert.snapshots(spark, path).size == 1)
+    // table reads exactly the post-delete content; every manifest entry
+    // resolves to a file that still exists, and no dead files remain
+    val t = Upsert.readManifestTable(spark, path)
+    assert(t.select("key").as[Long].collect().toSet ==
+      (0L until 10L).toSet - 7L)
+    val live = Upsert.readBucketManifest(spark, path).values.flatten
+      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+    val onDisk = new java.io.File(s"$path/data").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    assert(onDisk == live, s"dead files survive vacuum: ${onDisk -- live}")
+  }
+
   test("bucket pruning reads only the asked-for buckets' files") {
     val path = mkTarget()
     val rows = (0L until 40L).map(k => (k, k * 10)).toDF("key", "v")

@@ -183,6 +183,23 @@ class UpsertSpec extends SparkSpecBase {
     assert(Upsert.deleteFromParquet(spark, s"$dir/nope", $"v" > 0) == 0L)
   }
 
+  test("vacuum tightens retention without a commit; erasure horizon immediate") {
+    val dir = Files.createTempDirectory("graft-upsert-vac").toString
+    val path = s"$dir/table"
+    Upsert.mergeIntoParquet(spark, path, Seq(("k1", 1L)).toDF("key", "v"),
+      Seq("key"), keepSnapshots = 3)
+    Upsert.mergeIntoParquet(spark, path, Seq(("k2", 2L)).toDF("key", "v"),
+      Seq("key"), keepSnapshots = 3)
+    Upsert.deleteFromParquet(spark, path, $"key" === "k1", keepSnapshots = 3)
+    assert(Upsert.snapshots(spark, path).size == 3) // pre-delete data lives on
+    Upsert.vacuum(spark, path)
+    val snaps = Upsert.snapshots(spark, path)
+    assert(snaps.size == 1, s"vacuum left $snaps")
+    // the live table is untouched; the erased row is now unrecoverable
+    assert(Upsert.readTarget(spark, path).select("key").as[String]
+      .collect().toSeq == Seq("k2"))
+  }
+
   test("deleteKeysFromParquet: distributed key-list erasure") {
     val dir = Files.createTempDirectory("graft-upsert-delk").toString
     val path = s"$dir/table"
