@@ -648,6 +648,17 @@ object SparkEntry {
           out = "n_tokens")
         .select("doc_id", "n_tokens")),
 
+    // Z-order (Morton) clustering key over (user_id, event_type-bucket):
+    // the multi-dimensional layout key that makes row-group stats
+    // selective on every interleaved column at once.
+    "zorder_key" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(1L << 16)).as("u16"),
+          pmod(col("event_id"), lit(1L << 16)).as("e16"))
+        .withColumn("z",
+          operators.Layout.zorderKey(Seq(col("u16"), col("e16")), 16))),
+
     // Data-quality gate report: every rule evaluated in ONE scan, exact
     // violation counts per rule (the go/no-go input before merge).
     "data_quality" -> ((s, dir) =>
@@ -1762,6 +1773,18 @@ object SparkEntry {
         |      WHERE cum * 10 >= (SELECT count(*) FROM m) * 1)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM m, t WHERE m.n_tokens >= t.thr""".stripMargin,
+
+    // Same static term expansion, generated by the library itself.
+    "zorder_key" -> {
+      val terms = operators.Layout.zorderKeySql(Seq("u16", "e16"), 16)
+      s"""WITH m AS (SELECT event_id,
+         |    event_id % 65536 AS e16_raw, user_id % 65536 AS u16
+         |  FROM events),
+         |n AS (SELECT event_id, u16, e16_raw AS e16 FROM m)
+         |SELECT event_id, CAST(u16 AS BIGINT) AS u16, CAST(e16 AS BIGINT) AS e16,
+         |  CAST($terms AS BIGINT) AS z
+         |FROM n""".stripMargin
+    },
 
     "data_quality" ->
       """WITH m AS (SELECT

