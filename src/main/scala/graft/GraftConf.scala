@@ -27,7 +27,14 @@ object GraftConf {
     "spark.sql.sources.partitionOverwriteMode" -> "dynamic",
     // Parquet writers: snappy matches the reference's staging compression
     // (embeddings-pipeline.py:255).
-    "spark.sql.parquet.compression.codec" -> "snappy")
+    "spark.sql.parquet.compression.codec" -> "snappy",
+    // Runtime bloom-filter join pruning: a selective dimension-side
+    // predicate (merge batch ⋈ huge target, probe ⋈ cell table) injects a
+    // bloom filter into the fact-side SCAN, skipping row groups whose
+    // join keys can't match — the runtime companion to static partition
+    // pruning, and exactly the shape of this engine's batch-vs-corpus
+    // joins.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true")
 
   /** Shuffle partition count sized to the cluster: ~2 waves per shuffle
     * keeps stragglers bounded without drowning the scheduler. */
