@@ -28,7 +28,8 @@ object IncrementalStream {
   def start(spark: SparkSession, sourceDir: String, targetPath: String,
       checkpointDir: String, nearDupTextCol: Option[String] = None,
       nearDupThreshold: Double = 0.8, nearDupShingle: Int = 3,
-      nearDupIndexPath: Option[String] = None): StreamingQuery = {
+      nearDupIndexPath: Option[String] = None,
+      curate: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     val docs = spark.readStream
       .schema(graft.schema.Schemas.sourceDoc)
       .parquet(sourceDir)
@@ -53,7 +54,11 @@ object IncrementalStream {
             dropNearDups(within, tgt, tc, nearDupThreshold, nearDupShingle)
           case _ => within
         }
-        Upsert.mergeIntoParquet(s, targetPath, deduped,
+        // Streaming twin of Pipeline.Config.curate: compose library
+        // curation (quality gates, redaction, caps) over each micro-batch
+        // AFTER dedup, BEFORE merge — same contract as the batch hook.
+        val curated = curate.fold(deduped)(f => f(deduped))
+        Upsert.mergeIntoParquet(s, targetPath, curated,
           keys = Seq("main_refco"),
           insertOnlyCols = Set("cleaned_ref"),
           refreshExprs = Map("embedding_inserted_at" -> current_timestamp()))

@@ -72,6 +72,31 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(after2("b_red")._1 == "c3") // untouched row survives
   }
 
+  test("streaming curate hook gates each micro-batch before merge") {
+    val src = tmp("cur-src"); val ckpt = tmp("cur-ckpt")
+    val target = tmp("cur-target") + "/out"
+    // curation: per-batch quality gate from the library — drop category c0
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.where(org.apache.spark.sql.functions.col("category") =!= "c0")
+
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-01 10:00:00", Seq(1f, 2f), "a", "", "c0"), // gated
+      doc("s1", "2024-01-01 11:00:00", Seq(3f, 4f), "b", "", "c1")),
+      "batch0")
+    IncrementalStream.start(spark, src, target, ckpt, curate = Some(gate))
+      .awaitTermination()
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-02 10:00:00", Seq(5f, 6f), "c", "", "c0"), // gated
+      doc("s1", "2024-01-02 11:00:00", Seq(7f, 8f), "d", "", "c2")),
+      "batch1")
+    IncrementalStream.start(spark, src, target, ckpt, curate = Some(gate))
+      .awaitTermination()
+
+    val keys = graft.operators.Upsert.readTarget(spark, target)
+      .select("main_refco").as[String].collect().toSet
+    assert(keys == Set("b", "d"), s"curation leaked: $keys")
+  }
+
   test("near-dup in batch 2 of a restarted stream is dropped vs the target") {
     val src = tmp("neardup-src"); val ckpt = tmp("neardup-ckpt")
     val target = tmp("neardup-target") + "/out"
