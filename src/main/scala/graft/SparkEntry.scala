@@ -648,6 +648,27 @@ object SparkEntry {
           out = "n_tokens")
         .select("doc_id", "n_tokens")),
 
+    // TPC-H Q5 shape: six-way snowflake join (region→nation→customer→
+    // orders→lineitem→supplier) with the local-supplier condition and
+    // exact decimal revenue — the dims broadcast, the two fact joins
+    // shuffle on their keys.
+    "q5_local_supplier" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+      Tables.region(s, dir).where(col("r_name") === "ASIA")
+        .join(Tables.nation(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name").agg(sum(rev).cast("double").as("revenue"))
+    }),
+
     // Z-order (Morton) clustering key over (user_id, event_type-bucket):
     // the multi-dimensional layout key that makes row-group stats
     // selective on every interleaved column at once.
@@ -1773,6 +1794,22 @@ object SparkEntry {
         |      WHERE cum * 10 >= (SELECT count(*) FROM m) * 1)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM m, t WHERE m.n_tokens >= t.thr""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM region
+        |  JOIN nation ON n_regionkey = r_regionkey
+        |  JOIN customer ON c_nationkey = n_nationkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
 
     // Same static term expansion, generated by the library itself.
     "zorder_key" -> {

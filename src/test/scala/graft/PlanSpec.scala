@@ -207,6 +207,13 @@ class PlanSpec extends SparkSpecBase {
       n.toString.contains("span")), "span-keyed sort-merge join (skew risk)")
   }
 
+  test("q5_local_supplier: snowflake dims broadcast; no cartesian product") {
+    val nodes = collectAll(plan("q5_local_supplier"))
+    assert(nodes.count(_.nodeName.contains("BroadcastHashJoin")) >= 3,
+      "region/nation/customer/supplier dims should broadcast")
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")))
+  }
+
   test("chunk_documents: pure scan-stage — one Generate, no shuffle") {
     val nodes = collectAll(plan("chunk_documents"))
     val ex = nodes.collect { case e: Exchange => e }
