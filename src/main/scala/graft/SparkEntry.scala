@@ -669,6 +669,33 @@ object SparkEntry {
         .groupBy("n_name").agg(sum(rev).cast("double").as("revenue"))
     }),
 
+    // TPC-H Q14 shape: promo-revenue share — lineitem ⋈ broadcast part,
+    // conditional aggregation, exact decimal arithmetic; permille avoids
+    // the float division.
+    "q14_promo_revenue" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+      // integer twin of rev (price-cents × discount-complement-percent):
+      // the permille share divides LONGs, immune to decimal-division
+      // rounding-convention differences between engines
+      val revE4 = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
+        (lit(100L) - (col("l_discount").cast("decimal(12,2)") * 100).cast("long"))
+      val isPromo = col("p_type") === "ECONOMY"
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(isPromo, rev).otherwise(lit(0).cast("decimal(18,2)")))
+            .cast("double").as("promo_revenue"),
+          sum(rev).cast("double").as("total_revenue"),
+          sum(when(isPromo, revE4).otherwise(0L)).as("__p"),
+          sum(revE4).as("__t"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          expr("__p * 1000 div __t").as("promo_permille"))
+    }),
+
     // Z-order (Morton) clustering key over (user_id, event_type-bucket):
     // the multi-dimensional layout key that makes row-group stats
     // selective on every interleaved column at once.
@@ -1794,6 +1821,22 @@ object SparkEntry {
         |      WHERE cum * 10 >= (SELECT count(*) FROM m) * 1)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM m, t WHERE m.n_tokens >= t.thr""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """WITH l AS (SELECT *,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)) AS rev_e4,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN rev ELSE 0 END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+        |  CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN rev_e4 ELSE 0 END) * 1000
+        |       // SUM(rev_e4) AS BIGINT) AS promo_permille
+        |FROM l""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name,
