@@ -60,6 +60,21 @@ object ScaleProfile {
         s"$out/lineitem.parquet")
       System.err.println("[scale] derived sf0.5")
     }
+    if (!new java.io.File(s"$out/orders.parquet").isDirectory) {
+      // snowflake tables for the join-shaped queries: facts (orders)
+      // replicate with order keys aligned to the replicated lineitem and
+      // customer keys unchanged; dims copy verbatim — 5x facts against
+      // fixed dims is the realistic scale-up shape.
+      val ord = spark.read.parquet(s"$src/orders.parquet")
+      replicate(i => ord
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 10000000L)),
+        s"$out/orders.parquet")
+      Seq("customer", "supplier", "nation", "region", "part").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+      System.err.println("[scale] derived sf0.5 snowflake tables")
+    }
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -74,7 +89,8 @@ object ScaleProfile {
       "repeated_spans", "dedup_survivors", "semdedup_survivors", "mix_sources",
       "pool_embeddings", "boilerplate_lines", "cluster_purity",
       "chunk_documents", "dedup_survivors_best",
-      "random_projection", "data_quality", "quantile_filter_by_source")
+      "random_projection", "data_quality", "quantile_filter_by_source",
+      "q5_local_supplier", "zorder_key")
     qs.foreach(q => time(q, src)) // warmup: codegen + JIT
     qs.foreach(q => time(q, out))
     qs.foreach { q =>

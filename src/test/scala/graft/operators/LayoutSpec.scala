@@ -29,6 +29,27 @@ class LayoutSpec extends SparkSpecBase {
     assert(zs.forall(z => z >= 0 && z < (1L << 30)))
   }
 
+  test("property: the Morton key is a bijection — deinterleave inverts it") {
+    def deinterleave(z: Long, n: Int, bits: Int): Seq[Long] =
+      (0 until n).map { ci =>
+        (0 until bits).map(i => ((z >> (i * n + ci)) & 1L) << i).sum
+      }
+    val rnd = new scala.util.Random(11)
+    (1 to 200).foreach { _ =>
+      val a = rnd.nextInt(1 << 16).toLong
+      val b = rnd.nextInt(1 << 16).toLong
+      val c = rnd.nextInt(1 << 16).toLong
+      val z2 = Seq((a, b)).toDF("a", "b")
+        .select(Layout.zorderKey(Seq(col("a"), col("b")), 16).as("z"))
+        .as[Long].head()
+      assert(deinterleave(z2, 2, 16) == Seq(a, b), s"2-col roundtrip $a,$b")
+      val z3 = Seq((a, b, c)).toDF("a", "b", "c")
+        .select(Layout.zorderKey(Seq(col("a"), col("b"), col("c")), 16).as("z"))
+        .as[Long].head()
+      assert(deinterleave(z3, 3, 16) == Seq(a, b, c), s"3-col roundtrip")
+    }
+  }
+
   test("zorderKeySql mirrors the Column form exactly") {
     val df = (0L until 100L).map(i => (i * 7919 % 65536, i * 104729 % 65536))
       .toDF("a", "b")
