@@ -29,7 +29,9 @@ object IncrementalStream {
       checkpointDir: String, nearDupTextCol: Option[String] = None,
       nearDupThreshold: Double = 0.8, nearDupShingle: Int = 3,
       nearDupIndexPath: Option[String] = None,
-      curate: Option[DataFrame => DataFrame] = None): StreamingQuery = {
+      curate: Option[DataFrame => DataFrame] = None,
+      ivfIndexPath: Option[String] = None,
+      ivfNlist: Int = 16): StreamingQuery = {
     val docs = spark.readStream
       .schema(graft.schema.Schemas.sourceDoc)
       .parquet(sourceDir)
@@ -62,6 +64,23 @@ object IncrementalStream {
           keys = Seq("main_refco"),
           insertOnlyCols = Set("cleaned_ref"),
           refreshExprs = Map("embedding_inserted_at" -> current_timestamp()))
+        // Streaming twin of Pipeline.Config.ivfIndexPath: the first batch
+        // trains and builds, later batches are assigned against the
+        // FROZEN centroids and appended — probes stay available between
+        // micro-batches and across restarts. addToIndex is idempotent on
+        // replayed keys, matching the merge's at-least-once posture.
+        ivfIndexPath.foreach { idx =>
+          val vecs = curated.select(col("main_refco"), col("embedding_vector"))
+          val centroids = new org.apache.hadoop.fs.Path(s"$idx/centroids")
+          if (centroids.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .exists(centroids))
+            graft.operators.Ivf.addToIndex(s, idx, vecs,
+              idCol = "main_refco", vecCol = "embedding_vector")
+          else
+            graft.operators.Ivf.buildIndex(s, idx, vecs, trainOn = vecs,
+              nlist = ivfNlist, iters = 1,
+              idCol = "main_refco", vecCol = "embedding_vector")
+        }
       }
       .start()
   }

@@ -72,6 +72,32 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(after2("b_red")._1 == "c3") // untouched row survives
   }
 
+  test("streaming IVF maintenance: build on first pass, frozen-add on later ones") {
+    val src = tmp("ivf-src"); val ckpt = tmp("ivf-ckpt")
+    val target = tmp("ivf-target") + "/out"
+    val idx = tmp("ivf-idx") + "/index"
+
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-01 10:00:00", Seq(1f, 0f), "a", "", "c1"),
+      doc("s1", "2024-01-01 11:00:00", Seq(0f, 1f), "b", "", "c2")),
+      "batch0")
+    IncrementalStream.start(spark, src, target, ckpt,
+      ivfIndexPath = Some(idx), ivfNlist = 2).awaitTermination()
+    val frozen = graft.operators.Ivf.loadCentroids(spark, idx)
+    assert(spark.read.parquet(s"$idx/cells").count() == 2)
+
+    writeBatch(src, Seq(
+      doc("s2", "2024-01-02 10:00:00", Seq(1f, 1f), "c", "", "c3")),
+      "batch1")
+    IncrementalStream.start(spark, src, target, ckpt,
+      ivfIndexPath = Some(idx), ivfNlist = 2).awaitTermination()
+    // centroids frozen, new vector appended, probes see all keys
+    assert(graft.operators.Ivf.loadCentroids(spark, idx) == frozen)
+    assert(spark.read.parquet(s"$idx/cells").count() == 3)
+    assert(spark.read.parquet(s"$idx/cells").select("main_refco")
+      .as[String].collect().toSet == Set("a", "b", "c"))
+  }
+
   test("streaming curate hook gates each micro-batch before merge") {
     val src = tmp("cur-src"); val ckpt = tmp("cur-ckpt")
     val target = tmp("cur-target") + "/out"
