@@ -349,6 +349,60 @@ object Upsert {
     }
   }
 
+  /** DELETE by key on a hash-bucketed (dynamic-partition-overwrite)
+    * target: rewrites only the buckets the keys hash to, under the same
+    * torn-run manifest protection as [[mergeIntoHashBucketedParquet]]. A
+    * bucket whose rows are all deleted has its partition directory
+    * removed explicitly (dynamic overwrite only replaces partitions
+    * PRESENT in the written output — an emptied bucket would otherwise
+    * silently keep its old files). */
+  def deleteKeysFromHashBucketedParquet(
+      spark: SparkSession,
+      targetPath: String,
+      deleteKeys: DataFrame,
+      keys: Seq[String],
+      nBuckets: Int = 256,
+      batchId: String = "erasure"): Unit = {
+    val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(targetPath))) return
+    pendingManifest(spark, targetPath).foreach { case (pendingBatch, _) =>
+      require(pendingBatch == batchId,
+        s"target $targetPath has a torn run: batch '$pendingBatch' crashed " +
+          s"mid-overwrite and batch '$batchId' is not its re-run.")
+    }
+    val delKeys = deleteKeys.select(keys.map(col): _*).distinct()
+      .withColumn("__bucket",
+        pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int"))
+    val touched = delKeys.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    writeManifest(fs, targetPath, batchId, touched.toIndexedSeq)
+
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val target = spark.read.parquet(targetPath)
+        .where(col("__bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
+      val remaining = target.join(delKeys.drop("__bucket"), keys, "left_anti")
+        .localCheckpoint() // materialize BEFORE overwriting what it reads
+      val nonEmpty = remaining.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (nonEmpty.nonEmpty)
+        remaining.sortWithinPartitions(keys.map(col): _*)
+          .write.mode("overwrite").option("compression", "snappy")
+          .partitionBy("__bucket").parquet(targetPath)
+      touched.filterNot(nonEmpty).foreach { b =>
+        fs.delete(new Path(targetPath, s"__bucket=$b"), true)
+      }
+      fs.delete(manifestPath(targetPath), false)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   // ------------------------------------------------------------------
   // Manifest-bucketed target: incremental merge + atomic commit TOGETHER.
   //

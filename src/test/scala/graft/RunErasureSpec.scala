@@ -76,6 +76,26 @@ class RunErasureSpec extends SparkSpecBase {
       .collect().toSeq == Seq("b"))
   }
 
+  test("hash-bucketed target auto-detected — layout NOT converted to snapshots") {
+    val dir = Files.createTempDirectory("graft-erasure-hb").toString
+    val target = s"$dir/target"
+    Upsert.mergeIntoHashBucketedParquet(spark, target,
+      (0L until 20L).map(k => (k, s"v$k")).toDF("key", "v"), Seq("key"),
+      nBuckets = 4)
+    Seq(5L).toDF("key").write.parquet(s"$dir/keys")
+    RunErasure.run(spark, Array(target, s"$dir/keys",
+      "--key-col", "key", "--merge-buckets", "4"))
+    assert(spark.read.parquet(target).select("key").as[Long].collect().toSet ==
+      (0L until 20L).toSet - 5L)
+    // the layout contract survives: no _current pointer, no snap dirs,
+    // and a subsequent hash-bucketed merge still works
+    assert(!new java.io.File(s"$target/_current").exists())
+    assert(!new java.io.File(target).listFiles().exists(_.getName.startsWith("snap-")))
+    Upsert.mergeIntoHashBucketedParquet(spark, target,
+      Seq((100L, "new")).toDF("key", "v"), Seq("key"), nBuckets = 4)
+    assert(spark.read.parquet(target).count() == 20L)
+  }
+
   test("manifest-bucketed target auto-detected and bucket-pruned") {
     val dir = Files.createTempDirectory("graft-erasure-mb").toString
     val target = s"$dir/target"

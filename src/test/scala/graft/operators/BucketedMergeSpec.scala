@@ -163,6 +163,36 @@ class BucketedMergeSpec extends SparkSpecBase {
       .select("v").as[Long].head() == 111L)
   }
 
+  test("hash-bucketed delete rewrites only the keys' buckets; empties drop dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hb-del").toString
+    val path = s"$dir/table"
+    val rows = (0L until 40L).map(k => (k, s"v$k")).toDF("key", "v")
+    Upsert.mergeIntoHashBucketedParquet(spark, path, rows, Seq("key"),
+      nBuckets = 4)
+    val bucketOf = rows.select($"key",
+      pmod(xxhash64($"key"), lit(4)).cast("int").as("b"))
+      .as[(Long, Int)].collect().toMap
+    val b0Keys = bucketOf.filter(_._2 == 0).keys.toSeq
+    def dirMtime(b: Int): Long = new java.io.File(s"$path/__bucket=$b")
+      .listFiles().map(_.lastModified()).max
+
+    val untouchedBefore = (1 to 3).map(b => b -> dirMtime(b)).toMap
+    Upsert.deleteKeysFromHashBucketedParquet(spark, path,
+      b0Keys.take(2).toDF("key"), Seq("key"), nBuckets = 4)
+    val left = spark.read.parquet(path).select("key").as[Long].collect().toSet
+    assert(left == (0L until 40L).toSet -- b0Keys.take(2))
+    (1 to 3).foreach(b =>
+      assert(dirMtime(b) == untouchedBefore(b), s"bucket $b rewritten"))
+
+    // delete the rest of bucket 0: its partition dir must disappear
+    Upsert.deleteKeysFromHashBucketedParquet(spark, path,
+      b0Keys.toDF("key"), Seq("key"), nBuckets = 4)
+    assert(!new java.io.File(s"$path/__bucket=0").exists(),
+      "emptied bucket dir survives (stale data)")
+    assert(spark.read.parquet(path).select("key").as[Long].collect().toSet ==
+      (0L until 40L).toSet -- b0Keys)
+  }
+
   test("salted top-k equals plain top-k, including on a hot key") {
     val hot = (1 to 500).map(i => (1L, i.toLong))
     val cold = Seq((2L, 7L), (2L, 3L), (3L, 9L))
