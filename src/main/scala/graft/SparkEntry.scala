@@ -648,6 +648,18 @@ object SparkEntry {
           out = "n_tokens")
         .select("doc_id", "n_tokens")),
 
+    // Semi-structured JSON column access (the other face of the
+    // reference's Snowflake `$1:field::TYPE` staged-scan semantics,
+    // SURVEY §1.2): extract a typed field from the events.props JSON
+    // string and aggregate on it — scan-stage extraction, exact sums.
+    "json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy(expr("k div 10").as("k_decade"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))),
+
     // TPC-H Q5 shape: six-way snowflake join (region→nation→customer→
     // orders→lineitem→supplier) with the local-supplier condition and
     // exact decimal revenue — the dims broadcast, the two fact joins
@@ -1821,6 +1833,12 @@ object SparkEntry {
         |      WHERE cum * 10 >= (SELECT count(*) FROM m) * 1)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM m, t WHERE m.n_tokens >= t.thr""".stripMargin,
+
+    "json_props" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decade,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q14_promo_revenue" ->
       """WITH l AS (SELECT *,
