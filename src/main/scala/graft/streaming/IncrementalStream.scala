@@ -207,16 +207,24 @@ object IncrementalStream {
     * State survives restarts via the checkpoint: a right row arriving in
     * a later micro-batch (or run) still joins a buffered left row until
     * the watermark passes it. */
+  /** @param joinType `"inner"` or `"left_outer"` — outer emits an
+    *   unmatched left row (right columns NULL) once the watermark passes
+    *   the end of its match window, i.e. the engine has PROVEN no match
+    *   can still arrive; until then the row stays buffered, so outer
+    *   results are delayed by `lateness + within`, not dropped. */
   def joinWithinWatermark(left: DataFrame, right: DataFrame,
       keyCols: Seq[String], leftTs: String, rightTs: String,
-      lateness: String, within: String): DataFrame = {
+      lateness: String, within: String,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer").contains(joinType),
+      s"unsupported joinType $joinType (inner | left_outer)")
     val l = left.withWatermark(leftTs, lateness).as("l")
     val r = right.withWatermark(rightTs, lateness).as("r")
     val keyCond = keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
     val timeCond =
       col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $within") &&
       col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within")
-    l.join(r, keyCond && timeCond, "inner")
+    l.join(r, keyCond && timeCond, joinType)
   }
 
   /** Event-time windowed aggregation with a watermark — the idiomatic

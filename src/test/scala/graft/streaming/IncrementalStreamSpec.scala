@@ -271,6 +271,62 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(got == Set(("L1", "R1"), ("L1", "R4")), got.mkString(","))
   }
 
+  test("left-outer stream-stream join emits unmatched lefts after watermark proof") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val lSrc = tmp("ssjo-l"); val rSrc = tmp("ssjo-r")
+    val ckpt = tmp("ssjo-ckpt"); val outDir = tmp("ssjo-out") + "/out"
+    val lSchema = StructType(Seq(StructField("k", LongType),
+      StructField("l_id", StringType), StructField("lts", TimestampType)))
+    val rSchema = StructType(Seq(StructField("k", LongType),
+      StructField("r_id", StringType), StructField("rts", TimestampType)))
+
+    def write(src: String, schema: StructType, part: String, rows: Seq[Row]): Unit = {
+      val staging = tmp(s"ssjo-stage-$part")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val f = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$src/$part.parquet"))
+    }
+
+    def runPass(): Unit = {
+      val l = spark.readStream.schema(lSchema).parquet(lSrc)
+      val r = spark.readStream.schema(rSchema).parquet(rSrc)
+      IncrementalStream.joinWithinWatermark(l, r, Seq("k"), "lts", "rts",
+          lateness = "10 minutes", within = "10 minutes",
+          joinType = "left_outer")
+        .select(org.apache.spark.sql.functions.col("l_id"),
+          org.apache.spark.sql.functions.col("r_id"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }.start().awaitTermination()
+    }
+
+    write(lSrc, lSchema, "b0", Seq(
+      Row(1L, "L1", Timestamp.valueOf("2024-01-01 10:00:00")), // will match
+      Row(2L, "L2", Timestamp.valueOf("2024-01-01 10:00:00")))) // never matches
+    write(rSrc, rSchema, "b0", Seq(
+      Row(1L, "R1", Timestamp.valueOf("2024-01-01 10:05:00"))))
+    runPass()
+    // advance the watermark far past L2's match window on BOTH sides,
+    // proving no R row for k=2 can still arrive
+    write(lSrc, lSchema, "b1", Seq(
+      Row(9L, "L9", Timestamp.valueOf("2024-01-01 12:00:00"))))
+    write(rSrc, rSchema, "b1", Seq(
+      Row(8L, "R8", Timestamp.valueOf("2024-01-01 12:00:00"))))
+    runPass()
+    runPass() // outer emission lands once the restored watermark is applied
+
+    val got = spark.read.parquet(outDir)
+      .as[(String, Option[String])].collect().toSet
+    assert(got.contains(("L1", Some("R1"))), s"matched pair missing: $got")
+    assert(got.contains(("L2", None)), s"unmatched left not emitted: $got")
+  }
+
   test("streaming dedup within watermark drops cross-batch re-deliveries") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
