@@ -95,12 +95,25 @@ object Upsert {
 
   private def pointerPath(targetPath: String): Path = new Path(targetPath, "_current")
 
+  private val pointerLock = new Object
+
   /** Atomically publish the `_current` pointer: tmp file +
-    * FileContext rename-with-overwrite (one small PUT on an object store). */
+    * FileContext rename-with-overwrite (one small PUT on an object store).
+    * Publishes are MONOTONIC — a publisher never moves the pointer to an
+    * id at or below the one already published, so a slow pointer repair
+    * can never regress past a newer commit it raced with — and serialized
+    * within the JVM (the local-FS rename-with-overwrite is delete+rename,
+    * not atomic; on S3/GCS the pointer PUT itself is). */
   private def publishPointer(fs: org.apache.hadoop.fs.FileSystem,
       hadoopConf: org.apache.hadoop.conf.Configuration, targetPath: String,
-      snapName: String, tmpTag: String): Unit = {
-    val tmp = new Path(targetPath, s"_current.tmp-$tmpTag")
+      snapName: String, tmpTag: String): Unit = pointerLock.synchronized {
+    val cur = pointerPath(targetPath)
+    if (fs.exists(cur)) {
+      val curId = idOf(readFileBody(fs, cur).trim, "snap-")
+      if (curId.exists(c => idOf(snapName, "snap-").exists(_ <= c))) return
+    }
+    val uniq = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(targetPath, s"_current.tmp-$tmpTag-$uniq")
     val out = fs.create(tmp, true)
     try out.write(snapName.getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, hadoopConf)
@@ -242,21 +255,37 @@ object Upsert {
     }
   }
 
+  /** Empty frame with the schema a manifest recorded (`schema_ddl`,
+    * written since round 8) — how a fully-erased table stays readable.
+    * Manifests too old to carry the field throw, as before. */
+  private def emptyFromManifest(spark: SparkSession, body: String,
+      what: String): DataFrame =
+    parseManifestString(body, "schema_ddl") match {
+      case Some(ddl) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      case None => throw new IllegalStateException(
+        s"$what holds no data files and records no schema (pre-round-8 manifest)")
+    }
+
   /** Time travel: read a merge target AS OF a retained snapshot (a name
     * from [[snapshots]]). Works for both the plain snapshot-pointer layout
     * (reads the snapshot dir) and the manifest-bucketed layout (reads the
     * file set recorded in that snapshot's manifest — data files are
     * immutable and shared across manifests, so any retained manifest is a
-    * consistent table version). */
+    * consistent table version). A snapshot whose manifest lists NO files
+    * (a complete erasure emptied every bucket — a legal state) reads as an
+    * empty frame with the recorded schema. */
   def readTargetAt(spark: SparkSession, targetPath: String,
       snapshot: String): DataFrame = {
     val mf = new Path(targetPath, s"$snapshot.manifest.json")
     if (mf.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mf)) {
-      val files = readBucketManifestRaw(spark, targetPath, Some(snapshot))
+      val body = manifestBody(spark, targetPath, Some(snapshot)).get
+      val files = parseManifestEntries(body)
         .values.flatten.toSeq.map(resolveEntry(targetPath, _))
-      if (files.isEmpty)
-        throw new IllegalStateException(s"empty manifest $snapshot under $targetPath")
-      spark.read.parquet(files: _*)
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else emptyFromManifest(spark, body, s"manifest $snapshot under $targetPath")
     } else spark.read.parquet(new Path(targetPath, snapshot).toString)
   }
 
@@ -307,9 +336,10 @@ object Upsert {
       refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty,
       batchId: String = "adhoc"): Unit = {
     require(!updates.columns.contains("__bucket"), "updates must not carry __bucket")
-    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int")
     val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new Path(targetPath))
+    val effN = hashBucketCount(fs, targetPath, nBuckets, writeIfAbsent = true)
+    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(effN)).cast("int")
 
     pendingManifest(spark, targetPath).foreach { case (pendingBatch, _) =>
       require(pendingBatch == batchId,
@@ -370,9 +400,10 @@ object Upsert {
         s"target $targetPath has a torn run: batch '$pendingBatch' crashed " +
           s"mid-overwrite and batch '$batchId' is not its re-run.")
     }
+    val effN = hashBucketCount(fs, targetPath, nBuckets, writeIfAbsent = false)
     val delKeys = deleteKeys.select(keys.map(col): _*).distinct()
       .withColumn("__bucket",
-        pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int"))
+        pmod(xxhash64(keys.map(col): _*), lit(effN)).cast("int"))
     val touched = delKeys.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
@@ -383,7 +414,7 @@ object Upsert {
     try {
       val target = spark.read.parquet(targetPath)
         .where(col("__bucket").isin(touched.map(Integer.valueOf).toSeq: _*))
-      val remaining = target.join(delKeys.drop("__bucket"), keys, "left_anti")
+      val remaining = antiJoinKeys(target, delKeys.drop("__bucket"), keys)
         .localCheckpoint() // materialize BEFORE overwriting what it reads
       val nonEmpty = remaining.select("__bucket").distinct()
         .collect().map(_.getInt(0)).toSet
@@ -448,22 +479,64 @@ object Upsert {
     else fileN // outside the root (shouldn't happen): keep absolute
   }
 
+  private def readFileBody(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** THE manifest parser — the read path, the GC liveness sweep, and
+    * [[vacuum]] all go through this one function, so "what the table
+    * reads" and "what the GC keeps" cannot drift apart (a regex that
+    * under-matched here would turn into silent data deletion there). */
+  private[operators] def parseManifestEntries(body: String): Map[Int, Seq[String]] =
+    "\"(\\d+)\"\\s*:\\s*\\[([^\\]]*)\\]".r.findAllMatchIn(body).map { m =>
+      m.group(1).toInt -> m.group(2).split(",").map(_.trim)
+        .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
+    }.toMap
+
+  /** Top-level scalar metadata fields (round 8 format additions). Older
+    * manifests simply lack them — every reader treats that as None. */
+  private[operators] def parseManifestLong(body: String, field: String): Option[Long] =
+    s""""$field"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+
+  private[operators] def parseManifestString(body: String, field: String): Option[String] =
+    (s""""$field"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(body)
+      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+
+  private def manifestBody(spark: SparkSession, targetPath: String,
+      snapshot: Option[String]): Option[String] =
+    snapshot.orElse(currentSnapshot(spark, targetPath)).flatMap { snap =>
+      val p = new Path(targetPath, s"$snap.manifest.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(readFileBody(fs, p)) else None
+    }
+
   private def readBucketManifestRaw(spark: SparkSession,
       targetPath: String,
       snapshot: Option[String] = None): Map[Int, Seq[String]] =
-    snapshot.orElse(currentSnapshot(spark, targetPath)) match {
-      case None => Map.empty
-      case Some(snap) =>
-        val p = new Path(targetPath, s"$snap.manifest.json")
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val in = fs.open(p)
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        "\"(\\d+)\"\\s*:\\s*\\[([^\\]]*)\\]".r.findAllMatchIn(body).map { m =>
-          m.group(1).toInt -> m.group(2).split(",").map(_.trim)
-            .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
-        }.toMap
-    }
+    manifestBody(spark, targetPath, snapshot)
+      .map(parseManifestEntries).getOrElse(Map.empty)
+
+  /** Bucket count this manifest-bucketed target was written with, stored
+    * in the manifest since round 8 — the erasure/merge jobs read it back
+    * so a caller passing a WRONG `--merge-buckets` cannot silently prune
+    * to the wrong buckets and leave keys unerased. */
+  def storedNBuckets(spark: SparkSession, targetPath: String): Option[Int] =
+    manifestBody(spark, targetPath, None)
+      .flatMap(parseManifestLong(_, "nBuckets")).map(_.toInt)
+
+  /** Resolve the effective bucket count: the stored one wins over the
+    * caller's argument (with a stderr note on mismatch); the argument is
+    * only trusted for pre-round-8 manifests that never recorded it. */
+  private def effectiveNBuckets(spark: SparkSession, targetPath: String,
+      passed: Int): Int = storedNBuckets(spark, targetPath) match {
+    case Some(stored) =>
+      if (stored != passed)
+        System.err.println(s"[graft] $targetPath was bucketed nBuckets=$stored; " +
+          s"ignoring mismatched argument $passed")
+      stored
+    case None => passed
+  }
 
   /** The committed manifest of a manifest-bucketed target:
     * bucket -> immutable data-file paths, resolved against the table root
@@ -476,23 +549,37 @@ object Upsert {
 
   /** Read a manifest-bucketed target, optionally pruned to `buckets` —
     * pruning selects manifest ENTRIES, so unneeded files are never listed,
-    * let alone scanned. */
+    * let alone scanned. A committed-but-empty table (or a prune that hits
+    * only emptied buckets) reads as an empty frame with the recorded
+    * schema. */
   def readManifestTable(spark: SparkSession, targetPath: String,
-      buckets: Option[Seq[Int]] = None): DataFrame = {
-    val manifest = readBucketManifest(spark, targetPath)
-    val wanted = buckets match {
-      case Some(bs) => bs.flatMap(b => manifest.getOrElse(b, Nil))
-      case None => manifest.values.flatten.toSeq
+      buckets: Option[Seq[Int]] = None): DataFrame =
+    manifestBody(spark, targetPath, None) match {
+      case None =>
+        throw new IllegalStateException(s"no committed data under $targetPath")
+      case Some(body) =>
+        val manifest = parseManifestEntries(body)
+        val wanted = (buckets match {
+          case Some(bs) => bs.flatMap(b => manifest.getOrElse(b, Nil))
+          case None => manifest.values.flatten.toSeq
+        }).map(resolveEntry(targetPath, _))
+        if (wanted.nonEmpty) spark.read.parquet(wanted: _*)
+        else emptyFromManifest(spark, body, s"committed state of $targetPath")
     }
-    if (wanted.isEmpty)
-      throw new IllegalStateException(s"no committed data under $targetPath")
-    spark.read.parquet(wanted: _*)
-  }
 
   /** MERGE into a manifest-bucketed target (see layout note above): reads
     * only the touched buckets' files, writes only their replacements, and
-    * commits with one atomic pointer replace. Cost per run scales with the
-    * batch's bucket spread; a crash at any point is invisible to readers. */
+    * commits with one atomic create-exclusive manifest. Cost per run
+    * scales with the batch's bucket spread; a crash at any point is
+    * invisible to readers.
+    *
+    * CONCURRENT-WRITER SAFE (round 8): the commit is optimistic — if
+    * another merge committed first, this one re-reads the new state,
+    * re-merges, and retries (`maxRetries` rounds). The reference enforced
+    * single-writer only by orchestration (`max_active_runs=1`,
+    * `embeddings-pipeline.py:92`); here it is a protocol guarantee.
+    * The table's bucket count is recorded in the manifest on first commit
+    * and WINS over a mismatched `nBuckets` argument thereafter. */
   def mergeIntoManifestBucketedParquet(
       spark: SparkSession,
       targetPath: String,
@@ -501,119 +588,228 @@ object Upsert {
       nBuckets: Int = 256,
       insertOnlyCols: Set[String] = Set.empty,
       refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty,
-      keepSnapshots: Int = 1): Unit = {
+      keepSnapshots: Int = 1,
+      maxRetries: Int = 5): Unit = {
     require(!updates.columns.contains("__bucket"), "updates must not carry __bucket")
     require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      val current = repairPointer(spark, targetPath)
+      val manifest = readBucketManifestRaw(spark, targetPath, current)
+      val effN = effectiveNBuckets(spark, targetPath, nBuckets)
+      val withBucket = updates.withColumn("__bucket",
+        pmod(xxhash64(keys.map(col): _*), lit(effN)).cast("int"))
+      val touched = withBucket.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).sorted // O(nBuckets) driver-side ids
+      val touchedFiles = touched.flatMap(b => manifest.getOrElse(b, Nil))
+        .map(resolveEntry(targetPath, _)).toSeq
+
+      val merged =
+        if (touchedFiles.isEmpty)
+          refreshExprs.foldLeft(withBucket) { case (df, (c, e)) => df.withColumn(c, e) }
+        else merge(spark.read.parquet(touchedFiles: _*), withBucket,
+          keys, insertOnlyCols, refreshExprs)
+
+      val nextId = current.map(s => idOf(s, "snap-").get + 1).getOrElse(0L)
+      try {
+        commitSnapshot(spark, targetPath, merged, touched.toIndexedSeq,
+          manifest, keys, nextId, keepSnapshots, Some("__bucket"), effN)
+        committed = true
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt > maxRetries) throw e // lost every race: surface it
+      }
+    }
+  }
+
+  /** Another writer committed the snapshot id this attempt raced for. The
+    * attempt's data files are already cleaned up; retry from the new
+    * committed state ([[mergeIntoManifestBucketedParquet]] does so
+    * automatically). */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  /** Id encoded in a `snap-…` name or a `data/run-…` dir name (attempt
+    * suffixes — `run-000000003-a1b2c3d4` — are ignored). */
+  private def idOf(name: String, prefix: String): Option[Long] = {
+    val digits = name.stripPrefix(prefix).takeWhile(_.isDigit)
+    if (name.startsWith(prefix) && digits.nonEmpty) Some(digits.toLong) else None
+  }
+
+  /** Ids of every committed manifest on disk (manifest CREATION is the
+    * commit point under optimistic concurrency — the pointer is derived,
+    * possibly one commit behind after a crash). */
+  private def committedIds(fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[Long] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!st.isDirectory && n.endsWith(".manifest.json"))
+        idOf(n.stripSuffix(".manifest.json"), "snap-") else None
+    }
+
+  /** Roll the `_current` pointer forward to the newest committed manifest
+    * if a crash (or a concurrent writer mid-publish) left it behind —
+    * manifest files only exist once their data files are fully written,
+    * so the newest manifest is always a complete, safe table version.
+    * Returns the live snapshot name after repair, if any commit exists. */
+  private def repairPointer(spark: SparkSession, targetPath: String): Option[String] = {
     val root = new Path(targetPath)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(hadoopConf)
-    val manifest = readBucketManifestRaw(spark, targetPath)
-    val current = currentSnapshot(spark, targetPath)
-
-    val withBucket = updates.withColumn("__bucket",
-      pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int"))
-    val touched = withBucket.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).sorted // O(nBuckets) driver-side ids
-    val touchedFiles = touched.flatMap(b => manifest.getOrElse(b, Nil))
-      .map(resolveEntry(targetPath, _)).toSeq
-
-    val merged =
-      if (touchedFiles.isEmpty)
-        refreshExprs.foldLeft(withBucket) { case (df, (c, e)) => df.withColumn(c, e) }
-      else merge(spark.read.parquet(touchedFiles: _*), withBucket,
-        keys, insertOnlyCols, refreshExprs)
-
-    val nextId = current.map(_.stripPrefix("snap-").toLong + 1).getOrElse(0L)
-    commitManifestSnapshot(spark, targetPath, merged, touched.toIndexedSeq,
-      manifest, keys, nextId, keepSnapshots)
+    val ids = committedIds(fs, root)
+    if (ids.isEmpty) currentSnapshot(spark, targetPath)
+    else {
+      val top = f"snap-${ids.max}%09d"
+      if (!currentSnapshot(spark, targetPath).contains(top))
+        publishPointer(fs, hadoopConf, targetPath, top, s"repair-${ids.max}")
+      Some(top)
+    }
   }
 
-  /** Shared commit tail for manifest-bucketed mutations (merge, delete):
-    * write `rows` as new immutable files for exactly the `touched`
-    * buckets, record them in a new manifest (untouched buckets keep their
-    * existing entries verbatim — no copy; a touched bucket whose rewrite
-    * produced NO rows maps to an empty entry, which is how deletes empty
-    * a bucket), atomically publish, and GC to `keepSnapshots`. */
-  private def commitManifestSnapshot(
+  /** Shared commit tail for every manifest-table mutation — Upsert's
+    * bucketed merge/delete AND the derived-index stores
+    * ([[graft.operators.IndexStore]]): write `rows` as new immutable files
+    * for exactly the `touched` partitions, record them in a new manifest
+    * (untouched partitions keep their existing entries verbatim — no copy;
+    * a touched partition whose rewrite produced NO rows maps to an empty
+    * entry, which is how deletes empty one), commit, and GC to
+    * `keepSnapshots`.
+    *
+    * Commit protocol (optimistic concurrency, SURVEY §7.6.5): data files
+    * land under an ATTEMPT-UNIQUE run dir, then the manifest is created
+    * with `overwrite=false` — an atomic create-exclusive, so of N racing
+    * writers exactly one owns snapshot `nextId`; losers get
+    * [[CommitConflictException]] after deleting their own files, and the
+    * caller retries against the winner's state. The pointer publish AFTER
+    * the manifest is derived state: a crash between the two is healed by
+    * [[repairPointer]] (manifest ⇒ data complete ⇒ roll-forward is safe).
+    *
+    * @param partCol table's partition column (rides IN the data files; a
+    *   `<partCol>_p` copy splits files at write time) — None for an
+    *   unpartitioned table (single manifest entry 0, e.g. MinHash sigs).
+    * @param appendEntries true = the new files EXTEND the touched
+    *   partitions' entry lists (incremental index append); false = they
+    *   REPLACE them (merge/delete rewrite).
+    * @param nBuckets recorded in the manifest so later jobs can recover
+    *   the layout's bucket count (0 = not a hash-bucketed table). */
+  private[graft] def commitSnapshot(
       spark: SparkSession,
       targetPath: String,
       rows: DataFrame,
       touched: Seq[Int],
       manifest: Map[Int, Seq[String]],
-      keys: Seq[String],
+      sortCols: Seq[String],
       nextId: Long,
-      keepSnapshots: Int): Unit = {
+      keepSnapshots: Int,
+      partCol: Option[String] = Some("__bucket"),
+      nBuckets: Int = 0,
+      appendEntries: Boolean = false): Unit = {
     val root = new Path(targetPath)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(hadoopConf)
-    // New immutable files for the touched buckets only. The extra
-    // `__bucket_p` copy exists so partitioned writing splits files per
-    // bucket while `__bucket` stays a data column for manifest readers.
-    val runDir = new Path(root, f"data/run-$nextId%09d")
-    rows.withColumn("__bucket_p", col("__bucket"))
-      .sortWithinPartitions(keys.map(col): _*) // row-group stats prune keys
-      .write.mode("overwrite").option("compression", "snappy")
-      .partitionBy("__bucket_p").parquet(runDir.toString)
-    val newEntries: Map[Int, Seq[String]] = fs.listStatus(runDir)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket_p="))
-      .map { st =>
-        val bucket = st.getPath.getName.stripPrefix("__bucket_p=").toInt
-        bucket -> fs.listStatus(st.getPath).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => relativizeToRoot(fs, targetPath, f.getPath))
-      }.toMap
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val runDir = new Path(root, f"data/run-$nextId%09d-$attempt")
+    val sorted =
+      if (sortCols.nonEmpty) rows.sortWithinPartitions(sortCols.map(col): _*)
+      else rows // key-sorted files: parquet row-group stats prune lookups
+    partCol match {
+      case Some(pc) =>
+        sorted.withColumn(s"${pc}_p", col(pc))
+          .write.mode("overwrite").option("compression", "snappy")
+          .partitionBy(s"${pc}_p").parquet(runDir.toString)
+      case None =>
+        sorted.write.mode("overwrite").option("compression", "snappy")
+          .parquet(runDir.toString)
+    }
+    val newEntries: Map[Int, Seq[String]] = partCol match {
+      case Some(pc) =>
+        fs.listStatus(runDir)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"${pc}_p="))
+          .map { st =>
+            val part = st.getPath.getName.stripPrefix(s"${pc}_p=").toInt
+            part -> fs.listStatus(st.getPath).toSeq
+              .filter(f => f.isFile && isDataFile(f.getPath.getName))
+              .map(f => relativizeToRoot(fs, targetPath, f.getPath))
+          }.toMap
+      case None =>
+        Map(0 -> fs.listStatus(runDir).toSeq
+          .filter(f => f.isFile && isDataFile(f.getPath.getName))
+          .map(f => relativizeToRoot(fs, targetPath, f.getPath)))
+    }
 
-    val nextManifest = manifest ++
-      touched.map(b => b -> newEntries.getOrElse(b, Nil)).toMap
+    val nextManifest = manifest ++ touched.map { b =>
+      val fresh = newEntries.getOrElse(b, Nil)
+      b -> (if (appendEntries) manifest.getOrElse(b, Nil) ++ fresh else fresh)
+    }.toMap
     val snapName = f"snap-$nextId%09d"
-    val json = nextManifest.toSeq.sortBy(_._1).map { case (b, files) =>
-      s""""$b": [${files.map(f => "\"" + f + "\"").mkString(",")}]"""
-    }.mkString("{", ",", "}")
+    // schema_ddl makes a FULLY-ERASED table (every entry empty) still
+    // readable as an empty frame with the right schema (ADVICE r7).
+    val ddl = rows.schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json = (Seq(s""""nBuckets": $nBuckets""", s""""schema_ddl": "$ddl"""") ++
+      nextManifest.toSeq.sortBy(_._1).map { case (b, files) =>
+        s""""$b": [${files.map(f => "\"" + f + "\"").mkString(",")}]"""
+      }).mkString("{", ",", "}")
     val manifestFile = new Path(root, s"$snapName.manifest.json")
-    val outM = fs.create(manifestFile, true)
+    // Create-exclusive commit point: exactly one attempt can create the
+    // manifest for this id. Losers clean up their files and surface the
+    // conflict for a retry against the winner's state.
+    val outM =
+      try fs.create(manifestFile, false)
+      catch {
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.io.IOException) if fs.exists(manifestFile) =>
+          fs.delete(runDir, true)
+          throw new CommitConflictException(
+            s"snapshot $snapName of $targetPath was committed concurrently " +
+              s"(attempt $attempt retired): ${e.getMessage}")
+      }
     try outM.write(json.getBytes("UTF-8")) finally outM.close()
 
-    // Atomic publish, then GC of unreferenced files/run dirs + old
-    // manifests (retention 1, like mergeIntoParquet).
     publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString)
 
     // Retention mirrors mergeIntoParquet: keep the newest `keepSnapshots`
     // manifests; live files = the union they reference, so an in-flight
     // reader holding a retained manifest never loses a file under it.
+    // Anything with an id ABOVE nextId belongs to a concurrent newer
+    // commit — never touched here.
     val retainedIds = (nextId - keepSnapshots + 1) to nextId
-    val retainedManifests = retainedIds.map(i => f"snap-$i%09d.manifest.json").toSet
-    // Liveness compares use the scheme-free normal form on BOTH sides, so
-    // neither qualification drift nor legacy-absolute entries can make a
-    // live file look dead.
+    // Liveness parses the retained manifests with parseManifestEntries —
+    // the same parser the READ path uses — and compares the scheme-free
+    // normal form on both sides, so neither format drift nor
+    // qualification drift can make a live file look dead.
     val live = retainedIds.flatMap { i =>
       if (i == nextId) nextManifest.values.flatten
       else {
         val p = new Path(root, f"snap-$i%09d.manifest.json")
         if (!fs.exists(p)) Nil
-        else {
-          val in = fs.open(p)
-          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-          "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
-        }
+        else parseManifestEntries(readFileBody(fs, p)).values.flatten
       }
     }.map(e => normalize(fs, new Path(resolveEntry(targetPath, e)))).toSet
     val dataRoot = new Path(root, "data")
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { run =>
-      var kept = false
-      fs.listStatus(run.getPath).foreach { part =>
-        if (part.isDirectory) fs.listStatus(part.getPath).foreach { f =>
-          if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
-              !live.contains(normalize(fs, f.getPath))) fs.delete(f.getPath, false)
-          else if (f.isFile && f.getPath.getName.endsWith(".parquet")) kept = true
+      val runId = idOf(run.getPath.getName, "run-")
+      if (runId.forall(_ <= nextId)) { // skip concurrent newer writers
+        var kept = false
+        def sweep(f: org.apache.hadoop.fs.FileStatus): Unit =
+          if (f.isFile && isDataFile(f.getPath.getName)) {
+            if (!live.contains(normalize(fs, f.getPath))) fs.delete(f.getPath, false)
+            else kept = true
+          }
+        fs.listStatus(run.getPath).foreach { e =>
+          if (e.isDirectory) fs.listStatus(e.getPath).foreach(sweep) else sweep(e)
         }
+        if (!kept) fs.delete(run.getPath, true)
       }
-      if (!kept) fs.delete(run.getPath, true)
     }
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if ((n.endsWith(".manifest.json") && !retainedManifests.contains(n)) ||
-          (!st.isDirectory && n.startsWith("_current.tmp-")))
+      val staleManifest = !st.isDirectory && n.endsWith(".manifest.json") &&
+        idOf(n.stripSuffix(".manifest.json"), "snap-").exists(_ < retainedIds.head)
+      if (staleManifest || (!st.isDirectory && n.startsWith("_current.tmp-")))
         fs.delete(st.getPath, false)
     }
   }
@@ -686,8 +882,8 @@ object Upsert {
       case None => 0L
       case Some(snap) =>
         val target = spark.read.parquet(new Path(root, snap).toString)
-        val remaining = target.join(
-          deleteKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        val remaining = antiJoinKeys(target,
+          deleteKeys.select(keys.map(col): _*).distinct(), keys)
         val before = target.count()
         val nextId = snap.stripPrefix("snap-").toLong + 1
         val snapName = f"snap-$nextId%09d"
@@ -722,25 +918,50 @@ object Upsert {
       deleteKeys: DataFrame,
       keys: Seq[String],
       nBuckets: Int = 256,
-      keepSnapshots: Int = 1): Unit = {
+      keepSnapshots: Int = 1,
+      maxRetries: Int = 5): Unit = {
     require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
-    val manifest = readBucketManifestRaw(spark, targetPath)
-    if (manifest.isEmpty) return
-    val current = currentSnapshot(spark, targetPath)
-    val delKeys = deleteKeys.select(keys.map(col): _*).distinct()
-      .withColumn("__bucket",
-        pmod(xxhash64(keys.map(col): _*), lit(nBuckets)).cast("int"))
-    val touched = delKeys.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
-      .filter(manifest.contains) // keys hashing to never-written buckets
-    if (touched.isEmpty) return
-    val touchedFiles = touched.flatMap(b => manifest.getOrElse(b, Nil))
-      .map(resolveEntry(targetPath, _)).toSeq
-    val remaining = spark.read.parquet(touchedFiles: _*)
-      .join(delKeys.drop("__bucket"), keys, "left_anti")
-    val nextId = current.map(_.stripPrefix("snap-").toLong + 1).getOrElse(0L)
-    commitManifestSnapshot(spark, targetPath, remaining, touched.toSeq,
-      manifest, keys, nextId, keepSnapshots)
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      val current = repairPointer(spark, targetPath)
+      val manifest = readBucketManifestRaw(spark, targetPath, current)
+      if (manifest.isEmpty) return
+      val effN = effectiveNBuckets(spark, targetPath, nBuckets)
+      val delKeys = deleteKeys.select(keys.map(col): _*).distinct()
+        .withColumn("__bucket",
+          pmod(xxhash64(keys.map(col): _*), lit(effN)).cast("int"))
+      val touched = delKeys.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+        .filter(manifest.contains) // keys hashing to never-written buckets
+      if (touched.isEmpty) return
+      val touchedFiles = touched.flatMap(b => manifest.getOrElse(b, Nil))
+        .map(resolveEntry(targetPath, _)).toSeq
+      val remaining = antiJoinKeys(
+        spark.read.parquet(touchedFiles: _*), delKeys.drop("__bucket"), keys)
+      val nextId = current.map(s => idOf(s, "snap-").get + 1).getOrElse(0L)
+      try {
+        commitSnapshot(spark, targetPath, remaining, touched.toSeq,
+          manifest, keys, nextId, keepSnapshots, Some("__bucket"), effN)
+        committed = true
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+
+  /** left_anti with NULL-SAFE key equality (`<=>`) — the delete twin of
+    * [[merge]]'s match condition. A plain-equality anti join can never
+    * remove a NULL-keyed row that merge happily matches, which would make
+    * a compliance erasure silently incomplete (ADVICE r7). */
+  private def antiJoinKeys(target: DataFrame, delKeys: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val t = target.as("t")
+    val d = delKeys.as("d")
+    t.join(d, keys.map(k => col(s"t.$k") <=> col(s"d.$k")).reduce(_ && _),
+      "left_anti")
   }
 
   /** Tighten retention NOW, without a new commit: keep the newest
@@ -756,38 +977,42 @@ object Upsert {
     val fs = root.getFileSystem(hadoopConf)
     if (!fs.exists(root)) return
     currentSnapshot(spark, targetPath).foreach { snap =>
-      val curId = snap.stripPrefix("snap-").toLong
+      val curId = idOf(snap, "snap-").getOrElse(
+        throw new IllegalStateException(s"unparseable snapshot name $snap"))
       val retainedIds = (curId - keepSnapshots + 1) to curId
       val mf = new Path(root, s"$snap.manifest.json")
       if (fs.exists(mf)) {
-        // manifest layout: live files = union of retained manifests
-        val retainedManifests =
-          retainedIds.map(i => f"snap-$i%09d.manifest.json").toSet
+        // manifest layout: live files = union of retained manifests,
+        // parsed with the SAME parseManifestEntries the read path uses —
+        // liveness and readability cannot drift (ADVICE r7: the old
+        // body-wide regex was a format-evolution landmine).
         val live = retainedIds.flatMap { i =>
           val p = new Path(root, f"snap-$i%09d.manifest.json")
           if (!fs.exists(p)) Nil
-          else {
-            val in = fs.open(p)
-            val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-            "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
-          }
+          else parseManifestEntries(readFileBody(fs, p)).values.flatten
         }.map(e => normalize(fs, new Path(resolveEntry(targetPath, e)))).toSet
         val dataRoot = new Path(root, "data")
         if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { run =>
-          var kept = false
-          fs.listStatus(run.getPath).foreach { part =>
-            if (part.isDirectory) fs.listStatus(part.getPath).foreach { f =>
-              if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
-                  !live.contains(normalize(fs, f.getPath))) fs.delete(f.getPath, false)
-              else if (f.isFile && f.getPath.getName.endsWith(".parquet")) kept = true
+          if (idOf(run.getPath.getName, "run-").forall(_ <= curId)) {
+            var kept = false
+            def sweep(f: org.apache.hadoop.fs.FileStatus): Unit =
+              if (f.isFile && isDataFile(f.getPath.getName)) {
+                if (!live.contains(normalize(fs, f.getPath)))
+                  fs.delete(f.getPath, false)
+                else kept = true
+              }
+            fs.listStatus(run.getPath).foreach { e =>
+              if (e.isDirectory) fs.listStatus(e.getPath).foreach(sweep)
+              else sweep(e)
             }
+            if (!kept) fs.delete(run.getPath, true)
           }
-          if (!kept) fs.delete(run.getPath, true)
         }
         fs.listStatus(root).foreach { st =>
           val n = st.getPath.getName
-          if (n.endsWith(".manifest.json") && !retainedManifests.contains(n))
+          if (!st.isDirectory && n.endsWith(".manifest.json") &&
+              idOf(n.stripSuffix(".manifest.json"), "snap-")
+                .exists(_ < retainedIds.head))
             fs.delete(st.getPath, false)
         }
       } else {
@@ -799,6 +1024,46 @@ object Upsert {
             fs.delete(st.getPath, true)
         }
       }
+    }
+  }
+
+  /** Effective bucket count of a hash-bucketed target. Persisted as
+    * `<targetPath>/_nbuckets` on first merge (underscore files are
+    * invisible to Spark's parquet reader); thereafter the stored value
+    * WINS over a mismatched argument — a wrong `--merge-buckets` on an
+    * erasure job would otherwise prune to the wrong buckets and silently
+    * leave keys unerased (ADVICE r7). Pre-round-8 targets without the
+    * file validate the argument against the on-disk partition dirs
+    * instead (every observed bucket id must fit under it). */
+  private def hashBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+      targetPath: String, passed: Int, writeIfAbsent: Boolean): Int = {
+    val meta = new Path(targetPath, "_nbuckets")
+    if (fs.exists(meta)) {
+      val stored = readFileBody(fs, meta).trim.toInt
+      if (stored != passed)
+        System.err.println(s"[graft] $targetPath was bucketed nBuckets=$stored; " +
+          s"ignoring mismatched argument $passed")
+      stored
+    } else {
+      val root = new Path(targetPath)
+      if (fs.exists(root)) {
+        val observed = fs.listStatus(root).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("__bucket="))
+            Some(n.stripPrefix("__bucket=").toInt)
+          else None
+        }
+        require(observed.forall(_ < passed),
+          s"$targetPath holds bucket ids up to ${if (observed.isEmpty) -1
+            else observed.max} — nBuckets=$passed cannot be the count its " +
+            "merges used; pass the original bucket count")
+      }
+      if (writeIfAbsent) { // dynamic overwrite never clears root-level _files
+        fs.mkdirs(root)
+        val out = fs.create(meta, true)
+        try out.write(passed.toString.getBytes("UTF-8")) finally out.close()
+      }
+      passed
     }
   }
 

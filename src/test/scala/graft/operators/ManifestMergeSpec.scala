@@ -147,26 +147,24 @@ class ManifestMergeSpec extends SparkSpecBase {
     assert(out(3L) == "u3" && out(4L) == "u4" && out(5L) == "v5")
   }
 
-  test("crash after data+manifest write but before publish is invisible") {
+  test("crash after data write but before the manifest commit is invisible") {
     val path = mkTarget()
     Upsert.mergeIntoManifestBucketedParquet(spark, path,
       Seq((1L, "a"), (2L, "b")).toDF("key", "v"), Seq("key"), nBuckets = 2)
 
-    // simulate the crashed run: orphan run dir + orphan manifest, no
-    // pointer advance
+    // A crash can only leave data files WITHOUT a manifest (the manifest
+    // create is the commit point, strictly after the data lands): orphan
+    // run dir, no manifest, no pointer advance.
     Seq((1L, "TORN")).toDF("key", "v").withColumn("__bucket",
         org.apache.spark.sql.functions.lit(0))
       .withColumn("__bucket_p", org.apache.spark.sql.functions.lit(0))
-      .write.partitionBy("__bucket_p").parquet(s"$path/data/run-000000001")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/snap-000000001.manifest.json"),
-      """{"0": ["/nonexistent"]}""")
+      .write.partitionBy("__bucket_p").parquet(s"$path/data/run-000000001-dead0000")
 
     val seen = Upsert.readManifestTable(spark, path)
       .select("key", "v").as[(String, String)].collect()
     assert(seen.map(_._2).toSet == Set("a", "b"), "reader saw the torn run")
 
-    // the retry converges and GCs the orphans
+    // the retry converges and GCs the orphan files
     Upsert.mergeIntoManifestBucketedParquet(spark, path,
       Seq((1L, "a2")).toDF("key", "v"), Seq("key"), nBuckets = 2)
     val out = Upsert.readManifestTable(spark, path)
@@ -175,5 +173,157 @@ class ManifestMergeSpec extends SparkSpecBase {
     val manifests = new java.io.File(path).listFiles()
       .map(_.getName).filter(_.endsWith(".manifest.json")).toSeq
     assert(manifests == Seq("snap-000000001.manifest.json"))
+    assert(!new java.io.File(s"$path/data/run-000000001-dead0000").exists(),
+      "orphan attempt files survived GC")
+  }
+
+  test("crash after manifest commit but before pointer publish rolls forward") {
+    val path = mkTarget()
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("key", "v"), Seq("key"),
+      nBuckets = 2, keepSnapshots = 2)
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((1L, "a2")).toDF("key", "v"), Seq("key"),
+      nBuckets = 2, keepSnapshots = 2)
+    // simulate losing the pointer publish of the second commit: rewind
+    // the pointer to snap-0 while snap-1's manifest (the true commit
+    // point) stays on disk
+    new java.io.File(s"$path/._current.crc").delete() // stale checksum sidecar
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_current"), "snap-000000000")
+
+    // readers are merely STALE, never torn: they see the snap-0 state
+    val stale = Upsert.readManifestTable(spark, path)
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(stale == Map(1L -> "a", 2L -> "b"))
+
+    // the next writer repairs the pointer forward and merges ON TOP of
+    // the crashed-but-committed snapshot — its effect is not lost
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((3L, "c")).toDF("key", "v"), Seq("key"),
+      nBuckets = 2, keepSnapshots = 2)
+    val out = Upsert.readManifestTable(spark, path)
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a2", 2L -> "b", 3L -> "c"),
+      "roll-forward lost the committed-but-unpublished merge")
+  }
+
+  test("two concurrent mergers: exactly one wins each snapshot id, loser retries cleanly") {
+    val path = mkTarget()
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      (0L until 10L).map(k => (k, s"v$k")).toDF("key", "v"), Seq("key"), nBuckets = 2)
+
+    // race two writers with different batches on the same target
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val a = Future(Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((100L, "wa")).toDF("key", "v"), Seq("key"), nBuckets = 2,
+      keepSnapshots = 3))
+    val b = Future(Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((200L, "wb")).toDF("key", "v"), Seq("key"), nBuckets = 2,
+      keepSnapshots = 3))
+    Await.result(a, 120.seconds)
+    Await.result(b, 120.seconds)
+
+    // both batches landed — neither writer clobbered the other
+    val out = Upsert.readManifestTable(spark, path)
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(out(100L) == "wa" && out(200L) == "wb" && out(5L) == "v5")
+    assert(out.size == 12)
+
+    // ids are dense: initial commit 0, then the two racers take 1 and 2 —
+    // whoever lost the race for an id retried onto the next one
+    val cur = Upsert.currentSnapshot(spark, path).get
+    assert(cur == "snap-000000002")
+  }
+
+  test("nBuckets is persisted in the manifest; a wrong argument cannot mis-prune") {
+    val path = mkTarget()
+    val rows = (0L until 40L).map(k => (k, s"v$k")).toDF("key", "v")
+    Upsert.mergeIntoManifestBucketedParquet(spark, path, rows, Seq("key"),
+      nBuckets = 8)
+    assert(Upsert.storedNBuckets(spark, path).contains(8))
+    // erasure called with the WRONG bucket count: stored value wins, the
+    // keys are still actually erased
+    Upsert.deleteKeysFromManifestBucketedParquet(spark, path,
+      Seq(3L, 17L).toDF("key"), Seq("key"), nBuckets = 256)
+    val out = Upsert.readManifestTable(spark, path)
+      .select("key").as[Long].collect().toSet
+    assert(!out.contains(3L) && !out.contains(17L) && out.size == 38)
+    // a merge with a mismatched count keeps the table's own bucketing
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((3L, "back")).toDF("key", "v"), Seq("key"), nBuckets = 4)
+    assert(Upsert.storedNBuckets(spark, path).contains(8))
+    assert(Upsert.readManifestTable(spark, path).count() == 39)
+  }
+
+  test("NULL keys: erasure matches merge's null-safe key semantics") {
+    val path = mkTarget()
+    val rows = Seq((Some(1L), "a"), (None, "nullkey"), (Some(2L), "b"))
+      .toDF("key", "v")
+    Upsert.mergeIntoManifestBucketedParquet(spark, path, rows, Seq("key"),
+      nBuckets = 2)
+    assert(Upsert.readManifestTable(spark, path).count() == 3)
+    // a delete list carrying NULL must erase the NULL-keyed row (merge
+    // would have matched it via <=>)
+    Upsert.deleteKeysFromManifestBucketedParquet(spark, path,
+      Seq[Option[Long]](None, Some(2L)).toDF("key"), Seq("key"), nBuckets = 2)
+    val left = Upsert.readManifestTable(spark, path)
+      .select("v").as[String].collect().toSet
+    assert(left == Set("a"), s"NULL-keyed row survived erasure: $left")
+  }
+
+  test("full erasure: empty table stays readable with schema; time travel works") {
+    val path = mkTarget()
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("key", "v"), Seq("key"),
+      nBuckets = 2, keepSnapshots = 2)
+    Upsert.deleteKeysFromManifestBucketedParquet(spark, path,
+      Seq(1L, 2L).toDF("key"), Seq("key"), nBuckets = 2, keepSnapshots = 2)
+    val empty = Upsert.readManifestTable(spark, path)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSet == Set("key", "v", "__bucket"),
+      s"schema lost on full erasure: ${empty.columns.toSeq}")
+    // time travel TO the fully-erased snapshot is legal
+    val atErased = Upsert.readTargetAt(spark, path, "snap-000000001")
+    assert(atErased.count() == 0 && atErased.columns.contains("key"))
+    // and the pre-erasure snapshot still holds the rows
+    assert(Upsert.readTargetAt(spark, path, "snap-000000000").count() == 2)
+    // merging into the emptied table starts clean
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((9L, "z")).toDF("key", "v"), Seq("key"), nBuckets = 2,
+      keepSnapshots = 2)
+    assert(Upsert.readManifestTable(spark, path).count() == 1)
+  }
+
+  test("vacuum GCs with the structured parser on round-8 manifests (format evolution)") {
+    val path = mkTarget()
+    def mergeK2(rows: Seq[(Long, String)]): Unit =
+      Upsert.mergeIntoManifestBucketedParquet(spark, path,
+        rows.toDF("key", "v"), Seq("key"), nBuckets = 2, keepSnapshots = 3)
+    mergeK2((0L until 10L).map(k => (k, s"v$k")))
+    mergeK2(Seq((3L, "u3")))
+    mergeK2(Seq((4L, "u4")))
+    // round-8 manifests carry nBuckets + schema_ddl metadata fields; the
+    // old body-wide ".parquet" regex had no notion of fields at all. The
+    // invariant that matters: vacuum keeps EXACTLY what the read path
+    // resolves, before and after.
+    val beforeRows = Upsert.readManifestTable(spark, path)
+      .select("key", "v").as[(Long, String)].collect().toMap
+    Upsert.vacuum(spark, path, keepSnapshots = 1)
+    val afterRows = Upsert.readManifestTable(spark, path)
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(afterRows == beforeRows, "vacuum changed the committed state")
+    // every file the live manifest references survived the GC
+    Upsert.readBucketManifest(spark, path).values.flatten.foreach { f =>
+      assert(new java.io.File(new java.net.URI(
+        if (f.contains("://")) f else "file://" + f).getPath).isFile
+        || new java.io.File(f).isFile, s"GC ate live file $f")
+    }
+    // only the live manifest remains
+    val manifests = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.endsWith(".manifest.json")).toSeq
+    assert(manifests.size == 1)
   }
 }
