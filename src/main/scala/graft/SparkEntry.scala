@@ -464,7 +464,7 @@ object SparkEntry {
       // change forces a rebuild (and GCs the superseded snapshot dirs).
       val src = new java.io.File(s"$dir/embeddings.parquet")
       val idx = Ivf.cachedIndexDir(src)
-      if (!new java.io.File(s"$idx/centroids").isDirectory) {
+      if (!graft.operators.IndexStore.exists(s, s"$idx/centroids")) {
         Ivf.gcSupersededIndexes(idx)
         val sample = emb.where(pmod(col("vec_id"), lit(4)) === 0)
         Ivf.buildIndex(s, idx, emb, trainOn = sample, nlist = 8, iters = 1)

@@ -339,28 +339,29 @@ object Dedup {
     (sig, bandRows(sig, bands))
   }
 
+  /** One stored table of a persisted MinHash near-dup index (`"sigs"` or
+    * `"bands"`, [[minHashIndex]] layout) — resolves the [[IndexStore]]
+    * snapshot, or reads a legacy plain dir as-is. */
+  def readNearDupIndexTable(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, table: String): DataFrame =
+    IndexStore.read(spark, s"$indexPath/$table")
+
   /** Erase keys from a persisted MinHash near-dup index (sigs + band
     * rows, [[minHashIndex]] layout) — the index-side half of a compliance
     * delete: signatures are content-derived, so an index still holding
     * them is not an erasure. Both tables are slim scalar rows (no text),
-    * so the anti-join rewrite costs index-size, not corpus-size; the swap
-    * is the same delete+rename as [[graft.operators.Ivf.compactIndex]] —
-    * a maintenance job, run without concurrent probes. */
+    * so the anti-join rewrite costs index-size, not corpus-size; each
+    * table's rewrite commits atomically through [[IndexStore]] (manifest
+    * + pointer — round 8), so a crash mid-erasure leaves the previous
+    * index fully readable and no commit path renames a directory. */
   def deleteFromNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, keys: DataFrame, keyCol: String = "id"): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ks = keys.select(col(keyCol).as("id")).distinct()
     Seq("sigs", "bands").foreach { t =>
-      val path = s"$indexPath/$t"
-      if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
-        val tmp = s"$indexPath/$t-delete-tmp"
-        spark.read.parquet(path).join(ks, Seq("id"), "left_anti")
-          .write.mode("overwrite").option("compression", "snappy").parquet(tmp)
-        fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(path))
-      }
+      val root = s"$indexPath/$t"
+      if (IndexStore.exists(spark, root))
+        IndexStore.rewrite(spark, root,
+          IndexStore.read(spark, root).join(ks, Seq("id"), "left_anti"))
     }
   }
 

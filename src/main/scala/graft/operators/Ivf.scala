@@ -87,13 +87,24 @@ object Ivf {
   // live as tables and are maintained incrementally as the corpus grows.
   //
   //   <indexPath>/centroids/   (cell INT, centroid ARRAY<DOUBLE>) — nlist rows
-  //   <indexPath>/cells/       corpus rows + __cell, partitionBy(__cell)
+  //   <indexPath>/cells/       corpus rows + __cell (data column)
   //
-  // Probes read ONLY the probed cells' directories (partition pruning on
-  // the literal probed-cell list), so a probe touches ~nprobe/nlist of the
-  // stored corpus; incremental adds assign against the FROZEN centroids
-  // and append only the new rows' partitions.
+  // Both tables live in an [[IndexStore]] (round 8): every rewrite —
+  // build, compaction, compliance delete — commits via the same
+  // manifest + pointer protocol as the merge targets, so a crash mid-
+  // maintenance leaves the previous index fully readable and no commit
+  // path renames a directory. Probes read ONLY the probed cells' manifest
+  // entries, so a probe touches ~nprobe/nlist of the stored corpus;
+  // incremental adds assign against the FROZEN centroids and append only
+  // the new rows' files.
   // ------------------------------------------------------------------
+
+  /** The stored cell-assignment table (corpus rows + `__cell`), optionally
+    * pruned to a cell list via the manifest — the read side every probe
+    * and maintenance job shares. */
+  def readCells(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      cells: Option[Seq[Int]] = None): DataFrame =
+    IndexStore.read(spark, s"$indexPath/cells", Some("__cell"), cells)
 
   /** Train on `trainOn` (pass a sample at scale) and persist centroids +
     * full-corpus cell assignments under `indexPath`. */
@@ -102,9 +113,9 @@ object Ivf {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val centroids = trainCentroids(trainOn, vecCol, nlist, iters, idCol)
     import spark.implicits._
-    centroids.zipWithIndex.map { case (c, i) => (i, c) }
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    IndexStore.rewrite(spark, s"$indexPath/centroids",
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "centroid").coalesce(1))
     appendCells(spark, indexPath, corpus, idCol, vecCol, overwrite = true)
   }
 
@@ -146,7 +157,7 @@ object Ivf {
     * metadata, like a broadcast dimension. */
   def loadCentroids(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Seq[Seq[Double]] =
-    spark.read.parquet(s"$indexPath/centroids").orderBy("cell")
+    IndexStore.read(spark, s"$indexPath/centroids").orderBy("cell")
       .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
 
   /** Incrementally index new vectors WITHOUT retraining: assign against
@@ -167,13 +178,10 @@ object Ivf {
   def addToIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       vectors: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
-    val cellsPath = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
-    val hasCells = cellsPath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cellsPath)
+    val hasCells = IndexStore.exists(spark, s"$indexPath/cells")
     val fresh =
       if (!hasCells) vectors
-      else vectors.join(
-        spark.read.parquet(s"$indexPath/cells").select(col(idCol)),
+      else vectors.join(readCells(spark, indexPath).select(col(idCol)),
         Seq(idCol), "left_anti")
     appendCells(spark, indexPath, fresh, idCol, vecCol, overwrite = !hasCells)
   }
@@ -182,12 +190,14 @@ object Ivf {
       indexPath: String, vectors: DataFrame, idCol: String, vecCol: String,
       overwrite: Boolean): Unit = {
     val centroids = loadCentroids(spark, indexPath)
-    Par.spread(vectors)
+    val assigned = Par.spread(vectors)
       .withColumn("__cell",
         element_at(F.nearestCentroids(col(vecCol), centroids, 1), 1))
-      .write.mode(if (overwrite) "overwrite" else "append")
-      .option("compression", "snappy")
-      .partitionBy("__cell").parquet(s"$indexPath/cells")
+    if (overwrite)
+      IndexStore.rewrite(spark, s"$indexPath/cells", assigned,
+        None, Some("__cell"))
+    else
+      IndexStore.append(spark, s"$indexPath/cells", assigned, Some("__cell"))
   }
 
   /** Erase vectors from a persisted index — the index-side half of a
@@ -195,34 +205,25 @@ object Ivf {
     * ANN index still holding the vectors is not an erasure). Rewrites
     * ONLY the `__cell` partitions the deleted ids live in (found via a
     * column-pruned (id, __cell) scan), so the job touches ~|ids|/nlist of
-    * the stored corpus; an emptied cell's directory is removed outright.
-    * Like [[compactIndex]], a maintenance job — run without concurrent
-    * probes. */
+    * the stored corpus. The rewrite commits through [[IndexStore]]:
+    * untouched cells keep their manifest entries verbatim (no copy), an
+    * emptied cell maps to an empty entry, and a crash at any point leaves
+    * the PREVIOUS index fully readable — no delete-then-rename window. */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, ids: DataFrame, idCol: String = "vec_id"): Unit = {
-    val cellsPath = s"$indexPath/cells"
+    val cellsRoot = s"$indexPath/cells"
+    IndexStore.adopt(spark, cellsRoot, Some("__cell")) // legacy dirs: one-time
     val idsD = ids.select(col(idCol)).distinct()
-    val touched = spark.read.parquet(cellsPath)
+    val touched = readCells(spark, indexPath)
       .select(col(idCol), col("__cell"))
       .join(idsD, Seq(idCol), "left_semi")
       .select("__cell").distinct()
       .collect().map(_.getAs[Number]("__cell").intValue()).sorted
     if (touched.isEmpty) return
-    val remaining = spark.read.parquet(cellsPath)
-      .where(col("__cell").isin(touched.map(Int.box).toIndexedSeq: _*)) // partition-pruned
+    val remaining = readCells(spark, indexPath, Some(touched.toIndexedSeq))
       .join(idsD, Seq(idCol), "left_anti")
-    val tmp = s"$indexPath/cells-delete-tmp"
-    remaining.write.mode("overwrite").option("compression", "snappy")
-      .partitionBy("__cell").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.foreach { c =>
-      val live = new org.apache.hadoop.fs.Path(s"$cellsPath/__cell=$c")
-      val fresh = new org.apache.hadoop.fs.Path(s"$tmp/__cell=$c")
-      fs.delete(live, true)
-      if (fs.exists(fresh)) fs.rename(fresh, live) // absent ⇒ cell emptied
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    IndexStore.rewrite(spark, cellsRoot, remaining,
+      Some(touched.toIndexedSeq), Some("__cell"))
   }
 
   /** Compact the cell table: every incremental [[addToIndex]] appends its
@@ -230,25 +231,17 @@ object Ivf {
     * index accumulates small files (the classic streaming-ingest tax —
     * probe scan cost becomes file-count-bound instead of byte-bound).
     * Rewrites the cells hash-clustered so each cell lands in one task →
-    * one file per cell directory. A maintenance JOB, like the periodic
-    * centroid retrain: run it without concurrent probes (or place the
-    * index behind the same snapshot-pointer commit as merge targets). */
+    * one file per cell, committed atomically through [[IndexStore]] —
+    * concurrent probes keep reading the pre-compaction snapshot until the
+    * pointer flips. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, idCol: String = "vec_id"): Unit = {
     // dropDuplicates(id): defensive cleanup for indexes that accumulated
     // same-id rows before addToIndex became idempotent (duplicate ids are
     // identical-or-stale vectors; keeping either is no worse than before).
-    val cells = spark.read.parquet(s"$indexPath/cells")
-      .dropDuplicates(idCol)
-    val tmp = s"$indexPath/cells-compact-tmp"
-    cells.repartition(col("__cell"))
-      .write.mode("overwrite").option("compression", "snappy")
-      .partitionBy("__cell").parquet(tmp)
-    val root = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/cells"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$indexPath/cells"))
+    val cells = readCells(spark, indexPath).dropDuplicates(idCol)
+    IndexStore.rewrite(spark, s"$indexPath/cells",
+      cells.repartition(col("__cell")), None, Some("__cell"))
   }
 
   /** ANN top-k over a persisted index — same output contract as
@@ -262,7 +255,7 @@ object Ivf {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"),
       explode(F.nearestCentroids(col(vecCol), centroids, nprobe)).as("__cell"))
     val probed = q.select("__cell").distinct().collect().map(_.getInt(0))
-    val c = spark.read.parquet(s"$indexPath/cells")
+    val c = readCells(spark, indexPath, Some(probed.toIndexedSeq))
       .where(col("__cell").isin(probed.map(Integer.valueOf).toSeq: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"), col("__cell"))
     val scored = c.join(broadcast(q), "__cell")

@@ -258,7 +258,7 @@ object Upsert {
   /** Empty frame with the schema a manifest recorded (`schema_ddl`,
     * written since round 8) — how a fully-erased table stays readable.
     * Manifests too old to carry the field throw, as before. */
-  private def emptyFromManifest(spark: SparkSession, body: String,
+  private[operators] def emptyFromManifest(spark: SparkSession, body: String,
       what: String): DataFrame =
     parseManifestString(body, "schema_ddl") match {
       case Some(ddl) =>
@@ -463,7 +463,7 @@ object Upsert {
     * see every referenced file as dead and delete it. Entries that do look
     * absolute (legacy manifests: a leading `/` or a scheme) still resolve
     * verbatim. */
-  private def resolveEntry(targetPath: String, entry: String): String =
+  private[operators] def resolveEntry(targetPath: String, entry: String): String =
     if (entry.startsWith("/") || entry.contains("://")) entry
     else new Path(targetPath, entry).toString
 
@@ -503,7 +503,7 @@ object Upsert {
     (s""""$field"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(body)
       .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
 
-  private def manifestBody(spark: SparkSession, targetPath: String,
+  private[operators] def manifestBody(spark: SparkSession, targetPath: String,
       snapshot: Option[String]): Option[String] =
     snapshot.orElse(currentSnapshot(spark, targetPath)).flatMap { snap =>
       val p = new Path(targetPath, s"$snap.manifest.json")
@@ -630,12 +630,12 @@ object Upsert {
     * automatically). */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
-  private def isDataFile(name: String): Boolean =
+  private[operators] def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".")
 
   /** Id encoded in a `snap-…` name or a `data/run-…` dir name (attempt
     * suffixes — `run-000000003-a1b2c3d4` — are ignored). */
-  private def idOf(name: String, prefix: String): Option[Long] = {
+  private[operators] def idOf(name: String, prefix: String): Option[Long] = {
     val digits = name.stripPrefix(prefix).takeWhile(_.isDigit)
     if (name.startsWith(prefix) && digits.nonEmpty) Some(digits.toLong) else None
   }
@@ -643,7 +643,7 @@ object Upsert {
   /** Ids of every committed manifest on disk (manifest CREATION is the
     * commit point under optimistic concurrency — the pointer is derived,
     * possibly one commit behind after a crash). */
-  private def committedIds(fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[Long] =
+  private[operators] def committedIds(fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[Long] =
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq.flatMap { st =>
       val n = st.getPath.getName
@@ -656,7 +656,7 @@ object Upsert {
     * manifest files only exist once their data files are fully written,
     * so the newest manifest is always a complete, safe table version.
     * Returns the live snapshot name after repair, if any commit exists. */
-  private def repairPointer(spark: SparkSession, targetPath: String): Option[String] = {
+  private[operators] def repairPointer(spark: SparkSession, targetPath: String): Option[String] = {
     val root = new Path(targetPath)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(hadoopConf)

@@ -71,9 +71,7 @@ object IncrementalStream {
         // replayed keys, matching the merge's at-least-once posture.
         ivfIndexPath.foreach { idx =>
           val vecs = curated.select(col("main_refco"), col("embedding_vector"))
-          val centroids = new org.apache.hadoop.fs.Path(s"$idx/centroids")
-          if (centroids.getFileSystem(s.sparkContext.hadoopConfiguration)
-              .exists(centroids))
+          if (graft.operators.IndexStore.exists(s, s"$idx/centroids"))
             graft.operators.Ivf.addToIndex(s, idx, vecs,
               idCol = "main_refco", vecCol = "embedding_vector")
           else
@@ -107,9 +105,7 @@ object IncrementalStream {
       selfPairs.select(col("b_id").as("main_refco")).distinct(),
       Seq("main_refco"), "left_anti")
 
-    val hasIndex = new org.apache.hadoop.fs.Path(s"$indexPath/sigs")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(s"$indexPath/sigs"))
+    val hasIndex = graft.operators.IndexStore.exists(spark, s"$indexPath/sigs")
     // ONE signature pass over the batch text per micro-batch: the sigs
     // are persisted, the band rows derive from the cached sigs, and the
     // survivors' index rows are semi-joins on the kept keys — without the
@@ -124,8 +120,8 @@ object IncrementalStream {
         // same-key pairs are already excluded inside the candidate join —
         // an update to an existing key passes through to the merge.
         val drops = Dedup.minHashPairsAgainstIndex(batchSigs, batchBands,
-            spark.read.parquet(s"$indexPath/sigs"),
-            spark.read.parquet(s"$indexPath/bands"),
+            Dedup.readNearDupIndexTable(spark, indexPath, "sigs"),
+            Dedup.readNearDupIndexTable(spark, indexPath, "bands"),
             numHashes, threshold)
           .select(col("batch_id").as("main_refco")).distinct()
         withinKept.join(drops, Seq("main_refco"), "left_anti")
@@ -139,9 +135,17 @@ object IncrementalStream {
       val keptKeys = kept.select(col("main_refco").as("id"))
       val keptSigs = batchSigs.join(keptKeys, Seq("id"), "left_semi")
       val keptBands = batchBands.join(keptKeys, Seq("id"), "left_semi")
-      val mode = if (hasIndex) "append" else "overwrite"
-      keptSigs.write.mode(mode).parquet(s"$indexPath/sigs")
-      keptBands.write.mode(mode).parquet(s"$indexPath/bands")
+      // IndexStore append: new files extend the manifest atomically — a
+      // crash between the two table writes leaves both readable (the
+      // replayed micro-batch re-appends; minHashPairsAgainstIndex
+      // tolerates the duplicate signature rows it may create).
+      if (hasIndex) {
+        graft.operators.IndexStore.append(spark, s"$indexPath/sigs", keptSigs)
+        graft.operators.IndexStore.append(spark, s"$indexPath/bands", keptBands)
+      } else {
+        graft.operators.IndexStore.rewrite(spark, s"$indexPath/sigs", keptSigs)
+        graft.operators.IndexStore.rewrite(spark, s"$indexPath/bands", keptBands)
+      }
       kept
     } finally batchSigs.unpersist()
   }
@@ -155,8 +159,10 @@ object IncrementalStream {
     val (sigs, bandRows) = Dedup.minHashIndex(
       Upsert.readTarget(spark, targetPath), "main_refco", textCol,
       n = n, numHashes = numHashes, bands = bands)
-    sigs.write.mode("overwrite").parquet(s"$indexPath/sigs")
-    bandRows.write.mode("overwrite").parquet(s"$indexPath/bands")
+    // full-rebuild rewrites commit atomically; a reader mid-rebuild keeps
+    // the previous snapshot
+    graft.operators.IndexStore.rewrite(spark, s"$indexPath/sigs", sigs)
+    graft.operators.IndexStore.rewrite(spark, s"$indexPath/bands", bandRows)
   }
 
   /** Drop batch rows whose `textCol` is a MinHash-LSH near-duplicate

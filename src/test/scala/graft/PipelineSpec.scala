@@ -76,7 +76,7 @@ class PipelineSpec extends SparkSpecBase {
     Pipeline.run(spark, conf)
     assert(graft.operators.Ivf.loadCentroids(spark, s"$dir/ivf") == frozen,
       "incremental run retrained the index")
-    val cells = spark.read.parquet(s"$dir/ivf/cells")
+    val cells = graft.operators.Ivf.readCells(spark, s"$dir/ivf")
     assert(cells.select("main_refco").distinct().count() == 3)
   }
 

@@ -38,16 +38,16 @@ class RunErasureSpec extends SparkSpecBase {
 
     val inTarget = Upsert.readTarget(spark, target)
       .where(col("vec_id").isin(victims.map(Long.box): _*)).count()
-    val inIvf = spark.read.parquet(s"$ivfIdx/cells")
+    val inIvf = Ivf.readCells(spark, ivfIdx)
       .where(col("vec_id").isin(victims.map(Long.box): _*)).count()
-    val inSigs = spark.read.parquet(s"$ndIdx/sigs")
+    val inSigs = Dedup.readNearDupIndexTable(spark, ndIdx, "sigs")
       .where(col("id").isin(victims.map(Long.box): _*)).count()
-    val inBands = spark.read.parquet(s"$ndIdx/bands")
+    val inBands = Dedup.readNearDupIndexTable(spark, ndIdx, "bands")
       .where(col("id").isin(victims.map(Long.box): _*)).count()
     assert(inTarget == 0 && inIvf == 0 && inSigs == 0 && inBands == 0)
     // nothing else was lost
     assert(Upsert.readTarget(spark, target).count() == emb.count() - 2)
-    assert(spark.read.parquet(s"$ivfIdx/cells").count() == emb.count() - 2)
+    assert(Ivf.readCells(spark, ivfIdx).count() == emb.count() - 2)
   }
 
   test("--vacuum expires pre-delete snapshots in the same job") {

@@ -155,18 +155,30 @@ class DedupSpec extends SparkSpecBase {
     sigs.write.parquet(s"$idx/sigs")
     bands.write.parquet(s"$idx/bands")
     Dedup.deleteFromNearDupIndex(spark, idx, Seq(2L).toDF("id"))
-    val sigIds = spark.read.parquet(s"$idx/sigs")
-      .select("id").as[Long].collect().toSet
-    val bandIds = spark.read.parquet(s"$idx/bands")
-      .select("id").as[Long].collect().toSet
+    def tbl(t: String) = Dedup.readNearDupIndexTable(spark, idx, t)
+    val sigIds = tbl("sigs").select("id").as[Long].collect().toSet
+    val bandIds = tbl("bands").select("id").as[Long].collect().toSet
     assert(sigIds == Set(1L, 3L) && bandIds == Set(1L, 3L))
+    // the legacy plain dir was adopted into the snapshot store on rewrite
+    assert(Upsert.currentSnapshot(spark, s"$idx/sigs").isDefined)
     // the erased doc no longer collides with its surviving twin
     val est = Dedup.minHashPairsAgainstIndex(
-      spark.read.parquet(s"$idx/sigs"), spark.read.parquet(s"$idx/bands"),
-      spark.read.parquet(s"$idx/sigs"), spark.read.parquet(s"$idx/bands"),
+      tbl("sigs"), tbl("bands"), tbl("sigs"), tbl("bands"),
       numHashes = 128, threshold = 0.0)
       .where(col("batch_id") =!= col("index_id")).count()
     assert(est == 0L)
+
+    // crash sim: a later erasure attempt dies after writing its files but
+    // before its manifest commit — the committed index is untouched and
+    // the retry converges
+    tbl("sigs").limit(1)
+      .write.parquet(s"$idx/sigs/data/run-000000001-dead0000")
+    assert(tbl("sigs").select("id").as[Long].collect().toSet == Set(1L, 3L),
+      "crashed attempt leaked into reads")
+    Dedup.deleteFromNearDupIndex(spark, idx, Seq(3L).toDF("id"))
+    assert(tbl("sigs").select("id").as[Long].collect().toSet == Set(1L))
+    assert(!new java.io.File(s"$idx/sigs/data/run-000000001-dead0000").exists(),
+      "orphan attempt files survived GC")
   }
 
   test("MinHash-LSH pairs ⊇ verified-exact pairs on planted near-dups") {

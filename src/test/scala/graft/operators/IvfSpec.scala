@@ -76,7 +76,7 @@ class IvfSpec extends SparkSpecBase {
     // centroids and appended — no retrain, no rewrite of existing cells.
     Ivf.addToIndex(spark, idx, rest)
     assert(Ivf.loadCentroids(spark, idx) == frozen, "add retrained centroids")
-    assert(spark.read.parquet(s"$idx/cells").count() == emb.count())
+    assert(Ivf.readCells(spark, idx).count() == emb.count())
 
     // nprobe == nlist probe over the grown index is exactly brute force
     // over the full corpus — added vectors are first-class index members.
@@ -94,34 +94,32 @@ class IvfSpec extends SparkSpecBase {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
     Ivf.buildIndex(spark, idx, emb, trainOn = emb, nlist = 4, iters = 1)
-    val cellsDir = new java.io.File(s"$idx/cells")
-    def fileSet(): Map[String, Set[String]] = cellsDir.listFiles()
-      .filter(_.isDirectory).map(d => d.getName ->
-        d.listFiles().map(_.getName).toSet).toMap
-    val before = fileSet()
+    // manifest entries per cell stand in for the old per-cell dir listing
+    def entries(): Map[Int, Seq[String]] =
+      Upsert.readBucketManifest(spark, s"$idx/cells")
+    val before = entries()
 
     val victims = Seq(3L, 17L, 42L)
-    val victimCells = spark.read.parquet(s"$idx/cells")
+    val victimCells = Ivf.readCells(spark, idx)
       .where(col("vec_id").isin(victims.map(Long.box): _*))
-      .select("__cell").distinct().as[Int].collect()
-      .map(c => s"__cell=$c").toSet
+      .select("__cell").distinct().as[Int].collect().toSet
     Ivf.deleteFromIndex(spark, idx, victims.toDF("vec_id"))
 
     // erased ids are gone from storage and never probed back
-    val left = spark.read.parquet(s"$idx/cells")
+    val left = Ivf.readCells(spark, idx)
     assert(left.where(col("vec_id").isin(victims.map(Long.box): _*)).count() == 0)
     assert(left.count() == emb.count() - victims.size)
     val probed = Ivf.probeIndex(spark, idx, emb.where(col("vec_id") < 5),
       k = 10, nprobe = 4).select("neighbor_id").as[Long].collect().toSet
     assert(victims.forall(!probed.contains(_)))
-    // untouched cell dirs keep their exact files
-    val after = fileSet()
+    // untouched cells keep their exact manifest entries (no rewrite, no copy)
+    val after = entries()
     (before.keySet -- victimCells).foreach { c =>
-      assert(after(c) == before(c), s"untouched $c was rewritten")
+      assert(after(c) == before(c), s"untouched cell $c was rewritten")
     }
     // deleting unknown ids is a no-op
     Ivf.deleteFromIndex(spark, idx, Seq(999999L).toDF("vec_id"))
-    assert(spark.read.parquet(s"$idx/cells").count() == emb.count() - victims.size)
+    assert(Ivf.readCells(spark, idx).count() == emb.count() - victims.size)
   }
 
   test("addToIndex is idempotent: retried batch and key updates never duplicate ids") {
@@ -130,16 +128,16 @@ class IvfSpec extends SparkSpecBase {
     val batch = emb.where(col("vec_id") >= 400)
     Ivf.buildIndex(spark, idx, base, trainOn = base, nlist = 4, iters = 1)
     Ivf.addToIndex(spark, idx, batch)
-    val n = spark.read.parquet(s"$idx/cells").count()
+    val n = Ivf.readCells(spark, idx).count()
     // at-least-once retry: same batch again appends nothing
     Ivf.addToIndex(spark, idx, batch)
-    assert(spark.read.parquet(s"$idx/cells").count() == n, "retry double-appended")
+    assert(Ivf.readCells(spark, idx).count() == n, "retry double-appended")
     // update to existing keys: no second row per id (probe would return
     // the same neighbor twice); the new vector waits for the rebuild job
     val updated = batch.withColumn("embedding",
       expr("transform(embedding, x -> -x)"))
     Ivf.addToIndex(spark, idx, updated)
-    val cells = spark.read.parquet(s"$idx/cells")
+    val cells = Ivf.readCells(spark, idx)
     assert(cells.count() == n)
     assert(cells.groupBy("vec_id").count().where(col("count") > 1).isEmpty,
       "duplicate ids in cells")
@@ -153,12 +151,9 @@ class IvfSpec extends SparkSpecBase {
       Ivf.addToIndex(spark, idx,
         emb.where(col("vec_id") >= 200 + i * 100 && col("vec_id") < 300 + i * 100))
     }
-    def filesPerCell: Map[String, Int] = {
-      val cellDirs = new java.io.File(s"$idx/cells").listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("__cell="))
-      cellDirs.map(d => d.getName ->
-        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
-    }
+    def filesPerCell: Map[Int, Int] =
+      Upsert.readBucketManifest(spark, s"$idx/cells")
+        .map { case (c, files) => c -> files.size }
     val queries = emb.where(col("vec_id") < 5)
     val before = Ivf.probeIndex(spark, idx, queries, k = 3, nprobe = 2)
       .collect().map(_.toString).sorted
@@ -169,6 +164,67 @@ class IvfSpec extends SparkSpecBase {
     val after = Ivf.probeIndex(spark, idx, queries, k = 3, nprobe = 2)
       .collect().map(_.toString).sorted
     assert(before.sameElements(after))
+  }
+
+  test("index maintenance crash: committed snapshot stays readable at every step") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-crash").toString
+    Ivf.buildIndex(spark, idx, emb.where(col("vec_id") < 300),
+      trainOn = emb.where(col("vec_id") < 300), nlist = 4, iters = 1)
+    val committed = Ivf.readCells(spark, idx)
+      .select("vec_id").as[Long].collect().toSet
+
+    // simulate a delete/compact attempt that crashed AFTER writing its
+    // data files but BEFORE the manifest commit: orphan attempt run dir
+    emb.where(col("vec_id") < 10)
+      .withColumn("__cell", org.apache.spark.sql.functions.lit(0))
+      .withColumn("__cell_p", org.apache.spark.sql.functions.lit(0))
+      .write.partitionBy("__cell_p")
+      .parquet(s"$idx/cells/data/run-000000001-dead0000")
+
+    // the committed snapshot is untouched — readers never see the orphan
+    assert(Ivf.readCells(spark, idx)
+      .select("vec_id").as[Long].collect().toSet == committed,
+      "crashed attempt leaked into reads")
+
+    // the retried maintenance job converges and GCs the orphan files
+    Ivf.deleteFromIndex(spark, idx, Seq(5L).toDF("vec_id"))
+    assert(Ivf.readCells(spark, idx)
+      .select("vec_id").as[Long].collect().toSet == committed - 5L)
+    assert(!new java.io.File(s"$idx/cells/data/run-000000001-dead0000").exists(),
+      "orphan attempt files survived GC")
+    // and no commit path ever renamed a directory: the pre-delete manifest
+    // was superseded, not swapped — the live one lists only surviving files
+    val manifests = new java.io.File(s"$idx/cells").listFiles()
+      .map(_.getName).filter(_.endsWith(".manifest.json"))
+    assert(manifests.length == 1)
+  }
+
+  test("legacy plain-dir index is adopted on first delete; reads work throughout") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-legacy").toString
+    // hand-write the pre-round-8 layout: hive __cell= partition dirs
+    val centroids = Ivf.trainCentroids(emb.where(col("vec_id") < 100),
+      "embedding", nlist = 2, iters = 1)
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.parquet(s"$idx/centroids")
+    emb.where(col("vec_id") < 100)
+      .withColumn("__cell", org.apache.spark.sql.functions
+        .element_at(graft.functions.F.nearestCentroids(col("embedding"),
+          centroids, 1), 1))
+      .write.partitionBy("__cell").parquet(s"$idx/cells")
+
+    assert(Ivf.readCells(spark, idx).count() == 100) // legacy passthrough
+    Ivf.deleteFromIndex(spark, idx, Seq(7L).toDF("vec_id"))
+    assert(Ivf.readCells(spark, idx).count() == 99)
+    assert(Upsert.currentSnapshot(spark, s"$idx/cells").isDefined,
+      "delete did not adopt the legacy dir into the store")
+    // legacy hive dirs were swept after adoption
+    assert(!new java.io.File(s"$idx/cells").listFiles()
+      .exists(_.getName.startsWith("__cell=")), "legacy dirs linger")
+    val probed = Ivf.probeIndex(spark, idx, emb.where(col("vec_id") < 3),
+      k = 5, nprobe = 2).select("neighbor_id").as[Long].collect().toSet
+    assert(!probed.contains(7L))
   }
 
   test("trainer is deterministic") {

@@ -84,7 +84,7 @@ class IncrementalStreamSpec extends SparkSpecBase {
     IncrementalStream.start(spark, src, target, ckpt,
       ivfIndexPath = Some(idx), ivfNlist = 2).awaitTermination()
     val frozen = graft.operators.Ivf.loadCentroids(spark, idx)
-    assert(spark.read.parquet(s"$idx/cells").count() == 2)
+    assert(graft.operators.Ivf.readCells(spark, idx).count() == 2)
 
     writeBatch(src, Seq(
       doc("s2", "2024-01-02 10:00:00", Seq(1f, 1f), "c", "", "c3")),
@@ -93,8 +93,8 @@ class IncrementalStreamSpec extends SparkSpecBase {
       ivfIndexPath = Some(idx), ivfNlist = 2).awaitTermination()
     // centroids frozen, new vector appended, probes see all keys
     assert(graft.operators.Ivf.loadCentroids(spark, idx) == frozen)
-    assert(spark.read.parquet(s"$idx/cells").count() == 3)
-    assert(spark.read.parquet(s"$idx/cells").select("main_refco")
+    assert(graft.operators.Ivf.readCells(spark, idx).count() == 3)
+    assert(graft.operators.Ivf.readCells(spark, idx).select("main_refco")
       .as[String].collect().toSet == Set("a", "b", "c"))
   }
 
@@ -165,7 +165,7 @@ class IncrementalStreamSpec extends SparkSpecBase {
       doc("s1", "2024-01-01 10:00:00", Seq(1f, 2f),
         "alpha beta gamma delta epsilon", "", "c1")), "batch0")
     run()
-    assert(spark.read.parquet(s"$idx/sigs").count() == 1)
+    assert(graft.operators.Dedup.readNearDupIndexTable(spark, idx, "sigs").count() == 1)
 
     // restart: a near-dup of the INDEXED row (est Jaccard ~0.83 >= 0.6)
     // under a new key, and a novel row — only the novel row merges and
@@ -183,7 +183,7 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(keys == Map(
       "alpha beta gamma delta epsilon" -> "c1",
       "totally different thing" -> "c3"), keys.toString)
-    assert(spark.read.parquet(s"$idx/sigs").count() == 2)
+    assert(graft.operators.Dedup.readNearDupIndexTable(spark, idx, "sigs").count() == 2)
 
     // same-key update still passes (exempt in the candidate join)
     writeBatch(src, Seq(
