@@ -195,7 +195,26 @@ object Dedup {
       thresholdDen: Int = 5): DataFrame = {
     val pairs = ngramJaccardPairs(df, idCol, textCol, blockCol,
       n, thresholdNum, thresholdDen)
-    val drops = Graph.dedupByPairs(pairs, "a_id", "b_id")
+    survivorsFromComponents(df, idCol,
+      Graph.connectedComponents(pairs, "a_id", "b_id"))
+  }
+
+  /** Min-id survivor filter over a PRE-COMPUTED component table — the
+    * shape to use when several survivor policies share one pair set: run
+    * the pair + CC stages ONCE (checkpoint the components), then each
+    * policy is a slim decision join instead of its own CC driver loop. */
+  def survivorsFromComponents(df: DataFrame, idCol: String,
+      comp: DataFrame): DataFrame = {
+    val drops = Graph.decisionsFromComponents(comp)
+      .where(!col("keep")).select(col("id").as("__drop_id"))
+    df.join(drops, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** Quality-policy twin of [[survivorsFromComponents]] (highest
+    * `qualityCol` survives each cluster; ties → smallest id). */
+  def survivorsFromComponentsBest(df: DataFrame, idCol: String,
+      qualityCol: String, comp: DataFrame): DataFrame = {
+    val drops = Graph.decisionsFromComponentsBest(comp, df, idCol, qualityCol)
       .where(!col("keep")).select(col("id").as("__drop_id"))
     df.join(drops, col(idCol) === col("__drop_id"), "left_anti")
   }
@@ -210,10 +229,8 @@ object Dedup {
       thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
     val pairs = ngramJaccardPairs(df, idCol, textCol, blockCol,
       n, thresholdNum, thresholdDen)
-    val drops = Graph.dedupByPairsBest(pairs, "a_id", "b_id",
-        df, idCol, qualityCol)
-      .where(!col("keep")).select(col("id").as("__drop_id"))
-    df.join(drops, col(idCol) === col("__drop_id"), "left_anti")
+    survivorsFromComponentsBest(df, idCol, qualityCol,
+      Graph.connectedComponents(pairs, "a_id", "b_id"))
   }
 
   /** Per-document repeated-span statistics — the aggregate form of

@@ -147,8 +147,15 @@ object Graph {
     * to a pair maps to its component's representative (the smallest id);
     * rows where `id != representative` are the drops. */
   def dedupByPairs(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    connectedComponents(pairs, aCol, bCol)
-      .select(col("id"), col("label").as("representative"))
+    decisionsFromComponents(connectedComponents(pairs, aCol, bCol))
+
+  /** Min-id keep/drop decisions over an ALREADY-COMPUTED component table
+    * ((id, label) from [[connectedComponents]]) — split out so several
+    * survivor policies can share ONE CC materialization instead of each
+    * re-running the iterative pair/CC stage (the CC driver loop's fixed
+    * per-round cost dominates small edge sets). */
+  def decisionsFromComponents(comp: DataFrame): DataFrame =
+    comp.select(col("id"), col("label").as("representative"))
       .withColumn("keep", col("id") === col("representative"))
 
   /** Keep/drop decisions with a QUALITY-based representative: per duplicate
@@ -160,8 +167,14 @@ object Graph {
     * per-component argmax picks survivors; nothing corpus-sized shuffles.
     */
   def dedupByPairsBest(pairs: DataFrame, aCol: String, bCol: String,
-      quality: DataFrame, qIdCol: String, qCol: String): DataFrame = {
-    val comp = connectedComponents(pairs, aCol, bCol)
+      quality: DataFrame, qIdCol: String, qCol: String): DataFrame =
+    decisionsFromComponentsBest(connectedComponents(pairs, aCol, bCol),
+      quality, qIdCol, qCol)
+
+  /** Quality-policy twin of [[decisionsFromComponents]], over a shared
+    * component table. */
+  def decisionsFromComponentsBest(comp: DataFrame, quality: DataFrame,
+      qIdCol: String, qCol: String): DataFrame = {
     val withQ = comp.join(
       quality.select(col(qIdCol).as("id"), col(qCol).as("__q")), "id")
     val best = withQ.groupBy("label")
