@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftConf.applyV2ExperimentIfRequested(spark)
     new java.io.File(outDir).mkdirs()
     // 4 queries in flight: Spark schedules concurrent actions from separate
     // threads; every query writes its own directory, so runs are
