@@ -143,6 +143,79 @@ object ScaleProfile {
     val (b5, i5) = manifestMergeProfile(out, "sf0.5")
     println(f"SCALE manifest_merge_build     sf0.1=$b1%6.2f s  sf0.5=$b5%6.2f s  exponent=${math.log(b5 / b1) / math.log(5.0)}%5.2f")
     println(f"SCALE manifest_merge_incr(2%%)  sf0.1=$i1%6.2f s  sf0.5=$i5%6.2f s  exponent=${math.log(i5 / i1) / math.log(5.0)}%5.2f")
+
+    // Compliance-erasure profile (round 8): the erasure contract is
+    // touched-bytes ∝ touched-buckets/nBuckets of the TABLE, independent
+    // of corpus size at fixed bucket coverage. For each corpus and each
+    // key-list size (0.1% / 1% of rows), report the bucket coverage, the
+    // byte fraction the rewrite touches (measured from the manifest
+    // before the delete), and wall time. nBuckets=256 so a 0.1% key list
+    // exercises genuine pruning (≈ |keys| of 256 buckets).
+    def fileBytes(fs: org.apache.hadoop.fs.FileSystem, paths: Seq[String]): Long =
+      paths.map(p => fs.getFileStatus(new Path(p)).getLen).sum
+    def erasureManifestProfile(dir: String, tag: String): Unit = {
+      val docs = Tables.documents(spark, dir)
+      val n = docs.count()
+      Seq(0.001, 0.01).foreach { frac =>
+        val root = s"/tmp/scale/erasure-$tag-$frac"
+        val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        operators.Upsert.mergeIntoManifestBucketedParquet(spark, root, docs,
+          Seq("doc_id"), nBuckets = 256)
+        val k = math.max(1, (n * frac).toInt)
+        val keys = docs.select("doc_id").orderBy("doc_id").limit(k)
+        val manifest = operators.Upsert.readBucketManifest(spark, root)
+        val touched = keys
+          .select(pmod(xxhash64(col("doc_id")), lit(256)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val touchedBytes = fileBytes(fs,
+          touched.toSeq.flatMap(b => manifest.getOrElse(b, Nil)))
+        val totalBytes = fileBytes(fs, manifest.values.flatten.toSeq)
+        val t = { // one-shot: a second run would find the keys gone
+          val t0 = System.nanoTime()
+          operators.Upsert.deleteKeysFromManifestBucketedParquet(spark, root,
+            keys, Seq("doc_id"), nBuckets = 256)
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"SCALE erasure_manifest $tag%-6s keys=$k%5d (${frac * 100}%4.1f%%) " +
+          f"buckets=${touched.size}%3d/256 " +
+          f"bytes=${100.0 * touchedBytes / totalBytes}%5.1f%% t=$t%6.2f s")
+      }
+    }
+    def erasureIvfProfile(dir: String, tag: String): Unit = {
+      val emb = Tables.embeddings(spark, dir)
+      val n = emb.count()
+      Seq(0.001, 0.01).foreach { frac =>
+        val root = s"/tmp/scale/erasure-ivf-$tag-$frac"
+        val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(root), true)
+        operators.Ivf.buildIndex(spark, root, emb,
+          trainOn = emb.where(pmod(col("vec_id"), lit(20)) === 0),
+          nlist = 64, iters = 1)
+        val k = math.max(1, (n * frac).toInt)
+        val keys = emb.select("vec_id").orderBy("vec_id").limit(k)
+        val manifest = operators.Upsert.readBucketManifest(spark, s"$root/cells")
+        val touched = operators.Ivf.readCells(spark, root)
+          .join(keys, Seq("vec_id"), "left_semi")
+          .select("__cell").distinct().collect()
+          .map(_.getAs[Number]("__cell").intValue()).toSet
+        val touchedBytes = fileBytes(fs,
+          touched.toSeq.flatMap(c => manifest.getOrElse(c, Nil)))
+        val totalBytes = fileBytes(fs, manifest.values.flatten.toSeq)
+        val t = {
+          val t0 = System.nanoTime()
+          operators.Ivf.deleteFromIndex(spark, root, keys)
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"SCALE erasure_ivf      $tag%-6s keys=$k%5d (${frac * 100}%4.1f%%) " +
+          f"cells=${touched.size}%3d/64  " +
+          f"bytes=${100.0 * touchedBytes / totalBytes}%5.1f%% t=$t%6.2f s")
+      }
+    }
+    erasureManifestProfile(src, "sf0.1")
+    erasureManifestProfile(out, "sf0.5")
+    erasureIvfProfile(src, "sf0.1")
+    erasureIvfProfile(out, "sf0.5")
     spark.stop()
   }
 }
