@@ -97,7 +97,8 @@ object Pipeline {
       sources: Long,
       stagedFiles: Long,
       stagedBytes: Long,
-      newWatermarks: Map[String, Timestamp])
+      newWatermarks: Map[String, Timestamp],
+      cjkUnmapped: Long = 0L)
 
   def run(spark: SparkSession, conf: Config): RunStats = {
     // F2 rides the scan: the reference's Mongo query filters empty
@@ -134,7 +135,14 @@ object Pipeline {
         dim = conf.vectorDim, enforceDim = conf.enforceVectorDim,
         extraChecks = extraChecks)
       .observe(quarantineObs,
-        sum(when(size(col("__errors")) > 0, 1L).otherwise(0L)).as("n_bad"))
+        sum(when(size(col("__errors")) > 0, 1L).otherwise(0L)).as("n_bad"),
+        // out-of-table CJK in the merge-key inputs: these characters DROP
+        // from main_refco (SURVEY §7.4.1's bounded-pinyin divergence) —
+        // counted here so the silent key truncation is observable per run
+        sum(graft.functions.F.cjkUnmapped(
+          concat_ws("_", coalesce(col("cleaned_ref"), lit("")),
+            coalesce(col("color"), lit("")))).cast("long"))
+          .as("n_cjk_unmapped"))
     val good = flagged.where(size(col("__errors")) === 0)
       .drop("__errors", "__malformed")
     val filtered = Extract.incrementalFilter(good, wmDf, conf.fallbackDate)
@@ -150,6 +158,10 @@ object Pipeline {
       case n: Long => n
       case null => 0L
     }
+    val nCjkUnmapped = quarantineObs.get("n_cjk_unmapped") match {
+      case n: Long => n
+      case null => 0L
+    }
 
     // Parquet footer count — metadata only, no data scan. Explicit schema:
     // an empty staged batch has no footers to infer from (F6 rerun path).
@@ -159,7 +171,7 @@ object Pipeline {
     // F6: empty-batch short-circuit — no merge, no watermark change.
     if (recordsProcessed == 0L) {
       cleanupStaging(spark, conf)
-      return RunStats(0L, 0L, nQuarantined, 0L, 0L, 0L, prior)
+      return RunStats(0L, 0L, nQuarantined, 0L, 0L, 0L, prior, nCjkUnmapped)
     }
 
     // W1: keep-latest per merge key, ordering lexicographic on ISO string
@@ -231,7 +243,7 @@ object Pipeline {
     cleanupStaging(spark, conf)
 
     RunStats(recordsProcessed, uniqueRecords, nQuarantined,
-      maxima.size.toLong, nFiles, nBytes, advanced)
+      maxima.size.toLong, nFiles, nBytes, advanced, nCjkUnmapped)
   }
 
   /** S7: per-run file count and byte size of the staged Parquet batch

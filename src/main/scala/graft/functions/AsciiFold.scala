@@ -48,6 +48,31 @@ case class AsciiFold(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `cjk_unmapped_count(s)` — how many CJK ideographs in `s` would be
+  * silently DROPPED by [[AsciiFold]] (outside [[CjkFold]]'s bounded
+  * pinyin table): the observability hook for the documented unidecode
+  * divergence (SURVEY §7.4.1). A merge key losing characters stops being
+  * an invisible failure and becomes a pipeline stat. */
+case class CjkUnmappedCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cjk_unmapped_count requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "cjk_unmapped_count"
+
+  override def nullSafeEval(input: Any): Any =
+    AsciiFold.unmappedCjk(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AsciiFold$$.MODULE$$.unmappedCjk($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): CjkUnmappedCount =
+    copy(child = newChild)
+}
+
 object AsciiFold {
   private val manual: Map[Char, String] = Map(
     'Æ' -> "AE", 'æ' -> "ae", 'Ø' -> "O", 'ø' -> "o",
@@ -174,6 +199,21 @@ object AsciiFold {
     val sb = new java.lang.StringBuilder(s.length)
     foldInto(s, sb)
     sb.toString
+  }
+
+  /** Count of CJK ideographs (URO + Extension A) in `s` with no
+    * transliteration — the characters [[fold]] drops. Backing for
+    * [[CjkUnmappedCount]]. */
+  def unmappedCjk(s: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch >= 0x3400 && ch <= 0x9FFF &&
+          !direct.contains(ch) && CjkFold.fold(ch).isEmpty) n += 1
+      i += 1
+    }
+    n
   }
 
   private def foldInto(s: String, sb: java.lang.StringBuilder): Unit = {

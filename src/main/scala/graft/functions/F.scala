@@ -15,6 +15,12 @@ object F {
   /** Unicode→ASCII transliteration (see [[AsciiFold]]). */
   def asciiFold(c: Column): Column = Glue.column(AsciiFold(Glue.expression(c)))
 
+  /** CJK ideographs [[asciiFold]] would silently drop (see
+    * [[CjkUnmappedCount]]) — sum it in an `Observation` to make the
+    * bounded-pinyin-table divergence measurable per run. */
+  def cjkUnmapped(c: Column): Column =
+    Glue.column(CjkUnmappedCount(Glue.expression(c)))
+
   /** The reference's `mimic_utf8_general_ci` key normalization
     * (reference `embeddings-pipeline.py:63-72`): transliterate to ASCII,
     * strip `.` and `$`, right-trim, lowercase. */

@@ -42,6 +42,9 @@ object FunctionDefs {
     ("ascii_fold",
       "ascii_fold(str) - Unicode->ASCII transliteration",
       es => AsciiFold(es.head)),
+    ("cjk_unmapped_count",
+      "cjk_unmapped_count(str) - CJK ideographs ascii_fold would drop",
+      es => CjkUnmappedCount(es.head)),
     ("cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two vectors",
       es => CosineSim(es(0), es(1))),

@@ -21,6 +21,30 @@ class PipelineSpec extends SparkSpecBase {
   private val cols = Seq("source", "timestamp", "embeddings", "cleaned_ref",
     "color", "category", "country", "embeddings_type", "for_matching")
 
+  test("cjk_unmapped stat counts merge-key ideographs the fold drops") {
+    val dir = Files.createTempDirectory("graft-pipe-cjk").toString
+    val conf = Pipeline.Config(
+      sourcePath = s"$dir/source",
+      targetPath = s"$dir/target",
+      statePath = s"$dir/state.json",
+      stagingPath = s"$dir/staging",
+      vectorDim = 2)
+    Seq(
+      doc("s1", "2024-02-01 10:00:00", "中国", ""),  // both hanzi mapped
+      doc("s1", "2024-02-01 11:00:00", "x㐀y", ""), // ext-A: outside table
+      doc("s1", "2024-02-01 12:00:00", "r9", "㐁")  // dropped via color too
+    ).toDF(cols: _*).write.mode(SaveMode.Overwrite).parquet(conf.sourcePath)
+    val stats = Pipeline.run(spark, conf)
+    assert(stats.cjkUnmapped == 2L,
+      s"expected 2 dropped ideographs, got ${stats.cjkUnmapped}")
+    // the mapped key is intact; the unmapped chars silently vanished from
+    // keys — which is exactly why the stat exists
+    val keys = graft.operators.Upsert.readTarget(spark, conf.targetPath)
+      .select("main_refco").collect().map(_.getString(0)).toSet
+    assert(keys.contains("zhong guo"))
+    assert(keys.contains("xy"))
+  }
+
   test("manifest-commit bucketed pipeline merges incrementally") {
     val dir = Files.createTempDirectory("graft-pipe-manifest").toString
     val conf = Pipeline.Config(
@@ -102,6 +126,7 @@ class PipelineSpec extends SparkSpecBase {
     val run1 = Pipeline.run(spark, conf)
     assert(run1.recordsProcessed == 3L)
     assert(run1.quarantined == 1L)
+    assert(run1.cjkUnmapped == 0L) // all-ASCII keys: nothing dropped
     val t1 = graft.operators.Upsert.readTarget(spark, conf.targetPath)
     assert(t1.count() == 2L) // r1 deduped to latest, r2_red
     assert(WatermarkStore.read(spark, conf.statePath) == Map(

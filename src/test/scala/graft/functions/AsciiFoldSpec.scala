@@ -59,6 +59,29 @@ class AsciiFoldSpec extends SparkSpecBase {
     assert(AsciiFold.fold("日本。") == "ri ben . ")
   }
 
+  test("fold: round-8 extension-tier hanzi transliterate") {
+    // characters from the tier-2 table (outside the original ~2.7k)
+    assert(AsciiFold.fold("韬") == "tao ")
+    assert(AsciiFold.fold("鲲鹏") == "kun peng ")
+    assert(AsciiFold.fold("琥珀") == "hu po ")
+    assert(AsciiFold.fold("蟋蟀") == "xi shuai ")
+    assert(AsciiFold.fold("涮") == "shuan ")   // spot-corrected polyphone
+    assert(AsciiFold.fold("炔") == "que ")     // spot-corrected polyphone
+  }
+
+  test("cjk_unmapped_count: dropped ideographs are counted, mapped ones are not") {
+    assert(AsciiFold.unmappedCjk("hello") == 0)
+    assert(AsciiFold.unmappedCjk("中国") == 0)          // fully mapped
+    assert(AsciiFold.fold("㐀") == "")              // ext-A: outside table
+    assert(AsciiFold.unmappedCjk("中㐀国㐁") == 2)
+    // kana/hangul are not ideographs and never count
+    assert(AsciiFold.unmappedCjk("かな한국") == 0)
+    // agreement property: a string with zero unmapped count never loses
+    // ideographs in fold (every ideograph emits pinyin + trailing space)
+    val s = "气候变化影响深远"
+    assert(AsciiFold.unmappedCjk(s) == 0 && AsciiFold.fold(s).nonEmpty)
+  }
+
   test("property: CJK blocks fold to pure ASCII") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val charGen = Gen.frequency(
