@@ -14,6 +14,31 @@ import graft.operators.{Dedup, Extract, Upsert}
   */
 object IncrementalStream {
 
+  /** A composable stream-stream enrichment stage for [[start]] (the
+    * left-outer twin of the curation hook): a second streaming source is
+    * time-bounded-joined onto the record stream BEFORE dedup/merge via
+    * [[joinWithinWatermark]], so the merged target carries the
+    * enrichment columns. `left_outer` (the default) lets an unenriched
+    * record through with NULL enrichment once the watermark proves no
+    * match can still arrive — records are delayed, never lost.
+    *
+    * @param sourceDir streaming parquet dir of the enrichment side
+    * @param schema    its schema (streaming reads need one up front)
+    * @param keyCols   equi-join keys, present on both sides
+    *                  (the record stream exposes `main_refco`)
+    * @param rightTs   the enrichment side's event-time column
+    * @param lateness  watermark delay on both sides
+    * @param within    max |record.ts − enrichment.ts| that still joins —
+    *                  the time bound that makes the join state finite */
+  final case class EnrichSpec(
+      sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyCols: Seq[String],
+      rightTs: String,
+      lateness: String = "10 minutes",
+      within: String = "1 hour",
+      joinType: String = "left_outer")
+
   /** Start the streaming upsert. Each micro-batch runs
     * filter → transform → dedup → merge, identical to the batch path.
     *
@@ -24,6 +49,10 @@ object IncrementalStream {
     *   generation is the bucketed LSH join — never a batch × target
     *   cartesian — so the cost scales with colliding buckets, and the
     *   check survives restarts because the target itself is the state.
+    * @param enrich optional stream-stream enrichment stage ([[EnrichSpec]]):
+    *   runs INSIDE the streaming plan (checkpointed join state, so a
+    *   buffered record joins an enrichment row arriving in a later run),
+    *   upstream of the per-batch dedup + merge.
     */
   def start(spark: SparkSession, sourceDir: String, targetPath: String,
       checkpointDir: String, nearDupTextCol: Option[String] = None,
@@ -31,12 +60,31 @@ object IncrementalStream {
       nearDupIndexPath: Option[String] = None,
       curate: Option[DataFrame => DataFrame] = None,
       ivfIndexPath: Option[String] = None,
-      ivfNlist: Int = 16): StreamingQuery = {
+      ivfNlist: Int = 16,
+      enrich: Option[EnrichSpec] = None): StreamingQuery = {
     val docs = spark.readStream
       .schema(graft.schema.Schemas.sourceDoc)
       .parquet(sourceDir)
 
-    val records = Extract.deriveRecord(Extract.nonEmptyEmbeddings(docs))
+    // the enrichment join needs a true event-time column on the left:
+    // carry the source `timestamp` through the projection, drop it after
+    val base = Extract.deriveRecord(Extract.nonEmptyEmbeddings(docs),
+      keep = if (enrich.isDefined) Seq("timestamp") else Nil)
+    val records = enrich match {
+      case None => base
+      case Some(e) =>
+        val right = spark.readStream.schema(e.schema).parquet(e.sourceDir)
+        val joined = joinWithinWatermark(base, right, e.keyCols,
+          leftTs = "timestamp", rightTs = e.rightTs,
+          lateness = e.lateness, within = e.within, joinType = e.joinType)
+        // left record columns + the enrichment payload (keys/ts already
+        // represented on the left); drop the carried event-time column
+        val payload = e.schema.fieldNames
+          .filterNot(c => e.keyCols.contains(c) || c == e.rightTs)
+        joined.select(
+          base.columns.filterNot(_ == "timestamp").map(c => col(s"l.$c")) ++
+            payload.map(c => col(s"r.$c")): _*)
+    }
 
     records.writeStream
       .outputMode("append")

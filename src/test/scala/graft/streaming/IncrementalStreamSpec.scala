@@ -327,6 +327,60 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(got.contains(("L2", None)), s"unmatched left not emitted: $got")
   }
 
+  test("enrich stage through start: left-outer join lands enrichment in the target") {
+    import org.apache.spark.sql.types._
+    val src = tmp("enrich-src"); val eSrc = tmp("enrich-es")
+    val ckpt = tmp("enrich-ckpt"); val target = tmp("enrich-target") + "/out"
+    val eSchema = StructType(Seq(
+      StructField("main_refco", StringType),
+      StructField("ets", TimestampType),
+      StructField("score", DoubleType)))
+
+    def writeEnrich(part: String, rows: Seq[Row]): Unit = {
+      val staging = tmp(s"enrich-stage-$part")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), eSchema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val f = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$eSrc/$part.parquet"))
+    }
+    val spec = IncrementalStream.EnrichSpec(eSrc, eSchema,
+      keyCols = Seq("main_refco"), rightTs = "ets",
+      lateness = "10 minutes", within = "10 minutes")
+    def runPass(): Unit =
+      IncrementalStream.start(spark, src, target, ckpt, enrich = Some(spec))
+        .awaitTermination()
+
+    // record "a" has a within-window enrichment row; record "b" has none
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-01 10:00:00", Seq(1f, 2f), "a", "", "c1"),
+      doc("s1", "2024-01-01 10:00:00", Seq(3f, 4f), "b", "", "c2")), "batch0")
+    writeEnrich("batch0", Seq(
+      Row("a", Timestamp.valueOf("2024-01-01 10:05:00"), 0.9)))
+    runPass()
+    val t1 = graft.operators.Upsert.readTarget(spark, target)
+      .select("main_refco", "score").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(t1("a") == Some(0.9), s"enrichment column missing: $t1")
+
+    // advance the watermark on both sides past b's window: the outer side
+    // must emit b with NULL enrichment — delayed, never lost
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-01 12:00:00", Seq(9f, 9f), "z", "", "c9")), "batch1")
+    writeEnrich("batch1", Seq(
+      Row("z", Timestamp.valueOf("2024-01-01 12:00:00"), 0.1)))
+    runPass()
+    runPass() // outer emission lands once the restored watermark applies
+
+    val t2 = graft.operators.Upsert.readTarget(spark, target)
+      .select("main_refco", "score").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(t2("a") == Some(0.9))
+    assert(t2.contains("b") && t2("b").isEmpty,
+      s"unmatched record never emitted or carried phantom enrichment: $t2")
+    assert(t2("z") == Some(0.1))
+  }
+
   test("streaming dedup within watermark drops cross-batch re-deliveries") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
