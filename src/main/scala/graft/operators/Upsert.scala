@@ -106,11 +106,12 @@ object Upsert {
     * not atomic; on S3/GCS the pointer PUT itself is). */
   private def publishPointer(fs: org.apache.hadoop.fs.FileSystem,
       hadoopConf: org.apache.hadoop.conf.Configuration, targetPath: String,
-      snapName: String, tmpTag: String): Unit = pointerLock.synchronized {
+      snapName: String, tmpTag: String): Boolean = pointerLock.synchronized {
     val cur = pointerPath(targetPath)
     if (fs.exists(cur)) {
       val curId = idOf(readFileBody(fs, cur).trim, "snap-")
-      if (curId.exists(c => idOf(snapName, "snap-").exists(_ <= c))) return
+      if (curId.exists(c => idOf(snapName, "snap-").exists(_ <= c)))
+        return false // a same-or-newer commit already published
     }
     val uniq = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(targetPath, s"_current.tmp-$tmpTag-$uniq")
@@ -119,6 +120,7 @@ object Upsert {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, hadoopConf)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(pointerPath(targetPath)),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    true
   }
 
   /** Adopt a pre-pointer plain-Parquet target in place: a directory that
@@ -239,8 +241,17 @@ object Upsert {
       .parquet(new Path(root, snapName).toString)
 
     // Publish: write the pointer beside the target, then rename-with-
-    // overwrite onto _current — a single-file atomic replace.
-    publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString)
+    // overwrite onto _current — a single-file atomic replace. This layout
+    // is SINGLE-WRITER by contract (every run is a full rewrite; the
+    // manifest-bucketed layout is the concurrent-writer path): a detected
+    // race fails LOUDLY instead of silently losing one writer's merge —
+    // the merge is idempotent, so rerunning the failed batch recovers.
+    if (currentSnapshot(spark, targetPath) != current ||
+        !publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString))
+      throw new CommitConflictException(
+        s"concurrent commit detected on single-writer snapshot target " +
+          s"$targetPath (expected $current): rerun this merge, or use " +
+          "mergeIntoManifestBucketedParquet for concurrent writers")
 
     // GC: keep the newest `keepSnapshots` snapshot dirs (the committed one
     // is the newest by construction); delete older ones, crashed runs'
@@ -640,6 +651,14 @@ object Upsert {
     if (name.startsWith(prefix) && digits.nonEmpty) Some(digits.toLong) else None
   }
 
+  /** listStatus that tolerates a concurrently-vanishing path: a LOSING
+    * commit attempt deletes its own run dir while the winner's GC may be
+    * mid-listing — the dir disappearing just means nothing to sweep. */
+  private def listSafe(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    try { if (fs.exists(p)) fs.listStatus(p) else Array.empty }
+    catch { case _: java.io.FileNotFoundException => Array.empty }
+
   /** Ids of every committed manifest on disk (manifest CREATION is the
     * commit point under optimistic concurrency — the pointer is derived,
     * possibly one commit behind after a crash). */
@@ -790,7 +809,7 @@ object Upsert {
       }
     }.map(e => normalize(fs, new Path(resolveEntry(targetPath, e)))).toSet
     val dataRoot = new Path(root, "data")
-    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { run =>
+    listSafe(fs, dataRoot).foreach { run =>
       val runId = idOf(run.getPath.getName, "run-")
       if (runId.forall(_ <= nextId)) { // skip concurrent newer writers
         var kept = false
@@ -799,8 +818,8 @@ object Upsert {
             if (!live.contains(normalize(fs, f.getPath))) fs.delete(f.getPath, false)
             else kept = true
           }
-        fs.listStatus(run.getPath).foreach { e =>
-          if (e.isDirectory) fs.listStatus(e.getPath).foreach(sweep) else sweep(e)
+        listSafe(fs, run.getPath).foreach { e =>
+          if (e.isDirectory) listSafe(fs, e.getPath).foreach(sweep) else sweep(e)
         }
         if (!kept) fs.delete(run.getPath, true)
       }
@@ -848,7 +867,11 @@ object Upsert {
         (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
           .parquet(new Path(root, snapName).toString)
         val after = spark.read.parquet(new Path(root, snapName).toString).count()
-        publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString)
+        // same loud-conflict contract as mergeIntoParquet (single-writer layout)
+        if (!currentSnapshot(spark, targetPath).contains(snap) ||
+            !publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString))
+          throw new CommitConflictException(
+            s"concurrent commit detected on single-writer snapshot target $targetPath")
         val retained = (nextId - keepSnapshots + 1) to nextId
         fs.listStatus(root).foreach { st =>
           val n = st.getPath.getName
@@ -892,7 +915,11 @@ object Upsert {
         (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
           .parquet(new Path(root, snapName).toString)
         val after = spark.read.parquet(new Path(root, snapName).toString).count()
-        publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString)
+        // same loud-conflict contract as mergeIntoParquet (single-writer layout)
+        if (!currentSnapshot(spark, targetPath).contains(snap) ||
+            !publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString))
+          throw new CommitConflictException(
+            s"concurrent commit detected on single-writer snapshot target $targetPath")
         val retained = (nextId - keepSnapshots + 1) to nextId
         fs.listStatus(root).foreach { st =>
           val n = st.getPath.getName
@@ -992,7 +1019,7 @@ object Upsert {
           else parseManifestEntries(readFileBody(fs, p)).values.flatten
         }.map(e => normalize(fs, new Path(resolveEntry(targetPath, e)))).toSet
         val dataRoot = new Path(root, "data")
-        if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { run =>
+        listSafe(fs, dataRoot).foreach { run =>
           if (idOf(run.getPath.getName, "run-").forall(_ <= curId)) {
             var kept = false
             def sweep(f: org.apache.hadoop.fs.FileStatus): Unit =
@@ -1001,8 +1028,8 @@ object Upsert {
                   fs.delete(f.getPath, false)
                 else kept = true
               }
-            fs.listStatus(run.getPath).foreach { e =>
-              if (e.isDirectory) fs.listStatus(e.getPath).foreach(sweep)
+            listSafe(fs, run.getPath).foreach { e =>
+              if (e.isDirectory) listSafe(fs, e.getPath).foreach(sweep)
               else sweep(e)
             }
             if (!kept) fs.delete(run.getPath, true)
