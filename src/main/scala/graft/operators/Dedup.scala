@@ -377,8 +377,11 @@ object Dedup {
     Seq("sigs", "bands").foreach { t =>
       val root = s"$indexPath/$t"
       if (IndexStore.exists(spark, root))
-        IndexStore.rewrite(spark, root,
-          IndexStore.read(spark, root).join(ks, Seq("id"), "left_anti"))
+        // compute-in-loop: a conflict with a concurrent index append
+        // re-reads the winner's snapshot instead of recommitting an
+        // anti-join pinned to pre-conflict files (ADVICE r8)
+        IndexStore.rewriteWith(spark, root)(() =>
+          (IndexStore.read(spark, root).join(ks, Seq("id"), "left_anti"), None))
     }
   }
 

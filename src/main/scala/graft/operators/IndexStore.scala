@@ -112,23 +112,36 @@ object IndexStore {
       partCol: Option[String] = None, sortCols: Seq[String] = Nil): Unit =
     if (!isStore(spark, root) && legacyEntries(spark, root).nonEmpty)
       rewrite(spark, root, read(spark, root).unionByName(df), None, partCol, sortCols)
-    else commitLoop(spark, root, df, touched = None, partCol, sortCols,
+    else commitLoop(spark, root, () => (df, None), partCol, sortCols,
       appendEntries = true)
 
   /** Rewrite partitions: `touched = Some(ps)` replaces exactly those
     * partitions' entries with `df`'s files (incremental delete/compact —
     * `df` must hold the FULL new content of those partitions and nothing
     * else); `touched = None` replaces the whole table. Callers doing a
-    * partial rewrite of a legacy dir must [[adopt]] first. */
+    * partial rewrite of a legacy dir must [[adopt]] first.
+    *
+    * NB `df` here is a CONSTANT plan: use this overload only when the new
+    * content does not derive from the store's own committed state (full
+    * build from a corpus). A delete/compact whose `df` reads the store
+    * must go through [[rewriteWith]] so a conflict retry recomputes
+    * against the winner's state instead of recommitting a stale plan. */
   def rewrite(spark: SparkSession, root: String, df: DataFrame,
       touched: Option[Seq[Int]] = None,
-      partCol: Option[String] = None, sortCols: Seq[String] = Nil): Unit = {
-    require(touched.isEmpty || isStore(spark, root) ||
-      legacyEntries(spark, root).isEmpty,
-      s"partial rewrite of legacy index dir $root — adopt() it first")
-    commitLoop(spark, root, df, touched, partCol, sortCols,
-      appendEntries = false)
-  }
+      partCol: Option[String] = None, sortCols: Seq[String] = Nil): Unit =
+    rewriteWith(spark, root, partCol, sortCols)(() => (df, touched))
+
+  /** Rewrite with RECOMPUTE-ON-RETRY (ADVICE r8): `compute` is invoked
+    * inside the optimistic-commit loop, AFTER the committed state is
+    * (re-)read — so on a [[graft.operators.Upsert.CommitConflictException]]
+    * the transformation (typically: read the store, anti-join a delete
+    * list, derive the touched partitions) is rebuilt against the winner's
+    * snapshot rather than replayed from a stale file list. Returns
+    * `(df, touched)` with `touched` as in [[rewrite]]. */
+  def rewriteWith(spark: SparkSession, root: String,
+      partCol: Option[String] = None, sortCols: Seq[String] = Nil)(
+      compute: () => (DataFrame, Option[Seq[Int]])): Unit =
+    commitLoop(spark, root, compute, partCol, sortCols, appendEntries = false)
 
   /** Fold a legacy plain-dir index into the store (no-op if already a
     * store or nothing exists) — one full rewrite, then the legacy files
@@ -138,8 +151,8 @@ object IndexStore {
     if (!isStore(spark, root) && legacyEntries(spark, root).nonEmpty)
       rewrite(spark, root, read(spark, root), None, partCol, sortCols)
 
-  private def commitLoop(spark: SparkSession, root: String, df: DataFrame,
-      touched: Option[Seq[Int]], partCol: Option[String],
+  private def commitLoop(spark: SparkSession, root: String,
+      compute: () => (DataFrame, Option[Seq[Int]]), partCol: Option[String],
       sortCols: Seq[String], appendEntries: Boolean,
       maxRetries: Int = 5): Unit = {
     val hadLegacy = legacyEntries(spark, root).nonEmpty
@@ -151,6 +164,12 @@ object IndexStore {
       val manifest = current
         .flatMap(s => Upsert.manifestBody(spark, root, Some(s)))
         .map(Upsert.parseManifestEntries).getOrElse(Map.empty)
+      // compute() runs AFTER the state read of THIS attempt, so a retry
+      // after a conflict rebuilds df/touched from the winner's snapshot —
+      // never recommits a plan pinned to pre-conflict files (ADVICE r8)
+      val (df, touched) = compute()
+      require(touched.isEmpty || !hadLegacy,
+        s"partial rewrite of legacy index dir $root — adopt() it first")
       val touchedParts: Seq[Int] = touched.getOrElse(partCol match {
         case Some(pc) =>
           val dfParts = df.select(col(pc).cast("int")).distinct()
@@ -167,6 +186,13 @@ object IndexStore {
       } catch {
         case e: Upsert.CommitConflictException =>
           if (attempt > maxRetries) throw e
+        case scala.util.control.NonFatal(e)
+            if Upsert.racedSince(spark, root, current) &&
+              attempt <= maxRetries =>
+          // collateral of a concurrent winner's GC (it may have swept this
+          // attempt's inputs): re-read + recompute + retry (ADVICE r8)
+          System.err.println(s"[graft] index commit on $root failed under a " +
+            s"concurrent commit (${e.getClass.getSimpleName}); retrying")
       }
     }
     if (hadLegacy) sweepLegacy(spark, root)

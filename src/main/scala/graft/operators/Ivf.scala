@@ -186,6 +186,36 @@ object Ivf {
     appendCells(spark, indexPath, fresh, idCol, vecCol, overwrite = !hasCells)
   }
 
+  // ------------------------------------------------------------------
+  // Reverse lookup (round 9): <indexPath>/idmap/ is a slim
+  // (id, __cell, __idb) table bucketed by __idb = pmod(xxhash64(id), 64),
+  // committed through the same [[IndexStore]] as the cells. Compliance
+  // erasure used to LOCATE the deleted ids' cells with a column-pruned
+  // scan of the WHOLE cells table — a fixed O(index rows) floor per
+  // erasure job (~3 s at sf0.1×5, linear at 100 TB). With the idmap,
+  // locating reads only the manifest entries of the ≤ min(|keys|, 64)
+  // id-buckets the keys hash to: O(|keys|) rows touched, independent of
+  // index size. The map itself is maintained incrementally by the same
+  // jobs that maintain the cells (build/add/compact/delete).
+  // ------------------------------------------------------------------
+
+  private[operators] val IdMapBuckets = 64
+  private def idMapRoot(indexPath: String): String = s"$indexPath/idmap"
+  private def idb(idCol: String) =
+    pmod(xxhash64(col(idCol)), lit(IdMapBuckets)).cast("int")
+
+  /** Build the reverse lookup for an index that predates it: ONE
+    * column-pruned pass over the cells — the legacy locating scan, paid
+    * once instead of on every erasure. No-op when already present. */
+  def ensureIdMap(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      idCol: String = "vec_id"): Unit =
+    if (!IndexStore.exists(spark, idMapRoot(indexPath)) &&
+        IndexStore.exists(spark, s"$indexPath/cells"))
+      IndexStore.rewrite(spark, idMapRoot(indexPath),
+        readCells(spark, indexPath).select(col(idCol), col("__cell"))
+          .withColumn("__idb", idb(idCol)),
+        None, Some("__idb"), Seq(idCol))
+
   private def appendCells(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, vectors: DataFrame, idCol: String, vecCol: String,
       overwrite: Boolean): Unit = {
@@ -193,37 +223,67 @@ object Ivf {
     val assigned = Par.spread(vectors)
       .withColumn("__cell",
         element_at(F.nearestCentroids(col(vecCol), centroids, 1), 1))
-    if (overwrite)
+    if (overwrite) {
       IndexStore.rewrite(spark, s"$indexPath/cells", assigned,
         None, Some("__cell"))
-    else
+      // full build: derive the idmap from the COMMITTED cells (a slim
+      // column-pruned read-back) instead of re-running the centroid
+      // assignment over the whole corpus a second time
+      IndexStore.rewrite(spark, idMapRoot(indexPath),
+        readCells(spark, indexPath).select(col(idCol), col("__cell"))
+          .withColumn("__idb", idb(idCol)),
+        None, Some("__idb"), Seq(idCol))
+    } else {
       IndexStore.append(spark, s"$indexPath/cells", assigned, Some("__cell"))
+      // incremental: the batch is small — recomputing its assignment for
+      // the slim idmap rows is cheaper than materializing the batch
+      IndexStore.append(spark, idMapRoot(indexPath),
+        assigned.select(col(idCol), col("__cell"))
+          .withColumn("__idb", idb(idCol)),
+        Some("__idb"), Seq(idCol))
+    }
   }
 
   /** Erase vectors from a persisted index — the index-side half of a
     * compliance delete ([[Upsert.deleteFromParquet]] removes the rows; an
-    * ANN index still holding the vectors is not an erasure). Rewrites
-    * ONLY the `__cell` partitions the deleted ids live in (found via a
-    * column-pruned (id, __cell) scan), so the job touches ~|ids|/nlist of
-    * the stored corpus. The rewrite commits through [[IndexStore]]:
-    * untouched cells keep their manifest entries verbatim (no copy), an
-    * emptied cell maps to an empty entry, and a crash at any point leaves
-    * the PREVIOUS index fully readable — no delete-then-rename window. */
+    * ANN index still holding the vectors is not an erasure). The deleted
+    * ids' cells are LOCATED through the idmap reverse lookup (round 9):
+    * only the ≤ min(|ids|, [[IdMapBuckets]]) id-buckets the keys hash to
+    * are read — O(|ids|) work, where the previous column-pruned
+    * whole-cells scan was a fixed O(index rows) floor per erasure. Then
+    * ONLY the located `__cell` partitions are rewritten (~|ids|/nlist of
+    * the stored corpus), and the idmap's touched buckets retire the same
+    * ids. Every rewrite commits through [[IndexStore]] with
+    * recompute-on-retry: untouched cells keep their manifest entries
+    * verbatim, an emptied cell maps to an empty entry, a crash at any
+    * point leaves the PREVIOUS index fully readable, and a conflict with
+    * a concurrent index writer re-locates against the winner's snapshot
+    * (ADVICE r8). A pre-idmap index pays one [[ensureIdMap]] scan. */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, ids: DataFrame, idCol: String = "vec_id"): Unit = {
     val cellsRoot = s"$indexPath/cells"
+    if (!IndexStore.exists(spark, cellsRoot)) return
     IndexStore.adopt(spark, cellsRoot, Some("__cell")) // legacy dirs: one-time
+    ensureIdMap(spark, indexPath, idCol)
     val idsD = ids.select(col(idCol)).distinct()
-    val touched = readCells(spark, indexPath)
-      .select(col(idCol), col("__cell"))
-      .join(idsD, Seq(idCol), "left_semi")
-      .select("__cell").distinct()
-      .collect().map(_.getAs[Number]("__cell").intValue()).sorted
-    if (touched.isEmpty) return
-    val remaining = readCells(spark, indexPath, Some(touched.toIndexedSeq))
-      .join(idsD, Seq(idCol), "left_anti")
-    IndexStore.rewrite(spark, cellsRoot, remaining,
-      Some(touched.toIndexedSeq), Some("__cell"))
+    val keyBuckets = idsD.select(idb(idCol).as("__idb")).distinct()
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq // ≤ IdMapBuckets ids
+    def locate(): IndexedSeq[Int] =
+      IndexStore.read(spark, idMapRoot(indexPath), Some("__idb"), Some(keyBuckets))
+        .join(idsD, Seq(idCol), "left_semi")
+        .select("__cell").distinct()
+        .collect().map(_.getAs[Number]("__cell").intValue()).sorted.toIndexedSeq
+    if (locate().nonEmpty)
+      IndexStore.rewriteWith(spark, cellsRoot, Some("__cell"))(() => {
+        val touched = locate() // re-located per attempt: conflict-safe
+        (readCells(spark, indexPath, Some(touched))
+          .join(idsD, Seq(idCol), "left_anti"), Some(touched))
+      })
+    // retire the idmap rows too — the map must not resurrect erased ids
+    IndexStore.rewriteWith(spark, idMapRoot(indexPath), Some("__idb"),
+      Seq(idCol))(() =>
+      (IndexStore.read(spark, idMapRoot(indexPath), Some("__idb"), Some(keyBuckets))
+        .join(idsD, Seq(idCol), "left_anti"), Some(keyBuckets)))
   }
 
   /** Compact the cell table: every incremental [[addToIndex]] appends its
@@ -239,9 +299,17 @@ object Ivf {
     // dropDuplicates(id): defensive cleanup for indexes that accumulated
     // same-id rows before addToIndex became idempotent (duplicate ids are
     // identical-or-stale vectors; keeping either is no worse than before).
-    val cells = readCells(spark, indexPath).dropDuplicates(idCol)
-    IndexStore.rewrite(spark, s"$indexPath/cells",
-      cells.repartition(col("__cell")), None, Some("__cell"))
+    // compute-in-loop so a conflict retry re-reads the winner's snapshot.
+    IndexStore.rewriteWith(spark, s"$indexPath/cells", Some("__cell"))(() =>
+      (readCells(spark, indexPath).dropDuplicates(idCol)
+        .repartition(col("__cell")), None))
+    // rebuild the idmap from the compacted cells (same dup-id cleanup;
+    // reads the freshly committed snapshot, so map and cells agree)
+    if (IndexStore.exists(spark, idMapRoot(indexPath)))
+      IndexStore.rewriteWith(spark, idMapRoot(indexPath), Some("__idb"),
+        Seq(idCol))(() =>
+        (readCells(spark, indexPath).select(col(idCol), col("__cell"))
+          .withColumn("__idb", idb(idCol)).repartition(col("__idb")), None))
   }
 
   /** ANN top-k over a persisted index — same output contract as

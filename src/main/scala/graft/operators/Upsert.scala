@@ -123,6 +123,48 @@ object Upsert {
     true
   }
 
+  /** Claim the right to publish `snapName` on a PLAIN snapshot-pointer
+    * target via a create-exclusive `snap-….commit` marker verified by
+    * read-back — the cross-process twin of the JVM-local `pointerLock`
+    * (ADVICE r8: the loud-conflict check was check-then-publish, so two
+    * writers in different JVMs could both publish the same id and the
+    * second silently discarded the first's merge). Called immediately
+    * before the pointer publish, so the claim window a crash can leave a
+    * stale marker in is milliseconds wide; a marker older than
+    * [[gcGraceMs]] whose snapshot never published is such a leftover and
+    * is reclaimed. NOTE the layout is still single-writer by CONTRACT:
+    * two live concurrent writers may interleave snapshot-directory writes
+    * before either claims — the loser now fails loudly here and both
+    * idempotent batches must be re-run, but the window cannot be closed
+    * without the manifest layout's immutable files (use
+    * [[mergeIntoManifestBucketedParquet]] for genuine concurrency). */
+  private def claimSnapshotId(fs: org.apache.hadoop.fs.FileSystem,
+      targetPath: String, snapName: String): Unit = {
+    val marker = new Path(targetPath, s"$snapName.commit")
+    if (fs.exists(marker) && System.currentTimeMillis() -
+        fs.getFileStatus(marker).getModificationTime >= gcGraceMs)
+      fs.delete(marker, false) // crashed claimant: its pointer never published
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val out =
+      try fs.create(marker, false)
+      catch {
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.io.IOException) if fs.exists(marker) =>
+          throw new CommitConflictException(
+            s"snapshot $snapName of $targetPath is claimed by a concurrent " +
+              s"writer (single-writer layout — rerun this idempotent batch): " +
+              e.getMessage)
+      }
+    try out.write(attempt.getBytes("UTF-8")) finally out.close()
+    val back =
+      try readFileBody(fs, marker).trim
+      catch { case _: java.io.IOException => "" }
+    if (back != attempt)
+      throw new CommitConflictException(
+        s"lost the claim race for $snapName of $targetPath on a " +
+          s"non-exclusive-create filesystem (attempt $attempt; winner $back)")
+  }
+
   /** Adopt a pre-pointer plain-Parquet target in place: a directory that
     * holds data files (or partition dirs) but no `_current` pointer is the
     * layout this merge wrote BEFORE the snapshot-pointer commit existed.
@@ -143,9 +185,10 @@ object Upsert {
       !n.startsWith("_") && !n.startsWith(".") &&
         !(st.isDirectory && n.startsWith("snap-")) &&
         // a crashed manifest-bucketed first commit can leave a stray
-        // snap-*.manifest.json FILE at the root; adopting it into the
+        // snap-*.manifest.json FILE at the root (and a crashed plain
+        // commit a snap-*.commit claim marker); adopting either into the
         // snapshot would break spark.read.parquet on the snapshot dir
-        !n.endsWith(".manifest.json")
+        !n.endsWith(".manifest.json") && !n.endsWith(".commit")
     }
     if (legacy.isEmpty) return // empty or a crashed-first-merge orphan snap
     val snap = new Path(root, "snap-000000000")
@@ -159,17 +202,37 @@ object Upsert {
   }
 
   /** Name of the committed live snapshot directory under `targetPath`
-    * (e.g. `snap-000000003`), if a pointer has been published. */
+    * (e.g. `snap-000000003`), if a pointer has been published.
+    *
+    * The read is serialized against in-JVM pointer publishes and retried
+    * on [[org.apache.hadoop.fs.ChecksumException]]: the LOCAL filesystem
+    * keeps a `.crc` sidecar whose replacement is not atomic with the
+    * pointer rename, so a read racing a publish can see a torn
+    * (file, sidecar) pair — an artifact of the checksummed local FS only
+    * (HDFS renames atomically; object-store pointer PUTs have no
+    * sidecar), surfaced by the N-writer stress test. */
   def currentSnapshot(spark: SparkSession, targetPath: String): Option[String] = {
     val p = pointerPath(targetPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      Option(s).filter(_.nonEmpty)
+    var attempts = 0
+    while (true) {
+      try {
+        pointerLock.synchronized {
+          if (!fs.exists(p)) return None
+          val in = fs.open(p)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+          return Option(s).filter(_.nonEmpty)
+        }
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempts += 1
+          if (attempts > 5) throw e
+          Thread.sleep(10L * attempts)
+        case _: java.io.FileNotFoundException => return None // vanished mid-read
+      }
     }
+    None // unreachable
   }
 
   /** Read the committed state of a merge target: resolves the `_current`
@@ -240,28 +303,37 @@ object Upsert {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(new Path(root, snapName).toString)
 
-    // Publish: write the pointer beside the target, then rename-with-
-    // overwrite onto _current — a single-file atomic replace. This layout
-    // is SINGLE-WRITER by contract (every run is a full rewrite; the
-    // manifest-bucketed layout is the concurrent-writer path): a detected
-    // race fails LOUDLY instead of silently losing one writer's merge —
-    // the merge is idempotent, so rerunning the failed batch recovers.
-    if (currentSnapshot(spark, targetPath) != current ||
-        !publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString))
+    // Publish: claim the id with a create-exclusive marker (cross-process
+    // loud conflict, round 9 — see claimSnapshotId), then write the
+    // pointer beside the target and rename-with-overwrite onto _current —
+    // a single-file atomic replace. This layout is SINGLE-WRITER by
+    // contract (every run is a full rewrite; the manifest-bucketed layout
+    // is the concurrent-writer path): a detected race fails LOUDLY
+    // instead of silently losing one writer's merge — the merge is
+    // idempotent, so rerunning the failed batch recovers.
+    if (currentSnapshot(spark, targetPath) != current)
       throw new CommitConflictException(
         s"concurrent commit detected on single-writer snapshot target " +
           s"$targetPath (expected $current): rerun this merge, or use " +
           "mergeIntoManifestBucketedParquet for concurrent writers")
+    claimSnapshotId(fs, targetPath, snapName)
+    if (!publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString))
+      throw new CommitConflictException(
+        s"concurrent commit detected on single-writer snapshot target " +
+          s"$targetPath (a newer snapshot published first): rerun this merge")
 
     // GC: keep the newest `keepSnapshots` snapshot dirs (the committed one
-    // is the newest by construction); delete older ones, crashed runs'
-    // future-id orphans, and stale pointer tmps.
+    // is the newest by construction); delete older ones + their claim
+    // markers, crashed runs' future-id orphans, and stale pointer tmps.
     val retained = (nextId - keepSnapshots + 1) to nextId
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       val staleSnap = st.isDirectory && n.startsWith("snap-") &&
         !retained.contains(n.stripPrefix("snap-").toLong)
-      if (staleSnap || (!st.isDirectory && n.startsWith("_current.tmp-")))
+      val staleMarker = !st.isDirectory && n.endsWith(".commit") &&
+        idOf(n.stripSuffix(".commit"), "snap-").exists(!retained.contains(_))
+      if (staleSnap || staleMarker ||
+          (!st.isDirectory && n.startsWith("_current.tmp-")))
         fs.delete(st.getPath, true)
     }
   }
@@ -349,7 +421,7 @@ object Upsert {
     require(!updates.columns.contains("__bucket"), "updates must not carry __bucket")
     val fs = new Path(targetPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new Path(targetPath))
-    val effN = hashBucketCount(fs, targetPath, nBuckets, writeIfAbsent = true)
+    val effN = hashBucketCount(spark, fs, targetPath, keys, nBuckets, writeIfAbsent = true)
     val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(effN)).cast("int")
 
     pendingManifest(spark, targetPath).foreach { case (pendingBatch, _) =>
@@ -411,7 +483,7 @@ object Upsert {
         s"target $targetPath has a torn run: batch '$pendingBatch' crashed " +
           s"mid-overwrite and batch '$batchId' is not its re-run.")
     }
-    val effN = hashBucketCount(fs, targetPath, nBuckets, writeIfAbsent = false)
+    val effN = hashBucketCount(spark, fs, targetPath, keys, nBuckets, writeIfAbsent = false)
     val delKeys = deleteKeys.select(keys.map(col): _*).distinct()
       .withColumn("__bucket",
         pmod(xxhash64(keys.map(col): _*), lit(effN)).cast("int"))
@@ -631,6 +703,14 @@ object Upsert {
       } catch {
         case e: CommitConflictException =>
           if (attempt > maxRetries) throw e // lost every race: surface it
+        case scala.util.control.NonFatal(e)
+            if racedSince(spark, targetPath, current) && attempt <= maxRetries =>
+          // a concurrent winner committed mid-attempt: this failure (e.g.
+          // a task reading a file the winner's GC swept) is collateral,
+          // not a merge bug — re-verify against the new state and retry
+          // (ADVICE r8)
+          System.err.println(s"[graft] merge attempt on $targetPath failed " +
+            s"under a concurrent commit (${e.getClass.getSimpleName}); retrying")
       }
     }
   }
@@ -640,6 +720,46 @@ object Upsert {
     * committed state ([[mergeIntoManifestBucketedParquet]] does so
     * automatically). */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Age before the GC may delete a data file that NO manifest on disk
+    * references: such a file is either a crashed attempt's orphan (safe to
+    * delete, eventually) or a concurrent same-id loser still mid-write
+    * (deleting it fails that writer with an arbitrary IOException instead
+    * of a clean conflict — ADVICE r8). Files referenced by any manifest
+    * are committed state and are never grace-delayed. Tests that assert
+    * immediate orphan collection set this to 0. */
+  private[operators] var gcGraceMs: Long =
+    sys.props.getOrElse("graft.gc.graceMs", "900000").toLong
+
+  /** Serializes the manifest create+write+verify critical section within
+    * this JVM: the local filesystem's `create(overwrite=false)` is
+    * check-then-create and two in-JVM threads could otherwise interleave
+    * byte writes into the same manifest file, leaving garbage neither
+    * attempt owns. Cross-process, the read-back verify below detects the
+    * overlap instead. */
+  private val commitLock = new Object
+
+  // Test seams for deterministic race simulation (ManifestMergeSpec):
+  // fire-once callbacks around the commit point, and a flag that makes
+  // the manifest create NON-exclusive — modeling an object store whose
+  // PUT blindly overwrites (no conditional PUT), where two racers are
+  // both told their create succeeded.
+  private[operators] var beforeManifestCreateHook: Option[(String, Long) => Unit] = None
+  private[operators] var afterManifestWriteHook: Option[(String, String) => Unit] = None
+  private[operators] var createOverwriteForTest: Boolean = false
+
+  /** True when a commit newer than `before` exists — a non-conflict
+    * failure inside an optimistic commit attempt (task IOException,
+    * vanished input file) is then plausibly collateral damage from the
+    * concurrent winner's GC, and the attempt should RETRY against the new
+    * state instead of surfacing an arbitrary error (ADVICE r8). */
+  private[operators] def racedSince(spark: SparkSession, targetPath: String,
+      before: Option[String]): Boolean = {
+    val root = new Path(targetPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val beforeId = before.flatMap(idOf(_, "snap-")).getOrElse(-1L)
+    committedIds(fs, root).exists(_ > beforeId)
+  }
 
   private[operators] def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".")
@@ -732,6 +852,13 @@ object Upsert {
     val fs = root.getFileSystem(hadoopConf)
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val runDir = new Path(root, f"data/run-$nextId%09d-$attempt")
+    // Any failure BEFORE the commit point retires this attempt's files
+    // (idempotent: the conflict branches below already delete them). A
+    // loser whose tasks died reading inputs a concurrent winner's GC
+    // swept must not leave a young orphan run dir — it is unreferenced,
+    // so the grace rule in sweepDataRuns would defer it, and the caller's
+    // retry loop wants a clean slate (ADVICE r8).
+    val (snapName, nextManifest) = try {
     val sorted =
       if (sortCols.nonEmpty) rows.sortWithinPartitions(sortCols.map(col): _*)
       else rows // key-sorted files: parquet row-group stats prune lookups
@@ -760,7 +887,7 @@ object Upsert {
           .map(f => relativizeToRoot(fs, targetPath, f.getPath)))
     }
 
-    val nextManifest = manifest ++ touched.map { b =>
+    val nextManifest: Map[Int, Seq[String]] = manifest ++ touched.map { b =>
       val fresh = newEntries.getOrElse(b, Nil)
       b -> (if (appendEntries) manifest.getOrElse(b, Nil) ++ fresh else fresh)
     }.toMap
@@ -768,25 +895,59 @@ object Upsert {
     // schema_ddl makes a FULLY-ERASED table (every entry empty) still
     // readable as an empty frame with the right schema (ADVICE r7).
     val ddl = rows.schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
-    val json = (Seq(s""""nBuckets": $nBuckets""", s""""schema_ddl": "$ddl"""") ++
+    val json = (Seq(s""""attempt": "$attempt"""",
+      s""""nBuckets": $nBuckets""", s""""schema_ddl": "$ddl"""") ++
       nextManifest.toSeq.sortBy(_._1).map { case (b, files) =>
         s""""$b": [${files.map(f => "\"" + f + "\"").mkString(",")}]"""
       }).mkString("{", ",", "}")
     val manifestFile = new Path(root, s"$snapName.manifest.json")
-    // Create-exclusive commit point: exactly one attempt can create the
-    // manifest for this id. Losers clean up their files and surface the
-    // conflict for a retry against the winner's state.
-    val outM =
-      try fs.create(manifestFile, false)
-      catch {
-        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                  _: java.io.IOException) if fs.exists(manifestFile) =>
-          fs.delete(runDir, true)
-          throw new CommitConflictException(
-            s"snapshot $snapName of $targetPath was committed concurrently " +
-              s"(attempt $attempt retired): ${e.getMessage}")
-      }
-    try outM.write(json.getBytes("UTF-8")) finally outM.close()
+    // Commit point, in two layers (round 9 — the FS-atomicity contract):
+    //  1. create(overwrite=false). A true atomic create-exclusive on
+    //     HDFS; on the local FS it is check-then-create, and on S3
+    //     without conditional PUT it is exists-check-then-PUT — both
+    //     non-atomic.
+    //  2. read-back verify: the manifest body embeds this attempt's id;
+    //     after the write, the manifest is read back and a foreign
+    //     attempt id means a concurrent writer's PUT overwrote ours —
+    //     the loss is DETECTED and surfaced as a conflict instead of a
+    //     silently discarded merge. Detection is guaranteed whenever the
+    //     racing writes are separated by more than the write→read-back
+    //     gap (milliseconds); PUTs landing inside that window still need
+    //     a conditional-PUT store or single-writer orchestration, which
+    //     is the honest limit of an FS-only protocol.
+    // Losers clean up their files and surface the conflict for a retry
+    // against the winner's state.
+    beforeManifestCreateHook.foreach(h => h(targetPath, nextId))
+    commitLock.synchronized {
+      val outM =
+        try fs.create(manifestFile, createOverwriteForTest)
+        catch {
+          case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                    _: java.io.IOException) if fs.exists(manifestFile) =>
+            fs.delete(runDir, true)
+            throw new CommitConflictException(
+              s"snapshot $snapName of $targetPath was committed concurrently " +
+                s"(attempt $attempt retired): ${e.getMessage}")
+        }
+      try outM.write(json.getBytes("UTF-8")) finally outM.close()
+    }
+    afterManifestWriteHook.foreach(h => h(targetPath, snapName))
+    val readBack =
+      try parseManifestString(readFileBody(fs, manifestFile), "attempt")
+      catch { case _: java.io.IOException => None }
+    if (!readBack.contains(attempt)) {
+      fs.delete(runDir, true)
+      throw new CommitConflictException(
+        s"snapshot $snapName of $targetPath was overwritten by a concurrent " +
+          s"writer after a non-exclusive create (attempt $attempt retired; " +
+          s"committed attempt: ${readBack.getOrElse("unreadable")})")
+    }
+    (snapName, nextManifest)
+    } catch { // pre-commit failure: retire this attempt's files (see above)
+      case e: Throwable =>
+        if (scala.util.control.NonFatal(e)) fs.delete(runDir, true)
+        throw e
+    }
 
     publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString)
 
@@ -808,28 +969,62 @@ object Upsert {
         else parseManifestEntries(readFileBody(fs, p)).values.flatten
       }
     }.map(e => normalize(fs, new Path(resolveEntry(targetPath, e)))).toSet
-    val dataRoot = new Path(root, "data")
-    listSafe(fs, dataRoot).foreach { run =>
-      val runId = idOf(run.getPath.getName, "run-")
-      if (runId.forall(_ <= nextId)) { // skip concurrent newer writers
-        var kept = false
-        def sweep(f: org.apache.hadoop.fs.FileStatus): Unit =
-          if (f.isFile && isDataFile(f.getPath.getName)) {
-            if (!live.contains(normalize(fs, f.getPath))) fs.delete(f.getPath, false)
-            else kept = true
-          }
-        listSafe(fs, run.getPath).foreach { e =>
-          if (e.isDirectory) listSafe(fs, e.getPath).foreach(sweep) else sweep(e)
-        }
-        if (!kept) fs.delete(run.getPath, true)
+    // Files referenced by ANY manifest still on disk (incl. the ones about
+    // to be retired below): those are committed state, deletable the
+    // moment they leave retention. An UNREFERENCED file is different — see
+    // sweepDataRuns' grace rule.
+    val known = committedIds(fs, root).flatMap { i =>
+      if (i == nextId) nextManifest.values.flatten
+      else {
+        val p = new Path(root, f"snap-$i%09d.manifest.json")
+        if (!fs.exists(p)) Nil
+        else parseManifestEntries(readFileBody(fs, p)).values.flatten
       }
-    }
+    }.map(e => normalize(fs, new Path(resolveEntry(targetPath, e)))).toSet
+    sweepDataRuns(fs, root, targetPath, nextId, live, known)
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       val staleManifest = !st.isDirectory && n.endsWith(".manifest.json") &&
         idOf(n.stripSuffix(".manifest.json"), "snap-").exists(_ < retainedIds.head)
       if (staleManifest || (!st.isDirectory && n.startsWith("_current.tmp-")))
         fs.delete(st.getPath, false)
+    }
+  }
+
+  /** GC sweep of `<root>/data/run-*` shared by [[commitSnapshot]] and
+    * [[vacuum]]. Three-way liveness (ADVICE r8): `live` files (referenced
+    * by a retained manifest) are kept; dead-but-`known` files (referenced
+    * only by retired manifests — provably committed, no writer is still
+    * producing them) are deleted immediately, so a compliance vacuum's
+    * erasure horizon stays immediate; files NO manifest references are
+    * deleted only once older than [[gcGraceMs]] — a young unreferenced
+    * file may be a concurrent same-id loser still mid-write, and
+    * snatching it away would fail that writer with an arbitrary
+    * IOException instead of a clean retryable conflict. Deferred orphans
+    * are collected by any later sweep once aged. */
+  private def sweepDataRuns(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      targetPath: String, topId: Long, live: Set[String],
+      known: Set[String]): Unit = {
+    val now = System.currentTimeMillis()
+    listSafe(fs, new Path(root, "data")).foreach { run =>
+      val runId = idOf(run.getPath.getName, "run-")
+      if (runId.forall(_ <= topId)) { // skip concurrent newer writers
+        var kept = false
+        var deferred = false
+        def sweep(f: org.apache.hadoop.fs.FileStatus): Unit =
+          if (f.isFile && isDataFile(f.getPath.getName)) {
+            val n = normalize(fs, f.getPath)
+            if (live.contains(n)) kept = true
+            else if (known.contains(n) ||
+                now - f.getModificationTime >= gcGraceMs)
+              fs.delete(f.getPath, false)
+            else deferred = true
+          }
+        listSafe(fs, run.getPath).foreach { e =>
+          if (e.isDirectory) listSafe(fs, e.getPath).foreach(sweep) else sweep(e)
+        }
+        if (!kept && !deferred) fs.delete(run.getPath, true)
+      }
     }
   }
 
@@ -867,9 +1062,13 @@ object Upsert {
         (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
           .parquet(new Path(root, snapName).toString)
         val after = spark.read.parquet(new Path(root, snapName).toString).count()
-        // same loud-conflict contract as mergeIntoParquet (single-writer layout)
-        if (!currentSnapshot(spark, targetPath).contains(snap) ||
-            !publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString))
+        // same loud-conflict contract as mergeIntoParquet (single-writer
+        // layout), incl. the cross-process create-exclusive claim (round 9)
+        if (!currentSnapshot(spark, targetPath).contains(snap))
+          throw new CommitConflictException(
+            s"concurrent commit detected on single-writer snapshot target $targetPath")
+        claimSnapshotId(fs, targetPath, snapName)
+        if (!publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString))
           throw new CommitConflictException(
             s"concurrent commit detected on single-writer snapshot target $targetPath")
         val retained = (nextId - keepSnapshots + 1) to nextId
@@ -877,7 +1076,10 @@ object Upsert {
           val n = st.getPath.getName
           val staleSnap = st.isDirectory && n.startsWith("snap-") &&
             !retained.contains(n.stripPrefix("snap-").toLong)
-          if (staleSnap || (!st.isDirectory && n.startsWith("_current.tmp-")))
+          val staleMarker = !st.isDirectory && n.endsWith(".commit") &&
+            idOf(n.stripSuffix(".commit"), "snap-").exists(!retained.contains(_))
+          if (staleSnap || staleMarker ||
+              (!st.isDirectory && n.startsWith("_current.tmp-")))
             fs.delete(st.getPath, true)
         }
         before - after
@@ -915,9 +1117,13 @@ object Upsert {
         (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
           .parquet(new Path(root, snapName).toString)
         val after = spark.read.parquet(new Path(root, snapName).toString).count()
-        // same loud-conflict contract as mergeIntoParquet (single-writer layout)
-        if (!currentSnapshot(spark, targetPath).contains(snap) ||
-            !publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString))
+        // same loud-conflict contract as mergeIntoParquet (single-writer
+        // layout), incl. the cross-process create-exclusive claim (round 9)
+        if (!currentSnapshot(spark, targetPath).contains(snap))
+          throw new CommitConflictException(
+            s"concurrent commit detected on single-writer snapshot target $targetPath")
+        claimSnapshotId(fs, targetPath, snapName)
+        if (!publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString))
           throw new CommitConflictException(
             s"concurrent commit detected on single-writer snapshot target $targetPath")
         val retained = (nextId - keepSnapshots + 1) to nextId
@@ -925,7 +1131,10 @@ object Upsert {
           val n = st.getPath.getName
           val staleSnap = st.isDirectory && n.startsWith("snap-") &&
             !retained.contains(n.stripPrefix("snap-").toLong)
-          if (staleSnap || (!st.isDirectory && n.startsWith("_current.tmp-")))
+          val staleMarker = !st.isDirectory && n.endsWith(".commit") &&
+            idOf(n.stripSuffix(".commit"), "snap-").exists(!retained.contains(_))
+          if (staleSnap || staleMarker ||
+              (!st.isDirectory && n.startsWith("_current.tmp-")))
             fs.delete(st.getPath, true)
         }
         before - after
@@ -975,6 +1184,10 @@ object Upsert {
       } catch {
         case e: CommitConflictException =>
           if (attempt > maxRetries) throw e
+        case scala.util.control.NonFatal(e)
+            if racedSince(spark, targetPath, current) && attempt <= maxRetries =>
+          System.err.println(s"[graft] delete attempt on $targetPath failed " +
+            s"under a concurrent commit (${e.getClass.getSimpleName}); retrying")
       }
     }
   }
@@ -1013,28 +1226,14 @@ object Upsert {
         // parsed with the SAME parseManifestEntries the read path uses —
         // liveness and readability cannot drift (ADVICE r7: the old
         // body-wide regex was a format-evolution landmine).
-        val live = retainedIds.flatMap { i =>
+        def entriesOf(ids: Seq[Long]): Set[String] = ids.flatMap { i =>
           val p = new Path(root, f"snap-$i%09d.manifest.json")
           if (!fs.exists(p)) Nil
           else parseManifestEntries(readFileBody(fs, p)).values.flatten
         }.map(e => normalize(fs, new Path(resolveEntry(targetPath, e)))).toSet
-        val dataRoot = new Path(root, "data")
-        listSafe(fs, dataRoot).foreach { run =>
-          if (idOf(run.getPath.getName, "run-").forall(_ <= curId)) {
-            var kept = false
-            def sweep(f: org.apache.hadoop.fs.FileStatus): Unit =
-              if (f.isFile && isDataFile(f.getPath.getName)) {
-                if (!live.contains(normalize(fs, f.getPath)))
-                  fs.delete(f.getPath, false)
-                else kept = true
-              }
-            listSafe(fs, run.getPath).foreach { e =>
-              if (e.isDirectory) listSafe(fs, e.getPath).foreach(sweep)
-              else sweep(e)
-            }
-            if (!kept) fs.delete(run.getPath, true)
-          }
-        }
+        val live = entriesOf(retainedIds)
+        val known = entriesOf(committedIds(fs, root))
+        sweepDataRuns(fs, root, targetPath, curId, live, known)
         fs.listStatus(root).foreach { st =>
           val n = st.getPath.getName
           if (!st.isDirectory && n.endsWith(".manifest.json") &&
@@ -1043,12 +1242,15 @@ object Upsert {
             fs.delete(st.getPath, false)
         }
       } else {
-        // plain snapshot layout: drop snapshot dirs outside retention
+        // plain snapshot layout: drop snapshot dirs (and their claim
+        // markers) outside retention
         fs.listStatus(root).foreach { st =>
           val n = st.getPath.getName
-          if (st.isDirectory && n.startsWith("snap-") &&
-              !retainedIds.contains(n.stripPrefix("snap-").toLong))
-            fs.delete(st.getPath, true)
+          val staleSnap = st.isDirectory && n.startsWith("snap-") &&
+            !retainedIds.contains(n.stripPrefix("snap-").toLong)
+          val staleMarker = !st.isDirectory && n.endsWith(".commit") &&
+            idOf(n.stripSuffix(".commit"), "snap-").exists(!retainedIds.contains(_))
+          if (staleSnap || staleMarker) fs.delete(st.getPath, true)
         }
       }
     }
@@ -1062,8 +1264,9 @@ object Upsert {
     * leave keys unerased (ADVICE r7). Pre-round-8 targets without the
     * file validate the argument against the on-disk partition dirs
     * instead (every observed bucket id must fit under it). */
-  private def hashBucketCount(fs: org.apache.hadoop.fs.FileSystem,
-      targetPath: String, passed: Int, writeIfAbsent: Boolean): Int = {
+  private def hashBucketCount(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, targetPath: String,
+      keys: Seq[String], passed: Int, writeIfAbsent: Boolean): Int = {
     val meta = new Path(targetPath, "_nbuckets")
     if (fs.exists(meta)) {
       val stored = readFileBody(fs, meta).trim.toInt
@@ -1073,6 +1276,7 @@ object Upsert {
       stored
     } else {
       val root = new Path(targetPath)
+      var validated = false
       if (fs.exists(root)) {
         val observed = fs.listStatus(root).toSeq.flatMap { st =>
           val n = st.getPath.getName
@@ -1084,8 +1288,25 @@ object Upsert {
           s"$targetPath holds bucket ids up to ${if (observed.isEmpty) -1
             else observed.max} — nBuckets=$passed cannot be the count its " +
             "merges used; pass the original bucket count")
+        // A too-LARGE wrong count also clears the check above but would
+        // compute key buckets with the wrong modulus — an erasure would
+        // then prune to the wrong directories and silently leave keys
+        // unerased (ADVICE r8). Verify on a row sample that the passed
+        // count reproduces the stored __bucket (a wrong multiple-of-true
+        // count mismatches each sampled row w.p. 1 − true/passed).
+        if (observed.nonEmpty) {
+          val bad = spark.read.parquet(targetPath).limit(2048)
+            .where(pmod(xxhash64(keys.map(col): _*), lit(passed)).cast("int")
+              =!= col("__bucket").cast("int")).count()
+          require(bad == 0,
+            s"$targetPath: nBuckets=$passed does not reproduce the stored " +
+              s"__bucket of $bad sampled rows — pass the original bucket count")
+          validated = true
+        }
       }
-      if (writeIfAbsent) { // dynamic overwrite never clears root-level _files
+      if (writeIfAbsent || validated) {
+        // pin the (validated) count so later jobs cannot mis-specify it;
+        // dynamic overwrite never clears root-level _files
         fs.mkdirs(root)
         val out = fs.create(meta, true)
         try out.write(passed.toString.getBytes("UTF-8")) finally out.close()

@@ -170,15 +170,20 @@ class DedupSpec extends SparkSpecBase {
 
     // crash sim: a later erasure attempt dies after writing its files but
     // before its manifest commit — the committed index is untouched and
-    // the retry converges
-    tbl("sigs").limit(1)
-      .write.parquet(s"$idx/sigs/data/run-000000001-dead0000")
-    assert(tbl("sigs").select("id").as[Long].collect().toSet == Set(1L, 3L),
-      "crashed attempt leaked into reads")
-    Dedup.deleteFromNearDupIndex(spark, idx, Seq(3L).toDF("id"))
-    assert(tbl("sigs").select("id").as[Long].collect().toSet == Set(1L))
-    assert(!new java.io.File(s"$idx/sigs/data/run-000000001-dead0000").exists(),
-      "orphan attempt files survived GC")
+    // the retry converges (grace-aged GC set to 0: the forged orphan is
+    // freshly written and this asserts its EVENTUAL collection)
+    val savedGrace = Upsert.gcGraceMs
+    Upsert.gcGraceMs = 0L
+    try {
+      tbl("sigs").limit(1)
+        .write.parquet(s"$idx/sigs/data/run-000000001-dead0000")
+      assert(tbl("sigs").select("id").as[Long].collect().toSet == Set(1L, 3L),
+        "crashed attempt leaked into reads")
+      Dedup.deleteFromNearDupIndex(spark, idx, Seq(3L).toDF("id"))
+      assert(tbl("sigs").select("id").as[Long].collect().toSet == Set(1L))
+      assert(!new java.io.File(s"$idx/sigs/data/run-000000001-dead0000").exists(),
+        "orphan attempt files survived GC")
+    } finally Upsert.gcGraceMs = savedGrace
   }
 
   test("MinHash-LSH pairs ⊇ verified-exact pairs on planted near-dups") {

@@ -169,6 +169,11 @@ class IvfSpec extends SparkSpecBase {
   test("index maintenance crash: committed snapshot stays readable at every step") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-crash").toString
+    // the forged orphan below is freshly written; grace-aged GC (round 9)
+    // would rightly defer it — this test asserts eventual collection
+    val savedGrace = Upsert.gcGraceMs
+    Upsert.gcGraceMs = 0L
+    try {
     Ivf.buildIndex(spark, idx, emb.where(col("vec_id") < 300),
       trainOn = emb.where(col("vec_id") < 300), nlist = 4, iters = 1)
     val committed = Ivf.readCells(spark, idx)
@@ -198,6 +203,7 @@ class IvfSpec extends SparkSpecBase {
     val manifests = new java.io.File(s"$idx/cells").listFiles()
       .map(_.getName).filter(_.endsWith(".manifest.json"))
     assert(manifests.length == 1)
+    } finally Upsert.gcGraceMs = savedGrace
   }
 
   test("legacy plain-dir index is adopted on first delete; reads work throughout") {

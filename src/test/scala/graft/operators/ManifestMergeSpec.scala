@@ -149,6 +149,11 @@ class ManifestMergeSpec extends SparkSpecBase {
 
   test("crash after data write but before the manifest commit is invisible") {
     val path = mkTarget()
+    // orphan files in this sim are freshly written; grace-aged GC (round 9)
+    // would rightly defer them — this test asserts the eventual collection
+    val savedGrace = Upsert.gcGraceMs
+    Upsert.gcGraceMs = 0L
+    try {
     Upsert.mergeIntoManifestBucketedParquet(spark, path,
       Seq((1L, "a"), (2L, "b")).toDF("key", "v"), Seq("key"), nBuckets = 2)
 
@@ -175,6 +180,7 @@ class ManifestMergeSpec extends SparkSpecBase {
     assert(manifests == Seq("snap-000000001.manifest.json"))
     assert(!new java.io.File(s"$path/data/run-000000001-dead0000").exists(),
       "orphan attempt files survived GC")
+    } finally Upsert.gcGraceMs = savedGrace
   }
 
   test("crash after manifest commit but before pointer publish rolls forward") {
@@ -236,6 +242,104 @@ class ManifestMergeSpec extends SparkSpecBase {
     // whoever lost the race for an id retried onto the next one
     val cur = Upsert.currentSnapshot(spark, path).get
     assert(cur == "snap-000000002")
+  }
+
+  test("non-atomic create: both racers told create succeeded — loser detects via read-back and retries") {
+    // Models an object store without conditional PUT (ADVICE r8 / VERDICT
+    // r8 #2): the victim's manifest PUT for snap-1 succeeds, then a
+    // concurrent winner's PUT for the SAME id lands over it. The victim's
+    // read-back verify must detect the foreign attempt id, retire its
+    // files, and retry on top of the winner — no merge is lost and no
+    // correctness dependence on an atomic create remains.
+    val path = mkTarget()
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      (0L until 10L).map(k => (k, s"v$k")).toDF("key", "v"), Seq("key"), nBuckets = 2)
+    val m0 = Upsert.manifestBody(spark, path, Some("snap-000000000"))
+      .map(Upsert.parseManifestEntries).get
+    // the winner's post-merge content for key 200's bucket, prepared ahead
+    val b = spark.range(1)
+      .select(pmod(xxhash64(lit(200L)), lit(2)).cast("int")).head().getInt(0)
+    val winnerRows = spark.read.parquet(
+        m0(b).map(e => Upsert.resolveEntry(path, e)): _*)
+      .unionByName(Seq((200L, "wb")).toDF("key", "v")
+        .withColumn("__bucket", lit(b)))
+    var fired = false
+    Upsert.afterManifestWriteHook = Some { (_, snap) =>
+      if (snap == "snap-000000001" && !fired) {
+        fired = true
+        Upsert.afterManifestWriteHook = None
+        Upsert.createOverwriteForTest = true // the winner's blind PUT
+        try Upsert.commitSnapshot(spark, path, winnerRows, Seq(b), m0,
+          Seq("key"), 1L, 1, Some("__bucket"), 2)
+        finally Upsert.createOverwriteForTest = false
+      }
+    }
+    try Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((100L, "wa")).toDF("key", "v"), Seq("key"), nBuckets = 2)
+    finally Upsert.afterManifestWriteHook = None
+    assert(fired, "race hook never fired")
+    val out = Upsert.readManifestTable(spark, path)
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(out(100L) == "wa" && out(200L) == "wb" && out(5L) == "v5",
+      s"a racer's merge was lost: $out")
+    assert(out.size == 12)
+    // the loser detected the overwrite and recommitted as snap-2
+    assert(Upsert.currentSnapshot(spark, path).contains("snap-000000002"))
+  }
+
+  test("optimistic concurrency stress: 4 writers x 3 rounds — dense ids, no lost updates, exact GC") {
+    val path = mkTarget()
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      (0L until 20L).map(k => (k, "base")).toDF("key", "v"), Seq("key"),
+      nBuckets = 4, keepSnapshots = 2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = 4
+    val rounds = 3
+    val futs = (0 until writers).map { w =>
+      Future {
+        (0 until rounds).foreach { r =>
+          Upsert.mergeIntoManifestBucketedParquet(spark, path,
+            (0 until 5).map(j => (1000L + w * 100 + r * 10 + j, s"w$w-r$r"))
+              .toDF("key", "v"),
+            Seq("key"), nBuckets = 4, keepSnapshots = 2, maxRetries = 64)
+        }
+      }
+    }
+    futs.foreach(Await.result(_, 600.seconds))
+
+    // zero lost updates: every writer's every round landed
+    val out = Upsert.readManifestTable(spark, path)
+      .select("key", "v").as[(Long, String)].collect().toMap
+    for (w <- 0 until writers; r <- 0 until rounds; j <- 0 until 5)
+      assert(out(1000L + w * 100 + r * 10 + j) == s"w$w-r$r",
+        s"lost update: writer $w round $r item $j")
+    assert(out.size == 20 + writers * rounds * 5)
+
+    // dense snapshot ids: initial commit 0 + exactly one id per merge —
+    // every raced id was retried onto the next, none skipped or reused
+    assert(Upsert.currentSnapshot(spark, path)
+      .contains(f"snap-${writers * rounds}%09d"))
+
+    // GC left exactly the retained manifests' files: every loser retired
+    // its own attempt dir, every superseded known file was swept
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val retained = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".manifest.json"))
+    assert(retained.length == 2, s"retention drifted: ${retained.toSeq}")
+    val live = retained.flatMap { f =>
+      Upsert.parseManifestEntries(
+          java.nio.file.Files.readString(f.toPath))
+        .values.flatten.map(e => norm(Upsert.resolveEntry(path, e)))
+    }.toSet
+    val onDisk = new java.io.File(s"$path/data").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .flatMap(f => if (f.isDirectory) f.listFiles() else Array(f))
+      .filter(_.getName.endsWith(".parquet")).map(f => norm(f.getAbsolutePath))
+      .toSet
+    assert(onDisk == live,
+      s"GC drift: extra=${onDisk -- live} missing=${live -- onDisk}")
   }
 
   test("nBuckets is persisted in the manifest; a wrong argument cannot mis-prune") {
