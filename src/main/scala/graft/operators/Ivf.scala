@@ -234,6 +234,11 @@ object Ivf {
           .withColumn("__idb", idb(idCol)),
         None, Some("__idb"), Seq(idCol))
     } else {
+      // a pre-round-9 index has cells but no idmap: backfill it from the
+      // COMMITTED cells BEFORE appending, else the map would start life
+      // holding only this batch and old ids would never locate (silent
+      // erasure incompleteness — the exact bug class ADVICE r8 flagged)
+      ensureIdMap(spark, indexPath, idCol)
       IndexStore.append(spark, s"$indexPath/cells", assigned, Some("__cell"))
       // incremental: the batch is small — recomputing its assignment for
       // the slim idmap rows is cheaper than materializing the batch

@@ -193,6 +193,33 @@ class BucketedMergeSpec extends SparkSpecBase {
       (0L until 40L).toSet -- b0Keys)
   }
 
+  test("legacy hash-bucketed target: a too-LARGE wrong nBuckets is rejected, correct one re-pins") {
+    // ADVICE r8: `observed.forall(_ < passed)` only rejected a too-SMALL
+    // count; a too-large one (e.g. 64 against a table bucketed with 8)
+    // passes it, computes delete buckets with the wrong modulus, prunes
+    // to the wrong dirs, and silently leaves keys unerased.
+    val dir = java.nio.file.Files.createTempDirectory("graft-legacy-nb").toString
+    val path = s"$dir/table"
+    val rows = (0L until 40L).map(k => (k, s"v$k")).toDF("key", "v")
+    Upsert.mergeIntoHashBucketedParquet(spark, path, rows, Seq("key"), nBuckets = 8)
+    // forge a pre-round-8 target: no _nbuckets pin
+    new java.io.File(path, "_nbuckets").delete()
+    new java.io.File(path, "._nbuckets.crc").delete()
+    val e = intercept[IllegalArgumentException] {
+      Upsert.deleteKeysFromHashBucketedParquet(spark, path,
+        Seq(3L).toDF("key"), Seq("key"), nBuckets = 64)
+    }
+    assert(e.getMessage.contains("reproduce"), s"wrong failure mode: $e")
+    assert(spark.read.parquet(path).where($"key" === 3L).count() == 1,
+      "the rejected erasure still mutated the target")
+    // the CORRECT count sample-validates, erases, and re-pins _nbuckets
+    Upsert.deleteKeysFromHashBucketedParquet(spark, path,
+      Seq(3L).toDF("key"), Seq("key"), nBuckets = 8)
+    assert(spark.read.parquet(path).where($"key" === 3L).count() == 0)
+    assert(new java.io.File(path, "_nbuckets").exists,
+      "validated bucket count was not pinned")
+  }
+
   test("salted top-k equals plain top-k, including on a hot key") {
     val hot = (1 to 500).map(i => (1L, i.toLong))
     val cold = Seq((2L, 7L), (2L, 3L), (3L, 9L))

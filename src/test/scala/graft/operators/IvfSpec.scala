@@ -206,6 +206,57 @@ class IvfSpec extends SparkSpecBase {
     } finally Upsert.gcGraceMs = savedGrace
   }
 
+  test("idmap reverse lookup stays consistent across build/add/delete/compact") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idmap").toString
+    def idmapIds = graft.operators.IndexStore.read(spark, s"$idx/idmap")
+      .select("vec_id").as[Long].collect().toSet
+    def cellIds = Ivf.readCells(spark, idx)
+      .select("vec_id").as[Long].collect().toSet
+
+    Ivf.buildIndex(spark, idx, emb.where(col("vec_id") < 200),
+      trainOn = emb.where(col("vec_id") < 200), nlist = 4, iters = 1)
+    assert(idmapIds == cellIds && cellIds.size == 200)
+
+    Ivf.addToIndex(spark, idx,
+      emb.where(col("vec_id") >= 200 && col("vec_id") < 250))
+    assert(idmapIds == cellIds && cellIds.size == 250)
+
+    // erasure locates through the idmap and retires its rows too
+    Ivf.deleteFromIndex(spark, idx, Seq(5L, 210L).toDF("vec_id"))
+    assert(idmapIds == cellIds)
+    assert(!cellIds.contains(5L) && !cellIds.contains(210L))
+
+    Ivf.compactIndex(spark, idx)
+    assert(idmapIds == cellIds && cellIds.size == 248)
+    // every idmap row records the id's ACTUAL cell (probe pruning + the
+    // erasure's touched-cell derivation both depend on this)
+    val disagree = Ivf.readCells(spark, idx)
+      .select(col("vec_id"), col("__cell").as("actual"))
+      .join(graft.operators.IndexStore.read(spark, s"$idx/idmap"), Seq("vec_id"))
+      .where(col("actual") =!= col("__cell")).count()
+    assert(disagree == 0L)
+  }
+
+  test("pre-idmap index: first addToIndex backfills the map before appending") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-premap").toString
+    Ivf.buildIndex(spark, idx, emb.where(col("vec_id") < 100),
+      trainOn = emb.where(col("vec_id") < 100), nlist = 2, iters = 1)
+    // simulate a round-8 index: the idmap table never existed
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf); f.delete()
+    }
+    rmrf(new java.io.File(s"$idx/idmap"))
+    Ivf.addToIndex(spark, idx,
+      emb.where(col("vec_id") >= 100 && col("vec_id") < 120))
+    // old ids MUST be locatable: erase one pre-map id and one appended id
+    Ivf.deleteFromIndex(spark, idx, Seq(7L, 110L).toDF("vec_id"))
+    val left = Ivf.readCells(spark, idx).select("vec_id").as[Long].collect().toSet
+    assert(!left.contains(7L) && !left.contains(110L) && left.size == 118,
+      "pre-idmap ids were not locatable after backfill")
+  }
+
   test("legacy plain-dir index is adopted on first delete; reads work throughout") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-legacy").toString

@@ -239,6 +239,30 @@ class UpsertSpec extends SparkSpecBase {
     assert(snaps == Set("snap-000000001"), s"GC left: $snaps")
   }
 
+  test("plain layout: cross-process same-id publish race fails loudly via the claim marker") {
+    // ADVICE r8: the loud-conflict check was check-then-publish — two
+    // writers in different JVMs could both read the pointer before either
+    // published, and the second rename silently discarded the first's
+    // merge. The create-exclusive claim marker makes the loser fail.
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert-claim").toString
+    val path = s"$dir/table"
+    Upsert.mergeIntoParquet(spark, path,
+      Seq(("k1", 1L)).toDF("key", "v"), Seq("key"), keepSnapshots = 2)
+    Upsert.mergeIntoParquet(spark, path,
+      Seq(("k2", 2L)).toDF("key", "v"), Seq("key"), keepSnapshots = 2)
+    // writer B (another JVM) read the pointer BEFORE A's commit: simulate
+    // by rewinding the pointer to snap-0 — B then computes the same
+    // nextId=1 that A already claimed
+    new java.io.File(s"$path/._current.crc").delete()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_current"), "snap-000000000")
+    val e = intercept[Upsert.CommitConflictException] {
+      Upsert.mergeIntoParquet(spark, path,
+        Seq(("k3", 3L)).toDF("key", "v"), Seq("key"), keepSnapshots = 2)
+    }
+    assert(e.getMessage.contains("claimed"), s"wrong failure mode: $e")
+  }
+
   test("mergeIntoParquet adopts a legacy plain-Parquet target (no _current)") {
     val dir = Files.createTempDirectory("graft-upsert-legacy").toString
     val path = s"$dir/table"
