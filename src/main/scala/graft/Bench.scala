@@ -48,6 +48,22 @@ object Bench {
     }
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    // Shared-CC honesty (round 9): the warmup passes populated the
+    // survivor family's shared component cache, silently moving the
+    // pair→CC cost out of the measured window. Reset it and time the
+    // build ONCE as its own labeled entry — the survivor queries below
+    // then report interpretable incremental cost, and the suite total
+    // still carries the shared cost exactly once (its pay-once-per-
+    // process semantics).
+    if (queries.contains("dedup_survivors") ||
+        queries.contains("dedup_survivors_best")) {
+      SparkEntry.resetSharedCc()
+      val t0 = System.nanoTime()
+      SparkEntry.buildSharedCc(spark, sfDir)
+      val dt = (System.nanoTime() - t0) / 1e9
+      samples("cc_shared_build") = Vector(dt)
+      System.err.println(f"[bench] cc_shared_build        $dt%8.2f s")
+    }
     for (r <- 1 to repeat) queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       run(name, fn, sfDir)
@@ -61,7 +77,7 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = queries.keys.map(n => n -> median(samples.getOrElse(n, Vector.empty))).toMap
+    val results = samples.keys.map(n => n -> median(samples(n))).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
