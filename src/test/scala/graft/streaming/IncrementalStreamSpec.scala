@@ -381,6 +381,40 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(t2("z") == Some(0.1))
   }
 
+  test("CLI --stream/--enrich: RunPipeline flag syntax drives the enrichment join e2e") {
+    import org.apache.spark.sql.types._
+    val src = tmp("cli-enrich-src"); val eSrc = tmp("cli-enrich-es")
+    val ckpt = tmp("cli-enrich-ckpt"); val target = tmp("cli-enrich-target") + "/out"
+    val eSchema = StructType(Seq(
+      StructField("main_refco", StringType),
+      StructField("ets", TimestampType),
+      StructField("score", DoubleType)))
+    def writeEnrich(part: String, rows: Seq[Row]): Unit = {
+      val staging = tmp(s"cli-enrich-stage-$part")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), eSchema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val f = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$eSrc/$part.parquet"))
+    }
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-01 10:00:00", Seq(1f, 2f), "a", "", "c1")), "batch0")
+    writeEnrich("batch0", Seq(
+      Row("a", Timestamp.valueOf("2024-01-01 10:05:00"), 0.9)))
+
+    // exactly the CLI surface: the flag string parses to an EnrichSpec
+    // and --stream starts the same plan RunPipeline.main would
+    val opts = Map("--enrich" ->
+      s"$eSrc;main_refco STRING, ets TIMESTAMP, score DOUBLE;main_refco;ets;10 minutes;10 minutes")
+    graft.RunPipeline.startStream(spark, src, target, ckpt, opts)
+      .awaitTermination()
+    val t1 = graft.operators.Upsert.readTarget(spark, target)
+      .select("main_refco", "score").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(t1("a") == Some(0.9),
+      s"CLI-configured enrichment column missing: $t1")
+  }
+
   test("streaming dedup within watermark drops cross-batch re-deliveries") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
