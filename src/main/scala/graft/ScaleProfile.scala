@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   * lineitem orders get shifted key ranges.
   */
 object ScaleProfile {
+  /** `runMain graft.ScaleProfile [all|erasure]` — `erasure` derives the
+    * 5× corpus if needed and runs ONLY the compliance-erasure profile
+    * (the round-9 idmap re-measure without re-timing the whole suite). */
   def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("all")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -82,6 +86,15 @@ object ScaleProfile {
       (System.nanoTime() - t0) / 1e9
     }
     def median3(f: => Double): Double = (1 to 3).map(_ => f).sorted.apply(1)
+
+    if (mode == "erasure") {
+      erasureManifestProfile(spark, src, "sf0.1")
+      erasureManifestProfile(spark, out, "sf0.5")
+      erasureIvfProfile(spark, src, "sf0.1")
+      erasureIvfProfile(spark, out, "sf0.5")
+      spark.stop()
+      return
+    }
 
     val qs = Seq("ngram_jaccard_prefix", "simhash_pairs", "connected_components",
       "cosine_neardup_lsh", "ann_lsh", "ann_ivf", "sessionize", "rollup_agg",
@@ -151,9 +164,19 @@ object ScaleProfile {
     // byte fraction the rewrite touches (measured from the manifest
     // before the delete), and wall time. nBuckets=256 so a 0.1% key list
     // exercises genuine pruning (≈ |keys| of 256 buckets).
-    def fileBytes(fs: org.apache.hadoop.fs.FileSystem, paths: Seq[String]): Long =
-      paths.map(p => fs.getFileStatus(new Path(p)).getLen).sum
-    def erasureManifestProfile(dir: String, tag: String): Unit = {
+    erasureManifestProfile(spark, src, "sf0.1")
+    erasureManifestProfile(spark, out, "sf0.5")
+    erasureIvfProfile(spark, src, "sf0.1")
+    erasureIvfProfile(spark, out, "sf0.5")
+    spark.stop()
+  }
+
+  private def fileBytes(fs: org.apache.hadoop.fs.FileSystem,
+      paths: Seq[String]): Long =
+    paths.map(p => fs.getFileStatus(new Path(p)).getLen).sum
+
+  private def erasureManifestProfile(spark: SparkSession, dir: String,
+      tag: String): Unit = {
       val docs = Tables.documents(spark, dir)
       val n = docs.count()
       Seq(0.001, 0.01).foreach { frac =>
@@ -182,7 +205,14 @@ object ScaleProfile {
           f"bytes=${100.0 * touchedBytes / totalBytes}%5.1f%% t=$t%6.2f s")
       }
     }
-    def erasureIvfProfile(dir: String, tag: String): Unit = {
+  /** Round 9: `deleteFromIndex` locates through the idmap (O(|keys|))
+    * instead of the whole-cells column scan, so the timed wall is the
+    * full erasure — locate + cell rewrites + the idmap's own bucket
+    * rewrites — with the former fixed O(index rows) locating floor gone.
+    * (The `touched`/bytes accounting above the timer intentionally keeps
+    * the old full-scan derivation: it is measurement, not the op.) */
+  private def erasureIvfProfile(spark: SparkSession, dir: String,
+      tag: String): Unit = {
       val emb = Tables.embeddings(spark, dir)
       val n = emb.count()
       Seq(0.001, 0.01).foreach { frac =>
@@ -212,10 +242,4 @@ object ScaleProfile {
           f"bytes=${100.0 * touchedBytes / totalBytes}%5.1f%% t=$t%6.2f s")
       }
     }
-    erasureManifestProfile(src, "sf0.1")
-    erasureManifestProfile(out, "sf0.5")
-    erasureIvfProfile(src, "sf0.1")
-    erasureIvfProfile(out, "sf0.5")
-    spark.stop()
-  }
 }

@@ -859,9 +859,22 @@ object Upsert {
     // so the grace rule in sweepDataRuns would defer it, and the caller's
     // retry loop wants a clean slate (ADVICE r8).
     val (snapName, nextManifest) = try {
+    // Cluster by the partition column BEFORE the partitioned write: the
+    // upstream distribution (e.g. a merge join's key-hash partitions)
+    // spreads every bucket across every task, so a naive partitionBy
+    // writes up to touched × tasks files per run — file-count explosion
+    // is the 100 TB killer (object-store listing, manifest bloat, probe
+    // cost becomes file-bound). One exchange of exactly the touched
+    // partitions' rows buys ~one file per partition per run, and makes
+    // sortWithinPartitions a TRUE per-partition key sort for row-group
+    // pruning (round 9 — surfaced by the idmap erasure profile).
+    val clustered = partCol match {
+      case Some(pc) => rows.repartition(col(pc))
+      case None => rows
+    }
     val sorted =
-      if (sortCols.nonEmpty) rows.sortWithinPartitions(sortCols.map(col): _*)
-      else rows // key-sorted files: parquet row-group stats prune lookups
+      if (sortCols.nonEmpty) clustered.sortWithinPartitions(sortCols.map(col): _*)
+      else clustered // key-sorted files: parquet row-group stats prune lookups
     partCol match {
       case Some(pc) =>
         sorted.withColumn(s"${pc}_p", col(pc))
