@@ -385,6 +385,26 @@ object Dedup {
     }
   }
 
+  /** Compact a persisted MinHash near-dup index: every streaming
+    * micro-batch APPENDS its survivors' rows ([[minHashPairsAgainstIndex]]
+    * maintenance in `IncrementalStream`), so sigs/bands accumulate one
+    * file set per batch — the same streaming-ingest tax
+    * [[Ivf.compactIndex]] pays for IVF cells; candidate-join cost
+    * becomes file-count-bound instead of row-bound. Rewrites each table
+    * to ~`spark.sql.shuffle.partitions` files in one [[IndexStore]]
+    * snapshot commit (compute-in-loop: a conflict with a concurrent
+    * batch append retries against the winner's rows). Run it on the
+    * [[Ivf.compactIndex]] cadence — a periodic maintenance job. */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit =
+    Seq("sigs", "bands").foreach { t =>
+      val root = s"$indexPath/$t"
+      if (IndexStore.exists(spark, root))
+        IndexStore.rewriteWith(spark, root)(() =>
+          (IndexStore.read(spark, root).repartition(
+            spark.sessionState.conf.numShufflePartitions), None))
+    }
+
   /** Slim (id, band, band_hash) rows derived from an (id, minhash)
     * signature frame — split out so a caller that persists the signatures
     * (one pass over the text per micro-batch) can derive the band rows

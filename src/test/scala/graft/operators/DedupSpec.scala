@@ -186,6 +186,42 @@ class DedupSpec extends SparkSpecBase {
     } finally Upsert.gcGraceMs = savedGrace
   }
 
+  test("compactNearDupIndex collapses per-batch append fragments; pairs unchanged") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-mh-compact").toString
+    def batch(ids: Seq[Long]): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+      Dedup.minHashIndex(
+        ids.map(i => (i, s"w$i a b c d e f g h")).toDF("doc_id", "text"),
+        "doc_id", "text", n = 1, numHashes = 32, bands = 8)
+    // first batch creates the store; three more append (streaming cadence)
+    val (s0, b0) = batch(Seq(1L, 2L))
+    IndexStore.rewrite(spark, s"$idx/sigs", s0)
+    IndexStore.rewrite(spark, s"$idx/bands", b0)
+    (1 to 3).foreach { i =>
+      val (s, b) = batch(Seq(10L * i, 10L * i + 1))
+      IndexStore.append(spark, s"$idx/sigs", s)
+      IndexStore.append(spark, s"$idx/bands", b)
+    }
+    def files(t: String): Int =
+      Upsert.readBucketManifest(spark, s"$idx/$t").values.map(_.size).sum
+    assert(files("sigs") >= 4, s"appends did not fragment: ${files("sigs")}")
+
+    val before = Dedup.minHashPairsAgainstIndex(
+      s0, b0, Dedup.readNearDupIndexTable(spark, idx, "sigs"),
+      Dedup.readNearDupIndexTable(spark, idx, "bands"),
+      numHashes = 32, threshold = 0.5)
+      .collect().map(_.toString).sorted
+    Dedup.compactNearDupIndex(spark, idx)
+    assert(files("sigs") <= 2 && files("bands") <= 2,
+      s"still fragmented: sigs=${files("sigs")} bands=${files("bands")}")
+    assert(Dedup.readNearDupIndexTable(spark, idx, "sigs").count() == 8)
+    val after = Dedup.minHashPairsAgainstIndex(
+      s0, b0, Dedup.readNearDupIndexTable(spark, idx, "sigs"),
+      Dedup.readNearDupIndexTable(spark, idx, "bands"),
+      numHashes = 32, threshold = 0.5)
+      .collect().map(_.toString).sorted
+    assert(before.sameElements(after), "compaction changed candidate results")
+  }
+
   test("MinHash-LSH pairs ⊇ verified-exact pairs on planted near-dups") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = base.replace("w40", "zz") // jaccard ≈ 35/41 over 3-shingles
