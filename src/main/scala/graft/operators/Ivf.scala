@@ -278,12 +278,12 @@ object Ivf {
         .join(idsD, Seq(idCol), "left_semi")
         .select("__cell").distinct()
         .collect().map(_.getAs[Number]("__cell").intValue()).sorted.toIndexedSeq
-    if (locate().nonEmpty)
-      IndexStore.rewriteWith(spark, cellsRoot, Some("__cell"))(() => {
-        val touched = locate() // re-located per attempt: conflict-safe
-        (readCells(spark, indexPath, Some(touched))
-          .join(idsD, Seq(idCol), "left_anti"), Some(touched))
-      })
+    if (locate().isEmpty) return // no key indexed: nothing to erase anywhere
+    IndexStore.rewriteWith(spark, cellsRoot, Some("__cell"))(() => {
+      val touched = locate() // re-located per attempt: conflict-safe
+      (readCells(spark, indexPath, Some(touched))
+        .join(idsD, Seq(idCol), "left_anti"), Some(touched))
+    })
     // retire the idmap rows too — the map must not resurrect erased ids
     IndexStore.rewriteWith(spark, idMapRoot(indexPath), Some("__idb"),
       Seq(idCol))(() =>
