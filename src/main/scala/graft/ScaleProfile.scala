@@ -95,6 +95,15 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "merge") {
+      manifestMergeProfile(spark, src, "warmup") // codegen/JIT warm pass
+      val (b1, i1) = manifestMergeProfile(spark, src, "sf0.1")
+      val (b5, i5) = manifestMergeProfile(spark, out, "sf0.5")
+      println(f"SCALE manifest_merge_build     sf0.1=$b1%6.2f s  sf0.5=$b5%6.2f s  exponent=${math.log(b5 / b1) / math.log(5.0)}%5.2f")
+      println(f"SCALE manifest_merge_incr(2%%)  sf0.1=$i1%6.2f s  sf0.5=$i5%6.2f s  exponent=${math.log(i5 / i1) / math.log(5.0)}%5.2f")
+      spark.stop()
+      return
+    }
 
     val qs = Seq("ngram_jaccard_prefix", "simhash_pairs", "connected_components",
       "cosine_neardup_lsh", "ann_lsh", "ann_ivf", "sessionize", "rollup_agg",
@@ -129,31 +138,8 @@ object ScaleProfile {
     val tp = median3(lshPlanes(out, 7))
     println(f"SCALE cosine_neardup_lsh sf0.5 with occupancy-matched planes=7: $tp%6.2f s")
 
-    // Manifest-bucketed merge at 5×: time the initial build (full corpus
-    // through the merge path into an empty target) and then incremental
-    // merges of a ~2% batch (proportional to corpus size, so the ideal
-    // exponent is 1 for both — cost scales with data touched, and the
-    // incremental merge only rewrites the batch's touched buckets).
-    def manifestMergeProfile(dir: String, tag: String): (Double, Double) = {
-      val root = s"/tmp/scale/manifest-$tag"
-      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(root), true)
-      val docs = Tables.documents(spark, dir)
-      val t0 = System.nanoTime()
-      operators.Upsert.mergeIntoManifestBucketedParquet(spark, root, docs,
-        Seq("doc_id"), nBuckets = 64)
-      val build = (System.nanoTime() - t0) / 1e9
-      val batch = docs.where(pmod(xxhash64(col("doc_id"), lit(7)), lit(50)) === 0)
-      val inc = median3 {
-        val t1 = System.nanoTime()
-        operators.Upsert.mergeIntoManifestBucketedParquet(spark, root, batch,
-          Seq("doc_id"), nBuckets = 64)
-        (System.nanoTime() - t1) / 1e9
-      }
-      (build, inc)
-    }
-    val (b1, i1) = manifestMergeProfile(src, "sf0.1")
-    val (b5, i5) = manifestMergeProfile(out, "sf0.5")
+    val (b1, i1) = manifestMergeProfile(spark, src, "sf0.1")
+    val (b5, i5) = manifestMergeProfile(spark, out, "sf0.5")
     println(f"SCALE manifest_merge_build     sf0.1=$b1%6.2f s  sf0.5=$b5%6.2f s  exponent=${math.log(b5 / b1) / math.log(5.0)}%5.2f")
     println(f"SCALE manifest_merge_incr(2%%)  sf0.1=$i1%6.2f s  sf0.5=$i5%6.2f s  exponent=${math.log(i5 / i1) / math.log(5.0)}%5.2f")
 
@@ -174,6 +160,33 @@ object ScaleProfile {
   private def fileBytes(fs: org.apache.hadoop.fs.FileSystem,
       paths: Seq[String]): Long =
     paths.map(p => fs.getFileStatus(new Path(p)).getLen).sum
+
+  private def medianOf3(f: => Double): Double = (1 to 3).map(_ => f).sorted.apply(1)
+
+  /** Manifest-bucketed merge at 5×: time the initial build (full corpus
+    * through the merge path into an empty target) and then incremental
+    * merges of a ~2% batch (proportional to corpus size, so the ideal
+    * exponent is 1 for both — cost scales with data touched, and the
+    * incremental merge only rewrites the batch's touched buckets). */
+  private def manifestMergeProfile(spark: SparkSession, dir: String,
+      tag: String): (Double, Double) = {
+    val root = s"/tmp/scale/manifest-$tag"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    val docs = Tables.documents(spark, dir)
+    val t0 = System.nanoTime()
+    operators.Upsert.mergeIntoManifestBucketedParquet(spark, root, docs,
+      Seq("doc_id"), nBuckets = 64)
+    val build = (System.nanoTime() - t0) / 1e9
+    val batch = docs.where(pmod(xxhash64(col("doc_id"), lit(7)), lit(50)) === 0)
+    val inc = medianOf3 {
+      val t1 = System.nanoTime()
+      operators.Upsert.mergeIntoManifestBucketedParquet(spark, root, batch,
+        Seq("doc_id"), nBuckets = 64)
+      (System.nanoTime() - t1) / 1e9
+    }
+    (build, inc)
+  }
 
   private def erasureManifestProfile(spark: SparkSession, dir: String,
       tag: String): Unit = {
