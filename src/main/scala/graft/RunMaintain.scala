@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point for the periodic maintenance jobs a long-lived
+  * deployment schedules next to the pipeline itself — the spark-submit
+  * face of the library's compaction/retention operators (the reference
+  * delegates all maintenance to its warehouse; on plain Parquet these
+  * jobs ARE the warehouse):
+  *
+  * {{{
+  *   spark-submit --class graft.RunMaintain <jar> <action> <path> [opts]
+  *
+  *   actions:
+  *     ivf-compact <indexPath> [--id-col vec_id]
+  *         collapse per-add small files in the IVF cell table (and
+  *         rebuild its idmap) — one file per cell after
+  *     neardup-compact <indexPath>
+  *         collapse per-batch appends in the MinHash sigs/bands tables
+  *     vacuum <targetPath> [--keep-snapshots 1]
+  *         expire retained snapshots of a merge target NOW (compliance
+  *         erasure horizon; also the post-incident storage reclaim)
+  * }}}
+  *
+  * Every action commits through the snapshot/manifest protocol: a crash
+  * mid-job leaves the previous state fully readable, and concurrent
+  * pipeline runs keep reading the old snapshot until the pointer flips.
+  */
+object RunMaintain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().appName("graft-maintain").getOrCreate()
+    GraftConf.applyScaleProfile(spark)
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** Job body, separated from [[main]]'s session lifecycle so tests can
+    * drive the CLI surface on a shared session (the [[RunErasure]]
+    * pattern). */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: RunMaintain <ivf-compact|neardup-compact|vacuum> <path> " +
+        "[--id-col c] [--keep-snapshots n]")
+    val action = args(0)
+    val path = args(1)
+    val opts = args.drop(2).sliding(2, 2).collect {
+      case Array(k, v) => k -> v
+    }.toMap
+    action match {
+      case "ivf-compact" =>
+        operators.Ivf.compactIndex(spark, path,
+          opts.getOrElse("--id-col", "vec_id"))
+        System.err.println(s"[maintain] IVF index compacted: $path")
+      case "neardup-compact" =>
+        operators.Dedup.compactNearDupIndex(spark, path)
+        System.err.println(s"[maintain] near-dup index compacted: $path")
+      case "vacuum" =>
+        val keep = opts.get("--keep-snapshots").map(_.toInt).getOrElse(1)
+        operators.Upsert.vacuum(spark, path, keep)
+        System.err.println(s"[maintain] vacuumed $path to $keep snapshot(s)")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown action '$other' (ivf-compact | neardup-compact | vacuum)")
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The maintenance CLI drives the same compaction/retention operators
+  * the specs cover individually — these tests pin the flag surface. */
+class RunMaintainSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("neardup-compact action collapses appended index fragments") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-maint-nd").toString
+    def batch(ids: Seq[Long]) = operators.Dedup.minHashIndex(
+      ids.map(i => (i, s"w$i a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 1, numHashes = 16, bands = 4)
+    val (s0, b0) = batch(Seq(1L, 2L))
+    operators.IndexStore.rewrite(spark, s"$idx/sigs", s0)
+    operators.IndexStore.rewrite(spark, s"$idx/bands", b0)
+    val (s1, b1) = batch(Seq(3L, 4L))
+    operators.IndexStore.append(spark, s"$idx/sigs", s1)
+    operators.IndexStore.append(spark, s"$idx/bands", b1)
+    def sigFiles = operators.Upsert.readBucketManifest(spark, s"$idx/sigs")
+      .values.map(_.size).sum
+    assert(sigFiles >= 2)
+    RunMaintain.run(spark, Array("neardup-compact", idx))
+    assert(sigFiles <= 2)
+    assert(operators.Dedup.readNearDupIndexTable(spark, idx, "sigs")
+      .count() == 4)
+  }
+
+  test("vacuum action tightens retention on a manifest target") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-vac").toString
+    val path = s"$dir/table"
+    def mergeK3(rows: Seq[(Long, String)]): Unit =
+      operators.Upsert.mergeIntoManifestBucketedParquet(spark, path,
+        rows.toDF("key", "v"), Seq("key"), nBuckets = 2, keepSnapshots = 3)
+    mergeK3((0L until 6L).map(k => (k, s"v$k")))
+    mergeK3(Seq((1L, "u1")))
+    mergeK3(Seq((2L, "u2")))
+    assert(operators.Upsert.snapshots(spark, path).size == 3)
+    RunMaintain.run(spark, Array("vacuum", path, "--keep-snapshots", "1"))
+    assert(operators.Upsert.snapshots(spark, path).size == 1)
+    val out = operators.Upsert.readManifestTable(spark, path)
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(out(1L) == "u1" && out(2L) == "u2" && out(0L) == "v0")
+  }
+
+  test("ivf-compact action dedups and collapses the cell table") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-maint-ivf").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    operators.Ivf.buildIndex(spark, idx, emb.where(col("vec_id") < 40),
+      trainOn = emb.where(col("vec_id") < 40), nlist = 2, iters = 1)
+    operators.Ivf.addToIndex(spark, idx,
+      emb.where(col("vec_id") >= 40 && col("vec_id") < 60))
+    RunMaintain.run(spark, Array("ivf-compact", idx))
+    val perCell = operators.Upsert.readBucketManifest(spark, s"$idx/cells")
+      .map { case (c, fs) => c -> fs.size }
+    assert(perCell.values.forall(_ == 1), s"still fragmented: $perCell")
+    assert(operators.Ivf.readCells(spark, idx).count() == 60)
+  }
+
+  test("unknown action is rejected") {
+    intercept[IllegalArgumentException] {
+      RunMaintain.run(spark, Array("defrag", "/tmp/x"))
+    }
+  }
+}

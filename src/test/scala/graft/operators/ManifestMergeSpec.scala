@@ -244,6 +244,30 @@ class ManifestMergeSpec extends SparkSpecBase {
     assert(cur == "snap-000000002")
   }
 
+  test("clustered commit writes one file per touched bucket per run") {
+    // The 100 TB file-count contract (round 9): a merge fed by a key-hash
+    // join distribution must not write touched x tasks files — the
+    // commit clusters by __bucket first, so each run contributes ≈1 file
+    // per touched bucket regardless of parallelism.
+    val path = mkTarget()
+    val rows = (0L until 200L).map(k => (k, s"v$k")).toDF("key", "v")
+      .repartition(2) // spread every bucket across both tasks upstream
+    Upsert.mergeIntoManifestBucketedParquet(spark, path, rows,
+      Seq("key"), nBuckets = 8)
+    val m = Upsert.readBucketManifest(spark, path)
+    assert(m.size == 8)
+    m.foreach { case (b, files) =>
+      assert(files.size == 1, s"bucket $b has ${files.size} files from one run")
+    }
+    // an incremental merge touching all buckets again: still 1 file each
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      (0L until 200L by 2).map(k => (k, "u")).toDF("key", "v"),
+      Seq("key"), nBuckets = 8)
+    Upsert.readBucketManifest(spark, path).foreach { case (b, files) =>
+      assert(files.size == 1, s"bucket $b fragmented after rewrite: ${files.size}")
+    }
+  }
+
   test("non-atomic create: both racers told create succeeded — loser detects via read-back and retries") {
     // Models an object store without conditional PUT (ADVICE r8 / VERDICT
     // r8 #2): the victim's manifest PUT for snap-1 succeeds, then a
