@@ -120,6 +120,7 @@ object RunPipeline {
       nearDupTextCol = opts.get("--neardup-text"),
       nearDupThreshold =
         opts.get("--neardup-threshold").map(_.toDouble).getOrElse(0.8),
+      nearDupShingle = opts.get("--neardup-shingle").map(_.toInt).getOrElse(3),
       nearDupIndexPath = opts.get("--neardup-index"),
       ivfIndexPath = opts.get("--ivf-index"),
       ivfNlist = opts.get("--ivf-nlist").map(_.toInt).getOrElse(16),

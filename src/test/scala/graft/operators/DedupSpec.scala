@@ -186,6 +186,36 @@ class DedupSpec extends SparkSpecBase {
     } finally Upsert.gcGraceMs = savedGrace
   }
 
+  test("erasure racing a streaming append: neither the append nor the delete is lost") {
+    // ADVICE r8's exact scenario: a streaming sigs/bands append commits
+    // between an erasure's read and its commit. The old code recommitted
+    // the erasure's stale anti-join plan, silently overwriting the
+    // append; rewriteWith recomputes against the winner's snapshot.
+    val idx = java.nio.file.Files.createTempDirectory("graft-mh-race").toString
+    def batch(ids: Seq[Long]) = Dedup.minHashIndex(
+      ids.map(i => (i, s"w$i a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 1, numHashes = 16, bands = 4)
+    val (s0, b0) = batch(Seq(1L, 2L, 3L))
+    IndexStore.rewrite(spark, s"$idx/sigs", s0)
+    IndexStore.rewrite(spark, s"$idx/bands", b0)
+    val (s1, b1) = batch(Seq(10L, 11L))
+    var fired = false
+    Upsert.beforeManifestCreateHook = Some { (tp, _) =>
+      if (!fired && tp == s"$idx/sigs") {
+        fired = true
+        Upsert.beforeManifestCreateHook = None
+        IndexStore.append(spark, s"$idx/sigs", s1) // the racing micro-batch
+      }
+    }
+    try Dedup.deleteFromNearDupIndex(spark, idx, Seq(2L).toDF("id"))
+    finally Upsert.beforeManifestCreateHook = None
+    assert(fired, "race hook never fired")
+    val sigIds = Dedup.readNearDupIndexTable(spark, idx, "sigs")
+      .select("id").as[Long].collect().toSet
+    assert(sigIds == Set(1L, 3L, 10L, 11L),
+      s"append or delete lost under the race: $sigIds")
+  }
+
   test("compactNearDupIndex collapses per-batch append fragments; pairs unchanged") {
     val idx = java.nio.file.Files.createTempDirectory("graft-mh-compact").toString
     def batch(ids: Seq[Long]): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
