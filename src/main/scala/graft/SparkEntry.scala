@@ -388,6 +388,31 @@ object SparkEntry {
     "repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpanStats(Tables.documents(s, dir), "doc_id", "text", k = 3)),
 
+    // Exact duplicated-PASSAGE spans (Lee et al. suffix-window form of
+    // exact-substring dedup): merged character ranges covered by 8-token
+    // windows occurring ≥2× corpus-wide — the locate/merge transform the
+    // aggregate-only repeated_spans can't do.
+    "dup_passages" -> ((s, dir) =>
+      Dedup.duplicatedPassageSpans(Tables.documents(s, dir), "doc_id", "text",
+        w = 8)),
+
+    // End-to-end passage REMOVAL: splice the merged spans out with the
+    // codegen'd aggregate-HOF (Dedup.removeSpans). The oracle derives the
+    // cleaned length INDEPENDENTLY (original length − Σ span widths), so
+    // the driver cross-checks the splice against arithmetic it never ran.
+    "dup_passage_clean" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val spans = Dedup.duplicatedPassageSpans(docs, "doc_id", "text", w = 8)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+            .as("spans"),
+          count(lit(1)).as("n_spans"))
+      docs.join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          length(Dedup.removeSpans(col("text"), col("spans")))
+            .cast("long").as("clean_len"))
+    }),
+
     // End-to-end dedup: Jaccard pairs -> connected components -> keep the
     // minimum id per duplicate cluster; unpaired docs pass through. The
     // component table is SHARED with dedup_survivors_best (the pair stage
@@ -938,6 +963,34 @@ object SparkEntry {
       }
     }.mkString(",\n")
 
+  /** Shared CTE chain of the duplicated-passage oracles (from a `toks`
+    * (doc_id, tok, i) CTE to the merged-span groups `g2`): per-doc char
+    * prefix sums, 8-token window frames, the ≥2-occurrence census, and
+    * the overlapping/adjacent span merge — mirroring
+    * [[graft.operators.Dedup.duplicatedPassageSpans]] step for step. */
+  private val dupPassageWindowCtes: String =
+    """w0 AS (SELECT doc_id, i,
+      |        CAST(coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_char,
+      |        string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win,
+      |        count(tok) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wn
+      |      FROM toks),
+      |v AS (SELECT doc_id, start_char, start_char + length(win) AS end_char, win
+      |      FROM w0 WHERE wn = 8),
+      |dup AS (SELECT win FROM v GROUP BY win HAVING count(*) >= 2),
+      |h AS (SELECT doc_id, start_char, end_char FROM v JOIN dup USING (win)),
+      |g AS (SELECT doc_id, start_char, end_char,
+      |        CASE WHEN start_char > coalesce(max(end_char) OVER (PARTITION BY doc_id
+      |          ORDER BY start_char, end_char ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |          THEN 1 ELSE 0 END AS ng
+      |      FROM h),
+      |g2 AS (SELECT doc_id, start_char, end_char,
+      |        sum(ng) OVER (PARTITION BY doc_id ORDER BY start_char, end_char
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |      FROM g)""".stripMargin
+
   private def langScore(markers: Seq[String]): String =
     s"len(list_filter(ws, w -> w IN ${markers.map(m => s"'$m'").mkString("(", ",", ")")}))"
 
@@ -1218,6 +1271,31 @@ object SparkEntry {
         |  coalesce(d.n_shared, 0) AS n_shared,
         |  len(s.sh) > 0 AND 2 * coalesce(d.n_shared, 0) >= len(s.sh) AS mostly_duplicated
         |FROM sh s LEFT JOIN d USING (doc_id)""".stripMargin,
+
+    // Full mirror of the windowed passage pipeline: token prefix-sum
+    // offsets, 8-token frame aggregates, duplicate census, span merge.
+    "dup_passages" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |toks AS (SELECT doc_id, unnest(ts) AS tok,
+         |           unnest(generate_series(1, len(ts))) AS i FROM base),
+         |$dupPassageWindowCtes
+         |SELECT doc_id, min(start_char) AS span_start,
+         |  CAST(max(end_char) AS BIGINT) AS span_end, count(*) AS n_windows
+         |FROM g2 GROUP BY doc_id, grp""".stripMargin,
+
+    // Cleaned length derived WITHOUT the splice: original − Σ span widths.
+    "dup_passage_clean" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |toks AS (SELECT doc_id, unnest(ts) AS tok,
+         |           unnest(generate_series(1, len(ts))) AS i FROM base),
+         |$dupPassageWindowCtes,
+         |sp AS (SELECT doc_id, min(start_char) AS s, max(end_char) AS e
+         |       FROM g2 GROUP BY doc_id, grp),
+         |agg AS (SELECT doc_id, count(*) AS n_spans, sum(e - s) AS removed
+         |        FROM sp GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+         |  CAST(length(d.text) - coalesce(a.removed, 0) AS BIGINT) AS clean_len
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // Full-pipeline mirror: the ngram_jaccard pair CTEs at 1/50, the
     // connected_components recursive CTE, then the anti-joined survivors.

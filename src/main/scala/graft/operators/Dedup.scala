@@ -283,6 +283,84 @@ object Dedup {
         col("n_spans") > 0 && lit(2) * col("n_shared") >= col("n_spans"))
   }
 
+  /** Exact duplicated-PASSAGE detection (the transform `repeatedSpanStats`
+    * only counts): every w-token window whose exact text occurs at least
+    * `minOccurrences` times in the corpus marks a character span in each
+    * document it occurs in; overlapping/adjacent marked spans merge into
+    * maximal passages. Output: one row per (document, merged passage) —
+    * `doc_id, span_start, span_end, n_windows` with `[span_start,
+    * span_end)` character offsets into the original text ready for
+    * [[removeSpans]]. This is the suffix-window form of exact-substring
+    * dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"): a duplicated passage of L ≥ w tokens is covered by
+    * its L − w + 1 duplicated windows, which merge back into the full
+    * passage here.
+    *
+    * Scale shape (100 TB): tokenization + windowing is ONE shuffle on
+    * `doc_id` (the window functions share a single partitioning — token
+    * prefix-sum offsets, the w-token frame aggregate, and the final span
+    * merge all run per-doc); the duplicate-window census is one more
+    * shuffle on the window text with map-side partial counts. The
+    * join-back of the duplicated-window set rides the SAME window-keyed
+    * exchange as the census (sort-merge on `win`; a boilerplate window hot
+    * enough to skew a task is exactly what AQE skew-join splits). Nothing
+    * quadratic: cost is O(tokens · w) text bytes exchanged — at scale,
+    * swap the window STRING key for its 128-bit hash to slim the exchange
+    * (kept as text here so the DuckDB oracle mirrors the join exactly). */
+  def duplicatedPassageSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    val toks = Par.spread(df)
+      .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), " ")))
+      .toDF("doc_id", "i", "tok")
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val frame = byDoc.rowsBetween(0, w - 1)
+    val before = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val wins = toks
+      // char offset of token i = Σ_{j<i} (len(tok_j) + 1 joiner char) —
+      // exact for the single-space tokenization split() inverts
+      .withColumn("start_char",
+        coalesce(sum(length(col("tok")).cast("long") + 1L).over(before), lit(0L)))
+      .withColumn("win", concat_ws(" ", collect_list(col("tok")).over(frame)))
+      .withColumn("__wn", count(lit(1)).over(frame))
+      .where(col("__wn") === w)
+      .select(col("doc_id"), col("start_char"),
+        (col("start_char") + length(col("win"))).as("end_char"), col("win"))
+    val dup = wins.groupBy("win").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minOccurrences).select("win")
+    val hits = wins.join(dup, "win")
+    // merge overlapping/adjacent spans per doc: a window starts a new
+    // passage iff it begins past the running max end of everything before
+    val order = Window.partitionBy("doc_id").orderBy("start_char", "end_char")
+    val runMax = order.rowsBetween(Window.unboundedPreceding, -1)
+    hits
+      .withColumn("__newgrp",
+        when(col("start_char") > coalesce(max(col("end_char")).over(runMax),
+          lit(-1L)), 1L).otherwise(0L))
+      .withColumn("__grp",
+        sum(col("__newgrp")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min("start_char").as("span_start"), max("end_char").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** Cut an ascending, non-overlapping `array<struct<span_start, span_end>>`
+    * of character ranges (i.e. [[duplicatedPassageSpans]] output collected
+    * per doc) out of `text`. Pure codegen'd higher-order `aggregate` — the
+    * accumulator carries (kept-so-far, resume-position); no UDF, no
+    * explode, no shuffle. */
+  def removeSpans(text: Column, spans: Column): Column = {
+    val spliced = aggregate(spans,
+      struct(lit("").as("sb"), lit(0L).as("pos")),
+      (acc, s) => struct(
+        concat(acc("sb"), text.substr((acc("pos") + 1L).cast("int"),
+          (s("span_start") - acc("pos")).cast("int"))).as("sb"),
+        s("span_end").as("pos")),
+      acc => concat(acc("sb"),
+        text.substr((acc("pos") + 1L).cast("int"), length(text))))
+    when(spans.isNull || size(spans) === 0, text).otherwise(spliced)
+  }
+
   // --------------------------------------------------------------------
 
   /** Per-document MinHash signature (numHashes universal-hash permutations

@@ -211,6 +211,25 @@ class PlanSpec extends SparkSpecBase {
     assert(s.contains("BroadcastHashJoin"), s"df join not broadcast:\n$s")
   }
 
+  test("dup_passages: windows partition by doc only; census is a partial-agg pair") {
+    // The duplicate-window census must never co-locate a hot window's
+    // occurrences: every Window/Sort keys on doc_id (per-doc frames), the
+    // win-keyed census is a HashAggregate PAIR (map-side partial combine
+    // crushes a boilerplate window to one row per task before the
+    // exchange), and nothing is quadratic.
+    val nodes = collectAll(plan("dup_passages"))
+    val wins = nodes.filter(_.nodeName.contains("Window"))
+    assert(wins.nonEmpty)
+    wins.foreach(w => assert(w.toString.contains("doc_id"),
+      "window stage not keyed on doc_id"))
+    assert(!nodes.exists(n => n.nodeName.contains("Window") &&
+      n.toString.matches("(?s).*partitionBy.*win.*")),
+      "a window partitions by the win column (hot-window skew risk)")
+    assert(nodes.count(_.nodeName.contains("HashAggregate")) >= 2,
+      "census lost its partial-aggregation pair")
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")))
+  }
+
   test("repeated_spans: spans explode once; no plan node co-locates a span") {
     // one Generate: the span explosion (the shuffle-volume producer) runs
     // once — the second text pass is a map-only size() projection. And no

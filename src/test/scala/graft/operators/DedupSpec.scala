@@ -50,6 +50,73 @@ class DedupSpec extends SparkSpecBase {
     assert(out(4L) == ((1L, 0L, false)))
   }
 
+  test("duplicatedPassageSpans: locates and merges cross-doc duplicated runs") {
+    val df = Seq(
+      (1L, "one two three four five six"),
+      (2L, "zero one two three four seven"),
+      (3L, "totally distinct vocabulary in this document")
+    ).toDF("doc_id", "text")
+    // shared 3-token windows: "one two three" + "two three four" — their
+    // overlapping char ranges must merge into ONE passage per doc
+    val out = Dedup.duplicatedPassageSpans(df, "doc_id", "text", w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == Set((1L, 0L, 18L, 2L), (2L, 5L, 23L, 2L)))
+  }
+
+  test("duplicatedPassageSpans: within-doc repetition counts toward the census") {
+    val df = Seq((1L, "p q r s t p q r s t")).toDF("doc_id", "text")
+    // "p q r" (and every other 3-gram of the repeated half) occurs twice
+    // IN THE SAME doc — minOccurrences counts occurrences, not documents
+    val out = Dedup.duplicatedPassageSpans(df, "doc_id", "text", w = 3)
+    assert(out.count() > 0)
+  }
+
+  test("removeSpans splices merged passages out; null/empty spans are identity") {
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "zero one two three four seven"),
+      (3L, "totally distinct vocabulary in this document")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedPassageSpans(docs, "doc_id", "text", w = 3)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("spans"))
+    val cleaned = docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), Dedup.removeSpans(col("text"), col("spans")).as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) == " five six")
+    assert(cleaned(2L) == "zero  seven")
+    assert(cleaned(3L) == "totally distinct vocabulary in this document")
+  }
+
+  test("duplicatedPassageSpans invariants: spans disjoint ascending; splice length = len − Σ widths") {
+    val docs = (0L until 40L).map { i =>
+      val words = (0 until 20).map(j => s"w${(i * 5 + j * 3) % 17}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sp = Dedup.duplicatedPassageSpans(docs, "doc_id", "text", w = 4)
+    val rows = sp.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) => assert(s2 > e1) // gap => not merged
+        case _ =>
+      }
+    }
+    val spans = sp.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("spans"))
+    val bad = docs.join(spans, Seq("doc_id"), "left")
+      .select(length(Dedup.removeSpans(col("text"), col("spans"))).cast("long")
+          .as("clean_len"),
+        (length(col("text")).cast("long") -
+          coalesce(aggregate(col("spans"), lit(0L),
+            (a, s) => a + s("span_end") - s("span_start")), lit(0L))).as("expect"))
+      .where(col("clean_len") =!= col("expect")).count()
+    assert(bad == 0)
+  }
+
   test("repeatedSpanStats: ownership form equals the naive frequency join") {
     // random-ish corpus with heavy span sharing across docs
     val docs = (0L until 60L).map { i =>
