@@ -837,6 +837,33 @@ object SparkEntry {
       Sampling.exactKPerKey(Tables.documents(s, dir), k = 5, "source", "doc_id")
         .select("doc_id", "source")),
 
+    // Leakage-safe train/val/test split: assignment keyed on the GROUP
+    // (source), not the document — near-identical docs from one source
+    // can never straddle the train/eval boundary. Pure scan-stage CASE
+    // over md5 thresholds; deterministic across runs, engines, and
+    // repartitioning.
+    "group_split" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        Sampling.splitAssign(col("source"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), "split42")
+          .as("split"))),
+
+    // Near-dup-aware split: the split key is the duplicate-CLUSTER
+    // representative (shared CC table; singletons key on themselves), so
+    // every member of a near-dup cluster lands in the same split — the
+    // contamination channel a per-doc split leaves open even after
+    // source-level splitting.
+    "split_by_component" -> ((s, dir) => {
+      val comp = sharedJaccardComponents(s, dir)
+        .select(col("id").as("doc_id"), col("label"))
+      Tables.documents(s, dir).join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("split_key"),
+          Sampling.splitAssign(coalesce(col("label"), col("doc_id")),
+            Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), "split42")
+            .as("split"))
+    }),
+
     // Semantic decontamination: corpus embeddings near-duplicate of any
     // benchmark embedding (SRP-bucketed broadcast probe — the paraphrase
     // leakage the n-gram `decontaminate` query can't see).
@@ -990,6 +1017,17 @@ object SparkEntry {
       |        sum(ng) OVER (PARTITION BY doc_id ORDER BY start_char, end_char
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
       |      FROM g)""".stripMargin
+
+  /** Cumulative md5 thresholds of the 80/10/10 split — computed with the
+    * SAME double arithmetic `Sampling.splitAssign` uses internally, so the
+    * oracle CASE compares against bit-identical hex strings (0.8 + 0.1 is
+    * not exactly 0.9 in doubles). */
+  private val splitThresholds: Seq[String] = {
+    val ws = Seq(0.8, 0.1, 0.1)
+    val total = ws.sum
+    ws.init.map(_.toDouble).scanLeft(0.0)(_ + _).tail
+      .map(c => Sampling.hexThreshold(c / total))
+  }
 
   private def langScore(markers: Seq[String]): String =
     s"len(list_filter(ws, w -> w IN ${markers.map(m => s"'$m'").mkString("(", ",", ")")}))"
@@ -1296,6 +1334,40 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
          |  CAST(length(d.text) - coalesce(a.removed, 0) AS BIGINT) AS clean_len
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // md5-threshold CASE — the exact expression splitAssign builds.
+    "group_split" ->
+      s"""SELECT doc_id, source,
+         |  CASE WHEN substr(md5(source || ':split42'), 1, 8) < '${splitThresholds(0)}' THEN 'train'
+         |       WHEN substr(md5(source || ':split42'), 1, 8) < '${splitThresholds(1)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+
+    // The jaccard-pair + recursive-CC CTEs (as in dedup_survivors), then
+    // the md5 split keyed on the component representative.
+    "split_by_component" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+         |sh AS (SELECT doc_id, source,
+         |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+         |       FROM w),
+         |e AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS shingle FROM sh),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |        any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS inter
+         |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.source = b.source
+         |                       AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |pr AS (SELECT a_id, b_id FROM p WHERE 50 * inter >= 1 * (a_n + b_n - inter)),
+         |sym AS (SELECT a_id AS a, b_id AS b FROM pr UNION SELECT b_id, a_id FROM pr),
+         |reach(id, r) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
+         |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key,
+         |  CASE WHEN substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR) || ':split42'), 1, 8) < '${splitThresholds(0)}' THEN 'train'
+         |       WHEN substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR) || ':split42'), 1, 8) < '${splitThresholds(1)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
 
     // Full-pipeline mirror: the ngram_jaccard pair CTEs at 1/50, the
     // connected_components recursive CTE, then the anti-joined survivors.

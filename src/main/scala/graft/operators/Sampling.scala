@@ -48,6 +48,35 @@ object Sampling {
     df.where(keep)
   }
 
+  /** Deterministic named train/val/test split assignment keyed on a GROUP
+    * column — the leakage-safe split a training pipeline needs: splitting
+    * on `doc_id` puts near-identical documents (same site, same template,
+    * near-dups) on both sides of the train/eval boundary, so the split key
+    * must be the leakage unit (domain, source, or a duplicate-cluster
+    * representative — see the `split_by_component` query). Every row with
+    * the same key lands in the same split, by construction.
+    *
+    * Mechanics mirror [[hashKeep]]: the first 8 md5 hex chars of
+    * `key ++ ":" ++ salt` are a uniform 32-bit draw, compared against the
+    * cumulative weight thresholds — a pure per-row CASE expression: no
+    * shuffle, no join, survives repartitioning, identical across runs and
+    * engines. Weights are normalized; the last split takes the remainder,
+    * so coverage is total. */
+  def splitAssign(key: Column, splits: Seq[(String, Double)],
+      salt: String = "graft"): Column = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0.0),
+      "splitAssign needs at least one split, all weights > 0")
+    val total = splits.map(_._2).sum
+    val h = substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 8)
+    val cum = splits.init.map(_._2).scanLeft(0.0)(_ + _).tail
+    val cases = splits.init.zip(cum).map { case ((name, _), c) =>
+      (name, hexThreshold(c / total))
+    }
+    cases.reverse.foldLeft(lit(splits.last._1): Column) {
+      case (els, (name, thr)) => when(h < lit(thr), lit(name)).otherwise(els)
+    }
+  }
+
   /** Exact-`k` uniform sample per stratum: the k rows with the SMALLEST
     * `md5(id ++ ":" ++ salt)` in each `keyCol` group (id as final
     * tie-break). Deterministic like [[hashKeep]], but with a guaranteed

@@ -9,6 +9,37 @@ class SamplingSpec extends SparkSpecBase {
 
   private lazy val ids = (0L until 2000L).toDF("id")
 
+  test("splitAssign: total coverage, weight-accurate, group-atomic, deterministic") {
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val assigned = ids.select(col("id"),
+      Sampling.splitAssign(col("id"), splits, "s42").as("split"))
+    val counts = assigned.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row lands in exactly one split
+    assert(counts.values.sum == 2000L)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // 2000 uniform draws: train ~1600 (σ≈17.9, ±5σ), val/test ~200 (σ≈13.4)
+    assert(math.abs(counts("train") - 1600) < 90, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 200) < 67, s"val=${counts("val")}")
+    // keyed assignment: every row with the same key gets the same split
+    val byGroup = ids.withColumn("g", col("id") % 7)
+      .select(col("g"), Sampling.splitAssign(col("g"), splits, "s42").as("split"))
+      .distinct().groupBy("g").count().where(col("count") > 1).count()
+    assert(byGroup == 0, "a group straddled two splits")
+    // stable across evaluation
+    assert(assigned.collect().toSeq == assigned.collect().toSeq)
+  }
+
+  test("splitAssign: weights normalize; single split takes everything") {
+    val two = ids.select(Sampling.splitAssign(col("id"),
+      Seq(("a", 2.0), ("b", 2.0)), "s").as("split"))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(two("a") - 1000) < 112) // rate 0.5, σ≈22.4, ±5σ
+    val one = ids.select(Sampling.splitAssign(col("id"),
+      Seq(("all", 3.0)), "s").as("split")).distinct().collect()
+    assert(one.map(_.getString(0)).toSeq == Seq("all"))
+  }
+
   test("hashKeep: deterministic, rate-accurate, and nested by rate") {
     val at = Map(0.1 -> ids.where(Sampling.hashKeep(col("id"), 0.1, "s")),
       0.5 -> ids.where(Sampling.hashKeep(col("id"), 0.5, "s")))
