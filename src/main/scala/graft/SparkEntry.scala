@@ -388,6 +388,13 @@ object SparkEntry {
     "repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpanStats(Tables.documents(s, dir), "doc_id", "text", k = 3)),
 
+    // Asymmetric containment pairs: |A∩B| / min(|A|,|B|) ≥ 0.8 — the
+    // quote/subset near-dup Jaccard structurally misses (a fragment
+    // contained in a long doc has low union overlap but containment ~1).
+    "containment_pairs" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        blockCol = "lang", n = 3, thresholdNum = 4, thresholdDen = 5)),
+
     // Exact duplicated-PASSAGE spans (Lee et al. suffix-window form of
     // exact-substring dedup): merged character ranges covered by 8-token
     // windows occurring ≥2× corpus-wide — the locate/merge transform the
@@ -1309,6 +1316,22 @@ object SparkEntry {
         |  coalesce(d.n_shared, 0) AS n_shared,
         |  len(s.sh) > 0 AND 2 * coalesce(d.n_shared, 0) >= len(s.sh) AS mostly_duplicated
         |FROM sh s LEFT JOIN d USING (doc_id)""".stripMargin,
+
+    // The ngram_jaccard CTEs with the containment threshold/score.
+    "containment_pairs" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+        |       FROM w),
+        |e AS (SELECT doc_id, lang, len(sh) AS n, unnest(sh) AS shingle FROM sh WHERE len(sh) > 0),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS inter
+        |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.lang = b.lang
+        |                       AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  CAST(inter AS DOUBLE) / CAST(least(a_n, b_n) AS DOUBLE) AS containment
+        |FROM p WHERE 5 * inter >= 4 * least(a_n, b_n)""".stripMargin,
 
     // Full mirror of the windowed passage pipeline: token prefix-sum
     // offsets, 8-token frame aggregates, duplicate census, span merge.

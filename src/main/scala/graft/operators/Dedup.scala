@@ -125,6 +125,37 @@ object Dedup {
           (col("a_n") + col("b_n") - col("inter")).cast("double")).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ t.
+    * Jaccard misses the quote/subset case — a short document wholly
+    * contained in a long one has tiny |A∩B|/|A∪B| but containment 1.0
+    * (boilerplate inclusions, quoted replies, article + pull-quote).
+    * Same blocked shingle equi-join shape as [[ngramJaccardPairs]] (one
+    * shuffle on (shingle, block), map-side partial counts, never
+    * all-pairs); the threshold is exact integer arithmetic and the
+    * reported score divides by the SMALLER set so the pair survives
+    * whichever side is the fragment. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int = 3,
+      thresholdNum: Int = 9, thresholdDen: Int = 10): DataFrame = {
+    val sh = withShingles(Par.spread(df), textCol, n)
+      .select(col(idCol).as("id"), col(blockCol).as("block"), col("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+      .where(col("n_sh") > 0)
+    val ex = sh.select(col("id"), col("block"), col("n_sh"),
+      explode(col("shingles")).as("shingle"))
+    val a = ex.toDF("a_id", "block", "a_n", "shingle")
+    val b = ex.toDF("b_id", "block", "b_n", "shingle")
+    a.join(b, Seq("shingle", "block"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .agg(count(lit(1)).as("inter"))
+      .where(lit(thresholdDen) * col("inter") >=
+        lit(thresholdNum) * least(col("a_n"), col("b_n")))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          least(col("a_n"), col("b_n")).cast("double")).as("containment"))
+  }
+
   /** [[ngramJaccardPairs]] with PPJoin-style prefix filtering — same exact
     * output, far fewer candidates at high thresholds.
     *

@@ -50,6 +50,22 @@ class DedupSpec extends SparkSpecBase {
     assert(out(4L) == ((1L, 0L, false)))
   }
 
+  test("ngramContainmentPairs: catches the quote/subset case Jaccard misses") {
+    val frag = "alpha beta gamma delta epsilon"
+    val long = ("zero one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen ") + frag
+    val df = Seq((1L, "en", long), (2L, "en", frag),
+      (3L, "en", "wholly unrelated words appear here")).toDF("doc_id", "lang", "text")
+    val cont = Dedup.ngramContainmentPairs(df, "doc_id", "text", "lang",
+      n = 3, thresholdNum = 9, thresholdDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0))) // fragment fully contained
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang",
+      n = 3, thresholdNum = 1, thresholdDen = 2)
+    assert(jac.where(col("a_id") === 1 && col("b_id") === 2).count() == 0,
+      "jaccard at 0.5 should NOT pair the fragment with the long doc")
+  }
+
   test("duplicatedPassageSpans: locates and merges cross-doc duplicated runs") {
     val df = Seq(
       (1L, "one two three four five six"),
