@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Clustering, Decontaminate, Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.{Cardinality, Clustering, Decontaminate, Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -387,6 +387,20 @@ object SparkEntry {
     // per doc, distinct 3-token spans and how many appear in other docs.
     "repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpanStats(Tables.documents(s, dir), "doc_id", "text", k = 3)),
+
+    // Per-source vocabulary cardinality via Datasketches HLL — the
+    // mergeable-sketch profile (Cardinality.update maintains it
+    // incrementally through IndexStore; spec-tested). At this
+    // cardinality (~31/source) the sketch is in its coupon regime —
+    // exact up to coupon-hash collisions, deterministic on fixed data —
+    // so the estimate carries a full count(DISTINCT) oracle.
+    "vocab_cardinality" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      Cardinality.estimate(Cardinality.sketch(toks, "source", "tok"))
+        .select(col("key").as("source"), col("estimate").cast("long").as("vocab"),
+          col("n_rows").as("n_tokens"))
+    }),
 
     // Asymmetric containment pairs: |A∩B| / min(|A|,|B|) ≥ 0.8 — the
     // quote/subset near-dup Jaccard structurally misses (a fragment
@@ -1316,6 +1330,15 @@ object SparkEntry {
         |  coalesce(d.n_shared, 0) AS n_shared,
         |  len(s.sh) > 0 AND 2 * coalesce(d.n_shared, 0) >= len(s.sh) AS mostly_duplicated
         |FROM sh s LEFT JOIN d USING (doc_id)""".stripMargin,
+
+    // Exact mirror: at ~31 distinct tokens/source the HLL sketch is in
+    // its coupon regime (collision-free here, deterministically), so
+    // count(DISTINCT) reproduces the estimate.
+    "vocab_cardinality" ->
+      """SELECT source, count(DISTINCT tok) AS vocab, count(*) AS n_tokens
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY source""".stripMargin,
 
     // The ngram_jaccard CTEs with the containment threshold/score.
     "containment_pairs" ->

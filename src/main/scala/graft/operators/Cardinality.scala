@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, mergeable per-key cardinality profiles — Datasketches HLL
+  * (Spark's native `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_
+  * estimate`, all codegen-able aggregates) committed through
+  * [[IndexStore]]'s snapshot protocol.
+  *
+  * The 100 TB shape this exists for: "distinct X per source" over a
+  * growing corpus. Recounting is a full-history scan per batch;
+  * `approx_count_distinct` inside one job can't be SAVED and extended.
+  * A sketch table can: each incremental batch computes its own tiny
+  * per-key sketches (map-side partial aggregation, one shuffle of
+  * kilobyte blobs), merges them into the persisted profile by register-
+  * wise max, and commits atomically — cost per batch is O(batch), never
+  * O(history). HLL union is associative/commutative/idempotent, so batch
+  * boundaries, replays of an already-merged batch's rows, and merge order
+  * never distort the profile — it stays within the sketch's error bound
+  * of a single-pass sketch of the whole corpus (see below for why not
+  * bit-for-bit).
+  *
+  * At small cardinalities the Datasketches sketch is in its coupon
+  * regime — it stores compressed HASHES of the values, so estimates are
+  * exact up to coupon-hash collisions (P ≈ n²/2²⁶; deterministic for a
+  * fixed dataset), which is what lets the `vocab_cardinality` driver
+  * query carry a full count(DISTINCT) oracle at test scale (~31 distinct
+  * per source). At 100 TB cardinalities the same code degrades gracefully
+  * to the ~1.6% (lgK=12) RSE regime; incremental-merge and single-pass
+  * builds then agree to within the error bound, not bit-for-bit (their
+  * LIST→SET→HLL promotion paths differ).
+  */
+object Cardinality {
+
+  /** Per-key batch sketches: `(key, sketch, n_rows)` — one hash shuffle
+    * with map-side partial sketch merge; the exchanged payload is the
+    * 2^lgK-register sketch, not the values. */
+  def sketch(df: DataFrame, keyCol: String, valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(col(keyCol).as("key"))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Merge one batch into the persisted profile at `root` (creates it on
+    * first use). Runs inside [[IndexStore.rewriteWith]]'s optimistic
+    * commit loop, so a conflicting concurrent update triggers a full
+    * recompute against the winner's snapshot — no lost registers — and a
+    * crash at any point leaves the previous profile readable. */
+  def update(spark: SparkSession, root: String, batch: DataFrame,
+      keyCol: String, valueCol: String, lgK: Int = 12): Unit =
+    IndexStore.rewriteWith(spark, root)(() => {
+      val fresh = sketch(batch, keyCol, valueCol, lgK)
+      val merged =
+        if (!IndexStore.exists(spark, root)) fresh
+        else IndexStore.read(spark, root).unionByName(fresh)
+          .groupBy("key")
+          .agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"),
+            sum("n_rows").as("n_rows"))
+      (merged, None)
+    })
+
+  /** Decode a sketch frame (from [[sketch]] or [[read]]) to
+    * `(key, estimate, n_rows)`. */
+  def estimate(sketches: DataFrame): DataFrame =
+    sketches.select(col("key"),
+      hll_sketch_estimate(col("sketch")).as("estimate"), col("n_rows"))
+
+  /** The persisted profile's current estimates. */
+  def estimates(spark: SparkSession, root: String): DataFrame =
+    estimate(IndexStore.read(spark, root))
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class CardinalitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("sketch estimates are exact in the coupon regime, ε-bounded beyond it") {
+    val small = (0L until 5000L).map(i => (s"k${i % 4}", s"v${i % 300}"))
+      .toDF("key", "v")
+    val est = Cardinality.estimate(Cardinality.sketch(small, "key", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per key: i ≡ k (mod 4) so v = i%300 takes 300/gcd(4,300)·… = 75
+    // distinct values; coupon regime stores hashed coupons — exact up to
+    // hash collisions (P ≈ 75²/2²⁶ ≈ 10⁻⁴ here)
+    assert(est.values.forall(_ == 75L), s"coupon-regime estimates not exact: $est")
+
+    val big = (0L until 60000L).map(i => ("k", s"v$i")).toDF("key", "v")
+    val bigEst = Cardinality.estimate(Cardinality.sketch(big, "key", "v"))
+      .collect().head.getLong(1)
+    // 60k ≫ 2^12 registers: estimation regime, RSE ≈ 1.04/√2^12 ≈ 1.6%
+    assert(math.abs(bigEst - 60000L) < 60000L * 0.05,
+      s"estimate $bigEst off by more than 5% of 60000")
+  }
+
+  test("incremental update through IndexStore equals the single-pass sketch") {
+    val root = java.nio.file.Files.createTempDirectory("graft-card").toString
+    val all = (0L until 3000L).map(i => (s"k${i % 3}", s"v${(i * 7) % 500}"))
+      .toDF("key", "v")
+    // three batches, one of them overlapping (idempotent union), merged in
+    val batches = Seq(
+      all.where(col("v").substr(2, 10).cast("long") % 3 === 0),
+      all.where(col("v").substr(2, 10).cast("long") % 3 === 1),
+      all.where(col("v").substr(2, 10).cast("long") % 3 =!= 0)) // overlaps b2
+    batches.foreach(b => Cardinality.update(spark, root, b, "key", "v"))
+    val persisted = Cardinality.estimates(spark, root)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = Cardinality.estimate(Cardinality.sketch(all, "key", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // union is register-wise max but LIST→SET→HLL promotion paths differ
+    // between incremental and single-pass builds, so estimates agree to
+    // within the sketch's error bound, not bit-for-bit (observed ±0.6%
+    // at 500 distinct/key); both sit within 2% of the true 500
+    persisted.foreach { case (k, v) =>
+      assert(math.abs(v - oneShot(k)) <= math.max(1L, oneShot(k) / 100),
+        s"merged $v vs one-shot ${oneShot(k)} for $k diverge > 1%")
+      assert(math.abs(v - 500L) <= 10L, s"$k estimate $v off true 500 by > 2%")
+    }
+    // a fresh reader (post-"restart") sees the same committed profile
+    assert(Cardinality.estimates(spark, root).count() == 3)
+  }
+
+  test("update on a fresh root creates the profile; n_rows accumulates") {
+    val root = java.nio.file.Files.createTempDirectory("graft-card2").toString
+    val b1 = Seq(("a", "x"), ("a", "y")).toDF("key", "v")
+    val b2 = Seq(("a", "y"), ("b", "z")).toDF("key", "v")
+    Cardinality.update(spark, root, b1, "key", "v")
+    Cardinality.update(spark, root, b2, "key", "v")
+    val m = Cardinality.estimates(spark, root)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m("a") == ((2L, 3L))) // distinct {x,y}; 3 observed rows
+    assert(m("b") == ((1L, 1L)))
+  }
+}
