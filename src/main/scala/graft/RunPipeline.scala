@@ -33,7 +33,8 @@ object RunPipeline {
     require(args.length >= 4,
       "usage: RunPipeline <source> <target> <state> <staging> " +
         "[--dims p] [--fallback ts] [--merge-buckets n] [--format f] " +
-        "[--retries n] [--stream ckptDir [--enrich spec]]")
+        "[--retries n] [--stream ckptDir [--enrich spec] " +
+        "[--cardinality-profile dir]]")
     val Array(source, target, state, staging) = args.take(4)
     val opts = args.drop(4).sliding(2, 2).collect {
       case Array(k, v) => k -> v
@@ -124,7 +125,8 @@ object RunPipeline {
       nearDupIndexPath = opts.get("--neardup-index"),
       ivfIndexPath = opts.get("--ivf-index"),
       ivfNlist = opts.get("--ivf-nlist").map(_.toInt).getOrElse(16),
-      enrich = opts.get("--enrich").map(parseEnrich))
+      enrich = opts.get("--enrich").map(parseEnrich),
+      cardinalityProfilePath = opts.get("--cardinality-profile"))
 
   /** Run the pipeline, retrying the WHOLE run on failure up to `retries`
     * extra attempts. Each retry starts from the persisted state: the

@@ -53,6 +53,12 @@ object IncrementalStream {
     *   runs INSIDE the streaming plan (checkpointed join state, so a
     *   buffered record joins an enrichment row arriving in a later run),
     *   upstream of the per-batch dedup + merge.
+    * @param cardinalityProfilePath when set, each micro-batch folds its
+    *   merged keys into a persisted HLL profile ([[graft.operators
+    *   .Cardinality]]) of distinct `main_refco` per `embeddings_type` —
+    *   "how many distinct entities has this stream ever merged", O(batch)
+    *   per batch. HLL union is idempotent, so an at-least-once replayed
+    *   batch leaves the profile unchanged — the same posture as the merge.
     */
   def start(spark: SparkSession, sourceDir: String, targetPath: String,
       checkpointDir: String, nearDupTextCol: Option[String] = None,
@@ -61,7 +67,8 @@ object IncrementalStream {
       curate: Option[DataFrame => DataFrame] = None,
       ivfIndexPath: Option[String] = None,
       ivfNlist: Int = 16,
-      enrich: Option[EnrichSpec] = None): StreamingQuery = {
+      enrich: Option[EnrichSpec] = None,
+      cardinalityProfilePath: Option[String] = None): StreamingQuery = {
     val docs = spark.readStream
       .schema(graft.schema.Schemas.sourceDoc)
       .parquet(sourceDir)
@@ -117,6 +124,10 @@ object IncrementalStream {
         // FROZEN centroids and appended — probes stay available between
         // micro-batches and across restarts. addToIndex is idempotent on
         // replayed keys, matching the merge's at-least-once posture.
+        cardinalityProfilePath.foreach { p =>
+          graft.operators.Cardinality.update(s, p, curated,
+            keyCol = "embeddings_type", valueCol = "main_refco")
+        }
         ivfIndexPath.foreach { idx =>
           val vecs = curated.select(col("main_refco"), col("embedding_vector"))
           if (graft.operators.IndexStore.exists(s, s"$idx/centroids"))

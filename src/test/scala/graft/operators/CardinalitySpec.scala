@@ -52,6 +52,35 @@ class CardinalitySpec extends SparkSpecBase {
     assert(Cardinality.estimates(spark, root).count() == 3)
   }
 
+  test("racing updates: the conflicting writer recomputes — neither batch is lost") {
+    // Same shape as the erasure-vs-append race in DedupSpec: writer B's
+    // commit lands between writer A's state read and A's manifest create;
+    // A must detect the conflict and RE-MERGE against B's committed
+    // profile instead of recommitting its pre-conflict plan.
+    val root = java.nio.file.Files.createTempDirectory("graft-card-race").toString
+    Cardinality.update(spark, root,
+      Seq(("a", "x1"), ("a", "x2")).toDF("key", "v"), "key", "v")
+    val racer = Seq(("a", "y1"), ("b", "y2")).toDF("key", "v")
+    var fired = false
+    Upsert.beforeManifestCreateHook = Some { (tp, _) =>
+      if (!fired && tp == root) {
+        fired = true
+        Upsert.beforeManifestCreateHook = None
+        Cardinality.update(spark, root, racer, "key", "v")
+      }
+    }
+    try Cardinality.update(spark, root,
+      Seq(("a", "z1"), ("c", "z2")).toDF("key", "v"), "key", "v")
+    finally Upsert.beforeManifestCreateHook = None
+    assert(fired, "race hook never fired")
+    val m = Cardinality.estimates(spark, root)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // a: {x1,x2} ∪ {y1} ∪ {z1} = 4 distinct over 4 rows; b and c both kept
+    assert(m("a") == ((4L, 4L)), s"lost an update on key a: $m")
+    assert(m("b") == ((1L, 1L)) && m("c") == ((1L, 1L)),
+      s"a racer's key vanished: $m")
+  }
+
   test("update on a fresh root creates the profile; n_rows accumulates") {
     val root = java.nio.file.Files.createTempDirectory("graft-card2").toString
     val b1 = Seq(("a", "x"), ("a", "y")).toDF("key", "v")

@@ -98,6 +98,35 @@ class IncrementalStreamSpec extends SparkSpecBase {
       .as[String].collect().toSet == Set("a", "b", "c"))
   }
 
+  test("streaming cardinality profile: accumulates across runs; replay-safe") {
+    val src = tmp("card-src"); val ckpt = tmp("card-ckpt")
+    val target = tmp("card-target") + "/out"
+    val prof = tmp("card-prof") + "/profile"
+
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-01 10:00:00", Seq(1f, 0f), "a", "", "c1"),
+      doc("s1", "2024-01-01 11:00:00", Seq(0f, 1f), "b", "", "c2")),
+      "batch0")
+    IncrementalStream.start(spark, src, target, ckpt,
+      cardinalityProfilePath = Some(prof)).awaitTermination()
+    val est1 = graft.operators.Cardinality.estimates(spark, prof)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est1.values.sum == 2L, s"first run profiled $est1")
+
+    // second run: one repeated key (an update — no new entity) and one new
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-02 10:00:00", Seq(2f, 0f), "a", "", "c9"),
+      doc("s2", "2024-01-02 11:00:00", Seq(0f, 2f), "c", "", "c3")),
+      "batch1")
+    // second run through the CLI flag path (RunPipeline --cardinality-profile)
+    graft.RunPipeline.startStream(spark, src, target, ckpt,
+      Map("--cardinality-profile" -> prof)).awaitTermination()
+    val est2 = graft.operators.Cardinality.estimates(spark, prof)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // distinct entities ever merged = {a, b, c}; the replayed "a" adds 0
+    assert(est2.values.sum == 3L, s"after run 2 profiled $est2")
+  }
+
   test("streaming curate hook gates each micro-batch before merge") {
     val src = tmp("cur-src"); val ckpt = tmp("cur-ckpt")
     val target = tmp("cur-target") + "/out"
