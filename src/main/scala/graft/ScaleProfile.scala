@@ -95,6 +95,22 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "passages") {
+      // Round-9 ops: the passage pipeline (token-window exchange + census
+      // + merge — ideal exponent 1), containment (blocked shingle join),
+      // and the sketch profile (expected ~flat: payload is register blobs)
+      val ps = Seq("dup_passages", "dup_passage_clean", "containment_pairs",
+        "vocab_cardinality", "group_split", "split_by_component")
+      ps.foreach(q => time(q, src)) // warmup: codegen + JIT
+      ps.foreach(q => time(q, out))
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t5 = median3(time(q, out))
+        println(f"SCALE $q%-24s sf0.1=$t1%6.2f s  sf0.5=$t5%6.2f s  exponent=${math.log(t5 / t1) / math.log(5.0)}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "merge") {
       manifestMergeProfile(spark, src, "warmup") // codegen/JIT warm pass
       val (b1, i1) = manifestMergeProfile(spark, src, "sf0.1")
