@@ -388,6 +388,22 @@ object SparkEntry {
     "repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpanStats(Tables.documents(s, dir), "doc_id", "text", k = 3)),
 
+    // Mojibake repair (ftfy-lite): corrupt a unicode-bearing text into
+    // its UTF-8-read-as-cp1252 artifacts, then repair through the
+    // TextAnalysis.MojibakeTable replace chain — both directions mirrored
+    // in the oracle, so the driver checks the full corrupt→repair
+    // pipeline char-for-char. (The corpus itself is ASCII; the appended
+    // suffix carries the unicode the table exists for. Roundtrip
+    // inversion is asserted separately in TextAnalysisSpec.)
+    "mojibake_fix" -> ((s, dir) => {
+      val corrupted = TextAnalysis.corruptToMojibake(
+        concat(col("text"), lit(MojibakeSuffix)))
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.fixMojibake(corrupted).as("repaired"),
+        (length(corrupted) - length(TextAnalysis.fixMojibake(corrupted)))
+          .cast("long").as("chars_recovered"))
+    }),
+
     // Per-source vocabulary cardinality via Datasketches HLL — the
     // mergeable-sketch profile (Cardinality.update maintains it
     // incrementally through IndexStore; spec-tested). At this
@@ -1039,6 +1055,35 @@ object SparkEntry {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
       |      FROM g)""".stripMargin
 
+  /** Unicode-bearing suffix the mojibake query appends to the (ASCII)
+    * corpus text before the corrupt→repair roundtrip. */
+  private val MojibakeSuffix = " – “smart quotes” café… naïve touché"
+
+  /** SQL string literal with C0/C1 control characters routed through
+    * chr() — the mojibake artifacts contain U+009D, which must not land
+    * raw inside oracle_sql.json. */
+  private def sqlStr(s: String): String = {
+    val b = s.flatMap {
+      case '\'' => "''"
+      case c if c.toInt < 0x20 || (c.toInt >= 0x7f && c.toInt <= 0x9f) =>
+        s"' || chr(${c.toInt}) || '"
+      case c => c.toString
+    }
+    s"'$b'"
+  }
+
+  /** The [[graft.operators.TextAnalysis.MojibakeTable]] replace chains as
+    * SQL — generated from the SAME table the Spark expressions fold over,
+    * so both engines apply identical pairs in identical order. */
+  private def mojibakeFixSql(inner: String): String =
+    TextAnalysis.MojibakeTable.foldLeft(inner) { case (acc, (bad, good)) =>
+      s"replace($acc, ${sqlStr(bad)}, ${sqlStr(good)})"
+    }
+  private def mojibakeCorruptSql(inner: String): String =
+    TextAnalysis.CorruptOrder.foldLeft(inner) { case (acc, (bad, good)) =>
+      s"replace($acc, ${sqlStr(good)}, ${sqlStr(bad)})"
+    }
+
   /** Cumulative md5 thresholds of the 80/10/10 split — computed with the
     * SAME double arithmetic `Sampling.splitAssign` uses internally, so the
     * oracle CASE compares against bit-identical hex strings (0.8 + 0.1 is
@@ -1330,6 +1375,17 @@ object SparkEntry {
         |  coalesce(d.n_shared, 0) AS n_shared,
         |  len(s.sh) > 0 AND 2 * coalesce(d.n_shared, 0) >= len(s.sh) AS mostly_duplicated
         |FROM sh s LEFT JOIN d USING (doc_id)""".stripMargin,
+
+    // Generated from the SAME MojibakeTable as the Spark chain: corrupt
+    // the suffixed text, then repair; control chars ride through chr().
+    "mojibake_fix" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  ${mojibakeCorruptSql(s"(text || ${sqlStr(MojibakeSuffix)})")} AS ctext
+         |  FROM documents)
+         |SELECT doc_id, ${mojibakeFixSql("ctext")} AS repaired,
+         |  CAST(length(ctext) - length(${mojibakeFixSql("ctext")}) AS BIGINT)
+         |    AS chars_recovered
+         |FROM c""".stripMargin,
 
     // Exact mirror: at ~31 distinct tokens/source the HLL sketch is in
     // its coupon regime (collision-free here, deterministically), so

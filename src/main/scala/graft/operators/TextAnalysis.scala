@@ -21,6 +21,68 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(textCol: Column): Column = size(words(textCol)).cast("long")
 
+  /** Mojibake artifact table: the high-frequency UTF-8-bytes-read-as-
+    * cp1252/Latin-1 corruptions (ftfy's bread and butter) → the intended
+    * character. Each left side is the cp1252 rendering of the right
+    * side's UTF-8 bytes (e.g. U+2019 ’ = E2 80 99 → "â€™"); no entry is
+    * a substring of another — with ONE deliberate exception: U+201D ”
+    * encodes to E2 80 9D whose 0x9D is an unmapped C1 control (invisible
+    * in the exact-artifact entry here) that downstream pipelines
+    * routinely strip, leaving a bare "â€" — a PREFIX of every other
+    * "â€x" artifact. That bare variant therefore sits LAST, firing only
+    * after the longer artifacts are consumed. The chain is idempotent on
+    * its own output. Curated & bounded by design: an offline table can't
+    * cover all of ftfy, and a wrong mapping corrupts silently — the same
+    * stance as the CJK fold (SURVEY §7.6.3). */
+  val MojibakeTable: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“",
+    "â€" -> "”", "â€“" -> "–", "â€”" -> "—",
+    "â€¢" -> "•", "â€¦" -> "…",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ãª" -> "ê", "Ã«" -> "ë",
+    "Ã¡" -> "á", "Ã¢" -> "â", "Ã¤" -> "ä", "Ã " -> "à",
+    "Ã³" -> "ó", "Ã´" -> "ô", "Ã¶" -> "ö", "Ãº" -> "ú", "Ã¼" -> "ü",
+    "Ã­" -> "í", "Ã®" -> "î", "Ã¯" -> "ï",
+    "Ã§" -> "ç", "Ã±" -> "ñ", "ÃŸ" -> "ß",
+    "Â«" -> "«", "Â»" -> "»", "Â°" -> "°", "Â©" -> "©", "Â®" -> "®",
+    "â€" -> "”") // bare stripped-0x9D variant of ” — MUST stay last
+
+  /** Repair mojibake: one codegen'd `replace` chain over [[MojibakeTable]]
+    * — a single scan-stage projection, no UDF, engine-portable (the
+    * oracle mirrors the chain in SQL). Idempotent: fixed text contains no
+    * left-side artifact. */
+  def fixMojibake(textCol: Column): Column =
+    MojibakeTable.foldLeft(textCol) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good))
+    }
+
+  /** Corruption order for [[corruptToMojibake]]: in the corrupt
+    * direction a rule's OUTPUT may contain a LATER rule's input, which
+    * would cascade (corrupting – inserts the artifact "â€" + cp1252(93)
+    * = "â€" + “, and a later “-rule would re-corrupt that “). This order
+    * makes every rule's artifact inert against everything after it:
+    * â/©/«/® first (they appear inside other artifacts), the double
+    * quotes before the dashes whose artifacts embed them, then the rest
+    * (whose artifact second-bytes map to no rule). Derived from
+    * [[MojibakeTable]].init — the bare stripped-0x9D ” duplicate would
+    * shadow the exact artifact and is excluded. */
+  private[graft] val CorruptOrder: Seq[(String, String)] = {
+    val byGood = MojibakeTable.init.map { case (b, g) => g -> b }.toMap
+    val first = Seq("â", "©", "«", "®", "“", "”", "–", "—")
+    val rest = MojibakeTable.init.map(_._2).filterNot(first.contains)
+    (first ++ rest).map(g => byGood(g) -> g)
+  }
+
+  /** Inverse of [[fixMojibake]] on artifact-free input (corrupt intended
+    * chars INTO their cp1252 artifacts) — the roundtrip generator for
+    * tests and the oracle. Applies [[CorruptOrder]]; fix∘corrupt is the
+    * identity on text that contains no artifact already (a string like a
+    * literal "Ã" adjacent to an accented char is indistinguishable from
+    * real mojibake — no fixer can roundtrip that). */
+  def corruptToMojibake(textCol: Column): Column =
+    CorruptOrder.foldLeft(textCol) { case (acc, (bad, good)) =>
+      replace(acc, lit(good), lit(bad))
+    }
+
   /** BPE-ish subword count estimate: words are split on a regex of letter
     * runs / digit runs / punctuation, approximating byte-pair tokenizer
     * granularity without a vocab. */

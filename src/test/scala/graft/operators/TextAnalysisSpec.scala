@@ -7,6 +7,34 @@ import graft.SparkSpecBase
 class TextAnalysisSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("mojibake: corrupt→fix roundtrips; fix is idempotent; ASCII untouched") {
+    val clean = "He said – “smart quotes” café… naïve touché 45° «brr» ©"
+    val df = Seq(clean).toDF("text")
+    val round = df.select(TextAnalysis.fixMojibake(
+      TextAnalysis.corruptToMojibake(col("text"))).as("r")).head.getString(0)
+    assert(round == clean, s"roundtrip broke: $round")
+    // corruption actually did something (the artifacts are multi-char)
+    val corruptedLen = df.select(length(TextAnalysis.corruptToMojibake(col("text"))))
+      .head.getInt(0)
+    assert(corruptedLen > clean.length)
+    // idempotent on its own output and on already-clean text
+    val twice = df.select(TextAnalysis.fixMojibake(TextAnalysis.fixMojibake(
+      TextAnalysis.corruptToMojibake(col("text")))).as("r")).head.getString(0)
+    assert(twice == clean)
+    val ascii = "plain ascii text, nothing to fix here"
+    assert(Seq(ascii).toDF("text")
+      .select(TextAnalysis.fixMojibake(col("text"))).head.getString(0) == ascii)
+  }
+
+  test("mojibake: bare stripped-0x9D right-quote artifact repairs without eating longer ones") {
+    // "â€" (no trailing byte) followed by other artifacts in one string:
+    // the bare rule must fire ONLY where no longer artifact matched
+    val s0 = "quote ends â€ and a dash â€“ plus ellipsis â€¦ done"
+    val fixed = Seq(s0).toDF("t")
+      .select(TextAnalysis.fixMojibake(col("t"))).head.getString(0)
+    assert(fixed == "quote ends ” and a dash – plus ellipsis … done", fixed)
+  }
+
   test("quality stats: counts and ratios on a known sentence") {
     val df = Seq("the cat sat on a mat.").toDF("text")
     val r = TextAnalysis.withQualityStats(df, "text").head()
