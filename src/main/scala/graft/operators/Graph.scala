@@ -13,18 +13,72 @@ object Graph {
     * labeled with the smallest node id reachable from it. Returns
     * (id, component) for every node incident to an edge.
     *
-    * Each round is one join + one min-aggregate (both shuffle on the node
-    * id, so AQE handles skewed hubs); rounds needed = graph diameter,
-    * which for near-dup graphs is tiny (duplicate clusters are dense and
-    * small) and is further compressed by a per-round pointer-jumping step
-    * (see in-body note — measured 13 → 9 rounds on the sf0.1 dedup
-    * graph). For adversarial long-chain graphs the large-star/small-star
-    * variant (alternating conditional joins, O(log n) rounds on any
-    * shape) remains the upgrade path; min-label keeps the per-round plan
-    * simpler and each round's state is just (id, label).
+    * ADAPTIVE two-strategy operator (round 9) — the broadcast-join idea
+    * applied to graphs. Near-dup edge sets are SPARSE relative to the
+    * corpus (pairs survive a similarity threshold), and the iterative
+    * loop's cost at the small end is pure fixed job overhead: the sf0.1
+    * dedup graph is 1 520 edges yet took 9 rounds × ~0.25 s. So, like a
+    * join picking broadcast under `autoBroadcastJoinThreshold`, this
+    * measures the deduplicated edge count first and:
+    *   - `count ≤ maxDriverEdges` (numeric ids): collects the slim
+    *     (a, b) list, runs exact union-find-by-min with path compression
+    *     on the driver (microseconds), and returns a parallelized label
+    *     table — identical labels, none of the per-round latency. The
+    *     collect is BOUNDED by the threshold, the same way a broadcast
+    *     join bounds its build side.
+    *   - otherwise: the distributed loop below — each round one join +
+    *     one min-aggregate (both shuffle on node id, AQE handles skewed
+    *     hubs), rounds = diameter compressed by per-round pointer
+    *     jumping (O(log d)); state per round is just (id, label). At
+    *     100 TB this path carries graphs that genuinely don't fit a
+    *     driver; for adversarial long chains the large-star/small-star
+    *     variant below remains the upgrade path.
+    * Both strategies compute the same fixpoint (component minimum), so
+    * callers and oracles are strategy-agnostic.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, maxDriverEdges: Long = 1000000L): DataFrame = {
+    val idType = edges.schema(aCol).dataType
+    val numericIds = idType.isInstanceOf[org.apache.spark.sql.types.LongType] ||
+      idType.isInstanceOf[org.apache.spark.sql.types.IntegerType]
+    if (numericIds && maxDriverEdges > 0) {
+      val slim = edges
+        .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull).distinct()
+      if (slim.count() <= maxDriverEdges) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        slim.collect().foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          // union-by-min keeps every root the component MINIMUM — the
+          // same fixpoint the propagation loop converges to
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val sess = edges.sparkSession
+        import scala.jdk.CollectionConverters._
+        import sess.implicits._
+        val out = parent.keySet().asScala.toSeq.map(id => (id, find(id)))
+        return out.toDF("id", "label")
+          .select(col("id").cast(idType).as("id"),
+            col("label").cast(idType).as("label"))
+      }
+    }
+    connectedComponentsLoop(edges, aCol, bCol, maxIters)
+  }
+
+  /** The distributed min-label propagation loop (see
+    * [[connectedComponents]] for strategy selection). */
+  private[operators] def connectedComponentsLoop(edges: DataFrame,
+      aCol: String, bCol: String, maxIters: Int = 50): DataFrame = {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()

@@ -28,7 +28,9 @@ class GraphSpec extends SparkSpecBase {
     sc.setJobGroup("cc-jobcount", "cc job count probe")
     try {
       val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L)).toDF("a", "b")
-      Graph.connectedComponents(edges, "a", "b") // converges eagerly (4 rounds)
+      // maxDriverEdges = 0 forces the distributed loop — this test pins
+      // the LOOP's job shape, which the driver path would short-circuit
+      Graph.connectedComponents(edges, "a", "b", maxDriverEdges = 0L)
     } finally {
       sc.clearJobGroup()
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
@@ -59,11 +61,15 @@ class GraphSpec extends SparkSpecBase {
       .map(_.filter(e => e._1 != e._2)).suchThat(_.nonEmpty)
     val prop = Prop.forAll(edgeGen) { es =>
       val df = es.toDF("a", "b")
+      // driver union-find path (default threshold), distributed loop
+      // (threshold 0), and large-star/small-star must all agree
       val a = Graph.connectedComponents(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val loop = Graph.connectedComponents(df, "a", "b", maxDriverEdges = 0L)
         .as[(Long, Long)].collect().toMap
       val b = Graph.connectedComponentsStar(df, "a", "b")
         .as[(Long, Long)].collect().toMap
-      a == b
+      a == b && a == loop
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
