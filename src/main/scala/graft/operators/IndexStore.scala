@@ -156,10 +156,9 @@ object IndexStore {
       sortCols: Seq[String], appendEntries: Boolean,
       maxRetries: Int = 5): Unit = {
     val hadLegacy = legacyEntries(spark, root).nonEmpty
-    var attempt = 0
+    var wasted = 0 // no-progress failures only; see Upsert.chargeRetry
     var committed = false
     while (!committed) {
-      attempt += 1
       val current = Upsert.repairPointer(spark, root)
       val manifest = current
         .flatMap(s => Upsert.manifestBody(spark, root, Some(s)))
@@ -185,12 +184,13 @@ object IndexStore {
         committed = true
       } catch {
         case e: Upsert.CommitConflictException =>
-          if (attempt > maxRetries) throw e
+          wasted = Upsert.chargeRetry(spark, root, current, wasted, maxRetries, e)
         case scala.util.control.NonFatal(e)
-            if Upsert.racedSince(spark, root, current) &&
-              attempt <= maxRetries =>
+            if Upsert.racedSince(spark, root, current) =>
           // collateral of a concurrent winner's GC (it may have swept this
-          // attempt's inputs): re-read + recompute + retry (ADVICE r8)
+          // attempt's inputs): re-read + recompute + retry (ADVICE r8);
+          // productive — the store advanced, no budget charge
+          wasted = 0
           System.err.println(s"[graft] index commit on $root failed under a " +
             s"concurrent commit (${e.getClass.getSimpleName}); retrying")
       }

@@ -658,7 +658,10 @@ object Upsert {
     *
     * CONCURRENT-WRITER SAFE (round 8): the commit is optimistic — if
     * another merge committed first, this one re-reads the new state,
-    * re-merges, and retries (`maxRetries` rounds). The reference enforced
+    * re-merges, and retries. The retry budget is PROGRESS-AWARE (round
+    * 9, [[chargeRetry]]): only failures with no concurrent commit count
+    * against `maxRetries`, so safety is independent of how many writers
+    * race. The reference enforced
     * single-writer only by orchestration (`max_active_runs=1`,
     * `embeddings-pipeline.py:92`); here it is a protocol guarantee.
     * The table's bucket count is recorded in the manifest on first commit
@@ -675,10 +678,9 @@ object Upsert {
       maxRetries: Int = 5): Unit = {
     require(!updates.columns.contains("__bucket"), "updates must not carry __bucket")
     require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
-    var attempt = 0
+    var wasted = 0 // no-progress failures only; see chargeRetry
     var committed = false
     while (!committed) {
-      attempt += 1
       val current = repairPointer(spark, targetPath)
       val manifest = readBucketManifestRaw(spark, targetPath, current)
       val effN = effectiveNBuckets(spark, targetPath, nBuckets)
@@ -702,13 +704,15 @@ object Upsert {
         committed = true
       } catch {
         case e: CommitConflictException =>
-          if (attempt > maxRetries) throw e // lost every race: surface it
+          wasted = chargeRetry(spark, targetPath, current, wasted, maxRetries, e)
         case scala.util.control.NonFatal(e)
-            if racedSince(spark, targetPath, current) && attempt <= maxRetries =>
+            if racedSince(spark, targetPath, current) =>
           // a concurrent winner committed mid-attempt: this failure (e.g.
           // a task reading a file the winner's GC swept) is collateral,
           // not a merge bug — re-verify against the new state and retry
-          // (ADVICE r8)
+          // (ADVICE r8); the table advanced, so the retry is productive
+          // and does not charge the budget
+          wasted = 0
           System.err.println(s"[graft] merge attempt on $targetPath failed " +
             s"under a concurrent commit (${e.getClass.getSimpleName}); retrying")
       }
@@ -760,6 +764,29 @@ object Upsert {
     val beforeId = before.flatMap(idOf(_, "snap-")).getOrElse(-1L)
     committedIds(fs, root).exists(_ > beforeId)
   }
+
+  /** Progress-aware retry budget for the optimistic commit loops (round
+    * 9): a failed attempt counts against `maxRetries` ONLY when the table
+    * did NOT advance since the attempt's state read. A conflict that
+    * comes with a concurrent writer's commit is PRODUCTIVE — the system
+    * as a whole made progress and the retry re-merges against the new
+    * state — so N-writer safety does not depend on N staying under a
+    * fixed retry bound (at 8 racing writers a loser can shed far more
+    * than 5 races while every one of them advances the table). Wasted
+    * (no-progress) attempts — e.g. racing a claim marker whose owner has
+    * not yet committed — back off linearly to let the owner finish its
+    * claim→manifest window, and only they exhaust the budget. Returns
+    * the new wasted count; rethrows `e` when the budget is spent. */
+  private[operators] def chargeRetry(spark: SparkSession, targetPath: String,
+      before: Option[String], wasted: Int, maxRetries: Int,
+      e: Throwable): Int =
+    if (racedSince(spark, targetPath, before)) 0
+    else {
+      val w = wasted + 1
+      if (w > maxRetries) throw e
+      Thread.sleep(100L * w)
+      w
+    }
 
   private[operators] def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".")
@@ -1170,10 +1197,9 @@ object Upsert {
       keepSnapshots: Int = 1,
       maxRetries: Int = 5): Unit = {
     require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
-    var attempt = 0
+    var wasted = 0 // no-progress failures only; see chargeRetry
     var committed = false
     while (!committed) {
-      attempt += 1
       val current = repairPointer(spark, targetPath)
       val manifest = readBucketManifestRaw(spark, targetPath, current)
       if (manifest.isEmpty) return
@@ -1196,9 +1222,10 @@ object Upsert {
         committed = true
       } catch {
         case e: CommitConflictException =>
-          if (attempt > maxRetries) throw e
+          wasted = chargeRetry(spark, targetPath, current, wasted, maxRetries, e)
         case scala.util.control.NonFatal(e)
-            if racedSince(spark, targetPath, current) && attempt <= maxRetries =>
+            if racedSince(spark, targetPath, current) =>
+          wasted = 0 // productive: the table advanced (see chargeRetry)
           System.err.println(s"[graft] delete attempt on $targetPath failed " +
             s"under a concurrent commit (${e.getClass.getSimpleName}); retrying")
       }
