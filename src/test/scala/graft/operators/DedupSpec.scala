@@ -133,6 +133,44 @@ class DedupSpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
+  test("duplicatedPassageSpans: property — equals a naive in-memory reference") {
+    // Brute-force reference: enumerate every w-window, census by exact
+    // string, mark char ranges, merge overlaps — straight-line Scala,
+    // no Spark — over a corpus seeded to produce chains, repeats, and
+    // cross-doc shares.
+    val w = 3
+    val docs = (0L until 30L).map { i =>
+      val words = (0 until 15).map(j => s"t${(i * 3 + j * 5) % 11}")
+      (i, words.mkString(" "))
+    }
+    def naive(corpus: Seq[(Long, String)]): Set[(Long, Long, Long)] = {
+      val wins = corpus.flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val starts = toks.scanLeft(0L)((a, t) => a + t.length + 1)
+        (0 to toks.length - w).map { i =>
+          val win = toks.slice(i, i + w).mkString(" ")
+          (id, starts(i), starts(i) + win.length, win)
+        }
+      }
+      val dup = wins.groupBy(_._4).filter(_._2.size >= 2).keySet
+      val hits = wins.filter(h => dup.contains(h._4))
+      hits.groupBy(_._1).flatMap { case (id, hs) =>
+        val sorted = hs.map(h => (h._2, h._3)).sortBy(identity)
+        val merged = sorted.foldLeft(List.empty[(Long, Long)]) {
+          case (acc, (s, e)) => acc match {
+            case (ps, pe) :: rest if s <= pe => (ps, math.max(pe, e)) :: rest
+            case _ => (s, e) :: acc
+          }
+        }
+        merged.map { case (s, e) => (id, s, e) }
+      }.toSet
+    }
+    val got = Dedup.duplicatedPassageSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", w = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive(docs), s"spark=${got.size} naive=${naive(docs).size}")
+  }
+
   test("repeatedSpanStats: ownership form equals the naive frequency join") {
     // random-ish corpus with heavy span sharing across docs
     val docs = (0L until 60L).map { i =>
