@@ -20,6 +20,9 @@ import org.apache.spark.sql.SparkSession
   *     vacuum <targetPath> [--keep-snapshots 1]
   *         expire retained snapshots of a merge target NOW (compliance
   *         erasure horizon; also the post-incident storage reclaim)
+  *     snapshots <targetPath>
+  *         list retained snapshot names (oldest first) — the time-travel
+  *         surface: read one with Upsert.readTargetAt
   * }}}
   *
   * Every action commits through the snapshot/manifest protocol: a crash
@@ -38,7 +41,7 @@ object RunMaintain {
     * pattern). */
   def run(spark: SparkSession, args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: RunMaintain <ivf-compact|neardup-compact|vacuum> <path> " +
+      "usage: RunMaintain <ivf-compact|neardup-compact|vacuum|snapshots> <path> " +
         "[--id-col c] [--keep-snapshots n]")
     val action = args(0)
     val path = args(1)
@@ -57,6 +60,9 @@ object RunMaintain {
         val keep = opts.get("--keep-snapshots").map(_.toInt).getOrElse(1)
         operators.Upsert.vacuum(spark, path, keep)
         System.err.println(s"[maintain] vacuumed $path to $keep snapshot(s)")
+      case "snapshots" =>
+        // stdout, one per line — scriptable (the err stream carries logs)
+        operators.Upsert.snapshots(spark, path).foreach(println)
       case other =>
         throw new IllegalArgumentException(
           s"unknown action '$other' (ivf-compact | neardup-compact | vacuum)")

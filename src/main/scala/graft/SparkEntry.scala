@@ -1042,7 +1042,7 @@ object SparkEntry {
       |          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wn
       |      FROM toks),
       |v AS (SELECT doc_id, start_char, start_char + length(win) AS end_char, win
-      |      FROM w0 WHERE wn = 8),
+      |      FROM w0 WHERE wn = 8 AND trim(win) <> ''),
       |dup AS (SELECT win FROM v GROUP BY win HAVING count(*) >= 2),
       |h AS (SELECT doc_id, start_char, end_char FROM v JOIN dup USING (win)),
       |g AS (SELECT doc_id, start_char, end_char,

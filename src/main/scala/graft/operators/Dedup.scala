@@ -353,7 +353,10 @@ object Dedup {
         coalesce(sum(length(col("tok")).cast("long") + 1L).over(before), lit(0L)))
       .withColumn("win", concat_ws(" ", collect_list(col("tok")).over(frame)))
       .withColumn("__wn", count(lit(1)).over(frame))
-      .where(col("__wn") === w)
+      // all-blank windows (runs of empty tokens from consecutive spaces)
+      // carry no content and would cross-match every whitespace run in the
+      // corpus — drop them before the census
+      .where(col("__wn") === w && trim(col("win")) =!= "")
       .select(col("doc_id"), col("start_char"),
         (col("start_char") + length(col("win"))).as("end_char"), col("win"))
     val dup = wins.groupBy("win").agg(count(lit(1)).as("__n"))
@@ -373,6 +376,23 @@ object Dedup {
       .agg(min("start_char").as("span_start"), max("end_char").as("span_end"),
         count(lit(1)).as("n_windows"))
       .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** One-call passage dedup: the corpus back with every duplicated
+    * passage spliced out of `textCol` ([[duplicatedPassageSpans]] →
+    * per-doc span collection → [[removeSpans]]); untouched documents pass
+    * through unchanged. The span table is tiny relative to the corpus
+    * (only docs with duplicated windows appear), so the join broadcasts
+    * at any realistic duplication rate. */
+  def removeDuplicatedPassages(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    val spans = duplicatedPassageSpans(df, idCol, textCol, w, minOccurrences)
+      .groupBy(col("doc_id").as(idCol))
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("__spans"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn(textCol, removeSpans(col(textCol), col("__spans")))
+      .drop("__spans")
   }
 
   /** Cut an ascending, non-overlapping `array<struct<span_start, span_end>>`

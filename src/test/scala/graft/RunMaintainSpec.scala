@@ -44,6 +44,25 @@ class RunMaintainSpec extends SparkSpecBase {
     assert(out(1L) == "u1" && out(2L) == "u2" && out(0L) == "v0")
   }
 
+  test("snapshots action lists retained snapshot names oldest-first") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-snap").toString
+    val path = s"$dir/table"
+    def mergeK(rows: Seq[(Long, String)]): Unit =
+      operators.Upsert.mergeIntoManifestBucketedParquet(spark, path,
+        rows.toDF("key", "v"), Seq("key"), nBuckets = 2, keepSnapshots = 2)
+    mergeK(Seq((1L, "a")))
+    mergeK(Seq((2L, "b")))
+    val stdout = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(stdout, true, "UTF-8")) {
+      RunMaintain.run(spark, Array("snapshots", path))
+    }
+    val lines = stdout.toString("UTF-8").trim.split("\n").toSeq
+    assert(lines == Seq("snap-000000000", "snap-000000001"), lines.toString)
+    // each listed name resolves through the time-travel read
+    assert(operators.Upsert.readTargetAt(spark, path, lines.head)
+      .count() == 1) // first snapshot: only key 1
+  }
+
   test("ivf-compact action dedups and collapses the cell table") {
     val idx = java.nio.file.Files.createTempDirectory("graft-maint-ivf").toString
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -133,6 +133,36 @@ class DedupSpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
+  test("duplicatedPassageSpans: degenerate inputs — empty text, short docs, exact-w dups") {
+    val df = Seq(
+      (1L, ""),                       // empty
+      (2L, "just two"),               // under w tokens: no windows
+      (3L, "a b c"),                  // exactly w — one window…
+      (4L, "a b c"),                  // …duplicated across docs
+      (5L, "   "),                    // only spaces: all-blank windows dropped
+      (6L, "   ")                     // …even though doc 5 and 6 "match"
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedPassageSpans(df, "doc_id", "text", w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // docs 3 and 4: the single full-width window [0, 5); whitespace-only
+    // docs contribute nothing
+    assert(out == Set((3L, 0L, 5L), (4L, 0L, 5L)), out.toString)
+  }
+
+  test("removeDuplicatedPassages: one-call transform cleans only the affected docs") {
+    val df = Seq(
+      (1L, "one two three four five six"),
+      (2L, "zero one two three four seven"),
+      (3L, "totally distinct vocabulary in this document")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedPassages(df, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == " five six")
+    assert(out(2L) == "zero  seven")
+    assert(out(3L) == "totally distinct vocabulary in this document")
+    assert(out.size == 3) // no row loss, no duplication from the join
+  }
+
   test("duplicatedPassageSpans: property — equals a naive in-memory reference") {
     // Brute-force reference: enumerate every w-window, census by exact
     // string, mark char ranges, merge overlaps — straight-line Scala,
@@ -150,7 +180,7 @@ class DedupSpec extends SparkSpecBase {
         (0 to toks.length - w).map { i =>
           val win = toks.slice(i, i + w).mkString(" ")
           (id, starts(i), starts(i) + win.length, win)
-        }
+        }.filter(_._4.trim.nonEmpty) // blank windows excluded, as in the operator
       }
       val dup = wins.groupBy(_._4).filter(_._2.size >= 2).keySet
       val hits = wins.filter(h => dup.contains(h._4))
