@@ -1032,8 +1032,8 @@ object SparkEntry {
     * prefix sums, 8-token window frames, the ≥2-occurrence census, and
     * the overlapping/adjacent span merge — mirroring
     * [[graft.operators.Dedup.duplicatedPassageSpans]] step for step. */
-  private val dupPassageWindowCtes: String =
-    """w0 AS (SELECT doc_id, i,
+  private def dupPassageWindowCtes: String =
+    s"""w0 AS (SELECT doc_id, i,
       |        CAST(coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY i
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_char,
       |        string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i
@@ -1043,8 +1043,17 @@ object SparkEntry {
       |      FROM toks),
       |v AS (SELECT doc_id, start_char, start_char + length(win) AS end_char, win
       |      FROM w0 WHERE wn = 8 AND trim(win) <> ''),
-      |dup AS (SELECT win FROM v GROUP BY win HAVING count(*) >= 2),
-      |h AS (SELECT doc_id, start_char, end_char FROM v JOIN dup USING (win)),
+      |vz AS (SELECT doc_id, start_char, end_char,
+      |        list_reduce([CAST(ascii(win[i:i]) AS HUGEINT) for i in range(1, len(win) + 1)],
+      |                    (acc, c) -> (acc * 31 + c) % 18446744073709551616) AS z
+      |      FROM v),
+      |vz1 AS (SELECT doc_id, start_char, end_char, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) AS z FROM vz),
+      |vz2 AS (SELECT doc_id, start_char, end_char, ${sqlMulMod64("z", "13787848793156543929")} AS z FROM vz1),
+      |vz3 AS (SELECT doc_id, start_char, end_char, xor(z, z >> 27) AS z FROM vz2),
+      |vz4 AS (SELECT doc_id, start_char, end_char, ${sqlMulMod64("z", "10723151780598845931")} AS z FROM vz3),
+      |vh AS (SELECT doc_id, start_char, end_char, xor(z, z >> 31) AS winh FROM vz4),
+      |dup AS (SELECT winh FROM vh GROUP BY winh HAVING count(*) >= 2),
+      |h AS (SELECT doc_id, start_char, end_char FROM vh JOIN dup USING (winh)),
       |g AS (SELECT doc_id, start_char, end_char,
       |        CASE WHEN start_char > coalesce(max(end_char) OVER (PARTITION BY doc_id
       |          ORDER BY start_char, end_char ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
@@ -2359,3 +2368,4 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin)
 }
+

@@ -44,6 +44,8 @@ object F {
     Glue.column(MinHashSig(Glue.expression(shingles), numHashes, seed))
 
   /** 64-bit SimHash of an array<string> word column (see [[SimHash64]]). */
+  def mix64(s: Column): Column = Glue.column(Mix64Str(Glue.expression(s)))
+
   def simHash64(words: Column): Column =
     Glue.column(SimHash64(Glue.expression(words)))
 

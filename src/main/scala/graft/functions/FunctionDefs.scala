@@ -57,6 +57,9 @@ object FunctionDefs {
     ("simhash64",
       "simhash64(words) - 64-bit SimHash of a string array",
       es => SimHash64(es.head)),
+    ("mix64",
+      "mix64(str) - engine-portable 64-bit string hash (poly31 fold + splitmix64)",
+      es => Mix64Str(es.head)),
     ("word_shingles",
       "word_shingles(words, n) - distinct word n-gram shingles",
       es => WordShingles(es(0), litLong(es(1), "word_shingles", "n").toInt)),

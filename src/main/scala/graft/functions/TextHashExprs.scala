@@ -350,3 +350,32 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 =
     copy(child = c)
 }
+
+/** `mix64(str)` — the engine-portable [[PortableHash.mix64]] as a scalar
+  * column: codepoint polynomial fold (wrapping 64-bit) + splitmix64
+  * finalizer. Lets group-by / join keys over long derived strings (e.g.
+  * the passage census's w-token windows) exchange 8 bytes instead of the
+  * text while staying exactly recomputable in oracle SQL (same
+  * HUGEINT/UBIGINT chain as the SimHash word hash). */
+case class Mix64Str(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mix64"
+
+  override def nullSafeEval(v: Any): Any =
+    PortableHash.mix64(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${PortableHash.getClass.getName.stripSuffix("$")}$$.MODULE$$.mix64($c)")
+
+  override protected def withNewChildInternal(c: Expression): Mix64Str =
+    copy(child = c)
+}
+

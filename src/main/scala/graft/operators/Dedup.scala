@@ -357,11 +357,17 @@ object Dedup {
       // carry no content and would cross-match every whitespace run in the
       // corpus — drop them before the census
       .where(col("__wn") === w && trim(col("win")) =!= "")
+      // census + join key = the engine-portable 64-bit hash of the window,
+      // not the window text: the census exchange and the hits join carry
+      // 8 bytes per window instead of ~w tokens of text (the passage
+      // family's dominant shuffle at corpus scale). The oracle recomputes
+      // the same hash in SQL, so this stays exactly mirrorable.
       .select(col("doc_id"), col("start_char"),
-        (col("start_char") + length(col("win"))).as("end_char"), col("win"))
-    val dup = wins.groupBy("win").agg(count(lit(1)).as("__n"))
-      .where(col("__n") >= minOccurrences).select("win")
-    val hits = wins.join(dup, "win")
+        (col("start_char") + length(col("win"))).as("end_char"),
+        graft.functions.F.mix64(col("win")).as("winh"))
+    val dup = wins.groupBy("winh").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minOccurrences).select("winh")
+    val hits = wins.join(dup, "winh")
     // merge overlapping/adjacent spans per doc: a window starts a new
     // passage iff it begins past the running max end of everything before
     val order = Window.partitionBy("doc_id").orderBy("start_char", "end_char")
@@ -695,3 +701,4 @@ object Dedup {
     emb.withColumn("__buckets", array((0 until tables).map(t =>
       graft.functions.F.srpBucket(col(vecCol), planes, seed + t, dim)): _*))
 }
+

@@ -89,8 +89,8 @@ object IncrementalStream {
         val payload = e.schema.fieldNames
           .filterNot(c => e.keyCols.contains(c) || c == e.rightTs)
         joined.select(
-          base.columns.filterNot(_ == "timestamp").map(c => col(s"l.$c")) ++
-            payload.map(c => col(s"r.$c")): _*)
+          base.columns.toIndexedSeq.filterNot(_ == "timestamp")
+            .map(c => col(s"l.$c")) ++ payload.map(c => col(s"r.$c")): _*)
     }
 
     records.writeStream
