@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Cardinality, Clustering, Decontaminate, Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.{Bpe, Cardinality, Clustering, Decontaminate, Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -631,6 +631,25 @@ object SparkEntry {
           "stopword_ratio", "n_punct", "punct_ratio", "n_subwords")
     }),
 
+    // BPE tokenizer training: the corpus collapses to the distinct
+    // (word, freq) table in ONE linear pass, then the merge loop runs on
+    // that bounded table (driver-exact under the vocab threshold,
+    // distributed pair-count rounds above — same adaptive split as
+    // connected components). Oracle replays every round in SQL.
+    "bpe_train" -> ((s, dir) =>
+      Bpe.train(Tables.documents(s, dir), "text", numMerges = 10)),
+
+    // Per-doc token stats under the trained tokenizer: encode is a
+    // broadcast vocab join (the training artifact already holds every
+    // in-corpus word's segmentation), never a per-doc merge replay.
+    "bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = Bpe.train(docs, "text", numMerges = 10)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encodeViaVocab(docs, "doc_id", "text",
+        Bpe.vocabulary(docs, "text", merges))
+    }),
+
     // Composite quality bucketing, aggregated.
     "quality_bucket" -> ((s, dir) =>
       TextAnalysis.qualityBucket(Tables.documents(s, dir), "text")
@@ -1063,6 +1082,61 @@ object SparkEntry {
       |        sum(ng) OVER (PARTITION BY doc_id ORDER BY start_char, end_char
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
       |      FROM g)""".stripMargin
+
+  /** CTE chain replaying [[graft.operators.Bpe.train]] round for round in
+    * SQL: `wf` (word frequencies) → `r0` (char segmentation) → per round r
+    * the pair census (`p$r`, every adjacent occurrence weighted by word
+    * freq), the argmax with the operator's exact tie-break (`b$r`: count
+    * DESC, left ASC, right ASC), and the greedy left-to-right application
+    * as gaps-and-islands over symbol positions (`x/o/s/t/f$r` → `r${r+1}`):
+    * occurrence runs (only possible when left = right) select every other
+    * member, the position after a selected one is consumed. A round with
+    * no pairs leaves the segmentation unchanged (LEFT JOIN against the
+    * empty argmax), mirroring the operator's exhaustion stop. */
+  private def bpeTrainCtes(k: Int): String = {
+    val head =
+      """wf AS MATERIALIZED (SELECT w, count(*) AS freq
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |       WHERE w <> '' GROUP BY w),
+        |r0 AS MATERIALIZED (SELECT w, freq, [w[i:i] for i in range(1, len(w) + 1)] AS syms FROM wf)""".stripMargin
+    val rounds = (0 until k).map { r =>
+      s"""x$r AS MATERIALIZED (SELECT w, freq, len(syms) AS n, unnest(syms) AS s,
+         |        unnest(range(1, len(syms) + 1)) AS i FROM r$r),
+         |p$r AS MATERIALIZED (SELECT l, r, sum(freq) AS cnt FROM (
+         |          SELECT w, freq, i, n, s AS l,
+         |                 lead(s) OVER (PARTITION BY w ORDER BY i) AS r
+         |          FROM x$r) WHERE i < n AND r IS NOT NULL GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT l, r FROM p$r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |o$r AS MATERIALIZED (SELECT x.w, x.freq, x.i, x.n, x.s, b.l AS bl, b.r AS br,
+         |          CASE WHEN x.i < x.n AND x.s = b.l
+         |                AND lead(x.s) OVER (PARTITION BY x.w ORDER BY x.i) = b.r
+         |               THEN 1 ELSE 0 END AS occ
+         |        FROM x$r x LEFT JOIN b$r b ON true),
+         |s$r AS MATERIALIZED (SELECT *, CASE WHEN occ = 1
+         |          THEN i - row_number() OVER (PARTITION BY w, occ ORDER BY i)
+         |          ELSE NULL END AS isl FROM o$r),
+         |t$r AS MATERIALIZED (SELECT *, CASE WHEN occ = 1
+         |          AND row_number() OVER (PARTITION BY w, isl ORDER BY i) % 2 = 1
+         |          THEN 1 ELSE 0 END AS sel FROM s$r),
+         |f$r AS MATERIALIZED (SELECT w, freq, i,
+         |          CASE WHEN sel = 1 THEN bl || br ELSE s END AS tok,
+         |          coalesce(lag(sel) OVER (PARTITION BY w ORDER BY i), 0) AS consumed
+         |        FROM t$r),
+         |r${r + 1} AS MATERIALIZED (SELECT w, any_value(freq) AS freq,
+         |          list(tok ORDER BY i) AS syms
+         |        FROM f$r WHERE consumed = 0 GROUP BY w)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$rounds"
+  }
+
+  /** The learned merge table from [[bpeTrainCtes]]'s per-round argmaxes —
+    * rounds the vocabulary exhausted contribute no row, like the
+    * operator's early stop. */
+  private def bpeMergesSelect(k: Int): String =
+    (0 until k).map { r =>
+      if (r == 0) s"SELECT $r AS rank, l AS left_sym, r AS right_sym FROM b$r"
+      else s"SELECT $r, l, r FROM b$r"
+    }.mkString("\nUNION ALL ")
 
   /** Unicode-bearing suffix the mojibake query appends to the (ASCII)
     * corpus text before the corrupt→repair roundtrip. */
@@ -1897,6 +1971,24 @@ object SparkEntry {
          |    CAST(length(text) AS DOUBLE) AS punct_ratio,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_subwords
          |FROM documents""".stripMargin,
+
+    // Full BPE-training replay: ten merge rounds of pair census → argmax
+    // → greedy application, generated CTE chain (see bpeTrainCtes).
+    "bpe_train" ->
+      s"""WITH ${bpeTrainCtes(10)}
+         |SELECT * FROM (
+         |${bpeMergesSelect(10)}
+         |) ORDER BY rank""".stripMargin,
+
+    // Encode = join against the round-10 segmentation of the vocabulary
+    // (training already segmented every in-corpus word).
+    "bpe_encode" ->
+      s"""WITH ${bpeTrainCtes(10)}
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len(w)) AS BIGINT) AS n_chars
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |JOIN r10 USING (w) WHERE w <> '' GROUP BY 1""".stripMargin,
 
     "quality_bucket" ->
       s"""WITH s AS (SELECT
