@@ -111,6 +111,22 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "bpe") {
+      // Round-9 BPE: train = one corpus-linear word-frequency pass + a
+      // vocab-bound merge loop (the 5× corpus also multiplies the vocab —
+      // replica words are suffixed — so this upper-bounds the corpus-only
+      // growth case); encode = the same pass + a broadcast vocab join.
+      val ps = Seq("bpe_train", "bpe_encode")
+      ps.foreach(q => time(q, src))
+      ps.foreach(q => time(q, out))
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t5 = median3(time(q, out))
+        println(f"SCALE $q%-24s sf0.1=$t1%6.2f s  sf0.5=$t5%6.2f s  exponent=${math.log(t5 / t1) / math.log(5.0)}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "merge") {
       manifestMergeProfile(spark, src, "warmup") // codegen/JIT warm pass
       val (b1, i1) = manifestMergeProfile(spark, src, "sf0.1")
