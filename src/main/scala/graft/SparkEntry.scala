@@ -1083,6 +1083,46 @@ object SparkEntry {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
       |      FROM g)""".stripMargin
 
+  /** CTE chain computing the engine-portable signed-64-bit `mix64` hash of
+    * `strCol` for every row of `from` (same fold the Spark side's
+    * [[graft.functions.Mix64Str]] codegen runs): poly-31 codepoint fold in
+    * mod-2^64 arithmetic, splitmix64 finalizer, then a two's-complement
+    * reinterpret so the BIGINT value (and its sort order) matches Spark's
+    * signed Long exactly. Emits `<name>0..<name>4` and a final
+    * MATERIALIZED `<name>` holding `carry` + `sh64` — materialized because
+    * the hash table is always joined against itself or probed twice, and
+    * DuckDB would otherwise inline (= recompute) the whole chain per
+    * reference. */
+  private def sqlMix64Ctes(name: String, from: String, strCol: String,
+      carry: String): String =
+    s"""${name}0 AS (SELECT $carry, CAST(list_reduce(
+       |          [CAST(ascii(($strCol)[i:i]) AS HUGEINT) for i in range(1, len($strCol) + 1)],
+       |          (acc, c) -> (acc * 31 + c) % 18446744073709551616) AS UBIGINT) AS z FROM $from),
+       |${name}1 AS (SELECT $carry, xor(z, z >> 30) AS z FROM ${name}0),
+       |${name}2 AS (SELECT $carry, ${sqlMulMod64("z", "13787848793156543929")} AS z FROM ${name}1),
+       |${name}3 AS (SELECT $carry, xor(z, z >> 27) AS z FROM ${name}2),
+       |${name}4 AS (SELECT $carry, CAST(xor(z, z >> 31) AS HUGEINT) AS z FROM ${name}3),
+       |$name AS MATERIALIZED (SELECT $carry,
+       |  CAST(CASE WHEN z > 9223372036854775807 THEN z - 18446744073709551616
+       |       ELSE z END AS BIGINT) AS sh64 FROM ${name}4)""".stripMargin
+
+  /** Shared CTE prefix of the blocked-Jaccard oracles: shingle explode,
+    * the [[sqlMix64Ctes]] portable-hash chain, then pair intersection
+    * counts joined on the HASH — mirroring `ngramJaccardPairs`' hashed
+    * equi-join key bit for bit. `block` is the blocking column. */
+  private def jaccardPairCtes(block: String, nonEmpty: Boolean = false): String =
+    s"""w AS (SELECT doc_id, $block, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, $block,
+       |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+       |       FROM w),
+       |ex AS (SELECT doc_id, $block, len(sh) AS n, unnest(sh) AS shingle FROM sh${if (nonEmpty) " WHERE len(sh) > 0" else ""}),
+       |${sqlMix64Ctes("e", "ex", "shingle", s"doc_id, $block, n")},
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |        any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS inter
+       |      FROM e a JOIN e b ON a.sh64 = b.sh64 AND a.$block = b.$block
+       |                       AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)""".stripMargin
+
   /** CTE chain replaying [[graft.operators.Bpe.train]] round for round in
     * SQL: `wf` (word frequencies) → `r0` (char segmentation) → per round r
     * the pair census (`p$r`, every adjacent occurrence weighted by word
@@ -1431,16 +1471,7 @@ object SparkEntry {
         |FROM w LEFT JOIN k USING (doc_id)""".stripMargin,
 
     "ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id, source,
-        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
-        |       FROM w),
-        |e AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS shingle FROM sh),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |        any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS inter
-        |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.source = b.source
-        |                       AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
+      s"""WITH ${jaccardPairCtes("source")}
         |SELECT a_id, b_id,
         |  CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) AS jaccard
         |FROM p WHERE 10 * inter >= 1 * (a_n + b_n - inter)""".stripMargin,
@@ -1481,16 +1512,7 @@ object SparkEntry {
 
     // The ngram_jaccard CTEs with the containment threshold/score.
     "containment_pairs" ->
-      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id, lang,
-        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
-        |       FROM w),
-        |e AS (SELECT doc_id, lang, len(sh) AS n, unnest(sh) AS shingle FROM sh WHERE len(sh) > 0),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |        any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS inter
-        |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.lang = b.lang
-        |                       AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
+      s"""WITH ${jaccardPairCtes("lang", nonEmpty = true)}
         |SELECT a_id, b_id,
         |  CAST(inter AS DOUBLE) / CAST(least(a_n, b_n) AS DOUBLE) AS containment
         |FROM p WHERE 5 * inter >= 4 * least(a_n, b_n)""".stripMargin,
@@ -1531,16 +1553,7 @@ object SparkEntry {
     // The jaccard-pair + recursive-CC CTEs (as in dedup_survivors), then
     // the md5 split keyed on the component representative.
     "split_by_component" ->
-      s"""WITH RECURSIVE w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
-         |sh AS (SELECT doc_id, source,
-         |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
-         |       FROM w),
-         |e AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS shingle FROM sh),
-         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |        any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS inter
-         |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.source = b.source
-         |                       AND a.doc_id < b.doc_id
-         |      GROUP BY 1, 2),
+      s"""WITH RECURSIVE ${jaccardPairCtes("source")},
          |pr AS (SELECT a_id, b_id FROM p WHERE 50 * inter >= 1 * (a_n + b_n - inter)),
          |sym AS (SELECT a_id AS a, b_id AS b FROM pr UNION SELECT b_id, a_id FROM pr),
          |reach(id, r) AS (
@@ -1557,16 +1570,7 @@ object SparkEntry {
     // Full-pipeline mirror: the ngram_jaccard pair CTEs at 1/50, the
     // connected_components recursive CTE, then the anti-joined survivors.
     "dedup_survivors" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id, source,
-        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
-        |       FROM w),
-        |e AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS shingle FROM sh),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |        any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS inter
-        |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.source = b.source
-        |                       AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2),
+      s"""WITH RECURSIVE ${jaccardPairCtes("source")},
         |pr AS (SELECT a_id, b_id FROM p WHERE 50 * inter >= 1 * (a_n + b_n - inter)),
         |sym AS (SELECT a_id AS a, b_id AS b FROM pr UNION SELECT b_id, a_id FROM pr),
         |reach(id, r) AS (
@@ -1581,16 +1585,7 @@ object SparkEntry {
     // Same recursive-CC tail as dedup_survivors; the survivor rank swaps
     // min-id for (n_chars DESC, id).
     "dedup_survivors_best" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id, source,
-        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
-        |       FROM w),
-        |e AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS shingle FROM sh),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |        any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS inter
-        |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.source = b.source
-        |                       AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2),
+      s"""WITH RECURSIVE ${jaccardPairCtes("source")},
         |pr AS (SELECT a_id, b_id FROM p WHERE 50 * inter >= 1 * (a_n + b_n - inter)),
         |sym AS (SELECT a_id AS a, b_id AS b FROM pr UNION SELECT b_id, a_id FROM pr),
         |reach(id, r) AS (
@@ -1607,14 +1602,16 @@ object SparkEntry {
         |WHERE d.doc_id NOT IN (SELECT id FROM drops)""".stripMargin,
 
     "decontaminate" ->
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT doc_id, source,
         |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
         |       FROM w),
-        |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 50 = 0),
-        |corp AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 50 <> 0),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |${sqlMix64Ctes("eh", "ex", "shingle", "doc_id")},
+        |bench AS (SELECT DISTINCT sh64 FROM eh WHERE doc_id % 50 = 0),
+        |corp AS (SELECT doc_id, sh64 FROM eh WHERE doc_id % 50 <> 0),
         |ov AS (SELECT doc_id, count(*) AS n_overlap
-        |       FROM corp JOIN bench USING (shingle) GROUP BY 1)
+        |       FROM corp JOIN bench USING (sh64) GROUP BY 1)
         |SELECT d.doc_id, d.source,
         |  coalesce(ov.n_overlap, 0) AS n_overlap,
         |  coalesce(ov.n_overlap, 0) > 0 AS contaminated
@@ -1672,16 +1669,7 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
 
     "ngram_jaccard_prefix" ->
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id, source,
-        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
-        |       FROM w),
-        |e AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS shingle FROM sh),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |        any_value(a.n) AS a_n, any_value(b.n) AS b_n, count(*) AS inter
-        |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.source = b.source
-        |                       AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
+      s"""WITH ${jaccardPairCtes("source")}
         |SELECT a_id, b_id,
         |  CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) AS jaccard
         |FROM p WHERE 5 * inter >= 4 * (a_n + b_n - inter)""".stripMargin,
@@ -2181,28 +2169,31 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
 
     "source_overlap" ->
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT source, doc_id,
         |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
         |       FROM w),
-        |d AS (SELECT DISTINCT source, unnest(sh) AS s FROM sh),
+        |ex AS (SELECT source, unnest(sh) AS shingle FROM sh),
+        |${sqlMix64Ctes("eh", "ex", "shingle", "source")},
+        |d AS (SELECT DISTINCT source, sh64 FROM eh),
         |p AS (SELECT a.source AS sa, b.source AS sb
-        |      FROM d a JOIN d b ON a.s = b.s AND a.source < b.source)
+        |      FROM d a JOIN d b ON a.sh64 = b.sh64 AND a.source < b.source)
         |SELECT sa AS source_a, sb AS source_b,
         |  count(*) AS n_shared_shingles
         |FROM p GROUP BY 1, 2""".stripMargin,
 
     "source_diversity" ->
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT source, doc_id,
         |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
         |       FROM w),
-        |e AS (SELECT source, doc_id, unnest(sh) AS s FROM sh)
+        |ex AS (SELECT source, doc_id, unnest(sh) AS shingle FROM sh),
+        |${sqlMix64Ctes("e", "ex", "shingle", "source, doc_id")}
         |SELECT source,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_shingles,
-        |  CAST(count(DISTINCT s) AS BIGINT) AS n_distinct_shingles,
-        |  CAST(count(DISTINCT s) * 1000 // count(*) AS BIGINT) AS ttr_permille
+        |  CAST(count(DISTINCT sh64) AS BIGINT) AS n_distinct_shingles,
+        |  CAST(count(DISTINCT sh64) * 1000 // count(*) AS BIGINT) AS ttr_permille
         |FROM e GROUP BY 1""".stripMargin,
 
     // The bottom-256 sample is deterministic (same Knuth ranks), so the

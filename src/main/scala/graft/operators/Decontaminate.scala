@@ -26,12 +26,17 @@ object Decontaminate {
     */
   def flag(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
+    // probe key = the portable 64-bit shingle hash: the broadcast side
+    // shrinks to 8 bytes per benchmark shingle and the corpus-side explode
+    // carries longs, not text; the oracle hashes identically in SQL
     val benchShingles = Dedup.withShingles(benchmark, benchTextCol, n)
-      .select(explode(col("shingles")).as("shingle")).distinct()
+      .select(explode(transform(col("shingles"), s => graft.functions.F.mix64(s)))
+        .as("sh64")).distinct()
     val corpusShingles = Dedup.withShingles(Par.spread(corpus), textCol, n)
-      .select(col(idCol), explode(col("shingles")).as("shingle"))
+      .select(col(idCol),
+        explode(transform(col("shingles"), s => graft.functions.F.mix64(s))).as("sh64"))
     val overlaps = corpusShingles
-      .join(broadcast(benchShingles), "shingle")
+      .join(broadcast(benchShingles), "sh64")
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
     corpus.join(overlaps, Seq(idCol), "left")
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
@@ -44,10 +49,12 @@ object Decontaminate {
   def clean(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
     val benchShingles = Dedup.withShingles(benchmark, benchTextCol, n)
-      .select(explode(col("shingles")).as("shingle")).distinct()
+      .select(explode(transform(col("shingles"), s => graft.functions.F.mix64(s)))
+        .as("sh64")).distinct()
     val contaminatedIds = Dedup.withShingles(Par.spread(corpus), textCol, n)
-      .select(col(idCol), explode(col("shingles")).as("shingle"))
-      .join(broadcast(benchShingles), "shingle")
+      .select(col(idCol),
+        explode(transform(col("shingles"), s => graft.functions.F.mix64(s))).as("sh64"))
+      .join(broadcast(benchShingles), "sh64")
       .select(idCol).distinct()
     corpus.join(contaminatedIds, Seq(idCol), "left_anti")
   }

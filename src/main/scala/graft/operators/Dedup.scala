@@ -110,11 +110,15 @@ object Dedup {
     val sh = withShingles(Par.spread(df), textCol, n)
       .select(col(idCol).as("id"), col(blockCol).as("block"), col("shingles"))
       .withColumn("n_sh", size(col("shingles")))
+    // the equi-join key is the engine-portable 64-bit shingle hash, not the
+    // shingle text: the exploded join sides exchange 8 bytes per shingle
+    // instead of ~n words (the family's dominant shuffle), and the oracle
+    // recomputes the identical hash in SQL so the mirror stays bit-exact
     val ex = sh.select(col("id"), col("block"), col("n_sh"),
-      explode(col("shingles")).as("shingle"))
-    val a = ex.toDF("a_id", "block", "a_n", "shingle")
-    val b = ex.toDF("b_id", "block", "b_n", "shingle")
-    a.join(b, Seq("shingle", "block"))
+      explode(transform(col("shingles"), s => graft.functions.F.mix64(s))).as("sh64"))
+    val a = ex.toDF("a_id", "block", "a_n", "sh64")
+    val b = ex.toDF("b_id", "block", "b_n", "sh64")
+    a.join(b, Seq("sh64", "block"))
       .where(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
       .agg(count(lit(1)).as("inter"))
@@ -141,11 +145,12 @@ object Dedup {
       .select(col(idCol).as("id"), col(blockCol).as("block"), col("shingles"))
       .withColumn("n_sh", size(col("shingles")))
       .where(col("n_sh") > 0)
+    // hashed join key — see ngramJaccardPairs
     val ex = sh.select(col("id"), col("block"), col("n_sh"),
-      explode(col("shingles")).as("shingle"))
-    val a = ex.toDF("a_id", "block", "a_n", "shingle")
-    val b = ex.toDF("b_id", "block", "b_n", "shingle")
-    a.join(b, Seq("shingle", "block"))
+      explode(transform(col("shingles"), s => graft.functions.F.mix64(s))).as("sh64"))
+    val a = ex.toDF("a_id", "block", "a_n", "sh64")
+    val b = ex.toDF("b_id", "block", "b_n", "sh64")
+    a.join(b, Seq("sh64", "block"))
       .where(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
       .agg(count(lit(1)).as("inter"))
@@ -176,11 +181,18 @@ object Dedup {
       .select(col(idCol).as("id"), col(blockCol).as("block"), col("shingles"))
       .withColumn("n_sh", size(col("shingles")))
       .where(col("n_sh") > 0)
+    // the census and candidate join key on the portable 64-bit shingle
+    // hash (slim exchanges); the rank tie-break keeps the string — that
+    // column rides the per-doc rank exchange anyway — so the global order
+    // is total even under a hash collision, and a collision can only ADD
+    // candidates (same-hash prefixes join), which exact verification on
+    // the full string sets then discards: output is collision-proof
     val ex = sh.select(col("id"), col("block"), col("n_sh"),
       explode(col("shingles")).as("shingle"))
+      .withColumn("sh64", graft.functions.F.mix64(col("shingle")))
     // global shingle frequency → rank each doc's shingles rarest-first
-    val freq = ex.groupBy("shingle").agg(count(lit(1)).as("__freq"))
-    val ranked = ex.join(freq, "shingle")
+    val freq = ex.groupBy("sh64").agg(count(lit(1)).as("__freq"))
+    val ranked = ex.join(freq, "sh64")
       .withColumn("__rn", row_number().over(
         Window.partitionBy("id").orderBy(col("__freq"), col("shingle"))))
     // prefix length = n_sh − ⌈t·n_sh⌉ + 1, in exact integer arithmetic
@@ -188,9 +200,9 @@ object Dedup {
       ((lit(thresholdNum) * col("n_sh") + lit(thresholdDen - 1))
         .divide(lit(thresholdDen))).cast("long") + 1
     val pref = ranked.where(col("__rn") <= prefLen)
-      .select(col("id"), col("block"), col("shingle"))
-    val cand = pref.toDF("a_id", "block", "shingle")
-      .join(pref.toDF("b_id", "block", "shingle"), Seq("shingle", "block"))
+      .select(col("id"), col("block"), col("sh64"))
+    val cand = pref.toDF("a_id", "block", "sh64")
+      .join(pref.toDF("b_id", "block", "sh64"), Seq("sh64", "block"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
     // exact verification on full shingle sets

@@ -252,9 +252,12 @@ object TextAnalysis {
     * |sources|²/2 rows, independent of corpus size. */
   def sourceOverlapMatrix(df: DataFrame, keyCol: String, textCol: String,
       n: Int = 3): DataFrame = {
+    // group key = the portable 64-bit shingle hash (8-byte exchange rows;
+    // the oracle hashes identically, so the census stays bit-exact)
     val sh = graft.operators.Dedup
       .withShingles(Par.spread(df), textCol, n)
-      .select(col(keyCol).as("__k"), explode(col("shingles")).as("__s"))
+      .select(col(keyCol).as("__k"),
+        explode(transform(col("shingles"), s => graft.functions.F.mix64(s))).as("__s"))
     sh.groupBy("__s").agg(collect_set(col("__k")).as("__ks"))
       .select(col("__s"), explode(col("__ks")).as("source_a"), col("__ks"))
       .select(col("__s"), col("source_a"), explode(col("__ks")).as("source_b"))
@@ -273,7 +276,7 @@ object TextAnalysis {
     val sh = graft.operators.Dedup
       .withShingles(Par.spread(df), textCol, n)
       .select(col(keyCol).as("source"), col(idCol).as("__id"),
-        explode(col("shingles")).as("__s"))
+        explode(transform(col("shingles"), s => graft.functions.F.mix64(s))).as("__s"))
     sh.groupBy("source").agg(
         countDistinct(col("__id")).as("n_docs"),
         count(lit(1)).as("n_shingles"),
