@@ -126,7 +126,8 @@ object RunPipeline {
       ivfIndexPath = opts.get("--ivf-index"),
       ivfNlist = opts.get("--ivf-nlist").map(_.toInt).getOrElse(16),
       enrich = opts.get("--enrich").map(parseEnrich),
-      cardinalityProfilePath = opts.get("--cardinality-profile"))
+      cardinalityProfilePath = opts.get("--cardinality-profile"),
+      quantileProfilePath = opts.get("--quantile-profile"))
 
   /** Run the pipeline, retrying the WHOLE run on failure up to `retries`
     * extra attempts. Each retry starts from the persisted state: the

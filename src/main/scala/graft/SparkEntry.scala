@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Bpe, Cardinality, Clustering, Decontaminate, Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.{Bpe, Cardinality, Clustering, Decontaminate, Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Quantiles, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -648,6 +648,22 @@ object SparkEntry {
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       Bpe.encodeViaVocab(docs, "doc_id", "text",
         Bpe.vocabulary(docs, "text", merges))
+    }),
+
+    // Persisted-profile quantile surface: per-source token-count
+    // p50/p90/p99 via the custom KLL TypedImperativeAggregate (Spark has
+    // HLL sketch aggs but no quantile ones). Map-side sketch fold — the
+    // one shuffle carries ~KB blobs, never values; the driver query runs
+    // in the sketch's exact regime (n per source ≤ k), where INCLUSIVE
+    // quantiles are order statistics the oracle recomputes in SQL.
+    "quantile_profile" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), TextAnalysis.tokenCount(col("text"))
+          .cast("double").as("v"))
+      Quantiles.quantiles(Quantiles.sketch(docs, "source", "v"),
+          Seq(0.5, 0.9, 0.99))
+        .select(col("key").as("source"), col("n_rows"),
+          col("q500"), col("q900"), col("q990"))
     }),
 
     // Composite quality bucketing, aggregated.
@@ -1977,6 +1993,20 @@ object SparkEntry {
          |  CAST(sum(len(w)) AS BIGINT) AS n_chars
          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
          |JOIN r10 USING (w) WHERE w <> '' GROUP BY 1""".stripMargin,
+
+    // KLL exact-regime mirror: INCLUSIVE quantile at rank r over n <= k
+    // retained values = the sorted value at 1-based index ceil(r*n).
+    "quantile_profile" ->
+      """WITH s AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS v FROM documents),
+        |r AS (SELECT source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY v) AS i,
+        |    count(*) OVER (PARTITION BY source) AS n FROM s)
+        |SELECT source, CAST(any_value(n) AS BIGINT) AS n_rows,
+        |  max(CASE WHEN i = greatest(1, CAST(ceil(0.50 * n) AS BIGINT)) THEN v END) AS q500,
+        |  max(CASE WHEN i = greatest(1, CAST(ceil(0.90 * n) AS BIGINT)) THEN v END) AS q900,
+        |  max(CASE WHEN i = greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN v END) AS q990
+        |FROM r GROUP BY source""".stripMargin,
 
     "quality_bucket" ->
       s"""WITH s AS (SELECT

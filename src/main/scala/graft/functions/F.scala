@@ -46,6 +46,15 @@ object F {
   /** 64-bit SimHash of an array<string> word column (see [[SimHash64]]). */
   def mix64(s: Column): Column = Glue.column(Mix64Str(Glue.expression(s)))
 
+  def kllSketchAgg(v: Column, k: Int = 200): Column =
+    Glue.column(KllSketchAgg(Glue.expression(v), k).toAggregateExpression())
+
+  def kllUnionAgg(sketch: Column, k: Int = 200): Column =
+    Glue.column(KllUnionAgg(Glue.expression(sketch), k).toAggregateExpression())
+
+  def kllQuantiles(sketch: Column, ranks: Seq[Double]): Column =
+    Glue.column(KllQuantiles(Glue.expression(sketch), ranks))
+
   def simHash64(words: Column): Column =
     Glue.column(SimHash64(Glue.expression(words)))
 

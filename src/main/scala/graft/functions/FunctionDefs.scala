@@ -28,6 +28,18 @@ object FunctionDefs {
     }
   }
 
+  private def litDouble(e: Expression, fn: String, arg: String): Double = {
+    require(e.foldable, s"$fn: $arg must be a literal")
+    e.eval() match {
+      case d: java.lang.Double => d
+      case f: java.lang.Float => f.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a numeric literal, got $other")
+    }
+  }
+
   private def litStrings(e: Expression, fn: String, arg: String): Seq[String] = {
     require(e.foldable, s"$fn: $arg must be a literal array")
     e.eval() match {
@@ -60,6 +72,21 @@ object FunctionDefs {
     ("mix64",
       "mix64(str) - engine-portable 64-bit string hash (poly31 fold + splitmix64)",
       es => Mix64Str(es.head)),
+    ("kll_sketch_agg",
+      "kll_sketch_agg(value[, k]) - KLL quantile sketch aggregate (binary)",
+      es => KllSketchAgg(es.head,
+        if (es.length > 1) litLong(es(1), "kll_sketch_agg", "k").toInt else 200)
+        .toAggregateExpression()),
+    ("kll_union_agg",
+      "kll_union_agg(sketch[, k]) - merge serialized KLL sketches",
+      es => KllUnionAgg(es.head,
+        if (es.length > 1) litLong(es(1), "kll_union_agg", "k").toInt else 200)
+        .toAggregateExpression()),
+    ("kll_quantile",
+      "kll_quantile(sketch, rank) - INCLUSIVE quantile value from a KLL sketch",
+      es => org.apache.spark.sql.catalyst.expressions.GetArrayItem(
+        KllQuantiles(es(0), Seq(litDouble(es(1), "kll_quantile", "rank"))),
+        org.apache.spark.sql.catalyst.expressions.Literal(0))),
     ("word_shingles",
       "word_shingles(words, n) - distinct word n-gram shingles",
       es => WordShingles(es(0), litLong(es(1), "word_shingles", "n").toInt)),

@@ -59,6 +59,12 @@ object IncrementalStream {
     *   "how many distinct entities has this stream ever merged", O(batch)
     *   per batch. HLL union is idempotent, so an at-least-once replayed
     *   batch leaves the profile unchanged — the same posture as the merge.
+    * @param quantileProfilePath when set, each micro-batch folds
+    *   `length(cleaned_ref)` per `embeddings_type` into a persisted KLL
+    *   quantile profile ([[graft.operators.Quantiles]]) — field-size
+    *   drift per type without rescanning history. KLL merge is NOT
+    *   idempotent, so the profile records the last merged micro-batch id
+    *   atomically with the sketches and a replayed batch is a no-op.
     */
   def start(spark: SparkSession, sourceDir: String, targetPath: String,
       checkpointDir: String, nearDupTextCol: Option[String] = None,
@@ -68,7 +74,8 @@ object IncrementalStream {
       ivfIndexPath: Option[String] = None,
       ivfNlist: Int = 16,
       enrich: Option[EnrichSpec] = None,
-      cardinalityProfilePath: Option[String] = None): StreamingQuery = {
+      cardinalityProfilePath: Option[String] = None,
+      quantileProfilePath: Option[String] = None): StreamingQuery = {
     val docs = spark.readStream
       .schema(graft.schema.Schemas.sourceDoc)
       .parquet(sourceDir)
@@ -97,7 +104,7 @@ object IncrementalStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val within = Dedup.latestPerKey(batch, Seq("main_refco"),
           Seq(col("original_timestamp").desc))
@@ -127,6 +134,13 @@ object IncrementalStream {
         cardinalityProfilePath.foreach { p =>
           graft.operators.Cardinality.update(s, p, curated,
             keyCol = "embeddings_type", valueCol = "main_refco")
+        }
+        quantileProfilePath.foreach { p =>
+          graft.operators.Quantiles.update(s, p,
+            curated.select(col("embeddings_type"),
+              length(col("cleaned_ref")).cast("double").as("v")),
+            keyCol = "embeddings_type", valueCol = "v",
+            batchId = Some(batchId))
         }
         ivfIndexPath.foreach { idx =>
           val vecs = curated.select(col("main_refco"), col("embedding_vector"))

@@ -127,6 +127,42 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(est2.values.sum == 3L, s"after run 2 profiled $est2")
   }
 
+  test("streaming quantile profile: accumulates across runs; replayed batch id is a no-op") {
+    val src = tmp("kll-src"); val ckpt = tmp("kll-ckpt")
+    val target = tmp("kll-target") + "/out"
+    val prof = tmp("kll-prof") + "/profile"
+
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-01 10:00:00", Seq(1f, 0f), "ab", "", "c1"),
+      doc("s1", "2024-01-01 11:00:00", Seq(0f, 1f), "wxyz", "", "c2")),
+      "batch0")
+    IncrementalStream.start(spark, src, target, ckpt,
+      quantileProfilePath = Some(prof)).awaitTermination()
+    val est1 = graft.operators.Quantiles.estimates(spark, prof, Seq(0.5))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // cleaned_ref lengths {2, 4} -> n = 2, median (index ceil(0.5*2)=1) = 2
+    assert(est1.values.toSeq == Seq((2L, 2.0)), est1.toString)
+
+    // second run via the CLI flag path; new lengths {6}
+    writeBatch(src, Seq(
+      doc("s2", "2024-01-02 10:00:00", Seq(2f, 0f), "abcdef", "", "c3")),
+      "batch1")
+    graft.RunPipeline.startStream(spark, src, target, ckpt,
+      Map("--quantile-profile" -> prof)).awaitTermination()
+    val est2 = graft.operators.Quantiles.estimates(spark, prof, Seq(0.5))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // lengths {2, 4, 6}: n = 3, median 4
+    assert(est2.values.toSeq == Seq((3L, 4.0)), est2.toString)
+
+    // a replayed micro-batch id must leave the profile untouched (KLL
+    // merge is not idempotent — the guard row is what protects replays)
+    graft.operators.Quantiles.update(spark, prof,
+      Seq(("t", 999.0)).toDF("k", "v"), "k", "v", batchId = Some(1L))
+    val est3 = graft.operators.Quantiles.estimates(spark, prof, Seq(0.5))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(est3 == est2, s"replayed batch mutated the profile: $est3")
+  }
+
   test("streaming curate hook gates each micro-batch before merge") {
     val src = tmp("cur-src"); val ckpt = tmp("cur-ckpt")
     val target = tmp("cur-target") + "/out"
