@@ -1493,14 +1493,15 @@ object SparkEntry {
         |FROM p WHERE 10 * inter >= 1 * (a_n + b_n - inter)""".stripMargin,
 
     "repeated_spans" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT doc_id,
         |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
         |       FROM w),
-        |e AS (SELECT doc_id, unnest(sh) AS span FROM sh),
-        |f AS (SELECT span, count(*) AS n_docs FROM e GROUP BY 1),
+        |ex AS (SELECT doc_id, unnest(sh) AS span FROM sh),
+        |${sqlMix64Ctes("e", "ex", "span", "doc_id")},
+        |f AS (SELECT sh64, count(*) AS n_docs FROM e GROUP BY 1),
         |d AS (SELECT e.doc_id, count(*) AS n_shared
-        |      FROM e JOIN f USING (span) WHERE f.n_docs > 1 GROUP BY 1)
+        |      FROM e JOIN f USING (sh64) WHERE f.n_docs > 1 GROUP BY 1)
         |SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_spans,
         |  coalesce(d.n_shared, 0) AS n_shared,
         |  len(s.sh) > 0 AND 2 * coalesce(d.n_shared, 0) >= len(s.sh) AS mostly_duplicated

@@ -312,7 +312,10 @@ object Dedup {
     // n_shared = n_spans − n_unique, identical output to the direct form.
     val sh = withShingles(Par.spread(df), textCol, k)
       .select(col(idCol).as("doc_id"), col("shingles"))
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("span"))
+    // census key = the portable 64-bit span hash (8-byte exchange rows;
+    // the oracle hashes identically — see ngramJaccardPairs)
+    val ex = sh.select(col("doc_id"),
+      explode(transform(col("shingles"), s => graft.functions.F.mix64(s))).as("span"))
     val uniq = ex.groupBy("span")
       .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__owner"))
       .where(col("__n") === 1)
