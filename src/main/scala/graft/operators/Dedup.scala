@@ -120,6 +120,13 @@ object Dedup {
     val b = ex.toDF("b_id", "block", "b_n", "sh64")
     a.join(b, Seq("sh64", "block"))
       .where(col("a_id") < col("b_id"))
+      // size-ratio prefilter (AllPairs): J ≥ t ⟹ t·max(|A|,|B|) ≤
+      // min(|A|,|B|) — a mismatched-size pair can never clear the
+      // threshold, so its matched-shingle rows are dropped BEFORE the
+      // intersection count, shrinking the aggregation's input for free
+      // (exact integer arithmetic; output unchanged)
+      .where(lit(thresholdDen) * least(col("a_n"), col("b_n")) >=
+        lit(thresholdNum) * greatest(col("a_n"), col("b_n")))
       .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
       .agg(count(lit(1)).as("inter"))
       .where(lit(thresholdDen) * col("inter") >=
