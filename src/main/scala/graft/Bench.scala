@@ -64,6 +64,17 @@ object Bench {
       samples("cc_shared_build") = Vector(dt)
       System.err.println(f"[bench] cc_shared_build        $dt%8.2f s")
     }
+    // Same honesty for the passage family: the span table is computed
+    // once and shared by dup_passages / dup_passage_clean.
+    if (queries.contains("dup_passages") ||
+        queries.contains("dup_passage_clean")) {
+      SparkEntry.resetSharedSpans()
+      val t0 = System.nanoTime()
+      SparkEntry.buildSharedSpans(spark, sfDir)
+      val dt = (System.nanoTime() - t0) / 1e9
+      samples("passage_spans_shared") = Vector(dt)
+      System.err.println(f"[bench] passage_spans_shared   $dt%8.2f s")
+    }
     for (r <- 1 to repeat) queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       run(name, fn, sfDir)

@@ -68,7 +68,7 @@ object SparkEntry {
   // cached frames and localCheckpoint files were never released)
   private val ccListenerInstalled =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def sharedJaccardComponents(s: SparkSession, dir: String): DataFrame = {
+  private def installEvictionListener(s: SparkSession): String = {
     val sessKey = System.identityHashCode(s).toString
     if (ccListenerInstalled.add(sessKey))
       s.sparkContext.addSparkListener(
@@ -77,6 +77,11 @@ object SparkEntry {
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
             evictSharedCc(sessKey)
         })
+    sessKey
+  }
+
+  private def sharedJaccardComponents(s: SparkSession, dir: String): DataFrame = {
+    val sessKey = installEvictionListener(s)
     ccCache.computeIfAbsent(s"$sessKey#$dir", _ => {
       val pairs = graft.operators.Dedup.ngramJaccardPairs(
         Tables.documents(s, dir), "doc_id", "text", blockCol = "source",
@@ -86,10 +91,24 @@ object SparkEntry {
     })
   }
 
-  /** Drop one session's cached component frames (the listener's target;
-    * checkpoint blocks die with the session's context). */
+  /** ONE token-window span materialization shared by the passage query
+    * family: `dup_passages` returns it and `dup_passage_clean` splices
+    * by it — the w-token window exchange + census is the family's whole
+    * cost, identical in both (same reuse argument as the CC cache). */
+  private val spansCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def sharedPassageSpans(s: SparkSession, dir: String): DataFrame = {
+    val sessKey = installEvictionListener(s)
+    spansCache.computeIfAbsent(s"$sessKey#$dir", _ =>
+      graft.operators.Dedup.duplicatedPassageSpans(
+        Tables.documents(s, dir), "doc_id", "text", w = 8).localCheckpoint())
+  }
+
+  /** Drop one session's cached shared-stage frames (the listener's
+    * target; checkpoint blocks die with the session's context). */
   private[graft] def evictSharedCc(sessKey: String): Unit = {
     ccCache.keySet.removeIf(_.startsWith(sessKey + "#"))
+    spansCache.keySet.removeIf(_.startsWith(sessKey + "#"))
     ccListenerInstalled.remove(sessKey)
   }
 
@@ -104,6 +123,11 @@ object SparkEntry {
   private[graft] def resetSharedCc(): Unit = ccCache.clear()
   private[graft] def buildSharedCc(s: SparkSession, dir: String): Unit = {
     sharedJaccardComponents(s, dir); ()
+  }
+  private[graft] def sharedSpansSize: Int = spansCache.size
+  private[graft] def resetSharedSpans(): Unit = spansCache.clear()
+  private[graft] def buildSharedSpans(s: SparkSession, dir: String): Unit = {
+    sharedPassageSpans(s, dir); ()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -429,9 +453,7 @@ object SparkEntry {
     // exact-substring dedup): merged character ranges covered by 8-token
     // windows occurring ≥2× corpus-wide — the locate/merge transform the
     // aggregate-only repeated_spans can't do.
-    "dup_passages" -> ((s, dir) =>
-      Dedup.duplicatedPassageSpans(Tables.documents(s, dir), "doc_id", "text",
-        w = 8)),
+    "dup_passages" -> ((s, dir) => sharedPassageSpans(s, dir)),
 
     // End-to-end passage REMOVAL: splice the merged spans out with the
     // codegen'd aggregate-HOF (Dedup.removeSpans). The oracle derives the
@@ -439,7 +461,7 @@ object SparkEntry {
     // the driver cross-checks the splice against arithmetic it never ran.
     "dup_passage_clean" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val spans = Dedup.duplicatedPassageSpans(docs, "doc_id", "text", w = 8)
+      val spans = sharedPassageSpans(s, dir)
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
             .as("spans"),

@@ -217,7 +217,11 @@ class PlanSpec extends SparkSpecBase {
     // win-keyed census is a HashAggregate PAIR (map-side partial combine
     // crushes a boilerplate window to one row per task before the
     // exchange), and nothing is quadratic.
-    val nodes = collectAll(plan("dup_passages"))
+    // assert on the UNDERLYING span builder — the registered query serves
+    // a cached localCheckpoint of this exact plan (shared-stage family)
+    val nodes = collectAll(graft.operators.Dedup.duplicatedPassageSpans(
+        graft.Tables.documents(spark, sf), "doc_id", "text", w = 8)
+      .queryExecution.executedPlan)
     val wins = nodes.filter(_.nodeName.contains("Window"))
     assert(wins.nonEmpty)
     wins.foreach(w => assert(w.toString.contains("doc_id"),
