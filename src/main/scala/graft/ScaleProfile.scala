@@ -25,6 +25,7 @@ object ScaleProfile {
     val mode = args.headOption.getOrElse("all")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
@@ -50,8 +51,9 @@ object ScaleProfile {
           else transform(col("embedding"), (x, j) =>
             (x * (pmod(xxhash64(lit(i), j), lit(2)) * 2 - 1)).cast("float"))),
         s"$out/embeddings.parquet")
-      // events.ts is INT64 nanos under the legacy flag; keep it a raw long
-      // so Tables.events' `ts div 1000` conversion applies unchanged.
+      // events.ts replicates verbatim in whatever physical encoding the
+      // source uses (raw INT64 nanos under the legacy flag, or
+      // TIMESTAMP(MICROS)); Tables.events branches on the observed type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = spark.read.parquet(s"$src/events.parquet")
       replicate(i => ev

@@ -16,14 +16,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects (no nanosecond TimestampType). Read it as raw nanos via
-    * the legacy flag and convert to microseconds with integer arithmetic
-    * (`div` — a double division would lose precision on epoch-nanos). */
+  /** `events.ts` has shipped under two physical encodings across driver
+    * testdata generations: INT64 TIMESTAMP(NANOS) — which Spark's parquet
+    * reader rejects (no nanosecond TimestampType), so the legacy flag
+    * reads it as raw nanos and integer `div` converts to micros — and
+    * plain TIMESTAMP(MICROS) with isAdjustedToUTC=false, which arrives as
+    * TIMESTAMP_NTZ whose wall-clock fields are the UTC instant. Branch on
+    * the observed type so both read to the same TimestampType instants
+    * (every entrypoint pins spark.sql.session.timeZone=UTC, making the
+    * NTZ cast unambiguous). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
