@@ -1034,6 +1034,43 @@ object SparkEntry {
           col("asof_view_id"), col("asof_value"))
     }),
 
+    // Time-BAND join (bucketed formulation — (key, Δ-bucket) equi-join
+    // with a 3-bucket left explode, never a per-key quadratic candidate
+    // set): clicks within ±15 min of each purchase, zero-preserving.
+    "band_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("value").cast("decimal(18,6)").as("value"))
+      val nearby = Joins.bandJoin(purchases, clicks, Seq("user_id"),
+          "ts", "ts", bandSeconds = 900, Seq("value"))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_nearby"), sum(col("band_value")).as("v"))
+      purchases.join(nearby, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), ts6(col("ts")).as("ts_str"),
+          coalesce(col("n_nearby"), lit(0L)).as("n_nearby"),
+          coalesce(col("v"), lit(0).cast("decimal(18,6)"))
+            .cast("double").as("click_value"))
+    }),
+
+    // Range join into CONTAINING intervals (one shuffle via the as-of
+    // merge formulation): each purchase lands in its enclosing session.
+    "range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sessions = Sessionize.sessions(ev, gapSeconds = 1800)
+        .select(col("user_id"), col("session_id"), col("session_start"),
+          // sessions close ON their last event; rangeJoin is end-exclusive
+          (col("session_end") + expr("interval 1 microsecond")).as("session_close"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      Joins.rangeJoin(purchases, sessions, Seq("user_id"), "ts",
+          "session_start", "session_close", Seq("session_id"))
+        .select(col("event_id"), col("user_id"), ts6(col("ts")).as("ts_str"),
+          col("asof_session_id").as("session_id"))
+    }),
+
     // Gap-based sessionization (custom-state operator family): batch
     // gaps-and-islands plan; the streaming twin (flatMapGroupsWithState)
     // is equivalence-tested in SessionizeSpec.
@@ -2478,6 +2515,40 @@ object SparkEntry {
         |  r.view_id AS asof_view_id, r.value AS asof_value
         |FROM clicks l ASOF LEFT JOIN views r
         |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
+
+    "band_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |  COUNT(c.user_id) AS n_nearby,
+        |  CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(18,6))), 0) AS DOUBLE)
+        |    AS click_value
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 900000000
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "range_join" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    1 + SUM(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |    MIN(ts) AS s_start, MAX(ts) AS s_end
+        |  FROM s GROUP BY user_id, sid),
+        |p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, sess.session_id
+        |FROM p JOIN sess ON p.user_id = sess.user_id
+        |  AND p.ts BETWEEN sess.s_start AND sess.s_end""".stripMargin,
 
     "sessionize" ->
       """WITH g AS (

@@ -70,4 +70,51 @@ object Joins {
     asof.where(col(s"asof_$endCol").isNotNull && col(tsCol) < col(s"asof_$endCol"))
       .drop(s"asof_$endCol")
   }
+
+  /** Time-BAND join: every (left, right) pair within the same key whose
+    * timestamps differ by at most `bandSeconds` (inclusive both ends) —
+    * the many-to-many "what happened around this event" join that
+    * [[rangeJoin]]'s non-overlapping-interval contract can't express.
+    *
+    * Spark plans the naive predicate (`l.key = r.key AND abs(l.ts − r.ts)
+    * <= Δ`) as an equi-join on the key with the band as a post-join
+    * filter — correct, but a hot key degenerates to its full quadratic
+    * pair set before filtering. This is the bucketed formulation the
+    * commercial engines' range-join optimization uses: quantize both
+    * sides to Δ-wide buckets, explode the LEFT side to its three
+    * candidate buckets (b−1, b, b+1), equi-join on (key, bucket), then
+    * apply the exact band predicate. A right row within the band is
+    * always in one of the three buckets, and its own bucket is unique, so
+    * every qualifying pair appears EXACTLY once — no dedup stage. The
+    * shuffle key becomes (key, time-bucket): a key hot over a long span
+    * now spreads across its time range, the per-bucket candidate set is
+    * bounded by the band instead of the key's history, and AQE can split
+    * what remains. Cost: the 3× left-side explode — put the smaller /
+    * anchor side on the left.
+    *
+    * Pairs are emitted with all left columns plus each `rightCols` as
+    * `band_<name>`; key columns must not collide with payload names.
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lTsCol: String, rTsCol: String, bandSeconds: Long,
+      rightCols: Seq[String]): DataFrame = {
+    require(bandSeconds > 0, s"bandSeconds must be positive, got $bandSeconds")
+    val bandUs = bandSeconds * 1000000L
+    // floored integer division (exact at bucket boundaries, any-sign safe;
+    // double division would round near the 2^53 mantissa limit)
+    def bucket(ts: Column): Column = {
+      val us = unix_micros(ts)
+      ((us - pmod(us, lit(bandUs))) / lit(bandUs)).cast("long")
+    }
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("__b0", bucket(col(lTsCol)))
+      .withColumn("__b", explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    val r = right.select(
+      (keys.map(col) :+ col(rTsCol).as("__rts")) ++ rightCols.map(col): _*)
+      .withColumn("__b", bucket(col("__rts")))
+    l.join(r, keys :+ "__b")
+      .where(abs(unix_micros(col(lTsCol)) - unix_micros(col("__rts"))) <= bandUs)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(c).as(s"band_$c")): _*)
+  }
 }

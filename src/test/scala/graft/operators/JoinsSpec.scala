@@ -62,4 +62,45 @@ class JoinsSpec extends SparkSpecBase {
       .select("f", "asof_version").as[(String, String)].collect().toMap
     assert(out == Map("a" -> "v1", "b" -> "v2"))
   }
+
+  test("bandJoin: pairs within ±band, inclusive ends, exactly once") {
+    val anchors = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a1"),
+      (2L, ts("2024-01-01 10:00:00"), "a2")) // other key: no cross-key pair
+      .toDF("key", "ts", "a")
+    val others = Seq(
+      (1L, ts("2024-01-01 09:59:00"), "in-before"),
+      (1L, ts("2024-01-01 09:58:00"), "edge-before"), // exactly -band
+      (1L, ts("2024-01-01 10:02:00"), "edge-after"), // exactly +band
+      (1L, ts("2024-01-01 10:02:00.000001"), "out-after"), // band + 1µs
+      (1L, ts("2024-01-01 09:57:59.999999"), "out-before"),
+      (2L, ts("2024-01-01 10:00:30"), "other-key"))
+      .toDF("key", "ts", "o")
+    val out = Joins.bandJoin(anchors, others, Seq("key"), "ts", "ts",
+        bandSeconds = 120, Seq("o"))
+      .select("a", "band_o").as[(String, String)].collect().toSeq
+    assert(out.groupBy(identity).values.forall(_.size == 1),
+      s"pair emitted twice: $out")
+    assert(out.toSet == Set(
+      ("a1", "in-before"), ("a1", "edge-before"), ("a1", "edge-after"),
+      ("a2", "other-key")))
+  }
+
+  test("bandJoin: equals the naive theta-join on a random frame") {
+    val rnd = new scala.util.Random(7)
+    def frame(n: Int) = (0 until n).map { i =>
+      (rnd.nextInt(3).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(2000) * 500L), i.toLong)
+    }.toDF("key", "ts", "id")
+    val l = frame(80)
+    val r = frame(120).withColumnRenamed("id", "rid")
+    val band = Joins.bandJoin(l, r, Seq("key"), "ts", "ts",
+        bandSeconds = 300, Seq("rid"))
+      .select("id", "band_rid").as[(Long, Long)].collect().toSeq.sorted
+    val naive = l.as("l").join(r.as("r"),
+        col("l.key") === col("r.key") &&
+          abs(unix_micros(col("l.ts")) - unix_micros(col("r.ts"))) <= 300000000L)
+      .select(col("l.id"), col("r.rid")).as[(Long, Long)].collect().toSeq.sorted
+    assert(band == naive)
+  }
 }
