@@ -501,6 +501,20 @@ object SparkEntry {
         .select("doc_id", "source", "n_overlap", "contaminated")
     }),
 
+    // Bloom-prefiltered decontamination (the scale path for a benchmark
+    // too big to broadcast as an exact hash set): ~10-bit/shingle Bloom
+    // broadcast + codegen'd map-side probe, then an exact verify join —
+    // no false negatives, so the CLEANED corpus equals the exact plan's
+    // and the oracle needs no Bloom replay.
+    "decon_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+      val corpus = docs.where(pmod(col("doc_id"), lit(50)) =!= 0)
+      Decontaminate.cleanBloom(corpus, "doc_id", "text", bench, "text",
+          n = 3, fpp = 0.01)
+        .select("doc_id", "source", "n_chars")
+    }),
+
     // MinHash-LSH near-dup pairs. The portable shingle hash + seed-derived
     // permutation coefficients make the signature (and so the band
     // collisions) exactly recomputable in SQL — the oracle mirrors the
@@ -1693,6 +1707,22 @@ object SparkEntry {
         |  coalesce(ov.n_overlap, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN ov USING (doc_id)
         |WHERE d.doc_id % 50 <> 0""".stripMargin,
+
+    // The Bloom path's verified result is exactly the exact-plan clean:
+    // corpus minus every doc sharing any shingle hash with the benchmark.
+    "decon_bloom" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+        |       FROM w),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        |${sqlMix64Ctes("eh", "ex", "shingle", "doc_id")},
+        |bench AS (SELECT DISTINCT sh64 FROM eh WHERE doc_id % 50 = 0),
+        |bad AS (SELECT DISTINCT doc_id FROM eh
+        |        WHERE doc_id % 50 <> 0 AND sh64 IN (SELECT sh64 FROM bench))
+        |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id % 50 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     // Same assignment mirror as cluster_purity, then per-cluster bottom-k
     // by the assigned cosine (ascending, tie on id).

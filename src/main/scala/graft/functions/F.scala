@@ -38,6 +38,11 @@ object F {
   /** L2 norm of an array<float|double> column. */
   def l2Norm(a: Column): Column = Glue.column(L2Norm(Glue.expression(a)))
 
+  /** Probe a 64-bit hash against a serialized Bloom filter literal
+    * (see [[BloomMightContain]]). */
+  def bloomMightContain(bloomBytes: Column, hash64: Column): Column =
+    Glue.column(BloomMightContain(Glue.expression(bloomBytes), Glue.expression(hash64)))
+
   /** MinHash signature of an array<string> shingle column
     * (see [[MinHashSig]]). */
   def minHashSig(shingles: Column, numHashes: Int, seed: Long = 42L): Column =

@@ -59,6 +59,61 @@ object Decontaminate {
     corpus.join(contaminatedIds, Seq(idCol), "left_anti")
   }
 
+  /** Serialized Bloom filter over the benchmark's distinct shingle
+    * hashes — built distributed (`stat.bloomFilter` aggregates per
+    * partition and merges), sized from the observed distinct count. */
+  def shingleBloom(benchmark: DataFrame, benchTextCol: String, n: Int = 3,
+      fpp: Double = 0.01): Array[Byte] = {
+    val hashes = Dedup.withShingles(benchmark, benchTextCol, n)
+      .select(explode(transform(col("shingles"), s => graft.functions.F.mix64(s)))
+        .as("sh64")).distinct()
+    val bloom = hashes.stat.bloomFilter("sh64", math.max(hashes.count(), 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** [[flag]] with a BLOOM prefilter — for when the benchmark outgrows
+    * [[flag]]'s broadcast-the-exact-hash-set plan. The exact set costs
+    * 64 bits per shingle; the Bloom costs ~10 bits at fpp=1% (~6×), so
+    * the thing broadcast to every executor stays cheap while the probe
+    * stays map-side and codegen'd ([[graft.functions.BloomMightContain]]).
+    * Bloom hits — true contamination plus an fpp-sized false-positive
+    * trickle — then verify against the benchmark shingles in an ordinary
+    * EQUI-join (shuffle sized by contamination + fpp·corpus-shingles, and
+    * Spark is free to pick broadcast when the benchmark is actually
+    * small). No false negatives, so the verified result EQUALS [[flag]]
+    * exactly — which is what lets `decon_bloom` carry an exact oracle. */
+  def flagBloom(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    val bloomBytes = shingleBloom(benchmark, benchTextCol, n, fpp)
+    val benchShingles = Dedup.withShingles(benchmark, benchTextCol, n)
+      .select(explode(transform(col("shingles"), s => graft.functions.F.mix64(s)))
+        .as("sh64")).distinct()
+    val candidates = Dedup.withShingles(Par.spread(corpus), textCol, n)
+      .select(col(idCol),
+        explode(transform(col("shingles"), s => graft.functions.F.mix64(s))).as("sh64"))
+      .where(graft.functions.F.bloomMightContain(lit(bloomBytes), col("sh64")))
+    val overlaps = candidates.join(benchShingles, "sh64")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    corpus.join(overlaps, Seq(idCol), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** The corpus with Bloom-flagged-then-verified contaminated documents
+    * removed — equals [[clean]] exactly (no false negatives; false
+    * positives die in the verify join). */
+  def cleanBloom(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    val contaminatedIds = flagBloom(corpus, idCol, textCol, benchmark,
+      benchTextCol, n, fpp)
+      .where(col("contaminated")).select(idCol).distinct()
+    corpus.join(contaminatedIds, Seq(idCol), "left_anti")
+  }
+
   /** SEMANTIC decontamination: corpus rows whose embedding is
     * near-duplicate (cosine ≥ `threshold`) of ANY benchmark embedding —
     * catches paraphrased/translated leakage that n-gram overlap ([[flag]])

@@ -52,6 +52,62 @@ class DecontaminateSpec extends SparkSpecBase {
       s"expected a broadcast exchange in:\n$resolved")
   }
 
+  // --- Bloom-prefiltered path ---
+
+  test("flagBloom / cleanBloom equal the exact plan on hand-built docs") {
+    val exact = Decontaminate.flag(corpus, "doc_id", "text", bench, "text", n = 3)
+      .select("doc_id", "n_overlap", "contaminated")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val bloomed = Decontaminate.flagBloom(corpus, "doc_id", "text", bench, "text",
+        n = 3, fpp = 0.01)
+      .select("doc_id", "n_overlap", "contaminated")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(bloomed == exact)
+    val keptExact = Decontaminate.clean(corpus, "doc_id", "text", bench, "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val keptBloom = Decontaminate.cleanBloom(corpus, "doc_id", "text", bench, "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptBloom == keptExact)
+  }
+
+  test("bloom path equals exact path on the sf0.001 documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val b = docs.where(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(50)) === 0)
+    val c = docs.except(b)
+    val exact = Decontaminate.clean(c, "doc_id", "text", b, "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // a deliberately loose fpp: false positives must still die in verify
+    val bloomed = Decontaminate.cleanBloom(c, "doc_id", "text", b, "text",
+        n = 3, fpp = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomed == exact)
+  }
+
+  test("bloom_might_contain: no false negatives; SQL-callable; codegen plan") {
+    import org.apache.spark.sql.functions._
+    val hashes = (1L to 500L).toDF("v").select(graft.functions.F.mix64(
+      concat(lit("item-"), col("v"))).as("h"))
+    val bloomBytes = {
+      val bf = hashes.stat.bloomFilter("h", 500, 0.03)
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+    }
+    // every inserted hash probes true
+    val misses = hashes.where(!graft.functions.F.bloomMightContain(lit(bloomBytes), col("h")))
+      .count()
+    assert(misses == 0L, "bloom false negative")
+    // SQL surface via the registered function
+    graft.functions.F.registerAll(spark)
+    hashes.createOrReplaceTempView("bloom_probe_t")
+    spark.sql("SELECT h FROM bloom_probe_t").createOrReplaceTempView("bloom_probe_t2")
+    val viaSql = spark.sql(
+      s"SELECT count(*) FROM bloom_probe_t WHERE NOT bloom_might_contain(" +
+        s"unbase64('${java.util.Base64.getEncoder.encodeToString(bloomBytes)}'), h)")
+      .head().getLong(0)
+    assert(viaSql == 0L)
+  }
+
   // --- semantic (embedding) decontamination ---
 
   private val dim = 4
