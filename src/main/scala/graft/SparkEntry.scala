@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Bpe, Cardinality, Clustering, Decontaminate, Dedup, Embeddings, Extract, Graph, Ivf, Joins, Multimodal, Quantiles, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.{Bpe, Cardinality, Clustering, Decontaminate, Dedup, Embeddings, Extract, Frequencies, Graph, Ivf, Joins, Multimodal, Quantiles, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -700,6 +700,23 @@ object SparkEntry {
           Seq(0.5, 0.9, 0.99))
         .select(col("key").as("source"), col("n_rows"),
           col("q500"), col("q900"), col("q990"))
+    }),
+
+    // Persisted-profile heavy-hitters surface: per-source frequent tokens
+    // via the custom Misra-Gries TypedImperativeAggregate (Spark has no
+    // mergeable heavy-hitters aggregate; count_min can't enumerate).
+    // Map-side sketch fold — the one shuffle carries bounded item maps.
+    // The driver query runs in the sketch's exact regime (31 distinct
+    // tokens per source < 0.75·maxMapSize), where estimates are plain
+    // GROUP BY counts the oracle recomputes in SQL.
+    "freq_profile" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("item"))
+        .where(col("item") =!= "")
+      Frequencies.topItems(
+          Frequencies.sketch(toks, "source", "item", maxMapSize = 64),
+          minCount = 10)
+        .select(col("key").as("source"), col("item"), col("estimate").as("n"))
     }),
 
     // Composite quality bucketing, aggregated.
@@ -2097,6 +2114,15 @@ object SparkEntry {
         |  max(CASE WHEN i = greatest(1, CAST(ceil(0.90 * n) AS BIGINT)) THEN v END) AS q900,
         |  max(CASE WHEN i = greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN v END) AS q990
         |FROM r GROUP BY source""".stripMargin,
+
+    // Exact-regime mirror: under the purge threshold the Misra-Gries
+    // estimates ARE the counts; NO_FALSE_NEGATIVES at minCount = HAVING.
+    "freq_profile" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS item
+        |           FROM documents)
+        |SELECT source, item, COUNT(*) AS n FROM t
+        |WHERE item <> ''
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 10""".stripMargin,
 
     "quality_bucket" ->
       s"""WITH s AS (SELECT

@@ -60,6 +60,17 @@ object F {
   def kllQuantiles(sketch: Column, ranks: Seq[Double]): Column =
     Glue.column(KllQuantiles(Glue.expression(sketch), ranks))
 
+  def freqSketchAgg(item: Column, maxMapSize: Int = 256): Column =
+    Glue.column(FreqSketchAgg(Glue.expression(item), maxMapSize)
+      .toAggregateExpression())
+
+  def freqUnionAgg(sketch: Column, maxMapSize: Int = 256): Column =
+    Glue.column(FreqUnionAgg(Glue.expression(sketch), maxMapSize)
+      .toAggregateExpression())
+
+  def freqTopItems(sketch: Column, minCount: Long): Column =
+    Glue.column(FreqTopItems(Glue.expression(sketch), minCount))
+
   def simHash64(words: Column): Column =
     Glue.column(SimHash64(Glue.expression(words)))
 

@@ -90,6 +90,19 @@ object FunctionDefs {
       es => org.apache.spark.sql.catalyst.expressions.GetArrayItem(
         KllQuantiles(es(0), Seq(litDouble(es(1), "kll_quantile", "rank"))),
         org.apache.spark.sql.catalyst.expressions.Literal(0))),
+    ("freq_sketch_agg",
+      "freq_sketch_agg(item[, maxMapSize]) - frequent-items (Misra-Gries) sketch aggregate (binary)",
+      es => FreqSketchAgg(es.head,
+        if (es.length > 1) litLong(es(1), "freq_sketch_agg", "maxMapSize").toInt else 256)
+        .toAggregateExpression()),
+    ("freq_union_agg",
+      "freq_union_agg(sketch[, maxMapSize]) - merge serialized frequent-items sketches",
+      es => FreqUnionAgg(es.head,
+        if (es.length > 1) litLong(es(1), "freq_union_agg", "maxMapSize").toInt else 256)
+        .toAggregateExpression()),
+    ("freq_top_items",
+      "freq_top_items(sketch, minCount) - frequent items at a count threshold (no false negatives)",
+      es => FreqTopItems(es(0), litLong(es(1), "freq_top_items", "minCount"))),
     ("word_shingles",
       "word_shingles(words, n) - distinct word n-gram shingles",
       es => WordShingles(es(0), litLong(es(1), "word_shingles", "n").toInt)),

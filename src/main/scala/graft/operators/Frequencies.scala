@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, mergeable per-key FREQUENT-ITEMS (heavy hitters) profiles —
+  * Datasketches `ItemsSketch` through the custom
+  * [[graft.functions.FreqSketchAgg]] aggregates, committed through
+  * [[IndexStore]]'s snapshot protocol. The third member of the profile
+  * family, completing cardinality ([[Cardinality]], HLL) and quantiles
+  * ([[Quantiles]], KLL): "which tokens/domains/ids dominate each source,
+  * and how hard" over a growing corpus, without ever re-scanning history.
+  *
+  * The 100 TB shape: per-batch per-key sketches fold map-side (the one
+  * shuffle carries bounded ≤ maxMapSize item maps, never the token
+  * stream), the persisted profile absorbs them by sketch merge, and the
+  * commit is atomic with recompute-on-retry under concurrent writers.
+  * A vocabulary-pruning or stopword-discovery job then reads the profile
+  * instead of the corpus.
+  *
+  * Exact regime (what the driver oracle checks): while a key's distinct
+  * item count stays under the sketch's purge threshold (0.75 ·
+  * maxMapSize), estimates are exact counts — plain GROUP BY counts in
+  * SQL. Past it, the Misra–Gries bound: no item whose true count exceeds
+  * the sketch's maximum error is ever lost, estimates overshoot by at
+  * most that error. Merge is NOT idempotent (a replayed batch
+  * double-counts), so the streaming path carries the same atomically-
+  * committed last-batch-id replay guard as [[Quantiles]]. */
+object Frequencies {
+
+  /** Per-key batch sketches: `(key, sketch, n_rows)` — one hash shuffle
+    * with map-side partial sketch fold. */
+  def sketch(df: DataFrame, keyCol: String, itemCol: String,
+      maxMapSize: Int = 256): DataFrame =
+    df.groupBy(col(keyCol).as("key"))
+      .agg(graft.functions.F
+          .freqSketchAgg(col(itemCol).cast("string"), maxMapSize).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Sentinel key of the replay-guard metadata row (see [[Quantiles.MetaKey]]
+    * — same non-idempotent-merge rationale). */
+  val MetaKey = "__meta:last_batch"
+
+  /** Merge one batch into the persisted profile at `root` (created on
+    * first use) under [[IndexStore.rewriteWith]]'s optimistic commit.
+    * With `batchId` set (the streaming path), a batch id ≤ the recorded
+    * last-merged id is a no-op. */
+  def update(spark: SparkSession, root: String, batch: DataFrame,
+      keyCol: String, itemCol: String, maxMapSize: Int = 256,
+      batchId: Option[Long] = None): Unit =
+    IndexStore.rewriteWith(spark, root)(() => {
+      val existing =
+        if (IndexStore.exists(spark, root)) Some(IndexStore.read(spark, root))
+        else None
+      val lastApplied = existing.flatMap(
+        _.where(col("key") === MetaKey).select("n_rows")
+          .collect().headOption.map(_.getLong(0)))
+      if (batchId.exists(id => lastApplied.exists(id <= _))) (existing.get, None)
+      else {
+        val fresh = sketch(batch, keyCol, itemCol, maxMapSize)
+        val data = existing match {
+          case None => fresh
+          case Some(cur) => cur.where(!(col("key") <=> lit(MetaKey)))
+            .unionByName(fresh)
+            .groupBy("key")
+            .agg(graft.functions.F.freqUnionAgg(col("sketch"), maxMapSize)
+              .as("sketch"), sum("n_rows").as("n_rows"))
+        }
+        val sess = batch.sparkSession
+        import sess.implicits._
+        val meta = batchId
+          .map(id => Seq((MetaKey, id)).toDF("key", "n_rows")
+            .select(col("key"), lit(null).cast("binary").as("sketch"),
+              col("n_rows")))
+          .orElse(existing.map(_.where(col("key") === MetaKey)))
+        (meta.fold(data)(m => data.unionByName(m)), None)
+      }
+    })
+
+  /** Decode a sketch frame (from [[sketch]] or [[read]]) to one row per
+    * frequent item at `minCount`: `(key, item, estimate, lb, ub)`,
+    * deterministic order within a key by (estimate DESC, item ASC). */
+  def topItems(sketches: DataFrame, minCount: Long): DataFrame =
+    sketches.select(col("key"),
+        explode(graft.functions.F.freqTopItems(col("sketch"), minCount))
+          .as("fi"))
+      .select(col("key"), col("fi.item").as("item"),
+        col("fi.estimate").as("estimate"),
+        col("fi.lb").as("lb"), col("fi.ub").as("ub"))
+
+  /** The persisted profile's current frequent items (metadata row
+    * excluded). */
+  def estimates(spark: SparkSession, root: String, minCount: Long): DataFrame =
+    topItems(IndexStore.read(spark, root)
+      .where(!(col("key") <=> lit(MetaKey))), minCount)
+}
