@@ -34,7 +34,8 @@ object RunPipeline {
       "usage: RunPipeline <source> <target> <state> <staging> " +
         "[--dims p] [--fallback ts] [--merge-buckets n] [--format f] " +
         "[--retries n] [--stream ckptDir [--enrich spec] " +
-        "[--cardinality-profile dir]]")
+        "[--cardinality-profile dir] [--quantile-profile dir] " +
+        "[--freq-profile dir]]")
     val Array(source, target, state, staging) = args.take(4)
     val opts = args.drop(4).sliding(2, 2).collect {
       case Array(k, v) => k -> v
@@ -127,7 +128,8 @@ object RunPipeline {
       ivfNlist = opts.get("--ivf-nlist").map(_.toInt).getOrElse(16),
       enrich = opts.get("--enrich").map(parseEnrich),
       cardinalityProfilePath = opts.get("--cardinality-profile"),
-      quantileProfilePath = opts.get("--quantile-profile"))
+      quantileProfilePath = opts.get("--quantile-profile"),
+      freqProfilePath = opts.get("--freq-profile"))
 
   /** Run the pipeline, retrying the WHOLE run on failure up to `retries`
     * extra attempts. Each retry starts from the persisted state: the

@@ -65,6 +65,12 @@ object IncrementalStream {
     *   drift per type without rescanning history. KLL merge is NOT
     *   idempotent, so the profile records the last merged micro-batch id
     *   atomically with the sketches and a replayed batch is a no-op.
+    * @param freqProfilePath when set, each micro-batch folds
+    *   `display_name` per `embeddings_type` into a persisted
+    *   frequent-items profile ([[graft.operators.Frequencies]]) — which
+    *   entities dominate each type's stream, without rescanning history.
+    *   Misra–Gries merge is NOT idempotent, so the same last-batch-id
+    *   replay guard as the quantile profile applies.
     */
   def start(spark: SparkSession, sourceDir: String, targetPath: String,
       checkpointDir: String, nearDupTextCol: Option[String] = None,
@@ -75,7 +81,8 @@ object IncrementalStream {
       ivfNlist: Int = 16,
       enrich: Option[EnrichSpec] = None,
       cardinalityProfilePath: Option[String] = None,
-      quantileProfilePath: Option[String] = None): StreamingQuery = {
+      quantileProfilePath: Option[String] = None,
+      freqProfilePath: Option[String] = None): StreamingQuery = {
     val docs = spark.readStream
       .schema(graft.schema.Schemas.sourceDoc)
       .parquet(sourceDir)
@@ -140,6 +147,12 @@ object IncrementalStream {
             curated.select(col("embeddings_type"),
               length(col("cleaned_ref")).cast("double").as("v")),
             keyCol = "embeddings_type", valueCol = "v",
+            batchId = Some(batchId))
+        }
+        freqProfilePath.foreach { p =>
+          graft.operators.Frequencies.update(s, p,
+            curated.select(col("embeddings_type"), col("display_name")),
+            keyCol = "embeddings_type", itemCol = "display_name",
             batchId = Some(batchId))
         }
         ivfIndexPath.foreach { idx =>

@@ -163,6 +163,51 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(est3 == est2, s"replayed batch mutated the profile: $est3")
   }
 
+  test("streaming frequent-items profile: accumulates across runs; replay-guarded") {
+    val src = tmp("freq-src"); val ckpt = tmp("freq-ckpt")
+    val target = tmp("freq-target") + "/out"
+    val prof = tmp("freq-prof") + "/profile"
+    def typedDoc(source: String, ts: String, ref: String, etype: String): Row =
+      Row(source, Timestamp.valueOf(ts), Seq(1f, 0f), ref, "", "c1",
+        null, etype, null)
+
+    writeBatch(src, Seq(
+      typedDoc("s1", "2024-01-01 10:00:00", "a", "t1"),
+      typedDoc("s1", "2024-01-01 11:00:00", "b", "t1"),
+      typedDoc("s2", "2024-01-01 12:00:00", "c", "t2")),
+      "batch0")
+    IncrementalStream.start(spark, src, target, ckpt,
+      freqProfilePath = Some(prof)).awaitTermination()
+    val est1 = graft.operators.Frequencies.estimates(spark, prof, minCount = 1)
+      .select("key", "item", "estimate").as[(String, String, Long)]
+      .collect().map { case (k, i, e) => (k, i) -> e }.toMap
+    // display_name derives as "<source> ((None))"-style from null country;
+    // only the per-type multiset shape matters here
+    assert(est1.keys.map(_._1).toSet == Set("t1", "t2"), est1.toString)
+    assert(est1.collect { case ((k, _), e) if k == "t1" => e }.sum == 2L)
+
+    // second run via the CLI flag path: two more t1 rows from s1
+    writeBatch(src, Seq(
+      typedDoc("s1", "2024-01-02 10:00:00", "d", "t1"),
+      typedDoc("s1", "2024-01-02 11:00:00", "e", "t1")),
+      "batch1")
+    graft.RunPipeline.startStream(spark, src, target, ckpt,
+      Map("--freq-profile" -> prof)).awaitTermination()
+    val est2 = graft.operators.Frequencies.estimates(spark, prof, minCount = 1)
+      .select("key", "item", "estimate").as[(String, String, Long)]
+      .collect().map { case (k, i, e) => (k, i) -> e }.toMap
+    assert(est2.collect { case ((k, _), e) if k == "t1" => e }.sum == 4L,
+      est2.toString)
+
+    // a replayed micro-batch id leaves the profile untouched
+    graft.operators.Frequencies.update(spark, prof,
+      Seq(("t9", "ghost")).toDF("k", "i"), "k", "i", batchId = Some(1L))
+    val est3 = graft.operators.Frequencies.estimates(spark, prof, minCount = 1)
+      .select("key", "item", "estimate").as[(String, String, Long)]
+      .collect().map { case (k, i, e) => (k, i) -> e }.toMap
+    assert(est3 == est2, s"replayed batch mutated the profile: $est3")
+  }
+
   test("streaming curate hook gates each micro-batch before merge") {
     val src = tmp("cur-src"); val ckpt = tmp("cur-ckpt")
     val target = tmp("cur-target") + "/out"
