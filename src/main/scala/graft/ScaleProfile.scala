@@ -113,6 +113,24 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "newops") {
+      // Late round-9 ops: band/range joins (events ×5 with users ×5 —
+      // pairs-per-user constant, ideal exponent 1), Bloom-prefiltered
+      // decontamination (bench and corpus both ×5, contamination ×5),
+      // and the frequent-items profile (sketch blobs bounded per source;
+      // the suffixed 5× vocabulary pushes it into the purge regime, the
+      // honest shape at scale — expected ~flat).
+      val ps = Seq("band_join", "range_join", "decon_bloom", "freq_profile")
+      ps.foreach(q => time(q, src)) // warmup: codegen + JIT
+      ps.foreach(q => time(q, out))
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t5 = median3(time(q, out))
+        println(f"SCALE $q%-24s sf0.1=$t1%6.2f s  sf0.5=$t5%6.2f s  exponent=${math.log(t5 / t1) / math.log(5.0)}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "bpe") {
       // Round-9 BPE: train = one corpus-linear word-frequency pass + a
       // vocab-bound merge loop (the 5× corpus also multiplies the vocab —

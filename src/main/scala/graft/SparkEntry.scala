@@ -933,6 +933,17 @@ object SparkEntry {
         "chars_mismatch" -> (col("n_chars") =!= length(col("text"))),
         "unknown_lang" -> !col("lang").isin("en", "de", "fr", "es")))),
 
+    // Distribution-drift monitor (train/serve skew): total-variation
+    // distance between the first and second half-month's value
+    // histograms per event type — exact integer arithmetic (TV, not
+    // PSI: no ln), one scan + one (key, bin) shuffle.
+    "drift_tv" -> ((s, dir) =>
+      Validate.driftTv(Tables.events(s, dir), "event_type", "value",
+          currentSlice = col("ts") >= lit("2024-01-16").cast("timestamp"),
+          lo = 0.0, hi = 500.0, nBins = 20)
+        .select(col("key").as("event_type"), col("n_cur"), col("n_ref"),
+          col("tv"))),
+
     // Per-source quantile gate: each source drops ITS bottom quartile by
     // token count (a global cut would gut the lower-scoring sources).
     "quantile_filter_by_source" -> ((s, dir) =>
@@ -2428,6 +2439,27 @@ object SparkEntry {
          |  CAST($terms AS BIGINT) AS z
          |FROM n""".stripMargin
     },
+
+    // Same clamp-bin + exact-integer TV arithmetic; the one double is a
+    // single division of exact integers, rounded identically everywhere.
+    "drift_tv" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19) AS BIGINT) AS bin,
+        |    (ts >= TIMESTAMP '2024-01-16') AS cur
+        |  FROM events),
+        |c AS (SELECT event_type, bin,
+        |    SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS p,
+        |    SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS q
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type, p, q,
+        |    SUM(p) OVER (PARTITION BY event_type) AS np,
+        |    SUM(q) OVER (PARTITION BY event_type) AS nq
+        |  FROM c)
+        |SELECT event_type, CAST(np AS BIGINT) AS n_cur, CAST(nq AS BIGINT) AS n_ref,
+        |  CASE WHEN np > 0 AND nq > 0 THEN
+        |    CAST(SUM(abs(p * nq - q * np)) AS DOUBLE) / (2.0 * np * nq)
+        |  END AS tv
+        |FROM t GROUP BY event_type, np, nq""".stripMargin,
 
     "data_quality" ->
       """WITH m AS (SELECT

@@ -32,6 +32,54 @@ object Validate {
         expr("n_violations * 1000 div n_rows"))
   }
 
+  /** Distribution-DRIFT report between two slices of the same frame
+    * (reference vs current — the train/serve-skew and
+    * yesterday-vs-today monitor a continuously-ingesting pipeline runs
+    * next to [[report]]'s per-row gates): per key, the total-variation
+    * distance between the two slices' `valueCol` histograms over
+    * `nBins` fixed-width bins on `[lo, hi)` (outliers clamp into the
+    * edge bins).
+    *
+    * TV rather than PSI/KL on purpose: those need `ln`, whose last-bit
+    * rounding is libm-dependent and would break the exact differential
+    * oracle. TV = ½·Σ|p̂ᵢ−q̂ᵢ| carries the same decision signal
+    * (PSI-style alerts just re-threshold), and here it is computed in
+    * EXACT integer arithmetic — Σ|pᵢ·Nq − qᵢ·Np| over raw counts — with
+    * one final division of exact integers, so every engine rounds the
+    * one double identically. TV = 0 ⇔ identical histograms, 1 ⇔
+    * disjoint; keys with an empty slice report null.
+    *
+    * Scale shape: one scan (both slices in the same pass — `sliceCol`
+    * tags rows, no second read), one map-side-combined shuffle on
+    * (key, bin) bounded by |keys|·nBins, then a key-level window over
+    * nBins-row groups. Nothing scales with the corpus but the scan.
+    * The cross-product `pᵢ·Nq` stays inside a long while both slice
+    * counts per key are ≤ ~2·10⁹; past that, widen the `p*nq − q*np`
+    * terms to decimal(38,0) (same plan, wider integers). */
+  def driftTv(df: DataFrame, keyCol: String, valueCol: String,
+      currentSlice: Column, lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, s"need hi > lo and nBins > 0")
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(floor((col(valueCol) - lit(lo)) / lit(width)),
+      lit(0.0)), lit((nBins - 1).toDouble)).cast("long")
+    val counts = df
+      .select(col(keyCol).as("key"), bin.as("__bin"),
+        currentSlice.cast("boolean").as("__cur"))
+      .groupBy("key", "__bin")
+      .agg(sum(when(col("__cur"), 1L).otherwise(0L)).as("p"),
+        sum(when(!col("__cur"), 1L).otherwise(0L)).as("q"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    counts
+      .withColumn("np", sum("p").over(w))
+      .withColumn("nq", sum("q").over(w))
+      .groupBy("key", "np", "nq")
+      .agg(sum(abs(col("p") * col("nq") - col("q") * col("np"))).as("num"))
+      .select(col("key"), col("np").as("n_cur"), col("nq").as("n_ref"),
+        when(col("np") > 0 && col("nq") > 0,
+          col("num").cast("double") /
+            (lit(2.0) * col("np") * col("nq"))).as("tv"))
+  }
+
   /** Count of key tuples appearing more than once — the uniqueness check
     * [[report]]'s per-row rules can't express. One shuffle on the key
     * (map-side combined). */

@@ -34,6 +34,37 @@ class ValidateSpec extends SparkSpecBase {
     assert(Validate.duplicateKeyCount(df.distinct(), Seq("k", "s")) == 0L)
   }
 
+  test("driftTv: hand-computed distance; identical=0, disjoint=1, clamping") {
+    // key "same": both slices {bin0: 2, bin1: 2} -> tv 0
+    // key "shift": ref {bin0: 2}, cur {bin1: 2} -> tv 1
+    // key "half": ref {bin0: 1, bin1: 1}, cur {bin0: 2} -> tv 1/2
+    def rows(key: String, v: Double, cur: Boolean, n: Int) =
+      Seq.fill(n)((key, v, cur))
+    val df = (rows("same", 1.0, false, 2) ++ rows("same", 11.0, false, 2) ++
+      rows("same", 1.0, true, 2) ++ rows("same", 11.0, true, 2) ++
+      rows("shift", 1.0, false, 2) ++ rows("shift", 11.0, true, 2) ++
+      rows("half", 1.0, false, 1) ++ rows("half", 11.0, false, 1) ++
+      rows("half", 1.0, true, 2) ++
+      // outliers clamp into edge bins: -5 -> bin 0, 999 -> last bin
+      rows("clamp", -5.0, false, 1) ++ rows("clamp", 1.0, true, 1))
+      .toDF("k", "v", "cur")
+    val out = Validate.driftTv(df, "k", "v", col("cur"),
+        lo = 0.0, hi = 20.0, nBins = 2)
+      .select("key", "tv").as[(String, Option[Double])].collect().toMap
+    assert(out("same").contains(0.0))
+    assert(out("shift").contains(1.0))
+    assert(out("half").contains(0.5))
+    assert(out("clamp").contains(0.0), "both landed in bin 0 after clamping")
+  }
+
+  test("driftTv: an empty slice reports null, not a crash") {
+    val df = Seq(("k", 1.0, false), ("k", 2.0, false)).toDF("k", "v", "cur")
+    val out = Validate.driftTv(df, "k", "v", col("cur"), 0.0, 10.0, 4)
+      .select("key", "n_cur", "n_ref", "tv")
+      .as[(String, Long, Long, Option[Double])].collect()
+    assert(out.toSeq == Seq(("k", 0L, 2L, None)))
+  }
+
   test("enforce: passes under budget, throws over it, names the rule") {
     val rules = Seq("empty_text" -> (length(col("text")) === 0))
     // budget 1 tolerates the single empty doc
