@@ -120,7 +120,8 @@ object ScaleProfile {
       // and the frequent-items profile (sketch blobs bounded per source;
       // the suffixed 5× vocabulary pushes it into the purge regime, the
       // honest shape at scale — expected ~flat).
-      val ps = Seq("band_join", "range_join", "decon_bloom", "freq_profile")
+      val ps = Seq("band_join", "range_join", "decon_bloom", "freq_profile",
+        "drift_tv")
       ps.foreach(q => time(q, src)) // warmup: codegen + JIT
       ps.foreach(q => time(q, out))
       ps.foreach { q =>

@@ -316,4 +316,44 @@ class PlanSpec extends SparkSpecBase {
         n.toString.contains("__line"))
     assert(smj.isEmpty, "line-keyed sort-merge join (hot-line skew risk)")
   }
+
+  test("band_join: candidates come from the (key, bucket) equi-join, never a theta join") {
+    val nodes = collectAll(plan("band_join"))
+    assert(!nodes.exists(n => n.nodeName.contains("CartesianProduct") ||
+      n.nodeName.contains("BroadcastNestedLoopJoin")),
+      s"band join degenerated: ${nodes.map(_.nodeName).distinct}")
+    // the pair join must key on the time bucket, not the bare user key —
+    // that is what bounds a hot key's candidate set by the band
+    val joins = nodes.filter(n => n.nodeName.contains("Join") &&
+      n.toString.contains("__b"))
+    assert(joins.nonEmpty, s"no (key, bucket)-keyed join found:\n${plan("band_join")}")
+  }
+
+  test("drift_tv: histogram counts are partially aggregated before the exchange") {
+    // the (key, bin) aggregate must combine map-side: the exchange then
+    // carries |keys|*nBins rows per partition, not the event stream
+    val nodes = collectAll(plan("drift_tv"))
+    val exchanges = nodes.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(e =>
+      collectAll(e.child).exists(n => n.nodeName.contains("Aggregate") ||
+        n.nodeName.contains("Exchange"))),
+      "event rows cross an exchange un-aggregated")
+  }
+
+  test("decon_bloom: the bloom probe is a scan-stage filter, upstream of any exchange") {
+    // the codegen'd bloom_might_contain must run in the same stage as the
+    // shingle explode — candidates are pruned BEFORE anything shuffles
+    val nodes = collectAll(plan("decon_bloom"))
+    // match on the node's OWN line (toString prints the whole subtree,
+    // which would also catch unrelated filters above the probe)
+    val filters = nodes.filter(n => n.nodeName.contains("Filter") &&
+      n.simpleString(200).contains("bloom_might_contain"))
+    assert(filters.nonEmpty, s"bloom probe filter missing:\n${plan("decon_bloom")}")
+    // Par.spread's small-input RoundRobin repartition is the one allowed
+    // exchange below the probe (deliberate parallelism, not a key shuffle)
+    assert(filters.forall(f => !collectAll(f).exists(n =>
+        n.isInstanceOf[Exchange] && !n.toString.contains("RoundRobinPartitioning"))),
+      "bloom probe runs downstream of a key exchange — prefilter value lost")
+  }
 }
