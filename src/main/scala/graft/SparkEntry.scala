@@ -328,6 +328,28 @@ object SparkEntry {
         .select(col("id"), col("label").as("component"))
     }),
 
+    // Persisted INCREMENTAL components: the same edge family folded in
+    // TWO batches (even ids, then odd — whose edges land on even heads,
+    // forcing cross-batch merges and relabels) through the IndexStore-
+    // committed mapping. The final mapping must equal one-shot CC over
+    // the full edge stream plus self-labeled singletons — per-batch cost
+    // is O(ids + batch pairs), never O(history pairs).
+    "cc_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ccinc").toString + "/cc"
+      Seq(0, 1).foreach { par =>
+        val batch = docs.where(pmod(col("doc_id"), lit(2)) === par)
+        val edges = batch
+          .select(col("doc_id").as("a"),
+            (col("doc_id") - pmod(col("doc_id"), lit(5))).as("b"))
+          .where(col("a") =!= col("b"))
+        Graph.updateComponents(s, root, batch, "doc_id", edges, "a", "b")
+      }
+      Graph.readComponents(s, root)
+        .select(col("id").as("doc_id"), col("component"))
+    }),
+
     // Per-key corpus cap (training-data curation): at most 10 docs per
     // source, picked by a deterministic engine-portable hash.
     "cap_per_key" -> ((s, dir) =>
@@ -1496,6 +1518,22 @@ object SparkEntry {
         |  UNION
         |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a)
         |SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id""".stripMargin,
+
+    // One-shot mirror of the two-batch incremental fold: same recursive
+    // CC over the full edge stream, singletons self-labeled via the
+    // left-join coalesce.
+    "cc_incremental" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS a, doc_id - (doc_id % 5) AS b FROM documents
+        |  WHERE doc_id <> doc_id - (doc_id % 5)),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(id, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin,
 
     // Knuth hash in the same overflow-free split form as Dedup.capPerKey
     // (equal values wherever the naive multiply doesn't overflow).

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph operators for dedup pipelines: near-duplicate PAIRS (MinHash /
@@ -238,4 +238,54 @@ object Graph {
       .select(col("id"), col("representative"),
         (col("id") === col("representative")).as("keep"))
   }
+
+  // ------------------------- persisted incremental components -------------
+
+  /** Fold one batch into a PERSISTED duplicate-component mapping at
+    * `root` — the incremental-dedup closer: with pair generation already
+    * incremental (the persisted MinHash index pairs each batch against
+    * everything ever indexed, `Dedup.minHashPairsAgainstIndex`), this
+    * makes the pairs→groups step incremental too, so "which earlier doc
+    * is this a duplicate of" never recomputes history.
+    *
+    * The mapping rows `(id, component)` — every id ever seen, labeled by
+    * its component's minimum id, singletons labeling themselves — are
+    * treated as EDGES and unioned with the batch's new pairs, then one
+    * [[connectedComponents]] pass relabels. Correctness: the old mapping
+    * connects exactly the components the prior edge stream implied (each
+    * node directly to its class minimum, which is itself a class member),
+    * so CC over (mapping ∪ new pairs) partitions ids identically to CC
+    * over the full historical pair stream — pinned against a one-shot CC
+    * in `GraphSpec`. Cost per batch: CC over (#ever-seen ids + batch
+    * pairs) edges where the mapping part is a STAR forest (depth 1), so
+    * the distributed loop converges in O(1) rounds and the driver path's
+    * union-find is near-linear — O(corpus ids), never O(history pairs).
+    *
+    * Commits through [[IndexStore.rewriteWith]]: recompute-on-retry under
+    * concurrent writers, crash leaves the previous mapping readable.
+    * Merging components is an idempotent, order-insensitive fold (labels
+    * are set minima), so replayed batches are harmless — no batch-id
+    * guard needed (same posture as the HLL profile, unlike KLL/freq). */
+  def updateComponents(spark: SparkSession, root: String, batchIds: DataFrame,
+      idCol: String, edges: DataFrame, aCol: String, bCol: String): Unit =
+    IndexStore.rewriteWith(spark, root)(() => {
+      val existing =
+        if (IndexStore.exists(spark, root)) Some(IndexStore.read(spark, root))
+        else None
+      val oldEdges = existing.map(_.where(col("id") =!= col("component"))
+        .select(col("id").as("a"), col("component").as("b")))
+      val newEdges = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      val allEdges = oldEdges.fold(newEdges)(_ unionByName newEdges)
+      val comp = connectedComponents(allEdges, "a", "b")
+      val allIds = existing.map(_.select("id")).toSeq
+        .foldLeft(batchIds.select(col(idCol).as("id")))(_ unionByName _)
+        .distinct()
+      (allIds.join(comp, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("label"), col("id")).as("component")), None)
+    })
+
+  /** The persisted mapping's current rows `(id, component)`. */
+  def readComponents(spark: SparkSession, root: String): DataFrame =
+    IndexStore.read(spark, root)
 }

@@ -133,4 +133,78 @@ class GraphSpec extends SparkSpecBase {
       Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L))
     assert(out.filter(_._3).map(_._1) == Seq(2L, 10L))
   }
+
+  private def mapping(root: String): Map[Long, Long] =
+    Graph.readComponents(spark, root)
+      .as[(Long, Long)].collect().toMap
+
+  test("updateComponents: batched folds equal one-shot CC; cross-batch merge relabels") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ccstore").toString + "/cc"
+    // batch 1: component {5, 6}, singleton 9
+    Graph.updateComponents(spark, root,
+      Seq(5L, 6L, 9L).toDF("id"), "id",
+      Seq((5L, 6L)).toDF("a", "b"), "a", "b")
+    assert(mapping(root) == Map(5L -> 5L, 6L -> 5L, 9L -> 9L))
+    // batch 2: new id 1 links to 6 — the {5,6} class must RELABEL to 1,
+    // and old singleton 9 joins via a 9-2 pair
+    Graph.updateComponents(spark, root,
+      Seq(1L, 2L).toDF("id"), "id",
+      Seq((1L, 6L), (9L, 2L)).toDF("a", "b"), "a", "b")
+    val twoBatch = mapping(root)
+    assert(twoBatch == Map(1L -> 1L, 5L -> 1L, 6L -> 1L, 2L -> 2L, 9L -> 2L))
+    // equals a one-shot CC over the full edge stream + all ids
+    val oneShotRoot = java.nio.file.Files.createTempDirectory("graft-ccone").toString + "/cc"
+    Graph.updateComponents(spark, oneShotRoot,
+      Seq(5L, 6L, 9L, 1L, 2L).toDF("id"), "id",
+      Seq((5L, 6L), (1L, 6L), (9L, 2L)).toDF("a", "b"), "a", "b")
+    assert(mapping(oneShotRoot) == twoBatch)
+  }
+
+  test("updateComponents: a replayed batch is a no-op (idempotent fold)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ccrep").toString + "/cc"
+    val ids = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((2L, 3L)).toDF("a", "b")
+    Graph.updateComponents(spark, root, ids, "id", edges, "a", "b")
+    val first = mapping(root)
+    Graph.updateComponents(spark, root, ids, "id", edges, "a", "b")
+    assert(mapping(root) == first)
+  }
+
+  test("updateComponents composes with the persisted MinHash index: batches equal one-shot") {
+    // the realistic incremental flow: index batch 1, pair batch 2 against
+    // the accumulated index, fold both into the component store — final
+    // mapping must equal CC over the one-shot all-pairs run
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val b1 = docs.where($"doc_id" % 2 === 0)
+    val b2 = docs.where($"doc_id" % 2 === 1)
+    val (s1, band1) = Dedup.minHashIndex(b1, "doc_id", "text", n = 3,
+      numHashes = 64, bands = 16)
+    val p1 = Dedup.minHashPairsAgainstIndex(s1, band1, s1, band1,
+        numHashes = 64, threshold = 0.5)
+      .where($"batch_id" < $"index_id")
+    val root = java.nio.file.Files.createTempDirectory("graft-ccmh").toString + "/cc"
+    Graph.updateComponents(spark, root, b1.select("doc_id"), "doc_id",
+      p1, "batch_id", "index_id")
+    val (s2, band2) = Dedup.minHashIndex(b2, "doc_id", "text", n = 3,
+      numHashes = 64, bands = 16)
+    val sAll = s1.unionByName(s2); val bandAll = band1.unionByName(band2)
+    val p2 = Dedup.minHashPairsAgainstIndex(s2, band2, sAll, bandAll,
+        numHashes = 64, threshold = 0.5)
+      .where($"batch_id" =!= $"index_id")
+    Graph.updateComponents(spark, root, b2.select("doc_id"), "doc_id",
+      p2, "batch_id", "index_id")
+    val pAll = Dedup.minHashPairsAgainstIndex(sAll, bandAll, sAll, bandAll,
+        numHashes = 64, threshold = 0.5)
+      .where($"batch_id" < $"index_id")
+    val oneShot = Graph.connectedComponents(pAll, "batch_id", "index_id")
+      .as[(Long, Long)].collect().toMap
+    val incremental = mapping(root)
+    // every paired id labels identically; unpaired ids are singletons
+    oneShot.foreach { case (id, label) =>
+      assert(incremental(id) == label, s"id $id: ${incremental(id)} != $label")
+    }
+    incremental.filterNot { case (id, _) => oneShot.contains(id) }
+      .foreach { case (id, label) => assert(label == id, s"singleton $id -> $label") }
+  }
 }
