@@ -170,6 +170,34 @@ class GraphSpec extends SparkSpecBase {
     assert(mapping(root) == first)
   }
 
+  test("updateComponents: racing writers — the conflicting fold recomputes, no merge lost") {
+    // writer B's commit lands between writer A's state read and manifest
+    // create; A must re-fold against B's committed mapping (recompute-on-
+    // retry), so both batches' merges survive
+    val root = java.nio.file.Files.createTempDirectory("graft-ccrace").toString
+    Graph.updateComponents(spark, root,
+      Seq(1L, 2L, 3L, 4L).toDF("id"), "id",
+      Seq((1L, 2L)).toDF("a", "b"), "a", "b")
+    var fired = false
+    Upsert.beforeManifestCreateHook = Some { (tp, _) =>
+      if (!fired && tp == root) {
+        fired = true
+        Upsert.beforeManifestCreateHook = None
+        Graph.updateComponents(spark, root,
+          Seq(3L, 4L).toDF("id"), "id",
+          Seq((3L, 4L)).toDF("a", "b"), "a", "b")
+      }
+    }
+    // racer links {3,4}; this writer links {2,3} — final must chain all four
+    try Graph.updateComponents(spark, root,
+      Seq(2L, 3L).toDF("id"), "id",
+      Seq((2L, 3L)).toDF("a", "b"), "a", "b")
+    finally Upsert.beforeManifestCreateHook = None
+    assert(fired, "race hook never fired")
+    assert(mapping(root) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"a racer's merge was lost: ${mapping(root)}")
+  }
+
   test("updateComponents composes with the persisted MinHash index: batches equal one-shot") {
     // the realistic incremental flow: index batch 1, pair batch 2 against
     // the accumulated index, fold both into the component store — final
