@@ -38,7 +38,8 @@ object RunErasure {
     require(args.length >= 2,
       "usage: RunErasure <target> <keysPath> [--key-col c] " +
         "[--merge-buckets n] [--keep-snapshots n] " +
-        "[--ivf-index p] [--ivf-id-col c] [--neardup-index p]")
+        "[--ivf-index p] [--ivf-id-col c] [--neardup-index p] " +
+        "[--components p]")
     val Array(target, keysPath) = args.take(2)
     val opts = args.drop(2).sliding(2, 2).collect {
       case Array(k, v) => k -> v
@@ -93,6 +94,10 @@ object RunErasure {
         operators.Dedup.deleteFromNearDupIndex(spark, idx,
           keys.toDF("id"))
         System.err.println(s"[erasure] near-dup index scrubbed: $idx")
+      }
+      opts.get("--components").foreach { root =>
+        operators.Graph.deleteFromComponents(spark, root, keys)
+        System.err.println(s"[erasure] component store scrubbed: $root")
       }
       // --vacuum true: expire retained pre-delete snapshots NOW — they
       // still hold the erased rows for time travel until GC'd.

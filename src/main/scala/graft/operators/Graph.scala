@@ -288,4 +288,31 @@ object Graph {
   /** The persisted mapping's current rows `(id, component)`. */
   def readComponents(spark: SparkSession, root: String): DataFrame =
     IndexStore.read(spark, root)
+
+  /** Compliance erasure for the component store: drop the erased ids'
+    * rows and RELABEL any component whose label (minimum id) was erased
+    * to the minimum of its remaining members — without this, surviving
+    * members keep pointing at a deleted id, re-identifying it (the same
+    * derived-store leak `Ivf.deleteFromIndex` and
+    * `Dedup.deleteFromNearDupIndex` close for their tables).
+    *
+    * Semantics note: remaining members stay in one component. The pair
+    * evidence that connected them is gone with the store that held it
+    * (erase the near-dup index separately), so a split decision is not
+    * reconstructible here; keeping established membership is the
+    * conservative reading and is documented behavior. Runs inside
+    * [[IndexStore.rewriteWith]] — recompute-on-retry under concurrent
+    * folds, and a replay of the same key list is a no-op. */
+  def deleteFromComponents(spark: SparkSession, root: String,
+      keys: DataFrame): Unit = {
+    val keyIds = keys.select(col(keys.columns.head).as("id"))
+    IndexStore.rewriteWith(spark, root)(() => {
+      val cur = IndexStore.read(spark, root)
+      val kept = cur.join(keyIds, Seq("id"), "left_anti")
+      val newLabels = kept.groupBy("component")
+        .agg(min(col("id")).as("__newc"))
+      (kept.join(newLabels, Seq("component"))
+        .select(col("id"), col("__newc").as("component")), None)
+    })
+  }
 }

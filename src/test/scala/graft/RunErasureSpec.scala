@@ -29,12 +29,18 @@ class RunErasureSpec extends SparkSpecBase {
     sigs.write.parquet(s"$ndIdx/sigs")
     bands.write.parquet(s"$ndIdx/bands")
 
+    val ccRoot = s"$dir/components"
+    graft.operators.Graph.updateComponents(spark, ccRoot,
+      emb.select(col("vec_id").as("id")), "id",
+      Seq((5L, 7L), (11L, 12L)).toDF("a", "b"), "a", "b")
+
     val victims = Seq(5L, 11L)
     victims.toDF("vec_id").write.parquet(s"$dir/keys")
     RunErasure.run(spark, Array(target, s"$dir/keys",
       "--key-col", "vec_id",
       "--ivf-index", ivfIdx,
-      "--neardup-index", ndIdx))
+      "--neardup-index", ndIdx,
+      "--components", ccRoot))
 
     val inTarget = Upsert.readTarget(spark, target)
       .where(col("vec_id").isin(victims.map(Long.box): _*)).count()
@@ -48,6 +54,13 @@ class RunErasureSpec extends SparkSpecBase {
     // nothing else was lost
     assert(Upsert.readTarget(spark, target).count() == emb.count() - 2)
     assert(Ivf.readCells(spark, ivfIdx).count() == emb.count() - 2)
+    // component store: erased ids gone, their partners relabeled away
+    // from the deleted minimum (5 labeled {5,7}; 11 labeled {11,12})
+    val cc = graft.operators.Graph.readComponents(spark, ccRoot)
+      .as[(Long, Long)].collect().toMap
+    assert(!cc.contains(5L) && !cc.contains(11L))
+    assert(cc(7L) == 7L && cc(12L) == 12L, s"stale deleted label: $cc")
+    assert(cc.size == emb.count() - 2)
   }
 
   test("--vacuum expires pre-delete snapshots in the same job") {

@@ -198,6 +198,24 @@ class GraphSpec extends SparkSpecBase {
       s"a racer's merge was lost: ${mapping(root)}")
   }
 
+  test("deleteFromComponents: erased label relabels to next min; replay is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ccdel").toString + "/cc"
+    // components {1,2,3} labeled 1, {10,11} labeled 10, singleton 20
+    Graph.updateComponents(spark, root,
+      Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id"), "id",
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"), "a", "b")
+    // erase the LABEL of the first component and a non-label member of
+    // the second — survivors must not keep pointing at the deleted id 1
+    Graph.deleteFromComponents(spark, root, Seq(1L, 11L).toDF("id"))
+    assert(mapping(root) == Map(2L -> 2L, 3L -> 2L, 10L -> 10L, 20L -> 20L))
+    // replayed key list: no-op
+    Graph.deleteFromComponents(spark, root, Seq(1L, 11L).toDF("id"))
+    assert(mapping(root) == Map(2L -> 2L, 3L -> 2L, 10L -> 10L, 20L -> 20L))
+    // erasing a whole component leaves the rest intact
+    Graph.deleteFromComponents(spark, root, Seq(2L, 3L).toDF("id"))
+    assert(mapping(root) == Map(10L -> 10L, 20L -> 20L))
+  }
+
   test("updateComponents composes with the persisted MinHash index: batches equal one-shot") {
     // the realistic incremental flow: index batch 1, pair batch 2 against
     // the accumulated index, fold both into the component store — final
