@@ -71,6 +71,12 @@ object IncrementalStream {
     *   entities dominate each type's stream, without rescanning history.
     *   Misra–Gries merge is NOT idempotent, so the same last-batch-id
     *   replay guard as the quantile profile applies.
+    * @param componentsPath when set (with the INDEXED near-dup filter),
+    *   each micro-batch folds its ids and verified near-dup pairs into
+    *   the persisted duplicate-component mapping
+    *   ([[graft.operators.Graph.updateComponents]]) — duplicate LINEAGE:
+    *   which earlier key a dropped row duplicated stays answerable after
+    *   the row is gone. Set-minima folding is replay-idempotent.
     */
   def start(spark: SparkSession, sourceDir: String, targetPath: String,
       checkpointDir: String, nearDupTextCol: Option[String] = None,
@@ -82,7 +88,8 @@ object IncrementalStream {
       enrich: Option[EnrichSpec] = None,
       cardinalityProfilePath: Option[String] = None,
       quantileProfilePath: Option[String] = None,
-      freqProfilePath: Option[String] = None): StreamingQuery = {
+      freqProfilePath: Option[String] = None,
+      componentsPath: Option[String] = None): StreamingQuery = {
     val docs = spark.readStream
       .schema(graft.schema.Schemas.sourceDoc)
       .parquet(sourceDir)
@@ -118,7 +125,8 @@ object IncrementalStream {
         val deduped = (nearDupTextCol, nearDupIndexPath) match {
           case (Some(tc), Some(idx)) =>
             dropNearDupsIndexed(s, within, idx, tc,
-              nearDupThreshold, nearDupShingle)
+              nearDupThreshold, nearDupShingle,
+              componentsPath = componentsPath)
           case (Some(tc), None) =>
             val tgt = Upsert.currentSnapshot(s, targetPath)
               .map(_ => Upsert.readTarget(s, targetPath))
@@ -183,7 +191,7 @@ object IncrementalStream {
   private[streaming] def dropNearDupsIndexed(spark: SparkSession,
       batch: DataFrame, indexPath: String, textCol: String,
       threshold: Double, n: Int, numHashes: Int = 128,
-      bands: Int = 32): DataFrame = {
+      bands: Int = 32, componentsPath: Option[String] = None): DataFrame = {
     // (a) within-batch: exact-verified LSH pairs, keep the smaller key
     val selfPairs = Dedup.minHashLshPairs(batch, "main_refco", textCol,
       n = n, numHashes = numHashes, bands = bands, threshold = threshold)
@@ -202,15 +210,30 @@ object IncrementalStream {
     val batchSigs = rawSigs.persist()
     val batchBands = Dedup.bandRows(batchSigs, bands)
     try {
-      val keptLazy = if (!hasIndex) withinKept else {
+      val indexPairs = if (!hasIndex) None else
         // same-key pairs are already excluded inside the candidate join —
         // an update to an existing key passes through to the merge.
-        val drops = Dedup.minHashPairsAgainstIndex(batchSigs, batchBands,
-            Dedup.readNearDupIndexTable(spark, indexPath, "sigs"),
-            Dedup.readNearDupIndexTable(spark, indexPath, "bands"),
-            numHashes, threshold)
-          .select(col("batch_id").as("main_refco")).distinct()
-        withinKept.join(drops, Seq("main_refco"), "left_anti")
+        Some(Dedup.minHashPairsAgainstIndex(batchSigs, batchBands,
+          Dedup.readNearDupIndexTable(spark, indexPath, "sigs"),
+          Dedup.readNearDupIndexTable(spark, indexPath, "bands"),
+          numHashes, threshold))
+      val keptLazy = indexPairs.fold(withinKept) { ip =>
+        withinKept.join(ip.select(col("batch_id").as("main_refco")).distinct(),
+          Seq("main_refco"), "left_anti")
+      }
+      // Duplicate LINEAGE: fold this batch's ids and ALL its verified
+      // pairs (within-batch + batch-vs-index) into the persisted
+      // component mapping — "which earlier key did that dropped row
+      // duplicate" stays answerable after the row itself is gone. The
+      // fold is replay-idempotent (set-minima), matching the merge's
+      // at-least-once posture; a crash between index append and this
+      // commit re-folds on replay.
+      componentsPath.foreach { root =>
+        val selfEdges = selfPairs.select(col("a_id").as("a"), col("b_id").as("b"))
+        val edges = indexPairs.fold(selfEdges)(ip => selfEdges.unionByName(
+          ip.select(col("batch_id").as("a"), col("index_id").as("b"))))
+        graft.operators.Graph.updateComponents(spark, root,
+          batch.select(col("main_refco").as("id")), "id", edges, "a", "b")
       }
       // Materialize the survivors ONCE (eager checkpoint) before anything
       // reads them: the index-side candidate anti-join is the expensive

@@ -306,6 +306,41 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(cat == "c9")
   }
 
+  test("streaming duplicate lineage: dropped rows stay answerable via the component store") {
+    val src = tmp("cc-lineage-src"); val ckpt = tmp("cc-lineage-ckpt")
+    val base = tmp("cc-lineage-target")
+    val target = base + "/out"; val idx = base + "/lsh-index"
+    val cc = base + "/components"
+    val run = () => graft.RunPipeline.startStream(spark, src, target, ckpt,
+      Map("--neardup-text" -> "cleaned_ref", "--neardup-shingle" -> "1",
+        "--neardup-threshold" -> "0.6", "--neardup-index" -> idx,
+        "--components" -> cc)).awaitTermination()
+
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-01 10:00:00", Seq(1f, 2f),
+        "alpha beta gamma delta epsilon", "", "c1")), "batch0")
+    run()
+    // a later near-dup under a NEW key is dropped from the merge — but
+    // the component store records which earlier key it duplicated
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-02 10:00:00", Seq(3f, 4f),
+        "alpha beta gamma delta epsilon zeta", "", "c2"),
+      doc("s1", "2024-01-02 11:00:00", Seq(5f, 6f),
+        "totally different thing", "", "c3")), "batch1")
+    run()
+
+    val merged = graft.operators.Upsert.readTarget(spark, target)
+      .select("main_refco").as[String].collect().toSet
+    assert(!merged.contains("alpha beta gamma delta epsilon zeta"))
+    val m = graft.operators.Graph.readComponents(spark, cc)
+      .as[(String, String)].collect().toMap
+    assert(m("alpha beta gamma delta epsilon zeta") ==
+      "alpha beta gamma delta epsilon", m.toString)
+    assert(m("totally different thing") == "totally different thing")
+    assert(m("alpha beta gamma delta epsilon") ==
+      "alpha beta gamma delta epsilon")
+  }
+
   test("near-dup filter exempts same-key updates") {
     val src = tmp("samekey-src"); val ckpt = tmp("samekey-ckpt")
     val target = tmp("samekey-target") + "/out"
