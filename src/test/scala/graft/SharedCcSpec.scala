@@ -32,4 +32,16 @@ class SharedCcSpec extends SparkSpecBase {
     SparkEntry.evictSharedCc(SparkEntry.sharedCcKeyOf(s1))
     assert(SparkEntry.sharedCcSize == base)
   }
+
+  test("shared BPE merge cache rides the same per-session eviction") {
+    val dir = "/root/testdata/sf0.001"
+    val base = SparkEntry.sharedBpeSize
+    val s1 = spark.newSession()
+    SparkEntry.buildSharedBpe(s1, dir)
+    assert(SparkEntry.sharedBpeSize == base + 1)
+    SparkEntry.buildSharedBpe(s1, dir) // hit, not growth
+    assert(SparkEntry.sharedBpeSize == base + 1)
+    SparkEntry.evictSharedCc(SparkEntry.sharedCcKeyOf(s1))
+    assert(SparkEntry.sharedBpeSize == base, "BPE cache survived session end")
+  }
 }
