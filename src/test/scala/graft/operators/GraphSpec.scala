@@ -198,6 +198,35 @@ class GraphSpec extends SparkSpecBase {
       s"a racer's merge was lost: ${mapping(root)}")
   }
 
+  test("8 racing component folds: every writer's merges land") {
+    // true thread-level concurrency through the optimistic commit loop:
+    // 8 writers each fold one disjoint 3-chain; the final mapping must
+    // contain every chain fully merged — any lost fold shows as a
+    // missing id or an unmerged chain.
+    val root = java.nio.file.Files.createTempDirectory("graft-cc-n8").toString + "/cc"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = 8
+    val futs = (0 until writers).map { w =>
+      Future {
+        val ids = Seq(w * 10L, w * 10L + 1, w * 10L + 2)
+        Graph.updateComponents(spark, root, ids.toDF("id"), "id",
+          Seq((w * 10L, w * 10L + 1), (w * 10L + 1, w * 10L + 2)).toDF("a", "b"),
+          "a", "b")
+      }
+    }
+    futs.foreach(Await.result(_, 120.seconds))
+    val m = mapping(root)
+    (0 until writers).foreach { w =>
+      Seq(0L, 1L, 2L).foreach { i =>
+        assert(m.get(w * 10L + i).contains(w * 10L),
+          s"writer $w's fold lost: $m")
+      }
+    }
+    assert(m.size == writers * 3)
+  }
+
   test("deleteFromComponents: erased label relabels to next min; replay is a no-op") {
     val root = java.nio.file.Files.createTempDirectory("graft-ccdel").toString + "/cc"
     // components {1,2,3} labeled 1, {10,11} labeled 10, singleton 20
