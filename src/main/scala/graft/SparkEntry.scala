@@ -367,8 +367,13 @@ object SparkEntry {
           .where(col("a") =!= col("b"))
         Graph.updateComponents(s, root, batch, "doc_id", edges, "a", "b")
       }
-      Graph.readComponents(s, root)
-        .select(col("id").as("doc_id"), col("component"))
+      // eager checkpoint, then drop the per-invocation store — repeated
+      // bench/verify runs must not accumulate temp snapshots
+      val out = Graph.readComponents(s, root)
+        .select(col("id").as("doc_id"), col("component")).localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root).getParentFile)
+      out
     }),
 
     // Per-key corpus cap (training-data curation): at most 10 docs per

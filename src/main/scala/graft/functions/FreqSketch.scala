@@ -158,7 +158,10 @@ case class FreqTopItems(child: Expression, minCount: Long)
     StructField("lb", LongType, nullable = false),
     StructField("ub", LongType, nullable = false)))
   override def dataType: DataType = ArrayType(itemStruct, containsNull = false)
-  override def nullable: Boolean = false
+  // a profile read can carry a null-sketch metadata row
+  // (operators.Frequencies.MetaKey) — nullable must track the child or
+  // codegen would call compute(null)
+  override def nullable: Boolean = child.nullable
   override def prettyName: String = "freq_top_items"
 
   def compute(bytes: Array[Byte]): Any = {

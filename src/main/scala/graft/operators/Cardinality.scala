@@ -44,21 +44,19 @@ object Cardinality {
 
   /** Merge one batch into the persisted profile at `root` (creates it on
     * first use). Runs inside [[IndexStore.rewriteWith]]'s optimistic
-    * commit loop, so a conflicting concurrent update triggers a full
-    * recompute against the winner's snapshot — no lost registers — and a
-    * crash at any point leaves the previous profile readable. */
+    * commit loop (via the shared [[ProfileStore]] skeleton), so a
+    * conflicting concurrent update triggers a full recompute against the
+    * winner's snapshot — no lost registers — and a crash at any point
+    * leaves the previous profile readable. HLL union is idempotent, so
+    * no replay-guard batch id is needed. */
   def update(spark: SparkSession, root: String, batch: DataFrame,
       keyCol: String, valueCol: String, lgK: Int = 12): Unit =
-    IndexStore.rewriteWith(spark, root)(() => {
-      val fresh = sketch(batch, keyCol, valueCol, lgK)
-      val merged =
-        if (!IndexStore.exists(spark, root)) fresh
-        else IndexStore.read(spark, root).unionByName(fresh)
-          .groupBy("key")
-          .agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"),
-            sum("n_rows").as("n_rows"))
-      (merged, None)
-    })
+    ProfileStore.update(spark, root, batchId = None)(
+      () => sketch(batch, keyCol, valueCol, lgK))(
+      (cur, fresh) => cur.unionByName(fresh)
+        .groupBy("key")
+        .agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"),
+          sum("n_rows").as("n_rows")))
 
   /** Decode a sketch frame (from [[sketch]] or [[read]]) to
     * `(key, estimate, n_rows)`. */

@@ -59,19 +59,32 @@ object Decontaminate {
     corpus.join(contaminatedIds, Seq(idCol), "left_anti")
   }
 
-  /** Serialized Bloom filter over the benchmark's distinct shingle
-    * hashes — built distributed (`stat.bloomFilter` aggregates per
-    * partition and merges), sized from the observed distinct count. */
-  def shingleBloom(benchmark: DataFrame, benchTextCol: String, n: Int = 3,
-      fpp: Double = 0.01): Array[Byte] = {
-    val hashes = Dedup.withShingles(benchmark, benchTextCol, n)
+  /** The benchmark's distinct shingle hashes, MATERIALIZED (eager
+    * checkpoint): three consumers follow — the sizing count, the Bloom
+    * build, and the exact verify join — and each would otherwise re-run
+    * the shingle+hash+distinct lineage. Small by definition (an eval
+    * set), so the checkpoint is cheap. */
+  private def benchShingleHashes(benchmark: DataFrame,
+      benchTextCol: String, n: Int): DataFrame =
+    Dedup.withShingles(benchmark, benchTextCol, n)
       .select(explode(transform(col("shingles"), s => graft.functions.F.mix64(s)))
-        .as("sh64")).distinct()
+        .as("sh64")).distinct().localCheckpoint()
+
+  /** Serialized Bloom filter over a distinct shingle-hash frame — built
+    * distributed (`stat.bloomFilter` aggregates per partition and
+    * merges), sized from the observed distinct count. */
+  private def bloomOf(hashes: DataFrame, fpp: Double): Array[Byte] = {
     val bloom = hashes.stat.bloomFilter("sh64", math.max(hashes.count(), 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     bos.toByteArray
   }
+
+  /** Serialized Bloom filter over the benchmark's distinct shingle
+    * hashes. */
+  def shingleBloom(benchmark: DataFrame, benchTextCol: String, n: Int = 3,
+      fpp: Double = 0.01): Array[Byte] =
+    bloomOf(benchShingleHashes(benchmark, benchTextCol, n), fpp)
 
   /** [[flag]] with a BLOOM prefilter — for when the benchmark outgrows
     * [[flag]]'s broadcast-the-exact-hash-set plan. The exact set costs
@@ -87,10 +100,8 @@ object Decontaminate {
   def flagBloom(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 3,
       fpp: Double = 0.01): DataFrame = {
-    val bloomBytes = shingleBloom(benchmark, benchTextCol, n, fpp)
-    val benchShingles = Dedup.withShingles(benchmark, benchTextCol, n)
-      .select(explode(transform(col("shingles"), s => graft.functions.F.mix64(s)))
-        .as("sh64")).distinct()
+    val benchShingles = benchShingleHashes(benchmark, benchTextCol, n)
+    val bloomBytes = bloomOf(benchShingles, fpp)
     val candidates = Dedup.withShingles(Par.spread(corpus), textCol, n)
       .select(col(idCol),
         explode(transform(col("shingles"), s => graft.functions.F.mix64(s))).as("sh64"))

@@ -39,7 +39,7 @@ object Frequencies {
 
   /** Sentinel key of the replay-guard metadata row (see [[Quantiles.MetaKey]]
     * — same non-idempotent-merge rationale). */
-  val MetaKey = "__meta:last_batch"
+  val MetaKey: String = ProfileStore.MetaKey
 
   /** Merge one batch into the persisted profile at `root` (created on
     * first use) under [[IndexStore.rewriteWith]]'s optimistic commit.
@@ -48,38 +48,18 @@ object Frequencies {
   def update(spark: SparkSession, root: String, batch: DataFrame,
       keyCol: String, itemCol: String, maxMapSize: Int = 256,
       batchId: Option[Long] = None): Unit =
-    IndexStore.rewriteWith(spark, root)(() => {
-      val existing =
-        if (IndexStore.exists(spark, root)) Some(IndexStore.read(spark, root))
-        else None
-      val lastApplied = existing.flatMap(
-        _.where(col("key") === MetaKey).select("n_rows")
-          .collect().headOption.map(_.getLong(0)))
-      if (batchId.exists(id => lastApplied.exists(id <= _))) (existing.get, None)
-      else {
-        val fresh = sketch(batch, keyCol, itemCol, maxMapSize)
-        val data = existing match {
-          case None => fresh
-          case Some(cur) => cur.where(!(col("key") <=> lit(MetaKey)))
-            .unionByName(fresh)
-            .groupBy("key")
-            .agg(graft.functions.F.freqUnionAgg(col("sketch"), maxMapSize)
-              .as("sketch"), sum("n_rows").as("n_rows"))
-        }
-        val sess = batch.sparkSession
-        import sess.implicits._
-        val meta = batchId
-          .map(id => Seq((MetaKey, id)).toDF("key", "n_rows")
-            .select(col("key"), lit(null).cast("binary").as("sketch"),
-              col("n_rows")))
-          .orElse(existing.map(_.where(col("key") === MetaKey)))
-        (meta.fold(data)(m => data.unionByName(m)), None)
-      }
-    })
+    ProfileStore.update(spark, root, batchId)(
+      () => sketch(batch, keyCol, itemCol, maxMapSize))(
+      (cur, fresh) => cur.unionByName(fresh)
+        .groupBy("key")
+        .agg(graft.functions.F.freqUnionAgg(col("sketch"), maxMapSize)
+          .as("sketch"), sum("n_rows").as("n_rows")))
 
-  /** Decode a sketch frame (from [[sketch]] or [[read]]) to one row per
-    * frequent item at `minCount`: `(key, item, estimate, lb, ub)`,
-    * deterministic order within a key by (estimate DESC, item ASC). */
+  /** Decode a sketch frame (from [[sketch]], or an [[IndexStore.read]]
+    * of the profile — null-sketch metadata rows decode to null and are
+    * dropped by the explode) to one row per frequent item at `minCount`:
+    * `(key, item, estimate, lb, ub)`, deterministic order within a key
+    * by (estimate DESC, item ASC). */
   def topItems(sketches: DataFrame, minCount: Long): DataFrame =
     sketches.select(col("key"),
         explode(graft.functions.F.freqTopItems(col("sketch"), minCount))

@@ -305,6 +305,10 @@ object Graph {
     * folds, and a replay of the same key list is a no-op. */
   def deleteFromComponents(spark: SparkSession, root: String,
       keys: DataFrame): Unit = {
+    // missing store = nothing to scrub (same contract as the IVF and
+    // near-dup scrubbers): the erasure job must not abort mid-run over
+    // a store this deployment never created
+    if (!IndexStore.exists(spark, root)) return
     val keyIds = keys.select(col(keys.columns.head).as("id"))
     IndexStore.rewriteWith(spark, root)(() => {
       val cur = IndexStore.read(spark, root)

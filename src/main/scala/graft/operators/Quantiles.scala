@@ -39,7 +39,7 @@ object Quantiles {
     * values), so the at-least-once streaming path records the last merged
     * micro-batch id in a metadata row committed ATOMICALLY with the
     * sketches, and a replayed id leaves the profile untouched. */
-  val MetaKey = "__meta:last_batch"
+  val MetaKey: String = ProfileStore.MetaKey
 
   /** Merge one batch into the persisted profile at `root` (created on
     * first use) under [[IndexStore.rewriteWith]]'s optimistic commit.
@@ -49,34 +49,12 @@ object Quantiles {
   def update(spark: SparkSession, root: String, batch: DataFrame,
       keyCol: String, valueCol: String, k: Int = 200,
       batchId: Option[Long] = None): Unit =
-    IndexStore.rewriteWith(spark, root)(() => {
-      val existing =
-        if (IndexStore.exists(spark, root)) Some(IndexStore.read(spark, root))
-        else None
-      val lastApplied = existing.flatMap(
-        _.where(col("key") === MetaKey).select("n_rows")
-          .collect().headOption.map(_.getLong(0)))
-      if (batchId.exists(id => lastApplied.exists(id <= _))) (existing.get, None)
-      else {
-        val fresh = sketch(batch, keyCol, valueCol, k)
-        val data = existing match {
-          case None => fresh
-          case Some(cur) => cur.where(!(col("key") <=> lit(MetaKey)))
-            .unionByName(fresh)
-            .groupBy("key")
-            .agg(graft.functions.F.kllUnionAgg(col("sketch"), k).as("sketch"),
-              sum("n_rows").as("n_rows"))
-        }
-        val sess = batch.sparkSession
-        import sess.implicits._
-        val meta = batchId
-          .map(id => Seq((MetaKey, id)).toDF("key", "n_rows")
-            .select(col("key"), lit(null).cast("binary").as("sketch"),
-              col("n_rows")))
-          .orElse(existing.map(_.where(col("key") === MetaKey)))
-        (meta.fold(data)(m => data.unionByName(m)), None)
-      }
-    })
+    ProfileStore.update(spark, root, batchId)(
+      () => sketch(batch, keyCol, valueCol, k))(
+      (cur, fresh) => cur.unionByName(fresh)
+        .groupBy("key")
+        .agg(graft.functions.F.kllUnionAgg(col("sketch"), k).as("sketch"),
+          sum("n_rows").as("n_rows")))
 
   /** Decode a sketch frame to one column per requested rank
     * (`"q" + rank-in-permille`, e.g. q500, q900, q990). */

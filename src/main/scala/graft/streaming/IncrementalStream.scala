@@ -192,9 +192,13 @@ object IncrementalStream {
       batch: DataFrame, indexPath: String, textCol: String,
       threshold: Double, n: Int, numHashes: Int = 128,
       bands: Int = 32, componentsPath: Option[String] = None): DataFrame = {
-    // (a) within-batch: exact-verified LSH pairs, keep the smaller key
+    // (a) within-batch: exact-verified LSH pairs, keep the smaller key.
+    // The pair OUTPUT is persisted: both the anti-join and the optional
+    // lineage fold consume it, and its lineage is the expensive
+    // shingle+signature+verify chain that must run once per batch.
     val selfPairs = Dedup.minHashLshPairs(batch, "main_refco", textCol,
       n = n, numHashes = numHashes, bands = bands, threshold = threshold)
+      .persist()
     val withinKept = batch.join(
       selfPairs.select(col("b_id").as("main_refco")).distinct(),
       Seq("main_refco"), "left_anti")
@@ -213,10 +217,13 @@ object IncrementalStream {
       val indexPairs = if (!hasIndex) None else
         // same-key pairs are already excluded inside the candidate join —
         // an update to an existing key passes through to the merge.
+        // Persisted for the same two-consumer reason as selfPairs: the
+        // index-candidate join + exact verify is the dominant cost and
+        // the lineage fold must not re-execute it.
         Some(Dedup.minHashPairsAgainstIndex(batchSigs, batchBands,
           Dedup.readNearDupIndexTable(spark, indexPath, "sigs"),
           Dedup.readNearDupIndexTable(spark, indexPath, "bands"),
-          numHashes, threshold))
+          numHashes, threshold).persist())
       val keptLazy = indexPairs.fold(withinKept) { ip =>
         withinKept.join(ip.select(col("batch_id").as("main_refco")).distinct(),
           Seq("main_refco"), "left_anti")
@@ -240,6 +247,8 @@ object IncrementalStream {
       // step, and without this the keptSigs write, the keptBands write
       // and the returned frame would each re-execute it.
       val kept = keptLazy.localCheckpoint()
+      // both pair consumers (anti-joins, lineage fold) have materialized
+      indexPairs.foreach(_.unpersist())
       // (c) index only the survivors: filter the already-computed rows
       val keptKeys = kept.select(col("main_refco").as("id"))
       val keptSigs = batchSigs.join(keptKeys, Seq("id"), "left_semi")
@@ -256,7 +265,10 @@ object IncrementalStream {
         graft.operators.IndexStore.rewrite(spark, s"$indexPath/bands", keptBands)
       }
       kept
-    } finally batchSigs.unpersist()
+    } finally {
+      batchSigs.unpersist()
+      selfPairs.unpersist()
+    }
   }
 
   /** Rebuild the near-dup index from the CURRENT target contents —

@@ -68,6 +68,18 @@ class FrequenciesSpec extends SparkSpecBase {
     assert(out == Map(("a", "x") -> 3L, ("a", "z") -> 1L, ("b", "y") -> 1L))
   }
 
+  test("topItems over a raw profile read: the null-sketch meta row decodes to null, no NPE") {
+    val root = java.nio.file.Files.createTempDirectory("graft-freq-meta").toString + "/profile"
+    Frequencies.update(spark, root,
+      Seq(("a", "x")).toDF("key", "item"), "key", "item", batchId = Some(0L))
+    // the guarded profile carries a (MetaKey, null-sketch) row; decoding
+    // the RAW read (no meta filter) must not call compute(null)
+    val out = Frequencies.topItems(IndexStore.read(spark, root), minCount = 1)
+      .select("key", "item", "estimate").as[(String, String, Long)]
+      .collect().toSet
+    assert(out == Set(("a", "x", 1L)))
+  }
+
   test("SQL surface: freq_sketch_agg / freq_top_items registered and usable") {
     graft.functions.F.registerAll(spark)
     Seq(("k", "a"), ("k", "a"), ("k", "b")).toDF("g", "item")

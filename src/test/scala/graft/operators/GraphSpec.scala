@@ -245,6 +245,15 @@ class GraphSpec extends SparkSpecBase {
     assert(mapping(root) == Map(10L -> 10L, 20L -> 20L))
   }
 
+  test("deleteFromComponents on a missing store is a no-op, not a crash") {
+    // an erasure job must not abort over a store this deployment never
+    // created (same contract as the IVF / near-dup scrubbers)
+    val ghost = java.nio.file.Files.createTempDirectory("graft-ccghost")
+      .toString + "/never-created"
+    Graph.deleteFromComponents(spark, ghost, Seq(1L).toDF("id"))
+    assert(!new java.io.File(ghost).exists())
+  }
+
   test("updateComponents composes with the persisted MinHash index: batches equal one-shot") {
     // the realistic incremental flow: index batch 1, pair batch 2 against
     // the accumulated index, fold both into the component store — final
