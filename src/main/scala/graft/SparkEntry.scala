@@ -748,6 +748,24 @@ object SparkEntry {
           col("q500"), col("q900"), col("q990"))
     }),
 
+    // Batch NOVELTY against a historical vocabulary profile (incremental-
+    // crawl coverage monitor): new-distinct per source from HLL sketches
+    // alone — per-KEY profile join, history never rescanned. Driver
+    // query runs in the coupon-exact regime where union-minus-old IS the
+    // true new-distinct count the oracle recomputes.
+    "novelty_rate" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok") =!= "")
+      val hist = Cardinality.sketch(
+        toks.where(pmod(col("doc_id"), lit(2)) === 0), "source", "tok")
+      Cardinality.novelty(hist,
+          toks.where(pmod(col("doc_id"), lit(2)) === 1), "source", "tok")
+        .select(col("key").as("source"), col("batch_distinct"),
+          col("new_distinct"), col("novelty_permille"))
+    }),
+
     // Persisted-profile heavy-hitters surface: per-source frequent tokens
     // via the custom Misra-Gries TypedImperativeAggregate (Spark has no
     // mergeable heavy-hitters aggregate; count_min can't enumerate).
@@ -2187,6 +2205,22 @@ object SparkEntry {
         |  max(CASE WHEN i = greatest(1, CAST(ceil(0.90 * n) AS BIGINT)) THEN v END) AS q900,
         |  max(CASE WHEN i = greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN v END) AS q990
         |FROM r GROUP BY source""".stripMargin,
+
+    // Coupon-exact mirror: union-minus-old = true new-distinct; permille
+    // in floor integer division over non-negative longs.
+    "novelty_rate" ->
+      """WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |tt AS (SELECT * FROM t WHERE tok <> ''),
+        |b0 AS (SELECT DISTINCT source, tok FROM tt WHERE doc_id % 2 = 0),
+        |b1 AS (SELECT DISTINCT source, tok FROM tt WHERE doc_id % 2 = 1)
+        |SELECT b1.source,
+        |  CAST(COUNT(*) AS BIGINT) AS batch_distinct,
+        |  CAST(SUM(CASE WHEN b0.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_distinct,
+        |  CAST(SUM(CASE WHEN b0.tok IS NULL THEN 1 ELSE 0 END) * 1000
+        |       // COUNT(*) AS BIGINT) AS novelty_permille
+        |FROM b1 LEFT JOIN b0 USING (source, tok) GROUP BY 1""".stripMargin,
 
     // Exact-regime mirror: under the purge threshold the Misra-Gries
     // estimates ARE the counts; NO_FALSE_NEGATIVES at minCount = HAVING.

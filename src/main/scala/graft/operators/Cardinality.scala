@@ -64,6 +64,44 @@ object Cardinality {
     sketches.select(col("key"),
       hll_sketch_estimate(col("sketch")).as("estimate"), col("n_rows"))
 
+  /** NOVELTY of a batch against a historical sketch frame — the
+    * incremental-crawl coverage monitor: per key, how many of the
+    * batch's distinct values the history has never seen, from sketches
+    * alone. `new_distinct = est(old ∪ batch) − est(old)` (HLL union is
+    * lossless over the per-value coupons, so in the coupon-exact regime
+    * this IS the true new-distinct count — the driver oracle's basis —
+    * and at 100 TB cardinalities it degrades to the union's error
+    * bound); `novelty_permille` is integer arithmetic over the two
+    * estimates. A key absent from history is fully novel; history keys
+    * absent from the batch are omitted (novelty of nothing). The frames
+    * join per KEY (profile-sized, tiny), never per value — history is
+    * never rescanned, which is the point of profiling it. */
+  def novelty(history: DataFrame, batch: DataFrame, keyCol: String,
+      valueCol: String, lgK: Int = 12): DataFrame = {
+    val fresh = sketch(batch, keyCol, valueCol, lgK)
+      .select(col("key"), col("sketch").as("__bs"))
+    fresh.join(history.select(col("key"), col("sketch").as("__hs")),
+        Seq("key"), "left")
+      .select(col("key"),
+        hll_sketch_estimate(col("__bs")).as("batch_distinct"),
+        when(col("__hs").isNull, hll_sketch_estimate(col("__bs")))
+          .otherwise(hll_sketch_estimate(hll_union(col("__hs"), col("__bs"))) -
+            hll_sketch_estimate(col("__hs"))).as("new_distinct"))
+      .withColumn("novelty_permille",
+        when(col("batch_distinct") > 0,
+          expr("new_distinct * 1000 div batch_distinct")).otherwise(lit(0L)))
+  }
+
+  /** [[novelty]] against the persisted profile at `root` (empty profile
+    * ⇒ everything is novel). */
+  def noveltyVsProfile(spark: SparkSession, root: String, batch: DataFrame,
+      keyCol: String, valueCol: String, lgK: Int = 12): DataFrame = {
+    val hist =
+      if (IndexStore.exists(spark, root)) IndexStore.read(spark, root)
+      else sketch(batch.limit(0), keyCol, valueCol, lgK)
+    novelty(hist, batch, keyCol, valueCol, lgK)
+  }
+
   /** The persisted profile's current estimates. */
   def estimates(spark: SparkSession, root: String): DataFrame =
     estimate(IndexStore.read(spark, root))

@@ -52,6 +52,39 @@ class CardinalitySpec extends SparkSpecBase {
     assert(Cardinality.estimates(spark, root).count() == 3)
   }
 
+  test("novelty: coupon-exact new-distinct per key; unseen keys fully novel") {
+    val hist = Cardinality.sketch(
+      Seq(("a", "x"), ("a", "y"), ("a", "z"), ("b", "p")).toDF("key", "v"),
+      "key", "v")
+    val batch = Seq(
+      ("a", "x"), ("a", "x"), ("a", "new1"), ("a", "new2"), // 3 distinct, 2 new
+      ("b", "p"),                                           // nothing new
+      ("c", "q"), ("c", "r")                                // unseen key
+    ).toDF("key", "v")
+    val out = Cardinality.novelty(hist, batch, "key", "v")
+      .select("key", "batch_distinct", "new_distinct", "novelty_permille")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("a") == ((3L, 2L, 666L)), out.toString)
+    assert(out("b") == ((1L, 0L, 0L)))
+    assert(out("c") == ((2L, 2L, 1000L)), "unseen key must be fully novel")
+  }
+
+  test("noveltyVsProfile: empty profile means everything is novel") {
+    val root = java.nio.file.Files.createTempDirectory("graft-card-nov").toString + "/p"
+    val batch = Seq(("a", "x"), ("a", "y")).toDF("key", "v")
+    val out = Cardinality.noveltyVsProfile(spark, root, batch, "key", "v")
+      .select("key", "new_distinct", "novelty_permille")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map("a" -> ((2L, 1000L))))
+    // after folding the batch in, the same batch is no longer novel
+    Cardinality.update(spark, root, batch, "key", "v")
+    val out2 = Cardinality.noveltyVsProfile(spark, root, batch, "key", "v")
+      .select("new_distinct").as[Long].collect()
+    assert(out2.toSeq == Seq(0L))
+  }
+
   test("racing updates: the conflicting writer recomputes — neither batch is lost") {
     // Same shape as the erasure-vs-append race in DedupSpec: writer B's
     // commit lands between writer A's state read and A's manifest create;
