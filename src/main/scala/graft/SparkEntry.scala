@@ -800,6 +800,12 @@ object SparkEntry {
               lit(" from 10.0."), pmod(col("doc_id"), lit(256)),
               lit(".7 then done"))).as("clean"))),
 
+    // Collocation mining (phrase discovery): adjacent pairs >= 5
+    // occurrences scored by integer-exact LIFT (PMI without the
+    // libm-dependent log) — pair + token counts, vocab-sized broadcast.
+    "collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(Tables.documents(s, dir), "text", minCount = 5)),
+
     // Corpus vocabulary stats: top 20 terms by document frequency
     // (stopword discovery / vocabulary pruning for tokenizer training).
     "top_terms" -> ((s, dir) =>
@@ -2257,6 +2263,28 @@ object SparkEntry {
         |      '\+\d{1,3}-\d{3}-\d{3,10}', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
         |FROM documents""".stripMargin,
+
+    // Same exact-integer lift: HUGEINT products mirror decimal(38,0),
+    // floor integral division over non-negatives equals Spark's div.
+    "collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT unnest(ws) AS tok FROM w),
+        |uni AS (SELECT tok, COUNT(*) AS c FROM tok WHERE tok <> '' GROUP BY 1),
+        |tots AS (SELECT SUM(c) AS n FROM uni),
+        |big AS (SELECT unnest([struct_pack(a := ws[i], b := ws[i+1])
+        |                      for i in range(1, len(ws))]) AS p FROM w),
+        |bi AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS c_ab FROM big
+        |       WHERE p.a <> '' AND p.b <> '' GROUP BY 1, 2),
+        |mt AS (SELECT SUM(c_ab) AS m FROM bi)
+        |SELECT bi.a, bi.b, bi.c_ab,
+        |  CAST((CAST(bi.c_ab AS HUGEINT) * tots.n * tots.n * 1000)
+        |       // (CAST(mt.m AS HUGEINT) * ua.c * ub.c) AS BIGINT)
+        |    AS lift_permille
+        |FROM bi
+        |JOIN uni ua ON ua.tok = bi.a
+        |JOIN uni ub ON ub.tok = bi.b
+        |CROSS JOIN tots CROSS JOIN mt
+        |WHERE bi.c_ab >= 5""".stripMargin,
 
     "top_terms" ->
       """SELECT term, COUNT(*) AS df FROM (

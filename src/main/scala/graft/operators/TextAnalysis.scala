@@ -417,4 +417,42 @@ object TextAnalysis {
 
   def fingerprint(textCol: Column): Column =
     graft.functions.F.polyFingerprint(words(textCol))
+
+  /** Collocation mining (phrase discovery for tokenizer/vocab work):
+    * adjacent token pairs occurring ≥ `minCount` times, scored by LIFT —
+    * `P(ab) / (P(a)·P(b)) = c_ab·N² / (M·c_a·c_b)` with `N` total tokens
+    * and `M` total bigrams — emitted as `lift_permille` (1000 ≈
+    * independent; strong collocations score orders of magnitude higher).
+    * Lift rather than PMI deliberately: PMI is `log lift`, and `log`'s
+    * last-bit rounding is libm-dependent — lift carries the same ranking
+    * and stays in EXACT integer arithmetic (decimal(38,0) products, one
+    * integral division), which is what allows an exact differential
+    * oracle. Returns `(a, b, c_ab, lift_permille)`.
+    *
+    * Scale shape: one scan explodes to bigram rows, two map-side-combined
+    * count aggregations (pair-keyed and token-keyed), and the unigram
+    * table — vocabulary-sized — broadcasts back onto the surviving
+    * (≥ minCount) pairs. The two corpus totals are single-row aggregates
+    * (driver-side scalars, metadata-grade). Nothing shuffles more than
+    * once, nothing is keyed on anything hotter than a token pair. */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    val ws = df.select(split(col(textCol), " ").as("ws"))
+    val uni = ws.select(explode(col("ws")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val bi = ws.select(posexplode(col("ws")).as(Seq("i", "a")), col("ws"))
+      .withColumn("b", expr("get(ws, i + 1)")) // null past the end, not an error
+      .where(col("a") =!= "" && col("b").isNotNull && col("b") =!= "")
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val n = uni.agg(sum("c")).head().getLong(0)
+    val m = bi.agg(sum("c_ab")).head().getLong(0)
+    bi.where(col("c_ab") >= minCount)
+      .join(broadcast(uni.select(col("tok").as("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(uni.select(col("tok").as("b"), col("c").as("c_b"))), "b")
+      .select(col("a"), col("b"), col("c_ab"),
+        expr(s"CAST((CAST(c_ab AS DECIMAL(38,0)) * $n * $n * 1000) div " +
+          s"(CAST($m AS DECIMAL(38,0)) * c_a * c_b) AS BIGINT)")
+          .as("lift_permille"))
+  }
 }

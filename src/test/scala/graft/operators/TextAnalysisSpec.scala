@@ -302,4 +302,21 @@ class TextAnalysisSpec extends SparkSpecBase {
     val counts = out.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
     assert(counts.values.forall(_ <= 2))
   }
+
+  test("collocations: hand-computed lift; min-count floor; empty tokens excluded") {
+    // tokens: N = 10 (c_x=4, c_y=4, c_z=1, c_w=1); bigrams: M = 5
+    // (c_xy=3, c_xz=1, c_wy=1); lift(x,y) = 3·10²/(5·4·4) = 3.75 → 3750‰
+    val docs = Seq("x y", "x y", "x y", "x z", "w y").toDF("text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 2)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(("x", "y", 3L, 3750L)), out.toString)
+
+    // a double space yields empty tokens: excluded from pairs AND totals
+    val messy = Seq("a  b", "a b", "a b").toDF("text")
+    // tokens: a×3, b×3 (N=6); bigrams: (a,b)×2 (the "a  b" row pairs
+    // a-"" and ""-b, both dropped) → M=2; lift = 2·36/(2·9) = 4 → 4000‰
+    val out2 = TextAnalysis.collocations(messy, "text", minCount = 2)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out2 == Seq(("a", "b", 2L, 4000L)), out2.toString)
+  }
 }
