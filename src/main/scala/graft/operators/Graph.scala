@@ -41,38 +41,58 @@ object Graph {
     val idType = edges.schema(aCol).dataType
     val numericIds = idType.isInstanceOf[org.apache.spark.sql.types.LongType] ||
       idType.isInstanceOf[org.apache.spark.sql.types.IntegerType]
-    if (numericIds && maxDriverEdges > 0) {
+    // string keys take the same driver path (lexicographic min = the
+    // `min`/`least` ordering the distributed loop uses on strings) —
+    // the streaming lineage fold keys on main_refco, and paying the
+    // loop's per-round job latency every micro-batch for a star forest
+    // that a driver union-find resolves in microseconds is pure waste
+    val stringIds = idType.isInstanceOf[org.apache.spark.sql.types.StringType]
+    if ((numericIds || stringIds) && maxDriverEdges > 0) {
       val slim = edges
-        .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+        .select(col(aCol).as("a"), col(bCol).as("b"))
         .where(col("a").isNotNull && col("b").isNotNull).distinct()
       if (slim.count() <= maxDriverEdges) {
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.get(r) != r) r = parent.get(r)
-          var c = x
-          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
-          r
-        }
-        slim.collect().foreach { row =>
-          val a = row.getLong(0); val b = row.getLong(1)
-          if (!parent.containsKey(a)) parent.put(a, a)
-          if (!parent.containsKey(b)) parent.put(b, b)
-          val ra = find(a); val rb = find(b)
-          // union-by-min keeps every root the component MINIMUM — the
-          // same fixpoint the propagation loop converges to
-          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-        }
         val sess = edges.sparkSession
         import scala.jdk.CollectionConverters._
         import sess.implicits._
-        val out = parent.keySet().asScala.toSeq.map(id => (id, find(id)))
-        return out.toDF("id", "label")
-          .select(col("id").cast(idType).as("id"),
-            col("label").cast(idType).as("label"))
+        if (numericIds) {
+          val out = driverUnionFind[Long](
+            slim.select(col("a").cast("long"), col("b").cast("long"))
+              .collect().map(r => (r.getLong(0), r.getLong(1))))
+          return out.toSeq.toDF("id", "label")
+            .select(col("id").cast(idType).as("id"),
+              col("label").cast(idType).as("label"))
+        } else {
+          val out = driverUnionFind[String](
+            slim.collect().map(r => (r.getString(0), r.getString(1))))
+          return out.toSeq.toDF("id", "label")
+        }
       }
     }
     connectedComponentsLoop(edges, aCol, bCol, maxIters)
+  }
+
+  /** Exact union-find-by-min with path compression: every node maps to
+    * its component's minimum under `ord` — the same fixpoint the
+    * distributed min-label loop converges to. */
+  private def driverUnionFind[T](edges: Seq[(T, T)])(
+      implicit ord: Ordering[T]): Map[T, T] = {
+    val parent = new java.util.HashMap[T, T]()
+    def find(x: T): T = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(ord.max(ra, rb), ord.min(ra, rb))
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.map(id => id -> find(id)).toMap
   }
 
   /** The distributed min-label propagation loop (see

@@ -134,6 +134,21 @@ class GraphSpec extends SparkSpecBase {
     assert(out.filter(_._3).map(_._1) == Seq(2L, 10L))
   }
 
+  test("string-keyed components: driver path equals the distributed loop") {
+    // the streaming lineage fold keys on main_refco (strings); the
+    // adaptive driver path must produce the loop's exact fixpoint
+    // (lexicographic min labels)
+    val edges = Seq(("kiwi", "apple"), ("apple", "mango"), ("pear", "plum"))
+      .toDF("a", "b")
+    val driver = Graph.connectedComponents(edges, "a", "b")
+      .as[(String, String)].collect().toMap
+    val loop = Graph.connectedComponents(edges, "a", "b", maxDriverEdges = 0)
+      .as[(String, String)].collect().toMap
+    assert(driver == loop, s"driver $driver != loop $loop")
+    assert(driver == Map("kiwi" -> "apple", "apple" -> "apple",
+      "mango" -> "apple", "pear" -> "pear", "plum" -> "pear"))
+  }
+
   private def mapping(root: String): Map[Long, Long] =
     Graph.readComponents(spark, root)
       .as[(Long, Long)].collect().toMap
