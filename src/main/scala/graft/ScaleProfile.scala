@@ -121,7 +121,7 @@ object ScaleProfile {
       // the suffixed 5× vocabulary pushes it into the purge regime, the
       // honest shape at scale — expected ~flat).
       val ps = Seq("band_join", "range_join", "decon_bloom", "freq_profile",
-        "drift_tv")
+        "drift_tv", "novelty_rate", "collocations")
       ps.foreach(q => time(q, src)) // warmup: codegen + JIT
       ps.foreach(q => time(q, out))
       ps.foreach { q =>

@@ -341,6 +341,16 @@ class PlanSpec extends SparkSpecBase {
       "event rows cross an exchange un-aggregated")
   }
 
+  test("collocations: unigram lookups broadcast back — pairs never shuffle on a token") {
+    // a hot token (stopword-grade frequency) must not become a
+    // sort-merge-join key; the vocabulary-sized unigram table broadcasts
+    val nodes = collectAll(plan("collocations"))
+    val bhj = nodes.filter(_.nodeName.contains("BroadcastHashJoin"))
+    assert(bhj.size >= 2, s"expected two broadcast unigram joins:\n${plan("collocations")}")
+    val smj = nodes.filter(n => n.nodeName.contains("SortMergeJoin"))
+    assert(smj.isEmpty, "token-keyed sort-merge join (hot-token skew risk)")
+  }
+
   test("decon_bloom: the bloom probe is a scan-stage filter, upstream of any exchange") {
     // the codegen'd bloom_might_contain must run in the same stage as the
     // shingle explode — candidates are pruned BEFORE anything shuffles
