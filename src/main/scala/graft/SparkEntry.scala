@@ -1087,6 +1087,13 @@ object SparkEntry {
           Multimodal.attachFakeMedia(Tables.documents(s, dir), "doc_id", "text"))
         .select("media_id", "n_bytes", "first_byte", "width", "height")),
 
+    // REAL image decode (JDK javax.imageio): deterministic generated PNGs
+    // round-trip through an actual encode → decode → pixel scan; the oracle
+    // recomputes the closed-form dims/channel sums the fixtures guarantee.
+    "image_features" -> ((s, dir) =>
+      Multimodal.decodeImageFeatures(
+        Multimodal.attachGeneratedImages(Tables.documents(s, dir), "doc_id"))),
+
     // Set operations at (user, day) grain: days a user clicked AND viewed
     // but did not purchase.
     "set_ops" -> ((s, dir) => {
@@ -2680,6 +2687,21 @@ object SparkEntry {
         |  CAST(ascii(text[1:1]) AS INTEGER) AS first_byte,
         |  CAST(strlen(text) % 640 AS INTEGER) AS width,
         |  CAST((strlen(text) * 31 + ascii(text[1:1])) % 480 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+
+    // Closed forms of Multimodal.generatePng's fixture geometry: the Spark
+    // side gets these numbers from a REAL ImageIO decode + pixel scan.
+    "image_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(1 + doc_id % 16 AS INTEGER) AS width,
+        |  CAST(1 + (doc_id // 16) % 16 AS INTEGER) AS height,
+        |  CAST((1 + (doc_id // 16) % 16)
+        |       * ((1 + doc_id % 16) * (doc_id % 240)
+        |          + ((1 + doc_id % 16) * (doc_id % 16)) // 2) AS BIGINT) AS sum_r,
+        |  CAST((1 + doc_id % 16) * (1 + (doc_id // 16) % 16)
+        |       * (doc_id % 256) AS BIGINT) AS sum_g,
+        |  CAST((1 + doc_id % 16) * (1 + (doc_id // 16) % 16)
+        |       * ((doc_id * 7) % 256) AS BIGINT) AS sum_b
         |FROM documents""".stripMargin,
 
     "set_ops" ->

@@ -26,7 +26,13 @@ object Verify {
     // leaves a verify_status.json naming each query's outcome and cost).
     val status =
       new java.util.concurrent.ConcurrentHashMap[String, (String, Double)]()
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Optional local-iteration subset: SPARK_GRAFT_ONLY=q1,q2 runs just
+    // those queries (and dumps just their oracles). Unset → full suite,
+    // which is what the driver runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+    val tasks = SparkEntry.queries.toSeq.filter(t => selected(t._1)).map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit = {
           val t0 = System.nanoTime()
@@ -56,7 +62,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(t => selected(t._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val statusJson = {

@@ -7,17 +7,24 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video treated as opaque `binary`
   * columns with typed metadata (BASELINE.json north star).
   *
-  * Two tiers:
+  * Three tiers:
   *  1. [[withNativeFeatures]] — everything expressible on raw bytes without
   *     a codec (size, first byte, CRC32 checksum, derived dims) runs as
   *     native codegen'd expressions inside whole-stage codegen. This is the
   *     100 TB path for metadata-level features.
-  *  2. [[decodeFeatures]] — the per-partition batched iteration a real
-  *     codec needs (PIL/ffmpeg-shaped: bytes in, fixed-width features out).
-  *     The decode body is a clearly-marked STUB (no codec libraries in this
-  *     container) computing the same deterministic features as tier 1, so
-  *     the two paths are cross-checkable; a real deployment swaps only the
-  *     body.
+  *  2. [[decodeImageFeatures]] / [[resizeImage]] — REAL image decode using
+  *     the JDK's built-in `javax.imageio` (PNG/JPEG/BMP/GIF need no
+  *     external codec): true width/height and exact per-channel pixel sums,
+  *     and a genuine decode → `Graphics2D` scale → re-encode resize. The
+  *     per-partition shape holds one reader configuration per partition
+  *     (`ImageIO.setUseCache(false)` so executors never spill decode
+  *     scratch to local disk).
+  *  3. [[decodeFeatures]] — the codec-shaped byte tier for formats the JVM
+  *     genuinely cannot decode without external libraries (audio/video).
+  *     Its body is a clearly-marked STUB computing the same deterministic
+  *     features as tier 1, so the two paths are cross-checkable; a real
+  *     deployment swaps only the body (ffmpeg-shaped: bytes in,
+  *     fixed-width features out).
   */
 object Multimodal {
 
@@ -61,10 +68,163 @@ object Multimodal {
       coalesce(crc32(col("payload")), lit(0L)).as("checksum"))
   }
 
-  /** STUB decoder body: deterministic fake "decode" of an opaque payload.
-    * A real deployment swaps this for an actual codec call; the signature
-    * — bytes in, fixed-width features out — stays identical. Features match
-    * [[withNativeFeatures]] exactly so the paths cross-validate. */
+  // ---------------------------------------------------------------------
+  // Tier 2: REAL image decode — JDK-only javax.imageio, zero external deps
+  // ---------------------------------------------------------------------
+
+  /** Feature schema for real image decode: true dims + exact channel sums. */
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /** Deterministic PNG fixture for `id`: a `w × h` image whose red channel
+    * is a horizontal gradient `baseR + x` (proving the decoder scans every
+    * pixel, not just the header) and whose green/blue channels are solid,
+    * all derived from `id` with no 8-bit wraparound, so every decoded
+    * statistic has a closed form an external SQL oracle can compute:
+    * {{{
+    *   w = 1 + id % 16        h = 1 + (id / 16) % 16   baseR = id % 240
+    *   g = id % 256           b = (id * 7) % 256
+    *   sum_r = h * (w * baseR + w*(w-1)/2)
+    *   sum_g = w * h * g      sum_b = w * h * b
+    * }}}
+    * PNG is lossless, so encode → [[decodeImageFeatures]] round-trips these
+    * exactly — the cross-check that proves the decode reads real pixels. */
+  def generatePng(id: Long): Array[Byte] = {
+    val w = (1 + id % 16).toInt
+    val h = (1 + (id / 16) % 16).toInt
+    val baseR = (id % 240).toInt
+    val g = (id % 256).toInt
+    val b = (id * 7 % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, ((baseR + x) << 16) | (g << 8) | b); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach deterministic generated PNG payloads (the fixture path — a real
+    * deployment reads already-encoded payload columns). Batched per
+    * partition so encoder configuration happens once per partition. */
+  def attachGeneratedImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no disk scratch on executors
+      it.map { r => val id = r.getLong(0); Row(id, generatePng(id), "image/png") }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Decode one payload with the JDK codec; None when the bytes are not a
+    * decodable image (per-row error isolation). */
+  private[operators] def decodeOne(
+      payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, sr, sg, sb))
+  }
+
+  /** REAL image decode: `ImageIO.read` on the payload bytes → true
+    * width/height + exact per-channel sums from a full pixel scan
+    * (PNG/JPEG/BMP/GIF — every format the stock JDK ships readers for).
+    * Undecodable or null payloads yield null feature columns: one corrupt
+    * image must not fail a 100 TB scan. Per-partition batched;
+    * `setUseCache(false)` keeps decode scratch in memory instead of
+    * executor local disk. */
+  def decodeImageFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        decodeOne(payload) match {
+          case Some((w, h, sr, sg, sb)) => Row(id, w, h, sr, sg, sb)
+          case None                     => Row(id, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, imageFeatureSchema)
+  }
+
+  /** REAL resize: decode → `Graphics2D` bilinear scale to target dims →
+    * re-encode PNG, keeping the media schema. Per-partition configured (the
+    * genuine codec-per-partition shape); undecodable payloads pass through
+    * as null rather than failing the scan. */
+  def resizeImage(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload", "media_type").rdd
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val out =
+            if (payload == null || payload.isEmpty) null
+            else {
+              val img =
+                try javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(payload))
+                catch { case _: java.io.IOException => null }
+              if (img == null) null
+              else {
+                val scaled = new java.awt.image.BufferedImage(
+                  targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g2 = scaled.createGraphics()
+                try {
+                  g2.setRenderingHint(
+                    java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g2.drawImage(img, 0, 0, targetW, targetH, null)
+                } finally g2.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(scaled, "png", bos)
+                bos.toByteArray
+              }
+            }
+          Row(r.getLong(0), out, r.getString(2))
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  // ---------------------------------------------------------------------
+  // Tier 3: codec-shaped byte tier — STUB bodies, audio/video only (the
+  // JVM has no built-in audio/video codecs; images use tier 2 above)
+  // ---------------------------------------------------------------------
+
+  /** STUB decoder body (audio/video): deterministic fake "decode" of an
+    * opaque payload. A real deployment swaps this for an ffmpeg-shaped
+    * codec call; the signature — bytes in, fixed-width features out —
+    * stays identical. Features match [[withNativeFeatures]] exactly so the
+    * paths cross-validate. Images do NOT need this tier: use the real
+    * [[decodeImageFeatures]]. */
   def stubDecode(id: Long, payload: Array[Byte]): Row = {
     val n = if (payload == null) 0L else payload.length.toLong
     val first = if (n > 0) payload(0) & 0xff else 0
@@ -91,7 +251,8 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
-  /** STUB resize codec body: deterministic fake decode→scale→re-encode.
+  /** STUB resize codec body (audio/video waveform-thumbnail shape; images
+    * use the real [[resizeImage]]): deterministic fake decode→scale→re-encode.
     * The real body is `decode(payload).resize(w, h).encode()`; the stub
     * folds the payload down to `targetW * targetH / 64` bytes by XOR so
     * output size tracks the target dims and content still depends on every
@@ -128,8 +289,9 @@ object Multimodal {
     StructField("frame_idx", IntegerType, nullable = false),
     StructField("frame", BinaryType)))
 
-  /** STUB frame extraction: slices the payload into `n` contiguous chunks
-    * (a real body seeks the container's keyframes). */
+  /** STUB frame extraction (video — genuinely codec-less on a stock JVM):
+    * slices the payload into `n` contiguous chunks (a real body seeks the
+    * container's keyframes). */
   def stubFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
     if (payload == null || payload.isEmpty) return Seq.empty
     val step = math.max(1, payload.length / n)
