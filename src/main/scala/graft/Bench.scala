@@ -93,7 +93,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    // The driver captures only the TAIL of the output, so a long per-query
+    // blob can be cut mid-stream (round 9's bench file lost its total that
+    // way). Persist the full JSON to a file the driver can pick up, and
+    // print a compact one-line summary AFTER the blob — whatever the
+    // truncation window, the total survives.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, full + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
+    println(s"""{"metric":"total_compact","total_s":$total,"n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -51,6 +51,12 @@ object F {
   /** 64-bit SimHash of an array<string> word column (see [[SimHash64]]). */
   def mix64(s: Column): Column = Glue.column(Mix64Str(Glue.expression(s)))
 
+  /** Exact collocation lift (permille) — big-integer arithmetic, immune to
+    * the DECIMAL(38,0) ceiling (see [[LiftPermille]]). */
+  def liftPermille(cab: Column, ca: Column, cb: Column, n: Long, m: Long): Column =
+    Glue.column(LiftPermille(Glue.expression(cab), Glue.expression(ca),
+      Glue.expression(cb), n, m))
+
   def kllSketchAgg(v: Column, k: Int = 200): Column =
     Glue.column(KllSketchAgg(Glue.expression(v), k).toAggregateExpression())
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -379,3 +379,58 @@ case class Mix64Str(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+
+/** Exact integer arithmetic for score formulas that must stay exact past
+  * the 38-digit DECIMAL ceiling at corpus scale. */
+object ExactArith {
+  /** `floor(c_ab * 1000 * n^2 / (m * c_a * c_b))` in arbitrary-precision
+    * integers. The DECIMAL(38,0) formulation overflows once
+    * `c_ab * n^2 * 1000` passes 10^38 (n ≈ 4.6e11 tokens in the worst
+    * case) — a 100 TB text corpus is ~2.5e13 tokens, so the collocation
+    * lift must not ride 128-bit decimals. The RESULT always fits a long:
+    * lift ≤ 1000·n (worst case c_ab = c_a = c_b = 1, m = n). Division is
+    * only reached with a positive denominator (callers guard m = 0), and
+    * truncation = floor since every term is non-negative. */
+  def liftPermille(cab: Long, ca: Long, cb: Long, n: Long, m: Long): Long = {
+    val num = BigInt(cab) * 1000 * BigInt(n) * BigInt(n)
+    val den = BigInt(m) * BigInt(ca) * BigInt(cb)
+    (num / den).toLong
+  }
+}
+
+/** Collocation lift in permille over exact big-integer arithmetic (see
+  * [[ExactArith.liftPermille]]). `n` (total tokens) and `m` (total
+  * bigrams) are per-query scalars, so they ride as literal constructor
+  * params; the three children are the per-row counts. Codegen'd — but the
+  * row count here is the surviving (>= minCount) collocation table, which
+  * is vocabulary-bounded, never corpus-sized. */
+case class LiftPermille(cab: Expression, ca: Expression, cb: Expression,
+    n: Long, m: Long) extends TernaryExpression {
+  override def first: Expression = cab
+  override def second: Expression = ca
+  override def third: Expression = cb
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(cab, ca, cb).forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires three bigint counts, got " +
+        Seq(cab, ca, cb).map(_.dataType.catalogString).mkString(", "))
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lift_permille"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    ExactArith.liftPermille(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long], n, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ExactArith.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"$helper.liftPermille($a, $b, $c, ${n}L, ${m}L)")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): LiftPermille =
+    copy(cab = f, ca = s, cb = t)
+}

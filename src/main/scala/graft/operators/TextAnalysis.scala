@@ -425,34 +425,46 @@ object TextAnalysis {
     * independent; strong collocations score orders of magnitude higher).
     * Lift rather than PMI deliberately: PMI is `log lift`, and `log`'s
     * last-bit rounding is libm-dependent — lift carries the same ranking
-    * and stays in EXACT integer arithmetic (decimal(38,0) products, one
-    * integral division), which is what allows an exact differential
-    * oracle. Returns `(a, b, c_ab, lift_permille)`.
+    * and stays in EXACT integer arithmetic (big-integer products via
+    * [[graft.functions.LiftPermille]] — no DECIMAL(38,0) ceiling, exact at
+    * any corpus size), which is what allows an exact differential oracle.
+    * Returns `(a, b, c_ab, lift_permille)`.
     *
-    * Scale shape: one scan explodes to bigram rows, two map-side-combined
-    * count aggregations (pair-keyed and token-keyed), and the unigram
-    * table — vocabulary-sized — broadcasts back onto the surviving
-    * (≥ minCount) pairs. The two corpus totals are single-row aggregates
-    * (driver-side scalars, metadata-grade). Nothing shuffles more than
-    * once, nothing is keyed on anything hotter than a token pair. */
+    * Scale shape — ONE tokenize pass, ONE corpus-sized shuffle: each doc
+    * posexplodes once into (token, successor-or-null) rows, so every token
+    * occurrence appears exactly once in the `a` position and ONE pair-keyed
+    * map-side-combined aggregate `ab` (bounded by the distinct-bigram
+    * vocabulary, hence persistable) yields everything downstream: unigram
+    * counts (re-group `ab` by `a`), bigram counts (drop the null/empty
+    * successors), and both corpus totals in a single one-row action. The
+    * unigram table — vocabulary-sized — broadcasts back onto the surviving
+    * (≥ minCount) pairs. Nothing is keyed on anything hotter than a token
+    * pair, and the corpus text is never re-read. */
   def collocations(df: DataFrame, textCol: String,
       minCount: Long = 5L): DataFrame = {
-    val ws = df.select(split(col(textCol), " ").as("ws"))
-    val uni = ws.select(explode(col("ws")).as("tok"))
-      .where(col("tok") =!= "")
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-    val bi = ws.select(posexplode(col("ws")).as(Seq("i", "a")), col("ws"))
+    val ab = df.select(split(col(textCol), " ").as("ws"))
+      .select(posexplode(col("ws")).as(Seq("i", "a")), col("ws"))
       .withColumn("b", expr("get(ws, i + 1)")) // null past the end, not an error
-      .where(col("a") =!= "" && col("b").isNotNull && col("b") =!= "")
-      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-    val n = uni.agg(sum("c")).head().getLong(0)
-    val m = bi.agg(sum("c_ab")).head().getLong(0)
+      .where(col("a") =!= "")
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .persist()
+    val validB = col("b").isNotNull && col("b") =!= ""
+    // Both corpus totals in one action over the persisted aggregate; the
+    // sums come back null (not an NPE) on an empty/whitespace-only corpus.
+    val totals = ab.agg(sum("c"), sum(when(validB, col("c")))).head()
+    val n = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    val m = if (totals.isNullAt(1)) 0L else totals.getLong(1)
+    val bi = ab.where(validB).select(col("a"), col("b"), col("c").as("c_ab"))
+    if (n == 0L || m == 0L) { // no tokens or no adjacent pairs: empty, typed
+      return bi.where(lit(false))
+        .select(col("a"), col("b"), col("c_ab"), lit(0L).as("lift_permille"))
+    }
+    val uni = ab.groupBy("a").agg(sum("c").as("c")) // vocab-sized, from cache
     bi.where(col("c_ab") >= minCount)
-      .join(broadcast(uni.select(col("tok").as("a"), col("c").as("c_a"))), "a")
-      .join(broadcast(uni.select(col("tok").as("b"), col("c").as("c_b"))), "b")
+      .join(broadcast(uni.select(col("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(uni.select(col("a").as("b"), col("c").as("c_b"))), "b")
       .select(col("a"), col("b"), col("c_ab"),
-        expr(s"CAST((CAST(c_ab AS DECIMAL(38,0)) * $n * $n * 1000) div " +
-          s"(CAST($m AS DECIMAL(38,0)) * c_a * c_b) AS BIGINT)")
-          .as("lift_permille"))
+        graft.functions.F.liftPermille(
+          col("c_ab"), col("c_a"), col("c_b"), n, m).as("lift_permille"))
   }
 }

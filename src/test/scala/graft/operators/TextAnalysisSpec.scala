@@ -319,4 +319,44 @@ class TextAnalysisSpec extends SparkSpecBase {
       .as[(String, String, Long, Long)].collect().toSeq
     assert(out2 == Seq(("a", "b", 2L, 4000L)), out2.toString)
   }
+
+  test("collocations: empty and whitespace-only corpora yield a typed empty result") {
+    val schema = Seq("a" -> "string", "b" -> "string",
+      "c_ab" -> "bigint", "lift_permille" -> "bigint")
+    for (docs <- Seq(Seq.empty[String], Seq("", "   ", " "))) {
+      val out = TextAnalysis.collocations(docs.toDF("text"), "text")
+      assert(out.schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq
+        == schema)
+      assert(out.count() == 0L)
+    }
+  }
+
+  test("collocations: ONE tokenize pass — the corpus file is scanned exactly once") {
+    // The round-9 shape re-ran the tokenize→explode lineage ~4× (unigram
+    // agg, bigram agg, and a scalar action for each total). Count stages
+    // whose RDD lineage contains the parquet FileScanRDD across the WHOLE
+    // run (internal totals action + final collect): must be exactly 1 —
+    // skipped (cache-served) stages never get submitted events.
+    val scanStages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          ev: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        if (ev.stageInfo.rddInfos.exists(_.name.contains("FileScanRDD")))
+          scanStages.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val out = TextAnalysis.collocations(docs, "text", minCount = 2).collect()
+      assert(out.nonEmpty)
+      // listener bus is async (and private): poll until the count settles
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var last = -1
+      while (System.nanoTime() < deadline && scanStages.get() != last) {
+        last = scanStages.get(); Thread.sleep(200)
+      }
+      assert(scanStages.get() == 1,
+        s"corpus scanned ${scanStages.get()} times; collocations must tokenize once")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
