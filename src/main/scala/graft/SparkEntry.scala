@@ -2577,7 +2577,7 @@ object SparkEntry {
       """WITH b AS (SELECT event_type,
         |    CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19) AS BIGINT) AS bin,
         |    (ts >= TIMESTAMP '2024-01-16') AS cur
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |c AS (SELECT event_type, bin,
         |    SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS p,
         |    SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS q

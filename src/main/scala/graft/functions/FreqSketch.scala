@@ -40,6 +40,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * `operators.Frequencies` carries the same last-batch-id replay guard
   * as the KLL profile.
   */
+
+/** Shared argument validation for the frequent-items aggregates:
+  * Datasketches' ItemsSketch requires `maxMapSize` to be a power of 2 and
+  * at least 8 — reported here as an analysis-time TypeCheckFailure instead
+  * of a raw executor-side SketchesArgumentException mid-job. */
+object FreqSketchArgs {
+  val MinMapSize = 8 // org.apache.datasketches.frequencies minimum
+  def checkMaxMapSize(name: String, maxMapSize: Int): TypeCheckResult =
+    if (maxMapSize >= MinMapSize && Integer.bitCount(maxMapSize) == 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires maxMapSize to be a power of 2 >= $MinMapSize, got $maxMapSize")
+}
+
 case class FreqSketchAgg(
     child: Expression,
     maxMapSize: Int,
@@ -49,7 +63,8 @@ case class FreqSketchAgg(
     with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType =>
+      FreqSketchArgs.checkMaxMapSize(prettyName, maxMapSize)
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires string, got ${other.catalogString}")
   }
@@ -97,7 +112,8 @@ case class FreqUnionAgg(
     with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case BinaryType =>
+      FreqSketchArgs.checkMaxMapSize(prettyName, maxMapSize)
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a binary sketch, got ${other.catalogString}")
   }

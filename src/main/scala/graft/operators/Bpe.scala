@@ -99,7 +99,19 @@ object Bpe {
   }
 
   /** Distributed merge loop: per round one pair-count shuffle + a 1-row
-    * argmax collect + a map-only re-segmentation of the vocab table. */
+    * argmax collect + a map-only re-segmentation of the vocab table.
+    *
+    * Scale note on the per-round argmax: `numMerges` Spark jobs total, one
+    * per merge rank — strictly sequential by the BPE definition (rank k+1's
+    * counts depend on rank k's re-segmentation), so the jobs cannot fuse.
+    * Fine for the contract's tens of merges; a vocab-scale tokenizer
+    * (30k–50k merges) on this path would pay ~30k job round-trips and
+    * should batch merge selection instead: take the top-B non-overlapping
+    * pairs per round (pairs sharing no symbol commute — applying them in
+    * one re-segmentation pass is order-independent), collapsing the round
+    * count by ~B at the cost of occasionally selecting a pair whose count
+    * was stale (standard fast-BPE trade, e.g. the tokenizers library's
+    * batched trainer). Registered queries stay on the exact path. */
   private def trainLoop(wf: DataFrame, numMerges: Int): Seq[(Int, String, String)] = {
     val out = Seq.newBuilder[(Int, String, String)]
     var reprs = wf

@@ -64,13 +64,36 @@ object Graph {
               col("label").cast(idType).as("label"))
         } else {
           val out = driverUnionFind[String](
-            slim.collect().map(r => (r.getString(0), r.getString(1))))
+            slim.collect().map(r => (r.getString(0), r.getString(1))))(
+            codePointOrdering)
           return out.toSeq.toDF("id", "label")
         }
       }
     }
     connectedComponentsLoop(edges, aCol, bCol, maxIters)
   }
+
+  /** Code-point order — identical to Spark's `UTF8String` binary
+    * comparison, because UTF-8 byte order preserves code-point order.
+    * Scala's default `Ordering[String]` compares UTF-16 CODE UNITS, which
+    * ranks supplementary characters (surrogate pairs, 0xD800-prefixed)
+    * BELOW U+E000..U+FFFF — the driver and distributed paths would pick
+    * different component minima for ids mixing the two ranges. */
+  private[operators] val codePointOrdering: Ordering[String] =
+    new Ordering[String] {
+      def compare(x: String, y: String): Int = {
+        var i = 0
+        var j = 0
+        while (i < x.length && j < y.length) {
+          val cx = x.codePointAt(i)
+          val cy = y.codePointAt(j)
+          if (cx != cy) return Integer.compare(cx, cy)
+          i += Character.charCount(cx)
+          j += Character.charCount(cy)
+        }
+        Integer.compare(x.length - i, y.length - j)
+      }
+    }
 
   /** Exact union-find-by-min with path compression: every node maps to
     * its component's minimum under `ord` — the same fixpoint the
@@ -297,7 +320,13 @@ object Graph {
       val newEdges = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       val allEdges = oldEdges.fold(newEdges)(_ unionByName newEdges)
       val comp = connectedComponents(allEdges, "a", "b")
-      val allIds = existing.map(_.select("id")).toSeq
+      // Edge endpoints ride along even when they are in neither batchIds
+      // nor the existing store (e.g. --components enabled after the
+      // near-dup index already holds history): an endpoint can be a
+      // component's minimum, and every label must have its own mapping row.
+      val allIds = (existing.map(_.select("id")).toSeq ++
+          Seq(newEdges.select(col("a").as("id")),
+            newEdges.select(col("b").as("id"))))
         .foldLeft(batchIds.select(col(idCol).as("id")))(_ unionByName _)
         .distinct()
       (allIds.join(comp, Seq("id"), "left")

@@ -62,7 +62,11 @@ object Validate {
     val width = (hi - lo) / nBins
     val bin = least(greatest(floor((col(valueCol) - lit(lo)) / lit(width)),
       lit(0.0)), lit((nBins - 1).toDouble)).cast("long")
+    // Null values are EXCLUDED (they'd otherwise form their own silent
+    // (key, null) bin and count toward np/nq); out-of-range values clamp
+    // to the edge bins per the docstring.
     val counts = df
+      .where(col(valueCol).isNotNull)
       .select(col(keyCol).as("key"), bin.as("__bin"),
         currentSlice.cast("boolean").as("__cur"))
       .groupBy("key", "__bin")

@@ -80,6 +80,26 @@ class FrequenciesSpec extends SparkSpecBase {
     assert(out == Set(("a", "x", 1L)))
   }
 
+  test("maxMapSize must be a power of 2 >= 8 — analysis-time failure, not executor crash") {
+    val df = Seq(("k", "a")).toDF("g", "item")
+    for (bad <- Seq(0, -4, 4, 100)) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.groupBy("g")
+          .agg(graft.functions.F.freqSketchAgg(col("item"), bad))
+          .collect()
+      }
+      assert(e.getMessage.contains("power of 2"), s"maxMapSize=$bad: ${e.getMessage}")
+    }
+    // the union agg enforces the same bound
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("k", Array[Byte]())).toDF("g", "sketch").groupBy("g")
+        .agg(graft.functions.F.freqUnionAgg(col("sketch"), 12)).collect()
+    }
+    assert(e2.getMessage.contains("power of 2"))
+    // valid sizes still pass analysis
+    df.groupBy("g").agg(graft.functions.F.freqSketchAgg(col("item"), 8)).collect()
+  }
+
   test("SQL surface: freq_sketch_agg / freq_top_items registered and usable") {
     graft.functions.F.registerAll(spark)
     Seq(("k", "a"), ("k", "a"), ("k", "b")).toDF("g", "item")

@@ -45,6 +45,25 @@ class GraphSpec extends SparkSpecBase {
     assert(cur <= 9, s"expected <= 9 jobs (setup + 4 rounds x 2), got $cur")
   }
 
+  test("string CC: driver and distributed paths agree on non-BMP ids (code-point order)") {
+    // U+1F600 is the surrogate pair 0xD83D 0xDE00: Scala's default
+    // Ordering[String] (UTF-16 code units) ranks it BELOW U+E000/U+FFFF,
+    // while Spark's UTF8String binary order (= code points) ranks it
+    // ABOVE. The component minimum is contested — both paths must agree
+    // on the code-point minimum U+E000.
+    val e000 = "\uE000"
+    val ffff = "\uFFFF"
+    val emoji = "\uD83D\uDE00" // U+1F600
+    val edges = Seq((e000, emoji), (ffff, emoji)).toDF("a", "b")
+    val driver = Graph.connectedComponents(edges, "a", "b")
+      .as[(String, String)].collect().toMap
+    val loop = Graph.connectedComponents(edges, "a", "b", maxDriverEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(driver == loop, "driver union-find diverged from distributed loop")
+    assert(driver.values.toSet == Set(e000),
+      s"expected code-point minimum U+E000, got ${driver.values.toSet.map((s: String) => s.codePoints().toArray.toSeq)}")
+  }
+
   test("large-star/small-star matches min-label on a long chain") {
     // a 30-node chain: diameter 29 — the shape that punishes min-label
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
@@ -173,6 +192,21 @@ class GraphSpec extends SparkSpecBase {
       Seq(5L, 6L, 9L, 1L, 2L).toDF("id"), "id",
       Seq((5L, 6L), (1L, 6L), (9L, 2L)).toDF("a", "b"), "a", "b")
     assert(mapping(oneShotRoot) == twoBatch)
+  }
+
+  test("updateComponents: edge endpoints outside batchIds and the store get mapping rows") {
+    // id 3 appears ONLY as an edge endpoint (in neither batchIds nor the
+    // existing store) yet is its component's minimum: every member must
+    // relabel to 3 AND 3 itself must own a mapping row — otherwise
+    // surviving rows are labeled by an id with no row (the --components-
+    // enabled-after-history case)
+    val root = java.nio.file.Files.createTempDirectory("graft-ccep").toString + "/cc"
+    Graph.updateComponents(spark, root, Seq(10L, 11L).toDF("id"), "id",
+      Seq((10L, 11L)).toDF("a", "b"), "a", "b")
+    Graph.updateComponents(spark, root, Seq(12L).toDF("id"), "id",
+      Seq((3L, 10L), (12L, 99L)).toDF("a", "b"), "a", "b")
+    assert(mapping(root) ==
+      Map(3L -> 3L, 10L -> 3L, 11L -> 3L, 12L -> 12L, 99L -> 12L))
   }
 
   test("updateComponents: a replayed batch is a no-op (idempotent fold)") {

@@ -57,6 +57,20 @@ class ValidateSpec extends SparkSpecBase {
     assert(out("clamp").contains(0.0), "both landed in bin 0 after clamping")
   }
 
+  test("driftTv: null values are excluded from both slices, not a silent null bin") {
+    // without the filter, the two nulls would form a (k, null) bin and
+    // count toward np/nq — here the non-null rows are identical across
+    // slices, so tv must be exactly 0 and the totals must say 2/2
+    val df = Seq(
+      ("k", Some(1.0), false), ("k", Some(11.0), false), ("k", None, false),
+      ("k", Some(1.0), true), ("k", Some(11.0), true), ("k", None, true))
+      .toDF("k", "v", "cur")
+    val out = Validate.driftTv(df, "k", "v", col("cur"), 0.0, 20.0, 2)
+      .select("key", "n_cur", "n_ref", "tv")
+      .as[(String, Long, Long, Option[Double])].collect()
+    assert(out.toSeq == Seq(("k", 2L, 2L, Some(0.0))))
+  }
+
   test("driftTv: an empty slice reports null, not a crash") {
     val df = Seq(("k", 1.0, false), ("k", 2.0, false)).toDF("k", "v", "cur")
     val out = Validate.driftTv(df, "k", "v", col("cur"), 0.0, 10.0, 4)
