@@ -151,6 +151,20 @@ object SparkEntry {
     sharedPassageSpans(s, dir); ()
   }
 
+  /** Recall combinator shared by the ANN recall harnesses
+    * (`ivf_recall` / `binary_recall`): permille of the exact top-k pairs
+    * the approximate ranking recovered. Pair sets are tiny (queries × k)
+    * — the cost lives in the two rankings, not here. */
+  private def recallVsExact(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val ex = exact.select("query_id", "neighbor_id")
+    val ap = approx.select("query_id", "neighbor_id")
+    val hit = ex.join(ap, Seq("query_id", "neighbor_id"), "left_semi")
+    ex.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(ap.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .withColumn("recall_permille", expr("n_hit * 1000 div n_exact"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/F: filtered+projected scan with parquet pushdown.
     "pushdown_scan" -> ((s, dir) =>
@@ -673,6 +687,26 @@ object SparkEntry {
       Ivf.probeIndex(s, idx, emb.where(col("vec_id") < 20), k = 5, nprobe = 8)
     }),
 
+    // Recall harness for the IVF probe, mirroring lsh_recall: nprobe = 2
+    // of nlist = 8 makes cell pruning actually lossy, and the measured
+    // recall_permille pins the nprobe knob the probe scaladoc justifies
+    // analytically. Centroids here are the first 8 corpus vectors (the
+    // cluster_purity seed convention) so the ENTIRE pipeline — assignment
+    // argmax, probe-cell ranking, candidate top-k — is exactly
+    // SQL-mirrorable; the persisted ann_ivf index shares this exact probe
+    // math (F.nearestCentroids), differing only in how centroids were
+    // trained. IvfSpec pins the persisted path's recall monotonicity.
+    "ivf_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 20)
+      val seeds = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      recallVsExact(
+        Similarity.bruteForceTopK(queries, emb, k = 5),
+        Ivf.ivfTopK(queries, emb, k = 5, centroids = seeds, nprobe = 2))
+    }),
+
     // Cluster-based curation analytics: nearest-seed assignment (seeds =
     // the first 8 corpus vectors — deterministic and SQL-mirrorable) then
     // per-cluster label purity. Assignment is a per-row argmax compiled
@@ -886,6 +920,21 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.binaryRerankTopK(emb.where(col("vec_id") < 20), emb,
         k = 5, dim = 64, candidates = 100)
+    }),
+
+    // Recall harness for the binary-quantized path, mirroring lsh_recall:
+    // a deliberately TIGHT candidate budget (30, vs ann_binary's 100)
+    // makes the Hamming prefilter actually lossy, and the measured
+    // recall_permille pins the knob's cost — the number the scaladoc's
+    // analytic argument rides on. Run at sample scale by contract (the
+    // exact side is the labeled quadratic ground-truth operator).
+    "binary_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 20)
+      recallVsExact(
+        Similarity.bruteForceTopK(queries, emb, k = 5),
+        Similarity.binaryRerankTopK(queries, emb, k = 5, dim = 64,
+          candidates = 30))
     }),
 
     // Corpus analytics: cross-source shared-shingle matrix (mixture
@@ -1895,6 +1944,46 @@ object SparkEntry {
         |FROM s
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
 
+    // Full-algorithm mirror of the lossy IVF probe (seed centroids =
+    // first 8 corpus vectors): corpus cell assignment by cosine argmax
+    // (tie: lowest cell), per-query top-2 probed cells, candidate top-5
+    // re-rank, then recall vs the exact brute-force top-5. Ordering by
+    // list_cosine_similarity matches F.nearestCentroids' normalized-dot
+    // argmax because the per-row norm factor is order-preserving.
+    "ivf_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 8),
+        |ca AS (SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, s.sv) DESC, s.cell) AS rn
+        |    FROM e, seeds s) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |probe AS (SELECT query_id, cell FROM (
+        |    SELECT q.query_id, s.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, s.sv) DESC, s.cell) AS rn
+        |    FROM q, seeds s) WHERE rn <= 2),
+        |cand AS (SELECT p.query_id, ca.vec_id AS neighbor_id
+        |  FROM probe p JOIN ca ON ca.cell = p.cell
+        |  WHERE ca.vec_id <> p.query_id),
+        |ap AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT c.query_id, c.neighbor_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, c.neighbor_id) AS rn
+        |    FROM cand c JOIN e eq ON eq.vec_id = c.query_id
+        |                JOIN e ec ON ec.vec_id = c.neighbor_id) WHERE rn <= 5),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, e2.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, e2.v) DESC, e2.vec_id) AS rn
+        |    FROM q, e e2 WHERE e2.vec_id <> q.query_id) WHERE rn <= 5)
+        |SELECT (SELECT count(*) FROM ex) AS n_exact,
+        |  (SELECT count(*) FROM ap) AS n_approx,
+        |  (SELECT count(*) FROM ex JOIN ap USING (query_id, neighbor_id)) AS n_hit,
+        |  CAST((SELECT count(*) FROM ex JOIN ap USING (query_id, neighbor_id)) * 1000
+        |       // (SELECT count(*) FROM ex) AS BIGINT) AS recall_permille""".stripMargin,
+
     "ngram_jaccard_prefix" ->
       s"""WITH ${jaccardPairCtes("source")}
         |SELECT a_id, b_id,
@@ -2455,6 +2544,41 @@ object SparkEntry {
         |  neighbor_id, cos
         |FROM s2
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+
+    // ann_binary's Hamming-prefilter mirror at the TIGHT candidate budget
+    // (30), spliced with the exact brute-force ranking into the recall
+    // combinator — same shape as lsh_recall's splice-of-mirrors.
+    "binary_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sig AS (SELECT vec_id,
+        |    list_sum([CASE WHEN v[i+1] >= 0 THEN CAST(1 AS BIGINT) << (i % 32) ELSE 0 END
+        |              for i in range(0, 32)]) AS lo,
+        |    list_sum([CASE WHEN v[i+1] >= 0 THEN CAST(1 AS BIGINT) << (i % 32) ELSE 0 END
+        |              for i in range(32, 64)]) AS hi
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, lo AS ql, hi AS qh FROM sig WHERE vec_id < 20),
+        |h AS (SELECT query_id, s.vec_id AS neighbor_id,
+        |    bit_count(xor(s.lo, ql)) + bit_count(xor(s.hi, qh)) AS ham
+        |  FROM sig s, q WHERE s.vec_id <> query_id),
+        |cand AS (SELECT query_id, neighbor_id FROM h
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) <= 30),
+        |ap AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT c.query_id, c.neighbor_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, c.neighbor_id) AS rn
+        |    FROM cand c JOIN e eq ON eq.vec_id = c.query_id
+        |                JOIN e ec ON ec.vec_id = c.neighbor_id) WHERE rn <= 5),
+        |qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q2.query_id, e2.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q2.query_id
+        |        ORDER BY list_cosine_similarity(q2.qv, e2.v) DESC, e2.vec_id) AS rn
+        |    FROM qv q2, e e2 WHERE e2.vec_id <> q2.query_id) WHERE rn <= 5)
+        |SELECT (SELECT count(*) FROM ex) AS n_exact,
+        |  (SELECT count(*) FROM ap) AS n_approx,
+        |  (SELECT count(*) FROM ex JOIN ap USING (query_id, neighbor_id)) AS n_hit,
+        |  CAST((SELECT count(*) FROM ex JOIN ap USING (query_id, neighbor_id)) * 1000
+        |       // (SELECT count(*) FROM ex) AS BIGINT) AS recall_permille""".stripMargin,
 
     "source_overlap" ->
       s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),

@@ -90,6 +90,31 @@ class IvfSpec extends SparkSpecBase {
     assert(viaIndex == brute)
   }
 
+  test("persisted-index recall is monotone in nprobe and exact at full probe") {
+    // The recall number the ivf_recall driver query pins for seed
+    // centroids, asserted here on the REAL persisted path (trained
+    // centroids): an exact-top-k member found in the probed cells always
+    // survives the re-rank (nothing in the corpus outranks it), so hits
+    // grow with the probed candidate set — recall(2) <= recall(4) <=
+    // recall(8), and nprobe = nlist is exactly brute force.
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-rec").toString
+    Ivf.buildIndex(spark, idx, emb, trainOn = emb, nlist = 8, iters = 1)
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobe: Int): Double = {
+      val got = Ivf.probeIndex(spark, idx, queries, k = 3, nprobe = nprobe)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r2 = recall(2); val r4 = recall(4); val r8 = recall(8)
+    assert(r2 <= r4 && r4 <= r8, s"recall not monotone: $r2, $r4, $r8")
+    assert(r8 == 1.0, s"full probe must be exact, got $r8")
+    assert(r2 > 0.0, "nprobe=2 found nothing — degenerate index")
+  }
+
   test("deleteFromIndex: erased ids vanish; only their cells are rewritten") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
