@@ -817,6 +817,50 @@ object SparkEntry {
         .select(col("key").as("source"), col("item"), col("estimate").as("n"))
     }),
 
+    // Composed corpus-health gate: the operational read-path the profile
+    // family exists to serve — ONE per-source report joining the three
+    // mergeable profiles (HLL vocabulary, KLL length quantiles,
+    // Misra-Gries top heavy hitter) with the TV length-drift monitor
+    // (reference slice = even doc_ids, the novelty_rate convention). Every
+    // component runs in its sketch's exact regime at this sf, so the
+    // oracle is a splice of the four components' exact mirrors. The joins
+    // are |sources|-sized — the cost lives in the profile folds, each one
+    // map-side-combined shuffle carrying sketch blobs or bin counts.
+    "corpus_health" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      val vocab = Cardinality.estimate(Cardinality.sketch(toks, "source", "tok"))
+        .select(col("key").as("source"), col("estimate").cast("long").as("vocab"),
+          col("n_rows").as("n_tokens"))
+      val lens = docs.select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("double").as("v"))
+      val quant = Quantiles.quantiles(
+          Quantiles.sketch(lens, "source", "v"), Seq(0.5, 0.99))
+        .select(col("key").as("source"), col("q500").as("len_p50"),
+          col("q990").as("len_p99"))
+      val items = docs.select(col("source"),
+          explode(split(col("text"), " ")).as("item"))
+        .where(col("item") =!= "")
+      val rankW = Window.partitionBy("key")
+        .orderBy(col("estimate").desc, col("item"))
+      val top1 = Frequencies.topItems(
+          Frequencies.sketch(items, "source", "item", maxMapSize = 64),
+          minCount = 1)
+        .withColumn("__rn", row_number().over(rankW)).where(col("__rn") === 1)
+        .select(col("key").as("source"), col("item").as("top_token"),
+          col("estimate").as("top_n"))
+      val drift = Validate.driftTv(
+          lens.withColumn("cur", pmod(col("doc_id"), lit(2)) === 1),
+          "source", "v", col("cur"), lo = 0.0, hi = 200.0, nBins = 20)
+        .select(col("key").as("source"), col("tv").as("len_drift_tv"))
+      vocab.join(quant, "source").join(top1, "source").join(drift, "source")
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          col("len_p50"), col("len_p99"), col("top_token"), col("top_n"),
+          expr("top_n * 1000 div n_tokens").as("top_share_permille"),
+          col("len_drift_tv"))
+    }),
+
     // Composite quality bucketing, aggregated.
     "quality_bucket" -> ((s, dir) =>
       TextAnalysis.qualityBucket(Tables.documents(s, dir), "text")
@@ -2332,6 +2376,55 @@ object SparkEntry {
         |SELECT source, item, COUNT(*) AS n FROM t
         |WHERE item <> ''
         |GROUP BY 1, 2 HAVING COUNT(*) >= 10""".stripMargin,
+
+    // Splice of the four components' exact-regime mirrors: vocabulary =
+    // vocab_cardinality's, quantiles = quantile_profile's ceil-rank order
+    // statistic, top hitter = freq_profile's GROUP BY counts (top-1 by
+    // count desc, item asc), drift = drift_tv's integer-exact TV over
+    // 20 bins of width 10 on [0, 200).
+    "corpus_health" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |vocab AS (SELECT source, count(DISTINCT tok) AS vocab,
+        |    count(*) AS n_tokens FROM toks GROUP BY source),
+        |lens AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS v FROM documents),
+        |r AS (SELECT source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY v) AS i,
+        |    count(*) OVER (PARTITION BY source) AS n FROM lens),
+        |quant AS (SELECT source,
+        |    max(CASE WHEN i = greatest(1, CAST(ceil(0.50 * n) AS BIGINT)) THEN v END) AS len_p50,
+        |    max(CASE WHEN i = greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN v END) AS len_p99
+        |  FROM r GROUP BY source),
+        |cnt AS (SELECT source, tok AS item, COUNT(*) AS n FROM toks
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |top1 AS (SELECT source, item AS top_token, n AS top_n FROM (
+        |    SELECT source, item, n,
+        |      row_number() OVER (PARTITION BY source ORDER BY n DESC, item) AS rn
+        |    FROM cnt) WHERE rn = 1),
+        |b AS (SELECT source,
+        |    CAST(least(greatest(floor(v / 10.0), 0), 19) AS BIGINT) AS bin,
+        |    (doc_id % 2 = 1) AS cur FROM lens),
+        |c AS (SELECT source, bin,
+        |    SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS p,
+        |    SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS q
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT source, p, q,
+        |    SUM(p) OVER (PARTITION BY source) AS np,
+        |    SUM(q) OVER (PARTITION BY source) AS nq FROM c),
+        |drift AS (SELECT source,
+        |    CASE WHEN np > 0 AND nq > 0 THEN
+        |      CAST(SUM(abs(p * nq - q * np)) AS DOUBLE) / (2.0 * np * nq)
+        |    END AS len_drift_tv
+        |  FROM t GROUP BY source, np, nq)
+        |SELECT v.source, CAST(v.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(v.vocab AS BIGINT) AS vocab,
+        |  q2.len_p50, q2.len_p99, top1.top_token,
+        |  CAST(top1.top_n AS BIGINT) AS top_n,
+        |  CAST(top1.top_n * 1000 // v.n_tokens AS BIGINT) AS top_share_permille,
+        |  drift.len_drift_tv
+        |FROM vocab v JOIN quant q2 USING (source) JOIN top1 USING (source)
+        |     JOIN drift USING (source)""".stripMargin,
 
     "quality_bucket" ->
       s"""WITH s AS (SELECT
