@@ -820,8 +820,11 @@ object SparkEntry {
     // Composed corpus-health gate: the operational read-path the profile
     // family exists to serve — ONE per-source report joining the three
     // mergeable profiles (HLL vocabulary, KLL length quantiles,
-    // Misra-Gries top heavy hitter) with the TV length-drift monitor
-    // (reference slice = even doc_ids, the novelty_rate convention). Every
+    // Misra-Gries top heavy hitter) with the TV length-drift monitor.
+    // The drift slices alternate by WITHIN-SOURCE batch parity
+    // ((doc_id div 20) % 2 — the table's source cycle length), because
+    // plain doc_id parity is constant inside a source here and would
+    // leave one slice empty for every key. Every
     // component runs in its sketch's exact regime at this sf, so the
     // oracle is a splice of the four components' exact mirrors. The joins
     // are |sources|-sized — the cost lives in the profile folds, each one
@@ -851,7 +854,7 @@ object SparkEntry {
         .select(col("key").as("source"), col("item").as("top_token"),
           col("estimate").as("top_n"))
       val drift = Validate.driftTv(
-          lens.withColumn("cur", pmod(col("doc_id"), lit(2)) === 1),
+          lens.withColumn("cur", expr("(doc_id div 20) % 2 = 1")),
           "source", "v", col("cur"), lo = 0.0, hi = 200.0, nBins = 20)
         .select(col("key").as("source"), col("tv").as("len_drift_tv"))
       vocab.join(quant, "source").join(top1, "source").join(drift, "source")
@@ -2404,7 +2407,7 @@ object SparkEntry {
         |    FROM cnt) WHERE rn = 1),
         |b AS (SELECT source,
         |    CAST(least(greatest(floor(v / 10.0), 0), 19) AS BIGINT) AS bin,
-        |    (doc_id % 2 = 1) AS cur FROM lens),
+        |    ((doc_id // 20) % 2 = 1) AS cur FROM lens),
         |c AS (SELECT source, bin,
         |    SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS p,
         |    SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS q
