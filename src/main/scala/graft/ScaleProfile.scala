@@ -148,6 +148,51 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "skew") {
+      // Adversarial hot-key profile: the sf0.5 events table with ONE user
+      // owning ~50% of all rows (every even-hashed event remapped to user
+      // 1), measured against the uniform sf0.5 twin — same total rows,
+      // same work, all difference is key distribution. Targets the shapes
+      // whose scale story leans on key spreading or salting: band_join
+      // (shuffles on (key, Δ-bucket) — the hot user's rows spread over
+      // its time range), asof_join + sessionize (per-key windows — the
+      // hot key serializes into one task by SEMANTICS; work stays linear
+      // but wall-clock degrades toward single-core over the hot rows),
+      // and topk_per_key unsalted vs the salted twin (the mitigation).
+      val skewDir = "/tmp/scale/sf0.5-skew"
+      if (!new java.io.File(s"$skewDir/events.parquet").isDirectory) {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = spark.read.parquet(s"$out/events.parquet")
+        ev.withColumn("user_id",
+            when(pmod(xxhash64(col("event_id")), lit(2)) === 0, lit(1L))
+              .otherwise(col("user_id")))
+          .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+        System.err.println("[scale] derived sf0.5-skew (user 1 owns ~50% of events)")
+      }
+      val ps = Seq("band_join", "asof_join", "sessionize", "topk_per_key")
+      ps.foreach(q => time(q, out))
+      ps.foreach(q => time(q, skewDir))
+      ps.foreach { q =>
+        val tu = median3(time(q, out))
+        val ts = median3(time(q, skewDir))
+        println(f"SKEW  $q%-24s uniform=$tu%6.2f s  skew=$ts%6.2f s  ratio=${ts / tu}%5.2f")
+      }
+      def topkSalted(dir: String): Double = {
+        val t0 = System.nanoTime()
+        operators.Dedup.topKPerKeySalted(Tables.events(spark, dir), 3,
+            Seq("user_id"), Seq(col("value").desc, col("event_id")),
+            saltOn = Seq(col("event_id")))
+          .select("user_id", "event_id", "value")
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      topkSalted(out); topkSalted(skewDir) // warmup
+      val su = median3(topkSalted(out))
+      val ss = median3(topkSalted(skewDir))
+      println(f"SKEW  topk_per_key_salted      uniform=$su%6.2f s  skew=$ss%6.2f s  ratio=${ss / su}%5.2f")
+      spark.stop()
+      return
+    }
     if (mode == "merge") {
       manifestMergeProfile(spark, src, "warmup") // codegen/JIT warm pass
       val (b1, i1) = manifestMergeProfile(spark, src, "sf0.1")

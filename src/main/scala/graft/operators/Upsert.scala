@@ -143,26 +143,15 @@ object Upsert {
     val marker = new Path(targetPath, s"$snapName.commit")
     if (fs.exists(marker) && System.currentTimeMillis() -
         fs.getFileStatus(marker).getModificationTime >= gcGraceMs)
-      fs.delete(marker, false) // crashed claimant: its pointer never published
+      commitBackend.delete(fs, marker) // crashed claimant: never published
     val attempt = java.util.UUID.randomUUID().toString.take(8)
-    val out =
-      try fs.create(marker, false)
-      catch {
-        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                  _: java.io.IOException) if fs.exists(marker) =>
-          throw new CommitConflictException(
-            s"snapshot $snapName of $targetPath is claimed by a concurrent " +
-              s"writer (single-writer layout — rerun this idempotent batch): " +
-              e.getMessage)
+    commitBackend.putIfAbsent(fs, marker, attempt.getBytes("UTF-8"))
+      .foreach { winner =>
+        throw new CommitConflictException(
+          s"snapshot $snapName of $targetPath is claimed by a concurrent " +
+            s"writer (single-writer layout — rerun this idempotent batch; " +
+            s"attempt $attempt; winner ${winner.trim})")
       }
-    try out.write(attempt.getBytes("UTF-8")) finally out.close()
-    val back =
-      try readFileBody(fs, marker).trim
-      catch { case _: java.io.IOException => "" }
-    if (back != attempt)
-      throw new CommitConflictException(
-        s"lost the claim race for $snapName of $targetPath on a " +
-          s"non-exclusive-create filesystem (attempt $attempt; winner $back)")
   }
 
   /** Adopt a pre-pointer plain-Parquet target in place: a directory that
@@ -735,14 +724,6 @@ object Upsert {
   private[operators] var gcGraceMs: Long =
     sys.props.getOrElse("graft.gc.graceMs", "900000").toLong
 
-  /** Serializes the manifest create+write+verify critical section within
-    * this JVM: the local filesystem's `create(overwrite=false)` is
-    * check-then-create and two in-JVM threads could otherwise interleave
-    * byte writes into the same manifest file, leaving garbage neither
-    * attempt owns. Cross-process, the read-back verify below detects the
-    * overlap instead. */
-  private val commitLock = new Object
-
   // Test seams for deterministic race simulation (ManifestMergeSpec):
   // fire-once callbacks around the commit point, and a flag that makes
   // the manifest create NON-exclusive — modeling an object store whose
@@ -751,6 +732,14 @@ object Upsert {
   private[operators] var beforeManifestCreateHook: Option[(String, Long) => Unit] = None
   private[operators] var afterManifestWriteHook: Option[(String, String) => Unit] = None
   private[operators] var createOverwriteForTest: Boolean = false
+
+  /** The publish primitive behind every manifest create and claim marker
+    * (see [[CommitBackend]]): [[HadoopFsBackend]] by default; deployments
+    * on a conditional-PUT store swap in [[CasBackend]]-shaped wiring and
+    * the commit race window closes to zero. Var rather than parameter so
+    * the whole protocol stack (merge, indexes, profiles, erasure) flips
+    * in one place — tests exercise all three backends. */
+  private[operators] var commitBackend: CommitBackend = HadoopFsBackend
 
   /** True when a commit newer than `before` exists — a non-conflict
     * failure inside an optimistic commit attempt (task IOException,
@@ -941,47 +930,30 @@ object Upsert {
         s""""$b": [${files.map(f => "\"" + f + "\"").mkString(",")}]"""
       }).mkString("{", ",", "}")
     val manifestFile = new Path(root, s"$snapName.manifest.json")
-    // Commit point, in two layers (round 9 — the FS-atomicity contract):
-    //  1. create(overwrite=false). A true atomic create-exclusive on
-    //     HDFS; on the local FS it is check-then-create, and on S3
-    //     without conditional PUT it is exists-check-then-PUT — both
-    //     non-atomic.
-    //  2. read-back verify: the manifest body embeds this attempt's id;
-    //     after the write, the manifest is read back and a foreign
-    //     attempt id means a concurrent writer's PUT overwrote ours —
-    //     the loss is DETECTED and surfaced as a conflict instead of a
-    //     silently discarded merge. Detection is guaranteed whenever the
-    //     racing writes are separated by more than the write→read-back
-    //     gap (milliseconds); PUTs landing inside that window still need
-    //     a conditional-PUT store or single-writer orchestration, which
-    //     is the honest limit of an FS-only protocol.
-    // Losers clean up their files and surface the conflict for a retry
-    // against the winner's state.
+    // Commit point, behind the pluggable [[CommitBackend]] (round 10):
+    // "create iff absent, tell me who won". Under [[CasBackend]]
+    // (conditional-PUT stores) arbitration is atomic and the residual
+    // race window is ZERO. Under the default [[HadoopFsBackend]] it is
+    // create(overwrite=false) — truly exclusive on HDFS — plus a
+    // read-back verify for filesystems where the create is
+    // check-then-act (local FS, S3 without conditional PUT): a foreign
+    // body after our write means a concurrent PUT overwrote ours, and
+    // the loss is DETECTED and surfaced instead of silently discarding a
+    // merge. Detection there is guaranteed whenever racing writes are
+    // separated by more than the write→read-back gap (milliseconds);
+    // PUTs inside that window want the CAS backend, which closes it
+    // completely. Losers clean up their files and surface the conflict
+    // for a retry against the winner's state.
     beforeManifestCreateHook.foreach(h => h(targetPath, nextId))
-    commitLock.synchronized {
-      val outM =
-        try fs.create(manifestFile, createOverwriteForTest)
-        catch {
-          case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                    _: java.io.IOException) if fs.exists(manifestFile) =>
-            fs.delete(runDir, true)
-            throw new CommitConflictException(
-              s"snapshot $snapName of $targetPath was committed concurrently " +
-                s"(attempt $attempt retired): ${e.getMessage}")
-        }
-      try outM.write(json.getBytes("UTF-8")) finally outM.close()
-    }
-    afterManifestWriteHook.foreach(h => h(targetPath, snapName))
-    val readBack =
-      try parseManifestString(readFileBody(fs, manifestFile), "attempt")
-      catch { case _: java.io.IOException => None }
-    if (!readBack.contains(attempt)) {
-      fs.delete(runDir, true)
-      throw new CommitConflictException(
-        s"snapshot $snapName of $targetPath was overwritten by a concurrent " +
-          s"writer after a non-exclusive create (attempt $attempt retired; " +
-          s"committed attempt: ${readBack.getOrElse("unreadable")})")
-    }
+    commitBackend.putIfAbsent(fs, manifestFile, json.getBytes("UTF-8"),
+        () => afterManifestWriteHook.foreach(h => h(targetPath, snapName)))
+      .foreach { winner =>
+        fs.delete(runDir, true)
+        throw new CommitConflictException(
+          s"snapshot $snapName of $targetPath was committed concurrently " +
+            s"(attempt $attempt retired; committed body: " +
+            s"${winner.take(120)})")
+      }
     (snapName, nextManifest)
     } catch { // pre-commit failure: retire this attempt's files (see above)
       case e: Throwable =>

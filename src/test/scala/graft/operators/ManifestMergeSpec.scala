@@ -366,6 +366,117 @@ class ManifestMergeSpec extends SparkSpecBase {
       s"GC drift: extra=${onDisk -- live} missing=${live -- onDisk}")
   }
 
+  test("backend semantics: CAS arbitration has a ZERO window; blind PUT cannot arbitrate") {
+    val dir = Files.createTempDirectory("graft-backend").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(dir, n)
+    // CAS: the second PUT is refused with the winner's body even though it
+    // arrives long after the winner's verify completed — the exact
+    // ordering the FS read-back can never catch.
+    assert(CasBackend.putIfAbsent(fs, p("cas"), "a".getBytes).isEmpty)
+    assert(CasBackend.putIfAbsent(fs, p("cas"), "b".getBytes).contains("a"))
+    // delete clears arbitration state so a reclaimed marker can be re-won
+    CasBackend.delete(fs, p("cas"))
+    assert(CasBackend.putIfAbsent(fs, p("cas"), "c".getBytes).isEmpty)
+    // Blind PUT: the same late second write silently WINS the file — both
+    // writers are told None (the undetectable lost update that motivates
+    // conditional PUT). The suite's race test below shows the read-back
+    // still catches overwrites landing BEFORE the verify.
+    val prevDelay = BlindPutBackend.verifyDelayMs
+    BlindPutBackend.verifyDelayMs = 0L
+    try {
+      assert(BlindPutBackend.putIfAbsent(fs, p("blind"), "a".getBytes).isEmpty)
+      assert(BlindPutBackend.putIfAbsent(fs, p("blind"), "b".getBytes).isEmpty)
+    } finally BlindPutBackend.verifyDelayMs = prevDelay
+    // Hadoop FS backend: exclusive create wins, second writer refused
+    assert(HadoopFsBackend.putIfAbsent(fs, p("hfs"), "a".getBytes).isEmpty)
+    assert(HadoopFsBackend.putIfAbsent(fs, p("hfs"), "b".getBytes).contains("a"))
+  }
+
+  test("blind-PUT store: overwrite inside the verify window is detected and retried") {
+    // The createOverwriteForTest race scenario, driven through the
+    // BlindPutBackend itself: the victim's manifest PUT for snap-1
+    // lands, then the winner's blind PUT overwrites it BEFORE the
+    // victim's (delayed) verify — the read-back layer alone must detect
+    // the foreign body, retire the victim's files, and retry on top.
+    val path = mkTarget()
+    Upsert.commitBackend = BlindPutBackend
+    try {
+      Upsert.mergeIntoManifestBucketedParquet(spark, path,
+        (0L until 10L).map(k => (k, s"v$k")).toDF("key", "v"), Seq("key"),
+        nBuckets = 2)
+      val m0 = Upsert.manifestBody(spark, path, Some("snap-000000000"))
+        .map(Upsert.parseManifestEntries).get
+      val b = spark.range(1)
+        .select(pmod(xxhash64(lit(200L)), lit(2)).cast("int")).head().getInt(0)
+      val winnerRows = spark.read.parquet(
+          m0(b).map(e => Upsert.resolveEntry(path, e)): _*)
+        .unionByName(Seq((200L, "wb")).toDF("key", "v")
+          .withColumn("__bucket", lit(b)))
+      var fired = false
+      Upsert.afterManifestWriteHook = Some { (_, snap) =>
+        if (snap == "snap-000000001" && !fired) {
+          fired = true
+          Upsert.afterManifestWriteHook = None
+          // the winner's whole commit (incl. its own delayed verify) runs
+          // inside the victim's verify window
+          Upsert.commitSnapshot(spark, path, winnerRows, Seq(b), m0,
+            Seq("key"), 1L, 1, Some("__bucket"), 2)
+        }
+      }
+      try Upsert.mergeIntoManifestBucketedParquet(spark, path,
+        Seq((100L, "wa")).toDF("key", "v"), Seq("key"), nBuckets = 2)
+      finally Upsert.afterManifestWriteHook = None
+      assert(fired, "race hook never fired")
+      val out = Upsert.readManifestTable(spark, path)
+        .select("key", "v").as[(Long, String)].collect().toMap
+      assert(out(100L) == "wa" && out(200L) == "wb" && out(5L) == "v5",
+        s"a racer's merge was lost: $out")
+      assert(out.size == 12)
+      assert(Upsert.currentSnapshot(spark, path).contains("snap-000000002"))
+    } finally Upsert.commitBackend = HadoopFsBackend
+  }
+
+  test("optimistic concurrency stress under the CAS backend: 4 writers x 3 rounds, zero window") {
+    // Same stress as the FS-backend test below, arbitrated by the
+    // conditional-PUT simulation: zero lost updates AND the residual
+    // write->verify window is zero by construction (CasBackend refuses a
+    // late racer atomically — no timing assumption anywhere). Dense ids
+    // prove every conflict was a clean loser retry, never a silent win.
+    val path = mkTarget()
+    Upsert.commitBackend = CasBackend
+    try {
+      Upsert.mergeIntoManifestBucketedParquet(spark, path,
+        (0L until 20L).map(k => (k, "base")).toDF("key", "v"), Seq("key"),
+        nBuckets = 4, keepSnapshots = 2)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = 4
+      val rounds = 3
+      val futs = (0 until writers).map { w =>
+        Future {
+          (0 until rounds).foreach { r =>
+            Upsert.mergeIntoManifestBucketedParquet(spark, path,
+              (0 until 5).map(j => (1000L + w * 100 + r * 10 + j, s"w$w-r$r"))
+                .toDF("key", "v"),
+              Seq("key"), nBuckets = 4, keepSnapshots = 2, maxRetries = 64)
+          }
+        }
+      }
+      futs.foreach(Await.result(_, 600.seconds))
+      val out = Upsert.readManifestTable(spark, path)
+        .select("key", "v").as[(Long, String)].collect().toMap
+      for (w <- 0 until writers; r <- 0 until rounds; j <- 0 until 5)
+        assert(out(1000L + w * 100 + r * 10 + j) == s"w$w-r$r",
+          s"lost update: writer $w round $r item $j")
+      assert(out.size == 20 + writers * rounds * 5)
+      assert(Upsert.currentSnapshot(spark, path)
+        .contains(f"snap-${writers * rounds}%09d"))
+    } finally Upsert.commitBackend = HadoopFsBackend
+  }
+
   test("nBuckets is persisted in the manifest; a wrong argument cannot mis-prune") {
     val path = mkTarget()
     val rows = (0L until 40L).map(k => (k, s"v$k")).toDF("key", "v")
