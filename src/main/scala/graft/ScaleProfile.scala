@@ -190,6 +190,37 @@ object ScaleProfile {
       val su = median3(topkSalted(out))
       val ss = median3(topkSalted(skewDir))
       println(f"SKEW  topk_per_key_salted      uniform=$su%6.2f s  skew=$ss%6.2f s  ratio=${ss / su}%5.2f")
+
+      // Deeper tier — 2.5M events (25× sf0.1), hot user at 1.25M rows:
+      // at the 500k tier the hot task is too small to outrun job
+      // overhead, so the parallelism-collapse signal only shows here.
+      val xl = "/tmp/scale/sf2.5"
+      val xlSkew = "/tmp/scale/sf2.5-skew"
+      if (!new java.io.File(s"$xlSkew/events.parquet").isDirectory) {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev5 = spark.read.parquet(s"$out/events.parquet")
+        val big = (0 until 5).map(i => ev5
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+          .withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+        big.write.mode("overwrite").parquet(s"$xl/events.parquet")
+        big.withColumn("user_id",
+            when(pmod(xxhash64(col("event_id")), lit(2)) === 0, lit(1L))
+              .otherwise(col("user_id")))
+          .write.mode("overwrite").parquet(s"$xlSkew/events.parquet")
+        System.err.println("[scale] derived sf2.5 uniform + skew events (2.5M rows)")
+      }
+      ps.foreach(q => time(q, xl))
+      ps.foreach(q => time(q, xlSkew))
+      ps.foreach { q =>
+        val tu = median3(time(q, xl))
+        val ts = median3(time(q, xlSkew))
+        println(f"SKEWXL $q%-23s uniform=$tu%6.2f s  skew=$ts%6.2f s  ratio=${ts / tu}%5.2f")
+      }
+      topkSalted(xl); topkSalted(xlSkew)
+      val su2 = median3(topkSalted(xl))
+      val ss2 = median3(topkSalted(xlSkew))
+      println(f"SKEWXL topk_per_key_salted     uniform=$su2%6.2f s  skew=$ss2%6.2f s  ratio=${ss2 / su2}%5.2f")
       spark.stop()
       return
     }
