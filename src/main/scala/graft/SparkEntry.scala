@@ -887,6 +887,11 @@ object SparkEntry {
     "collocations" -> ((s, dir) =>
       TextAnalysis.collocations(Tables.documents(s, dir), "text", minCount = 5)),
 
+    // Quantized unigram surprisal (CCNet-style LM-quality signal, exact
+    // integer log2 — see TextAnalysis.surprisal).
+    "surprisal_score" -> ((s, dir) =>
+      TextAnalysis.surprisal(Tables.documents(s, dir), "doc_id", "text")),
+
     // Corpus vocabulary stats: top 20 terms by document frequency
     // (stopword discovery / vocabulary pruning for tokenizer training).
     "top_terms" -> ((s, dir) =>
@@ -2477,6 +2482,22 @@ object SparkEntry {
         |JOIN uni ub ON ub.tok = bi.b
         |CROSS JOIN tots CROSS JOIN mt
         |WHERE bi.c_ab >= 5""".stripMargin,
+
+    // Mirrors TextAnalysis.surprisal exactly: per-token floor(log2(N // c))
+    // = length(bin(N // c)) - 1 (pure integers — the quantization is what
+    // makes the score engine-portable); per-doc mean in millibits/token.
+    "surprisal_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT COUNT(*) AS n FROM tok)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  CAST((SUM(length(bin(n // c)) - 1) * 1000) // COUNT(*) AS BIGINT)
+        |    AS surprisal_milli
+        |FROM tok JOIN vocab USING (t) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
 
     "top_terms" ->
       """SELECT term, COUNT(*) AS df FROM (

@@ -120,6 +120,10 @@ object F {
       mod: Long = 1000000007L): Column =
     Glue.column(PolyFingerprint(Glue.expression(words), wordMul, docMul, mod))
 
+  /** `floor(log2(x))` of a positive bigint in pure integer arithmetic —
+    * NULL for x ≤ 0 (see [[IntLog2]]). */
+  def intLog2(c: Column): Column = Glue.column(IntLog2(Glue.expression(c)))
+
   /** Empty string → null (used to reproduce the reference's
     * "suffix only when color is non-empty" semantics, `:198-199`). */
   def emptyToNull(c: Column): Column = when(c === lit(""), lit(null)).otherwise(c)

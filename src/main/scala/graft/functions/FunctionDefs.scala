@@ -72,6 +72,9 @@ object FunctionDefs {
     ("mix64",
       "mix64(str) - engine-portable 64-bit string hash (poly31 fold + splitmix64)",
       es => Mix64Str(es.head)),
+    ("int_log2",
+      "int_log2(x) - floor(log2(x)) of a positive bigint; NULL for x <= 0",
+      es => IntLog2(es.head)),
     ("bloom_might_contain",
       "bloom_might_contain(bloom, hash64) - probe a hash against a serialized Bloom filter literal",
       es => BloomMightContain(es(0), es(1))),

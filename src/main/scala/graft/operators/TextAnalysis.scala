@@ -467,4 +467,46 @@ object TextAnalysis {
         graft.functions.F.liftPermille(
           col("c_ab"), col("c_a"), col("c_b"), n, m).as("lift_permille"))
   }
+
+  /** Quantized unigram surprisal — the CCNet-style LM-perplexity quality
+    * signal approximated with a corpus unigram model, in EXACT integer
+    * arithmetic. Per token occurrence the surprisal is
+    * `floor(log2(N / c(w)))` bits (`N` total tokens, `c(w)` the token's
+    * corpus count, integer division, integer log2 via
+    * [[graft.functions.IntLog2]] — no libm); per document the score is the
+    * mean in millibits/token: `surprisal_milli = Σbits·1000 div n_tok`.
+    * High = rare-token-heavy (noise/gibberish candidates at the filter
+    * tail), low = common-token/repetitive — the same two-sided cut CCNet
+    * makes on LM perplexity, with the quantization making the score
+    * bit-identical across engines (oracle: `length(bin(N // c)) − 1`).
+    * Returns `(doc_id, n_tok, surprisal_milli)`; token-less documents are
+    * absent (no tokens ⇒ no model support).
+    *
+    * Scale shape — two corpus passes, the inherent minimum for
+    * train-then-score (CCNet trains its LM, then scores with it): pass 1
+    * builds the vocabulary aggregate (token-keyed, map-side combined,
+    * bounded by vocab size — PERSISTED, and the corpus total is one
+    * action over it, same discipline as [[collocations]]); pass 2 streams
+    * the token rows through a BROADCAST join against that vocabulary and
+    * the doc_id aggregate (map-side combined) is the only non-broadcast
+    * shuffle. No token-keyed join of the corpus against itself; a hot
+    * token costs one vocab row, not a fan-out (PlanSpec pins the shape:
+    * broadcast join, no SortMergeJoin, one parquet scan in the scoring
+    * plan). */
+  def surprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c")).persist()
+    val totals = vocab.agg(sum("c")).head() // null, not NPE, on empty corpus
+    val n = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    // n == 0 ⇒ tok has no rows and the join below is trivially empty —
+    // the 0-literal never reaches intLog2 on a live row.
+    tok.join(broadcast(vocab), Seq("t"))
+      .select(col("doc_id"),
+        graft.functions.F.intLog2(expr(s"${n}L div c")).as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        expr("sum(bits) * 1000 div count(1)").as("surprisal_milli"))
+  }
 }

@@ -351,6 +351,22 @@ class PlanSpec extends SparkSpecBase {
     assert(smj.isEmpty, "token-keyed sort-merge join (hot-token skew risk)")
   }
 
+  test("surprisal_score: vocab broadcasts back; scoring plan scans the corpus once") {
+    val nodes = collectAll(plan("surprisal_score"))
+    // the (token -> count) vocabulary joins back via broadcast — a hot
+    // token costs one vocab row, never a token-keyed sort-merge fan-out
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      s"vocab join not broadcast:\n${plan("surprisal_score")}")
+    assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")),
+      "token-keyed sort-merge join (hot-token skew risk)")
+    // the vocabulary (and its corpus-total action) is persisted — the
+    // SCORING plan itself reads the corpus exactly once; a second parquet
+    // scan here means the vocab or total re-derived the tokenize lineage
+    val scans = nodes.count(_.nodeName.toLowerCase.contains("scan parquet"))
+    assert(scans <= 1, s"corpus scanned $scans times in the scoring plan " +
+      s"— vocab/total must come from the persisted aggregate:\n${plan("surprisal_score")}")
+  }
+
   test("decon_bloom: the bloom probe is a scan-stage filter, upstream of any exchange") {
     // the codegen'd bloom_might_contain must run in the same stage as the
     // shingle explode — candidates are pruned BEFORE anything shuffles

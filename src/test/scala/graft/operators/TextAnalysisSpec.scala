@@ -359,4 +359,24 @@ class TextAnalysisSpec extends SparkSpecBase {
         s"corpus scanned ${scanStages.get()} times; collocations must tokenize once")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("surprisal: hand-computed quantized bits; token-less docs absent") {
+    // corpus: N=7 tokens; c(a)=4, c(b)=2, c(c)=1
+    // bits: a -> floor(log2(7 div 4)) = 0; b -> floor(log2(3)) = 1;
+    //       c -> floor(log2(7)) = 2
+    val df = Seq((1L, "a a a b"), (2L, "a b c"), (3L, ""), (4L, "  "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.surprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: (0+0+0+1)*1000 div 4 = 250; doc 2: (0+1+2)*1000 div 3 = 1000
+    assert(out == Map(1L -> ((4L, 250L)), 2L -> ((3L, 1000L))), out.toString)
+  }
+
+  test("int_log2: exact integer floor-log2; NULL at and below zero") {
+    val vals = Seq(-5L, 0L, 1L, 2L, 3L, 1023L, 1024L, Long.MaxValue).toDF("x")
+    val got = vals.select(graft.functions.F.intLog2(col("x")).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got == Seq(None, None, Some(0L), Some(1L), Some(1L),
+      Some(9L), Some(10L), Some(62L)), got.toString)
+  }
 }
