@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   *         rebuild its idmap) — one file per cell after
   *     neardup-compact <indexPath>
   *         collapse per-batch appends in the MinHash sigs/bands tables
+  *     table-compact <targetPath> [--keys k1,k2] [--zorder c1,c2]
+  *                   [--target-file-rows N] [--rebucket N]
+  *         full rewrite of a merge target: resize files, optionally
+  *         re-bucket to a count that fits the data, and with --zorder,
+  *         Morton-cluster the rewrite so file-stats pruning works on
+  *         every named dimension (Delta OPTIMIZE ZORDER's role)
   *     vacuum <targetPath> [--keep-snapshots 1]
   *         expire retained snapshots of a merge target NOW (compliance
   *         erasure horizon; also the post-incident storage reclaim)
@@ -41,8 +47,9 @@ object RunMaintain {
     * pattern). */
   def run(spark: SparkSession, args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: RunMaintain <ivf-compact|neardup-compact|vacuum|snapshots> <path> " +
-        "[--id-col c] [--keep-snapshots n]")
+      "usage: RunMaintain <ivf-compact|neardup-compact|table-compact|vacuum|snapshots> " +
+        "<path> [--id-col c] [--keep-snapshots n] [--keys k1,k2] " +
+        "[--zorder c1,c2] [--target-file-rows n]")
     val action = args(0)
     val path = args(1)
     val opts = args.drop(2).sliding(2, 2).collect {
@@ -56,6 +63,15 @@ object RunMaintain {
       case "neardup-compact" =>
         operators.Dedup.compactNearDupIndex(spark, path)
         System.err.println(s"[maintain] near-dup index compacted: $path")
+      case "table-compact" =>
+        def csv(k: String): Seq[String] = opts.get(k).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        operators.Upsert.compactManifestBucketedParquet(spark, path,
+          keys = csv("--keys"), zorderCols = csv("--zorder"),
+          targetFileRows = opts.get("--target-file-rows").map(_.toLong)
+            .getOrElse(1L << 20),
+          newNBuckets = opts.get("--rebucket").map(_.toInt))
+        System.err.println(s"[maintain] table compacted: $path")
       case "vacuum" =>
         val keep = opts.get("--keep-snapshots").map(_.toInt).getOrElse(1)
         operators.Upsert.vacuum(spark, path, keep)
@@ -64,8 +80,8 @@ object RunMaintain {
         // stdout, one per line — scriptable (the err stream carries logs)
         operators.Upsert.snapshots(spark, path).foreach(println)
       case other =>
-        throw new IllegalArgumentException(
-          s"unknown action '$other' (ivf-compact | neardup-compact | vacuum)")
+        throw new IllegalArgumentException(s"unknown action '$other' " +
+          "(ivf-compact | neardup-compact | table-compact | vacuum | snapshots)")
     }
   }
 }

@@ -124,6 +124,7 @@ object F {
     * NULL for x ≤ 0 (see [[IntLog2]]). */
   def intLog2(c: Column): Column = Glue.column(IntLog2(Glue.expression(c)))
 
+
   /** Empty string → null (used to reproduce the reference's
     * "suffix only when color is non-empty" semantics, `:198-199`). */
   def emptyToNull(c: Column): Column = when(c === lit(""), lit(null)).otherwise(c)

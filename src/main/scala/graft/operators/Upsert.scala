@@ -621,20 +621,37 @@ object Upsert {
 
   /** Read a manifest-bucketed target, optionally pruned to `buckets` —
     * pruning selects manifest ENTRIES, so unneeded files are never listed,
-    * let alone scanned. A committed-but-empty table (or a prune that hits
-    * only emptied buckets) reads as an empty frame with the recorded
-    * schema. */
+    * let alone scanned — and/or to `ranges` over the manifest's per-file
+    * min/max stats ([[FileStats]], round 10): a file whose recorded
+    * interval cannot intersect every range is dropped BEFORE Spark lists
+    * or opens it. Stats pruning is always sound: a column with no
+    * recorded stats (legacy manifest, unsupported type) never prunes, and
+    * the caller's own `.where` still applies row-level. A
+    * committed-but-empty table (or a prune that hits only emptied
+    * buckets / out-of-range files) reads as an empty frame with the
+    * recorded schema. */
   def readManifestTable(spark: SparkSession, targetPath: String,
-      buckets: Option[Seq[Int]] = None): DataFrame =
+      buckets: Option[Seq[Int]] = None,
+      ranges: Seq[FileStats.ColRange] = Nil): DataFrame =
     manifestBody(spark, targetPath, None) match {
       case None =>
         throw new IllegalStateException(s"no committed data under $targetPath")
       case Some(body) =>
         val manifest = parseManifestEntries(body)
-        val wanted = (buckets match {
+        val wantedRel = buckets match {
           case Some(bs) => bs.flatMap(b => manifest.getOrElse(b, Nil))
           case None => manifest.values.flatten.toSeq
-        }).map(resolveEntry(targetPath, _))
+        }
+        val kept =
+          if (ranges.isEmpty) wantedRel
+          else {
+            val (k, pruned) = FileStats.split(FileStats.parse(body), wantedRel, ranges)
+            if (pruned.nonEmpty) // observability: never silently narrow a scan
+              System.err.println(s"[graft] file-stats pruning dropped " +
+                s"${pruned.size}/${wantedRel.size} files of $targetPath")
+            k
+          }
+        val wanted = kept.map(resolveEntry(targetPath, _))
         if (wanted.nonEmpty) spark.read.parquet(wanted: _*)
         else emptyFromManifest(spark, body, s"committed state of $targetPath")
     }
@@ -664,7 +681,8 @@ object Upsert {
       insertOnlyCols: Set[String] = Set.empty,
       refreshExprs: Map[String, org.apache.spark.sql.Column] = Map.empty,
       keepSnapshots: Int = 1,
-      maxRetries: Int = 5): Unit = {
+      maxRetries: Int = 5,
+      statsCols: Seq[String] = Nil): Unit = {
     require(!updates.columns.contains("__bucket"), "updates must not carry __bucket")
     require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
     var wasted = 0 // no-progress failures only; see chargeRetry
@@ -689,7 +707,8 @@ object Upsert {
       val nextId = current.map(s => idOf(s, "snap-").get + 1).getOrElse(0L)
       try {
         commitSnapshot(spark, targetPath, merged, touched.toIndexedSeq,
-          manifest, keys, nextId, keepSnapshots, Some("__bucket"), effN)
+          manifest, keys, nextId, keepSnapshots, Some("__bucket"), effN,
+          statsCols = statsCols)
         committed = true
       } catch {
         case e: CommitConflictException =>
@@ -850,7 +869,10 @@ object Upsert {
     *   partitions' entry lists (incremental index append); false = they
     *   REPLACE them (merge/delete rewrite).
     * @param nBuckets recorded in the manifest so later jobs can recover
-    *   the layout's bucket count (0 = not a hash-bucketed table). */
+    *   the layout's bucket count (0 = not a hash-bucketed table).
+    * @param statsCols extra columns (beyond `sortCols`) to record per-file
+    *   min/max stats for (see [[FileStats]]); supported-type columns only
+    *   — others are skipped, never an error. */
   private[graft] def commitSnapshot(
       spark: SparkSession,
       targetPath: String,
@@ -862,7 +884,9 @@ object Upsert {
       keepSnapshots: Int,
       partCol: Option[String] = Some("__bucket"),
       nBuckets: Int = 0,
-      appendEntries: Boolean = false): Unit = {
+      appendEntries: Boolean = false,
+      statsCols: Seq[String] = Nil,
+      preClustered: Boolean = false): Unit = {
     val root = new Path(targetPath)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(hadoopConf)
@@ -884,12 +908,17 @@ object Upsert {
     // partitions' rows buys ~one file per partition per run, and makes
     // sortWithinPartitions a TRUE per-partition key sort for row-group
     // pruning (round 9 — surfaced by the idmap erasure profile).
+    // preClustered (round 10): the caller already owns the physical
+    // layout — e.g. compactManifestBucketedParquet's range partitioning
+    // over (__bucket, zvalue) — and the default cluster-by-bucket +
+    // key-sort here would destroy it.
     val clustered = partCol match {
-      case Some(pc) => rows.repartition(col(pc))
-      case None => rows
+      case Some(pc) if !preClustered => rows.repartition(col(pc))
+      case _ => rows
     }
     val sorted =
-      if (sortCols.nonEmpty) clustered.sortWithinPartitions(sortCols.map(col): _*)
+      if (sortCols.nonEmpty && !preClustered)
+        clustered.sortWithinPartitions(sortCols.map(col): _*)
       else clustered // key-sorted files: parquet row-group stats prune lookups
     partCol match {
       case Some(pc) =>
@@ -921,11 +950,32 @@ object Upsert {
       b -> (if (appendEntries) manifest.getOrElse(b, Nil) ++ fresh else fresh)
     }.toMap
     val snapName = f"snap-$nextId%09d"
+    // Per-file min/max stats (round 10, see [[FileStats]]): footer reads
+    // of THIS run's new files only — untouched buckets carry their prior
+    // entries forward (files are immutable, so any committed manifest's
+    // stats for a path stay valid regardless of which snapshot wins a
+    // race). Driver metadata I/O, O(new files), same cost class as the
+    // listing above.
+    val statsWanted = (sortCols ++ statsCols).distinct
+      .filterNot(partCol.contains(_))
+    val referenced = nextManifest.values.flatten.toSet
+    val statsField: Option[String] = if (statsWanted.isEmpty) None else {
+      val fresh = FileStats.collect(hadoopConf,
+        newEntries.values.flatten.filter(referenced).toSeq.distinct
+          .map(rel => rel -> resolveEntry(targetPath, rel)), statsWanted)
+      val carried = manifestBody(spark, targetPath, None)
+        .map(FileStats.parse).getOrElse(Map.empty)
+      val merged = (carried ++ fresh).filter { case (rel, s) =>
+        referenced(rel) && s.nonEmpty }
+      if (merged.isEmpty) None
+      else Some(s""""file_stats": {${FileStats.encode(merged)}}""")
+    }
     // schema_ddl makes a FULLY-ERASED table (every entry empty) still
     // readable as an empty frame with the right schema (ADVICE r7).
     val ddl = rows.schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
     val json = (Seq(s""""attempt": "$attempt"""",
       s""""nBuckets": $nBuckets""", s""""schema_ddl": "$ddl"""") ++
+      statsField.toSeq ++
       nextManifest.toSeq.sortBy(_._1).map { case (b, files) =>
         s""""$b": [${files.map(f => "\"" + f + "\"").mkString(",")}]"""
       }).mkString("{", ",", "}")
@@ -1199,6 +1249,116 @@ object Upsert {
             if racedSince(spark, targetPath, current) =>
           wasted = 0 // productive: the table advanced (see chargeRetry)
           System.err.println(s"[graft] delete attempt on $targetPath failed " +
+            s"under a concurrent commit (${e.getClass.getSimpleName}); retrying")
+      }
+    }
+  }
+
+  /** Compact a manifest-bucketed target: one full rewrite that (a)
+    * re-sizes files toward `targetFileRows`, (b) optionally RE-BUCKETS
+    * the table (`newNBuckets` — the layout fix when the original bucket
+    * count no longer fits the data: 256 tiny files on a small table, or
+    * monster buckets after 1000 merges of growth; the new count is
+    * recorded in the manifest and WINS for every later merge), and (c)
+    * optionally Z-ORDER clusters the rewrite — the same compact/cluster
+    * maintenance Delta's OPTIMIZE ... ZORDER BY runs, reduced to this
+    * layout.
+    *
+    * With `zorderCols`, rows are mapped onto the Morton curve
+    * ([[Layout.zorderKey]]) after scaling each column to the curve's bit
+    * budget by its GLOBAL min/max (one agg; NULL coordinates pin to slot
+    * 0), then range-partitioned by `(__bucket, zvalue)` — so every
+    * output file covers a narrow range of EVERY clustered dimension and
+    * the manifest's [[FileStats]] (recorded for `zorderCols` ++ `keys`)
+    * prune range reads on any of them. Without `zorderCols`, files are
+    * key-sorted (lookup-friendly row-group stats, same as merge).
+    *
+    * Participates in the same optimistic commit protocol as merge/delete:
+    * concurrent writers are safe, losers retry against the new state with
+    * the progress-aware budget. Scale shape: one full-table read + one
+    * range exchange (with its sampling pass) + one commit — strictly a
+    * maintenance-cadence cost, never on the ingest path. */
+  def compactManifestBucketedParquet(
+      spark: SparkSession,
+      targetPath: String,
+      keys: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil,
+      targetFileRows: Long = 1L << 20,
+      newNBuckets: Option[Int] = None,
+      keepSnapshots: Int = 1,
+      maxRetries: Int = 5): Unit = {
+    require(targetFileRows > 0, "targetFileRows must be positive")
+    require(zorderCols.isEmpty || zorderCols.size >= 2 && zorderCols.size <= 4,
+      "zorderCols must name 2..4 columns (one column is just a sort: pass keys)")
+    require(newNBuckets.forall(_ > 0), "newNBuckets must be positive")
+    require(newNBuckets.isEmpty || keys.nonEmpty,
+      "re-bucketing needs the merge keys (the bucket hash is over them)")
+    var wasted = 0
+    var committed = false
+    while (!committed) {
+      val current = repairPointer(spark, targetPath)
+      val oldManifest = readBucketManifestRaw(spark, targetPath, current)
+      if (oldManifest.isEmpty || oldManifest.values.forall(_.isEmpty)) return
+      val read = readManifestTable(spark, targetPath)
+      val table = newNBuckets match {
+        case Some(n) => read.drop("__bucket").withColumn("__bucket",
+          pmod(xxhash64(keys.map(col): _*), lit(n)).cast("int"))
+        case None => read
+      }
+      val total = table.count()
+      if (total == 0L) return
+      val nParts = math.max(1, math.ceil(total.toDouble / targetFileRows).toInt)
+      val bucketCol = col("__bucket")
+      val clustered =
+        if (zorderCols.nonEmpty) {
+          val aggs = zorderCols.flatMap(c =>
+            Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+          val mm = table.agg(aggs.head, aggs.tail: _*).head()
+          // row layout: min(c0), max(c0), min(c1), max(c1), ...
+          def bounds(i: Int): (Double, Double) =
+            (if (mm.isNullAt(2 * i)) 0d else mm.getDouble(2 * i),
+              if (mm.isNullAt(2 * i + 1)) 0d else mm.getDouble(2 * i + 1))
+          val bits = math.min(16, 63 / zorderCols.size)
+          val top = (1L << bits) - 1L
+          val scaled = zorderCols.zipWithIndex.map { case (c, i) =>
+            val (lo, hi) = bounds(i)
+            if (!(hi > lo)) lit(0L) // constant or all-null dimension
+            else coalesce( // NULL coordinate -> curve slot 0
+              least(lit(top), greatest(lit(0L),
+                ((col(c).cast("double") - lit(lo)) * lit(top.toDouble / (hi - lo)))
+                  .cast("long"))),
+              lit(0L))
+          }
+          table.withColumn("__z", Layout.zorderKey(scaled, bits))
+            .repartitionByRange(nParts, bucketCol, col("__z"))
+            .sortWithinPartitions(bucketCol, col("__z"))
+            .drop("__z") // projection keeps partition-local order
+        } else {
+          val order = bucketCol +: keys.map(col)
+          table.repartitionByRange(nParts, order: _*)
+            .sortWithinPartitions(order: _*)
+        }
+      // a re-bucket is a FULL re-mapping: every new bucket id is touched
+      // and the base manifest is empty, so stale old-bucket entries (and
+      // their files) drop out of the new snapshot entirely
+      val (touched, baseManifest) = newNBuckets match {
+        case Some(n) => ((0 until n): Seq[Int], Map.empty[Int, Seq[String]])
+        case None => (oldManifest.keySet.toSeq.sorted, oldManifest)
+      }
+      val nextId = current.map(s => idOf(s, "snap-").get + 1).getOrElse(0L)
+      try {
+        commitSnapshot(spark, targetPath, clustered, touched, baseManifest,
+          keys, nextId, keepSnapshots, Some("__bucket"),
+          newNBuckets.orElse(storedNBuckets(spark, targetPath)).getOrElse(0),
+          statsCols = zorderCols, preClustered = true)
+        committed = true
+      } catch {
+        case e: CommitConflictException =>
+          wasted = chargeRetry(spark, targetPath, current, wasted, maxRetries, e)
+        case scala.util.control.NonFatal(e)
+            if racedSince(spark, targetPath, current) =>
+          wasted = 0 // productive: the table advanced (see chargeRetry)
+          System.err.println(s"[graft] compact attempt on $targetPath failed " +
             s"under a concurrent commit (${e.getClass.getSimpleName}); retrying")
       }
     }
