@@ -892,6 +892,19 @@ object SparkEntry {
     "surprisal_score" -> ((s, dir) =>
       TextAnalysis.surprisal(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Link-centrality source weighting: exact fixed-point PageRank over
+    // the bipartite user <-> item interaction graph (item nodes offset by
+    // 1e6; both arc directions so mass circulates). Top 50 central nodes.
+    "pagerank" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        (get_json_object(col("props"), "$.k").cast("long") + lit(1000000L))
+          .as("item"))
+      val edges = ev.select(col("user_id").as("src"), col("item").as("dst"))
+        .union(ev.select(col("item").as("src"), col("user_id").as("dst")))
+      Graph.pageRank(edges, "src", "dst", iterations = 8)
+        .orderBy(col("rank").desc, col("node")).limit(50)
+    }),
+
     // Corpus vocabulary stats: top 20 terms by document frequency
     // (stopword discovery / vocabulary pruning for tokenizer training).
     "top_terms" -> ((s, dir) =>
@@ -2482,6 +2495,20 @@ object SparkEntry {
         |JOIN uni ub ON ub.tok = bi.b
         |CROSS JOIN tots CROSS JOIN mt
         |WHERE bi.c_ab >= 5""".stripMargin,
+
+    // Full-algorithm mirror: Graph.pageRankSql unrolls the same 8
+    // fixed-point iterations as chained CTEs — identical integer
+    // truncation points give bit-identical ranks.
+    "pagerank" ->
+      (Graph.pageRankSql(
+        """SELECT user_id AS src,
+          |  1000000 + CAST(json_extract(props, '$.k') AS BIGINT) AS dst
+          |FROM events
+          |UNION
+          |SELECT 1000000 + CAST(json_extract(props, '$.k') AS BIGINT),
+          |  user_id
+          |FROM events""".stripMargin, iterations = 8) +
+        "\nORDER BY rank DESC, node LIMIT 50"),
 
     // Mirrors TextAnalysis.surprisal exactly: per-token floor(log2(N // c))
     // = length(bin(N // c)) - 1 (pure integers — the quantization is what

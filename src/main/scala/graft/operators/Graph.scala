@@ -368,4 +368,85 @@ object Graph {
         .select(col("id"), col("__newc").as("component")), None)
     })
   }
+
+  /** PageRank in EXACT fixed-point integer arithmetic — link-graph
+    * centrality for corpus curation (web-corpus pipelines weight crawl
+    * frontiers and source quality by link centrality; the same signal
+    * ranks sources/pages before sampling). Every rank is an integer in
+    * units of `scale⁻¹` (default micro-ranks): iteration is
+    * `rank'(v) = (1000−d)·scale div 1000 + d·Σ_{u→v}(rank(u) div deg(u))
+    * div 1000` with damping `d` in permille — divisions TRUNCATE, and
+    * because sums of integers are order-independent and the truncation
+    * points are fixed, every engine computes bit-identical ranks (the
+    * DuckDB oracle unrolls the same iterations as chained CTEs via
+    * [[pageRankSql]]). The deliberate trade is the one this repo makes
+    * everywhere (TV-not-KL, lift-not-PMI, int-log2-not-ln): no libm
+    * float in the fixpoint, so the result is engine-exact at any scale.
+    * Truncated remainders and dangling-node mass (no out-edges) simply
+    * leave the system — ranks are a RANKING signal, not a probability
+    * distribution; both engines lose identical mass.
+    *
+    * Scale shape: `iterations` rounds, each ONE join of the edge table
+    * against the vocab-sized (node, share) table — broadcastable when
+    * nodes ≪ edges, else a src-keyed shuffle — plus one map-side-combined
+    * dst-keyed sum; per-round state is (node, rank), lineage truncated by
+    * `localCheckpoint` per round exactly like the CC loop above (each
+    * round one job, no exponential plan growth). Hub in-degree skew is
+    * absorbed by the partial aggregation: a 10M-in-link hub receives one
+    * combined partial per upstream partition, not 10M rows. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 8, dampingPermille: Long = 850L,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 0 && dampingPermille >= 0 && dampingPermille <= 1000)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).where(
+      col("src").isNotNull && col("dst").isNotNull).distinct()
+    val vertices = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint() // reused every round: compute the node set once
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val base = (1000L - dampingPermille) * scale / 1000L
+    var ranks = vertices.withColumn("rank", lit(scale))
+    var i = 0
+    while (i < iterations) {
+      val shares = ranks.join(outdeg, Seq("node"))
+        .select(col("node").as("src"), expr("rank div deg").as("share"))
+      val inSum = e.join(shares, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share")).as("s"))
+      ranks = vertices.join(inSum, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"$dampingPermille * coalesce(s, 0L) div 1000"))
+            .as("rank"))
+        .localCheckpoint() // one job per round; see CC loop note
+      i += 1
+    }
+    ranks
+  }
+
+  /** The DuckDB mirror of [[pageRank]]: the same fixed-point iterations
+    * unrolled as chained CTEs over an `edges(src, dst)` CTE the caller
+    * supplies as `edgesSql`. Same integer truncation points ⇒ identical
+    * ranks — what makes a full-algorithm oracle possible for an
+    * iterative operator. */
+  def pageRankSql(edgesSql: String, iterations: Int = 8,
+      dampingPermille: Long = 850L, scale: Long = 1000000L): String = {
+    val base = (1000L - dampingPermille) * scale / 1000L
+    val rounds = (1 to iterations).map { k =>
+      s"""pr$k AS (SELECT v.node,
+         |  $base + ($dampingPermille * COALESCE(c.s, 0)) // 1000 AS rank
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(p.rank // o.deg) AS s
+         |    FROM e JOIN pr${k - 1} p ON p.node = e.src
+         |    JOIN outdeg o ON o.node = e.src
+         |    GROUP BY e.dst) c ON c.node = v.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |verts AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |outdeg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+       |pr0 AS (SELECT node, $scale AS rank FROM verts),
+       |$rounds
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr$iterations""".stripMargin
+  }
 }

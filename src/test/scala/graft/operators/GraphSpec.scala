@@ -340,4 +340,34 @@ class GraphSpec extends SparkSpecBase {
     incremental.filterNot { case (id, _) => oneShot.contains(id) }
       .foreach { case (id, label) => assert(label == id, s"singleton $id -> $label") }
   }
+
+  test("pageRank: hand-computed fixed-point iterations; truncation exact") {
+    // 1→2, 2→1, 3→1; scale 1000, damping 850‰, base = 150
+    // iter1: r1 = 150 + 850·2000 div 1000 = 1850; r2 = 1000; r3 = 150
+    // iter2: r1 = 150 + 850·1150 div 1000 = 150 + 977 = 1127 (977.5 TRUNCATES)
+    //        r2 = 150 + 850·1850 div 1000 = 150 + 1572 = 1722; r3 = 150
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val r2 = Graph.pageRank(edges, "src", "dst", iterations = 2,
+      scale = 1000L).as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1127L, 2L -> 1722L, 3L -> 150L), r2.toString)
+    // zero iterations: every node at scale
+    val r0 = Graph.pageRank(edges, "src", "dst", iterations = 0,
+      scale = 1000L).as[(Long, Long)].collect().toMap
+    assert(r0 == Map(1L -> 1000L, 2L -> 1000L, 3L -> 1000L))
+    // mass never exceeds the starting total (truncation + dangling only
+    // LOSE mass); a sink-heavy graph still ranks the sink highest
+    val star = (2L to 20L).map(i => (i, 1L)).toDF("src", "dst")
+    val rs = Graph.pageRank(star, "src", "dst", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(rs.values.sum <= 20L * 1000000L)
+    assert(rs(1L) == rs.values.max)
+    // duplicate edge rows don't double-count (edge set, not multigraph)
+    val dup = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val rd = Graph.pageRank(dup, "src", "dst", iterations = 3,
+      scale = 1000L).as[(Long, Long)].collect().toMap
+    val rclean = Graph.pageRank(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+      "src", "dst", iterations = 3, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(rd == rclean)
+  }
 }
