@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Bpe, Cardinality, Clustering, Decontaminate, Dedup, Embeddings, Extract, Frequencies, Graph, Ivf, Joins, Multimodal, Quantiles, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.{Bpe, Cardinality, Clustering, Decontaminate, Dedup, Embeddings, Extract, Frequencies, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -999,6 +999,19 @@ object SparkEntry {
       recallVsExact(
         Similarity.bruteForceTopK(queries, emb, k = 5),
         Similarity.binaryRerankTopK(queries, emb, k = 5, dim = 64,
+          candidates = 30))
+    }),
+
+    // PQ-ADC recall at the same tight 30-candidate budget as the binary
+    // tier — seed codebooks (first-16 subvectors) keep assignment + ADC
+    // SQL-mirrorable; the trained-codebook path is covered in PqSpec.
+    "pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 20)
+      val cb = Pq.seedCodebooks(emb, m = 8, ksub = 16)
+      recallVsExact(
+        Similarity.bruteForceTopK(queries, emb, k = 5),
+        Pq.pqRerankTopK(queries, emb, k = 5, codebooks = cb,
           candidates = 30))
     }),
 
@@ -2692,6 +2705,13 @@ object SparkEntry {
     // ann_binary's Hamming-prefilter mirror at the TIGHT candidate budget
     // (30), spliced with the exact brute-force ranking into the recall
     // combinator — same shape as lsh_recall's splice-of-mirrors.
+    // Full-algorithm PQ mirror (see Pq.pqRecallSql): list_distance
+    // assignment with ties to the lower codeword, list_inner_product ADC
+    // summed in subspace order — the expressions' exact computation.
+    "pq_recall" ->
+      Pq.pqRecallSql(m = 8, dsub = 8, ksub = 16, nQueries = 20,
+        candidates = 30, k = 5),
+
     "binary_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |sig AS (SELECT vec_id,

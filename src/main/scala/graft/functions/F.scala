@@ -109,6 +109,17 @@ object F {
   def randomProject(vec: Column, outDim: Int, seed: Long, dim: Int): Column =
     Glue.column(RandomProject(Glue.expression(vec), outDim, seed, dim))
 
+  /** 1-based product-quantization codes of a vector column (argmin-L2 per
+    * subspace over literal codebooks; see [[PqCodes]]). */
+  def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    Glue.column(PqCodes(Glue.expression(vec), codebooks))
+
+  /** Asymmetric-distance PQ score of a full-precision query against a
+    * codes column (see [[PqAdc]]). */
+  def pqAdc(queryVec: Column, codes: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): Column =
+    Glue.column(PqAdc(Glue.expression(queryVec), Glue.expression(codes), codebooks))
+
   /** Ids of the `nprobe` nearest (cosine) centroids for a vector column
     * (see [[NearestCentroids]]). */
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =

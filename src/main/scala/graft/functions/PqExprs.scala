@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Product-quantization kernels (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011): split a `dim` vector into `m`
+  * contiguous subspaces of `dim/m` components, quantize each subspace to
+  * one of `ksub` codewords, and score candidates ASYMMETRICALLY — the
+  * query stays full-precision, the corpus side is `m` small integers.
+  * The codebooks (m × ksub × dsub doubles) ride inside the expressions
+  * like [[NearestCentroids]]' centroid table: driver metadata broadcast
+  * with the plan.
+  *
+  * Engine-portability discipline (what makes the `pq_recall` oracle
+  * possible): assignment distance is `sqrt(Σ(x−y)²)` folded in ascending
+  * index order in doubles — exactly DuckDB `list_distance` — with ties
+  * broken toward the LOWER codeword index (strict `<` on the running
+  * best), and the ADC score sums per-subspace inner products
+  * (`list_inner_product`) in ascending subspace order. Same fold order +
+  * same tie rule ⇒ bit-identical codes and scores in both engines.
+  */
+object PqOps {
+  @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** 1-based code per subspace (argmin L2 over the subspace's codewords,
+    * lowest index on ties). `cb(mIdx)(j)` is codeword j of subspace mIdx. */
+  def codes(v: ArrayData, vf: Boolean, cb: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cb.length
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val words = cb(mi)
+      val dsub = words(0).length
+      val off = mi * dsub
+      var best = Double.PositiveInfinity
+      var bestJ = 0
+      var j = 0
+      while (j < words.length) {
+        val w = words(j)
+        var s = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = get(v, off + i, vf) - w(i)
+          s += d * d
+          i += 1
+        }
+        val dist = math.sqrt(s) // compare AFTER sqrt: list_distance parity
+        if (dist < best) { best = dist; bestJ = j }
+        j += 1
+      }
+      out(mi) = bestJ + 1 // 1-based, like array_position/list_position
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC: Σ over subspaces (ascending) of dot(query_sub, codeword). */
+  def adc(q: ArrayData, qf: Boolean, codes: ArrayData,
+      cb: Array[Array[Array[Double]]]): Double = {
+    var s = 0.0
+    var mi = 0
+    while (mi < cb.length) {
+      val w = cb(mi)(codes.getInt(mi) - 1)
+      val off = mi * w.length
+      var t = 0.0
+      var i = 0
+      while (i < w.length) { t += get(q, off + i, qf) * w(i); i += 1 }
+      s += t
+      mi += 1
+    }
+    s
+  }
+}
+
+/** `pq_codes(v)` — the vector's `m` 1-based PQ codes (see [[PqOps]]). */
+case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with VectorElemTypes {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+  private lazy val vf = elemIsFloat(child.dataType)
+  private val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    PqOps.codes(v.asInstanceOf[ArrayData], vf, cb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodes", this, classOf[PqCodes].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(v: ArrayData): ArrayData = PqOps.codes(v, vf, cb)
+
+  override protected def withNewChildInternal(c: Expression): PqCodes =
+    copy(child = c)
+}
+
+/** `pq_adc(query_vec, codes)` — asymmetric-distance score (see [[PqOps]]). */
+case class PqAdc(left: Expression, right: Expression,
+    codebooks: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression with VectorElemTypes {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  private lazy val qf = elemIsFloat(left.dataType)
+  private val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(q: Any, c: Any): Any =
+    PqOps.adc(q.asInstanceOf[ArrayData], qf, c.asInstanceOf[ArrayData], cb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+    defineCodeGen(ctx, ev, (q, c) => s"$ref.compute($q, $c)")
+  }
+
+  def compute(q: ArrayData, c: ArrayData): Double = PqOps.adc(q, qf, c, cb)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+}

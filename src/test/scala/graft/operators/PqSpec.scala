@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.functions.F
+
+/** Product-quantized ANN: codes, ADC candidate generation, exact-rerank
+  * tier, and Lloyd training (round 10). */
+class PqSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dim = 16
+  private val m = 4 // dsub = 4
+
+  // deterministic pseudo-random corpus around `centers` cluster seeds
+  private def mkCorpus(n: Int, centers: Int): org.apache.spark.sql.DataFrame = {
+    val rows = (0 until n).map { i =>
+      val c = i % centers
+      val v = (0 until dim).map { d =>
+        val noise = (((i * 1103515245L + d * 12345L) % 1000L) - 500L) / 5000.0f
+        // hashed per-(cluster, dim) sign: clusters get DISTINCT patterns
+        // (a parity pattern would alias clusters c and c+2)
+        val sign = if ((((c * 31L + d) * 2654435761L) >>> 13 & 1L) == 0L) 1.0f else -1.0f
+        sign + noise.toFloat
+      }
+      (i.toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("pqCodes: m 1-based codes; identical vectors encode identically") {
+    val corpus = mkCorpus(40, 4)
+    val cb = Pq.seedCodebooks(corpus, m = m, ksub = 8)
+    assert(cb.size == m && cb.forall(_.size == 8) &&
+      cb.forall(_.forall(_.size == dim / m)))
+    val codes = corpus.select(col("vec_id"),
+      F.pqCodes(col("embedding"), cb).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codes.values.foreach { cs =>
+      assert(cs.size == m)
+      assert(cs.forall(c => c >= 1 && c <= 8), cs.toString)
+    }
+    // the seed vectors themselves encode to their own codeword
+    (0 until 8).foreach { j =>
+      assert(codes(j.toLong) == Seq.fill(m)(j + 1) ||
+        // a seed may tie with an identical-subvector lower seed
+        codes(j.toLong).forall(_ <= j + 1), s"seed $j -> ${codes(j.toLong)}")
+    }
+  }
+
+  test("pqRerankTopK with candidates = corpus gives exactly brute force") {
+    val corpus = mkCorpus(40, 4)
+    val queries = corpus.where($"vec_id" < 5)
+    val cb = Pq.seedCodebooks(corpus, m = m, ksub = 8)
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaPq = Pq.pqRerankTopK(queries, corpus, k = 3, codebooks = cb,
+        candidates = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaPq == exact)
+  }
+
+  test("ADC prefilter keeps a planted near-twin at candidates << corpus") {
+    val corpus = mkCorpus(60, 6)
+    // plant vec 1000 = vec 7 + tiny noise: its ADC codes match vec 7's
+    val twin = corpus.where($"vec_id" === 7L)
+      .select(lit(1000L).as("vec_id"),
+        transform($"embedding", x => x + lit(0.001f)).as("embedding"))
+    val all = corpus.unionByName(twin)
+    val out = Pq.pqRerankTopK(all.where($"vec_id" === 1000L), all, k = 1,
+      codebooks = Pq.seedCodebooks(all, m = m, ksub = 8), candidates = 5)
+    val top = out.select("neighbor_id").as[Long].head()
+    assert(top == 7L, s"expected planted twin 7, got $top")
+  }
+
+  test("Lloyd training never increases quantization error (and shapes hold)") {
+    val corpus = mkCorpus(200, 8).persist()
+    def mse(cb: Seq[Seq[Seq[Double]]]): Double = {
+      val dsub = dim / m
+      corpus.select(F.pqCodes(col("embedding"), cb).as("c"), col("embedding"))
+        .select(posexplode(col("c")).as(Seq("m", "code")), col("embedding"))
+        .as[(Int, Int, Seq[Float])].collect().map { case (mi, code, v) =>
+          val w = cb(mi)(code - 1)
+          (0 until dsub).map(d => math.pow(v(mi * dsub + d) - w(d), 2)).sum
+        }.sum
+    }
+    val seeds = Pq.seedCodebooks(corpus, m = m, ksub = 8)
+    val t1 = Pq.trainCodebooks(corpus, seeds, iters = 1)
+    val t2 = Pq.trainCodebooks(corpus, t1, iters = 1)
+    assert(t1.size == m && t1.forall(_.size == 8))
+    val e0 = mse(seeds); val e1 = mse(t1); val e2 = mse(t2)
+    // Lloyd: assignment + mean re-estimation are both non-increasing steps
+    assert(e1 <= e0 + 1e-9, s"$e0 -> $e1")
+    assert(e2 <= e1 + 1e-9, s"$e1 -> $e2")
+    // training actually moved the codebooks off the raw seeds
+    assert(t1 != seeds)
+    corpus.unpersist()
+  }
+}
