@@ -1221,6 +1221,13 @@ object SparkEntry {
       Multimodal.decodeImageFeatures(
         Multimodal.attachGeneratedImages(Tables.documents(s, dir), "doc_id"))),
 
+    // REAL audio decode (RIFF/WAVE PCM16 byte parse, no codec library):
+    // generated fixtures round-trip through the genuine chunk walker, and
+    // the oracle recomputes every stat from the generator's closed forms.
+    "audio_features" -> ((s, dir) =>
+      Multimodal.decodeAudioFeatures(
+        Multimodal.attachGeneratedAudio(Tables.documents(s, dir), "doc_id"))),
+
     // Set operations at (user, day) grain: days a user clicked AND viewed
     // but did not purchase.
     "set_ops" -> ((s, dir) => {
@@ -2990,6 +2997,21 @@ object SparkEntry {
         |       * (doc_id % 256) AS BIGINT) AS sum_g,
         |  CAST((1 + doc_id % 16) * (1 + (doc_id // 16) % 16)
         |       * ((doc_id * 7) % 256) AS BIGINT) AS sum_b
+        |FROM documents""".stripMargin,
+
+    // Closed forms of Multimodal.generateWav: n = 8 + id%64 samples at
+    // 8000 + (id%4)*4000 Hz, sample i = ((id*31 + i*17) % 2001) - 1000.
+    "audio_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(8 + doc_id % 64 AS BIGINT) AS n_samples,
+        |  CAST((8 + doc_id % 64) * 1000
+        |       // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms,
+        |  CAST(list_max([abs(((doc_id * 31 + i * 17) % 2001) - 1000)
+        |                 for i in range(8 + doc_id % 64)]) AS INTEGER) AS peak,
+        |  CAST(list_sum([((doc_id * 31 + i * 17) % 2001) - 1000
+        |                 for i in range(8 + doc_id % 64)]) AS BIGINT) AS sum_samples
         |FROM documents""".stripMargin,
 
     "set_ops" ->

@@ -121,4 +121,58 @@ class MultimodalSpec extends SparkSpecBase {
       .flatMap(_.getAs[Array[Byte]](2)).map(_.toChar).mkString
     assert(joined == "abcdefgh") // 4 frames x step 2 of a 10-byte payload
   }
+
+  test("WAV decode: generated fixtures round-trip to their closed forms") {
+    Seq(0L, 1L, 17L, 63L, 64L, 255L, 1000L).foreach { id =>
+      val n = 8 + id % 64
+      val rate = 8000 + (id % 4) * 4000
+      val samples = (0L until n).map(i => ((id * 31 + i * 17) % 2001) - 1000)
+      val got = Multimodal.decodeWavOne(Multimodal.generateWav(id))
+      assert(got.contains((rate.toInt, 1, n, n * 1000 / rate,
+        samples.map(math.abs).max.toInt, samples.sum)), s"id $id: $got")
+    }
+  }
+
+  test("WAV decode: chunk walker skips extra chunks; rejects non-PCM16 and garbage") {
+    // splice a LIST chunk between fmt and data — real encoders do this
+    val base = Multimodal.generateWav(5L)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val spliced = base.take(36) ++ listChunk ++ base.drop(36)
+    // RIFF size field is unchecked by the walker; re-parse must agree
+    assert(Multimodal.decodeWavOne(spliced) == Multimodal.decodeWavOne(base))
+    // stereo: interleaved L/R frames — frame count halves, peak spans both
+    val stereo = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(2).putInt(8000).putInt(32000)
+        .putShort(4).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(8)
+      Seq(10, -700, 20, 30).foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    assert(Multimodal.decodeWavOne(stereo)
+      .contains((8000, 2, 2L, 0L, 700, (10 - 700 + 20 + 30).toLong)))
+    // rejects: garbage, truncation, a real PNG, 8-bit format field lies
+    assert(Multimodal.decodeWavOne("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.decodeWavOne(base.take(30)).isEmpty)
+    assert(Multimodal.decodeWavOne(Multimodal.generatePng(3L)).isEmpty)
+    val nonPcm = base.clone()
+    nonPcm(20) = 3 // format tag -> IEEE float
+    assert(Multimodal.decodeWavOne(nonPcm).isEmpty)
+  }
+
+  test("audio_features query path: decode over a table, nulls isolated per row") {
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val media = Multimodal.attachGeneratedAudio(docs, "doc_id")
+    val corrupt = Seq((99L, Array[Byte](1, 2, 3), "audio/wav"))
+      .toDF("media_id", "payload", "media_type")
+    val out = Multimodal.decodeAudioFeatures(media.unionByName(corrupt))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 12000 && out(2L).getInt(1) == 16000)
+    assert(out(99L).isNullAt(1) && out(99L).isNullAt(6))
+  }
 }
