@@ -687,6 +687,27 @@ object SparkEntry {
       Ivf.probeIndex(s, idx, emb.where(col("vec_id") < 20), k = 5, nprobe = 8)
     }),
 
+    // Persisted IVF-PQ probe (FAISS's workhorse composition): candidates
+    // come from a column-pruned codes read + ADC, vectors join back only
+    // for survivors. Degenerate knobs (full probe, full candidate budget)
+    // make the result exactly brute force — the same oracle convention as
+    // ann_ivf; pq_recall pins the lossy regime. Separate cache root so a
+    // concurrent ann_ivf build never races this index's rewrites.
+    "ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val idx = Ivf.cachedIndexDir(src, root = "/tmp/graft-ivfpq")
+      if (!graft.operators.IndexStore.exists(s, s"$idx/pq")) {
+        Ivf.gcSupersededIndexes(idx)
+        val sample = emb.where(pmod(col("vec_id"), lit(4)) === 0)
+        if (!graft.operators.IndexStore.exists(s, s"$idx/centroids"))
+          Ivf.buildIndex(s, idx, emb, trainOn = sample, nlist = 8, iters = 1)
+        Ivf.attachPq(s, idx, trainOn = sample, m = 8, ksub = 16)
+      }
+      Ivf.probeIndexAdc(s, idx, emb.where(col("vec_id") < 20), k = 5,
+        nprobe = 8, candidates = emb.count().toInt)
+    }),
+
     // Recall harness for the IVF probe, mirroring lsh_recall: nprobe = 2
     // of nlist = 8 makes cell pruning actually lossy, and the measured
     // recall_permille pins the nprobe knob the probe scaladoc justifies
@@ -2017,6 +2038,21 @@ object SparkEntry {
     // ann_ivf probes every cell, so its result is exactly brute force —
     // same oracle as cosine_topk.
     "ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT)
+        |    AS rank,
+        |  neighbor_id, cos
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+
+    // Exact-degenerate IVF-PQ probe (full probe + full candidates ⇒ the
+    // re-rank sees everything): oracle = brute-force top-5, like ann_ivf.
+    "ann_ivfpq" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

@@ -216,13 +216,103 @@ object Ivf {
           .withColumn("__idb", idb(idCol)),
         None, Some("__idb"), Seq(idCol))
 
+  // ------------------------------------------------------------------
+  // IVF-PQ (round 10): <indexPath>/pq/ holds the trained per-subspace
+  // codebooks ((m, j, codeword) — m·ksub rows of driver metadata, like
+  // the centroid table), and once attached, every cells row carries its
+  // `__codes` (m small ints). [[probeIndexAdc]] then generates candidates
+  // from a COLUMN-PRUNED (id, __cell, __codes) read of the probed cells —
+  // the candidate pass never touches the vector column, which at 100 TB
+  // is the difference between scanning m bytes/vector and 4·dim —
+  // and joins vectors back only for the ADC survivors. FAISS's IVF-PQ
+  // composition on this engine's index layout. The codebooks are
+  // aggregate statistics over ≥ trainOn rows (like the centroids), so
+  // compliance erasure of a vector does not require retraining them;
+  // [[deleteFromIndex]]/[[compactIndex]] carry `__codes` through their
+  // rewrites untouched.
+  // ------------------------------------------------------------------
+
+  private def pqRoot(indexPath: String): String = s"$indexPath/pq"
+
+  /** Train per-subspace PQ codebooks on `trainOn` (sample at scale),
+    * persist them, and REWRITE the cells with each row's `__codes` —
+    * after which [[probeIndexAdc]] is available and incremental
+    * [[addToIndex]] batches encode automatically. */
+  def attachPq(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      trainOn: DataFrame, m: Int, ksub: Int, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cb = Pq.trainCodebooks(trainOn,
+      Pq.seedCodebooks(trainOn, m, ksub, idCol, vecCol), iters, vecCol)
+    import spark.implicits._
+    IndexStore.rewrite(spark, pqRoot(indexPath),
+      cb.zipWithIndex.flatMap { case (words, mi) =>
+        words.zipWithIndex.map { case (w, j) => (mi, j, w) }
+      }.toDF("m", "j", "codeword").coalesce(1))
+    val cells = readCells(spark, indexPath)
+    IndexStore.rewrite(spark, s"$indexPath/cells",
+      cells.drop("__codes").withColumn("__codes", F.pqCodes(col(vecCol), cb)),
+      None, Some("__cell"))
+  }
+
+  /** The persisted codebooks, (m, j)-ordered — m·ksub·dsub doubles of
+    * driver metadata. Empty when [[attachPq]] never ran. */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Seq[Seq[Seq[Double]]] =
+    if (!IndexStore.exists(spark, pqRoot(indexPath))) Nil
+    else IndexStore.read(spark, pqRoot(indexPath)).orderBy("m", "j")
+      .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq)
+
+  /** IVF-PQ probe: candidates from the probed cells' codes via ADC (the
+    * vector column is NOT read in this pass), exact-cosine re-rank of the
+    * `candidates` survivors. `nprobe == nlist` and `candidates ≥ |probed
+    * rows|` degenerate to exact brute force, like [[probeIndex]]. */
+  def probeIndexAdc(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, k: Int, nprobe: Int,
+      candidates: Int = 100,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val cb = loadPqCodebooks(spark, indexPath)
+    require(cb.nonEmpty,
+      s"no PQ codebooks under $indexPath — run attachPq before probeIndexAdc")
+    val centroids = loadCentroids(spark, indexPath)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"),
+      explode(F.nearestCentroids(col(vecCol), centroids, nprobe)).as("__cell"))
+    val probed = q.select("__cell").distinct().collect().map(_.getInt(0))
+    val probedCells = readCells(spark, indexPath, Some(probed.toIndexedSeq))
+      .where(col("__cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+    // candidate pass: column-pruned to (id, __cell, __codes)
+    val scored = probedCells
+      .select(col(idCol).as("neighbor_id"), col("__cell"), col("__codes"))
+      .join(broadcast(q), "__cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        F.pqAdc(col("q_v"), col("__codes"), cb).as("cos"))
+    val cand = Similarity.perQueryTopK(scored, candidates)
+      .select("query_id", "neighbor_id")
+    // vectors join back only for the survivors (still only probed cells)
+    val cv = probedCells.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_v")).dropDuplicates("neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"))
+    val rescored = cand.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("cos", F.cosineSim(col("q_v"), col("c_v")))
+      .select("query_id", "neighbor_id", "cos")
+    Similarity.perQueryTopK(rescored, k)
+  }
+
   private def appendCells(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, vectors: DataFrame, idCol: String, vecCol: String,
       overwrite: Boolean): Unit = {
     val centroids = loadCentroids(spark, indexPath)
-    val assigned = Par.spread(vectors)
+    // an attached PQ encodes every new batch at append time (frozen
+    // codebooks, same practice as the frozen coarse centroids)
+    val pqCb = loadPqCodebooks(spark, indexPath)
+    val preAssigned = Par.spread(vectors)
       .withColumn("__cell",
         element_at(F.nearestCentroids(col(vecCol), centroids, 1), 1))
+    val assigned =
+      if (pqCb.isEmpty) preAssigned
+      else preAssigned.withColumn("__codes", F.pqCodes(col(vecCol), pqCb))
     if (overwrite) {
       IndexStore.rewrite(spark, s"$indexPath/cells", assigned,
         None, Some("__cell"))

@@ -349,4 +349,63 @@ class IvfSpec extends SparkSpecBase {
     assert(other.exists(), "other sources' indexes must survive")
     assert(new java.io.File(keep).exists())
   }
+
+  test("IVF-PQ: full probe + full candidates is exactly brute force; adds encode") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val base = emb.where(col("vec_id") < 400)
+    val rest = emb.where(col("vec_id") >= 400)
+    Ivf.buildIndex(spark, idx, base, trainOn = base, nlist = 4, iters = 1)
+    Ivf.attachPq(spark, idx, trainOn = base, m = 8, ksub = 16)
+    assert(Ivf.loadPqCodebooks(spark, idx).size == 8)
+    // every stored row carries m codes after the attach rewrite
+    val cells = Ivf.readCells(spark, idx)
+    assert(cells.columns.contains("__codes"))
+    assert(cells.where(size(col("__codes")) =!= 8).count() == 0L)
+    // incremental add encodes against the FROZEN codebooks
+    Ivf.addToIndex(spark, idx, rest)
+    val grown = Ivf.readCells(spark, idx)
+    assert(grown.count() == emb.count())
+    assert(grown.where(col("__codes").isNull).count() == 0L)
+    // degenerate knobs = exact brute force over the whole corpus
+    val queries = emb.where(col("vec_id") < 5)
+    val viaPq = Ivf.probeIndexAdc(spark, idx, queries, k = 3, nprobe = 4,
+        candidates = emb.count().toInt)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaPq == brute)
+    // a tight ADC budget still returns k rows per query (approximate path)
+    val tight = Ivf.probeIndexAdc(spark, idx, queries, k = 3, nprobe = 2,
+      candidates = 10)
+    assert(tight.groupBy("query_id").count()
+      .where(col("count") =!= 3).count() == 0L)
+  }
+
+  test("IVF-PQ: delete carries codes through; probe excludes erased ids") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-del").toString
+    Ivf.buildIndex(spark, idx, emb, trainOn = emb, nlist = 4, iters = 1)
+    Ivf.attachPq(spark, idx, trainOn = emb, m = 8, ksub = 16)
+    val victims = Seq(3L, 17L)
+    Ivf.deleteFromIndex(spark, idx, victims.toDF("vec_id"))
+    val after = Ivf.readCells(spark, idx)
+    assert(after.where(col("vec_id").isin(victims: _*)).count() == 0L)
+    assert(after.where(col("__codes").isNull).count() == 0L, "codes lost in rewrite")
+    val out = Ivf.probeIndexAdc(spark, idx,
+      emb.where(col("vec_id") < 5), k = 5, nprobe = 4, candidates = 50)
+    assert(out.where(col("neighbor_id").isin(victims: _*)).count() == 0L)
+  }
+
+  test("probeIndexAdc without an attached PQ fails with a clear contract error") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-no").toString
+    Ivf.buildIndex(spark, idx, emb.where(col("vec_id") < 100),
+      trainOn = emb.where(col("vec_id") < 100), nlist = 2, iters = 0)
+    val e = intercept[IllegalArgumentException] {
+      Ivf.probeIndexAdc(spark, idx, emb.where(col("vec_id") < 2), k = 1,
+        nprobe = 1)
+    }
+    assert(e.getMessage.contains("attachPq"))
+  }
 }
