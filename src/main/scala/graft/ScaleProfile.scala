@@ -148,6 +148,26 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "r10") {
+      // Round-10 ops: surprisal (tokenize ×5 with a ×5 suffixed vocab —
+      // the broadcast-vocab shape's honest upper bound), pagerank (events
+      // ×5 AND users ×5 ⇒ nodes ×~5, edges ×5 — ideal exponent 1 for the
+      // per-round join+agg), the PQ tiers (codes scan linear; recall
+      // harness carries its labeled quadratic exact side at sample
+      // scale), and the two real decode tiers (pure per-row work, ideal
+      // exponent 1; fixtures generated on the fly each pass).
+      val ps = Seq("surprisal_score", "pagerank", "pq_recall", "ann_ivfpq",
+        "audio_features", "image_features")
+      ps.foreach(q => time(q, src)) // warmup: codegen + JIT + index builds
+      ps.foreach(q => time(q, out))
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t5 = median3(time(q, out))
+        println(f"SCALE $q%-24s sf0.1=$t1%6.2f s  sf0.5=$t5%6.2f s  exponent=${math.log(t5 / t1) / math.log(5.0)}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "skew") {
       // Adversarial hot-key profile: the sf0.5 events table with ONE user
       // owning ~50% of all rows (every even-hashed event remapped to user
