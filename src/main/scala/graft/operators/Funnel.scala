@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the interaction log: ordered-step funnel
+  * conversion and cohort retention — the measurement queries an
+  * event-driven training-data pipeline runs next to curation (which
+  * sources/flows convert into kept documents; how long a source stays
+  * active after onboarding). Both are exact integer/timestamp arithmetic,
+  * so the DuckDB oracles match bit-for-bit.
+  */
+object Funnel {
+
+  /** Ordered-step funnel: for each key, the earliest time each step is
+    * reached, where step i+1 must occur STRICTLY after the key's step-i
+    * time and within `horizonSeconds` of its step-1 time. Returns one row
+    * per key that reached step 1: (key, stage, ts_1 … ts_n) with `stage` =
+    * number of steps reached and unreached steps null.
+    *
+    * Semantics note: each step's time is the MINIMUM valid one (the
+    * classic "earliest conversion" funnel). Greedy-earliest is optimal
+    * here: taking the earliest valid step-i time never excludes a later
+    * step — any sequence proving stage k also validates the greedy one,
+    * because min choices only widen every subsequent strictly-after
+    * window while the horizon is anchored at step 1 regardless.
+    *
+    * 100 TB shape: one chained aggregation per step, each shuffling ONLY
+    * that step's events (filtered at the scan) keyed by `keyCol`, joined
+    * key-to-key against the previous stage's (key, ts) table — never the
+    * full log, never a per-key sort. `n` steps = `n` slim exchanges over
+    * strictly shrinking tables (stage tables only lose keys as stages
+    * advance). A hot key costs map-side partial min, not a fan-out. */
+  def funnel(events: DataFrame, steps: Seq[String], horizonSeconds: Long,
+      keyCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    def stepEvents(s: String) =
+      events.where(col(typeCol) === s).select(col(keyCol), col(tsCol))
+    // stage 1: earliest occurrence of the first step
+    var reached = stepEvents(steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("ts_1"))
+    var i = 2
+    while (i <= steps.length) {
+      val prev = s"ts_${i - 1}"
+      val cur = s"ts_$i"
+      val next = stepEvents(steps(i - 1))
+        .join(reached.select(Seq(keyCol, "ts_1", prev).distinct.map(col): _*),
+          Seq(keyCol))
+        .where(col(tsCol) > col(prev) &&
+          col(tsCol).cast("long") - col("ts_1").cast("long") <= horizonSeconds)
+        .groupBy(col(keyCol)).agg(min(col(tsCol)).as(cur))
+      reached = reached.join(next, Seq(keyCol), "left")
+      i += 1
+    }
+    val tsCols = (1 to steps.length).map(j => col(s"ts_$j"))
+    val stage = tsCols.map(c => when(c.isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    reached.select(col(keyCol) +: stage.as("stage") +: tsCols: _*)
+  }
+
+  /** Weekly cohort retention: each key's cohort is the integer epoch-week
+    * (`epoch_days div 7` — engine-portable, no locale week rules) of its
+    * FIRST event; for every (cohort_week, offset_weeks) cell, the number
+    * of distinct keys from that cohort active that many weeks later.
+    * Offset 0 is the cohort's own week, so `n_active` at offset 0 is the
+    * cohort size.
+    *
+    * 100 TB shape: one keyCol-keyed min-aggregation for the cohort table
+    * (map-side combined), one keyCol join of events against it (both
+    * sides key-partitioned; the cohort table is |keys|-sized), then the
+    * distinct + count collapse onto (cohort, offset) — bounded by
+    * |keys|·|weeks|, with map-side partial distinct. No window, no
+    * per-key sort. */
+  def retentionCohorts(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    def week(c: Column): Column = floor(c.cast("long") / 604800d).cast("long")
+    val cohort = events.groupBy(col(keyCol))
+      .agg(week(min(col(tsCol))).as("cohort_week"))
+    events.select(col(keyCol), week(col(tsCol)).as("event_week"))
+      .join(cohort, Seq(keyCol))
+      .select(col("cohort_week"),
+        (col("event_week") - col("cohort_week")).as("offset_weeks"),
+        col(keyCol))
+      .distinct()
+      .groupBy("cohort_week", "offset_weeks")
+      .agg(count(lit(1)).as("n_active"))
+  }
+}

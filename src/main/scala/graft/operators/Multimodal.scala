@@ -337,9 +337,211 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
-  // Tier 3: codec-shaped byte tier — STUB bodies, compressed audio/video
-  // only (the JVM has no built-in codecs for those; images decode for
-  // real in tier 2, PCM WAV in tier 2b)
+  // Tier 2c: REAL video-container metadata — pure-JVM ISO-BMFF (MP4) box
+  // parsing. The container layer of MP4 is length-prefixed boxes (no
+  // codec): mvhd carries timescale/duration, tkhd the track dims, hdlr
+  // the track kind. Decoding FRAMES still needs a codec (tier 3 stub);
+  // the metadata a curation pipeline filters on (duration, resolution,
+  // track inventory) is genuinely readable here.
+  // ---------------------------------------------------------------------
+
+  /** Container-metadata schema for video payloads. */
+  val videoMetadataSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("timescale", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("n_tracks", IntegerType),
+    StructField("n_video", IntegerType),
+    StructField("n_audio", IntegerType),
+    StructField("max_width", IntegerType),
+    StructField("max_height", IntegerType)))
+
+  /** Deterministic ISO-BMFF fixture for `id` — a REAL box structure
+    * (ftyp + a skippable free box + moov{mvhd, trak{tkhd, mdia{hdlr}}…}
+    * + mdat) with closed-form metadata an external SQL oracle recomputes:
+    * {{{
+    *   timescale = 600 + (id % 5)·100       duration = 600 + id % 1000
+    *   duration_ms = duration·1000 div timescale
+    *   n_tracks = 1 + id % 3; track t is video iff t even
+    *   video t: width = 160·(t+1) + id % 16, height = 90·(t+1) + id % 9
+    * }}}
+    * Parser-adversarial variation: ids ≡ 0 (mod 5) write VERSION-1
+    * mvhd/tkhd boxes (64-bit times, shifted field offsets); ids ≡ 0
+    * (mod 7) write mdat with size = 1 + 64-bit largesize. Round-tripping
+    * through [[decodeVideoMetadata]] proves the walker reads genuine
+    * nested boxes at version-dependent offsets, not a formula. */
+  def generateMp4(id: Long): Array[Byte] = {
+    val timescale = (600 + (id % 5) * 100).toInt
+    val duration = (600 + id % 1000).toInt
+    val nTracks = (1 + id % 3).toInt
+    val v1 = id % 5 == 0
+    val largeMdat = id % 7 == 0
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(tpe.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val ftyp = box("ftyp", {
+      val b = java.nio.ByteBuffer.allocate(12)
+      b.put("isom".getBytes("US-ASCII")).putInt(0)
+        .put("isom".getBytes("US-ASCII"))
+      b.array()
+    })
+    val free = box("free", new Array[Byte](6 + (id % 5).toInt))
+    val mvhd = box("mvhd", {
+      val b = java.nio.ByteBuffer.allocate(if (v1) 112 else 100)
+      b.putInt(if (v1) 0x01000000 else 0) // version + flags
+      if (v1) b.putLong(0L).putLong(0L).putInt(timescale).putLong(duration.toLong)
+      else b.putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      b.putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      b.put(new Array[Byte](10)) // reserved
+      for (m <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)) b.putInt(m)
+      b.put(new Array[Byte](24)) // pre_defined
+      b.putInt(nTracks + 1) // next_track_ID
+      b.array()
+    })
+    val traks = (0 until nTracks).map { t =>
+      val video = t % 2 == 0
+      val w = if (video) (160 * (t + 1) + id % 16).toInt else 0
+      val h = if (video) (90 * (t + 1) + id % 9).toInt else 0
+      val tkhd = box("tkhd", {
+        val b = java.nio.ByteBuffer.allocate(if (v1) 96 else 84)
+        b.putInt(if (v1) 0x01000007 else 0x00000007) // version + enabled flags
+        if (v1) b.putLong(0L).putLong(0L).putInt(t + 1).putInt(0).putLong(duration.toLong)
+        else b.putInt(0).putInt(0).putInt(t + 1).putInt(0).putInt(duration)
+        b.put(new Array[Byte](8)) // reserved
+        b.putShort(0).putShort(0) // layer, alternate_group
+        b.putShort(if (video) 0 else 0x0100.toShort).putShort(0) // volume, reserved
+        for (m <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)) b.putInt(m)
+        b.putInt(w << 16).putInt(h << 16) // 16.16 fixed-point dims
+        b.array()
+      })
+      val hdlr = box("hdlr", {
+        val b = java.nio.ByteBuffer.allocate(25)
+        b.putInt(0).putInt(0)
+          .put((if (video) "vide" else "soun").getBytes("US-ASCII"))
+          .put(new Array[Byte](12)).put(0.toByte) // reserved + empty name
+        b.array()
+      })
+      box("trak", tkhd ++ box("mdia", hdlr))
+    }
+    val moov = box("moov", mvhd ++ traks.reduce(_ ++ _))
+    val mdatBody = Array.tabulate((20 + id % 40).toInt)(i => ((id + i) % 251).toByte)
+    val mdat =
+      if (largeMdat) {
+        val b = java.nio.ByteBuffer.allocate(16 + mdatBody.length)
+        b.putInt(1).put("mdat".getBytes("US-ASCII"))
+          .putLong(16L + mdatBody.length).put(mdatBody)
+        b.array()
+      } else box("mdat", mdatBody)
+    ftyp ++ free ++ moov ++ mdat
+  }
+
+  def attachGeneratedVideos(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r => val id = r.getLong(0); Row(id, generateMp4(id), "video/mp4") }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Parse one ISO-BMFF payload's container metadata: walks the top-level
+    * box list (32-bit sizes, size=1 → 64-bit largesize, size=0 → to EOF),
+    * recurses into moov/trak/mdia, reads mvhd timescale+duration and tkhd
+    * dims at their VERSION-dependent offsets, classifies tracks by hdlr
+    * handler (vide/soun). None for anything that is not well-formed BMFF
+    * with an mvhd (per-row error isolation, same contract as the image
+    * and WAV tiers). Frame decode is out of scope by design — that needs
+    * a codec; this is the metadata layer curation filters run on. */
+  private[operators] def decodeMp4One(payload: Array[Byte])
+      : Option[(Int, Long, Int, Int, Int, Int, Int)] = {
+    if (payload == null || payload.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    def ascii(off: Int) = {
+      val b = new Array[Byte](4); System.arraycopy(payload, off, b, 0, 4)
+      new String(b, "US-ASCII")
+    }
+    // walk boxes in [from, to); returns (type, bodyOff, bodyEnd) triples
+    def children(from: Int, to: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var off = from
+      while (off + 8 <= to) {
+        val size32 = bb.getInt(off)
+        val tpe = ascii(off + 4)
+        val (size, hdr) =
+          if (size32 == 1) {
+            if (off + 16 > to) return Seq.empty
+            (bb.getLong(off + 8), 16)
+          } else if (size32 == 0) ((to - off).toLong, 8)
+          else (size32.toLong & 0xffffffffL, 8)
+        if (size < hdr || off + size > to) return Seq.empty
+        out += ((tpe, off + hdr, off + size.toInt))
+        off += size.toInt
+      }
+      out.result()
+    }
+    val top = children(0, payload.length)
+    if (!top.exists(_._1 == "ftyp")) return None
+    val moov = top.find(_._1 == "moov").getOrElse(return None)
+    val inMoov = children(moov._2, moov._3)
+    val mvhd = inMoov.find(_._1 == "mvhd").getOrElse(return None)
+    val mver = payload(mvhd._2) & 0xff
+    val (timescale, duration) =
+      if (mver == 1) (bb.getInt(mvhd._2 + 20), bb.getLong(mvhd._2 + 24))
+      else (bb.getInt(mvhd._2 + 12), (bb.getInt(mvhd._2 + 16).toLong & 0xffffffffL))
+    if (timescale <= 0) return None
+    var nTracks = 0; var nVideo = 0; var nAudio = 0
+    var maxW = 0; var maxH = 0
+    inMoov.filter(_._1 == "trak").foreach { trak =>
+      nTracks += 1
+      val inTrak = children(trak._2, trak._3)
+      val dims = inTrak.find(_._1 == "tkhd").map { tkhd =>
+        val tver = payload(tkhd._2) & 0xff
+        val dimOff = tkhd._2 + (if (tver == 1) 88 else 76)
+        (bb.getInt(dimOff) >>> 16, bb.getInt(dimOff + 4) >>> 16)
+      }
+      val handler = inTrak.find(_._1 == "mdia")
+        .flatMap(m => children(m._2, m._3).find(_._1 == "hdlr"))
+        .map(h => ascii(h._2 + 8))
+      handler match {
+        case Some("vide") =>
+          nVideo += 1
+          dims.foreach { case (w, h) =>
+            if (w > maxW) maxW = w
+            if (h > maxH) maxH = h
+          }
+        case Some("soun") => nAudio += 1
+        case _ =>
+      }
+    }
+    Some((timescale, duration * 1000L / timescale, nTracks, nVideo, nAudio,
+      maxW, maxH))
+  }
+
+  /** REAL video-container metadata over a media table: exact mvhd/tkhd/
+    * hdlr fields per payload; malformed payloads yield null metadata
+    * columns instead of failing the scan. Per-partition batched like the
+    * other decode tiers — pure per-row work, the ideal 100 TB shape. */
+  def decodeVideoMetadata(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        decodeMp4One(payload) match {
+          case Some((ts, ms, nt, nv, na, w, h)) => Row(id, ts, ms, nt, nv, na, w, h)
+          case None => Row(id, null, null, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, videoMetadataSchema)
+  }
+
+  // ---------------------------------------------------------------------
+  // Tier 3: codec-shaped byte tier — STUB bodies, compressed FRAME/SAMPLE
+  // data only (the JVM has no built-in codecs for those; images decode
+  // for real in tier 2, PCM WAV in tier 2b, MP4 container metadata in
+  // tier 2c)
   // ---------------------------------------------------------------------
 
   /** STUB decoder body (audio/video): deterministic fake "decode" of an

@@ -43,6 +43,67 @@ object Sessionize {
         col("session_end"), col("n_events"))
   }
 
+  /** Time-chunked batch sessionization — the skew escape for [[sessions]]
+    * (SURVEY §6.-2f): a per-key gaps-and-islands window cannot split one
+    * key across tasks, so a key holding p% of all events degrades the plain
+    * path toward single-core over its rows. This variant spends a second
+    * (tiny) pass to break that floor:
+    *
+    *  1. events shuffle on `(key, floor(epoch / chunkSeconds))` and the gap
+    *     logic runs within each chunk — a hot key's work spreads over its
+    *     whole time range (parallelism = chunks it spans), and the local
+    *     session aggregate reuses the same exchange;
+    *  2. local sessions (one row per island per chunk — session-count-sized,
+    *     not event-count-sized) re-shuffle on the key alone and merge across
+    *     chunk boundaries with the identical gap criterion.
+    *
+    * Output is EXACTLY [[sessions]]'s, session ids included: chunks
+    * partition time, so a key's local sessions are disjoint intervals with
+    * strictly increasing starts, within-chunk islands are already separated
+    * by more than `gap`, and `chunkSeconds > gapSeconds` guarantees any two
+    * events within `gap` land in the same or adjacent chunks — the merge
+    * pass's `start − prev_end > gap` flag therefore reproduces the plain
+    * algorithm's islands verbatim (equality property-tested in
+    * SessionizeSpec; the registered query shares `sessions`' oracle).
+    *
+    * Cost: one extra exchange of one row per session. Worth it only when a
+    * key can plausibly own a task-sized share of events; benign
+    * distributions should keep [[sessions]] (single pass). */
+  def sessionsChunked(events: DataFrame, gapSeconds: Long, chunkSeconds: Long,
+      keyCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(chunkSeconds > gapSeconds,
+      s"chunkSeconds ($chunkSeconds) must exceed gapSeconds ($gapSeconds): " +
+        "a session could otherwise skip over an entire empty chunk and the " +
+        "adjacent-chunk merge would split it")
+    val chunked = events.withColumn("__chunk",
+      floor(col(tsCol).cast("long") / lit(chunkSeconds)))
+    val byKeyChunk =
+      Window.partitionBy(col(keyCol), col("__chunk")).orderBy(col(tsCol))
+    val localGap = when(
+      col(tsCol).cast("long") - lag(col(tsCol), 1).over(byKeyChunk).cast("long")
+        > gapSeconds, 1L).otherwise(0L)
+    val local = chunked
+      .withColumn("__lid", sum(localGap).over(byKeyChunk))
+      .groupBy(col(keyCol), col("__chunk"), col("__lid"))
+      .agg(
+        min(col(tsCol)).as("__start"),
+        max(col(tsCol)).as("__end"),
+        count(lit(1)).as("__n"))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("__start"))
+    val mergeGap = when(
+      col("__start").cast("long") - lag(col("__end"), 1).over(byKey).cast("long")
+        > gapSeconds, 1L).otherwise(0L)
+    local
+      .withColumn("__session_id", sum(mergeGap).over(byKey) + 1L)
+      .groupBy(col(keyCol), col("__session_id").as("session_id"))
+      .agg(
+        min(col("__start")).as("session_start"),
+        max(col("__end")).as("session_end"),
+        sum(col("__n")).as("n_events"))
+      .select(col(keyCol), col("session_id"), col("session_start"),
+        col("session_end"), col("n_events"))
+  }
+
   case class SessionEvent(key: Long, ts: Timestamp)
   /** Per-key state: the id the *open* session carries (or the next id to
     * assign when none is open) plus the open session's aggregates;

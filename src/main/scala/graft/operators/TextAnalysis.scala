@@ -509,4 +509,70 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tok"),
         expr("sum(bits) * 1000 div count(1)").as("surprisal_milli"))
   }
+
+  /** Quantized BM25 ranked retrieval — sparse lexical top-k over the corpus
+    * (the retrieval half of a RAG / hard-negative-mining pipeline), in
+    * EXACT integer arithmetic so the oracle matches bit-for-bit.
+    *
+    * Per (query term, doc): `score = idf_bits · tfnorm_milli` with
+    *  - `idf_bits = floor(log2(N div df))` ([[graft.functions.IntLog2]],
+    *    no libm). Terms in more than half the corpus get 0 bits and
+    *    contribute nothing — the same effect as Lucene's clamp of BM25's
+    *    (otherwise negative) idf for very common terms, here falling out
+    *    of the quantization;
+    *  - `tfnorm_milli` is Robertson's saturation with k1 = 6/5 and
+    *    b = 3/4 as exact rationals over the quantized corpus constant
+    *    `avgdl_milli = (1000·T) div N`: multiplying numerator and
+    *    denominator of `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` through
+    *    by 20·avgdl yields
+    *    `(1000·44·tf·A) div (20·tf·A + 6·A + 18000·dl)`, A = avgdl_milli —
+    *    every division a fixed truncation point. Long-safe while
+    *    `44000·tf·A < 2^63`, i.e. docs to ~10^7 tokens at 10^3 avgdl.
+    *
+    * Per (query, doc) the term scores sum; docs scoring 0 (no
+    * discriminative term) are dropped; top-`k` per query by
+    * (score DESC, doc_id ASC) — fully deterministic.
+    *
+    * 100 TB shape: the token stream is semi-joined map-side against the
+    * BROADCAST query-term list before the tf aggregation, so the corpus
+    * shuffles only candidate (doc, term) pairs, never its full postings;
+    * `df` over those candidates is query-vocabulary-bounded and broadcast
+    * back. The one corpus-sized structure is the doc-length table — BM25's
+    * norms file, built once per corpus (reusable across query batches,
+    * like [[surprisal]]'s vocabulary) and joined doc-keyed against the
+    * candidate set. The final per-query ranking runs on candidate rows
+    * only ([[Dedup.topKPerKey]] — rank-limit pushdown, no global sort). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("query_id", "term")
+    val tok = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl")).persist()
+    val tot = dl.agg(count(lit(1)), sum("dl")).head()
+    val n = tot.getLong(0)
+    val totTok = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    val avgdlMilli = if (n == 0) 1L else (1000L * totTok) / n
+    val tf = tok.join(broadcast(q.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(q), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (graft.functions.F.intLog2(expr(s"${n}L div df")) *
+          expr(s"(1000L * 44 * tf * $avgdlMilli) div " +
+            s"(20 * tf * $avgdlMilli + 6 * $avgdlMilli + 18000 * dl)"))
+          .as("s_term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("s_term").as("score_milli"))
+      .where(col("score_milli") > 0)
+    Dedup.topKPerKey(scored, k, Seq("query_id"),
+        Seq(col("score_milli").desc, col("doc_id").asc))
+      .select("query_id", "doc_id", "score_milli")
+  }
 }

@@ -175,4 +175,66 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(1L).getInt(1) == 12000 && out(2L).getInt(1) == 16000)
     assert(out(99L).isNullAt(1) && out(99L).isNullAt(6))
   }
+
+  test("MP4 metadata: fixtures round-trip to closed forms across v0/v1 and largesize") {
+    // ids cover: v1 boxes (≡0 mod 5), largesize mdat (≡0 mod 7), both
+    // (35), 1/2/3-track layouts, and a generic id
+    Seq(0L, 1L, 2L, 5L, 7L, 14L, 35L, 123L, 1000L).foreach { id =>
+      val timescale = (600 + (id % 5) * 100).toInt
+      val duration = 600 + id % 1000
+      val nTracks = (1 + id % 3).toInt
+      val nVideo = (nTracks + 1) / 2
+      val tMax = 2 * ((nTracks - 1) / 2)
+      val got = Multimodal.decodeMp4One(Multimodal.generateMp4(id))
+      assert(got.contains((timescale, duration * 1000L / timescale, nTracks,
+        nVideo, nTracks / 2,
+        (160 * (tMax + 1) + id % 16).toInt, (90 * (tMax + 1) + id % 9).toInt)),
+        s"id $id: $got")
+    }
+  }
+
+  test("MP4 metadata: box walker is structural — reordering and junk boxes survive; garbage rejected") {
+    // the walker must find moov wherever it sits; insert an unknown
+    // top-level box before it and move mdat first
+    val base = Multimodal.generateMp4(9L)
+    def boxAt(payload: Array[Byte], tpe: String): Array[Byte] = {
+      var off = 0
+      while (off + 8 <= payload.length) {
+        val size = java.nio.ByteBuffer.wrap(payload).getInt(off) match {
+          case 1 => java.nio.ByteBuffer.wrap(payload).getLong(off + 8).toInt
+          case 0 => payload.length - off
+          case s => s
+        }
+        if (new String(payload, off + 4, 4, "US-ASCII") == tpe)
+          return payload.slice(off, off + size)
+        off += size
+      }
+      fail(s"box $tpe not found")
+    }
+    val ftyp = boxAt(base, "ftyp"); val moov = boxAt(base, "moov")
+    val mdat = boxAt(base, "mdat")
+    val junk = java.nio.ByteBuffer.allocate(12).putInt(12)
+      .put("skip".getBytes("US-ASCII")).putInt(-1).array()
+    val shuffled = ftyp ++ mdat ++ junk ++ moov
+    assert(Multimodal.decodeMp4One(shuffled) == Multimodal.decodeMp4One(base))
+    // rejects: garbage, truncated moov, WAV payload, missing ftyp
+    assert(Multimodal.decodeMp4One("not a movie".getBytes).isEmpty)
+    assert(Multimodal.decodeMp4One(base.take(ftyp.length + 20)).isEmpty)
+    assert(Multimodal.decodeMp4One(Multimodal.generateWav(3L)).isEmpty)
+    assert(Multimodal.decodeMp4One(mdat ++ moov).isEmpty)
+  }
+
+  test("video_metadata query path: decode over a table, nulls isolated per row") {
+    val docs = Seq((3L, "x"), (10L, "y")).toDF("doc_id", "text")
+    val media = Multimodal.attachGeneratedVideos(docs, "doc_id")
+    val corrupt = Seq((99L, Array[Byte](9, 9, 9), "video/mp4"))
+      .toDF("media_id", "payload", "media_type")
+    val out = Multimodal.decodeVideoMetadata(media.unionByName(corrupt))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // id 3: timescale 900, 1 track; id 10 (v1 boxes): timescale 600, 2 tracks
+    assert(out(3L).getInt(1) == 900 && out(3L).getInt(3) == 1)
+    assert(out(10L).getInt(1) == 600 && out(10L).getInt(3) == 2
+      && out(10L).getInt(4) == 1 && out(10L).getInt(5) == 1)
+    assert(out(99L).isNullAt(1) && out(99L).isNullAt(7))
+  }
 }

@@ -26,6 +26,67 @@ class SessionizeSpec extends SparkSpecBase {
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  private def asRows(df: org.apache.spark.sql.DataFrame) = df
+    .select("user_id", "session_id", "session_start", "session_end", "n_events")
+    .as[(Long, Long, Timestamp, Timestamp, Long)].collect().toSet
+
+  test("chunked sessions equal plain across chunk-boundary adversaries") {
+    // chunk = 1h (3600s), gap = 30min. Adversaries: a session straddling a
+    // chunk boundary with its events 1s apart across it; a session whose
+    // chain has exactly-gap links at the boundary (gap is strict >, so they
+    // merge); one event per chunk spanning four chunks; a split exactly one
+    // second past the gap at a boundary.
+    val ev = Seq(
+      // user 1: straddle 10:59:59.5 | 11:00:00.5 — the fractional seconds
+      // also pin the truncated-second gap arithmetic both paths share
+      (1L, ts("2024-01-01 10:59:59.5")), (1L, ts("2024-01-01 11:00:00.5")),
+      // user 2: exact-gap chain across the 12:00 boundary (1800s is NOT > gap)
+      (2L, ts("2024-01-01 11:45:00")), (2L, ts("2024-01-01 12:15:00")),
+      (2L, ts("2024-01-01 12:45:00")),
+      // user 3: one event per chunk, each 1500s apart → one 4-chunk session
+      (3L, ts("2024-01-01 00:55:00")), (3L, ts("2024-01-01 01:20:00")),
+      (3L, ts("2024-01-01 01:45:00")), (3L, ts("2024-01-01 02:10:00")),
+      (3L, ts("2024-01-01 03:10:00")), // wait: 02:10→03:10 is 3600s > gap → split
+      // user 4: split exactly gap+1 at a boundary
+      (4L, ts("2024-01-01 13:59:59")), (4L, ts("2024-01-01 14:30:00")),
+      // user 5: duplicate timestamps inside one session
+      (5L, ts("2024-01-01 09:00:00")), (5L, ts("2024-01-01 09:00:00")),
+      (5L, ts("2024-01-01 09:10:00"))).toDF("user_id", "ts")
+    val plain = asRows(Sessionize.sessions(ev, gapSeconds = 1800))
+    val chunked = asRows(
+      Sessionize.sessionsChunked(ev, gapSeconds = 1800, chunkSeconds = 3600))
+    assert(chunked == plain)
+    // sanity on the adversaries themselves
+    assert(plain.count(_._1 == 1L) == 1) // straddle did not split
+    assert(plain.count(_._1 == 2L) == 1) // exact-gap chain merged
+    assert(plain.count(_._1 == 3L) == 2) // 4-chunk session + the late split
+  }
+
+  test("chunked sessions equal plain on a randomized hot-key corpus") {
+    val rnd = new scala.util.Random(42)
+    val base = ts("2024-03-01 00:00:00").getTime
+    // key 1 is hot (60% of rows); timestamps over ~3 days, μs jitter
+    val rows = (0 until 4000).map { _ =>
+      val key = if (rnd.nextInt(10) < 6) 1L else 2L + rnd.nextInt(8)
+      val t = new Timestamp(base + rnd.nextLong() % (3L * 86400 * 1000))
+      (key, t)
+    }
+    val ev = rows.toDF("user_id", "ts")
+    val plain = asRows(Sessionize.sessions(ev, gapSeconds = 900))
+    for (chunk <- Seq(901L, 3600L, 86400L)) {
+      val chunked = asRows(
+        Sessionize.sessionsChunked(ev, gapSeconds = 900, chunkSeconds = chunk))
+      assert(chunked == plain, s"chunkSeconds=$chunk diverged")
+    }
+  }
+
+  test("chunked sessions reject a chunk that a session could skip over") {
+    val ev = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "ts")
+    intercept[IllegalArgumentException] {
+      Sessionize.sessionsChunked(ev, gapSeconds = 1800, chunkSeconds = 1800)
+    }
+  }
+
   test("streaming sessions match batch across checkpointed restarts") {
     val src = Files.createTempDirectory("sess-src").toString
     val ckpt = Files.createTempDirectory("sess-ckpt").toString

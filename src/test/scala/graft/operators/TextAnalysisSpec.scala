@@ -372,6 +372,25 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out == Map(1L -> ((4L, 250L)), 2L -> ((3L, 1000L))), out.toString)
   }
 
+  test("bm25TopK: hand-computed quantized scores; zero-idf terms contribute nothing") {
+    // corpus: N=4 docs, T=13 tokens, avgdl_milli = 13000 div 4 = 3250
+    // df: x=2, y=2, z=2 (1 idf bit each: 4 div 2 = 2); c=3 (0 bits: 4 div 3 = 1)
+    // tfnorm_milli = (44000·tf·3250) div (65000·tf + 19500 + 18000·dl)
+    val docs = Seq(
+      (1L, "x x y c"),   // dl=4: x→1291, y→913
+      (2L, "x z c"),     // dl=3: x→1032
+      (3L, "y y y y c"), // dl=5: y→1548
+      (4L, "z")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        queries = Seq(1L -> Seq("x", "y"), 2L -> Seq("c"), 3L -> Seq("x", "c")),
+        k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, 1L, 2204L), (1L, 3L, 1548L), // d2 at 1032 falls off k=2
+      // query 2 (only the 0-bit 'c') scores nothing anywhere → absent
+      (3L, 1L, 1291L), (3L, 2L, 1032L)), out.toString)
+  }
+
   test("int_log2: exact integer floor-log2; NULL at and below zero") {
     val vals = Seq(-5L, 0L, 1L, 2L, 3L, 1023L, 1024L, Long.MaxValue).toDF("x")
     val got = vals.select(graft.functions.F.intLog2(col("x")).as("b"))
