@@ -189,7 +189,8 @@ object ScaleProfile {
           .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
         System.err.println("[scale] derived sf0.5-skew (user 1 owns ~50% of events)")
       }
-      val ps = Seq("band_join", "asof_join", "sessionize", "topk_per_key")
+      val ps = Seq("band_join", "asof_join", "sessionize",
+        "sessionize_chunked", "topk_per_key")
       ps.foreach(q => time(q, out))
       ps.foreach(q => time(q, skewDir))
       ps.foreach { q =>

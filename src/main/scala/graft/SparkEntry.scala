@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Bpe, Cardinality, Clustering, Decontaminate, Dedup, Embeddings, Extract, Frequencies, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.{Bpe, Cardinality, Clustering, Decontaminate, Dedup, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -977,6 +977,19 @@ object SparkEntry {
     "tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfIdfTopK(Tables.documents(s, dir), "doc_id", "text", k = 3)),
 
+    // Quantized BM25 ranked retrieval (RAG / hard-negative mining): exact
+    // integer Robertson saturation (k1=6/5, b=3/4 as rationals over the
+    // quantized avgdl) × int_log2 idf. Query 2 adds only common terms to
+    // query 1 (they carry 0 idf bits and change nothing — the Lucene-clamp
+    // semantics); query 3 is all-common and returns no rows.
+    "bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        queries = Seq(
+          1L -> Seq("dup", "merge", "scan"),
+          2L -> Seq("dup", "spark"),
+          3L -> Seq("window", "column")),
+        k = 5)),
+
     // Deterministic stratified sample: per-source rates, membership a pure
     // hash function of (doc_id, salt) — reproducible across runs and
     // mirrorable bit-for-bit by the oracle. Scan-stage filter, no shuffle.
@@ -1249,6 +1262,30 @@ object SparkEntry {
       Multimodal.decodeAudioFeatures(
         Multimodal.attachGeneratedAudio(Tables.documents(s, dir), "doc_id"))),
 
+    // REAL video-container metadata: generated ISO-BMFF payloads (genuine
+    // nested box structures, version-0/1 mvhd+tkhd mix, a 64-bit-largesize
+    // mdat every 7th id) round-tripped through the pure-JVM box walker;
+    // the oracle recomputes the fixtures' closed forms.
+    "video_metadata" -> ((s, dir) =>
+      Multimodal.decodeVideoMetadata(
+        Multimodal.attachGeneratedVideos(Tables.documents(s, dir), "doc_id"))),
+
+    // Ordered-step funnel (view → click → purchase within 7 days of the
+    // first view, each step strictly after the previous): chained per-step
+    // min-aggregations, each shuffling only that step's events.
+    "funnel_steps" -> ((s, dir) => {
+      val f = Funnel.funnel(Tables.events(s, dir),
+        steps = Seq("view", "click", "purchase"), horizonSeconds = 604800L)
+      f.select(col("user_id"), col("stage"),
+        ts6(col("ts_1")).as("t1"), ts6(col("ts_2")).as("t2"),
+        ts6(col("ts_3")).as("t3"))
+    }),
+
+    // Weekly cohort retention over the event log: cohort = epoch-week of a
+    // user's first event; distinct active users per (cohort, week offset).
+    "retention_cohorts" -> ((s, dir) =>
+      Funnel.retentionCohorts(Tables.events(s, dir))),
+
     // Set operations at (user, day) grain: days a user clicked AND viewed
     // but did not purchase.
     "set_ops" -> ((s, dir) => {
@@ -1350,6 +1387,18 @@ object SparkEntry {
     // is equivalence-tested in SessionizeSpec.
     "sessionize" -> ((s, dir) =>
       Sessionize.sessions(Tables.events(s, dir), gapSeconds = 1800)
+        .select(col("user_id"), col("session_id"),
+          ts6(col("session_start")).as("s_start"),
+          ts6(col("session_end")).as("s_end"),
+          col("n_events"))),
+
+    // Skew-proof twin of sessionize: shuffles on (key, 2h time chunk) so a
+    // hot key parallelizes across its time range, then merges boundary
+    // islands in a session-count-sized second pass. Output is provably
+    // identical (scaladoc on sessionsChunked), so it shares the oracle.
+    "sessionize_chunked" -> ((s, dir) =>
+      Sessionize.sessionsChunked(Tables.events(s, dir),
+          gapSeconds = 1800, chunkSeconds = 7200)
         .select(col("user_id"), col("session_id"),
           ts6(col("session_start")).as("s_start"),
           ts6(col("session_end")).as("s_end"),
@@ -2631,6 +2680,35 @@ object SparkEntry {
         |       END AS BIGINT) AS top_bigram_permille
         |FROM w JOIN wa USING (doc_id) LEFT JOIN ba USING (doc_id)""".stripMargin,
 
+    "bm25_topk" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (1, 'dup'), (1, 'merge'), (1, 'scan'),
+        |  (2, 'dup'), (2, 'spark'),
+        |  (3, 'window'), (3, 'column')),
+        |tok AS (SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |scal AS (SELECT COUNT(*) AS n, (1000 * SUM(dl)) // COUNT(*) AS a FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |       FROM tok JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+        |       GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT query_id, doc_id,
+        |         (length(bin(n // df)) - 1) *
+        |         ((1000 * 44 * tf * a) // (20 * tf * a + 6 * a + 18000 * dl)) AS s
+        |       FROM q JOIN tf USING (term) JOIN dfq USING (term)
+        |         JOIN dl USING (doc_id) CROSS JOIN scal),
+        |agg AS (SELECT query_id, doc_id, SUM(s) AS score FROM sc
+        |        GROUP BY 1, 2 HAVING SUM(s) > 0),
+        |r AS (SELECT query_id, doc_id, score,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY score DESC, doc_id) AS rn
+        |      FROM agg)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |  CAST(score AS BIGINT) AS score_milli
+        |FROM r WHERE rn <= 5""".stripMargin,
+
     "tfidf_topk" ->
       """WITH tf AS (
         |  SELECT doc_id, term, COUNT(*) AS tf
@@ -3050,6 +3128,61 @@ object SparkEntry {
         |                 for i in range(8 + doc_id % 64)]) AS BIGINT) AS sum_samples
         |FROM documents""".stripMargin,
 
+    "video_metadata" ->
+      """WITH p AS (SELECT doc_id,
+        |    600 + (doc_id % 5) * 100 AS timescale,
+        |    600 + doc_id % 1000 AS duration,
+        |    1 + doc_id % 3 AS n_tracks
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(timescale AS INTEGER) AS timescale,
+        |  CAST(duration * 1000 // timescale AS BIGINT) AS duration_ms,
+        |  CAST(n_tracks AS INTEGER) AS n_tracks,
+        |  CAST((n_tracks + 1) // 2 AS INTEGER) AS n_video,
+        |  CAST(n_tracks // 2 AS INTEGER) AS n_audio,
+        |  CAST(160 * (2 * ((n_tracks - 1) // 2) + 1) + doc_id % 16
+        |       AS INTEGER) AS max_width,
+        |  CAST(90 * (2 * ((n_tracks - 1) // 2) + 1) + doc_id % 9
+        |       AS INTEGER) AS max_height
+        |FROM p""".stripMargin,
+
+    // epoch_us // 1000000 mirrors Spark's truncating cast(ts AS LONG)
+    // exactly (DuckDB's epoch() returns fractional seconds; a double
+    // boundary case would split where Spark's integer seconds don't).
+    "funnel_steps" ->
+      """WITH sec AS (SELECT user_id, event_type, ts,
+        |    epoch_us(ts) // 1000000 AS es FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS ts_1 FROM sec
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT sec.user_id, MIN(sec.ts) AS ts_2
+        |       FROM sec JOIN s1 USING (user_id)
+        |       WHERE sec.event_type = 'click' AND sec.ts > s1.ts_1
+        |         AND sec.es - (epoch_us(s1.ts_1) // 1000000) <= 604800
+        |       GROUP BY 1),
+        |s3 AS (SELECT sec.user_id, MIN(sec.ts) AS ts_3
+        |       FROM sec JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |       WHERE sec.event_type = 'purchase' AND sec.ts > s2.ts_2
+        |         AND sec.es - (epoch_us(s1.ts_1) // 1000000) <= 604800
+        |       GROUP BY 1)
+        |SELECT s1.user_id,
+        |  CAST(1 + (ts_2 IS NOT NULL)::INT + (ts_3 IS NOT NULL)::INT
+        |       AS INTEGER) AS stage,
+        |  strftime(ts_1, '%Y-%m-%d %H:%M:%S.%f') AS t1,
+        |  strftime(ts_2, '%Y-%m-%d %H:%M:%S.%f') AS t2,
+        |  strftime(ts_3, '%Y-%m-%d %H:%M:%S.%f') AS t3
+        |FROM s1 LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS es FROM events),
+        |c AS (SELECT user_id, (MIN(es) // 604800) AS cohort_week
+        |      FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT cohort_week,
+        |        (es // 604800) - cohort_week AS offset_weeks, user_id
+        |      FROM e JOIN c USING (user_id))
+        |SELECT cohort_week, offset_weeks, COUNT(*) AS n_active
+        |FROM a GROUP BY 1, 2""".stripMargin,
+
     "set_ops" ->
       """SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
         |FROM events WHERE event_type = 'click'
@@ -3131,6 +3264,24 @@ object SparkEntry {
         |  AND p.ts BETWEEN sess.s_start AND sess.s_end""".stripMargin,
 
     "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    1 + SUM(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM g)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // sessionize_chunked is output-identical to sessionize by construction
+    // (Sessionize.sessionsChunked scaladoc) — the oracle is the same
+    // single-pass gaps-and-islands SQL.
+    "sessionize_chunked" ->
       """WITH g AS (
         |  SELECT user_id, ts,
         |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
