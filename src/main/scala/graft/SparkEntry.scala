@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Bpe, Cardinality, Clustering, Decontaminate, Dedup, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.{Bpe, Cardinality, Clustering, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -926,6 +926,19 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node")).limit(50)
     }),
 
+    // Entity-resolution fuzzy join: edit-distance <= 2 pairs over the
+    // distinct part names via FastSS deletion-neighborhood blocking +
+    // exact Levenshtein verify — the record-linkage step of a metadata
+    // dedup, as a blocked equi-join on 8-byte variant hashes, never
+    // all-pairs (the oracle IS all-pairs: same semantics, naive shape).
+    "editdist_pairs" -> ((s, dir) =>
+      EditDistance.pairs(
+        Tables.part(s, dir).select(col("p_name")).distinct()
+          .withColumn("id", col("p_name")),
+        "id", "p_name", maxDist = 2)
+        .select(col("a_id").as("a_name"), col("b_id").as("b_name"),
+          col("dist"))),
+
     // Corpus vocabulary stats: top 20 terms by document frequency
     // (stopword discovery / vocabulary pruning for tokenizer training).
     "top_terms" -> ((s, dir) =>
@@ -1403,6 +1416,20 @@ object SparkEntry {
           ts6(col("session_start")).as("s_start"),
           ts6(col("session_end")).as("s_end"),
           col("n_events"))),
+
+    // SCD2 dimension history from the event log: per user, consecutive
+    // equal event_type runs collapse into validity intervals with
+    // versions — the warehouse history pattern next to the MERGE upsert.
+    // Incremental fold (applyBatch == full recompute) is property-tested
+    // in Scd2Spec; this registers the full derivation with a windowed
+    // SQL mirror.
+    "scd2_history" -> ((s, dir) =>
+      Scd2.fromLog(Tables.events(s, dir), "user_id", "event_type", "ts",
+          orderCols = Seq("event_id"))
+        .select(col("user_id"), col("event_type"),
+          ts6(col("valid_from")).as("valid_from"),
+          ts6(col("valid_to")).as("valid_to"),
+          col("is_current"), col("version"))),
 
     // Streaming-shaped windowed aggregation (event-time tumbling window),
     // run on the batch path; value summed in exact decimal.
@@ -2631,6 +2658,17 @@ object SparkEntry {
         |FROM tok JOIN vocab USING (t) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
 
+    // Semantics-only mirror (deliberately naive all-pairs — the blocked
+    // FastSS candidate generation is what the Spark side adds; both must
+    // produce the identical verified pair set). maxLen=64 filter mirrored.
+    "editdist_pairs" ->
+      """WITH d AS (SELECT DISTINCT p_name FROM part
+        |           WHERE p_name IS NOT NULL AND length(p_name) <= 64)
+        |SELECT a.p_name AS a_name, b.p_name AS b_name,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
     "top_terms" ->
       """SELECT term, COUNT(*) AS df FROM (
         |  SELECT unnest(list_distinct(string_split(text, ' '))) AS term
@@ -3295,6 +3333,24 @@ object SparkEntry {
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_end,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "scd2_history" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |v AS (
+        |  SELECT user_id, event_type, ts AS vf, lead(ts) OVER w2 AS vt,
+        |    row_number() OVER w2 AS version
+        |  FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_type,
+        |  strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  vt IS NULL AS is_current, CAST(version AS BIGINT) AS version
+        |FROM v""".stripMargin,
 
     "windowed_counts" ->
       """SELECT
