@@ -913,6 +913,12 @@ object SparkEntry {
     "surprisal_score" -> ((s, dir) =>
       TextAnalysis.surprisal(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Bigram conditional surprisal — rare CONTINUATIONS, not rare words:
+    // the quantized -log2 P(b|a) mean that separates fluent-but-unusual
+    // text from shuffled-word gibberish (see TextAnalysis.bigramSurprisal).
+    "bigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")),
+
     // Link-centrality source weighting: exact fixed-point PageRank over
     // the bipartite user <-> item interaction graph (item nodes offset by
     // 1e6; both arc directions so mass circulates). Top 50 central nodes.
@@ -2656,6 +2662,22 @@ object SparkEntry {
         |  CAST((SUM(length(bin(n // c)) - 1) * 1000) // COUNT(*) AS BIGINT)
         |    AS surprisal_milli
         |FROM tok JOIN vocab USING (t) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.bigramSurprisal: zipped adjacent-pair unnest,
+    // bigram + left-context counts, bits = length(bin(c_a // c_ab)) - 1.
+    "bigram_surprisal" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS a,
+        |         unnest(ws[2:len(ws)]) AS b
+        |       FROM w WHERE len(ws) >= 2),
+        |b2 AS (SELECT doc_id, a, b FROM bg WHERE a <> '' AND b <> ''),
+        |model AS (SELECT a, b, count(*) AS c_ab FROM b2 GROUP BY 1, 2),
+        |lc AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM model GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST((sum(length(bin(c_a // c_ab)) - 1) * 1000) // count(*) AS BIGINT)
+        |    AS surprisal2_milli
+        |FROM b2 JOIN model USING (a, b) JOIN lc USING (a)
         |GROUP BY doc_id""".stripMargin,
 
     // Semantics-only mirror (deliberately naive all-pairs — the blocked

@@ -510,6 +510,50 @@ object TextAnalysis {
         expr("sum(bits) * 1000 div count(1)").as("surprisal_milli"))
   }
 
+  /** Quantized BIGRAM surprisal — [[surprisal]]'s conditional upgrade: the
+    * unigram score calls rare WORDS surprising; this scores rare
+    * CONTINUATIONS, the signal that separates fluent-but-unusual text from
+    * shuffled-word gibberish (every unigram common, every transition rare).
+    * Per adjacent pair occurrence the surprisal is
+    * `floor(log2(c(a·) / c(a,b)))` bits — the quantized MLE conditional
+    * `−log2 P(b|a)` with `c(a·)` = occurrences of `a` as a LEFT context
+    * (so the ratio is ≥ 1 and the bits ≥ 0 by construction); per document
+    * the mean in millibits/bigram. Exact integer arithmetic end to end
+    * ([[graft.functions.IntLog2]], no libm), so the oracle mirrors it
+    * bit-for-bit via `length(bin(c_a // c_ab)) − 1`. Returns
+    * `(doc_id, n_bigrams, surprisal2_milli)`; documents with no valid
+    * adjacent pair (under 2 non-empty tokens) are absent.
+    *
+    * Scale shape — the same train-then-score two-pass minimum as
+    * [[surprisal]]: pass 1 folds the corpus into the distinct-BIGRAM count
+    * table (pair-keyed, map-side combined, persisted; left-context counts
+    * re-group that table, never the corpus — [[collocations]]' discipline),
+    * pass 2 streams the bigram rows through a join against the model and
+    * the doc-keyed mean is the only corpus-sized shuffle. The model
+    * broadcasts while the bigram vocabulary fits (it does for any corpus
+    * whose vocab you'd train a 2-gram scorer on); past that the join
+    * degrades to ONE pair-keyed shuffle at identical complexity — never
+    * a corpus-vs-corpus fan-out. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("i", "a")), col("ws"))
+      .withColumn("b", expr("get(ws, i + 1)")) // null past the end, not an error
+      .where(col("a") =!= "" && col("b").isNotNull && col("b") =!= "")
+      .select("doc_id", "a", "b")
+    val model = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab")).persist()
+    // left-context totals from the persisted model (vocab-sized re-group),
+    // attached once so the scoring pass makes a single broadcast join
+    val withCtx = model.join(
+      model.groupBy("a").agg(sum("c_ab").as("c_a")), "a")
+    bg.join(broadcast(withCtx), Seq("a", "b"))
+      .select(col("doc_id"),
+        graft.functions.F.intLog2(expr("c_a div c_ab")).as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(bits) * 1000 div count(1)").as("surprisal2_milli"))
+  }
+
   /** Quantized BM25 ranked retrieval — sparse lexical top-k over the corpus
     * (the retrieval half of a RAG / hard-negative-mining pipeline), in
     * EXACT integer arithmetic so the oracle matches bit-for-bit.

@@ -372,6 +372,34 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out == Map(1L -> ((4L, 250L)), 2L -> ((3L, 1000L))), out.toString)
   }
 
+  test("bigramSurprisal: hand-computed conditional bits; sub-2-token docs absent") {
+    // bigram occurrences: (a,a)x2 (a,b)x2 (b,c)x1 — doc1 "a a a b", doc2 "a b c"
+    // left-context totals: c(a·)=4, c(b·)=1
+    // bits: (a,a) -> floor(log2(4 div 2)) = 1; (a,b) -> 1; (b,c) -> floor(log2(1)) = 0
+    val df = Seq((1L, "a a a b"), (2L, "a b c"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1 bigrams (a,a)(a,a)(a,b): (1+1+1)*1000 div 3 = 1000
+    // doc 2 bigrams (a,b)(b,c): (1+0)*1000 div 2 = 500
+    assert(out == Map(1L -> ((3L, 1000L)), 2L -> ((2L, 500L))), out.toString)
+  }
+
+  test("bigramSurprisal: shuffled gibberish scores above fluent text, unigram ties") {
+    // same unigram multiset in every doc, but docs 1-3 repeat one fluent
+    // transition pattern while doc 4 permutes it: unigram surprisal ties,
+    // bigram surprisal separates.
+    val df = Seq((1L, "the cat sat the cat sat"), (2L, "the cat sat the cat sat"),
+      (3L, "the cat sat the cat sat"), (4L, "cat the sat sat the cat"))
+      .toDF("doc_id", "text")
+    val uni = TextAnalysis.surprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uni.values.toSet.size == 1, s"unigram should tie: $uni")
+    val bi = TextAnalysis.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bi(4L) > bi(1L), s"gibberish must out-surprise fluent: $bi")
+  }
+
   test("bm25TopK: hand-computed quantized scores; zero-idf terms contribute nothing") {
     // corpus: N=4 docs, T=13 tokens, avgdl_milli = 13000 div 4 = 3250
     // df: x=2, y=2, z=2 (1 idf bit each: 4 div 2 = 2); c=3 (0 bits: 4 div 3 = 1)
