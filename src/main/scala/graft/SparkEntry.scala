@@ -932,6 +932,22 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node")).limit(50)
     }),
 
+    // TrustRank: the seed-biased twin of pagerank — teleport mass flows
+    // only to trusted seed users (<10), so rank measures proximity to
+    // vetted sources instead of raw link volume (spam-farm demotion).
+    // Same exact fixed-point arithmetic, same unrolled-CTE oracle.
+    "trustrank" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        (get_json_object(col("props"), "$.k").cast("long") + lit(1000000L))
+          .as("item"))
+      val edges = ev.select(col("user_id").as("src"), col("item").as("dst"))
+        .union(ev.select(col("item").as("src"), col("user_id").as("dst")))
+      val seeds = Tables.events(s, dir)
+        .select(col("user_id").as("node")).where(col("node") < 10)
+      Graph.trustRank(edges, "src", "dst", seeds, "node", iterations = 8)
+        .orderBy(col("rank").desc, col("node")).limit(50)
+    }),
+
     // Entity-resolution fuzzy join: edit-distance <= 2 pairs over the
     // distinct part names via FastSS deletion-neighborhood blocking +
     // exact Levenshtein verify — the record-linkage step of a metadata
@@ -2646,6 +2662,19 @@ object SparkEntry {
           |SELECT 1000000 + CAST(json_extract(props, '$.k') AS BIGINT),
           |  user_id
           |FROM events""".stripMargin, iterations = 8) +
+        "\nORDER BY rank DESC, node LIMIT 50"),
+
+    "trustrank" ->
+      (Graph.trustRankSql(
+        """SELECT user_id AS src,
+          |  1000000 + CAST(json_extract(props, '$.k') AS BIGINT) AS dst
+          |FROM events
+          |UNION
+          |SELECT 1000000 + CAST(json_extract(props, '$.k') AS BIGINT),
+          |  user_id
+          |FROM events""".stripMargin,
+        "SELECT user_id AS node FROM events WHERE user_id < 10",
+        iterations = 8) +
         "\nORDER BY rank DESC, node LIMIT 50"),
 
     // Mirrors TextAnalysis.surprisal exactly: per-token floor(log2(N // c))

@@ -429,6 +429,89 @@ object Graph {
     ranks
   }
 
+  /** TrustRank (Gyöngyi et al., 2004) — [[pageRank]] with the teleport
+    * restricted to a TRUSTED SEED set: rank flows outward from
+    * hand-vetted sources, so spam farms that inflate plain PageRank by
+    * interlinking score ~0 unless a trust path reaches them. The standard
+    * seed-biased curation/spam-demotion signal next to centrality
+    * weighting. Same exact fixed-point integer arithmetic as
+    * [[pageRank]] (micro-rank units, damping in permille, every division
+    * a fixed truncation point ⇒ bit-identical across engines —
+    * [[trustRankSql]] unrolls the identical rounds), with two changes:
+    * seeds start at `scale` and receive the per-round teleport base,
+    * everything else starts at 0 and receives none. Nodes unreachable
+    * from any seed provably stay at rank 0 (their in-mass is 0 every
+    * round — pinned in GraphSpec); seeding EVERY vertex reduces exactly
+    * to [[pageRank]] (equality property).
+    *
+    * Scale shape: identical to [[pageRank]] — per round one vocab-sized
+    * (node, share) join against the checkpointed edge set + one
+    * map-side-combined dst-keyed sum — plus a one-off broadcast-sized
+    * seed-flag join onto the vertex set. Seeds absent from the graph are
+    * ignored (vertices come from edges; the mirror does the same). */
+  def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iterations: Int = 8,
+      dampingPermille: Long = 850L, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 0 && dampingPermille >= 0 && dampingPermille <= 1000)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).where(
+      col("src").isNotNull && col("dst").isNotNull).distinct()
+      .localCheckpoint()
+    val seedNodes = seeds.select(col(seedCol).cast("long").as("node"))
+      .where(col("node").isNotNull).distinct()
+    val verts = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(broadcast(seedNodes.withColumn("__s", lit(true))), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(false)).as("seed"))
+      .localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val base = (1000L - dampingPermille) * scale / 1000L
+    var ranks = verts.select(col("node"),
+      when(col("seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
+    var i = 0
+    while (i < iterations) {
+      val shares = ranks.join(outdeg, Seq("node"))
+        .select(col("node").as("src"), expr("rank div deg").as("share"))
+      val inSum = e.join(shares, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share")).as("s"))
+      ranks = verts.join(inSum, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"$dampingPermille * coalesce(s, 0L) div 1000")).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+
+  /** The DuckDB mirror of [[trustRank]] — [[pageRankSql]] with the seeded
+    * init and per-node teleport base. `seedsSql` selects a `node` column. */
+  def trustRankSql(edgesSql: String, seedsSql: String, iterations: Int = 8,
+      dampingPermille: Long = 850L, scale: Long = 1000000L): String = {
+    val base = (1000L - dampingPermille) * scale / 1000L
+    val rounds = (1 to iterations).map { k =>
+      s"""pr$k AS (SELECT v.node,
+         |  (CASE WHEN v.seed THEN $base ELSE 0 END)
+         |    + ($dampingPermille * COALESCE(c.s, 0)) // 1000 AS rank
+         |  FROM sv v LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(p.rank // o.deg) AS s
+         |    FROM e JOIN pr${k - 1} p ON p.node = e.src
+         |    JOIN outdeg o ON o.node = e.src
+         |    GROUP BY e.dst) c ON c.node = v.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |sd AS (SELECT DISTINCT node FROM ($seedsSql)),
+       |verts AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |sv AS (SELECT v.node, (s.node IS NOT NULL) AS seed
+       |       FROM verts v LEFT JOIN sd s ON s.node = v.node),
+       |outdeg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+       |pr0 AS (SELECT node, CASE WHEN seed THEN $scale ELSE 0 END AS rank FROM sv),
+       |$rounds
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr$iterations""".stripMargin
+  }
+
   /** The DuckDB mirror of [[pageRank]]: the same fixed-point iterations
     * unrolled as chained CTEs over an `edges(src, dst)` CTE the caller
     * supplies as `edgesSql`. Same integer truncation points ⇒ identical

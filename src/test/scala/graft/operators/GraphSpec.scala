@@ -370,4 +370,40 @@ class GraphSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     assert(rd == rclean)
   }
+
+  test("trustRank: hand-computed seeded iterations; unreachable nodes stay 0") {
+    // 1→2, 2→3, 4→2; seed {1}; scale 1000, damping 850‰, base = 150
+    // init: r1=1000, others 0
+    // iter1: r1 = 150 + 0 = 150; r2 = 0 + 850·(1000+0) div 1000 = 850;
+    //        r3 = 0 (r2 was 0); r4 = 0 (never seeded, no in-edges)
+    // iter2: r1 = 150; r2 = 850·150 div 1000 = 127; r3 = 850·850 div 1000 = 722
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.trustRank(edges, "src", "dst", seeds, "node",
+      iterations = 2, scale = 1000L).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 150L, 2L -> 127L, 3L -> 722L, 4L -> 0L), r.toString)
+    // component with no trust path: stays at exactly 0 forever
+    val twoIslands = Seq((1L, 2L), (5L, 6L), (6L, 5L)).toDF("src", "dst")
+    val ri = Graph.trustRank(twoIslands, "src", "dst", seeds, "node",
+      iterations = 6, scale = 1000L).as[(Long, Long)].collect().toMap
+    assert(ri(5L) == 0L && ri(6L) == 0L, ri.toString)
+    // seeds not present in the graph are ignored (vertices come from edges)
+    val rg = Graph.trustRank(twoIslands, "src", "dst",
+      Seq(1L, 99L).toDF("node"), "node", iterations = 2, scale = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(!rg.contains(99L) && rg.keySet == Set(1L, 2L, 5L, 6L))
+  }
+
+  test("trustRank seeded with every vertex equals pageRank") {
+    val rnd = new scala.util.Random(5)
+    val edges = (1 to 60).map(_ => (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .toDF("src", "dst")
+    val allNodes = edges.select(edges("src").as("node"))
+      .union(edges.select(edges("dst").as("node"))).distinct()
+    val tr = Graph.trustRank(edges, "src", "dst", allNodes, "node",
+      iterations = 4).as[(Long, Long)].collect().toMap
+    val pr = Graph.pageRank(edges, "src", "dst", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(tr == pr)
+  }
 }
