@@ -35,7 +35,7 @@ object RunPipeline {
         "[--dims p] [--fallback ts] [--merge-buckets n] [--format f] " +
         "[--retries n] [--stream ckptDir [--enrich spec] " +
         "[--cardinality-profile dir] [--quantile-profile dir] " +
-        "[--freq-profile dir] [--components dir]]")
+        "[--freq-profile dir] [--components dir] [--scd2 dir]]")
     val Array(source, target, state, staging) = args.take(4)
     val opts = args.drop(4).sliding(2, 2).collect {
       case Array(k, v) => k -> v
@@ -130,7 +130,8 @@ object RunPipeline {
       cardinalityProfilePath = opts.get("--cardinality-profile"),
       quantileProfilePath = opts.get("--quantile-profile"),
       freqProfilePath = opts.get("--freq-profile"),
-      componentsPath = opts.get("--components"))
+      componentsPath = opts.get("--components"),
+      scd2Path = opts.get("--scd2"))
 
   /** Run the pipeline, retrying the WHOLE run on failure up to `retries`
     * extra attempts. Each retry starts from the persisted state: the

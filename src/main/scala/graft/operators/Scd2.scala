@@ -63,6 +63,58 @@ object Scd2 {
     * batch keys (broadcast-able — batches are small next to the dim);
     * affected keys replay open-row-as-synthetic-event + batch through
     * [[fromLog]] and shift versions by the open row's version − 1. */
+  /** Sentinel key of the replay-guard metadata row (ProfileStore's
+    * convention; the batch id rides in `version`). */
+  val MetaKey = "__meta:last_batch"
+
+  /** Maintain a PERSISTED SCD2 dimension at `root`: fold one micro-batch
+    * via [[applyBatch]] (first batch bootstraps via [[fromLog]]) inside an
+    * [[IndexStore.rewriteWith]] commit — recompute-on-retry under
+    * concurrent writers, crash leaves the previous dimension readable.
+    *
+    * [[applyBatch]] is NOT replay-idempotent (a replayed batch violates
+    * the strictly-later contract against the dimension it already
+    * produced), so streaming callers pass `batchId`: the last folded
+    * micro-batch id rides in a sentinel row committed ATOMICALLY with the
+    * dimension, and a batch id ≤ the recorded one is a no-op —
+    * exactly-once folding on at-least-once delivery, the KLL-profile
+    * posture. The sentinel keys on [[MetaKey]], so the guarded path
+    * requires a string `keyCol`. */
+  def update(spark: org.apache.spark.sql.SparkSession, root: String,
+      batch: DataFrame, keyCol: String, attrCol: String, tsCol: String,
+      orderCols: Seq[String] = Nil, batchId: Option[Long] = None): Unit = {
+    require(batchId.isEmpty ||
+      batch.schema(keyCol).dataType == org.apache.spark.sql.types.StringType,
+      "replay-guarded SCD2 stores need a string key (sentinel row)")
+    IndexStore.rewriteWith(spark, root)(() => {
+      val existing =
+        if (IndexStore.exists(spark, root)) Some(IndexStore.read(spark, root))
+        else None
+      val last = existing.flatMap(
+        _.where(col(keyCol) === MetaKey).select("version")
+          .collect().headOption.map(_.getLong(0)))
+      if (batchId.exists(id => last.exists(id <= _))) (existing.get, None)
+      else {
+        val data = existing match {
+          case None => fromLog(batch, keyCol, attrCol, tsCol, orderCols)
+          case Some(cur) => applyBatch(
+            cur.where(!(col(keyCol) <=> lit(MetaKey))), batch,
+            keyCol, attrCol, tsCol, orderCols)
+        }
+        val meta = batchId
+          .map(id => spark.range(1).select(
+            lit(MetaKey).as(keyCol),
+            lit(null).cast(batch.schema(attrCol).dataType).as(attrCol),
+            lit(null).cast(batch.schema(tsCol).dataType).as("valid_from"),
+            lit(null).cast(batch.schema(tsCol).dataType).as("valid_to"),
+            lit(null).cast("boolean").as("is_current"),
+            lit(id).as("version")))
+          .orElse(existing.map(_.where(col(keyCol) === MetaKey)))
+        (meta.fold(data)(m => data.unionByName(m)), None)
+      }
+    })
+  }
+
   def applyBatch(dim: DataFrame, batch: DataFrame, keyCol: String,
       attrCol: String, tsCol: String, orderCols: Seq[String] = Nil): DataFrame = {
     val keys = batch.select(col(keyCol)).distinct()

@@ -89,7 +89,8 @@ object IncrementalStream {
       cardinalityProfilePath: Option[String] = None,
       quantileProfilePath: Option[String] = None,
       freqProfilePath: Option[String] = None,
-      componentsPath: Option[String] = None): StreamingQuery = {
+      componentsPath: Option[String] = None,
+      scd2Path: Option[String] = None): StreamingQuery = {
     val docs = spark.readStream
       .schema(graft.schema.Schemas.sourceDoc)
       .parquet(sourceDir)
@@ -156,6 +157,17 @@ object IncrementalStream {
               length(col("cleaned_ref")).cast("double").as("v")),
             keyCol = "embeddings_type", valueCol = "v",
             batchId = Some(batchId))
+        }
+        // SCD2 attribute-history dimension (display_name per key): folds
+        // the RAW micro-batch — pre-dedup, since the history dim wants
+        // every change, not just the batch's survivor — with the batch-id
+        // replay guard (applyBatch is not replay-idempotent; Scd2.update).
+        scd2Path.foreach { p =>
+          graft.operators.Scd2.update(s, p,
+            batch.select(col("main_refco"), col("display_name"),
+              col("original_timestamp")),
+            keyCol = "main_refco", attrCol = "display_name",
+            tsCol = "original_timestamp", batchId = Some(batchId))
         }
         freqProfilePath.foreach { p =>
           graft.operators.Frequencies.update(s, p,

@@ -163,6 +163,46 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(est3 == est2, s"replayed batch mutated the profile: $est3")
   }
 
+  test("streaming SCD2 dimension: versions accumulate across runs; replay-guarded") {
+    val src = tmp("scd2-src"); val ckpt = tmp("scd2-ckpt")
+    val target = tmp("scd2-target") + "/out"
+    val dim = tmp("scd2-dim") + "/dim"
+
+    // run 1: one key, display_name "s1 (None)"
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-01 10:00:00", Seq(1f, 0f), "a", "", "c1")), "batch0")
+    IncrementalStream.start(spark, src, target, ckpt,
+      scd2Path = Some(dim)).awaitTermination()
+    def rows() = graft.operators.IndexStore.read(spark, dim)
+      .where(org.apache.spark.sql.functions.col("main_refco") =!=
+        graft.operators.Scd2.MetaKey)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getBoolean(4), r.getLong(5))).toSet
+    val r1 = rows()
+    assert(r1.size == 1 && r1.head._2 == "s1 (None)" && r1.head._3, r1.toString)
+
+    // run 2 via the CLI flag path: same key arrives from a new source →
+    // display_name changes → the open row closes, version 2 opens; a
+    // second, unchanged key event for the new name collapses (no v3)
+    writeBatch(src, Seq(
+      doc("s2", "2024-01-02 10:00:00", Seq(2f, 0f), "a", "", "c1"),
+      doc("s2", "2024-01-02 11:00:00", Seq(3f, 0f), "a", "", "c1")), "batch1")
+    graft.RunPipeline.startStream(spark, src, target, ckpt,
+      Map("--scd2" -> dim)).awaitTermination()
+    val r2 = rows()
+    assert(r2.map(t => (t._2, t._3, t._4)) == Set(
+      ("s1 (None)", false, 1L), ("s2 (None)", true, 2L)), r2.toString)
+
+    // a replayed micro-batch id must leave the dimension untouched
+    // (applyBatch is not replay-idempotent — the guard row protects it)
+    graft.operators.Scd2.update(spark, dim,
+      Seq(("zzz", "ghost", "2024-01-03T00:00:00"))
+        .toDF("main_refco", "display_name", "original_timestamp"),
+      keyCol = "main_refco", attrCol = "display_name",
+      tsCol = "original_timestamp", batchId = Some(0L))
+    assert(rows() == r2, "replayed batch mutated the dimension")
+  }
+
   test("streaming frequent-items profile: accumulates across runs; replay-guarded") {
     val src = tmp("freq-src"); val ckpt = tmp("freq-ckpt")
     val target = tmp("freq-target") + "/out"
