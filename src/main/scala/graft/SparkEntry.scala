@@ -961,6 +961,21 @@ object SparkEntry {
         .select(col("a_id").as("a_name"), col("b_id").as("b_name"),
           col("dist"))),
 
+    // Composed entity resolution: fuzzy pairs -> connected components ->
+    // canonical form (lexicographic component minimum) — the survivorship
+    // step that turns pairwise typo matches into one canonical entity per
+    // cluster (rides the string-keyed adaptive CC).
+    "entity_canonical" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+        .withColumn("id", col("p_name"))
+      val pairs = EditDistance.pairs(names, "id", "p_name", maxDist = 2)
+      val comp = Graph.connectedComponents(pairs, "a_id", "b_id")
+        .select(col("id").as("__cid"), col("label"))
+      names.select("p_name").join(comp, names("p_name") === comp("__cid"), "left")
+        .select(col("p_name").as("name"),
+          coalesce(col("label"), col("p_name")).as("canonical"))
+    }),
+
     // Corpus vocabulary stats: top 20 terms by document frequency
     // (stopword discovery / vocabulary pruning for tokenizer training).
     "top_terms" -> ((s, dir) =>
@@ -2719,6 +2734,23 @@ object SparkEntry {
         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM d a JOIN d b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
+    // Naive-pairs + recursive-CC mirror of the composed ER pipeline;
+    // singleton names canonicalize to themselves via the left join.
+    "entity_canonical" ->
+      """WITH RECURSIVE d AS (SELECT DISTINCT p_name FROM part
+        |  WHERE p_name IS NOT NULL AND length(p_name) <= 64),
+        |p AS (SELECT a.p_name AS a, b.p_name AS b
+        |      FROM d a JOIN d b ON a.p_name < b.p_name
+        |      WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(id, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
+        |SELECT d.p_name AS name, coalesce(c.component, d.p_name) AS canonical
+        |FROM d LEFT JOIN comp c ON d.p_name = c.id""".stripMargin,
 
     "top_terms" ->
       """SELECT term, COUNT(*) AS df FROM (
