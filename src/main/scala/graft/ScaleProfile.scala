@@ -168,6 +168,39 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "r10b") {
+      // Late-round-10 ops. Text/event queries scale on the derived sf0.5
+      // corpus; the entity-name queries get their OWN 5× axis — the part
+      // dims copy verbatim into sf0.5 (fixed-dim realism for the join
+      // queries), but entity strings scale with the CATALOG, so a names
+      // table with suffixed replicas (suffix edit-distance > k between
+      // replicas ⇒ exactly 5× the typo clusters, none cross-replica)
+      // is the honest input growth for the fuzzy-join family.
+      val namesDir = "/tmp/scale/sf0.5-names"
+      if (!new java.io.File(s"$namesDir/part.parquet").isDirectory) {
+        val part = spark.read.parquet(s"$src/part.parquet")
+        (0 until reps).map(i => part
+          .withColumn("p_partkey", col("p_partkey") + lit(i.toLong * 1000000L))
+          .withColumn("p_name", if (i == 0) col("p_name")
+            else concat(col("p_name"), lit("_" + (i.toString * 3)))))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$namesDir/part.parquet")
+        System.err.println("[scale] derived sf0.5-names (5x entity catalog)")
+      }
+      val ps = Seq(
+        "bm25_topk" -> out, "funnel_steps" -> out, "retention_cohorts" -> out,
+        "scd2_history" -> out, "bigram_surprisal" -> out, "trustrank" -> out,
+        "editdist_pairs" -> namesDir, "entity_canonical" -> namesDir)
+      ps.foreach { case (q, _) => time(q, src) } // warmup: codegen + JIT
+      ps.foreach { case (q, d) => time(q, d) }
+      ps.foreach { case (q, d) =>
+        val t1 = median3(time(q, src))
+        val t5 = median3(time(q, d))
+        println(f"SCALE $q%-24s sf0.1=$t1%6.2f s  sf0.5=$t5%6.2f s  exponent=${math.log(t5 / t1) / math.log(5.0)}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "skew") {
       // Adversarial hot-key profile: the sf0.5 events table with ONE user
       // owning ~50% of all rows (every even-hashed event remapped to user

@@ -382,4 +382,34 @@ class PlanSpec extends SparkSpecBase {
         n.isInstanceOf[Exchange] && !n.toString.contains("RoundRobinPartitioning"))),
       "bloom probe runs downstream of a key exchange — prefilter value lost")
   }
+
+  test("editdist_pairs: variant-hash equi-join, never a cartesian/theta pair join") {
+    val nodes = collectAll(plan("editdist_pairs"))
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      s"all-pairs shape leaked into the fuzzy join:\n${plan("editdist_pairs")}")
+    assert(!nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      "theta join in the candidate stage — deletion blocking must equi-join")
+  }
+
+  test("bigram_surprisal: model joins back broadcast; no pair-keyed sort-merge") {
+    val nodes = collectAll(plan("bigram_surprisal"))
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      s"bigram model join not broadcast:\n${plan("bigram_surprisal")}")
+    assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")),
+      "pair-keyed sort-merge join (hot-bigram skew risk)")
+    // model + left-context totals come from the persisted aggregate — the
+    // scoring plan re-reads the corpus exactly once
+    val scans = nodes.count(_.nodeName.toLowerCase.contains("scan parquet"))
+    assert(scans <= 1, s"corpus scanned $scans times in the scoring plan")
+  }
+
+  test("scd2_history: both windows share one key exchange") {
+    val nodes = collectAll(plan("scd2_history"))
+    val keyExchanges = nodes.filter(n => n.isInstanceOf[Exchange] &&
+      !n.toString.contains("RoundRobinPartitioning") &&
+      !n.toString.contains("SinglePartition"))
+    assert(keyExchanges.size <= 1,
+      s"change-point and interval windows must reuse the (key, order) sort; " +
+        s"got ${keyExchanges.size} key exchanges:\n${plan("scd2_history")}")
+  }
 }
