@@ -1167,6 +1167,45 @@ object SparkEntry {
         .groupBy("n_name").agg(sum(rev).cast("double").as("revenue"))
     }),
 
+    // TPC-H Q3 shape: shipping priority — segment-filtered customer ⋈
+    // date-bounded orders ⋈ shipdate-bounded lineitem, exact-decimal
+    // revenue, deterministic top 10 (revenue DESC on the EXACT decimal,
+    // then key — ordering decided before the double cast).
+    "q3_shipping_priority" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+      Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") < to_timestamp(lit("1998-07-01 00:00:00"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .where(col("l_shipdate") > to_timestamp(lit("1998-07-01 00:00:00"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(rev).as("rev_exact"))
+        .orderBy(col("rev_exact").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          col("rev_exact").cast("double").as("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+    }),
+
+    // TPC-H Q18 shape: large-volume customers — the HAVING-filtered
+    // order-quantity rollup semi-joins the fact table back; quantities
+    // summed as LONGs (integral doubles) so both engines are exact.
+    "q18_big_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .where(col("sum_qty") > 300)
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+    }),
+
     // TPC-H Q14 shape: promo-revenue share — lineitem ⋈ broadcast part,
     // conditional aggregation, exact decimal arithmetic; permille avoids
     // the float division.
@@ -3056,6 +3095,34 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(12,2)))) DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, CAST(sum_qty AS BIGINT) AS sum_qty
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN big ON o_orderkey = l_orderkey""".stripMargin,
 
     "q14_promo_revenue" ->
       """WITH l AS (SELECT *,
