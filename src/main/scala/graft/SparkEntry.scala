@@ -787,6 +787,34 @@ object SparkEntry {
         Bpe.vocabulary(docs, "text", sharedBpeMerges(s, dir)))
     }),
 
+    // Held-out tokenizer quality: train BPE on the even-doc half, score
+    // the odd half — fertility (subword tokens per word, millitokens)
+    // and word-level OOV rate per source, THE pair of metrics a
+    // tokenizer-drift monitor watches. Unseen words segment through the
+    // same codegen'd merge replay (Bpe.vocabulary re-segments whatever
+    // words the scored half has); the oracle replays training on the
+    // train half AND the greedy application on held-out words in SQL.
+    "tokenizer_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.where(col("doc_id") % 2 === 0)
+      val test = docs.where(col("doc_id") % 2 === 1)
+      val merges = Bpe.train(train, "text", numMerges = 10)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val segmented = Bpe.vocabulary(test, "text", merges)
+      val trainWords = Bpe.wordFrequencies(train, "text").select(col("w"))
+        .withColumn("__seen", lit(true))
+      test.select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .join(broadcast(segmented.select(col("w"), col("syms"))), "w")
+        .join(broadcast(trainWords), Seq("w"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("syms"))).as("n_tokens"),
+          expr("sum(size(syms)) * 1000 div count(1)").as("fertility_milli"),
+          expr("sum(case when __seen is null then 1 else 0 end) * 1000 div count(1)")
+            .as("oov_permille"))
+    }),
+
     // Persisted-profile quantile surface: per-source token-count
     // p50/p90/p99 via the custom KLL TypedImperativeAggregate (Spark has
     // HLL sketch aggs but no quantile ones). Map-side sketch fold — the
@@ -1634,10 +1662,10 @@ object SparkEntry {
     * member, the position after a selected one is consumed. A round with
     * no pairs leaves the segmentation unchanged (LEFT JOIN against the
     * empty argmax), mirroring the operator's exhaustion stop. */
-  private def bpeTrainCtes(k: Int): String = {
+  private def bpeTrainCtes(k: Int, from: String = "documents"): String = {
     val head =
-      """wf AS MATERIALIZED (SELECT w, count(*) AS freq
-        |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      s"""wf AS MATERIALIZED (SELECT w, count(*) AS freq
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $from)
         |       WHERE w <> '' GROUP BY w),
         |r0 AS MATERIALIZED (SELECT w, freq, [w[i:i] for i in range(1, len(w) + 1)] AS syms FROM wf)""".stripMargin
     val rounds = (0 until k).map { r =>
@@ -1666,6 +1694,43 @@ object SparkEntry {
          |r${r + 1} AS MATERIALIZED (SELECT w, any_value(freq) AS freq,
          |          list(tok ORDER BY i) AS syms
          |        FROM f$r WHERE consumed = 0 GROUP BY w)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$rounds"
+  }
+
+  /** Apply the [[bpeTrainCtes]] merge sequence (`b0..b{k-1}`) to a
+    * DIFFERENT word set — the inference-time greedy replay on held-out
+    * words, the SQL twin of `Bpe.udfFreeEncode`. `src` selects a `w`
+    * column of distinct words; the final CTE `tw$k` holds (w, syms).
+    * Each round reuses the train chain's application pattern (occurrence
+    * flag → island grouping → odd-position greedy selection → pairwise
+    * fold), so overlap semantics match the engine's left-to-right
+    * non-overlapping fold exactly. An early-stopped empty `b$r` leaves
+    * the round a no-op via the LEFT JOIN, like the train chain. */
+  private def bpeApplyCtes(k: Int, src: String): String = {
+    val head =
+      s"""tw0 AS MATERIALIZED (SELECT w,
+         |  [w[i:i] for i in range(1, len(w) + 1)] AS syms FROM ($src))""".stripMargin
+    val rounds = (0 until k).map { r =>
+      s"""twx$r AS MATERIALIZED (SELECT w, len(syms) AS n, unnest(syms) AS s,
+         |        unnest(range(1, len(syms) + 1)) AS i FROM tw$r),
+         |two$r AS MATERIALIZED (SELECT x.w, x.i, x.n, x.s, b.l AS bl, b.r AS br,
+         |          CASE WHEN x.i < x.n AND x.s = b.l
+         |                AND lead(x.s) OVER (PARTITION BY x.w ORDER BY x.i) = b.r
+         |               THEN 1 ELSE 0 END AS occ
+         |        FROM twx$r x LEFT JOIN b$r b ON true),
+         |tws$r AS MATERIALIZED (SELECT *, CASE WHEN occ = 1
+         |          THEN i - row_number() OVER (PARTITION BY w, occ ORDER BY i)
+         |          ELSE NULL END AS isl FROM two$r),
+         |twt$r AS MATERIALIZED (SELECT *, CASE WHEN occ = 1
+         |          AND row_number() OVER (PARTITION BY w, isl ORDER BY i) % 2 = 1
+         |          THEN 1 ELSE 0 END AS sel FROM tws$r),
+         |twf$r AS MATERIALIZED (SELECT w, i,
+         |          CASE WHEN sel = 1 THEN bl || br ELSE s END AS tok,
+         |          coalesce(lag(sel) OVER (PARTITION BY w ORDER BY i), 0) AS consumed
+         |        FROM twt$r),
+         |tw${r + 1} AS MATERIALIZED (SELECT w, list(tok ORDER BY i) AS syms
+         |        FROM twf$r WHERE consumed = 0 GROUP BY w)""".stripMargin
     }.mkString(",\n")
     s"$head,\n$rounds"
   }
@@ -2566,6 +2631,26 @@ object SparkEntry {
          |  CAST(sum(len(w)) AS BIGINT) AS n_chars
          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
          |JOIN r10 USING (w) WHERE w <> '' GROUP BY 1""".stripMargin,
+
+    // Train replay on the even half + greedy-application replay on the
+    // odd half's distinct words (bpeApplyCtes), then the per-source
+    // fertility/OOV aggregate; OOV = absence from the train word table.
+    "tokenizer_fertility" ->
+      s"""WITH ${bpeTrainCtes(10, "(SELECT * FROM documents WHERE doc_id % 2 = 0)")},
+         |${bpeApplyCtes(10,
+             """SELECT DISTINCT w FROM (
+               |  SELECT unnest(string_split(text, ' ')) AS w
+               |  FROM documents WHERE doc_id % 2 = 1) WHERE w <> ''""".stripMargin)},
+         |tok AS (SELECT source, w FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS w
+         |    FROM documents WHERE doc_id % 2 = 1) WHERE w <> '')
+         |SELECT source, count(*) AS n_words,
+         |  CAST(sum(len(tw.syms)) AS BIGINT) AS n_tokens,
+         |  CAST((sum(len(tw.syms)) * 1000) // count(*) AS BIGINT) AS fertility_milli,
+         |  CAST((count(*) FILTER (wf.w IS NULL) * 1000) // count(*) AS BIGINT)
+         |    AS oov_permille
+         |FROM tok JOIN tw10 tw USING (w) LEFT JOIN wf ON wf.w = tok.w
+         |GROUP BY source""".stripMargin,
 
     // KLL exact-regime mirror: INCLUSIVE quantile at rank r over n <= k
     // retained values = the sorted value at 1-based index ceil(r*n).

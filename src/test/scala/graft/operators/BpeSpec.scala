@@ -64,6 +64,28 @@ class BpeSpec extends SparkSpecBase {
     }
   }
 
+  test("property: UNSEEN words segment exactly like the inference replay (held-out path)") {
+    // train on one half of the corpus, segment words from the OTHER half —
+    // the tokenizer_fertility path: vocabulary() re-segments whatever
+    // words it is given, so out-of-train words ride the same merge fold
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = docs.where(org.apache.spark.sql.functions.expr("doc_id % 2 = 0"))
+    val test_ = docs.where(org.apache.spark.sql.functions.expr("doc_id % 2 = 1"))
+    val merges = Bpe.train(train, "text", numMerges = 8)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val seg = Bpe.vocabulary(test_, "text", merges)
+      .collect().map(r => (r.getString(0), r.getSeq[String](2))).toMap
+    assert(seg.nonEmpty)
+    seg.foreach { case (w, syms) =>
+      assert(Bpe.encodeWord(merges, w) == syms, s"held-out word '$w' diverged")
+      assert(syms.mkString == w, s"segmentation of '$w' lost characters")
+    }
+    // a word with characters the training never saw falls back to chars
+    val oov = Bpe.vocabulary(Seq("zq9zq9").toDF("text"), "text", merges)
+      .collect().map(r => (r.getString(0), r.getSeq[String](2))).toMap
+    assert(oov("zq9zq9") == Seq("z", "q", "9", "z", "q", "9"))
+  }
+
   test("encodeViaVocab: per-doc token stats over the vocab join") {
     val df = Seq((1L, "ab ab x"), (2L, "cd"), (3L, "")).toDF("doc_id", "text")
     val merges = Seq(("a", "b"), ("c", "d"))
