@@ -361,6 +361,75 @@ object Upsert {
     } else spark.read.parquet(new Path(targetPath, snapshot).toString)
   }
 
+  /** Change-data-feed: the row-level diff between two retained snapshots
+    * of a merge target — Delta/Iceberg's CDC read for this layout, the
+    * backfill/audit answer to "what did the merges between A and B do".
+    * Emits one row per changed key: `change_type` (`insert` / `update` /
+    * `delete`) + key columns + the after-image data columns (before-image
+    * for deletes). Rows rewritten with IDENTICAL values are excluded —
+    * a bucket rewrite carries its cohabitant rows through unchanged, and
+    * value-level comparison (null-safe, complex types included) filters
+    * them back out.
+    *
+    * Scale shape: on the manifest-bucketed layout the diff PRUNES to the
+    * buckets whose file lists differ between the two manifests —
+    * metadata-only I/O decides, then both sides read ONLY rewritten
+    * buckets, so CDC between adjacent snapshots costs O(merge batch +
+    * cohabitants), never a table scan (pinned by a file-level assertion
+    * in CdcSpec). Data files are immutable and shared across manifests,
+    * which is what makes any retained pair a consistent diff. The plain
+    * snapshot-dir layout falls back to a full two-sided diff. Both
+    * snapshots must share the key/data schema (columns are resolved by
+    * the newer snapshot's names). */
+  def changesBetween(spark: SparkSession, targetPath: String,
+      fromSnapshot: String, toSnapshot: String, keys: Seq[String]): DataFrame = {
+    val fromBody = manifestBody(spark, targetPath, Some(fromSnapshot))
+    val toBody = manifestBody(spark, targetPath, Some(toSnapshot))
+    (fromBody, toBody) match {
+      case (Some(fb), Some(tb)) =>
+        val fm = parseManifestEntries(fb)
+        val tm = parseManifestEntries(tb)
+        val changed = (fm.keySet ++ tm.keySet).filter(b =>
+          fm.getOrElse(b, Nil).toSet != tm.getOrElse(b, Nil).toSet)
+        def readSide(m: Map[Int, Seq[String]], body: String): DataFrame = {
+          val files = changed.toSeq.sorted.flatMap(b => m.getOrElse(b, Nil))
+            .map(resolveEntry(targetPath, _))
+          if (files.nonEmpty) spark.read.parquet(files: _*)
+          else emptyFromManifest(spark, body,
+            s"snapshot side of changesBetween under $targetPath")
+        }
+        snapshotDiff(readSide(fm, fb), readSide(tm, tb), keys)
+      case _ =>
+        snapshotDiff(readTargetAt(spark, targetPath, fromSnapshot),
+          readTargetAt(spark, targetPath, toSnapshot), keys)
+    }
+  }
+
+  /** Row-level classification behind [[changesBetween]]: full outer join
+    * on the keys, presence markers, null-safe value comparison over every
+    * non-key column. */
+  private def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val dataCols = newDf.columns.filterNot(keys.contains).toSeq
+    val o = oldDf.select((keys.map(col) ++
+      dataCols.map(c => col(c).as(s"__old_$c"))): _*)
+      .withColumn("__in_old", lit(true))
+    val n = newDf.select((keys.map(col) ++
+      dataCols.map(c => col(c).as(s"__new_$c"))): _*)
+      .withColumn("__in_new", lit(true))
+    val anyDiff = dataCols.map(c => !(col(s"__old_$c") <=> col(s"__new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, lit("insert"))
+          .when(col("__in_new").isNull, lit("delete"))
+          .when(anyDiff, lit("update")))
+      .where(col("change_type").isNotNull)
+      .select(col("change_type") +: keys.map(col) ++: dataCols.map(c =>
+        when(col("change_type") === "delete", col(s"__old_$c"))
+          .otherwise(col(s"__new_$c")).as(c)): _*)
+  }
+
   /** Snapshot names currently on disk under a merge target, oldest first
     * — snapshot DIRS (plain layout) or retained manifest FILES
     * (manifest-bucketed layout). Read one with [[readTargetAt]]. */
