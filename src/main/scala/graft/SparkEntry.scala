@@ -615,6 +615,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.where(col("vec_id") < 20), emb, k = 5)
     }),
 
+    // Hard-negative mining (contrastive training): per query 5 exact
+    // cosine near-misses + 5 deterministic hash-ranked random negatives
+    // excluding the hard set — the standard two-tier negative mix.
+    "hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb.where(col("vec_id") < 8), emb,
+        kHard = 5, kRandom = 5)
+    }),
+
     // Exact cosine near-duplicate pairs — crossJoin, quadratic BY DESIGN:
     // the verification-scale ground truth. The registered scale path is
     // cosine_neardup_lsh below.
@@ -1630,7 +1639,8 @@ object SparkEntry {
        |${name}1 AS (SELECT $carry, xor(z, z >> 30) AS z FROM ${name}0),
        |${name}2 AS (SELECT $carry, ${sqlMulMod64("z", "13787848793156543929")} AS z FROM ${name}1),
        |${name}3 AS (SELECT $carry, xor(z, z >> 27) AS z FROM ${name}2),
-       |${name}4 AS (SELECT $carry, CAST(xor(z, z >> 31) AS HUGEINT) AS z FROM ${name}3),
+       |${name}3b AS (SELECT $carry, ${sqlMulMod64("z", "10723151780598845931")} AS z FROM ${name}3),
+       |${name}4 AS (SELECT $carry, CAST(xor(z, z >> 31) AS HUGEINT) AS z FROM ${name}3b),
        |$name AS MATERIALIZED (SELECT $carry,
        |  CAST(CASE WHEN z > 9223372036854775807 THEN z - 18446744073709551616
        |       ELSE z END AS BIGINT) AS sh64 FROM ${name}4)""".stripMargin
@@ -2458,6 +2468,31 @@ object SparkEntry {
         |  neighbor_id, cos
         |FROM s
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+
+    // Hard tier mirrors cosine_topk; random tier recomputes the identical
+    // mix64 pair hash and ranks it, excluding the hard set.
+    "hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE query_id <> neighbor_id),
+        |hard AS (SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5),
+        |p AS (SELECT s.query_id, s.neighbor_id,
+        |    CAST(s.query_id AS VARCHAR) || ':' || CAST(s.neighbor_id AS VARCHAR) AS pair
+        |  FROM s ANTI JOIN hard USING (query_id, neighbor_id)),
+        |${sqlMix64Ctes("hh", "p", "pair", "query_id, neighbor_id")},
+        |rnd AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sh64, neighbor_id) AS rank
+        |  FROM hh
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sh64, neighbor_id) <= 5)
+        |SELECT query_id, 'hard' AS neg_type, CAST(rank AS BIGINT) AS rank,
+        |  neighbor_id, cos FROM hard
+        |UNION ALL
+        |SELECT query_id, 'random', CAST(rank AS BIGINT), neighbor_id, NULL FROM rnd""".stripMargin,
 
     "cosine_neardup_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

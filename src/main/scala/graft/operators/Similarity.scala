@@ -47,6 +47,49 @@ object Similarity {
     perQueryTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per query,
+    * `kHard` HARD negatives (the exact cosine top-k non-self neighbors —
+    * the near-misses a contrastive loss learns most from) plus `kRandom`
+    * RANDOM negatives (deterministic hash-ranked sample of everything
+    * else — the easy-negative floor that keeps the batch calibrated).
+    * The standard two-tier negative mix of a retrieval-training pipeline
+    * (the BM25 scaladoc's other half). Fully deterministic: hard ties
+    * break by id, the random tier ranks by `mix64(query:candidate)` so
+    * reruns and engines agree bit for bit.
+    *
+    * Output `(query_id, neg_type, rank, neighbor_id, cos)` — `cos` null
+    * on the random tier (scoring it would defeat its purpose).
+    *
+    * Scale shape: the hard tier is [[bruteForceTopK]]'s broadcast-queries
+    * corpus scan with the bounded top-k aggregate (swap in [[lshTopK]] /
+    * `Ivf.probeIndex` for corpus-scale query batches — same contract);
+    * the random tier is a second broadcast pass over the slim id column:
+    * candidate ranking shuffles (query_id, id, hash) only, the hard-set
+    * exclusion is a broadcast anti join of `kHard·|queries|` rows. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, kHard: Int,
+      kRandom: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val hard = bruteForceTopK(queries, corpus, kHard, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"))
+    val c = Par.spread(corpus).select(col(idCol).as("neighbor_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("__h").asc, col("neighbor_id").asc)
+    val rnd = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(hard.select("query_id", "neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("__h", graft.functions.F.mix64(concat(
+        col("query_id").cast("string"), lit(":"),
+        col("neighbor_id").cast("string"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= kRandom)
+    hard.select(col("query_id"), lit("hard").as("neg_type"),
+        col("rank").cast("long").as("rank"), col("neighbor_id"), col("cos"))
+      .unionByName(rnd.select(col("query_id"), lit("random").as("neg_type"),
+        col("rank"), col("neighbor_id"),
+        lit(null).cast("double").as("cos")))
+  }
+
   /** LSH-bucketed ANN top-k: queries only score corpus vectors sharing
     * their sign-random-projection bucket in at least one of `tables`
     * independent bucketings. Recall < 1 by construction; `planes` trades
