@@ -223,7 +223,7 @@ object ScaleProfile {
         System.err.println("[scale] derived sf0.5-skew (user 1 owns ~50% of events)")
       }
       val ps = Seq("band_join", "asof_join", "sessionize",
-        "sessionize_chunked", "topk_per_key")
+        "sessionize_chunked", "scd2_history", "scd2_chunked", "topk_per_key")
       ps.foreach(q => time(q, out))
       ps.foreach(q => time(q, skewDir))
       ps.foreach { q =>

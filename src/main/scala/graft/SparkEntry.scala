@@ -1544,6 +1544,19 @@ object SparkEntry {
           ts6(col("valid_to")).as("valid_to"),
           col("is_current"), col("version"))),
 
+    // Skew-proof twin of scd2_history: change-point collapse within
+    // (key, 2h chunk) so a hot key parallelizes across its time range,
+    // boundary duplicates removed in a change-point-sized second pass.
+    // Output provably identical (Scd2.fromLogChunked scaladoc), so it
+    // shares the oracle.
+    "scd2_chunked" -> ((s, dir) =>
+      Scd2.fromLogChunked(Tables.events(s, dir), "user_id", "event_type",
+          "ts", orderCols = Seq("event_id"), chunkSeconds = 7200L)
+        .select(col("user_id"), col("event_type"),
+          ts6(col("valid_from")).as("valid_from"),
+          ts6(col("valid_to")).as("valid_to"),
+          col("is_current"), col("version"))),
+
     // Streaming-shaped windowed aggregation (event-time tumbling window),
     // run on the batch path; value summed in exact decimal.
     "windowed_counts" -> ((s, dir) => {
@@ -3605,6 +3618,26 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "scd2_history" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |v AS (
+        |  SELECT user_id, event_type, ts AS vf, lead(ts) OVER w2 AS vt,
+        |    row_number() OVER w2 AS version
+        |  FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_type,
+        |  strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  vt IS NULL AS is_current, CAST(version AS BIGINT) AS version
+        |FROM v""".stripMargin,
+
+    // scd2_chunked is output-identical to scd2_history by construction
+    // (Scd2.fromLogChunked scaladoc) — same windowed mirror.
+    "scd2_chunked" ->
       """WITH o AS (
         |  SELECT user_id, event_type, ts, event_id,
         |    lag(event_type) OVER w AS prev, row_number() OVER w AS rn

@@ -63,6 +63,42 @@ object Scd2 {
     * batch keys (broadcast-able — batches are small next to the dim);
     * affected keys replay open-row-as-synthetic-event + batch through
     * [[fromLog]] and shift versions by the open row's version − 1. */
+  /** Skew-proof twin of [[fromLog]] — the `Sessionize.sessionsChunked`
+    * treatment: the change-point collapse windows within
+    * `(key, time chunk)` so a key owning a task-sized share of the LOG
+    * parallelizes across its time range, then a second per-key pass over
+    * CHANGE POINTS ONLY (≤ changes + chunks-per-key rows) removes the
+    * boundary duplicates and assigns intervals/versions.
+    *
+    * Output is PROVABLY identical to [[fromLog]], versions included:
+    * run-collapse is associative — collapsing within chunks preserves
+    * each chunk's sequence of distinct-run first events, so after
+    * concatenation consecutive duplicates can only sit at chunk
+    * boundaries, and the second collapse removes exactly those — leaving
+    * the global run-firsts verbatim (equality property-tested across
+    * random logs with boundary-straddling runs in Scd2Spec).
+    *
+    * Trade: one extra exchange over the (small) change-point set — pay it
+    * when a key can own a task-sized share of events, keep [[fromLog]]
+    * for benign distributions. */
+  def fromLogChunked(df: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, orderCols: Seq[String] = Nil,
+      chunkSeconds: Long = 7200L): DataFrame = {
+    require(chunkSeconds > 0, "chunkSeconds must be positive")
+    val order = (col(tsCol) +: orderCols.map(col)).map(_.asc)
+    val chunk = (unix_micros(col(tsCol)) / lit(chunkSeconds * 1000000L))
+      .as("__chunk")
+    val wc = Window.partitionBy(col(keyCol), col("__chunk")).orderBy(order: _*)
+    val perChunk = df.withColumn("__chunk", chunk)
+      .withColumn("__prev", lag(col(attrCol), 1).over(wc))
+      .withColumn("__rn", row_number().over(wc))
+      .where(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
+      .select((col(keyCol) +: col(attrCol) +: col(tsCol) +: orderCols.map(col)): _*)
+    // boundary merge + intervals on change points only — both windows
+    // share one (key, order) exchange, exactly fromLog's tail
+    fromLog(perChunk, keyCol, attrCol, tsCol, orderCols)
+  }
+
   /** Sentinel key of the replay-guard metadata row (ProfileStore's
     * convention; the batch id rides in `version`). */
   val MetaKey = "__meta:last_batch"

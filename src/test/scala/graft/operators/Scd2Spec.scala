@@ -53,6 +53,21 @@ class Scd2Spec extends SparkSpecBase {
       ("u", "a", 10L, None, true, 2L)))
   }
 
+  test("fromLogChunked == fromLog across chunk widths, boundary runs included") {
+    val rnd = new scala.util.Random(23)
+    // 30s event spacing vs 50s/100s chunks: plenty of runs straddle
+    // chunk boundaries, which is exactly what the merge pass must heal
+    val rows = (1 to 400).map { i =>
+      (s"u${rnd.nextInt(4)}", Seq("a", "b")(rnd.nextInt(2)), 1000L + i * 30L, i.toLong)
+    }
+    val plain = snap(Scd2.fromLog(log(rows: _*), "k", "attr", "ts", Seq("event_id")))
+    for (chunk <- Seq(50L, 100L, 1000L, 7200L)) {
+      val chunked = snap(Scd2.fromLogChunked(log(rows: _*), "k", "attr", "ts",
+        Seq("event_id"), chunkSeconds = chunk))
+      assert(chunked == plain, s"chunkSeconds=$chunk diverged")
+    }
+  }
+
   test("applyBatch == full recompute across every split point") {
     val rnd = new scala.util.Random(11)
     val attrs = Seq("a", "b", "c")
