@@ -89,6 +89,15 @@ class EditDistanceSpec extends SparkSpecBase {
     assert(run(corpus, 1) == naivePairs(corpus, 1))
   }
 
+  test("exactness holds at k=3 (deeper deletion neighborhoods)") {
+    val rnd = new scala.util.Random(13)
+    val alpha = "abcd"
+    val corpus = ((0 until 40).map(_ =>
+      (0 until 5 + rnd.nextInt(5)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      ++ Seq("abc", "", "a", "abcdef")).distinct
+    assert(run(corpus, 3) == naivePairs(corpus, 3))
+  }
+
   test("maxLen excludes long strings from pairing") {
     val long1 = "x" * 70
     val long2 = "x" * 70 + "y"

@@ -163,6 +163,62 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(est3 == est2, s"replayed batch mutated the profile: $est3")
   }
 
+  test("ALL maintenance surfaces together: one stream feeds merge + index + profiles + components + scd2") {
+    // each flag is exercised alone elsewhere; this pins the composition —
+    // every per-batch fold runs off the same micro-batch without
+    // interfering (shared session state, commit protocols, replay guards)
+    val src = tmp("all-src"); val ckpt = tmp("all-ckpt")
+    val target = tmp("all-target") + "/out"
+    val base = tmp("all-stores")
+    val ndx = s"$base/neardup"; val ivf = s"$base/ivf"
+    val card = s"$base/card"; val kll = s"$base/kll"; val freq = s"$base/freq"
+    val comp = s"$base/comp"; val dim = s"$base/dim"
+
+    // multi-word refs: the near-dup filter shingles on 3-word windows,
+    // so degenerate one-word texts would never index
+    val refA = "the quick brown fox jumps high"
+    val refB = "pack my box with five dozen jugs"
+    val refC = "sphinx of black quartz judge my vow"
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-01 10:00:00", Seq(1f, 0f), refA, "", "c1"),
+      doc("s1", "2024-01-01 11:00:00", Seq(0f, 1f), refB, "", "c2")),
+      "batch0")
+    def run(): Unit = IncrementalStream.start(spark, src, target, ckpt,
+      nearDupTextCol = Some("cleaned_ref"), nearDupIndexPath = Some(ndx),
+      ivfIndexPath = Some(ivf), ivfNlist = 2,
+      cardinalityProfilePath = Some(card), quantileProfilePath = Some(kll),
+      freqProfilePath = Some(freq), componentsPath = Some(comp),
+      scd2Path = Some(dim)).awaitTermination()
+    run()
+
+    writeBatch(src, Seq(
+      doc("s2", "2024-01-02 10:00:00", Seq(2f, 0f), refA, "", "c9"), // same-key update
+      doc("s2", "2024-01-02 11:00:00", Seq(0f, 2f), refC, "", "c3")),
+      "batch1")
+    run()
+
+    // merge target: 3 live keys, refA's row refreshed by the newer batch
+    val tgt = graft.operators.Upsert.readTarget(spark, target)
+      .select("cleaned_ref", "category", "main_refco").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(tgt.keySet == Set(refA, refB, refC), tgt.keySet.toString)
+    assert(tgt(refA)._1 == "c9" && tgt(refB)._1 == "c2" && tgt(refC)._1 == "c3")
+    // every persisted store committed and is readable
+    assert(graft.operators.Cardinality.estimates(spark, card).count() > 0)
+    assert(graft.operators.Quantiles.estimates(spark, kll, Seq(0.5)).count() > 0)
+    assert(graft.operators.Frequencies.estimates(spark, freq, 1L).count() > 0)
+    assert(graft.operators.IndexStore.exists(spark, s"$ivf/centroids"))
+    assert(graft.operators.IndexStore.exists(spark, comp))
+    // scd2 dimension: refA's key renamed "s1 (None)" -> "s2 (None)", so
+    // it carries a closed v1 and an open v2
+    val keyA = tgt(refA)._2
+    val dimRows = graft.operators.IndexStore.read(spark, dim)
+      .where(org.apache.spark.sql.functions.col("main_refco") === keyA)
+      .collect().map(r => (r.getString(1), r.getBoolean(4), r.getLong(5))).toSet
+    assert(dimRows == Set(("s1 (None)", false, 1L), ("s2 (None)", true, 2L)),
+      dimRows.toString)
+  }
+
   test("streaming SCD2 dimension: versions accumulate across runs; replay-guarded") {
     val src = tmp("scd2-src"); val ckpt = tmp("scd2-ckpt")
     val target = tmp("scd2-target") + "/out"
