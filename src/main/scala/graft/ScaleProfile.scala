@@ -201,6 +201,23 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "r10c") {
+      // Final late-round batch: the TPC-H shapes scale facts ×5 against
+      // verbatim dims (the realistic warehouse growth axis);
+      // hard_negatives scales the corpus side of both tiers;
+      // tokenizer_fertility retrains on the ×5 (suffix-vocab) corpus.
+      val ps = Seq("hard_negatives", "tokenizer_fertility",
+        "q3_shipping_priority", "q18_big_orders", "scd2_chunked")
+      ps.foreach(q => time(q, src)) // warmup
+      ps.foreach(q => time(q, out))
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t5 = median3(time(q, out))
+        println(f"SCALE $q%-24s sf0.1=$t1%6.2f s  sf0.5=$t5%6.2f s  exponent=${math.log(t5 / t1) / math.log(5.0)}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "skew") {
       // Adversarial hot-key profile: the sf0.5 events table with ONE user
       // owning ~50% of all rows (every even-hashed event remapped to user
