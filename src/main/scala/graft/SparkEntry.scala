@@ -563,6 +563,20 @@ object SparkEntry {
         .select("doc_id", "source", "n_overlap", "contaminated")
     }),
 
+    // Span-level exact-substring decontamination: verbatim benchmark
+    // overlaps located as merged char spans (Lee-style windows pointed
+    // across sets) so the leaked passage can be cut and the rest of the
+    // doc kept. w=4 because the synthetic corpus's verbatim overlaps are
+    // short; production uses w~8-13 (the operator is w-agnostic, and the
+    // sub-w tail stays `decontaminate`'s n-gram job).
+    "decon_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+      val corpus = docs.where(pmod(col("doc_id"), lit(50)) =!= 0)
+      Decontaminate.contaminatedSpans(corpus, "doc_id", "text",
+        bench, "doc_id", "text", w = 4)
+    }),
+
     // Bloom-prefiltered decontamination (the scale path for a benchmark
     // too big to broadcast as an exact hash set): ~10-bit/shingle Bloom
     // broadcast + codegen'd map-side probe, then an exact verify join —
@@ -2226,6 +2240,66 @@ object SparkEntry {
 
     // The Bloom path's verified result is exactly the exact-plan clean:
     // corpus minus every doc sharing any shingle hash with the benchmark.
+    // Full mirror of the cross-set window pipeline: corpus windows with
+    // char offsets + portable hash, benchmark distinct window hashes,
+    // hit join, span merge — w=4 throughout (ROWS ... 3 FOLLOWING, wn=4).
+    "decon_spans" ->
+      s"""WITH cbase AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents WHERE doc_id % 50 <> 0),
+         |ctoks AS (SELECT doc_id, unnest(ts) AS tok,
+         |  unnest(generate_series(1, len(ts))) AS i FROM cbase),
+         |cw0 AS (SELECT doc_id, i,
+         |  CAST(coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_char,
+         |  string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win,
+         |  count(tok) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+         |  FROM ctoks),
+         |cv AS (SELECT doc_id, start_char, start_char + length(win) AS end_char, win
+         |  FROM cw0 WHERE wn = 4 AND trim(win) <> ''),
+         |cz0 AS (SELECT doc_id, start_char, end_char,
+         |  list_reduce([CAST(ascii(win[i:i]) AS HUGEINT) for i in range(1, len(win) + 1)],
+         |    (acc, c) -> (acc * 31 + c) % 18446744073709551616) AS z FROM cv),
+         |cz1 AS (SELECT doc_id, start_char, end_char,
+         |  xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) AS z FROM cz0),
+         |cz2 AS (SELECT doc_id, start_char, end_char, ${sqlMulMod64("z", "13787848793156543929")} AS z FROM cz1),
+         |cz3 AS (SELECT doc_id, start_char, end_char, xor(z, z >> 27) AS z FROM cz2),
+         |cz4 AS (SELECT doc_id, start_char, end_char, ${sqlMulMod64("z", "10723151780598845931")} AS z FROM cz3),
+         |ch AS (SELECT doc_id, start_char, end_char, xor(z, z >> 31) AS winh FROM cz4),
+         |bbase AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |btoks AS (SELECT doc_id, unnest(ts) AS tok,
+         |  unnest(generate_series(1, len(ts))) AS i FROM bbase),
+         |bw0 AS (SELECT doc_id, i,
+         |  string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win,
+         |  count(tok) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+         |  FROM btoks),
+         |bv AS (SELECT win FROM bw0 WHERE wn = 4 AND trim(win) <> ''),
+         |bz0 AS (SELECT win,
+         |  list_reduce([CAST(ascii(win[i:i]) AS HUGEINT) for i in range(1, len(win) + 1)],
+         |    (acc, c) -> (acc * 31 + c) % 18446744073709551616) AS z FROM bv),
+         |bz1 AS (SELECT win, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) AS z FROM bz0),
+         |bz2 AS (SELECT win, ${sqlMulMod64("z", "13787848793156543929")} AS z FROM bz1),
+         |bz3 AS (SELECT win, xor(z, z >> 27) AS z FROM bz2),
+         |bz4 AS (SELECT win, ${sqlMulMod64("z", "10723151780598845931")} AS z FROM bz3),
+         |bw AS (SELECT DISTINCT xor(z, z >> 31) AS winh FROM bz4),
+         |h AS (SELECT doc_id, start_char, end_char FROM ch JOIN bw USING (winh)),
+         |g AS (SELECT doc_id, start_char, end_char,
+         |  CASE WHEN start_char > coalesce(max(end_char) OVER (PARTITION BY doc_id
+         |    ORDER BY start_char, end_char ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |    THEN 1 ELSE 0 END AS ng
+         |  FROM h),
+         |g2 AS (SELECT doc_id, start_char, end_char,
+         |  sum(ng) OVER (PARTITION BY doc_id ORDER BY start_char, end_char
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM g)
+         |SELECT doc_id, min(start_char) AS span_start,
+         |  CAST(max(end_char) AS BIGINT) AS span_end, count(*) AS n_windows
+         |FROM g2 GROUP BY doc_id, grp""".stripMargin,
+
     "decon_bloom" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT doc_id,

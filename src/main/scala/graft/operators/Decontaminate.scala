@@ -59,6 +59,37 @@ object Decontaminate {
     corpus.join(contaminatedIds, Seq(idCol), "left_anti")
   }
 
+  /** SPAN-level exact-substring decontamination — the surgical upgrade
+    * over [[flag]]/[[clean]]'s document-level verdicts: locate every
+    * verbatim `w`-token overlap with the benchmark as merged CHARACTER
+    * spans in the corpus text (Lee et al.'s suffix-window form, the
+    * passage-dedup machinery pointed across sets), so the caller can cut
+    * the leaked passage with [[Dedup.removeSpans]] and KEEP the rest of
+    * the document — flag-and-drop wastes the whole doc when one quoted
+    * benchmark item leaks into otherwise-good text. A contaminated
+    * passage of L ≥ w tokens is covered by its L − w + 1 matching
+    * windows, which merge back into the full passage; benchmark items
+    * SHORTER than `w` tokens produce no windows and are invisible here —
+    * that short tail stays [[flag]]'s job (n-gram overlap), which is why
+    * both operators exist.
+    *
+    * Output: `(doc_id, span_start, span_end, n_windows)` —
+    * `[span_start, span_end)` char offsets, [[Dedup.removeSpans]]-ready.
+    *
+    * Scale shape: corpus windowing is the passage family's one doc-keyed
+    * exchange; the benchmark's distinct window hashes broadcast (eval
+    * sets are small by contract) and the hit join is map-side, so — like
+    * [[flag]] — only MATCHING windows reach the merge shuffle, sized by
+    * contamination, never the corpus. */
+  def contaminatedSpans(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      w: Int = 8): DataFrame = {
+    val wins = Dedup.windowHashes(corpus, idCol, textCol, w)
+    val benchWins = Dedup.windowHashes(benchmark, benchIdCol, benchTextCol, w)
+      .select("winh").distinct()
+    Dedup.mergeSpans(wins.join(broadcast(benchWins), "winh"))
+  }
+
   /** The benchmark's distinct shingle hashes, MATERIALIZED (eager
     * checkpoint): three consumers follow — the sizing count, the Bloom
     * build, and the exact verify join — and each would otherwise re-run

@@ -362,13 +362,26 @@ object Dedup {
     * (kept as text here so the DuckDB oracle mirrors the join exactly). */
   def duplicatedPassageSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    val wins = windowHashes(df, idCol, textCol, w)
+    val dup = wins.groupBy("winh").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minOccurrences).select("winh")
+    mergeSpans(wins.join(dup, "winh"))
+  }
+
+  /** The passage family's shared window builder: every full `w`-token
+    * window of each document as `(doc_id, start_char, end_char, winh)` —
+    * exact char offsets into the original text and the engine-portable
+    * 64-bit window hash. One doc-keyed exchange; all three window
+    * functions (prefix-sum offsets, frame concat, frame count) share it. */
+  private[operators] def windowHashes(df: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame = {
     val toks = Par.spread(df)
       .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), " ")))
       .toDF("doc_id", "i", "tok")
     val byDoc = Window.partitionBy("doc_id").orderBy("i")
     val frame = byDoc.rowsBetween(0, w - 1)
     val before = byDoc.rowsBetween(Window.unboundedPreceding, -1)
-    val wins = toks
+    toks
       // char offset of token i = Σ_{j<i} (len(tok_j) + 1 joiner char) —
       // exact for the single-space tokenization split() inverts
       .withColumn("start_char",
@@ -387,11 +400,12 @@ object Dedup {
       .select(col("doc_id"), col("start_char"),
         (col("start_char") + length(col("win"))).as("end_char"),
         graft.functions.F.mix64(col("win")).as("winh"))
-    val dup = wins.groupBy("winh").agg(count(lit(1)).as("__n"))
-      .where(col("__n") >= minOccurrences).select("winh")
-    val hits = wins.join(dup, "winh")
-    // merge overlapping/adjacent spans per doc: a window starts a new
-    // passage iff it begins past the running max end of everything before
+  }
+
+  /** Merge overlapping/adjacent marked windows into maximal per-doc
+    * passages: a window starts a new passage iff it begins past the
+    * running max end of everything before it. */
+  private[operators] def mergeSpans(hits: DataFrame): DataFrame = {
     val order = Window.partitionBy("doc_id").orderBy("start_char", "end_char")
     val runMax = order.rowsBetween(Window.unboundedPreceding, -1)
     hits

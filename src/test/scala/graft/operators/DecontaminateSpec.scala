@@ -156,4 +156,46 @@ class DecontaminateSpec extends SparkSpecBase {
     assert(resolved.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
       s"expected a broadcast exchange in:\n$resolved")
   }
+
+  test("contaminatedSpans: planted verbatim quote located as one exact char span") {
+    val quote = "to be or not to be that is"  // 8 tokens
+    val prefix = "my essay opens boldly quoting"
+    val suffix = "and then moves on"
+    val corpus = Seq(
+      (1L, s"$prefix $quote $suffix"),        // quote mid-doc
+      (2L, s"$quote $suffix"),                // quote at doc start
+      (3L, "entirely original thoughts here no overlap at all with anything"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"some framing $quote more framing")).toDF("doc_id", "text")
+    val spans = Decontaminate.contaminatedSpans(corpus, "doc_id", "text",
+        bench, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: span covers exactly the quote — windows of the quote's 8
+    // tokens merge into [start of quote, end of quote)
+    val s1 = prefix.length + 1L
+    assert(spans(1L) == ((s1, s1 + quote.length)), spans.toString)
+    assert(spans(2L) == ((0L, quote.length.toLong)), spans.toString)
+    assert(!spans.contains(3L), "clean doc must carry no span")
+    // splice: cutting the span removes the quote and keeps the rest
+    val cleaned = corpus.where($"doc_id" === 1L)
+      .select(Dedup.removeSpans($"text",
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.lit(s1).as("span_start"),
+            org.apache.spark.sql.functions.lit(s1 + quote.length).as("span_end"))))
+        .as("t")).head().getString(0)
+    assert(!cleaned.contains("to be or not"), cleaned)
+    assert(cleaned.contains(prefix) && cleaned.contains(suffix), cleaned)
+  }
+
+  test("contaminatedSpans: benchmark items shorter than w are invisible (flag's job)") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val bench = Seq((9L, "beta gamma")).toDF("doc_id", "text") // 2 tokens < w=4
+    assert(Decontaminate.contaminatedSpans(corpus, "doc_id", "text",
+      bench, "doc_id", "text", w = 4).count() == 0)
+    // ...while the n-gram flag still catches it at n=2
+    val flagged = Decontaminate.flag(corpus, "doc_id", "text", bench, "text", n = 2)
+      .where($"contaminated").count()
+    assert(flagged == 1L)
+  }
 }
