@@ -1017,7 +1017,11 @@ object SparkEntry {
     // step that turns pairwise typo matches into one canonical entity per
     // cluster (rides the string-keyed adaptive CC).
     "entity_canonical" -> ((s, dir) => {
+      // same scoping filter as EditDistance.pairs' maxLen: out-of-scope
+      // strings (null / >64 chars) are excluded from the OUTPUT too, so
+      // the engine and the oracle agree on the row set, not just pairs
       val names = Tables.part(s, dir).select(col("p_name")).distinct()
+        .where(col("p_name").isNotNull && length(col("p_name")) <= 64)
         .withColumn("id", col("p_name"))
       val pairs = EditDistance.pairs(names, "id", "p_name", maxDist = 2)
       val comp = Graph.connectedComponents(pairs, "a_id", "b_id")

@@ -501,8 +501,9 @@ object Graph {
          |    JOIN outdeg o ON o.node = e.src
          |    GROUP BY e.dst) c ON c.node = v.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS ($edgesSql),
-       |sd AS (SELECT DISTINCT node FROM ($seedsSql)),
+    s"""WITH e AS (SELECT src, dst FROM ($edgesSql)
+       |       WHERE src IS NOT NULL AND dst IS NOT NULL),
+       |sd AS (SELECT DISTINCT node FROM ($seedsSql) WHERE node IS NOT NULL),
        |verts AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |sv AS (SELECT v.node, (s.node IS NOT NULL) AS seed
        |       FROM verts v LEFT JOIN sd s ON s.node = v.node),
@@ -529,7 +530,8 @@ object Graph {
          |    JOIN outdeg o ON o.node = e.src
          |    GROUP BY e.dst) c ON c.node = v.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS ($edgesSql),
+    s"""WITH e AS (SELECT src, dst FROM ($edgesSql)
+       |       WHERE src IS NOT NULL AND dst IS NOT NULL),
        |verts AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |outdeg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
        |pr0 AS (SELECT node, $scale AS rank FROM verts),

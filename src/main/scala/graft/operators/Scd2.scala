@@ -112,30 +112,65 @@ object Scd2 {
     * the strictly-later contract against the dimension it already
     * produced), so streaming callers pass `batchId`: the last folded
     * micro-batch id rides in a sentinel row committed ATOMICALLY with the
-    * dimension, and a batch id ≤ the recorded one is a no-op —
-    * exactly-once folding on at-least-once delivery, the KLL-profile
-    * posture. The sentinel keys on [[MetaKey]], so the guarded path
-    * requires a string `keyCol`. */
+    * dimension, and a batch id ≤ the recorded one is a no-op — checked
+    * BEFORE the commit loop (a replay costs one metadata read, not a
+    * store rewrite) and again inside it (a concurrent writer may commit
+    * between the two reads) — exactly-once folding on at-least-once
+    * delivery, the KLL-profile posture. The sentinel keys on [[MetaKey]],
+    * so the guarded path requires a string `keyCol`.
+    *
+    * LATE-DATA POLICY: nothing upstream enforces applyBatch's strictly-
+    * later contract (the file stream is unwatermarked), so the fold
+    * enforces the standard warehouse rule here — "apply only if newer
+    * than the open row": batch events at-or-before their key's OPEN
+    * `valid_from` are DROPPED from the dimension fold (deterministically;
+    * the merge/CDC path still carries them). This guarantees STRUCTURAL
+    * integrity under arbitrary late arrivals — the replay input is
+    * always open-row + strictly-later events, so intervals never overlap
+    * and versions stay monotone (without it one late event silently
+    * corrupts the history). Stragglers landing inside the open interval
+    * but after its change point apply as changes at their own timestamp —
+    * recovering their exact interleaving against already-folded
+    * same-value events would need per-key last-event state a dimension
+    * does not keep.
+    *
+    * I/O honesty: each fold COMMITS a full store rewrite (the dimension
+    * is change points, orders of magnitude below the event log, so this
+    * is the compact-store posture of the profile family — not O(batch);
+    * a log whose dimension itself outgrows single-store rewrites wants
+    * the manifest-bucketed layout underneath). */
   def update(spark: org.apache.spark.sql.SparkSession, root: String,
       batch: DataFrame, keyCol: String, attrCol: String, tsCol: String,
       orderCols: Seq[String] = Nil, batchId: Option[Long] = None): Unit = {
     require(batchId.isEmpty ||
       batch.schema(keyCol).dataType == org.apache.spark.sql.types.StringType,
       "replay-guarded SCD2 stores need a string key (sentinel row)")
+    def lastApplied(df: DataFrame): Option[Long] =
+      df.where(col(keyCol) === MetaKey).select("version")
+        .collect().headOption.map(_.getLong(0))
+    // cheap replay pre-check: one metadata-row read, no rewrite
+    if (batchId.isDefined && IndexStore.exists(spark, root) &&
+        lastApplied(IndexStore.read(spark, root)).exists(batchId.get <= _))
+      return
     IndexStore.rewriteWith(spark, root)(() => {
       val existing =
         if (IndexStore.exists(spark, root)) Some(IndexStore.read(spark, root))
         else None
-      val last = existing.flatMap(
-        _.where(col(keyCol) === MetaKey).select("version")
-          .collect().headOption.map(_.getLong(0)))
+      val last = existing.flatMap(lastApplied)
       if (batchId.exists(id => last.exists(id <= _))) (existing.get, None)
       else {
         val data = existing match {
           case None => fromLog(batch, keyCol, attrCol, tsCol, orderCols)
-          case Some(cur) => applyBatch(
-            cur.where(!(col(keyCol) <=> lit(MetaKey))), batch,
-            keyCol, attrCol, tsCol, orderCols)
+          case Some(cur) =>
+            val dim = cur.where(!(col(keyCol) <=> lit(MetaKey)))
+            // late-data guard (see scaladoc): drop events at-or-before
+            // the key's open valid_from — broadcast-sized open-row join
+            val openVf = dim.where(col("is_current"))
+              .select(col(keyCol), col("valid_from").as("__open_vf"))
+            val onTime = batch.join(broadcast(openVf), Seq(keyCol), "left")
+              .where(col("__open_vf").isNull || col(tsCol) > col("__open_vf"))
+              .drop("__open_vf")
+            applyBatch(dim, onTime, keyCol, attrCol, tsCol, orderCols)
         }
         val meta = batchId
           .map(id => spark.range(1).select(
@@ -160,12 +195,16 @@ object Scd2 {
     val open = touched.where(col("is_current"))
     // the open row replays as a synthetic event at its own valid_from, so
     // the recomputed first interval starts where the stored one did; extra
-    // order columns sort it FIRST among same-instant rows (nulls first)
+    // order columns sort it FIRST among same-instant rows (nulls first).
+    // Order columns that ARE the key/attr/ts columns (e.g. tie-breaking on
+    // the attribute itself) are already in the projection — don't repeat.
+    val extraOrder = orderCols.filterNot(
+      c => c == keyCol || c == attrCol || c == tsCol)
     val openAsLog = open.select(
       (col(keyCol) +: col(attrCol) +: col("valid_from").as(tsCol) +:
-        orderCols.map(c => lit(null).cast(batch.schema(c).dataType).as(c))): _*)
+        extraOrder.map(c => lit(null).cast(batch.schema(c).dataType).as(c))): _*)
     val batchLog = batch.select(
-      (col(keyCol) +: col(attrCol) +: col(tsCol) +: orderCols.map(col)): _*)
+      (col(keyCol) +: col(attrCol) +: col(tsCol) +: extraOrder.map(col)): _*)
     val replayed = fromLog(openAsLog.unionByName(batchLog),
       keyCol, attrCol, tsCol, orderCols)
       .join(broadcast(open.select(col(keyCol), (col("version") - 1)

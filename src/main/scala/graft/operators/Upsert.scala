@@ -410,7 +410,12 @@ object Upsert {
     * non-key column. */
   private def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
       keys: Seq[String]): DataFrame = {
-    val dataCols = newDf.columns.filterNot(keys.contains).toSeq
+    // internal layout columns (__bucket and friends) are excluded from
+    // both comparison and output: they are physical placement, not data —
+    // a rebucketing compaction between snapshots would otherwise report
+    // the whole table as spurious 'update's (CdcSpec pins this)
+    val dataCols = newDf.columns
+      .filterNot(c => keys.contains(c) || c.startsWith("__")).toSeq
     val o = oldDf.select((keys.map(col) ++
       dataCols.map(c => col(c).as(s"__old_$c"))): _*)
       .withColumn("__in_old", lit(true))

@@ -163,11 +163,16 @@ object IncrementalStream {
         // every change, not just the batch's survivor — with the batch-id
         // replay guard (applyBatch is not replay-idempotent; Scd2.update).
         scd2Path.foreach { p =>
+          // tie-break on the attribute itself: same-instant events apply
+          // in attr order — a deterministic total order (equal (ts, attr)
+          // duplicates collapse anyway), where ts-only ordering would let
+          // a shuffle decide which same-instant value wins
           graft.operators.Scd2.update(s, p,
             batch.select(col("main_refco"), col("display_name"),
               col("original_timestamp")),
             keyCol = "main_refco", attrCol = "display_name",
-            tsCol = "original_timestamp", batchId = Some(batchId))
+            tsCol = "original_timestamp", orderCols = Seq("display_name"),
+            batchId = Some(batchId))
         }
         freqProfilePath.foreach { p =>
           graft.operators.Frequencies.update(s, p,

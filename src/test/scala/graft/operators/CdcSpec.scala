@@ -74,6 +74,23 @@ class CdcSpec extends SparkSpecBase {
       .collect().toSet == Set(("update", 7L, "UPDATED")))
   }
 
+  test("rebucketing compaction between snapshots is NOT a change; __bucket never leaks") {
+    val path = mkTarget()
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      (0L until 40L).map(k => (k, s"v$k")).toDF("key", "v"),
+      Seq("key"), nBuckets = 4, keepSnapshots = 4)
+    val s1 = Upsert.snapshots(spark, path).last
+    // physical rewrite only: every file replaced, every row re-placed
+    Upsert.compactManifestBucketedParquet(spark, path, keys = Seq("key"),
+      newNBuckets = Some(8), keepSnapshots = 4)
+    val s2 = Upsert.snapshots(spark, path).last
+    val diff = Upsert.changesBetween(spark, path, s1, s2, Seq("key"))
+    assert(!diff.columns.contains("__bucket"),
+      s"internal layout column leaked into CDC output: ${diff.columns.toSeq}")
+    assert(diff.count() == 0,
+      "a pure re-placement (rebucket) must produce an empty change feed")
+  }
+
   test("plain snapshot layout falls back to a full two-sided diff") {
     val path = mkTarget()
     Upsert.mergeIntoParquet(spark, path,

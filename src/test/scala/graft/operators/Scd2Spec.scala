@@ -91,6 +91,21 @@ class Scd2Spec extends SparkSpecBase {
     assert(snap(inc) == Set(("u", "a", 10L, None, true, 1L)))
   }
 
+  test("update: late events (at-or-before the open valid_from) are dropped, not folded") {
+    val root = java.nio.file.Files.createTempDirectory("scd2-late").toString + "/dim"
+    Scd2.update(spark, root, log(("u", "a", 10, 1)), "k", "attr", "ts",
+      Seq("event_id"), batchId = Some(0L))
+    // batch 1 carries a LATE event (ts=5 < open valid_from 10) plus an
+    // on-time change; the late one must not corrupt the history
+    Scd2.update(spark, root, log(("u", "b", 5, 2), ("u", "b", 20, 3)),
+      "k", "attr", "ts", Seq("event_id"), batchId = Some(1L))
+    val got = IndexStore.read(spark, root)
+      .where(!(org.apache.spark.sql.functions.col("k") <=> Scd2.MetaKey))
+    assert(snap(got) == Set(
+      ("u", "a", 10L, Some(20L), false, 1L),
+      ("u", "b", 20L, None, true, 2L)), snap(got).toString)
+  }
+
   test("applyBatch: brand-new keys start at version 1") {
     val dim = Scd2.fromLog(log(("u", "a", 10, 1)), "k", "attr", "ts", Seq("event_id"))
     val inc = Scd2.applyBatch(dim, log(("v", "z", 20, 2), ("v", "y", 30, 3)),
