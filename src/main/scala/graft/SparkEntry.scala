@@ -1548,6 +1548,25 @@ object SparkEntry {
           ts6(col("session_end")).as("s_end"),
           col("n_events"))),
 
+    // Engagement stickiness: per epoch-day, DAU and the day's epoch-week
+    // WAU with the DAU/WAU ratio in exact integer permille — the
+    // engagement-intensity twin of retention_cohorts (same locale-free
+    // integer calendar: day = floor(sec/86400), week = floor(sec/604800)).
+    // Two distinct-count aggs + a day->week join; both map-side combined.
+    "stickiness" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("cast(ts as long) div 86400").as("d"),
+          expr("cast(ts as long) div 604800").as("w"))
+      val dau = ev.groupBy("d", "w")
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ev.groupBy("w")
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "w")
+        .select(col("d").as("epoch_day"), col("dau"), col("wau"),
+          expr("dau * 1000 div wau").as("stickiness_permille"))
+    }),
+
     // SCD2 dimension history from the event log: per user, consecutive
     // equal event_type runs collapse into validity intervals with
     // versions — the warehouse history pattern next to the MERGE upsert.
@@ -3694,6 +3713,19 @@ object SparkEntry {
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_end,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // epoch_us // 1000000 mirrors Spark's truncating cast(ts AS LONG);
+    // integer day/week arithmetic matches the retention convention.
+    "stickiness" ->
+      """WITH e AS (SELECT user_id,
+        |    (epoch_us(ts) // 1000000) // 86400 AS d,
+        |    (epoch_us(ts) // 1000000) // 604800 AS w
+        |  FROM events),
+        |dau AS (SELECT d, w, count(DISTINCT user_id) AS dau FROM e GROUP BY 1, 2),
+        |wau AS (SELECT w, count(DISTINCT user_id) AS wau FROM e GROUP BY 1)
+        |SELECT CAST(d AS BIGINT) AS epoch_day, dau, wau,
+        |  CAST(dau * 1000 // wau AS BIGINT) AS stickiness_permille
+        |FROM dau JOIN wau USING (w)""".stripMargin,
 
     "scd2_history" ->
       """WITH o AS (
