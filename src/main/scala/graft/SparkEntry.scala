@@ -577,6 +577,29 @@ object SparkEntry {
         bench, "doc_id", "text", w = 4)
     }),
 
+    // End-to-end span REMOVAL for the contaminated passages: splice the
+    // located spans out with the codegen'd aggregate-HOF (removeSpans).
+    // The oracle derives the cleaned length INDEPENDENTLY (original
+    // length - sum of span widths), cross-checking the splice against
+    // arithmetic it never ran — the dup_passage_clean pattern.
+    "decon_span_clean" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+      val corpus = docs.where(pmod(col("doc_id"), lit(50)) =!= 0)
+      val spans = Decontaminate.contaminatedSpans(corpus, "doc_id", "text",
+          bench, "doc_id", "text", w = 4)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+            .as("spans"),
+          count(lit(1)).as("n_spans"))
+      corpus.join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          length(when(col("spans").isNotNull,
+              Dedup.removeSpans(col("text"), col("spans")))
+            .otherwise(col("text"))).cast("long").as("clean_len"))
+    }),
+
     // Bloom-prefiltered decontamination (the scale path for a benchmark
     // too big to broadcast as an exact hash set): ~10-bit/shingle Bloom
     // broadcast + codegen'd map-side probe, then an exact verify join —
@@ -1681,6 +1704,63 @@ object SparkEntry {
     * the hash table is always joined against itself or probed twice, and
     * DuckDB would otherwise inline (= recompute) the whole chain per
     * reference. */
+  /** Shared CTE chain of the decon-span oracles: corpus windows with
+    * char offsets + portable hash, benchmark distinct window hashes,
+    * hit join, span-merge grouping (final CTE `g2`). w=4 throughout. */
+  private def deconSpanCtes: String =
+    s"""cbase AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents WHERE doc_id % 50 <> 0),
+         |ctoks AS (SELECT doc_id, unnest(ts) AS tok,
+         |  unnest(generate_series(1, len(ts))) AS i FROM cbase),
+         |cw0 AS (SELECT doc_id, i,
+         |  CAST(coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_char,
+         |  string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win,
+         |  count(tok) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+         |  FROM ctoks),
+         |cv AS (SELECT doc_id, start_char, start_char + length(win) AS end_char, win
+         |  FROM cw0 WHERE wn = 4 AND trim(win) <> ''),
+         |cz0 AS (SELECT doc_id, start_char, end_char,
+         |  list_reduce([CAST(ascii(win[i:i]) AS HUGEINT) for i in range(1, len(win) + 1)],
+         |    (acc, c) -> (acc * 31 + c) % 18446744073709551616) AS z FROM cv),
+         |cz1 AS (SELECT doc_id, start_char, end_char,
+         |  xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) AS z FROM cz0),
+         |cz2 AS (SELECT doc_id, start_char, end_char, ${sqlMulMod64("z", "13787848793156543929")} AS z FROM cz1),
+         |cz3 AS (SELECT doc_id, start_char, end_char, xor(z, z >> 27) AS z FROM cz2),
+         |cz4 AS (SELECT doc_id, start_char, end_char, ${sqlMulMod64("z", "10723151780598845931")} AS z FROM cz3),
+         |ch AS (SELECT doc_id, start_char, end_char, xor(z, z >> 31) AS winh FROM cz4),
+         |bbase AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |btoks AS (SELECT doc_id, unnest(ts) AS tok,
+         |  unnest(generate_series(1, len(ts))) AS i FROM bbase),
+         |bw0 AS (SELECT doc_id, i,
+         |  string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win,
+         |  count(tok) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+         |  FROM btoks),
+         |bv AS (SELECT win FROM bw0 WHERE wn = 4 AND trim(win) <> ''),
+         |bz0 AS (SELECT win,
+         |  list_reduce([CAST(ascii(win[i:i]) AS HUGEINT) for i in range(1, len(win) + 1)],
+         |    (acc, c) -> (acc * 31 + c) % 18446744073709551616) AS z FROM bv),
+         |bz1 AS (SELECT win, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) AS z FROM bz0),
+         |bz2 AS (SELECT win, ${sqlMulMod64("z", "13787848793156543929")} AS z FROM bz1),
+         |bz3 AS (SELECT win, xor(z, z >> 27) AS z FROM bz2),
+         |bz4 AS (SELECT win, ${sqlMulMod64("z", "10723151780598845931")} AS z FROM bz3),
+         |bw AS (SELECT DISTINCT xor(z, z >> 31) AS winh FROM bz4),
+         |h AS (SELECT doc_id, start_char, end_char FROM ch JOIN bw USING (winh)),
+         |g AS (SELECT doc_id, start_char, end_char,
+         |  CASE WHEN start_char > coalesce(max(end_char) OVER (PARTITION BY doc_id
+         |    ORDER BY start_char, end_char ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |    THEN 1 ELSE 0 END AS ng
+         |  FROM h),
+         |g2 AS (SELECT doc_id, start_char, end_char,
+         |  sum(ng) OVER (PARTITION BY doc_id ORDER BY start_char, end_char
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM g)""".stripMargin
+
   private def sqlMix64Ctes(name: String, from: String, strCol: String,
       carry: String): String =
     s"""${name}0 AS (SELECT $carry, CAST(list_reduce(
@@ -2263,65 +2343,25 @@ object SparkEntry {
 
     // The Bloom path's verified result is exactly the exact-plan clean:
     // corpus minus every doc sharing any shingle hash with the benchmark.
-    // Full mirror of the cross-set window pipeline: corpus windows with
-    // char offsets + portable hash, benchmark distinct window hashes,
-    // hit join, span merge — w=4 throughout (ROWS ... 3 FOLLOWING, wn=4).
+    // Full mirror of the cross-set window pipeline (shared deconSpanCtes).
     "decon_spans" ->
-      s"""WITH cbase AS (SELECT doc_id, string_split(text, ' ') AS ts
-         |  FROM documents WHERE doc_id % 50 <> 0),
-         |ctoks AS (SELECT doc_id, unnest(ts) AS tok,
-         |  unnest(generate_series(1, len(ts))) AS i FROM cbase),
-         |cw0 AS (SELECT doc_id, i,
-         |  CAST(coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY i
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_char,
-         |  string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i
-         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win,
-         |  count(tok) OVER (PARTITION BY doc_id ORDER BY i
-         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
-         |  FROM ctoks),
-         |cv AS (SELECT doc_id, start_char, start_char + length(win) AS end_char, win
-         |  FROM cw0 WHERE wn = 4 AND trim(win) <> ''),
-         |cz0 AS (SELECT doc_id, start_char, end_char,
-         |  list_reduce([CAST(ascii(win[i:i]) AS HUGEINT) for i in range(1, len(win) + 1)],
-         |    (acc, c) -> (acc * 31 + c) % 18446744073709551616) AS z FROM cv),
-         |cz1 AS (SELECT doc_id, start_char, end_char,
-         |  xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) AS z FROM cz0),
-         |cz2 AS (SELECT doc_id, start_char, end_char, ${sqlMulMod64("z", "13787848793156543929")} AS z FROM cz1),
-         |cz3 AS (SELECT doc_id, start_char, end_char, xor(z, z >> 27) AS z FROM cz2),
-         |cz4 AS (SELECT doc_id, start_char, end_char, ${sqlMulMod64("z", "10723151780598845931")} AS z FROM cz3),
-         |ch AS (SELECT doc_id, start_char, end_char, xor(z, z >> 31) AS winh FROM cz4),
-         |bbase AS (SELECT doc_id, string_split(text, ' ') AS ts
-         |  FROM documents WHERE doc_id % 50 = 0),
-         |btoks AS (SELECT doc_id, unnest(ts) AS tok,
-         |  unnest(generate_series(1, len(ts))) AS i FROM bbase),
-         |bw0 AS (SELECT doc_id, i,
-         |  string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i
-         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win,
-         |  count(tok) OVER (PARTITION BY doc_id ORDER BY i
-         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
-         |  FROM btoks),
-         |bv AS (SELECT win FROM bw0 WHERE wn = 4 AND trim(win) <> ''),
-         |bz0 AS (SELECT win,
-         |  list_reduce([CAST(ascii(win[i:i]) AS HUGEINT) for i in range(1, len(win) + 1)],
-         |    (acc, c) -> (acc * 31 + c) % 18446744073709551616) AS z FROM bv),
-         |bz1 AS (SELECT win, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) AS z FROM bz0),
-         |bz2 AS (SELECT win, ${sqlMulMod64("z", "13787848793156543929")} AS z FROM bz1),
-         |bz3 AS (SELECT win, xor(z, z >> 27) AS z FROM bz2),
-         |bz4 AS (SELECT win, ${sqlMulMod64("z", "10723151780598845931")} AS z FROM bz3),
-         |bw AS (SELECT DISTINCT xor(z, z >> 31) AS winh FROM bz4),
-         |h AS (SELECT doc_id, start_char, end_char FROM ch JOIN bw USING (winh)),
-         |g AS (SELECT doc_id, start_char, end_char,
-         |  CASE WHEN start_char > coalesce(max(end_char) OVER (PARTITION BY doc_id
-         |    ORDER BY start_char, end_char ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-         |    THEN 1 ELSE 0 END AS ng
-         |  FROM h),
-         |g2 AS (SELECT doc_id, start_char, end_char,
-         |  sum(ng) OVER (PARTITION BY doc_id ORDER BY start_char, end_char
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-         |  FROM g)
+      s"""WITH $deconSpanCtes
          |SELECT doc_id, min(start_char) AS span_start,
          |  CAST(max(end_char) AS BIGINT) AS span_end, count(*) AS n_windows
          |FROM g2 GROUP BY doc_id, grp""".stripMargin,
+
+    // Cleaned length derived WITHOUT the splice: original - sum of span
+    // widths over the same shared CTE chain.
+    "decon_span_clean" ->
+      s"""WITH $deconSpanCtes,
+         |sp AS (SELECT doc_id, min(start_char) AS s, max(end_char) AS e
+         |       FROM g2 GROUP BY doc_id, grp),
+         |agg AS (SELECT doc_id, count(*) AS n_spans, sum(e - s) AS removed
+         |        FROM sp GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+         |  CAST(length(d.text) - coalesce(a.removed, 0) AS BIGINT) AS clean_len
+         |FROM (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0) d
+         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "decon_bloom" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
