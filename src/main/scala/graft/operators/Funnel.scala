@@ -75,10 +75,13 @@ object Funnel {
     * per-key sort. */
   def retentionCohorts(events: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts"): DataFrame = {
-    def week(c: Column): Column = floor(c.cast("long") / 604800d).cast("long")
-    val cohort = events.groupBy(col(keyCol))
-      .agg(week(min(col(tsCol))).as("cohort_week"))
-    events.select(col(keyCol), week(col(tsCol)).as("event_week"))
+    // integer `div`, matching the module's locale-free integer-calendar
+    // discipline (stickiness uses the same idiom) — no double arithmetic
+    val secs = events.select(col(keyCol), col(tsCol).cast("long").as("__es"))
+    val cohort = secs.groupBy(col(keyCol))
+      .agg(min(col("__es")).as("__min_es"))
+      .select(col(keyCol), expr("__min_es div 604800").as("cohort_week"))
+    secs.select(col(keyCol), expr("__es div 604800").as("event_week"))
       .join(cohort, Seq(keyCol))
       .select(col("cohort_week"),
         (col("event_week") - col("cohort_week")).as("offset_weeks"),

@@ -86,14 +86,22 @@ object Scd2 {
       chunkSeconds: Long = 7200L): DataFrame = {
     require(chunkSeconds > 0, "chunkSeconds must be positive")
     val order = (col(tsCol) +: orderCols.map(col)).map(_.asc)
-    val chunk = (unix_micros(col(tsCol)) / lit(chunkSeconds * 1000000L))
-      .as("__chunk")
+    // integer chunk id (floor, matching Sessionize.sessionsChunked) — plain
+    // Column./ is double division, which would give every distinct
+    // epoch-microsecond its own fractional chunk and turn the per-chunk
+    // collapse into a no-op
+    val chunk = floor(unix_micros(col(tsCol)) / lit(chunkSeconds * 1000000L))
+      .cast("long").as("__chunk")
+    // order columns that ARE the key/attr/ts columns are already in the
+    // projection — don't repeat (mirrors applyBatch's extraOrder)
+    val extraOrder = orderCols.filterNot(
+      c => c == keyCol || c == attrCol || c == tsCol)
     val wc = Window.partitionBy(col(keyCol), col("__chunk")).orderBy(order: _*)
     val perChunk = df.withColumn("__chunk", chunk)
       .withColumn("__prev", lag(col(attrCol), 1).over(wc))
       .withColumn("__rn", row_number().over(wc))
       .where(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
-      .select((col(keyCol) +: col(attrCol) +: col(tsCol) +: orderCols.map(col)): _*)
+      .select((col(keyCol) +: col(attrCol) +: col(tsCol) +: extraOrder.map(col)): _*)
     // boundary merge + intervals on change points only — both windows
     // share one (key, order) exchange, exactly fromLog's tail
     fromLog(perChunk, keyCol, attrCol, tsCol, orderCols)
@@ -164,8 +172,12 @@ object Scd2 {
           case Some(cur) =>
             val dim = cur.where(!(col(keyCol) <=> lit(MetaKey)))
             // late-data guard (see scaladoc): drop events at-or-before
-            // the key's open valid_from — broadcast-sized open-row join
+            // the key's open valid_from. Semi-join open rows down to the
+            // BATCH's keys first so the broadcast is bounded by batch
+            // size, not dimension size.
             val openVf = dim.where(col("is_current"))
+              .join(broadcast(batch.select(col(keyCol)).distinct()),
+                Seq(keyCol), "left_semi")
               .select(col(keyCol), col("valid_from").as("__open_vf"))
             val onTime = batch.join(broadcast(openVf), Seq(keyCol), "left")
               .where(col("__open_vf").isNull || col(tsCol) > col("__open_vf"))

@@ -68,6 +68,43 @@ class Scd2Spec extends SparkSpecBase {
     }
   }
 
+  test("fromLogChunked: chunk ids are integers and the per-chunk collapse is real") {
+    // 10 same-value events inside one 100s chunk must collapse to ONE row
+    // in the per-chunk pass — if the chunk id were fractional (double
+    // division), every distinct ts would be its own chunk and all 10 rows
+    // would survive to the merge pass
+    val rows = (1 to 10).map(i => ("u", "a", 1000L + i, i.toLong))
+    val df = log(rows: _*)
+    import org.apache.spark.sql.expressions.Window
+    val chunkCol = floor(unix_micros(col("ts")) / lit(100L * 1000000L)).cast("long")
+    val perChunkSurvivors = df.withColumn("__chunk", chunkCol)
+      .withColumn("__prev", lag(col("attr"), 1)
+        .over(Window.partitionBy(col("k"), col("__chunk"))
+          .orderBy(col("ts").asc, col("event_id").asc)))
+      .withColumn("__rn", row_number()
+        .over(Window.partitionBy(col("k"), col("__chunk"))
+          .orderBy(col("ts").asc, col("event_id").asc)))
+      .where(col("__rn") === 1 || !(col("__prev") <=> col("attr")))
+    // all 10 events share chunk id 10 (1001..1010 div 100), so exactly one
+    // change-point survives the per-chunk collapse
+    assert(df.select(chunkCol).distinct().count() == 1L)
+    assert(perChunkSurvivors.count() == 1L)
+    // and the operator output still equals fromLog
+    assert(snap(Scd2.fromLogChunked(df, "k", "attr", "ts", Seq("event_id"),
+      chunkSeconds = 100L)) ==
+      snap(Scd2.fromLog(df, "k", "attr", "ts", Seq("event_id"))))
+  }
+
+  test("fromLogChunked: order column repeating the attr column analyzes fine") {
+    // tie-breaking on the attribute itself (the streaming path's idiom)
+    // must not produce a duplicate-column projection
+    val rows = log(("u", "b", 10, 1), ("u", "a", 10, 2), ("u", "a", 20, 3))
+    val chunked = Scd2.fromLogChunked(rows, "k", "attr", "ts", Seq("attr"),
+      chunkSeconds = 100L)
+    val plain = Scd2.fromLog(rows, "k", "attr", "ts", Seq("attr"))
+    assert(snap(chunked) == snap(plain))
+  }
+
   test("applyBatch == full recompute across every split point") {
     val rnd = new scala.util.Random(11)
     val attrs = Seq("a", "b", "c")
