@@ -1408,12 +1408,28 @@ object SparkEntry {
         threshold = 0.4, dim = 64, planes = 4, tables = 4)
     }),
 
-    // Multimodal: opaque-binary feature extraction as native expressions
-    // (checksum cross-checked against the mapPartitions decoder in tests).
+    // Multimodal: opaque-binary byte-level feature extraction as native
+    // expressions — size, first byte, magic-byte format sniff. No decoded
+    // or fabricated content; dims/pixel stats come from the decode tiers.
     "multimodal_features" -> ((s, dir) =>
       Multimodal.withNativeFeatures(
           Multimodal.attachFakeMedia(Tables.documents(s, dir), "doc_id", "text"))
-        .select("media_id", "n_bytes", "first_byte", "width", "height")),
+        .select("media_id", "n_bytes", "first_byte", "format")),
+
+    // Format sniff over REAL encoded payloads: each doc id gets a payload
+    // of one genuine format by id % 4 (PNG / WAV / MP4 / animated GIF) and
+    // the codegen'd magic-byte sniffer must identify every one; the oracle
+    // is the generator's id % 4 closed form.
+    "media_format_sniff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def part(m: Long, attach: DataFrame => DataFrame) =
+        attach(docs.where(col("doc_id") % 4 === m))
+      val mixed = part(0, Multimodal.attachGeneratedImages(_, "doc_id"))
+        .unionAll(part(1, Multimodal.attachGeneratedAudio(_, "doc_id")))
+        .unionAll(part(2, Multimodal.attachGeneratedVideos(_, "doc_id")))
+        .unionAll(part(3, Multimodal.attachGeneratedGifs(_, "doc_id")))
+      Multimodal.withNativeFeatures(mixed).select("media_id", "format")
+    }),
 
     // REAL image decode (JDK javax.imageio): deterministic generated PNGs
     // round-trip through an actual encode → decode → pixel scan; the oracle
@@ -1436,6 +1452,14 @@ object SparkEntry {
     "video_metadata" -> ((s, dir) =>
       Multimodal.decodeVideoMetadata(
         Multimodal.attachGeneratedVideos(Tables.documents(s, dir), "doc_id"))),
+
+    // REAL animated-GIF frame decode (JDK GIF codec): generated multi-frame
+    // fixtures round-trip through an actual frame walk — true frame count,
+    // dims, Graphic Control Extension delays, exact per-frame channel sums;
+    // the oracle replays the generator's closed forms per (id, frame).
+    "gif_frames" -> ((s, dir) =>
+      Multimodal.decodeGifFrames(
+        Multimodal.attachGeneratedGifs(Tables.documents(s, dir), "doc_id"))),
 
     // Ordered-step funnel (view → click → purchase within 7 days of the
     // first view, each step strictly after the previous): chained per-step
@@ -3548,12 +3572,28 @@ object SparkEntry {
          |    (acc, wv) -> (acc * 131 + wv) % ${TextAnalysis.FingerprintMod}) AS fingerprint
          |FROM documents""".stripMargin,
 
+    // encode(text) mirrors Spark's string->binary cast (UTF-8 bytes);
+    // text payloads can never carry a media magic number, so format is
+    // the sniffer's CASE over the byte prefix (ASCII magics expressible
+    // on text; PNG/JPEG magic bytes are not valid UTF-8 prefixes).
     "multimodal_features" ->
       """SELECT doc_id AS media_id,
-        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |  CAST(ascii(text[1:1]) AS INTEGER) AS first_byte,
-        |  CAST(strlen(text) % 640 AS INTEGER) AS width,
-        |  CAST((strlen(text) * 31 + ascii(text[1:1])) % 480 AS INTEGER) AS height
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |            ELSE ascii(text[1:1]) END AS INTEGER) AS first_byte,
+        |  CASE WHEN text LIKE 'GIF8%' THEN 'gif'
+        |       WHEN text LIKE 'RIFF%' AND text[9:4] = 'WAVE' THEN 'wav'
+        |       WHEN text[5:4] = 'ftyp' THEN 'mp4'
+        |       ELSE 'unknown' END AS format
+        |FROM documents""".stripMargin,
+
+    // Closed form of the media_format_sniff generator: payload format is
+    // chosen by id % 4 (PNG / WAV / MP4 / GIF) and the Spark side must
+    // recover it from REAL encoded bytes.
+    "media_format_sniff" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |       WHEN 2 THEN 'mp4' ELSE 'gif' END AS format
         |FROM documents""".stripMargin,
 
     // Closed forms of Multimodal.generatePng's fixture geometry: the Spark
@@ -3603,6 +3643,25 @@ object SparkEntry {
         |  CAST(90 * (2 * ((n_tracks - 1) // 2) + 1) + doc_id % 9
         |       AS INTEGER) AS max_height
         |FROM p""".stripMargin,
+
+    // Closed forms of Multimodal.generateGif: w = 2 + id%8,
+    // h = 2 + (id//8)%8, 2 + id%4 frames, frame f solid color
+    // (5id+11f, 3id+7f, 13id+17f) % 256 with delay 2 + (id+3f) % 10 cs.
+    "gif_frames" ->
+      """WITH f AS (SELECT doc_id, unnest(range(2 + doc_id % 4)) AS fi
+        |           FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(fi AS INTEGER) AS frame_idx,
+        |  CAST(2 + doc_id % 8 AS INTEGER) AS width,
+        |  CAST(2 + (doc_id // 8) % 8 AS INTEGER) AS height,
+        |  CAST(2 + (doc_id + 3 * fi) % 10 AS INTEGER) AS delay_cs,
+        |  CAST((2 + doc_id % 8) * (2 + (doc_id // 8) % 8)
+        |       * ((doc_id * 5 + fi * 11) % 256) AS BIGINT) AS sum_r,
+        |  CAST((2 + doc_id % 8) * (2 + (doc_id // 8) % 8)
+        |       * ((doc_id * 3 + fi * 7) % 256) AS BIGINT) AS sum_g,
+        |  CAST((2 + doc_id % 8) * (2 + (doc_id // 8) % 8)
+        |       * ((doc_id * 13 + fi * 17) % 256) AS BIGINT) AS sum_b
+        |FROM f""".stripMargin,
 
     // epoch_us // 1000000 mirrors Spark's truncating cast(ts AS LONG)
     // exactly (DuckDB's epoch() returns fractional seconds; a double

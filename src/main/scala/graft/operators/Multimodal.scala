@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -19,12 +19,14 @@ import org.apache.spark.sql.types._
   *     per-partition shape holds one reader configuration per partition
   *     (`ImageIO.setUseCache(false)` so executors never spill decode
   *     scratch to local disk).
-  *  3. [[decodeFeatures]] — the codec-shaped byte tier for formats the JVM
-  *     genuinely cannot decode without external libraries (audio/video).
-  *     Its body is a clearly-marked STUB computing the same deterministic
-  *     features as tier 1, so the two paths are cross-checkable; a real
-  *     deployment swaps only the body (ffmpeg-shaped: bytes in,
-  *     fixed-width features out).
+  *  3. [[decodeGifFrames]] / [[sampleFrames]] — REAL motion decode for the
+  *     one animated format a stock JVM ships a codec for: GIF via
+  *     `javax.imageio` (true frame count, per-frame dims + delay from the
+  *     Graphic Control Extension, exact per-frame channel sums). Payloads
+  *     the JVM cannot decode (compressed video/audio frames — H.264, AAC,
+  *     …) yield per-row NULLs through the same error-isolation path the
+  *     other tiers use; nothing in this object fabricates media-derived
+  *     values.
   */
 object Multimodal {
 
@@ -34,13 +36,15 @@ object Multimodal {
     StructField("payload", BinaryType),
     StructField("media_type", StringType)))
 
-  /** Feature schema produced by either feature path. */
+  /** Feature schema of the codec-free byte tier: every column is genuinely
+    * derivable from the payload BYTES (size, first byte, container format
+    * from magic numbers, CRC32) — no media-derived placeholders. Real dims
+    * and pixel/sample statistics come from the decode tiers below. */
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", LongType),
     StructField("first_byte", IntegerType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
+    StructField("format", StringType, nullable = false),
     StructField("checksum", LongType)))
 
   /** Attach a fake binary payload derived from a string column (the
@@ -51,10 +55,26 @@ object Multimodal {
       col(textCol).cast("binary").as("payload"),
       lit("image/fake").as("media_type"))
 
+  /** Container-format sniff from magic bytes, as a native expression over
+    * a binary column (whole-stage codegen; at 100 TB this runs inside the
+    * scan with zero decode cost). Recognizes the formats the decode tiers
+    * handle — png/jpeg/gif/wav/mp4 — and returns "unknown" otherwise. */
+  def sniffFormat(payload: Column): Column = {
+    def magic(off: Int, bytes: Array[Byte]): Column =
+      substring(payload, off, bytes.length) === lit(bytes)
+    when(magic(1, Array(0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')), "png")
+      .when(magic(1, Array(0xff.toByte, 0xd8.toByte, 0xff.toByte)), "jpeg")
+      .when(magic(1, "GIF8".getBytes("US-ASCII")), "gif")
+      .when(magic(1, "RIFF".getBytes("US-ASCII")) &&
+        magic(9, "WAVE".getBytes("US-ASCII")), "wav")
+      .when(magic(5, "ftyp".getBytes("US-ASCII")), "mp4")
+      .otherwise("unknown")
+  }
+
   /** Codec-free feature extraction as native expressions — stays inside
-    * whole-stage codegen, no RDD hop. `width`/`height` are the same
-    * deterministic placeholders [[stubDecode]] computes (a real decoder
-    * would read them from the codec header). */
+    * whole-stage codegen, no RDD hop. Strictly byte-level features plus a
+    * magic-byte format sniff; nothing here pretends to be decoded content
+    * (dims/pixel stats belong to the real decode tiers). */
   def withNativeFeatures(media: DataFrame): DataFrame = {
     val n = coalesce(length(col("payload")).cast("long"), lit(0L))
     val first = coalesce(
@@ -63,8 +83,7 @@ object Multimodal {
       col("media_id"),
       n.as("n_bytes"),
       first.as("first_byte"),
-      (n % 640).cast("int").as("width"),
-      ((n * 31 + first) % 480).cast("int").as("height"),
+      sniffFormat(col("payload")).as("format"),
       coalesce(crc32(col("payload")), lit(0L)).as("checksum"))
   }
 
@@ -538,104 +557,226 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
-  // Tier 3: codec-shaped byte tier — STUB bodies, compressed FRAME/SAMPLE
-  // data only (the JVM has no built-in codecs for those; images decode
-  // for real in tier 2, PCM WAV in tier 2b, MP4 container metadata in
-  // tier 2c)
+  // Tier 3: REAL motion decode — animated GIF via javax.imageio (the one
+  // multi-frame format a stock JVM ships a codec for). Compressed video/
+  // audio frame data (H.264, AAC, …) is NOT decodable on a stock JVM:
+  // those payloads yield per-row NULLs through the same error-isolation
+  // path the image/WAV/MP4 tiers use — never fabricated bytes.
   // ---------------------------------------------------------------------
 
-  /** STUB decoder body (audio/video): deterministic fake "decode" of an
-    * opaque payload. A real deployment swaps this for an ffmpeg-shaped
-    * codec call; the signature — bytes in, fixed-width features out —
-    * stays identical. Features match [[withNativeFeatures]] exactly so the
-    * paths cross-validate. Images do NOT need this tier: use the real
-    * [[decodeImageFeatures]]. */
-  def stubDecode(id: Long, payload: Array[Byte]): Row = {
-    val n = if (payload == null) 0L else payload.length.toLong
-    val first = if (n > 0) payload(0) & 0xff else 0
-    val width = (n % 640L).toInt
-    val height = ((n * 31 + first) % 480L).toInt
-    val crc = new java.util.zip.CRC32()
-    if (payload != null) crc.update(payload)
-    Row(id, n, first, width, height, if (payload == null) 0L else crc.getValue)
-  }
+  /** Per-frame feature schema for animated-GIF decode: true frame index,
+    * dims, inter-frame delay (centiseconds, from the Graphic Control
+    * Extension) and exact per-channel pixel sums from a full scan. All
+    * feature columns null (single row) when the payload is not a
+    * JVM-decodable GIF. */
+  val gifFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("delay_cs", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
 
-  /** Codec-shaped path: per-partition batched iteration over opaque bytes —
-    * the genuine `mapPartitions` shape a real decoder (PIL / ffmpeg via a
-    * vectorized UDF) uses. Only for features that genuinely need a codec;
-    * metadata features belong in [[withNativeFeatures]]. */
-  def decodeFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        stubDecode(id, payload)
-      }
-    }
-    spark.createDataFrame(rdd, featureSchema)
-  }
-
-  /** STUB resize codec body (audio/video waveform-thumbnail shape; images
-    * use the real [[resizeImage]]): deterministic fake decode→scale→re-encode.
-    * The real body is `decode(payload).resize(w, h).encode()`; the stub
-    * folds the payload down to `targetW * targetH / 64` bytes by XOR so
-    * output size tracks the target dims and content still depends on every
-    * input byte. */
-  def stubResize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
-    if (payload == null) return null
-    val n = math.max(1, targetW * targetH / 64)
-    val out = new Array[Byte](n)
-    var i = 0
-    while (i < payload.length) { out(i % n) = (out(i % n) ^ payload(i)).toByte; i += 1 }
-    out
-  }
-
-  /** Resize: payload → payload at target dims, keeping the media schema —
-    * per-partition batched iteration (a real impl holds ONE codec instance
-    * per partition, not per row; the stub mirrors that shape). */
-  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select("media_id", "payload", "media_type").rdd
-      .mapPartitions { it =>
-        // per-partition "codec" init goes here in a real deployment
-        it.map { r =>
-          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          Row(r.getLong(0), stubResize(payload, targetW, targetH),
-            r.getString(2))
+  /** Deterministic animated-GIF fixture for `id`: a REAL multi-frame GIF
+    * (written by the JDK's own GIF encoder, one solid-color full-screen
+    * frame per step, explicit 2-entry palette so the indexed encode is
+    * lossless) with closed forms an external SQL oracle recomputes:
+    * {{{
+    *   w = 2 + id % 8          h = 2 + (id / 8) % 8
+    *   nFrames = 2 + id % 4    frame f delay_cs = 2 + (id + 3f) % 10
+    *   frame f color: r = (5·id + 11·f) % 256, g = (3·id + 7·f) % 256,
+    *                  b = (13·id + 17·f) % 256  → sum_c = w·h·c
+    * }}}
+    * Round-tripping through [[decodeGifFrames]] proves the decoder reads
+    * genuine frames, palettes and Graphic Control Extension delays. */
+  def generateGif(id: Long): Array[Byte] = {
+    val w = (2 + id % 8).toInt
+    val h = (2 + (id / 8) % 8).toInt
+    val nFrames = (2 + id % 4).toInt
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val r = ((id * 5 + f * 11) % 256).toInt
+        val g = ((id * 3 + f * 7) % 256).toInt
+        val b = ((id * 13 + f * 17) % 256).toInt
+        val icm = new java.awt.image.IndexColorModel(8, 2,
+          Array(r.toByte, 0.toByte), Array(g.toByte, 0.toByte),
+          Array(b.toByte, 0.toByte))
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        // raster default sample is 0 = the frame color; nothing to paint
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        var gce: javax.imageio.metadata.IIOMetadataNode = null
+        var c = root.getFirstChild
+        while (c != null) {
+          if (c.getNodeName == "GraphicControlExtension")
+            gce = c.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          c = c.getNextSibling
         }
+        if (gce == null) {
+          gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+          root.appendChild(gce)
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", (2 + (id + 3 * f) % 10).toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+        f += 1
       }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  def attachGeneratedGifs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r => val id = r.getLong(0); Row(id, generateGif(id), "image/gif") }
+    }
     spark.createDataFrame(rdd, mediaSchema)
   }
 
-  /** Frame-sample output schema: one row per sampled frame. */
-  val frameSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("frame_idx", IntegerType, nullable = false),
-    StructField("frame", BinaryType)))
-
-  /** STUB frame extraction (video — genuinely codec-less on a stock JVM):
-    * slices the payload into `n` contiguous chunks (a real body seeks the
-    * container's keyframes). */
-  def stubFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
-    if (payload == null || payload.isEmpty) return Seq.empty
-    val step = math.max(1, payload.length / n)
-    (0 until math.min(n, payload.length)).map { i =>
-      payload.slice(i * step, math.min(payload.length, i * step + step))
-    }
+  /** Decode one animated-GIF payload: an ImageIO GIF reader walks every
+    * frame (true count via `getNumImages(true)`), reads each frame's pixels
+    * for exact channel sums, and the frame's Graphic Control Extension for
+    * its delay. None when the payload is not a JVM-decodable GIF — same
+    * per-row error-isolation contract as the other tiers. */
+  private[operators] def decodeGifOne(
+      payload: Array[Byte]): Option[Seq[(Int, Int, Int, Int, Long, Long, Long)]] = {
+    if (payload == null || payload.isEmpty) return None
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => return None }
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      if (!reader.getFormatName.equalsIgnoreCase("gif")) return None
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        Some((0 until n).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          var delay = 0
+          var c = reader.getImageMetadata(f)
+            .getAsTree("javax_imageio_gif_image_1.0").getFirstChild
+          while (c != null) {
+            if (c.getNodeName == "GraphicControlExtension")
+              delay = c.getAttributes.getNamedItem("delayTime").getNodeValue.toInt
+            c = c.getNextSibling
+          }
+          (f, w, h, delay, sr, sg, sb)
+        })
+      } catch { case _: java.io.IOException => None }
+      finally reader.dispose()
+    } finally iis.close()
   }
 
-  /** Frame sampling: one media row → up to `n` frame rows. Flat-mapped
-    * per partition (batched, codec-per-partition shape); the fan-out is
-    * bounded by `n`, so a 100 TB video table expands predictably. */
-  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+  /** REAL animated-GIF frame features over a media table: one row per
+    * frame with true dims, delay and exact channel sums; non-GIF or
+    * corrupt payloads yield ONE row of null features (visible error
+    * isolation — a dropped row would hide the failure). Per-partition
+    * batched, decode scratch kept off executor disk. */
+  def decodeGifFrames(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       it.flatMap { r =>
+        val id = r.getLong(0)
         val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        stubFrames(payload, n).zipWithIndex.map { case (f, i) =>
-          Row(r.getLong(0), i, f)
+        decodeGifOne(payload) match {
+          case Some(frames) => frames.map { case (f, w, h, d, sr, sg, sb) =>
+            Row(id, f, w, h, d, sr, sg, sb)
+          }
+          case None =>
+            Seq(Row(id, null, null, null, null, null, null, null))
         }
+      }
+    }
+    spark.createDataFrame(rdd, gifFrameSchema)
+  }
+
+  /** Frame-sample output schema: one row per sampled frame; `frame_idx`
+    * and `frame` are null for payloads the JVM cannot decode. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType),
+    StructField("frame", BinaryType)))
+
+  /** REAL frame sampling: decode the payload with whatever ImageIO reader
+    * claims it (multi-frame for GIF, single-frame for PNG/JPEG/BMP), pick
+    * up to `n` evenly spaced frames across the true frame count, re-encode
+    * each as PNG. `frame_idx` is the frame's ORIGINAL index in the media,
+    * so downstream sees where each sample came from. Payloads with no JVM
+    * codec (compressed video) yield one all-null row — per-row error
+    * isolation, never synthetic frame bytes. Fan-out bounded by `n`, so a
+    * 100 TB media table expands predictably. */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    require(n > 0, "frame sample size must be positive")
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val sampled: Option[Seq[Row]] =
+          if (payload == null || payload.isEmpty) None
+          else {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) None
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis)
+                  val total = reader.getNumImages(true)
+                  if (total <= 0) None
+                  else {
+                    val picks =
+                      if (total <= n) 0 until total
+                      else (0 until n).map(i => i * total / n)
+                    Some(picks.map { f =>
+                      val bos = new java.io.ByteArrayOutputStream()
+                      javax.imageio.ImageIO.write(reader.read(f), "png", bos)
+                      Row(id, f, bos.toByteArray)
+                    })
+                  }
+                } catch { case _: java.io.IOException => None }
+                finally reader.dispose()
+              }
+            } finally iis.close()
+          }
+        sampled.getOrElse(Seq(Row(id, null, null)))
       }
     }
     spark.createDataFrame(rdd, frameSchema)

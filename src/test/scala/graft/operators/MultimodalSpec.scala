@@ -5,15 +5,37 @@ import graft.SparkSpecBase
 class MultimodalSpec extends SparkSpecBase {
   import spark.implicits._
 
-  test("native expression path and mapPartitions decoder agree exactly") {
+  test("withNativeFeatures: byte-level features + CRC32 cross-check, no fabricated dims") {
     val df = Seq((1L, "hello world"), (2L, ""), (3L, "binary-ish é")).toDF("id", "text")
     val media = Multimodal.attachFakeMedia(df, "id", "text")
-    val native = Multimodal.withNativeFeatures(media).collect()
-      .map(r => r.getLong(0) -> r.toSeq).toMap
-    val decoded = Multimodal.decodeFeatures(media).collect()
-      .map(r => r.getLong(0) -> r.toSeq).toMap
-    assert(native.keySet == decoded.keySet)
-    native.keySet.foreach { id => assert(native(id) == decoded(id), s"id=$id") }
+    val native = Multimodal.withNativeFeatures(media)
+    // the schema carries NOTHING that pretends to be decoded content
+    assert(native.schema.fieldNames.toSeq ==
+      Seq("media_id", "n_bytes", "first_byte", "format", "checksum"))
+    val got = native.collect().map(r => r.getLong(0) -> r).toMap
+    df.collect().foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val crc = new java.util.zip.CRC32(); crc.update(bytes)
+      assert(got(id).getLong(1) == bytes.length.toLong, s"id=$id n_bytes")
+      assert(got(id).getInt(2) == (if (bytes.isEmpty) 0 else bytes(0) & 0xff))
+      assert(got(id).getString(3) == "unknown", s"id=$id format")
+      assert(got(id).getLong(4) == (if (bytes.isEmpty) 0L else crc.getValue))
+    }
+  }
+
+  test("sniffFormat recognizes real encoded payloads by magic bytes") {
+    val ids = Seq(Tuple1(7L)).toDF("id")
+    val mixed = Multimodal.attachGeneratedImages(ids, "id")
+      .unionAll(Multimodal.attachGeneratedAudio(Seq(Tuple1(17L)).toDF("id"), "id"))
+      .unionAll(Multimodal.attachGeneratedVideos(Seq(Tuple1(27L)).toDF("id"), "id"))
+      .unionAll(Multimodal.attachGeneratedGifs(Seq(Tuple1(37L)).toDF("id"), "id"))
+      .unionAll(Multimodal.attachFakeMedia(
+        Seq((47L, "plain text")).toDF("id", "text"), "id", "text"))
+    val got = Multimodal.withNativeFeatures(mixed).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(7L -> "png", 17L -> "wav", 27L -> "mp4",
+      37L -> "gif", 47L -> "unknown"))
   }
 
   test("generatePng round-trips through a REAL ImageIO decode: exact dims and pixels") {
@@ -81,45 +103,71 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.resizeImage(bad, 4, 4).collect().head.isNullAt(1))
   }
 
-  test("native byte tier cross-checks the byte decoder on REAL PNG payloads") {
-    val media = Multimodal.attachGeneratedImages(
-      (0L to 10L).map(Tuple1(_)).toDF("id"), "id")
-    val native = Multimodal.withNativeFeatures(media).collect()
-      .map(r => r.getLong(0) -> r.toSeq).toMap
-    val decoded = Multimodal.decodeFeatures(media).collect()
-      .map(r => r.getLong(0) -> r.toSeq).toMap
-    assert(native.keySet == decoded.keySet)
-    native.keySet.foreach { id => assert(native(id) == decoded(id), s"id=$id") }
+  test("generateGif round-trips through a REAL GIF decode: frames, dims, delays, pixels") {
+    // Direct fixture check, no Spark: every closed form survives the
+    // encode → decode round trip exactly (lossless indexed palette).
+    for (id <- Seq(0L, 1L, 7L, 63L, 255L, 499L)) {
+      val frames = Multimodal.decodeGifOne(Multimodal.generateGif(id))
+        .getOrElse(fail(s"id=$id did not decode"))
+      val (w, h) = ((2 + id % 8).toInt, (2 + (id / 8) % 8).toInt)
+      assert(frames.length == (2 + id % 4).toInt, s"id=$id frame count")
+      frames.foreach { case (f, gw, gh, delay, sr, sg, sb) =>
+        assert(gw == w && gh == h, s"id=$id f=$f dims")
+        assert(delay == (2 + (id + 3 * f) % 10).toInt, s"id=$id f=$f delay")
+        assert(sr == w.toLong * h * ((id * 5 + f * 11) % 256), s"id=$id f=$f sum_r")
+        assert(sg == w.toLong * h * ((id * 3 + f * 7) % 256), s"id=$id f=$f sum_g")
+        assert(sb == w.toLong * h * ((id * 13 + f * 17) % 256), s"id=$id f=$f sum_b")
+      }
+    }
   }
 
-  test("resize keeps the media schema, output size tracks target dims") {
-    val media = Multimodal.attachFakeMedia(
-      Seq((1L, "x" * 5000), (2L, "y")).toDF("id", "text"), "id", "text")
-    val out = Multimodal.resize(media, targetW = 64, targetH = 64)
-    assert(out.schema == Multimodal.mediaSchema)
-    val sizes = out.collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
-    assert(sizes(1L) == 64 * 64 / 64) // folded to target-derived size
-    assert(sizes(2L) == 64 * 64 / 64) // padded small input too
-    // deterministic: same input -> same bytes
-    val again = Multimodal.resize(media, 64, 64).collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
-    val first = out.collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
-    assert(again == first)
+  test("decodeGifFrames: per-frame rows over a table, non-GIF payloads isolate as one null row") {
+    val media = Multimodal.attachGeneratedGifs(
+      Seq((2L, "x"), (5L, "y")).toDF("doc_id", "text"), "doc_id")
+    val mp4 = Multimodal.attachGeneratedVideos(Seq(Tuple1(99L)).toDF("id"), "id")
+    val out = Multimodal.decodeGifFrames(media.unionAll(mp4)).collect()
+      .groupBy(_.getLong(0))
+    assert(out(2L).length == 4 && out(5L).length == 3) // 2 + id % 4 frames
+    assert(out(2L).forall(!_.isNullAt(1)))
+    // a REAL mp4 payload (valid container, codec'd frames) must come back
+    // as one all-null row — never fabricated frame content
+    assert(out(99L).length == 1 && out(99L).head.isNullAt(1)
+      && out(99L).head.isNullAt(5))
   }
 
-  test("frame sampling: bounded fan-out, indexed frames, empty payload ok") {
-    val media = Multimodal.attachFakeMedia(
-      Seq((1L, "abcdefghij"), (2L, "")).toDF("id", "text"), "id", "text")
-    val frames = Multimodal.sampleFrames(media, n = 4).collect()
-    val byId = frames.groupBy(_.getLong(0))
-    assert(byId(1L).map(_.getInt(1)).sorted.sameElements(Array(0, 1, 2, 3)))
-    assert(!byId.contains(2L)) // empty payload -> no frames, no crash
-    // frames reassemble the payload prefix in order
-    val joined = byId(1L).sortBy(_.getInt(1))
-      .flatMap(_.getAs[Array[Byte]](2)).map(_.toChar).mkString
-    assert(joined == "abcdefgh") // 4 frames x step 2 of a 10-byte payload
+  test("sampleFrames: real decoded frames from an animated GIF, even spacing, nulls for codec-less payloads") {
+    // id=3 -> 5x2 logical screen, 5 frames (2 + 3 % 4)
+    val gif = Multimodal.attachGeneratedGifs(Seq(Tuple1(3L)).toDF("id"), "id")
+    val all = Multimodal.sampleFrames(gif, n = 10).collect().sortBy(_.getInt(1))
+    assert(all.length == (2 + 3 % 4)) // true frame count when n exceeds it
+    all.foreach { r =>
+      val f = r.getInt(1)
+      // each sampled frame is a REAL re-encoded PNG of the original frame:
+      // decode it and check the solid closed-form color
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(img.getWidth == 5 && img.getHeight == 2) // w=2+3%8, h=2+0%8
+      val rgb = img.getRGB(0, 0)
+      assert(((rgb >> 16) & 0xff) == ((3 * 5 + f * 11) % 256).toInt, s"f=$f r")
+      assert(((rgb >> 8) & 0xff) == ((3 * 3 + f * 7) % 256).toInt, s"f=$f g")
+      assert((rgb & 0xff) == ((3 * 13 + f * 17) % 256).toInt, s"f=$f b")
+    }
+    // n smaller than the frame count: evenly spaced ORIGINAL indices
+    val two = Multimodal.sampleFrames(gif, n = 2).collect().map(_.getInt(1)).sorted
+    assert(two.sameElements(Array(0, (2 + 3 % 4) / 2)))
+    // codec-less payloads (mp4 frames, plain bytes, empty) -> one null row
+    // each, never synthetic frame bytes
+    val bad = Multimodal.attachGeneratedVideos(Seq(Tuple1(1L)).toDF("id"), "id")
+      .unionAll(Multimodal.attachFakeMedia(
+        Seq((2L, "abcdefghij"), (3L, "")).toDF("id", "text"), "id", "text"))
+    val badOut = Multimodal.sampleFrames(bad, n = 4).collect()
+    assert(badOut.length == 3)
+    badOut.foreach(r => assert(r.isNullAt(1) && r.isNullAt(2),
+      s"id=${r.getLong(0)} must isolate as nulls"))
+    // single-frame formats still decode for real: a PNG yields one frame
+    val png = Multimodal.attachGeneratedImages(Seq(Tuple1(4L)).toDF("id"), "id")
+    val one = Multimodal.sampleFrames(png, n = 3).collect()
+    assert(one.length == 1 && one.head.getInt(1) == 0 && !one.head.isNullAt(2))
   }
 
   test("WAV decode: generated fixtures round-trip to their closed forms") {
