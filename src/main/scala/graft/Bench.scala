@@ -76,6 +76,17 @@ object Bench {
       samples("passage_spans_shared") = Vector(dt)
       System.err.println(f"[bench] passage_spans_shared   $dt%8.2f s")
     }
+    // And for the fertility monitor's held-out train pass: the even-half
+    // BPE merges are session-cached, so bill the one real train here and
+    // let tokenizer_fertility report score-only cost.
+    if (queries.contains("tokenizer_fertility")) {
+      SparkEntry.resetSharedBpeEven()
+      val t0 = System.nanoTime()
+      SparkEntry.buildSharedBpeEven(spark, sfDir)
+      val dt = (System.nanoTime() - t0) / 1e9
+      samples("bpe_fertility_train") = Vector(dt)
+      System.err.println(f"[bench] bpe_fertility_train    $dt%8.2f s")
+    }
     for (r <- 1 to repeat) queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       run(name, fn, sfDir)

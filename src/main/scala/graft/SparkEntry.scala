@@ -120,6 +120,29 @@ object SparkEntry {
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
   }
 
+  /** The fertility monitor's EVEN-doc-half training pass, cached with the
+    * same session-keyed lifecycle (it cannot reuse the full-corpus merges
+    * above — held-out scoring requires training to never see the odd
+    * half). Bench bills the build as its own `bpe_fertility_train` entry
+    * so `tokenizer_fertility` reads score-only. */
+  private def sharedBpeMergesEven(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val sessKey = installEvictionListener(s)
+    bpeCache.computeIfAbsent(s"$sessKey#$dir#even", _ =>
+      graft.operators.Bpe.train(
+          Tables.documents(s, dir).where(col("doc_id") % 2 === 0),
+          "text", numMerges = 10)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+  }
+
+  /** Bench hooks: drop + rebuild the even-half merge cache so its train
+    * cost lands in exactly one labeled bench entry (the shared-CC/spans
+    * honesty pattern). */
+  private[graft] def resetSharedBpeEven(): Unit =
+    bpeCache.keySet.removeIf(_.endsWith("#even"))
+  private[graft] def buildSharedBpeEven(s: SparkSession, dir: String): Unit = {
+    sharedBpeMergesEven(s, dir); ()
+  }
+
   /** Drop one session's cached shared-stage frames (the listener's
     * target; checkpoint blocks die with the session's context). */
   private[graft] def evictSharedCc(sessKey: String): Unit = {
@@ -844,8 +867,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val train = docs.where(col("doc_id") % 2 === 0)
       val test = docs.where(col("doc_id") % 2 === 1)
-      val merges = Bpe.train(train, "text", numMerges = 10)
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = sharedBpeMergesEven(s, dir)
       val segmented = Bpe.vocabulary(test, "text", merges)
       val trainWords = Bpe.wordFrequencies(train, "text").select(col("w"))
         .withColumn("__seen", lit(true))
