@@ -673,6 +673,26 @@ object Dedup {
       .select("a_id", "b_id", "cos")
   }
 
+  /** Occupancy-matched SRP plane count: `planes = ceil(log₂(n /
+    * targetBucketRows))`, clamped to [4, 30]. Expected bucket occupancy
+    * `n / 2^planes` then sits in `(targetBucketRows/2, targetBucketRows]`
+    * whatever the corpus size, so the within-bucket QUADRATIC candidate
+    * volume per bucket stays ~constant as the corpus grows — the
+    * `planes ~ log₂(n)` scaling law measured in SURVEY §6.-1, now the
+    * default instead of tribal knowledge. */
+  def autoPlanes(nRows: Long, targetBucketRows: Int = 64): Int = {
+    require(targetBucketRows > 0, "targetBucketRows must be positive")
+    val raw = math.ceil(
+      math.log(math.max(1.0, nRows.toDouble / targetBucketRows)) / math.log(2.0))
+    math.max(4, math.min(30, raw.toInt))
+  }
+
+  /** Sentinel `planes` value: size the plane count from the corpus via
+    * [[autoPlanes]] (one cheap metadata-served `count()` at plan build —
+    * pass an explicit positive `planes` to avoid the job, e.g. when the
+    * caller already knows the scale). */
+  val AutoPlanes: Int = 0
+
   /** Sign-random-projection LSH cosine near-dup: bucket on the bit pattern
     * of `planes` random hyperplane signs, candidate pairs within buckets,
     * exact cosine verify. `tables` independent bucketings (different random
@@ -682,18 +702,25 @@ object Dedup {
     * bounded); more tables → recall back up. One shuffle per table on the
     * bucket key.
     *
+    * `planes` defaults to [[AutoPlanes]]: occupancy-matched to the corpus
+    * row count via [[autoPlanes]], so doubling the corpus adds one plane
+    * and per-bucket candidate volume stays flat (property-tested in
+    * DedupSpec). An explicit positive value overrides.
+    *
     * @param dim embedding width — a schema constant (e.g.
     *   `Schemas.EmbeddingDim`), never sniffed from the data: reading the
     *   first row would launch a driver-side job at plan construction.
     */
   def cosineNearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, planes: Int = 16, tables: Int = 2,
+      threshold: Double, dim: Int, planes: Int = AutoPlanes, tables: Int = 2,
       seed: Long = 42L): DataFrame = {
+    require(planes >= 0, "planes must be positive, or AutoPlanes (0) to auto-size")
+    val effPlanes = if (planes > 0) planes else autoPlanes(emb.count())
     // ALL table buckets come from ONE projection over ONE scan (an array of
     // per-table SrpBucket values, posexploded to (table, bucket) rows) —
     // a per-table loop would rescan and re-shuffle the corpus `tables`
     // times for hash values that cost nanoseconds to compute.
-    val bucketed = withSrpBuckets(Par.spread(emb), vecCol, planes, seed, dim, tables)
+    val bucketed = withSrpBuckets(Par.spread(emb), vecCol, effPlanes, seed, dim, tables)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         posexplode(col("__buckets")).as(Seq("__table", "__bucket")))
     val a = bucketed.select(col("id").as("a_id"), col("v").as("a_v"),
@@ -717,7 +744,7 @@ object Dedup {
     * never forms a quadratic candidate set).
     */
   def semanticDedupSurvivors(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, planes: Int = 16, tables: Int = 2,
+      threshold: Double, dim: Int, planes: Int = AutoPlanes, tables: Int = 2,
       seed: Long = 42L): DataFrame = {
     val pairs = cosineNearDupPairsLsh(emb, idCol, vecCol, threshold, dim,
       planes, tables, seed)

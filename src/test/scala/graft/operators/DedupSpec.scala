@@ -441,6 +441,59 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh == Set((1L, 2L)))
   }
 
+  test("autoPlanes: doubling the corpus keeps per-bucket candidate volume ~constant") {
+    // formula side: each doubling adds exactly one plane, so expected
+    // occupancy n / 2^planes stays inside (target/2, target]
+    for (n <- Seq(512L, 4096L, 1L << 20, 1L << 30, 1L << 40)) {
+      val p = Dedup.autoPlanes(n, targetBucketRows = 64)
+      if (p > 4 && p < 30) { // inside the clamp: exact occupancy law
+        assert(Dedup.autoPlanes(2 * n, 64) == math.min(30, p + 1), s"n=$n")
+        val occ = n.toDouble / (1L << p)
+        assert(occ > 32.0 - 1e-9 && occ <= 64.0 + 1e-9, s"n=$n occ=$occ")
+      } else // at a clamp edge the count must still be monotone + bounded
+        assert(Dedup.autoPlanes(2 * n, 64) >= p && p >= 4 && p <= 30, s"n=$n")
+    }
+    // measured side: REAL SRP bucketing of pseudo-random vectors — the
+    // per-bucket quadratic candidate volume must stay ~flat across two
+    // corpus doublings when planes auto-size (it would 4x per doubling
+    // with a fixed plane count)
+    def volume(n: Int): Double = {
+      val rnd = new scala.util.Random(7)
+      val vecs = (0 until n).map(i =>
+        (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      val df = vecs.toDF("vec_id", "v")
+      val planes = Dedup.autoPlanes(n, targetBucketRows = 64)
+      val perBucket = Dedup.withSrpBuckets(df, "v", planes, seed = 42L,
+          dim = 16, tables = 1)
+        .select(org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.col("__buckets"), 1).as("b"))
+        .groupBy("b").count()
+        .select(org.apache.spark.sql.functions.avg(
+          org.apache.spark.sql.functions.expr("count * (count - 1) / 2")))
+        .as[Double].collect().head
+      perBucket
+    }
+    val v1 = volume(2000); val v2 = volume(4000); val v4 = volume(8000)
+    // SRP buckets on random data are not perfectly uniform; allow 3x wiggle
+    // against the 16x quadratic blow-up a fixed plane count would show
+    assert(v2 / v1 < 3.0 && v1 / v2 < 3.0, s"v1=$v1 v2=$v2")
+    assert(v4 / v1 < 3.0 && v1 / v4 < 3.0, s"v1=$v1 v4=$v4")
+  }
+
+  test("AutoPlanes default drives the pair query without an explicit knob") {
+    // same planted-duplicate scenario as the exact/LSH agreement test,
+    // but with the occupancy-matched default (tiny corpus -> 4 planes)
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val rows = Seq((1L, base), (2L, base.map(x => x * 1.0001f))) ++
+      (3L to 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val lsh = Dedup.cosineNearDupPairsLsh(df, "vec_id", "embedding", 0.999,
+      dim = 8, tables = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.contains((1L, 2L)))
+  }
+
   test("capPerKey: overflow-free Knuth hash on ids beyond 2^32") {
     // ids ≥ ~3.5e9 overflow a naive id*2654435761 Long multiply (throws
     // under ANSI mode); the split form must agree with BigInt arithmetic.
