@@ -29,6 +29,12 @@ import org.apache.spark.sql.SparkSession
   *     snapshots <targetPath>
   *         list retained snapshot names (oldest first) — the time-travel
   *         surface: read one with Upsert.readTargetAt
+  *     changes <targetPath> --keys k1,k2 [--since snap-...] [--out dir]
+  *         incremental change-feed poll: rows the merges since --since
+  *         changed (all current rows as inserts when --since is absent —
+  *         the bootstrap), written as Parquet to --out (or counted to
+  *         stderr); stdout prints ONE line, the cursor to pass as the
+  *         next poll's --since — pipe-able into the consumer's state
   * }}}
   *
   * Every action commits through the snapshot/manifest protocol: a crash
@@ -47,9 +53,9 @@ object RunMaintain {
     * pattern). */
   def run(spark: SparkSession, args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: RunMaintain <ivf-compact|neardup-compact|table-compact|vacuum|snapshots> " +
+      "usage: RunMaintain <ivf-compact|neardup-compact|table-compact|vacuum|snapshots|changes> " +
         "<path> [--id-col c] [--keep-snapshots n] [--keys k1,k2] " +
-        "[--zorder c1,c2] [--target-file-rows n]")
+        "[--zorder c1,c2] [--target-file-rows n] [--since snap] [--out dir]")
     val action = args(0)
     val path = args(1)
     val opts = args.drop(2).sliding(2, 2).collect {
@@ -79,9 +85,21 @@ object RunMaintain {
       case "snapshots" =>
         // stdout, one per line — scriptable (the err stream carries logs)
         operators.Upsert.snapshots(spark, path).foreach(println)
+      case "changes" =>
+        val keys = opts.get("--keys").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        require(keys.nonEmpty, "changes requires --keys k1,k2")
+        val (feed, cursor) = operators.Upsert.readChangeFeed(
+          spark, path, opts.get("--since"), keys)
+        opts.get("--out") match {
+          case Some(out) => feed.write.mode("overwrite").parquet(out)
+          case None => System.err.println(s"[maintain] ${feed.count()} change row(s)")
+        }
+        // stdout: ONE line, the next poll's cursor
+        println(cursor)
       case other =>
         throw new IllegalArgumentException(s"unknown action '$other' " +
-          "(ivf-compact | neardup-compact | table-compact | vacuum | snapshots)")
+          "(ivf-compact | neardup-compact | table-compact | vacuum | snapshots | changes)")
     }
   }
 }

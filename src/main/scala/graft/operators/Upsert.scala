@@ -435,6 +435,64 @@ object Upsert {
           .otherwise(col(s"__new_$c")).as(c)): _*)
   }
 
+  /** Incremental change-feed read over a merge target — the consumer
+    * face of [[changesBetween]] (Delta CDF / Iceberg incremental-read
+    * shape): a downstream job POLLS this with its stored cursor and gets
+    * exactly the rows the merges since then changed, plus the new cursor
+    * to persist for the next poll.
+    *
+    *  - `sinceSnapshot = None` bootstraps: every current row comes back
+    *    as an `insert` and the cursor is the current snapshot — the
+    *    initial-load contract CDC consumers expect.
+    *  - `sinceSnapshot = Some(cursor)` returns the NET row-level diff
+    *    from that snapshot to the current one (a key updated twice shows
+    *    once with its final value; an insert-then-delete nets out —
+    *    per-commit granularity is polling more often, or walking
+    *    adjacent retained pairs with [[changesBetween]] directly).
+    *  - A cursor that has been vacuumed away fails LOUD with a
+    *    re-bootstrap instruction — silently returning a partial diff
+    *    would corrupt the consumer's mirror.
+    *
+    * Scale shape is [[changesBetween]]'s: on the manifest layout the
+    * diff prunes to buckets whose file lists differ, so a poll costs
+    * O(changed buckets), never a table scan. Retention is the contract:
+    * keep at least as many snapshots (vacuum `--keep-snapshots`) as the
+    * slowest consumer's poll lag. */
+  def readChangeFeed(spark: SparkSession, targetPath: String,
+      sinceSnapshot: Option[String], keys: Seq[String]): (DataFrame, String) = {
+    val current = currentSnapshot(spark, targetPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"readChangeFeed: no merge target at $targetPath"))
+    sinceSnapshot match {
+      case None =>
+        val cur = readTargetAt(spark, targetPath, current)
+        val dataCols = cur.columns
+          .filterNot(c => keys.contains(c) || c.startsWith("__")).toSeq
+        (cur.select(lit("insert").as("change_type") +:
+          (keys ++ dataCols).map(col): _*), current)
+      case Some(cursor) =>
+        require(snapshots(spark, targetPath).contains(cursor),
+          s"readChangeFeed: cursor snapshot '$cursor' is no longer retained " +
+            s"under $targetPath (vacuumed?) — re-bootstrap with sinceSnapshot=None")
+        (changesBetween(spark, targetPath, cursor, current, keys), current)
+    }
+  }
+
+  /** Fold one change-feed batch into a downstream mirror: deletes drop
+    * their keys, inserts/updates replace theirs — `applyChanges(mirror,
+    * feed)` after every poll keeps the mirror equal to the source
+    * snapshot the feed's cursor names (pinned cross-run in CdcSpec).
+    * One key-partitioned anti join + a union: O(mirror ⋈ |feed keys|),
+    * with the feed side usually broadcast-sized. */
+  def applyChanges(state: DataFrame, changes: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val touched = changes.select(keys.map(col): _*).distinct()
+    val untouched = state.join(touched, keys, "left_anti")
+    val upserts = changes.where(col("change_type") =!= "delete")
+      .select(state.columns.map(col).toSeq: _*)
+    untouched.unionByName(upserts)
+  }
+
   /** Snapshot names currently on disk under a merge target, oldest first
     * — snapshot DIRS (plain layout) or retained manifest FILES
     * (manifest-bucketed layout). Read one with [[readTargetAt]]. */

@@ -102,4 +102,71 @@ class CdcSpec extends SparkSpecBase {
     assert(changes(path, s1, s2) == Set(
       ("update", 2L, "B2"), ("insert", 3L, "c")))
   }
+
+  test("readChangeFeed cross-run: a consumer folding three polls equals the final snapshot") {
+    val path = mkTarget()
+    def merge(rows: Seq[(Long, String)]): Unit =
+      Upsert.mergeIntoManifestBucketedParquet(spark, path,
+        rows.toDF("key", "v"), Seq("key"), nBuckets = 4, keepSnapshots = 8)
+    def mirrorSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "v").as[(Long, String)].collect().toSet
+
+    // merge 1 -> bootstrap poll: every row arrives as an insert
+    merge((0L until 30L).map(k => (k, s"v$k")))
+    val (feed1, c1) = Upsert.readChangeFeed(spark, path, None, Seq("key"))
+    assert(feed1.select("change_type").distinct()
+      .as[String].collect().toSeq == Seq("insert"))
+    var mirror = feed1.drop("change_type").localCheckpoint()
+
+    // merge 2, merge 3 (update + insert + delete mix), one poll each
+    merge(Seq((3L, "U3"), (100L, "N100")))
+    val (feed2, c2) = Upsert.readChangeFeed(spark, path, Some(c1), Seq("key"))
+    mirror = Upsert.applyChanges(mirror, feed2, Seq("key")).localCheckpoint()
+    Upsert.deleteKeysFromManifestBucketedParquet(spark, path,
+      Seq(5L, 100L).toDF("key"), Seq("key"), nBuckets = 4, keepSnapshots = 8)
+    merge(Seq((3L, "U3b"), (101L, "N101")))
+    val (feed3, c3) = Upsert.readChangeFeed(spark, path, Some(c2), Seq("key"))
+    mirror = Upsert.applyChanges(mirror, feed3, Seq("key")).localCheckpoint()
+
+    // the folded mirror IS the final snapshot, and the cursor names it
+    assert(c3 == Upsert.snapshots(spark, path).last)
+    assert(mirrorSet(mirror) ==
+      mirrorSet(Upsert.readTargetAt(spark, path, c3)))
+    // a caught-up consumer polls into an empty feed, cursor stable
+    val (feed4, c4) = Upsert.readChangeFeed(spark, path, Some(c3), Seq("key"))
+    assert(feed4.count() == 0 && c4 == c3)
+  }
+
+  test("readChangeFeed: a vacuumed cursor fails loud, never a partial diff") {
+    val path = mkTarget()
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((1L, "a")).toDF("key", "v"), Seq("key"), nBuckets = 2, keepSnapshots = 1)
+    val (_, c1) = Upsert.readChangeFeed(spark, path, None, Seq("key"))
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((2L, "b")).toDF("key", "v"), Seq("key"), nBuckets = 2, keepSnapshots = 1)
+    // keepSnapshots=1 expired c1
+    val e = intercept[IllegalArgumentException] {
+      Upsert.readChangeFeed(spark, path, Some(c1), Seq("key"))
+    }
+    assert(e.getMessage.contains("re-bootstrap"))
+  }
+
+  test("CLI 'changes' verb: bootstrap + incremental poll through RunMaintain") {
+    val path = mkTarget()
+    val outDir = Files.createTempDirectory("graft-cdc-out").toString
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("key", "v"), Seq("key"),
+      nBuckets = 2, keepSnapshots = 4)
+    graft.RunMaintain.run(spark, Array("changes", path,
+      "--keys", "key", "--out", s"$outDir/boot"))
+    assert(spark.read.parquet(s"$outDir/boot").count() == 2)
+    val cursor = Upsert.snapshots(spark, path).last
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((2L, "B2")).toDF("key", "v"), Seq("key"), nBuckets = 2, keepSnapshots = 4)
+    graft.RunMaintain.run(spark, Array("changes", path,
+      "--keys", "key", "--since", cursor, "--out", s"$outDir/inc"))
+    assert(spark.read.parquet(s"$outDir/inc")
+      .select("change_type", "key", "v").as[(String, Long, String)]
+      .collect().toSet == Set(("update", 2L, "B2")))
+  }
 }
