@@ -76,7 +76,8 @@ object RunMaintain {
           keys = csv("--keys"), zorderCols = csv("--zorder"),
           targetFileRows = opts.get("--target-file-rows").map(_.toLong)
             .getOrElse(1L << 20),
-          newNBuckets = opts.get("--rebucket").map(_.toInt))
+          newNBuckets = opts.get("--rebucket").map(_.toInt),
+          keepSnapshots = opts.get("--keep-snapshots").map(_.toInt).getOrElse(1))
         System.err.println(s"[maintain] table compacted: $path")
       case "vacuum" =>
         val keep = opts.get("--keep-snapshots").map(_.toInt).getOrElse(1)

@@ -131,7 +131,10 @@ object RunPipeline {
       quantileProfilePath = opts.get("--quantile-profile"),
       freqProfilePath = opts.get("--freq-profile"),
       componentsPath = opts.get("--components"),
-      scd2Path = opts.get("--scd2"))
+      scd2Path = opts.get("--scd2"),
+      mergeBuckets = opts.get("--merge-buckets").map(_.toInt),
+      keepSnapshots = opts.get("--keep-snapshots").map(_.toInt).getOrElse(1),
+      maxFilesPerTrigger = opts.get("--max-files-per-trigger").map(_.toInt))
 
   /** Run the pipeline, retrying the WHOLE run on failure up to `retries`
     * extra attempts. Each retry starts from the persisted state: the

@@ -90,10 +90,22 @@ object IncrementalStream {
       quantileProfilePath: Option[String] = None,
       freqProfilePath: Option[String] = None,
       componentsPath: Option[String] = None,
-      scd2Path: Option[String] = None): StreamingQuery = {
-    val docs = spark.readStream
+      scd2Path: Option[String] = None,
+      mergeBuckets: Option[Int] = None,
+      keepSnapshots: Int = 1,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    // mergeBuckets = Some(n): merge each micro-batch into the
+    // manifest-bucketed layout instead of the plain snapshot dir — the
+    // 100 TB posture (a plain-layout merge rewrites the whole table per
+    // micro-batch; the manifest merge rewrites only touched buckets) and
+    // the layout the batch-side maintenance verbs (table-compact,
+    // erasure, CDC reads) operate on, so a stream and those jobs can
+    // share one target. maxFilesPerTrigger throttles micro-batch size
+    // (AvailableNow still drains everything, in more, smaller batches).
+    val reader = spark.readStream
       .schema(graft.schema.Schemas.sourceDoc)
-      .parquet(sourceDir)
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+    val docs = reader.parquet(sourceDir)
 
     // the enrichment join needs a true event-time column on the left:
     // carry the source `timestamp` through the projection, drop it after
@@ -138,10 +150,20 @@ object IncrementalStream {
         // curation (quality gates, redaction, caps) over each micro-batch
         // AFTER dedup, BEFORE merge — same contract as the batch hook.
         val curated = curate.fold(deduped)(f => f(deduped))
-        Upsert.mergeIntoParquet(s, targetPath, curated,
-          keys = Seq("main_refco"),
-          insertOnlyCols = Set("cleaned_ref"),
-          refreshExprs = Map("embedding_inserted_at" -> current_timestamp()))
+        mergeBuckets match {
+          case Some(n) =>
+            Upsert.mergeIntoManifestBucketedParquet(s, targetPath, curated,
+              keys = Seq("main_refco"), nBuckets = n,
+              insertOnlyCols = Set("cleaned_ref"),
+              refreshExprs = Map("embedding_inserted_at" -> current_timestamp()),
+              keepSnapshots = keepSnapshots)
+          case None =>
+            Upsert.mergeIntoParquet(s, targetPath, curated,
+              keys = Seq("main_refco"),
+              insertOnlyCols = Set("cleaned_ref"),
+              refreshExprs = Map("embedding_inserted_at" -> current_timestamp()),
+              keepSnapshots = keepSnapshots)
+        }
         // Streaming twin of Pipeline.Config.ivfIndexPath: the first batch
         // trains and builds, later batches are assigned against the
         // FROZEN centroids and appended — probes stay available between
