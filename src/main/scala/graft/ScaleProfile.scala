@@ -218,6 +218,175 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "sf1") {
+      // Round-11 10× axis (VERDICT r10 #2): at sf0.5 every heavy-family
+      // exponent reads flat because fixed per-job latency dominates the
+      // wall. sf1 is 10 DISJOINT replicas of sf0.1 (~6M lineitem, 1M
+      // events, 50k docs, 50k vectors) — big enough that the slowest
+      // queries run tens of seconds and per-round job overhead is <20%
+      // of wall, so the exponent measures the ALGORITHM. Derivation
+      // mirrors sf0.5's (suffixed words, sign-flipped embeddings,
+      // shifted key ranges: replicas never collide or near-dup).
+      val big = "/tmp/scale/sf1"
+      val reps10 = 10
+      def replicate10(build: Int => DataFrame, path: String): Unit =
+        (0 until reps10).map(build).reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(path)
+      if (!new java.io.File(s"$big/lineitem.parquet").isDirectory) {
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+        replicate10(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+          .withColumn("text", if (i == 0) col("text")
+            else concat_ws(" ", transform(split(col("text"), " "),
+              w => concat(w, lit("_" + i))))),
+          s"$big/documents.parquet")
+        val emb = spark.read.parquet(s"$src/embeddings.parquet")
+        replicate10(i => emb
+          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L))
+          .withColumn("embedding", if (i == 0) col("embedding")
+            else transform(col("embedding"), (x, j) =>
+              (x * (pmod(xxhash64(lit(i), j), lit(2)) * 2 - 1)).cast("float"))),
+          s"$big/embeddings.parquet")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = spark.read.parquet(s"$src/events.parquet")
+        replicate10(i => ev
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i.toLong * 100000L)),
+          s"$big/events.parquet")
+        val li = spark.read.parquet(s"$src/lineitem.parquet")
+        replicate10(i => li
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 10000000L)),
+          s"$big/lineitem.parquet")
+        val ord = spark.read.parquet(s"$src/orders.parquet")
+        replicate10(i => ord
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 10000000L)),
+          s"$big/orders.parquet")
+        Seq("customer", "supplier", "nation", "region", "part").foreach { t =>
+          spark.read.parquet(s"$src/$t.parquet")
+            .write.mode("overwrite").parquet(s"$big/$t.parquet")
+        }
+        System.err.println("[scale] derived sf1 (10x)")
+      }
+      // 10× entity catalog for the fuzzy-join family (the r10b axis logic)
+      val namesDir = "/tmp/scale/sf1-names"
+      if (!new java.io.File(s"$namesDir/part.parquet").isDirectory) {
+        val part = spark.read.parquet(s"$src/part.parquet")
+        (0 until reps10).map(i => part
+          .withColumn("p_partkey", col("p_partkey") + lit(i.toLong * 1000000L))
+          .withColumn("p_name", if (i == 0) col("p_name")
+            else concat(col("p_name"), lit("_" + (i.toString * 3)))))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$namesDir/part.parquet")
+        System.err.println("[scale] derived sf1-names (10x entity catalog)")
+      }
+      def exp10(t1: Double, t10: Double): Double = math.log(t10 / t1) / math.log(10.0)
+
+      // family-shared builds, timed like Bench bills them
+      def timeSpans(dir: String): Double = {
+        SparkEntry.resetSharedSpans()
+        val t0 = System.nanoTime()
+        SparkEntry.buildSharedSpans(spark, dir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      def timeCc(dir: String): Double = {
+        SparkEntry.resetSharedCc()
+        val t0 = System.nanoTime()
+        SparkEntry.buildSharedCc(spark, dir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      timeSpans(src); timeCc(src) // warmup: codegen + JIT
+      val sp1 = median3(timeSpans(src)); val sp10 = median3(timeSpans(big))
+      println(f"SCALE10 passage_spans_shared    sf0.1=$sp1%6.2f s  sf1=$sp10%7.2f s  exponent=${exp10(sp1, sp10)}%5.2f")
+      val cc1 = median3(timeCc(src)); val cc10 = median3(timeCc(big))
+      println(f"SCALE10 cc_shared_build         sf0.1=$cc1%6.2f s  sf1=$cc10%7.2f s  exponent=${exp10(cc1, cc10)}%5.2f")
+
+      val ps = Seq(
+        "pagerank" -> big, "trustrank" -> big, "containment_pairs" -> big,
+        "bm25_topk" -> big, "cc_incremental" -> big, "ann_ivfpq" -> big,
+        "dup_passage_clean" -> big, "surprisal_score" -> big,
+        "editdist_pairs" -> namesDir, "entity_canonical" -> namesDir)
+      ps.foreach { case (q, _) => time(q, src) } // warmup
+      ps.foreach { case (q, d) => time(q, d) }
+      ps.foreach { case (q, d) =>
+        val t1 = median3(time(q, src))
+        val t10 = median3(time(q, d))
+        println(f"SCALE10 $q%-23s sf0.1=$t1%6.2f s  sf1=$t10%7.2f s  exponent=${exp10(t1, t10)}%5.2f")
+      }
+
+      // skew table at the 10× axis (1M events, hot user owns ~50%) — also
+      // re-validates the scd2_chunked escape after the integer-chunk fix
+      val skewDir = "/tmp/scale/sf1-skew"
+      if (!new java.io.File(s"$skewDir/events.parquet").isDirectory) {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$big/events.parquet")
+          .withColumn("user_id",
+            when(pmod(xxhash64(col("event_id")), lit(2)) === 0, lit(1L))
+              .otherwise(col("user_id")))
+          .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+        System.err.println("[scale] derived sf1-skew (user 1 owns ~50% of 1M events)")
+      }
+      val sk = Seq("sessionize", "sessionize_chunked",
+        "scd2_history", "scd2_chunked")
+      sk.foreach(q => time(q, big))
+      sk.foreach(q => time(q, skewDir))
+      sk.foreach { q =>
+        val tu = median3(time(q, big))
+        val ts = median3(time(q, skewDir))
+        println(f"SKEW10 $q%-24s uniform=$tu%6.2f s  skew=$ts%6.2f s  ratio=${ts / tu}%5.2f")
+      }
+      spark.stop()
+      return
+    }
+    if (mode == "sf10docs") {
+      // The doc/names-family tail of the 10× axis: at sf1 these queries
+      // still read overhead-dominated (spans 1.77 s, bm25 0.77 s,
+      // editdist 0.32 s walls), so the exponent measures job latency,
+      // not the algorithm. 100× documents (500k docs, ~50M tokens) and
+      // 100× part names (2M entities) push their walls to many seconds
+      // with per-job overhead <20%. Only the two tables these queries
+      // read are derived — same disjoint-replica scheme.
+      val big = "/tmp/scale/sf10-docs"
+      val reps100 = 100
+      if (!new java.io.File(s"$big/documents.parquet").isDirectory) {
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+        (0 until reps100).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+          .withColumn("text", if (i == 0) col("text")
+            else concat_ws(" ", transform(split(col("text"), " "),
+              w => concat(w, lit("_" + i))))))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$big/documents.parquet")
+        val part = spark.read.parquet(s"$src/part.parquet")
+        (0 until reps100).map(i => part
+          .withColumn("p_partkey", col("p_partkey") + lit(i.toLong * 1000000L))
+          .withColumn("p_name", if (i == 0) col("p_name")
+            else concat(col("p_name"), lit("_" + i.toString))))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$big/part.parquet")
+        System.err.println("[scale] derived sf10-docs (100x documents + part)")
+      }
+      def exp100(t1: Double, t100: Double): Double =
+        math.log(t100 / t1) / math.log(100.0)
+      def timeSpans(dir: String): Double = {
+        SparkEntry.resetSharedSpans()
+        val t0 = System.nanoTime()
+        SparkEntry.buildSharedSpans(spark, dir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      timeSpans(src) // warmup
+      val sp1 = median3(timeSpans(src)); val sp100 = median3(timeSpans(big))
+      println(f"SCALE100 passage_spans_shared   sf0.1=$sp1%6.2f s  sf10=$sp100%7.2f s  exponent=${exp100(sp1, sp100)}%5.2f")
+      val ps = Seq("containment_pairs", "bm25_topk", "dup_passage_clean",
+        "surprisal_score", "editdist_pairs", "entity_canonical")
+      ps.foreach(q => time(q, src)) // warmup
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t100 = median3(time(q, big))
+        println(f"SCALE100 $q%-22s sf0.1=$t1%6.2f s  sf10=$t100%7.2f s  exponent=${exp100(t1, t100)}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "skew") {
       // Adversarial hot-key profile: the sf0.5 events table with ONE user
       // owning ~50% of all rows (every even-hashed event remapped to user
