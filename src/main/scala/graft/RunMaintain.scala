@@ -35,6 +35,10 @@ import org.apache.spark.sql.SparkSession
   *         the bootstrap), written as Parquet to --out (or counted to
   *         stderr); stdout prints ONE line, the cursor to pass as the
   *         next poll's --since — pipe-able into the consumer's state
+  *     mirror <targetPath> --keys k1,k2 --to <mirrorDir>
+  *         cursor-managed change-feed consumer: bootstraps/advances a
+  *         persisted downstream mirror of the target (one poll per
+  *         invocation — schedule it); stdout prints the recorded cursor
   * }}}
   *
   * Every action commits through the snapshot/manifest protocol: a crash
@@ -98,9 +102,16 @@ object RunMaintain {
         }
         // stdout: ONE line, the next poll's cursor
         println(cursor)
+      case "mirror" =>
+        val keys = opts.get("--keys").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        require(keys.nonEmpty, "mirror requires --keys k1,k2")
+        val to = opts.getOrElse("--to",
+          throw new IllegalArgumentException("mirror requires --to <mirrorDir>"))
+        println(operators.Upsert.syncMirror(spark, path, to, keys))
       case other =>
         throw new IllegalArgumentException(s"unknown action '$other' " +
-          "(ivf-compact | neardup-compact | table-compact | vacuum | snapshots | changes)")
+          "(ivf-compact | neardup-compact | table-compact | vacuum | snapshots | changes | mirror)")
     }
   }
 }

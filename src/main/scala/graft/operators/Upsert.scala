@@ -493,6 +493,63 @@ object Upsert {
     untouched.unionByName(upserts)
   }
 
+  /** One poll of the change feed applied to a PERSISTED downstream
+    * mirror — [[readChangeFeed]]'s consumer loop packaged as an operator
+    * (the Delta "CDF-maintained materialization" shape): bootstraps the
+    * mirror on first call, then folds each poll's net diff through
+    * [[applyChanges]] inside an [[IndexStore]] commit, and records the
+    * cursor AFTER the data commits. A crash between the two re-applies
+    * the same feed on the next sync — harmless, because applying one
+    * feed twice is idempotent (deletes re-delete nothing, upserts
+    * rewrite the same values): at-least-once polling, exactly-once
+    * mirror state. Single-consumer per mirror by contract (two pollers
+    * sharing one cursor file would race it). Returns the cursor now
+    * recorded — the target snapshot the mirror equals.
+    *
+    * Cost per sync is the feed's (bucket-pruned diff) plus one mirror
+    * store rewrite; the CLI face is `RunMaintain mirror`. */
+  def syncMirror(spark: SparkSession, targetPath: String, mirrorPath: String,
+      keys: Seq[String]): String = {
+    val dataRoot = s"$mirrorPath/data"
+    val cursorPath = new Path(mirrorPath, "_cursor")
+    val fs = cursorPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val since: Option[String] =
+      if (!fs.exists(cursorPath)) None
+      else {
+        val in = fs.open(cursorPath)
+        val bytes = new java.io.ByteArrayOutputStream()
+        try {
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        Some(bytes.toString("UTF-8").trim)
+      }
+    val (feed, next) = readChangeFeed(spark, targetPath, since, keys)
+    if (!since.contains(next)) {
+      val f = feed.localCheckpoint()
+      IndexStore.rewriteWith(spark, dataRoot)(() => {
+        val data = since match {
+          case None => f.drop("change_type")
+          case Some(_) => applyChanges(IndexStore.read(spark, dataRoot), f, keys)
+        }
+        (data, None)
+      })
+      // cursor AFTER the data commit (temp + rename, WatermarkStore's
+      // atomic-ish pattern); a crash before this line replays the feed
+      val tmp = new Path(mirrorPath, "_cursor.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(next.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(cursorPath)) fs.delete(cursorPath, false)
+      fs.rename(tmp, cursorPath)
+    }
+    next
+  }
+
+  /** Read the current contents of a [[syncMirror]]-maintained mirror. */
+  def readMirror(spark: SparkSession, mirrorPath: String): DataFrame =
+    IndexStore.read(spark, s"$mirrorPath/data")
+
   /** Snapshot names currently on disk under a merge target, oldest first
     * — snapshot DIRS (plain layout) or retained manifest FILES
     * (manifest-bucketed layout). Read one with [[readTargetAt]]. */

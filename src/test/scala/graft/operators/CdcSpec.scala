@@ -151,6 +151,45 @@ class CdcSpec extends SparkSpecBase {
     assert(e.getMessage.contains("re-bootstrap"))
   }
 
+  test("syncMirror: cursor-managed mirror tracks the target across merges; crash replay idempotent") {
+    val path = mkTarget()
+    val mirror = Files.createTempDirectory("graft-cdc-mirror").toString + "/m"
+    def merge(rows: Seq[(Long, String)]): Unit =
+      Upsert.mergeIntoManifestBucketedParquet(spark, path,
+        rows.toDF("key", "v"), Seq("key"), nBuckets = 4, keepSnapshots = 8)
+    def mirrorSet() = Upsert.readMirror(spark, mirror)
+      .select("key", "v").as[(Long, String)].collect().toSet
+    def targetSet() = Upsert.readTarget(spark, path)
+      .select("key", "v").as[(Long, String)].collect().toSet
+
+    merge((0L until 20L).map(k => (k, s"v$k")))
+    val c1 = Upsert.syncMirror(spark, path, mirror, Seq("key")) // bootstrap
+    assert(mirrorSet() == targetSet())
+    assert(c1 == Upsert.snapshots(spark, path).last)
+
+    merge(Seq((3L, "U3"), (50L, "N50")))
+    Upsert.deleteKeysFromManifestBucketedParquet(spark, path,
+      Seq(7L).toDF("key"), Seq("key"), nBuckets = 4, keepSnapshots = 8)
+    val c2 = Upsert.syncMirror(spark, path, mirror, Seq("key")) // incremental
+    assert(mirrorSet() == targetSet())
+    assert(c2 != c1)
+    // caught up: a third sync is a no-op with a stable cursor
+    assert(Upsert.syncMirror(spark, path, mirror, Seq("key")) == c2)
+    // crash sim: cursor file lost AFTER the data commit — the next sync
+    // re-bootstraps (feed = full inserts) and the mirror still equals
+    // the target (idempotent replay, never duplication)
+    val fs = new org.apache.hadoop.fs.Path(mirror, "_cursor")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(mirror, "_cursor"), false)
+    Upsert.syncMirror(spark, path, mirror, Seq("key"))
+    assert(mirrorSet() == targetSet())
+    // and the CLI face advances it after one more merge
+    merge(Seq((51L, "N51")))
+    graft.RunMaintain.run(spark, Array("mirror", path,
+      "--keys", "key", "--to", mirror))
+    assert(mirrorSet() == targetSet())
+  }
+
   test("CLI 'changes' verb: bootstrap + incremental poll through RunMaintain") {
     val path = mkTarget()
     val outDir = Files.createTempDirectory("graft-cdc-out").toString
