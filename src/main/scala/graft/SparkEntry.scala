@@ -1380,6 +1380,25 @@ object SparkEntry {
         weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
         totalTokens = 2000L, seed = 42L)),
 
+    // DSIR-style targeted-selection scores: hashed unigram+bigram bucket
+    // models (portable mix64 → 512 buckets), target = the English docs,
+    // score = Σ quantized (bits_raw − bits_target) per feature occurrence
+    // — positive looks-like-target, negative unlike it. Both models are
+    // ≤512-row broadcasts; the corpus pays one scan + one doc-keyed agg.
+    "dsir_scores" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.dsirScores(docs, docs.where(col("lang") === "en"),
+        "doc_id", "text", buckets = 512)
+    }),
+
+    // The selection step: 50 most-target-like docs, deterministic rank
+    // (dsir_bits DESC, doc_id) — DSIR resampling as a reproducible top-k.
+    "dsir_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.dsirSelect(docs, docs.where(col("lang") === "en"),
+        "doc_id", "text", k = 50, buckets = 512)
+    }),
+
     // Corpus-adaptive fluency proxy: distinct-bigram overlap with the
     // corpus's own top-K bigram vocabulary (integer permille — no LM, no
     // float logprobs; broadcast vocab probe).
@@ -1806,6 +1825,38 @@ object SparkEntry {
          |  sum(ng) OVER (PARTITION BY doc_id ORDER BY start_char, end_char
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
          |  FROM g)""".stripMargin
+
+  /** Full-algorithm DSIR mirror (shared by `dsir_scores` and the ranked
+    * `dsir_select`): gram explode (unigrams + adjacent bigrams), the
+    * portable mix64 chain for the bucket hash, add-1 bucket models over
+    * raw/target, bits via the length(bin(..))-1 integer log2, per-doc
+    * bit-difference sums. No division anywhere, so negative scores carry
+    * no rounding-convention risk. */
+  private lazy val dsirScoresSql: String =
+    s"""WITH ws AS (SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |  FROM documents),
+       |uni AS (SELECT doc_id, lang, unnest(ws) AS g FROM ws),
+       |bi AS (SELECT doc_id, lang,
+       |    unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS g
+       |  FROM ws),
+       |grams AS (SELECT doc_id, lang, g FROM uni
+       |          UNION ALL SELECT doc_id, lang, g FROM bi),
+       |${sqlMix64Ctes("h", "grams", "g", "doc_id, lang")},
+       |feat AS (SELECT doc_id, lang, ((sh64 % 512) + 512) % 512 AS b FROM h),
+       |raw AS (SELECT b, COUNT(*) AS c_r FROM feat GROUP BY b),
+       |tgt AS (SELECT b, COUNT(*) AS c_t FROM feat WHERE lang = 'en' GROUP BY b),
+       |nr AS (SELECT COUNT(*) AS n_r FROM feat),
+       |nt AS (SELECT COUNT(*) AS n_t FROM feat WHERE lang = 'en'),
+       |model AS (SELECT raw.b,
+       |    length(bin((n_r + 512) // (c_r + 1))) - 1 AS bits_r,
+       |    length(bin((n_t + 512) // (COALESCE(c_t, 0) + 1))) - 1 AS bits_t
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+       |  CROSS JOIN nr CROSS JOIN nt)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |  CAST(SUM(bits_r - bits_t) AS BIGINT) AS dsir_bits
+       |FROM feat JOIN model USING (b)
+       |GROUP BY doc_id""".stripMargin
 
   private def sqlMix64Ctes(name: String, from: String, strCol: String,
       carry: String): String =
@@ -3554,6 +3605,13 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(tok AS BIGINT) AS tokens,
         |  CAST(strt AS BIGINT) AS tok_start
         |FROM c WHERE strt < budget""".stripMargin,
+
+    "dsir_scores" -> dsirScoresSql,
+
+    // The same pipeline ranked + limited: deterministic (score, id) order.
+    "dsir_select" ->
+      s"""SELECT * FROM ($dsirScoresSql)
+         |ORDER BY dsir_bits DESC, doc_id LIMIT 50""".stripMargin,
 
     // Same overflow-free Knuth-hash form as cap_per_key, seed folded in.
     "global_shuffle" ->

@@ -309,4 +309,82 @@ object Sampling {
       .select(col(idCol), col(keyCol), col("__tok").as("tokens"),
         col("__start").as("tok_start"))
   }
+
+  /** Hashed unigram+bigram feature stream of a document table: one row
+    * per n-gram OCCURRENCE, bucketed to `[0, buckets)` via the portable
+    * [[graft.functions.F.mix64]] string hash (the shingle family's
+    * engine-mirrorable hash — an oracle can replay the bucketing).
+    * Pure scan-stage explode: split, adjacent-pair zip, hash — no
+    * shuffle, no UDF. */
+  private def hashedGramFeatures(df: DataFrame, textCol: String,
+      buckets: Int, carry: Seq[Column]): DataFrame = {
+    val ws = filter(split(col(textCol), " "), w => w =!= "")
+    // zip_with pads the shorter side with null and concat propagates it,
+    // so the trailing (last-word, null) pseudo-pair self-filters
+    val bi = filter(zip_with(ws, slice(ws, lit(2), greatest(size(ws), lit(1))),
+      (a, b) => concat(a, lit(" "), b)), x => x.isNotNull)
+    df.select(carry :+ explode(concat(ws, bi)).as("__g"): _*)
+      .select(carry :+ pmod(graft.functions.F.mix64(col("__g")),
+        lit(buckets.toLong)).as("b"): _*)
+  }
+
+  /** DSIR-style importance scores for targeted data selection (the
+    * importance-resampling idea of Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", quantized to this
+    * engine's integer-bits discipline): score every corpus document by
+    * how much likelier its hashed unigram+bigram features are under a
+    * TARGET domain's bucket model than under the raw corpus's own —
+    * `dsir_bits = Σ_occurrences (bits_raw(b) − bits_target(b))` where
+    * `bits_m(b) = ⌊log₂((N_m + B) div (c_m(b) + 1))⌋` is the add-1-
+    * smoothed quantized surprisal of bucket `b` under model `m`
+    * ([[graft.functions.IntLog2]], no libm — the exact-oracle stance of
+    * the surprisal family). Positive = looks like the target, ~0 =
+    * generic, negative = unlike it; select by ranking on the score.
+    * Documents with no tokens produce no features and are absent, like
+    * [[TextAnalysis.surprisal]]'s contract.
+    *
+    * 100 TB shape: the corpus is touched by ONE scan-stage featurize +
+    * ONE doc-keyed aggregation (map-side partial sums); both bucket
+    * models are ≤ `buckets` rows — built by a B-bounded aggregation each
+    * and BROADCAST back onto the feature stream; the target set (a
+    * domain sample / benchmark) is normally corpus-dwarfed. Nothing
+    * shuffles document content. */
+  def dsirScores(corpus: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 1, "buckets must be > 1")
+    val corpusFeat = hashedGramFeatures(corpus, textCol,
+      buckets, Seq(col(idCol)))
+    val targetFeat = hashedGramFeatures(target, textCol, buckets, Nil)
+    val rawCounts = corpusFeat.groupBy("b").agg(count(lit(1)).as("c_r"))
+    val tgtCounts = targetFeat.groupBy("b").agg(count(lit(1)).as("c_t"))
+    val model = rawCounts.join(tgtCounts, Seq("b"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(rawCounts.agg(sum("c_r").as("n_r"))))
+      .crossJoin(broadcast(tgtCounts.agg(
+        coalesce(sum("c_t"), lit(0L)).as("n_t"))))
+      .select(col("b"),
+        graft.functions.F.intLog2(
+          expr(s"(n_r + $buckets) div (c_r + 1)")).as("bits_r"),
+        graft.functions.F.intLog2(
+          expr(s"(n_t + $buckets) div (c_t + 1)")).as("bits_t"))
+    corpusFeat.join(broadcast(model), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("bits_r") - col("bits_t")).as("dsir_bits"))
+  }
+
+  /** The selection step over [[dsirScores]]: the `k` most target-like
+    * documents, deterministically ranked `(dsir_bits DESC, id)` — DSIR's
+    * resampling collapsed to its deterministic top-k limit (the paper's
+    * Gumbel noise exists to diversify repeated draws; a one-shot
+    * selection wants reproducibility, this engine's sampling stance).
+    * One bounded TakeOrdered over the score table — no extra corpus
+    * pass. */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 1024): DataFrame = {
+    require(k > 0, "k must be positive")
+    dsirScores(corpus, target, idCol, textCol, buckets)
+      .orderBy(col("dsir_bits").desc, col(idCol))
+      .limit(k)
+  }
 }

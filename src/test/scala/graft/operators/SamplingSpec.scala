@@ -273,4 +273,63 @@ class SamplingSpec extends SparkSpecBase {
     assert(bins.map(_._2).toSeq == bins.indices.map(_.toLong))
     assert(bins.forall { case (_, _, n, tok) => tok == n * 37 && n <= 14 })
   }
+
+  test("dsirScores: target-vocabulary docs outrank disjoint-vocabulary docs") {
+    // corpus = 10 "medical" docs (target domain), 10 "legal" docs, plus
+    // one held-out medical-like doc and one gibberish doc; the target
+    // model is the medical half. The medical-like doc must score strictly
+    // above every legal doc and the gibberish doc.
+    val med = (0L until 10L).map(i =>
+      (i, s"patient dose trial symptom therapy patient dose trial"))
+    val leg = (10L until 20L).map(i =>
+      (i, s"plaintiff court statute verdict appeal plaintiff court statute"))
+    val probe = Seq((100L, "patient therapy dose symptom trial"),
+      (101L, "zxq qqv wvx xyzzy plugh"))
+    val corpus = (med ++ leg ++ probe).toDF("doc_id", "text")
+    val target = med.toDF("doc_id", "text")
+    val scores = Sampling.dsirScores(corpus, target, "doc_id", "text",
+        buckets = 256)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val legalMax = (10L until 20L).map(scores).max
+    assert(scores(100L) > legalMax,
+      s"medical probe ${scores(100L)} vs legal max $legalMax")
+    assert(scores(100L) > scores(101L), "gibberish must score below target-like")
+    // every in-target doc also outranks every legal doc
+    assert((0L until 10L).map(scores).min > legalMax)
+    // n_feats = unigrams + bigrams = 8 + 7 for the 8-token docs
+    val nf = Sampling.dsirScores(corpus, target, "doc_id", "text", 256)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(nf(0L) == 15L, nf(0L).toString)
+  }
+
+  test("dsirScores edge contract: 1-word and empty docs; empty target is uniform") {
+    val corpus = Seq((1L, "solo"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val target = Seq((9L, "a b")).toDF("doc_id", "text")
+    val got = Sampling.dsirScores(corpus, target, "doc_id", "text", 64)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!got.contains(2L)) // token-less docs have no features
+    assert(got(1L)._1 == 1L)  // one unigram, no bigram
+    assert(got(3L)._1 == 3L)  // a, b, "a b"
+    assert(got(3L)._2 > got(1L)._2) // matches the target exactly
+    // empty target: every bucket gets the same uniform bits_t, so the
+    // score reduces to Σ bits_r − n_feats·log2-ish constant — well-defined
+    val uni = Sampling.dsirScores(corpus, target.where(lit(false)),
+      "doc_id", "text", 64).as[(Long, Long, Long)].collect()
+    assert(uni.length == 2)
+  }
+
+  test("dsirSelect: deterministic top-k by (score desc, id)") {
+    val med = (0L until 5L).map(i => (i, "patient dose trial"))
+    val other = (5L until 15L).map(i => (i, s"misc$i filler$i noise$i"))
+    val corpus = (med ++ other).toDF("doc_id", "text")
+    val target = med.toDF("doc_id", "text")
+    val sel = Sampling.dsirSelect(corpus, target, "doc_id", "text",
+      k = 5, buckets = 128).select("doc_id").as[Long].collect()
+    assert(sel.toSet == (0L until 5L).toSet, sel.toSeq.toString)
+    // ranked output is ordered by (dsir_bits desc, doc_id)
+    val full = Sampling.dsirSelect(corpus, target, "doc_id", "text",
+      k = 15, buckets = 128).as[(Long, Long, Long)].collect()
+    assert(full.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._1 < b._1) })
+  }
 }
