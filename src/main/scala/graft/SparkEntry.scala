@@ -1015,6 +1015,17 @@ object SparkEntry {
     "bigram_surprisal" -> ((s, dir) =>
       TextAnalysis.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Held-out stupid-backoff LM score: train the bigram+unigram counts
+    // on the even docs, score the odd half — unseen continuations back
+    // off (2 bits + smoothed unigram), the web-scale LM-quality filter
+    // with a REAL backoff path (self-scored corpora contain all their
+    // own bigrams; held-out is what makes the else-branch live).
+    "stupid_backoff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.stupidBackoff(docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+    }),
+
     // Link-centrality source weighting: exact fixed-point PageRank over
     // the bipartite user <-> item interaction graph (item nodes offset by
     // 1e6; both arc directions so mass circulates). Top 50 central nodes.
@@ -3129,6 +3140,41 @@ object SparkEntry {
         |    AS surprisal2_milli
         |FROM b2 JOIN model USING (a, b) JOIN lc USING (a)
         |GROUP BY doc_id""".stripMargin,
+
+    // Full stupid-backoff mirror: even-half models (parallel-unnest
+    // zipped bigrams, filtered tokens), odd-half scoring with the
+    // prepend-NULL trick giving each token its left context (NULL at doc
+    // start -> no backoff penalty), bits via length(bin(..))-1. All
+    // sums non-negative, so the one division carries no convention risk.
+    "stupid_backoff" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |ttok AS (SELECT unnest(ws) AS t FROM w WHERE doc_id % 2 = 0),
+        |uni AS (SELECT t, COUNT(*) AS c_w FROM ttok GROUP BY t),
+        |nr AS (SELECT COUNT(*) AS n FROM ttok),
+        |tbg AS (SELECT unnest(ws[1:len(ws)-1]) AS a, unnest(ws[2:len(ws)]) AS b
+        |        FROM w WHERE doc_id % 2 = 0 AND len(ws) >= 2),
+        |model AS (SELECT a, b, COUNT(*) AS c_ab FROM tbg GROUP BY 1, 2),
+        |lc AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM model GROUP BY 1),
+        |st AS (SELECT doc_id,
+        |    unnest(list_prepend(CAST(NULL AS VARCHAR), ws[1:len(ws)-1])) AS a,
+        |    unnest(ws) AS b
+        |  FROM w WHERE doc_id % 2 = 1 AND len(ws) >= 1),
+        |bits AS (SELECT doc_id,
+        |    CASE WHEN m.c_ab IS NOT NULL
+        |         THEN length(bin(lc.c_a // m.c_ab)) - 1
+        |         ELSE (CASE WHEN st.a IS NULL THEN 0 ELSE 2 END)
+        |              + length(bin((nr.n + 1) // (COALESCE(u.c_w, 0) + 1))) - 1
+        |    END AS bits
+        |  FROM st
+        |  LEFT JOIN uni u ON st.b = u.t
+        |  LEFT JOIN model m ON st.a = m.a AND st.b = m.b
+        |  LEFT JOIN lc ON st.a = lc.a
+        |  CROSS JOIN nr)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS backoff_milli
+        |FROM bits GROUP BY doc_id""".stripMargin,
 
     // Semantics-only mirror (deliberately naive all-pairs — the blocked
     // FastSS candidate generation is what the Spark side adds; both must

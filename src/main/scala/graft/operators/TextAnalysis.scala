@@ -554,6 +554,71 @@ object TextAnalysis {
         expr("sum(bits) * 1000 div count(1)").as("surprisal2_milli"))
   }
 
+  /** Held-out stupid-backoff bigram LM score (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — THE web-scale LM smoothing,
+    * chosen there precisely because it needs no discounting statistics),
+    * quantized to this engine's integer-bits discipline: train bigram +
+    * unigram counts on `train`, score each `score` document per token as
+    *
+    *  - first token, or bigram `(prev, w)` unseen in train:
+    *    `penaltyBits·[not first] + ⌊log₂((N+1) div (c(w)+1))⌋` — the
+    *    add-1-smoothed unigram backoff (OOV-safe: an unseen word costs
+    *    the model's full ⌊log₂(N+1)⌋ bits), with `penaltyBits` the
+    *    quantized backoff discount (default 2 ≈ α = 1/4, the paper's 0.4
+    *    rounded to a power of two so the arithmetic stays exact);
+    *  - bigram seen: `⌊log₂(c(a·) div c(a,b))⌋` — the quantized MLE
+    *    conditional, exactly [[bigramSurprisal]]'s per-pair bits.
+    *
+    * Per document the mean in millibits/token. Unlike the self-scored
+    * surprisal pair, the held-out split makes the backoff REAL (a
+    * self-scored corpus contains every one of its own bigrams, so the
+    * else-branch would never fire); this is the CCNet train-on-clean /
+    * score-the-crawl quality-filter shape. Returns
+    * `(doc_id, n_tok, backoff_milli)`; token-less documents absent.
+    *
+    * Scale shape — [[bigramSurprisal]]'s two-pass train-then-score:
+    * pass 1 folds TRAIN into the bigram-count table (pair-keyed,
+    * map-side combined, persisted; left-context totals re-group that
+    * table) and the unigram vocabulary; pass 2 streams the scored
+    * corpus's token rows through BROADCAST joins against both models —
+    * the only corpus-sized shuffle is the doc-keyed mean. */
+  def stupidBackoff(score: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, penaltyBits: Int = 2): DataFrame = {
+    require(penaltyBits >= 0, "penaltyBits must be non-negative")
+    def ws(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      filter(split(col(textCol), " "), w => w =!= "").as("ws"))
+    val trainTok = ws(train).select(explode(col("ws")).as("t"))
+    val uni = trainTok.groupBy("t").agg(count(lit(1)).as("c_w")).persist()
+    val totals = uni.agg(sum("c_w")).head()
+    val n = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    val trainBg = ws(train)
+      .select(posexplode(col("ws")).as(Seq("i", "b")), col("ws"))
+      .withColumn("a", expr("get(ws, i - 1)"))
+      .where(col("a").isNotNull)
+      .select("a", "b")
+    val model = trainBg.groupBy("a", "b").agg(count(lit(1)).as("c_ab")).persist()
+    val withCtx = model.join(
+      model.groupBy("a").agg(sum("c_ab").as("c_a")), "a")
+    val toks = ws(score)
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("i", "b")), col("ws"))
+      .withColumn("a", expr("get(ws, i - 1)")) // null at the doc start
+      .select("doc_id", "a", "b")
+    toks
+      .join(broadcast(uni.withColumnRenamed("t", "b")), Seq("b"), "left")
+      .join(broadcast(withCtx), Seq("a", "b"), "left")
+      .select(col("doc_id"),
+        when(col("c_ab").isNotNull,
+          graft.functions.F.intLog2(expr("c_a div c_ab")))
+          .otherwise(
+            when(col("a").isNull, lit(0)).otherwise(lit(penaltyBits)) +
+              graft.functions.F.intLog2(
+                expr(s"(${n}L + 1L) div (coalesce(c_w, 0L) + 1L)")))
+          .as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        expr("sum(bits) * 1000 div count(1)").as("backoff_milli"))
+  }
+
   /** Quantized BM25 ranked retrieval — sparse lexical top-k over the corpus
     * (the retrieval half of a RAG / hard-negative-mining pipeline), in
     * EXACT integer arithmetic so the oracle matches bit-for-bit.

@@ -385,6 +385,34 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out == Map(1L -> ((3L, 1000L)), 2L -> ((2L, 500L))), out.toString)
   }
 
+  test("stupidBackoff: hand-computed held-out bits; the backoff path is live") {
+    // train: "the cat sat" + "the cat ran" -> N=6; uni the:2 cat:2 sat:1
+    // ran:1; bigrams (the,cat):2 (cat,sat):1 (cat,ran):1; c(the·)=2 c(cat·)=2
+    val train = Seq((0L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
+    val score = Seq((1L, "the cat sat"), (3L, "the dog sat"), (5L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stupidBackoff(score, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: the(first)=log2(7 div 3)=1; cat|the=log2(2 div 2)=0;
+    //        sat|cat=log2(2 div 1)=1 -> 2000 div 3 = 666
+    // doc 3: the=1; dog|the UNSEEN -> 2 + log2(7 div 1)=2 -> 4;
+    //        sat|dog UNSEEN -> 2 + log2(7 div 2)=1 -> 3 -> 8000 div 3 = 2666
+    // doc 5: token-less -> absent
+    assert(out == Map(1L -> ((3L, 666L)), 3L -> ((3L, 2666L))), out.toString)
+  }
+
+  test("stupidBackoff: in-domain text scores below out-of-domain under the same model") {
+    val train = (0L until 20L).map(i =>
+      (2 * i, "alpha beta gamma delta alpha beta")).toDF("doc_id", "text")
+    val score = Seq((1L, "alpha beta gamma delta"),
+      (3L, "delta gamma beta alpha"), // same words, unseen transitions
+      (5L, "zorp quux flib nark")).toDF("doc_id", "text") // full OOV
+    val out = TextAnalysis.stupidBackoff(score, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) < out(3L), out.toString) // fluent < shuffled
+    assert(out(3L) < out(5L), out.toString) // shuffled < gibberish
+  }
+
   test("bigramSurprisal: shuffled gibberish scores above fluent text, unigram ties") {
     // same unigram multiset in every doc, but docs 1-3 repeat one fluent
     // transition pattern while doc 4 permutes it: unigram surprisal ties,
