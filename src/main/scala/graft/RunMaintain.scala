@@ -39,6 +39,9 @@ import org.apache.spark.sql.SparkSession
   *         cursor-managed change-feed consumer: bootstraps/advances a
   *         persisted downstream mirror of the target (one poll per
   *         invocation — schedule it); stdout prints the recorded cursor
+  *     stats <targetPath> [--small-file-bytes N]
+  *         metadata-only layout-health census: files/bytes per bucket,
+  *         small-file count, bucket skew — the table-compact tripwire
   * }}}
   *
   * Every action commits through the snapshot/manifest protocol: a crash
@@ -109,9 +112,29 @@ object RunMaintain {
         val to = opts.getOrElse("--to",
           throw new IllegalArgumentException("mirror requires --to <mirrorDir>"))
         println(operators.Upsert.syncMirror(spark, path, to, keys))
+      case "stats" =>
+        val small = opts.get("--small-file-bytes").map(_.toLong)
+          .getOrElse(8L << 20) // default: files under 8 MiB are "small"
+        val rows = operators.Upsert.tableStats(spark, path)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        val files = rows.map(_._2).sum
+        val bytes = rows.map(_._3).sum
+        val smallCount = rows.collect {
+          case (_, n, b) if n > 0 && b / n < small => n
+        }.sum
+        val skew =
+          if (rows.length <= 1 || files == 0) 1.0
+          else rows.map(_._3).max.toDouble /
+            math.max(1.0, bytes.toDouble / rows.length)
+        // stdout: one summary line, machine-readable — the cron tripwire
+        println(f"""{"buckets":${rows.length},"files":$files,"bytes":$bytes,""" +
+          f""""small_files":$smallCount,"max_bucket_skew":$skew%.2f}""")
+        rows.sortBy(_._1).foreach { case (b, n, sz) =>
+          System.err.println(f"[maintain] bucket=$b%4d files=$n%5d bytes=$sz%12d")
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown action '$other' " +
-          "(ivf-compact | neardup-compact | table-compact | vacuum | snapshots | changes | mirror)")
+          "(ivf-compact | neardup-compact | table-compact | vacuum | snapshots | changes | mirror | stats)")
     }
   }
 }

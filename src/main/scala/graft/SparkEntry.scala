@@ -574,6 +574,21 @@ object SparkEntry {
           "n_chars", sharedJaccardComponents(s, dir))
         .select("doc_id", "source", "lang", "n_chars")),
 
+    // Duplicate-cluster census over the REAL near-dup clusters (rides
+    // the family's one shared CC materialization): how many clusters of
+    // each size, singletons included — the dedup-rate dashboard number
+    // that tells a curation team whether duplication mass sits in a few
+    // mega-clusters or a long tail. Two component-keyed aggregations
+    // over the |docs|-sized label table; the corpus is never rescanned.
+    "dup_cluster_sizes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val cc = sharedJaccardComponents(s, dir)
+      docs.join(cc, col("doc_id") === col("id"), "left")
+        .select(coalesce(col("label"), col("doc_id")).as("component"))
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // Benchmark decontamination: per-doc count of n-grams shared with a
     // held-out eval set (docs where doc_id % 50 == 0 stand in for the
     // benchmark). The eval shingle set is broadcast — the corpus is never
@@ -2412,6 +2427,24 @@ object SparkEntry {
         |                          FROM reach GROUP BY id) WHERE id <> component)
         |SELECT d.doc_id, d.source, d.lang, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM drops)""".stripMargin,
+
+    // Same jaccard-pair + recursive-CC CTEs; singletons self-label via
+    // the left-join coalesce, then two size aggregations.
+    "dup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${jaccardPairCtes("source")},
+        |pr AS (SELECT a_id, b_id FROM p WHERE 50 * inter >= 1 * (a_n + b_n - inter)),
+        |sym AS (SELECT a_id AS a, b_id AS b FROM pr UNION SELECT b_id, a_id FROM pr),
+        |reach(id, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+        |lab AS (SELECT COALESCE(c.component, d.doc_id) AS component
+        |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |sz AS (SELECT component, COUNT(*) AS cluster_size FROM lab GROUP BY component)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |FROM sz GROUP BY cluster_size""".stripMargin,
 
     // Same recursive-CC tail as dedup_survivors; the survivor rank swaps
     // min-id for (n_chars DESC, id).

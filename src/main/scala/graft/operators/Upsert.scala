@@ -550,6 +550,35 @@ object Upsert {
   def readMirror(spark: SparkSession, mirrorPath: String): DataFrame =
     IndexStore.read(spark, s"$mirrorPath/data")
 
+  /** Layout-health census of a merge target — the numbers the
+    * compaction decision needs, metadata-only (manifest + file statuses,
+    * no data read): one row per bucket `(bucket, n_files, bytes)` for
+    * the manifest layout, a single `bucket = -1` row for the plain
+    * snapshot layout. Feed it to `RunMaintain stats` for the
+    * small-file / bucket-skew summary that says when `table-compact`
+    * (or `--rebucket`) is due. */
+  def tableStats(spark: SparkSession, targetPath: String): DataFrame = {
+    import spark.implicits._
+    val snap = currentSnapshot(spark, targetPath).getOrElse(
+      throw new IllegalArgumentException(s"no merge target at $targetPath"))
+    val fs = new Path(targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def len(f: String): Long = fs.getFileStatus(new Path(f)).getLen
+    val rows = manifestBody(spark, targetPath, Some(snap)) match {
+      case Some(body) =>
+        parseManifestEntries(body).toSeq.map { case (b, files) =>
+          val resolved = files.map(resolveEntry(targetPath, _))
+          (b, files.size.toLong, resolved.map(len).sum)
+        }
+      case None =>
+        val files = fs.listStatus(new Path(targetPath, snap)).toSeq
+          .filter(st => !st.isDirectory &&
+            st.getPath.getName.endsWith(".parquet"))
+        Seq((-1, files.size.toLong, files.map(_.getLen).sum))
+    }
+    rows.toDF("bucket", "n_files", "bytes")
+  }
+
   /** Snapshot names currently on disk under a merge target, oldest first
     * — snapshot DIRS (plain layout) or retained manifest FILES
     * (manifest-bucketed layout). Read one with [[readTargetAt]]. */

@@ -77,6 +77,31 @@ class RunMaintainSpec extends SparkSpecBase {
     assert(operators.Ivf.readCells(spark, idx).count() == 60)
   }
 
+  test("stats action: per-bucket census on a manifest target; plain layout one row") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-maint-stats")
+      .toString + "/t"
+    operators.Upsert.mergeIntoManifestBucketedParquet(spark, root,
+      (0L until 40L).map(k => (k, s"v$k")).toDF("key", "v"),
+      Seq("key"), nBuckets = 4)
+    // a second merge fragments some buckets — stats must count the files
+    operators.Upsert.mergeIntoManifestBucketedParquet(spark, root,
+      Seq((1L, "u"), (2L, "u")).toDF("key", "v"), Seq("key"), nBuckets = 4)
+    val st = operators.Upsert.tableStats(spark, root)
+      .as[(Int, Long, Long)].collect()
+    assert(st.map(_._1).toSet == (0 until 4).toSet)
+    assert(st.forall { case (_, n, b) => n >= 1 && b > 0 })
+    RunMaintain.run(spark, Array("stats", root)) // CLI summary path
+    // plain snapshot layout: one bucket=-1 row covering the table
+    val plain = java.nio.file.Files.createTempDirectory("graft-maint-stats2")
+      .toString + "/t"
+    operators.Upsert.mergeIntoParquet(spark, plain,
+      Seq((1L, "a")).toDF("key", "v"), Seq("key"))
+    val pst = operators.Upsert.tableStats(spark, plain)
+      .as[(Int, Long, Long)].collect()
+    assert(pst.length == 1 && pst.head._1 == -1 && pst.head._2 >= 1)
+  }
+
   test("unknown action is rejected") {
     intercept[IllegalArgumentException] {
       RunMaintain.run(spark, Array("defrag", "/tmp/x"))
