@@ -1406,6 +1406,16 @@ object SparkEntry {
         weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
         totalTokens = 2000L, seed = 42L)),
 
+    // Embedding-space drift monitor: per-label centroid L1/max movement
+    // between the even- and odd-id corpus halves (standing in for two
+    // crawl snapshots / encoder versions) — exact quantized integer
+    // centroids, the drift_tv companion for the vector column.
+    "centroid_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Embeddings.centroidDrift(emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1), "embedding", Seq("label"))
+    }),
+
     // DSIR-style targeted-selection scores: hashed unigram+bigram bucket
     // models (portable mix64 → 512 buckets), target = the English docs,
     // score = Σ quantized (bits_raw − bits_target) per feature occurrence
@@ -3684,6 +3694,31 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(tok AS BIGINT) AS tokens,
         |  CAST(strt AS BIGINT) AS tok_start
         |FROM c WHERE strt < budget""".stripMargin,
+
+    // Two pool mirrors keyed by corpus half, truncating // centroids
+    // (DuckDB // and Spark div both truncate toward zero), per-dim
+    // |difference| folded to L1 and max.
+    "centroid_drift" ->
+      """WITH e AS (SELECT vec_id % 2 AS side, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(x * 1048576) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (SELECT side, label, count(*) AS n_vecs FROM e GROUP BY side, label),
+        |u AS (SELECT side, label, unnest(range(1, len(q) + 1)) AS pos,
+        |        unnest(q) AS v FROM e),
+        |s AS (SELECT side, label, pos, CAST(sum(v) AS BIGINT) AS sv
+        |      FROM u GROUP BY side, label, pos),
+        |c AS (SELECT s.side, s.label, s.pos, sv // n_vecs AS cv
+        |      FROM s JOIN n USING (side, label)),
+        |d AS (SELECT a.label, abs(a.cv - b.cv) AS ad
+        |      FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
+        |      WHERE a.side = 0 AND b.side = 1)
+        |SELECT d.label, na.n_vecs AS a_n, nb.n_vecs AS b_n,
+        |  CAST(SUM(ad) AS BIGINT) AS drift_l1,
+        |  CAST(MAX(ad) AS BIGINT) AS drift_max
+        |FROM d JOIN n na ON na.label = d.label AND na.side = 0
+        |       JOIN n nb ON nb.label = d.label AND nb.side = 1
+        |GROUP BY d.label, na.n_vecs, nb.n_vecs""".stripMargin,
 
     "dsir_scores" -> dsirScoresSql,
 

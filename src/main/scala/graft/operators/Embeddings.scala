@@ -79,4 +79,36 @@ object Embeddings {
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_vecs"), vsum(col("__q")).as("pool_sum_q"))
   }
+
+  /** Per-group embedding-centroid DRIFT between two corpus slices — the
+    * embedding-space twin of the token-distribution `drift_tv` monitor:
+    * when an upstream encoder is retrained or a crawl's content shifts,
+    * the per-group mean vector moves before any scalar statistic does.
+    * For each group present in BOTH slices: each side's centroid is the
+    * elementwise integer `div` of its 2^-20-quantized pool sum by its
+    * count (exact, order-independent — [[poolEmbeddings]]' guarantee),
+    * and `drift_l1 = Σ_d |c_a[d] − c_b[d]|` in 2^-20 units; `drift_max`
+    * is the worst single dimension. Groups on one side only are
+    * structural (new/vanished), not drift — callers catch those with an
+    * anti join, and this operator's inner join keeps the score exact.
+    *
+    * Scale shape: two [[poolEmbeddings]] passes (one exchange each,
+    * groups×dim partial arrays) + a groups-sized join — the corpora are
+    * never joined row-to-row. */
+  def centroidDrift(a: DataFrame, b: DataFrame, vecCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val pa = poolEmbeddings(a, vecCol, groupCols)
+      .withColumnRenamed("n_vecs", "a_n").withColumnRenamed("pool_sum_q", "a_sum")
+    val pb = poolEmbeddings(b, vecCol, groupCols)
+      .withColumnRenamed("n_vecs", "b_n").withColumnRenamed("pool_sum_q", "b_sum")
+    pa.join(pb, groupCols)
+      .withColumn("__ca", expr("transform(a_sum, v -> v div a_n)"))
+      .withColumn("__cb", expr("transform(b_sum, v -> v div b_n)"))
+      .select(groupCols.map(col) ++ Seq(
+        col("a_n"), col("b_n"),
+        expr("aggregate(zip_with(__ca, __cb, (x, y) -> abs(x - y)), 0L, (s, v) -> s + v)")
+          .as("drift_l1"),
+        expr("aggregate(zip_with(__ca, __cb, (x, y) -> abs(x - y)), 0L, (s, v) -> greatest(s, v))")
+          .as("drift_max")): _*)
+  }
 }

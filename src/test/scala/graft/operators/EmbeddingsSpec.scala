@@ -33,6 +33,27 @@ class EmbeddingsSpec extends SparkSpecBase {
       (2, 1L, Seq(3 * s, 0L))))
   }
 
+  test("centroidDrift: planted shift measured exactly; identical slices drift 0") {
+    val s = 1L << Embeddings.PoolScaleBits
+    // group "same": identical vectors on both sides -> drift 0
+    // group "shifted": side B moved +0.5 on dim 1, -0.25 on dim 2
+    //   -> drift_l1 = 0.75*s, drift_max = 0.5*s (exactly representable)
+    val a = Seq(("same", Seq(1.0f, 2.0f)), ("same", Seq(3.0f, 4.0f)),
+      ("shifted", Seq(1.0f, 1.0f)), ("shifted", Seq(2.0f, 2.0f)),
+      ("gone", Seq(9.0f, 9.0f))).toDF("label", "embedding")
+    val b = Seq(("same", Seq(1.0f, 2.0f)), ("same", Seq(3.0f, 4.0f)),
+      ("shifted", Seq(1.5f, 0.75f)), ("shifted", Seq(2.5f, 1.75f)),
+      ("new", Seq(7.0f, 7.0f))).toDF("label", "embedding")
+    val out = Embeddings.centroidDrift(a, b, "embedding", Seq("label"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // one-sided groups are structural, not drift: excluded
+    assert(out.keySet == Set("same", "shifted"))
+    assert(out("same") == ((2L, 2L, 0L, 0L)))
+    assert(out("shifted") == ((2L, 2L, (0.75 * s).toLong, (0.5 * s).toLong)),
+      out("shifted").toString)
+  }
+
   test("poolEmbeddings: mergeable — pooling the pools equals pooling the whole") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .withColumn("half", (col("vec_id") % 2).cast("int"))
