@@ -218,6 +218,26 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "r11") {
+      // Round-11 ops: DSIR scoring/selection (corpus featurize + B-row
+      // broadcast models — ideal exponent 1 with the ×5 suffixed vocab
+      // also growing the model build), held-out stupid backoff (the
+      // surprisal family's two-pass shape), centroid drift (two pool
+      // exchanges of groups×dim arrays — expected ~flat), and the
+      // duplicate-cluster census (incremental over the family's shared
+      // CC, which the warmup pass builds — the bench-billing posture).
+      val ps = Seq("dsir_scores", "dsir_select", "stupid_backoff",
+        "centroid_drift", "dup_cluster_sizes")
+      ps.foreach(q => time(q, src)) // warmup: codegen + shared CC build
+      ps.foreach(q => time(q, out))
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t5 = median3(time(q, out))
+        println(f"SCALE $q%-24s sf0.1=$t1%6.2f s  sf0.5=$t5%6.2f s  exponent=${math.log(t5 / t1) / math.log(5.0)}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "sf1") {
       // Round-11 10× axis (VERDICT r10 #2): at sf0.5 every heavy-family
       // exponent reads flat because fixed per-job latency dominates the
