@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Bpe, Cardinality, Clustering, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.{Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -1538,6 +1538,17 @@ object SparkEntry {
       Multimodal.decodeGifFrames(
         Multimodal.attachGeneratedGifs(Tables.documents(s, dir), "doc_id"))),
 
+    // Item co-occurrence with the standard hot-user mitigation built in:
+    // per-user degree cap (deterministic mix64 rank, ≤12 items) bounds
+    // the within-user pair fan-out; overlap coefficient in exact integer
+    // permille over capped degrees.
+    "item_cooccurrence" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      Cooccur.itemCooccurrence(ev, "user_id", "item",
+        maxItemsPerUser = 12, minCo = 2L)
+    }),
+
     // Ordered-step funnel (view → click → purchase within 7 days of the
     // first view, each step strictly after the previous): chained per-step
     // min-aggregations, each shuffling only that step's events.
@@ -1659,6 +1670,14 @@ object SparkEntry {
           ts6(col("session_start")).as("s_start"),
           ts6(col("session_end")).as("s_end"),
           col("n_events"))),
+
+    // Top navigation paths over the same 30-min sessions: per-session
+    // event-type sequence (deterministic (ts, event_id) order, first 8
+    // steps) -> the 20 most common paths — the sankey/flow census, with
+    // the step cap bounding both bot sessions and the path domain.
+    "session_paths" -> ((s, dir) =>
+      Sessionize.topPaths(Tables.events(s, dir), gapSeconds = 1800,
+        k = 20, maxSteps = 8)),
 
     // Skew-proof twin of sessionize: shuffles on (key, 2h time chunk) so a
     // hot key parallelizes across its time range, then merges boundary
@@ -3857,6 +3876,30 @@ object SparkEntry {
         |       * ((doc_id * 13 + fi * 17) % 256) AS BIGINT) AS sum_b
         |FROM f""".stripMargin,
 
+    // Full mirror incl. the deterministic degree cap: same mix64 rank
+    // over 'user:item', same row_number tie-break, capped degrees feed
+    // both the pair counts and the overlap denominator.
+    "item_cooccurrence" ->
+      s"""WITH ui AS (SELECT DISTINCT user_id AS u,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND json_extract(props, '$$.k') IS NOT NULL),
+         |key AS (SELECT u, item,
+         |    CAST(u AS VARCHAR) || ':' || CAST(item AS VARCHAR) AS s FROM ui),
+         |${sqlMix64Ctes("h", "key", "s", "u, item")},
+         |capped AS (SELECT u, item FROM (
+         |    SELECT u, item,
+         |      row_number() OVER (PARTITION BY u ORDER BY sh64, item) AS rn
+         |    FROM h) WHERE rn <= 12),
+         |p AS (SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS co
+         |      FROM capped a JOIN capped b ON a.u = b.u AND a.item < b.item
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |d AS (SELECT item, COUNT(*) AS deg FROM capped GROUP BY item)
+         |SELECT item_a, item_b, CAST(co AS BIGINT) AS co,
+         |  CAST(co * 1000 // LEAST(da.deg, db.deg) AS BIGINT) AS overlap_permille
+         |FROM p JOIN d da ON da.item = p.item_a
+         |       JOIN d db ON db.item = p.item_b""".stripMargin,
+
     // epoch_us // 1000000 mirrors Spark's truncating cast(ts AS LONG)
     // exactly (DuckDB's epoch() returns fractional seconds; a double
     // boundary case would split where Spark's integer seconds don't).
@@ -3988,6 +4031,27 @@ object SparkEntry {
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_end,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // Same gaps-and-islands session ids, then per-session ordered
+    // string_agg truncated to 8 steps and the bounded top-20.
+    "session_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    1 + SUM(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM g),
+        |r AS (SELECT user_id, sid, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sid
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM s),
+        |p AS (SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 8 GROUP BY user_id, sid)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     // sessionize_chunked is output-identical to sessionize by construction
     // (Sessionize.sessionsChunked scaladoc) — the oracle is the same

@@ -43,6 +43,43 @@ object Sessionize {
         col("session_end"), col("n_events"))
   }
 
+  /** Top navigation PATHS: the product-analytics census over
+    * [[sessions]]' islands — per (key, session) the event-type sequence
+    * in deterministic `(event time, tieCol)` order, truncated to the
+    * first `maxSteps` steps and joined with `>`, then the `k` most
+    * common paths ranked `(n_sessions DESC, path ASC)`. The truncation
+    * is the scale guard: a bot session with 10^6 events contributes a
+    * bounded string, and the path-domain cardinality stays bounded by
+    * `|event types|^maxSteps` instead of by session length.
+    *
+    * Shape: the same single key-partitioned exchange as [[sessions]]
+    * (gap flag + running island id reuse one sort), a per-session
+    * collect bounded by construction at the aggregation (sort_array of
+    * ≤ session-length structs, sliced to maxSteps), then a map-side-
+    * combined path count and a bounded TakeOrdered — no global sort. A
+    * hot KEY serializes its sort like sessions' (same chunked-twin
+    * escape applies); a hot PATH costs one count row. */
+  def topPaths(events: DataFrame, gapSeconds: Long, k: Int,
+      maxSteps: Int = 8, keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", tieCol: String = "event_id"): DataFrame = {
+    require(k > 0 && maxSteps > 0, "k and maxSteps must be positive")
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol))
+    val gapFlag = when(
+      col(tsCol).cast("long") - lag(col(tsCol), 1).over(byKey).cast("long")
+        > gapSeconds, 1L).otherwise(0L)
+    events
+      .withColumn("__new_session", gapFlag)
+      .withColumn("__session_id", sum(col("__new_session")).over(byKey) + 1L)
+      .groupBy(col(keyCol), col("__session_id"))
+      .agg(array_join(slice(transform(
+          sort_array(collect_list(struct(
+            unix_micros(col(tsCol)).as("t"), col(tieCol).as("e"),
+            col(typeCol).as("y")))),
+          s => s("y")), 1, maxSteps), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(k)
+  }
+
   /** Time-chunked batch sessionization — the skew escape for [[sessions]]
     * (SURVEY §6.-2f): a per-key gaps-and-islands window cannot split one
     * key across tasks, so a key holding p% of all events degrades the plain

@@ -26,6 +26,31 @@ class SessionizeSpec extends SparkSpecBase {
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("topPaths: ordered per-session sequences, step truncation, gap splits") {
+    val ev = Seq(
+      // user 1, session 1: view > click > buy (ordering by ts, tie by id)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 3L, "buy"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"), // same ts as buy, id first
+      // user 1, session 2 (gap > 30 min): view > click > buy again
+      (1L, ts("2024-01-01 12:00:00"), 4L, "view"),
+      (1L, ts("2024-01-01 12:02:00"), 5L, "click"),
+      (1L, ts("2024-01-01 12:03:00"), 6L, "buy"),
+      // user 2: a single-event session
+      (2L, ts("2024-01-01 10:00:00"), 7L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sessionize.topPaths(ev, gapSeconds = 1800, k = 10, maxSteps = 8)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("view>click>buy" -> 2L, "view" -> 1L), out.toString)
+    // truncation: maxSteps=2 cuts the paths after two steps
+    val cut = Sessionize.topPaths(ev, 1800, 10, maxSteps = 2)
+      .as[(String, Long)].collect().toMap
+    assert(cut == Map("view>click" -> 2L, "view" -> 1L), cut.toString)
+    // ranking is (n DESC, path ASC) and k limits
+    val top1 = Sessionize.topPaths(ev, 1800, 1, 8).as[(String, Long)].collect()
+    assert(top1.toSeq == Seq(("view>click>buy", 2L)))
+  }
+
   private def asRows(df: org.apache.spark.sql.DataFrame) = df
     .select("user_id", "session_id", "session_start", "session_end", "n_events")
     .as[(Long, Long, Timestamp, Timestamp, Long)].collect().toSet
