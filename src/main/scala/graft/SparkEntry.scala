@@ -574,6 +574,18 @@ object SparkEntry {
           "n_chars", sharedJaccardComponents(s, dir))
         .select("doc_id", "source", "lang", "n_chars")),
 
+    // Crawl-refresh census: per source, how many of the "new" (odd-id)
+    // docs near-duplicate some "old" (even-id) doc at the survivors
+    // family's Jaccard threshold — the snapshot-overlap number a crawl
+    // pipeline reads first. New-vs-new dups don't count.
+    "cross_dup_rate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.crossDupRate(docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+        blockCol = "source", rateKeyCol = "source",
+        n = 3, thresholdNum = 1, thresholdDen = 50)
+    }),
+
     // Duplicate-cluster census over the REAL near-dup clusters (rides
     // the family's one shared CC materialization): how many clusters of
     // each size, singletons included — the dedup-rate dashboard number
@@ -2456,6 +2468,23 @@ object SparkEntry {
         |                          FROM reach GROUP BY id) WHERE id <> component)
         |SELECT d.doc_id, d.source, d.lang, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM drops)""".stripMargin,
+
+    // Same jaccard-pair CTEs over the whole table (old ∪ new IS
+    // documents); a new doc is dup iff some pair endpoint pairs it with
+    // an even id. LEFT JOIN + COUNT(col) keeps zero-dup sources.
+    "cross_dup_rate" ->
+      s"""WITH ${jaccardPairCtes("source")},
+        |pr AS (SELECT a_id, b_id FROM p WHERE 50 * inter >= 1 * (a_n + b_n - inter)),
+        |de AS (SELECT a_id AS x, b_id AS y FROM pr
+        |       UNION ALL SELECT b_id, a_id FROM pr),
+        |dup AS (SELECT DISTINCT x AS doc_id FROM de
+        |        WHERE x % 2 = 1 AND y % 2 = 0)
+        |SELECT d.source, COUNT(*) AS n_new,
+        |  CAST(COUNT(dup.doc_id) AS BIGINT) AS n_dup,
+        |  CAST(COUNT(dup.doc_id) * 1000 // COUNT(*) AS BIGINT) AS dup_permille
+        |FROM documents d LEFT JOIN dup USING (doc_id)
+        |WHERE d.doc_id % 2 = 1
+        |GROUP BY d.source""".stripMargin,
 
     // Same jaccard-pair + recursive-CC CTEs; singletons self-label via
     // the left-join coalesce, then two size aggregations.

@@ -136,6 +136,41 @@ object Dedup {
           (col("a_n") + col("b_n") - col("inter")).cast("double")).as("jaccard"))
   }
 
+  /** Crawl-refresh cross-duplication census: per `rateKeyCol` group of
+    * the NEW corpus, how many documents are n-gram-Jaccard near-dups of
+    * some OLD-corpus document — the first number a crawl pipeline reads
+    * after a refresh ("how much of this snapshot is already in the
+    * lake"). Ids must be unique ACROSS both inputs (the pipeline's key
+    * contract). Output `(rateKey, n_new, n_dup, dup_permille)` with the
+    * rate in exact integer permille; new-vs-new duplication is NOT
+    * counted (that is [[dedupSurvivors]]'s job on the new half alone).
+    *
+    * Shape: one [[ngramJaccardPairs]] over the union (the family's
+    * blocked equi-join on 8-byte hashes — never all-pairs), the
+    * endpoints split by two id-table semi joins, one group-keyed count.
+    * Cost is the pair stage's; the census adds |pairs| + |new| rows of
+    * work. */
+  def crossDupRate(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String, blockCol: String, rateKeyCol: String, n: Int = 3,
+      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    def side(df: DataFrame) = df.select(col(idCol), col(textCol), col(blockCol))
+    val pairs = ngramJaccardPairs(side(oldDf).unionByName(side(newDf)),
+      idCol, textCol, blockCol, n, thresholdNum, thresholdDen)
+    val oldIds = oldDf.select(col(idCol).as("__oid"))
+    val newIds = newDf.select(col(idCol).as("__nid"))
+    val ends = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+      .unionAll(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+    val dupNew = ends
+      .join(broadcast(oldIds), col("y") === col("__oid"), "left_semi")
+      .join(newIds, col("x") === col("__nid"), "left_semi")
+      .select(col("x").as("__dup_id")).distinct()
+    newDf.join(dupNew, col(idCol) === col("__dup_id"), "left")
+      .groupBy(col(rateKeyCol))
+      .agg(count(lit(1)).as("n_new"),
+        count(col("__dup_id")).as("n_dup"),
+        expr("count(__dup_id) * 1000 div count(1)").as("dup_permille"))
+  }
+
   /** Asymmetric CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ t.
     * Jaccard misses the quote/subset case — a short document wholly
     * contained in a long one has tiny |A∩B|/|A∪B| but containment 1.0

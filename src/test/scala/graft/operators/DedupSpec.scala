@@ -441,6 +441,24 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh == Set((1L, 2L)))
   }
 
+  test("crossDupRate: planted snapshot overlap counted per group; new-vs-new excluded") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val old = Seq((0L, base, "s1"), (2L, "totally different words here now", "s1"),
+      (4L, "unrelated content in source two", "s2")).toDF("doc_id", "text", "source")
+    // new: 1 = near-dup of old doc 0; 3 = fresh; 5 and 7 = near-dups of
+    // EACH OTHER but of nothing old (must NOT count); 9 = fresh in s2
+    val fresh = Seq((1L, base + " iota", "s1"), (3L, "entirely new material", "s1"),
+      (5L, "repeated new pair one two three four five", "s1"),
+      (7L, "repeated new pair one two three four five six", "s1"),
+      (9L, "novel snapshot content", "s2")).toDF("doc_id", "text", "source")
+    val out = Dedup.crossDupRate(old, fresh, "doc_id", "text",
+        blockCol = "source", rateKeyCol = "source",
+        n = 3, thresholdNum = 1, thresholdDen = 2)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("s1") == (("s1", 4L, 1L, 250L)), out.toString)
+    assert(out("s2") == (("s2", 1L, 0L, 0L)), out.toString)
+  }
+
   test("autoPlanes: doubling the corpus keeps per-bucket candidate volume ~constant") {
     // formula side: each doubling adds exactly one plane, so expected
     // occupancy n / 2^planes stays inside (target/2, target]
