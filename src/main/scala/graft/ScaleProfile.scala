@@ -227,7 +227,8 @@ object ScaleProfile {
       // duplicate-cluster census (incremental over the family's shared
       // CC, which the warmup pass builds — the bench-billing posture).
       val ps = Seq("dsir_scores", "dsir_select", "stupid_backoff",
-        "centroid_drift", "dup_cluster_sizes")
+        "centroid_drift", "dup_cluster_sizes", "item_cooccurrence",
+        "session_paths", "cross_dup_rate")
       ps.foreach(q => time(q, src)) // warmup: codegen + shared CC build
       ps.foreach(q => time(q, out))
       ps.foreach { q =>
