@@ -1550,6 +1550,34 @@ object SparkEntry {
       Multimodal.decodeGifFrames(
         Multimodal.attachGeneratedGifs(Tables.documents(s, dir), "doc_id"))),
 
+    // Week-over-week event-volume trend per type (integer permille,
+    // truncation identical in both engines even for negative deltas) —
+    // the drop/spike monitor a pipeline pages on.
+    "weekly_trend" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .select(col("event_type"), expr("cast(ts as long) div 604800").as("w"))
+        .groupBy("event_type", "w").agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("n_prev", lag(col("n"), 1)
+          .over(Window.partitionBy("event_type").orderBy("w")))
+        .withColumn("wow_permille",
+          expr("case when n_prev is null then null " +
+            "else (n - n_prev) * 1000 div n_prev end"))
+    }),
+
+    // Exact triangle count over a deterministic 5-block clique graph —
+    // the degree-ordered wedge join (Cohen), the formulation whose
+    // per-node fan-out is arboricity-bounded (no hub blow-up). Each
+    // complete id block of 5 contributes C(5,3) = 10 triangles.
+    "triangle_count" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id").as("id"),
+        (col("doc_id") - pmod(col("doc_id"), lit(5))).as("blk"))
+      val edges = ids.select(col("id").as("ea"), col("blk"))
+        .join(ids.select(col("id").as("eb"), col("blk")), Seq("blk"))
+        .where(col("ea") < col("eb"))
+      Graph.triangleCount(edges, "ea", "eb")
+    }),
+
     // Item co-occurrence with the standard hot-user mitigation built in:
     // per-user degree cap (deterministic mix64 rank, ≤12 items) bounds
     // the within-user pair fan-out; overlap coefficient in exact integer
@@ -3904,6 +3932,29 @@ object SparkEntry {
         |  CAST((2 + doc_id % 8) * (2 + (doc_id // 8) % 8)
         |       * ((doc_id * 13 + fi * 17) % 256) AS BIGINT) AS sum_b
         |FROM f""".stripMargin,
+
+    // epoch_us // 1e6 // 604800 = Spark's truncating cast-div chain; //
+    // and div truncate identically even on negative deltas.
+    "weekly_trend" ->
+      """WITH c AS (SELECT event_type,
+        |    (epoch_us(ts) // 1000000) // 604800 AS w, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, w, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY w) AS n_prev FROM c)
+        |SELECT event_type, CAST(w AS BIGINT) AS w, n, n_prev,
+        |  CAST(CASE WHEN n_prev IS NULL THEN NULL
+        |       ELSE (n - n_prev) * 1000 // n_prev END AS BIGINT) AS wow_permille
+        |FROM l""".stripMargin,
+
+    // Count-only mirror: the naive three-way id-ordered join — same
+    // total whatever the Spark side's degree orientation.
+    "triangle_count" ->
+      """WITH ids AS (SELECT doc_id, doc_id - (doc_id % 5) AS blk FROM documents),
+        |e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM ids a
+        |      JOIN ids b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM e ab JOIN e bc ON ab.b = bc.a
+        |          JOIN e ac ON ac.a = ab.a AND ac.b = bc.b""".stripMargin,
 
     // Full mirror incl. the deterministic degree cap: same mix64 rank
     // over 'user:item', same row_number tie-break, capped degrees feed

@@ -394,6 +394,54 @@ object Graph {
     * round one job, no exponential plan growth). Hub in-degree skew is
     * absorbed by the partial aggregation: a 10M-in-link hub receives one
     * combined partial per upstream partition, not 10M rows. */
+  /** Exact triangle count via DEGREE-ORDERED wedge counting (Cohen's
+    * MapReduce formulation — the one that survives hub nodes): edges are
+    * oriented from the lower-ranked endpoint under the total order
+    * `(degree, id)`, wedges are generated at each edge's LOWER-ranked
+    * node, and a wedge closes iff its two tips' canonical-oriented edge
+    * exists. Every triangle is produced exactly once (at its minimum-
+    * rank vertex), and — the point — per-node wedge fan-out is bounded
+    * by the out-degree under the rank orientation, which is O(√m) for
+    * ANY graph (arboricity bound): a celebrity node with 10^7 neighbors
+    * ranks above almost all of them, so almost all its edges point IN
+    * and its wedge set stays small, where an id-ordered join would
+    * explode quadratically at the hub.
+    *
+    * Shape: one symmetric-dedup exchange, one degree aggregation joined
+    * back (node-keyed), the wedge self-join on the low endpoint, and a
+    * pair-keyed semi join against the oriented edge set. Returns ONE row
+    * `(n_triangles)`. */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    // orient lower (deg, id) -> higher; carry the tip's rank key so the
+    // wedge stage can canonicalize its closing edge without re-joining
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("n"), col("du").as("d"), col("v").as("hn"), col("dv").as("hd")))
+        .otherwise(
+          struct(col("v").as("n"), col("dv").as("d"), col("u").as("hn"), col("du").as("hd")))
+        .as("e"))
+      .select(col("e.n").as("lo"), col("e.hn").as("hi"), col("e.hd").as("hid"))
+    val w1 = oriented.select(col("lo"), col("hi").as("h1"), col("hid").as("d1"))
+    val w2 = oriented.select(col("lo"), col("hi").as("h2"), col("hid").as("d2"))
+    // each unordered tip pair once: (d, id) rank order between the tips
+    val wedges = w1.join(w2, Seq("lo"))
+      .where(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("h1") < col("h2")))
+    wedges.join(oriented.select(col("lo").as("h1"), col("hi").as("h2")),
+        Seq("h1", "h2"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 8, dampingPermille: Long = 850L,
       scale: Long = 1000000L): DataFrame = {

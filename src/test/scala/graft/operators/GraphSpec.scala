@@ -406,4 +406,35 @@ class GraphSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     assert(tr == pr)
   }
+
+  private def tri(edges: Seq[(Long, Long)]): Long =
+    Graph.triangleCount(edges.toDF("a", "b"), "a", "b")
+      .as[Long].collect().head
+
+  test("triangleCount: hand cases — triangle, star, clique, duplicates, directions") {
+    // one triangle + a dangling edge
+    assert(tri(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))) == 1L)
+    // a star has no triangles however big the hub
+    assert(tri((1L to 50L).map(i => (0L, i))) == 0L)
+    // K5 has C(5,3) = 10
+    val k5 = for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b)
+    assert(tri(k5) == 10L)
+    // duplicate edges, reversed directions and self-loops don't inflate
+    assert(tri(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 3L), (1L, 2L))) == 1L)
+  }
+
+  test("triangleCount agrees with a naive count on a random graph with a hub") {
+    val rnd = new scala.util.Random(19)
+    val edges = ((1 to 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)) ++
+      (1 to 35).map(i => (0L, i.toLong))) // hub node 0
+      .filter { case (a, b) => a != b }
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val naive = (for {
+      (a, b) <- canon; c <- 0L to 40L
+      if canon.contains((b, c)) && canon.contains((a, c)) && b < c
+    } yield (a, b, c)).size
+    assert(tri(edges) == naive.toLong, s"naive=$naive")
+  }
 }
