@@ -239,6 +239,25 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "r11b") {
+      // Late round-11 ops: weekly_trend (one event-keyed week agg + a
+      // per-type lag window over ~dozens of rows — corpus-linear scan,
+      // ideal exponent 1 dominated by the fixed agg cost at this sf) and
+      // triangle_count (degree-ordered wedge join over the 5-block clique
+      // graph; docs ×5 ⇒ blocks ×5, edges ×5, wedges ×5 — linear for the
+      // bounded-degree graph; the arboricity bound is what keeps a hub
+      // from going quadratic, exercised separately in GraphSpec).
+      val ps = Seq("weekly_trend", "triangle_count")
+      ps.foreach(q => time(q, src)) // warmup: codegen + JIT
+      ps.foreach(q => time(q, out))
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t5 = median3(time(q, out))
+        println(f"SCALE $q%-24s sf0.1=$t1%6.2f s  sf0.5=$t5%6.2f s  exponent=${math.log(t5 / t1) / math.log(5.0)}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "sf1") {
       // Round-11 10× axis (VERDICT r10 #2): at sf0.5 every heavy-family
       // exponent reads flat because fixed per-job latency dominates the
