@@ -1178,6 +1178,29 @@ object SparkEntry {
           3L -> Seq("window", "column")),
         k = 5)),
 
+    // Hybrid retrieval: BM25 lexical top-20 and brute-cosine vector
+    // top-20 over the same id space (doc i's embedding is vec i — the
+    // two-index-one-corpus deployment), fused by integer reciprocal-rank
+    // fusion (k=60). Query 3's term list is all-common (BM25 returns no
+    // rows — Lucene-clamp semantics), so its fused list is vector-only:
+    // the null-rank path is live in the registered query.
+    "hybrid_rrf" -> ((s, dir) => {
+      val text = TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          queries = Seq(
+            1L -> Seq("dup", "merge", "scan"),
+            2L -> Seq("dup", "spark"),
+            3L -> Seq("window", "column")),
+          k = 20)
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score_milli").desc, col("doc_id"))))
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val vec = Similarity.bruteForceTopK(
+          emb.where(col("vec_id").isin(1L, 2L, 3L)), emb, k = 20)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      Similarity.rrfFuse(Seq("bm25" -> text, "ann" -> vec), k = 10)
+    }),
+
     // Deterministic stratified sample: per-source rates, membership a pure
     // hash function of (doc_id, salt) — reproducible across runs and
     // mirrorable bit-for-bit by the oracle. Scan-stage filter, no shuffle.
@@ -3400,6 +3423,63 @@ object SparkEntry {
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
         |  CAST(score AS BIGINT) AS score_milli
         |FROM r WHERE rn <= 5""".stripMargin,
+
+    // Full mirror of both retrieval legs (bm25_topk's CTE chain at k=20,
+    // cosine_topk's at k=20 over queries 1-3) + the integer RRF combine.
+    "hybrid_rrf" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (1, 'dup'), (1, 'merge'), (1, 'scan'),
+        |  (2, 'dup'), (2, 'spark'),
+        |  (3, 'window'), (3, 'column')),
+        |tok AS (SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |scal AS (SELECT COUNT(*) AS n, (1000 * SUM(dl)) // COUNT(*) AS a FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |       FROM tok JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+        |       GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT query_id, doc_id,
+        |         (length(bin(n // df)) - 1) *
+        |         ((1000 * 44 * tf * a) // (20 * tf * a + 6 * a + 18000 * dl)) AS s
+        |       FROM q JOIN tf USING (term) JOIN dfq USING (term)
+        |         JOIN dl USING (doc_id) CROSS JOIN scal),
+        |agg AS (SELECT query_id, doc_id, SUM(s) AS score FROM sc
+        |        GROUP BY 1, 2 HAVING SUM(s) > 0),
+        |bm AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY score DESC, doc_id) AS rank_bm25
+        |       FROM agg
+        |       QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, doc_id) <= 20),
+        |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings WHERE vec_id IN (1, 2, 3)),
+        |cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings),
+        |cs AS (SELECT query_id, neighbor_id,
+        |         list_cosine_similarity(qv.v, cv.v) AS cos
+        |       FROM qv, cv WHERE query_id <> neighbor_id),
+        |an AS (SELECT query_id, neighbor_id AS doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY cos DESC, neighbor_id) AS rank_ann
+        |       FROM cs
+        |       QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+        |         ORDER BY cos DESC, neighbor_id) <= 20),
+        |f AS (SELECT COALESCE(bm.query_id, an.query_id) AS query_id,
+        |        COALESCE(bm.doc_id, an.doc_id) AS doc_id,
+        |        rank_bm25, rank_ann
+        |      FROM bm FULL OUTER JOIN an
+        |        ON bm.query_id = an.query_id AND bm.doc_id = an.doc_id),
+        |r AS (SELECT query_id, doc_id, rank_bm25, rank_ann,
+        |        COALESCE(1000000 // (60 + rank_bm25), 0) +
+        |        COALESCE(1000000 // (60 + rank_ann), 0) AS rrf
+        |      FROM f)
+        |SELECT query_id, doc_id, CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+        |  CAST(rank_ann AS BIGINT) AS rank_ann, CAST(rrf AS BIGINT) AS rrf_micro
+        |FROM r
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+        |  ORDER BY rrf DESC, doc_id) <= 10""".stripMargin,
 
     "tfidf_topk" ->
       """WITH tf AS (

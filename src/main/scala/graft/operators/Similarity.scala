@@ -178,4 +178,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos")
     perQueryTopK(scored, k)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
+    * standard hybrid-retrieval combiner: each input list contributes
+    * `scale div (kRrf + rank)` per (query, doc) and documents are
+    * re-ranked by the summed contribution. Score-free by design (ranks
+    * only), so a lexical BM25 list and a vector ANN list fuse without
+    * any score calibration; kept in the engine's integer discipline
+    * (`div`, micro-scale) so the oracle mirrors it bit for bit.
+    *
+    * Inputs: `(name, df)` pairs where each df has columns
+    * `(query_id, id, rank)` with rank 1-based within query. Output:
+    * `(query_id, doc_id, rank_<name>..., rrf_micro)`, top `k` per query
+    * by (rrf desc, doc_id asc); a doc absent from a list carries a null
+    * rank there and contributes 0.
+    *
+    * Scale shape: every input is already a bounded per-query top-k, so
+    * the fusion joins |queries|·k-row tables on (query_id, doc_id) —
+    * slim exchanges whatever the corpus size; the corpus itself never
+    * reaches this operator. */
+  def rrfFuse(lists: Seq[(String, DataFrame)], k: Int,
+      kRrf: Long = 60L, scale: Long = 1000000L): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val tagged = lists.map { case (name, df) =>
+      df.select(col("query_id"), col("id").as("doc_id"),
+        col("rank").cast("long").as(s"rank_$name"))
+    }
+    val joined = tagged.reduce(_.join(_, Seq("query_id", "doc_id"), "full_outer"))
+    val contrib = lists.map { case (name, _) =>
+      coalesce(expr(s"${scale}L div (${kRrf}L + rank_$name)"), lit(0L))
+    }.reduce(_ + _)
+    Dedup.topKPerKey(joined.withColumn("rrf_micro", contrib), k,
+      Seq("query_id"), Seq(col("rrf_micro").desc, col("doc_id").asc))
+  }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Reciprocal-rank fusion (Similarity.rrfFuse): hand-computed integer
+  * contributions, the null-rank (absent-from-one-list) path, tie
+  * determinism, and the bounded top-k. The retrieval legs themselves
+  * (bruteForceTopK, bm25TopK) are covered by IvfSpec/PqSpec and the
+  * driver oracle gate. */
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def fused(bm: Seq[(Long, Long, Long)], an: Seq[(Long, Long, Long)],
+      k: Int = 10) =
+    Similarity.rrfFuse(Seq(
+        "bm25" -> bm.toDF("query_id", "id", "rank"),
+        "ann" -> an.toDF("query_id", "id", "rank")), k)
+      .orderBy("query_id", "rrf_micro")
+
+  test("rrfFuse: hand-computed integer contributions and overlap ranking") {
+    // q1: bm25 = [A, B], ann = [B, C]. With k=60, scale=1e6:
+    //   A = 1000000 div 61 = 16393
+    //   B = 1000000 div 62 + 1000000 div 61 = 16129 + 16393 = 32522
+    //   C = 1000000 div 62 = 16129
+    val rows = fused(
+        bm = Seq((1L, 100L, 1L), (1L, 101L, 2L)),
+        an = Seq((1L, 101L, 1L), (1L, 102L, 2L)))
+      .select("doc_id", "rank_bm25", "rank_ann", "rrf_micro")
+      .as[(Long, Option[Long], Option[Long], Long)].collect().toSet
+    assert(rows == Set(
+      (100L, Some(1L), None, 16393L),
+      (101L, Some(2L), Some(1L), 32522L),
+      (102L, None, Some(2L), 16129L)))
+  }
+
+  test("rrfFuse: a query present in only one list fuses rank-preserving") {
+    // q3 has no bm25 rows at all (the all-common-terms query): its fused
+    // order must equal the ann order, every rank_bm25 null.
+    val out = fused(
+        bm = Seq((1L, 100L, 1L)),
+        an = Seq((3L, 7L, 1L), (3L, 8L, 2L), (3L, 9L, 3L)))
+      .where(col("query_id") === 3L)
+      .orderBy(col("rrf_micro").desc)
+      .select("doc_id", "rank_bm25")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(out == Seq((7L, None), (8L, None), (9L, None)))
+  }
+
+  test("rrfFuse: equal-contribution ties break by doc_id and k bounds output") {
+    // Two docs in mirror positions get identical sums; the cut at k=1
+    // must keep the smaller doc_id deterministically.
+    val out = fused(
+        bm = Seq((1L, 200L, 1L), (1L, 105L, 2L)),
+        an = Seq((1L, 105L, 1L), (1L, 200L, 2L)), k = 1)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(105L))
+  }
+
+  test("rrfFuse: three lists sum all contributions") {
+    val l = Seq((1L, 5L, 1L)).toDF("query_id", "id", "rank")
+    val out = Similarity.rrfFuse(Seq("a" -> l, "b" -> l, "c" -> l), k = 5)
+      .select("rrf_micro").as[Long].collect().toSeq
+    assert(out == Seq(3L * (1000000L / 61L)))
+  }
+}
