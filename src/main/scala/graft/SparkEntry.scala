@@ -1601,6 +1601,17 @@ object SparkEntry {
       Graph.triangleCount(edges, "ea", "eb")
     }),
 
+    // k-core of the order–part bipartite graph (node = 2·orderkey even /
+    // 2·partkey+1 odd): 8 synchronous peel rounds at k=4 — thin orders
+    // peel away, which thins part degrees, which can cascade; the
+    // graph-level density filter. Exactly-8-rounds semantics mirrored by
+    // an unrolled CTE chain.
+    "kcore" -> ((s, dir) => {
+      val bip = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") * 2).as("o"), (col("l_partkey") * 2 + 1).as("p"))
+      Graph.kCore(bip, "o", "p", k = 4, rounds = 8)
+    }),
+
     // Item co-occurrence with the standard hot-user mitigation built in:
     // per-user degree cap (deterministic mix64 rank, ≤12 items) bounds
     // the within-user pair fan-out; overlap coefficient in exact integer
@@ -4025,6 +4036,31 @@ object SparkEntry {
         |  CAST(CASE WHEN n_prev IS NULL THEN NULL
         |       ELSE (n - n_prev) * 1000 // n_prev END AS BIGINT) AS wow_permille
         |FROM l""".stripMargin,
+
+    // Unrolled 8-round peel: each round recomputes degrees over the
+    // surviving edge set and keeps both-ends-survive edges — the exact
+    // fixed-round semantics of Graph.kCore.
+    "kcore" -> {
+      val (k, rounds) = (4, 8)
+      // AS MATERIALIZED is load-bearing: each round references the
+      // previous edge set three times, so inlined CTEs expand 3^rounds
+      // scans of the base table (observed: DuckDB exhausting file
+      // handles re-opening the parquet); materialization makes the
+      // chain compute each round once, like the engine does.
+      val peel = (1 to rounds).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM (
+           |    SELECT u AS n FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1}) GROUP BY 1),
+           |k$r AS MATERIALIZED (SELECT n FROM d$r WHERE d >= $k),
+           |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+           |  WHERE u IN (SELECT n FROM k$r) AND v IN (SELECT n FROM k$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT 2 * l_orderkey AS u,
+         |    2 * l_partkey + 1 AS v FROM lineitem),
+         |$peel
+         |SELECT CAST(n AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |  SELECT u AS n FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         |GROUP BY 1""".stripMargin
+    },
 
     // Count-only mirror: the naive three-way id-ordered join — same
     // total whatever the Spark side's degree orientation.

@@ -442,6 +442,54 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core decomposition by SYNCHRONOUS PEELING, the graph-level
+    * quality/spam filter (a node is in the k-core iff it keeps ≥ k
+    * neighbors after everything weaker is recursively removed — link
+    * farms and orphan tails peel away, densely-embedded nodes survive).
+    * Semantics are exactly `rounds` peel rounds — the [[pageRank]]
+    * fixed-iteration discipline: each round recomputes degrees over the
+    * surviving subgraph and drops every node with degree < k at once,
+    * so engine and oracle (an unrolled CTE chain, [[kCoreSql]]-style
+    * generation in SparkEntry) agree bit for bit whether or not the
+    * peel has converged. A graph whose peel converges within `rounds`
+    * (any graph converges in ≤ |V| rounds; real graphs in tens) gets
+    * the true k-core; an unconverged deep chain keeps its not-yet-
+    * peeled fringe, deterministically.
+    *
+    * Returns `(node, deg)` — survivors with their degree INSIDE the
+    * surviving subgraph. Undirected: edges are canonicalized + deduped
+    * once, self-loops dropped.
+    *
+    * Scale shape: per round one symmetric-explode degree aggregation
+    * (map-side combined) + two semi joins of the edge set against the
+    * ≥k survivor ids — all keyed exchanges, edge-linear per round; the
+    * edge set is `localCheckpoint`ed per round so lineage stays flat
+    * (the CC-loop lesson). A hub is one aggregation key, never a
+    * fan-out. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 0)
+    var e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    def degrees(g: DataFrame): DataFrame = g
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    var i = 0
+    while (i < rounds) {
+      val keep = degrees(e).where(col("deg") >= k).select("node")
+      e = e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint()
+      i += 1
+    }
+    degrees(e)
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 8, dampingPermille: Long = 850L,
       scale: Long = 1000000L): DataFrame = {

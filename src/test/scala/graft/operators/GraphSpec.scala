@@ -424,6 +424,42 @@ class GraphSpec extends SparkSpecBase {
       (3L, 3L), (1L, 2L))) == 1L)
   }
 
+  private def core(edges: Seq[(Long, Long)], k: Int, rounds: Int = 8) =
+    Graph.kCore(edges.toDF("a", "b"), "a", "b", k, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("kCore: cascading peel — tail removal exposes the next weak node") {
+    // triangle {1,2,3} + chain 3-4-5: round 1 peels 5 (deg 1), which
+    // drops 4 to deg 1, peeled round 2; the 2-core is the triangle.
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(core(g, k = 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3: the triangle itself dies (deg 2 < 3) — empty core.
+    assert(core(g, k = 3).isEmpty)
+  }
+
+  test("kCore: K4 is a 3-core; K4 minus an edge collapses entirely at k=3") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    assert(core(k4, k = 3) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // remove (3,4): two deg-2 nodes peel, leaving 1-2 at deg 1 → gone.
+    assert(core(k4.filterNot(_ == (3L, 4L)), k = 3).isEmpty)
+  }
+
+  test("kCore: duplicates, reversed edges and self-loops don't inflate degrees") {
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L), (2L, 3L), (1L, 3L))
+    assert(core(g, k = 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: fixed-round semantics — an unconverged chain keeps its fringe") {
+    // path of 30 nodes, k=2: each round peels exactly the two current
+    // endpoints, so 8 rounds leave 30 − 16 = 14 nodes (endpoints at
+    // deg 1 — not yet peeled, by the exactly-`rounds` contract); enough
+    // rounds empty it.
+    val path = (1L until 30L).map(i => (i, i + 1))
+    val eight = core(path, k = 2, rounds = 8)
+    assert(eight.size == 14 && eight.values.count(_ == 1L) == 2)
+    assert(core(path, k = 2, rounds = 15).isEmpty)
+  }
+
   test("triangleCount agrees with a naive count on a random graph with a hub") {
     val rnd = new scala.util.Random(19)
     val edges = ((1 to 300).map(_ =>
