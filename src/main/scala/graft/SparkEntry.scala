@@ -711,6 +711,15 @@ object SparkEntry {
         kHard = 5, kRandom = 5)
     }),
 
+    // Labeled retrieval eval (MRR summand / hits@10 / R-capped
+    // recall@10 by embedding label) over 50 queries drawn from the
+    // corpus — the per-checkpoint metric harness; exact top-k ground
+    // truth by the eval-op contract.
+    "retrieval_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.retrievalEval(emb.where(col("vec_id") < 50), emb, k = 10)
+    }),
+
     // Exact cosine near-duplicate pairs — crossJoin, quadratic BY DESIGN:
     // the verification-scale ground truth. The registered scale path is
     // cosine_neardup_lsh below.
@@ -2879,6 +2888,36 @@ object SparkEntry {
         |  neighbor_id, cos
         |FROM s
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+
+    // Exact top-10 by cosine + label-match metrics; n_rel excludes self,
+    // recall@10 is R-capped (min(k, n_rel) denominator), integer div.
+    "retrieval_eval" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v,
+        |           label AS ql FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v,
+        |      label AS cl FROM embeddings),
+        |s AS (SELECT query_id, ql, neighbor_id, cl,
+        |        list_cosine_similarity(q.v, c.v) AS cos
+        |      FROM q, c WHERE query_id <> neighbor_id),
+        |t AS (SELECT query_id, ql, cl,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, neighbor_id) AS rnk
+        |      FROM s
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) <= 10),
+        |hist AS (SELECT label AS ql, COUNT(*) AS n_lab FROM embeddings GROUP BY 1),
+        |a AS (SELECT query_id, MIN(CASE WHEN ql = cl THEN rnk END) AS first_rel,
+        |        SUM(CASE WHEN ql = cl THEN 1 ELSE 0 END) AS hits,
+        |        MAX(ql) AS ql
+        |      FROM t GROUP BY 1)
+        |SELECT query_id, CAST(first_rel AS BIGINT) AS first_rel,
+        |  CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS rr_micro,
+        |  CAST(hits AS BIGINT) AS hits,
+        |  CAST(n_lab - 1 AS BIGINT) AS n_rel,
+        |  CAST(CASE WHEN LEAST(10, n_lab - 1) > 0
+        |       THEN (1000 * hits) // LEAST(10, n_lab - 1) ELSE 0 END AS BIGINT)
+        |    AS recall_permille
+        |FROM a JOIN hist USING (ql)""".stripMargin,
 
     // Hard tier mirrors cosine_topk; random tier recomputes the identical
     // mix64 pair hash and ranks it, excluding the hard set.

@@ -179,6 +179,51 @@ object Similarity {
     perQueryTopK(scored, k)
   }
 
+  /** Labeled retrieval evaluation — the metric harness an embedding-
+    * model pipeline runs per checkpoint: per query, exact cosine top-k
+    * over the corpus, relevance = same `labelCol` value, and the
+    * standard rank metrics in the engine's integer discipline:
+    * `first_rel` (rank of the first relevant hit, null if none),
+    * `rr_micro` = 1000000 div first_rel (MRR's summand; 0 if none),
+    * `hits` (relevant in the top k), `n_rel` (relevant in the whole
+    * corpus, self excluded — queries are assumed drawn from the corpus,
+    * matching bruteForceTopK's self-exclusion), and `recall_permille` =
+    * 1000·hits div min(k, n_rel) (R-capped recall@k, 0 when a label is
+    * a singleton). Means over queries are one trivial agg away; the
+    * per-query rows are the artifact worth keeping (per-slice drill-
+    * down).
+    *
+    * An EVAL op by contract (the recall-harness family): the exact
+    * top-k is the labeled quadratic ground truth, run at sample scale;
+    * swap in lshTopK/Ivf.probeIndex for corpus-scale sweeps. The label
+    * histogram is a broadcast (|labels| rows); the top-k table joins
+    * the corpus labels as a broadcast of |queries|·k rows — the corpus
+    * itself is scanned once. */
+  def retrievalEval(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val topk = bruteForceTopK(queries, corpus, k, idCol, vecCol)
+    val qLab = queries.select(col(idCol).as("query_id"), col(labelCol).as("__ql"))
+    val cLab = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__cl"))
+    val hist = corpus.groupBy(col(labelCol).as("__ql"))
+      .agg(count(lit(1)).as("__n_lab"))
+    val marked = cLab
+      .join(broadcast(topk.join(broadcast(qLab), Seq("query_id"))),
+        Seq("neighbor_id"))
+      .withColumn("__rel", (col("__ql") === col("__cl")).cast("long"))
+    marked.groupBy("query_id")
+      .agg(min(when(col("__rel") === 1L, col("rank"))).as("first_rel"),
+        sum("__rel").as("hits"), max("__ql").as("__ql"))
+      .join(broadcast(hist), Seq("__ql"), "left")
+      .select(col("query_id"), col("first_rel"),
+        coalesce(expr("1000000L div first_rel"), lit(0L)).as("rr_micro"),
+        col("hits"),
+        (coalesce(col("__n_lab"), lit(1L)) - 1L).as("n_rel"),
+        expr(s"case when least(${k}L, coalesce(__n_lab, 1L) - 1L) > 0 " +
+          s"then 1000L * hits div least(${k}L, coalesce(__n_lab, 1L) - 1L) " +
+          "else 0L end").as("recall_permille"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
     * standard hybrid-retrieval combiner: each input list contributes
     * `scale div (kRrf + rank)` per (query, doc) and documents are

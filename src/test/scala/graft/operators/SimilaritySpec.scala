@@ -58,6 +58,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out == Seq(105L))
   }
 
+  test("retrievalEval: hand-computed MRR/hits/recall incl. the no-relevant path") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),   // query: label 1
+      (1L, Array(0.9f, 0.1f), 2),   // nearest, irrelevant
+      (2L, Array(0.8f, 0.2f), 1),   // 2nd, relevant
+      (3L, Array(0.0f, 1.0f), 1),   // cos 0 — outside top-3
+      (4L, Array(-1.0f, 0.0f), 2),  // outside top-3
+      (5L, Array(0.5f, 0.5f), 9)    // query: singleton label; 3rd for q0 (cos .707)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.retrievalEval(
+        emb.where(col("vec_id").isin(0L, 5L)), emb, k = 3)
+      .select("query_id", "first_rel", "rr_micro", "hits", "n_rel", "recall_permille")
+      .as[(Long, Option[Long], Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      // q0: top-3 = [1, 2, 5]; first relevant at rank 2, 1 hit,
+      // n_rel = 2 ⇒ recall = 1000·1 div min(3,2) = 500
+      (0L, Some(2L), 500000L, 1L, 2L, 500L),
+      // q5: singleton label — nothing relevant anywhere
+      (5L, None, 0L, 0L, 0L, 0L)))
+  }
+
   test("rrfFuse: three lists sum all contributions") {
     val l = Seq((1L, 5L, 1L)).toDF("query_id", "id", "rank")
     val out = Similarity.rrfFuse(Seq("a" -> l, "b" -> l, "c" -> l), k = 5)
