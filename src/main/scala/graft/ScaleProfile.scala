@@ -247,7 +247,14 @@ object ScaleProfile {
       // graph; docs ×5 ⇒ blocks ×5, edges ×5, wedges ×5 — linear for the
       // bounded-degree graph; the arboricity bound is what keeps a hub
       // from going quadratic, exercised separately in GraphSpec).
-      val ps = Seq("weekly_trend", "triangle_count")
+      // r11c additions: hybrid_rrf (two bounded retrieval legs — the
+      // BM25 leg is corpus-linear, the brute ANN leg corpus-linear by
+      // the eval contract, fusion itself |queries|·k); kcore (8 peel
+      // rounds, edge-linear per round like pagerank); retrieval_eval
+      // (labeled quadratic ground truth at 50 queries — scales with the
+      // corpus side of the crossjoin, the eval-op posture).
+      val ps = Seq("weekly_trend", "triangle_count", "hybrid_rrf", "kcore",
+        "retrieval_eval")
       ps.foreach(q => time(q, src)) // warmup: codegen + JIT
       ps.foreach(q => time(q, out))
       ps.foreach { q =>

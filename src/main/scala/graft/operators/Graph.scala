@@ -478,6 +478,13 @@ object Graph {
     def degrees(g: DataFrame): DataFrame = g
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+    // Convergence early-exit, output-identical: every node a peel round
+    // drops carries ≥1 edge, so the edge count is strictly decreasing
+    // until the peel converges — an unchanged count means every later
+    // round is a no-op and can be skipped (the oracle unrolls all
+    // `rounds` no-ops and lands on the same set). The count reads the
+    // just-checkpointed partitions, far cheaper than a wasted round.
+    var prev = e.count()
     var i = 0
     while (i < rounds) {
       val keep = degrees(e).where(col("deg") >= k).select("node")
@@ -485,7 +492,9 @@ object Graph {
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
         .localCheckpoint()
-      i += 1
+      val n = e.count()
+      i = if (n == prev) rounds else i + 1
+      prev = n
     }
     degrees(e)
   }

@@ -460,6 +460,15 @@ class GraphSpec extends SparkSpecBase {
     assert(core(path, k = 2, rounds = 15).isEmpty)
   }
 
+  test("kCore: convergence early-exit equals the full fixed-round run") {
+    // converges in 2 rounds; 50 nominal rounds must early-exit to the same set
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(core(g, k = 2, rounds = 50) == core(g, k = 2, rounds = 8))
+    // a graph that IS its own k-core converges in round 1
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    assert(core(k4, k = 3, rounds = 50) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("triangleCount agrees with a naive count on a random graph with a hub") {
     val rnd = new scala.util.Random(19)
     val edges = ((1 to 300).map(_ =>
