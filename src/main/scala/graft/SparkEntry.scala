@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.{Anomaly, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -1581,6 +1581,17 @@ object SparkEntry {
     "gif_frames" -> ((s, dir) =>
       Multimodal.decodeGifFrames(
         Multimodal.attachGeneratedGifs(Tables.documents(s, dir), "doc_id"))),
+
+    // Zipf coverage curve: what permille of token occurrences do the
+    // top-N words cover — the tokenizer-vocab budget planner. Bounded
+    // TakeOrdered of max(N) rows, no vocab-wide window.
+    "vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text")),
+
+    // Robust daily-volume anomaly days per event type: |n − med| >
+    // 3·MAD with exact integer lower-medians — the volume monitor.
+    "anomaly_days" -> ((s, dir) =>
+      Anomaly.madOutlierDays(Tables.events(s, dir), "ts", "event_type")),
 
     // Week-over-week event-volume trend per type (integer permille,
     // truncation identical in both engines even for negative deltas) —
@@ -4062,6 +4073,44 @@ object SparkEntry {
         |  CAST((2 + doc_id % 8) * (2 + (doc_id // 8) % 8)
         |       * ((doc_id * 13 + fi * 17) % 256) AS BIGINT) AS sum_b
         |FROM f""".stripMargin,
+
+    // Rank words by (count desc, word asc), sum the top-N mass per cut.
+    "vocab_coverage" ->
+      """WITH t AS (SELECT w, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS rn FROM t),
+        |tot AS (SELECT SUM(n) AS total FROM t),
+        |cuts(top_n) AS (VALUES (10), (100), (1000), (10000))
+        |SELECT CAST(top_n AS BIGINT) AS top_n,
+        |  CAST(SUM(CASE WHEN rn <= top_n THEN n ELSE 0 END) AS BIGINT) AS covered,
+        |  CAST(total AS BIGINT) AS total,
+        |  CAST((1000 * SUM(CASE WHEN rn <= top_n THEN n ELSE 0 END)) // total
+        |    AS BIGINT) AS coverage_permille
+        |FROM cuts CROSS JOIN r CROSS JOIN tot
+        |GROUP BY top_n, total""".stripMargin,
+
+    // Lower medians by row_number at position (c+1)//2 — the integer-
+    // exact median both engines reproduce; flag |n-med| > 3*mad.
+    "anomaly_days" ->
+      """WITH d AS (SELECT event_type AS key,
+        |    (epoch_us(ts) // 1000000) // 86400 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT key, n AS med FROM (
+        |    SELECT key, n, day,
+        |      ROW_NUMBER() OVER (PARTITION BY key ORDER BY n, day) AS rn,
+        |      COUNT(*) OVER (PARTITION BY key) AS c FROM d)
+        |  WHERE rn = (c + 1) // 2),
+        |dev AS (SELECT d.key, day, n, med, ABS(n - med) AS dev
+        |        FROM d JOIN m USING (key)),
+        |md AS (SELECT key, dev AS mad FROM (
+        |    SELECT key, dev, day,
+        |      ROW_NUMBER() OVER (PARTITION BY key ORDER BY dev, day) AS rn,
+        |      COUNT(*) OVER (PARTITION BY key) AS c FROM dev)
+        |  WHERE rn = (c + 1) // 2)
+        |SELECT dev.key, CAST(day AS BIGINT) AS day, n, med, mad
+        |FROM dev JOIN md USING (key)
+        |WHERE dev > 3 * mad""".stripMargin,
 
     // epoch_us // 1e6 // 604800 = Spark's truncating cast-div chain; //
     // and div truncate identically even on negative deltas.

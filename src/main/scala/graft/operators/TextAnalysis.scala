@@ -684,4 +684,38 @@ object TextAnalysis {
         Seq(col("score_milli").desc, col("doc_id").asc))
       .select("query_id", "doc_id", "score_milli")
   }
+
+  /** Vocabulary coverage curve — the tokenizer-budget planning number:
+    * what permille of all token OCCURRENCES do the `cuts` most frequent
+    * words cover? (Zipf makes this curve steep; a vocab/budget decision
+    * reads it directly.) One row per cut:
+    * `(top_n, covered, total, coverage_permille)` with words ranked by
+    * (count desc, word asc) — the deterministic rank every engine
+    * reproduces.
+    *
+    * Scale shape: ONE token-count aggregation (corpus → vocab-sized),
+    * then a bounded TakeOrdered of max(cuts) (word, count) rows to the
+    * driver — the driver-UF/broadcast-build-side boundedness precedent,
+    * ~10k rows whatever the corpus — and one total-sum agg. No global
+    * sort, no vocab-wide window. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      cuts: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_ > 0))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(words(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val totalRow = counts.agg(sum("n")).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    val top = counts.orderBy(col("n").desc, col("w").asc)
+      .limit(cuts.max).select("n").as[Long].collect()
+    val prefix = top.scanLeft(0L)(_ + _) // prefix(i) = mass of top i words
+    cuts.sorted.map { c =>
+      val covered = prefix(math.min(c, top.length))
+      (c.toLong, covered, total,
+        if (total == 0) 0L else 1000L * covered / total)
+    }.toDF("top_n", "covered", "total", "coverage_permille")
+  }
 }

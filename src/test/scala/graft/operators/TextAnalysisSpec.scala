@@ -7,6 +7,16 @@ import graft.SparkSpecBase
 class TextAnalysisSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("vocabCoverage: hand-computed Zipf curve with count-then-word ranking") {
+    val docs = Seq("a a a b b c", "a b d").toDF("text")
+    // counts: a=4 b=3 c=1 d=1, total 9; rank 3 is c (tie broken by word)
+    val out = TextAnalysis.vocabCoverage(docs, "text", cuts = Seq(1, 2, 3, 10))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 4L, 9L, 444L), (2L, 7L, 9L, 777L),
+      (3L, 8L, 9L, 888L), (10L, 9L, 9L, 1000L)))
+  }
+
   test("mojibake: corrupt→fix roundtrips; fix is idempotent; ASCII untouched") {
     val clean = "He said – “smart quotes” café… naïve touché 45° «brr» ©"
     val df = Seq(clean).toDF("text")
