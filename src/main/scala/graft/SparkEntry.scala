@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Anomaly, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.{Anomaly, TimeSeries, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -1592,6 +1592,12 @@ object SparkEntry {
     // 3·MAD with exact integer lower-medians — the volume monitor.
     "anomaly_days" -> ((s, dir) =>
       Anomaly.madOutlierDays(Tables.events(s, dir), "ts", "event_type")),
+
+    // Continuous per-type day axis with zero-filled counts,
+    // forward-filled last observation and gap age — the regular-grid
+    // repair every trend model assumes.
+    "gap_fill" -> ((s, dir) =>
+      TimeSeries.gapFill(Tables.events(s, dir), "ts", "event_type")),
 
     // Week-over-week event-volume trend per type (integer permille,
     // truncation identical in both engines even for negative deltas) —
@@ -4089,6 +4095,25 @@ object SparkEntry {
         |    AS BIGINT) AS coverage_permille
         |FROM cuts CROSS JOIN r CROSS JOIN tot
         |GROUP BY top_n, total""".stripMargin,
+
+    // range() day axis per key + IGNORE NULLS forward-fill windows —
+    // both engines' last_value frames default to unbounded..current.
+    "gap_fill" ->
+      """WITH d AS (SELECT event_type AS key,
+        |    (epoch_us(ts) // 1000000) // 86400 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT key, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY 1),
+        |axis AS (SELECT key, unnest(range(d0, d1 + 1)) AS day FROM span),
+        |j AS (SELECT axis.key, axis.day, d.n AS obs_n
+        |      FROM axis LEFT JOIN d ON d.key = axis.key AND d.day = axis.day)
+        |SELECT key, CAST(day AS BIGINT) AS day,
+        |  CAST(COALESCE(obs_n, 0) AS BIGINT) AS n,
+        |  CAST(last_value(obs_n IGNORE NULLS)
+        |    OVER (PARTITION BY key ORDER BY day) AS BIGINT) AS last_n,
+        |  CAST(day - last_value(CASE WHEN obs_n IS NOT NULL THEN day END
+        |      IGNORE NULLS)
+        |    OVER (PARTITION BY key ORDER BY day) AS BIGINT) AS gap_age
+        |FROM j""".stripMargin,
 
     // Lower medians by row_number at position (c+1)//2 — the integer-
     // exact median both engines reproduce; flag |n-med| > 3*mad.

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid time-series repair over an event stream — the step
+  * between raw events and any trend/anomaly model: models assume a
+  * CONTINUOUS axis, but an event table simply has no row for a silent
+  * day, and a naive groupBy-day feed silently teaches the model that
+  * gaps don't exist (cf. [[Anomaly.madOutlierDays]], whose medians are
+  * correct either way but whose day coverage comes from this). */
+object TimeSeries {
+
+  /** Per key: the continuous day axis from the key's first to last
+    * observed day, with `n` = that day's event count (0 on silent
+    * days), `last_n` = the most recent OBSERVED day's count
+    * (forward-fill), and `gap_age` = days since that observation (0 on
+    * observed days — the staleness signal a freshness monitor pages
+    * on). Day = `unix_seconds div 86400`, the integer-calendar
+    * discipline.
+    *
+    * Scale shape: the event stream shuffles ONCE to (key, day) counts;
+    * the axis is a per-key `sequence` explode bounded by the key's day
+    * span (never the corpus), the fill joins axis-to-counts on
+    * (key, day), and the forward-fill windows run per key over
+    * |days|-sized partitions. A key silent for years costs rows
+    * proportional to its span — the honest representation of that
+    * span. */
+  def gapFill(events: DataFrame, tsCol: String, keyCol: String): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("key"),
+        expr(s"cast($tsCol as long) div 86400").as("day"))
+      .groupBy("key", "day").agg(count(lit(1)).as("__obs_n"))
+    val axis = daily.groupBy("key")
+      .agg(min("day").as("__d0"), max("day").as("__d1"))
+      .select(col("key"),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val w = Window.partitionBy("key").orderBy("day")
+    axis.join(daily, Seq("key", "day"), "left")
+      .withColumn("n", coalesce(col("__obs_n"), lit(0L)))
+      .withColumn("last_n", last(col("__obs_n"), ignoreNulls = true).over(w))
+      .withColumn("gap_age",
+        col("day") - last(when(col("__obs_n").isNotNull, col("day")),
+          ignoreNulls = true).over(w))
+      .select("key", "day", "n", "last_n", "gap_age")
+  }
+}

@@ -33,6 +33,18 @@ class AnomalySpec extends SparkSpecBase {
     assert(flagged(rows).isEmpty)
   }
 
+  test("gapFill: zero-filled axis, forward-filled last_n, gap ages") {
+    // key g observed on days 10 (2 events) and 13 (1): axis 10..13,
+    // silent days 11-12 carry n=0, last_n=2, gap_age 1 then 2.
+    val rows = ev("g", 10L, 2) ++ ev("g", 13L, 1) ++ ev("h", 5L, 4)
+    val out = TimeSeries.gapFill(rows.toDF("ts", "event_type"), "ts", "event_type")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("g", 10L, 2L, 2L, 0L), ("g", 11L, 0L, 2L, 1L),
+      ("g", 12L, 0L, 2L, 2L), ("g", 13L, 1L, 1L, 0L),
+      ("h", 5L, 4L, 4L, 0L)))
+  }
+
   test("madOutlierDays: noisy history raises the bar (MAD > 0 suppresses)") {
     // key d: [10,14,10,14,10,22]: sorted [10,10,10,14,14,22] → lower med
     // (pos 3) = 10; devs [0,4,0,4,0,12] sorted → lower MAD (pos 3) = 0...
