@@ -1360,6 +1360,55 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
     }),
 
+    // TPC-H Q7 shape: volume shipping between two nations — the
+    // nation filters are applied to the supplier/customer DIMS first
+    // and broadcast onto the facts, so most of lineitem/orders prunes
+    // at the join instead of surviving to a post-filter.
+    "q7_nation_volume" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+      val pair = Seq("NATION_1", "NATION_2")
+      val supp = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir).where(col("n_name").isin(pair: _*)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(Tables.nation(s, dir).where(col("n_name").isin(pair: _*)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(rev).cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue per customer for one
+    // quarter, top 20 — date-filtered orders join the R-flagged
+    // lineitems, customer + nation dims broadcast on at the end.
+    "q10_returned_items" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+      Tables.orders(s, dir)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .join(Tables.lineitem(s, dir).where(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(rev).as("rev_exact"))
+        .orderBy(col("rev_exact").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"),
+          col("rev_exact").cast("double").as("revenue"),
+          col("c_acctbal"), col("n_name"))
+    }),
+
     // TPC-H Q18 shape: large-volume customers — the HAVING-filtered
     // order-quantity rollup semi-joins the fact table back; quantities
     // summed as LONGs (integral doubles) so both engines are exact.
@@ -3790,6 +3839,39 @@ object SparkEntry {
         |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |             * (1 - CAST(l_discount AS DECIMAL(12,2)))) DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM orders
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(12,2)))) DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "q18_big_orders" ->
       """WITH big AS (
