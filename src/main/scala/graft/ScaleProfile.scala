@@ -253,8 +253,13 @@ object ScaleProfile {
       // rounds, edge-linear per round like pagerank); retrieval_eval
       // (labeled quadratic ground truth at 50 queries — scales with the
       // corpus side of the crossjoin, the eval-op posture).
+      // vocab_coverage: one vocab agg + bounded TakeOrdered (the ×5
+      // suffixed vocab also ×5s the vocab table — linear band);
+      // anomaly_days/gap_fill: one (key,day) exchange then tiny-table
+      // windows (expected ~flat); q7/q10: broadcast-dim fact joins.
       val ps = Seq("weekly_trend", "triangle_count", "hybrid_rrf", "kcore",
-        "retrieval_eval")
+        "retrieval_eval", "vocab_coverage", "anomaly_days", "gap_fill",
+        "q7_nation_volume", "q10_returned_items")
       ps.foreach(q => time(q, src)) // warmup: codegen + JIT
       ps.foreach(q => time(q, out))
       ps.foreach { q =>
