@@ -487,11 +487,16 @@ object Graph {
     var prev = e.count()
     var i = 0
     while (i < rounds) {
+      val last = e
       val keep = degrees(e).where(col("deg") >= k).select("node")
       e = e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
         .localCheckpoint()
+      // release the superseded round's checkpointed blocks eagerly (the
+      // CC loop's pattern) — otherwise up to rounds+1 edge-set copies
+      // sit in executor storage until GC gets around to them
+      last.unpersist()
       val n = e.count()
       i = if (n == prev) rounds else i + 1
       prev = n

@@ -245,6 +245,15 @@ object Similarity {
   def rrfFuse(lists: Seq[(String, DataFrame)], k: Int,
       kRrf: Long = 60L, scale: Long = 1000000L): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    // names become rank_<name> columns and are interpolated into expr()
+    // SQL — a dash would parse as subtraction, a duplicate as an
+    // ambiguous reference, both failing far from the bad argument
+    require(lists.map(_._1).distinct.size == lists.size,
+      s"duplicate list names: ${lists.map(_._1).mkString(", ")}")
+    lists.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z][A-Za-z0-9_]*"),
+        s"list name '$name' is not a plain identifier")
+    }
     val tagged = lists.map { case (name, df) =>
       df.select(col("query_id"), col("id").as("doc_id"),
         col("rank").cast("long").as(s"rank_$name"))

@@ -703,19 +703,25 @@ object TextAnalysis {
     require(cuts.nonEmpty && cuts.forall(_ > 0))
     val spark = docs.sparkSession
     import spark.implicits._
+    // persist: the total-sum and TakeOrdered actions would otherwise
+    // each re-run the corpus tokenize+explode+agg (the bm25TopK `dl`
+    // pattern — pay the dominant scan once)
     val counts = docs
       .select(explode(words(col(textCol))).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
-    val totalRow = counts.agg(sum("n")).head()
-    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
-    val top = counts.orderBy(col("n").desc, col("w").asc)
-      .limit(cuts.max).select("n").as[Long].collect()
-    val prefix = top.scanLeft(0L)(_ + _) // prefix(i) = mass of top i words
-    cuts.sorted.map { c =>
-      val covered = prefix(math.min(c, top.length))
-      (c.toLong, covered, total,
-        if (total == 0) 0L else 1000L * covered / total)
-    }.toDF("top_n", "covered", "total", "coverage_permille")
+      .persist()
+    try {
+      val totalRow = counts.agg(sum("n")).head()
+      val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+      val top = counts.orderBy(col("n").desc, col("w").asc)
+        .limit(cuts.max).select("n").as[Long].collect()
+      val prefix = top.scanLeft(0L)(_ + _) // prefix(i) = mass of top i words
+      cuts.sorted.map { c =>
+        val covered = prefix(math.min(c, top.length))
+        (c.toLong, covered, total,
+          if (total == 0) 0L else 1000L * covered / total)
+      }.toDF("top_n", "covered", "total", "coverage_permille")
+    } finally counts.unpersist()
   }
 }
