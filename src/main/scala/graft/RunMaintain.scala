@@ -42,6 +42,14 @@ import org.apache.spark.sql.SparkSession
   *     stats <targetPath> [--small-file-bytes N]
   *         metadata-only layout-health census: files/bytes per bucket,
   *         small-file count, bucket skew — the table-compact tripwire
+  *     expire <targetPath> --ts-col <c> --older-than <ts>
+  *            [--key-col main_refco] [--merge-buckets N]
+  *            [--keep-snapshots N] [--ivf-index p] [--neardup-index p]
+  *            [--components p] [--vacuum true]
+  *         retention TTL: delete every key whose row's timestamp
+  *         predates the cutoff — computed key list routed through the
+  *         RunErasure path (same layout handling, index scrubs and
+  *         snapshot protocol; add --vacuum true for a hard horizon)
   * }}}
   *
   * Every action commits through the snapshot/manifest protocol: a crash
@@ -132,9 +140,47 @@ object RunMaintain {
         rows.sortBy(_._1).foreach { case (b, n, sz) =>
           System.err.println(f"[maintain] bucket=$b%4d files=$n%5d bytes=$sz%12d")
         }
+      case "expire" =>
+        // Retention TTL (GDPR data-minimization horizon): rows whose
+        // timestamp falls before --older-than leave the table. On an
+        // upsert target each key carries one row, so row-level TTL IS
+        // key-level erasure with a computed key list — the expired keys
+        // are derived from the live snapshot and routed through the
+        // SAME RunErasure path (layout detection, bucket-pruned
+        // rewrite, optional index/component scrubs, snapshot
+        // protocol), so TTL inherits erasure's crash-safety and
+        // idempotence for free. Time travel still serves the expired
+        // rows until vacuum, exactly like erasure; pass --vacuum true
+        // for a hard horizon.
+        val tsCol = opts.getOrElse("--ts-col",
+          throw new IllegalArgumentException("expire requires --ts-col <c>"))
+        val cutoff = opts.getOrElse("--older-than",
+          throw new IllegalArgumentException(
+            "expire requires --older-than <yyyy-MM-dd HH:mm:ss>"))
+        val keyCol = opts.getOrElse("--key-col", "main_refco")
+        import org.apache.spark.sql.functions.{col, to_timestamp, lit}
+        val expired = operators.Upsert.readTarget(spark, path)
+          .where(col(tsCol) < to_timestamp(lit(cutoff)))
+          .select(col(keyCol)).distinct()
+        val n = expired.count()
+        if (n == 0) {
+          System.err.println(s"[maintain] expire: nothing older than $cutoff")
+        } else {
+          val keysPath = java.nio.file.Files
+            .createTempDirectory("graft-expire").resolve("keys").toString
+          expired.write.mode("overwrite").parquet(keysPath)
+          val forward = Seq("--merge-buckets", "--keep-snapshots",
+            "--ivf-index", "--ivf-id-col", "--neardup-index",
+            "--components", "--vacuum")
+            .flatMap(k => opts.get(k).toSeq.flatMap(v => Seq(k, v)))
+          RunErasure.run(spark,
+            Array(path, keysPath, "--key-col", keyCol) ++ forward)
+          System.err.println(
+            s"[maintain] expired $n key(s) older than $cutoff from $path")
+        }
       case other =>
         throw new IllegalArgumentException(s"unknown action '$other' " +
-          "(ivf-compact | neardup-compact | table-compact | vacuum | snapshots | changes | mirror | stats)")
+          "(ivf-compact | neardup-compact | table-compact | vacuum | snapshots | changes | mirror | stats | expire)")
     }
   }
 }

@@ -389,6 +389,30 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "sf1b") {
+      // 10× axis for the round-11b heavy ops (requires the sf1 corpus —
+      // run `sf1` once first): kcore is the only new ITERATIVE op (peel
+      // rounds edge-linear — the exponent should hold near the 5×
+      // reading once job overhead is <20%); triangle_count's wedge join
+      // grows linearly on the block-clique graph; hybrid_rrf carries
+      // its two corpus-linear retrieval legs; vocab_coverage's ×10
+      // suffixed vocab stresses the vocab-table agg + TakeOrdered.
+      val big = "/tmp/scale/sf1"
+      require(new java.io.File(s"$big/lineitem.parquet").isDirectory,
+        "sf1 corpus missing — run `runMain graft.ScaleProfile sf1` first")
+      def exp10(t1: Double, t10: Double): Double =
+        math.log(t10 / t1) / math.log(10.0)
+      val ps = Seq("kcore", "triangle_count", "hybrid_rrf", "vocab_coverage")
+      ps.foreach(q => time(q, src)) // warmup: codegen + JIT
+      ps.foreach(q => time(q, big))
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t10 = median3(time(q, big))
+        println(f"SCALE10 $q%-23s sf0.1=$t1%6.2f s  sf1=$t10%7.2f s  exponent=${exp10(t1, t10)}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "sf10docs") {
       // The doc/names-family tail of the 10× axis: at sf1 these queries
       // still read overhead-dominated (spans 1.77 s, bm25 0.77 s,

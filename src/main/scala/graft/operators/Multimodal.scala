@@ -359,9 +359,11 @@ object Multimodal {
   // Tier 2c: REAL video-container metadata — pure-JVM ISO-BMFF (MP4) box
   // parsing. The container layer of MP4 is length-prefixed boxes (no
   // codec): mvhd carries timescale/duration, tkhd the track dims, hdlr
-  // the track kind. Decoding FRAMES still needs a codec (tier 3 stub);
-  // the metadata a curation pipeline filters on (duration, resolution,
-  // track inventory) is genuinely readable here.
+  // the track kind. Decoding codec'd FRAMES still needs a codec a stock
+  // JVM lacks — sampleFrames returns per-row nulls for those payloads
+  // (and really decodes GIF/PNG/JPEG/BMP); the metadata a curation
+  // pipeline filters on (duration, resolution, track inventory) is
+  // genuinely readable here.
   // ---------------------------------------------------------------------
 
   /** Container-metadata schema for video payloads. */

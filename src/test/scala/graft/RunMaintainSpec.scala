@@ -102,6 +102,39 @@ class RunMaintainSpec extends SparkSpecBase {
     assert(pst.length == 1 && pst.head._1 == -1 && pst.head._2 >= 1)
   }
 
+  test("expire action: TTL delete via the erasure path; idempotent; time travel until vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-exp").toString
+    val path = s"$dir/table"
+    val rows = Seq(
+      (1L, "old", java.sql.Timestamp.valueOf("2025-01-01 00:00:00")),
+      (2L, "old2", java.sql.Timestamp.valueOf("2025-06-01 00:00:00")),
+      (3L, "fresh", java.sql.Timestamp.valueOf("2026-02-01 00:00:00")))
+    operators.Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      rows.toDF("key", "v", "ts"), Seq("key"), nBuckets = 2,
+      keepSnapshots = 3)
+    def expire(): Unit = RunMaintain.run(spark, Array("expire", path,
+      "--ts-col", "ts", "--older-than", "2026-01-01 00:00:00",
+      "--key-col", "key", "--merge-buckets", "2",
+      "--keep-snapshots", "3"))
+    expire()
+    val live = operators.Upsert.readTarget(spark, path)
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(live == Map(3L -> "fresh"))
+    // the pre-expire snapshot still serves the expired rows (time travel)
+    val snaps = operators.Upsert.snapshots(spark, path)
+    assert(operators.Upsert.readTargetAt(spark, path, snaps.head)
+      .count() == 3)
+    // re-running with nothing left to expire is a no-op (no new snapshot)
+    expire()
+    assert(operators.Upsert.snapshots(spark, path) == snaps)
+    // hard horizon: vacuum flag drops the snapshots that held the rows
+    RunMaintain.run(spark, Array("expire", path,
+      "--ts-col", "ts", "--older-than", "2026-03-01 00:00:00",
+      "--key-col", "key", "--merge-buckets", "2", "--vacuum", "true"))
+    assert(operators.Upsert.readTarget(spark, path).count() == 0)
+    assert(operators.Upsert.snapshots(spark, path).size == 1)
+  }
+
   test("unknown action is rejected") {
     intercept[IllegalArgumentException] {
       RunMaintain.run(spark, Array("defrag", "/tmp/x"))
