@@ -1631,6 +1631,19 @@ object SparkEntry {
       Multimodal.decodeGifFrames(
         Multimodal.attachGeneratedGifs(Tables.documents(s, dir), "doc_id"))),
 
+    // Mixture budget planning under availability caps: 8-round integer
+    // waterfill of a 20k-token budget over the 20 sources with weights
+    // (N mod 7)+1 — heavy-weight sources cap at their availability and
+    // their shortfall cascades onto the open ones.
+    "mixture_alloc" -> ((s, dir) => {
+      val stats = Tables.documents(s, dir)
+        .groupBy(col("source").as("key"))
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("avail"))
+      val weights = (0 until 20)
+        .map(i => s"src$i" -> ((i % 7) + 1).toLong).toMap
+      Sampling.waterfillBudgets(stats, weights, budget = 20000L)
+    }),
+
     // Zipf coverage curve: what permille of token occurrences do the
     // top-N words cover — the tokenizer-vocab budget planner. Bounded
     // TakeOrdered of max(N) rows, no vocab-wide window.
@@ -4161,6 +4174,48 @@ object SparkEntry {
         |  CAST((2 + doc_id % 8) * (2 + (doc_id // 8) % 8)
         |       * ((doc_id * 13 + fi * 17) % 256) AS BIGINT) AS sum_b
         |FROM f""".stripMargin,
+
+    // Unrolled 8-round waterfill: each round caps every open source
+    // whose proportional share R*w // W covers its availability; open
+    // rows carry alloc NULL until capped; final split over what's left.
+    "mixture_alloc" -> {
+      val (budget, rounds) = (20000L, 8)
+      val values = (0 until 20)
+        .map(i => s"('src$i', ${(i % 7) + 1})").mkString(", ")
+      val peel = (1 to rounds).map { r =>
+        val p = s"s${r - 1}"
+        s"""s$r AS MATERIALIZED (SELECT key, avail, w,
+           |  CASE WHEN alloc IS NOT NULL THEN alloc
+           |       WHEN w > 0
+           |        AND (SELECT COALESCE(SUM(w), 0) FROM $p
+           |             WHERE alloc IS NULL AND w > 0) > 0
+           |        AND (($budget - (SELECT COALESCE(SUM(alloc), 0) FROM $p
+           |                         WHERE alloc IS NOT NULL)) * w)
+           |            // (SELECT SUM(w) FROM $p WHERE alloc IS NULL AND w > 0)
+           |            >= avail
+           |       THEN avail ELSE NULL END AS alloc
+           |  FROM $p)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH stats AS MATERIALIZED (SELECT source AS key,
+         |    SUM(length(string_split(text, ' '))) AS avail
+         |  FROM documents GROUP BY 1),
+         |wt(key, w) AS (VALUES $values),
+         |s0 AS MATERIALIZED (SELECT key, avail, w,
+         |  CAST(NULL AS BIGINT) AS alloc FROM stats JOIN wt USING (key)),
+         |$peel,
+         |fin AS (SELECT
+         |    COALESCE(SUM(CASE WHEN alloc IS NULL AND w > 0 THEN w END), 0)
+         |      AS wfin,
+         |    $budget - COALESCE(SUM(alloc), 0) AS rfin
+         |  FROM s$rounds)
+         |SELECT key, CAST(avail AS BIGINT) AS avail,
+         |  CAST(w AS BIGINT) AS weight,
+         |  CAST(CASE WHEN alloc IS NOT NULL THEN alloc
+         |       WHEN w = 0 OR wfin = 0 THEN 0
+         |       ELSE (rfin * w) // wfin END AS BIGINT) AS allocated,
+         |  alloc IS NOT NULL AS capped
+         |FROM s$rounds CROSS JOIN fin""".stripMargin
+    },
 
     // Rank words by (count desc, word asc), sum the top-N mass per cut.
     "vocab_coverage" ->

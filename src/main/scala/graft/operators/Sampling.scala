@@ -310,6 +310,65 @@ object Sampling {
         col("__start").as("tok_start"))
   }
 
+  /** Capped proportional budget allocation (waterfilling) — the mixture
+    * PLANNER that runs before [[mixSources]]: given each source's
+    * AVAILABLE token mass and target weights, split a total budget
+    * proportionally, except that a source cannot contribute more than
+    * it has — its shortfall redistributes over the still-open sources
+    * (the UniMax/epoch-cap problem: "web gets 60% of the budget" is
+    * unsatisfiable when web is only 10% of the lake).
+    *
+    * Synchronous fixed-round semantics (the [[Graph.kCore]] discipline):
+    * each round computes every open source's proportional share
+    * `R·w div W` in exact integer arithmetic and caps EVERY source
+    * whose share covers its availability at once; `rounds` rounds, then
+    * the final proportional split of what remains. Engine and an
+    * unrolled-CTE oracle agree bit for bit, converged or not (each
+    * round caps ≥1 source or is terminal, so `rounds ≥` the number of
+    * cap cascades — ≥ |sources| always suffices).
+    *
+    * Output: `(key, avail, weight, allocated, capped)`. Zero-weight
+    * sources allocate 0 (uncapped). `Σ allocated ≤ budget` always;
+    * equality up to `div` flooring whenever the open sources can absorb
+    * the remainder.
+    *
+    * Scale shape: `avail` is a ≤|sources|-row aggregate (the corpus
+    * collapses once, upstream); the waterfill itself runs on the driver
+    * over that bounded list — the broadcast-build-side boundedness
+    * precedent — and returns a |sources|-row DataFrame for the
+    * downstream broadcast join. */
+  def waterfillBudgets(avail: DataFrame, weights: Map[String, Long],
+      budget: Long, rounds: Int = 8): DataFrame = {
+    require(budget >= 0 && rounds >= 0)
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val spark = avail.sparkSession
+    import spark.implicits._
+    val av = avail.select(col("key").cast("string"), col("avail").cast("long"))
+      .as[(String, Long)].collect().toMap
+    var capped = Map.empty[String, Long] // key -> allocated (= avail)
+    var open = av.keySet.filter(k => weights.getOrElse(k, 0L) > 0L)
+    var r = 0
+    while (r < rounds) {
+      val w = open.toSeq.map(k => weights(k)).sum
+      val rem = budget - capped.values.sum
+      val caps = if (w == 0) Set.empty[String]
+        else open.filter(k => rem * weights(k) / w >= av(k))
+      capped ++= caps.map(k => k -> av(k))
+      open --= caps
+      r = if (caps.isEmpty) rounds else r + 1 // converged: later rounds no-op
+    }
+    val wFin = open.toSeq.map(k => weights(k)).sum
+    val remFin = budget - capped.values.sum
+    av.keys.toSeq.sorted.map { k =>
+      val wk = weights.getOrElse(k, 0L)
+      val alloc =
+        if (capped.contains(k)) capped(k)
+        else if (wk == 0L || wFin == 0L) 0L
+        else remFin * wk / wFin
+      (k, av(k), wk, alloc, capped.contains(k))
+    }.toDF("key", "avail", "weight", "allocated", "capped")
+  }
+
   /** Hashed unigram+bigram feature stream of a document table: one row
     * per n-gram OCCURRENCE, bucketed to `[0, buckets)` via the portable
     * [[graft.functions.F.mix64]] string hash (the shingle family's

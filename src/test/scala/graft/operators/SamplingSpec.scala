@@ -274,6 +274,35 @@ class SamplingSpec extends SparkSpecBase {
     assert(bins.forall { case (_, _, n, tok) => tok == n * 37 && n <= 14 })
   }
 
+  private def fill(av: Seq[(String, Long)], w: Map[String, Long], b: Long) =
+    Sampling.waterfillBudgets(av.toDF("key", "avail"), w, b)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+
+  test("waterfillBudgets: caps cascade and the shortfall redistributes") {
+    // W=4: a's share 500 ≥ 100 and c's 1000 ≥ 1000 cap in round 1;
+    // round 2 gives b the remaining 900 (< its 1000) — converged.
+    val out = fill(Seq(("a", 100L), ("b", 1000L), ("c", 1000L)),
+      Map("a" -> 1L, "b" -> 1L, "c" -> 2L), b = 2000L)
+    assert(out == Map("a" -> ((100L, true)), "b" -> ((900L, false)),
+      "c" -> ((1000L, true))))
+  }
+
+  test("waterfillBudgets: zero weight allocates zero; over-budget caps everything") {
+    val z = fill(Seq(("a", 500L), ("d", 500L)),
+      Map("a" -> 1L, "d" -> 0L), b = 300L)
+    assert(z == Map("a" -> ((300L, false)), "d" -> ((0L, false))))
+    val all = fill(Seq(("a", 10L), ("b", 20L)),
+      Map("a" -> 1L, "b" -> 1L), b = 10000L)
+    assert(all == Map("a" -> ((10L, true)), "b" -> ((20L, true))))
+  }
+
+  test("waterfillBudgets: uncapped split floors by integer div") {
+    val out = fill(Seq(("a", 1000000L), ("b", 1000000L)),
+      Map("a" -> 3L, "b" -> 7L), b = 10L)
+    assert(out == Map("a" -> ((3L, false)), "b" -> ((7L, false))))
+  }
+
   test("dsirScores: target-vocabulary docs outrank disjoint-vocabulary docs") {
     // corpus = 10 "medical" docs (target domain), 10 "legal" docs, plus
     // one held-out medical-like doc and one gibberish doc; the target
