@@ -403,6 +403,48 @@ class PlanSpec extends SparkSpecBase {
     assert(scans <= 1, s"corpus scanned $scans times in the scoring plan")
   }
 
+  test("triangle_count / kcore: graph plans stay equi-join shaped (no cartesian/BNLJ)") {
+    // the degree-ordered wedge join and the peel's semi joins must plan
+    // as hash/sort-merge equi-joins — a BNLJ here is the hub blow-up the
+    // formulations exist to avoid
+    Seq("triangle_count", "kcore").foreach { q =>
+      val nodes = collectAll(plan(q))
+      assert(!nodes.exists(n => n.nodeName.contains("CartesianProduct") ||
+        n.nodeName.contains("BroadcastNestedLoopJoin")),
+        s"$q has a non-equi join:\n${plan(q)}")
+    }
+  }
+
+  test("hybrid_rrf: fusion joins only the bounded per-query lists") {
+    // the corpus-side work lives in the two retrieval legs; the fusion
+    // full-outer join and top-k must not introduce a cartesian, and the
+    // brute ANN leg's query side must broadcast
+    val nodes = collectAll(plan("hybrid_rrf"))
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")))
+    assert(nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      "expected the labeled brute-force leg's broadcast corpus scan")
+  }
+
+  test("q7_nation_volume: nation-filtered dims broadcast onto the facts") {
+    val nodes = collectAll(plan("q7_nation_volume"))
+    assert(nodes.count(_.nodeName.contains("BroadcastHashJoin")) >= 2,
+      "supplier and customer dim joins should broadcast")
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")))
+  }
+
+  test("gap_fill / anomaly_days: the event stream shuffles once to (key, day)") {
+    Seq("gap_fill", "anomaly_days").foreach { q =>
+      val nodes = collectAll(plan(q))
+      // every exchange must sit above a partial aggregate or the tiny
+      // (key, day) table's descendants — never raw event rows
+      val exchanges = nodes.collect { case e: Exchange => e }
+        .filterNot(_.toString.contains("SinglePartition"))
+      assert(exchanges.nonEmpty && exchanges.forall(e =>
+        collectAll(e.child).exists(_.nodeName.contains("Aggregate"))),
+        s"$q shuffles raw event rows:\n${plan(q)}")
+    }
+  }
+
   test("scd2_history: both windows share one key exchange") {
     val nodes = collectAll(plan("scd2_history"))
     val keyExchanges = nodes.filter(n => n.isInstanceOf[Exchange] &&
