@@ -1631,6 +1631,12 @@ object SparkEntry {
       Multimodal.decodeGifFrames(
         Multimodal.attachGeneratedGifs(Tables.documents(s, dir), "doc_id"))),
 
+    // First/last-touch conversion attribution: touches reset after each
+    // purchase; per conversion the segment's first touch, the touch
+    // right before it, and the touch count — one key exchange.
+    "attribution" -> ((s, dir) =>
+      Funnel.attribution(Tables.events(s, dir), "purchase")),
+
     // Mixture budget planning under availability caps: 8-round integer
     // waterfill of a 20k-token budget over the 20 sources with weights
     // (N mod 7)+1 — heavy-weight sources cap at their availability and
@@ -4174,6 +4180,34 @@ object SparkEntry {
         |  CAST((2 + doc_id % 8) * (2 + (doc_id // 8) % 8)
         |       * ((doc_id * 13 + fi * 17) % 256) AS BIGINT) AS sum_b
         |FROM f""".stripMargin,
+
+    // Segment = running count of PRIOR conversions; the conversion ends
+    // its segment, touch credits by row_number within (user, seg).
+    "attribution" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c
+        |  FROM events),
+        |s AS (SELECT *, COALESCE(SUM(c) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+        |  FROM e),
+        |conv AS (SELECT user_id, seg, ts AS conv_ts, event_id AS conv_id
+        |         FROM s WHERE c = 1),
+        |tch AS (SELECT user_id, seg, event_type, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, seg
+        |      ORDER BY ts, event_id) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, seg
+        |      ORDER BY ts DESC, event_id DESC) AS rd,
+        |    COUNT(*) OVER (PARTITION BY user_id, seg) AS nt
+        |  FROM s WHERE c = 0),
+        |f AS (SELECT user_id, seg, event_type AS first_type,
+        |        event_id AS first_id, nt FROM tch WHERE ra = 1),
+        |l AS (SELECT user_id, seg, event_type AS last_type,
+        |        event_id AS last_id FROM tch WHERE rd = 1)
+        |SELECT conv.user_id, conv_ts, conv_id, first_type, first_id,
+        |  last_type, last_id, CAST(COALESCE(nt, 0) AS BIGINT) AS n_touches
+        |FROM conv LEFT JOIN f USING (user_id, seg)
+        |          LEFT JOIN l USING (user_id, seg)""".stripMargin,
 
     // Unrolled 8-round waterfill: each round caps every open source
     // whose proportional share R*w // W covers its availability; open

@@ -90,4 +90,49 @@ object Funnel {
       .groupBy("cohort_week", "offset_weeks")
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** First/last-touch conversion attribution — which interaction gets
+    * credit for each conversion. Per key, events order by
+    * `(ts, tieCol)`; a SEGMENT is the run of events up to and including
+    * a conversion (touches reset after every conversion — the standard
+    * non-overlapping attribution window). For each conversion: the
+    * segment's first touch (first-touch credit), its last touch before
+    * the conversion (last-touch credit), and the touch count. Both
+    * credits are null for a direct conversion (no touch in segment);
+    * trailing touches after a key's final conversion attribute nothing.
+    *
+    * 100 TB shape: ONE key exchange — the running prior-conversion
+    * count (the segment id) rides a per-key sort window, and the
+    * per-(key, segment) aggregate reuses that partitioning (Spark's
+    * clustered-distribution subset rule, the [[Sessionize.sessions]]
+    * shape), with min/max-of-struct credits map-side combined. A hot
+    * key serializes its sort exactly like sessionize's (same
+    * chunked-twin escape applies if needed). */
+  def attribution(events: DataFrame, conversionType: String,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", tieCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val isConv = col(typeCol) === conversionType
+    val touch = struct(col(tsCol), col(tieCol), col(typeCol))
+    events
+      .withColumn("__seg",
+        coalesce(sum(isConv.cast("long")).over(w), lit(0L)))
+      .groupBy(col(keyCol), col("__seg"))
+      .agg(
+        max(when(isConv, struct(col(tsCol), col(tieCol)))).as("__conv"),
+        min(when(!isConv, touch)).as("__first"),
+        max(when(!isConv, touch)).as("__last"),
+        sum((!isConv).cast("long")).as("n_touches"))
+      .where(col("__conv").isNotNull)
+      .select(col(keyCol),
+        col(s"__conv.$tsCol").as("conv_ts"),
+        col(s"__conv.$tieCol").as("conv_id"),
+        col(s"__first.$typeCol").as("first_type"),
+        col(s"__first.$tieCol").as("first_id"),
+        col(s"__last.$typeCol").as("last_type"),
+        col(s"__last.$tieCol").as("last_id"),
+        col("n_touches"))
+  }
 }

@@ -68,4 +68,28 @@ class FunnelSpec extends SparkSpecBase {
     assert(out == Map((100L, 0L) -> 2L, (100L, 1L) -> 1L, (101L, 0L) -> 1L),
       out.toString)
   }
+
+  test("attribution: segments reset on conversion; direct and trailing edges") {
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val events = Seq(
+      // user 1: view,click → purchase | view → purchase | trailing click
+      (1L, t(1), 1L, "view"), (1L, t(2), 2L, "click"),
+      (1L, t(3), 3L, "purchase"),
+      (1L, t(4), 4L, "view"), (1L, t(5), 5L, "purchase"),
+      (1L, t(6), 6L, "click"),
+      // user 2: direct conversion, no touches
+      (2L, t(1), 10L, "purchase"),
+      // user 3: touches but never converts
+      (3L, t(1), 20L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Funnel.attribution(events, "purchase")
+      .select("user_id", "conv_id", "first_type", "first_id",
+        "last_type", "last_id", "n_touches")
+      .as[(Long, Long, Option[String], Option[Long], Option[String],
+        Option[Long], Long)].collect().toSet
+    assert(out == Set(
+      (1L, 3L, Some("view"), Some(1L), Some("click"), Some(2L), 2L),
+      (1L, 5L, Some("view"), Some(4L), Some("view"), Some(4L), 1L),
+      (2L, 10L, None, None, None, None, 0L)))
+  }
 }
