@@ -1695,6 +1695,23 @@ object SparkEntry {
       Graph.triangleCount(edges, "ea", "eb")
     }),
 
+    // Local clustering coefficient over the block-clique graph plus a
+    // chain between block leaders (ids ≡ 0 mod 5): clique members read
+    // 1000 permille, leaders dilute to 400/600 — the node-level
+    // density/quality feature next to pagerank's centrality.
+    "clustering_coeff" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id").as("id"),
+        (col("doc_id") - pmod(col("doc_id"), lit(5))).as("blk"))
+      val cliques = ids.select(col("id").as("ea"), col("blk"))
+        .join(ids.select(col("id").as("eb"), col("blk")), Seq("blk"))
+        .where(col("ea") < col("eb")).select("ea", "eb")
+      val leaders = Tables.documents(s, dir).select(col("doc_id").as("l"))
+        .where(pmod(col("l"), lit(5)) === 0)
+      val chain = leaders.select(col("l").as("ea"), (col("l") + 5).as("eb"))
+        .join(leaders.select(col("l").as("eb")), Seq("eb"), "left_semi")
+      Graph.clusteringCoefficient(cliques.unionByName(chain), "ea", "eb")
+    }),
+
     // k-core of the order–part bipartite graph (node = 2·orderkey even /
     // 2·partkey+1 odd): 8 synchronous peel rounds at k=4 — thin orders
     // peel away, which thins part degrees, which can cascade; the
@@ -4320,6 +4337,32 @@ object SparkEntry {
         |  CAST(CASE WHEN n_prev IS NULL THEN NULL
         |       ELSE (n - n_prev) * 1000 // n_prev END AS BIGINT) AS wow_permille
         |FROM l""".stripMargin,
+
+    // Naive mirror: DISTINCT canonical edges, three-way triangle join,
+    // per-node incidence counts, integer-permille coefficient.
+    "clustering_coeff" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id - (doc_id % 5) AS blk
+        |             FROM documents),
+        |cl AS (SELECT a.id AS u, b.id AS v FROM ids a
+        |       JOIN ids b ON a.blk = b.blk AND a.id < b.id),
+        |ld AS (SELECT doc_id AS l FROM documents WHERE doc_id % 5 = 0),
+        |ch AS (SELECT a.l AS u, a.l + 5 AS v FROM ld a
+        |       JOIN ld b ON b.l = a.l + 5),
+        |e AS MATERIALIZED (SELECT DISTINCT u, v FROM
+        |  (SELECT * FROM cl UNION ALL SELECT * FROM ch)),
+        |tri AS MATERIALIZED (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |  FROM e ab JOIN e bc ON ab.v = bc.u
+        |            JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+        |tn AS (SELECT n, COUNT(*) AS t FROM (
+        |    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |dg AS (SELECT n, COUNT(*) AS deg FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+        |SELECT CAST(n AS BIGINT) AS node, CAST(deg AS BIGINT) AS deg,
+        |  CAST(COALESCE(t, 0) AS BIGINT) AS n_tri,
+        |  CAST((2000 * COALESCE(t, 0)) // (deg * (deg - 1)) AS BIGINT)
+        |    AS coeff_permille
+        |FROM dg LEFT JOIN tn USING (n) WHERE deg >= 2""".stripMargin,
 
     // Unrolled 8-round peel: each round recomputes degrees over the
     // surviving edge set and keeps both-ends-survive edges — the exact

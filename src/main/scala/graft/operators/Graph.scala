@@ -411,12 +411,17 @@ object Graph {
     * back (node-keyed), the wedge self-join on the low endpoint, and a
     * pair-keyed semi join against the oriented edge set. Returns ONE row
     * `(n_triangles)`. */
-  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val und = edges
-      .select(least(col(aCol), col(bCol)).as("u"),
-        greatest(col(aCol), col(bCol)).as("v"))
-      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .distinct()
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    triangleTriples(edges, aCol, bCol).agg(count(lit(1)).as("n_triangles"))
+
+  /** One row per triangle as the node triple `(lo, h1, h2)` — the
+    * degree-ordered wedge join's closed wedges (each triangle exactly
+    * once, at its minimum-rank vertex). Shared by [[triangleCount]]
+    * (global census) and [[clusteringCoefficient]] (per-node
+    * incidences). */
+  private def triangleTriples(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val und = canonicalEdges(edges, aCol, bCol)
     val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val withDeg = und
@@ -439,7 +444,43 @@ object Graph {
         (col("d1") === col("d2") && col("h1") < col("h2")))
     wedges.join(oriented.select(col("lo").as("h1"), col("hi").as("h2")),
         Seq("h1", "h2"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+      .select("lo", "h1", "h2")
+  }
+
+  private def canonicalEdges(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = edges
+    .select(least(col(aCol), col(bCol)).as("u"),
+      greatest(col(aCol), col(bCol)).as("v"))
+    .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    .distinct()
+
+  /** Local clustering coefficient per node — "how clique-like is this
+    * node's neighborhood": `c(n) = 2·t(n) / (deg(n)·(deg(n)−1))` in
+    * integer permille, where `t(n)` counts triangles through `n`. The
+    * per-node companion of [[triangleCount]]'s census: spam rings and
+    * scraped mirror farms read near 1000 (dense interlinks), organic
+    * hubs read low — a node-level quality feature next to
+    * [[pageRank]]'s centrality. Nodes with degree < 2 are excluded
+    * (coefficient undefined).
+    *
+    * Scale shape: the [[triangleTriples]] wedge join (arboricity-
+    * bounded fan-out, never a hub blow-up) + one explode of the
+    * 3-node triples into a map-side-combined per-node count + the
+    * degree table joined back. Output is node-keyed, |V|-bounded. */
+  def clusteringCoefficient(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val und = canonicalEdges(edges, aCol, bCol)
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = triangleTriples(edges, aCol, bCol)
+      .select(explode(array(col("lo"), col("h1"), col("h2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.where(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("2000 * coalesce(n_tri, 0L) div (deg * (deg - 1))")
+          .as("coeff_permille"))
   }
 
   /** k-core decomposition by SYNCHRONOUS PEELING, the graph-level

@@ -460,6 +460,27 @@ class GraphSpec extends SparkSpecBase {
     assert(core(path, k = 2, rounds = 15).isEmpty)
   }
 
+  test("clusteringCoefficient: bowtie hand case; deg<2 excluded; zero-tri nodes") {
+    // bowtie {1,2,3} + {3,4,5} with a tail 5-6: node 3 sits in 2
+    // triangles at deg 4 → 2000·2 div 12 = 333; pure wing nodes are
+    // perfect (1000); node 5 (deg 3, 1 triangle) → 2000 div 6 = 333;
+    // node 6 (deg 1) is excluded.
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
+      (5L, 6L))
+    val out = Graph.clusteringCoefficient(g.toDF("a", "b"), "a", "b")
+      .select("node", "deg", "n_tri", "coeff_permille")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 1L, 1000L), (2L, 2L, 1L, 1000L),
+      (3L, 4L, 2L, 333L), (4L, 2L, 1L, 1000L),
+      (5L, 3L, 1L, 333L)))
+    // a pure path has deg-2 nodes with zero triangles → coefficient 0
+    val path = Graph.clusteringCoefficient(
+        Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(path == Set((2L, 2L, 0L, 0L)))
+  }
+
   test("kCore: convergence early-exit equals the full fixed-round run") {
     // converges in 2 rounds; 50 nominal rounds must early-exit to the same set
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
