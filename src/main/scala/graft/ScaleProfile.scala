@@ -257,9 +257,13 @@ object ScaleProfile {
       // suffixed vocab also ×5s the vocab table — linear band);
       // anomaly_days/gap_fill: one (key,day) exchange then tiny-table
       // windows (expected ~flat); q7/q10: broadcast-dim fact joins.
+      // mixture_alloc: sources-sized agg + driver waterfill (~flat);
+      // attribution: the sessionize band (one key exchange, window +
+      // reused-partitioning agg); clustering_coeff: the wedge-join band.
       val ps = Seq("weekly_trend", "triangle_count", "hybrid_rrf", "kcore",
         "retrieval_eval", "vocab_coverage", "anomaly_days", "gap_fill",
-        "q7_nation_volume", "q10_returned_items")
+        "q7_nation_volume", "q10_returned_items", "mixture_alloc",
+        "attribution", "clustering_coeff")
       ps.foreach(q => time(q, src)) // warmup: codegen + JIT
       ps.foreach(q => time(q, out))
       ps.foreach { q =>
