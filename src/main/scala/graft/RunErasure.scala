@@ -39,6 +39,7 @@ object RunErasure {
       "usage: RunErasure <target> <keysPath> [--key-col c] " +
         "[--merge-buckets n] [--keep-snapshots n] " +
         "[--ivf-index p] [--ivf-id-col c] [--neardup-index p] " +
+        "[--text-index p] " +
         "[--components p]")
     val Array(target, keysPath) = args.take(2)
     val opts = args.drop(2).sliding(2, 2).collect {
@@ -94,6 +95,11 @@ object RunErasure {
         operators.Dedup.deleteFromNearDupIndex(spark, idx,
           keys.toDF("id"))
         System.err.println(s"[erasure] near-dup index scrubbed: $idx")
+      }
+      opts.get("--text-index").foreach { idx =>
+        operators.TextIndex.deleteFromIndex(spark, idx,
+          keys.toDF("doc_id"))
+        System.err.println(s"[erasure] text index scrubbed: $idx")
       }
       opts.get("--components").foreach { root =>
         operators.Graph.deleteFromComponents(spark, root, keys)

@@ -17,6 +17,8 @@ import org.apache.spark.sql.SparkSession
   *         rebuild its idmap) — one file per cell after
   *     neardup-compact <indexPath>
   *         collapse per-batch appends in the MinHash sigs/bands tables
+  *     textindex-compact <indexPath>
+  *         collapse per-add fragments in the BM25 postings/doclen tables
   *     table-compact <targetPath> [--keys k1,k2] [--zorder c1,c2]
   *                   [--target-file-rows N] [--rebucket N]
   *         full rewrite of a merge target: resize files, optionally
@@ -84,6 +86,9 @@ object RunMaintain {
       case "neardup-compact" =>
         operators.Dedup.compactNearDupIndex(spark, path)
         System.err.println(s"[maintain] near-dup index compacted: $path")
+      case "textindex-compact" =>
+        operators.TextIndex.compactIndex(spark, path)
+        System.err.println(s"[maintain] text index compacted: $path")
       case "table-compact" =>
         def csv(k: String): Seq[String] = opts.get(k).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -180,7 +185,7 @@ object RunMaintain {
         }
       case other =>
         throw new IllegalArgumentException(s"unknown action '$other' " +
-          "(ivf-compact | neardup-compact | table-compact | vacuum | snapshots | changes | mirror | stats | expire)")
+          "(ivf-compact | neardup-compact | textindex-compact | table-compact | vacuum | snapshots | changes | mirror | stats | expire)")
     }
   }
 }

@@ -133,6 +133,20 @@ object TextIndex {
     }
   }
 
+  /** Collapse per-add small files: one rewrite per table folding every
+    * appended fragment into one file per occupied shard (postings) /
+    * one file (doclen). Contents unchanged — the [[Ivf.compactIndex]]
+    * maintenance hook for this index. */
+  def compactIndex(spark: SparkSession, root: String): Unit = {
+    IndexStore.rewriteWith(spark, s"$root/postings",
+      partCol = Some("__shard"), sortCols = Seq("term", "doc_id")) { () =>
+      (IndexStore.read(spark, s"$root/postings"), None)
+    }
+    IndexStore.rewriteWith(spark, s"$root/doclen") { () =>
+      (IndexStore.read(spark, s"$root/doclen").coalesce(1), None)
+    }
+  }
+
   /** Ranked BM25 retrieval from the persisted index. Reads ONLY the
     * query terms' shards (manifest-level file pruning via the portable
     * term hash); corpus statistics (N, avgdl) come from one slim doclen

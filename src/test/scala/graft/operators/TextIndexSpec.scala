@@ -52,6 +52,37 @@ class TextIndexSpec extends SparkSpecBase {
       .where($"doc_id".isin(1L, 4L)).count() == 0)
   }
 
+  test("compactIndex collapses appended fragments; results unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ti5").toString
+    TextIndex.buildIndex(spark, root, corpus.where($"doc_id" <= 2), nShards = 4)
+    (3L to 5L).foreach(i =>
+      TextIndex.addToIndex(spark, root, corpus.where($"doc_id" === i)))
+    val before = served(root)
+    def files = graft.operators.Upsert
+      .readBucketManifest(spark, s"$root/postings").values.map(_.size).sum
+    val fragmented = files
+    graft.RunMaintain.run(spark, Array("textindex-compact", root))
+    assert(files < fragmented, s"no collapse: $fragmented -> $files")
+    assert(served(root) == before && before == scanned(corpus))
+  }
+
+  test("RunErasure --text-index scrubs the postings alongside the target") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ti6").toString
+    val (target, root) = (s"$dir/table", s"$dir/idx")
+    Upsert.mergeIntoParquet(spark, target,
+      corpus.withColumnRenamed("doc_id", "main_refco"), Seq("main_refco"))
+    TextIndex.buildIndex(spark, root, corpus, nShards = 4)
+    val keys = java.nio.file.Files.createTempDirectory("graft-ti6k")
+      .resolve("keys").toString
+    Seq(2L, 5L).toDF("main_refco").write.parquet(keys)
+    graft.RunErasure.run(spark, Array(target, keys, "--key-col", "main_refco",
+      "--text-index", root))
+    assert(Upsert.readTarget(spark, target).count() == 3)
+    assert(IndexStore.read(spark, s"$root/postings")
+      .where($"doc_id".isin(2L, 5L)).count() == 0)
+    assert(served(root) == scanned(corpus.where(!$"doc_id".isin(2L, 5L))))
+  }
+
   test("queries touching a single shard still see whole-corpus statistics") {
     // one-term query: only that term's shard loads, but N/avgdl/df come
     // from doclen + the shard's full postings — equality with the
