@@ -263,7 +263,7 @@ object ScaleProfile {
       val ps = Seq("weekly_trend", "triangle_count", "hybrid_rrf", "kcore",
         "retrieval_eval", "vocab_coverage", "anomaly_days", "gap_fill",
         "q7_nation_volume", "q10_returned_items", "mixture_alloc",
-        "attribution", "clustering_coeff")
+        "attribution", "clustering_coeff", "bm25_indexed")
       ps.foreach(q => time(q, src)) // warmup: codegen + JIT
       ps.foreach(q => time(q, out))
       ps.foreach { q =>
