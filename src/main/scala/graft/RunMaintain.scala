@@ -159,29 +159,46 @@ object RunMaintain {
         // for a hard horizon.
         val tsCol = opts.getOrElse("--ts-col",
           throw new IllegalArgumentException("expire requires --ts-col <c>"))
-        val cutoff = opts.getOrElse("--older-than",
+        val cutoffStr = opts.getOrElse("--older-than",
           throw new IllegalArgumentException(
             "expire requires --older-than <yyyy-MM-dd HH:mm:ss>"))
+        // parse driver-side and FAIL LOUD on a malformed cutoff — a null
+        // to_timestamp would match nothing and the retention job would
+        // exit 0 having silently retained everything
+        val cutoff = try java.sql.Timestamp.valueOf(cutoffStr)
+          catch { case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"unparseable --older-than '$cutoffStr' " +
+                "(expected yyyy-MM-dd HH:mm:ss)") }
         val keyCol = opts.getOrElse("--key-col", "main_refco")
-        import org.apache.spark.sql.functions.{col, to_timestamp, lit}
-        val expired = operators.Upsert.readTarget(spark, path)
-          .where(col(tsCol) < to_timestamp(lit(cutoff)))
-          .select(col(keyCol)).distinct()
-        val n = expired.count()
-        if (n == 0) {
-          System.err.println(s"[maintain] expire: nothing older than $cutoff")
-        } else {
-          val keysPath = java.nio.file.Files
-            .createTempDirectory("graft-expire").resolve("keys").toString
-          expired.write.mode("overwrite").parquet(keysPath)
-          val forward = Seq("--merge-buckets", "--keep-snapshots",
-            "--ivf-index", "--ivf-id-col", "--neardup-index",
-            "--components", "--vacuum")
-            .flatMap(k => opts.get(k).toSeq.flatMap(v => Seq(k, v)))
-          RunErasure.run(spark,
-            Array(path, keysPath, "--key-col", keyCol) ++ forward)
-          System.err.println(
-            s"[maintain] expired $n key(s) older than $cutoff from $path")
+        import org.apache.spark.sql.functions.{col, lit}
+        val tmp = java.nio.file.Files.createTempDirectory("graft-expire")
+        try {
+          val keysPath = tmp.resolve("keys").toString
+          // write once, count the written file — no second TTL scan
+          operators.Upsert.readTarget(spark, path)
+            .where(col(tsCol) < lit(cutoff))
+            .select(col(keyCol)).distinct()
+            .write.mode("overwrite").parquet(keysPath)
+          val n = spark.read.parquet(keysPath).count()
+          if (n == 0) {
+            System.err.println(s"[maintain] expire: nothing older than $cutoffStr")
+          } else {
+            val forward = Seq("--merge-buckets", "--keep-snapshots",
+              "--ivf-index", "--ivf-id-col", "--neardup-index",
+              "--components", "--text-index", "--vacuum")
+              .flatMap(k => opts.get(k).toSeq.flatMap(v => Seq(k, v)))
+            RunErasure.run(spark,
+              Array(path, keysPath, "--key-col", keyCol) ++ forward)
+            System.err.println(
+              s"[maintain] expired $n key(s) older than $cutoffStr from $path")
+          }
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete()
+          }
+          rm(tmp.toFile)
         }
       case other =>
         throw new IllegalArgumentException(s"unknown action '$other' " +

@@ -1218,9 +1218,7 @@ object SparkEntry {
     "bm25_indexed" -> ((s, dir) => {
       val src = new java.io.File(s"$dir/documents.parquet")
       val idx = Ivf.cachedIndexDir(src, root = "/tmp/graft-textidx")
-      // doclen commits LAST in the build, so its presence implies a
-      // complete index (meta + postings + doclen)
-      if (!graft.operators.IndexStore.exists(s, s"$idx/doclen")) {
+      if (!TextIndex.isComplete(s, idx)) {
         Ivf.gcSupersededIndexes(idx)
         TextIndex.buildIndex(s, idx, Tables.documents(s, dir), nShards = 16)
       }

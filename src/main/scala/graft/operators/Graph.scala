@@ -411,19 +411,23 @@ object Graph {
     * back (node-keyed), the wedge self-join on the low endpoint, and a
     * pair-keyed semi join against the oriented edge set. Returns ONE row
     * `(n_triangles)`. */
-  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame =
-    triangleTriples(edges, aCol, bCol).agg(count(lit(1)).as("n_triangles"))
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = canonicalEdges(edges, aCol, bCol)
+    triangleTriples(und, degreesOf(und))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  private def degreesOf(und: DataFrame): DataFrame = und
+    .select(explode(array(col("u"), col("v"))).as("n"))
+    .groupBy("n").agg(count(lit(1)).as("d"))
 
   /** One row per triangle as the node triple `(lo, h1, h2)` — the
     * degree-ordered wedge join's closed wedges (each triangle exactly
-    * once, at its minimum-rank vertex). Shared by [[triangleCount]]
-    * (global census) and [[clusteringCoefficient]] (per-node
-    * incidences). */
-  private def triangleTriples(edges: DataFrame, aCol: String,
-      bCol: String): DataFrame = {
-    val und = canonicalEdges(edges, aCol, bCol)
-    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+    * once, at its minimum-rank vertex). Takes the caller's canonical
+    * edge set and degree table so [[clusteringCoefficient]] reuses them
+    * for its own outputs instead of distinct-shuffling the edges and
+    * aggregating degrees twice. */
+  private def triangleTriples(und: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = und
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
@@ -470,9 +474,9 @@ object Graph {
   def clusteringCoefficient(edges: DataFrame, aCol: String,
       bCol: String): DataFrame = {
     val und = canonicalEdges(edges, aCol, bCol)
-    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val tri = triangleTriples(edges, aCol, bCol)
+    val degN = degreesOf(und)
+    val deg = degN.select(col("n").as("node"), col("d").as("deg"))
+    val tri = triangleTriples(und, degN)
       .select(explode(array(col("lo"), col("h1"), col("h2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
     deg.where(col("deg") >= 2)

@@ -70,44 +70,60 @@ object TextIndex {
       .withColumn("__shard",
         pmod(F.mix64(col("term")), lit(nShards.toLong)).cast("int"))
 
-  private def doclenOf(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(words(col(textCol))).as("term"))
-      .where(col("term") =!= "")
-      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+  /** `true` iff a COMPLETE index lives at `root` — the build-once probe.
+    * Keyed on the meta file, which [[buildIndex]] deletes first and
+    * rewrites LAST: a crash anywhere mid-(re)build leaves the probe
+    * false (and [[query]]/[[addToIndex]] failing loud on the missing
+    * meta) instead of serving a mixed old/new index silently. */
+  def isComplete(spark: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root, "textindex.json")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
-  /** Full build (replaces any prior index at `root`). One corpus scan
-    * feeds both tables; postings shards are term-hash-partitioned so
-    * probes prune. */
+  /** Full build (replaces any prior index at `root`). The corpus is
+    * tokenized ONCE: the postings aggregate is persisted across both
+    * table commits and doclen derives from it (`dl = Σ tf`). Prefer a
+    * fresh fingerprinted root per corpus snapshot (the
+    * `Ivf.cachedIndexDir` pattern); an in-place rebuild is crash-safe
+    * only in the fail-loud sense — meta is deleted first and rewritten
+    * last, so a crash mid-rebuild makes every reader/probe fail loudly
+    * until the rebuild is re-run, never serve mixed tables. */
   def buildIndex(spark: SparkSession, root: String, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       nShards: Int = 16): Unit = {
     require(nShards >= 1)
-    // meta first, doclen last: doclen's committed presence implies the
-    // whole build (meta + postings) landed — the build-once probe keys
-    // on it, so a crash mid-build always re-runs the build
+    val metaPath = new org.apache.hadoop.fs.Path(root, "textindex.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) fs.delete(metaPath, false)
+    val post = postingsOf(docs, idCol, textCol, nShards).persist()
+    try {
+      IndexStore.rewrite(spark, s"$root/postings", post,
+        partCol = Some("__shard"), sortCols = Seq("term", "doc_id"))
+      IndexStore.rewrite(spark, s"$root/doclen",
+        post.groupBy("doc_id").agg(sum("tf").as("dl")))
+    } finally post.unpersist()
     writeMeta(spark, root, nShards)
-    IndexStore.rewrite(spark, s"$root/postings",
-      postingsOf(docs, idCol, textCol, nShards),
-      partCol = Some("__shard"), sortCols = Seq("term", "doc_id"))
-    IndexStore.rewrite(spark, s"$root/doclen",
-      doclenOf(docs, idCol, textCol))
   }
 
   /** Incrementally index a new doc batch WITHOUT rebuilding: append the
     * batch's postings to their shards and its lengths to doclen (the
     * [[Ivf.addToIndex]] contract — ids must be new; re-adding an id
-    * double-counts it, dedup upstream). Appends extend the touched
-    * shards' manifest entries only. */
+    * double-counts it, dedup upstream). The batch is tokenized once
+    * (persisted postings aggregate, doclen = Σ tf). Appends extend the
+    * touched shards' manifest entries only. A crash BETWEEN the two
+    * appends leaves the batch in postings but not doclen (its docs
+    * drop from scoring rather than mis-score — the dl join is inner);
+    * repair by `deleteFromIndex(batch ids)` then re-adding. */
   def addToIndex(spark: SparkSession, root: String, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val n = nShardsOf(spark, root)
-    IndexStore.append(spark, s"$root/postings",
-      postingsOf(docs, idCol, textCol, n),
-      partCol = Some("__shard"), sortCols = Seq("term", "doc_id"))
-    IndexStore.append(spark, s"$root/doclen",
-      doclenOf(docs, idCol, textCol))
+    val post = postingsOf(docs, idCol, textCol, n).persist()
+    try {
+      IndexStore.append(spark, s"$root/postings", post,
+        partCol = Some("__shard"), sortCols = Seq("term", "doc_id"))
+      IndexStore.append(spark, s"$root/doclen",
+        post.groupBy("doc_id").agg(sum("tf").as("dl")))
+    } finally post.unpersist()
   }
 
   /** Erase documents from the index (compliance path): anti-join both
