@@ -135,6 +135,31 @@ class RunMaintainSpec extends SparkSpecBase {
     assert(operators.Upsert.snapshots(spark, path).size == 1)
   }
 
+  test("expire forwards --text-index; malformed cutoff fails loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-expti").toString
+    val (path, idx) = (s"$dir/table", s"$dir/idx")
+    val docs = Seq(
+      (1L, "stale words here", java.sql.Timestamp.valueOf("2025-01-01 00:00:00")),
+      (2L, "fresh words here", java.sql.Timestamp.valueOf("2026-02-01 00:00:00")))
+      .toDF("doc_id", "text", "ts")
+    operators.Upsert.mergeIntoParquet(spark, path,
+      docs.withColumnRenamed("doc_id", "main_refco"), Seq("main_refco"))
+    operators.TextIndex.buildIndex(spark, idx, docs, nShards = 4)
+    intercept[IllegalArgumentException] {
+      RunMaintain.run(spark, Array("expire", path,
+        "--ts-col", "ts", "--older-than", "01/01/2026", "--key-col", "main_refco"))
+    }
+    RunMaintain.run(spark, Array("expire", path,
+      "--ts-col", "ts", "--older-than", "2026-01-01 00:00:00",
+      "--key-col", "main_refco", "--text-index", idx))
+    assert(operators.Upsert.readTarget(spark, path).count() == 1)
+    // the TTL'd doc's postings left the index too (the compliance hole)
+    assert(operators.IndexStore.read(spark, s"$idx/postings")
+      .where(col("doc_id") === 1L).count() == 0)
+    assert(operators.IndexStore.read(spark, s"$idx/doclen")
+      .where(col("doc_id") === 1L).count() == 0)
+  }
+
   test("unknown action is rejected") {
     intercept[IllegalArgumentException] {
       RunMaintain.run(spark, Array("defrag", "/tmp/x"))
