@@ -35,7 +35,8 @@ object RunPipeline {
         "[--dims p] [--fallback ts] [--merge-buckets n] [--format f] " +
         "[--retries n] [--stream ckptDir [--enrich spec] " +
         "[--cardinality-profile dir] [--quantile-profile dir] " +
-        "[--freq-profile dir] [--components dir] [--scd2 dir]]")
+        "[--freq-profile dir] [--components dir] [--scd2 dir] " +
+        "[--text-index dir [--text-index-col c] [--text-index-shards n]]]")
     val Array(source, target, state, staging) = args.take(4)
     val opts = args.drop(4).sliding(2, 2).collect {
       case Array(k, v) => k -> v
@@ -132,6 +133,9 @@ object RunPipeline {
       freqProfilePath = opts.get("--freq-profile"),
       componentsPath = opts.get("--components"),
       scd2Path = opts.get("--scd2"),
+      textIndexPath = opts.get("--text-index"),
+      textIndexCol = opts.getOrElse("--text-index-col", "display_name"),
+      textIndexShards = opts.get("--text-index-shards").map(_.toInt).getOrElse(16),
       mergeBuckets = opts.get("--merge-buckets").map(_.toInt),
       keepSnapshots = opts.get("--keep-snapshots").map(_.toInt).getOrElse(1),
       maxFilesPerTrigger = opts.get("--max-files-per-trigger").map(_.toInt))

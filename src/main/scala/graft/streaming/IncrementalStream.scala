@@ -91,6 +91,9 @@ object IncrementalStream {
       freqProfilePath: Option[String] = None,
       componentsPath: Option[String] = None,
       scd2Path: Option[String] = None,
+      textIndexPath: Option[String] = None,
+      textIndexCol: String = "display_name",
+      textIndexShards: Int = 16,
       mergeBuckets: Option[Int] = None,
       keepSnapshots: Int = 1,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
@@ -211,6 +214,24 @@ object IncrementalStream {
             graft.operators.Ivf.buildIndex(s, idx, vecs, trainOn = vecs,
               nlist = ivfNlist, iters = 1,
               idCol = "main_refco", vecCol = "embedding_vector")
+        }
+        // Persisted BM25 index maintained by the stream: delete-then-add
+        // per batch — replay-idempotent under the at-least-once posture
+        // (delete of an absent id is a no-op) AND update-correct (an
+        // upserted key's OLD postings leave before the new ones land),
+        // where a bare append would double-count replayed keys and leave
+        // stale postings behind updates.
+        textIndexPath.foreach { idx =>
+          val docsB = curated.select(col("main_refco").as("doc_id"),
+            col(textIndexCol).cast("string").as("text"))
+          if (graft.operators.TextIndex.isComplete(s, idx)) {
+            graft.operators.TextIndex.deleteFromIndex(s, idx,
+              docsB.select("doc_id"))
+            graft.operators.TextIndex.addToIndex(s, idx, docsB)
+          } else {
+            graft.operators.TextIndex.buildIndex(s, idx, docsB,
+              nShards = textIndexShards)
+          }
         }
       }
       .start()

@@ -98,6 +98,37 @@ class IncrementalStreamSpec extends SparkSpecBase {
       .as[String].collect().toSet == Set("a", "b", "c"))
   }
 
+  test("streaming text-index maintenance: build, update-correct delete-then-add") {
+    val src = tmp("ti-src"); val ckpt = tmp("ti-ckpt")
+    val target = tmp("ti-target") + "/out"
+    val idx = tmp("ti-idx") + "/index"
+    def hits(term: String): Set[String] =
+      graft.operators.TextIndex.query(spark, idx, Seq(1L -> Seq(term)), k = 10)
+        .select("doc_id").as[String].collect().toSet
+
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-01 10:00:00", Seq(1f, 0f), "a", "", "red fish"),
+      doc("s1", "2024-01-01 11:00:00", Seq(0f, 1f), "b", "", "blue fish")),
+      "batch0")
+    IncrementalStream.start(spark, src, target, ckpt,
+      textIndexPath = Some(idx), textIndexCol = "category",
+      textIndexShards = 4).awaitTermination()
+    assert(hits("red") == Set("a") && hits("blue") == Set("b"))
+
+    // batch 1 UPDATES key a (red→green) and inserts c (red): the old
+    // "red" posting of a must leave, not linger beside the new ones
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-02 10:00:00", Seq(1f, 1f), "a", "", "green fish"),
+      doc("s2", "2024-01-02 11:00:00", Seq(2f, 1f), "c", "", "red crab")),
+      "batch1")
+    IncrementalStream.start(spark, src, target, ckpt,
+      textIndexPath = Some(idx), textIndexCol = "category",
+      textIndexShards = 4).awaitTermination()
+    assert(hits("red") == Set("c"), "stale posting survived the update")
+    assert(hits("green") == Set("a"))
+    assert(graft.operators.IndexStore.read(spark, s"$idx/doclen").count() == 3)
+  }
+
   test("streaming cardinality profile: accumulates across runs; replay-safe") {
     val src = tmp("card-src"); val ckpt = tmp("card-ckpt")
     val target = tmp("card-target") + "/out"
