@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Anomaly, TextIndex, TimeSeries, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.{Anomaly, Correlate, TextIndex, TimeSeries, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -1685,6 +1685,21 @@ object SparkEntry {
     // repair every trend model assumes.
     "gap_fill" -> ((s, dir) =>
       TimeSeries.gapFill(Tables.events(s, dir), "ts", "event_type")),
+
+    // DAU + exact trailing-7-day WAU per day — the engagement series
+    // (stickiness is the scalar ratio): cover-explode of the slim
+    // (user, day) table, no sliding distinct.
+    "rolling_active" -> ((s, dir) =>
+      TimeSeries.rollingActive(Tables.events(s, dir), "ts")),
+
+    // Exact Spearman rank correlation (integer micro-units) between two
+    // doc quality signals — token count vs distinct-token count — via
+    // the distributed two-phase ranking (no single-partition window).
+    "rank_correlation" -> ((s, dir) =>
+      Correlate.spearmanMicro(Tables.documents(s, dir),
+        size(split(col("text"), " ")).cast("long"),
+        size(array_distinct(split(col("text"), " "))).cast("long"),
+        "doc_id")),
 
     // Week-over-week event-volume trend per type (integer permille,
     // truncation identical in both engines even for negative deltas) —
@@ -4292,6 +4307,39 @@ object SparkEntry {
          |  alloc IS NOT NULL AS capped
          |FROM s$rounds CROSS JOIN fin""".stripMargin
     },
+
+    // Cover-explode mirror: each (user, day) covers days day..day+6
+    // clipped at the last observed day; distinct then count.
+    "rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    (epoch_us(ts) // 1000000) // 86400 AS day FROM events),
+        |mx AS (SELECT MAX(day) AS d1 FROM ud),
+        |cov AS (SELECT DISTINCT user_id, day + o AS day2
+        |        FROM ud CROSS JOIN mx CROSS JOIN range(0, 7) t(o)
+        |        WHERE day + o <= d1),
+        |wau AS (SELECT day2 AS day, COUNT(*) AS wau_7d FROM cov GROUP BY 1),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1)
+        |SELECT CAST(w.day AS BIGINT) AS day,
+        |  CAST(COALESCE(dau, 0) AS BIGINT) AS dau,
+        |  CAST(wau_7d AS BIGINT) AS wau_7d
+        |FROM wau w LEFT JOIN dau USING (day)""".stripMargin,
+
+    // Row-number ranks under (value, doc_id); HUGEINT sum keeps the
+    // d-squared total exact; floor-div on positives matches BigInt.
+    "rank_correlation" ->
+      """WITH m AS (SELECT doc_id, len(string_split(text, ' ')) AS a,
+        |             len(list_distinct(string_split(text, ' '))) AS b
+        |           FROM documents),
+        |r AS (SELECT doc_id,
+        |        ROW_NUMBER() OVER (ORDER BY a, doc_id) AS ra,
+        |        ROW_NUMBER() OVER (ORDER BY b, doc_id) AS rb FROM m),
+        |s AS (SELECT COUNT(*) AS n,
+        |        SUM(CAST((ra - rb) * (ra - rb) AS HUGEINT)) AS sd2 FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |  CAST(1000000 - (6000000 * sd2)
+        |       // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
+        |    AS BIGINT) AS rho_micro
+        |FROM s""".stripMargin,
 
     // Rank words by (count desc, word asc), sum the top-N mass per cut.
     "vocab_coverage" ->

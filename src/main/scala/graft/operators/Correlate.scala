@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact rank statistics over per-row metrics — the "are these two
+  * quality signals measuring the same thing" question a curation
+  * pipeline asks before gating on both. Integer-exact end to end so the
+  * oracle mirrors bit for bit. */
+object Correlate {
+
+  /** Exact global ranks by `(value, tie)` WITHOUT a single-partition
+    * window: a value histogram (small — metric values, not rows) gets
+    * prefix-summed and broadcast back, and within-value row_numbers run
+    * per value partition — the distributed two-phase ranking of
+    * `Sampling.mixSources`. Ranks are 1-based and total-ordered (ties
+    * broken by `tie`), so they are a permutation of 1..n. */
+  private def exactRank(df: DataFrame, value: Column, tie: Column,
+      out: String): DataFrame = {
+    val v = df.withColumn("__v", value)
+    val hist = v.groupBy("__v").agg(count(lit(1)).as("__c"))
+    // histogram-sized window (distinct metric values, KB-class) — the
+    // row-level work stays partitioned by value below
+    val starts = hist
+      .withColumn("__start",
+        sum("__c").over(Window.orderBy("__v")) - col("__c"))
+      .select("__v", "__start")
+    v.join(broadcast(starts), Seq("__v"))
+      .withColumn(out, col("__start") +
+        row_number().over(Window.partitionBy("__v").orderBy(tie)))
+      .drop("__v", "__start")
+  }
+
+  /** Spearman rank correlation between two metric columns, in exact
+    * integer micro-units: `ρ·10⁶ = 10⁶ − (6·10⁶·Σd²) div (n(n²−1))`
+    * with `d = rank_a − rank_b` under the deterministic total order
+    * `(value, idCol)` (row-number ranks, ties broken by id — the
+    * documented convention, mirrored by the oracle; classic
+    * average-rank tie handling would leave integer arithmetic).
+    * Returns one row `(n_docs, rho_micro)`; `rho_micro` spans
+    * [−1000000, 1000000]. Σd² accumulates in DECIMAL(38,0) (exact to
+    * 10³⁸) and the final division runs driver-side in BigInt, so no
+    * overflow up to n ≈ 2·10⁶ per the n³ denominator — sample larger
+    * corpora (the eval-op convention).
+    *
+    * Scale shape: two distributed two-phase rankings (see
+    * [[exactRank]]) + one id-keyed join + one scalar aggregate — no
+    * single-partition row-level window anywhere. */
+  def spearmanMicro(df: DataFrame, aCol: Column, bCol: Column,
+      idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("__id"), aCol.as("__a"), bCol.as("__b"))
+    val ra = exactRank(base.select("__id", "__a"), col("__a"), col("__id"), "__ra")
+      .select("__id", "__ra")
+    val rb = exactRank(base.select("__id", "__b"), col("__b"), col("__id"), "__rb")
+      .select("__id", "__rb")
+    val agg = ra.join(rb, Seq("__id"))
+      .select(((col("__ra") - col("__rb")) * (col("__ra") - col("__rb")))
+        .cast("decimal(38,0)").as("__d2"))
+      .agg(count(lit(1)).as("n"), sum("__d2").as("sd2"))
+      .head()
+    val n = agg.getLong(0)
+    val rho =
+      if (n < 2) BigInt(1000000) // degenerate: perfectly self-consistent
+      else {
+        val sd2 = BigInt(agg.getDecimal(1).toBigInteger)
+        BigInt(1000000) -
+          (BigInt(6000000) * sd2) / (BigInt(n) * (BigInt(n) * BigInt(n) - 1))
+      }
+    Seq((n, rho.toLong)).toDF("n_docs", "rho_micro")
+  }
+}

@@ -45,4 +45,43 @@ object TimeSeries {
           ignoreNulls = true).over(w))
       .select("key", "day", "n", "last_n", "gap_age")
   }
+
+  /** Exact rolling 7-day active users next to daily actives — the
+    * DAU/WAU pair as a daily SERIES (where [[Funnel]]'s stickiness is
+    * the scalar ratio): for each day in the observed range, how many
+    * distinct keys were active in the trailing `windowDays` days.
+    * Exactness without a sliding distinct: each (key, active-day) pair
+    * COVERS the `windowDays` days it keeps the key active for — explode
+    * the slim distinct pair table by that bounded factor, distinct
+    * again ((key, cover-day) — a key active twice in one window counts
+    * once), count per day. Trailing days beyond the last observed day
+    * are clipped.
+    *
+    * Scale shape: the event stream collapses to (key, day) ONCE
+    * (map-side combined distinct); everything after operates on that
+    * slim table ×windowDays — keyed exchanges only, no window
+    * functions, no per-day corpus rescans. */
+  def rollingActive(events: DataFrame, tsCol: String,
+      keyCol: String = "user_id", windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1)
+    val ud = events
+      .select(col(keyCol).as("key"),
+        expr(s"cast($tsCol as long) div 86400").as("day"))
+      .distinct()
+    val maxDay = ud.agg(max("day")).head()
+    if (maxDay.isNullAt(0)) return ud.sparkSession.emptyDataFrame
+      .selectExpr("cast(null as long) day", "cast(null as long) dau",
+        s"cast(null as long) wau_${windowDays}d").limit(0)
+    val cover = ud
+      .select(col("key"),
+        explode(sequence(col("day"),
+          least(col("day") + (windowDays - 1), lit(maxDay.getLong(0)))))
+          .as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as(s"wau_${windowDays}d"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    cover.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        col(s"wau_${windowDays}d"))
+  }
 }

@@ -2,6 +2,8 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpecBase
 
 class AnomalySpec extends SparkSpecBase {
@@ -43,6 +45,32 @@ class AnomalySpec extends SparkSpecBase {
       ("g", 10L, 2L, 2L, 0L), ("g", 11L, 0L, 2L, 1L),
       ("g", 12L, 0L, 2L, 2L), ("g", 13L, 1L, 1L, 0L),
       ("h", 5L, 4L, 4L, 0L)))
+  }
+
+  test("rollingActive: cover-exploded WAU matches hand-counted windows; clipped tail") {
+    // u1 active days 0 and 3, u2 active day 1, window 3:
+    // day0 {u1}, day1 {u1,u2}, day2 {u1,u2}, day3 {u1,u2}; dau day2 = 0
+    val rows = ev("u1", 0L, 1) ++ ev("u1", 3L, 2) ++ ev("u2", 1L, 1)
+    val out = TimeSeries.rollingActive(
+        rows.toDF("ts", "user_id"), "ts", keyCol = "user_id", windowDays = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L, 1L), (1L, 1L, 2L), (2L, 0L, 2L), (3L, 1L, 2L)))
+  }
+
+  test("spearmanMicro: perfect, inverse, partial, and monotone invariance") {
+    def rho(pairs: Seq[(Long, Long)]): Long =
+      Correlate.spearmanMicro(
+        pairs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+          .toDF("doc_id", "a", "b"),
+        col("a"), col("b"), "doc_id")
+        .select("rho_micro").as[Long].head()
+    assert(rho(Seq((1L, 10L), (2L, 20L), (3L, 30L))) == 1000000L)
+    assert(rho(Seq((1L, 3L), (2L, 2L), (3L, 1L))) == -1000000L)
+    // d^2 = 4 at n=4: 1e6 - 6e6*4 div (4*15) = 600000
+    assert(rho(Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))) == 600000L)
+    // ranks are order statistics: scaling one side can't change rho
+    assert(rho(Seq((1L, 9L), (5L, 2L), (3L, 4L), (8L, 1L))) ==
+      rho(Seq((1L, 900L), (5L, 200L), (3L, 400L), (8L, 100L))))
   }
 
   test("madOutlierDays: noisy history raises the bar (MAD > 0 suppresses)") {
