@@ -263,7 +263,8 @@ object ScaleProfile {
       val ps = Seq("weekly_trend", "triangle_count", "hybrid_rrf", "kcore",
         "retrieval_eval", "vocab_coverage", "anomaly_days", "gap_fill",
         "q7_nation_volume", "q10_returned_items", "mixture_alloc",
-        "attribution", "clustering_coeff", "bm25_indexed")
+        "attribution", "clustering_coeff", "bm25_indexed",
+        "rolling_active", "rank_correlation")
       ps.foreach(q => time(q, src)) // warmup: codegen + JIT
       ps.foreach(q => time(q, out))
       ps.foreach { q =>
