@@ -45,7 +45,7 @@ class ConcurrentSoakSpec extends SparkSpecBase {
     val src = tmp("soak-src"); val ckpt = tmp("soak-ckpt")
     val base = tmp("soak-target")
     val target = base + "/out"; val idx = base + "/lsh-index"
-    val cc = base + "/components"
+    val cc = base + "/components"; val ti = base + "/text-index"
 
     // keys are the texts themselves (empty color -> main_refco = text);
     // all texts word-disjoint except the planted near-dup of e3
@@ -70,6 +70,8 @@ class ConcurrentSoakSpec extends SparkSpecBase {
       nearDupTextCol = Some("cleaned_ref"), nearDupThreshold = 0.6,
       nearDupShingle = 1, nearDupIndexPath = Some(idx),
       componentsPath = Some(cc), mergeBuckets = Some(4),
+      textIndexPath = Some(ti), textIndexCol = "cleaned_ref",
+      textIndexShards = 4,
       keepSnapshots = 4, maxFilesPerTrigger = Some(1))
 
     def hasKey(k: String): Boolean =
@@ -84,7 +86,8 @@ class ConcurrentSoakSpec extends SparkSpecBase {
       "--keep-snapshots", "4"))
     def erase(): Unit = graft.RunErasure.run(spark, Array(target, keysPath,
       "--key-col", "main_refco", "--merge-buckets", "4",
-      "--keep-snapshots", "4", "--neardup-index", idx, "--components", cc))
+      "--keep-snapshots", "4", "--neardup-index", idx, "--components", cc,
+      "--text-index", ti))
 
     // launch the stream, then interleave maintenance from this thread
     // while it drains its 9 micro-batches
@@ -130,6 +133,15 @@ class ConcurrentSoakSpec extends SparkSpecBase {
       val ids = graft.operators.Dedup.readNearDupIndexTable(spark, idx, t)
         .select("id").as[String].collect().toSet
       assert(ids == expected.keySet, s"$t ids mismatch: $ids")
+    }
+
+    // final TEXT INDEX: exactly the surviving keys in postings AND
+    // doclen (erased scrubbed by --text-index; the dropped dup was
+    // curated out before indexing)
+    for (t <- Seq("postings", "doclen")) {
+      val ids = graft.operators.IndexStore.read(spark, s"$ti/$t")
+        .select("doc_id").distinct().as[String].collect().toSet
+      assert(ids == expected.keySet, s"text-index $t ids mismatch: $ids")
     }
 
     // final COMPONENT store: the dup's lineage survives (maps to e3);
