@@ -164,9 +164,17 @@ object RunMaintain {
             "expire requires --older-than <yyyy-MM-dd HH:mm:ss>"))
         // parse driver-side and FAIL LOUD on a malformed cutoff — a null
         // to_timestamp would match nothing and the retention job would
-        // exit 0 having silently retained everything
-        val cutoff = try java.sql.Timestamp.valueOf(cutoffStr)
-          catch { case _: IllegalArgumentException =>
+        // exit 0 having silently retained everything. Interpret the
+        // wall-clock string as UTC explicitly: Timestamp.valueOf would
+        // use the JVM default zone and shift the retention horizon by
+        // the host's UTC offset (every entrypoint pins the SESSION to
+        // UTC; the driver JVM is whatever the host is).
+        val cutoff = try java.sql.Timestamp.from(
+            java.time.LocalDateTime.parse(cutoffStr,
+              java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd HH:mm:ss"))
+              .atZone(java.time.ZoneOffset.UTC).toInstant)
+          catch { case _: java.time.format.DateTimeParseException =>
             throw new IllegalArgumentException(
               s"unparseable --older-than '$cutoffStr' " +
                 "(expected yyyy-MM-dd HH:mm:ss)") }
@@ -193,13 +201,7 @@ object RunMaintain {
             System.err.println(
               s"[maintain] expired $n key(s) older than $cutoffStr from $path")
           }
-        } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete()
-          }
-          rm(tmp.toFile)
-        }
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       case other =>
         throw new IllegalArgumentException(s"unknown action '$other' " +
           "(ivf-compact | neardup-compact | textindex-compact | table-compact | vacuum | snapshots | changes | mirror | stats | expire)")

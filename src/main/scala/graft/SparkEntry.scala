@@ -4309,20 +4309,22 @@ object SparkEntry {
     },
 
     // Cover-explode mirror: each (user, day) covers days day..day+6
-    // clipped at the last observed day; distinct then count.
+    // clipped at the last observed day; the full min..max day axis
+    // keeps total-outage gaps as explicit zeros.
     "rolling_active" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |    (epoch_us(ts) // 1000000) // 86400 AS day FROM events),
-        |mx AS (SELECT MAX(day) AS d1 FROM ud),
+        |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+        |axis AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM bounds),
         |cov AS (SELECT DISTINCT user_id, day + o AS day2
-        |        FROM ud CROSS JOIN mx CROSS JOIN range(0, 7) t(o)
+        |        FROM ud CROSS JOIN bounds CROSS JOIN range(0, 7) t(o)
         |        WHERE day + o <= d1),
         |wau AS (SELECT day2 AS day, COUNT(*) AS wau_7d FROM cov GROUP BY 1),
         |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1)
-        |SELECT CAST(w.day AS BIGINT) AS day,
+        |SELECT CAST(axis.day AS BIGINT) AS day,
         |  CAST(COALESCE(dau, 0) AS BIGINT) AS dau,
-        |  CAST(wau_7d AS BIGINT) AS wau_7d
-        |FROM wau w LEFT JOIN dau USING (day)""".stripMargin,
+        |  CAST(COALESCE(wau_7d, 0) AS BIGINT) AS wau_7d
+        |FROM axis LEFT JOIN wau USING (day) LEFT JOIN dau USING (day)""".stripMargin,
 
     // Row-number ranks under (value, doc_id); HUGEINT sum keeps the
     // d-squared total exact; floor-div on positives matches BigInt.
@@ -4336,9 +4338,10 @@ object SparkEntry {
         |s AS (SELECT COUNT(*) AS n,
         |        SUM(CAST((ra - rb) * (ra - rb) AS HUGEINT)) AS sd2 FROM r)
         |SELECT CAST(n AS BIGINT) AS n_docs,
-        |  CAST(1000000 - (6000000 * sd2)
-        |       // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
-        |    AS BIGINT) AS rho_micro
+        |  CAST(CASE WHEN n < 2 THEN 1000000
+        |       ELSE 1000000 - (6000000 * sd2)
+        |            // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
+        |       END AS BIGINT) AS rho_micro
         |FROM s""".stripMargin,
 
     // Rank words by (count desc, word asc), sum the top-N mass per cut.

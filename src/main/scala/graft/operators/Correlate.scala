@@ -38,8 +38,9 @@ object Correlate {
     * `(value, idCol)` (row-number ranks, ties broken by id — the
     * documented convention, mirrored by the oracle; classic
     * average-rank tie handling would leave integer arithmetic).
-    * Returns one row `(n_docs, rho_micro)`; `rho_micro` spans
-    * [−1000000, 1000000]. Σd² accumulates in DECIMAL(38,0) (exact to
+    * Rows with EITHER metric null are excluded up front
+    * (pairwise-complete). Returns one row `(n_docs, rho_micro)`;
+    * `rho_micro` spans [−1000000, 1000000]. Σd² accumulates in DECIMAL(38,0) (exact to
     * 10³⁸) and the final division runs driver-side in BigInt, so no
     * overflow up to n ≈ 2·10⁶ per the n³ denominator — sample larger
     * corpora (the eval-op convention).
@@ -51,7 +52,12 @@ object Correlate {
       idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // pairwise-complete contract: a row with EITHER metric null leaves
+    // the correlation entirely BEFORE ranking — ranking one side and
+    // dropping the row at the join would leave the other side's ranks
+    // no longer a permutation of 1..n and push rho outside [-1, 1]
     val base = df.select(col(idCol).as("__id"), aCol.as("__a"), bCol.as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
     val ra = exactRank(base.select("__id", "__a"), col("__a"), col("__id"), "__ra")
       .select("__id", "__ra")
     val rb = exactRank(base.select("__id", "__b"), col("__b"), col("__id"), "__rb")

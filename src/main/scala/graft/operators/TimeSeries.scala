@@ -68,20 +68,26 @@ object TimeSeries {
       .select(col(keyCol).as("key"),
         expr(s"cast($tsCol as long) div 86400").as("day"))
       .distinct()
-    val maxDay = ud.agg(max("day")).head()
-    if (maxDay.isNullAt(0)) return ud.sparkSession.emptyDataFrame
+    val bounds = ud.agg(min("day"), max("day")).head()
+    if (bounds.isNullAt(0)) return ud.sparkSession.emptyDataFrame
       .selectExpr("cast(null as long) day", "cast(null as long) dau",
         s"cast(null as long) wau_${windowDays}d").limit(0)
+    val (d0, d1) = (bounds.getLong(0), bounds.getLong(1))
     val cover = ud
       .select(col("key"),
         explode(sequence(col("day"),
-          least(col("day") + (windowDays - 1), lit(maxDay.getLong(0)))))
-          .as("day"))
+          least(col("day") + (windowDays - 1), lit(d1)))).as("day"))
       .distinct()
       .groupBy("day").agg(count(lit(1)).as(s"wau_${windowDays}d"))
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-    cover.join(dau, Seq("day"), "left")
+    // full day axis d0..d1: a total-outage gap longer than the window
+    // must read as explicit zeros — those are exactly the days a
+    // monitor pages on, not days to omit
+    ud.sparkSession.range(d0, d1 + 1).select(col("id").as("day"))
+      .join(cover, Seq("day"), "left")
+      .join(dau, Seq("day"), "left")
       .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
-        col(s"wau_${windowDays}d"))
+        coalesce(col(s"wau_${windowDays}d"), lit(0L))
+          .as(s"wau_${windowDays}d"))
   }
 }

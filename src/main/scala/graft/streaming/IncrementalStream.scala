@@ -153,17 +153,18 @@ object IncrementalStream {
         // curation (quality gates, redaction, caps) over each micro-batch
         // AFTER dedup, BEFORE merge — same contract as the batch hook.
         val curated = curate.fold(deduped)(f => f(deduped))
+        val insertOnly = Set("cleaned_ref")
         mergeBuckets match {
           case Some(n) =>
             Upsert.mergeIntoManifestBucketedParquet(s, targetPath, curated,
               keys = Seq("main_refco"), nBuckets = n,
-              insertOnlyCols = Set("cleaned_ref"),
+              insertOnlyCols = insertOnly,
               refreshExprs = Map("embedding_inserted_at" -> current_timestamp()),
               keepSnapshots = keepSnapshots)
           case None =>
             Upsert.mergeIntoParquet(s, targetPath, curated,
               keys = Seq("main_refco"),
-              insertOnlyCols = Set("cleaned_ref"),
+              insertOnlyCols = insertOnly,
               refreshExprs = Map("embedding_inserted_at" -> current_timestamp()),
               keepSnapshots = keepSnapshots)
         }
@@ -215,22 +216,34 @@ object IncrementalStream {
               nlist = ivfNlist, iters = 1,
               idCol = "main_refco", vecCol = "embedding_vector")
         }
-        // Persisted BM25 index maintained by the stream: delete-then-add
-        // per batch — replay-idempotent under the at-least-once posture
-        // (delete of an absent id is a no-op) AND update-correct (an
-        // upserted key's OLD postings leave before the new ones land),
-        // where a bare append would double-count replayed keys and leave
-        // stale postings behind updates.
+        // Persisted BM25 index maintained by the stream, indexing what
+        // the TABLE serves. For an insert-only column the merge keeps
+        // the FIRST observed value, so an existing key's served text
+        // never changes: index only keys not yet present (anti-join
+        // against the slim doclen — no delete pass touching the
+        // corpus-sized tables), and a replayed batch is a natural
+        // no-op. For a refreshed column the served text follows the
+        // batch: delete old postings for the keys already indexed
+        // (semi-joined against doclen, so a pure-insert batch pays no
+        // delete) then add — replay-idempotent and update-correct.
         textIndexPath.foreach { idx =>
           val docsB = curated.select(col("main_refco").as("doc_id"),
             col(textIndexCol).cast("string").as("text"))
-          if (graft.operators.TextIndex.isComplete(s, idx)) {
-            graft.operators.TextIndex.deleteFromIndex(s, idx,
-              docsB.select("doc_id"))
-            graft.operators.TextIndex.addToIndex(s, idx, docsB)
-          } else {
+          def indexedIds = graft.operators.IndexStore
+            .read(s, s"$idx/doclen").select("doc_id")
+          if (!graft.operators.TextIndex.isComplete(s, idx)) {
             graft.operators.TextIndex.buildIndex(s, idx, docsB,
               nShards = textIndexShards)
+          } else if (insertOnly.contains(textIndexCol)) {
+            val fresh = docsB.join(indexedIds, Seq("doc_id"), "left_anti")
+            if (!fresh.isEmpty)
+              graft.operators.TextIndex.addToIndex(s, idx, fresh)
+          } else {
+            val existing = docsB.select("doc_id")
+              .join(indexedIds, Seq("doc_id"), "left_semi")
+            if (!existing.isEmpty)
+              graft.operators.TextIndex.deleteFromIndex(s, idx, existing)
+            graft.operators.TextIndex.addToIndex(s, idx, docsB)
           }
         }
       }

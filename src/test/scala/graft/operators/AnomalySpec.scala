@@ -55,6 +55,14 @@ class AnomalySpec extends SparkSpecBase {
         rows.toDF("ts", "user_id"), "ts", keyCol = "user_id", windowDays = 3)
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((0L, 1L, 1L), (1L, 1L, 2L), (2L, 0L, 2L), (3L, 1L, 2L)))
+    // a total outage longer than the window reads as explicit zero rows
+    // (the days a monitor pages on), not as missing rows
+    val gap = TimeSeries.rollingActive(
+        (ev("u1", 0L, 1) ++ ev("u1", 6L, 1)).toDF("ts", "user_id"),
+        "ts", keyCol = "user_id", windowDays = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gap == Set((0L, 1L, 1L), (1L, 0L, 1L), (2L, 0L, 1L),
+      (3L, 0L, 0L), (4L, 0L, 0L), (5L, 0L, 0L), (6L, 1L, 1L)))
   }
 
   test("spearmanMicro: perfect, inverse, partial, and monotone invariance") {

@@ -106,8 +106,13 @@ class ConcurrentSoakSpec extends SparkSpecBase {
     // erasure must observe batch0 merged (its keys never recur, so once
     // erased they stay gone); then keep compacting while the stream runs
     val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (!hasKey(e1) && System.nanoTime() < deadline) Thread.sleep(50)
-    assert(hasKey(e1), "stream never merged batch0 within the deadline")
+    // wait for the merge AND the batch-0 text-index build (meta commits
+    // last) — an erasure racing a not-yet-built index would read a
+    // store with no committed snapshot
+    def ready = hasKey(e1) &&
+      graft.operators.TextIndex.isComplete(spark, ti)
+    while (!ready && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(ready, "stream never merged+indexed batch0 within the deadline")
     erase()
     var compactions = 0
     while (runner.isAlive && compactions < 3) {
