@@ -1686,6 +1686,12 @@ object SparkEntry {
     "gap_fill" -> ((s, dir) =>
       TimeSeries.gapFill(Tables.events(s, dir), "ts", "event_type")),
 
+    // Embedding-norm health: the 10 vectors at each norm extreme in
+    // exact fixed-point — collapsed outputs and exploding rows, the
+    // encoder-bug tripwires.
+    "embedding_norm_outliers" -> ((s, dir) =>
+      Embeddings.normOutliers(Tables.embeddings(s, dir))),
+
     // DAU + exact trailing-7-day WAU per day — the engagement series
     // (stickiness is the scalar ratio): cover-explode of the slim
     // (user, day) table, no sliding distinct.
@@ -4307,6 +4313,22 @@ object SparkEntry {
          |  alloc IS NOT NULL AS capped
          |FROM s$rounds CROSS JOIN fin""".stripMargin
     },
+
+    // Same round(x*2^20) quantizer as pool_embeddings; HUGEINT list_sum
+    // cast back to BIGINT.
+    "embedding_norm_outliers" ->
+      """WITH w AS (SELECT vec_id,
+        |    list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(x * 1048576) AS BIGINT)
+        |           * CAST(round(x * 1048576) AS BIGINT))) AS norm2_q
+        |  FROM embeddings),
+        |hi AS (SELECT 'high' AS tail, vec_id, norm2_q FROM w
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY norm2_q DESC, vec_id) <= 10),
+        |lo AS (SELECT 'low' AS tail, vec_id, norm2_q FROM w
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY norm2_q ASC, vec_id) <= 10)
+        |SELECT tail, vec_id, CAST(norm2_q AS BIGINT) AS norm2_q FROM hi
+        |UNION ALL
+        |SELECT tail, vec_id, CAST(norm2_q AS BIGINT) AS norm2_q FROM lo""".stripMargin,
 
     // Cover-explode mirror: each (user, day) covers days day..day+6
     // clipped at the last observed day; the full min..max day axis

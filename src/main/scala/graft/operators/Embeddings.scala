@@ -111,4 +111,30 @@ object Embeddings {
         expr("aggregate(zip_with(__ca, __cb, (x, y) -> abs(x - y)), 0L, (s, v) -> greatest(s, v))")
           .as("drift_max")): _*)
   }
+
+  /** Embedding-norm health: the `k` vectors at each norm extreme — the
+    * near-zero tail (collapsed/degenerate outputs an encoder bug or a
+    * zero-padded ingest produces) and the exploding tail (unnormalized
+    * or corrupt rows that dominate any dot-product retrieval). Norms in
+    * the engine's exact fixed-point discipline: `q = round(x·2²⁰)` per
+    * element ([[poolEmbeddings]]'s quantizer), `norm2_q = Σ q²` — order-
+    * independent integer arithmetic, oracle-mirrorable. Output
+    * `(tail ∈ {high, low}, vec_id, norm2_q)`, ties broken by id.
+    *
+    * Scale shape: one scan-stage map + two bounded TakeOrdereds (map-
+    * side k-row buffers) — no full sort, no shuffle beyond the k-row
+    * collect. */
+  def normOutliers(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 10): DataFrame = {
+    require(k >= 1)
+    val q = transform(col(vecCol),
+      x => round(x.cast("double") * (1L << PoolScaleBits)).cast("long"))
+    val w = df.select(col(idCol).as("vec_id"),
+      aggregate(q, lit(0L), (acc, v) => acc + v * v).as("norm2_q"))
+    val hi = w.orderBy(col("norm2_q").desc, col("vec_id")).limit(k)
+      .withColumn("tail", lit("high"))
+    val lo = w.orderBy(col("norm2_q").asc, col("vec_id")).limit(k)
+      .withColumn("tail", lit("low"))
+    hi.unionByName(lo).select("tail", "vec_id", "norm2_q")
+  }
 }

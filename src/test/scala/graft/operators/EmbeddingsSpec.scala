@@ -135,4 +135,22 @@ class EmbeddingsSpec extends SparkSpecBase {
     assert(a.select("doc_id").as[Long].collect().sorted
       .sameElements(b.select("doc_id").as[Long].collect().sorted))
   }
+
+  test("normOutliers: planted zero and exploding vectors land in the right tails") {
+    val vecs = Seq(
+      (1L, Array(0f, 0f)),          // collapsed — low tail, norm 0
+      (2L, Array(100f, 0f)),        // exploding — high tail
+      (3L, Array(1f, 0f)),
+      (4L, Array(0f, 2f))).toDF("vec_id", "embedding")
+    val out = Embeddings.normOutliers(vecs, k = 1)
+      .as[(String, Long, Long)].collect().toSet
+    val q = 1048576L
+    assert(out == Set(
+      ("low", 1L, 0L),
+      ("high", 2L, (100L * q) * (100L * q))))
+    // ties break by id: two identical-norm vectors, k=1 keeps smaller id
+    val tie = Seq((7L, Array(1f)), (5L, Array(1f))).toDF("vec_id", "embedding")
+    assert(Embeddings.normOutliers(tie, k = 1)
+      .where($"tail" === "low").select("vec_id").as[Long].head() == 5L)
+  }
 }
