@@ -226,6 +226,12 @@ object IncrementalStream {
         // batch: delete old postings for the keys already indexed
         // (semi-joined against doclen, so a pure-insert batch pays no
         // delete) then add — replay-idempotent and update-correct.
+        // Freshness keys on doclen, which commits AFTER postings in an
+        // add: a crash exactly between the two appends leaves that
+        // batch's keys "fresh", and the replay re-appends their
+        // postings — run TextIndex.deleteFromIndex for the batch keys
+        // (or rebuild) to heal a torn add, per addToIndex's documented
+        // repair contract.
         textIndexPath.foreach { idx =>
           val docsB = curated.select(col("main_refco").as("doc_id"),
             col(textIndexCol).cast("string").as("text"))
