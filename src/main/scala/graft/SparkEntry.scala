@@ -1428,6 +1428,21 @@ object SparkEntry {
           col("c_acctbal"), col("n_name"))
     }),
 
+    // TPC-H Q4 shape: order-priority census over orders with at least
+    // one late-shipped line (EXISTS = left-semi join; the classic
+    // decorrelated-subquery plan) in one quarter.
+    "q4_priority_exists" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .join(Tables.lineitem(s, dir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
     // TPC-H Q18 shape: large-volume customers — the HAVING-filtered
     // order-quantity rollup semi-joins the fact table back; quantities
     // summed as LONGs (integral doubles) so both engines are exact.
@@ -3921,6 +3936,16 @@ object SparkEntry {
         |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |             * (1 - CAST(l_discount AS DECIMAL(12,2)))) DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -675,9 +675,14 @@ class IncrementalStreamSpec extends SparkSpecBase {
       Row("a", Timestamp.valueOf("2024-01-01 10:05:00"), 0.9)))
 
     // exactly the CLI surface: the flag string parses to an EnrichSpec
-    // and --stream starts the same plan RunPipeline.main would
-    val opts = Map("--enrich" ->
-      s"$eSrc;main_refco STRING, ets TIMESTAMP, score DOUBLE;main_refco;ets;10 minutes;10 minutes")
+    // and --stream starts the same plan RunPipeline.main would; the
+    // --text-index flags ride along and must build the index
+    val ti = tmp("cli-enrich-ti") + "/index"
+    val opts = Map(
+      "--enrich" ->
+        s"$eSrc;main_refco STRING, ets TIMESTAMP, score DOUBLE;main_refco;ets;10 minutes;10 minutes",
+      "--text-index" -> ti, "--text-index-col" -> "category",
+      "--text-index-shards" -> "2")
     graft.RunPipeline.startStream(spark, src, target, ckpt, opts)
       .awaitTermination()
     val t1 = graft.operators.Upsert.readTarget(spark, target)
@@ -685,6 +690,10 @@ class IncrementalStreamSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> Option(r.get(1))).toMap
     assert(t1("a") == Some(0.9),
       s"CLI-configured enrichment column missing: $t1")
+    assert(graft.operators.TextIndex.isComplete(spark, ti),
+      "CLI --text-index flags did not reach the stream")
+    assert(graft.operators.IndexStore.read(spark, s"$ti/doclen")
+      .select("doc_id").as[String].collect().toSeq == Seq("a"))
   }
 
   test("streaming dedup within watermark drops cross-batch re-deliveries") {
