@@ -264,7 +264,8 @@ object ScaleProfile {
         "retrieval_eval", "vocab_coverage", "anomaly_days", "gap_fill",
         "q7_nation_volume", "q10_returned_items", "mixture_alloc",
         "attribution", "clustering_coeff", "bm25_indexed",
-        "rolling_active", "rank_correlation", "embedding_norm_outliers")
+        "rolling_active", "rank_correlation", "embedding_norm_outliers",
+        "q4_priority_exists")
       ps.foreach(q => time(q, src)) // warmup: codegen + JIT
       ps.foreach(q => time(q, out))
       ps.foreach { q =>
