@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Anomaly, Correlate, TextIndex, TimeSeries, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.{Anomaly, Correlate, TextIndex, TimeSeries, Web, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -1700,6 +1700,30 @@ object SparkEntry {
     // repair every trend model assumes.
     "gap_fill" -> ((s, dir) =>
       TimeSeries.gapFill(Tables.events(s, dir), "ts", "event_type")),
+
+    // Registrable-domain census over deterministic synthetic URLs
+    // (scheme-less for id%7=0, :8080 port for id%5=0, subdomain always,
+    // co.uk multi-label suffix for id%4=3): the engine PARSES host →
+    // registrable domain; the oracle recomputes the construction's
+    // closed form — real parsing vs independent expectation, the
+    // multimodal-fixture pattern.
+    "domain_census" -> ((s, dir) => {
+      val id = col("doc_id")
+      val tld = element_at(
+        array(lit("com"), lit("org"), lit("io"), lit("co.uk")),
+        (pmod(id, lit(4)) + 1).cast("int"))
+      val url = concat(
+        when(pmod(id, lit(7)) === 0, lit("")).otherwise(lit("https://")),
+        lit("sub"), pmod(id, lit(3)),
+        lit(".site"), pmod(id, lit(97)), lit("."), tld,
+        when(pmod(id, lit(5)) === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), id)
+      Tables.documents(s, dir)
+        .withColumn("__dom", Web.registrableDomain(Web.hostOf(url)))
+        .groupBy(col("__dom").as("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"))
+    }),
 
     // Embedding-norm health: the 10 vectors at each norm extreme in
     // exact fixed-point — collapsed outputs and exploding rows, the
@@ -4338,6 +4362,19 @@ object SparkEntry {
          |  alloc IS NOT NULL AS capped
          |FROM s$rounds CROSS JOIN fin""".stripMargin
     },
+
+    // Closed-form mirror: the registrable domain follows directly from
+    // the synthetic construction — scheme/port/path/subdomain parsing
+    // happens only on the engine side.
+    "domain_census" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    'site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+        |    CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |         WHEN 2 THEN 'io' ELSE 'co.uk' END AS dom
+        |  FROM documents)
+        |SELECT dom AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM u GROUP BY 1""".stripMargin,
 
     // Same round(x*2^20) quantizer as pool_embeddings; HUGEINT list_sum
     // cast back to BIGINT.
