@@ -1725,6 +1725,28 @@ object SparkEntry {
           sum(col("n_chars").cast("long")).as("total_chars"))
     }),
 
+    // Per-PUBLISHER document cap (C4's per-domain cap): the registrable
+    // domain keys a deterministic-rank cap — ≤3 docs per domain
+    // whatever a crawl dumped; composes Web parsing with the capPerKey
+    // Knuth-rank discipline.
+    "domain_cap" -> ((s, dir) => {
+      val id = col("doc_id")
+      val tld = element_at(
+        array(lit("com"), lit("org"), lit("io"), lit("co.uk")),
+        (pmod(id, lit(4)) + 1).cast("int"))
+      val url = concat(
+        when(pmod(id, lit(7)) === 0, lit("")).otherwise(lit("https://")),
+        lit("sub"), pmod(id, lit(3)),
+        lit(".site"), pmod(id, lit(97)), lit("."), tld,
+        when(pmod(id, lit(5)) === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), id)
+      Dedup.capPerKey(
+        Tables.documents(s, dir)
+          .withColumn("domain", Web.registrableDomain(Web.hostOf(url)))
+          .select("doc_id", "domain"),
+        k = 3, keys = Seq("domain"), idCol = "doc_id")
+    }),
+
     // Embedding-norm health: the 10 vectors at each norm extreme in
     // exact fixed-point — collapsed outputs and exploding rows, the
     // encoder-bug tripwires.
@@ -4375,6 +4397,19 @@ object SparkEntry {
         |SELECT dom AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM u GROUP BY 1""".stripMargin,
+
+    // Closed-form domain + cap_per_key's Knuth-rank row_number cut.
+    "domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+        |    'site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+        |    CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |         WHEN 2 THEN 'io' ELSE 'co.uk' END AS domain
+        |  FROM documents)
+        |SELECT doc_id, domain FROM u
+        |QUALIFY row_number() OVER (PARTITION BY domain
+        |  ORDER BY ((doc_id % 4294967296 % 65536) * 2654435761
+        |            + ((doc_id % 4294967296 // 65536) * 2654435761 % 65536) * 65536)
+        |           % 4294967296, doc_id) <= 3""".stripMargin,
 
     // Same round(x*2^20) quantizer as pool_embeddings; HUGEINT list_sum
     // cast back to BIGINT.
