@@ -1725,6 +1725,12 @@ object SparkEntry {
           sum(col("n_chars").cast("long")).as("total_chars"))
     }),
 
+    // Market-basket lift between event types over 30-min sessions:
+    // per-session distinct presence, exact integer lift permille —
+    // which actions travel together beyond chance.
+    "basket_lift" -> ((s, dir) =>
+      Cooccur.basketLift(Tables.events(s, dir), gapSeconds = 1800)),
+
     // Per-PUBLISHER document cap (C4's per-domain cap): the registrable
     // domain keys a deterministic-rank cap — ≤3 docs per domain
     // whatever a crawl dumped; composes Web parsing with the capPerKey
@@ -4397,6 +4403,30 @@ object SparkEntry {
         |SELECT dom AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM u GROUP BY 1""".stripMargin,
+
+    // sessionize's island CTE carrying event_type; per-session DISTINCT
+    // presence; lift over the session total.
+    "basket_lift" ->
+      """WITH g AS (SELECT user_id, ts, event_type,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, event_type,
+        |    1 + SUM(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM g),
+        |st AS (SELECT DISTINCT user_id, sid, event_type AS t FROM s),
+        |tot AS (SELECT COUNT(*) AS n FROM
+        |  (SELECT DISTINCT user_id, sid FROM st)),
+        |singles AS (SELECT t, COUNT(*) AS n_t FROM st GROUP BY 1),
+        |pc AS (SELECT x.t AS a, y.t AS b, COUNT(*) AS n_ab
+        |       FROM st x JOIN st y
+        |         ON x.user_id = y.user_id AND x.sid = y.sid AND x.t < y.t
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST((1000 * n_ab * n) // (sa.n_t * sb.n_t) AS BIGINT)
+        |    AS lift_permille
+        |FROM pc JOIN singles sa ON sa.t = pc.a
+        |        JOIN singles sb ON sb.t = pc.b CROSS JOIN tot""".stripMargin,
 
     // Closed-form domain + cap_per_key's Knuth-rank row_number cut.
     "domain_cap" ->

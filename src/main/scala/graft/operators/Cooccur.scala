@@ -60,4 +60,49 @@ object Cooccur {
       .select(col("item_a"), col("item_b"), col("co"),
         expr("co * 1000 div least(__da, __db)").as("overlap_permille"))
   }
+
+  /** Market-basket LIFT between event types over sessions — "do these
+    * two actions co-occur in a session more than chance": the basket is
+    * the gaps-and-islands session ([[Sessionize.sessions]]'s islands),
+    * presence is per-session DISTINCT (a bot session repeating one type
+    * 10⁶ times counts once), and
+    * `lift‰ = 1000 · n_ab · N div (n_a · n_b)` in exact integers —
+    * >1000 = attraction, <1000 = repulsion. Pairs below `minCount`
+    * drop (noise floor). Output `(a, b, n_ab, lift_permille)` with
+    * `a < b` canonical.
+    *
+    * Scale shape: ONE key exchange computes the island ids (the
+    * sessionize sort), the distinct collapses each session to ≤|types|
+    * rows, and the pair self-join fans out ≤|types|² per session — the
+    * type domain bounds everything downstream; the singles table is
+    * |types| rows, broadcast back. */
+  def basketLift(events: DataFrame, gapSeconds: Long,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", minCount: Long = 5L): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol))
+    val gapFlag = when(
+      col(tsCol).cast("long") - lag(col(tsCol), 1).over(byKey).cast("long")
+        > gapSeconds, 1L).otherwise(0L)
+    val st = events
+      .withColumn("__ns", gapFlag)
+      .withColumn("__sid", sum(col("__ns")).over(byKey) + 1L)
+      .select(col(keyCol).as("__k"), col("__sid"), col(typeCol).as("t"))
+      .distinct()
+    val nSess = st.select("__k", "__sid").distinct().count()
+    val singles = st.groupBy("t").agg(count(lit(1)).as("n_t"))
+    val pairs = st.select(col("__k"), col("__sid"), col("t").as("a"))
+      .join(st.select(col("__k"), col("__sid"), col("t").as("b")),
+        Seq("__k", "__sid"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    pairs
+      .join(broadcast(singles.select(col("t").as("a"), col("n_t").as("n_a"))),
+        Seq("a"))
+      .join(broadcast(singles.select(col("t").as("b"), col("n_t").as("n_b"))),
+        Seq("b"))
+      .select(col("a"), col("b"), col("n_ab"),
+        expr(s"1000L * n_ab * ${nSess}L div (n_a * n_b)").as("lift_permille"))
+  }
 }

@@ -40,4 +40,23 @@ class CooccurSpec extends SparkSpecBase {
     // (1,3) co-occurs for u1 and u2 -> co=2, overlap 1000
     assert(out.toSeq == Seq((1L, 3L, 2L, 1000L)), out.toSeq.toString)
   }
+
+  test("basketLift: sessions are the baskets; attraction vs repulsion; distinct presence") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // u1: {view,click} then {view}; u2: {view,purchase}; u3: {click}
+    // N=4 sessions; singles view=3 click=2 purchase=1
+    // (click,view): 1000*1*4 div (2*3) = 666 (repulsion)
+    // (purchase,view): 1000*1*4 div (1*3) = 1333 (attraction)
+    val ev = Seq(
+      (1L, t(0), "view"), (1L, t(5), "click"), (1L, t(5), "click"), // dup: once
+      (1L, t(100), "view"),
+      (2L, t(0), "view"), (2L, t(2), "purchase"),
+      (3L, t(0), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Cooccur.basketLift(ev, gapSeconds = 10, minCount = 1L)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("click", "view", 1L, 666L),
+      ("purchase", "view", 1L, 1333L)))
+  }
 }
