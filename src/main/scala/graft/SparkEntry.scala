@@ -188,6 +188,24 @@ object SparkEntry {
       .withColumn("recall_permille", expr("n_hit * 1000 div n_exact"))
   }
 
+  /** Deterministic synthetic URL per doc id, shared by domain_census
+    * and domain_cap (and mirrored closed-form by both oracles — one
+    * definition, no drift): scheme-less for id%7=0, `:8080` port for
+    * id%5=0, always a subdomain, `co.uk` multi-label suffix for
+    * id%4=3. */
+  private def syntheticUrl(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val tld = element_at(
+      array(lit("com"), lit("org"), lit("io"), lit("co.uk")),
+      (pmod(id, lit(4)) + 1).cast("int"))
+    concat(
+      when(pmod(id, lit(7)) === 0, lit("")).otherwise(lit("https://")),
+      lit("sub"), pmod(id, lit(3)),
+      lit(".site"), pmod(id, lit(97)), lit("."), tld,
+      when(pmod(id, lit(5)) === 0, lit(":8080")).otherwise(lit("")),
+      lit("/p/"), id)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/F: filtered+projected scan with parquet pushdown.
     "pushdown_scan" -> ((s, dir) =>
@@ -1707,23 +1725,13 @@ object SparkEntry {
     // registrable domain; the oracle recomputes the construction's
     // closed form — real parsing vs independent expectation, the
     // multimodal-fixture pattern.
-    "domain_census" -> ((s, dir) => {
-      val id = col("doc_id")
-      val tld = element_at(
-        array(lit("com"), lit("org"), lit("io"), lit("co.uk")),
-        (pmod(id, lit(4)) + 1).cast("int"))
-      val url = concat(
-        when(pmod(id, lit(7)) === 0, lit("")).otherwise(lit("https://")),
-        lit("sub"), pmod(id, lit(3)),
-        lit(".site"), pmod(id, lit(97)), lit("."), tld,
-        when(pmod(id, lit(5)) === 0, lit(":8080")).otherwise(lit("")),
-        lit("/p/"), id)
+    "domain_census" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .withColumn("__dom", Web.registrableDomain(Web.hostOf(url)))
+        .withColumn("__dom",
+          Web.registrableDomain(Web.hostOf(syntheticUrl(col("doc_id")))))
         .groupBy(col("__dom").as("domain"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars").cast("long")).as("total_chars"))
-    }),
+          sum(col("n_chars").cast("long")).as("total_chars"))),
 
     // Market-basket lift between event types over 30-min sessions:
     // per-session distinct presence, exact integer lift permille —
@@ -1735,23 +1743,13 @@ object SparkEntry {
     // domain keys a deterministic-rank cap — ≤3 docs per domain
     // whatever a crawl dumped; composes Web parsing with the capPerKey
     // Knuth-rank discipline.
-    "domain_cap" -> ((s, dir) => {
-      val id = col("doc_id")
-      val tld = element_at(
-        array(lit("com"), lit("org"), lit("io"), lit("co.uk")),
-        (pmod(id, lit(4)) + 1).cast("int"))
-      val url = concat(
-        when(pmod(id, lit(7)) === 0, lit("")).otherwise(lit("https://")),
-        lit("sub"), pmod(id, lit(3)),
-        lit(".site"), pmod(id, lit(97)), lit("."), tld,
-        when(pmod(id, lit(5)) === 0, lit(":8080")).otherwise(lit("")),
-        lit("/p/"), id)
+    "domain_cap" -> ((s, dir) =>
       Dedup.capPerKey(
         Tables.documents(s, dir)
-          .withColumn("domain", Web.registrableDomain(Web.hostOf(url)))
+          .withColumn("domain",
+            Web.registrableDomain(Web.hostOf(syntheticUrl(col("doc_id")))))
           .select("doc_id", "domain"),
-        k = 3, keys = Seq("domain"), idCol = "doc_id")
-    }),
+        k = 3, keys = Seq("domain"), idCol = "doc_id")),
 
     // Embedding-norm health: the 10 vectors at each norm extreme in
     // exact fixed-point — collapsed outputs and exploding rows, the
@@ -4423,7 +4421,8 @@ object SparkEntry {
         |         ON x.user_id = y.user_id AND x.sid = y.sid AND x.t < y.t
         |       GROUP BY 1, 2 HAVING COUNT(*) >= 5)
         |SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
-        |  CAST((1000 * n_ab * n) // (sa.n_t * sb.n_t) AS BIGINT)
+        |  CAST((1000 * CAST(n_ab AS HUGEINT) * n)
+        |       // (CAST(sa.n_t AS HUGEINT) * sb.n_t) AS BIGINT)
         |    AS lift_permille
         |FROM pc JOIN singles sa ON sa.t = pc.a
         |        JOIN singles sb ON sb.t = pc.b CROSS JOIN tot""".stripMargin,

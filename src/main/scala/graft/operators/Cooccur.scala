@@ -85,11 +85,16 @@ object Cooccur {
       col(tsCol).cast("long") - lag(col(tsCol), 1).over(byKey).cast("long")
         > gapSeconds, 1L).otherwise(0L)
     val st = events
+      .where(col(keyCol).isNotNull && col(typeCol).isNotNull)
       .withColumn("__ns", gapFlag)
       .withColumn("__sid", sum(col("__ns")).over(byKey) + 1L)
       .select(col(keyCol).as("__k"), col("__sid"), col(typeCol).as("t"))
       .distinct()
-    val nSess = st.select("__k", "__sid").distinct().count()
+    // lazy one-row session total cross-joined in (the oracle's CROSS
+    // JOIN tot) — an eager count() here would run the window sort as a
+    // plan-construction side effect and then recompute it at execution
+    val tot = st.select("__k", "__sid").distinct()
+      .agg(count(lit(1)).as("__n"))
     val singles = st.groupBy("t").agg(count(lit(1)).as("n_t"))
     val pairs = st.select(col("__k"), col("__sid"), col("t").as("a"))
       .join(st.select(col("__k"), col("__sid"), col("t").as("b")),
@@ -102,7 +107,13 @@ object Cooccur {
         Seq("a"))
       .join(broadcast(singles.select(col("t").as("b"), col("n_t").as("n_b"))),
         Seq("b"))
+      .crossJoin(broadcast(tot))
+      // DECIMAL(38,0) numerator: 1000·n_ab·N wraps a Long near
+      // n_ab·N ~ 9·10¹⁵ (silently — DuckDB would error instead);
+      // 128-bit keeps the exact-integer contract at corpus scale
       .select(col("a"), col("b"), col("n_ab"),
-        expr(s"1000L * n_ab * ${nSess}L div (n_a * n_b)").as("lift_permille"))
+        expr("cast((cast(1000 as decimal(38,0)) * n_ab * __n) " +
+          "div (cast(n_a as decimal(38,0)) * n_b) as bigint)")
+          .as("lift_permille"))
   }
 }

@@ -12,13 +12,23 @@ import org.apache.spark.sql.functions._
   * codegen'd, no UDF, no regex-dialect risk. */
 object Web {
 
-  /** Host (authority) of a URL: strips scheme if present, then path/
-    * query, then a `:port`. Scheme-less inputs ("example.com/x") and
-    * bare hosts pass through. */
+  /** Host of a URL: strips the scheme if present (taking the segment
+    * after the FIRST `://` — a URL embedded in a query parameter must
+    * not hijack the host), then the path / `?query` / `#fragment`,
+    * then `user:pass@` userinfo, then a `:port`; finally lowercases
+    * and drops a trailing FQDN dot (hostnames are case-insensitive).
+    * Scheme-less inputs ("example.com/x") and bare hosts pass
+    * through. */
   def hostOf(url: Column): Column = {
-    val afterScheme = element_at(split(url, "://"), -1)
+    val sp = split(url, "://")
+    val afterScheme = when(size(sp) >= 2, element_at(sp, 2))
+      .otherwise(element_at(sp, 1))
     val beforePath = element_at(split(afterScheme, "/"), 1)
-    element_at(split(beforePath, ":"), 1)
+    val beforeQuery = element_at(split(beforePath, "\\?"), 1)
+    val beforeFrag = element_at(split(beforeQuery, "#"), 1)
+    val afterUser = element_at(split(beforeFrag, "@"), -1)
+    val beforePort = element_at(split(afterUser, ":"), 1)
+    rtrim(lower(beforePort), ".")
   }
 
   /** Registrable domain of a host under a fixed multi-label-suffix list
@@ -36,8 +46,10 @@ object Web {
     // index — it must pass through, not throw
     val lastTwo = concat_ws(".",
       try_element_at(parts, lit(-2)), try_element_at(parts, lit(-1)))
+    // case-insensitive: callers may pass hosts that didn't go through
+    // hostOf's normalization
     val isMulti = multiLabelSuffixes
-      .map(s => lastTwo === s).reduce(_ || _)
+      .map(s => lower(lastTwo) === s.toLowerCase).reduce(_ || _)
     when(isMulti && n >= lit(3),
         concat_ws(".", try_element_at(parts, lit(-3)), lastTwo))
       .when(!isMulti && n >= lit(2), lastTwo)
