@@ -1733,6 +1733,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars").cast("long")).as("total_chars"))),
 
+    // Safety-blocklist census per source: denylist hits counted by the
+    // native codegen'd CountInSet in the scan stage, aggregated to
+    // flagged-doc rates — the filter audit a safety pipeline reports.
+    "blocklist_hits" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          graft.functions.F.countInSet(split(col("text"), " "),
+            Seq("slow", "crash", "leak")).as("__h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("__h") > 0).cast("long")).as("flagged"),
+          sum(col("__h")).as("total_hits"))
+        .withColumn("flagged_permille", expr("1000 * flagged div n_docs"))),
+
     // Market-basket lift between event types over 30-min sessions:
     // per-session distinct presence, exact integer lift permille —
     // which actions travel together beyond chance.
@@ -4401,6 +4415,19 @@ object SparkEntry {
         |SELECT dom AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM u GROUP BY 1""".stripMargin,
+
+    // list_filter IN mirror of the CountInSet scan.
+    "blocklist_hits" ->
+      """WITH d AS (SELECT source,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('slow', 'crash', 'leak'))) AS h
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
+        |  CAST(SUM(h) AS BIGINT) AS total_hits,
+        |  CAST((1000 * SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END)) // COUNT(*)
+        |    AS BIGINT) AS flagged_permille
+        |FROM d GROUP BY 1""".stripMargin,
 
     // sessionize's island CTE carrying event_type; per-session DISTINCT
     // presence; lift over the session total.
