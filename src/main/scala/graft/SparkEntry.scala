@@ -1733,6 +1733,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars").cast("long")).as("total_chars"))),
 
+    // Trending terms: top-20 week-over-week term-frequency spikes over
+    // the ingestion-order week axis (doc_id div 250 — the crawl-
+    // snapshot time a static corpus carries), floored at 5 prior
+    // occurrences and requiring truly consecutive weeks — the
+    // vocabulary-drift monitor next to drift_tv's distribution view.
+    "trending_terms" -> ((s, dir) => {
+      val tw = Tables.documents(s, dir)
+        .select(expr("doc_id div 250").as("w"),
+          explode(split(col("text"), " ")).as("t"))
+        .where(col("t") =!= "")
+        .groupBy("t", "w").agg(count(lit(1)).as("n"))
+      val win = Window.partitionBy("t").orderBy("w")
+      tw.withColumn("pn", lag("n", 1).over(win))
+        .withColumn("pw", lag("w", 1).over(win))
+        .where(col("pw") === col("w") - 1 && col("pn") >= 5)
+        .withColumn("ratio_permille", expr("1000 * n div pn"))
+        .orderBy(col("ratio_permille").desc, col("t"), col("w")).limit(20)
+        .select(col("t").as("term"), col("w").as("week"), col("n"),
+          col("pn").as("n_prev"), col("ratio_permille"))
+    }),
+
     // Safety-blocklist census per source: denylist hits counted by the
     // native codegen'd CountInSet in the scan stage, aggregated to
     // flagged-doc rates — the filter audit a safety pipeline reports.
@@ -4415,6 +4436,21 @@ object SparkEntry {
         |SELECT dom AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM u GROUP BY 1""".stripMargin,
+
+    // Same (term, week) counts + consecutive-week lag + bounded top-20.
+    "trending_terms" ->
+      """WITH tw AS (SELECT t, w, COUNT(*) AS n FROM (
+        |    SELECT doc_id // 250 AS w,
+        |           unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> '' GROUP BY 1, 2),
+        |l AS (SELECT t, w, n,
+        |    lag(n) OVER (PARTITION BY t ORDER BY w) AS pn,
+        |    lag(w) OVER (PARTITION BY t ORDER BY w) AS pw
+        |  FROM tw)
+        |SELECT t AS term, CAST(w AS BIGINT) AS week, n,
+        |  pn AS n_prev, CAST(1000 * n // pn AS BIGINT) AS ratio_permille
+        |FROM l WHERE pw = w - 1 AND pn >= 5
+        |ORDER BY ratio_permille DESC, t, w LIMIT 20""".stripMargin,
 
     // list_filter IN mirror of the CountInSet scan.
     "blocklist_hits" ->
