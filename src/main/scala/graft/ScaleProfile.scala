@@ -265,7 +265,8 @@ object ScaleProfile {
         "q7_nation_volume", "q10_returned_items", "mixture_alloc",
         "attribution", "clustering_coeff", "bm25_indexed",
         "rolling_active", "rank_correlation", "embedding_norm_outliers",
-        "q4_priority_exists", "domain_census", "domain_cap", "basket_lift")
+        "q4_priority_exists", "domain_census", "domain_cap", "basket_lift",
+        "blocklist_hits", "trending_terms")
       ps.foreach(q => time(q, src)) // warmup: codegen + JIT
       ps.foreach(q => time(q, out))
       ps.foreach { q =>
