@@ -1461,6 +1461,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    // join so zero-order customers land in the 0 bucket, then the
+    // count-of-counts double aggregation.
+    "q13_order_histogram" -> ((s, dir) => {
+      val perCust = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"),
+          "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
     // TPC-H Q18 shape: large-volume customers — the HAVING-filtered
     // order-quantity rollup semi-joins the fact table back; quantities
     // summed as LONGs (integral doubles) so both engines are exact.
@@ -4021,6 +4034,14 @@ object SparkEntry {
         |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |             * (1 - CAST(l_discount AS DECIMAL(12,2)))) DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q13_order_histogram" ->
+      """WITH pc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY c_custkey)
+        |SELECT CAST(c_count AS BIGINT) AS c_count,
+        |  CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY c_count""".stripMargin,
 
     "q4_priority_exists" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
