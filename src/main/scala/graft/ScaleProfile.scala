@@ -266,7 +266,7 @@ object ScaleProfile {
         "attribution", "clustering_coeff", "bm25_indexed",
         "rolling_active", "rank_correlation", "embedding_norm_outliers",
         "q4_priority_exists", "domain_census", "domain_cap", "basket_lift",
-        "blocklist_hits", "trending_terms")
+        "blocklist_hits", "trending_terms", "q13_order_histogram")
       ps.foreach(q => time(q, src)) // warmup: codegen + JIT
       ps.foreach(q => time(q, out))
       ps.foreach { q =>
