@@ -180,9 +180,18 @@ object RunMaintain {
                 "(expected yyyy-MM-dd HH:mm:ss)") }
         val keyCol = opts.getOrElse("--key-col", "main_refco")
         import org.apache.spark.sql.functions.{col, lit}
-        val tmp = java.nio.file.Files.createTempDirectory("graft-expire")
+        // Stage the computed key list UNDER THE TARGET'S filesystem (a
+        // _tmp dir beside the table, via the Hadoop FileSystem API): a
+        // driver-local temp dir is only correct in local mode — on a
+        // cluster with an object-store/HDFS target, executors would
+        // write their parts to their own local disks and the compliance
+        // job would expire a partial key set (or fail outright).
+        val tmpHPath = new org.apache.hadoop.fs.Path(path,
+          s"_tmp-expire-${java.util.UUID.randomUUID()}")
+        val tmpFs = tmpHPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
         try {
-          val keysPath = tmp.resolve("keys").toString
+          val keysPath = tmpHPath.toString + "/keys"
           // write once, count the written file — no second TTL scan
           operators.Upsert.readTarget(spark, path)
             .where(col(tsCol) < lit(cutoff))
@@ -201,7 +210,7 @@ object RunMaintain {
             System.err.println(
               s"[maintain] expired $n key(s) older than $cutoffStr from $path")
           }
-        } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        } finally tmpFs.delete(tmpHPath, true)
       case other =>
         throw new IllegalArgumentException(s"unknown action '$other' " +
           "(ivf-compact | neardup-compact | textindex-compact | table-compact | vacuum | snapshots | changes | mirror | stats | expire)")

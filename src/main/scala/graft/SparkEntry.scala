@@ -4417,8 +4417,9 @@ object SparkEntry {
            |       WHEN w > 0
            |        AND (SELECT COALESCE(SUM(w), 0) FROM $p
            |             WHERE alloc IS NULL AND w > 0) > 0
-           |        AND (($budget - (SELECT COALESCE(SUM(alloc), 0) FROM $p
-           |                         WHERE alloc IS NOT NULL)) * w)
+           |        AND ((CAST($budget AS HUGEINT)
+           |              - (SELECT COALESCE(SUM(alloc), 0) FROM $p
+           |                 WHERE alloc IS NOT NULL)) * w)
            |            // (SELECT SUM(w) FROM $p WHERE alloc IS NULL AND w > 0)
            |            >= avail
            |       THEN avail ELSE NULL END AS alloc
@@ -4440,7 +4441,8 @@ object SparkEntry {
          |  CAST(w AS BIGINT) AS weight,
          |  CAST(CASE WHEN alloc IS NOT NULL THEN alloc
          |       WHEN w = 0 OR wfin = 0 THEN 0
-         |       ELSE (rfin * w) // wfin END AS BIGINT) AS allocated,
+         |       ELSE LEAST((CAST(rfin AS HUGEINT) * w) // wfin, avail)
+         |       END AS BIGINT) AS allocated,
          |  alloc IS NOT NULL AS capped
          |FROM s$rounds CROSS JOIN fin""".stripMargin
     },

@@ -41,11 +41,17 @@ object Cooccur {
       .distinct()
     val rank = graft.functions.F.mix64(
       concat_ws(":", col("u").cast("string"), col("item").cast("string")))
+    // The capped table feeds THREE consumers (both pair sides + the
+    // degree table); without materialization the distinct + user-keyed
+    // window re-executes per consumer (the plan audit counted 11
+    // shuffles for a documented-4 shape). localCheckpoint pins the
+    // ≤D-per-user result once — the sharedJaccardComponents precedent.
     val capped = ui
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("u")).orderBy(rank.asc, col("item").asc)))
       .where(col("__rn") <= maxItemsPerUser)
       .select("u", "item")
+      .localCheckpoint()
     val a = capped.select(col("u"), col("item").as("item_a"))
     val b = capped.select(col("u"), col("item").as("item_b"))
     val pairs = a.join(b, Seq("u")).where(col("item_a") < col("item_b"))
@@ -84,15 +90,21 @@ object Cooccur {
     val gapFlag = when(
       col(tsCol).cast("long") - lag(col(tsCol), 1).over(byKey).cast("long")
         > gapSeconds, 1L).otherwise(0L)
+    // The sessionized presence table feeds FOUR consumers (total,
+    // singles, both pair sides); localCheckpoint materializes the
+    // sessionize sort + distinct ONCE instead of re-running the window
+    // per consumer (the plan audit counted 10 Window nodes for the
+    // documented one-key-exchange shape). Eager by design: unlike a
+    // plan-construction count(), the checkpointed blocks are what every
+    // consumer then READS — nothing recomputes.
     val st = events
       .where(col(keyCol).isNotNull && col(typeCol).isNotNull)
       .withColumn("__ns", gapFlag)
       .withColumn("__sid", sum(col("__ns")).over(byKey) + 1L)
       .select(col(keyCol).as("__k"), col("__sid"), col(typeCol).as("t"))
       .distinct()
-    // lazy one-row session total cross-joined in (the oracle's CROSS
-    // JOIN tot) — an eager count() here would run the window sort as a
-    // plan-construction side effect and then recompute it at execution
+      .localCheckpoint()
+    // one-row session total cross-joined in (the oracle's CROSS JOIN tot)
     val tot = st.select("__k", "__sid").distinct()
       .agg(count(lit(1)).as("__n"))
     val singles = st.groupBy("t").agg(count(lit(1)).as("n_t"))

@@ -392,9 +392,11 @@ object Dedup {
     * join-back of the duplicated-window set rides the SAME window-keyed
     * exchange as the census (sort-merge on `win`; a boilerplate window hot
     * enough to skew a task is exactly what AQE skew-join splits). Nothing
-    * quadratic: cost is O(tokens · w) text bytes exchanged — at scale,
-    * swap the window STRING key for its 128-bit hash to slim the exchange
-    * (kept as text here so the DuckDB oracle mirrors the join exactly). */
+    * quadratic: the census/join key is the engine-portable 64-bit window
+    * HASH (`winh` below), so the exchange carries 8 bytes per window, not
+    * w tokens of text — the oracle recomputes the identical hash in SQL,
+    * and a collision can only merge census counts upward (strictly more
+    * windows marked duplicated; sound for a ≥-threshold census). */
   def duplicatedPassageSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, minOccurrences: Int = 2): DataFrame = {
     val wins = windowHashes(df, idCol, textCol, w)
@@ -741,6 +743,12 @@ object Dedup {
     * row count via [[autoPlanes]], so doubling the corpus adds one plane
     * and per-bucket candidate volume stays flat (property-tested in
     * DedupSpec). An explicit positive value overrides.
+    *
+    * BEHAVIOR CHANGE (round 11): the default was a fixed `planes = 16`
+    * before auto-sizing landed. Callers that relied on 16-plane bucket
+    * granularity (recall/candidate-volume trade) or that must not run
+    * the plan-construction `count()` job should pass an explicit value —
+    * the auto default favors flat occupancy over call-site stability.
     *
     * @param dim embedding width — a schema constant (e.g.
     *   `Schemas.EmbeddingDim`), never sniffed from the data: reading the

@@ -149,9 +149,13 @@ object Multimodal {
   private[operators] def decodeOne(
       payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
     if (payload == null || payload.isEmpty) return None
+    // NonFatal, not IOException: on malformed/truncated payloads the JDK
+    // ImageIO readers also throw RuntimeExceptions (ArrayIndexOutOfBounds
+    // in the LZW decoder, NPE, IllegalArgument) — untrusted crawl bytes
+    // must never fail the task, per the per-row isolation contract
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight
@@ -210,7 +214,7 @@ object Multimodal {
               val img =
                 try javax.imageio.ImageIO.read(
                   new java.io.ByteArrayInputStream(payload))
-                catch { case _: java.io.IOException => null }
+                catch { case scala.util.control.NonFatal(_) => null }
               if (img == null) null
               else {
                 val scaled = new java.awt.image.BufferedImage(
@@ -664,7 +668,7 @@ object Multimodal {
     val iis =
       try javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => return None }
+      catch { case scala.util.control.NonFatal(_) => return None }
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return None
@@ -697,7 +701,7 @@ object Multimodal {
           }
           (f, w, h, delay, sr, sg, sb)
         })
-      } catch { case _: java.io.IOException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
       finally reader.dispose()
     } finally iis.close()
   }
@@ -773,7 +777,7 @@ object Multimodal {
                       Row(id, f, bos.toByteArray)
                     })
                   }
-                } catch { case _: java.io.IOException => None }
+                } catch { case scala.util.control.NonFatal(_) => None }
                 finally reader.dispose()
               }
             } finally iis.close()

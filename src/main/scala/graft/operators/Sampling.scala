@@ -330,7 +330,12 @@ object Sampling {
     * Output: `(key, avail, weight, allocated, capped)`. Zero-weight
     * sources allocate 0 (uncapped). `Σ allocated ≤ budget` always;
     * equality up to `div` flooring whenever the open sources can absorb
-    * the remainder.
+    * the remainder. `allocated ≤ avail` holds UNCONDITIONALLY: shares
+    * compute in BigInt (a budget × weight product wraps a Long silently
+    * at realistic token budgets) and the final split clamps each open
+    * source at `min(share, avail)`, so even an under-provisioned
+    * `rounds` (cap cascades deeper than rounds) can only UNDER-allocate,
+    * never hand a source more than it has.
     *
     * Scale shape: `avail` is a ≤|sources|-row aggregate (the corpus
     * collapses once, upstream); the waterfill itself runs on the driver
@@ -349,22 +354,30 @@ object Sampling {
     var open = av.keySet.filter(k => weights.getOrElse(k, 0L) > 0L)
     var r = 0
     while (r < rounds) {
-      val w = open.toSeq.map(k => weights(k)).sum
-      val rem = budget - capped.values.sum
+      // shares in BigInt: budget × weight products wrap a Long silently
+      // at realistic token budgets (the oracle's HUGEINT arithmetic —
+      // DuckDB would error, the JVM would just be wrong)
+      val w = open.toSeq.map(k => BigInt(weights(k))).sum
+      val rem = BigInt(budget) - capped.values.sum
       val caps = if (w == 0) Set.empty[String]
         else open.filter(k => rem * weights(k) / w >= av(k))
       capped ++= caps.map(k => k -> av(k))
       open --= caps
       r = if (caps.isEmpty) rounds else r + 1 // converged: later rounds no-op
     }
-    val wFin = open.toSeq.map(k => weights(k)).sum
-    val remFin = budget - capped.values.sum
+    val wFin = open.toSeq.map(k => BigInt(weights(k))).sum
+    val remFin = BigInt(budget) - capped.values.sum
     av.keys.toSeq.sorted.map { k =>
       val wk = weights.getOrElse(k, 0L)
       val alloc =
         if (capped.contains(k)) capped(k)
-        else if (wk == 0L || wFin == 0L) 0L
-        else remFin * wk / wFin
+        else if (wk == 0L || wFin == 0) 0L
+        // min(share, avail): if the cap cascade did NOT converge within
+        // `rounds` (> rounds sources capping one per round), an open
+        // source's final share can exceed its availability — the clamp
+        // keeps the headline `allocated <= avail` invariant
+        // unconditionally (the oracle's LEAST mirrors it)
+        else (remFin * wk / wFin).min(BigInt(av(k))).toLong
       (k, av(k), wk, alloc, capped.contains(k))
     }.toDF("key", "avail", "weight", "allocated", "capped")
   }

@@ -18,7 +18,10 @@ object Web {
     * then `user:pass@` userinfo, then a `:port`; finally lowercases
     * and drops a trailing FQDN dot (hostnames are case-insensitive).
     * Scheme-less inputs ("example.com/x") and bare hosts pass
-    * through. */
+    * through. A bracketed IPv6 literal (`http://[::1]:8080/x`) is
+    * returned WITHOUT its brackets (`::1`) — the colons inside the
+    * brackets must not be mistaken for the port separator, so the
+    * bracketed form is unwrapped before the `:port` strip. */
   def hostOf(url: Column): Column = {
     val sp = split(url, "://")
     val afterScheme = when(size(sp) >= 2, element_at(sp, 2))
@@ -27,32 +30,109 @@ object Web {
     val beforeQuery = element_at(split(beforePath, "\\?"), 1)
     val beforeFrag = element_at(split(beforeQuery, "#"), 1)
     val afterUser = element_at(split(beforeFrag, "@"), -1)
-    val beforePort = element_at(split(afterUser, ":"), 1)
+    // RFC 3986 IP-literal: everything inside [...] is the host and may
+    // contain colons; split-on-":" only applies to the unbracketed form
+    val bracketed = substring_index(substring_index(afterUser, "]", 1), "[", -1)
+    val beforePort = when(startswith(afterUser, lit("[")), bracketed)
+      .otherwise(element_at(split(afterUser, ":"), 1))
     rtrim(lower(beforePort), ".")
   }
 
   /** Registrable domain of a host under a fixed multi-label-suffix list
     * (the public-suffix-list mechanism, shipped with the handful of
-    * two-label suffixes the caller cares about; the full PSL is a data
-    * file a deployment broadcasts the same way). `www.a.example.com` →
+    * two-label suffixes the caller cares about; load the full PSL with
+    * [[loadPsl]] + [[registrableDomainPsl]]). `www.a.example.com` →
     * `example.com`; `b.example.co.uk` → `example.co.uk`; a host at or
     * below the suffix boundary passes through unchanged. */
   def registrableDomain(host: Column,
       multiLabelSuffixes: Seq[String] =
-        Seq("co.uk", "com.au", "co.jp", "com.br")): Column = {
+        Seq("co.uk", "com.au", "co.jp", "com.br")): Column =
+    registrableDomainPsl(host,
+      PslRules(plain = multiLabelSuffixes.map(_.toLowerCase).toSet,
+        wildcard = Set.empty, exceptions = Set.empty))
+
+  /** A parsed public-suffix rule set: `plain` suffixes matched verbatim,
+    * `wildcard` BASES (the rule `*.ck` is stored as base `ck` — any one
+    * label atop the base completes the suffix), and `exceptions` (the
+    * rule `!www.ck` means `www.ck` is NOT a public suffix despite
+    * `*.ck`; its public suffix is the rule minus its leftmost label).
+    * All lowercase. */
+  final case class PslRules(plain: Set[String], wildcard: Set[String],
+      exceptions: Set[String])
+
+  /** Parse public-suffix-list lines: `//` comments and blank lines drop;
+    * `!rule` → exception; `*.base` → wildcard base; anything else a
+    * plain suffix. (The real PSL's ICANN/PRIVATE sections are both just
+    * rules; callers wanting only one section slice before parsing.) */
+  def parsePsl(lines: Seq[String]): PslRules = {
+    val rules = lines.iterator
+      .map(_.trim.toLowerCase)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      // a rule line is the rule up to the first whitespace (PSL format)
+      .map(_.takeWhile(!_.isWhitespace))
+      .toSeq
+    PslRules(
+      plain = rules.filter(r => !r.startsWith("!") && !r.startsWith("*.")).toSet,
+      wildcard = rules.filter(_.startsWith("*.")).map(_.drop(2)).toSet,
+      exceptions = rules.filter(_.startsWith("!")).map(_.drop(1)).toSet)
+  }
+
+  /** Load a public-suffix list file through the Hadoop FileSystem API —
+    * one rule per line, `//` comments — so the same call works on HDFS /
+    * object stores, not just local disk. The parsed rule set is a
+    * driver-side value baked into the plan as literals (an `isin` per
+    * label depth — Catalyst turns large lists into `InSet` hash probes),
+    * the broadcast-small-side posture for a ≤ few-thousand-entry list. */
+  def loadPsl(spark: org.apache.spark.sql.SparkSession, path: String): PslRules = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      parsePsl(src.getLines().toSeq)
+    } finally in.close()
+  }
+
+  /** Registrable domain under a full PSL rule set (longest-match-wins,
+    * exceptions beat wildcards — publicsuffix.org semantics; the
+    * implicit `*` default makes the last label a suffix when nothing
+    * matches). A host at or below its public-suffix boundary passes
+    * through unchanged (the fixed-list method's contract). Pure
+    * codegen'd Column ops: one split, then per-depth suffix-join +
+    * set-probe conditions, longest effective suffix first. */
+  def registrableDomainPsl(host: Column, rules: PslRules): Column = {
     val parts = split(host, "\\.")
     val n = size(parts)
     // try_element_at: a single-label host ("localhost") has no -2/-3
     // index — it must pass through, not throw
-    val lastTwo = concat_ws(".",
-      try_element_at(parts, lit(-2)), try_element_at(parts, lit(-1)))
-    // case-insensitive: callers may pass hosts that didn't go through
-    // hostOf's normalization
-    val isMulti = multiLabelSuffixes
-      .map(s => lower(lastTwo) === s.toLowerCase).reduce(_ || _)
-    when(isMulti && n >= lit(3),
-        concat_ws(".", try_element_at(parts, lit(-3)), lastTwo))
-      .when(!isMulti && n >= lit(2), lastTwo)
-      .otherwise(host)
+    def lastK(k: Int): Column =
+      concat_ws(".", (k to 1 by -1).map(i => try_element_at(parts, lit(-i))): _*)
+    def lastKLower(k: Int): Column = lower(lastK(k))
+    def inSet(c: Column, s: Set[String]): Column =
+      if (s.isEmpty) lit(false) else c.isin(s.toSeq: _*)
+    // candidate matches as (effectiveSuffixDepth, condition, registrable):
+    //   exception rule of d labels: public suffix = d-1 labels, so the
+    //     registrable domain is the rule's own d labels
+    //   plain rule of d labels: registrable = d+1 labels
+    //   wildcard base of d labels: suffix = d+1 labels, registrable = d+2
+    val excs = rules.exceptions.groupBy(r => r.count(_ == '.') + 1).toSeq
+      .map { case (d, s) =>
+        (d - 1, inSet(lastKLower(d), s) && n >= d, lastK(d), 2) }
+    val plains = rules.plain.groupBy(r => r.count(_ == '.') + 1).toSeq
+      .map { case (d, s) =>
+        (d, inSet(lastKLower(d), s) && n >= d + 1, lastK(d + 1), 1) }
+    val wilds = rules.wildcard.groupBy(r => r.count(_ == '.') + 1).toSeq
+      .map { case (d, s) =>
+        (d + 1, inSet(lastKLower(d), s) && n >= d + 2, lastK(d + 2), 0) }
+    // exception rules prevail over everything (publicsuffix.org: "If
+    // more than one rule matches, the prevailing rule is the exception
+    // rule"); among the rest the longest effective suffix wins, plain
+    // before wildcard on ties
+    val ordered = (excs ++ plains ++ wilds)
+      .sortBy { case (d, _, _, rank) => (if (rank == 2) 0 else 1, -d, -rank) }
+    val dflt = when(n >= 2, lastK(2)).otherwise(host)
+    ordered.foldLeft(Option.empty[Column]) { case (acc, (_, cond, out, _)) =>
+      Some(acc.fold(when(cond, out))(_.when(cond, out)))
+    }.fold(dflt)(_.otherwise(dflt))
   }
 }

@@ -238,7 +238,18 @@ object IncrementalStream {
           def indexedIds = graft.operators.IndexStore
             .read(s, s"$idx/doclen").select("doc_id")
           if (!graft.operators.TextIndex.isComplete(s, idx)) {
-            graft.operators.TextIndex.buildIndex(s, idx, docsB,
+            // Bootstrap from the MERGED TARGET, not the first batch: if
+            // the index flag is enabled on a target that already holds
+            // rows from earlier runs, a batch-only build would silently
+            // serve an incomplete corpus (pre-existing keys would never
+            // backfill — the insert-only branch anti-joins doclen). The
+            // merge above already folded this batch in, so the target IS
+            // batch ∪ history; on a genuinely fresh target it equals the
+            // batch and this is the same build.
+            val served = Upsert.readTarget(s, targetPath)
+              .select(col("main_refco").as("doc_id"),
+                col(textIndexCol).cast("string").as("text"))
+            graft.operators.TextIndex.buildIndex(s, idx, served,
               nShards = textIndexShards)
           } else if (insertOnly.contains(textIndexCol)) {
             val fresh = docsB.join(indexedIds, Seq("doc_id"), "left_anti")

@@ -303,6 +303,30 @@ class SamplingSpec extends SparkSpecBase {
     assert(out == Map("a" -> ((3L, false)), "b" -> ((7L, false))))
   }
 
+  test("waterfillBudgets: budget x weight products do not wrap a Long") {
+    // budget ~ 4.6e18 with weight 3: rem * w overflows Int64 (~9.2e18)
+    // — BigInt shares must still split proportionally, not go negative
+    val b = 4_600_000_000_000_000_000L
+    val out = fill(Seq(("a", b), ("b", b)), Map("a" -> 3L, "b" -> 1L), b)
+    assert(out("a")._1 == b / 4 * 3 && out("b")._1 == b / 4)
+    assert(out.values.map(_._1).sum <= b)
+  }
+
+  test("waterfillBudgets: allocated <= avail even when rounds under-provision") {
+    // rounds=0 skips the cap cascade entirely — the most extreme
+    // under-provisioned case: the final split's raw share for the
+    // heavy-weight scarce source (1000*9/10 = 900) exceeds its avail
+    // (10). The clamp must hold allocated <= avail unconditionally.
+    val out = Sampling.waterfillBudgets(
+        Seq(("a", 10L), ("b", 1000L)).toDF("key", "avail"),
+        Map("a" -> 9L, "b" -> 1L), budget = 1000L, rounds = 0)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out("a") == 10L) // clamped at avail, not the 900 raw share
+    assert(out("b") == 100L)
+    assert(out.values.sum <= 1000L)
+  }
+
   test("dsirScores: target-vocabulary docs outrank disjoint-vocabulary docs") {
     // corpus = 10 "medical" docs (target domain), 10 "legal" docs, plus
     // one held-out medical-like doc and one gibberish doc; the target

@@ -44,4 +44,50 @@ class WebSpec extends SparkSpecBase {
     // a bare multi-label suffix or single label has no registrable part
     assert(dom("co.uk", "localhost") == Seq("co.uk", "localhost"))
   }
+
+  test("hostOf: bracketed IPv6 literals unwrap, colons inside are not ports") {
+    val hosts = Seq(
+      "http://[::1]:8080/x",
+      "https://[2001:db8::7]/path?q=1",
+      "http://user@[::1]/y",
+      "[fe80::1]").toDF("u")
+      .select(Web.hostOf(col("u"))).as[String].collect().toSeq
+    assert(hosts == Seq("::1", "2001:db8::7", "::1", "fe80::1"))
+  }
+
+  test("parsePsl + registrableDomainPsl: plain, deep, wildcard, exception rules") {
+    val rules = Web.parsePsl(Seq(
+      "// test list", "", "com", "uk", "co.uk", "cn", "com.cn",
+      "us", "k12.ma.us", "ck", "*.ck", "!www.ck"))
+    def reg(hosts: String*): Seq[String] =
+      hosts.toDF("h").select(Web.registrableDomainPsl(col("h"), rules))
+        .as[String].collect().toSeq
+    assert(reg(
+      "www.example.com.cn",      // depth-2 suffix from the file
+      "a.b.example.co.uk",
+      "school.k12.ma.us",        // registrable under the depth-3 suffix
+      "x.school.k12.ma.us",      // deep subdomain: same registrable
+      "a.b.foo.ck",              // wildcard *.ck: suffix = foo.ck
+      "www.ck",                  // exception !www.ck beats the wildcard
+      "sub.www.ck",              // exception: registrable is still www.ck
+      "plain.example.com",
+      "unknown.tld.zz",          // implicit * default: last two labels
+      "localhost") == Seq(
+      "example.com.cn", "example.co.uk", "school.k12.ma.us",
+      "school.k12.ma.us", "b.foo.ck", "www.ck", "www.ck",
+      "example.com", "tld.zz", "localhost"))
+  }
+
+  test("loadPsl reads a suffix file through the Hadoop FS API") {
+    val dir = java.nio.file.Files.createTempDirectory("psl").toString
+    val f = java.nio.file.Paths.get(dir, "suffixes.dat")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      "// comment line", "com.cn  // trailing note", "org.uk", "", "au", "com.au"))
+    val rules = Web.loadPsl(spark, f.toString)
+    assert(rules.plain == Set("com.cn", "org.uk", "au", "com.au"))
+    val got = Seq("a.b.example.com.cn", "news.example.org.uk", "shop.com.au")
+      .toDF("h").select(Web.registrableDomainPsl(col("h"), rules))
+      .as[String].collect().toSeq
+    assert(got == Seq("example.com.cn", "example.org.uk", "shop.com.au"))
+  }
 }
