@@ -420,6 +420,42 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "r12") {
+      // Round-12 evidence (VERDICT r11 #7/#8). Requires the sf1 corpora —
+      // run `runMain graft.ScaleProfile sf1` once first.
+      // (a) The profile family's fold reads at the 10× axis: one
+      //     corpus-linear featurize + kilobyte sketch blobs over the
+      //     exchange — expected near-flat exponents.
+      // (b) The Cooccur family under the 50%-hot-key skew twin: the
+      //     per-user degree cap (itemCooccurrence) bounds the hot user's
+      //     pair fan-out at D²; basketLift's per-session distinct bounds
+      //     a bot session at |types| rows — both should read ~1.0.
+      val big = "/tmp/scale/sf1"
+      val skewDir = "/tmp/scale/sf1-skew"
+      require(new java.io.File(s"$big/lineitem.parquet").isDirectory &&
+        new java.io.File(s"$skewDir/events.parquet").isDirectory,
+        "sf1 corpora missing — run `runMain graft.ScaleProfile sf1` first")
+      def exp10(t1: Double, t10: Double): Double =
+        math.log(t10 / t1) / math.log(10.0)
+      val ps = Seq("vocab_cardinality", "quantile_profile", "freq_profile",
+        "item_cooccurrence", "basket_lift")
+      ps.foreach(q => time(q, src)) // warmup: codegen + JIT
+      ps.foreach(q => time(q, big))
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t10 = median3(time(q, big))
+        println(f"SCALE10 $q%-23s sf0.1=$t1%6.2f s  sf1=$t10%7.2f s  exponent=${exp10(t1, t10)}%5.2f")
+      }
+      val sk = Seq("item_cooccurrence", "basket_lift")
+      sk.foreach(q => time(q, skewDir))
+      sk.foreach { q =>
+        val tu = median3(time(q, big))
+        val ts = median3(time(q, skewDir))
+        println(f"SKEW10 $q%-24s uniform=$tu%6.2f s  skew=$ts%6.2f s  ratio=${ts / tu}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "sf10docs") {
       // The doc/names-family tail of the 10× axis: at sf1 these queries
       // still read overhead-dominated (spans 1.77 s, bm25 0.77 s,
@@ -439,11 +475,27 @@ object ScaleProfile {
               w => concat(w, lit("_" + i))))))
           .reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$big/documents.parquet")
+      }
+      // part derives under its own guard (the suffix scheme changed in
+      // round 12; a stale part table must re-derive without re-writing
+      // the unchanged 100x documents)
+      if (!new java.io.File(s"$big/part.parquet").isDirectory) {
         val part = spark.read.parquet(s"$src/part.parquet")
+        // Replica suffixes must be PAIRWISE edit-distance > 2 (the fuzzy
+        // family's k), or the axis manufactures cross-replica near-dup
+        // clusters — the header's cloning hazard. Round 11 used "_1".."_99"
+        // (pairwise distance ≤ 2: "foo_1" ~ "foo_2"), which inflated the
+        // 100× pair count ~14,000× and made entity_canonical's exponent
+        // read 0.73 against a quadratic-contaminated input. Letter-coded
+        // triples ("_aaaaaa", "_aaabbb", …) differ in ≥3 positions.
+        def rep3(i: Int): String = {
+          val c1 = ('a' + i / 10).toChar; val c2 = ('a' + i % 10).toChar
+          s"_$c1$c1$c1$c2$c2$c2"
+        }
         (0 until reps100).map(i => part
           .withColumn("p_partkey", col("p_partkey") + lit(i.toLong * 1000000L))
           .withColumn("p_name", if (i == 0) col("p_name")
-            else concat(col("p_name"), lit("_" + i.toString))))
+            else concat(col("p_name"), lit(rep3(i)))))
           .reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$big/part.parquet")
         System.err.println("[scale] derived sf10-docs (100x documents + part)")
