@@ -206,6 +206,33 @@ object SparkEntry {
       lit("/p/"), id)
   }
 
+  /** Deterministic MESSY synthetic URL per doc id for the
+    * canonicalization gates — every alias class the canonicalizer
+    * handles, keyed off id arithmetic so the oracle can emit the
+    * expected canonical closed-form: mixed-case scheme+host (id%2),
+    * default `:443` port (id%5=0) vs real `:8080` (id%5=1), tracking
+    * params in unsorted company (id%4=0), tracking-only query (id%4=1),
+    * unsorted clean params (id%4=2), fragment (id%6=0), empty path
+    * (id%9=0). */
+  private def syntheticTrackedUrl(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val scheme = when(pmod(id, lit(2)) === 0, lit("HTTPS://"))
+      .otherwise(lit("https://"))
+    val host = concat(
+      when(pmod(id, lit(2)) === 0, lit("SITE")).otherwise(lit("site")),
+      pmod(id, lit(97)), lit(".com"))
+    val port = when(pmod(id, lit(5)) === 0, lit(":443"))
+      .when(pmod(id, lit(5)) === 1, lit(":8080")).otherwise(lit(""))
+    val path = when(pmod(id, lit(9)) === 0, lit(""))
+      .otherwise(concat(lit("/p/"), id))
+    val query = when(pmod(id, lit(4)) === 0, lit("?utm_source=x&b=2&a=1"))
+      .when(pmod(id, lit(4)) === 1, lit("?gclid=z"))
+      .when(pmod(id, lit(4)) === 2, lit("?z=9&y=8"))
+      .otherwise(lit(""))
+    val frag = when(pmod(id, lit(6)) === 0, lit("#frag")).otherwise(lit(""))
+    concat(scheme, host, port, path, query, frag)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/F: filtered+projected scan with parquet pushdown.
     "pushdown_scan" -> ((s, dir) =>
@@ -1798,6 +1825,78 @@ object SparkEntry {
             Web.registrableDomain(Web.hostOf(syntheticUrl(col("doc_id")))))
           .select("doc_id", "domain"),
         k = 3, keys = Seq("domain"), idCol = "doc_id")),
+
+    // URL canonicalization — crawl-frontier alias collapse: mixed-case
+    // scheme/host, default-port strip, tracking-param removal,
+    // query-param sort, fragment drop, empty path → "/" (the messy
+    // input covers every branch by id arithmetic; the oracle emits the
+    // expected canonical closed-form from the same arithmetic).
+    "url_canonical" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        Web.canonicalizeUrl(syntheticTrackedUrl(col("doc_id")))
+          .as("url_canon"))),
+
+    // The use-case: alias pairs (clean even twin, tracked+upper-case
+    // odd twin of the same gid) collapse to ONE canonical URL — the
+    // frontier-dedup census a crawler runs before fetch.
+    "url_dup_census" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(expr("doc_id div 2").as("gid"), col("doc_id"))
+        .withColumn("__u", concat(
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("https://site")).otherwise(lit("HTTPS://SITE")),
+          pmod(col("gid"), lit(97)), lit(".com"),
+          lit("/p/"), col("gid"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(""))
+            .otherwise(lit("?utm_source=x#top"))))
+        .groupBy(Web.canonicalizeUrl(col("__u")).as("url_canon"))
+        .agg(count(lit(1)).as("n_aliases"),
+          min(col("doc_id")).as("first_doc"))),
+
+    // HTML → visible text: script/style subtrees and comments drop,
+    // tags become separators, the six ubiquitous entities decode
+    // (&amp; last), whitespace collapses — the extraction step between
+    // a raw crawl and every text-quality operator. Closed-form oracle
+    // from the synthetic page construction (the domain_census posture:
+    // parsing happens only on the engine side).
+    "html_strip" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        Web.stripHtml(concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><style type=\"text/css\">body{color:red}</style>"),
+          lit("</head><body><!-- header --><h1>Source &amp; "),
+          col("source"), lit("</h1><p class=\"main\">"), col("text"),
+          lit("</p><script>var n = 1 < 2;</script></body></html>")))
+          .as("text_vis"))
+        .withColumn("n_chars_vis", length(col("text_vis")).cast("long"))),
+
+    // HTML outlink extraction → canonicalize → registrable-domain
+    // census: the crawl outlink graph's domain-level aggregation (what
+    // seeds PageRank/TrustRank); fragment-only hrefs excluded.
+    "html_links" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Web.extractLinks(concat(
+          lit("<a href=\"https://site"), pmod(col("doc_id"), lit(97)),
+          lit(".com/a/"), col("doc_id"), lit("\">x</a>"),
+          lit("<a HREF='HTTP://Sub.site"),
+          pmod(col("doc_id") + 1, lit(97)),
+          lit(".ORG:80/b?utm_source=z'>y</a>"),
+          lit("<a href=\"#frag\">skip</a>")))).as("link"))
+        .groupBy(Web.registrableDomain(
+          Web.hostOf(Web.canonicalizeUrl(col("link")))).as("domain"))
+        .agg(count(lit(1)).as("n_links"))),
+
+    // Corpus-global exact line dedup (Lee et al. line tier): every
+    // non-blank line keeps only its first (doc_id, pos) occurrence —
+    // the syndicated-content counterpart of boilerplate_lines (which
+    // drops frequent lines from EVERY doc). Full-algorithm oracle: the
+    // engine's 64-bit portable line hash recomputed in SQL.
+    "line_dedup" -> ((s, dir) =>
+      TextAnalysis.dedupLinesGlobal(
+        Tables.documents(s, dir).select(col("doc_id"),
+          concat_ws("\n", concat(lit("src: "), col("source")), col("text"),
+            concat(lit("lang: "), col("lang"))).as("page")),
+        "doc_id", "page")),
 
     // Embedding-norm health: the 10 vectors at each norm extreme in
     // exact fixed-point — collapsed outputs and exploding rows, the
@@ -4446,6 +4545,74 @@ object SparkEntry {
          |  alloc IS NOT NULL AS capped
          |FROM s$rounds CROSS JOIN fin""".stripMargin
     },
+
+    // Closed-form mirror from syntheticTrackedUrl's id arithmetic —
+    // every alias class maps to its expected canonical (the
+    // domain_census posture: URL parsing happens only engine-side).
+    "url_canonical" ->
+      """SELECT doc_id,
+        |  'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.com' ||
+        |  CASE WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END ||
+        |  CASE WHEN doc_id % 9 = 0 THEN '/'
+        |       ELSE '/p/' || CAST(doc_id AS VARCHAR) END ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2'
+        |       WHEN doc_id % 4 = 2 THEN '?y=8&z=9' ELSE '' END AS url_canon
+        |FROM documents""".stripMargin,
+
+    // Both alias twins of a gid collapse to one canonical — closed form.
+    "url_dup_census" ->
+      """SELECT 'https://site' || CAST((doc_id // 2) % 97 AS VARCHAR) ||
+        |    '.com/p/' || CAST(doc_id // 2 AS VARCHAR) AS url_canon,
+        |  count(*) AS n_aliases, min(doc_id) AS first_doc
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // Closed-form visible text of the synthetic page: title + h1
+    // (entity-decoded) + paragraph, whitespace-collapsed like the
+    // engine's final normalization.
+    "html_strip" ->
+      """WITH v AS (SELECT doc_id,
+        |    trim(regexp_replace(
+        |      'Doc ' || CAST(doc_id AS VARCHAR) || ' Source & ' ||
+        |        source || ' ' || text,
+        |      '\s+', ' ', 'g')) AS text_vis
+        |  FROM documents)
+        |SELECT doc_id, text_vis,
+        |  CAST(length(text_vis) AS BIGINT) AS n_chars_vis FROM v""".stripMargin,
+
+    // Each doc contributes its .com self-link and the tracked .org
+    // link's registrable domain — closed form.
+    "html_links" ->
+      """WITH l AS (
+        |  SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.com' AS domain
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || CAST((doc_id + 1) % 97 AS VARCHAR) || '.org'
+        |  FROM documents)
+        |SELECT domain, count(*) AS n_links FROM l GROUP BY 1""".stripMargin,
+
+    // Full-algorithm mirror: the engine's portable 64-bit line hash
+    // recomputed in SQL (sqlMix64Ctes), first occurrence by
+    // (doc_id, pos) per hash, blank lines exempt, positional re-join.
+    "line_dedup" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    'src: ' || source || chr(10) || text || chr(10) || 'lang: ' || lang AS page
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS line FROM w),
+        |nb AS (SELECT doc_id, pos, line FROM l WHERE trim(line) <> ''),
+        |${sqlMix64Ctes("lh", "nb", "line", "doc_id, pos, line")},
+        |rw AS (SELECT doc_id, pos, line,
+        |        row_number() OVER (PARTITION BY sh64 ORDER BY doc_id, pos) AS rn
+        |      FROM lh),
+        |kept AS (SELECT doc_id, pos, line FROM l WHERE trim(line) = ''
+        |         UNION ALL
+        |         SELECT doc_id, pos, line FROM rw WHERE rn = 1),
+        |k AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(line, chr(10) ORDER BY pos) AS text_clean
+        |      FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.ls) AS BIGINT) AS n_lines,
+        |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.text_clean, '') AS text_clean
+        |FROM w LEFT JOIN k USING (doc_id)""".stripMargin,
 
     // Closed-form mirror: the registrable domain follows directly from
     // the synthetic construction — scheme/port/path/subdomain parsing

@@ -407,6 +407,58 @@ object TextAnalysis {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Corpus-global exact LINE dedup (the line-level tier of Lee et al.
+    * 2021's exact-substring dedup, and what C4 applies at the
+    * three-sentence-span level): every distinct non-blank line keeps only
+    * its FIRST occurrence corpus-wide — min (doc_id, position) — and
+    * every later copy is dropped from its document. Complements
+    * [[removeBoilerplateLines]] (which drops lines from EVERY document
+    * once they repeat in ≥ minDocs docs — navigation/banners) — here the
+    * first document keeps the line, so unique content that happens to be
+    * syndicated survives exactly once. Blank lines are exempt (they carry
+    * document structure, not content; deduping them would collapse every
+    * paragraph break in the corpus after the first document).
+    * Output: (doc_id, n_lines, n_kept, text_clean).
+    *
+    * Scale shape: one Generate; the first-occurrence census groups on the
+    * engine-portable 64-bit line hash — 8-byte exchange rows with
+    * map-side-combined `min(struct(doc, pos))` partials, so a hot
+    * boilerplate line (millions of copies) arrives at its reducer as
+    * per-partition partials. The winner join-back is equi on the hash
+    * with EXACTLY ONE build row per key, so a hot line costs one skewed
+    * but linear probe task (AQE skew-split territory), never a pair
+    * blow-up. Re-assembly is the boilerplate op's doc_id-keyed
+    * positional fold. The oracle recomputes the identical hash chain in
+    * SQL (the shingle family's portable-hash mirror). */
+  def dedupLinesGlobal(df: DataFrame, idCol: String, textCol: String,
+      lineSep: String = "\n"): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(lineSep)
+    val lines = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), sepLit)).as(Seq("__pos", "__line")))
+      .withColumn("__lh", graft.functions.F.mix64(col("__line")))
+    val blank = trim(col("__line")) === ""
+    val winners = lines.where(!blank)
+      .groupBy("__lh")
+      .agg(min(struct(col("doc_id").as("d"), col("__pos").as("p"))).as("__w"))
+    val kept = lines
+      .join(winners, Seq("__lh"), "left")
+      .where(blank ||
+        (col("__w.d") === col("doc_id") && col("__w.p") === col("__pos")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s.getField("__line")),
+          lineSep).as("text_clean"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), sepLit)).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Polynomial rolling-hash document fingerprint, word-order sensitive:
     * wordVal = fold(chars: acc*31 + codepoint) mod M;
     * doc = fold(words: acc*131 + wordVal) mod M.

@@ -135,4 +135,123 @@ object Web {
       Some(acc.fold(when(cond, out))(_.when(cond, out)))
     }.fold(dflt)(_.otherwise(dflt))
   }
+
+  /** Tracking query parameters dropped by [[canonicalizeUrl]]'s default:
+    * the `utm_*` campaign family by prefix plus the common per-click
+    * identifiers — parameters that vary per visit while addressing the
+    * same resource, i.e. exactly what makes one page look like a million
+    * distinct URLs to a crawl-frontier dedup. */
+  val DefaultTrackingPrefixes: Seq[String] = Seq("utm_")
+  val DefaultTrackingParams: Seq[String] =
+    Seq("gclid", "fbclid", "msclkid", "igshid", "mc_eid", "ref")
+
+  /** URL canonicalization for crawl-frontier / document dedup: two URLs
+    * that address the same resource should compare EQUAL as strings.
+    * Normalizations applied: scheme and host lowercase; trailing FQDN
+    * dot and `user:pass@` userinfo dropped; default ports stripped
+    * (`:80` for http, `:443` for https); empty path becomes `/`;
+    * `#fragment` dropped (client-side only); tracking parameters
+    * removed (prefix + exact lists, case-insensitive names); surviving
+    * query parameters SORTED (param order is almost never semantic;
+    * sorting buys `?a=1&b=2` == `?b=2&a=1`). A bracketed IPv6 literal
+    * keeps its brackets (they are required syntax when a port follows).
+    * Pure codegen'd Column ops — scan-stage, no UDF.
+    *
+    * Deliberately NOT done: percent-encoding normalization and path
+    * segment resolution (`/a/../b`) — both need a spec-complete parser
+    * whose corner cases (invalid escapes, encoded separators) silently
+    * MERGE distinct resources when done half-way; the conservative
+    * canonical form only merges aliases it is sure about. */
+  def canonicalizeUrl(url: Column,
+      dropPrefixes: Seq[String] = DefaultTrackingPrefixes,
+      dropParams: Seq[String] = DefaultTrackingParams): Column = {
+    val sp = split(url, "://")
+    val hasScheme = size(sp) >= 2
+    val scheme = lower(element_at(sp, 1))
+    val rest = when(hasScheme, element_at(sp, 2)).otherwise(element_at(sp, 1))
+    val noFrag = element_at(split(rest, "#"), 1)
+    val authority =
+      element_at(split(element_at(split(noFrag, "/"), 1), "\\?"), 1)
+    // everything after the authority: "", "/path", "?q", "/path?q"
+    val pq = noFrag.substr(length(authority) + 1, length(noFrag))
+    val path0 = element_at(split(pq, "\\?"), 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val qsp = split(pq, "\\?", 2)
+    val query0 = when(size(qsp) >= 2, element_at(qsp, 2)).otherwise(lit(""))
+    // host/port from the authority (the hostOf decomposition, keeping
+    // the port this time)
+    val afterUser = element_at(split(authority, "@"), -1)
+    val isBr = startswith(afterUser, lit("["))
+    val brHost =
+      substring_index(substring_index(afterUser, "]", 1), "[", -1)
+    val host = rtrim(lower(when(isBr, brHost)
+      .otherwise(element_at(split(afterUser, ":"), 1))), ".")
+    val rawPort = when(isBr,
+        when(afterUser.contains("]:"),
+          element_at(split(afterUser, "\\]:"), -1)).otherwise(lit("")))
+      .otherwise(when(size(split(afterUser, ":")) >= 2,
+        element_at(split(afterUser, ":"), 2)).otherwise(lit("")))
+    val port = when(
+        (scheme === "http" && rawPort === "80") ||
+        (scheme === "https" && rawPort === "443"), lit(""))
+      .otherwise(rawPort)
+    val hostOut = when(host.contains(":"), concat(lit("["), host, lit("]")))
+      .otherwise(host)
+    val hostPort = concat(hostOut,
+      when(port =!= "", concat(lit(":"), port)).otherwise(lit("")))
+    // query params: drop tracking names, drop empties, sort survivors
+    val keptParams = filter(split(query0, "&"), p => {
+      val name = lower(substring_index(p, "=", 1))
+      val byPrefix =
+        if (dropPrefixes.isEmpty) lit(false)
+        else dropPrefixes.map(pr => name.startsWith(pr.toLowerCase))
+          .reduce(_ || _)
+      val byName =
+        if (dropParams.isEmpty) lit(false)
+        else name.isin(dropParams.map(_.toLowerCase): _*)
+      p =!= "" && !byPrefix && !byName
+    })
+    val q = array_join(array_sort(keptParams), "&")
+    concat(
+      when(hasScheme, concat(scheme, lit("://"))).otherwise(lit("")),
+      hostPort, path,
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+  }
+
+  /** Visible text of an HTML payload — the extraction step between a raw
+    * crawl and every text-quality operator in the library. Drops
+    * `<script>`/`<style>` subtrees (their CONTENT is code, not prose),
+    * comments, then all tags (each replaced by a space so adjacent words
+    * don't fuse across block boundaries), decodes the six ubiquitous
+    * entities (`&amp;` LAST — decoding it first would double-decode
+    * `&amp;lt;` into `<`), and collapses whitespace runs. All patterns
+    * are RE2-compatible (no backreferences or lookarounds), so an
+    * external SQL engine can mirror the chain verbatim.
+    *
+    * Honest limits (documented, not hidden): no CDATA, no conditional
+    * comments, no entity table beyond the six, no attribute-aware parse
+    * (a literal `>` inside an attribute value truncates that tag) — the
+    * 99% crawl case, with the long tail left to a real parser off-path. */
+  def stripHtml(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** All `href` targets of an HTML payload as an array — the outlink
+    * extraction feeding the link-graph family ([[hostOf]] →
+    * [[registrableDomain]] → per-domain census → PageRank/TrustRank).
+    * Fragment-only and empty targets are excluded by the character
+    * class; RE2-compatible, group-1 extraction. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?i)href\\s*=\\s*[\"']([^\"'#\\s>]+)"), lit(1))
 }

@@ -240,6 +240,43 @@ class TextAnalysisSpec extends SparkSpecBase {
       (4L, 2L, 0L, "")))
   }
 
+  test("dedupLinesGlobal: first occurrence survives, later copies drop") {
+    val docs = Seq(
+      (1L, "shared line\nunique alpha"),
+      (2L, "unique beta\nshared line"),   // later copy of "shared line"
+      (3L, "shared line\nshared line"),   // both copies drop
+      (4L, "unique gamma")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLinesGlobal(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, "shared line\nunique alpha"), // doc 1 owns pos-0 first
+      (2L, 2L, 1L, "unique beta"),
+      (3L, 2L, 0L, ""),
+      (4L, 1L, 1L, "unique gamma")))
+  }
+
+  test("dedupLinesGlobal: within-doc order decides the winner; blanks exempt") {
+    val docs = Seq(
+      // "x" first occurs at doc 1 pos 1 (after "a"), so doc 1 keeps it
+      // and doc 2's pos-0 copy... doc ORDER outranks position: (1,1) <
+      // (2,0), doc 1 wins.
+      (1L, "a\nx"),
+      (2L, "x\nb"),
+      (3L, "\n\nc") // two blank lines both survive (structure, not content)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLinesGlobal(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_kept", "text_clean")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, "a\nx"),
+      (2L, 1L, "b"),
+      (3L, 3L, "\n\nc")))
+  }
+
   test("removeBoilerplateLines: duplicate lines within ONE doc don't count") {
     // "refrain" repeats 3x inside doc 1 but exists in only 2 DISTINCT docs:
     // below minDocs=3, so it must survive (count is per-document).
