@@ -1898,6 +1898,45 @@ object SparkEntry {
             concat(lit("lang: "), col("lang"))).as("page")),
         "doc_id", "page")),
 
+    // Synchronous label-propagation communities over the user↔item
+    // interaction graph (pagerank's bipartite edges): dense regions of
+    // one connected blob get distinct labels — topic/community
+    // structure where CC only answers reachability. Deterministic
+    // (count DESC, label ASC argmax; fixed 5 rounds) → full unrolled
+    // SQL oracle, the pagerank posture.
+    "communities" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        (get_json_object(col("props"), "$.k").cast("long") + lit(1000000L))
+          .as("item"))
+      Graph.labelPropagation(
+        ev.select(col("user_id").as("u"), col("item").as("v")),
+        "u", "v", rounds = 5)
+    }),
+
+    // Luhn-validated payment-card redaction: of the two 16-digit
+    // candidates planted per doc, the constant one always passes the
+    // checksum and the id-varying one passes only when its tail makes
+    // the mod-10 sum land — the oracle replays the SAME Luhn fold in
+    // SQL, so validity decisions mirror bit for bit. A 12-digit run
+    // stays (below the card length band).
+    "card_redact" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.redactCards(concat(
+          lit("order 41111111111111"),
+          lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+          lit(" paid 4242424242424242 ref 123456789012 "),
+          col("text"))).as("text_red"))),
+
+    // Flesch reading-ease in exact integer micro-units over a page with
+    // synthetic sentence enders — the fluency-adjacent readability
+    // filter (ordering is the signal; grade is calibration).
+    "readability" -> ((s, dir) =>
+      TextAnalysis.readability(
+        Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(". End of doc "), col("doc_id"),
+            lit("? Yes!")).as("page")),
+        "doc_id", "page")),
+
     // Embedding-norm health: the 10 vectors at each norm extreme in
     // exact fixed-point — collapsed outputs and exploding rows, the
     // encoder-bug tripwires.
@@ -4613,6 +4652,67 @@ object SparkEntry {
         |SELECT w.doc_id, CAST(len(w.ls) AS BIGINT) AS n_lines,
         |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.text_clean, '') AS text_clean
         |FROM w LEFT JOIN k USING (doc_id)""".stripMargin,
+
+    // Full unrolled mirror of the synchronous LPA rounds (the pagerank
+    // posture): per round a (node, label) count + row_number argmax with
+    // the engine's exact tie-break.
+    "communities" -> {
+      val edgesSql =
+        """SELECT user_id AS u,
+          |  1000000 + CAST(json_extract(props, '$.k') AS BIGINT) AS v
+          |FROM events""".stripMargin
+      s"""WITH ${graft.operators.Graph.labelPropagationSql(edgesSql, rounds = 5)}
+         |SELECT node, CAST(label AS BIGINT) AS label FROM lp5""".stripMargin
+    },
+
+    // Full mirror: same candidate regex, the SAME Luhn fold as a SQL
+    // list comprehension, sorted-distinct replace order.
+    "card_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |    'order 41111111111111' ||
+        |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+        |      ' paid 4242424242424242 ref 123456789012 ' || text AS txt
+        |  FROM documents),
+        |c AS (SELECT doc_id, txt,
+        |    regexp_extract_all(txt, '\b\d{13,19}\b') AS cands FROM t),
+        |x AS (SELECT doc_id, unnest(cands) AS cand FROM c),
+        |lv AS (SELECT doc_id, cand FROM x WHERE
+        |  list_sum([CASE WHEN i % 2 = 0 THEN
+        |      CASE WHEN 2 * CAST(reverse(cand)[i:i] AS BIGINT) > 9
+        |           THEN 2 * CAST(reverse(cand)[i:i] AS BIGINT) - 9
+        |           ELSE 2 * CAST(reverse(cand)[i:i] AS BIGINT) END
+        |      ELSE CAST(reverse(cand)[i:i] AS BIGINT) END
+        |    for i in range(1, len(cand) + 1)]) % 10 = 0),
+        |a AS (SELECT doc_id, list(DISTINCT cand ORDER BY cand) AS vc
+        |      FROM lv GROUP BY doc_id)
+        |SELECT t.doc_id, CASE WHEN a.vc IS NULL THEN t.txt
+        |  ELSE list_reduce(list_prepend(t.txt, a.vc),
+        |         (acc, x) -> replace(acc, x, '<CARD>')) END AS text_red
+        |FROM t LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // Full mirror: same tokenization, sentence-ender and vowel-group
+    // regexes, same integer truncation points.
+    "readability" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || '. End of doc ' || CAST(doc_id AS VARCHAR) || '? Yes!'
+        |      AS page
+        |  FROM documents),
+        |w AS (SELECT doc_id, page,
+        |    [x for x in string_split(page, ' ') if x <> ''] AS ws FROM t),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(page, '[.!?]+'))) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(coalesce(list_sum([greatest(1,
+        |        len(regexp_extract_all(lower(x), '[aeiouy]+'))) for x in ws]), 0)
+        |      AS BIGINT) AS n_syllables
+        |  FROM w)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(CASE WHEN n_words > 0 THEN 206835000
+        |      - (1015000 * n_words) // n_sentences
+        |      - (84600000 * n_syllables) // n_words END AS BIGINT)
+        |    AS flesch_micro
+        |FROM m""".stripMargin,
 
     // Closed-form mirror: the registrable domain follows directly from
     // the synthetic construction — scheme/port/path/subdomain parsing

@@ -668,6 +668,76 @@ object Graph {
        |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr$iterations""".stripMargin
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007), made DETERMINISTIC: labels start as node ids; each round
+    * every node adopts the label most frequent among its neighbors, ties
+    * broken by SMALLEST label; a fixed `rounds` count replaces LPA's
+    * order-dependent convergence test (synchronous LPA can oscillate on
+    * bipartite structure — a fixed horizon makes the output a pure
+    * function of the graph, replayable by the unrolled SQL mirror
+    * [[labelPropagationSql]] bit for bit). Complements
+    * [[connectedComponents]]: CC answers "reachable at all?" (one label
+    * per connected blob), LPA splits a blob into DENSE regions — the
+    * topic/community structure of a co-interaction or similarity graph.
+    *
+    * Scale shape: the [[pageRank]] discipline — symmetrized edge set and
+    * vertex list checkpointed once; per round ONE node-keyed join of the
+    * label table against the edge set and one (node, label)-keyed
+    * map-side-combined count + min-struct argmax (hub fan-in arrives as
+    * partials, and the argmax struct is 16 bytes/row on the exchange);
+    * `localCheckpoint` per round caps lineage. Rounds is a small
+    * constant — community structure stabilizes in a few sweeps and a
+    * fixed horizon is what keeps the oracle unrollable. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int = 5): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val e0 = edges.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    // symmetric edge set: the u column alone covers every vertex
+    val verts = und.select(col("u").as("node")).distinct().localCheckpoint()
+    var labels = verts.withColumn("label", col("node"))
+    var i = 0
+    while (i < rounds) {
+      val counts = und
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("n"))
+      // argmax (n DESC, label ASC) as a min over (-n, label): exact for
+      // any label sign, and a single partial-aggregable min per node
+      labels = counts
+        .groupBy(col("u").as("node"))
+        .agg(min(struct((-col("n")).as("nn"), col("label").as("l"))).as("__m"))
+        .select(col("node"), col("__m.l").as("label"))
+        .localCheckpoint() // one job per round; see the CC loop note
+      i += 1
+    }
+    labels
+  }
+
+  /** The DuckDB mirror of [[labelPropagation]]: the same synchronous
+    * rounds unrolled as chained CTEs (the [[pageRankSql]] posture), the
+    * argmax expressed as `row_number() OVER (count DESC, label ASC)`. */
+  def labelPropagationSql(edgesSql: String, rounds: Int = 5): String = {
+    val rs = (1 to rounds).map { k =>
+      s"""lp$k AS (
+         |  SELECT u AS node, label FROM (
+         |    SELECT e.u, p.label,
+         |      row_number() OVER (PARTITION BY e.u
+         |        ORDER BY COUNT(*) DESC, p.label) AS rn
+         |    FROM und e JOIN lp${k - 1} p ON p.node = e.v
+         |    GROUP BY e.u, p.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS (SELECT u, v FROM ($edgesSql)
+       |       WHERE u IS NOT NULL AND v IS NOT NULL AND u <> v),
+       |und AS (SELECT DISTINCT u, v FROM
+       |        (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)),
+       |verts AS (SELECT DISTINCT u AS node FROM und),
+       |lp0 AS (SELECT node, node AS label FROM verts),
+       |$rs""".stripMargin
+  }
+
   /** The DuckDB mirror of [[pageRank]]: the same fixed-point iterations
     * unrolled as chained CTEs over an `edges(src, dst)` CTE the caller
     * supplies as `edgesSql`. Same integer truncation points ⇒ identical

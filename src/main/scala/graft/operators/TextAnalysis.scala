@@ -239,6 +239,76 @@ object TextAnalysis {
         PhonePattern, "<PHONE>"),
       Ipv4Pattern, "<IP>")
 
+  /** Luhn checksum validity of a non-empty digit string — the mod-10
+    * double-every-second-from-the-right check every real payment-card
+    * number passes. Pure codegen'd collection fold (reverse + indexed
+    * aggregate), no UDF; exact integer arithmetic mirrors in SQL. The
+    * caller guarantees `num` is 1+ ASCII digits (the candidate regex
+    * below does). */
+  def luhnValid(num: Column): Column = {
+    val rev = reverse(num)
+    val total = aggregate(sequence(lit(1), length(rev)), lit(0L),
+      (acc, i) => {
+        val d = rev.substr(i, lit(1)).cast("long")
+        acc + when(pmod(i, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    pmod(total, lit(10)) === 0
+  }
+
+  /** Contiguous 13–19 digit runs — the payment-card length band (Visa
+    * 13/16, Amex 15, Maestro up to 19); word boundaries keep runs
+    * embedded in longer digit strings or identifiers out. Portable
+    * Java/RE2 subset. */
+  val CardCandidatePattern = """\b\d{13,19}\b"""
+
+  /** Redact payment-card numbers VALIDATED by Luhn — the checksum cuts
+    * the false-positive space of "any 16-digit number" (order ids,
+    * timestamps in micros, EAN-like codes) by 10×, which is what makes
+    * card redaction usable on real text where [[redact]]'s shape-only
+    * patterns would mangle identifiers. Candidates come from one
+    * `regexp_extract_all` pass; the Luhn-valid ones (deduped + sorted —
+    * a deterministic replace order both engines share) splice out via a
+    * codegen'd `aggregate` of `replace`s. Caveat: `replace` hits every
+    * occurrence of a valid number, including one embedded in a longer
+    * NON-digit context; digit-run candidates can't overlap each other
+    * by construction (maximal runs). */
+  def redactCards(textCol: Column): Column = {
+    val cands = regexp_extract_all(textCol, lit(CardCandidatePattern), lit(0))
+    val valid = array_sort(array_distinct(filter(cands, c => luhnValid(c))))
+    aggregate(valid, textCol, (acc, c) => replace(acc, c, lit("<CARD>")))
+  }
+
+  /** Flesch reading-ease per document in exact integer MICRO-units:
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`, each
+    * division a fixed integer-truncation point (`div`) so engine and SQL
+    * mirror agree bit for bit. Sentences = `[.!?]+` runs, floored at 1
+    * (headline-only docs). Syllables = vowel-group count per word
+    * (`[aeiouy]+` on the lowercased word), floored at 1 — the standard
+    * no-dictionary heuristic (±1 syllable on silent-e words; consistent
+    * across engines, which is what a corpus-level readability FILTER
+    * needs — the absolute grade is calibration, the ordering is signal).
+    * Token-less documents emit NULL score (no 0/0). One scan-stage
+    * projection: split, two regexp passes, a collection fold — no
+    * shuffle, no UDF. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = filter(split(col(textCol), " "), w => w =!= "")
+    val syl = aggregate(ws, lit(0L), (acc, w) =>
+      acc + greatest(lit(1L),
+        size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))).cast("long")))
+    df.select(col(idCol).as("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+            .cast("long")).as("n_sentences"),
+        syl.as("n_syllables"))
+      .withColumn("flesch_micro",
+        when(col("n_words") > 0,
+          lit(206835000L) -
+            expr("1015000 * n_words div n_sentences") -
+            expr("84600000 * n_syllables div n_words")))
+  }
+
   /** Cross-source content-overlap matrix: for every source pair, how many
     * distinct word n-gram shingles they share — the corpus diagnostic
     * behind mixture design (two "different" sources sharing most of their

@@ -490,6 +490,35 @@ class GraphSpec extends SparkSpecBase {
     assert(core(k4, k = 3, rounds = 50) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("labelPropagation: bridged cliques split into two communities") {
+    // two triangles joined by one bridge 3–10: CC gives ONE component,
+    // LPA separates the dense regions (hand-traced sync rounds with the
+    // count-desc/label-asc tie-break)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (3L, 10L)).toDF("a", "b")
+    val out = Graph.labelPropagation(edges, "a", "b", rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
+  test("labelPropagation: fixed rounds pin the bipartite oscillation; junk edges drop") {
+    // a 3-path oscillates under synchronous LPA — the fixed horizon
+    // makes the output a deterministic function of (graph, rounds);
+    // self-loops, duplicates and reversed edges must not change it
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L))
+      .toDF("a", "b")
+    val clean = Graph.labelPropagation(edges, "a", "b", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val fromNoisy = Graph.labelPropagation(noisy, "a", "b", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(clean == Map(1L -> 1L, 2L -> 2L, 3L -> 1L)) // hand-traced r4
+    assert(fromNoisy == clean)
+  }
+
   test("triangleCount agrees with a naive count on a random graph with a hub") {
     val rnd = new scala.util.Random(19)
     val edges = ((1 to 300).map(_ =>

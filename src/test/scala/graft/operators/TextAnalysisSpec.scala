@@ -240,6 +240,30 @@ class TextAnalysisSpec extends SparkSpecBase {
       (4L, 2L, 0L, "")))
   }
 
+  test("redactCards: Luhn separates real card numbers from lookalikes") {
+    val out = Seq(
+      "pay 4242424242424242 and 4242424242424241 " +
+        "and 4111111111111111 ref 123456789012")
+      .toDF("t").select(TextAnalysis.redactCards(col("t")))
+      .as[String].head()
+    // 4242…42 and 4111…11 pass the checksum; …41 fails by one digit;
+    // the 12-digit run is below the card length band
+    assert(out == "pay <CARD> and 4242424242424241 " +
+      "and <CARD> ref 123456789012")
+  }
+
+  test("readability: hand-computed Flesch micro-units; empty doc is NULL") {
+    val out = TextAnalysis.readability(
+        Seq((1L, "The cat sat. It ran fast! Did it? yes"), (2L, ""))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_words", "n_sentences", "n_syllables", "flesch_micro")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    // W=9 S=3 Syl=9: 206835000 - 1015000*9 div 3 - 84600000*9 div 9
+    assert(out == Seq((9L, 3L, 9L, Some(119190000L)),
+      (0L, 1L, 0L, None)))
+  }
+
   test("dedupLinesGlobal: first occurrence survives, later copies drop") {
     val docs = Seq(
       (1L, "shared line\nunique alpha"),
