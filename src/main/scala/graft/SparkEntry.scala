@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Anomaly, Correlate, TextIndex, TimeSeries, Web, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.{Anomaly, Correlate, Experiment, TextIndex, TimeSeries, Web, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -1957,6 +1957,52 @@ object SparkEntry {
         size(split(col("text"), " ")).cast("long"),
         size(array_distinct(split(col("text"), " "))).cast("long"),
         "doc_id")),
+
+    // Borda rank-average quality blend: three incomparable signals
+    // (chars, tokens, distinct tokens) each contribute exactly their
+    // ORDERING via an exact distributed rank; rank_sum is the ensemble
+    // score a curation gate thresholds — no calibration, no fat-tail
+    // domination. Two-phase histogram ranking per metric, no
+    // single-partition window.
+    "quality_blend" -> ((s, dir) =>
+      Correlate.rankBlend(Tables.documents(s, dir), "doc_id", Seq(
+        col("n_chars"),
+        size(split(col("text"), " ")),
+        size(array_distinct(split(col("text"), " ")))))),
+
+    // Two-variant conversion experiment with an exact chi-square (for a
+    // 2×2 table χ² = z², so this is the significance read-out in pure
+    // integer arithmetic): variant by user-id parity, conversion = any
+    // 'purchase' event. One user-keyed agg → 2-row table → BigInt
+    // driver math (the spearman convention).
+    "ab_lift" -> ((s, dir) =>
+      Experiment.abChi2(Tables.events(s, dir), col("user_id"),
+        when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"),
+        col("event_type") === "purchase")),
+
+    // robots.txt fetchability under RFC 9309 precedence (longest
+    // pattern wins, Allow on ties, wildcard + $-anchor patterns): the
+    // crawl-side gate before any URL enters the frontier. The rule set
+    // parses driver-side and bakes into the plan as a sorted chain of
+    // codegen'd anchored-regex probes; the oracle replays the SAME
+    // sorted chain, so precedence decisions mirror rule for rule.
+    "robots_filter" -> ((s, dir) => {
+      val rules = Web.parseRobots(Seq(
+        "User-agent: *",
+        "Disallow: /private/",
+        "Allow: /private/stats/",
+        "Disallow: /*.pdf$",
+        "Disallow: /tmp"))
+      val m = pmod(col("doc_id"), lit(5))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(m === 0, concat(lit("/private/page"), col("doc_id")))
+            .when(m === 1, concat(lit("/public/doc"), col("doc_id"), lit(".html")))
+            .when(m === 2, concat(lit("/files/report"), col("doc_id"), lit(".pdf")))
+            .when(m === 3, concat(lit("/private/stats/day"), col("doc_id")))
+            .otherwise(concat(lit("/tmp/cache"), col("doc_id"))).as("path"))
+        .withColumn("allowed", Web.robotsAllowed(col("path"), rules))
+    }),
 
     // Week-over-week event-volume trend per type (integer permille,
     // truncation identical in both engines even for negative deltas) —
@@ -4844,6 +4890,69 @@ object SparkEntry {
         |            // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
         |       END AS BIGINT) AS rho_micro
         |FROM s""".stripMargin,
+
+    // Same three metrics, row_number ranks under the same (value, id)
+    // total order, summed.
+    "quality_blend" ->
+      """WITH m AS (SELECT doc_id, n_chars AS m1,
+        |    len(string_split(text, ' ')) AS m2,
+        |    len(list_distinct(string_split(text, ' '))) AS m3
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY m1, doc_id) AS rank_1,
+        |    ROW_NUMBER() OVER (ORDER BY m2, doc_id) AS rank_2,
+        |    ROW_NUMBER() OVER (ORDER BY m3, doc_id) AS rank_3 FROM m)
+        |SELECT doc_id, rank_1, rank_2, rank_3,
+        |  rank_1 + rank_2 + rank_3 AS rank_sum FROM r""".stripMargin,
+
+    // Same per-user collapse, 2×2 margins, and exact integer chi-square
+    // in HUGEINT (the engine side runs BigInt — unbounded; the HUGEINT
+    // mirror is exact to ~10³⁸, far past any test scale).
+    "ab_lift" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT
+        |    SUM(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN v = 'A' AND c = 1 THEN 1 ELSE 0 END) AS ka,
+        |    SUM(CASE WHEN v = 'B' THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN v = 'B' AND c = 1 THEN 1 ELSE 0 END) AS kb
+        |  FROM u),
+        |x AS (SELECT na, ka, nb, kb,
+        |    CAST(ka AS HUGEINT) AS a, CAST(na - ka AS HUGEINT) AS b,
+        |    CAST(kb AS HUGEINT) AS cc, CAST(nb - kb AS HUGEINT) AS d
+        |  FROM t)
+        |SELECT CAST(na AS BIGINT) AS users_a, CAST(ka AS BIGINT) AS conv_a,
+        |  CAST(nb AS BIGINT) AS users_b, CAST(kb AS BIGINT) AS conv_b,
+        |  CAST((1000000 * ka) // na AS BIGINT) AS rate_a_micro,
+        |  CAST((1000000 * kb) // nb AS BIGINT) AS rate_b_micro,
+        |  CAST((1000000 * ka) // na - (1000000 * kb) // nb AS BIGINT)
+        |    AS lift_micro,
+        |  CAST(CASE WHEN a + b = 0 OR cc + d = 0 OR a + cc = 0 OR b + d = 0
+        |    THEN NULL
+        |    ELSE (1000000 * (a + b + cc + d) * (a * d - b * cc) * (a * d - b * cc))
+        |         // ((a + b) * (cc + d) * (a + cc) * (b + d)) END AS BIGINT)
+        |    AS chi2_micro
+        |FROM x""".stripMargin,
+
+    // Same path construction; the decision chain replayed in the SAME
+    // (length DESC, Allow-first) order with the same anchored regexes.
+    "robots_filter" ->
+      """WITH p AS (SELECT doc_id, CASE doc_id % 5
+        |    WHEN 0 THEN '/private/page' || doc_id
+        |    WHEN 1 THEN '/public/doc' || doc_id || '.html'
+        |    WHEN 2 THEN '/files/report' || doc_id || '.pdf'
+        |    WHEN 3 THEN '/private/stats/day' || doc_id
+        |    ELSE '/tmp/cache' || doc_id END AS path
+        |  FROM documents)
+        |SELECT doc_id, path,
+        |  CASE WHEN regexp_matches(path, '^/private/stats/') THEN TRUE
+        |       WHEN regexp_matches(path, '^/private/') THEN FALSE
+        |       WHEN regexp_matches(path, '^/.*\.pdf$') THEN FALSE
+        |       WHEN regexp_matches(path, '^/tmp') THEN FALSE
+        |       ELSE TRUE END AS allowed
+        |FROM p""".stripMargin,
 
     // Rank words by (count desc, word asc), sum the top-N mass per cut.
     "vocab_coverage" ->

@@ -16,7 +16,7 @@ object Correlate {
     * per value partition — the distributed two-phase ranking of
     * `Sampling.mixSources`. Ranks are 1-based and total-ordered (ties
     * broken by `tie`), so they are a permutation of 1..n. */
-  private def exactRank(df: DataFrame, value: Column, tie: Column,
+  private[operators] def exactRank(df: DataFrame, value: Column, tie: Column,
       out: String): DataFrame = {
     val v = df.withColumn("__v", value)
     val hist = v.groupBy("__v").agg(count(lit(1)).as("__c"))
@@ -30,6 +30,39 @@ object Correlate {
       .withColumn(out, col("__start") +
         row_number().over(Window.partitionBy("__v").orderBy(tie)))
       .drop("__v", "__start")
+  }
+
+  /** Borda rank-average quality blend: each metric column is converted
+    * to its exact global rank (1-based, ascending — "higher raw value =
+    * higher rank = better"; flip a metric's sign to invert), and a
+    * document's blend score is the SUM of its ranks. Rank-averaging is
+    * the standard way to ensemble quality signals on incomparable
+    * scales (a length score in chars, a fluency score in millibits, a
+    * repetition ratio in ppm) without calibrating any of them — each
+    * signal contributes exactly its ordering, so one signal's fat tail
+    * can't drown the others the way z-score averaging lets it.
+    * Documents with ANY metric null are excluded up front (a null rank
+    * would poison the sum); ties break by `idCol` (the deterministic
+    * total order [[spearmanMicro]] documents). Output:
+    * `(idCol, rank_1..rank_k, rank_sum)` — `rank_sum` spans [k, k·n]
+    * and the caller gates on its quantiles or top-N.
+    *
+    * Scale shape: one two-phase distributed ranking per metric (value
+    * histogram → prefix sum → broadcast; row-level row_numbers run
+    * partitioned BY VALUE — see [[exactRank]], no single-partition
+    * window anywhere) plus k−1 id-keyed equi-joins of slim
+    * (id, rank) tables. */
+  def rankBlend(df: DataFrame, idCol: String, metrics: Seq[Column]): DataFrame = {
+    require(metrics.nonEmpty, "rankBlend needs at least one metric")
+    val ms = metrics.zipWithIndex.map { case (m, i) => (m, s"rank_${i + 1}") }
+    val base = df.select(col(idCol) +: ms.map { case (m, n) =>
+        m.as(s"__m_$n") }: _*)
+      .where(ms.map(m => col(s"__m_${m._2}").isNotNull).reduce(_ && _))
+    val ranked = ms.foldLeft(base) { case (acc, (_, n)) =>
+      exactRank(acc, col(s"__m_$n"), col(idCol), n).drop(s"__m_$n")
+    }
+    ranked.withColumn("rank_sum",
+      ms.map(m => col(m._2).cast("long")).reduce(_ + _))
   }
 
   /** Spearman rank correlation between two metric columns, in exact

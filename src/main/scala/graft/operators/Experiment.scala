@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A/B experiment analysis over an event log — the "did the variant
+  * move the metric" read-out every product analytics stack runs on the
+  * `events` stream. Exact integer arithmetic end to end (micro-unit
+  * rates, a BigInt chi-square) so the SQL oracle mirrors bit for bit —
+  * the [[Correlate.spearmanMicro]] convention. */
+object Experiment {
+
+  /** Two-variant conversion analysis with an exact Pearson chi-square:
+    * users are collapsed to one row each (variant = the user's single
+    * assignment, converted = whether ANY of their events converts),
+    * the 2×2 contingency table `(a,b;c,d)` = (A converted, A not; B
+    * converted, B not) is aggregated, and the statistic
+    * `χ²·10⁶ = 10⁶·N·(ad−bc)² div ((a+b)(c+d)(a+c)(b+d))` runs in
+    * BigInt on the driver (the 2×2 is four bounded counts — the
+    * [[Correlate.spearmanMicro]] driver-math posture; no overflow at
+    * any corpus size). For a 2×2 table χ² is exactly the square of the
+    * two-proportion z statistic, so this IS the standard significance
+    * test — χ²·10⁶ ≥ 3 841 459 ⇔ p < 0.05 — without ever needing a
+    * square root to leave integer arithmetic. Conversion rates and
+    * their lift are micro-unit integer divisions of non-negative
+    * values (floor = truncate, so `div` and `//` agree across
+    * engines). Any zero margin (no users in a variant, nobody/everyone
+    * converting) → NULL chi-square, the undefined case.
+    *
+    * A user appearing under BOTH variants (a broken assignment) is
+    * counted under their smallest variant label — deterministic, and a
+    * diagnostic the caller should gate on upstream.
+    *
+    * Scale shape: one user-keyed map-side-combined aggregate over the
+    * event log (the heavy exchange — slim `(user, variant, conv)`
+    * partials), one 2-row variant aggregate, a 4-count collect.
+    * Returns one row: `(users_a, conv_a, users_b, conv_b, rate_a_micro,
+    * rate_b_micro, lift_micro, chi2_micro)`. */
+  def abChi2(events: DataFrame, userCol: Column, variantCol: Column,
+      convertedCol: Column): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perUser = events
+      .select(userCol.as("__u"), variantCol.as("__v"),
+        convertedCol.cast("boolean").as("__c"))
+      .where(col("__u").isNotNull && col("__v").isNotNull)
+      .groupBy("__u")
+      .agg(min("__v").as("__v"), max(coalesce(col("__c"), lit(false))).as("__c"))
+    val table = perUser.groupBy("__v")
+      .agg(count(lit(1)).as("n"), sum(when(col("__c"), 1L).otherwise(0L)).as("k"))
+      .orderBy("__v")
+      .collect()
+    require(table.length == 2,
+      s"abChi2 expects exactly two variants, got ${table.length}")
+    val (na, ka) = (table(0).getLong(1), table(0).getLong(2))
+    val (nb, kb) = (table(1).getLong(1), table(1).getLong(2))
+    val (a, b, c, d) = (BigInt(ka), BigInt(na - ka), BigInt(kb), BigInt(nb - kb))
+    val margins = Seq(a + b, c + d, a + c, b + d)
+    val chi2: Option[Long] =
+      if (margins.exists(_ == 0)) None
+      else {
+        val det = a * d - b * c
+        Some(((BigInt(1000000) * (a + b + c + d) * det * det) /
+          margins.product).toLong)
+      }
+    val rateA = if (na > 0) 1000000L * ka / na else 0L
+    val rateB = if (nb > 0) 1000000L * kb / nb else 0L
+    Seq((na, ka, nb, kb, rateA, rateB, rateA - rateB, chi2))
+      .toDF("users_a", "conv_a", "users_b", "conv_b",
+        "rate_a_micro", "rate_b_micro", "lift_micro", "chi2_micro")
+  }
+}

@@ -246,6 +246,96 @@ object Web {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** One robots-exclusion rule: an `Allow:`/`Disallow:` line's path
+    * pattern (RFC 9309 syntax — literal path prefix, `*` wildcards, an
+    * optional trailing `$` end anchor). */
+  final case class RobotRule(allow: Boolean, pattern: String)
+
+  /** Parse a robots.txt body for one crawler (RFC 9309 group
+    * semantics): groups open with one or more `User-agent:` lines and
+    * carry the `Allow:`/`Disallow:` rules that follow; the rules that
+    * apply are ALL groups naming `agent` (case-insensitive product
+    * token), falling back to the `*` groups when none do — the
+    * most-specific-group rule of the spec, with same-agent groups
+    * merged. Empty-pattern rules drop (an empty `Disallow:` is the
+    * classic "allow everything" idiom, and an empty pattern must not
+    * win longest-match against real rules). Comments (`#` to EOL) and
+    * unknown directives (Crawl-delay, Sitemap) are ignored. */
+  def parseRobots(lines: Seq[String], agent: String = "*"): Seq[RobotRule] = {
+    final case class Group(agents: Set[String], rules: Vector[RobotRule])
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var cur: Option[Group] = None
+    var openingAgents = true // consecutive User-agent lines share a group
+    def directive(l: String): Option[(String, String)] = {
+      val noComment = l.takeWhile(_ != '#')
+      val i = noComment.indexOf(':')
+      if (i < 0) None
+      else Some((noComment.take(i).trim.toLowerCase, noComment.drop(i + 1).trim))
+    }
+    lines.foreach { raw =>
+      directive(raw) match {
+        case Some(("user-agent", a)) =>
+          if (openingAgents && cur.isDefined)
+            cur = Some(cur.get.copy(agents = cur.get.agents + a.toLowerCase))
+          else {
+            cur.foreach(groups += _); openingAgents = true
+            cur = Some(Group(Set(a.toLowerCase), Vector.empty))
+          }
+        case Some((d, p)) if d == "allow" || d == "disallow" =>
+          openingAgents = false
+          if (p.nonEmpty)
+            cur = cur.map(g =>
+              g.copy(rules = g.rules :+ RobotRule(d == "allow", p)))
+        case _ => ()
+      }
+    }
+    cur.foreach(groups += _)
+    val want = agent.toLowerCase
+    val named = groups.filter(_.agents.contains(want)).flatMap(_.rules)
+    val fallback =
+      if (named.nonEmpty || want == "*") named
+      else groups.filter(_.agents.contains("*")).flatMap(_.rules)
+    fallback.toSeq
+  }
+
+  /** Escape a literal string for use inside a regex that BOTH Java's
+    * engine and RE2 (the common SQL-engine regex) accept: per-character
+    * backslash escaping of the shared metacharacter set — `\Q...\E`
+    * would be Java-only. */
+  private[operators] def escapeRe2(s: String): String =
+    s.flatMap(c =>
+      if ("\\^$.|?*+()[]{}".contains(c)) s"\\$c" else c.toString)
+
+  /** A robots rule pattern as an anchored, RE2-compatible regex:
+    * matched from the path START (prefix semantics), `*` → `.*`, a
+    * TRAILING `$` becomes the end anchor (RFC 9309's only `$` meaning;
+    * elsewhere it is literal), everything else escaped. */
+  private[operators] def robotsPatternRegex(pattern: String): String = {
+    val (body, anchor) =
+      if (pattern.endsWith("$")) (pattern.dropRight(1), "$") else (pattern, "")
+    "^" + body.split("\\*", -1).map(escapeRe2).mkString(".*") + anchor
+  }
+
+  /** Is `path` fetchable under `rules`? RFC 9309 precedence: among all
+    * matching rules the LONGEST pattern (octet length) wins; on a
+    * length tie `Allow` prevails; no match → allowed. The rule set is a
+    * driver-side value (parsed once with [[parseRobots]] from the
+    * site's robots.txt — the [[loadPsl]] data-file posture) baked into
+    * the plan as a sorted `when` chain of anchored regex probes: the
+    * first match in (length DESC, allow-first) order IS the decision,
+    * so per row the work is at most |rules| codegen'd RE2 prefix
+    * matches — scan-stage, no join, no UDF. Rule sets are tens of
+    * lines for almost every real site; a pathological thousands-line
+    * robots.txt would instead join against a broadcast rule table. */
+  def robotsAllowed(path: Column, rules: Seq[RobotRule]): Column = {
+    val ordered = rules.distinct
+      .sortBy(r => (-r.pattern.length, !r.allow))
+    ordered.foldLeft(Option.empty[Column]) { case (acc, r) =>
+      val cond = regexp_like(path, lit(robotsPatternRegex(r.pattern)))
+      Some(acc.fold(when(cond, lit(r.allow)))(_.when(cond, lit(r.allow))))
+    }.fold(lit(true))(_.otherwise(lit(true)))
+  }
+
   /** All `href` targets of an HTML payload as an array — the outlink
     * extraction feeding the link-graph family ([[hostOf]] →
     * [[registrableDomain]] → per-domain census → PageRank/TrustRank).

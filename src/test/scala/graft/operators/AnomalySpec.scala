@@ -81,6 +81,22 @@ class AnomalySpec extends SparkSpecBase {
       rho(Seq((1L, 900L), (5L, 200L), (3L, 400L), (8L, 100L))))
   }
 
+  test("rankBlend: hand ranks, id tie-break, null metric excludes the row") {
+    val docs = Seq(
+      (1L, Some(10L), Some(5L)),
+      (2L, Some(20L), Some(1L)),
+      (3L, Some(15L), Some(9L)),
+      (5L, Some(10L), Some(7L)), // m1 ties doc 1 → id breaks it
+      (4L, None, Some(2L))) // null metric: excluded entirely
+      .toDF("doc_id", "m1", "m2")
+    val got = Correlate.rankBlend(docs, "doc_id", Seq(col("m1"), col("m2")))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // m1 asc: 10@1→1, 10@5→2, 15@3→3, 20@2→4
+    // m2 asc: 1@2→1, 5@1→2, 7@5→3, 9@3→4
+    assert(got == Set((1L, 1L, 2L, 3L), (2L, 4L, 1L, 5L),
+      (3L, 3L, 4L, 7L), (5L, 2L, 3L, 5L)))
+  }
+
   test("madOutlierDays: noisy history raises the bar (MAD > 0 suppresses)") {
     // key d: [10,14,10,14,10,22]: sorted [10,10,10,14,14,22] → lower med
     // (pos 3) = 10; devs [0,4,0,4,0,12] sorted → lower MAD (pos 3) = 0...

@@ -139,4 +139,53 @@ class WebSpec extends SparkSpecBase {
       .as[String].collect().toSeq
     assert(got == Seq("example.com.cn", "example.org.uk", "shop.com.au"))
   }
+
+  test("parseRobots: group selection, merged agents, empty rules, comments") {
+    val body = Seq(
+      "# site policy",
+      "User-agent: googlebot",
+      "User-agent: newsbot",
+      "Disallow: /g/ # inline comment",
+      "",
+      "User-agent: *",
+      "Disallow: /all/",
+      "Allow:", // empty pattern must drop, not match everything
+      "Crawl-delay: 10",
+      "Sitemap: /sitemap.xml")
+    assert(Web.parseRobots(body, "GoogleBot") ==
+      Seq(Web.RobotRule(allow = false, "/g/")))
+    assert(Web.parseRobots(body, "newsbot") ==
+      Seq(Web.RobotRule(allow = false, "/g/")))
+    // unnamed crawler falls back to the * group; * itself reads it too
+    assert(Web.parseRobots(body, "otherbot") ==
+      Seq(Web.RobotRule(allow = false, "/all/")))
+    assert(Web.parseRobots(body) ==
+      Seq(Web.RobotRule(allow = false, "/all/")))
+  }
+
+  test("robotsAllowed: longest match wins, Allow ties, $ anchor, wildcards") {
+    val rules = Web.parseRobots(Seq(
+      "User-agent: *",
+      "Disallow: /private/",
+      "Allow: /private/stats/",
+      "Disallow: /*.pdf$",
+      "Disallow: /tmp",
+      "Disallow: /a/*/secret",
+      // exact same pattern both ways: Allow prevails on the length tie
+      "Disallow: /tie", "Allow: /tie"))
+    def ok(paths: String*): Seq[Boolean] =
+      paths.toDF("p").select(Web.robotsAllowed(col("p"), rules))
+        .as[Boolean].collect().toSeq
+    assert(ok(
+      "/private/x", // shorter Disallow
+      "/private/stats/day1", // longer Allow overrides
+      "/files/report.pdf", // wildcard + anchor
+      "/files/report.pdfx", // $ anchor: suffix must END the path
+      "/tmpfoo", // prefix semantics: /tmp matches /tmpfoo
+      "/a/x/secretive", // mid-pattern * spans a segment, prefix after
+      "/a/secret", // * can't make /a/*/secret match without the segment
+      "/tie/x", // Allow wins the exact-pattern tie
+      "/unmatched") ==
+      Seq(false, true, false, true, false, false, true, true, true))
+  }
 }
