@@ -456,6 +456,33 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "r12b") {
+      // Round-12 new-op evidence at the 10× axis (sf1 corpora from
+      // `sf1`): the scan-stage tier (url/html/card/readability/robots —
+      // pure codegen'd projections) should read near-linear against a
+      // 10× corpus at fixed parallelism with overhead amortizing the
+      // exponent below 1; the exchanges worth watching are communities
+      // (5 LPA rounds over 10× edges), quality_blend (3 two-phase exact
+      // rankings), line_dedup (line-hash census + winner join-back) and
+      // ab_lift (one user-keyed collapse of 10× events).
+      val big = "/tmp/scale/sf1"
+      require(new java.io.File(s"$big/lineitem.parquet").isDirectory,
+        "sf1 corpora missing — run `runMain graft.ScaleProfile sf1` first")
+      def exp10(t1: Double, t10: Double): Double =
+        math.log(t10 / t1) / math.log(10.0)
+      val ps = Seq("communities", "quality_blend", "line_dedup",
+        "url_dup_census", "html_strip", "card_redact", "readability",
+        "robots_filter", "ab_lift")
+      ps.foreach(q => time(q, src)) // warmup: codegen + JIT
+      ps.foreach(q => time(q, big))
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t10 = median3(time(q, big))
+        println(f"SCALE10 $q%-23s sf0.1=$t1%6.2f s  sf1=$t10%7.2f s  exponent=${exp10(t1, t10)}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "sf10docs") {
       // The doc/names-family tail of the 10× axis: at sf1 these queries
       // still read overhead-dominated (spans 1.77 s, bm25 0.77 s,

@@ -1544,6 +1544,140 @@ object SparkEntry {
           expr("__p * 1000 div __t").as("promo_permille"))
     }),
 
+    // TPC-H Q6 shape: the forecasting-revenue one-scan aggregate — a
+    // tight multi-predicate band (date range + decimal discount band +
+    // quantity cap) that must reach the parquet scan as pushed filters,
+    // then a single partial-aggregable sum. The canonical "is pushdown
+    // working" query.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")) &&
+          col("l_discount").cast("decimal(12,2)").between(0.05, 0.07) &&
+          col("l_quantity").cast("long") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(12,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q15 shape: top supplier by quarter revenue — a scalar-max
+    // subquery decorrelated into a supplier-keyed aggregate plus a
+    // one-row broadcast max joined back on exact decimal equality.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+          .as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+      Tables.supplier(s, dir)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(mx), col("total_rev") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+    }),
+
+    // TPC-H Q17 shape: the correlated per-part average ("quantity below
+    // 20% of this part's average") decorrelated into ONE part-keyed
+    // aggregate joined back — and the float threshold turned into the
+    // exact integer twin `5·qty·count < sum(qty)` so both engines
+    // decide each line identically. The brand filter semi-restricts the
+    // aggregate's input via a broadcast of the qualifying part keys.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val brandParts = Tables.part(s, dir)
+        .where(col("p_brand") === "Brand#13").select("p_partkey")
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      val perPart = li.groupBy(col("l_partkey").as("pp"))
+        .agg(sum(col("l_quantity").cast("long")).as("sq"),
+          count(lit(1)).as("cq"))
+      li.join(perPart, col("l_partkey") === col("pp"))
+        .where(col("l_quantity").cast("long") * 5 * col("cq") < col("sq"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("small_rev"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q19 shape: the disjunctive join predicate — three
+    // brand/size/quantity bands OR'd together over lineitem ⋈ broadcast
+    // part (adapted to the columns this corpus carries: no
+    // shipmode/shipinstruct). The equi-join key stays clean; the
+    // disjunction rides as a post-join filter the optimizer can split.
+    "q19_discounted_revenue" -> ((s, dir) => {
+      val q = col("l_quantity").cast("long")
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          q.between(1, 11)) ||
+        (col("p_brand") === "Brand#10" && col("p_size").between(1, 25) &&
+          q.between(10, 20)) ||
+        (col("p_brand") === "Brand#20" && col("p_size").between(1, 35) &&
+          q.between(20, 30))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .where(cond)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(12,2)") -
+              col("l_discount").cast("decimal(12,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q21 shape (adapted: "late" = returnflag R — this corpus has
+    // no commit/receipt dates): suppliers who were the ONLY supplier
+    // with a returned line in a multi-supplier finished order. The
+    // classic EXISTS (another supplier) + NOT EXISTS (another R
+    // supplier) pair decorrelates into ONE order-keyed supplier census
+    // (nsupp ≥ 2 ∧ nsupp_r = 1) — one exchange instead of two
+    // self-joins; the ORACLE deliberately runs the textbook correlated
+    // form, so the decorrelation is verified against an independent
+    // formulation, not a mirror.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("nsupp_r"))
+      li.where(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .where(col("nsupp") >= 2 && col("nsupp_r") === 1)
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // TPC-H Q22 shape (adapted: country code = nation key, dormancy =
+    // no URGENT-priority order): customers above the positive-balance
+    // average with no urgent orders, grouped by country. The scalar avg
+    // subquery stays EXACT by comparing cross-multiplied cents
+    // (`bal·n_pos > sum_pos` ⇔ bal > avg) instead of dividing; the
+    // NOT EXISTS runs as a left-anti join against the distinct urgent
+    // customer keys. Oracle again runs the correlated textbook form.
+    "q22_dormant_customers" -> ((s, dir) => {
+      val nations = Seq(1, 3, 5, 7, 9)
+      val cust = Tables.customer(s, dir)
+        .where(col("c_nationkey").isin(nations: _*))
+      val pos = cust.where(col("c_acctbal") > 0)
+        .agg(sum((col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+            .as("sum_pos_cents"),
+          count(lit(1)).as("n_pos"))
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(pos))
+        .where((col("c_acctbal").cast("decimal(18,2)") * 100).cast("long") *
+          col("n_pos") > col("sum_pos_cents"))
+        .groupBy(col("c_nationkey").as("cntry"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("totacctbal"))
+    }),
+
     // Z-order (Morton) clustering key over (user_id, event_type-bucket):
     // the multi-dimensional layout key that makes row-group stats
     // selective on every interleaved column at once.
@@ -4297,6 +4431,93 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN rev_e4 ELSE 0 END) * 1000
         |       // SUM(rev_e4) AS BIGINT) AS promo_permille
         |FROM l""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
+        |  AND CAST(l_quantity AS BIGINT) < 24""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |      AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""".stripMargin,
+
+    // The same integer-exact threshold twin (5·qty·count < sum), so the
+    // per-line decision mirrors bit for bit.
+    "q17_small_qty_revenue" ->
+      """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+        |li AS (SELECT l.* FROM lineitem l JOIN bp ON l_partkey = p_partkey),
+        |pp AS (SELECT l_partkey AS pk, SUM(CAST(l_quantity AS BIGINT)) AS sq,
+        |         COUNT(*) AS cq FROM li GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS small_rev,
+        |  COUNT(*) AS n_lines
+        |FROM li JOIN pp ON l_partkey = pk
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * cq < sq""".stripMargin,
+
+    "q19_discounted_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#10' AND p_size BETWEEN 1 AND 25
+        |       AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35
+        |       AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)""".stripMargin,
+
+    // Deliberately the textbook CORRELATED form — the engine's
+    // aggregate decorrelation is checked against an independent
+    // formulation, not a mirror of itself.
+    "q21_waiting_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |  JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |  JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name""".stripMargin,
+
+    // Correlated NOT EXISTS + the cross-multiplied exact average
+    // threshold (bal·n_pos > sum_pos in cents).
+    "q22_dormant_customers" ->
+      """WITH cust AS (SELECT * FROM customer
+        |    WHERE c_nationkey IN (1, 3, 5, 7, 9)),
+        |pos AS (SELECT
+        |    SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS spc,
+        |    COUNT(*) AS np
+        |  FROM cust WHERE c_acctbal > 0)
+        |SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM cust, pos
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * np > spc
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name,
