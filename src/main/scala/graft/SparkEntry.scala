@@ -188,6 +188,18 @@ object SparkEntry {
       .withColumn("recall_permille", expr("n_hit * 1000 div n_exact"))
   }
 
+  /** The registered demo lexicon for `topic_classify`: terms drawn from
+    * the synthetic corpus vocabulary so every topic actually wins on
+    * some documents; ONE definition feeds both the Spark query and the
+    * generated VALUES clause of its oracle — no drift. */
+  private val GraftLexicon: Seq[(String, String, Long)] = Seq(
+    ("spark", "compute", 1000000L), ("query", "compute", 800000L),
+    ("join", "compute", 600000L), ("scan", "compute", 500000L),
+    ("customer", "commerce", 1000000L), ("order", "commerce", 800000L),
+    ("part", "commerce", 500000L), ("line", "commerce", 400000L),
+    ("window", "analytics", 700000L), ("data", "analytics", 500000L),
+    ("row", "analytics", 400000L), ("table", "analytics", 300000L))
+
   /** Deterministic synthetic URL per doc id, shared by domain_census
     * and domain_cap (and mirrored closed-form by both oracles — one
     * definition, no drift): scheme-less for id%7=0, `:8080` port for
@@ -2070,6 +2082,13 @@ object SparkEntry {
           concat(col("text"), lit(". End of doc "), col("doc_id"),
             lit("? Yes!")).as("page")),
         "doc_id", "page")),
+
+    // Weighted-keyword topic classification over the corpus vocabulary:
+    // broadcast lexicon join → (doc, topic) sum → deterministic argmax;
+    // docs with no lexicon hit tag "other".
+    "topic_classify" -> ((s, dir) =>
+      TextAnalysis.topicClassify(Tables.documents(s, dir), "doc_id", "text",
+        GraftLexicon)),
 
     // Embedding-norm health: the 10 vectors at each norm extreme in
     // exact fixed-point — collapsed outputs and exploding rows, the
@@ -4980,6 +4999,26 @@ object SparkEntry {
         |      - (84600000 * n_syllables) // n_words END AS BIGINT)
         |    AS flesch_micro
         |FROM m""".stripMargin,
+
+    // Full mirror from the SAME lexicon definition (generated VALUES
+    // clause): unnest-join-sum, row_number argmax with the engine's
+    // exact (score DESC, topic ASC) tie-break, "other"/0 via left join.
+    "topic_classify" -> {
+      val vals = GraftLexicon
+        .map { case (t, p, w) => s"('$t', '$p', $w)" }.mkString(", ")
+      s"""WITH lex(term, topic, w) AS (VALUES $vals),
+         |t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |      FROM documents),
+         |sc AS (SELECT doc_id, topic, SUM(w) AS score
+         |       FROM t JOIN lex USING (term) WHERE term <> '' GROUP BY 1, 2),
+         |b AS (SELECT doc_id, topic, score, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY score DESC, topic) AS rn
+         |      FROM sc)
+         |SELECT d.doc_id, coalesce(b.topic, 'other') AS topic,
+         |  CAST(coalesce(b.score, 0) AS BIGINT) AS score_micro
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (doc_id)""".stripMargin
+    },
 
     // Closed-form mirror: the registrable domain follows directly from
     // the synthetic construction — scheme/port/path/subdomain parsing

@@ -309,6 +309,46 @@ object TextAnalysis {
             expr("84600000 * n_syllables div n_words")))
   }
 
+  /** Weighted-keyword topic classification — the domain-tagging pass a
+    * mixture designer runs before per-domain sampling weights exist: a
+    * LEXICON of (term, topic, weight) rows scores each document as
+    * `score(doc, topic) = Σ_tokens weight(token, topic)` and the doc
+    * takes the argmax topic (score DESC, topic ASC — deterministic),
+    * `"other"`/0 when nothing matches. The linear-scorer shape of a
+    * fastText-style classifier with the embedding table replaced by an
+    * explicit lexicon — auditable, and exact in integer micro-unit
+    * weights so the SQL mirror agrees bit for bit.
+    *
+    * Scale shape: tokenize-explode → broadcast lexicon equi-join (the
+    * lexicon is the small side at any corpus scale; 100k-term lexicons
+    * are still broadcast-class) → (doc, topic)-keyed map-side-combined
+    * sum → per-doc min-struct argmax. Non-matching tokens drop AT the
+    * join, so the exchange carries only lexicon hits; a when-chain
+    * scorer would avoid the exchange but pays O(|lexicon|) per token —
+    * the join shape is what survives a real lexicon. */
+  def topicClassify(df: DataFrame, idCol: String, textCol: String,
+      lexicon: Seq[(String, String, Long)]): DataFrame = {
+    require(lexicon.nonEmpty, "topicClassify needs a non-empty lexicon")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lex = broadcast(lexicon.toDF("__term", "__topic", "__w"))
+    val toks = df.select(col(idCol),
+        explode(split(lower(col(textCol)), " ")).as("__term"))
+      .where(col("__term") =!= "")
+    val best = toks.join(lex, Seq("__term"))
+      .groupBy(col(idCol), col("__topic"))
+      .agg(sum(col("__w")).as("__s"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__s")).as("ns"), col("__topic").as("t"))).as("__m"))
+      .select(col(idCol), col("__m.t").as("__topic"),
+        (-col("__m.ns")).as("__score"))
+    df.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__topic"), lit("other")).as("topic"),
+        coalesce(col("__score"), lit(0L)).as("score_micro"))
+  }
+
   /** Cross-source content-overlap matrix: for every source pair, how many
     * distinct word n-gram shingles they share — the corpus diagnostic
     * behind mixture design (two "different" sources sharing most of their

@@ -525,4 +525,28 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got == Seq(None, None, Some(0L), Some(1L), Some(1L),
       Some(9L), Some(10L), Some(62L)), got.toString)
   }
+
+  test("topicClassify: weighted argmax, repeat terms, ties, 'other' fallback") {
+    val lex = Seq(
+      ("cat", "pets", 10L), ("dog", "pets", 8L),
+      ("tax", "finance", 10L), ("cat", "finance", 3L))
+    val docs = Seq(
+      (1L, "cat dog mouse"), // pets 18, finance 3
+      (2L, "tax tax cat"), // finance 23 (repeat counts), pets 10
+      (3L, "mouse house"), // no hit → other/0
+      (4L, "Cat TAX dog tax")) // case-folds: pets 18, finance 23... recompute
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.topicClassify(docs, "doc_id", "text", lex)
+      .as[(Long, String, Long)].collect().toSet
+    // doc 4: cat→pets10+fin3, tax→fin10, dog→pets8, tax→fin10:
+    //   pets 18, finance 23
+    assert(got == Set((1L, "pets", 18L), (2L, "finance", 23L),
+      (3L, "other", 0L), (4L, "finance", 23L)))
+    // exact score tie breaks to the lexicographically smaller topic
+    val tie = TextAnalysis.topicClassify(
+        Seq((9L, "cat tax")).toDF("doc_id", "text"), "doc_id", "text",
+        Seq(("cat", "bbb", 5L), ("tax", "aaa", 5L)))
+      .as[(Long, String, Long)].collect().toSet
+    assert(tie == Set((9L, "aaa", 5L)))
+  }
 }
