@@ -58,11 +58,16 @@ object Correlate {
     val base = df.select(col(idCol) +: ms.map { case (m, n) =>
         m.as(s"__m_$n") }: _*)
       .where(ms.map(m => col(s"__m_${m._2}").isNotNull).reduce(_ && _))
-    val ranked = ms.foldLeft(base) { case (acc, (_, n)) =>
-      exactRank(acc, col(s"__m_$n"), col(idCol), n).drop(s"__m_$n")
+    // each metric ranks over its own SLIM (id, metric) projection — the
+    // spearman shape: independent ranking subtrees over 2-column frames
+    // instead of a serial fold re-exchanging the full width k times
+    val ranked = ms.map { case (_, n) =>
+      exactRank(base.select(col(idCol), col(s"__m_$n")),
+        col(s"__m_$n"), col(idCol), n).select(col(idCol), col(n))
     }
-    ranked.withColumn("rank_sum",
-      ms.map(m => col(m._2).cast("long")).reduce(_ + _))
+    ranked.reduce(_.join(_, Seq(idCol)))
+      .withColumn("rank_sum",
+        ms.map(m => col(m._2).cast("long")).reduce(_ + _))
   }
 
   /** Spearman rank correlation between two metric columns, in exact
