@@ -509,6 +509,15 @@ object SparkEntry {
       TextAnalysis.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
         chunkTokens = 32, stride = 24)),
 
+    // Contrastive embedding-training triplets over the chunk table:
+    // adjacent-window positives, deterministic bucket-rotation
+    // negatives — replayable training-pair prep (random in-batch
+    // negatives belong to training time, not data prep).
+    "contrastive_pairs" -> ((s, dir) =>
+      TextAnalysis.contrastivePairs(
+        TextAnalysis.chunkDocuments(Tables.documents(s, dir), "doc_id",
+          "text", chunkTokens = 32, stride = 24), buckets = 32)),
+
     // C4-style cross-document boilerplate-line removal. The synthetic
     // corpus is single-line, so the query builds a 3-line page per doc
     // (header/text/footer) whose header+footer lines repeat across docs —
@@ -3010,6 +3019,35 @@ object SparkEntry {
         |  CAST(least(len(ws) - st, 32) AS BIGINT) AS n_tokens,
         |  array_to_string(ws[st + 1 : st + 32], ' ') AS chunk_text
         |FROM c""".stripMargin,
+
+    // Full mirror: the chunk CTEs (the chunk_documents mirror), the
+    // shifted self-join positive, and the same bucket-rotation negative
+    // (lead + first_value wrap) over chunk-0 rows.
+    "contrastive_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS st FROM w),
+        |ch AS (SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+        |         array_to_string(ws[st + 1 : st + 32], ' ') AS chunk_text
+        |       FROM c),
+        |p AS (SELECT a.doc_id, a.chunk_id, a.chunk_text AS anchor_text,
+        |        b.chunk_text AS positive_text
+        |      FROM ch a JOIN ch b ON b.doc_id = a.doc_id
+        |        AND b.chunk_id = a.chunk_id + 1),
+        |f AS (SELECT doc_id, chunk_text AS t, (doc_id * 31 + 17) % 32 AS b
+        |      FROM ch WHERE chunk_id = 0),
+        |n AS (SELECT doc_id,
+        |        coalesce(lead(doc_id) OVER wo, first_value(doc_id) OVER wa)
+        |          AS neg_doc_id,
+        |        coalesce(lead(t) OVER wo, first_value(t) OVER wa)
+        |          AS negative_text
+        |      FROM f WINDOW
+        |        wo AS (PARTITION BY b ORDER BY doc_id),
+        |        wa AS (PARTITION BY b ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND UNBOUNDED FOLLOWING))
+        |SELECT p.doc_id, p.chunk_id, p.anchor_text, p.positive_text,
+        |  n.neg_doc_id, n.negative_text
+        |FROM p JOIN n USING (doc_id) WHERE neg_doc_id <> doc_id""".stripMargin,
 
     "boilerplate_lines" ->
       """WITH d AS (SELECT doc_id,

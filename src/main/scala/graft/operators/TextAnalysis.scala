@@ -468,6 +468,54 @@ object TextAnalysis {
         col("__c.chunk_text"))
   }
 
+  /** Contrastive training triplets from a chunk table (the output shape
+    * of [[chunkDocuments]]) — the data-prep step for training a text
+    * embedding model: anchor = chunk i, positive = chunk i+1 of the
+    * SAME document (adjacent-window supervision — overlapping strides
+    * share content, the standard weak positive), negative = chunk 0 of
+    * a DETERMINISTIC other document. Training-time in-batch negatives
+    * are random; a data-prep operator must be replayable, so the
+    * negative comes from a fixed permutation: chunk-0 docs hash into
+    * `buckets` (a small multiplicative mix — spread, not crypto), and
+    * each doc takes the NEXT doc of its bucket in doc-id order,
+    * wrapping (lead + first_value — one window pass, no self-join).
+    * Singleton buckets would self-pair; those rows drop (documented —
+    * shrink `buckets` if the corpus is tiny relative to it).
+    *
+    * Scale shape: the positive join is one (doc, chunk)-keyed equi-join
+    * of the chunk table against itself shifted by one — co-partitioned
+    * on the same key. The negative table is SLIM (one row per doc, the
+    * chunk-0 text) and its window partitions by bucket — n/buckets rows
+    * each, sized by the caller; the final doc-keyed join attaches one
+    * negative per doc. No exchange carries more than chunk-table rows. */
+  def contrastivePairs(chunks: DataFrame, docCol: String = "doc_id",
+      chunkCol: String = "chunk_id", textCol: String = "chunk_text",
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val a = chunks.select(col(docCol).as("doc_id"),
+      col(chunkCol).as("chunk_id"), col(textCol).as("anchor_text"))
+    val pos = chunks.select(col(docCol).as("doc_id"),
+      (col(chunkCol) - 1).as("chunk_id"), col(textCol).as("positive_text"))
+    val pairs = a.join(pos, Seq("doc_id", "chunk_id"))
+    val firsts = chunks.where(col(chunkCol) === 0)
+      .select(col(docCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("__b", pmod(col("doc_id") * 31 + 17, lit(buckets.toLong)))
+    val wOrd = Window.partitionBy("__b").orderBy("doc_id")
+    val wAll = Window.partitionBy("__b").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val neg = firsts
+      .withColumn("neg_doc_id",
+        coalesce(lead("doc_id", 1).over(wOrd), first("doc_id").over(wAll)))
+      .withColumn("negative_text",
+        coalesce(lead("__t", 1).over(wOrd), first("__t").over(wAll)))
+      .where(col("neg_doc_id") =!= col("doc_id"))
+      .select("doc_id", "neg_doc_id", "negative_text")
+    pairs.join(neg, Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_id"), col("anchor_text"),
+        col("positive_text"), col("neg_doc_id"), col("negative_text"))
+  }
+
   /** C4-style cross-document boilerplate-line removal: a line that occurs
     * in at least `minDocs` DISTINCT documents (navigation menus, cookie
     * banners, license headers) is dropped from every document; survivors

@@ -526,6 +526,26 @@ class TextAnalysisSpec extends SparkSpecBase {
       Some(9L), Some(10L), Some(62L)), got.toString)
   }
 
+  test("contrastivePairs: adjacent positives, bucket-rotation negatives, wrap") {
+    // chunks for 3 docs; buckets=1 puts all chunk-0 docs in one ring:
+    // 1 → 2 → 3 → 1 (wrap). Doc 3 has a single chunk → no positive.
+    val chunks = Seq(
+      (1L, 0L, "a0"), (1L, 1L, "a1"), (1L, 2L, "a2"),
+      (2L, 0L, "b0"), (2L, 1L, "b1"),
+      (3L, 0L, "c0")).toDF("doc_id", "chunk_id", "chunk_text")
+    val got = TextAnalysis.contrastivePairs(chunks, buckets = 1)
+      .as[(Long, Long, String, String, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, "a0", "a1", 2L, "b0"),
+      (1L, 1L, "a1", "a2", 2L, "b0"),
+      (2L, 0L, "b0", "b1", 3L, "c0")))
+    // a singleton bucket would self-pair → its rows drop
+    val solo = TextAnalysis.contrastivePairs(
+      Seq((7L, 0L, "x0"), (7L, 1L, "x1")).toDF("doc_id", "chunk_id", "chunk_text"),
+      buckets = 4)
+    assert(solo.count() == 0)
+  }
+
   test("topicClassify: weighted argmax, repeat terms, ties, 'other' fallback") {
     val lex = Seq(
       ("cat", "pets", 10L), ("dog", "pets", 8L),
