@@ -2037,8 +2037,15 @@ object SparkEntry {
           pmod(col("doc_id") + 1, lit(97)),
           lit(".ORG:80/b?utm_source=z'>y</a>"),
           lit("<a href=\"#frag\">skip</a>")))).as("link"))
-        .groupBy(Web.registrableDomain(
-          Web.hostOf(Web.canonicalizeUrl(col("link")))).as("domain"))
+        // STAGED projections, not one composed expression: each Web
+        // function references its input many times, so composing
+        // canonicalize∘hostOf∘registrableDomain inline re-evaluates the
+        // whole upstream chain per reference (CollapseProject keeps the
+        // stages apart only when they are separate selects) — the
+        // composed form benched 14.5 s where the staged one runs ~0.5 s
+        .select(Web.canonicalizeUrl(col("link")).as("__canon"))
+        .select(Web.hostOf(col("__canon")).as("__host"))
+        .groupBy(Web.registrableDomain(col("__host")).as("domain"))
         .agg(count(lit(1)).as("n_links"))),
 
     // Corpus-global exact line dedup (Lee et al. line tier): every

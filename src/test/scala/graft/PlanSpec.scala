@@ -26,6 +26,35 @@ class PlanSpec extends SparkSpecBase {
     self ++ p.children.flatMap(collectAll)
   }
 
+  test("q6_forecast_revenue: predicate band reaches the scan; one exchange") {
+    val p = plan("q6_forecast_revenue")
+    val s = p.toString
+    assert(s.contains("PushedFilters") && s.contains("l_shipdate"),
+      s"date band not pushed into the lineitem scan:\n$s")
+    val exchanges = collectAll(p).count(_.isInstanceOf[Exchange])
+    assert(exchanges == 1, s"expected the single final-agg exchange, got $exchanges")
+  }
+
+  test("topic_classify: the lexicon joins broadcast; no cartesian product") {
+    val nodes = collectAll(plan("topic_classify"))
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "lexicon should be the broadcast side")
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")))
+  }
+
+  test("contrastive_pairs: one shuffle — the bucket window; joins broadcast") {
+    val p = plan("contrastive_pairs")
+    val shuffles = collectAll(p).count {
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        false
+      case _: Exchange => true
+      case _ => false
+    }
+    assert(shuffles == 1,
+      s"negative-ring window should be the only shuffle at this scale, got $shuffles")
+    assert(!collectAll(p).exists(_.nodeName.contains("CartesianProduct")))
+  }
+
   test("pushdown_scan: filters reach the parquet scan; schema is pruned") {
     val s = plan("pushdown_scan").toString
     assert(s.contains("PushedFilters: [IsNotNull(l_returnflag)"),
