@@ -1922,9 +1922,12 @@ object SparkEntry {
     // multimodal-fixture pattern.
     "domain_census" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .withColumn("__dom",
-          Web.registrableDomain(Web.hostOf(syntheticUrl(col("doc_id")))))
-        .groupBy(col("__dom").as("domain"))
+        // staged projections — §7.4 item 0: hostOf multiply-references
+        // the URL and registrableDomain the host; composing them inline
+        // re-evaluates the upstream expression per reference
+        .select(col("n_chars"), syntheticUrl(col("doc_id")).as("__url"))
+        .select(col("n_chars"), Web.hostOf(col("__url")).as("__host"))
+        .groupBy(Web.registrableDomain(col("__host")).as("domain"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars").cast("long")).as("total_chars"))),
 
@@ -1976,9 +1979,10 @@ object SparkEntry {
     "domain_cap" -> ((s, dir) =>
       Dedup.capPerKey(
         Tables.documents(s, dir)
-          .withColumn("domain",
-            Web.registrableDomain(Web.hostOf(syntheticUrl(col("doc_id")))))
-          .select("doc_id", "domain"),
+          .select(col("doc_id"), syntheticUrl(col("doc_id")).as("__url"))
+          .select(col("doc_id"), Web.hostOf(col("__url")).as("__host"))
+          .select(col("doc_id"),
+            Web.registrableDomain(col("__host")).as("domain")),
         k = 3, keys = Seq("domain"), idCol = "doc_id")),
 
     // URL canonicalization — crawl-frontier alias collapse: mixed-case
@@ -1987,9 +1991,11 @@ object SparkEntry {
     // input covers every branch by id arithmetic; the oracle emits the
     // expected canonical closed-form from the same arithmetic).
     "url_canonical" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
-        Web.canonicalizeUrl(syntheticTrackedUrl(col("doc_id")))
-          .as("url_canon"))),
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          syntheticTrackedUrl(col("doc_id")).as("__url"))
+        .select(col("doc_id"),
+          Web.canonicalizeUrl(col("__url")).as("url_canon"))),
 
     // The use-case: alias pairs (clean even twin, tracked+upper-case
     // odd twin of the same gid) collapse to ONE canonical URL — the
@@ -2098,6 +2104,20 @@ object SparkEntry {
           concat(col("text"), lit(". End of doc "), col("doc_id"),
             lit("? Yes!")).as("page")),
         "doc_id", "page")),
+
+    // Exact decile assignment for a per-doc quality metric via the
+    // two-phase distributed ranking — the percentile feature a gate
+    // thresholds, with deterministic tie handling at every boundary.
+    "quality_deciles" -> ((s, dir) =>
+      Correlate.rankBuckets(Tables.documents(s, dir), "doc_id",
+        col("n_chars").cast("long"), buckets = 10)),
+
+    // Exact top-20 key-skew census over the event log's user key — the
+    // "should this shuffle key be salted" diagnostic, map-side-combined
+    // counts + bounded TakeOrdered, no full sort.
+    "skew_census" -> ((s, dir) =>
+      Frequencies.keySkewCensus(
+        Tables.events(s, dir).select(col("user_id")), "user_id", k = 20)),
 
     // Weighted-keyword topic classification over the corpus vocabulary:
     // broadcast lexicon join → (doc, topic) sum → deterministic argmax;
@@ -5044,6 +5064,24 @@ object SparkEntry {
         |      - (84600000 * n_syllables) // n_words END AS BIGINT)
         |    AS flesch_micro
         |FROM m""".stripMargin,
+
+    // Same (value, id) total order, same integer-floor bucket formula.
+    "quality_deciles" ->
+      """WITH r AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank,
+        |    COUNT(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, rank,
+        |  CAST((rank - 1) * 10 // n + 1 AS BIGINT) AS bucket
+        |FROM r""".stripMargin,
+
+    // Exact census mirror: group-count, share, deterministic top-20.
+    "skew_census" ->
+      """WITH c AS (SELECT user_id AS key, COUNT(*) AS n
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS tt FROM events)
+        |SELECT key, n, CAST(1000 * n // tt AS BIGINT) AS permille
+        |FROM c, t ORDER BY n DESC, key LIMIT 20""".stripMargin,
 
     // Full mirror from the SAME lexicon definition (generated VALUES
     // clause): unnest-join-sum, row_number argmax with the engine's

@@ -70,6 +70,28 @@ object Correlate {
         ms.map(m => col(m._2).cast("long")).reduce(_ + _))
   }
 
+  /** Exact quantile-bucket assignment: every row gets its global rank
+    * under (metric, id) — the [[exactRank]] two-phase distributed
+    * ranking, no single-partition window — and the bucket
+    * `(rank−1)·buckets div n + 1` (1-based, sizes differing by at most
+    * one). The per-document percentile feature a curation gate
+    * thresholds ("keep the top 3 deciles by fluency") when the
+    * sketch-based [[graft.operators.Quantiles]] cuts aren't enough —
+    * this one is EXACT and ties break deterministically, so the bucket
+    * boundary never splits differently between runs or engines. Rows
+    * with a null metric are excluded. */
+  def rankBuckets(df: DataFrame, idCol: String, metric: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val base = df.select(col(idCol), metric.as("__m"))
+      .where(col("__m").isNotNull)
+    val total = base.agg(count(lit(1)).as("__n"))
+    exactRank(base, col("__m"), col(idCol), "rank")
+      .crossJoin(broadcast(total))
+      .selectExpr(idCol, "CAST(rank AS BIGINT) AS rank",
+        s"CAST((rank - 1) * $buckets div __n + 1 AS BIGINT) AS bucket")
+  }
+
   /** Spearman rank correlation between two metric columns, in exact
     * integer micro-units: `ρ·10⁶ = 10⁶ − (6·10⁶·Σd²) div (n(n²−1))`
     * with `d = rank_a − rank_b` under the deterministic total order

@@ -73,4 +73,28 @@ object Frequencies {
   def estimates(spark: SparkSession, root: String, minCount: Long): DataFrame =
     topItems(IndexStore.read(spark, root)
       .where(!(col("key") <=> lit(MetaKey))), minCount)
+
+  /** EXACT top-k key-skew census — the diagnostic behind every
+    * partition-skew decision in this library (salting, degree caps,
+    * chunked windows): the k heaviest values of a key with their row
+    * counts and integer-permille share of the table. The exact
+    * single-shot twin of the [[sketch]] Misra–Gries stream: run this
+    * before choosing a shuffle key, page when the top share crosses a
+    * bound. Deterministic (count DESC, key ASC).
+    *
+    * Scale shape: one map-side-combined count per distinct key (hot
+    * keys arrive at the reducer as partials), a bounded TakeOrdered k,
+    * and a one-row total broadcast for the share — no full sort, no
+    * row-level exchange. */
+  def keySkewCensus(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("__t"))
+    counts
+      .orderBy(col("n").desc, col("key").asc).limit(k)
+      .crossJoin(broadcast(total))
+      .selectExpr("key", "CAST(n AS BIGINT) AS n",
+        "CAST(1000 * n div __t AS BIGINT) AS permille")
+  }
 }

@@ -81,6 +81,20 @@ class AnomalySpec extends SparkSpecBase {
       rho(Seq((1L, 900L), (5L, 200L), (3L, 400L), (8L, 100L))))
   }
 
+  test("rankBuckets: exact floor buckets over 10 rows into quartiles; null drops") {
+    val docs = ((1L to 10L).map(i => (i, Some(i * 7 % 11))) :+
+      (99L, Option.empty[Long])).toDF("doc_id", "m")
+    val got = Correlate.rankBuckets(docs, "doc_id", col("m"), buckets = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 10) // the null-metric row is excluded
+    val byBucket = got.groupBy(_._3).view.mapValues(_.length).toMap
+    // (rank-1)*4 div 10 + 1 over ranks 1..10 → sizes 3, 2, 3, 2
+    assert(byBucket == Map(1L -> 3, 2L -> 2, 3L -> 3, 4L -> 2))
+    // ranks are the (value, id) permutation: smallest m gets rank 1
+    val minId = (1L to 10L).minBy(i => (i * 7 % 11, i))
+    assert(got.find(_._1 == minId).get._2 == 1L)
+  }
+
   test("rankBlend: hand ranks, id tie-break, null metric excludes the row") {
     val docs = Seq(
       (1L, Some(10L), Some(5L)),

@@ -112,4 +112,13 @@ class FrequenciesSpec extends SparkSpecBase {
       .as[(String, Long)].collect().toSeq
     assert(rows == Seq(("a", 2L)))
   }
+
+  test("keySkewCensus: exact counts, floor permille, (count DESC, key ASC) cut") {
+    val rows = Seq.fill(5)("hot") ++ Seq.fill(3)("b") ++ Seq.fill(3)("a") ++
+      Seq("cold")
+    val got = Frequencies.keySkewCensus(rows.toDF("k"), "k", k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // 12 rows total: hot 5/12 → 416‰ (floor), ties a/b at 3 break by key
+    assert(got == Seq(("hot", 5L, 416L), ("a", 3L, 250L), ("b", 3L, 250L)))
+  }
 }
