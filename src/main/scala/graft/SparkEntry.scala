@@ -2081,6 +2081,18 @@ object SparkEntry {
         "u", "v", rounds = 5)
     }),
 
+    // Multi-source BFS over the user↔item interaction graph: exact hop
+    // distance from 5 seed users within 3 hops — the crisp "hops from
+    // trusted" label TrustRank smooths into a score.
+    "bfs_layers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        (get_json_object(col("props"), "$.k").cast("long") + lit(1000000L))
+          .as("item"))
+      Graph.bfsLayers(
+        ev.select(col("user_id").as("u"), col("item").as("v")),
+        "u", "v", seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3)
+    }),
+
     // Luhn-validated payment-card redaction: of the two 16-digit
     // candidates planted per doc, the constant one always passes the
     // checksum and the id-varying one passes only when its tail makes
@@ -5014,6 +5026,18 @@ object SparkEntry {
           |FROM events""".stripMargin
       s"""WITH ${graft.operators.Graph.labelPropagationSql(edgesSql, rounds = 5)}
          |SELECT node, CAST(label AS BIGINT) AS label FROM lp5""".stripMargin
+    },
+
+    // Full unrolled mirror of the BFS hop rounds (the pagerank/LPA
+    // posture).
+    "bfs_layers" -> {
+      val edgesSql =
+        """SELECT user_id AS u,
+          |  1000000 + CAST(json_extract(props, '$.k') AS BIGINT) AS v
+          |FROM events""".stripMargin
+      s"""WITH ${graft.operators.Graph.bfsLayersSql(edgesSql,
+            Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3)}
+         |SELECT node, hops FROM bfs3""".stripMargin
     },
 
     // Full mirror: same candidate regex, the SAME Luhn fold as a SQL

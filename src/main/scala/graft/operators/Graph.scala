@@ -716,6 +716,70 @@ object Graph {
     labels
   }
 
+  /** Multi-source BFS distance labels: every node reachable from the
+    * seed set within `maxHops` undirected hops gets its EXACT minimum
+    * distance (seeds are hop 0 unconditionally, present in the graph or
+    * not). The "how far from trusted" signal TrustRank smooths into a
+    * score — this is the crisp hop count a curation rule wants
+    * ("≤2 hops from a vetted publisher"), and the frontier census per
+    * layer is the reach diagnostic of a seed set.
+    *
+    * Scale shape: the [[labelPropagation]] discipline — symmetrized
+    * edges checkpointed once; per hop ONE node-keyed join of the
+    * current distance table against the edge set and one
+    * map-side-combined `min(hops)` fold; `localCheckpoint` per round
+    * caps lineage. The distance table only grows by the new frontier,
+    * and `maxHops` is a small constant (trust decays past a few hops —
+    * and a fixed horizon keeps the SQL mirror unrollable). */
+  def bfsLayers(edges: DataFrame, aCol: String, bCol: String,
+      seeds: Seq[Long], maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    require(seeds.nonEmpty, "bfsLayers needs at least one seed")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var dist = seeds.distinct.toDF("node").withColumn("hops", lit(0L))
+    var i = 0
+    while (i < maxHops) {
+      val nxt = und
+        .join(dist.select(col("node").as("v"), col("hops")), Seq("v"))
+        .select(col("u").as("node"), (col("hops") + 1).as("hops"))
+      dist = dist.union(nxt)
+        .groupBy("node").agg(min("hops").as("hops"))
+        .localCheckpoint()
+      i += 1
+    }
+    dist
+  }
+
+  /** The DuckDB mirror of [[bfsLayers]]: the same hop rounds unrolled
+    * as chained CTEs over the caller's `edgesSql` and a seed VALUES
+    * list. */
+  def bfsLayersSql(edgesSql: String, seeds: Seq[Long],
+      maxHops: Int = 3): String = {
+    val vals = seeds.distinct.map(s => s"($s)").mkString(", ")
+    val rounds = (1 to maxHops).map { k =>
+      s"""bfs$k AS (
+         |  SELECT node, MIN(hops) AS hops FROM (
+         |    SELECT node, hops FROM bfs${k - 1}
+         |    UNION ALL
+         |    SELECT e.u AS node, p.hops + 1 AS hops
+         |    FROM und e JOIN bfs${k - 1} p ON p.node = e.v)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS (SELECT u, v FROM ($edgesSql)
+       |       WHERE u IS NOT NULL AND v IS NOT NULL AND u <> v),
+       |und AS (SELECT DISTINCT u, v FROM
+       |        (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)),
+       |bfs0 AS (SELECT node, CAST(0 AS BIGINT) AS hops
+       |         FROM (VALUES $vals) s(node)),
+       |$rounds""".stripMargin
+  }
+
   /** The DuckDB mirror of [[labelPropagation]]: the same synchronous
     * rounds unrolled as chained CTEs (the [[pageRankSql]] posture), the
     * argmax expressed as `row_number() OVER (count DESC, label ASC)`. */

@@ -519,6 +519,23 @@ class GraphSpec extends SparkSpecBase {
     assert(fromNoisy == clean)
   }
 
+  test("bfsLayers: min hops from a seed set; horizon cut; absent seeds label 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 7L), (5L, 6L))
+      .toDF("a", "b")
+    def bfs(seeds: Seq[Long], h: Int): Map[Long, Long] =
+      Graph.bfsLayers(edges, "a", "b", seeds, maxHops = h)
+        .as[(Long, Long)].collect().toMap
+    // single seed, horizon 2: node 4 is 3 hops out → absent
+    assert(bfs(Seq(1L), 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // multi-seed: distances are the MIN over seeds (3 is 1 hop from 4)
+    assert(bfs(Seq(1L, 4L), 2) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 7L -> 1L))
+    // a seed not present in the graph still labels itself at hop 0
+    assert(bfs(Seq(9L), 3) == Map(9L -> 0L))
+    // disconnected component only reached from its own seed
+    assert(bfs(Seq(5L), 1) == Map(5L -> 0L, 6L -> 1L))
+  }
+
   test("triangleCount agrees with a naive count on a random graph with a hub") {
     val rnd = new scala.util.Random(19)
     val edges = ((1 to 300).map(_ =>
