@@ -509,6 +509,17 @@ object SparkEntry {
       TextAnalysis.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
         chunkTokens = 32, stride = 24)),
 
+    // Sentence-boundary-aware RAG chunking: whole sentences pack
+    // greedily into ~24-token chunks by starting offset — no sentence
+    // ever splits mid-way; the synthetic enders give every doc a
+    // multi-sentence page plus an ender-less trailing fragment.
+    "sentence_chunks" -> ((s, dir) =>
+      TextAnalysis.sentenceChunks(
+        Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(". End of doc "), col("doc_id"),
+            lit("? Yes! trailing bit")).as("page")),
+        "doc_id", "page", budgetTokens = 24)),
+
     // Contrastive embedding-training triplets over the chunk table:
     // adjacent-window positives, deterministic bucket-rotation
     // negatives — replayable training-pair prep (random in-batch
@@ -3058,6 +3069,29 @@ object SparkEntry {
         |  CAST(least(len(ws) - st, 32) AS BIGINT) AS n_tokens,
         |  array_to_string(ws[st + 1 : st + 32], ' ') AS chunk_text
         |FROM c""".stripMargin,
+
+    // Full mirror: same sentence regex, parallel-unnest positions, same
+    // prefix-sum chunk assignment and ordered re-assembly.
+    "sentence_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || '. End of doc ' || doc_id || '? Yes! trailing bit' AS page
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    regexp_extract_all(page, '[^.!?]+[.!?]*') AS ss FROM t),
+        |x AS (SELECT doc_id, unnest(range(0, len(ss))) AS sent_id,
+        |        unnest(ss) AS s0 FROM w),
+        |s AS (SELECT doc_id, CAST(sent_id AS BIGINT) AS sent_id,
+        |        trim(s0) AS sentence,
+        |        CAST(len([y for y in string_split(trim(s0), ' ') if y <> ''])
+        |          AS BIGINT) AS n
+        |      FROM x WHERE trim(s0) <> ''),
+        |c AS (SELECT doc_id, sent_id, sentence, n,
+        |        SUM(n) OVER (PARTITION BY doc_id ORDER BY sent_id) AS cum
+        |      FROM s)
+        |SELECT doc_id, CAST((cum - n) // 24 AS BIGINT) AS chunk_id,
+        |  COUNT(*) AS n_sentences, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  string_agg(sentence, ' ' ORDER BY sent_id) AS chunk_text
+        |FROM c GROUP BY doc_id, (cum - n) // 24""".stripMargin,
 
     // Full mirror: the chunk CTEs (the chunk_documents mirror), the
     // shifted self-join positive, and the same bucket-rotation negative

@@ -468,6 +468,56 @@ object TextAnalysis {
         col("__c.chunk_text"))
   }
 
+  /** Sentence segments of a document, in order: maximal runs of
+    * non-ender characters followed by their `[.!?]+` ender run (a
+    * trailing fragment without an ender is its own sentence; empty/
+    * whitespace segments drop). One `regexp_extract_all` + posexplode —
+    * scan-stage, RE2-compatible, no abbreviation dictionary (the
+    * [[readability]] heuristic tier; "Dr." splits — consistent across
+    * engines, which is what a chunker needs, and documented). */
+  def sentenceSplit(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(regexp_extract_all(col(textCol),
+          lit("[^.!?]+[.!?]*"), lit(0))).as(Seq("sent_id", "__s")))
+      .select(col("doc_id"), col("sent_id").cast("long").as("sent_id"),
+        trim(col("__s")).as("sentence"))
+      .where(col("sentence") =!= "")
+
+  /** Sentence-boundary-aware chunking — the RAG-prep alternative to
+    * [[chunkDocuments]]'s fixed token windows: sentences pack greedily
+    * into chunks by their STARTING token offset (`(cum − n) div
+    * budget`), so no sentence is ever split mid-way and every chunk
+    * holds whole sentences summing to ≈`budgetTokens` (a single
+    * sentence longer than the budget keeps its own chunk and overflows
+    * it — splitting it would defeat the operator's point; documented).
+    * Deterministic: prefix sums over the (doc, sent_id) order, ordered
+    * re-assembly via sort_array-of-structs (the positional-splice
+    * convention).
+    *
+    * Scale shape: one scan-stage sentence explode, ONE doc-keyed
+    * exchange shared by the prefix-sum window and the (doc, chunk)
+    * re-assembly aggregate — per-doc row counts bound the window, no
+    * corpus-wide ordering anywhere. */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int = 64): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val sents = sentenceSplit(df, idCol, textCol)
+      .withColumn("__n",
+        size(filter(split(col("sentence"), " "), w => w =!= ""))
+          .cast("long"))
+    val w = Window.partitionBy("doc_id").orderBy("sent_id")
+    sents
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("chunk_id",
+        expr(s"(__cum - __n) div $budgetTokens"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"), sum(col("__n")).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("sent_id"), col("sentence")))),
+          s => s.getField("sentence")), " ").as("chunk_text"))
+  }
+
   /** Contrastive training triplets from a chunk table (the output shape
     * of [[chunkDocuments]]) — the data-prep step for training a text
     * embedding model: anchor = chunk i, positive = chunk i+1 of the

@@ -526,6 +526,21 @@ class TextAnalysisSpec extends SparkSpecBase {
       Some(9L), Some(10L), Some(62L)), got.toString)
   }
 
+  test("sentenceChunks: whole-sentence packing by start offset; fragments; overflow") {
+    val docs = Seq(
+      (1L, "a b c. d e! f g h i"), // 3+2+4 tokens, starts 0/3/5
+      (2L, "...w x y z a b c d"), // leading enders skip; one 8-token fragment
+      (3L, "one. two.")).toDF("doc_id", "page")
+    val got = TextAnalysis.sentenceChunks(docs, "doc_id", "page",
+        budgetTokens = 5)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 2L, 5L, "a b c. d e!"), // starts 0 and 3 → chunk 0
+      (1L, 1L, 1L, 4L, "f g h i"), // start 5 → chunk 1
+      (2L, 0L, 1L, 8L, "w x y z a b c d"), // over-budget sentence keeps its chunk
+      (3L, 0L, 2L, 2L, "one. two.")))
+  }
+
   test("contrastivePairs: adjacent positives, bucket-rotation negatives, wrap") {
     // chunks for 3 docs; buckets=1 puts all chunk-0 docs in one ring:
     // 1 → 2 → 3 → 1 (wrap). Doc 3 has a single chunk → no positive.
