@@ -2128,6 +2128,21 @@ object SparkEntry {
             lit("? Yes!")).as("page")),
         "doc_id", "page")),
 
+    // Epoch/repetition budgeting at a FIXED mixture: per source, the
+    // tokens the mixture demands vs what it holds — repeat factor and
+    // epoch count, the data-constrained-scaling table read before
+    // deciding which sources to cap (waterfill's complement). Weights
+    // (i%5)+1 by source index; the oracle derives the same weight from
+    // the source NAME — independent formulations.
+    "epoch_budget" -> ((s, dir) =>
+      Sampling.epochBudget(
+        Tables.documents(s, dir)
+          .groupBy(col("source").as("key"))
+          .agg(sum(size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long")).as("avail")),
+        weights = (0 until 20).map(i => s"src$i" -> ((i % 5) + 1L)).toMap,
+        budget = 1000000L)),
+
     // Exact decile assignment for a per-doc quality metric via the
     // two-phase distributed ranking — the percentile feature a gate
     // thresholds, with deterministic tie handling at every boundary.
@@ -5122,6 +5137,26 @@ object SparkEntry {
         |      - (84600000 * n_syllables) // n_words END AS BIGINT)
         |    AS flesch_micro
         |FROM m""".stripMargin,
+
+    // Weight recomputed from the source NAME (substr → index → (i%5)+1)
+    // instead of the engine's weights map; Σw = 60 from the same map.
+    "epoch_budget" ->
+      """WITH s AS (SELECT source AS key,
+        |    CAST(SUM(len([x for x in string_split(text, ' ') if x <> '']))
+        |      AS BIGINT) AS avail
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT key, avail,
+        |    CAST(CAST(substr(key, 4) AS BIGINT) % 5 + 1 AS BIGINT) AS weight,
+        |    (CAST(1000000 AS HUGEINT) *
+        |     (CAST(substr(key, 4) AS BIGINT) % 5 + 1)) // 60 AS a
+        |  FROM s)
+        |SELECT key, avail, weight, CAST(a AS BIGINT) AS allocated,
+        |  CAST(CASE WHEN avail > 0
+        |    THEN CAST(1000000 AS HUGEINT) * a // avail ELSE 0 END AS BIGINT)
+        |    AS repeat_micro,
+        |  CAST(CASE WHEN avail > 0
+        |    THEN (a + avail - 1) // avail ELSE 0 END AS BIGINT) AS n_epochs
+        |FROM w""".stripMargin,
 
     // Same (value, id) total order, same integer-floor bucket formula.
     "quality_deciles" ->

@@ -382,6 +382,53 @@ object Sampling {
     }.toDF("key", "avail", "weight", "allocated", "capped")
   }
 
+  /** Epoch/repetition budgeting — the data-constrained-scaling
+    * diagnostic [[waterfillBudgets]]'s capped allocator deliberately
+    * hides: hold the mixture FIXED (each source gets
+    * `budget·w ÷ Σw` tokens regardless of availability) and report
+    * what that costs in repetition — `repeat_micro` (allocated/available
+    * in micro-units; >10⁶ means the source repeats) and `n_epochs`
+    * (ceil of passes over the source). The table a mixture designer
+    * reads against the known repetition-harm curves before deciding
+    * which sources to cap (and then hands the capped set to waterfill).
+    * All arithmetic in DECIMAL(38,0)/HUGEINT — `budget × weight`
+    * products wrap a Long at realistic token budgets (the waterfill
+    * lesson). Sources without a weight allocate 0. Declarative over the
+    * bounded per-source table: Σw is driver-known from the weights map,
+    * baked in as a literal — no collect, no cross-join. */
+  def epochBudget(sources: DataFrame, weights: Map[String, Long],
+      budget: Long): DataFrame = {
+    require(budget >= 0)
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val sumW = weights.values.map(BigInt(_)).sum.max(BigInt(1))
+    val wCol = weights.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (k, w)) =>
+        val c = when(col("key") === k, lit(w))
+        Some(acc.fold(c)(_.when(col("key") === k, lit(w))))
+    }.fold(lit(0L))(_.otherwise(lit(0L)))
+    sources
+      .select(col("key").cast("string").as("key"),
+        col("avail").cast("long").as("avail"))
+      .withColumn("weight", wCol.cast("long"))
+      // integral `div`, never decimal `/`: Spark decimal division
+      // rounds HALF_UP where DuckDB `//` floors — `div` truncates in
+      // both (identical on these non-negative values)
+      .withColumn("__a", expr(
+        s"(CAST($budget AS DECIMAL(38,0)) * weight) div " +
+          s"CAST('$sumW' AS DECIMAL(38,0))"))
+      .selectExpr("key", "avail", "weight",
+        "CAST(__a AS BIGINT) AS allocated",
+        // repeat factor and epoch count are 0 for empty sources (a
+        // weighted-but-empty source is upstream breakage the mixture
+        // table surfaces as avail = 0, not a division crash)
+        """CAST(CASE WHEN avail > 0
+          |  THEN CAST(1000000 AS DECIMAL(38,0)) * __a div avail
+          |  ELSE 0 END AS BIGINT) AS repeat_micro""".stripMargin,
+        """CAST(CASE WHEN avail > 0
+          |  THEN (__a + avail - 1) div avail
+          |  ELSE 0 END AS BIGINT) AS n_epochs""".stripMargin)
+  }
+
   /** Hashed unigram+bigram feature stream of a document table: one row
     * per n-gram OCCURRENCE, bucketed to `[0, buckets)` via the portable
     * [[graft.functions.F.mix64]] string hash (the shingle family's

@@ -297,6 +297,25 @@ class SamplingSpec extends SparkSpecBase {
     assert(all == Map("a" -> ((10L, true)), "b" -> ((20L, true))))
   }
 
+  test("epochBudget: fixed-mixture repetition table; empty/unweighted sources") {
+    val out = Sampling.epochBudget(
+        Seq(("a", 10L), ("b", 100L), ("c", 5L), ("d", 0L))
+          .toDF("key", "avail"),
+        Map("a" -> 1L, "b" -> 3L, "d" -> 4L), budget = 80L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._4, r._5, r._6))).toMap
+    assert(out == Map(
+      "a" -> ((10L, 1000000L, 1L)), // exactly one epoch
+      "b" -> ((30L, 300000L, 1L)), // under-used: 0.3 epochs, ceil 1
+      "c" -> ((0L, 0L, 0L)), // no weight → no allocation
+      "d" -> ((40L, 0L, 0L)))) // weighted but EMPTY: surfaced, no crash
+    // repetition: a 25-token demand against 10 available = 2.5 epochs
+    val rep = Sampling.epochBudget(
+        Seq(("a", 10L)).toDF("key", "avail"), Map("a" -> 1L), budget = 25L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert((rep._4, rep._5, rep._6) == ((25L, 2500000L, 3L)))
+  }
+
   test("waterfillBudgets: uncapped split floors by integer div") {
     val out = fill(Seq(("a", 1000000L), ("b", 1000000L)),
       Map("a" -> 3L, "b" -> 7L), b = 10L)
