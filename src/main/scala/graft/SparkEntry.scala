@@ -814,6 +814,14 @@ object SparkEntry {
       Dedup.cosineNearDupPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.4, dim = 64, planes = 4, tables = 4)),
 
+    // Empirical SRP-LSH calibration: bucket occupancy + candidate
+    // volume per plane count on the ACTUAL corpus geometry — the
+    // measured "what does doubling planes buy" table next to the
+    // recall harnesses; one scan emits all three configs.
+    "lsh_calibration" -> ((s, dir) =>
+      Dedup.lshCalibration(Tables.embeddings(s, dir), "embedding",
+        planesOptions = Seq(4, 8, 12))),
+
     // Classifier evaluation in-engine: confusion matrix of the lang-ID
     // heuristic against the table's labels (+ integer accuracy signal).
     "langid_confusion" -> ((s, dir) =>
@@ -3725,6 +3733,30 @@ object SparkEntry {
          |SELECT a_id, b_id, list_cosine_similarity(ea.v, eb.v) AS cos
          |FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
          |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4""".stripMargin,
+
+    // Per-option replay of the SAME hyperplane doubles (generated
+    // VALUES), bit-sum buckets, occupancy census, UNION ALL.
+    "lsh_calibration" -> {
+      def one(p: Int): String =
+        s"""SELECT CAST($p AS BIGINT) AS planes, COUNT(*) AS n_buckets,
+           |  CAST(SUM(c) AS BIGINT) AS n_vectors,
+           |  CAST(MAX(c) AS BIGINT) AS max_bucket,
+           |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
+           |  CAST(1000 * SUM(c * (c - 1) // 2) // greatest(SUM(c), 1)
+           |    AS BIGINT) AS probes_per_kvec
+           |FROM (SELECT bucket, COUNT(*) AS c FROM (
+           |  SELECT vec_id,
+           |    SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS bucket
+           |  FROM (SELECT e.vec_id, hp.p,
+           |          list_reduce(list_transform(generate_series(1, 64),
+           |            i -> v[i] * pv[i]), (a, b) -> a + b) AS dot
+           |        FROM e CROSS JOIN (VALUES
+           |          ${srpPlanesValues(p, 64, 42L, 1)}) hp(t, p, pv))
+           |  GROUP BY vec_id) GROUP BY bucket)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings)
+         |${Seq(4, 8, 12).map(one).mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     // The lang_id argmax mirror grouped against the labels.
     "langid_confusion" -> {

@@ -806,5 +806,42 @@ object Dedup {
       planes: Int, seed: Long, dim: Int, tables: Int): DataFrame =
     emb.withColumn("__buckets", array((0 until tables).map(t =>
       graft.functions.F.srpBucket(col(vecCol), planes, seed + t, dim)): _*))
+
+  /** Empirical SRP-LSH calibration: for each candidate plane count,
+    * the bucket-occupancy census the [[autoPlanes]] law predicts —
+    * bucket count, max occupancy, total candidate pairs `Σ c(c−1)/2`,
+    * and candidate probes per 1000 vectors. This is the measured
+    * answer to "what does doubling planes buy me" on the ACTUAL corpus
+    * geometry (correlated embeddings crowd buckets far beyond the
+    * uniform-hash estimate), read next to the recall harnesses before
+    * pinning a production plane count.
+    *
+    * Scale shape: ONE corpus scan emits (planes, bucket) pairs for
+    * every option at once (the ann_lsh single-scan discipline), then
+    * two map-side-combined aggregations over slim integer pairs — per
+    * option the exchange carries one row per OCCUPIED bucket, never
+    * vectors. */
+  def lshCalibration(emb: DataFrame, vecCol: String,
+      planesOptions: Seq[Int], seed: Long = 42L, dim: Int = 64): DataFrame = {
+    require(planesOptions.nonEmpty, "need at least one planes option")
+    val pairs = emb.select(explode(array(planesOptions.distinct.map(p =>
+        struct(lit(p.toLong).as("planes"),
+          graft.functions.F.srpBucket(col(vecCol), p, seed, dim)
+            .cast("long").as("bucket"))): _*)).as("x"))
+      .select(col("x.planes").as("planes"), col("x.bucket").as("bucket"))
+    pairs.groupBy("planes", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("planes")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("c").as("n_vectors"),
+        max("c").as("max_bucket"),
+        sum(expr("c * (c - 1) div 2")).as("cand_pairs"))
+      .selectExpr("planes", "CAST(n_buckets AS BIGINT) AS n_buckets",
+        "CAST(n_vectors AS BIGINT) AS n_vectors",
+        "CAST(max_bucket AS BIGINT) AS max_bucket",
+        "CAST(cand_pairs AS BIGINT) AS cand_pairs",
+        "CAST(1000 * cand_pairs div greatest(n_vectors, 1) AS BIGINT) " +
+          "AS probes_per_kvec")
+  }
 }
 

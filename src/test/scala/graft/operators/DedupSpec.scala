@@ -525,4 +525,30 @@ class DedupSpec extends SparkSpecBase {
     val expected = ids.sortBy(i => (knuth(i), BigInt(i))).take(3).toSet
     assert(kept == expected)
   }
+
+  test("lshCalibration: census consistency and the occupancy law direction") {
+    val rnd = new scala.util.Random(7)
+    val emb = (1L to 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val out = Dedup.lshCalibration(emb, "embedding",
+        planesOptions = Seq(2, 4, 6), seed = 42L, dim = 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // every option sees the whole corpus
+    assert(out.values.forall(_._3 == 60L))
+    // census agrees with a direct per-option bucket count
+    for (p <- Seq(2, 4, 6)) {
+      val direct = emb
+        .select(graft.functions.F.srpBucket(col("embedding"), p, 42L, 8)
+          .as("b"))
+        .groupBy("b").count().as[(Long, Long)].collect().map(_._2)
+      val pairs = direct.map(c => c * (c - 1) / 2).sum
+      assert(out(p.toLong)._2 == direct.length.toLong, s"planes=$p buckets")
+      assert(out(p.toLong)._4 == direct.max, s"planes=$p max")
+      assert(out(p.toLong)._5 == pairs, s"planes=$p pairs")
+    }
+    // the law's direction: more planes → no fewer buckets, no more pairs
+    assert(out(2L)._2 <= out(4L)._2 && out(4L)._2 <= out(6L)._2)
+    assert(out(2L)._5 >= out(4L)._5 && out(4L)._5 >= out(6L)._5)
+  }
 }
