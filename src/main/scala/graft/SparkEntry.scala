@@ -1950,6 +1950,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars").cast("long")).as("total_chars"))),
 
+    // Domain-level quality prior joined back to every doc: the
+    // URL-prior trick — noisy per-page signals borrow strength from
+    // the publisher mean (token count here), with the domain's doc
+    // count as the downstream confidence weight.
+    "domain_prior" -> ((s, dir) =>
+      Web.domainPrior(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            syntheticUrl(col("doc_id")).as("url")),
+        "doc_id", "url",
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("long"))),
+
     // Trending terms: top-20 week-over-week term-frequency spikes over
     // the ingestion-order week axis (doc_id div 250 — the crawl-
     // snapshot time a static corpus carries), floored at 5 prior
@@ -5240,6 +5252,24 @@ object SparkEntry {
         |SELECT dom AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM u GROUP BY 1""".stripMargin,
+
+    // Closed-form domain from the construction (the domain_census
+    // posture), same exact-micro mean and join-back.
+    "domain_prior" ->
+      """WITH u AS (SELECT doc_id,
+        |    CAST(len([y for y in string_split(text, ' ') if y <> ''])
+        |      AS BIGINT) AS m,
+        |    'site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+        |    CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |         WHEN 2 THEN 'io' ELSE 'co.uk' END AS domain
+        |  FROM documents),
+        |p AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs_domain,
+        |    CAST(CASE WHEN COUNT(m) > 0
+        |      THEN CAST(1000000 AS HUGEINT) * SUM(m) // COUNT(m)
+        |      ELSE 0 END AS BIGINT) AS prior_micro
+        |  FROM u GROUP BY 1)
+        |SELECT u.doc_id, u.domain, p.n_docs_domain, p.prior_micro
+        |FROM u JOIN p ON u.domain = p.domain""".stripMargin,
 
     // Same (term, week) counts + consecutive-week lag + bounded top-20.
     "trending_terms" ->

@@ -246,6 +246,44 @@ object Web {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Domain-level quality prior joined back to documents — the
+    * URL-prior trick of web-curation pipelines: a page's quality
+    * estimate borrows strength from its PUBLISHER (registrable domain)
+    * when per-page signals are noisy, so the per-domain mean of a
+    * quality metric rides along as a feature (`prior_micro`, exact
+    * integer micro-units: `10⁶·Σmetric div n`) with the domain's doc
+    * count (`n_docs_domain` — the confidence weight a downstream blend
+    * applies). Null-metric docs contribute nothing to the prior but
+    * still RECEIVE it.
+    *
+    * Scale shape: staged host/domain projections (§7.4 item 0 — never
+    * one composed expression), one domain-keyed map-side-combined
+    * aggregate (the domain table is orders of magnitude smaller than
+    * the corpus), and one join back — the prior side is
+    * broadcast-class at any realistic domain cardinality. */
+  def domainPrior(df: org.apache.spark.sql.DataFrame, idCol: String,
+      urlCol: String, metric: Column): org.apache.spark.sql.DataFrame = {
+    val docs = df
+      .select(col(idCol), metric.as("__m"), col(urlCol).as("__u"))
+      .select(col(idCol), col("__m"), hostOf(col("__u")).as("__h"))
+      .select(col(idCol), col("__m"),
+        registrableDomain(col("__h")).as("domain"))
+    val prior = docs.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs_domain"),
+        sum(col("__m").cast("long")).as("__s"),
+        count(col("__m")).as("__nm"))
+      .selectExpr("domain", "CAST(n_docs_domain AS BIGINT) AS n_docs_domain",
+        // decimal widen: 10⁶ × a domain's token sum wraps a Long at
+        // realistic corpus sizes (the epochBudget convention)
+        """CAST(CASE WHEN __nm > 0
+          |  THEN CAST(1000000 AS DECIMAL(38,0)) * __s div __nm
+          |  ELSE 0 END AS BIGINT) AS prior_micro""".stripMargin)
+    docs.select(col(idCol), col("domain"))
+      .join(broadcast(prior), Seq("domain"))
+      .select(col(idCol), col("domain"), col("n_docs_domain"),
+        col("prior_micro"))
+  }
+
   /** One robots-exclusion rule: an `Allow:`/`Disallow:` line's path
     * pattern (RFC 9309 syntax — literal path prefix, `*` wildcards, an
     * optional trailing `$` end anchor). */

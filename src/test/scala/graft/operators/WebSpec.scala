@@ -140,6 +140,21 @@ class WebSpec extends SparkSpecBase {
     assert(got == Seq("example.com.cn", "example.org.uk", "shop.com.au"))
   }
 
+  test("domainPrior: exact floor mean per domain; null metric receives but skips") {
+    val docs = Seq(
+      (1L, "https://a.x.com/p", Some(10L)),
+      (2L, "http://b.x.com/q", Some(5L)),
+      (3L, "x.com", Option.empty[Long]), // gets the prior, contributes nothing
+      (4L, "https://y.org/", Some(7L)))
+      .toDF("doc_id", "url", "m")
+    val got = Web.domainPrior(docs, "doc_id", "url", col("m"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    // x.com: mean of (10, 5) = 7.5 → floor 7500000 micro; 3 docs total
+    assert(got == Set(
+      (1L, "x.com", 3L, 7500000L), (2L, "x.com", 3L, 7500000L),
+      (3L, "x.com", 3L, 7500000L), (4L, "y.org", 1L, 7000000L)))
+  }
+
   test("parseRobots: group selection, merged agents, empty rules, comments") {
     val body = Seq(
       "# site policy",
