@@ -2170,6 +2170,15 @@ object SparkEntry {
       Correlate.rankBuckets(Tables.documents(s, dir), "doc_id",
         col("n_chars").cast("long"), buckets = 10)),
 
+    // Deterministic curriculum layout: exact difficulty deciles
+    // (n_chars), within-bucket Knuth shuffle, sharded positions — the
+    // easy→hard training order a reader replays round-robin, no
+    // rand() anywhere.
+    "curriculum_order" -> ((s, dir) =>
+      Sampling.curriculumOrder(Tables.documents(s, dir), "doc_id",
+        col("n_chars").cast("long"), buckets = 10, numShards = 8,
+        seed = 7L)),
+
     // Exact top-20 key-skew census over the event log's user key — the
     // "should this shuffle key be salted" diagnostic, map-side-combined
     // counts + bounded TakeOrdered, no full sort.
@@ -5210,6 +5219,25 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, rank,
         |  CAST((rank - 1) * 10 // n + 1 AS BIGINT) AS bucket
+        |FROM r""".stripMargin,
+
+    // The rankBuckets mirror composed with the knuthRank closed form
+    // (the global_shuffle mirror, seed 7) and the same sharded window.
+    "curriculum_order" ->
+      """WITH b AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    CAST((rk - 1) * 10 // n + 1 AS BIGINT) AS bucket,
+        |    (((doc_id % 4294967296 + 7) % 4294967296 % 65536) * 2654435761
+        |     + (((doc_id % 4294967296 + 7) % 4294967296 // 65536)
+        |        * 2654435761 % 65536) * 65536)
+        |    % 4294967296 AS rank
+        |  FROM b)
+        |SELECT doc_id, bucket, CAST(rank % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY rank % 8
+        |         ORDER BY bucket, rank, doc_id) AS BIGINT) AS pos
         |FROM r""".stripMargin,
 
     // Exact census mirror: group-count, share, deterministic top-20.

@@ -147,6 +147,33 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Deterministic curriculum layout: documents ordered easy→hard by
+    * their EXACT difficulty bucket ([[Correlate.rankBuckets]] — the
+    * two-phase ranking, deterministic boundaries) and shuffled WITHIN
+    * each bucket by the Knuth rank, laid out as `numShards` shards with
+    * a per-shard position ([[globalShuffle]]'s layout) — a training
+    * reader walking shards round-robin sees an approximately
+    * bucket-ordered, within-bucket-shuffled stream, reproducible
+    * across runs and engines (no `rand()` anywhere). Output:
+    * `(id, bucket, shard, pos)`.
+    *
+    * Scale shape: the ranking's value-histogram exchanges + one
+    * shard-keyed window ordered by (bucket, rank, id) — per-shard row
+    * counts are n/shards by construction, so the window never sees a
+    * skewed partition. */
+  def curriculumOrder(df: DataFrame, idCol: String, difficulty: Column,
+      buckets: Int = 10, numShards: Int = 8, seed: Long = 0L): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("bucket"), col("__rank"), col(idCol))
+    Correlate.rankBuckets(df, idCol, difficulty, buckets)
+      .withColumn("__rank", knuthRank(col(idCol), seed))
+      .withColumn("shard", pmod(col("__rank"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("bucket"), col("shard"), col("pos"))
+  }
+
   /** Overflow-free Knuth multiplicative hash of `id + seed` (same form as
     * [[Dedup.capPerKey]]'s rank): exact integer arithmetic, identical in
     * any engine, ANSI-safe for the full Long id range. */

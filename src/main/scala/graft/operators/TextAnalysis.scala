@@ -550,6 +550,9 @@ object TextAnalysis {
     val pairs = a.join(pos, Seq("doc_id", "chunk_id"))
     val firsts = chunks.where(col(chunkCol) === 0)
       .select(col(docCol).as("doc_id"), col(textCol).as("__t"))
+      // spread mix, not crypto; doc ids above ~3·10¹⁷ would wrap the
+      // ×31 in Long (silently here, loudly in a HUGEINT mirror) — far
+      // past any real id space, noted for the contract
       .withColumn("__b", pmod(col("doc_id") * 31 + 17, lit(buckets.toLong)))
     val wOrd = Window.partitionBy("__b").orderBy("doc_id")
     val wAll = Window.partitionBy("__b").orderBy("doc_id")

@@ -297,6 +297,24 @@ class SamplingSpec extends SparkSpecBase {
     assert(all == Map("a" -> ((10L, true)), "b" -> ((20L, true))))
   }
 
+  test("curriculumOrder: bucket-major per-shard order, within-bucket hash shuffle") {
+    val docs = (1L to 40L).map(i => (i, i * 13 % 41)).toDF("doc_id", "m")
+    val out = Sampling.curriculumOrder(docs, "doc_id", col("m"),
+        buckets = 4, numShards = 3, seed = 7L)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(out.length == 40)
+    // per shard: positions are 1..count and bucket never decreases
+    out.groupBy(_._3).values.foreach { sh =>
+      val ordered = sh.sortBy(_._4)
+      assert(ordered.map(_._4).toSeq == (1L to sh.length).toSeq)
+      assert(ordered.map(_._2).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)))
+    }
+    // buckets are the exact quartiles of the metric order
+    val byBucket = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byBucket == Map(1L -> 10, 2L -> 10, 3L -> 10, 4L -> 10))
+  }
+
   test("epochBudget: fixed-mixture repetition table; empty/unweighted sources") {
     val out = Sampling.epochBudget(
         Seq(("a", 10L), ("b", 100L), ("c", 5L), ("d", 0L))
