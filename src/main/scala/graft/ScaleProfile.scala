@@ -512,7 +512,8 @@ object ScaleProfile {
         "sf1 corpora missing — run `runMain graft.ScaleProfile sf1` first")
       def exp10(t1: Double, t10: Double): Double =
         math.log(t10 / t1) / math.log(10.0)
-      val ps = Seq("sentence_chunks", "epoch_budget", "lsh_calibration")
+      val ps = Seq("sentence_chunks", "epoch_budget", "lsh_calibration",
+        "domain_prior", "curriculum_order")
       ps.foreach(q => time(q, src)) // warmup: codegen + JIT
       ps.foreach(q => time(q, big))
       ps.foreach { q =>

@@ -263,11 +263,18 @@ object Web {
     * broadcast-class at any realistic domain cardinality. */
   def domainPrior(df: org.apache.spark.sql.DataFrame, idCol: String,
       urlCol: String, metric: Column): org.apache.spark.sql.DataFrame = {
+    // checkpoint the parsed slim table: it feeds BOTH the prior
+    // aggregate and the join-back (the Cooccur replicated-subtree
+    // lesson), and it caps the codegen unit — the fused
+    // url→host→domain projection stack otherwise exceeds the 64 KB
+    // method limit and silently drops the whole stage to interpreted
+    // mode (observed: 2.5 s vs 0.5 s on 50k docs)
     val docs = df
       .select(col(idCol), metric.as("__m"), col(urlCol).as("__u"))
       .select(col(idCol), col("__m"), hostOf(col("__u")).as("__h"))
       .select(col(idCol), col("__m"),
         registrableDomain(col("__h")).as("domain"))
+      .localCheckpoint()
     val prior = docs.groupBy("domain")
       .agg(count(lit(1)).as("n_docs_domain"),
         sum(col("__m").cast("long")).as("__s"),
