@@ -1490,6 +1490,54 @@ object SparkEntry {
         .agg(sum(rev).cast("double").as("revenue"))
     }),
 
+    // TPC-H Q8 shape: national market share — one supplier nation's
+    // permille of part-type revenue sold into one region's customers,
+    // per order year. The last TPC-H query expressible over the
+    // driver's table subset (Q2/Q9/Q11/Q16/Q20 need partsupp, Q12
+    // needs l_shipmode/commitdate/receiptdate — absent columns).
+    // Dims broadcast (part filter, supplier→nation), the region's
+    // customer set applies as a shuffled left-semi join, and the share
+    // divides exact e4-integer twins (the q14 convention).
+    "q8_market_share" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+      val revE4 = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
+        (lit(100L) - (col("l_discount").cast("decimal(12,2)") * 100).cast("long"))
+      val amerCust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .join(broadcast(Tables.region(s, dir)
+              .where(col("r_name") === "AMERICA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val suppNat = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).where(col("p_type") === "STANDARD")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(amerCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", rev)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+            .as("nation_revenue"),
+          sum(rev).cast("double").as("total_revenue"),
+          sum(when(col("supp_nation") === "NATION_3", revE4).otherwise(0L))
+            .as("__n"),
+          sum(revE4).as("__t"))
+        .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+          expr("__n * 1000 div __t").as("mkt_share_permille"))
+    }),
+
     // TPC-H Q10 shape: returned-item revenue per customer for one
     // quarter, top 20 — date-filtered orders join the R-flagged
     // lineitems, customer + nation dims broadcast on at the end.
@@ -2235,6 +2283,69 @@ object SparkEntry {
       Experiment.abChi2(Tables.events(s, dir), col("user_id"),
         when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"),
         col("event_type") === "purchase")),
+
+    // Benford first-digit audit over order totals — the synthetic-data /
+    // fabricated-source smell test, exact integer permilles per digit.
+    "benford_digits" -> ((s, dir) =>
+      Validate.benford(Tables.orders(s, dir), col("o_totalprice"))),
+
+    // Gini concentration of events per user — "how much of the traffic
+    // do the top contributors own", the inequality read-out a sampling /
+    // caps policy is calibrated against. Exact integer permille.
+    "gini_concentration" -> ((s, dir) =>
+      Correlate.giniPermille(
+        Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("n_events")),
+        col("n_events"), col("user_id"))),
+
+    // Hapax-legomena profile per source: vocabulary size, single-
+    // occurrence type count (Good–Turing n₁), and the hapax share —
+    // the noisy-source / boilerplate-source gate next to vocab_coverage.
+    "hapax_rate" -> ((s, dir) =>
+      TextAnalysis.hapaxProfile(Tables.documents(s, dir), "source", "text")
+        .withColumnRenamed("key", "source")),
+
+    // Politeness-scheduled crawl frontier: per-host fetch waves under a
+    // quality-priority order (longer docs first), with per-host
+    // crawl-delay tiers folded into each URL's earliest start time.
+    "crawl_schedule" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          syntheticUrl(col("doc_id")).as("__url"))
+        .select(col("doc_id"), col("n_chars"),
+          Web.hostOf(col("__url")).as("host"))
+      Web.politenessWaves(docs, col("host"), col("n_chars").desc,
+          col("doc_id"), lit(1L) + pmod(pmod(col("doc_id"), lit(97)), lit(3)))
+        .select("doc_id", "host", "wave", "eta_sec")
+    }),
+
+    // Cross-split contamination census: near-dup clusters (the shared
+    // CC table) whose members land in DIFFERENT doc-keyed train/val/test
+    // splits — the leakage channel a per-doc split leaves open and
+    // split_by_component closes. Reports component and member-pair
+    // counts per split pair.
+    "split_leakage" -> ((s, dir) => {
+      val comp = sharedJaccardComponents(s, dir)
+        .select(col("id").as("doc_id"), col("label"))
+      val assigned = Tables.documents(s, dir).select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(
+          coalesce(col("label"), col("doc_id")).as("component"),
+          Sampling.splitAssign(col("doc_id"),
+            Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), "leak42")
+            .as("split"))
+      val m = assigned.groupBy("component", "split")
+        .agg(count(lit(1)).as("m"))
+      val a = m.select(col("component"), col("split").as("split_a"),
+        col("m").as("m_a"))
+      val b = m.select(col("component"), col("split").as("split_b"),
+        col("m").as("m_b"))
+      a.join(b, Seq("component"))
+        .where(col("split_a") < col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_components"),
+          sum(col("m_a") * col("m_b")).as("n_leaked_pairs"))
+    }),
 
     // robots.txt fetchability under RFC 9309 precedence (longest
     // pattern wins, Allow on ties, wildcard + $-anchor patterns): the
@@ -4585,6 +4696,34 @@ object SparkEntry {
         |  AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    "q8_market_share" ->
+      """WITH amer AS (SELECT c_custkey FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'AMERICA'),
+        |l AS (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS rev,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |      (100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)) AS rev_e4,
+        |    n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_type = 'STANDARD'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |    AND o_custkey IN (SELECT c_custkey FROM amer))
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+        |    AS DOUBLE) AS nation_revenue,
+        |  CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4 ELSE 0 END)
+        |    * 1000 // SUM(rev_e4) AS BIGINT) AS mkt_share_permille
+        |FROM l GROUP BY 1""".stripMargin,
+
     "q10_returned_items" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -5461,6 +5600,89 @@ object SparkEntry {
         |         // ((a + b) * (cc + d) * (a + cc) * (b + d)) END AS BIGINT)
         |    AS chi2_micro
         |FROM x""".stripMargin,
+
+    // Published Benford permille constants inline; string-leading-digit
+    // of the exact cent integer, like the operator.
+    "benford_digits" ->
+      """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |             AS cents FROM orders),
+        |o AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+        |        count(*) AS n_obs
+        |      FROM c WHERE cents > 0 GROUP BY 1),
+        |d AS (SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97),
+        |        (5, 79), (6, 67), (7, 58), (8, 51), (9, 46))
+        |        AS t(digit, benford_permille)),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS tot FROM o)
+        |SELECT d.digit, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+        |  CAST(COALESCE(o.n_obs, 0) * 1000 // tot AS BIGINT) AS obs_permille,
+        |  CAST(d.benford_permille AS BIGINT) AS benford_permille,
+        |  CAST(abs(COALESCE(o.n_obs, 0) * 1000 // tot - d.benford_permille)
+        |    AS BIGINT) AS gap_permille
+        |FROM d LEFT JOIN o ON d.digit = o.digit CROSS JOIN t""".stripMargin,
+
+    // Rank ties may order differently than the operator's (value, tie)
+    // window, but Σ rank·x is tie-order invariant — same statistic.
+    "gini_concentration" ->
+      """WITH c AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS rk FROM c),
+        |a AS (SELECT count(*) AS n, SUM(CAST(rk AS HUGEINT) * x) AS srx,
+        |        SUM(CAST(x AS HUGEINT)) AS sx FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_keys, CAST(sx AS BIGINT) AS total,
+        |  CAST((2 * srx - (n + 1) * sx) * 1000 // (n * sx) AS BIGINT)
+        |    AS gini_permille
+        |FROM a""".stripMargin,
+
+    "hapax_rate" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |c AS (SELECT source, w, count(*) AS c FROM t WHERE w <> ''
+        |      GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab_size,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000 // count(*)
+        |    AS BIGINT) AS hapax_permille
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // Host reconstructed from the same id arithmetic as syntheticUrl
+    // (the domain_cap precedent); the same (n_chars DESC, doc_id)
+    // priority order and per-host delay tier.
+    "crawl_schedule" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    'sub' || CAST(doc_id % 3 AS VARCHAR) ||
+        |    '.site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+        |    CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |         WHEN 2 THEN 'io' ELSE 'co.uk' END AS host
+        |  FROM documents)
+        |SELECT doc_id, host,
+        |  CAST(row_number() OVER (PARTITION BY host
+        |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS wave,
+        |  CAST((row_number() OVER (PARTITION BY host
+        |      ORDER BY n_chars DESC, doc_id) - 1)
+        |    * (1 + (doc_id % 97) % 3) AS BIGINT) AS eta_sec
+        |FROM u""".stripMargin,
+
+    // The near-dup CC CTEs (as in split_by_component), a doc-keyed md5
+    // split, then the per-split-pair cross counts within components.
+    "split_leakage" ->
+      s"""WITH RECURSIVE ${jaccardPairCtes("source")},
+         |pr AS (SELECT a_id, b_id FROM p WHERE 50 * inter >= 1 * (a_n + b_n - inter)),
+         |sym AS (SELECT a_id AS a, b_id AS b FROM pr UNION SELECT b_id, a_id FROM pr),
+         |reach(id, r) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+         |asg AS (SELECT coalesce(c.component, d.doc_id) AS component,
+         |  CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || ':leak42'), 1, 8) < '${splitThresholds(0)}' THEN 'train'
+         |       WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || ':leak42'), 1, 8) < '${splitThresholds(1)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |m AS (SELECT component, split, count(*) AS m FROM asg GROUP BY 1, 2)
+         |SELECT a.split AS split_a, b.split AS split_b,
+         |  CAST(count(*) AS BIGINT) AS n_components,
+         |  CAST(SUM(a.m * b.m) AS BIGINT) AS n_leaked_pairs
+         |FROM m a JOIN m b ON a.component = b.component AND a.split < b.split
+         |GROUP BY 1, 2""".stripMargin,
 
     // Same path construction; the decision chain replayed in the SAME
     // (length DESC, Allow-first) order with the same anchored regexes.

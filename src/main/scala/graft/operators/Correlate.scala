@@ -92,6 +92,48 @@ object Correlate {
         s"CAST((rank - 1) * $buckets div __n + 1 AS BIGINT) AS bucket")
   }
 
+  /** Gini concentration coefficient of a non-negative value column, in
+    * exact integer permille: with values ranked ascending (1-based ranks
+    * `r_i`, total-ordered by `(value, tie)` — tie ORDER is irrelevant to
+    * the statistic, since equal values contribute the same `Σ r_i·x_i`
+    * over any permutation of their consecutive ranks),
+    * `G·1000 = (2·Σ r_i·x_i − (n+1)·Σx) · 1000 div (n·Σx)`.
+    * The inequality read-out a curation pipeline runs over its domain /
+    * publisher / user distributions ("how concentrated is the corpus in
+    * its top contributors") — 0 = uniform, →1000 = one key owns
+    * everything. Returns one row `(n_keys, total, gini_permille)`;
+    * degenerate inputs (n = 0 or Σx = 0) return gini 0.
+    *
+    * Scale shape: one distributed two-phase ranking (see [[exactRank]] —
+    * the histogram window is over distinct VALUES, kilobyte-class for
+    * count-like inputs) + one scalar aggregate; `Σ r_i·x_i` accumulates
+    * in DECIMAL(38,0) and the final division runs driver-side in BigInt
+    * (the [[spearmanMicro]] convention). */
+  def giniPermille(df: DataFrame, value: Column, tie: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(value.cast("long").as("__x"), tie.as("__t"))
+      .where(col("__x").isNotNull && col("__x") >= 0)
+    val agg = exactRank(base, col("__x"), col("__t"), "__r")
+      .select((col("__r").cast("decimal(38,0)") *
+        col("__x").cast("decimal(38,0)")).as("__rx"),
+        col("__x").cast("decimal(38,0)").as("__xd"))
+      .agg(count(lit(1)).as("n"), sum("__rx").as("srx"), sum("__xd").as("sx"))
+      .head()
+    val n = agg.getLong(0)
+    val (total, gini) =
+      if (n == 0L) (0L, 0L)
+      else {
+        val srx = BigInt(agg.getDecimal(1).toBigInteger)
+        val sx = BigInt(agg.getDecimal(2).toBigInteger)
+        if (sx == 0) (0L, 0L)
+        else ((sx.toLong,
+          ((BigInt(2) * srx - (BigInt(n) + 1) * sx) * 1000 /
+            (BigInt(n) * sx)).toLong))
+      }
+    Seq((n, total, gini)).toDF("n_keys", "total", "gini_permille")
+  }
+
   /** Spearman rank correlation between two metric columns, in exact
     * integer micro-units: `ρ·10⁶ = 10⁶ − (6·10⁶·Σd²) div (n(n²−1))`
     * with `d = rank_a − rank_b` under the deterministic total order

@@ -987,4 +987,27 @@ object TextAnalysis {
       }.toDF("top_n", "covered", "total", "coverage_permille")
     } finally counts.unpersist()
   }
+
+  /** Hapax-legomena profile per key — the vocabulary-health read-out
+    * next to [[vocabCoverage]]: per `keyCol`, the distinct-vocabulary
+    * size, how many of those types occur exactly once (hapaxes), and the
+    * hapax share in exact integer permille. A high hapax share flags
+    * noisy/OCR-damaged sources (junk tokens inflate the unique tail); a
+    * LOW share flags template/boilerplate-heavy ones — both are gating
+    * signals before a source feeds tokenizer training, and the hapax
+    * count is also Good–Turing's n₁ (the unseen-mass estimate a
+    * smoothing layer wants). Empty tokens are excluded.
+    *
+    * Scale shape: one tokenize scan → one map-side-combined
+    * (key, word) aggregation (corpus → per-key-vocab-sized) → one key
+    * aggregation of slim count rows. No windows, no driver collect. */
+  def hapaxProfile(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
+    docs.select(col(keyCol).as("key"), explode(words(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("key", "w").agg(count(lit(1)).as("__c"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("hapax_count"))
+      .withColumn("hapax_permille",
+        expr("hapax_count * 1000 div vocab_size"))
 }

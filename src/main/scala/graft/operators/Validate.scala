@@ -84,6 +84,51 @@ object Validate {
             (lit(2.0) * col("np") * col("nq"))).as("tv"))
   }
 
+  /** Benford's-law first-digit permille, `P(d) = log₁₀(1 + 1/d)·1000`
+    * rounded to integers (they sum to 1001 — the usual rounding artifact;
+    * kept as the published constants rather than re-normalized). */
+  val BenfordPermille: Seq[Long] =
+    Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+
+  /** Benford first-digit audit over a positive amount column — the
+    * classic fabricated-/synthetic-data smell test a pipeline runs over
+    * monetary and count-like fields before trusting a new source. Each
+    * value's first significant digit comes from its exact cent
+    * representation (`DECIMAL(18,2)·100 → long → leading digit of the
+    * base-10 string` — string-leading-digit rather than `log10`, whose
+    * last-bit rounding at exact powers of ten is libm-dependent), and
+    * the report carries one row per digit 1–9 with exact integer
+    * columns: observed count, observed permille, the Benford expectation
+    * permille, and the absolute gap. Null and non-positive values are
+    * excluded (Benford is only defined over positive magnitudes).
+    * Digits with zero observations still report (the gap against their
+    * expectation is the signal).
+    *
+    * Scale shape: one scan → map-side-combined groupBy over ≤9 keys →
+    * a broadcast of the one-row total; nothing scales with the input
+    * but the scan. */
+  def benford(df: DataFrame, amount: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = (amount.cast("decimal(18,2)") * 100).cast("long")
+    val obs = df.select(cents.as("__c")).where(col("__c") > 0)
+      .select(substring(col("__c").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val digits = BenfordPermille.zipWithIndex
+      .map { case (p, i) => (i + 1, p) }.toDF("digit", "benford_permille")
+    val total = obs.agg(sum("n_obs").as("__t"))
+    // the ≤9-row observed side broadcasts (a broadcast hint on the
+    // left/preserved side of a left-outer is unsupported and ignored)
+    digits.join(broadcast(obs), Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        expr("n_obs * 1000 div __t").as("obs_permille"),
+        col("benford_permille"),
+        abs(expr("n_obs * 1000 div __t") - col("benford_permille"))
+          .as("gap_permille"))
+  }
+
   /** Count of key tuples appearing more than once — the uniqueness check
     * [[report]]'s per-row rules can't express. One shuffle on the key
     * (map-side combined). */

@@ -389,4 +389,30 @@ object Web {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html,
       lit("(?i)href\\s*=\\s*[\"']([^\"'#\\s>]+)"), lit(1))
+
+  /** Politeness scheduling for a crawl frontier: every URL gets its
+    * fetch WAVE — its 1-based position in the per-host queue under the
+    * caller's priority order (ties broken by `tieCol`, so the schedule
+    * is a deterministic total order) — and its earliest start time
+    * `eta_sec = (wave − 1) · delaySec`, the crawl-delay arithmetic of a
+    * one-connection-per-host fetcher. Wave 1 is fetchable immediately
+    * across ALL hosts in parallel; a host's queue serializes. `delaySec`
+    * is a per-row column so robots crawl-delay / host-reputation tiers
+    * plug in directly.
+    *
+    * Scale shape: ONE exchange on host + a per-host window — hosts are
+    * the natural partition and real frontiers are wide (millions of
+    * hosts), so the window is healthy; a pathological single-host
+    * frontier should be capped FIRST (the `domain_cap` per-publisher
+    * budget composes upstream of this), which also bounds the wave
+    * numbers. No global sort: the cross-host interleaving is implied by
+    * `eta_sec`, never materialized. */
+  def politenessWaves(df: org.apache.spark.sql.DataFrame, hostCol: Column,
+      orderCol: Column, tieCol: Column, delaySec: Column)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(hostCol).orderBy(orderCol, tieCol)
+    df.withColumn("wave", row_number().over(w).cast("long"))
+      .withColumn("eta_sec", (col("wave") - 1L) * delaySec.cast("long"))
+  }
 }

@@ -584,4 +584,17 @@ class TextAnalysisSpec extends SparkSpecBase {
       .as[(Long, String, Long)].collect().toSet
     assert(tie == Set((9L, "aaa", 5L)))
   }
+
+  test("hapaxProfile: per-key vocab, single-occurrence count, empty tokens drop") {
+    val docs = Seq(
+      ("s1", "a b a c"),
+      ("s1", "b d"),
+      ("s2", "x x  x")) // double space -> empty token, must not count
+      .toDF("source", "text")
+    val got = TextAnalysis.hapaxProfile(docs, "source", "text")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // s1: a=2 b=2 c=1 d=1 -> vocab 4, hapax 2, 500 permille
+    // s2: x=3 -> vocab 1, hapax 0, 0 permille
+    assert(got == Set(("s1", 4L, 2L, 500L), ("s2", 1L, 0L, 0L)))
+  }
 }

@@ -27,6 +27,20 @@ class ValidateSpec extends SparkSpecBase {
     assert(rep("null_lang") == ((4L, 1L, 250L)))
   }
 
+  test("benford: exact digit census, zero-obs digits report, non-positives excluded") {
+    val amounts = Seq(1.00, 25.50, 19.99, 0.05, -3.00, 0.0)
+      .toDF("amt")
+    val rep = Validate.benford(amounts, col("amt"))
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(rep.size == 9) // every digit reports, observed or not
+    // digits: 100->1, 2550->2, 1999->1, 5->5; -3 and 0 excluded; total 4
+    assert(rep(1) == ((2L, 500L, 301L, 199L)))
+    assert(rep(2) == ((1L, 250L, 176L, 74L)))
+    assert(rep(5) == ((1L, 250L, 79L, 171L)))
+    assert(rep(3) == ((0L, 0L, 125L, 125L))) // zero-obs: gap IS the signal
+  }
+
   test("duplicateKeyCount counts key tuples occurring more than once") {
     val df = Seq((1L, "a"), (1L, "a"), (2L, "b"), (1L, "b")).toDF("k", "s")
     assert(Validate.duplicateKeyCount(df, Seq("k")) == 1L)      // k=1 x3

@@ -203,4 +203,24 @@ class WebSpec extends SparkSpecBase {
       "/unmatched") ==
       Seq(false, true, false, true, false, false, true, true, true))
   }
+
+  test("politenessWaves: per-host serialization, priority order, delay arithmetic") {
+    val frontier = Seq(
+      (1L, "a.com", 10L, 2L),
+      (2L, "a.com", 30L, 2L), // highest priority on a.com -> wave 1
+      (3L, "a.com", 20L, 2L),
+      (4L, "b.org", 5L, 7L), // alone on its host -> wave 1, eta 0
+      (5L, "a.com", 30L, 2L)) // priority tie with 2 -> id breaks it
+      .toDF("id", "host", "prio", "delay")
+    val got = Web.politenessWaves(frontier, col("host"),
+        col("prio").desc, col("id"), col("delay"))
+      .select("id", "wave", "eta_sec")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap // id -> (wave, eta)
+    assert(got(2L) == ((1L, 0L)))
+    assert(got(5L) == ((2L, 2L))) // tie with id 2, larger id queues after
+    assert(got(3L) == ((3L, 4L)))
+    assert(got(1L) == ((4L, 6L)))
+    assert(got(4L) == ((1L, 0L))) // b.org fetches in parallel with a.com
+  }
 }
