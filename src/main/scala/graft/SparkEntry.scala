@@ -2347,6 +2347,29 @@ object SparkEntry {
           sum(col("m_a") * col("m_b")).as("n_leaked_pairs"))
     }),
 
+    // Exact robust location per event type: trim the bottom/top 5% by
+    // rank ON THE VALUE HISTOGRAM (no row-level window) and average the
+    // kept band — the fat-tail-immune stream-health metric, with the
+    // band's boundary order statistics for free.
+    "trimmed_stats" -> ((s, dir) =>
+      Correlate.trimmedMeanPerKey(Tables.events(s, dir), "event_type",
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))),
+
+    // Within-session event-type Markov chain → stationary distribution
+    // in exact integer ppm: one key exchange collapses the corpus to a
+    // |types|²-bounded transition matrix; 20 fixed-point power
+    // iterations run driver-side in BigInt, mirrored term for term by
+    // the oracle's unrolled HUGEINT CTEs (the bfs_layers precedent).
+    "markov_stationary" -> ((s, dir) =>
+      Sessionize.transitionStationary(Tables.events(s, dir),
+        gapSeconds = 1800)),
+
+    // Vocabulary-growth curve (empirical Heaps law): distinct types
+    // born within the first N corpus token positions, positions from a
+    // two-phase distributed prefix sum — no corpus-wide window.
+    "vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir), "doc_id", "text")),
+
     // robots.txt fetchability under RFC 9309 precedence (longest
     // pattern wins, Allow on ties, wildcard + $-anchor patterns): the
     // crawl-side gate before any URL enters the frontier. The rule set
@@ -2958,6 +2981,46 @@ object SparkEntry {
     * SAME double arithmetic `Sampling.splitAssign` uses internally, so the
     * oracle CASE compares against bit-identical hex strings (0.8 + 0.1 is
     * not exactly 0.9 in doubles). */
+  /** Unrolled power-iteration mirror of
+    * [[graft.operators.Sessionize.transitionStationary]]: the transition
+    * census under the same (ts, event_id) order and gap criterion, then
+    * `iters` CTEs each computing
+    * `v'(j) = Σ (v(i)·c_ij) // r_i + (Σ_dangling v(d)) // n` in
+    * HUGEINT — term-for-term the operator's BigInt arithmetic (all
+    * quantities non-negative, so floor ≡ truncation). */
+  private def markovStationaryOracle(iters: Int, gap: Long): String = {
+    // MATERIALIZED throughout: inlined CTEs would re-expand the whole
+    // v-chain at every reference (exponential in iters — the
+    // bpeTrainCtes lesson)
+    val rounds = (0 until iters).map { k =>
+      s"""v${k + 1} AS MATERIALIZED (SELECT s.a,
+         |  COALESCE(tr.tv, 0) + dk.ds // n.n AS v
+         |  FROM states s
+         |  LEFT JOIN (SELECT t.b AS bb, SUM((v$k.v * t.c) // r.rs) AS tv
+         |             FROM v$k JOIN t ON v$k.a = t.a JOIN r ON t.a = r.a
+         |             GROUP BY 1) tr ON s.a = tr.bb
+         |  CROSS JOIN (SELECT COALESCE(SUM(v$k.v), 0) AS ds
+         |              FROM v$k JOIN dang ON v$k.a = dang.a) dk
+         |  CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (SELECT event_type AS a, lead(event_type) OVER w AS b,
+       |    epoch(lead(ts) OVER w) - epoch(ts) AS g
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |t AS MATERIALIZED (SELECT a, b, count(*) AS c FROM x
+       |       WHERE b IS NOT NULL AND g <= $gap GROUP BY 1, 2),
+       |states AS MATERIALIZED (SELECT a FROM t UNION SELECT b FROM t),
+       |r AS MATERIALIZED (SELECT a, SUM(c) AS rs FROM t GROUP BY 1),
+       |n AS MATERIALIZED (SELECT count(*) AS n FROM states),
+       |dang AS MATERIALIZED (SELECT s.a FROM states s
+       |       WHERE s.a NOT IN (SELECT a FROM t)),
+       |v0 AS MATERIALIZED (SELECT a, CAST(1000000000000 AS HUGEINT) // n AS v
+       |       FROM states CROSS JOIN n),
+       |$rounds
+       |SELECT a AS event_type,
+       |  CAST(v // 1000000 AS BIGINT) AS stationary_ppm
+       |FROM v$iters""".stripMargin
+  }
+
   private val splitThresholds: Seq[String] = {
     val ws = Seq(0.8, 0.1, 0.1)
     val total = ws.sum
@@ -5683,6 +5746,48 @@ object SparkEntry {
          |  CAST(SUM(a.m * b.m) AS BIGINT) AS n_leaked_pairs
          |FROM m a JOIN m b ON a.component = b.component AND a.split < b.split
          |GROUP BY 1, 2""".stripMargin,
+
+    // The same histogram-band overlap arithmetic: each value-run's rank
+    // interval intersected with the kept permille band.
+    "trimmed_stats" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, x, count(*) AS c FROM v GROUP BY 1, 2),
+        |s AS (SELECT event_type, x, c,
+        |        SUM(c) OVER (PARTITION BY event_type ORDER BY x) - c AS strt,
+        |        SUM(c) OVER (PARTITION BY event_type) AS nk
+        |      FROM h),
+        |k AS (SELECT event_type, x, nk,
+        |        GREATEST(0, LEAST(strt + c, nk * 950 // 1000)
+        |                  - GREATEST(strt, nk * 50 // 1000)) AS kept
+        |      FROM s)
+        |SELECT event_type, CAST(MAX(nk) AS BIGINT) AS n_rows,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  CAST(MIN(CASE WHEN kept > 0 THEN x END) AS BIGINT) AS lo_val,
+        |  CAST(MAX(CASE WHEN kept > 0 THEN x END) AS BIGINT) AS hi_val,
+        |  CAST(CASE WHEN SUM(kept) > 0
+        |    THEN (SUM(CAST(kept AS HUGEINT) * x) * 1000) // SUM(kept) END
+        |    AS BIGINT) AS trimmed_mean_milli
+        |FROM k GROUP BY 1""".stripMargin,
+
+    "markov_stationary" -> markovStationaryOracle(20, 1800L),
+
+    // Parallel-unnest positions (the bpeTrainCtes alignment idiom) over
+    // the same whitespace split; birth position = MIN global position.
+    "vocab_growth" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |o AS (SELECT doc_id, ws,
+        |        SUM(len(ws)) OVER (ORDER BY doc_id) - len(ws) AS off FROM w),
+        |ex AS (SELECT off, unnest(ws) AS tok,
+        |         unnest(range(1, len(ws) + 1)) AS i FROM o),
+        |f AS (SELECT tok, MIN(off + i) AS fp FROM ex WHERE tok <> '' GROUP BY 1)
+        |SELECT c.cut AS first_n_tokens,
+        |  CAST(SUM(CASE WHEN f.fp <= c.cut THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_size
+        |FROM (VALUES (CAST(1000 AS BIGINT)), (5000), (20000), (100000))
+        |  c(cut) CROSS JOIN f
+        |GROUP BY 1""".stripMargin,
 
     // Same path construction; the decision chain replayed in the SAME
     // (length DESC, Allow-first) order with the same anchored regexes.

@@ -134,6 +134,52 @@ object Correlate {
     Seq((n, total, gini)).toDF("n_keys", "total", "gini_permille")
   }
 
+  /** Exact trimmed mean per key over a NON-NEGATIVE integral value
+    * column (monetary cents, counts; shift signed metrics first — the
+    * integral `div`/`//` pair truncates/floors differently below zero):
+    * per key, rows ranked ascending keep only rank positions in
+    * `(n·loPermille div 1000, n·hiPermille div 1000]` and the kept
+    * band's mean is emitted ×1000 (`trimmed_mean_milli`), with the
+    * band's boundary values (`lo_val`/`hi_val` ≈ the p-lo/p-hi order
+    * statistics) for free. The robust location estimate a quality gate
+    * wants when a metric has fat tails a plain mean would chase — and
+    * unlike the KLL-sketch path it is EXACT, so the oracle mirrors bit
+    * for bit. Null values are excluded; keys whose kept band is empty
+    * (tiny groups) report a null mean.
+    *
+    * Scale shape: NO row-level window — the trim runs on the per-key
+    * VALUE HISTOGRAM (a `(key, value)` map-side-combined aggregation,
+    * bounded by distinct values per key, not rows): each value-run
+    * occupies rank interval `(start, start+c]`, and its overlap with
+    * the kept band is closed-form. Hot keys cost histogram-width work,
+    * never row-count work (the [[exactRank]] argument, per key). */
+  def trimmedMeanPerKey(df: DataFrame, keyCol: String, value: Column,
+      loPermille: Int = 50, hiPermille: Int = 950): DataFrame = {
+    require(0 <= loPermille && loPermille < hiPermille && hiPermille <= 1000,
+      s"need 0 <= lo < hi <= 1000, got ($loPermille, $hiPermille)")
+    val h = df.select(col(keyCol).as("key"), value.cast("long").as("__x"))
+      .where(col("__x").isNotNull)
+      .groupBy("key", "__x").agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy("key").orderBy("__x")
+    val wAll = Window.partitionBy("key")
+    h.withColumn("__start", sum("__c").over(wOrd) - col("__c"))
+      .withColumn("__nk", sum("__c").over(wAll))
+      .withColumn("__kept", greatest(lit(0L),
+        least(col("__start") + col("__c"),
+          expr(s"__nk * $hiPermille div 1000")) -
+        greatest(col("__start"), expr(s"__nk * $loPermille div 1000"))))
+      .groupBy(col("key").as(keyCol))
+      .agg(max("__nk").as("n_rows"),
+        sum("__kept").as("n_kept"),
+        min(when(col("__kept") > 0, col("__x"))).as("lo_val"),
+        max(when(col("__kept") > 0, col("__x"))).as("hi_val"),
+        sum((col("__kept") * col("__x")).cast("decimal(38,0)")).as("__sum"))
+      .withColumn("trimmed_mean_milli",
+        when(col("n_kept") > 0,
+          expr("CAST(__sum * 1000 div n_kept AS BIGINT)")))
+      .drop("__sum")
+  }
+
   /** Spearman rank correlation between two metric columns, in exact
     * integer micro-units: `ρ·10⁶ = 10⁶ − (6·10⁶·Σd²) div (n(n²−1))`
     * with `d = rank_a − rank_b` under the deterministic total order

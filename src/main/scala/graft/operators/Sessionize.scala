@@ -221,4 +221,65 @@ object Sessionize {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(func)(
         Encoders.product[SessState], Encoders.product[Session])
   }
+
+  /** Stationary distribution of the within-session event-type Markov
+    * chain, in exact integer ppm — "where does a user's attention settle
+    * if the observed click dynamics run forever", the summary number
+    * behind next-event prediction and funnel-leak ranking. Transitions
+    * are consecutive event pairs of a key no more than `gapSeconds`
+    * apart (the [[sessions]] gap criterion), totally ordered by
+    * `(tsCol, tieCol)`. States are every type observed in a transition
+    * (source or target); DANGLING states — targets with no outgoing
+    * transition — redistribute their mass uniformly each round (the
+    * PageRank dangling-node treatment), so no absorber silently drains
+    * the chain. The power iteration runs `iters` rounds in
+    * deterministic integer fixed-point (SCALE = 10¹²):
+    * `v'(j) = Σ_i (v(i)·c_ij) div r_i + (Σ_dangling v(d)) div n` —
+    * per-term floor division, identical in BigInt and the oracle's
+    * HUGEINT `//`, so the result is engine-exact (the tiny mass the
+    * floors shave is well-defined, not float noise).
+    *
+    * Scale shape: ONE key exchange + per-key lag window (the
+    * [[sessions]] shape — the [[sessionsChunked]] escape applies to hot
+    * keys) collapses the corpus to ≤|types|² transition counts; the
+    * iteration itself is driver-side BigInt over that bounded matrix
+    * (the broadcast-build-side convention — |event types| is a domain
+    * constant, never data-scale). */
+  def transitionStationary(events: DataFrame, gapSeconds: Long,
+      iters: Int = 20, keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", tieCol: String = "event_id")
+      : DataFrame = {
+    require(iters > 0 && gapSeconds > 0, "iters and gapSeconds must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("__b", lead(col(typeCol), 1).over(w))
+      .withColumn("__gap",
+        lead(col(tsCol), 1).over(w).cast("long") - col(tsCol).cast("long"))
+      .where(col("__b").isNotNull && col("__gap") <= gapSeconds)
+      .groupBy(col(typeCol).as("a"), col("__b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val t0 = pairs.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (t0.map(_._1) ++ t0.map(_._2)).distinct.sorted
+    val rowSum = t0.groupBy(_._1).map { case (a, xs) =>
+      a -> BigInt(xs.map(_._3).sum) }
+    val dangling = states.filterNot(rowSum.contains)
+    val Scale = BigInt(1000000000000L)
+    var v: Map[String, BigInt] =
+      if (states.isEmpty) Map.empty
+      else states.map(_ -> Scale / states.length).toMap
+    for (_ <- 0 until iters) {
+      val next = scala.collection.mutable.Map(
+        states.map(_ -> BigInt(0)): _*)
+      for ((a, b, c) <- t0) next(b) += (v(a) * c) / rowSum(a)
+      val share =
+        if (states.isEmpty) BigInt(0)
+        else dangling.map(v).sum / states.length
+      v = next.map { case (k, x) => k -> (x + share) }.toMap
+    }
+    states.map(a => (a, (v(a) / 1000000).toLong)).toSeq
+      .toDF(typeCol, "stationary_ppm")
+  }
 }

@@ -1001,6 +1001,58 @@ object TextAnalysis {
     * Scale shape: one tokenize scan → one map-side-combined
     * (key, word) aggregation (corpus → per-key-vocab-sized) → one key
     * aggregation of slim count rows. No windows, no driver collect. */
+  /** Vocabulary-growth curve (the empirical Heaps'-law read-out): how
+    * many distinct word types have appeared after the first N token
+    * positions of the corpus, for each cut — the number that says
+    * whether more data keeps buying vocabulary or the type inventory
+    * has saturated (tokenizer-budget and dedup-health planning both
+    * read it). Corpus order is `idCol` ascending; positions are
+    * 1-based over the RAW whitespace split (empty tokens occupy
+    * positions but never count as types), and a type's birth position
+    * is the MIN of its global positions. Cuts beyond the corpus report
+    * the full vocabulary. Output: `(first_n_tokens, vocab_size)`.
+    *
+    * Scale shape: global token positions come from a TWO-PHASE
+    * distributed prefix sum over per-doc token counts (the
+    * [[graft.operators.Sampling.mixSources]] pattern: coarse sums per
+    * id-range bucket → cumulative-sum the bounded bucket table →
+    * within-bucket windows), so no corpus-wide single-partition window;
+    * then one (token) aggregation for birth positions and ONE row of
+    * conditional sums for all cuts. `bucketWidth` assumes roughly dense
+    * ids (sparse ids only cost bucket imbalance, never correctness). */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      cuts: Seq[Long] = Seq(1000L, 5000L, 20000L, 100000L),
+      bucketWidth: Long = 4096L): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_ > 0), "cuts must be positive")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val base = docs
+      .select(col(idCol).as("__id"), words(col(textCol)).as("__ws"))
+      .withColumn("__n", size(col("__ws")).cast("long"))
+      .withColumn("__bucket", expr(s"__id div $bucketWidth"))
+    val wB = org.apache.spark.sql.expressions.Window.orderBy("__bucket")
+    // bounded: one row per id-range bucket
+    val bucketStarts = base.groupBy("__bucket")
+      .agg(sum("__n").as("__bsum"))
+      .withColumn("__bstart", sum("__bsum").over(wB) - col("__bsum"))
+      .select("__bucket", "__bstart")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bucket").orderBy("__id")
+    val first = base.join(broadcast(bucketStarts), Seq("__bucket"))
+      .withColumn("__off",
+        col("__bstart") + sum("__n").over(wIn) - col("__n"))
+      .select(col("__off"), posexplode(col("__ws")).as(Seq("__i", "__tok")))
+      .where(col("__tok") =!= "")
+      .groupBy("__tok")
+      .agg(min(col("__off") + col("__i") + 1L).as("__fp"))
+    val sorted = cuts.sorted
+    val aggCols = sorted.map(c =>
+      sum(when(col("__fp") <= c, 1L).otherwise(0L)).as(s"__v$c"))
+    first.agg(aggCols.head, aggCols.tail: _*)
+      .selectExpr(s"stack(${sorted.size}, " +
+        sorted.map(c => s"CAST($c AS BIGINT), __v$c").mkString(", ") +
+        ") AS (first_n_tokens, vocab_size)")
+  }
+
   def hapaxProfile(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
     docs.select(col(keyCol).as("key"), explode(words(col(textCol))).as("w"))
       .where(col("w") =!= "")

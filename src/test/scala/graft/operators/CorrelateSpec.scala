@@ -44,4 +44,35 @@ class CorrelateSpec extends SparkSpecBase {
     assert(gini(Seq.empty) == ((0L, 0L, 0L)))
     assert(gini(Seq(0L, 0L)) == ((2L, 0L, 0L)))
   }
+
+  private def trimmed(rows: Seq[(String, Long)]) =
+    Correlate.trimmedMeanPerKey(rows.toDF("k", "v"), "k", col("v"))
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+  test("trimmedMeanPerKey: 5/95 band over 1..20 keeps ranks 2..19") {
+    val got = trimmed((1L to 20L).map(v => ("a", v)))
+    // lo = 20*50 div 1000 = 1, hi = 20*950 div 1000 = 19 -> values 2..19
+    // sum 189, mean*1000 = 189000 div 18 = 10500
+    assert(got("a") == ((20L, 18L, Some(2L), Some(19L), Some(10500L))))
+  }
+
+  test("trimmedMeanPerKey: one outlier in ten is fully trimmed") {
+    val got = trimmed(Seq.fill(9)(("a", 1L)) :+ (("a", 1000L)))
+    // lo = 0, hi = 9 -> the nine 1s stay, the 1000 drops
+    assert(got("a") == ((10L, 9L, Some(1L), Some(1L), Some(1000L))))
+  }
+
+  test("trimmedMeanPerKey: a value run partially overlapping the band") {
+    val got = trimmed(Seq.fill(5)(("a", 5L)) ++ Seq.fill(5)(("a", 7L)))
+    // band (0, 9]: all five 5s kept, four of five 7s kept
+    // sum = 25 + 28 = 53; 53000 div 9 = 5888
+    assert(got("a") == ((10L, 9L, Some(5L), Some(7L), Some(5888L))))
+  }
+
+  test("trimmedMeanPerKey: groups too small for the band report null mean") {
+    val got = trimmed(Seq(("solo", 42L)))
+    // n=1: lo = 0, hi = 0 -> empty band
+    assert(got("solo") == ((1L, 0L, None, None, None)))
+  }
 }

@@ -282,4 +282,43 @@ class SessionizeSpec extends SparkSpecBase {
     assert(k7 == Set((ts("2024-01-01 20:50:00"), ts("2024-01-01 21:00:00"), 2L)),
       s"late event did not extend the session backwards: $k7")
   }
+
+  test("transitionStationary: period-2 chain settles uniform; gap excludes pairs") {
+    import spark.implicits._
+    def ev(id: Long, u: Long, t: String, ty: String) =
+      (id, u, Timestamp.valueOf(t), ty)
+    // A->B->A->B within gap: deterministic 2-cycle, stationary = 50/50
+    val events = Seq(
+      ev(1, 1, "2024-01-01 10:00:00", "A"),
+      ev(2, 1, "2024-01-01 10:01:00", "B"),
+      ev(3, 1, "2024-01-01 10:02:00", "A"),
+      ev(4, 1, "2024-01-01 10:03:00", "B"),
+      // a pair separated by > gap contributes NO transition
+      ev(5, 2, "2024-01-01 10:00:00", "A"),
+      ev(6, 2, "2024-01-01 12:00:00", "B"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Sessionize.transitionStationary(events, gapSeconds = 1800)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 500000L, "B" -> 500000L))
+  }
+
+  test("transitionStationary: dangling target redistributes, does not drain the chain") {
+    import spark.implicits._
+    // A -> B -> C, C has no outgoing: without the dangling treatment all
+    // mass funnels into C and then vanishes; with it the chain keeps
+    // cycling (C's mass respawns uniformly).
+    val events = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00"), "A"),
+      (2L, 1L, Timestamp.valueOf("2024-01-01 10:01:00"), "B"),
+      (3L, 1L, Timestamp.valueOf("2024-01-01 10:02:00"), "C"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Sessionize.transitionStationary(events, gapSeconds = 1800)
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("A", "B", "C"))
+    val total = got.values.sum
+    // mass survives (floors shave at most a few ppm per round)
+    assert(total > 990000L, s"chain drained to $got")
+    // the funnel shape orders the masses: C (sink) >= B >= A
+    assert(got("C") >= got("B") && got("B") >= got("A"), got.toString)
+  }
 }

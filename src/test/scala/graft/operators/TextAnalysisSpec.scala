@@ -597,4 +597,26 @@ class TextAnalysisSpec extends SparkSpecBase {
     // s2: x=3 -> vocab 1, hapax 0, 0 permille
     assert(got == Set(("s1", 4L, 2L, 500L), ("s2", 1L, 0L, 0L)))
   }
+
+  test("vocabGrowth: birth positions follow id order across bucket boundaries") {
+    val docs = Seq(
+      (0L, "a b"), // positions 1-2
+      (1L, "b c c"), // positions 3-5
+      (5000L, "d a")) // next bucket (width 4096): positions 6-7
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text",
+        cuts = Seq(1L, 2L, 4L, 6L, 100L))
+      .as[(Long, Long)].collect().toMap
+    // births: a@1, b@2, c@4, d@6
+    assert(got == Map(1L -> 1L, 2L -> 2L, 4L -> 3L, 6L -> 4L, 100L -> 4L))
+  }
+
+  test("vocabGrowth: empty tokens occupy positions but are never types") {
+    val docs = Seq((0L, "x  y")).toDF("doc_id", "text") // split: x, "", y
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text",
+        cuts = Seq(2L, 3L))
+      .as[(Long, Long)].collect().toMap
+    // y is born at position 3 (the empty token holds position 2)
+    assert(got == Map(2L -> 1L, 3L -> 2L))
+  }
 }
