@@ -524,6 +524,32 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "r12e") {
+      // Closing audit-tier additions at the 10× axis: Q8 scales with
+      // 10× lineitem against fixed dims; the rest are doc/event-keyed
+      // exchanges (gini/trimmed on the value histogram, markov on the
+      // bounded transition matrix, vocab_growth's prefix sum).
+      val big = "/tmp/scale/sf1"
+      require(new java.io.File(s"$big/lineitem.parquet").isDirectory,
+        "sf1 corpora missing — run `runMain graft.ScaleProfile sf1` first")
+      def exp10(t1: Double, t10: Double): Double =
+        math.log(t10 / t1) / math.log(10.0)
+      // split_leakage's first sf1 call builds the shared CC (warmup
+      // absorbs it); the medians then read its MARGINAL cost, which is
+      // the claim ("zero marginal pair cost")
+      val ps = Seq("q8_market_share", "benford_digits", "gini_concentration",
+        "hapax_rate", "crawl_schedule", "trimmed_stats",
+        "markov_stationary", "vocab_growth", "split_leakage")
+      ps.foreach(q => time(q, src)) // warmup: codegen + JIT
+      ps.foreach(q => time(q, big))
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t10 = median3(time(q, big))
+        println(f"SCALE10 $q%-23s sf0.1=$t1%6.2f s  sf1=$t10%7.2f s  exponent=${exp10(t1, t10)}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "sf10docs") {
       // The doc/names-family tail of the 10× axis: at sf1 these queries
       // still read overhead-dominated (spans 1.77 s, bm25 0.77 s,
