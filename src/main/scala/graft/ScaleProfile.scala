@@ -550,6 +550,28 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "r12f") {
+      // Final round-12 census additions at the 10× axis: every one is a
+      // single-exchange rollup — yule_k over the (key, word) count table,
+      // zipf_bands over the BOUNDED count-run table (the corpus never
+      // sees a rank sort), char_class_census's scan-stage codegen'd
+      // counters, fano_factor over (type, epoch-day) counts.
+      val big = "/tmp/scale/sf1"
+      require(new java.io.File(s"$big/lineitem.parquet").isDirectory,
+        "sf1 corpora missing — run `runMain graft.ScaleProfile sf1` first")
+      def exp10(t1: Double, t10: Double): Double =
+        math.log(t10 / t1) / math.log(10.0)
+      val ps = Seq("yule_k", "zipf_bands", "char_class_census", "fano_factor")
+      ps.foreach(q => time(q, src)) // warmup: codegen + JIT
+      ps.foreach(q => time(q, big))
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t10 = median3(time(q, big))
+        println(f"SCALE10 $q%-23s sf0.1=$t1%6.2f s  sf1=$t10%7.2f s  exponent=${exp10(t1, t10)}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "sf10docs") {
       // The doc/names-family tail of the 10× axis: at sf1 these queries
       // still read overhead-dominated (spans 1.77 s, bm25 0.77 s,

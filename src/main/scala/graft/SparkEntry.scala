@@ -2370,6 +2370,34 @@ object SparkEntry {
     "vocab_growth" -> ((s, dir) =>
       TextAnalysis.vocabGrowth(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Yule's K lexical diversity per source (exact ×10⁴ integer units):
+    // the length-invariant repetitiveness constant — high K = templated
+    // or boilerplate vocabulary — next to hapax_rate's tail read-out.
+    "yule_k" -> ((s, dir) =>
+      TextAnalysis.yuleK(Tables.documents(s, dir), "source", "text")
+        .withColumnRenamed("key", "source")),
+
+    // Zipf rank-band profile of the corpus frequency spectrum: types and
+    // token mass per ⌊log₂(rank)⌋ band from run-interval arithmetic —
+    // the exact rank/frequency curve with no corpus-sized sort or
+    // per-type rank materialization.
+    "zipf_bands" -> ((s, dir) =>
+      TextAnalysis.zipfBands(Tables.documents(s, dir), "text")),
+
+    // Character-class composition per source (single-pass codegen'd
+    // census): letters/digits/spaces/punct/other totals + letter share —
+    // the "is this prose" encoding audit at scan cost.
+    "char_class_census" -> ((s, dir) =>
+      TextAnalysis.charClassProfile(Tables.documents(s, dir), "source", "text")
+        .withColumnRenamed("key", "source")),
+
+    // Daily-count burstiness (Fano factor, exact milli-units) per event
+    // type: Poisson reads ~1000, crawl waves / batch re-ingests read ≫ —
+    // the dispersion monitor next to anomaly_days' point alerts.
+    "fano_factor" -> ((s, dir) =>
+      TimeSeries.fanoFactor(Tables.events(s, dir), "ts", "event_type")
+        .withColumnRenamed("key", "event_type")),
+
     // robots.txt fetchability under RFC 9309 precedence (longest
     // pattern wins, Allow on ties, wildcard + $-anchor patterns): the
     // crawl-side gate before any URL enters the frontier. The rule set
@@ -5788,6 +5816,79 @@ object SparkEntry {
         |FROM (VALUES (CAST(1000 AS BIGINT)), (5000), (20000), (100000))
         |  c(cut) CROSS JOIN f
         |GROUP BY 1""".stripMargin,
+
+    // The same frequency spectrum; HUGEINT keeps Σc² and the ×10⁴
+    // product exact, `//` on non-negatives matches the engine's
+    // decimal floor-div.
+    "yule_k" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |c AS (SELECT source, w, count(*) AS c FROM t WHERE w <> ''
+        |      GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab_size,
+        |  CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS sum_c2,
+        |  CAST((SUM(CAST(c AS HUGEINT) * c) - SUM(c)) * 10000
+        |    // (SUM(CAST(c AS HUGEINT)) * SUM(c)) AS BIGINT) AS yule_k_x10k
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // Count runs → rank intervals → band overlap (the trimmed_stats
+    // histogram-band idiom); floor(log₂) via bin-string length, bands
+    // per run via range() exactly like the engine's intLog2 sequence.
+    "zipf_bands" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM t WHERE w <> '' GROUP BY 1),
+        |runs AS (SELECT c, count(*) AS v FROM c GROUP BY 1),
+        |s AS (SELECT c, v, SUM(v) OVER (ORDER BY c DESC) - v AS strt FROM runs),
+        |b AS (SELECT c, v, strt,
+        |        unnest(range(length(bin(strt + 1)) - 1,
+        |                     length(bin(strt + v)))) AS band FROM s),
+        |k AS (SELECT band, c,
+        |        LEAST(strt + v, (CAST(1 AS BIGINT) << (band + 1)) - 1)
+        |        - GREATEST(strt + 1, CAST(1 AS BIGINT) << band) + 1 AS kept
+        |      FROM b)
+        |SELECT CAST(band AS BIGINT) AS band,
+        |  CAST(CAST(1 AS BIGINT) << band AS BIGINT) AS rank_lo,
+        |  CAST(SUM(kept) AS BIGINT) AS n_types,
+        |  CAST(SUM(CAST(kept AS HUGEINT) * c) AS BIGINT) AS token_mass,
+        |  CAST(MAX(c) AS BIGINT) AS max_freq,
+        |  CAST(MIN(c) AS BIGINT) AS min_freq
+        |FROM k GROUP BY band""".stripMargin,
+
+    // Four regex class counts + subtraction for punct mirror the
+    // expression's fixed ASCII-anchored classes; length() counts
+    // codepoints on both engines.
+    "char_class_census" ->
+      """WITH c AS (SELECT source, length(text) AS t,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS l,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS d,
+        |    length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS s,
+        |    length(regexp_replace(text, '[\t\n\r -~]', '', 'g')) AS o
+        |  FROM documents)
+        |SELECT source, CAST(SUM(t) AS BIGINT) AS n_chars,
+        |  CAST(SUM(l) AS BIGINT) AS n_letters,
+        |  CAST(SUM(d) AS BIGINT) AS n_digits,
+        |  CAST(SUM(s) AS BIGINT) AS n_spaces,
+        |  CAST(SUM(t - l - d - s - o) AS BIGINT) AS n_punct,
+        |  CAST(SUM(o) AS BIGINT) AS n_other,
+        |  CASE WHEN SUM(t) = 0 THEN NULL ELSE
+        |    CAST(SUM(CAST(l AS HUGEINT)) * 1000 // SUM(t) AS BIGINT)
+        |  END AS letter_permille
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // epoch-day census per type; the Cauchy–Schwarz-non-negative
+    // numerator keeps HUGEINT floor-div ≡ decimal truncation.
+    "fano_factor" ->
+      """WITH d AS (SELECT event_type,
+        |    (epoch_us(ts) // 1000000) // 86400 AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(x) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(x AS HUGEINT) * x) AS BIGINT) AS sum_x2,
+        |  CAST((count(*) * SUM(CAST(x AS HUGEINT) * x)
+        |        - SUM(CAST(x AS HUGEINT)) * SUM(x)) * 1000
+        |    // (count(*) * SUM(CAST(x AS HUGEINT))) AS BIGINT) AS fano_milli
+        |FROM d GROUP BY 1""".stripMargin,
 
     // Same path construction; the decision chain replayed in the SAME
     // (length DESC, Allow-first) order with the same anchored regexes.

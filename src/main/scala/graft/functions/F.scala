@@ -99,6 +99,11 @@ object F {
   def repetitionStats(words: Column): Column =
     Glue.column(RepetitionStats(Glue.expression(words)))
 
+  /** Single-pass ASCII character-class counters over a string column
+    * (see [[CharClassCensus]]). */
+  def charClassCensus(s: Column): Column =
+    Glue.column(CharClassCensus(Glue.expression(s)))
+
   /** Sign-random-projection LSH bucket id of an array<float|double> column
     * (see [[SrpBucket]]). */
   def srpBucket(vec: Column, planes: Int, seed: Long, dim: Int): Column =

@@ -57,6 +57,9 @@ object FunctionDefs {
     ("cjk_unmapped_count",
       "cjk_unmapped_count(str) - CJK ideographs ascii_fold would drop",
       es => CjkUnmappedCount(es.head)),
+    ("char_class_census",
+      "char_class_census(str) - single-pass ASCII character-class counters",
+      es => CharClassCensus(es.head)),
     ("cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two vectors",
       es => CosineSim(es(0), es(1))),

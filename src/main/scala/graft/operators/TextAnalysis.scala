@@ -1062,4 +1062,109 @@ object TextAnalysis {
         sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("hapax_count"))
       .withColumn("hapax_permille",
         expr("hapax_count * 1000 div vocab_size"))
+
+  /** Yule's characteristic constant K per key — the classic lexical-
+    * diversity statistic (Yule 1944), `K = 10⁴·(Σc² − N)/N²` over the
+    * word-frequency spectrum (c = each type's count, N = token count):
+    * unlike type/token ratio it is nearly length-invariant, so sources of
+    * different sizes compare directly. High K = repetitive vocabulary
+    * (boilerplate, templated spam); the complement of [[hapaxProfile]]'s
+    * tail read-out. Reported in exact integer ×10⁴ units via 128-bit
+    * decimal floor-division (both factors non-negative, so truncation ≡
+    * floor ≡ the oracle's HUGEINT `//`).
+    *
+    * Scale shape: one tokenize scan → one map-side-combined (key, word)
+    * count → one per-key rollup of slim count rows. `sum_c2` accumulates
+    * in DECIMAL(38,0): Σc² reaches long overflow territory at
+    * billion-token keys. No windows, no driver collect. */
+  def yuleK(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
+    docs.select(col(keyCol).as("key"), explode(words(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("key", "w").agg(count(lit(1)).as("__c"))
+      .groupBy("key")
+      .agg(sum("__c").as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__sc2"))
+      .withColumn("sum_c2", col("__sc2").cast("long"))
+      .withColumn("yule_k_x10k", expr(
+        "CAST((__sc2 - n_tokens) * 10000 AS DECIMAL(38,0)) div " +
+          "(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)"))
+      .select("key", "n_tokens", "vocab_size", "sum_c2", "yule_k_x10k")
+
+  /** Zipf rank-band table of the corpus word-frequency distribution:
+    * types grouped by `⌊log₂(rank)⌋` of their (count DESC, word ASC)
+    * rank, each band reporting its type count, total token mass, and
+    * frequency extrema — the log-spaced rank/frequency curve whose slope
+    * IS the Zipf exponent, read exactly and without a corpus-sized sort.
+    * A healthy natural-language corpus loses roughly a constant factor of
+    * mass per band; a flat or humped band profile means dedup failure or
+    * templated text.
+    *
+    * Scale shape: ranks are NEVER materialized per type. The frequency
+    * table collapses to RUNS `(count c, n_types V)` — one row per
+    * distinct count value, O(√N) rows by Erdős' bound on distinct sums —
+    * and a run occupies the contiguous rank interval
+    * `[start+1, start+V]` regardless of intra-run word order, so each
+    * band's membership is interval arithmetic against the run's span
+    * (the `trimmed_stats` histogram-band idiom). The only window runs
+    * over that bounded run table; bands per run come from an
+    * [[graft.functions.F.intLog2]]-bounded `sequence`, not a fixed
+    * cross-join. Token mass sums in DECIMAL(38,0) (kept·c can exceed
+    * long at web scale). */
+  def zipfBands(docs: DataFrame, textCol: String): DataFrame = {
+    val runs = docs.select(explode(words(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("__c"))
+      .groupBy("__c").agg(count(lit(1)).as("__v"))
+    // bounded: one row per distinct count value
+    val wC = org.apache.spark.sql.expressions.Window.orderBy(col("__c").desc)
+    val spans = runs
+      .withColumn("__start", sum("__v").over(wC) - col("__v"))
+    val F = graft.functions.F
+    spans
+      .select(col("__c"), col("__v"), col("__start"),
+        explode(sequence(F.intLog2(col("__start") + 1),
+          F.intLog2(col("__start") + col("__v")))).as("band"))
+      .withColumn("__kept",
+        least(col("__start") + col("__v"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(band AS INT) + 1) - 1")) -
+          greatest(col("__start") + 1,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(band AS INT))")) + 1)
+      .groupBy("band")
+      .agg(sum("__kept").as("n_types"),
+        sum(col("__kept").cast("decimal(38,0)") * col("__c"))
+          .cast("long").as("token_mass"),
+        max("__c").as("max_freq"), min("__c").as("min_freq"))
+      .withColumn("rank_lo",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(band AS INT))"))
+      .select("band", "rank_lo", "n_types", "token_mass",
+        "max_freq", "min_freq")
+  }
+
+  /** Per-key character-class composition — the encoding/quality audit
+    * over [[graft.functions.CharClassCensus]]'s single-pass per-row
+    * counters: totals per class plus the letter share in permille (the
+    * one-number "is this prose" gate; a digit- or other-heavy source is
+    * tables, code, or a charset accident). The permille divides through
+    * DECIMAL(38,0) so petabyte-scale character totals cannot overflow the
+    * ×1000 product; truncation on non-negatives matches the oracle's
+    * floor. Empty-corpus keys report NULL rather than dividing by zero.
+    *
+    * Scale shape: the census runs map-side inside the scan stage (one
+    * codegen'd pass per row); the exchange carries six longs per key. */
+  def charClassProfile(docs: DataFrame, keyCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(keyCol).as("key"),
+        graft.functions.F.charClassCensus(col(textCol)).as("__cc"))
+      .groupBy("key")
+      .agg(sum("__cc.n_chars").as("n_chars"),
+        sum("__cc.n_letters").as("n_letters"),
+        sum("__cc.n_digits").as("n_digits"),
+        sum("__cc.n_spaces").as("n_spaces"),
+        sum("__cc.n_punct").as("n_punct"),
+        sum("__cc.n_other").as("n_other"))
+      .withColumn("letter_permille", expr(
+        "CASE WHEN n_chars = 0 THEN NULL ELSE " +
+          "CAST(n_letters AS DECIMAL(38,0)) * 1000 div n_chars END"))
 }

@@ -90,4 +90,38 @@ object TimeSeries {
         coalesce(col(s"wau_${windowDays}d"), lit(0L))
           .as(s"wau_${windowDays}d"))
   }
+
+  /** Burstiness (Fano factor) of each key's daily event counts — the
+    * variance-to-mean ratio of the per-day series, in exact integer
+    * milli-units: `F = Var(x)/Mean(x) = (d·Σx² − (Σx)²)/(d·Σx)` over the
+    * key's d OBSERVED days. F ≈ 1000 reads Poisson (organic traffic);
+    * F ≫ 1000 is bursty (crawl waves, incident retries, batch
+    * re-ingests) — the dispersion signal next to
+    * [[Anomaly.madOutlierDays]]'s point alerts and `weekly_trend`'s
+    * drift. Silent days are deliberately NOT zero-filled (that is
+    * [[gapFill]]'s contract): this reads dispersion across days the key
+    * actually fired. The numerator `d·Σx² − (Σx)²` is ≥ 0 by
+    * Cauchy–Schwarz, so DECIMAL(38,0) floor-division matches the
+    * oracle's HUGEINT `//` exactly.
+    *
+    * Scale shape: the stream collapses to (key, day) counts ONCE
+    * (map-side combined), then one per-key rollup of three running sums
+    * — no windows, no axis explode; Σx² accumulates in DECIMAL(38,0)
+    * (a billion-event day squares past long range). Day =
+    * `unix_seconds div 86400`, the integer-calendar discipline. */
+  def fanoFactor(events: DataFrame, tsCol: String, keyCol: String): DataFrame =
+    events
+      .select(col(keyCol).as("key"),
+        expr(s"cast($tsCol as long) div 86400").as("day"))
+      .groupBy("key", "day").agg(count(lit(1)).as("__x"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_days"),
+        sum("__x").as("n_events"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__sx2"))
+      .withColumn("sum_x2", col("__sx2").cast("long"))
+      .withColumn("fano_milli", expr(
+        "CAST((n_days * __sx2 - CAST(n_events AS DECIMAL(38,0)) * n_events)" +
+          " * 1000 AS DECIMAL(38,0)) div" +
+          " (CAST(n_days AS DECIMAL(38,0)) * n_events)"))
+      .select("key", "n_days", "n_events", "sum_x2", "fano_milli")
 }

@@ -70,6 +70,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         val want = (0 until 4).map(j => signs(2 * j) * s + signs(2 * j + 1) * (-2 * s))
         assert(row2.getSeq[Long](7) == want)
       }
+      locally {
+        val cc = spark.sql(
+          "SELECT char_class_census('Ab1 .x') AS c").collect().head
+          .getStruct(0)
+        assert((0 until 6).map(cc.getLong) == Seq(6L, 3L, 1L, 1L, 1L, 0L))
+      }
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -123,4 +123,26 @@ class AnomalySpec extends SparkSpecBase {
     assert(f.map(_._2) == Set(1L, 3L, 5L))
     assert(f.forall { case (_, _, _, med, mad) => med == 10L && mad == 0L })
   }
+
+  test("fanoFactor: hand-computed dispersion; constant series reads 0") {
+    // key e: day counts [3,1] → d=2 Σx=4 Σx²=10,
+    //   F = (2·10 − 16)·1000 // (2·4) = 500
+    // key f: day counts [2,2] → variance 0 → F = 0
+    val rows = ev("e", 0L, 3) ++ ev("e", 1L, 1) ++
+      ev("f", 0L, 2) ++ ev("f", 3L, 2)
+    val got = TimeSeries.fanoFactor(rows.toDF("ts", "event_type"),
+        "ts", "event_type")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("e", 2L, 4L, 10L, 500L), ("f", 2L, 4L, 8L, 0L)))
+  }
+
+  test("fanoFactor: bursty key reads far above the Poisson line") {
+    // key g: [10, 0-silent, 10, 1] over observed days [10,10,1]:
+    // d=3 Σx=21 Σx²=201, F = (603 − 441)·1000 // 63 = 2571
+    val rows = ev("g", 0L, 10) ++ ev("g", 2L, 10) ++ ev("g", 3L, 1)
+    val got = TimeSeries.fanoFactor(rows.toDF("ts", "event_type"),
+        "ts", "event_type")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("g", 3L, 21L, 201L, 2571L)))
+  }
 }

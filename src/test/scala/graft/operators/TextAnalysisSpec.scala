@@ -619,4 +619,52 @@ class TextAnalysisSpec extends SparkSpecBase {
     // y is born at position 3 (the empty token holds position 2)
     assert(got == Map(2L -> 1L, 3L -> 2L))
   }
+
+  test("yuleK: hand-computed spectrum; uniform singletons read K = 0") {
+    val docs = Seq(("s", "a a b"), ("s", "b c"), ("u", "p q r"))
+      .toDF("source", "text")
+    val got = TextAnalysis.yuleK(docs, "source", "text")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // s: a=2 b=2 c=1 → N=5 V=3 Σc²=9, K = (9−5)·10⁴ // 25 = 1600
+    // u: all hapax → Σc² = N → K = 0 (maximal diversity)
+    assert(got == Set(("s", 5L, 3L, 9L, 1600L), ("u", 3L, 3L, 3L, 0L)))
+  }
+
+  test("zipfBands: run-interval band overlap matches per-type ranks") {
+    val docs = Seq("a a a a b b c d").toDF("text")
+    // freqs a=4 b=2 c=1 d=1 → ranks a:1 b:2 {c,d}:3,4
+    // band0 ranks[1,1]: a → 1 type, mass 4
+    // band1 ranks[2,3]: b + one singleton → 2 types, mass 3
+    // band2 ranks[4,7]: one singleton → 1 type, mass 1
+    val got = TextAnalysis.zipfBands(docs, "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 1L, 1L, 4L, 4L, 4L),
+      (1L, 2L, 2L, 3L, 2L, 1L),
+      (2L, 4L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("zipfBands: bands cover the whole vocabulary exactly once") {
+    val docs = Seq("a a a b b c", "b d e a c c f g h").toDF("text")
+    val out = TextAnalysis.zipfBands(docs, "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._3).sum == 8L) // 8 distinct types
+    assert(out.map(_._4).sum == 15L) // 15 tokens
+  }
+
+  test("charClassProfile: codepoint classes incl. surrogate pair and accents") {
+    // 'A','b' letters; '1' digit; ' ' + '\n' spaces; '.' punct;
+    // 'é' and the emoji (one CODEPOINT, two chars) both read "other"
+    val docs = Seq(("k", "Ab1 .\né😀")).toDF("source", "text")
+    val got = TextAnalysis.charClassProfile(docs, "source", "text")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set(("k", 8L, 2L, 1L, 2L, 1L, 2L, 250L)))
+  }
+
+  test("charClassProfile: empty corpus reports NULL permille, not a crash") {
+    val docs = Seq(("k", "")).toDF("source", "text")
+    val row = TextAnalysis.charClassProfile(docs, "source", "text").head
+    assert(row.getLong(1) == 0L && row.isNullAt(7))
+  }
 }
