@@ -557,8 +557,30 @@ object ScaleProfile {
       // sees a rank sort), char_class_census's scan-stage codegen'd
       // counters, fano_factor over (type, epoch-day) counts.
       val big = "/tmp/scale/sf1"
-      require(new java.io.File(s"$big/lineitem.parquet").isDirectory,
-        "sf1 corpora missing — run `runMain graft.ScaleProfile sf1` first")
+      // self-sufficient: derive just the two tables this set reads
+      // (documents, events) if the sf1 axis is absent on this box —
+      // same disjoint-replica scheme as the full `sf1` derivation
+      if (!new java.io.File(s"$big/documents.parquet").isDirectory) {
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+        (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+          .withColumn("text", if (i == 0) col("text")
+            else concat_ws(" ", transform(split(col("text"), " "),
+              w => concat(w, lit("_" + i))))))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$big/documents.parquet")
+        System.err.println("[scale] derived sf1 documents (10x)")
+      }
+      if (!new java.io.File(s"$big/events.parquet").isDirectory) {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = spark.read.parquet(s"$src/events.parquet")
+        (0 until 10).map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i.toLong * 100000L)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$big/events.parquet")
+        System.err.println("[scale] derived sf1 events (10x)")
+      }
       def exp10(t1: Double, t10: Double): Double =
         math.log(t10 / t1) / math.log(10.0)
       val ps = Seq("yule_k", "zipf_bands", "char_class_census", "fano_factor")
