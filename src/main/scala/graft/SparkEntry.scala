@@ -2398,6 +2398,20 @@ object SparkEntry {
       TimeSeries.fanoFactor(Tables.events(s, dir), "ts", "event_type")
         .withColumnRenamed("key", "event_type")),
 
+    // Exact two-sample KS distance of each source's doc-length
+    // distribution vs the whole corpus (integer permille, no binning):
+    // the shape-sensitive drift gate next to drift_tv's binned TV.
+    "ks_drift" -> ((s, dir) =>
+      Validate.ksVsCorpus(Tables.documents(s, dir), "source", col("n_chars"))
+        .withColumnRenamed("key", "source")),
+
+    // Exact daily-count autocorrelation at lags 1 and 7 (integer
+    // milli-units, zero-filled axis): the seasonality detector — r₇
+    // near 1000 is a hard weekly cycle, r₁ is day-over-day momentum.
+    "autocorr_daily" -> ((s, dir) =>
+      TimeSeries.autocorrMilli(Tables.events(s, dir), "ts", "event_type")
+        .withColumnRenamed("key", "event_type")),
+
     // robots.txt fetchability under RFC 9309 precedence (longest
     // pattern wins, Allow on ties, wildcard + $-anchor patterns): the
     // crawl-side gate before any URL enters the frontier. The rule set
@@ -5889,6 +5903,59 @@ object SparkEntry {
         |        - SUM(CAST(x AS HUGEINT)) * SUM(x)) * 1000
         |    // (count(*) * SUM(CAST(x AS HUGEINT))) AS BIGINT) AS fano_milli
         |FROM d GROUP BY 1""".stripMargin,
+
+    // The same two-candidate sup (at-point and open-segment-before
+    // gaps over the key's histogram rows); HUGEINT products, one
+    // non-negative floor-div at the end.
+    "ks_drift" ->
+      """WITH h AS (SELECT source AS k, n_chars AS v, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |g AS (SELECT v, SUM(c) AS gc FROM h GROUP BY 1),
+        |g2 AS (SELECT v, gc, SUM(gc) OVER (ORDER BY v) AS gcum FROM g),
+        |n AS (SELECT SUM(c) AS n FROM h),
+        |j AS (SELECT h.k, h.c, g2.gc, g2.gcum,
+        |        SUM(h.c) OVER (PARTITION BY h.k ORDER BY h.v) AS cum,
+        |        SUM(h.c) OVER (PARTITION BY h.k) AS nk
+        |      FROM h JOIN g2 USING (v)),
+        |d AS (SELECT k, nk, GREATEST(
+        |        ABS(CAST(cum AS HUGEINT) * n.n - CAST(gcum AS HUGEINT) * nk),
+        |        ABS(CAST(cum - c AS HUGEINT) * n.n
+        |            - CAST(gcum - gc AS HUGEINT) * nk)) AS gap
+        |      FROM j CROSS JOIN n)
+        |SELECT k AS source, CAST(MAX(nk) AS BIGINT) AS n_rows,
+        |  CAST(MAX(gap) * 1000 // (MAX(nk) * (SELECT n FROM n)) AS BIGINT)
+        |    AS ks_permille
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // Zero-filled axis via range(), whole-partition sums, the same
+    // mean-cleared deviations; sign/abs routing keeps `//` (floor) and
+    // Spark's toward-zero `div` on non-negative operands only.
+    "autocorr_daily" ->
+      """WITH dc AS (SELECT event_type AS k,
+        |    (epoch_us(ts) // 1000000) // 86400 AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, MIN(day) AS dd0, MAX(day) AS dd1 FROM dc GROUP BY 1),
+        |axis AS (SELECT k, unnest(range(dd0, dd1 + 1)) AS day FROM b),
+        |f AS (SELECT axis.k, axis.day, COALESCE(dc.x, 0) AS x
+        |      FROM axis LEFT JOIN dc ON axis.k = dc.k AND axis.day = dc.day),
+        |t AS (SELECT k, day, x, COUNT(*) OVER (PARTITION BY k) AS d,
+        |        SUM(x) OVER (PARTITION BY k) AS s FROM f),
+        |v AS (SELECT k, d, CAST(d * x - s AS HUGEINT) AS dev,
+        |        lead(CAST(d * x - s AS HUGEINT), 1)
+        |          OVER (PARTITION BY k ORDER BY day) AS l1,
+        |        lead(CAST(d * x - s AS HUGEINT), 7)
+        |          OVER (PARTITION BY k ORDER BY day) AS l7
+        |      FROM t),
+        |a AS (SELECT k, MAX(d) AS n_days, SUM(dev * dev) AS den,
+        |        SUM(dev * l1) AS n1, SUM(dev * l7) AS n7 FROM v GROUP BY 1),
+        |u AS (SELECT k, n_days, CAST(1 AS BIGINT) AS lag, n1 AS num, den
+        |      FROM a
+        |      UNION ALL SELECT k, n_days, 7, n7, den FROM a)
+        |SELECT k AS event_type, lag, CAST(n_days AS BIGINT) AS n_days,
+        |  CASE WHEN den > 0 AND num IS NOT NULL THEN
+        |    CAST(CASE WHEN num < 0 THEN -((-num) * 1000 // den)
+        |         ELSE num * 1000 // den END AS BIGINT) END AS r_milli
+        |FROM u""".stripMargin,
 
     // Same path construction; the decision chain replayed in the SAME
     // (length DESC, Allow-first) order with the same anchored regexes.

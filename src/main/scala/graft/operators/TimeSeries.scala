@@ -124,4 +124,68 @@ object TimeSeries {
           " * 1000 AS DECIMAL(38,0)) div" +
           " (CAST(n_days AS DECIMAL(38,0)) * n_events)"))
       .select("key", "n_days", "n_events", "sum_x2", "fano_milli")
+
+  /** Exact sample autocorrelation of each key's daily-count series at
+    * the given lags, in integer milli-units — the seasonality detector:
+    * r₇ ≈ 1000 is a hard weekly cycle (weekday/weekend traffic), r₁ high
+    * is day-over-day momentum, r ≈ 0 is memoryless. The series is the
+    * key's ZERO-FILLED day axis from first to last observed day (unlike
+    * [[fanoFactor]]'s observed-days dispersion, a periodicity read-out
+    * is meaningless with the silent days cut out).
+    *
+    * Exactness: `r_ℓ = Σ(xₜ−μ)(xₜ₊ℓ−μ) / Σ(xₜ−μ)²` is computed with the
+    * mean CLEARED of division — multiply every deviation by d (the axis
+    * length): `dev_t = d·x_t − S` gives `r_ℓ = Σ devₜ·devₜ₊ℓ / Σ devₜ²`
+    * exactly, in DECIMAL(38,0). The numerator can be NEGATIVE and
+    * Spark's `div` truncates toward zero while SQL `//` floors, so the
+    * reported milli value is `sign(num)·(|num|·1000 div den)` — both
+    * engines agree on non-negative operands. Constant series (den = 0)
+    * and lags beyond the axis report NULL.
+    *
+    * Scale shape: the stream collapses to (key, day) counts ONCE; the
+    * axis explode is bounded by each key's day span; ONE key exchange
+    * serves the whole-partition sums and the ordered lead windows
+    * (shared sort), and the lag fan-out is |lags| extra columns, not
+    * extra passes. */
+  def autocorrMilli(events: DataFrame, tsCol: String, keyCol: String,
+      lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    // the (key, day) count table feeds both the axis derivation and the
+    // fill join — localCheckpoint pins the event scan to ONE execution
+    // (the Cooccur precedent)
+    val daily = events
+      .select(col(keyCol).as("key"),
+        expr(s"cast($tsCol as long) div 86400").as("day"))
+      .groupBy("key", "day").agg(count(lit(1)).as("__obs"))
+      .localCheckpoint()
+    val axis = daily.groupBy("key")
+      .agg(min("day").as("__d0"), max("day").as("__d1"))
+      .select(col("key"),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val wAll = Window.partitionBy("key")
+    val wOrd = Window.partitionBy("key").orderBy("day")
+    val dev = axis.join(daily, Seq("key", "day"), "left")
+      .withColumn("__x", coalesce(col("__obs"), lit(0L)))
+      .withColumn("__d", count(lit(1)).over(wAll))
+      .withColumn("__s", sum("__x").over(wAll))
+      .withColumn("__dev",
+        (col("__d") * col("__x") - col("__s")).cast("decimal(38,0)"))
+    val withLeads = lags.foldLeft(dev) { (df, l) =>
+      df.withColumn(s"__lead$l", lead(col("__dev"), l).over(wOrd))
+    }
+    val aggs = sum(col("__dev") * col("__dev")).as("__den") +:
+      lags.map(l => sum(col("__dev") * col(s"__lead$l")).as(s"__num$l"))
+    val byKey = withLeads.groupBy("key")
+      .agg(max("__d").as("n_days"), aggs: _*)
+    byKey
+      .selectExpr("key", "n_days", "__den",
+        s"stack(${lags.size}, " +
+          lags.map(l => s"CAST($l AS BIGINT), __num$l").mkString(", ") +
+          ") AS (lag, __num)")
+      .withColumn("r_milli", expr(
+        "CASE WHEN __den > 0 AND __num IS NOT NULL THEN " +
+          "CAST(CASE WHEN __num < 0 THEN -((-__num) * 1000 div __den) " +
+          "ELSE __num * 1000 div __den END AS BIGINT) END"))
+      .select("key", "lag", "n_days", "r_milli")
+  }
 }

@@ -84,6 +84,70 @@ object Validate {
             (lit(2.0) * col("np") * col("nq"))).as("tv"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov distance of each key's integral
+    * `valueCol` distribution against the WHOLE corpus — "which source's
+    * length/score distribution deviates most", the shape-sensitive drift
+    * gate next to [[driftTv]] (TV reads bin-mass differences; KS reads
+    * the worst CDF gap, so it catches location/scale shifts TV dilutes
+    * across bins, and needs no binning choice for integral values).
+    *
+    * Exactness: `D = max_x |F_key(x) − F_corpus(x)|` is reported as
+    * `ks_permille = max|cum_k·N − cum_g·n_k|·1000 div (n_k·N)` — one
+    * floor-division of exact non-negative integers (products in
+    * DECIMAL(38,0): `cum·N` overflows long past ~3·10⁹ rows).
+    *
+    * The sup needs no dense grid: both step CDFs change only at corpus
+    * value points and the key's points are a subset, so per key-point
+    * row two candidates cover every x — the gap AT the point
+    * (`|cum_k·N − cum_g·n_k|`) and the gap on the open segment BEFORE it
+    * (`|prev_cum_k·N − (cum_g − gc)·n_k|`, prev = cum − c, 0 for the
+    * first row); after the key's last point both CDFs head to 1 and the
+    * gap only shrinks from candidate (a). Keys holding the whole corpus
+    * read 0 by construction.
+    *
+    * Scale shape: one scan → one map-side-combined (key, value)
+    * histogram; the global CDF is a window over the DISTINCT-value
+    * table (bounded by the value domain, 313 rows for doc lengths —
+    * for genuinely unbounded domains pre-bin first, the [[driftTv]]
+    * treatment); the per-key CDF windows run over each key's histogram
+    * rows. Nothing scales with the corpus but the scan. */
+  def ksVsCorpus(df: DataFrame, keyCol: String, value: Column): DataFrame = {
+    // The histogram feeds THREE consumers (global CDF, corpus total,
+    // the per-key join) — localCheckpoint pins the corpus scan to ONE
+    // execution (the Cooccur precedent; without it the plan audit read
+    // 3 parquet scans, zero ReusedExchange)
+    val h = df.where(value.isNotNull)
+      .select(col(keyCol).as("key"), value.cast("long").as("__v"))
+      .groupBy("key", "__v").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    // bounded: one row per distinct value in the corpus
+    val g = h.groupBy("__v").agg(sum("__c").as("__gc"))
+    val wg = org.apache.spark.sql.expressions.Window.orderBy("__v")
+    val gcum = g.withColumn("__gcum", sum("__gc").over(wg))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("__v")
+    val wkAll = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    // corpus total rides as a broadcast one-row aggregate (the repo's
+    // lazy alternative to a plan-time driver action)
+    val nTot = h.agg(sum("__c").as("__n"))
+    h.join(gcum, Seq("__v"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("__cum", sum("__c").over(wk))
+      .withColumn("__nk", sum("__c").over(wkAll))
+      .withColumn("__at", abs(
+        col("__cum").cast("decimal(38,0)") * col("__n") -
+          col("__gcum").cast("decimal(38,0)") * col("__nk")))
+      .withColumn("__before", abs(
+        (col("__cum") - col("__c")).cast("decimal(38,0)") * col("__n") -
+          (col("__gcum") - col("__gc")).cast("decimal(38,0)") * col("__nk")))
+      .groupBy("key")
+      .agg(max("__nk").as("n_rows"), max("__n").as("__ntot"),
+        max(greatest(col("__at"), col("__before"))).as("__d"))
+      .withColumn("ks_permille", expr(
+        "CAST(__d * 1000 div (CAST(n_rows AS DECIMAL(38,0)) * __ntot) AS BIGINT)"))
+      .select("key", "n_rows", "ks_permille")
+  }
+
   /** Benford's-law first-digit permille, `P(d) = log₁₀(1 + 1/d)·1000`
     * rounded to integers (they sum to 1001 — the usual rounding artifact;
     * kept as the published constants rather than re-normalized). */

@@ -136,6 +136,45 @@ class AnomalySpec extends SparkSpecBase {
     assert(got == Set(("e", 2L, 4L, 10L, 500L), ("f", 2L, 4L, 8L, 0L)))
   }
 
+  test("autocorrMilli: period-2 series reads strongly negative at lag 1") {
+    // key p, days 0..3, x = [3,1,3,1]: d=4 S=8 dev=[4,−4,4,−4] den=64
+    // lag1 num = −48 → −750; lag7 has no pairs on a 4-day axis → NULL
+    val rows = ev("p", 0L, 3) ++ ev("p", 1L, 1) ++
+      ev("p", 2L, 3) ++ ev("p", 3L, 1)
+    val got = autocorr(rows)
+    assert(got == Set(("p", 1L, 4L, Some(-750L)), ("p", 7L, 4L, None)))
+  }
+
+  test("autocorrMilli: silent days zero-fill; constant series reads NULL") {
+    // key q observed days 0 and 2 (3 each): series [3,0,3], dev=[3,−6,3],
+    // den=54, lag1 num = −36 → −666 (toward-zero == floor via sign/abs)
+    // key r constant [5,5]: den = 0 → NULL at every lag
+    val rows = ev("q", 0L, 3) ++ ev("q", 2L, 3) ++
+      ev("r", 0L, 5) ++ ev("r", 1L, 5)
+    val got = autocorr(rows)
+    assert(got == Set(
+      ("q", 1L, 3L, Some(-666L)), ("q", 7L, 3L, None),
+      ("r", 1L, 2L, None), ("r", 7L, 2L, None)))
+  }
+
+  test("autocorrMilli: hard weekly cycle dominates lag 7 on a 21-day axis") {
+    // spike of 8 events every 7th day over days 0..20, else 1 event:
+    // x_{t+7} = x_t for every pair, so the lag-7 products are pure dev²
+    // over days 0..13 — num = 2·126² + 12·21² = 37044 against
+    // den = 3·126² + 18·21² = 55566 (all 21 days): r7 = 666 exactly,
+    // the standard (d−ℓ)/d-style shrinkage of a perfect cycle
+    val rows = (0L to 20L).flatMap(d =>
+      ev("w", d, if (d % 7 == 0) 8 else 1))
+    val got = autocorr(rows)
+    assert(got.contains(("w", 7L, 21L, Some(666L))))
+  }
+
+  private def autocorr(rows: Seq[(Timestamp, String)]) =
+    TimeSeries.autocorrMilli(rows.toDF("ts", "event_type"),
+        "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+
   test("fanoFactor: bursty key reads far above the Poisson line") {
     // key g: [10, 0-silent, 10, 1] over observed days [10,10,1]:
     // d=3 Σx=21 Σx²=201, F = (603 − 441)·1000 // 63 = 2571

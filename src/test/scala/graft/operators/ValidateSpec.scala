@@ -93,6 +93,26 @@ class ValidateSpec extends SparkSpecBase {
     assert(out.toSeq == Seq(("k", 0L, 2L, None)))
   }
 
+  test("ksVsCorpus: hand-computed CDF gaps incl. the before-point candidate") {
+    // corpus: A = [1, 1, 2], B = [3]; N = 4
+    // F_A: 1→2/3, 2→1; F_g: 1→1/2, 2→3/4, 3→1 → sup |F_A−F_g| = 1/4 @2
+    // F_B jumps only at 3; just BEFORE it F_B = 0 vs F_g = 3/4 → 750‰
+    // (the open-segment candidate — an at-point-only sup would read 0)
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 3L))
+      .toDF("src", "v")
+    val got = Validate.ksVsCorpus(df, "src", col("v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("A", 3L, 250L), ("B", 1L, 750L)))
+  }
+
+  test("ksVsCorpus: a key holding the whole corpus reads 0; nulls drop") {
+    val df = Seq(("A", Some(1L)), ("A", Some(5L)), ("A", Some(9L)),
+      ("A", None)).toDF("src", "v")
+    val got = Validate.ksVsCorpus(df, "src", col("v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("A", 3L, 0L)))
+  }
+
   test("enforce: passes under budget, throws over it, names the rule") {
     val rules = Seq("empty_text" -> (length(col("text")) === 0))
     // budget 1 tolerates the single empty doc
