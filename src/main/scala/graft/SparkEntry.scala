@@ -2412,6 +2412,13 @@ object SparkEntry {
       TimeSeries.autocorrMilli(Tables.events(s, dir), "ts", "event_type")
         .withColumnRenamed("key", "event_type")),
 
+    // CUSUM single-changepoint per event type over the zero-filled day
+    // axis: the day the level shifted, with the scale-free uniformity
+    // deviation and the exact per-day rates either side of the split.
+    "changepoint_day" -> ((s, dir) =>
+      TimeSeries.changepointDay(Tables.events(s, dir), "ts", "event_type")
+        .withColumnRenamed("key", "event_type")),
+
     // robots.txt fetchability under RFC 9309 precedence (longest
     // pattern wins, Allow on ties, wildcard + $-anchor patterns): the
     // crawl-side gate before any URL enters the frontier. The rule set
@@ -5956,6 +5963,41 @@ object SparkEntry {
         |    CAST(CASE WHEN num < 0 THEN -((-num) * 1000 // den)
         |         ELSE num * 1000 // den END AS BIGINT) END AS r_milli
         |FROM u""".stripMargin,
+
+    // Same zero-filled axis and prefix sums; argmax replayed as a
+    // row_number over (|C| DESC, day ASC) — the engine's earliest-day
+    // tie-break; every division floors non-negatives.
+    "changepoint_day" ->
+      """WITH dc AS (SELECT event_type AS k,
+        |    (epoch_us(ts) // 1000000) // 86400 AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, MIN(day) AS dd0, MAX(day) AS dd1 FROM dc GROUP BY 1),
+        |axis AS (SELECT k, unnest(range(dd0, dd1 + 1)) AS day FROM b),
+        |f AS (SELECT axis.k, axis.day, COALESCE(dc.x, 0) AS x
+        |      FROM axis LEFT JOIN dc ON axis.k = dc.k AND axis.day = dc.day),
+        |t AS (SELECT k, day, x, COUNT(*) OVER (PARTITION BY k) AS d,
+        |        SUM(x) OVER (PARTITION BY k) AS s,
+        |        SUM(x) OVER (PARTITION BY k ORDER BY day) AS cumx,
+        |        row_number() OVER (PARTITION BY k ORDER BY day) AS idx
+        |      FROM f),
+        |c AS (SELECT k, day, d, s, cumx, idx,
+        |        ABS(CAST(d AS HUGEINT) * cumx - CAST(idx AS HUGEINT) * s)
+        |          AS cab,
+        |        row_number() OVER (PARTITION BY k ORDER BY
+        |          ABS(CAST(d AS HUGEINT) * cumx - CAST(idx AS HUGEINT) * s)
+        |            DESC, day ASC) AS rn
+        |      FROM t)
+        |SELECT k AS event_type, CAST(d AS BIGINT) AS n_days,
+        |  CAST(s AS BIGINT) AS n_events, day AS cp_day,
+        |  CASE WHEN s > 0 THEN
+        |    CAST(cab * 1000 // (CAST(d AS HUGEINT) * s) AS BIGINT)
+        |  ELSE 0 END AS cusum_permille,
+        |  CAST(CAST(cumx AS HUGEINT) * 1000 // idx AS BIGINT)
+        |    AS mean_before_milli,
+        |  CASE WHEN d > idx THEN
+        |    CAST(CAST(s - cumx AS HUGEINT) * 1000 // (d - idx) AS BIGINT)
+        |  END AS mean_after_milli
+        |FROM c WHERE rn = 1""".stripMargin,
 
     // Same path construction; the decision chain replayed in the SAME
     // (length DESC, Allow-first) order with the same anchored regexes.

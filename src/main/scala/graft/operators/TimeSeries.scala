@@ -147,12 +147,14 @@ object TimeSeries {
     * serves the whole-partition sums and the ordered lead windows
     * (shared sort), and the lag fan-out is |lags| extra columns, not
     * extra passes. */
-  def autocorrMilli(events: DataFrame, tsCol: String, keyCol: String,
-      lags: Seq[Int] = Seq(1, 7)): DataFrame = {
-    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
-    // the (key, day) count table feeds both the axis derivation and the
-    // fill join — localCheckpoint pins the event scan to ONE execution
-    // (the Cooccur precedent)
+  /** Zero-filled per-key day axis: `(key, day, __x)` from each key's
+    * first to last observed day, with `__d` (axis length) and `__s`
+    * (total events) as whole-partition window columns. The (key, day)
+    * count table feeds both the axis derivation and the fill join —
+    * localCheckpoint pins the event scan to ONE execution (the Cooccur
+    * precedent). Shared by [[autocorrMilli]] and [[changepointDay]]. */
+  private def zeroFilledDays(events: DataFrame, tsCol: String,
+      keyCol: String): DataFrame = {
     val daily = events
       .select(col(keyCol).as("key"),
         expr(s"cast($tsCol as long) div 86400").as("day"))
@@ -163,11 +165,17 @@ object TimeSeries {
       .select(col("key"),
         explode(sequence(col("__d0"), col("__d1"))).as("day"))
     val wAll = Window.partitionBy("key")
-    val wOrd = Window.partitionBy("key").orderBy("day")
-    val dev = axis.join(daily, Seq("key", "day"), "left")
+    axis.join(daily, Seq("key", "day"), "left")
       .withColumn("__x", coalesce(col("__obs"), lit(0L)))
       .withColumn("__d", count(lit(1)).over(wAll))
       .withColumn("__s", sum("__x").over(wAll))
+  }
+
+  def autocorrMilli(events: DataFrame, tsCol: String, keyCol: String,
+      lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    val wOrd = Window.partitionBy("key").orderBy("day")
+    val dev = zeroFilledDays(events, tsCol, keyCol)
       .withColumn("__dev",
         (col("__d") * col("__x") - col("__s")).cast("decimal(38,0)"))
     val withLeads = lags.foldLeft(dev) { (df, l) =>
@@ -187,5 +195,51 @@ object TimeSeries {
           "CAST(CASE WHEN __num < 0 THEN -((-__num) * 1000 div __den) " +
           "ELSE __num * 1000 div __den END AS BIGINT) END"))
       .select("key", "lag", "n_days", "r_milli")
+  }
+
+  /** Most-likely single changepoint of each key's daily-count series
+    * (CUSUM, Page 1954 / Pettitt-style single-split): the day `t`
+    * maximizing `|C_t| = |Σ_{u≤t}(d·x_u − S)|` over the ZERO-FILLED
+    * axis — the scaled cumulative deviation from the key's own mean
+    * rate, which telescopes to 0 at the axis end, so its peak marks
+    * where the level SHIFTED (deploys, source cutovers, crawl-policy
+    * changes). `C_t = d·cumx_t − t·S`, so `|C_t| div (d·S)` is exactly
+    * `|fraction-of-events-seen − fraction-of-days-elapsed|` — reported
+    * as `cusum_permille`, the scale-free uniformity deviation (0 =
+    * perfectly steady rate; a hard step at mid-axis reads hundreds).
+    * Ties break to the EARLIEST day; `mean_before_milli` /
+    * `mean_after_milli` are the exact per-day rates either side of the
+    * split (after = NULL in the degenerate one-day-axis case). All
+    * arithmetic in DECIMAL(38,0); every division floors non-negatives,
+    * so the SQL mirror is exact.
+    *
+    * Scale shape: the [[zeroFilledDays]] exchange (one key shuffle,
+    * checkpoint-pinned scan), one ordered prefix-sum window, and a
+    * single per-key argmax aggregation — the split's flanking sums
+    * ride INSIDE the argmax struct (cumx, index), so no second pass
+    * joins the changepoint back to the series. */
+  def changepointDay(events: DataFrame, tsCol: String,
+      keyCol: String): DataFrame = {
+    val wOrd = Window.partitionBy("key").orderBy("day")
+    zeroFilledDays(events, tsCol, keyCol)
+      .withColumn("__cumx", sum("__x").over(wOrd))
+      .withColumn("__idx", row_number().over(wOrd).cast("long"))
+      .withColumn("__c", abs(
+        col("__d").cast("decimal(38,0)") * col("__cumx") -
+          col("__idx").cast("decimal(38,0)") * col("__s")))
+      .groupBy("key")
+      .agg(max("__d").as("n_days"), max("__s").as("n_events"),
+        min(struct((-col("__c")).as("__negc"), col("day").as("__day"),
+          col("__cumx").as("__bx"), col("__idx").as("__bi"))).as("__top"))
+      .select(col("key"), col("n_days"), col("n_events"),
+        col("__top.__day").as("cp_day"),
+        expr("CASE WHEN n_events > 0 THEN CAST((-__top.__negc) * 1000 " +
+          "div (CAST(n_days AS DECIMAL(38,0)) * n_events) AS BIGINT) " +
+          "ELSE 0 END").as("cusum_permille"),
+        expr("CAST(__top.__bx * 1000 div __top.__bi AS BIGINT)")
+          .as("mean_before_milli"),
+        expr("CASE WHEN n_days > __top.__bi THEN " +
+          "CAST((n_events - __top.__bx) * 1000 div (n_days - __top.__bi) " +
+          "AS BIGINT) END").as("mean_after_milli"))
   }
 }

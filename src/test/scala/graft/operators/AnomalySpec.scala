@@ -169,6 +169,33 @@ class AnomalySpec extends SparkSpecBase {
     assert(got.contains(("w", 7L, 21L, Some(666L))))
   }
 
+  test("changepointDay: step shift peaks at the last low day; flanking rates") {
+    // key s, days 0..3, x = [1,1,5,5]: d=4 S=12, C = 4·cumx − idx·12 =
+    // [−8,−16,−8,0] → peak |16| at day 1; cusum = 16000 // 48 = 333;
+    // before = 2/2 days = 1000 milli, after = 10/2 = 5000 milli
+    val rows = ev("s", 0L, 1) ++ ev("s", 1L, 1) ++
+      ev("s", 2L, 5) ++ ev("s", 3L, 5)
+    assert(changepoint(rows) ==
+      Set(("s", 4L, 12L, 1L, 333L, Some(1000L), Some(5000L))))
+  }
+
+  test("changepointDay: steady rate reads 0 at the earliest day; 1-day axis") {
+    // key u [2,2,2]: every C_t = 0 → earliest-day tie-break, permille 0,
+    // both rates the true 2000 milli. key v: single day → after = NULL
+    val rows = (0L to 2L).flatMap(d => ev("u", d, 2)) ++ ev("v", 5L, 3)
+    assert(changepoint(rows) == Set(
+      ("u", 3L, 6L, 0L, 0L, Some(2000L), Some(2000L)),
+      ("v", 1L, 3L, 5L, 0L, Some(3000L), None)))
+  }
+
+  private def changepoint(rows: Seq[(Timestamp, String)]) =
+    TimeSeries.changepointDay(rows.toDF("ts", "event_type"),
+        "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))).toSet
+
   private def autocorr(rows: Seq[(Timestamp, String)]) =
     TimeSeries.autocorrMilli(rows.toDF("ts", "event_type"),
         "ts", "event_type")
