@@ -35,7 +35,8 @@ object RunPipeline {
         "[--dims p] [--fallback ts] [--merge-buckets n] [--format f] " +
         "[--retries n] [--stream ckptDir [--enrich spec] " +
         "[--cardinality-profile dir] [--quantile-profile dir] " +
-        "[--freq-profile dir] [--components dir] [--scd2 dir] " +
+        "[--freq-profile dir] [--daily-counts dir] " +
+        "[--components dir] [--scd2 dir] " +
         "[--text-index dir [--text-index-col c] [--text-index-shards n]]]")
     val Array(source, target, state, staging) = args.take(4)
     val opts = args.drop(4).sliding(2, 2).collect {
@@ -131,6 +132,7 @@ object RunPipeline {
       cardinalityProfilePath = opts.get("--cardinality-profile"),
       quantileProfilePath = opts.get("--quantile-profile"),
       freqProfilePath = opts.get("--freq-profile"),
+      dailyCountsPath = opts.get("--daily-counts"),
       componentsPath = opts.get("--components"),
       scd2Path = opts.get("--scd2"),
       textIndexPath = opts.get("--text-index"),

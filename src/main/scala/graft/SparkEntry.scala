@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Anomaly, Correlate, Experiment, TextIndex, TimeSeries, Web, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.{Anomaly, Correlate, DailyCounts, Experiment, IndexStore, TextIndex, TimeSeries, Web, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -2419,6 +2419,29 @@ object SparkEntry {
       TimeSeries.changepointDay(Tables.events(s, dir), "ts", "event_type")
         .withColumnRenamed("key", "event_type")),
 
+    // The Fano monitor served from the PERSISTED DailyCounts profile:
+    // the event log folds into the store in two disjoint halves (by
+    // event-id parity — the cross-batch additive merge on the same
+    // (key, day) cells a micro-batch stream exercises), and the monitor
+    // reads only the fold. Reuses fano_factor's oracle verbatim —
+    // the gate proves profile-served ≡ scan-computed bit for bit.
+    "fano_profiled" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/events.parquet")
+      val store = Ivf.cachedIndexDir(src, root = "/tmp/graft-dailycounts")
+      if (!IndexStore.exists(s, store)) {
+        Ivf.gcSupersededIndexes(store)
+        val ev = Tables.events(s, dir)
+        DailyCounts.update(s, store,
+          ev.where(pmod(col("event_id"), lit(2)) === 0),
+          keyCol = "event_type", tsCol = "ts", batchId = Some(1L))
+        DailyCounts.update(s, store,
+          ev.where(pmod(col("event_id"), lit(2)) === 1),
+          keyCol = "event_type", tsCol = "ts", batchId = Some(2L))
+      }
+      TimeSeries.fanoFactorFromDaily(DailyCounts.read(s, store))
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // robots.txt fetchability under RFC 9309 precedence (longest
     // pattern wins, Allow on ties, wildcard + $-anchor patterns): the
     // crawl-side gate before any URL enters the frontier. The rule set
@@ -3083,8 +3106,13 @@ object SparkEntry {
   // bm25_indexed serves the same queries from the persisted inverted
   // index; identical oracle = the gate proves index-served results equal
   // scan-computed ones bit for bit.
+  // fano_profiled serves the same dispersion read-out from the persisted
+  // DailyCounts fold; identical oracle = the gate proves profile-served
+  // results equal scan-computed ones bit for bit.
   def oracleSql: Map[String, String] =
-    oracleSqlBase + ("bm25_indexed" -> oracleSqlBase("bm25_topk"))
+    oracleSqlBase +
+      ("bm25_indexed" -> oracleSqlBase("bm25_topk")) +
+      ("fano_profiled" -> oracleSqlBase("fano_factor"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "pushdown_scan" ->

@@ -110,10 +110,13 @@ object TimeSeries {
     * (a billion-event day squares past long range). Day =
     * `unix_seconds div 86400`, the integer-calendar discipline. */
   def fanoFactor(events: DataFrame, tsCol: String, keyCol: String): DataFrame =
-    events
-      .select(col(keyCol).as("key"),
-        expr(s"cast($tsCol as long) div 86400").as("day"))
-      .groupBy("key", "day").agg(count(lit(1)).as("__x"))
+    fanoFactorFromDaily(countsOf(events, tsCol, keyCol))
+
+  /** [[fanoFactor]] over a pre-aggregated `(key, day, n)` daily-count
+    * table — the [[DailyCounts]] profile path: the monitor reads the
+    * persisted fold instead of rescanning event history. */
+  def fanoFactorFromDaily(daily: DataFrame): DataFrame =
+    daily.select(col("key"), col("n").as("__x"))
       .groupBy("key")
       .agg(count(lit(1)).as("n_days"),
         sum("__x").as("n_events"),
@@ -147,35 +150,57 @@ object TimeSeries {
     * serves the whole-partition sums and the ordered lead windows
     * (shared sort), and the lag fan-out is |lags| extra columns, not
     * extra passes. */
-  /** Zero-filled per-key day axis: `(key, day, __x)` from each key's
-    * first to last observed day, with `__d` (axis length) and `__s`
-    * (total events) as whole-partition window columns. The (key, day)
-    * count table feeds both the axis derivation and the fill join —
-    * localCheckpoint pins the event scan to ONE execution (the Cooccur
-    * precedent). Shared by [[autocorrMilli]] and [[changepointDay]]. */
-  private def zeroFilledDays(events: DataFrame, tsCol: String,
-      keyCol: String): DataFrame = {
-    val daily = events
+  /** The `(key, day, n)` daily-count table of an event stream — the
+    * shared first exchange of the monitor family, and exactly the frame
+    * [[DailyCounts]] persists incrementally. */
+  private def countsOf(events: DataFrame, tsCol: String,
+      keyCol: String): DataFrame =
+    events
       .select(col(keyCol).as("key"),
         expr(s"cast($tsCol as long) div 86400").as("day"))
-      .groupBy("key", "day").agg(count(lit(1)).as("__obs"))
-      .localCheckpoint()
+      .groupBy("key", "day").agg(count(lit(1)).as("n"))
+
+  /** Zero-filled per-key day axis over a `(key, day, n)` table:
+    * `(key, day, __x)` from each key's first to last observed day, with
+    * `__d` (axis length) and `__s` (total events) as whole-partition
+    * window columns. Shared by the autocorrelation and changepoint
+    * monitors (both the event-scan and the [[DailyCounts]] profile
+    * paths). */
+  private def zeroFilledFromDaily(daily: DataFrame): DataFrame = {
     val axis = daily.groupBy("key")
       .agg(min("day").as("__d0"), max("day").as("__d1"))
       .select(col("key"),
         explode(sequence(col("__d0"), col("__d1"))).as("day"))
     val wAll = Window.partitionBy("key")
-    axis.join(daily, Seq("key", "day"), "left")
+    axis.join(daily.withColumnRenamed("n", "__obs"),
+        Seq("key", "day"), "left")
       .withColumn("__x", coalesce(col("__obs"), lit(0L)))
       .withColumn("__d", count(lit(1)).over(wAll))
       .withColumn("__s", sum("__x").over(wAll))
   }
 
+  /** [[zeroFilledFromDaily]] from raw events: the (key, day) count
+    * table feeds both the axis derivation and the fill join —
+    * localCheckpoint pins the event scan to ONE execution (the Cooccur
+    * precedent). */
+  private def zeroFilledDays(events: DataFrame, tsCol: String,
+      keyCol: String): DataFrame =
+    zeroFilledFromDaily(countsOf(events, tsCol, keyCol).localCheckpoint())
+
   def autocorrMilli(events: DataFrame, tsCol: String, keyCol: String,
-      lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+      lags: Seq[Int] = Seq(1, 7)): DataFrame =
+    autocorrOver(zeroFilledDays(events, tsCol, keyCol), lags)
+
+  /** [[autocorrMilli]] over a pre-aggregated `(key, day, n)` table —
+    * the [[DailyCounts]] profile path. */
+  def autocorrMilliFromDaily(daily: DataFrame,
+      lags: Seq[Int] = Seq(1, 7)): DataFrame =
+    autocorrOver(zeroFilledFromDaily(daily), lags)
+
+  private def autocorrOver(filled: DataFrame, lags: Seq[Int]): DataFrame = {
     require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
     val wOrd = Window.partitionBy("key").orderBy("day")
-    val dev = zeroFilledDays(events, tsCol, keyCol)
+    val dev = filled
       .withColumn("__dev",
         (col("__d") * col("__x") - col("__s")).cast("decimal(38,0)"))
     val withLeads = lags.foldLeft(dev) { (df, l) =>
@@ -219,9 +244,17 @@ object TimeSeries {
     * ride INSIDE the argmax struct (cumx, index), so no second pass
     * joins the changepoint back to the series. */
   def changepointDay(events: DataFrame, tsCol: String,
-      keyCol: String): DataFrame = {
+      keyCol: String): DataFrame =
+    changepointOver(zeroFilledDays(events, tsCol, keyCol))
+
+  /** [[changepointDay]] over a pre-aggregated `(key, day, n)` table —
+    * the [[DailyCounts]] profile path. */
+  def changepointFromDaily(daily: DataFrame): DataFrame =
+    changepointOver(zeroFilledFromDaily(daily))
+
+  private def changepointOver(filled: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("key").orderBy("day")
-    zeroFilledDays(events, tsCol, keyCol)
+    filled
       .withColumn("__cumx", sum("__x").over(wOrd))
       .withColumn("__idx", row_number().over(wOrd).cast("long"))
       .withColumn("__c", abs(

@@ -71,6 +71,15 @@ object IncrementalStream {
     *   entities dominate each type's stream, without rescanning history.
     *   Misra–Gries merge is NOT idempotent, so the same last-batch-id
     *   replay guard as the quantile profile applies.
+    * @param dailyCountsPath when set, each micro-batch folds its RAW
+    *   per-(embeddings_type, epoch-day) row counts into a persisted
+    *   [[graft.operators.DailyCounts]] profile — the minimal sufficient
+    *   statistic for the daily-series monitors (Fano burstiness,
+    *   autocorrelation, CUSUM changepoint), maintained without ever
+    *   rescanning event history. Pre-dedup on purpose: ingest-volume
+    *   monitors watch what ARRIVES, not what survives. Count addition is
+    *   NOT replay-idempotent, so the profile carries the last-batch-id
+    *   replay guard.
     * @param componentsPath when set (with the INDEXED near-dup filter),
     *   each micro-batch folds its ids and verified near-dup pairs into
     *   the persisted duplicate-component mapping
@@ -89,6 +98,7 @@ object IncrementalStream {
       cardinalityProfilePath: Option[String] = None,
       quantileProfilePath: Option[String] = None,
       freqProfilePath: Option[String] = None,
+      dailyCountsPath: Option[String] = None,
       componentsPath: Option[String] = None,
       scd2Path: Option[String] = None,
       textIndexPath: Option[String] = None,
@@ -204,6 +214,14 @@ object IncrementalStream {
           graft.operators.Frequencies.update(s, p,
             curated.select(col("embeddings_type"), col("display_name")),
             keyCol = "embeddings_type", itemCol = "display_name",
+            batchId = Some(batchId))
+        }
+        // daily ingest-volume profile folds the RAW batch (pre-dedup:
+        // volume monitors watch arrivals, not survivors)
+        dailyCountsPath.foreach { p =>
+          graft.operators.DailyCounts.update(s, p,
+            batch.select(col("embeddings_type"), col("original_timestamp")),
+            keyCol = "embeddings_type", tsCol = "original_timestamp",
             batchId = Some(batchId))
         }
         ivfIndexPath.foreach { idx =>

@@ -335,6 +335,51 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(est3 == est2, s"replayed batch mutated the profile: $est3")
   }
 
+  test("streaming daily-counts profile: folds arrivals across runs; replay-guarded") {
+    val src = tmp("dc-src"); val ckpt = tmp("dc-ckpt")
+    val target = tmp("dc-target") + "/out"
+    val prof = tmp("dc-prof") + "/profile"
+    def typedDoc(source: String, ts: String, ref: String, etype: String): Row =
+      Row(source, Timestamp.valueOf(ts), Seq(1f, 0f), ref, "", "c1",
+        null, etype, null)
+
+    writeBatch(src, Seq(
+      typedDoc("s1", "2024-01-01 10:00:00", "a", "t1"),
+      typedDoc("s1", "2024-01-01 11:00:00", "b", "t1"),
+      typedDoc("s2", "2024-01-01 12:00:00", "c", "t2")),
+      "batch0")
+    IncrementalStream.start(spark, src, target, ckpt,
+      dailyCountsPath = Some(prof)).awaitTermination()
+    def census() = graft.operators.DailyCounts.read(spark, prof)
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(rs =>
+        (rs.map(_._2).distinct.length, rs.map(_._3).sum)).toMap
+    // per type: (distinct days, total arrivals)
+    assert(census() == Map("t1" -> ((1, 2L)), "t2" -> ((1, 1L))))
+
+    // second run via the CLI flag path: a later day for t1
+    writeBatch(src, Seq(
+      typedDoc("s1", "2024-01-02 10:00:00", "d", "t1"),
+      typedDoc("s1", "2024-01-02 11:00:00", "e", "t1")),
+      "batch1")
+    graft.RunPipeline.startStream(spark, src, target, ckpt,
+      Map("--daily-counts" -> prof)).awaitTermination()
+    assert(census() == Map("t1" -> ((2, 4L)), "t2" -> ((1, 1L))))
+
+    // the folded profile feeds the monitors directly
+    val fano = graft.operators.TimeSeries.fanoFactorFromDaily(
+        graft.operators.DailyCounts.read(spark, prof))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(fano == Map("t1" -> 4L, "t2" -> 1L))
+
+    // a replayed micro-batch id leaves the profile untouched
+    graft.operators.DailyCounts.update(spark, prof,
+      Seq(("2024-01-09T00:00:00", "t9")).toDF("original_timestamp", "k"),
+      keyCol = "k", tsCol = "original_timestamp", batchId = Some(1L))
+    assert(census() == Map("t1" -> ((2, 4L)), "t2" -> ((1, 1L))))
+  }
+
   test("streaming curate hook gates each micro-batch before merge") {
     val src = tmp("cur-src"); val ckpt = tmp("cur-ckpt")
     val target = tmp("cur-target") + "/out"
