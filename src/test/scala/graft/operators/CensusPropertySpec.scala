@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpecBase
+
+/** Property tests for the round-12 census/monitor tier: each operator's
+  * distributed formulation equals a naive in-memory BigInt reference on
+  * ANY input — in particular, zipf_bands' run-interval arithmetic equals
+  * per-type rank materialization, and ksVsCorpus's two-candidate sup
+  * equals the full-grid CDF sweep it avoids. Spark work inside forAll is
+  * kept tiny (a few rows per sample). */
+class CensusPropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def run(prop: Prop, n: Int = 15): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word: Gen[String] =
+    Gen.oneOf("a", "b", "c", "d", "e", "aa", "bb")
+
+  private val corpusGen: Gen[List[(String, String)]] =
+    Gen.choose(1, 6).flatMap(nd => Gen.listOfN(nd, for {
+      src <- Gen.oneOf("s0", "s1", "s2")
+      ws <- Gen.choose(0, 10).flatMap(k => Gen.listOfN(k, word))
+    } yield (src, ws.mkString(" "))))
+
+  // --- yuleK ------------------------------------------------------------
+
+  test("property: yuleK equals the naive BigInt spectrum computation") {
+    run(Prop.forAll(corpusGen) { docs =>
+      val got = TextAnalysis.yuleK(docs.toDF("source", "text"),
+          "source", "text")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val want = docs.groupBy(_._1).flatMap { case (k, ds) =>
+        val toks = ds.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        if (toks.isEmpty) None
+        else {
+          val c = toks.groupBy(identity).map { case (_, g) => g.size.toLong }
+          val n = toks.size.toLong
+          val s2 = c.map(x => BigInt(x) * x).sum
+          Some((k, n, c.size.toLong, s2.toLong,
+            ((s2 - n) * 10000 / (BigInt(n) * n)).toLong))
+        }
+      }.toSet
+      got == want
+    })
+  }
+
+  // --- zipfBands --------------------------------------------------------
+
+  test("property: zipfBands run-interval arithmetic equals per-type ranks") {
+    run(Prop.forAll(corpusGen) { docs =>
+      val got = TextAnalysis.zipfBands(docs.map(_._2).toDF("text"), "text")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      val toks = docs.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+      val want =
+        if (toks.isEmpty) Set.empty[(Long, Long, Long, Long, Long, Long)]
+        else {
+          val freq = toks.groupBy(identity).map { case (w, g) =>
+            (w, g.size.toLong)
+          }.toList
+          val ranked = freq.sortBy { case (w, c) => (-c, w) }.zipWithIndex
+            .map { case ((_, c), i) =>
+              val rank = i + 1L
+              (63 - java.lang.Long.numberOfLeadingZeros(rank), c)
+            }
+          ranked.groupBy(_._1).map { case (band, g) =>
+            (band.toLong, 1L << band, g.size.toLong, g.map(_._2).sum,
+              g.map(_._2).max, g.map(_._2).min)
+          }.toSet
+        }
+      got == want
+    })
+  }
+
+  // --- ksVsCorpus -------------------------------------------------------
+
+  private val ksGen: Gen[List[(String, Long)]] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.oneOf("A", "B", "C")
+      v <- Gen.choose(0L, 6L)
+    } yield (k, v)))
+
+  test("property: ksVsCorpus two-candidate sup equals the full-grid sweep") {
+    run(Prop.forAll(ksGen) { rows =>
+      val got = Validate.ksVsCorpus(rows.toDF("src", "v"),
+          "src", org.apache.spark.sql.functions.col("v"))
+        .as[(String, Long, Long)].collect().toSet
+      val n = rows.size.toLong
+      val grid = rows.map(_._2).distinct.sorted
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        val nk = rs.size.toLong
+        val gap = grid.map { x =>
+          val cumK = rs.count(_._2 <= x).toLong
+          val g = rows.count(_._2 <= x).toLong
+          (BigInt(cumK) * n - BigInt(g) * nk).abs
+        }.max
+        (k, nk, (gap * 1000 / (BigInt(nk) * n)).toLong)
+      }.toSet
+      got == want
+    })
+  }
+
+  // --- daily monitors ---------------------------------------------------
+
+  private val seriesGen: Gen[List[(String, Long, Int)]] =
+    Gen.choose(1, 8).flatMap(m => Gen.listOfN(m, for {
+      k <- Gen.oneOf("x", "y")
+      d <- Gen.choose(0L, 8L)
+      c <- Gen.choose(1, 4)
+    } yield (k, d, c)))
+
+  test("property: fano/changepoint/autocorr equal naive BigInt references") {
+    run(Prop.forAll(seriesGen) { cells =>
+      val rows = cells.flatMap { case (k, d, c) =>
+        (1 to c).map(i =>
+          (new java.sql.Timestamp(d * 86400000L + i * 1000L), k))
+      }
+      val df = rows.toDF("ts", "event_type")
+      val byKey = cells.groupBy(_._1).map { case (k, cs) =>
+        k -> cs.groupBy(_._2).map { case (d, g) => d -> g.map(_._3).sum.toLong }
+      }
+
+      // fano over OBSERVED days
+      val fanoGot = TimeSeries.fanoFactor(df, "ts", "event_type")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val fanoWant = byKey.map { case (k, m) =>
+        val d = m.size.toLong; val s = m.values.sum
+        val s2 = m.values.map(x => BigInt(x) * x).sum
+        (k, d, s, s2.toLong,
+          ((BigInt(d) * s2 - BigInt(s) * s) * 1000 / (BigInt(d) * s)).toLong)
+      }.toSet
+
+      // zero-filled axis per key
+      def axis(m: Map[Long, Long]): Vector[Long] = {
+        val d0 = m.keys.min; val d1 = m.keys.max
+        (d0 to d1).map(d => m.getOrElse(d, 0L)).toVector
+      }
+
+      val cpGot = TimeSeries.changepointDay(df, "ts", "event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)))).toSet
+      val cpWant = byKey.map { case (k, m) =>
+        val xs = axis(m); val d = xs.size.toLong; val s = xs.sum
+        val cands = xs.scanLeft(0L)(_ + _).tail.zipWithIndex.map {
+          case (cumx, i) =>
+            ((BigInt(d) * cumx - BigInt(i + 1) * s).abs, i + 1L, cumx)
+        }
+        val (cab, idx, cumx) = cands.minBy { case (g, i, _) => (-g, i) }
+        (k, d, s, m.keys.min + idx - 1,
+          (cab * 1000 / (BigInt(d) * s)).toLong,
+          Some(BigInt(cumx) * 1000 / idx).map(_.toLong),
+          if (d > idx) Some((BigInt(s - cumx) * 1000 / (d - idx)).toLong)
+          else None)
+      }.toSet
+
+      val acGot = TimeSeries.autocorrMilli(df, "ts", "event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      val acWant = byKey.flatMap { case (k, m) =>
+        val xs = axis(m); val d = xs.size.toLong; val s = xs.sum
+        val dev = xs.map(x => BigInt(d) * x - s)
+        val den = dev.map(v => v * v).sum
+        Seq(1, 7).map { l =>
+          val pairs = dev.dropRight(l).zip(dev.drop(l))
+          val num = pairs.map { case (a, b) => a * b }.sum
+          val r = if (den == 0 || pairs.isEmpty) None
+          else Some((num.signum * (num.abs * 1000 / den)).toLong)
+          (k, l.toLong, d, r)
+        }
+      }.toSet
+
+      fanoGot == fanoWant && cpGot == cpWant && acGot == acWant
+    }, n = 10)
+  }
+}
