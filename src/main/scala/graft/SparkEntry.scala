@@ -2405,6 +2405,12 @@ object SparkEntry {
       Validate.ksVsCorpus(Tables.documents(s, dir), "source", col("n_chars"))
         .withColumnRenamed("key", "source")),
 
+    // Exact chi-square + Cramér's V between source and language — the
+    // chance-corrected association audit ("do sources differ in language
+    // mix beyond what margins explain"), full-grid, integer micro-units.
+    "assoc_cramers" -> ((s, dir) =>
+      Correlate.cramersV(Tables.documents(s, dir), col("source"), col("lang"))),
+
     // Exact daily-count autocorrelation at lags 1 and 7 (integer
     // milli-units, zero-filled axis): the seasonality detector — r₇
     // near 1000 is a hard weekly cycle, r₁ is day-over-day momentum.
@@ -5961,6 +5967,37 @@ object SparkEntry {
         |  CAST(MAX(gap) * 1000 // (MAX(nk) * (SELECT n FROM n)) AS BIGINT)
         |    AS ks_permille
         |FROM d GROUP BY 1""".stripMargin,
+
+    // Same full-grid per-cell floors (empty cells contribute expected
+    // mass); HUGEINT casts keep dev² · 10⁶ exact at the test scale.
+    "assoc_cramers" ->
+      """WITH c AS (SELECT CAST(source AS VARCHAR) AS a,
+        |    CAST(lang AS VARCHAR) AS b, count(*) AS o
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT a, SUM(o) AS r FROM c GROUP BY 1),
+        |cb AS (SELECT b, SUM(o) AS cc FROM c GROUP BY 1),
+        |n AS (SELECT SUM(o) AS n FROM c),
+        |g AS (SELECT ra.a, cb.b, ra.r, cb.cc FROM ra CROSS JOIN cb),
+        |t AS (SELECT (CAST(COALESCE(c.o, 0) AS HUGEINT) * n.n
+        |          - CAST(g.r AS HUGEINT) * g.cc)
+        |        * (CAST(COALESCE(c.o, 0) AS HUGEINT) * n.n
+        |          - CAST(g.r AS HUGEINT) * g.cc) * 1000000
+        |        // (CAST(n.n AS HUGEINT) * g.r * g.cc) AS term
+        |      FROM g LEFT JOIN c ON g.a = c.a AND g.b = c.b CROSS JOIN n)
+        |SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(*) FROM ra) AS BIGINT) AS n_a_levels,
+        |  CAST((SELECT count(*) FROM cb) AS BIGINT) AS n_b_levels,
+        |  CAST(((SELECT count(*) FROM ra) - 1)
+        |    * ((SELECT count(*) FROM cb) - 1) AS BIGINT) AS dof,
+        |  CAST(SUM(term) AS BIGINT) AS chi2_micro,
+        |  CASE WHEN LEAST((SELECT count(*) FROM ra),
+        |                  (SELECT count(*) FROM cb)) >= 2
+        |    THEN CAST(SUM(term) // ((SELECT n FROM n)
+        |      * (LEAST((SELECT count(*) FROM ra),
+        |               (SELECT count(*) FROM cb)) - 1)) AS BIGINT)
+        |  END AS v2_micro
+        |FROM t""".stripMargin,
 
     // Zero-filled axis via range(), whole-partition sums, the same
     // mean-cleared deviations; sign/abs routing keeps `//` (floor) and

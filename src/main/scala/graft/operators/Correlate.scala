@@ -225,4 +225,58 @@ object Correlate {
       }
     Seq((n, rho.toLong)).toDF("n_docs", "rho_micro")
   }
+
+  /** Exact Pearson chi-square + Cramér's V between two categorical
+    * columns — "are these attributes associated, and how strongly",
+    * chance-corrected where a raw crosstab or purity number is not:
+    * the source↔language / variant↔outcome / cluster↔label audit.
+    * Reported as `chi2_micro = Σ_cells ⌊(o·N − r·c)²·10⁶ div (N·r·c)⌋`
+    * over the FULL r×c grid (empty cells contribute their expected
+    * mass — omitting them understates χ²) and
+    * `v2_micro = chi2_micro div (N·(min(r,c)−1))` — V² rather than V so
+    * no square root leaves integer arithmetic (V²·10⁶: 0 = independent,
+    * 10⁶ = perfectly associated). Per-cell floors in a deterministic
+    * cell set make the SQL mirror exact term for term; the statistic
+    * reads at most #cells micro-units below the real χ²·10⁶ —
+    * irrelevant at any decision threshold. Single-level columns report
+    * NULL v2 (dof 0).
+    *
+    * Scale shape: ONE map-side-combined (a, b) count over the corpus;
+    * the contingency table is bounded by the level-pair count, so the
+    * grid completion, margins, and BigInt cell terms run driver-side on
+    * that bounded table (the [[Experiment.abChi2]] posture — BigInt,
+    * so no overflow ceiling at any corpus size, where a DECIMAL(38,0)
+    * plan column would cap near N ≈ 10⁸). */
+  def cramersV(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df
+      .select(aCol.cast("string").as("__a"), bCol.cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val obs = cells.map { case (a, b, o) => (a, b) -> BigInt(o) }.toMap
+    val rowM = cells.groupBy(_._1).view.mapValues(cs =>
+      BigInt(cs.map(_._3).sum)).toMap
+    val colM = cells.groupBy(_._2).view.mapValues(cs =>
+      BigInt(cs.map(_._3).sum)).toMap
+    val n = BigInt(cells.map(_._3).sum)
+    val chi2 =
+      if (n == 0) BigInt(0)
+      else (for {
+        (a, r) <- rowM.toSeq
+        (b, c) <- colM.toSeq
+      } yield {
+        val dev = obs.getOrElse((a, b), BigInt(0)) * n - r * c
+        dev * dev * 1000000 / (n * r * c)
+      }).sum
+    val minDim = BigInt(math.min(rowM.size, colM.size))
+    val v2 =
+      if (n == 0 || minDim < 2) None
+      else Some((chi2 / (n * (minDim - 1))).toLong)
+    Seq((n.toLong, rowM.size.toLong, colM.size.toLong,
+      (rowM.size - 1).toLong * (colM.size - 1).toLong, chi2.toLong, v2))
+      .toDF("n_rows", "n_a_levels", "n_b_levels", "dof",
+        "chi2_micro", "v2_micro")
+  }
 }

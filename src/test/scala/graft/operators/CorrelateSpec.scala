@@ -75,4 +75,25 @@ class CorrelateSpec extends SparkSpecBase {
     // n=1: lo = 0, hi = 0 -> empty band
     assert(got("solo") == ((1L, 0L, None, None, None)))
   }
+
+  private def cramers(rows: Seq[(String, String)]) =
+    Correlate.cramersV(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).head
+
+  test("cramersV: hand 2x2 chi-square; phi-squared matches") {
+    // (x,p)x3 (x,q)x1 (y,p)x1 (y,q)x3: chi2 = 8*(9-1)^2/256 = 2 exactly,
+    // V^2 = 2/8 = 0.25
+    val rows = Seq.fill(3)(("x", "p")) ++ Seq(("x", "q")) ++
+      Seq(("y", "p")) ++ Seq.fill(3)(("y", "q"))
+    assert(cramers(rows) == ((8L, 2L, 2L, 1L, 2000000L, Some(250000L))))
+  }
+
+  test("cramersV: exact independence reads 0; single-level column reads NULL V") {
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+    assert(cramers(indep) == ((4L, 2L, 2L, 1L, 0L, Some(0L))))
+    val mono = Seq(("x", "p"), ("y", "p"), ("y", "p"))
+    assert(cramers(mono) == ((3L, 2L, 1L, 0L, 0L, None)))
+  }
 }
