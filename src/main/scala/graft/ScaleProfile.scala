@@ -584,7 +584,8 @@ object ScaleProfile {
       def exp10(t1: Double, t10: Double): Double =
         math.log(t10 / t1) / math.log(10.0)
       val ps = Seq("yule_k", "zipf_bands", "char_class_census", "fano_factor",
-        "ks_drift", "autocorr_daily", "changepoint_day", "assoc_cramers")
+        "ks_drift", "autocorr_daily", "changepoint_day", "assoc_cramers",
+        "ks_value_shift")
       ps.foreach(q => time(q, src)) // warmup: codegen + JIT
       ps.foreach(q => time(q, big))
       ps.foreach { q =>

@@ -2411,6 +2411,21 @@ object SparkEntry {
     "assoc_cramers" -> ((s, dir) =>
       Correlate.cramersV(Tables.documents(s, dir), col("source"), col("lang"))),
 
+    // Exact two-slice KS per event type: the final observed week's value
+    // distribution vs all earlier days — the binning-free "did this
+    // week's values shift" monitor (drift_tv's slice contract with
+    // ks_drift's exactness).
+    "ks_value_shift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+          expr("cast(ts as long) div 86400").as("__day"))
+      val maxd = ev.agg(max("__day").as("__maxd"))
+      Validate.ksTwoSlice(ev.crossJoin(broadcast(maxd)),
+          "event_type", col("cents"), col("__day") >= col("__maxd") - 6)
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // Exact daily-count autocorrelation at lags 1 and 7 (integer
     // milli-units, zero-filled axis): the seasonality detector — r₇
     // near 1000 is a hard weekly cycle, r₁ is day-over-day momentum.
@@ -5966,6 +5981,36 @@ object SparkEntry {
         |SELECT k AS source, CAST(MAX(nk) AS BIGINT) AS n_rows,
         |  CAST(MAX(gap) * 1000 // (MAX(nk) * (SELECT n FROM n)) AS BIGINT)
         |    AS ks_permille
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // The same union-point two-candidate sup, both slices' cums from
+    // one histogram; HUGEINT products, one floor-div per key.
+    "ks_value_shift" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    (epoch_us(ts) // 1000000) // 86400 AS day
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT MAX(day) AS maxd FROM e),
+        |h AS (SELECT k, v,
+        |    SUM(CASE WHEN day >= maxd - 6 THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN day < maxd - 6 THEN 1 ELSE 0 END) AS cb
+        |  FROM e CROSS JOIN m GROUP BY 1, 2),
+        |j AS (SELECT k, ca, cb,
+        |    SUM(ca) OVER (PARTITION BY k ORDER BY v) AS cuma,
+        |    SUM(cb) OVER (PARTITION BY k ORDER BY v) AS cumb,
+        |    SUM(ca) OVER (PARTITION BY k) AS na,
+        |    SUM(cb) OVER (PARTITION BY k) AS nb FROM h),
+        |d AS (SELECT k, na, nb, GREATEST(
+        |    ABS(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na),
+        |    ABS(CAST(cuma - ca AS HUGEINT) * nb
+        |        - CAST(cumb - cb AS HUGEINT) * na)) AS gap
+        |  FROM j)
+        |SELECT k AS event_type, CAST(MAX(na) AS BIGINT) AS n_cur,
+        |  CAST(MAX(nb) AS BIGINT) AS n_ref,
+        |  CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+        |    CAST(MAX(gap) * 1000
+        |      // (CAST(MAX(na) AS HUGEINT) * MAX(nb)) AS BIGINT)
+        |  END AS ks_permille
         |FROM d GROUP BY 1""".stripMargin,
 
     // Same full-grid per-cell floors (empty cells contribute expected

@@ -148,6 +148,56 @@ object Validate {
       .select("key", "n_rows", "ks_permille")
   }
 
+  /** Exact two-sample KS distance between two SLICES of the same frame
+    * per key (current vs reference — [[driftTv]]'s slice contract with
+    * [[ksVsCorpus]]'s exactness): `D = sup|F_cur − F_ref|` in integer
+    * permille, the binning-free "did this week's value distribution
+    * shift" monitor. Every step point of either CDF is a point of the
+    * per-key UNION histogram, and on the open segment between union
+    * points both CDFs are constant — so the at-point gap
+    * `|cumA·nB − cumB·nA|` and the before-point gap over left limits
+    * (`cum − mass-at-point`, 0 for a slice absent at that value) cover
+    * the sup exactly. Products in DECIMAL(38,0); keys with an empty
+    * slice report NULL (no distribution to compare).
+    *
+    * Scale shape: ONE scan tags both slices (no second read), one
+    * map-side-combined (key, value) histogram carrying both slices'
+    * counts, per-key cum windows over histogram-sized partitions, one
+    * rollup. For unbounded value domains pre-bin first (the driftTv
+    * treatment). */
+  def ksTwoSlice(df: DataFrame, keyCol: String, value: Column,
+      currentSlice: Column): DataFrame = {
+    val h = df.where(value.isNotNull)
+      .select(col(keyCol).as("key"), value.cast("long").as("__v"),
+        currentSlice.cast("boolean").as("__cur"))
+      .where(col("__cur").isNotNull)
+      .groupBy("key", "__v")
+      .agg(sum(when(col("__cur"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__cur"), 1L).otherwise(0L)).as("__cb"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("__v")
+    val wkAll = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    h
+      .withColumn("__cuma", sum("__ca").over(wk))
+      .withColumn("__cumb", sum("__cb").over(wk))
+      .withColumn("__na", sum("__ca").over(wkAll))
+      .withColumn("__nb", sum("__cb").over(wkAll))
+      .withColumn("__at", abs(
+        col("__cuma").cast("decimal(38,0)") * col("__nb") -
+          col("__cumb").cast("decimal(38,0)") * col("__na")))
+      .withColumn("__before", abs(
+        (col("__cuma") - col("__ca")).cast("decimal(38,0)") * col("__nb") -
+          (col("__cumb") - col("__cb")).cast("decimal(38,0)") * col("__na")))
+      .groupBy("key")
+      .agg(max("__na").as("n_cur"), max("__nb").as("n_ref"),
+        max(greatest(col("__at"), col("__before"))).as("__d"))
+      .withColumn("ks_permille", expr(
+        "CASE WHEN n_cur > 0 AND n_ref > 0 THEN " +
+          "CAST(__d * 1000 div (CAST(n_cur AS DECIMAL(38,0)) * n_ref) " +
+          "AS BIGINT) END"))
+      .select("key", "n_cur", "n_ref", "ks_permille")
+  }
+
   /** Benford's-law first-digit permille, `P(d) = log₁₀(1 + 1/d)·1000`
     * rounded to integers (they sum to 1001 — the usual rounding artifact;
     * kept as the published constants rather than re-normalized). */

@@ -113,6 +113,29 @@ class ValidateSpec extends SparkSpecBase {
     assert(got == Set(("A", 3L, 0L)))
   }
 
+  private def ks2(rows: Seq[(String, Long, Boolean)]) =
+    Validate.ksTwoSlice(rows.toDF("k", "v", "cur"), "k", col("v"), col("cur"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+
+  test("ksTwoSlice: identical slices read 0; disjoint slices read 1000") {
+    val rows = Seq(("k", 1L, true), ("k", 2L, true),
+      ("k", 1L, false), ("k", 2L, false),
+      ("m", 5L, true), ("m", 5L, true), ("m", 1L, false), ("m", 1L, false))
+    assert(ks2(rows) == Set(("k", 2L, 2L, Some(0L)),
+      ("m", 2L, 2L, Some(1000L))))
+  }
+
+  test("ksTwoSlice: sup at a reference-only union point; empty slice is NULL") {
+    // cur = {10}, ref = {1, 20}: the sup (1/2) is attained on the
+    // segment [1,10) — visible only at ref's point v=1, which the
+    // union-point candidates cover
+    val rows = Seq(("p", 10L, true), ("p", 1L, false), ("p", 20L, false),
+      ("e", 3L, true))
+    assert(ks2(rows) == Set(("p", 1L, 2L, Some(500L)),
+      ("e", 1L, 0L, None)))
+  }
+
   test("enforce: passes under budget, throws over it, names the rule") {
     val rules = Seq("empty_text" -> (length(col("text")) === 0))
     // budget 1 tolerates the single empty doc
