@@ -2426,6 +2426,27 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
     }),
 
+    // Mann–Whitney common-language effect size on the same slice split:
+    // the DIRECTION companion to ks_value_shift's magnitude — permille
+    // probability this week's values run higher (500 = no shift).
+    "ranksum_shift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+          expr("cast(ts as long) div 86400").as("__day"))
+      val maxd = ev.agg(max("__day").as("__maxd"))
+      Validate.rankSumAuc(ev.crossJoin(broadcast(maxd)),
+          "event_type", col("cents"), col("__day") >= col("__maxd") - 6)
+        .withColumnRenamed("key", "event_type")
+    }),
+
+    // Exact OLS trend of daily event volume per type (milli events/day
+    // per day): the gradual-drift monitor next to changepoint_day's step
+    // detector and weekly_trend's WoW ratio.
+    "trend_slope" -> ((s, dir) =>
+      TimeSeries.trendSlopeMilli(Tables.events(s, dir), "ts", "event_type")
+        .withColumnRenamed("key", "event_type")),
+
     // Exact daily-count autocorrelation at lags 1 and 7 (integer
     // milli-units, zero-filled axis): the seasonality detector — r₇
     // near 1000 is a hard weekly cycle, r₁ is day-over-day momentum.
@@ -6012,6 +6033,58 @@ object SparkEntry {
         |      // (CAST(MAX(na) AS HUGEINT) * MAX(nb)) AS BIGINT)
         |  END AS ks_permille
         |FROM d GROUP BY 1""".stripMargin,
+
+    // The same one-histogram construction: reference mass strictly
+    // below counts twice, tied mass once; one floor-div per key.
+    "ranksum_shift" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    (epoch_us(ts) // 1000000) // 86400 AS day
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT MAX(day) AS maxd FROM e),
+        |h AS (SELECT k, v,
+        |    SUM(CASE WHEN day >= maxd - 6 THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN day < maxd - 6 THEN 1 ELSE 0 END) AS cb
+        |  FROM e CROSS JOIN m GROUP BY 1, 2),
+        |j AS (SELECT k, ca, cb,
+        |    SUM(cb) OVER (PARTITION BY k ORDER BY v) AS cumb,
+        |    SUM(ca) OVER (PARTITION BY k) AS na,
+        |    SUM(cb) OVER (PARTITION BY k) AS nb FROM h),
+        |u AS (SELECT k, na, nb,
+        |    SUM(CAST(ca AS HUGEINT) * (2 * (cumb - cb) + cb)) AS u2
+        |  FROM j GROUP BY 1, 2, 3)
+        |SELECT k AS event_type, CAST(na AS BIGINT) AS n_cur,
+        |  CAST(nb AS BIGINT) AS n_ref,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    CAST(u2 * 1000 // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT)
+        |  END AS auc_permille
+        |FROM u""".stripMargin,
+
+    // Zero-filled axis, 1-based positions, the same three sums; the
+    // sign-routed floor-div convention on the possibly-negative slope.
+    "trend_slope" ->
+      """WITH dc AS (SELECT event_type AS k,
+        |    (epoch_us(ts) // 1000000) // 86400 AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, MIN(day) AS dd0, MAX(day) AS dd1 FROM dc GROUP BY 1),
+        |axis AS (SELECT k, unnest(range(dd0, dd1 + 1)) AS day FROM b),
+        |f AS (SELECT axis.k, axis.day, COALESCE(dc.x, 0) AS x
+        |      FROM axis LEFT JOIN dc ON axis.k = dc.k AND axis.day = dc.day),
+        |t AS (SELECT k, x,
+        |        row_number() OVER (PARTITION BY k ORDER BY day) AS tt
+        |      FROM f),
+        |a AS (SELECT k, count(*) AS d, SUM(x) AS s,
+        |        SUM(CAST(tt AS HUGEINT) * x) AS stx,
+        |        SUM(CAST(tt AS HUGEINT) * tt) AS stt,
+        |        SUM(tt) AS st FROM t GROUP BY 1),
+        |r AS (SELECT k, d, s, d * stx - CAST(st AS HUGEINT) * s AS num,
+        |        d * stt - CAST(st AS HUGEINT) * st AS den FROM a)
+        |SELECT k AS event_type, CAST(d AS BIGINT) AS n_days,
+        |  CAST(s AS BIGINT) AS n_events,
+        |  CASE WHEN den > 0 THEN
+        |    CAST(CASE WHEN num < 0 THEN -((-num) * 1000 // den)
+        |         ELSE num * 1000 // den END AS BIGINT) END AS slope_milli
+        |FROM r""".stripMargin,
 
     // Same full-grid per-cell floors (empty cells contribute expected
     // mass); HUGEINT casts keep dev² · 10⁶ exact at the test scale.

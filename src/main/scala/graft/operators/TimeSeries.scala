@@ -252,6 +252,46 @@ object TimeSeries {
   def changepointFromDaily(daily: DataFrame): DataFrame =
     changepointOver(zeroFilledFromDaily(daily))
 
+  /** Exact OLS trend of each key's daily-count series, in integer
+    * milli-units of events/day per day — the GRADUAL-drift companion to
+    * [[changepointDay]]'s step detector and `weekly_trend`'s
+    * week-over-week ratio: `slope = (d·Σt·x − Σt·Σx)/(d·Σt² − (Σt)²)`
+    * over the zero-filled axis with t = 1..d. The numerator can be
+    * NEGATIVE where `div` (toward zero) and `//` (floor) diverge, so the
+    * milli value is sign-routed like [[autocorrMilli]]'s; one-day axes
+    * (den = 0) report NULL. All sums in DECIMAL(38,0).
+    *
+    * Scale shape: the shared [[zeroFilledDays]] exchange + one ordered
+    * row_number window + a single per-key rollup of three sums. */
+  def trendSlopeMilli(events: DataFrame, tsCol: String,
+      keyCol: String): DataFrame =
+    trendOver(zeroFilledDays(events, tsCol, keyCol))
+
+  /** [[trendSlopeMilli]] over a pre-aggregated `(key, day, n)` table —
+    * the [[DailyCounts]] profile path. */
+  def trendSlopeFromDaily(daily: DataFrame): DataFrame =
+    trendOver(zeroFilledFromDaily(daily))
+
+  private def trendOver(filled: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("key").orderBy("day")
+    filled
+      .withColumn("__t", row_number().over(wOrd).cast("long"))
+      .groupBy("key")
+      .agg(max("__d").as("n_days"), max("__s").as("n_events"),
+        sum(col("__t").cast("decimal(38,0)") * col("__x")).as("__stx"),
+        sum(col("__t").cast("decimal(38,0)") * col("__t")).as("__stt"),
+        sum("__t").as("__st"))
+      .withColumn("__num", expr(
+        "n_days * __stx - CAST(__st AS DECIMAL(38,0)) * n_events"))
+      .withColumn("__den", expr(
+        "n_days * __stt - CAST(__st AS DECIMAL(38,0)) * __st"))
+      .withColumn("slope_milli", expr(
+        "CASE WHEN __den > 0 THEN " +
+          "CAST(CASE WHEN __num < 0 THEN -((-__num) * 1000 div __den) " +
+          "ELSE __num * 1000 div __den END AS BIGINT) END"))
+      .select("key", "n_days", "n_events", "slope_milli")
+  }
+
   private def changepointOver(filled: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("key").orderBy("day")
     filled

@@ -198,6 +198,51 @@ object Validate {
       .select("key", "n_cur", "n_ref", "ks_permille")
   }
 
+  /** Exact Mann–Whitney U as the common-language effect size per key —
+    * the DIRECTION companion to [[ksTwoSlice]]'s magnitude: `auc_permille
+    * = P(random current value > random reference value) + ½·P(tie)`, in
+    * integer permille (500 = no shift, >500 = current runs higher). The
+    * probability is computed over the SAME one-scan two-slice histogram
+    * as the KS: for each current value, reference mass strictly below
+    * counts twice and tied mass once —
+    * `U₂ = Σ_v ca(v)·(2·(cumb(v) − cb(v)) + cb(v))`, and
+    * `auc_permille = U₂·1000 div (2·na·nb)` — one floor-division of
+    * exact non-negative integers (products in DECIMAL(38,0)). This IS
+    * the Wilcoxon rank-sum statistic with midrank tie handling, and
+    * numerically equals ROC-AUC of "is current" against the value.
+    * Keys with an empty slice report NULL.
+    *
+    * Scale shape: identical to [[ksTwoSlice]] — one tagged scan, one
+    * map-side-combined (key, value) histogram, per-key cum windows over
+    * histogram-sized partitions, one rollup. */
+  def rankSumAuc(df: DataFrame, keyCol: String, value: Column,
+      currentSlice: Column): DataFrame = {
+    val h = df.where(value.isNotNull)
+      .select(col(keyCol).as("key"), value.cast("long").as("__v"),
+        currentSlice.cast("boolean").as("__cur"))
+      .where(col("__cur").isNotNull)
+      .groupBy("key", "__v")
+      .agg(sum(when(col("__cur"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__cur"), 1L).otherwise(0L)).as("__cb"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("__v")
+    val wkAll = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    h
+      .withColumn("__cumb", sum("__cb").over(wk))
+      .withColumn("__na", sum("__ca").over(wkAll))
+      .withColumn("__nb", sum("__cb").over(wkAll))
+      .withColumn("__u2", col("__ca").cast("decimal(38,0)") *
+        (lit(2) * (col("__cumb") - col("__cb")) + col("__cb")))
+      .groupBy("key")
+      .agg(max("__na").as("n_cur"), max("__nb").as("n_ref"),
+        sum("__u2").as("__u2s"))
+      .withColumn("auc_permille", expr(
+        "CASE WHEN n_cur > 0 AND n_ref > 0 THEN " +
+          "CAST(__u2s * 1000 div (CAST(2 AS DECIMAL(38,0)) * n_cur * n_ref) " +
+          "AS BIGINT) END"))
+      .select("key", "n_cur", "n_ref", "auc_permille")
+  }
+
   /** Benford's-law first-digit permille, `P(d) = log₁₀(1 + 1/d)·1000`
     * rounded to integers (they sum to 1001 — the usual rounding artifact;
     * kept as the published constants rather than re-normalized). */

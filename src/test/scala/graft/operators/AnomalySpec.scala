@@ -188,6 +188,22 @@ class AnomalySpec extends SparkSpecBase {
       ("v", 1L, 3L, 5L, 0L, Some(3000L), None)))
   }
 
+  test("trendSlopeMilli: hand OLS slopes; zero-filled symmetry; 1-day NULL") {
+    // t1 [1,2,3] → slope exactly +1.0/day; t2 [3,1] → −2.0/day;
+    // t3 observed days 0 and 2 (3 each, silent middle zero-fills) →
+    // symmetric series [3,0,3] → slope 0; t4 single day → NULL
+    val rows = ev("t1", 0L, 1) ++ ev("t1", 1L, 2) ++ ev("t1", 2L, 3) ++
+      ev("t2", 0L, 3) ++ ev("t2", 1L, 1) ++
+      ev("t3", 0L, 3) ++ ev("t3", 2L, 3) ++ ev("t4", 9L, 5)
+    val got = TimeSeries.trendSlopeMilli(rows.toDF("ts", "event_type"),
+        "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got == Set(("t1", 3L, 6L, Some(1000L)),
+      ("t2", 2L, 4L, Some(-2000L)),
+      ("t3", 3L, 6L, Some(0L)), ("t4", 1L, 5L, None)))
+  }
+
   private def changepoint(rows: Seq[(Timestamp, String)]) =
     TimeSeries.changepointDay(rows.toDF("ts", "event_type"),
         "ts", "event_type")

@@ -136,6 +136,27 @@ class ValidateSpec extends SparkSpecBase {
       ("e", 1L, 0L, None)))
   }
 
+  private def auc(rows: Seq[(String, Long, Boolean)]) =
+    Validate.rankSumAuc(rows.toDF("k", "v", "cur"), "k", col("v"), col("cur"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+
+  test("rankSumAuc: dominance reads 1000, ties read 500, inversion reads 0") {
+    val rows = Seq(("a", 2L, true), ("a", 1L, false),
+      ("b", 1L, true), ("b", 1L, false),
+      ("c", 1L, true), ("c", 2L, false))
+    assert(auc(rows) == Set(("a", 1L, 1L, Some(1000L)),
+      ("b", 1L, 1L, Some(500L)), ("c", 1L, 1L, Some(0L))))
+  }
+
+  test("rankSumAuc: hand pair count with mixed order; empty slice is NULL") {
+    // cur {1,3} vs ref {2,2}: 3 beats both, 1 beats none → 2/4 = 500
+    val rows = Seq(("p", 1L, true), ("p", 3L, true),
+      ("p", 2L, false), ("p", 2L, false), ("e", 7L, false))
+    assert(auc(rows) == Set(("p", 2L, 2L, Some(500L)),
+      ("e", 0L, 1L, None)))
+  }
+
   test("enforce: passes under budget, throws over it, names the rule") {
     val rules = Seq("empty_text" -> (length(col("text")) === 0))
     // budget 1 tolerates the single empty doc
