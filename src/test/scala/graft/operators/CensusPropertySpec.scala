@@ -105,6 +105,90 @@ class CensusPropertySpec extends SparkSpecBase {
     })
   }
 
+  // --- two-slice monitors -----------------------------------------------
+
+  private val sliceGen: Gen[List[(String, Long, Boolean)]] =
+    Gen.choose(1, 14).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.oneOf("A", "B")
+      v <- Gen.choose(0L, 5L)
+      cur <- Gen.oneOf(true, false)
+    } yield (k, v, cur)))
+
+  test("property: ksTwoSlice equals the brute-force sup over a dense grid") {
+    run(Prop.forAll(sliceGen) { rows =>
+      val got = Validate.ksTwoSlice(rows.toDF("k", "v", "cur"), "k",
+          org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.col("cur"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        val cur = rs.filter(_._3).map(_._2)
+        val ref = rs.filterNot(_._3).map(_._2)
+        val (na, nb) = (cur.size.toLong, ref.size.toLong)
+        val ks = if (na == 0 || nb == 0) None
+        else Some(((0L to 6L).map { x =>
+          (BigInt(cur.count(_ <= x)) * nb - BigInt(ref.count(_ <= x)) * na).abs
+        }.max * 1000 / (BigInt(na) * nb)).toLong)
+        (k, na, nb, ks)
+      }.toSet
+      got == want
+    })
+  }
+
+  test("property: rankSumAuc equals the all-pairs comparison count") {
+    run(Prop.forAll(sliceGen) { rows =>
+      val got = Validate.rankSumAuc(rows.toDF("k", "v", "cur"), "k",
+          org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.col("cur"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        val cur = rs.filter(_._3).map(_._2)
+        val ref = rs.filterNot(_._3).map(_._2)
+        val (na, nb) = (cur.size.toLong, ref.size.toLong)
+        val auc = if (na == 0 || nb == 0) None
+        else {
+          val u2 = (for (a <- cur; b <- ref)
+            yield if (a > b) 2L else if (a == b) 1L else 0L).sum
+          Some((BigInt(u2) * 1000 / (2 * BigInt(na) * nb)).toLong)
+        }
+        (k, na, nb, auc)
+      }.toSet
+      got == want
+    })
+  }
+
+  // --- cramersV ---------------------------------------------------------
+
+  private val catGen: Gen[List[(String, String)]] =
+    Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.oneOf("x", "y", "z")
+      b <- Gen.oneOf("p", "q")
+    } yield (a, b)))
+
+  test("property: cramersV equals the naive full-grid BigInt chi-square") {
+    run(Prop.forAll(catGen) { rows =>
+      val got = Correlate.cramersV(rows.toDF("a", "b"),
+          org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).head
+      val n = BigInt(rows.size)
+      val ra = rows.groupBy(_._1).view.mapValues(g => BigInt(g.size)).toMap
+      val cb = rows.groupBy(_._2).view.mapValues(g => BigInt(g.size)).toMap
+      val chi2 = (for { (a, r) <- ra.toSeq; (b, c) <- cb.toSeq } yield {
+        val dev = BigInt(rows.count(t => t._1 == a && t._2 == b)) * n - r * c
+        dev * dev * 1000000 / (n * r * c)
+      }).sum
+      val minDim = math.min(ra.size, cb.size)
+      val v2 = if (minDim < 2) None
+      else Some((chi2 / (n * (minDim - 1))).toLong)
+      got == ((rows.size.toLong, ra.size.toLong, cb.size.toLong,
+        (ra.size - 1).toLong * (cb.size - 1).toLong, chi2.toLong, v2))
+    })
+  }
+
   // --- daily monitors ---------------------------------------------------
 
   private val seriesGen: Gen[List[(String, Long, Int)]] =
@@ -176,7 +260,23 @@ class CensusPropertySpec extends SparkSpecBase {
         }
       }.toSet
 
-      fanoGot == fanoWant && cpGot == cpWant && acGot == acWant
+      val tsGot = TimeSeries.trendSlopeMilli(df, "ts", "event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      val tsWant = byKey.map { case (k, m) =>
+        val xs = axis(m); val d = BigInt(xs.size); val s = BigInt(xs.sum)
+        val stx = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+        val st = d * (d + 1) / 2
+        val stt = (1 to xs.size).map(i => BigInt(i) * i).sum
+        val num = d * stx - st * s
+        val den = d * stt - st * st
+        val slope = if (den <= 0) None
+        else Some((num.signum * (num.abs * 1000 / den)).toLong)
+        (k, d.toLong, s.toLong, slope)
+      }.toSet
+
+      fanoGot == fanoWant && cpGot == cpWant && acGot == acWant &&
+        tsGot == tsWant
     }, n = 10)
   }
 }
