@@ -2447,6 +2447,15 @@ object SparkEntry {
       TimeSeries.trendSlopeMilli(Tables.events(s, dir), "ts", "event_type")
         .withColumnRenamed("key", "event_type")),
 
+    // Winsorization transform: every event value clamped into its
+    // type's exact p5–p95 band — the fat-tail repair that KEEPS the row
+    // where trimmed_stats only reports; boundaries from the same
+    // histogram-band arithmetic, broadcast back as a scan-stage clamp.
+    "winsorize" -> ((s, dir) =>
+      Correlate.winsorizePerKey(Tables.events(s, dir), "event_type",
+        col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))),
+
     // Exact daily-count autocorrelation at lags 1 and 7 (integer
     // milli-units, zero-filled axis): the seasonality detector — r₇
     // near 1000 is a hard weekly cycle, r₁ is day-over-day momentum.
@@ -5889,6 +5898,25 @@ object SparkEntry {
         |    THEN (SUM(CAST(kept AS HUGEINT) * x) * 1000) // SUM(kept) END
         |    AS BIGINT) AS trimmed_mean_milli
         |FROM k GROUP BY 1""".stripMargin,
+
+    // trimmed_stats' histogram-band boundaries, joined back and clamped;
+    // band-empty keys pass values through via COALESCE.
+    "winsorize" ->
+      """WITH v AS (SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, x, count(*) AS c FROM v GROUP BY 1, 2),
+        |s AS (SELECT event_type, x, c,
+        |        SUM(c) OVER (PARTITION BY event_type ORDER BY x) - c AS strt,
+        |        SUM(c) OVER (PARTITION BY event_type) AS nk FROM h),
+        |k AS (SELECT event_type, x,
+        |        GREATEST(0, LEAST(strt + c, nk * 950 // 1000)
+        |                  - GREATEST(strt, nk * 50 // 1000)) AS kept FROM s),
+        |b AS (SELECT event_type, MIN(CASE WHEN kept > 0 THEN x END) AS lo,
+        |        MAX(CASE WHEN kept > 0 THEN x END) AS hi FROM k GROUP BY 1)
+        |SELECT v.event_type, v.event_id AS id, v.x AS value_raw,
+        |  COALESCE(GREATEST(b.lo, LEAST(b.hi, v.x)), v.x) AS value_winsor
+        |FROM v JOIN b USING (event_type)""".stripMargin,
 
     "markov_stationary" -> markovStationaryOracle(20, 1800L),
 

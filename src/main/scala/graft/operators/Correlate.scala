@@ -180,6 +180,32 @@ object Correlate {
       .drop("__sum")
   }
 
+  /** Winsorization TRANSFORM over [[trimmedMeanPerKey]]'s boundary order
+    * statistics: every row comes back with its value CLAMPED into the
+    * key's kept band `[lo_val, hi_val]` — the fat-tail repair that keeps
+    * the row (a bot's million-unit purchase becomes the p95 value)
+    * where the trim only reports statistics. Rows of keys whose kept
+    * band is empty (tiny groups) pass through unchanged — no data is
+    * invented. Same non-negative-integral contract as the trim.
+    *
+    * Scale shape: the bounds table is one histogram-sized aggregation
+    * (|keys| rows out), broadcast back onto the corpus — the clamp
+    * itself is a scan-stage projection; no row-level window, no second
+    * key exchange. */
+  def winsorizePerKey(df: DataFrame, keyCol: String, idCol: Column,
+      value: Column, loPermille: Int = 50,
+      hiPermille: Int = 950): DataFrame = {
+    val bounds = trimmedMeanPerKey(df, keyCol, value, loPermille, hiPermille)
+      .select(col(keyCol), col("lo_val"), col("hi_val"))
+    df.select(col(keyCol), idCol.as("id"), value.cast("long").as("value_raw"))
+      .where(col("value_raw").isNotNull)
+      .join(broadcast(bounds), Seq(keyCol))
+      .select(col(keyCol), col("id"), col("value_raw"),
+        coalesce(
+          greatest(col("lo_val"), least(col("hi_val"), col("value_raw"))),
+          col("value_raw")).as("value_winsor"))
+  }
+
   /** Spearman rank correlation between two metric columns, in exact
     * integer micro-units: `ρ·10⁶ = 10⁶ − (6·10⁶·Σd²) div (n(n²−1))`
     * with `d = rank_a − rank_b` under the deterministic total order

@@ -76,6 +76,30 @@ class CorrelateSpec extends SparkSpecBase {
     assert(got("solo") == ((1L, 0L, None, None, None)))
   }
 
+  test("winsorizePerKey: outlier clamps to the band edge; tiny groups pass through") {
+    // key a: nine 1s + one 1000 — the band keeps the nine 1s, so the
+    // outlier clamps to hi_val = 1; key solo's band is empty → unchanged
+    val rows = (1L to 9L).map(i => ("a", i, 1L)) ++
+      Seq(("a", 10L, 1000L), ("solo", 1L, 42L))
+    val got = Correlate.winsorizePerKey(rows.toDF("k", "id", "v"),
+        "k", col("id"), col("v"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = (1L to 9L).map(i => ("a", i, 1L, 1L)).toSet ++
+      Set(("a", 10L, 1000L, 1L), ("solo", 1L, 42L, 42L))
+    assert(got == want)
+  }
+
+  test("winsorizePerKey: interior values untouched, both tails clamp") {
+    // 20 values 1..20: band ranks (1, 19] → lo_val 2, hi_val 19
+    val rows = (1L to 20L).map(i => ("b", i, i))
+    val got = Correlate.winsorizePerKey(rows.toDF("k", "id", "v"),
+        "k", col("id"), col("v"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(got(1L) == 2L && got(20L) == 19L && got(10L) == 10L &&
+      got(2L) == 2L && got(19L) == 19L)
+  }
+
   private def cramers(rows: Seq[(String, String)]) =
     Correlate.cramersV(rows.toDF("a", "b"), col("a"), col("b"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
