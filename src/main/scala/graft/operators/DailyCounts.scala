@@ -33,12 +33,15 @@ object DailyCounts {
   /** One micro-batch's `(key, sketch=null, n_rows)` count rows. `tsCol`
     * may be a timestamp or an ISO-8601 string (the pipeline's
     * `original_timestamp`) — both route through a timestamp cast; day =
-    * `unix_seconds div 86400`, the integer-calendar discipline. */
+    * `unix_seconds div 86400`, the integer-calendar discipline. NULL
+    * keys fold under the sentinel level `"(null)"` — a VOLUME monitor
+    * must count every arrival, and silently dropping untyped rows would
+    * hide exactly the ingest anomalies it watches for. */
   private[operators] def fresh(batch: DataFrame, keyCol: String,
       tsCol: String): DataFrame =
     batch
       .where(col(tsCol).isNotNull)
-      .select(col(keyCol).cast("string").as("__k"),
+      .select(coalesce(col(keyCol).cast("string"), lit("(null)")).as("__k"),
         expr(s"cast(cast($tsCol as timestamp) as long) div 86400").as("__day"))
       .where(col("__day").isNotNull)
       .groupBy("__k", "__day").agg(count(lit(1)).as("n_rows"))

@@ -61,6 +61,17 @@ class DailyCountsSpec extends SparkSpecBase {
       rowsOf(TimeSeries.autocorrMilli(events, "ts", "event_type")))
   }
 
+  test("null keys fold under the '(null)' sentinel — arrivals are never dropped") {
+    val root = tmp("dc-null")
+    val rows = Seq((new Timestamp(86400000L), null.asInstanceOf[String]),
+      (new Timestamp(86400000L), "t"))
+    DailyCounts.update(spark, root, rows.toDF("ts", "k"), "k", "ts",
+      batchId = Some(1L))
+    val got = DailyCounts.read(spark, root)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("(null)", 1L, 1L), ("t", 1L, 1L)))
+  }
+
   test("ISO-8601 string timestamps fold like native timestamps; null ts drops") {
     val root = tmp("dc-iso")
     val iso = Seq(("2024-01-05T10:00:00", "t1"), ("2024-01-05T23:59:59", "t1"),

@@ -204,6 +204,7 @@ class IncrementalStreamSpec extends SparkSpecBase {
     val ndx = s"$base/neardup"; val ivf = s"$base/ivf"
     val card = s"$base/card"; val kll = s"$base/kll"; val freq = s"$base/freq"
     val comp = s"$base/comp"; val dim = s"$base/dim"
+    val dc = s"$base/dailycounts"
 
     // multi-word refs: the near-dup filter shingles on 3-word windows,
     // so degenerate one-word texts would never index
@@ -219,7 +220,7 @@ class IncrementalStreamSpec extends SparkSpecBase {
       ivfIndexPath = Some(ivf), ivfNlist = 2,
       cardinalityProfilePath = Some(card), quantileProfilePath = Some(kll),
       freqProfilePath = Some(freq), componentsPath = Some(comp),
-      scd2Path = Some(dim)).awaitTermination()
+      scd2Path = Some(dim), dailyCountsPath = Some(dc)).awaitTermination()
     run()
 
     writeBatch(src, Seq(
@@ -240,6 +241,9 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(graft.operators.Frequencies.estimates(spark, freq, 1L).count() > 0)
     assert(graft.operators.IndexStore.exists(spark, s"$ivf/centroids"))
     assert(graft.operators.IndexStore.exists(spark, comp))
+    // daily-count profile: 2 arrivals on Jan 1 + 2 on Jan 2 (raw batches)
+    assert(graft.operators.DailyCounts.read(spark, dc)
+      .as[(String, Long, Long)].collect().map(_._3).sum == 4L)
     // scd2 dimension: refA's key renamed "s1 (None)" -> "s2 (None)", so
     // it carries a closed v1 and an open v2
     val keyA = tgt(refA)._2
