@@ -585,7 +585,8 @@ object ScaleProfile {
         math.log(t10 / t1) / math.log(10.0)
       val ps = Seq("yule_k", "zipf_bands", "char_class_census", "fano_factor",
         "ks_drift", "autocorr_daily", "changepoint_day", "assoc_cramers",
-        "ks_value_shift", "ranksum_shift", "trend_slope", "winsorize")
+        "ks_value_shift", "ranksum_shift", "trend_slope", "winsorize",
+        "halfsample_ci")
       ps.foreach(q => time(q, src)) // warmup: codegen + JIT
       ps.foreach(q => time(q, big))
       ps.foreach { q =>

@@ -2456,6 +2456,16 @@ object SparkEntry {
         col("event_id"),
         (col("value").cast("decimal(18,2)") * 100).cast("long"))),
 
+    // Half-sample replication stability band for the per-type mean
+    // value: 32 deterministic hash replicates, exact integer replicate
+    // means, p10/p90 of the sorted means — "is the shift sampling noise"
+    // for every monitor above, fully oracle-recomputable.
+    "halfsample_ci" -> ((s, dir) =>
+      Experiment.halfSampleCi(Tables.events(s, dir), "event_type",
+          col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .withColumnRenamed("key", "event_type")),
+
     // Exact daily-count autocorrelation at lags 1 and 7 (integer
     // milli-units, zero-filled axis): the seasonality detector — r₇
     // near 1000 is a hard weekly cycle, r₁ is day-over-day momentum.
@@ -3142,6 +3152,39 @@ object SparkEntry {
        |SELECT a AS event_type,
        |  CAST(v // 1000000 AS BIGINT) AS stationary_ppm
        |FROM v$iters""".stripMargin
+  }
+
+  /** Mirror of [[graft.operators.Experiment.halfSampleCi]]: every
+    * replicate's membership hash, sum, and count recomputed with the
+    * SAME md5 idiom, the means list filtered/sorted identically, the
+    * same 1-based p10/p90 index arithmetic. */
+  private def halfSampleCiOracle(b: Int, salt: String): String = {
+    val reps = (0 until b).map { i =>
+      val m = s"substr(md5(CAST(event_id AS VARCHAR) || ':$i:$salt'), 1, 8)" +
+        s" < '80000000'"
+      s"SUM(CASE WHEN $m THEN x END) AS s$i, " +
+        s"SUM(CASE WHEN $m THEN 1 END) AS n$i"
+    }.mkString(",\n")
+    val meanList = (0 until b)
+      .map(i => s"CASE WHEN n$i > 0 THEN s$i * 1000 // n$i END")
+      .mkString("list_value(", ", ", ")")
+    s"""WITH v AS (SELECT event_type AS k, event_id,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+       |  FROM events WHERE value IS NOT NULL),
+       |a AS (SELECT k, COUNT(*) AS n, SUM(x) AS s,
+       |$reps
+       |  FROM v GROUP BY 1),
+       |m AS (SELECT k, n, s,
+       |    list_sort(list_filter($meanList, y -> y IS NOT NULL)) AS ms
+       |  FROM a)
+       |SELECT k AS event_type, CAST(n AS BIGINT) AS n_rows,
+       |  CAST(len(ms) AS BIGINT) AS n_replicates,
+       |  CAST(s * 1000 // n AS BIGINT) AS mean_milli,
+       |  CAST(ms[CAST(len(ms) * 100 // 1000 + 1 AS INT)] AS BIGINT)
+       |    AS rep_lo_milli,
+       |  CAST(ms[CAST(len(ms) - len(ms) * 100 // 1000 AS INT)] AS BIGINT)
+       |    AS rep_hi_milli
+       |FROM m""".stripMargin
   }
 
   private val splitThresholds: Seq[String] = {
@@ -5917,6 +5960,8 @@ object SparkEntry {
         |SELECT v.event_type, v.event_id AS id, v.x AS value_raw,
         |  COALESCE(GREATEST(b.lo, LEAST(b.hi, v.x)), v.x) AS value_winsor
         |FROM v JOIN b USING (event_type)""".stripMargin,
+
+    "halfsample_ci" -> halfSampleCiOracle(32, "hsci"),
 
     "markov_stationary" -> markovStationaryOracle(20, 1800L),
 

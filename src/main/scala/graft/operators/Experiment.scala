@@ -69,4 +69,51 @@ object Experiment {
       .toDF("users_a", "conv_a", "users_b", "conv_b",
         "rate_a_micro", "rate_b_micro", "lift_micro", "chi2_micro")
   }
+
+  /** Half-sample replication stability interval for a per-key mean — the
+    * deterministic resampling answer to "how much would this metric move
+    * on a different sample": `b` pseudo-replicates, each keeping a row
+    * iff `md5(id:replicate:salt)` falls in the lower half (the
+    * [[Sampling.splitAssign]] hash idiom — fully deterministic, so the
+    * SQL oracle recomputes every replicate bit for bit), each replicate's
+    * exact integer mean ×1000, and the sorted replicate means' p10/p90
+    * order statistics as the reported band. A monitor alert whose metric
+    * shift is inside this band is sampling noise, not signal. Values
+    * must be non-negative integral (the `div`/`//` contract); NULL
+    * values are excluded; replicates that catch no rows (tiny keys) are
+    * dropped from the band.
+    *
+    * Scale shape: ONE map-side-combined per-key aggregation carrying
+    * 2·b+2 sums — no explode, no row multiplication; the b membership
+    * hashes evaluate scan-stage inside the aggregate. Band extraction is
+    * array arithmetic on a b-element column. */
+  def halfSampleCi(df: DataFrame, keyCol: String, idCol: Column,
+      value: Column, b: Int = 32, salt: String = "hsci"): DataFrame = {
+    require(b >= 2, "need at least 2 replicates")
+    val base = df
+      .select(col(keyCol).as("key"), idCol.cast("string").as("__id"),
+        value.cast("long").as("__x"))
+      .where(col("__x").isNotNull)
+    def member(i: Int): Column =
+      substring(md5(concat(col("__id"), lit(s":$i:$salt"))), 1, 8) <
+        lit("80000000")
+    val aggs = count(lit(1)).as("__n") +: sum("__x").as("__s") +:
+      (0 until b).flatMap(i => Seq(
+        sum(when(member(i), col("__x"))).as(s"__s$i"),
+        sum(when(member(i), 1L)).as(s"__n$i")))
+    val means = array((0 until b).map(i =>
+      expr(s"CASE WHEN __n$i > 0 THEN __s$i * 1000 div __n$i END")): _*)
+    base.groupBy("key").agg(aggs.head, aggs.tail: _*)
+      .withColumn("__means", sort_array(filter(means, m => m.isNotNull)))
+      .withColumn("n_replicates", size(col("__means")).cast("long"))
+      .withColumn("mean_milli", expr("__s * 1000 div __n"))
+      .withColumn("rep_lo_milli", expr(
+        "CASE WHEN n_replicates > 0 THEN element_at(__means, " +
+          "CAST(n_replicates * 100 div 1000 + 1 AS INT)) END"))
+      .withColumn("rep_hi_milli", expr(
+        "CASE WHEN n_replicates > 0 THEN element_at(__means, " +
+          "CAST(n_replicates - n_replicates * 100 div 1000 AS INT)) END"))
+      .select(col("key"), col("__n").as("n_rows"), col("n_replicates"),
+        col("mean_milli"), col("rep_lo_milli"), col("rep_hi_milli"))
+  }
 }

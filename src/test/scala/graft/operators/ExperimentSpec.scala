@@ -40,4 +40,36 @@ class ExperimentSpec extends SparkSpecBase {
     // user 1 lands in A (min label) and IS converted (any event)
     assert((na, ka, nb, kb) == (1L, 1L, 1L, 0L))
   }
+
+  test("halfSampleCi: exact agreement with a JVM-MD5 naive reference") {
+    // the same md5-hex membership recomputed with MessageDigest makes
+    // the whole operator checkable bit for bit, replicate by replicate
+    val b = 8; val salt = "hsci"
+    def md5hex8(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val rows = (1L to 40L).map(i => ("k", i, i * 3 % 17))
+    val got = Experiment.halfSampleCi(rows.toDF("key", "id", "v"),
+        "key", col("id"), col("v"), b = b, salt = salt)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    val means = (0 until b).flatMap { r =>
+      val kept = rows.filter(t => md5hex8(s"${t._2}:$r:$salt") < "80000000")
+      if (kept.isEmpty) None
+      else Some(kept.map(_._3).sum * 1000L / kept.size)
+    }.sorted
+    val m = means.size
+    val want = ("k", 40L, m.toLong,
+      rows.map(_._3).sum * 1000L / 40L,
+      means(m * 100 / 1000), means(m - m * 100 / 1000 - 1))
+    assert(got == want, s"got $got want $want (means=$means)")
+  }
+
+  test("halfSampleCi: band is ordered and replicates never exceed b") {
+    val rows = (1L to 9L).map(i => ("x", i, 5L))
+    val r = Experiment.halfSampleCi(rows.toDF("key", "id", "v"),
+        "key", col("id"), col("v"), b = 4)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    // constant values: every replicate mean is exactly 5000
+    assert(r._3 <= 4L && r._4 == 5000L && r._5 == 5000L && r._6 == 5000L)
+  }
 }
