@@ -2416,13 +2416,8 @@ object SparkEntry {
     // week's values shift" monitor (drift_tv's slice contract with
     // ks_drift's exactness).
     "ks_value_shift" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("event_type"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
-          expr("cast(ts as long) div 86400").as("__day"))
-      val maxd = ev.agg(max("__day").as("__maxd"))
-      Validate.ksTwoSlice(ev.crossJoin(broadcast(maxd)),
-          "event_type", col("cents"), col("__day") >= col("__maxd") - 6)
+      val (ev, cur) = weekSlicedEvents(s, dir)
+      Validate.ksTwoSlice(ev, "event_type", col("cents"), cur)
         .withColumnRenamed("key", "event_type")
     }),
 
@@ -2430,13 +2425,8 @@ object SparkEntry {
     // the DIRECTION companion to ks_value_shift's magnitude — permille
     // probability this week's values run higher (500 = no shift).
     "ranksum_shift" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("event_type"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
-          expr("cast(ts as long) div 86400").as("__day"))
-      val maxd = ev.agg(max("__day").as("__maxd"))
-      Validate.rankSumAuc(ev.crossJoin(broadcast(maxd)),
-          "event_type", col("cents"), col("__day") >= col("__maxd") - 6)
+      val (ev, cur) = weekSlicedEvents(s, dir)
+      Validate.rankSumAuc(ev, "event_type", col("cents"), cur)
         .withColumnRenamed("key", "event_type")
     }),
 
@@ -2485,11 +2475,27 @@ object SparkEntry {
     // event-id parity — the cross-batch additive merge on the same
     // (key, day) cells a micro-batch stream exercises), and the monitor
     // reads only the fold. Reuses fano_factor's oracle verbatim —
-    // the gate proves profile-served ≡ scan-computed bit for bit.
+    // the gate proves profile-served ≡ scan-computed bit for bit for
+    // null-free (key, ts) streams, which the events table is; on
+    // null-bearing streams the profile's documented null contract
+    // (keys fold under the "(null)" sentinel, null-ts rows drop —
+    // DailyCounts scaladoc, spec-pinned) deliberately diverges from a
+    // raw scan's NULL grouping.
     "fano_profiled" -> ((s, dir) => {
       val src = new java.io.File(s"$dir/events.parquet")
       val store = Ivf.cachedIndexDir(src, root = "/tmp/graft-dailycounts")
-      if (!IndexStore.exists(s, store)) {
+      // completeness guard = the recorded last-merged batch id, not bare
+      // existence (review find: a crash between the two folds leaves a
+      // committed half-profile a bare-exists guard would serve forever);
+      // re-running both updates self-heals — already-applied batch ids
+      // are replay-guarded no-ops
+      val lastBatch: Long =
+        if (!IndexStore.exists(s, store)) -1L
+        else IndexStore.read(s, store)
+          .where(col("key") === Frequencies.MetaKey)
+          .select("n_rows").collect()
+          .headOption.map(_.getLong(0)).getOrElse(-1L)
+      if (lastBatch < 2L) {
         Ivf.gcSupersededIndexes(store)
         val ev = Tables.events(s, dir)
         DailyCounts.update(s, store,
@@ -3152,6 +3158,23 @@ object SparkEntry {
        |SELECT a AS event_type,
        |  CAST(v // 1000000 AS BIGINT) AS stationary_ppm
        |FROM v$iters""".stripMargin
+  }
+
+  /** Shared slice construction of the two-slice value monitors
+    * (`ks_value_shift`, `ranksum_shift`): event values in cents and the
+    * "current = final observed week" tag. The week anchor (max day) is
+    * computed over VALUE-BEARING rows only — the oracles' value-filtered
+    * frame — so a trailing day holding only null-valued rows cannot
+    * shift the engine's window off the oracle's (review find). */
+  private def weekSlicedEvents(s: SparkSession, dir: String)
+      : (DataFrame, Column) = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        expr("cast(ts as long) div 86400").as("__day"))
+      .where(col("cents").isNotNull)
+    val maxd = ev.agg(max("__day").as("__maxd"))
+    (ev.crossJoin(broadcast(maxd)), col("__day") >= col("__maxd") - 6)
   }
 
   /** Mirror of [[graft.operators.Experiment.halfSampleCi]]: every

@@ -309,10 +309,11 @@ object TimeSeries {
         expr("CASE WHEN n_events > 0 THEN CAST((-__top.__negc) * 1000 " +
           "div (CAST(n_days AS DECIMAL(38,0)) * n_events) AS BIGINT) " +
           "ELSE 0 END").as("cusum_permille"),
-        expr("CAST(__top.__bx * 1000 div __top.__bi AS BIGINT)")
-          .as("mean_before_milli"),
+        expr("CAST(CAST(__top.__bx AS DECIMAL(38,0)) * 1000 " +
+          "div __top.__bi AS BIGINT)").as("mean_before_milli"),
         expr("CASE WHEN n_days > __top.__bi THEN " +
-          "CAST((n_events - __top.__bx) * 1000 div (n_days - __top.__bi) " +
-          "AS BIGINT) END").as("mean_after_milli"))
+          "CAST(CAST(n_events - __top.__bx AS DECIMAL(38,0)) * 1000 " +
+          "div (n_days - __top.__bi) AS BIGINT) END")
+          .as("mean_after_milli"))
   }
 }

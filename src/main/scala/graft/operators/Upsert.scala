@@ -939,11 +939,19 @@ object Upsert {
           // (ADVICE r8); the table advanced, so the retry is productive
           // and does not charge the budget
           wasted = 0
+          collateralMergeRetries.incrementAndGet()
           System.err.println(s"[graft] merge attempt on $targetPath failed " +
             s"under a concurrent commit (${e.getClass.getSimpleName}); retrying")
       }
     }
   }
+
+  /** Count of collateral (non-conflict) merge-retry events — a test seam:
+    * ManifestMergeSpec tolerates a burned snapshot id ONLY when one of
+    * these actually occurred, so a genuine double-commit regression
+    * (burning ids without any collateral failure) still fails loudly. */
+  private[operators] val collateralMergeRetries =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Another writer committed the snapshot id this attempt raced for. The
     * attempt's data files are already cleaned up; retry from the new

@@ -165,15 +165,23 @@ object Validate {
     * counts, per-key cum windows over histogram-sized partitions, one
     * rollup. For unbounded value domains pre-bin first (the driftTv
     * treatment). */
-  def ksTwoSlice(df: DataFrame, keyCol: String, value: Column,
-      currentSlice: Column): DataFrame = {
-    val h = df.where(value.isNotNull)
+  /** The shared first stage of the two-slice monitors ([[ksTwoSlice]],
+    * [[rankSumAuc]]): ONE scan tags both slices, one map-side-combined
+    * (key, value) histogram carries both slices' counts (`__ca`/`__cb`).
+    * Null values and null slice tags are excluded. */
+  private def twoSliceHistogram(df: DataFrame, keyCol: String,
+      value: Column, currentSlice: Column): DataFrame =
+    df.where(value.isNotNull)
       .select(col(keyCol).as("key"), value.cast("long").as("__v"),
         currentSlice.cast("boolean").as("__cur"))
       .where(col("__cur").isNotNull)
       .groupBy("key", "__v")
       .agg(sum(when(col("__cur"), 1L).otherwise(0L)).as("__ca"),
         sum(when(!col("__cur"), 1L).otherwise(0L)).as("__cb"))
+
+  def ksTwoSlice(df: DataFrame, keyCol: String, value: Column,
+      currentSlice: Column): DataFrame = {
+    val h = twoSliceHistogram(df, keyCol, value, currentSlice)
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy("key").orderBy("__v")
     val wkAll = org.apache.spark.sql.expressions.Window.partitionBy("key")
@@ -217,13 +225,7 @@ object Validate {
     * histogram-sized partitions, one rollup. */
   def rankSumAuc(df: DataFrame, keyCol: String, value: Column,
       currentSlice: Column): DataFrame = {
-    val h = df.where(value.isNotNull)
-      .select(col(keyCol).as("key"), value.cast("long").as("__v"),
-        currentSlice.cast("boolean").as("__cur"))
-      .where(col("__cur").isNotNull)
-      .groupBy("key", "__v")
-      .agg(sum(when(col("__cur"), 1L).otherwise(0L)).as("__ca"),
-        sum(when(!col("__cur"), 1L).otherwise(0L)).as("__cb"))
+    val h = twoSliceHistogram(df, keyCol, value, currentSlice)
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy("key").orderBy("__v")
     val wkAll = org.apache.spark.sql.expressions.Window.partitionBy("key")

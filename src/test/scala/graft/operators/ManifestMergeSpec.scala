@@ -216,6 +216,7 @@ class ManifestMergeSpec extends SparkSpecBase {
 
   test("two concurrent mergers: exactly one wins each snapshot id, loser retries cleanly") {
     val path = mkTarget()
+    val collateralBefore = Upsert.collateralMergeRetries.get()
     Upsert.mergeIntoManifestBucketedParquet(spark, path,
       (0L until 10L).map(k => (k, s"v$k")).toDF("key", "v"), Seq("key"), nBuckets = 2)
 
@@ -245,10 +246,15 @@ class ManifestMergeSpec extends SparkSpecBase {
     // listing racing the winner's cleanup) after its merge content is
     // already safe; the productive-retry branch then re-commits the same
     // idempotent batch on the NEXT id, burning one number. Content
-    // exactness is asserted above; allow that one documented extra id.
+    // exactness is asserted above; allow that extra id ONLY when the
+    // collateral-retry counter proves the branch actually fired — a
+    // regression that burns ids without any collateral failure still
+    // fails here.
     val cur = Upsert.currentSnapshot(spark, path).get
-    assert(cur == "snap-000000002" || cur == "snap-000000003",
-      s"unexpected final snapshot $cur")
+    val collateral = Upsert.collateralMergeRetries.get() - collateralBefore
+    assert(cur == "snap-000000002" ||
+      (cur == "snap-000000003" && collateral > 0),
+      s"unexpected final snapshot $cur (collateral retries: $collateral)")
   }
 
   test("clustered commit writes one file per touched bucket per run") {
