@@ -2430,6 +2430,15 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
     }),
 
+    // Exact lower-median per slice and the shift in raw cents — the
+    // value-unit magnitude a human acts on, completing the two-slice
+    // triad (KS distance, AUC direction, median shift).
+    "median_shift" -> ((s, dir) => {
+      val (ev, cur) = weekSlicedEvents(s, dir)
+      Validate.medianShift(ev, "event_type", col("cents"), cur)
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // Exact OLS trend of daily event volume per type (milli events/day
     // per day): the gradual-drift monitor next to changepoint_day's step
     // detector and weekly_trend's WoW ratio.
@@ -6155,6 +6164,37 @@ object SparkEntry {
         |    CAST(u2 * 1000 // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT)
         |  END AS auc_permille
         |FROM u""".stripMargin,
+
+    // Same histogram; lower-median rank (n+1)//2 via conditional MIN
+    // over the per-slice cums.
+    "median_shift" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    (epoch_us(ts) // 1000000) // 86400 AS day
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT MAX(day) AS maxd FROM e),
+        |h AS (SELECT k, v,
+        |    SUM(CASE WHEN day >= maxd - 6 THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN day < maxd - 6 THEN 1 ELSE 0 END) AS cb
+        |  FROM e CROSS JOIN m GROUP BY 1, 2),
+        |j AS (SELECT k, v,
+        |    SUM(ca) OVER (PARTITION BY k ORDER BY v) AS cuma,
+        |    SUM(cb) OVER (PARTITION BY k ORDER BY v) AS cumb,
+        |    SUM(ca) OVER (PARTITION BY k) AS na,
+        |    SUM(cb) OVER (PARTITION BY k) AS nb FROM h),
+        |a AS (SELECT k, MAX(na) AS n_cur, MAX(nb) AS n_ref,
+        |    MIN(CASE WHEN cuma >= (na + 1) // 2 AND na > 0 THEN v END)
+        |      AS p50_cur,
+        |    MIN(CASE WHEN cumb >= (nb + 1) // 2 AND nb > 0 THEN v END)
+        |      AS p50_ref
+        |  FROM j GROUP BY 1)
+        |SELECT k AS event_type, CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(p50_cur AS BIGINT) AS p50_cur,
+        |  CAST(p50_ref AS BIGINT) AS p50_ref,
+        |  CASE WHEN p50_cur IS NOT NULL AND p50_ref IS NOT NULL
+        |    THEN CAST(p50_cur - p50_ref AS BIGINT) END AS median_shift
+        |FROM a""".stripMargin,
 
     // Zero-filled axis, 1-based positions, the same three sums; the
     // sign-routed floor-div convention on the possibly-negative slope.

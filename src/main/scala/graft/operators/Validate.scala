@@ -245,6 +245,39 @@ object Validate {
       .select("key", "n_cur", "n_ref", "auc_permille")
   }
 
+  /** Exact per-slice medians and their difference — the VALUE-UNIT
+    * magnitude read-out next to [[ksTwoSlice]]'s scale-free distance and
+    * [[rankSumAuc]]'s direction probability: "the median moved by X
+    * cents" is the number a human acts on. Lower-median convention
+    * (rank `(n+1) div 2` — the [[Anomaly]] discipline: no averaging, so
+    * integral values stay integral and the oracle mirrors exactly);
+    * empty slices report NULL median and NULL shift.
+    *
+    * Scale shape: the shared [[twoSliceHistogram]] (one tagged scan, one
+    * map-side-combined (key, value) histogram), per-key cum windows over
+    * histogram-sized partitions, one conditional-min rollup. */
+  def medianShift(df: DataFrame, keyCol: String, value: Column,
+      currentSlice: Column): DataFrame = {
+    val h = twoSliceHistogram(df, keyCol, value, currentSlice)
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("__v")
+    val wkAll = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    h
+      .withColumn("__cuma", sum("__ca").over(wk))
+      .withColumn("__cumb", sum("__cb").over(wk))
+      .withColumn("__na", sum("__ca").over(wkAll))
+      .withColumn("__nb", sum("__cb").over(wkAll))
+      .groupBy("key")
+      .agg(max("__na").as("n_cur"), max("__nb").as("n_ref"),
+        min(when(col("__cuma") >= expr("(__na + 1) div 2") &&
+          col("__na") > 0, col("__v"))).as("p50_cur"),
+        min(when(col("__cumb") >= expr("(__nb + 1) div 2") &&
+          col("__nb") > 0, col("__v"))).as("p50_ref"))
+      .withColumn("median_shift",
+        when(col("p50_cur").isNotNull && col("p50_ref").isNotNull,
+          col("p50_cur") - col("p50_ref")))
+  }
+
   /** Benford's-law first-digit permille, `P(d) = log₁₀(1 + 1/d)·1000`
     * rounded to integers (they sum to 1001 — the usual rounding artifact;
     * kept as the published constants rather than re-normalized). */

@@ -157,6 +157,24 @@ class ValidateSpec extends SparkSpecBase {
       ("e", 0L, 1L, None)))
   }
 
+  test("medianShift: lower-median convention per slice; empty slice NULLs") {
+    // key k: cur [1,2,3,4] → lower median rank (4+1) div 2 = 2 → 2;
+    //        ref [10,20] → rank 1 → 10; shift = −8
+    // key e: no ref rows → p50_ref and shift NULL
+    val rows = Seq(("k", 1L, true), ("k", 2L, true), ("k", 3L, true),
+      ("k", 4L, true), ("k", 10L, false), ("k", 20L, false),
+      ("e", 5L, true))
+    val got = Validate.medianShift(rows.toDF("k", "v", "cur"),
+        "k", col("v"), col("cur"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+    assert(got == Set(
+      ("k", 4L, 2L, Some(2L), Some(10L), Some(-8L)),
+      ("e", 1L, 0L, Some(5L), None, None)))
+  }
+
   test("enforce: passes under budget, throws over it, names the rule") {
     val rules = Seq("empty_text" -> (length(col("text")) === 0))
     // budget 1 tolerates the single empty doc
