@@ -158,6 +158,27 @@ class CensusPropertySpec extends SparkSpecBase {
     })
   }
 
+  test("property: medianShift equals naive per-slice lower medians") {
+    run(Prop.forAll(sliceGen) { rows =>
+      val got = Validate.medianShift(rows.toDF("k", "v", "cur"), "k",
+          org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.col("cur"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSet
+      def lowerMedian(vs: Seq[Long]): Option[Long] =
+        if (vs.isEmpty) None else Some(vs.sorted.apply((vs.size + 1) / 2 - 1))
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        val cur = lowerMedian(rs.filter(_._3).map(_._2))
+        val ref = lowerMedian(rs.filterNot(_._3).map(_._2))
+        (k, rs.count(_._3).toLong, rs.count(!_._3).toLong, cur, ref,
+          for (a <- cur; b <- ref) yield a - b)
+      }.toSet
+      got == want
+    })
+  }
+
   // --- cramersV ---------------------------------------------------------
 
   private val catGen: Gen[List[(String, String)]] =
