@@ -586,7 +586,7 @@ object ScaleProfile {
       val ps = Seq("yule_k", "zipf_bands", "char_class_census", "fano_factor",
         "ks_drift", "autocorr_daily", "changepoint_day", "assoc_cramers",
         "ks_value_shift", "ranksum_shift", "trend_slope", "winsorize",
-        "halfsample_ci", "median_shift")
+        "halfsample_ci", "median_shift", "dow_profile")
       ps.foreach(q => time(q, src)) // warmup: codegen + JIT
       ps.foreach(q => time(q, big))
       ps.foreach { q =>

@@ -2446,6 +2446,13 @@ object SparkEntry {
       TimeSeries.trendSlopeMilli(Tables.events(s, dir), "ts", "event_type")
         .withColumnRenamed("key", "event_type")),
 
+    // Day-of-week traffic profile per type over the zero-filled axis:
+    // WHICH days carry the weekly cycle autocorr detects — exact mean
+    // daily events and weekday share (epoch weekday: 0 = Thu).
+    "dow_profile" -> ((s, dir) =>
+      TimeSeries.dowProfile(Tables.events(s, dir), "ts", "event_type")
+        .withColumnRenamed("key", "event_type")),
+
     // Winsorization transform: every event value clamped into its
     // type's exact p5–p95 band — the fat-tail repair that KEEPS the row
     // where trimmed_stats only reports; boundaries from the same
@@ -5992,6 +5999,28 @@ object SparkEntry {
         |SELECT v.event_type, v.event_id AS id, v.x AS value_raw,
         |  COALESCE(GREATEST(b.lo, LEAST(b.hi, v.x)), v.x) AS value_winsor
         |FROM v JOIN b USING (event_type)""".stripMargin,
+
+    // Zero-filled axis, epoch weekday = day % 7 (pmod on non-negative
+    // epoch days ≡ %); the same decimal-widened means and shares.
+    "dow_profile" ->
+      """WITH dc AS (SELECT event_type AS k,
+        |    (epoch_us(ts) // 1000000) // 86400 AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, MIN(day) AS dd0, MAX(day) AS dd1 FROM dc GROUP BY 1),
+        |axis AS (SELECT k, unnest(range(dd0, dd1 + 1)) AS day FROM b),
+        |f AS (SELECT axis.k, axis.day, COALESCE(dc.x, 0) AS x
+        |      FROM axis LEFT JOIN dc ON axis.k = dc.k AND axis.day = dc.day),
+        |t AS (SELECT k, day % 7 AS dow, x,
+        |        SUM(x) OVER (PARTITION BY k) AS tot FROM f)
+        |SELECT k AS event_type, CAST(dow AS BIGINT) AS weekday,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(x) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(x AS HUGEINT)) * 1000 // count(*) AS BIGINT)
+        |    AS mean_daily_milli,
+        |  CASE WHEN MAX(tot) > 0 THEN
+        |    CAST(SUM(CAST(x AS HUGEINT)) * 1000 // MAX(tot) AS BIGINT)
+        |  ELSE 0 END AS share_permille
+        |FROM t GROUP BY 1, 2""".stripMargin,
 
     "halfsample_ci" -> halfSampleCiOracle(32, "hsci"),
 

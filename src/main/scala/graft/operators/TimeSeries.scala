@@ -272,6 +272,40 @@ object TimeSeries {
   def trendSlopeFromDaily(daily: DataFrame): DataFrame =
     trendOver(zeroFilledFromDaily(daily))
 
+  /** Day-of-week traffic profile per key over the ZERO-FILLED axis —
+    * WHICH days carry the weekly cycle [[autocorrMilli]] detects:
+    * per (key, weekday) the observed axis-day count, exact mean daily
+    * events ×1000, and the weekday's share of the key's total in
+    * permille. Weekday = `day mod 7` on the epoch-day axis (epoch day 0
+    * was a Thursday: 0 = Thu … 6 = Wed — the locale-free integer
+    * calendar, documented rather than localized). Zero-filling matters:
+    * a silent Monday must drag Monday's mean down, not vanish.
+    *
+    * Scale shape: the shared [[zeroFilledDays]] exchange, then one
+    * (key, weekday) rollup — ≤7 rows per key. */
+  def dowProfile(events: DataFrame, tsCol: String,
+      keyCol: String): DataFrame =
+    dowProfileOver(zeroFilledDays(events, tsCol, keyCol))
+
+  /** [[dowProfile]] over a pre-aggregated `(key, day, n)` table — the
+    * [[DailyCounts]] profile path. */
+  def dowProfileFromDaily(daily: DataFrame): DataFrame =
+    dowProfileOver(zeroFilledFromDaily(daily))
+
+  private def dowProfileOver(filled: DataFrame): DataFrame =
+    filled
+      .withColumn("__dow", expr("pmod(day, 7)"))
+      .groupBy("key", "__dow")
+      .agg(count(lit(1)).as("n_days"), sum("__x").as("n_events"),
+        max("__s").as("__tot"))
+      .select(col("key"), col("__dow").as("weekday"), col("n_days"),
+        col("n_events"),
+        expr("CAST(CAST(n_events AS DECIMAL(38,0)) * 1000 div n_days " +
+          "AS BIGINT)").as("mean_daily_milli"),
+        expr("CASE WHEN __tot > 0 THEN CAST(CAST(n_events AS " +
+          "DECIMAL(38,0)) * 1000 div __tot AS BIGINT) ELSE 0 END")
+          .as("share_permille"))
+
   private def trendOver(filled: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("key").orderBy("day")
     filled

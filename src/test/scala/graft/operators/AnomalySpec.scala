@@ -204,6 +204,19 @@ class AnomalySpec extends SparkSpecBase {
       ("t3", 3L, 6L, Some(0L)), ("t4", 1L, 5L, None)))
   }
 
+  test("dowProfile: zero-filled weekday means and shares; silent day counts") {
+    // key w, days 0..8 (dow 0,1,2,0,1,2,0,1,2 mod 7 → 0..6,0,1):
+    // observed only days 0 (4 events) and 7 (2): axis 0..7 zero-fills
+    // days 1-6. dow0 = days {0, 7}: 2 axis days, 6 events, mean 3000,
+    // share 1000; dow1..6: 1 axis day each, 0 events
+    val rows = ev("w", 0L, 4) ++ ev("w", 7L, 2)
+    val got = TimeSeries.dowProfile(rows.toDF("ts", "event_type"),
+        "ts", "event_type")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val silent = (1L to 6L).map(d => ("w", d, 1L, 0L, 0L, 0L)).toSet
+    assert(got == silent + (("w", 0L, 2L, 6L, 3000L, 1000L)))
+  }
+
   private def changepoint(rows: Seq[(Timestamp, String)]) =
     TimeSeries.changepointDay(rows.toDF("ts", "event_type"),
         "ts", "event_type")
