@@ -179,6 +179,36 @@ class CensusPropertySpec extends SparkSpecBase {
     })
   }
 
+  private val winsorGen: Gen[List[(String, Long, Long)]] =
+    Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.oneOf("A", "B")
+      v <- Gen.choose(0L, 50L)
+    } yield (k, v)).map(_.zipWithIndex.map { case ((k, v), i) =>
+      (k, i.toLong, v)
+    }))
+
+  test("property: winsorizePerKey equals the naive rank-band clamp") {
+    run(Prop.forAll(winsorGen) { rows =>
+      val got = Correlate.winsorizePerKey(rows.toDF("k", "id", "v"),
+          "k", org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("v"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val sorted = rs.map(_._3).sorted
+        val n = sorted.size.toLong
+        // kept ranks (n*50 div 1000, n*950 div 1000] — the trim band
+        val (lo, hi) = (n * 50 / 1000, n * 950 / 1000)
+        val kept = sorted.slice(lo.toInt, hi.toInt)
+        rs.map { case (_, id, v) =>
+          val w = if (kept.isEmpty) v
+          else math.max(kept.head, math.min(kept.last, v))
+          (k, id, v, w)
+        }
+      }.toSet
+      got == want
+    })
+  }
+
   // --- cramersV ---------------------------------------------------------
 
   private val catGen: Gen[List[(String, String)]] =
