@@ -483,4 +483,42 @@ class PlanSpec extends SparkSpecBase {
       s"change-point and interval windows must reuse the (key, order) sort; " +
         s"got ${keyExchanges.size} key exchanges:\n${plan("scd2_history")}")
   }
+
+  test("char_class_census: single-pass expression — scan prunes to 2 columns, no Generate") {
+    val p = plan("char_class_census")
+    val s = p.toString
+    // the codegen'd census replaces the 4-regex formulation: no explode,
+    // and the scan reads only (source, text)
+    assert(!collectAll(p).exists(_.nodeName.contains("Generate")),
+      s"census must not explode:\n$s")
+    assert(s.contains("ReadSchema: struct<text:string,source:string>") ||
+      s.contains("ReadSchema: struct<source:string,text:string>"),
+      s"scan should prune to (source, text):\n$s")
+  }
+
+  test("winsorize: the bounds table broadcasts; clamp is scan-stage (no key re-shuffle of rows)") {
+    val nodes = collectAll(plan("winsorize"))
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "per-key bounds must be the broadcast side")
+    // the only row-bearing exchanges belong to the bounded histogram
+    // subtree (its aggregates), never the full event projection
+    val rowExchanges = nodes.collect { case e: Exchange => e }
+      .filterNot(n => n.nodeName.contains("Broadcast") ||
+        n.toString.contains("SinglePartition"))
+    assert(rowExchanges.forall(e =>
+      collectAll(e.child).exists(_.nodeName.contains("Aggregate"))),
+      s"winsorize shuffles raw event rows:\n${plan("winsorize")}")
+  }
+
+  test("halfsample_ci: one map-side-combined exchange; replicate hashes never explode rows") {
+    val p = plan("halfsample_ci")
+    val nodes = collectAll(p)
+    assert(!nodes.exists(_.nodeName.contains("Generate")),
+      s"replicates must be aggregate columns, not exploded rows:\n$p")
+    val exchanges = nodes.collect { case e: Exchange => e }
+      .filterNot(_.toString.contains("SinglePartition"))
+    assert(exchanges.size == 1 && exchanges.forall(e =>
+      collectAll(e.child).exists(_.nodeName.contains("Aggregate"))),
+      s"expected one partial-aggregated key exchange:\n$p")
+  }
 }
