@@ -49,44 +49,58 @@ object Bench {
     }
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
-    // Shared-CC honesty (round 9): the warmup passes populated the
-    // survivor family's shared component cache, silently moving the
-    // pair→CC cost out of the measured window. Reset it and time the
-    // build ONCE as its own labeled entry — the survivor queries below
-    // then report interpretable incremental cost, and the suite total
-    // still carries the shared cost exactly once (its pay-once-per-
-    // process semantics).
-    if (queries.contains("dedup_survivors") ||
-        queries.contains("dedup_survivors_best")) {
-      SparkEntry.resetSharedCc()
-      val t0 = System.nanoTime()
-      SparkEntry.buildSharedCc(spark, sfDir)
-      val dt = (System.nanoTime() - t0) / 1e9
-      samples("cc_shared_build") = Vector(dt)
-      System.err.println(f"[bench] cc_shared_build        $dt%8.2f s")
+    // Load signature (round 13): the official and local benches disagreed
+    // by ~1.4x two rounds running, and a single post-warmup sample billed
+    // passage_spans_shared 26.9 s where a focused run reads 2.3 s. Record
+    // host loadavg and cumulative JVM GC time around the run so a verdict
+    // can separate code regressions from box noise without a re-run.
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime.max(0L)).sum
     }
+    val loadBefore = loadAvg
+    val gcBefore = gcMillis
+    // Shared-build honesty (round 9, protocol fixed round 13): the warmup
+    // passes populate the survivor family's shared caches, silently moving
+    // the build cost out of the measured window — so each build is reset
+    // and timed as its own labeled entry. Round 12 showed the remaining
+    // hole: a SINGLE sample taken right after two full warmup passes (heap
+    // and /tmp at their dirtiest) wrote passage_spans_shared at 6x its
+    // steady-state cost. Now: GC before every build sample and take the
+    // median of `repeat` reset+rebuild passes, the same protocol as every
+    // other entry. The final pass leaves the cache populated, so dependent
+    // queries below still report incremental cost and the suite total
+    // carries the shared cost exactly once.
+    def timeShared(name: String, reset: () => Unit, build: () => Unit): Unit = {
+      val v = (1 to repeat).map { r =>
+        reset(); System.gc()
+        val t0 = System.nanoTime()
+        build()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-24s $dt%8.2f s  (build pass $r)")
+        dt
+      }.toVector
+      samples(name) = v
+    }
+    if (queries.contains("dedup_survivors") ||
+        queries.contains("dedup_survivors_best"))
+      timeShared("cc_shared_build",
+        () => SparkEntry.resetSharedCc(), () => SparkEntry.buildSharedCc(spark, sfDir))
     // Same honesty for the passage family: the span table is computed
     // once and shared by dup_passages / dup_passage_clean.
     if (queries.contains("dup_passages") ||
-        queries.contains("dup_passage_clean")) {
-      SparkEntry.resetSharedSpans()
-      val t0 = System.nanoTime()
-      SparkEntry.buildSharedSpans(spark, sfDir)
-      val dt = (System.nanoTime() - t0) / 1e9
-      samples("passage_spans_shared") = Vector(dt)
-      System.err.println(f"[bench] passage_spans_shared   $dt%8.2f s")
-    }
+        queries.contains("dup_passage_clean"))
+      timeShared("passage_spans_shared",
+        () => SparkEntry.resetSharedSpans(), () => SparkEntry.buildSharedSpans(spark, sfDir))
     // And for the fertility monitor's held-out train pass: the even-half
     // BPE merges are session-cached, so bill the one real train here and
     // let tokenizer_fertility report score-only cost.
-    if (queries.contains("tokenizer_fertility")) {
-      SparkEntry.resetSharedBpeEven()
-      val t0 = System.nanoTime()
-      SparkEntry.buildSharedBpeEven(spark, sfDir)
-      val dt = (System.nanoTime() - t0) / 1e9
-      samples("bpe_fertility_train") = Vector(dt)
-      System.err.println(f"[bench] bpe_fertility_train    $dt%8.2f s")
-    }
+    if (queries.contains("tokenizer_fertility"))
+      timeShared("bpe_fertility_train",
+        () => SparkEntry.resetSharedBpeEven(), () => SparkEntry.buildSharedBpeEven(spark, sfDir))
     // A 200-query × 5-pass suite accumulates dead RDD blocks and shuffle
     // files faster than the ContextCleaner's weak-reference queue drains
     // them (the cleaner only fires when the JVM happens to GC), and the
@@ -97,6 +111,7 @@ object Bench {
     // hermetic; the labeled shared builds stay cached because their
     // frames remain strongly referenced.
     var sinceGc = 0
+    System.gc() // start the timed loop on a clean heap, not warmup debris
     for (r <- 1 to repeat) queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       run(name, fn, sfDir)
@@ -123,11 +138,20 @@ object Bench {
     // blob can be cut mid-stream (round 9's bench file lost its total that
     // way). Persist the full JSON to a file the driver can pick up, and
     // print a compact one-line summary AFTER the blob — whatever the
-    // truncation window, the total survives.
+    // truncation window, the total survives. The file additionally carries
+    // every raw per-pass sample plus the load signature, so a suspicious
+    // median can be audited after the fact: a query whose samples read
+    // [2.3, 26.9, 2.4] is box noise, [8.1, 8.3, 8.0] is a code regression.
     try {
+      val raw = samples.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\":[" + v.map(d => f"$d%.3f").mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val sig = f"""{"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAvg%.2f,""" +
+        s""""jvm_gc_ms":${gcMillis - gcBefore},"repeat":$repeat}"""
+      val rich = full.dropRight(1) + s""","samples":$raw,"load":$sig}"""
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.writeString(out, full + "\n")
+      java.nio.file.Files.writeString(out, rich + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
     println(s"""{"metric":"total_compact","total_s":$total,"n":${results.size},"sf":"$sfDir"}""")
     spark.stop()

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Anomaly, Correlate, DailyCounts, Experiment, IndexStore, TextIndex, TimeSeries, Web, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.{Anomaly, Correlate, DailyCounts, Experiment, Hnsw, IndexStore, TextIndex, TimeSeries, Web, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -949,6 +949,29 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb.where(col("vec_id") < 20), emb, k = 5, dim = 64,
         planes = 8, tables = 4)
+    }),
+
+    // ANN via the HNSW-style layered neighbor graph (round 13): portable
+    // mix64-trailing-zero levels, bucket-bounded top-m edges per layer,
+    // greedy upper-layer descent + fixed-round beam search on layer 0.
+    // Every stage is deterministic, so the oracle replays levels, graph,
+    // and the whole search as a finite CTE chain — recall needs no
+    // assumption, the same approximate answer is recomputed exactly.
+    "ann_hnsw" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Hnsw.topK(emb.where(col("vec_id") < 20), emb, k = 5, dim = 64,
+        m = 8, maxLevel = 3, planes = 4, tables = 4, beam = 16, rounds = 3)
+    }),
+
+    // In-engine recall of the graph search against exact brute force —
+    // the (m, beam, rounds) tuning harness, the lsh/ivf/pq_recall twin.
+    "hnsw_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 20)
+      recallVsExact(
+        Similarity.bruteForceTopK(queries, emb, k = 5),
+        Hnsw.topK(queries, emb, k = 5, dim = 64, m = 8, maxLevel = 3,
+          planes = 4, tables = 4, beam = 16, rounds = 3))
     }),
 
     // Text quality stats (token counts, ratios) — integer-exact inputs.
@@ -2766,7 +2789,7 @@ object SparkEntry {
     "stickiness" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"),
-          expr("cast(ts as long) div 86400").as("d"),
+          expr(TimeSeries.epochDaySql("cast(ts as long)")).as("d"),
           expr("cast(ts as long) div 604800").as("w"))
       val dau = ev.groupBy("d", "w")
         .agg(countDistinct(col("user_id")).as("dau"))
@@ -2843,6 +2866,74 @@ object SparkEntry {
         s"($t, $p, CAST($vec AS DOUBLE[]))"
       }
     }.mkString(",\n")
+
+  /** Full-algorithm mirror of [[graft.operators.Hnsw]] as a CTE chain
+    * ending in the final layer-0 beam `s5` (query_id, node): SRP buckets
+    * from the interpolated hyperplane literals, mix64-trailing-zero
+    * levels (the halfSampleCi hash chain), bucket-candidate top-m edges
+    * per layer, deterministic entry point, three greedy upper-layer
+    * steps, two beam-8 layer-0 rounds. Every step is a finite join, so
+    * the approximate search replays EXACTLY — no recall assumption. */
+  private def hnswSearchCtes(m: Int, beam: Int, rounds: Int): String = {
+    // one search step: expand the frontier's layer-`layer` edges, union
+    // the frontier, dedup, re-score against the query vector, keep `b`
+    def step(prev: String, out: String, layer: Int, b: Int): String =
+      s"""$out AS MATERIALIZED (SELECT query_id, node FROM (
+         |  SELECT d.query_id, d.node,
+         |    row_number() OVER (PARTITION BY d.query_id
+         |      ORDER BY list_cosine_similarity(q.qv, ev.v) DESC, d.node) AS rn
+         |  FROM (SELECT DISTINCT query_id, node FROM (
+         |          SELECT query_id, node FROM $prev
+         |          UNION ALL
+         |          SELECT f.query_id, g.dst AS node
+         |          FROM $prev f JOIN edg g ON g.layer = $layer AND g.src = f.node
+         |        ) u) d
+         |  JOIN qs q ON q.query_id = d.query_id
+         |  JOIN e ev ON ev.vec_id = d.node) r
+         |WHERE rn <= $b)""".stripMargin
+    s"""hp AS (SELECT * FROM (VALUES
+       |${srpPlanesValues(planes = 4, dim = 64, seed = 42L, tables = 4)}
+       |) AS t(t, p, pv)),
+       |bits AS (SELECT e.vec_id, hp.t, hp.p,
+       |    CASE WHEN list_reduce(
+       |           list_transform(generate_series(1, 64), i -> v[i] * pv[i]),
+       |           (a, b) -> a + b) >= 0
+       |         THEN 1 << hp.p ELSE 0 END AS bit
+       |  FROM e CROSS JOIN hp),
+       |buck AS MATERIALIZED (SELECT vec_id, t, sum(bit) AS bucket FROM bits GROUP BY vec_id, t),
+       |lz0 AS (SELECT vec_id,
+       |  list_reduce([CAST(ascii(s[i:i]) AS HUGEINT) for i in range(1, len(s) + 1)],
+       |    (acc, c) -> (acc * 31 + c) % 18446744073709551616) AS z
+       |  FROM (SELECT vec_id, CAST(vec_id AS VARCHAR) || ':hnsw' AS s FROM e) t0),
+       |lz1 AS (SELECT vec_id, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) AS z FROM lz0),
+       |lz2 AS (SELECT vec_id, ${sqlMulMod64("z", "13787848793156543929")} AS z FROM lz1),
+       |lz3 AS (SELECT vec_id, xor(z, z >> 27) AS z FROM lz2),
+       |lz4 AS (SELECT vec_id, ${sqlMulMod64("z", "10723151780598845931")} AS z FROM lz3),
+       |lvl AS (SELECT vec_id,
+       |    CASE WHEN (h & 1) <> 0 THEN 0 WHEN (h & 2) <> 0 THEN 1
+       |         WHEN (h & 4) <> 0 THEN 2 ELSE 3 END AS level
+       |  FROM (SELECT vec_id, xor(z, z >> 31) AS h FROM lz4) t1),
+       |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |         FROM buck a JOIN buck b
+       |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |sc AS (SELECT src, dst, list_cosine_similarity(ea.v, eb.v) AS cos,
+       |         least(la.level, lb.level) AS plv
+       |       FROM cand JOIN e ea ON ea.vec_id = src JOIN e eb ON eb.vec_id = dst
+       |                 JOIN lvl la ON la.vec_id = src JOIN lvl lb ON lb.vec_id = dst),
+       |edg AS MATERIALIZED (SELECT layer, src, dst, cos FROM (
+       |          SELECT src, dst, cos, unnest(generate_series(0, plv)) AS layer
+       |          FROM sc) x
+       |        QUALIFY row_number() OVER (PARTITION BY layer, src
+       |          ORDER BY cos DESC, dst) <= $m),
+       |ent AS (SELECT vec_id AS node FROM lvl ORDER BY level DESC, vec_id LIMIT 1),
+       |qs AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+       |s0 AS MATERIALIZED (SELECT query_id, node FROM qs CROSS JOIN ent),
+       |${step("s0", "s1", 3, 1)},
+       |${step("s1", "s2", 2, 1)},
+       |${step("s2", "s3", 1, 1)},
+       |${(1 to rounds).map(r => step(s"s${2 + r}", s"s${3 + r}", 0, beam))
+          .mkString(",\n")}""".stripMargin
+  }
 
   /** Shared CTE chain of the duplicated-passage oracles (from a `toks`
     * (doc_id, tok, i) CTE to the merged-span groups `g2`): per-doc char
@@ -3187,38 +3278,48 @@ object SparkEntry {
     val ev = Tables.events(s, dir)
       .select(col("event_type"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
-        expr("cast(ts as long) div 86400").as("__day"))
+        expr(TimeSeries.epochDaySql("cast(ts as long)")).as("__day"))
       .where(col("cents").isNotNull)
     val maxd = ev.agg(max("__day").as("__maxd"))
     (ev.crossJoin(broadcast(maxd)), col("__day") >= col("__maxd") - 6)
   }
 
-  /** Mirror of [[graft.operators.Experiment.halfSampleCi]]: every
-    * replicate's membership hash, sum, and count recomputed with the
-    * SAME md5 idiom, the means list filtered/sorted identically, the
-    * same 1-based p10/p90 index arithmetic. */
+  /** Mirror of [[graft.operators.Experiment.halfSampleCi]]: the portable
+    * mix64 chain over `id:salt` recomputed in UBIGINT (same fold as the
+    * SimHash/DSIR oracles), replicate-i membership as bit i of that one
+    * hash, every sum/count recomputed, the means list filtered/sorted
+    * identically (HUGEINT products mirroring the engine's DECIMAL(38,0)
+    * widening), the same 1-based p10/p90 index arithmetic. */
   private def halfSampleCiOracle(b: Int, salt: String): String = {
     val reps = (0 until b).map { i =>
-      val m = s"substr(md5(CAST(event_id AS VARCHAR) || ':$i:$salt'), 1, 8)" +
-        s" < '80000000'"
+      val m = s"((h >> $i) & 1) = 1"
       s"SUM(CASE WHEN $m THEN x END) AS s$i, " +
         s"SUM(CASE WHEN $m THEN 1 END) AS n$i"
     }.mkString(",\n")
     val meanList = (0 until b)
-      .map(i => s"CASE WHEN n$i > 0 THEN s$i * 1000 // n$i END")
+      .map(i => s"CASE WHEN n$i > 0 THEN CAST(s$i AS HUGEINT) * 1000 // n$i END")
       .mkString("list_value(", ", ", ")")
-    s"""WITH v AS (SELECT event_type AS k, event_id,
+    s"""WITH v AS (SELECT event_type AS k,
+       |    CAST(event_id AS VARCHAR) || ':$salt' AS s,
        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
        |  FROM events WHERE value IS NOT NULL),
+       |z0 AS (SELECT k, x,
+       |  list_reduce([CAST(ascii(s[i:i]) AS HUGEINT) for i in range(1, len(s) + 1)],
+       |    (acc, c) -> (acc * 31 + c) % 18446744073709551616) AS z FROM v),
+       |z1 AS (SELECT k, x, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) AS z FROM z0),
+       |z2 AS (SELECT k, x, ${sqlMulMod64("z", "13787848793156543929")} AS z FROM z1),
+       |z3 AS (SELECT k, x, xor(z, z >> 27) AS z FROM z2),
+       |z4 AS (SELECT k, x, ${sqlMulMod64("z", "10723151780598845931")} AS z FROM z3),
+       |hv AS (SELECT k, x, xor(z, z >> 31) AS h FROM z4),
        |a AS (SELECT k, COUNT(*) AS n, SUM(x) AS s,
        |$reps
-       |  FROM v GROUP BY 1),
+       |  FROM hv GROUP BY 1),
        |m AS (SELECT k, n, s,
        |    list_sort(list_filter($meanList, y -> y IS NOT NULL)) AS ms
        |  FROM a)
        |SELECT k AS event_type, CAST(n AS BIGINT) AS n_rows,
        |  CAST(len(ms) AS BIGINT) AS n_replicates,
-       |  CAST(s * 1000 // n AS BIGINT) AS mean_milli,
+       |  CAST(CAST(s AS HUGEINT) * 1000 // n AS BIGINT) AS mean_milli,
        |  CAST(ms[CAST(len(ms) * 100 // 1000 + 1 AS INT)] AS BIGINT)
        |    AS rep_lo_milli,
        |  CAST(ms[CAST(len(ms) - len(ms) * 100 // 1000 AS INT)] AS BIGINT)
@@ -4116,6 +4217,45 @@ object SparkEntry {
          |  neighbor_id, cos
          |FROM s
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+
+    // Full HNSW-style mirror: levels, per-layer graph, greedy descent and
+    // the layer-0 beam all replayed as CTEs; the final top-k excludes the
+    // query's own node exactly like the engine.
+    "ann_hnsw" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${hnswSearchCtes(m = 8, beam = 16, rounds = 3)}
+         |SELECT d.query_id,
+         |  CAST(row_number() OVER (PARTITION BY d.query_id
+         |    ORDER BY list_cosine_similarity(q.qv, ev.v) DESC, d.node) AS BIGINT)
+         |    AS rank,
+         |  d.node AS neighbor_id, list_cosine_similarity(q.qv, ev.v) AS cos
+         |FROM s6 d JOIN qs q ON q.query_id = d.query_id
+         |          JOIN e ev ON ev.vec_id = d.node
+         |WHERE d.node <> d.query_id
+         |QUALIFY row_number() OVER (PARTITION BY d.query_id
+         |  ORDER BY list_cosine_similarity(q.qv, ev.v) DESC, d.node) <= 5""".stripMargin,
+
+    // The recall harness's oracle recomputes BOTH sides (brute-force
+    // exact and the full graph search) and the hit join.
+    "hnsw_recall" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${hnswSearchCtes(m = 8, beam = 16, rounds = 3)},
+         |hn AS MATERIALIZED (SELECT d.query_id, d.node AS neighbor_id
+         |       FROM s6 d JOIN qs q ON q.query_id = d.query_id
+         |                 JOIN e ev ON ev.vec_id = d.node
+         |       WHERE d.node <> d.query_id
+         |       QUALIFY row_number() OVER (PARTITION BY d.query_id
+         |         ORDER BY list_cosine_similarity(q.qv, ev.v) DESC, d.node) <= 5),
+         |bf AS MATERIALIZED (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |       FROM e q JOIN e c ON c.vec_id <> q.vec_id
+         |       WHERE q.vec_id < 20
+         |       QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |         ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) <= 5)
+         |SELECT (SELECT COUNT(*) FROM bf) AS n_exact,
+         |  (SELECT COUNT(*) FROM hn) AS n_approx,
+         |  (SELECT COUNT(*) FROM bf JOIN hn USING (query_id, neighbor_id)) AS n_hit,
+         |  CAST((SELECT COUNT(*) FROM bf JOIN hn USING (query_id, neighbor_id))
+         |    * 1000 // (SELECT COUNT(*) FROM bf) AS BIGINT) AS recall_permille""".stripMargin,
 
     // Full algorithm mirror: the seed-derived hyperplanes are interpolated
     // as literals, bucketing + sign rule + verification recomputed in SQL —

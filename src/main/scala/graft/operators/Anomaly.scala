@@ -33,7 +33,7 @@ object Anomaly {
     require(kMad >= 0)
     val daily = events
       .select(col(keyCol).as("key"),
-        expr(s"cast($tsCol as long) div 86400").as("day"))
+        expr(TimeSeries.epochDaySql(s"cast($tsCol as long)")).as("day"))
       .groupBy("key", "day").agg(count(lit(1)).as("n"))
     def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
       val w = Window.partitionBy("key").orderBy(col(valueCol), col("day"))

@@ -272,21 +272,36 @@ object Correlate {
     * grid completion, margins, and BigInt cell terms run driver-side on
     * that bounded table (the [[Experiment.abChi2]] posture — BigInt,
     * so no overflow ceiling at any corpus size, where a DECIMAL(38,0)
-    * plan column would cap near N ≈ 10⁸). */
-  def cramersV(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    * plan column would cap near N ≈ 10⁸). The bounded-levels assumption
+    * is ENFORCED, not assumed (round-13 ADVICE fix): the collect is
+    * `limit(maxCells + 1)`-capped and a table past `maxCells` observed
+    * cells — or a completed r×c grid past 10·maxCells — fails fast with
+    * a clear message instead of OOMing the driver on an id-like column.
+    */
+  def cramersV(df: DataFrame, aCol: Column, bCol: Column,
+      maxCells: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val cells = df
       .select(aCol.cast("string").as("__a"), bCol.cast("string").as("__b"))
       .where(col("__a").isNotNull && col("__b").isNotNull)
       .groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+      .limit(maxCells + 1)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.length <= maxCells,
+      s"cramersV: more than $maxCells distinct (a,b) cells — this is a " +
+        "categorical-association statistic; an id-like column does not " +
+        "belong here (raise maxCells only for genuinely bounded levels)")
     val obs = cells.map { case (a, b, o) => (a, b) -> BigInt(o) }.toMap
     val rowM = cells.groupBy(_._1).view.mapValues(cs =>
       BigInt(cs.map(_._3).sum)).toMap
     val colM = cells.groupBy(_._2).view.mapValues(cs =>
       BigInt(cs.map(_._3).sum)).toMap
     val n = BigInt(cells.map(_._3).sum)
+    require(rowM.size.toLong * colM.size <= 10L * maxCells,
+      s"cramersV: completed grid ${rowM.size}x${colM.size} exceeds " +
+        s"${10L * maxCells} cells — levels too sparse/wide for the " +
+        "driver-side grid completion")
     val chi2 =
       if (n == 0) BigInt(0)
       else (for {

@@ -42,7 +42,7 @@ object DailyCounts {
     batch
       .where(col(tsCol).isNotNull)
       .select(coalesce(col(keyCol).cast("string"), lit("(null)")).as("__k"),
-        expr(s"cast(cast($tsCol as timestamp) as long) div 86400").as("__day"))
+        expr(TimeSeries.epochDaySql(s"cast(cast($tsCol as timestamp) as long)")).as("__day"))
       .where(col("__day").isNotNull)
       .groupBy("__k", "__day").agg(count(lit(1)).as("n_rows"))
       .select(concat(col("__k"), lit(Sep), col("__day")).as("key"),
@@ -62,12 +62,17 @@ object DailyCounts {
           col("n_rows")))
 
   /** The profile's current `(key, day, n)` rows (metadata row excluded,
-    * composite key decoded). */
+    * composite key decoded). The key part is everything before the LAST
+    * `U+001F` (the day suffix never contains the separator, so a user
+    * key that itself contains `U+001F` round-trips exactly — decoding
+    * before the FIRST occurrence, the round-12 behavior, truncated such
+    * keys and disagreed with this doc). */
   def read(spark: SparkSession, root: String): DataFrame =
     IndexStore.read(spark, root)
       .where(!(col("key") <=> lit(ProfileStore.MetaKey)))
       .select(
-        substring_index(col("key"), Sep, 1).as("key"),
+        expr(s"substring(key, 1, length(key) -" +
+          s" length(substring_index(key, '$Sep', -1)) - 1)").as("key"),
         substring_index(col("key"), Sep, -1).cast("long").as("day"),
         col("n_rows").as("n"))
 }

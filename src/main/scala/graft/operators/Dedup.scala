@@ -725,10 +725,30 @@ object Dedup {
   }
 
   /** Sentinel `planes` value: size the plane count from the corpus via
-    * [[autoPlanes]] (one cheap metadata-served `count()` at plan build —
-    * pass an explicit positive `planes` to avoid the job, e.g. when the
-    * caller already knows the scale). */
+    * [[autoPlanesFor]]'s plan-statistics estimate. Zero Spark jobs fire
+    * at plan construction (DedupSpec asserts this) — pass an explicit
+    * positive `planes` when the caller wants a specific granularity. */
   val AutoPlanes: Int = 0
+
+  /** Row-count estimate for [[autoPlanes]] from the OPTIMIZER'S plan
+    * statistics — no Spark job at plan construction (the round-12 version
+    * ran an eager `df.count()`, a hidden job inside what reads as lazy
+    * DataFrame construction). Local relations carry an exact `rowCount`;
+    * file scans fall back to `sizeInBytes / (4·dim + 24)` (float32 vector
+    * + id/offset overhead — embeddings are near-incompressible, so disk
+    * bytes ≈ in-memory bytes). autoPlanes only consumes log2 of the
+    * estimate, so even a 2x size-estimate error moves the result by ±1
+    * plane — an occupancy knob, never a correctness knob. */
+  def autoPlanesFor(df: DataFrame, dim: Int, targetBucketRows: Int = 64): Int = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    val est = stats.rowCount match {
+      case Some(rc) => rc.min(BigInt(Long.MaxValue)).toLong.max(1L)
+      case None =>
+        val rowBytes = 4L * dim + 24L
+        (stats.sizeInBytes / rowBytes).min(BigInt(Long.MaxValue)).toLong.max(1L)
+    }
+    autoPlanes(est, targetBucketRows)
+  }
 
   /** Sign-random-projection LSH cosine near-dup: bucket on the bit pattern
     * of `planes` random hyperplane signs, candidate pairs within buckets,
@@ -740,15 +760,17 @@ object Dedup {
     * bucket key.
     *
     * `planes` defaults to [[AutoPlanes]]: occupancy-matched to the corpus
-    * row count via [[autoPlanes]], so doubling the corpus adds one plane
+    * row count via [[autoPlanesFor]]'s plan-statistics estimate — zero
+    * Spark jobs at plan construction (round 13; the round-11/12 default
+    * ran an eager `count()` here) — so doubling the corpus adds one plane
     * and per-bucket candidate volume stays flat (property-tested in
     * DedupSpec). An explicit positive value overrides.
     *
     * BEHAVIOR CHANGE (round 11): the default was a fixed `planes = 16`
     * before auto-sizing landed. Callers that relied on 16-plane bucket
-    * granularity (recall/candidate-volume trade) or that must not run
-    * the plan-construction `count()` job should pass an explicit value —
-    * the auto default favors flat occupancy over call-site stability.
+    * granularity (recall/candidate-volume trade) should pass an explicit
+    * value — the auto default favors flat occupancy over call-site
+    * stability.
     *
     * @param dim embedding width — a schema constant (e.g.
     *   `Schemas.EmbeddingDim`), never sniffed from the data: reading the
@@ -758,7 +780,7 @@ object Dedup {
       threshold: Double, dim: Int, planes: Int = AutoPlanes, tables: Int = 2,
       seed: Long = 42L): DataFrame = {
     require(planes >= 0, "planes must be positive, or AutoPlanes (0) to auto-size")
-    val effPlanes = if (planes > 0) planes else autoPlanes(emb.count())
+    val effPlanes = if (planes > 0) planes else autoPlanesFor(emb, dim)
     // ALL table buckets come from ONE projection over ONE scan (an array of
     // per-table SrpBucket values, posexploded to (table, bucket) rows) —
     // a per-table loop would rescan and re-shuffle the corpus `tables`

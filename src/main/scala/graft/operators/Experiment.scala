@@ -73,40 +73,52 @@ object Experiment {
   /** Half-sample replication stability interval for a per-key mean — the
     * deterministic resampling answer to "how much would this metric move
     * on a different sample": `b` pseudo-replicates, each keeping a row
-    * iff `md5(id:replicate:salt)` falls in the lower half (the
-    * [[Sampling.splitAssign]] hash idiom — fully deterministic, so the
-    * SQL oracle recomputes every replicate bit for bit), each replicate's
-    * exact integer mean ×1000, and the sorted replicate means' p10/p90
-    * order statistics as the reported band. A monitor alert whose metric
-    * shift is inside this band is sampling noise, not signal. Values
-    * must be non-negative integral (the `div`/`//` contract); NULL
-    * values are excluded; replicates that catch no rows (tiny keys) are
-    * dropped from the band.
+    * iff bit *i* of the row's engine-portable
+    * [[graft.functions.PortableHash.mix64]] hash of `id:salt` is set
+    * (ONE 64-bit hash per row; splitmix64's finalizer makes each bit an
+    * independent fair coin — fully deterministic, so the SQL oracle
+    * recomputes every replicate bit for bit), each replicate's exact
+    * integer mean ×1000, and the sorted replicate means' p10/p90 order
+    * statistics as the reported band. A monitor alert whose metric shift
+    * is inside this band is sampling noise, not signal. Values must be
+    * non-negative integral (the `div`/`//` contract); NULL values are
+    * excluded; replicates that catch no rows (tiny keys) are dropped
+    * from the band.
     *
     * Scale shape: ONE map-side-combined per-key aggregation carrying
-    * 2·b+2 sums — no explode, no row multiplication; the b membership
-    * hashes evaluate scan-stage inside the aggregate. Band extraction is
-    * array arithmetic on a b-element column. */
+    * 2·b+2 sums — no explode, no row multiplication; replicate
+    * membership is one codegen'd hash per row, not b md5s (the round-12
+    * version paid 32 full md5+concat evaluations per input row in the
+    * scan stage). Band extraction is array arithmetic on a b-element
+    * column. The ×1000 mean products widen through DECIMAL(38,0): per-key
+    * LongType value sums above ~9.2e15 would silently wrap the x1000
+    * product at corpus scale (same widening discipline as the census
+    * tier; the oracle mirrors it in HUGEINT). */
   def halfSampleCi(df: DataFrame, keyCol: String, idCol: Column,
       value: Column, b: Int = 32, salt: String = "hsci"): DataFrame = {
-    require(b >= 2, "need at least 2 replicates")
+    require(b >= 2 && b <= 63, "need 2..63 replicates (one hash bit each)")
     val base = df
-      .select(col(keyCol).as("key"), idCol.cast("string").as("__id"),
+      .select(col(keyCol).as("key"),
+        graft.functions.F.mix64(concat(idCol.cast("string"), lit(s":$salt")))
+          .as("__h"),
         value.cast("long").as("__x"))
       .where(col("__x").isNotNull)
+    // bit i of the signed Long: arithmetic shift then mask — identical to
+    // the unsigned bit, so the oracle's UBIGINT formulation matches.
     def member(i: Int): Column =
-      substring(md5(concat(col("__id"), lit(s":$i:$salt"))), 1, 8) <
-        lit("80000000")
+      shiftright(col("__h"), i).bitwiseAND(lit(1L)) === lit(1L)
     val aggs = count(lit(1)).as("__n") +: sum("__x").as("__s") +:
       (0 until b).flatMap(i => Seq(
         sum(when(member(i), col("__x"))).as(s"__s$i"),
         sum(when(member(i), 1L)).as(s"__n$i")))
     val means = array((0 until b).map(i =>
-      expr(s"CASE WHEN __n$i > 0 THEN __s$i * 1000 div __n$i END")): _*)
+      expr(s"CASE WHEN __n$i > 0 THEN CAST(CAST(__s$i AS DECIMAL(38,0))" +
+        s" * 1000 div __n$i AS BIGINT) END")): _*)
     base.groupBy("key").agg(aggs.head, aggs.tail: _*)
       .withColumn("__means", sort_array(filter(means, m => m.isNotNull)))
       .withColumn("n_replicates", size(col("__means")).cast("long"))
-      .withColumn("mean_milli", expr("__s * 1000 div __n"))
+      .withColumn("mean_milli",
+        expr("CAST(CAST(__s AS DECIMAL(38,0)) * 1000 div __n AS BIGINT)"))
       .withColumn("rep_lo_milli", expr(
         "CASE WHEN n_replicates > 0 THEN element_at(__means, " +
           "CAST(n_replicates * 100 div 1000 + 1 AS INT)) END"))

@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   * correct either way but whose day coverage comes from this). */
 object TimeSeries {
 
+  /** SQL fragment for the FLOOR epoch-day of a unix-seconds expression:
+    * `(x - pmod(x, 86400)) div 86400`. Spark's bare `div` truncates
+    * toward zero while every DuckDB oracle's `//` floors — for pre-1970
+    * timestamps the two assign DIFFERENT days (−1 s is day −1, not day
+    * 0). pmod's non-negative remainder makes the subtraction land on an
+    * exact multiple, so the `div` is exact floor division at every
+    * input (round-13 ADVICE fix; shared by Anomaly/DailyCounts/the
+    * week-sliced monitors). */
+  def epochDaySql(unixSeconds: String): String =
+    s"($unixSeconds - pmod($unixSeconds, 86400)) div 86400"
+
   /** Per key: the continuous day axis from the key's first to last
     * observed day, with `n` = that day's event count (0 on silent
     * days), `last_n` = the most recent OBSERVED day's count
@@ -30,7 +41,7 @@ object TimeSeries {
   def gapFill(events: DataFrame, tsCol: String, keyCol: String): DataFrame = {
     val daily = events
       .select(col(keyCol).as("key"),
-        expr(s"cast($tsCol as long) div 86400").as("day"))
+        expr(epochDaySql(s"cast($tsCol as long)")).as("day"))
       .groupBy("key", "day").agg(count(lit(1)).as("__obs_n"))
     val axis = daily.groupBy("key")
       .agg(min("day").as("__d0"), max("day").as("__d1"))
@@ -66,7 +77,7 @@ object TimeSeries {
     require(windowDays >= 1)
     val ud = events
       .select(col(keyCol).as("key"),
-        expr(s"cast($tsCol as long) div 86400").as("day"))
+        expr(epochDaySql(s"cast($tsCol as long)")).as("day"))
       .distinct()
     val bounds = ud.agg(min("day"), max("day")).head()
     if (bounds.isNullAt(0)) return ud.sparkSession.emptyDataFrame
@@ -157,7 +168,7 @@ object TimeSeries {
       keyCol: String): DataFrame =
     events
       .select(col(keyCol).as("key"),
-        expr(s"cast($tsCol as long) div 86400").as("day"))
+        expr(epochDaySql(s"cast($tsCol as long)")).as("day"))
       .groupBy("key", "day").agg(count(lit(1)).as("n"))
 
   /** Zero-filled per-key day axis over a `(key, day, n)` table:

@@ -84,6 +84,45 @@ object Validate {
             (lit(2.0) * col("np") * col("nq"))).as("tv"))
   }
 
+  /** Distinct-value ceiling for the KS/rank-sum/median monitors'
+    * histograms (2^18). Every registered domain (doc lengths ~530
+    * distinct, cent amounts ~56k span) sits far below it, so the guard
+    * is the identity there; a caller passing an unbounded domain (ids,
+    * raw timestamps) gets deterministic fixed-width coarsening instead
+    * of a single-partition window over millions of rows. */
+  val DefaultMaxBins: Int = 1 << 18
+
+  /** Domain guard shared by the value-distribution monitors: re-bin a
+    * `(keys…, __v, __counts…)` histogram so the distinct-`__v` table
+    * holds ≤ `maxBins` values. Width = ceil(span / maxBins) from a
+    * broadcast one-row min/max aggregate over the histogram (lazy — the
+    * repo's alternative to a plan-time driver action); when the domain
+    * span already fits, width is 1 and the rebin is the IDENTITY — every
+    * registered monitor keeps bit-identical results and its oracle needs
+    * no mirror. Wider domains coarsen values to their bin floor
+    * deterministically: the monitor reports the exact statistic of the
+    * binned distribution (a bounded-by-construction guard in the
+    * [[driftTv]] spirit, replacing the round-12 scaladoc caveat). All
+    * span arithmetic widens through DECIMAL(38,0) so Long.MIN/MAX
+    * domains can't overflow (ANSI mode would throw, not wrap). */
+  private[operators] def boundedHistogram(h: DataFrame, maxBins: Int): DataFrame = {
+    require(maxBins > 1, "maxBins must be > 1")
+    val keyCols = h.columns.filter(c => c != "__v" && !c.startsWith("__"))
+    val countCols = h.columns.filter(c => c != "__v" && c.startsWith("__"))
+    val rng = h.agg(min("__v").as("__lo"), max("__v").as("__hi"))
+    val sums = countCols.map(c => sum(col(c)).as(c))
+    h.crossJoin(broadcast(rng))
+      .withColumn("__w", expr(
+        s"CAST((CAST(__hi AS DECIMAL(38,0)) - __lo + $maxBins) div $maxBins AS BIGINT)"))
+      .withColumn("__vb", expr(
+        "CAST(CAST(__lo AS DECIMAL(38,0)) + " +
+          "CAST((CAST(__v AS DECIMAL(38,0)) - __lo) div __w AS DECIMAL(38,0))" +
+          " * __w AS BIGINT)"))
+      .groupBy((keyCols :+ "__vb").map(col): _*)
+      .agg(sums.head, sums.tail: _*)
+      .withColumnRenamed("__vb", "__v")
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance of each key's integral
     * `valueCol` distribution against the WHOLE corpus — "which source's
     * length/score distribution deviates most", the shape-sensitive drift
@@ -107,19 +146,23 @@ object Validate {
     *
     * Scale shape: one scan → one map-side-combined (key, value)
     * histogram; the global CDF is a window over the DISTINCT-value
-    * table (bounded by the value domain, 313 rows for doc lengths —
-    * for genuinely unbounded domains pre-bin first, the [[driftTv]]
-    * treatment); the per-key CDF windows run over each key's histogram
-    * rows. Nothing scales with the corpus but the scan. */
-  def ksVsCorpus(df: DataFrame, keyCol: String, value: Column): DataFrame = {
+    * table, which [[boundedHistogram]] guarantees holds ≤ `maxBins`
+    * rows REGARDLESS of the value domain (wide domains auto-coarsen to
+    * fixed-width bins; spans ≤ maxBins — every registered domain — pass
+    * through bit-identically); the per-key CDF windows run over each
+    * key's histogram rows, bounded the same way. Nothing scales with
+    * the corpus but the scan. */
+  def ksVsCorpus(df: DataFrame, keyCol: String, value: Column,
+      maxBins: Int = DefaultMaxBins): DataFrame = {
     // The histogram feeds THREE consumers (global CDF, corpus total,
     // the per-key join) — localCheckpoint pins the corpus scan to ONE
     // execution (the Cooccur precedent; without it the plan audit read
     // 3 parquet scans, zero ReusedExchange)
-    val h = df.where(value.isNotNull)
+    val h0 = df.where(value.isNotNull)
       .select(col(keyCol).as("key"), value.cast("long").as("__v"))
       .groupBy("key", "__v").agg(count(lit(1)).as("__c"))
       .localCheckpoint()
+    val h = boundedHistogram(h0, maxBins).localCheckpoint()
     // bounded: one row per distinct value in the corpus
     val g = h.groupBy("__v").agg(sum("__c").as("__gc"))
     val wg = org.apache.spark.sql.expressions.Window.orderBy("__v")
@@ -166,22 +209,32 @@ object Validate {
     * rollup. For unbounded value domains pre-bin first (the driftTv
     * treatment). */
   /** The shared first stage of the two-slice monitors ([[ksTwoSlice]],
-    * [[rankSumAuc]]): ONE scan tags both slices, one map-side-combined
-    * (key, value) histogram carries both slices' counts (`__ca`/`__cb`).
-    * Null values and null slice tags are excluded. */
+    * [[rankSumAuc]], [[medianShift]]): ONE scan tags both slices, one
+    * map-side-combined (key, value) histogram carries both slices'
+    * counts (`__ca`/`__cb`), then the [[boundedHistogram]] domain guard
+    * caps distinct values at `maxBins` (identity for every registered
+    * domain). Null values and null slice tags are excluded. The raw
+    * histogram is localCheckpointed (the [[ksVsCorpus]] discipline): the
+    * guard's broadcast min/max aggregate is a second consumer, and
+    * without the pin each monitor re-scanned the corpus once per
+    * consumer (measured: 4 parquet scans, zero ReusedExchange — AQE did
+    * not dedupe the shared subtree). */
   private def twoSliceHistogram(df: DataFrame, keyCol: String,
-      value: Column, currentSlice: Column): DataFrame =
-    df.where(value.isNotNull)
-      .select(col(keyCol).as("key"), value.cast("long").as("__v"),
-        currentSlice.cast("boolean").as("__cur"))
-      .where(col("__cur").isNotNull)
-      .groupBy("key", "__v")
-      .agg(sum(when(col("__cur"), 1L).otherwise(0L)).as("__ca"),
-        sum(when(!col("__cur"), 1L).otherwise(0L)).as("__cb"))
+      value: Column, currentSlice: Column, maxBins: Int): DataFrame =
+    boundedHistogram(
+      df.where(value.isNotNull)
+        .select(col(keyCol).as("key"), value.cast("long").as("__v"),
+          currentSlice.cast("boolean").as("__cur"))
+        .where(col("__cur").isNotNull)
+        .groupBy("key", "__v")
+        .agg(sum(when(col("__cur"), 1L).otherwise(0L)).as("__ca"),
+          sum(when(!col("__cur"), 1L).otherwise(0L)).as("__cb"))
+        .localCheckpoint(),
+      maxBins)
 
   def ksTwoSlice(df: DataFrame, keyCol: String, value: Column,
-      currentSlice: Column): DataFrame = {
-    val h = twoSliceHistogram(df, keyCol, value, currentSlice)
+      currentSlice: Column, maxBins: Int = DefaultMaxBins): DataFrame = {
+    val h = twoSliceHistogram(df, keyCol, value, currentSlice, maxBins)
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy("key").orderBy("__v")
     val wkAll = org.apache.spark.sql.expressions.Window.partitionBy("key")
@@ -224,8 +277,8 @@ object Validate {
     * map-side-combined (key, value) histogram, per-key cum windows over
     * histogram-sized partitions, one rollup. */
   def rankSumAuc(df: DataFrame, keyCol: String, value: Column,
-      currentSlice: Column): DataFrame = {
-    val h = twoSliceHistogram(df, keyCol, value, currentSlice)
+      currentSlice: Column, maxBins: Int = DefaultMaxBins): DataFrame = {
+    val h = twoSliceHistogram(df, keyCol, value, currentSlice, maxBins)
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy("key").orderBy("__v")
     val wkAll = org.apache.spark.sql.expressions.Window.partitionBy("key")
@@ -257,8 +310,8 @@ object Validate {
     * map-side-combined (key, value) histogram), per-key cum windows over
     * histogram-sized partitions, one conditional-min rollup. */
   def medianShift(df: DataFrame, keyCol: String, value: Column,
-      currentSlice: Column): DataFrame = {
-    val h = twoSliceHistogram(df, keyCol, value, currentSlice)
+      currentSlice: Column, maxBins: Int = DefaultMaxBins): DataFrame = {
+    val h = twoSliceHistogram(df, keyCol, value, currentSlice, maxBins)
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy("key").orderBy("__v")
     val wkAll = org.apache.spark.sql.expressions.Window.partitionBy("key")

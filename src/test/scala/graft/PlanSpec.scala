@@ -510,6 +510,77 @@ class PlanSpec extends SparkSpecBase {
       s"winsorize shuffles raw event rows:\n${plan("winsorize")}")
   }
 
+  test("suite-wide stage-fusion lint: no CodegenFallback; no repeated large subtree in a projection") {
+    // Round 12 found two silent plan killers only because the bench
+    // happened to flag their queries: (1) composed multi-reference
+    // Column chains duplicate their upstream subtree per reference
+    // inside ONE projection (html_links 14.5 s -> 0.55 s once staged);
+    // (2) expressions that fall out of codegen run interpreted
+    // (domain_prior 2.5 s -> 0.32 s). This lint runs over EVERY
+    // registered query so the next composed expression can't
+    // re-introduce either pattern invisibly.
+    import org.apache.spark.sql.catalyst.expressions.{Expression,
+      HigherOrderFunction, LambdaFunction, NamedLambdaVariable}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    // Fallbacks Spark itself ships without codegen and that never sit in
+    // a whole-stage scan span: aggregate functions (imperative aggs run
+    // in ObjectHashAggregate by design), higher-order functions + their
+    // lambda plumbing, and the datasketches HLL scalar read-outs (used
+    // once per profile row, not per corpus row).
+    val allowedFallbacks = Set("HllSketchEstimate", "HllUnion")
+    // Queries whose large repeated subtrees are BENCH-PROVEN benign
+    // (runtime subexpression elimination covers them): the Web family's
+    // intra-canonicalizeUrl split chains and the mojibake replace
+    // cascade — html_links 0.91 s, url_canonical 0.75 s, url_dup_census
+    // 0.71 s, mojibake_fix 0.75 s at sf0.1 (round-12 closing bench). A
+    // NEW query must either stage its selects or earn its place here
+    // with a bench number.
+    val allowedDup = Set("html_links", "url_canonical", "url_dup_census",
+      "mojibake_fix")
+    // one repeated subtree re-evaluating >= this many extra expression
+    // nodes per input row is the html_links-class pattern (its composed
+    // form wasted ~20k nodes/row and benched 14.5 s vs 0.55 s staged)
+    val MaxWastedNodes = 1000
+    def nodeCount(e: Expression): Int = { var n = 0; e.foreach(_ => n += 1); n }
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val qe = fn(spark, sf).queryExecution
+      collectAll(qe.executedPlan).foreach { node =>
+        node.expressions.foreach(_.foreach {
+          case e: CodegenFallback if e.references.nonEmpty &&
+              !e.isInstanceOf[AggregateFunction] &&
+              !e.isInstanceOf[HigherOrderFunction] &&
+              !e.isInstanceOf[LambdaFunction] &&
+              !e.isInstanceOf[NamedLambdaVariable] &&
+              !allowedFallbacks(e.getClass.getSimpleName) =>
+            offenders += s"$name: CodegenFallback ${e.getClass.getSimpleName}"
+          case _ => ()
+        })
+      }
+      if (!allowedDup(name)) qe.optimizedPlan.foreach {
+        case p: Project =>
+          val counts = scala.collection.mutable.Map.empty[Expression, Int]
+          p.projectList.foreach(_.foreach { e =>
+            val n = nodeCount(e)
+            if (n >= 20 && n <= 2 * MaxWastedNodes)
+              counts(e.canonicalized) = counts.getOrElse(e.canonicalized, 0) + 1
+          })
+          counts.foreach { case (e, c) =>
+            val wasted = nodeCount(e) * (c - 1)
+            if (c >= 2 && wasted >= MaxWastedNodes)
+              offenders += s"$name: ${nodeCount(e)}-node subtree x$c " +
+                s"($wasted wasted nodes/row) in one projection " +
+                s"(${e.getClass.getSimpleName}: ${e.sql.take(100)})"
+          }
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.size} plan-lint findings:\n${offenders.distinct.mkString("\n")}")
+  }
+
   test("halfsample_ci: one map-side-combined exchange; replicate hashes never explode rows") {
     val p = plan("halfsample_ci")
     val nodes = collectAll(p)

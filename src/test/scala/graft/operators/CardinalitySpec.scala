@@ -114,33 +114,45 @@ class CardinalitySpec extends SparkSpecBase {
       s"a racer's key vanished: $m")
   }
 
-  test("8 racing updaters: every batch's values land; row counts are exact") {
-    // True thread-level concurrency through IndexStore's optimistic commit
-    // loop (no hooks): 8 writers × disjoint value ranges on overlapping
-    // keys. Any lost update shows as a low estimate (coupon regime is
-    // exact at this cardinality) or a short n_rows sum.
-    val root = java.nio.file.Files.createTempDirectory("graft-card-n8").toString
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val writers = 8
-    val perWriter = 25
-    val futs = (0 until writers).map { w =>
-      Future {
-        val batch = (0 until perWriter)
-          .map(i => (s"k${i % 2}", s"w$w-v$i")).toDF("key", "v")
-        Cardinality.update(spark, root, batch, "key", "v")
-      }
+  // True thread-level concurrency through IndexStore's optimistic commit
+  // loop (no hooks): 8 writers × disjoint value ranges on overlapping
+  // keys. Any lost update shows as a low estimate (coupon regime is
+  // exact at this cardinality) or a short n_rows sum. Run under BOTH
+  // commit backends: the FS default (read-back arbitration, timing
+  // window documented) and the conditional-PUT CAS simulation (zero
+  // window — the production object-store recommendation), so the whole
+  // optimistic loop is proven against compare-and-set semantics, not
+  // only against the local FS (round-13 VERDICT item; SURVEY §7.6.2).
+  for ((backendName, backend) <- Seq(
+      "HadoopFs" -> HadoopFsBackend, "CAS" -> CasBackend))
+    test(s"8 racing updaters under the $backendName backend: every batch lands; exact counts") {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-card-n8-$backendName").toString
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val prev = Upsert.commitBackend
+      Upsert.commitBackend = backend
+      try {
+        val writers = 8
+        val perWriter = 25
+        val futs = (0 until writers).map { w =>
+          Future {
+            val batch = (0 until perWriter)
+              .map(i => (s"k${i % 2}", s"w$w-v$i")).toDF("key", "v")
+            Cardinality.update(spark, root, batch, "key", "v")
+          }
+        }
+        Await.result(Future.sequence(futs), 180.seconds)
+        val m = Cardinality.estimates(spark, root)
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        // per key: 8 writers × ~13/12 distinct values, unique across writers
+        val expectK0 = (writers * ((perWriter + 1) / 2)).toLong // i even → k0
+        val expectK1 = (writers * (perWriter / 2)).toLong       // i odd  → k1
+        assert(m("k0") == ((expectK0, expectK0)), s"k0: ${m("k0")} != $expectK0")
+        assert(m("k1") == ((expectK1, expectK1)), s"k1: ${m("k1")} != $expectK1")
+      } finally Upsert.commitBackend = prev
     }
-    Await.result(Future.sequence(futs), 180.seconds)
-    val m = Cardinality.estimates(spark, root)
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    // per key: 8 writers × ~13/12 distinct values, all unique across writers
-    val expectK0 = (writers * ((perWriter + 1) / 2)).toLong // i even → k0: 13 each
-    val expectK1 = (writers * (perWriter / 2)).toLong       // i odd  → k1: 12 each
-    assert(m("k0") == ((expectK0, expectK0)), s"k0: ${m("k0")} != $expectK0")
-    assert(m("k1") == ((expectK1, expectK1)), s"k1: ${m("k1")} != $expectK1")
-  }
 
   test("update on a fresh root creates the profile; n_rows accumulates") {
     val root = java.nio.file.Files.createTempDirectory("graft-card2").toString

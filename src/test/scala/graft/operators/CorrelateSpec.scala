@@ -120,4 +120,21 @@ class CorrelateSpec extends SparkSpecBase {
     val mono = Seq(("x", "p"), ("y", "p"), ("y", "p"))
     assert(cramers(mono) == ((3L, 2L, 1L, 0L, 0L, None)))
   }
+
+  test("cramersV: an id-like column fails fast instead of OOMing the driver") {
+    // 12 distinct (a,b) cells against maxCells=10: the limit-capped
+    // collect trips the guard with a clear message — the round-12
+    // version collected the full table unguarded
+    val idLike = (1 to 12).map(i => (s"id$i", "x"))
+    val e = intercept[IllegalArgumentException] {
+      Correlate.cramersV(idLike.toDF("a", "b"), col("a"), col("b"),
+        maxCells = 10)
+    }
+    assert(e.getMessage.contains("distinct (a,b) cells"))
+    // a bounded table under the same cap still computes
+    val ok = Correlate.cramersV(
+      Seq(("x", "p"), ("y", "q")).toDF("a", "b"), col("a"), col("b"),
+      maxCells = 10).collect()
+    assert(ok.length == 1)
+  }
 }

@@ -72,6 +72,34 @@ class DailyCountsSpec extends SparkSpecBase {
     assert(got == Set(("(null)", 1L, 1L), ("t", 1L, 1L)))
   }
 
+  test("a key containing the U+001F separator round-trips exactly") {
+    // the composite key is key + U+001F + day; decoding must split on the
+    // LAST separator (the day never contains one) — the round-12 decode
+    // split on the FIRST and truncated such keys
+    val root = tmp("dc-sep")
+    val evil = "a\u001fb\u001fc"
+    val rows = Seq((new Timestamp(86400000L), evil),
+      (new Timestamp(86400000L), "plain"))
+    DailyCounts.update(spark, root, rows.toDF("ts", "k"), "k", "ts",
+      batchId = Some(1L))
+    val got = DailyCounts.read(spark, root)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set((evil, 1L, 1L), ("plain", 1L, 1L)))
+  }
+
+  test("pre-1970 timestamps land on the floor epoch day (oracle's // semantics)") {
+    // 1969-12-31T23:59:59 = −1 s → day −1 under floor division; the
+    // round-12 `div` truncation put it on day 0 while every oracle floors
+    val root = tmp("dc-pre1970")
+    val rows = Seq((new Timestamp(-1000L), "t"),
+      (new Timestamp(-86400000L), "t"))
+    DailyCounts.update(spark, root, rows.toDF("ts", "k"), "k", "ts",
+      batchId = Some(1L))
+    val got = DailyCounts.read(spark, root)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("t", -1L, 2L)))
+  }
+
   test("ISO-8601 string timestamps fold like native timestamps; null ts drops") {
     val root = tmp("dc-iso")
     val iso = Seq(("2024-01-05T10:00:00", "t1"), ("2024-01-05T23:59:59", "t1"),

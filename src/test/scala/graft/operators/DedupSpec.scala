@@ -498,6 +498,46 @@ class DedupSpec extends SparkSpecBase {
     assert(v4 / v1 < 3.0 && v1 / v4 < 3.0, s"v1=$v1 v4=$v4")
   }
 
+  test("AutoPlanes construction launches zero Spark jobs") {
+    // round-12 regression target: the auto default ran an eager count()
+    // at plan construction — a hidden job inside lazy-looking DataFrame
+    // code. Count job starts via a listener; listener delivery is async
+    // but ordered, so after we observe the sentinel job's start event we
+    // know any construction job's event would already have arrived.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = (1L to 100L).map(i => (i, Array.fill(8)(i.toFloat)))
+        .toDF("vec_id", "embedding")
+      Dedup.cosineNearDupPairsLsh(df, "vec_id", "embedding", 0.9, dim = 8)
+      // sentinel: ONE raw-RDD job (no AQE, so exactly one job) flushes
+      // the ordered listener queue
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (jobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(jobs.get() == 1,
+        s"expected only the sentinel job, saw ${jobs.get()} job starts")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("autoPlanesFor: local-relation rowCount and size-estimate fallback agree with autoPlanes") {
+    // local relation: exact rowCount drives the formula
+    val small = (1L to 100L).map(i => (i, Array.fill(8)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Dedup.autoPlanesFor(small, dim = 8) == Dedup.autoPlanes(100L))
+    // size fallback: a fabricated sizeInBytes via a parquet round-trip
+    val dir = java.nio.file.Files.createTempDirectory("autoplanes").toString
+    small.write.mode("overwrite").parquet(dir)
+    val scanned = spark.read.parquet(dir)
+    val p = Dedup.autoPlanesFor(scanned, dim = 8)
+    assert(p >= 4 && p <= 30) // clamped, estimate-driven, no job required
+  }
+
   test("AutoPlanes default drives the pair query without an explicit knob") {
     // same planted-duplicate scenario as the exact/LSH agreement test,
     // but with the occupancy-matched default (tiny corpus -> 4 planes)

@@ -41,19 +41,20 @@ class ExperimentSpec extends SparkSpecBase {
     assert((na, ka, nb, kb) == (1L, 1L, 1L, 0L))
   }
 
-  test("halfSampleCi: exact agreement with a JVM-MD5 naive reference") {
-    // the same md5-hex membership recomputed with MessageDigest makes
-    // the whole operator checkable bit for bit, replicate by replicate
+  test("halfSampleCi: exact agreement with a naive mix64-bit reference") {
+    // replicate-i membership is bit i of ONE portable mix64 hash per row
+    // (round 13 — one hash instead of b md5s); the same bits recomputed
+    // naively make the operator checkable bit for bit, replicate by
+    // replicate
     val b = 8; val salt = "hsci"
-    def md5hex8(s: String): String = java.security.MessageDigest
-      .getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(8)
+    def hash(s: String): Long = graft.functions.PortableHash.mix64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
     val rows = (1L to 40L).map(i => ("k", i, i * 3 % 17))
     val got = Experiment.halfSampleCi(rows.toDF("key", "id", "v"),
         "key", col("id"), col("v"), b = b, salt = salt)
       .as[(String, Long, Long, Long, Long, Long)].collect().head
     val means = (0 until b).flatMap { r =>
-      val kept = rows.filter(t => md5hex8(s"${t._2}:$r:$salt") < "80000000")
+      val kept = rows.filter(t => ((hash(s"${t._2}:$salt") >> r) & 1L) == 1L)
       if (kept.isEmpty) None
       else Some(kept.map(_._3).sum * 1000L / kept.size)
     }.sorted
@@ -62,6 +63,18 @@ class ExperimentSpec extends SparkSpecBase {
       rows.map(_._3).sum * 1000L / 40L,
       means(m * 100 / 1000), means(m - m * 100 / 1000 - 1))
     assert(got == want, s"got $got want $want (means=$means)")
+  }
+
+  test("halfSampleCi: per-key sums past the long x1000 ceiling don't wrap") {
+    // 3 rows of 4e15 sum to 1.2e16; the x1000 product (1.2e19) exceeds
+    // Long.MaxValue — the round-12 LongType arithmetic wrapped (or threw
+    // under ANSI); the DECIMAL(38,0) widening reports the exact mean
+    val big = 4_000_000_000_000_000L
+    val rows = (1L to 3L).map(i => ("k", i, big))
+    val r = Experiment.halfSampleCi(rows.toDF("key", "id", "v"),
+        "key", col("id"), col("v"), b = 4)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(r._4 == big * 1000L, s"mean_milli wrapped: ${r._4}")
   }
 
   test("halfSampleCi: band is ordered and replicates never exceed b") {

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** The HNSW-style layered-graph ANN: geometric level law, per-layer
+  * edge bounds, planted-neighbor search, and the persisted-index path
+  * serving the same results as the in-plan build. */
+class HnswSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def randCorpus(n: Int, dim: Int, seed: Int = 7) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("withLevel: trailing-zero geometric law — exact vs a naive bit reference") {
+    val df = (0L until 4096L).map(i => Tuple1(i)).toDF("vec_id")
+    val got = Hnsw.withLevel(df, "vec_id", maxLevel = 3)
+      .select("vec_id", "level").as[(Long, Long)].collect().toMap
+    def hash(s: String): Long = graft.functions.PortableHash.mix64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    got.foreach { case (id, lvl) =>
+      val h = hash(s"$id:hnsw")
+      val want = (0 until 3).find(i => ((h >> i) & 1L) == 1L)
+        .map(_.toLong).getOrElse(3L)
+      assert(lvl == want, s"id=$id")
+    }
+    // the geometric shape: each level holds roughly half the previous
+    val byLevel = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLevel(0L) > 1600 && byLevel(0L) < 2500, byLevel.toString)
+    assert(byLevel(1L) > 800 && byLevel(1L) < 1300, byLevel.toString)
+  }
+
+  test("knnEdges: per-(layer, src) outdegree <= m; layers respect both endpoints' levels") {
+    val df = randCorpus(200, 16)
+    val edges = Hnsw.knnEdges(df, "vec_id", "embedding", dim = 16, m = 4,
+      maxLevel = 3, planes = 3, tables = 2)
+    val rows = edges.select("layer", "src", "dst")
+      .as[(Int, Long, Long)].collect()
+    val deg = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.size)
+    assert(deg.values.forall(_ <= 4), s"max outdegree ${deg.values.max}")
+    val lvls = Hnsw.withLevel(df, "vec_id", 3)
+      .select("vec_id", "level").as[(Long, Long)].collect().toMap
+    rows.foreach { case (layer, src, dst) =>
+      assert(layer <= lvls(src) && layer <= lvls(dst),
+        s"edge ($src,$dst) above an endpoint's level at layer $layer")
+    }
+  }
+
+  test("topK finds a planted near-duplicate and never returns the query itself") {
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = Seq((0L, base), (1L, base.map(_ * 1.0001f))) ++
+      (2L until 120L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Hnsw.topK(df.where(col("vec_id") === 0L), df, k = 3, dim = 16,
+      m = 6, maxLevel = 3, planes = 3, tables = 3, beam = 8, rounds = 3)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L, s"planted twin not rank 1: $got")
+    assert(!got.values.exists(_ == 0L), "query returned itself")
+  }
+
+  test("persisted index serves bit-identical results to the in-plan build") {
+    val root = java.nio.file.Files.createTempDirectory("hnsw-idx").toString
+    val df = randCorpus(150, 16)
+    val queries = df.where(col("vec_id") < 5)
+    Hnsw.buildIndex(spark, root, df, dim = 16, m = 4, maxLevel = 3,
+      planes = 3, tables = 2)
+    val served = Hnsw.searchIndex(spark, root, queries, df, k = 3,
+      maxLevel = 3, beam = 8, rounds = 2)
+      .collect().map(_.toSeq).toSet
+    val inPlan = Hnsw.topK(queries, df, k = 3, dim = 16, m = 4,
+      maxLevel = 3, planes = 3, tables = 2, beam = 8, rounds = 2)
+      .collect().map(_.toSeq).toSet
+    assert(served == inPlan)
+    // the persisted layout partitions by layer (prunable files)
+    val edges = IndexStore.read(spark, root)
+    assert(edges.columns.contains("layer") && edges.count() > 0)
+  }
+
+  test("search is deterministic: two runs return identical rows") {
+    val df = randCorpus(150, 16, seed = 11)
+    val q = df.where(col("vec_id") < 10)
+    def run() = Hnsw.topK(q, df, k = 5, dim = 16, m = 6, maxLevel = 3,
+      planes = 3, tables = 2, beam = 8, rounds = 2)
+      .collect().map(_.toSeq).toSet
+    assert(run() == run())
+  }
+}

@@ -451,12 +451,15 @@ class ManifestMergeSpec extends SparkSpecBase {
     } finally Upsert.commitBackend = HadoopFsBackend
   }
 
-  test("optimistic concurrency stress under the CAS backend: 4 writers x 3 rounds, zero window") {
+  test("optimistic concurrency stress under the CAS backend: 8 writers x 3 rounds, zero window") {
     // Same stress as the FS-backend test below, arbitrated by the
     // conditional-PUT simulation: zero lost updates AND the residual
     // write->verify window is zero by construction (CasBackend refuses a
     // late racer atomically — no timing assumption anywhere). Dense ids
     // prove every conflict was a clean loser retry, never a silent win.
+    // 8 writers (vs the FS test's 4): CAS arbitration is where the
+    // production object-store deployment lands, so it carries the
+    // heavier contention (round-13 VERDICT item; SURVEY §7.6.2).
     val path = mkTarget()
     Upsert.commitBackend = CasBackend
     try {
@@ -466,7 +469,7 @@ class ManifestMergeSpec extends SparkSpecBase {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
-      val writers = 4
+      val writers = 8
       val rounds = 3
       val futs = (0 until writers).map { w =>
         Future {

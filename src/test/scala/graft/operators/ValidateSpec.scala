@@ -113,6 +113,62 @@ class ValidateSpec extends SparkSpecBase {
     assert(got == Set(("A", 3L, 0L)))
   }
 
+  test("boundedHistogram: identity when the span fits; caps distinct values when it doesn't") {
+    // identity: span 9 ≤ maxBins 16 → width 1, values bit-identical
+    val h = Seq(("a", 1L, 2L), ("a", 9L, 1L), ("b", 4L, 3L))
+      .toDF("key", "__v", "__c")
+    val id = Validate.boundedHistogram(h, 16)
+      .as[(String, Long, Long)].collect().toSet
+    assert(id == Set(("a", 1L, 2L), ("a", 9L, 1L), ("b", 4L, 3L)))
+    // coarsening: 1000 distinct values, maxBins 16 → ≤16 bins, counts
+    // conserved, bin floors are lo + k·w for w = ceil(span/16)
+    val wide = (0L until 1000L).map(v => ("k", v, 1L))
+      .toDF("key", "__v", "__c")
+    val binned = Validate.boundedHistogram(wide, 16)
+      .as[(String, Long, Long)].collect()
+    assert(binned.map(_._2).distinct.length <= 16)
+    assert(binned.map(_._3).sum == 1000L)
+    val w = math.ceil(1000.0 / 16).toLong
+    assert(binned.forall(r => r._2 % w == 0))
+    // extreme domain: Long.MIN/MAX span can't overflow (ANSI would throw)
+    val extreme = Seq(("k", Long.MinValue, 1L), ("k", Long.MaxValue, 1L))
+      .toDF("key", "__v", "__c")
+    val eb = Validate.boundedHistogram(extreme, 16)
+      .as[(String, Long, Long)].collect()
+    assert(eb.map(_._3).sum == 2L && eb.map(_._2).distinct.length <= 16)
+  }
+
+  test("ksVsCorpus: high-cardinality domain auto-coarsens to the binned-exact statistic") {
+    // 10k distinct values; with maxBins=8 the result must equal the
+    // exact KS computed over explicitly pre-binned values (the guard is
+    // deterministic coarsening, not approximation of the binned stat)
+    val rows = (0L until 10000L).map(v =>
+      (if (v % 3 == 0) "A" else "B", v))
+    val df = rows.toDF("src", "v")
+    val got = Validate.ksVsCorpus(df, "src", col("v"), maxBins = 8)
+      .as[(String, Long, Long)].collect().toSet
+    val w = math.ceil(10000.0 / 8).toLong
+    val pre = rows.map { case (s, v) => (s, (v / w) * w) }.toDF("src", "v")
+    val want = Validate.ksVsCorpus(pre, "src", col("v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("ksTwoSlice/rankSumAuc/medianShift: wide domains stay bounded and agree with pre-binned exact") {
+    val rows = (0L until 5000L).map(v => ("k", v, v % 2 == 0))
+    val df = rows.toDF("k", "v", "cur")
+    val w = math.ceil(5000.0 / 8).toLong
+    val pre = rows.map { case (k, v, c) => (k, (v / w) * w, c) }
+      .toDF("k", "v", "cur")
+    def rs(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSeq
+    assert(rs(Validate.ksTwoSlice(df, "k", col("v"), col("cur"), maxBins = 8))
+      == rs(Validate.ksTwoSlice(pre, "k", col("v"), col("cur"))))
+    assert(rs(Validate.rankSumAuc(df, "k", col("v"), col("cur"), maxBins = 8))
+      == rs(Validate.rankSumAuc(pre, "k", col("v"), col("cur"))))
+    assert(rs(Validate.medianShift(df, "k", col("v"), col("cur"), maxBins = 8))
+      == rs(Validate.medianShift(pre, "k", col("v"), col("cur"))))
+  }
+
   private def ks2(rows: Seq[(String, Long, Boolean)]) =
     Validate.ksTwoSlice(rows.toDF("k", "v", "cur"), "k", col("v"), col("cur"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),

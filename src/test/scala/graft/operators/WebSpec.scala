@@ -127,6 +127,38 @@ class WebSpec extends SparkSpecBase {
     assert(links == Seq("https://a.com/x", "http://b.org/y?q=1", "c.io/z"))
   }
 
+  test("bundled PSL snapshot: real wildcard/exception/deep rules pin registrableDomainPsl") {
+    // the reduced snapshot of publicsuffix.org's ICANN section (test
+    // resource, see its header) — the wildcard/exception semantics are
+    // exercised against REAL entries (the *.ck/!www.ck and Japanese
+    // city-domain families), not only the synthetic list above
+    val path = getClass.getResource("/public_suffix_snapshot.dat").getPath
+    val rules = Web.loadPsl(spark, path)
+    assert(rules.wildcard.contains("ck") && rules.wildcard.contains("kawasaki.jp"))
+    assert(rules.exceptions.contains("www.ck") &&
+      rules.exceptions.contains("city.kawasaki.jp"))
+    def reg(hosts: String*): Seq[String] =
+      hosts.toDF("h").select(Web.registrableDomainPsl(col("h"), rules))
+        .as[String].collect().toSeq
+    assert(reg(
+      "www.city.kawasaki.jp",   // exception: city.kawasaki.jp IS registrable
+      "city.kawasaki.jp",       // the exception host itself
+      "foo.bar.kawasaki.jp",    // wildcard *.kawasaki.jp: suffix bar.kawasaki.jp
+      "example.co.jp",          // plain depth-2
+      "a.b.example.ac.uk",      // deep subdomain under a depth-2 suffix
+      "www.example.ck",         // wildcard *.ck: suffix example.ck
+      "www.ck",                 // classic !www.ck exception
+      "ftp.www.ck",
+      "dhaka.example.bd",       // wildcard-only *.bd
+      "school.k12.ma.us",       // depth-3 suffix
+      "deep.www.example.com",
+      "example.govt.nz") == Seq(
+      "city.kawasaki.jp", "city.kawasaki.jp", "foo.bar.kawasaki.jp",
+      "example.co.jp", "example.ac.uk", "www.example.ck", "www.ck",
+      "www.ck", "dhaka.example.bd", "school.k12.ma.us", "example.com",
+      "example.govt.nz"))
+  }
+
   test("loadPsl reads a suffix file through the Hadoop FS API") {
     val dir = java.nio.file.Files.createTempDirectory("psl").toString
     val f = java.nio.file.Paths.get(dir, "suffixes.dat")
