@@ -118,6 +118,13 @@ object Hnsw {
     // (greedy never moves to a worse node), re-score, keep the best b.
     // The frontier is the BROADCAST side of both joins — the edge and
     // vector tables are corpus-scale, the frontier is |queries|·beam.
+    // Each step's result is localCheckpointed (the Graph-loop lineage
+    // discipline): a step references its predecessor TWICE (union +
+    // expand), so without the pin the plan tree doubles per step — the
+    // first cut's static plan carried 2^steps copies of the early
+    // stages (379 exchanges in the audit) and re-executed the frontier
+    // per reference, the same exponential-inlining failure the oracle's
+    // MATERIALIZED CTEs fix on the SQL side.
     def topB(fr: DataFrame, b: Int): DataFrame =
       vecs.join(broadcast(fr.distinct()), "node_id")
         .join(broadcast(q), "query_id")
@@ -126,6 +133,7 @@ object Hnsw {
           .orderBy(col("__cos").desc, col("node_id").asc)))
         .where(col("__rn") <= b)
         .select("query_id", "node_id")
+        .localCheckpoint()
     def expand(fr: DataFrame, layer: Int): DataFrame =
       edges.where(col("layer") === layer)
         .join(broadcast(fr), col("src") === col("node_id"))
