@@ -72,6 +72,12 @@ object Pipeline {
         * runs. */
       ivfIndexPath: Option[String] = None,
       ivfNlist: Int = 16,
+      /** When set, the run maintains a persisted HNSW-style graph ANN
+        * index over the target's vectors ([[graft.operators.Hnsw]]): the
+        * first batch builds it, later batches fold in EXACTLY
+        * rebuild-equivalently ([[graft.operators.Hnsw.addToIndex]]'s
+        * re-cut theorem) — the graph-family twin of `ivfIndexPath`. */
+      hnswIndexPath: Option[String] = None,
       /** Batch-level curation stage, applied AFTER the window dedup and
         * BEFORE the dimension join + merge: compose the library's
         * curation operators (quality gates, [[graft.operators.Sampling]]
@@ -229,6 +235,16 @@ object Pipeline {
         graft.operators.Ivf.buildIndex(spark, idx, vecs, trainOn = vecs,
           nlist = conf.ivfNlist, iters = 1,
           idCol = "main_refco", vecCol = "embedding_vector")
+    }
+    conf.hnswIndexPath.foreach { idx =>
+      val vecs = withDim.select(col("main_refco"), col("embedding_vector"))
+      if (graft.operators.IndexStore.exists(spark, s"$idx/meta"))
+        graft.operators.Hnsw.addToIndex(spark, idx, vecs,
+          idCol = "main_refco", vecCol = "embedding_vector")
+      else
+        graft.operators.Hnsw.buildIndex(spark, idx, vecs,
+          idCol = "main_refco", vecCol = "embedding_vector",
+          dim = conf.vectorDim)
     }
 
     // A2/A4: advance watermarks from the staged batch — only after merge

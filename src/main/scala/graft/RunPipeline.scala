@@ -69,6 +69,7 @@ object RunPipeline {
         sourceFormat = opts.getOrElse("--format", "parquet"),
         ivfIndexPath = opts.get("--ivf-index"),
         ivfNlist = opts.get("--ivf-nlist").map(_.toInt).getOrElse(16),
+        hnswIndexPath = opts.get("--hnsw-index"),
         // --quality 'name:sqlPredicate;name2:pred2' — predicates parsed
         // with expr(), TRUE = violation; --quality-budgets 'name=5;...'
         qualityRules = opts.get("--quality").map(_.split(";").toSeq.map { r =>
@@ -128,6 +129,7 @@ object RunPipeline {
       nearDupIndexPath = opts.get("--neardup-index"),
       ivfIndexPath = opts.get("--ivf-index"),
       ivfNlist = opts.get("--ivf-nlist").map(_.toInt).getOrElse(16),
+      hnswIndexPath = opts.get("--hnsw-index"),
       enrich = opts.get("--enrich").map(parseEnrich),
       cardinalityProfilePath = opts.get("--cardinality-profile"),
       quantileProfilePath = opts.get("--quantile-profile"),

@@ -550,6 +550,67 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "r13") {
+      // Round-13 additions at the 10× axis: ann_hnsw's cost is the
+      // bucket-bounded per-layer top-m edge build (candidate volume per
+      // node follows the occupancy law; the search itself is
+      // (maxLevel + rounds) frontier joins bounded by the QUERY set,
+      // not the corpus); hnsw_recall adds the deliberately-quadratic
+      // brute-force reference side, which dominates at 10×.
+      // halfsample_ci re-measured after the one-hash-per-row slim
+      // (32 md5/row → 1 mix64/row — VERDICT r12 #5).
+      val big = "/tmp/scale/sf1"
+      if (!new java.io.File(s"$big/embeddings.parquet").isDirectory) {
+        val emb = spark.read.parquet(s"$src/embeddings.parquet")
+        (0 until 10).map(i => emb
+          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L))
+          .withColumn("embedding", if (i == 0) col("embedding")
+            else transform(col("embedding"), (x, j) =>
+              (x * (pmod(xxhash64(lit(i), j), lit(2)) * 2 - 1)).cast("float"))))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+        System.err.println("[scale] derived sf1 embeddings (10x)")
+      }
+      if (!new java.io.File(s"$big/events.parquet").isDirectory) {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = spark.read.parquet(s"$src/events.parquet")
+        (0 until 10).map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i.toLong * 100000L)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$big/events.parquet")
+        System.err.println("[scale] derived sf1 events (10x)")
+      }
+      def exp10(t1: Double, t10: Double): Double =
+        math.log(t10 / t1) / math.log(10.0)
+      val ps = Seq("ann_hnsw", "hnsw_recall", "halfsample_ci")
+      ps.foreach(q => time(q, src)) // warmup: codegen + JIT
+      ps.foreach(q => time(q, big))
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t10 = median3(time(q, big))
+        println(f"SCALE10 $q%-23s sf0.1=$t1%6.2f s  sf1=$t10%7.2f s  exponent=${exp10(t1, t10)}%5.2f")
+      }
+      // the auto-sized plane path (the production default, which the
+      // registered query can't use — its oracle interpolates hyperplane
+      // literals): occupancy-matched buckets keep per-node candidate
+      // volume flat across the axis, vs planes=4's near-linear read
+      def timeAuto(dir: String): Double = {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val q = emb.where(col("vec_id") < 20)
+        val t0 = System.nanoTime()
+        operators.Hnsw.topK(q, emb, k = 5, dim = 64, m = 8,
+            beam = 16, rounds = 3)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      timeAuto(src); timeAuto(big) // warmup
+      val a1 = median3(timeAuto(src))
+      val a10 = median3(timeAuto(big))
+      println(f"SCALE10 ann_hnsw_autoplanes    sf0.1=$a1%6.2f s  sf1=$a10%7.2f s  exponent=${exp10(a1, a10)}%5.2f")
+      spark.stop()
+      return
+    }
     if (mode == "r12f") {
       // Final round-12 census additions at the 10× axis: every one is a
       // single-exchange rollup — yule_k over the (key, word) count table,

@@ -963,6 +963,23 @@ object SparkEntry {
         m = 8, maxLevel = 3, planes = 4, tables = 4, beam = 16, rounds = 3)
     }),
 
+    // The same search served from a PERSISTED layer-partitioned graph
+    // (built once per corpus fingerprint — the bm25_indexed posture):
+    // identical oracle, so the gate proves index-served results equal
+    // scan-computed ones bit for bit.
+    "ann_hnsw_indexed" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val idx = Ivf.cachedIndexDir(src, root = "/tmp/graft-hnswidx")
+      if (!IndexStore.exists(s, idx)) {
+        Ivf.gcSupersededIndexes(idx)
+        Hnsw.buildIndex(s, idx, Tables.embeddings(s, dir), dim = 64,
+          m = 8, maxLevel = 3, planes = 4, tables = 4)
+      }
+      val emb = Tables.embeddings(s, dir)
+      Hnsw.searchIndex(s, idx, emb.where(col("vec_id") < 20), k = 5,
+        beam = 16, rounds = 3)
+    }),
+
     // In-engine recall of the graph search against exact brute force —
     // the (m, beam, rounds) tuning harness, the lsh/ivf/pq_recall twin.
     "hnsw_recall" -> ((s, dir) => {
@@ -3346,7 +3363,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlBase +
       ("bm25_indexed" -> oracleSqlBase("bm25_topk")) +
-      ("fano_profiled" -> oracleSqlBase("fano_factor"))
+      ("fano_profiled" -> oracleSqlBase("fano_factor")) +
+      ("ann_hnsw_indexed" -> oracleSqlBase("ann_hnsw"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "pushdown_scan" ->

@@ -94,6 +94,7 @@ object IncrementalStream {
       curate: Option[DataFrame => DataFrame] = None,
       ivfIndexPath: Option[String] = None,
       ivfNlist: Int = 16,
+      hnswIndexPath: Option[String] = None,
       enrich: Option[EnrichSpec] = None,
       cardinalityProfilePath: Option[String] = None,
       quantileProfilePath: Option[String] = None,
@@ -233,6 +234,20 @@ object IncrementalStream {
             graft.operators.Ivf.buildIndex(s, idx, vecs, trainOn = vecs,
               nlist = ivfNlist, iters = 1,
               idCol = "main_refco", vecCol = "embedding_vector")
+        }
+        // Graph-family twin of ivfIndexPath: first batch builds the
+        // layered graph, later batches fold in rebuild-equivalently;
+        // addToIndex's left-anti replay guard matches the merge's
+        // at-least-once posture.
+        hnswIndexPath.foreach { idx =>
+          val vecs = curated.select(col("main_refco"), col("embedding_vector"))
+          if (graft.operators.IndexStore.exists(s, s"$idx/meta"))
+            graft.operators.Hnsw.addToIndex(s, idx, vecs,
+              idCol = "main_refco", vecCol = "embedding_vector")
+          else
+            graft.operators.Hnsw.buildIndex(s, idx, vecs,
+              idCol = "main_refco", vecCol = "embedding_vector",
+              dim = graft.schema.Schemas.EmbeddingDim)
         }
         // Persisted BM25 index maintained by the stream, indexing what
         // the TABLE serves. For an insert-only column the merge keeps

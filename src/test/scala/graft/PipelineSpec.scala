@@ -104,6 +104,43 @@ class PipelineSpec extends SparkSpecBase {
     assert(cells.select("main_refco").distinct().count() == 3)
   }
 
+  test("pipeline maintains a persisted HNSW graph incrementally, rebuild-equivalent") {
+    val dir = Files.createTempDirectory("graft-pipe-hnsw").toString
+    val conf = Pipeline.Config(
+      sourcePath = s"$dir/source",
+      targetPath = s"$dir/target",
+      statePath = s"$dir/state.json",
+      stagingPath = s"$dir/staging",
+      vectorDim = 2,
+      hnswIndexPath = Some(s"$dir/hnsw"))
+
+    Seq(
+      doc("s1", "2024-02-01 10:00:00", "r1", "", Seq(1f, 0f)),
+      doc("s2", "2024-02-01 11:00:00", "r2", "red", Seq(0f, 1f))
+    ).toDF(cols: _*).write.mode(SaveMode.Overwrite).parquet(conf.sourcePath)
+    Pipeline.run(spark, conf)
+    assert(graft.operators.IndexStore.read(spark, s"$dir/hnsw/nodes")
+      .count() == 2)
+
+    // second batch folds in; the graph must equal a from-scratch build
+    // over all three vectors (addToIndex's re-cut theorem, through the
+    // whole pipeline path)
+    Seq(doc("s1", "2024-03-01 10:00:00", "r3", "", Seq(1f, 1f)))
+      .toDF(cols: _*).write.mode(SaveMode.Overwrite).parquet(conf.sourcePath)
+    Pipeline.run(spark, conf)
+    val nodes = graft.operators.IndexStore.read(spark, s"$dir/hnsw/nodes")
+    assert(nodes.count() == 3)
+    val fresh = s"$dir/hnsw-fresh"
+    graft.operators.Hnsw.buildIndex(spark, fresh,
+      nodes.select(nodes("node_id").as("main_refco"),
+        nodes("embedding").as("embedding_vector")),
+      idCol = "main_refco", vecCol = "embedding_vector", dim = 2)
+    def edges(r: String) = graft.operators.IndexStore
+      .read(spark, s"$r/edges").select("layer", "src", "dst", "cos")
+      .collect().map(_.toSeq).toSet
+    assert(edges(s"$dir/hnsw") == edges(fresh))
+  }
+
   test("backfill, empty-run short-circuit, incremental advance") {
     val dir = Files.createTempDirectory("graft-pipe").toString
     val conf = Pipeline.Config(

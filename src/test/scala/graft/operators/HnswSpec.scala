@@ -70,16 +70,49 @@ class HnswSpec extends SparkSpecBase {
     val queries = df.where(col("vec_id") < 5)
     Hnsw.buildIndex(spark, root, df, dim = 16, m = 4, maxLevel = 3,
       planes = 3, tables = 2)
-    val served = Hnsw.searchIndex(spark, root, queries, df, k = 3,
-      maxLevel = 3, beam = 8, rounds = 2)
+    // self-contained: the search never touches the corpus
+    val served = Hnsw.searchIndex(spark, root, queries, k = 3,
+      beam = 8, rounds = 2)
       .collect().map(_.toSeq).toSet
     val inPlan = Hnsw.topK(queries, df, k = 3, dim = 16, m = 4,
       maxLevel = 3, planes = 3, tables = 2, beam = 8, rounds = 2)
       .collect().map(_.toSeq).toSet
     assert(served == inPlan)
-    // the persisted layout partitions by layer (prunable files)
-    val edges = IndexStore.read(spark, root)
+    // the persisted layout partitions edges by layer (prunable files)
+    val edges = IndexStore.read(spark, s"$root/edges")
     assert(edges.columns.contains("layer") && edges.count() > 0)
+  }
+
+  test("addToIndex is EXACTLY rebuild-equivalent and replay-idempotent") {
+    // split a corpus, build on the first part, fold the rest in — the
+    // incremental index must equal the from-scratch build bit for bit:
+    // edges, and therefore every search result. The equivalence theorem:
+    // re-cutting a stored top-m against the new candidates equals
+    // cutting the full candidate set, because anything the old cut
+    // dropped is still dominated by m surviving edges.
+    val root = java.nio.file.Files.createTempDirectory("hnsw-add").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("hnsw-full").toString
+    val df = randCorpus(200, 16, seed = 5)
+    val part1 = df.where(col("vec_id") < 120)
+    val part2 = df.where(col("vec_id") >= 120)
+    Hnsw.buildIndex(spark, root, part1, dim = 16, m = 4, maxLevel = 3,
+      planes = 3, tables = 2)
+    Hnsw.addToIndex(spark, root, part2)
+    Hnsw.buildIndex(spark, rebuilt, df, dim = 16, m = 4, maxLevel = 3,
+      planes = 3, tables = 2)
+    def edgeSet(r: String) = IndexStore.read(spark, s"$r/edges")
+      .select("layer", "src", "dst", "cos")
+      .collect().map(_.toSeq).toSet
+    assert(edgeSet(root) == edgeSet(rebuilt))
+    val queries = df.where(col("vec_id") < 5)
+    def res(r: String) = Hnsw.searchIndex(spark, r, queries, k = 3,
+      beam = 8, rounds = 2).collect().map(_.toSeq).toSet
+    assert(res(root) == res(rebuilt))
+    // replaying the same batch is a no-op (ids already indexed)
+    val before = edgeSet(root)
+    Hnsw.addToIndex(spark, root, part2)
+    assert(edgeSet(root) == before)
+    assert(IndexStore.read(spark, s"$root/nodes").count() == 200L)
   }
 
   test("search is deterministic: two runs return identical rows") {

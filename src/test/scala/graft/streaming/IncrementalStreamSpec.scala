@@ -98,6 +98,41 @@ class IncrementalStreamSpec extends SparkSpecBase {
       .as[String].collect().toSet == Set("a", "b", "c"))
   }
 
+  test("streaming HNSW maintenance: build on first pass, rebuild-equivalent fold after") {
+    val src = tmp("hnsw-src"); val ckpt = tmp("hnsw-ckpt")
+    val target = tmp("hnsw-target") + "/out"
+    val idx = tmp("hnsw-idx") + "/index"
+
+    writeBatch(src, Seq(
+      doc("s1", "2024-01-01 10:00:00", Seq(1f, 0f), "a", "", "c1"),
+      doc("s1", "2024-01-01 11:00:00", Seq(0f, 1f), "b", "", "c2")),
+      "batch0")
+    IncrementalStream.start(spark, src, target, ckpt,
+      hnswIndexPath = Some(idx)).awaitTermination()
+    assert(graft.operators.IndexStore.read(spark, s"$idx/nodes").count() == 2)
+
+    writeBatch(src, Seq(
+      doc("s2", "2024-01-02 10:00:00", Seq(1f, 1f), "c", "", "c3")),
+      "batch1")
+    IncrementalStream.start(spark, src, target, ckpt,
+      hnswIndexPath = Some(idx)).awaitTermination()
+    val nodes = graft.operators.IndexStore.read(spark, s"$idx/nodes")
+    assert(nodes.select("node_id").as[String].collect().toSet ==
+      Set("a", "b", "c"))
+    // the stream-folded graph equals a from-scratch build over the same
+    // vectors (the addToIndex re-cut theorem, through the stream path)
+    val fresh = tmp("hnsw-fresh") + "/index"
+    graft.operators.Hnsw.buildIndex(spark, fresh,
+      nodes.select(nodes("node_id").as("main_refco"),
+        nodes("embedding").as("embedding_vector")),
+      idCol = "main_refco", vecCol = "embedding_vector",
+      dim = graft.schema.Schemas.EmbeddingDim)
+    def edges(r: String) = graft.operators.IndexStore
+      .read(spark, s"$r/edges").select("layer", "src", "dst", "cos")
+      .collect().map(_.toSeq).toSet
+    assert(edges(idx) == edges(fresh))
+  }
+
   test("streaming text-index maintenance: build, update-correct delete-then-add") {
     val src = tmp("ti-src"); val ckpt = tmp("ti-ckpt")
     val target = tmp("ti-target") + "/out"
