@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions.col
   *     <targetPath> <keysPath> [--key-col main_refco] \
   *     [--merge-buckets 256] [--keep-snapshots 1] \
   *     [--ivf-index <indexPath>] [--ivf-id-col vec_id] \
+  *     [--hnsw-index <indexPath>] [--hnsw-id-col main_refco] \
   *     [--neardup-index <indexPath>]
   * }}}
   *
@@ -38,7 +39,8 @@ object RunErasure {
     require(args.length >= 2,
       "usage: RunErasure <target> <keysPath> [--key-col c] " +
         "[--merge-buckets n] [--keep-snapshots n] " +
-        "[--ivf-index p] [--ivf-id-col c] [--neardup-index p] " +
+        "[--ivf-index p] [--ivf-id-col c] [--hnsw-index p] " +
+        "[--hnsw-id-col c] [--neardup-index p] " +
         "[--text-index p] " +
         "[--components p]")
     val Array(target, keysPath) = args.take(2)
@@ -90,6 +92,12 @@ object RunErasure {
           opts.getOrElse("--ivf-id-col", "vec_id")),
           opts.getOrElse("--ivf-id-col", "vec_id"))
         System.err.println(s"[erasure] IVF index scrubbed: $idx")
+      }
+      opts.get("--hnsw-index").foreach { idx =>
+        operators.Hnsw.deleteFromIndex(spark, idx, keys.toDF(
+          opts.getOrElse("--hnsw-id-col", "main_refco")),
+          opts.getOrElse("--hnsw-id-col", "main_refco"))
+        System.err.println(s"[erasure] HNSW graph scrubbed + healed: $idx")
       }
       opts.get("--neardup-index").foreach { idx =>
         operators.Dedup.deleteFromNearDupIndex(spark, idx,

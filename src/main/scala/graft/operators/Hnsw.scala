@@ -231,6 +231,45 @@ object Hnsw {
     * slim rows, a few percent of corpus bytes; a key-bucketed merge
     * layout (the [[Upsert]] machinery) is the upgrade path if batch
     * cadence ever outgrows that. */
+  /** (id, vec, level) exploded to one row per (table, bucket) — the
+    * candidate-generation side shared by the maintenance verbs. */
+  private def bucketed(df: DataFrame, tag: String, meta: Meta): DataFrame =
+    Dedup.withSrpBuckets(
+        withLevel(df, "node_id", meta.maxLevel), "embedding",
+        meta.planes, meta.seed, meta.dim, meta.tables)
+      .select(col("node_id").as(s"${tag}_id"),
+        col("embedding").as(s"${tag}_v"), col("level").as(s"${tag}_lv"),
+        posexplode(col("__buckets")).as(Seq("__table", "__bucket")))
+
+  /** Directed scored bucket-mate pairs a→b. The b side is fully renamed:
+    * self-joins of one checkpointed frame would otherwise be ambiguous. */
+  private def directed(a: DataFrame, aTag: String, b: DataFrame,
+      bTag: String): DataFrame = {
+    val bb = b.select(col(s"${bTag}_id").as("__dst_id"),
+      col(s"${bTag}_v").as("__dst_v"), col(s"${bTag}_lv").as("__dst_lv"),
+      col("__table").as("__t2"), col("__bucket").as("__b2"))
+    a.join(bb,
+        col("__table") === col("__t2") && col("__bucket") === col("__b2"))
+      .where(col(s"${aTag}_id") =!= col("__dst_id"))
+      .select(col(s"${aTag}_id").as("src"), col("__dst_id").as("dst"),
+        F.cosineSim(col(s"${aTag}_v"), col("__dst_v")).as("cos"),
+        least(col(s"${aTag}_lv"), col("__dst_lv")).as("__plv"))
+  }
+
+  /** Cross-table pair dedup + per-layer explode + the top-m cut. */
+  private def cutTopM(cand: DataFrame, m: Int): DataFrame =
+    cand.groupBy("src", "dst")
+      .agg(max("cos").as("cos"), max("__plv").as("__plv"))
+      .select(col("src"), col("dst"), col("cos"),
+        explode(sequence(lit(0L), col("__plv"))).as("layer"))
+      .select(col("layer").cast("int").as("layer"), col("src"), col("dst"),
+        col("cos"))
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy("layer", "src")
+        .orderBy(col("cos").desc, col("dst").asc)))
+      .where(col("__rn") <= m)
+      .select("layer", "src", "dst", "cos")
+
   def addToIndex(spark: SparkSession, root: String, batch: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val meta = readMeta(spark, root)
@@ -240,31 +279,13 @@ object Hnsw {
       .join(nodes.select("node_id"), Seq("node_id"), "left_anti")
       .localCheckpoint() // consumed by buckets, the append, AND the guard
     if (fresh.isEmpty) return
-    def bucketed(df: DataFrame, tag: String): DataFrame =
-      Dedup.withSrpBuckets(
-          withLevel(df, "node_id", meta.maxLevel), "embedding",
-          meta.planes, meta.seed, meta.dim, meta.tables)
-        .select(col("node_id").as(s"${tag}_id"),
-          col("embedding").as(s"${tag}_v"), col("level").as(s"${tag}_lv"),
-          posexplode(col("__buckets")).as(Seq("__table", "__bucket")))
-    val newB = bucketed(fresh, "n").localCheckpoint()
-    val oldB = bucketed(nodes, "o")
+    val newB = bucketed(fresh, "n", meta).localCheckpoint()
+    val oldB = bucketed(nodes, "o", meta)
     // every directed pair with a NEW endpoint: new->new, new->old,
     // old->new — old->old pairs are already represented by the stored
-    // top-m cuts (the equivalence argument above)
-    def directed(a: DataFrame, aTag: String, b: DataFrame, bTag: String) = {
-      // fully rename the b side: the new x new case is a SELF-join of the
-      // same checkpointed frame, where shared column names are ambiguous
-      val bb = b.select(col(s"${bTag}_id").as("__dst_id"),
-        col(s"${bTag}_v").as("__dst_v"), col(s"${bTag}_lv").as("__dst_lv"),
-        col("__table").as("__t2"), col("__bucket").as("__b2"))
-      a.join(bb,
-          col("__table") === col("__t2") && col("__bucket") === col("__b2"))
-        .where(col(s"${aTag}_id") =!= col("__dst_id"))
-        .select(col(s"${aTag}_id").as("src"), col("__dst_id").as("dst"),
-          F.cosineSim(col(s"${aTag}_v"), col("__dst_v")).as("cos"),
-          least(col(s"${aTag}_lv"), col("__dst_lv")).as("__plv"))
-    }
+    // top-m cuts (the equivalence argument above). The stored edges ride
+    // into the SAME cut with a saturated layer bound (they are already
+    // exploded to their layers).
     val newCand = directed(newB, "n", newB, "n")
       .union(directed(newB, "n", oldB, "o"))
       .union(directed(oldB, "o", newB, "n"))
@@ -284,6 +305,53 @@ object Hnsw {
       .select("layer", "src", "dst", "cos")
       .localCheckpoint() // pin BEFORE the store rewrite replaces its input
     IndexStore.append(spark, s"$root/nodes", fresh)
+    IndexStore.rewriteWith(spark, s"$root/edges", partCol = Some("layer"))(
+      () => (merged, Some(0 to meta.maxLevel)))
+  }
+
+  /** Erase ids from a persisted graph, EXACTLY rebuild-equivalent (the
+    * [[Ivf.deleteFromIndex]] erasure verb, with healing): deleted nodes
+    * leave `nodes` and every edge touching them leaves `edges`, and —
+    * the part a naive filter misses — every surviving node whose STORED
+    * top-m lost a member re-ranks against the full surviving candidate
+    * set (its cut may now admit candidates the old cut dropped; nodes
+    * whose stored cut kept no deleted member are provably unchanged:
+    * removing non-members of a top-m never moves the cut). Recall after
+    * erasure therefore equals a from-scratch build over the survivors —
+    * no degraded-until-rebuild window. Cost: the affected set is
+    * |nodes that listed a deleted neighbor| ≤ deleted·m·tables, and only
+    * those re-bucket against the survivors. */
+  def deleteFromIndex(spark: SparkSession, root: String, ids: DataFrame,
+      idCol: String = "vec_id"): Unit = {
+    if (!IndexStore.exists(spark, s"$root/meta")) return
+    val meta = readMeta(spark, root)
+    val del = ids.select(col(idCol).as("node_id")).distinct()
+      .localCheckpoint()
+    val nodes = IndexStore.read(spark, s"$root/nodes")
+    val survivors = nodes.join(del, Seq("node_id"), "left_anti")
+      .localCheckpoint()
+    val edges = IndexStore.read(spark, s"$root/edges")
+      .select("layer", "src", "dst", "cos")
+    val affected = edges
+      .join(del.select(col("node_id").as("dst")), Seq("dst"), "left_semi")
+      .select("src").distinct()
+      .join(del.select(col("node_id").as("src")), Seq("src"), "left_anti")
+      .localCheckpoint()
+    val keep = edges
+      .join(del.select(col("node_id").as("src")), Seq("src"), "left_anti")
+      .join(del.select(col("node_id").as("dst")), Seq("dst"), "left_anti")
+      .join(affected, Seq("src"), "left_anti")
+      // USING joins move the join column to the front — re-fix the order
+      // or the positional union with the healed edges transposes columns
+      .select("layer", "src", "dst", "cos")
+    val affNodes = survivors.join(
+      affected.select(col("src").as("node_id")), Seq("node_id"), "left_semi")
+    val healed = cutTopM(
+      directed(bucketed(affNodes, "n", meta), "n",
+        bucketed(survivors, "o", meta), "o"), meta.m)
+    val merged = keep.union(healed)
+      .localCheckpoint() // pin BEFORE the store rewrite replaces its input
+    IndexStore.rewrite(spark, s"$root/nodes", survivors)
     IndexStore.rewriteWith(spark, s"$root/edges", partCol = Some("layer"))(
       () => (merged, Some(0 to meta.maxLevel)))
   }

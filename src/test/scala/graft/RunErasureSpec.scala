@@ -29,6 +29,10 @@ class RunErasureSpec extends SparkSpecBase {
     sigs.write.parquet(s"$ndIdx/sigs")
     bands.write.parquet(s"$ndIdx/bands")
 
+    val hnswIdx = s"$dir/hnsw"
+    graft.operators.Hnsw.buildIndex(spark, hnswIdx, emb, idCol = "vec_id",
+      dim = 64, m = 4, planes = 3, tables = 2)
+
     val ccRoot = s"$dir/components"
     graft.operators.Graph.updateComponents(spark, ccRoot,
       emb.select(col("vec_id").as("id")), "id",
@@ -39,6 +43,7 @@ class RunErasureSpec extends SparkSpecBase {
     RunErasure.run(spark, Array(target, s"$dir/keys",
       "--key-col", "vec_id",
       "--ivf-index", ivfIdx,
+      "--hnsw-index", hnswIdx, "--hnsw-id-col", "vec_id",
       "--neardup-index", ndIdx,
       "--components", ccRoot))
 
@@ -51,6 +56,15 @@ class RunErasureSpec extends SparkSpecBase {
     val inBands = Dedup.readNearDupIndexTable(spark, ndIdx, "bands")
       .where(col("id").isin(victims.map(Long.box): _*)).count()
     assert(inTarget == 0 && inIvf == 0 && inSigs == 0 && inBands == 0)
+    // HNSW graph: victims gone from nodes AND from every edge endpoint
+    val hn = graft.operators.IndexStore.read(spark, s"$hnswIdx/nodes")
+      .where(col("node_id").isin(victims.map(Long.box): _*)).count()
+    val he = graft.operators.IndexStore.read(spark, s"$hnswIdx/edges")
+      .where(col("src").isin(victims.map(Long.box): _*) ||
+        col("dst").isin(victims.map(Long.box): _*)).count()
+    assert(hn == 0 && he == 0)
+    assert(graft.operators.IndexStore.read(spark, s"$hnswIdx/nodes")
+      .count() == emb.count() - 2)
     // nothing else was lost
     assert(Upsert.readTarget(spark, target).count() == emb.count() - 2)
     assert(Ivf.readCells(spark, ivfIdx).count() == emb.count() - 2)

@@ -115,6 +115,41 @@ class HnswSpec extends SparkSpecBase {
     assert(IndexStore.read(spark, s"$root/nodes").count() == 200L)
   }
 
+  test("deleteFromIndex heals exactly: erased graph equals a build over the survivors") {
+    // delete a third of the corpus — including, by construction, nodes
+    // that appear in other nodes' stored top-m (the heal path) — and
+    // require bit-for-bit equality with a from-scratch build over the
+    // survivors: edges AND search results. This is the no-degraded-
+    // recall-window erasure contract.
+    val root = java.nio.file.Files.createTempDirectory("hnsw-del").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("hnsw-surv").toString
+    val df = randCorpus(180, 16, seed = 9)
+    Hnsw.buildIndex(spark, root, df, dim = 16, m = 4, maxLevel = 3,
+      planes = 3, tables = 2)
+    val doomed = df.where(col("vec_id") % 3 === 0).select("vec_id")
+    Hnsw.deleteFromIndex(spark, root, doomed)
+    val survivors = df.where(col("vec_id") % 3 =!= 0)
+    Hnsw.buildIndex(spark, rebuilt, survivors, dim = 16, m = 4,
+      maxLevel = 3, planes = 3, tables = 2)
+    def edgeSet(r: String) = IndexStore.read(spark, s"$r/edges")
+      .select("layer", "src", "dst", "cos")
+      .collect().map(_.toSeq).toSet
+    assert(edgeSet(root) == edgeSet(rebuilt))
+    // no erased id survives anywhere in the index
+    val remaining = IndexStore.read(spark, s"$root/nodes")
+      .select("node_id").as[Long].collect().toSet
+    assert(remaining.forall(_ % 3 != 0) && remaining.size == 120)
+    val queries = survivors.where(col("vec_id") < 10)
+    def res(r: String) = Hnsw.searchIndex(spark, r, queries, k = 3,
+      beam = 8, rounds = 2).collect().map(_.toSeq).toSet
+    assert(res(root) == res(rebuilt))
+    // deleting ids not present is a no-op
+    val before = edgeSet(root)
+    Hnsw.deleteFromIndex(spark, root,
+      Seq(100000L, 100001L).toDF("vec_id"))
+    assert(edgeSet(root) == before)
+  }
+
   test("search is deterministic: two runs return identical rows") {
     val df = randCorpus(150, 16, seed = 11)
     val q = df.where(col("vec_id") < 10)
