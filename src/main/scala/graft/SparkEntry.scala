@@ -829,6 +829,28 @@ object SparkEntry {
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
         .withColumn("correct", col("lang") === col("lang_pred"))),
 
+    // Calibration of the lang-ID classifier's stated confidence against
+    // its actual accuracy: confidence = best marker score over total
+    // marker mass (permille), binned reliability report + exact ECE —
+    // the "are these scores probabilities or just rankings" gate before
+    // anyone uses classifier scores as sampling weights.
+    "langid_calibration" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val scores = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+        F.countInSet(ws, ms).as(s"s_$lang") }
+      val withScores = TextAnalysis.withLangId(Tables.documents(s, dir), "text")
+        .select(col("lang") +: col("lang_pred") +: scores: _*)
+      val sCols = TextAnalysis.LangMarkers.map(m => s"s_${m._1}")
+      val base = withScores
+        .withColumn("__tot", sCols.map(col).reduce(_ + _))
+        .withColumn("__best", greatest(sCols.map(col): _*))
+        .withColumn("__conf", expr(
+          "CASE WHEN __tot > 0 THEN CAST(__best AS BIGINT) * 1000 div __tot" +
+            " ELSE 0 END"))
+      Validate.calibrationReport(base, col("__conf"),
+        col("lang_pred") === col("lang"), nBins = 10)
+    }),
+
     // In-engine recall evaluation of the LSH near-dup path against the
     // exact ground truth — the tuning harness for planes/tables (run at
     // sample scale: the exact side is the labeled quadratic operator).
@@ -4339,6 +4361,42 @@ object SparkEntry {
          |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
          |  lang = lang_pred AS correct
          |FROM p GROUP BY lang, lang_pred""".stripMargin
+    },
+
+    // Calibration mirror: the same marker scores, argmax tie rule,
+    // best/total confidence, bin clamp, and the one-division ECE.
+    "langid_calibration" -> {
+      val scores = TextAnalysis.LangMarkers
+        .map { case (lang, ms) => s"${langScore(ms)} AS s_$lang" }.mkString(",\n    ")
+      val sSum = TextAnalysis.LangMarkers.map(m => s"s_${m._1}").mkString(" + ")
+      val sGreatest = TextAnalysis.LangMarkers.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |    $scores
+         |  FROM w),
+         |p AS (SELECT lang,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred,
+         |  CASE WHEN ($sSum) > 0
+         |       THEN CAST($sGreatest AS BIGINT) * 1000 // ($sSum)
+         |       ELSE 0 END AS conf
+         |FROM s),
+         |g AS (SELECT greatest(least(conf * 10 // 1000, 9), 0) AS bin,
+         |    COUNT(*) AS n_rows,
+         |    SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS n_correct,
+         |    SUM(conf) AS sconf
+         |  FROM p GROUP BY 1),
+         |e AS (SELECT CAST(SUM(ABS(CAST(n_correct AS HUGEINT) * 1000 - sconf))
+         |    // SUM(n_rows) AS BIGINT) AS ece_milli FROM g)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(n_correct AS BIGINT) AS n_correct,
+         |  CAST(CAST(n_correct AS HUGEINT) * 1000 // n_rows AS BIGINT) AS acc_permille,
+         |  CAST(sconf // n_rows AS BIGINT) AS conf_permille,
+         |  (SELECT ece_milli FROM e) AS ece_milli
+         |FROM g""".stripMargin
     },
 
     // Splice of the exact ground-truth CTE and the literal-hyperplane LSH

@@ -331,6 +331,50 @@ object Validate {
           col("p50_cur") - col("p50_ref")))
   }
 
+  /** Classifier calibration / reliability report in exact integers —
+    * "when the model says 800‰ confident, is it right 800‰ of the
+    * time": rows bucket into `nBins` equal-width confidence bins
+    * (permille confidence, out-of-range clamps to the edge bins), each
+    * bin reports exact count / correct-count / accuracy / mean stated
+    * confidence, and every row carries the expected calibration error
+    * `ece_milli = Σ_b |1000·correct_b − Σconf_b| div N` — the standard
+    * ECE, but accumulated as exact integer milli-row gaps BEFORE the one
+    * final floor-division (per-bin `|acc−conf|` would floor twice and
+    * drift off any SQL mirror). The gate a curation pipeline runs before
+    * trusting a quality/language classifier's scores as sampling
+    * weights: high ECE means the scores are rankings, not
+    * probabilities. Null confidence/correctness rows are excluded;
+    * empty bins are absent (their gap is 0 by definition). Sums widen
+    * through DECIMAL(38,0) (the census-tier overflow discipline).
+    *
+    * Scale shape: one scan → one map-side-combined ≤nBins-key aggregate
+    * → a broadcast one-row ECE join. Nothing scales with the corpus but
+    * the scan. */
+  def calibrationReport(df: DataFrame, conf: Column, correct: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val perBin = df
+      .select(conf.cast("long").as("__c"), correct.cast("boolean").as("__ok"))
+      .where(col("__c").isNotNull && col("__ok").isNotNull)
+      .withColumn("__bin", expr(
+        s"greatest(least(__c * $nBins div 1000, ${nBins - 1}), 0)"))
+      .groupBy("__bin")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__ok"), 1L).otherwise(0L)).as("n_correct"),
+        sum(col("__c").cast("decimal(38,0)")).as("__sconf"))
+    val ece = perBin.agg(expr(
+      "CAST(sum(abs(CAST(n_correct AS DECIMAL(38,0)) * 1000 - __sconf))" +
+        " div sum(n_rows) AS BIGINT)").as("ece_milli"))
+    perBin
+      .withColumn("acc_permille", expr(
+        "CAST(CAST(n_correct AS DECIMAL(38,0)) * 1000 div n_rows AS BIGINT)"))
+      .withColumn("conf_permille",
+        expr("CAST(__sconf div n_rows AS BIGINT)"))
+      .crossJoin(broadcast(ece))
+      .select(col("__bin").as("bin"), col("n_rows"), col("n_correct"),
+        col("acc_permille"), col("conf_permille"), col("ece_milli"))
+  }
+
   /** Benford's-law first-digit permille, `P(d) = log₁₀(1 + 1/d)·1000`
     * rounded to integers (they sum to 1001 — the usual rounding artifact;
     * kept as the published constants rather than re-normalized). */

@@ -113,6 +113,31 @@ class ValidateSpec extends SparkSpecBase {
     assert(got == Set(("A", 3L, 0L)))
   }
 
+  test("calibrationReport: hand bins, edge clamping, null exclusion, one-division ECE") {
+    // nBins=4 (250-wide): conf 100/100/-50 land in bin 0 (clamp),
+    // 600 in bin 2, 999 and 1200 (clamp) in bin 3; ECE accumulates the
+    // exact milli-row gaps |1000·nc_b − Σconf_b| then divides ONCE:
+    // (|2000−150| + |1000−600| + |1000−2199|) div 6 = 3449 div 6 = 574
+    val rows = Seq(
+      (Some(100L), Some(true)), (Some(100L), Some(false)),
+      (Some(-50L), Some(true)), (Some(600L), Some(true)),
+      (Some(999L), Some(false)), (Some(1200L), Some(true)),
+      (None, Some(true)), (Some(5L), None)) // excluded
+      .toDF("conf", "ok")
+    val got = Validate.calibrationReport(rows, col("conf"), col("ok"), 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 3L, 2L, 666L, 50L, 574L)), got.toString)
+    assert(got(2L) == ((2L, 1L, 1L, 1000L, 600L, 574L)), got.toString)
+    assert(got(3L) == ((3L, 2L, 1L, 500L, 1099L, 574L)), got.toString)
+    assert(got.size == 3) // empty bins absent
+    // perfectly calibrated constant bin: acc == conf, ece == 0
+    val perfect = (1 to 10).map(i => (500L, i <= 5)).toDF("conf", "ok")
+    val p = Validate.calibrationReport(perfect, col("conf"), col("ok"), 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(p == ((2L, 10L, 5L, 500L, 500L, 0L)))
+  }
+
   test("boundedHistogram: identity when the span fits; caps distinct values when it doesn't") {
     // identity: span 9 ≤ maxBins 16 → width 1, values bit-identical
     val h = Seq(("a", 1L, 2L), ("a", 9L, 1L), ("b", 4L, 3L))
