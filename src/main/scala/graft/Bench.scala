@@ -101,6 +101,12 @@ object Bench {
     if (queries.contains("tokenizer_fertility"))
       timeShared("bpe_fertility_train",
         () => SparkEntry.resetSharedBpeEven(), () => SparkEntry.buildSharedBpeEven(spark, sfDir))
+    // And for the graph-ANN family: ann_hnsw and hnsw_recall search the
+    // identical session-cached layered graph.
+    if (queries.contains("ann_hnsw") || queries.contains("hnsw_recall"))
+      timeShared("hnsw_edges_shared",
+        () => SparkEntry.resetSharedHnswEdges(),
+        () => SparkEntry.buildSharedHnswEdges(spark, sfDir))
     // A 200-query × 5-pass suite accumulates dead RDD blocks and shuffle
     // files faster than the ContextCleaner's weak-reference queue drains
     // them (the cleaner only fires when the JVM happens to GC), and the

@@ -143,12 +143,35 @@ object SparkEntry {
     sharedBpeMergesEven(s, dir); ()
   }
 
+  /** ONE layered-edge materialization shared by the graph-ANN family:
+    * `ann_hnsw` and `hnsw_recall` search the IDENTICAL graph (same
+    * corpus, same knobs — the recall harness measures the same search
+    * brute force is compared against), so each paying the bucket-join +
+    * top-m edge build separately is pure waste (the CC/spans reuse
+    * argument). Keyed by (session, dir); `localCheckpoint` truncates the
+    * build so reuse is a flat scan; Bench bills the build once as the
+    * labeled `hnsw_edges_shared` entry. */
+  private val hnswEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def sharedHnswEdges(s: SparkSession, dir: String): DataFrame = {
+    val sessKey = installEvictionListener(s)
+    hnswEdgeCache.computeIfAbsent(s"$sessKey#$dir", _ =>
+      Hnsw.knnEdges(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, m = 8, maxLevel = 3, planes = 4, tables = 4)
+        .localCheckpoint())
+  }
+  private[graft] def resetSharedHnswEdges(): Unit = hnswEdgeCache.clear()
+  private[graft] def buildSharedHnswEdges(s: SparkSession, dir: String): Unit = {
+    sharedHnswEdges(s, dir); ()
+  }
+
   /** Drop one session's cached shared-stage frames (the listener's
     * target; checkpoint blocks die with the session's context). */
   private[graft] def evictSharedCc(sessKey: String): Unit = {
     ccCache.keySet.removeIf(_.startsWith(sessKey + "#"))
     spansCache.keySet.removeIf(_.startsWith(sessKey + "#"))
     bpeCache.keySet.removeIf(_.startsWith(sessKey + "#"))
+    hnswEdgeCache.keySet.removeIf(_.startsWith(sessKey + "#"))
     ccListenerInstalled.remove(sessKey)
   }
 
@@ -981,8 +1004,8 @@ object SparkEntry {
     // assumption, the same approximate answer is recomputed exactly.
     "ann_hnsw" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Hnsw.topK(emb.where(col("vec_id") < 20), emb, k = 5, dim = 64,
-        m = 8, maxLevel = 3, planes = 4, tables = 4, beam = 16, rounds = 3)
+      Hnsw.searchTopK(emb.where(col("vec_id") < 20), emb,
+        sharedHnswEdges(s, dir), k = 5, maxLevel = 3, beam = 16, rounds = 3)
     }),
 
     // The same search served from a PERSISTED layer-partitioned graph
@@ -1009,8 +1032,8 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 20)
       recallVsExact(
         Similarity.bruteForceTopK(queries, emb, k = 5),
-        Hnsw.topK(queries, emb, k = 5, dim = 64, m = 8, maxLevel = 3,
-          planes = 4, tables = 4, beam = 16, rounds = 3))
+        Hnsw.searchTopK(queries, emb, sharedHnswEdges(s, dir), k = 5,
+          maxLevel = 3, beam = 16, rounds = 3))
     }),
 
     // Text quality stats (token counts, ratios) — integer-exact inputs.

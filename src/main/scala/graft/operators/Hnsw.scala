@@ -135,7 +135,11 @@ object Hnsw {
     // first cut's static plan carried 2^steps copies of the early
     // stages (379 exchanges in the audit) and re-executed the frontier
     // per reference, the same exponential-inlining failure the oracle's
-    // MATERIALIZED CTEs fix on the SQL side.
+    // MATERIALIZED CTEs fix on the SQL side. (Measured alternative:
+    // pinning only every SECOND step trades one job of latency for
+    // re-executing the unpinned step's vector/edge joins per reference —
+    // it benched SLOWER at sf0.1, 3.4-4.0 s vs 3.1-3.2 s per query, so
+    // per-step pinning stands.)
     def topB(fr: DataFrame, b: Int): DataFrame =
       vecs.join(broadcast(fr.distinct()), "node_id")
         .join(broadcast(q), "query_id")
