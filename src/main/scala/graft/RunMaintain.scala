@@ -15,6 +15,9 @@ import org.apache.spark.sql.SparkSession
   *     ivf-compact <indexPath> [--id-col vec_id]
   *         collapse per-add small files in the IVF cell table (and
   *         rebuild its idmap) — one file per cell after
+  *     hnsw-compact <indexPath>
+  *         collapse per-add appends in the HNSW node table (edges
+  *         rewrite wholesale on every add/delete, so they stay compact)
   *     neardup-compact <indexPath>
   *         collapse per-batch appends in the MinHash sigs/bands tables
   *     textindex-compact <indexPath>
@@ -70,7 +73,7 @@ object RunMaintain {
     * pattern). */
   def run(spark: SparkSession, args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: RunMaintain <ivf-compact|neardup-compact|table-compact|vacuum|snapshots|changes> " +
+      "usage: RunMaintain <ivf-compact|hnsw-compact|neardup-compact|table-compact|vacuum|snapshots|changes> " +
         "<path> [--id-col c] [--keep-snapshots n] [--keys k1,k2] " +
         "[--zorder c1,c2] [--target-file-rows n] [--since snap] [--out dir]")
     val action = args(0)
@@ -83,6 +86,9 @@ object RunMaintain {
         operators.Ivf.compactIndex(spark, path,
           opts.getOrElse("--id-col", "vec_id"))
         System.err.println(s"[maintain] IVF index compacted: $path")
+      case "hnsw-compact" =>
+        operators.Hnsw.compactIndex(spark, path)
+        System.err.println(s"[maintain] HNSW node table compacted: $path")
       case "neardup-compact" =>
         operators.Dedup.compactNearDupIndex(spark, path)
         System.err.println(s"[maintain] near-dup index compacted: $path")

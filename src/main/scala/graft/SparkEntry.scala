@@ -874,6 +874,15 @@ object SparkEntry {
         col("lang_pred") === col("lang"), nBins = 10)
     }),
 
+    // Chance-corrected agreement of the lang-ID heuristic vs labels:
+    // kappa reads predict-the-majority as ~0 where raw accuracy looks
+    // fine — the third leg of the classifier-eval tier next to the
+    // confusion matrix and the calibration report.
+    "langid_kappa" -> ((s, dir) =>
+      Correlate.cohensKappa(
+        TextAnalysis.withLangId(Tables.documents(s, dir), "text"),
+        col("lang"), col("lang_pred"))),
+
     // In-engine recall evaluation of the LSH near-dup path against the
     // exact ground truth — the tuning harness for planes/tables (run at
     // sample scale: the exact side is the labeled quadratic operator).
@@ -2634,12 +2643,12 @@ object SparkEntry {
         .withColumn("allowed", Web.robotsAllowed(col("path"), rules))
     }),
 
-    // Week-over-week event-volume trend per type (integer permille,
-    // truncation identical in both engines even for negative deltas) —
-    // the drop/spike monitor a pipeline pages on.
+    // Week-over-week event-volume trend per type (integer permille;
+    // floor weeks, the integer-calendar discipline) — the drop/spike
+    // monitor a pipeline pages on.
     "weekly_trend" -> ((s, dir) => {
       val counts = Tables.events(s, dir)
-        .select(col("event_type"), expr("cast(ts as long) div 604800").as("w"))
+        .select(col("event_type"), expr(TimeSeries.epochBucketSql("cast(ts as long)", 604800L)).as("w"))
         .groupBy("event_type", "w").agg(count(lit(1)).as("n"))
       counts
         .withColumn("n_prev", lag(col("n"), 1)
@@ -2852,7 +2861,7 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
         .select(col("user_id"),
           expr(TimeSeries.epochDaySql("cast(ts as long)")).as("d"),
-          expr("cast(ts as long) div 604800").as("w"))
+          expr(TimeSeries.epochBucketSql("cast(ts as long)", 604800L)).as("w"))
       val dau = ev.groupBy("d", "w")
         .agg(countDistinct(col("user_id")).as("dau"))
       val wau = ev.groupBy("w")
@@ -4384,6 +4393,42 @@ object SparkEntry {
          |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
          |  lang = lang_pred AS correct
          |FROM p GROUP BY lang, lang_pred""".stripMargin
+    },
+
+    // Kappa mirror: the argmax CTE, margin products in HUGEINT, and
+    // DuckDB's floor `//` matching the engine's explicit BigInt floorDiv
+    // (kappa can be negative; truncate-toward-zero would diverge).
+    "langid_kappa" -> {
+      val scores = TextAnalysis.LangMarkers
+        .map { case (lang, ms) => s"${langScore(ms)} AS s_$lang" }.mkString(",\n    ")
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |    $scores
+         |  FROM w),
+         |p AS (SELECT lang,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM s),
+         |g AS (SELECT lang AS a, lang_pred AS b, COUNT(*) AS o FROM p GROUP BY 1, 2),
+         |t AS (SELECT SUM(o) AS n, SUM(CASE WHEN a = b THEN o ELSE 0 END) AS agree FROM g),
+         |rm AS (SELECT a AS k, SUM(o) AS r FROM g GROUP BY 1),
+         |cm AS (SELECT b AS k, SUM(o) AS c FROM g GROUP BY 1),
+         |sv AS (SELECT SUM(CAST(coalesce(r, 0) AS HUGEINT) * coalesce(c, 0)) AS sm
+         |       FROM rm FULL OUTER JOIN cm USING (k)),
+         |x AS (SELECT n, agree, sm,
+         |    1000000 * (CAST(n AS HUGEINT) * agree - sm) AS ka,
+         |    CAST(n AS HUGEINT) * n - sm AS kd
+         |  FROM t, sv)
+         |SELECT CAST(n AS BIGINT) AS n_rows, CAST(agree AS BIGINT) AS n_agree,
+         |  CAST(1000000 * agree // n AS BIGINT) AS po_micro,
+         |  CAST(1000000 * sm // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_micro,
+         |  CASE WHEN kd <> 0 THEN
+         |    CAST((ka - ((ka % kd + kd) % kd)) // kd AS BIGINT)
+         |  END AS kappa_micro
+         |FROM x""".stripMargin
     },
 
     // Calibration mirror: the same marker scores, argmax tie rule,
@@ -6037,7 +6082,7 @@ object SparkEntry {
     // keeps total-outage gaps as explicit zeros.
     "rolling_active" ->
       """WITH ud AS (SELECT DISTINCT user_id,
-        |    (epoch_us(ts) // 1000000) // 86400 AS day FROM events),
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000 AS day FROM events),
         |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
         |axis AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM bounds),
         |cov AS (SELECT DISTINCT user_id, day + o AS day2
@@ -6243,7 +6288,7 @@ object SparkEntry {
     // epoch days ≡ %); the same decimal-widened means and shares.
     "dow_profile" ->
       """WITH dc AS (SELECT event_type AS k,
-        |    (epoch_us(ts) // 1000000) // 86400 AS day, count(*) AS x
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000 AS day, count(*) AS x
         |  FROM events GROUP BY 1, 2),
         |b AS (SELECT k, MIN(day) AS dd0, MAX(day) AS dd1 FROM dc GROUP BY 1),
         |axis AS (SELECT k, unnest(range(dd0, dd1 + 1)) AS day FROM b),
@@ -6344,7 +6389,7 @@ object SparkEntry {
     // numerator keeps HUGEINT floor-div ≡ decimal truncation.
     "fano_factor" ->
       """WITH d AS (SELECT event_type,
-        |    (epoch_us(ts) // 1000000) // 86400 AS day, count(*) AS x
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000 AS day, count(*) AS x
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
         |  CAST(SUM(x) AS BIGINT) AS n_events,
@@ -6382,7 +6427,7 @@ object SparkEntry {
     "ks_value_shift" ->
       """WITH e AS (SELECT event_type AS k,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
-        |    (epoch_us(ts) // 1000000) // 86400 AS day
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000 AS day
         |  FROM events WHERE value IS NOT NULL),
         |m AS (SELECT MAX(day) AS maxd FROM e),
         |h AS (SELECT k, v,
@@ -6412,7 +6457,7 @@ object SparkEntry {
     "ranksum_shift" ->
       """WITH e AS (SELECT event_type AS k,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
-        |    (epoch_us(ts) // 1000000) // 86400 AS day
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000 AS day
         |  FROM events WHERE value IS NOT NULL),
         |m AS (SELECT MAX(day) AS maxd FROM e),
         |h AS (SELECT k, v,
@@ -6438,7 +6483,7 @@ object SparkEntry {
     "median_shift" ->
       """WITH e AS (SELECT event_type AS k,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
-        |    (epoch_us(ts) // 1000000) // 86400 AS day
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000 AS day
         |  FROM events WHERE value IS NOT NULL),
         |m AS (SELECT MAX(day) AS maxd FROM e),
         |h AS (SELECT k, v,
@@ -6468,7 +6513,7 @@ object SparkEntry {
     // sign-routed floor-div convention on the possibly-negative slope.
     "trend_slope" ->
       """WITH dc AS (SELECT event_type AS k,
-        |    (epoch_us(ts) // 1000000) // 86400 AS day, count(*) AS x
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000 AS day, count(*) AS x
         |  FROM events GROUP BY 1, 2),
         |b AS (SELECT k, MIN(day) AS dd0, MAX(day) AS dd1 FROM dc GROUP BY 1),
         |axis AS (SELECT k, unnest(range(dd0, dd1 + 1)) AS day FROM b),
@@ -6526,7 +6571,7 @@ object SparkEntry {
     // Spark's toward-zero `div` on non-negative operands only.
     "autocorr_daily" ->
       """WITH dc AS (SELECT event_type AS k,
-        |    (epoch_us(ts) // 1000000) // 86400 AS day, count(*) AS x
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000 AS day, count(*) AS x
         |  FROM events GROUP BY 1, 2),
         |b AS (SELECT k, MIN(day) AS dd0, MAX(day) AS dd1 FROM dc GROUP BY 1),
         |axis AS (SELECT k, unnest(range(dd0, dd1 + 1)) AS day FROM b),
@@ -6556,7 +6601,7 @@ object SparkEntry {
     // tie-break; every division floors non-negatives.
     "changepoint_day" ->
       """WITH dc AS (SELECT event_type AS k,
-        |    (epoch_us(ts) // 1000000) // 86400 AS day, count(*) AS x
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000 AS day, count(*) AS x
         |  FROM events GROUP BY 1, 2),
         |b AS (SELECT k, MIN(day) AS dd0, MAX(day) AS dd1 FROM dc GROUP BY 1),
         |axis AS (SELECT k, unnest(range(dd0, dd1 + 1)) AS day FROM b),
@@ -6624,7 +6669,7 @@ object SparkEntry {
     // both engines' last_value frames default to unbounded..current.
     "gap_fill" ->
       """WITH d AS (SELECT event_type AS key,
-        |    (epoch_us(ts) // 1000000) // 86400 AS day, COUNT(*) AS n
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000 AS day, COUNT(*) AS n
         |  FROM events GROUP BY 1, 2),
         |span AS (SELECT key, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY 1),
         |axis AS (SELECT key, unnest(range(d0, d1 + 1)) AS day FROM span),
@@ -6643,7 +6688,7 @@ object SparkEntry {
     // exact median both engines reproduce; flag |n-med| > 3*mad.
     "anomaly_days" ->
       """WITH d AS (SELECT event_type AS key,
-        |    (epoch_us(ts) // 1000000) // 86400 AS day, COUNT(*) AS n
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000 AS day, COUNT(*) AS n
         |  FROM events GROUP BY 1, 2),
         |m AS (SELECT key, n AS med FROM (
         |    SELECT key, n, day,
@@ -6661,11 +6706,12 @@ object SparkEntry {
         |FROM dev JOIN md USING (key)
         |WHERE dev > 3 * mad""".stripMargin,
 
-    // epoch_us // 1e6 // 604800 = Spark's truncating cast-div chain; //
-    // and div truncate identically even on negative deltas.
+    // explicit floor-division weeks, mirroring the engine's
+    // epochBucketSql (Spark's cast(ts AS long) floors; DuckDB's bare //
+    // truncates — the subtract-remainder form is exact floor in both).
     "weekly_trend" ->
       """WITH c AS (SELECT event_type,
-        |    (epoch_us(ts) // 1000000) // 604800 AS w, COUNT(*) AS n
+        |    (epoch_us(ts) - ((epoch_us(ts) % 604800000000 + 604800000000) % 604800000000)) // 604800000000 AS w, COUNT(*) AS n
         |  FROM events GROUP BY 1, 2),
         |l AS (SELECT event_type, w, n,
         |    lag(n) OVER (PARTITION BY event_type ORDER BY w) AS n_prev FROM c)
@@ -6759,23 +6805,24 @@ object SparkEntry {
          |FROM p JOIN d da ON da.item = p.item_a
          |       JOIN d db ON db.item = p.item_b""".stripMargin,
 
-    // epoch_us // 1000000 mirrors Spark's truncating cast(ts AS LONG)
+    // explicit floor-division mirrors Spark's FLOORING cast(ts AS LONG)
+    // (DuckDB's integer // truncates: -7 // 2 = -3 — a bare // diverges pre-1970)
     // exactly (DuckDB's epoch() returns fractional seconds; a double
     // boundary case would split where Spark's integer seconds don't).
     "funnel_steps" ->
       """WITH sec AS (SELECT user_id, event_type, ts,
-        |    epoch_us(ts) // 1000000 AS es FROM events),
+        |    (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000 AS es FROM events),
         |s1 AS (SELECT user_id, MIN(ts) AS ts_1 FROM sec
         |       WHERE event_type = 'view' GROUP BY 1),
         |s2 AS (SELECT sec.user_id, MIN(sec.ts) AS ts_2
         |       FROM sec JOIN s1 USING (user_id)
         |       WHERE sec.event_type = 'click' AND sec.ts > s1.ts_1
-        |         AND sec.es - (epoch_us(s1.ts_1) // 1000000) <= 604800
+        |         AND sec.es - ((epoch_us(s1.ts_1) - ((epoch_us(s1.ts_1) % 1000000 + 1000000) % 1000000)) // 1000000) <= 604800
         |       GROUP BY 1),
         |s3 AS (SELECT sec.user_id, MIN(sec.ts) AS ts_3
         |       FROM sec JOIN s1 USING (user_id) JOIN s2 USING (user_id)
         |       WHERE sec.event_type = 'purchase' AND sec.ts > s2.ts_2
-        |         AND sec.es - (epoch_us(s1.ts_1) // 1000000) <= 604800
+        |         AND sec.es - ((epoch_us(s1.ts_1) - ((epoch_us(s1.ts_1) % 1000000 + 1000000) % 1000000)) // 1000000) <= 604800
         |       GROUP BY 1)
         |SELECT s1.user_id,
         |  CAST(1 + (ts_2 IS NOT NULL)::INT + (ts_3 IS NOT NULL)::INT
@@ -6787,11 +6834,11 @@ object SparkEntry {
         |  LEFT JOIN s3 USING (user_id)""".stripMargin,
 
     "retention_cohorts" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS es FROM events),
-        |c AS (SELECT user_id, (MIN(es) // 604800) AS cohort_week
+      """WITH e AS (SELECT user_id, (epoch_us(ts) - ((epoch_us(ts) % 1000000 + 1000000) % 1000000)) // 1000000 AS es FROM events),
+        |c AS (SELECT user_id, ((MIN(es) - ((MIN(es) % 604800 + 604800) % 604800)) // 604800) AS cohort_week
         |      FROM e GROUP BY 1),
         |a AS (SELECT DISTINCT cohort_week,
-        |        (es // 604800) - cohort_week AS offset_weeks, user_id
+        |        ((es - ((es % 604800 + 604800) % 604800)) // 604800) - cohort_week AS offset_weeks, user_id
         |      FROM e JOIN c USING (user_id))
         |SELECT cohort_week, offset_weeks, COUNT(*) AS n_active
         |FROM a GROUP BY 1, 2""".stripMargin,
@@ -6930,12 +6977,12 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
-    // epoch_us // 1000000 mirrors Spark's truncating cast(ts AS LONG);
+    // explicit floor-division mirrors Spark's FLOORING cast(ts AS LONG);
     // integer day/week arithmetic matches the retention convention.
     "stickiness" ->
       """WITH e AS (SELECT user_id,
-        |    (epoch_us(ts) // 1000000) // 86400 AS d,
-        |    (epoch_us(ts) // 1000000) // 604800 AS w
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000)) // 86400000000 AS d,
+        |    (epoch_us(ts) - ((epoch_us(ts) % 604800000000 + 604800000000) % 604800000000)) // 604800000000 AS w
         |  FROM events),
         |dau AS (SELECT d, w, count(DISTINCT user_id) AS dau FROM e GROUP BY 1, 2),
         |wau AS (SELECT w, count(DISTINCT user_id) AS wau FROM e GROUP BY 1)

@@ -278,6 +278,65 @@ object Correlate {
     * cells — or a completed r×c grid past 10·maxCells — fails fast with
     * a clear message instead of OOMing the driver on an id-like column.
     */
+  /** Exact Cohen's kappa between two categorical columns — the
+    * chance-corrected agreement the raw accuracy number overstates
+    * (predict-the-majority scores high accuracy on skewed labels;
+    * kappa reads it as ~0): `κ = (p_o − p_e)/(1 − p_e)` with
+    * `p_e = Σ_k rowM_k·colM_k / N²`, reported as
+    * `kappa_micro = ⌊10⁶·(N·agree − S) / (N² − S)⌋` (S = Σ rowM·colM)
+    * in FLOOR division — kappa is negative for worse-than-chance
+    * agreement, and floor (not truncate-toward-zero) is what the
+    * oracle's `//` computes. Alongside: exact `n_agree`,
+    * `po_micro = 10⁶·agree div N`, `pe_micro = ⌊10⁶·S / N²⌋`.
+    * Degenerate marginals (p_e = 1: both columns single-level) report
+    * NULL kappa. The classifier-eval completion next to the confusion
+    * matrix ([[graft.SparkEntry]] `langid_confusion`) and the
+    * calibration report ([[Validate.calibrationReport]]).
+    *
+    * Scale shape: the [[cramersV]] posture — ONE map-side-combined
+    * (a, b) count, the bounded (and `maxCells`-ENFORCED) contingency
+    * table collected, margins + BigInt arithmetic driver-side (no
+    * overflow ceiling at any corpus size). */
+  def cohensKappa(df: DataFrame, aCol: Column, bCol: Column,
+      maxCells: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df
+      .select(aCol.cast("string").as("__a"), bCol.cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+      .limit(maxCells + 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.length <= maxCells,
+      s"cohensKappa: more than $maxCells distinct (a,b) cells — an " +
+        "id-like column does not belong in an agreement statistic")
+    val n = BigInt(cells.map(_._3).sum)
+    val agree = BigInt(cells.collect { case (a, b, o) if a == b => o }.sum)
+    val rowM = cells.groupBy(_._1).view.mapValues(cs =>
+      BigInt(cs.map(_._3).sum)).toMap
+    val colM = cells.groupBy(_._2).view.mapValues(cs =>
+      BigInt(cs.map(_._3).sum)).toMap
+    // S sums over the UNION of level sets (a level absent from one side
+    // contributes 0 — its margin there is 0)
+    val s = (rowM.keySet ++ colM.keySet).toSeq.map(k =>
+      rowM.getOrElse(k, BigInt(0)) * colM.getOrElse(k, BigInt(0))).sum
+    def floorDiv(a: BigInt, b: BigInt): BigInt = {
+      val q = a / b
+      if (a % b != 0 && (a < 0) != (b < 0)) q - 1 else q
+    }
+    val m = BigInt(1000000)
+    val (po, pe, kappa) =
+      if (n == 0) (None, None, None)
+      else {
+        val den = n * n - s
+        (Some((m * agree / n).toLong), Some(floorDiv(m * s, n * n).toLong),
+          if (den == 0) None
+          else Some(floorDiv(m * (n * agree - s), den).toLong))
+      }
+    Seq((n.toLong, agree.toLong, po, pe, kappa))
+      .toDF("n_rows", "n_agree", "po_micro", "pe_micro", "kappa_micro")
+  }
+
   def cramersV(df: DataFrame, aCol: Column, bCol: Column,
       maxCells: Int = 100000): DataFrame = {
     val spark = df.sparkSession

@@ -75,13 +75,13 @@ object Funnel {
     * per-key sort. */
   def retentionCohorts(events: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts"): DataFrame = {
-    // integer `div`, matching the module's locale-free integer-calendar
-    // discipline (stickiness uses the same idiom) — no double arithmetic
+    // floor-division weeks (TimeSeries.epochBucketSql), the module's
+    // locale-free integer-calendar discipline — no double arithmetic
     val secs = events.select(col(keyCol), col(tsCol).cast("long").as("__es"))
     val cohort = secs.groupBy(col(keyCol))
       .agg(min(col("__es")).as("__min_es"))
-      .select(col(keyCol), expr("__min_es div 604800").as("cohort_week"))
-    secs.select(col(keyCol), expr("__es div 604800").as("event_week"))
+      .select(col(keyCol), expr(TimeSeries.epochBucketSql("__min_es", 604800L)).as("cohort_week"))
+    secs.select(col(keyCol), expr(TimeSeries.epochBucketSql("__es", 604800L)).as("event_week"))
       .join(cohort, Seq(keyCol))
       .select(col("cohort_week"),
         (col("event_week") - col("cohort_week")).as("offset_weeks"),

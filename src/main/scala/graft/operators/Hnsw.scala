@@ -360,6 +360,19 @@ object Hnsw {
       () => (merged, Some(0 to meta.maxLevel)))
   }
 
+  /** Collapse per-add appended files in the node table (the
+    * [[Ivf.compactIndex]] maintenance role — RunMaintain `hnsw-compact`).
+    * Only `nodes` fragments: every add/delete REWRITES `edges` through
+    * the snapshot commit, so the edge table stays one-layout. Duplicate
+    * node ids (possible only from pre-idempotence histories) collapse to
+    * one arbitrary row — same-id rows carry the same vector or a stale
+    * one, so keeping either is no worse than before. Search results are
+    * unchanged (spec-asserted). */
+  def compactIndex(spark: SparkSession, root: String): Unit =
+    IndexStore.rewriteWith(spark, s"$root/nodes")(() =>
+      (IndexStore.read(spark, s"$root/nodes").dropDuplicates("node_id")
+        .repartition(spark.sparkContext.defaultParallelism), None))
+
   /** Search against a persisted graph — self-contained: vectors, build
     * parameters, and edges all come from the index (the corpus is never
     * touched), so a serving job needs only the index path. */

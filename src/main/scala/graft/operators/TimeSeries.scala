@@ -12,16 +12,23 @@ import org.apache.spark.sql.functions._
   * correct either way but whose day coverage comes from this). */
 object TimeSeries {
 
-  /** SQL fragment for the FLOOR epoch-day of a unix-seconds expression:
-    * `(x - pmod(x, 86400)) div 86400`. Spark's bare `div` truncates
-    * toward zero while every DuckDB oracle's `//` floors — for pre-1970
-    * timestamps the two assign DIFFERENT days (−1 s is day −1, not day
-    * 0). pmod's non-negative remainder makes the subtraction land on an
+  /** SQL fragment for the FLOOR bucket of a unix-seconds expression:
+    * `(x - pmod(x, w)) div w`. Spark's bare `div` truncates toward zero,
+    * which puts 1969-12-31T23:59:59 on day 0 — the calendar-wrong day;
+    * pmod's non-negative remainder makes the subtraction land on an
     * exact multiple, so the `div` is exact floor division at every
-    * input (round-13 ADVICE fix; shared by Anomaly/DailyCounts/the
-    * week-sliced monitors). */
+    * input. Floor also matches `cast(timestamp AS long)` itself, which
+    * FLOORS sub-second negatives (−0.5 s → −1, measured) — so the whole
+    * second/day/week chain is floor end to end, and the DuckDB oracles
+    * mirror it with an explicit floor form (DuckDB's integer `//`
+    * truncates, `-7 // 2 = -3`, so a bare `//` would diverge pre-1970 —
+    * round-13 ADVICE closure, corrected in both directions). */
+  def epochBucketSql(unixSeconds: String, width: Long): String =
+    s"($unixSeconds - pmod($unixSeconds, $width)) div $width"
+
+  /** [[epochBucketSql]] at the day width — the integer-calendar day. */
   def epochDaySql(unixSeconds: String): String =
-    s"($unixSeconds - pmod($unixSeconds, 86400)) div 86400"
+    epochBucketSql(unixSeconds, 86400L)
 
   /** Per key: the continuous day axis from the key's first to last
     * observed day, with `n` = that day's event count (0 on silent

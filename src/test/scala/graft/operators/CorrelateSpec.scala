@@ -121,6 +121,39 @@ class CorrelateSpec extends SparkSpecBase {
     assert(cramers(mono) == ((3L, 2L, 1L, 0L, 0L, None)))
   }
 
+  private def kappa(rows: Seq[(String, String)]) =
+    Correlate.cohensKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).head
+
+  test("cohensKappa: hand case, perfect, worse-than-chance floor, degenerate NULL") {
+    // a=(x,x,y,y), b=(x,y,y,y): agree 3/4, pe = (2·1+2·3)/16 = 1/2,
+    // kappa = (3/4 − 1/2)/(1/2) = 0.5
+    assert(kappa(Seq(("x", "x"), ("x", "y"), ("y", "y"), ("y", "y"))) ==
+      ((4L, 3L, Some(750000L), Some(500000L), Some(500000L))))
+    // perfect agreement
+    assert(kappa(Seq(("x", "x"), ("y", "y"))) ==
+      ((2L, 2L, Some(1000000L), Some(500000L), Some(1000000L))))
+    // total disagreement on symmetric margins: kappa = −1 exactly —
+    // FLOOR division must carry the sign (truncation would read −999999
+    // on a near-miss; here the division is exact either way, the
+    // three-row case below is the floor-sensitive one)
+    assert(kappa(Seq(("x", "y"), ("y", "x"))) ==
+      ((2L, 0L, Some(0L), Some(500000L), Some(-1000000L))))
+    // floor-sensitive negative: a=(x,x,y), b=(y,x,x) → agree 1, N=3,
+    // S = 2·2+1·1 = 5, kappa = (3−5)/(9−5) = −0.5 → −500000 exact;
+    // a=(x,y,y), b=(y,y,x) → agree 1, S = 1·1+2·2 = 5, same; make it
+    // inexact: a=(x,x,x,y), b=(y,x,x,x): agree 2, N=4, S = 3·3+1·1 = 10,
+    // kappa = (8−10)/(16−10) = −1/3 → floor(−333333.33) = −333334
+    assert(kappa(Seq(("x", "y"), ("x", "x"), ("x", "x"), ("y", "x")))._5 ==
+      Some(-333334L))
+    // both single-level: pe = 1 → NULL kappa
+    assert(kappa(Seq(("x", "x"), ("x", "x"))) ==
+      ((2L, 2L, Some(1000000L), Some(1000000L), None)))
+  }
+
   test("cramersV: an id-like column fails fast instead of OOMing the driver") {
     // 12 distinct (a,b) cells against maxCells=10: the limit-capped
     // collect trips the guard with a clear message — the round-12

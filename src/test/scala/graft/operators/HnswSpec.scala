@@ -150,6 +150,27 @@ class HnswSpec extends SparkSpecBase {
     assert(edgeSet(root) == before)
   }
 
+  test("compactIndex collapses per-add node files; search results unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("hnsw-cmp").toString
+    val df = randCorpus(150, 16, seed = 13)
+    Hnsw.buildIndex(spark, root, df.where(col("vec_id") < 100), dim = 16,
+      m = 4, maxLevel = 3, planes = 3, tables = 2)
+    // several small appends fragment the node table
+    for (lo <- 100 to 140 by 10)
+      Hnsw.addToIndex(spark, root,
+        df.where(col("vec_id") >= lo && col("vec_id") < lo + 10))
+    val queries = df.where(col("vec_id") < 5)
+    def res() = Hnsw.searchIndex(spark, root, queries, k = 3,
+      beam = 8, rounds = 2).collect().map(_.toSeq).toSet
+    val before = res()
+    Hnsw.compactIndex(spark, root)
+    assert(res() == before)
+    assert(IndexStore.read(spark, s"$root/nodes").count() == 150L)
+    // the CLI face drives the same verb
+    graft.RunMaintain.run(spark, Array("hnsw-compact", root))
+    assert(res() == before)
+  }
+
   test("search is deterministic: two runs return identical rows") {
     val df = randCorpus(150, 16, seed = 11)
     val q = df.where(col("vec_id") < 10)
