@@ -149,10 +149,15 @@ object Bench {
     // median can be audited after the fact: a query whose samples read
     // [2.3, 26.9, 2.4] is box noise, [8.1, 8.3, 8.0] is a code regression.
     try {
+      // Locale.ROOT: f-interpolation uses the JVM default locale, so a
+      // comma-decimal locale would emit `1,234` and corrupt the JSON
+      // (ADVICE r13).
+      def num(d: Double, digits: Int): String =
+        String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(d))
       val raw = samples.toSeq.sortBy(_._1).map { case (k, v) =>
-        "\"" + k + "\":[" + v.map(d => f"$d%.3f").mkString(",") + "]"
+        "\"" + k + "\":[" + v.map(d => num(d, 3)).mkString(",") + "]"
       }.mkString("{", ",", "}")
-      val sig = f"""{"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAvg%.2f,""" +
+      val sig = s"""{"loadavg_before":${num(loadBefore, 2)},"loadavg_after":${num(loadAvg, 2)},""" +
         s""""jvm_gc_ms":${gcMillis - gcBefore},"repeat":$repeat}"""
       val rich = full.dropRight(1) + s""","samples":$raw,"load":$sig}"""
       val out = java.nio.file.Paths.get("target/bench.json")

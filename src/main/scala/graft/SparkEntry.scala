@@ -922,7 +922,7 @@ object SparkEntry {
       // repeated invocations probe the already-built index while a data
       // change forces a rebuild (and GCs the superseded snapshot dirs).
       val src = new java.io.File(s"$dir/embeddings.parquet")
-      val idx = Ivf.cachedIndexDir(src)
+      val idx = Ivf.cachedIndexDir(src, params = "nlist=8:iters=1")
       if (!graft.operators.IndexStore.exists(s, s"$idx/centroids")) {
         Ivf.gcSupersededIndexes(idx)
         val sample = emb.where(pmod(col("vec_id"), lit(4)) === 0)
@@ -940,7 +940,8 @@ object SparkEntry {
     "ann_ivfpq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val src = new java.io.File(s"$dir/embeddings.parquet")
-      val idx = Ivf.cachedIndexDir(src, root = "/tmp/graft-ivfpq")
+      val idx = Ivf.cachedIndexDir(src, root = "/tmp/graft-ivfpq",
+        params = "nlist=8:iters=1:m=8:ksub=16")
       if (!graft.operators.IndexStore.exists(s, s"$idx/pq")) {
         Ivf.gcSupersededIndexes(idx)
         val sample = emb.where(pmod(col("vec_id"), lit(4)) === 0)
@@ -1023,7 +1024,8 @@ object SparkEntry {
     // scan-computed ones bit for bit.
     "ann_hnsw_indexed" -> ((s, dir) => {
       val src = new java.io.File(s"$dir/embeddings.parquet")
-      val idx = Ivf.cachedIndexDir(src, root = "/tmp/graft-hnswidx")
+      val idx = Ivf.cachedIndexDir(src, root = "/tmp/graft-hnswidx",
+        params = "dim=64:m=8:maxLevel=3:planes=4:tables=4")
       if (!IndexStore.exists(s, idx)) {
         Ivf.gcSupersededIndexes(idx)
         Hnsw.buildIndex(s, idx, Tables.embeddings(s, dir), dim = 64,
@@ -1396,7 +1398,8 @@ object SparkEntry {
     // proves index-served scores equal scan-computed ones bit for bit.
     "bm25_indexed" -> ((s, dir) => {
       val src = new java.io.File(s"$dir/documents.parquet")
-      val idx = Ivf.cachedIndexDir(src, root = "/tmp/graft-textidx")
+      val idx = Ivf.cachedIndexDir(src, root = "/tmp/graft-textidx",
+        params = "nShards=16")
       if (!TextIndex.isComplete(s, idx)) {
         Ivf.gcSupersededIndexes(idx)
         TextIndex.buildIndex(s, idx, Tables.documents(s, dir), nShards = 16)
@@ -2939,12 +2942,15 @@ object SparkEntry {
     }.mkString(",\n")
 
   /** Full-algorithm mirror of [[graft.operators.Hnsw]] as a CTE chain
-    * ending in the final layer-0 beam `s5` (query_id, node): SRP buckets
-    * from the interpolated hyperplane literals, mix64-trailing-zero
-    * levels (the halfSampleCi hash chain), bucket-candidate top-m edges
-    * per layer, deterministic entry point, three greedy upper-layer
-    * steps, two beam-8 layer-0 rounds. Every step is a finite join, so
-    * the approximate search replays EXACTLY — no recall assumption. */
+    * ending in the final layer-0 beam `s${3 + rounds}` (query_id, node):
+    * SRP buckets from the interpolated hyperplane literals,
+    * mix64-trailing-zero levels (the halfSampleCi hash chain),
+    * bucket-candidate top-`m` edges per layer, deterministic entry
+    * point, three greedy upper-layer steps (layers 3→1, beam 1), then
+    * `rounds` beam-`beam` layer-0 rounds (both registered oracles call
+    * it with beam = 16, rounds = 3 and read from `s6`). Every step is a
+    * finite join, so the approximate search replays EXACTLY — no recall
+    * assumption. */
   private def hnswSearchCtes(m: Int, beam: Int, rounds: Int): String = {
     // one search step: expand the frontier's layer-`layer` edges, union
     // the frontier, dedup, re-score against the query vector, keep `b`

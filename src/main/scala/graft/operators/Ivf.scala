@@ -126,13 +126,22 @@ object Ivf {
     * data change forces a new dir. 64-bit [[graft.functions.PortableHash
     * .mix64]], not `String.hashCode`: 32 bits collide across corpora (two
     * different datasets silently sharing an index → wrong ANN results)
-    * and `math.abs(Int.MinValue)` is negative. */
-  def cachedIndexDir(src: java.io.File, root: String = "/tmp"): String = {
+    * and `math.abs(Int.MinValue)` is negative.
+    *
+    * `params` folds the BUILD KNOBS (nlist, m, planes, …) into the
+    * snapshot fingerprint: without it a knob change in a later release
+    * would silently reuse a stale index built with the old parameters
+    * and serve results that diverge from the scan-computed twin (ADVICE
+    * r13). Knob changes supersede the old dir exactly like data changes
+    * do, so [[gcSupersededIndexes]] reclaims it on the next rebuild. */
+  def cachedIndexDir(src: java.io.File, root: String = "/tmp",
+      params: String = ""): String = {
     def fp(s: String): String = java.lang.Long.toHexString(
       graft.functions.PortableHash.mix64(
         org.apache.spark.unsafe.types.UTF8String.fromString(s)))
     val srcTag = fp(src.getAbsolutePath)
-    val snapFp = fp(s"${src.getAbsolutePath}:${src.lastModified}:${src.length}")
+    val snapFp =
+      fp(s"${src.getAbsolutePath}:${src.lastModified}:${src.length}:$params")
     s"$root/graft-ivf-index-$srcTag-$snapFp"
   }
 

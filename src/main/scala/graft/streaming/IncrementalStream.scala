@@ -95,6 +95,7 @@ object IncrementalStream {
       ivfIndexPath: Option[String] = None,
       ivfNlist: Int = 16,
       hnswIndexPath: Option[String] = None,
+      vectorDim: Int = graft.schema.Schemas.EmbeddingDim,
       enrich: Option[EnrichSpec] = None,
       cardinalityProfilePath: Option[String] = None,
       quantileProfilePath: Option[String] = None,
@@ -245,9 +246,13 @@ object IncrementalStream {
             graft.operators.Hnsw.addToIndex(s, idx, vecs,
               idCol = "main_refco", vecCol = "embedding_vector")
           else
+            // `vectorDim` (not the schema constant): SrpBucket silently
+            // truncates to min(vector length, dim), so a stream carrying a
+            // non-default vector width would get mis-sized hyperplanes
+            // rather than an error if the dim were hardcoded (ADVICE r13).
             graft.operators.Hnsw.buildIndex(s, idx, vecs,
               idCol = "main_refco", vecCol = "embedding_vector",
-              dim = graft.schema.Schemas.EmbeddingDim)
+              dim = vectorDim)
         }
         // Persisted BM25 index maintained by the stream, indexing what
         // the TABLE serves. For an insert-only column the merge keeps
