@@ -329,8 +329,14 @@ object SparkEntry {
     * `rounds` beam-`beam` layer-0 rounds (both registered oracles call
     * it with beam = 16, rounds = 3 and read from `s6`). Every step is a
     * finite join, so the approximate search replays EXACTLY — no recall
-    * assumption. */
-  private[graft] def hnswSearchCtes(m: Int, beam: Int, rounds: Int): String = {
+    * assumption.
+    *
+    * `planes` sizes the SRP candidate generator: 4 for the fixed-shape
+    * oracles; the AutoPlanes gate entries pass the stats-derived count
+    * via [[dataDependentOracles]] so the gated plan is the production
+    * occupancy-matched shape (VERDICT r13 #1). */
+  private[graft] def hnswSearchCtes(m: Int, beam: Int, rounds: Int,
+      planes: Int = 4): String = {
     // one search step: expand the frontier's layer-`layer` edges, union
     // the frontier, dedup, re-score against the query vector, keep `b`
     def step(prev: String, out: String, layer: Int, b: Int): String =
@@ -348,7 +354,7 @@ object SparkEntry {
          |  JOIN e ev ON ev.vec_id = d.node) r
          |WHERE rn <= $b)""".stripMargin
     s"""hp AS (SELECT * FROM (VALUES
-       |${srpPlanesValues(planes = 4, dim = 64, seed = 42L, tables = 4)}
+       |${srpPlanesValues(planes = planes, dim = 64, seed = 42L, tables = 4)}
        |) AS t(t, p, pv)),
        |bits AS (SELECT e.vec_id, hp.t, hp.p,
        |    CASE WHEN list_reduce(
@@ -389,6 +395,69 @@ object SparkEntry {
        |${step("s2", "s3", 1, 1)},
        |${(1 to rounds).map(r => step(s"s${2 + r}", s"s${3 + r}", 0, beam))
           .mkString(",\n")}""".stripMargin
+  }
+
+  /** The cosine_neardup_lsh oracle, parameterized by plane count: SRP
+    * hyperplanes interpolated as literals, sign-bit bucketing, within-
+    * bucket candidates, exact cosine verification — the single source for
+    * BOTH the fixed-shape gate entry (`planes = 4`) and the AutoPlanes
+    * gate entry (stats-derived count via [[dataDependentOracles]]). */
+  private[graft] def cosineNearDupLshSql(planes: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |hp AS (SELECT * FROM (VALUES
+       |${srpPlanesValues(planes = planes, dim = 64, seed = 42L, tables = 4)}
+       |) AS t(t, p, pv)),
+       |bits AS (SELECT e.vec_id, hp.t, hp.p,
+       |    CASE WHEN list_reduce(
+       |           list_transform(generate_series(1, 64), i -> v[i] * pv[i]),
+       |           (a, b) -> a + b) >= 0
+       |         THEN 1 << hp.p ELSE 0 END AS bit
+       |  FROM e CROSS JOIN hp),
+       |buck AS (SELECT vec_id, t, sum(bit) AS bucket FROM bits GROUP BY vec_id, t),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |         FROM buck a JOIN buck b
+       |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, list_cosine_similarity(ea.v, eb.v) AS cos
+       |FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
+       |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4""".stripMargin
+
+  /** The ann_hnsw oracle, parameterized by plane count — same single-source
+    * contract as [[cosineNearDupLshSql]]. */
+  private[graft] def hnswTopKSql(planes: Int): String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${hnswSearchCtes(m = 8, beam = 16, rounds = 3, planes = planes)}
+       |SELECT d.query_id,
+       |  CAST(row_number() OVER (PARTITION BY d.query_id
+       |    ORDER BY list_cosine_similarity(q.qv, ev.v) DESC, d.node) AS BIGINT)
+       |    AS rank,
+       |  d.node AS neighbor_id, list_cosine_similarity(q.qv, ev.v) AS cos
+       |FROM s6 d JOIN qs q ON q.query_id = d.query_id
+       |          JOIN e ev ON ev.vec_id = d.node
+       |WHERE d.node <> d.query_id
+       |QUALIFY row_number() OVER (PARTITION BY d.query_id
+       |  ORDER BY list_cosine_similarity(q.qv, ev.v) DESC, d.node) <= 5""".stripMargin
+
+  /** Oracle SQL whose literals derive from CORPUS STATISTICS — generated
+    * at oracle-build time (the Verify dump) instead of compile time, and
+    * composed into `oracle_sql.json` next to the static [[oracleSql]]
+    * entries.
+    *
+    * This is the AutoPlanes gate family (VERDICT r13 #1): the fixed-shape
+    * ANN/near-dup entries pin `planes = 4` because their oracles
+    * interpolate hyperplane literals, but the PRODUCTION default sizes the
+    * plane count from optimizer statistics ([[Dedup.autoPlanesFor]] —
+    * measured 10× exponent 0.23 vs 0.72–0.79 for the fixed shape, SURVEY
+    * §6.-2n). These entries gate THAT shape: the Spark side passes
+    * [[Dedup.AutoPlanes]], and the oracle's hyperplane VALUES are emitted
+    * here from the SAME deterministic stats-derived count, so both sides
+    * bucket identically at any corpus size. `autoPlanesFor` reads plan
+    * statistics only — zero Spark jobs fire here or at query construction
+    * (PlanSpec asserts). */
+  def dataDependentOracles(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val planes = Dedup.autoPlanesFor(Tables.embeddings(spark, sfDir), dim = 64)
+    Map(
+      "cosine_neardup_auto" -> cosineNearDupLshSql(planes),
+      "ann_hnsw_auto" -> hnswTopKSql(planes))
   }
 
   /** Shared CTE chain of the duplicated-passage oracles (from a `toks`

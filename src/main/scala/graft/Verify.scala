@@ -62,7 +62,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(t => selected(t._1))
+    // Static oracles + the data-dependent completions (AutoPlanes gate
+    // family): the latter interpolate literals derived from THIS corpus's
+    // plan statistics, so they can only be generated here, where the
+    // session and sfDir are in hand — "oracle-build time".
+    val json = (SparkEntry.oracleSql ++
+        SparkEntry.dataDependentOracles(spark, sfDir))
+      .filter(t => selected(t._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val statusJson = {

@@ -208,6 +208,21 @@ private[graft] object TierAnn extends Registry {
         sharedHnswEdges(s, dir), k = 5, maxLevel = 3, beam = 16, rounds = 3)
     }),
 
+    // The PRODUCTION shape of ann_hnsw: the SRP candidate generator's
+    // plane count comes from plan statistics (Dedup.AutoPlanes — zero
+    // jobs at construction, PlanSpec-asserted) instead of the fixed
+    // oracle-literal 4, so bucket occupancy — and the per-node candidate
+    // volume the top-m edge window ranks — stays flat as the corpus grows
+    // (10× exponent 0.23 vs 0.72–0.79 fixed, SURVEY §6.-2n). Correctness-
+    // gated: the oracle's hyperplane literals are generated at Verify-dump
+    // time from the SAME stats-derived count (dataDependentOracles).
+    "ann_hnsw_auto" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Hnsw.topK(emb.where(col("vec_id") < 20), emb, k = 5, dim = 64,
+        m = 8, maxLevel = 3, planes = Dedup.AutoPlanes, tables = 4,
+        beam = 16, rounds = 3)
+    }),
+
     // The same search served from a PERSISTED layer-partitioned graph
     // (built once per corpus fingerprint — the bm25_indexed posture):
     // identical oracle, so the gate proves index-served results equal
@@ -580,20 +595,11 @@ private[graft] object TierAnn extends Registry {
 
     // Full HNSW-style mirror: levels, per-layer graph, greedy descent and
     // the layer-0 beam all replayed as CTEs; the final top-k excludes the
-    // query's own node exactly like the engine.
-    "ann_hnsw" ->
-      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |${hnswSearchCtes(m = 8, beam = 16, rounds = 3)}
-         |SELECT d.query_id,
-         |  CAST(row_number() OVER (PARTITION BY d.query_id
-         |    ORDER BY list_cosine_similarity(q.qv, ev.v) DESC, d.node) AS BIGINT)
-         |    AS rank,
-         |  d.node AS neighbor_id, list_cosine_similarity(q.qv, ev.v) AS cos
-         |FROM s6 d JOIN qs q ON q.query_id = d.query_id
-         |          JOIN e ev ON ev.vec_id = d.node
-         |WHERE d.node <> d.query_id
-         |QUALIFY row_number() OVER (PARTITION BY d.query_id
-         |  ORDER BY list_cosine_similarity(q.qv, ev.v) DESC, d.node) <= 5""".stripMargin,
+    // query's own node exactly like the engine. Single-sourced with the
+    // AutoPlanes twin: ann_hnsw_auto's oracle is the SAME builder at the
+    // stats-derived plane count, emitted at Verify-dump time
+    // (SparkEntry.dataDependentOracles).
+    "ann_hnsw" -> hnswTopKSql(planes = 4),
 
     // The recall harness's oracle recomputes BOTH sides (brute-force
     // exact and the full graph search) and the hit join.

@@ -284,6 +284,17 @@ private[graft] object TierDedup extends Registry {
       Dedup.cosineNearDupPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.4, dim = 64, planes = 4, tables = 4)),
 
+    // The PRODUCTION shape of the query above: planes = AutoPlanes sizes
+    // the bucket granularity from plan statistics (zero jobs at
+    // construction, PlanSpec-asserted), so doubling the corpus adds one
+    // plane and per-bucket candidate volume stays flat — the 10×-exponent-
+    // 0.23 plan from SURVEY §6.-2n, now correctness-gated: the oracle's
+    // hyperplane literals are generated at Verify-dump time from the SAME
+    // deterministic stats-derived count (SparkEntry.dataDependentOracles).
+    "cosine_neardup_auto" -> ((s, dir) =>
+      Dedup.cosineNearDupPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.4, dim = 64, planes = Dedup.AutoPlanes, tables = 4)),
+
     // Empirical SRP-LSH calibration: bucket occupancy + candidate
     // volume per plane count on the ACTUAL corpus geometry — the
     // measured "what does doubling planes buy" table next to the
@@ -738,24 +749,10 @@ private[graft] object TierDedup extends Registry {
     // Full algorithm mirror: the seed-derived hyperplanes are interpolated
     // as literals, bucketing + sign rule + verification recomputed in SQL —
     // so the oracle matches the LSH output exactly whatever its recall.
-    "cosine_neardup_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |hp AS (SELECT * FROM (VALUES
-         |${srpPlanesValues(planes = 4, dim = 64, seed = 42L, tables = 4)}
-         |) AS t(t, p, pv)),
-         |bits AS (SELECT e.vec_id, hp.t, hp.p,
-         |    CASE WHEN list_reduce(
-         |           list_transform(generate_series(1, 64), i -> v[i] * pv[i]),
-         |           (a, b) -> a + b) >= 0
-         |         THEN 1 << hp.p ELSE 0 END AS bit
-         |  FROM e CROSS JOIN hp),
-         |buck AS (SELECT vec_id, t, sum(bit) AS bucket FROM bits GROUP BY vec_id, t),
-         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-         |         FROM buck a JOIN buck b
-         |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |SELECT a_id, b_id, list_cosine_similarity(ea.v, eb.v) AS cos
-         |FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id
-         |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4""".stripMargin,
+    // Single-sourced with the AutoPlanes twin: cosine_neardup_auto's
+    // oracle is the SAME builder at the stats-derived plane count,
+    // emitted at Verify-dump time (SparkEntry.dataDependentOracles).
+    "cosine_neardup_lsh" -> cosineNearDupLshSql(planes = 4),
 
     // Per-option replay of the SAME hyperplane doubles (generated
     // VALUES), bit-sum buckets, occupancy census, UNION ALL.

@@ -26,6 +26,57 @@ class PlanSpec extends SparkSpecBase {
     self ++ p.children.flatMap(collectAll)
   }
 
+  test("AutoPlanes gate entries derive the plane count without firing jobs") {
+    // The production-shape gate family (cosine_neardup_auto / the
+    // ann_hnsw_auto edge build) sizes SRP planes from PLAN STATISTICS:
+    // constructing the plan must fire zero Spark jobs — an eager count()
+    // here was the round-12 regression. ann_hnsw_auto's full query DOES
+    // fire jobs at construction (per-step frontier localCheckpoints, the
+    // documented pinning discipline), so the assertion targets the part
+    // that carries the AutoPlanes contract: the near-dup pair plan and
+    // the knnEdges build plan. The table is read BEFORE the listener
+    // attaches: `spark.read.parquet` itself fires one footer-inference
+    // job per call (`parquet at Tables.scala`) — a reader property shared
+    // by every registered query, not part of the AutoPlanes contract.
+    val emb = Tables.embeddings(spark, sf)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.operators.Dedup.cosineNearDupPairsLsh(emb, "vec_id", "embedding",
+        threshold = 0.4, dim = 64,
+        planes = graft.operators.Dedup.AutoPlanes, tables = 4)
+      graft.operators.Hnsw.knnEdges(emb,
+        "vec_id", "embedding", dim = 64, m = 8, maxLevel = 3,
+        planes = graft.operators.Dedup.AutoPlanes, tables = 4)
+      // sentinel: ONE raw-RDD job (no AQE, so exactly one job) flushes
+      // the ordered listener queue
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (jobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(jobs.get() == 1,
+        s"expected only the sentinel job, saw ${jobs.get()} job starts")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("AutoPlanes gate oracles interpolate the stats-derived plane count") {
+    // dataDependentOracles must emit hyperplane literals for EXACTLY the
+    // plane count the registered query derives from the same DataFrame —
+    // tables = 4 bucketings, so planes*4 VALUES rows.
+    val emb = Tables.embeddings(spark, sf)
+    val planes = graft.operators.Dedup.autoPlanesFor(emb, dim = 64)
+    val oracles = SparkEntry.dataDependentOracles(spark, sf)
+    for (k <- Seq("cosine_neardup_auto", "ann_hnsw_auto")) {
+      val rows = "CAST\\(\\[".r.findAllIn(oracles(k)).size
+      assert(rows == planes * 4,
+        s"$k oracle carries $rows hyperplane rows, expected ${planes * 4}")
+    }
+  }
+
   test("q6_forecast_revenue: predicate band reaches the scan; one exchange") {
     val p = plan("q6_forecast_revenue")
     val s = p.toString
