@@ -64,6 +64,32 @@ class HnswSpec extends SparkSpecBase {
     assert(!got.values.exists(_ == 0L), "query returned itself")
   }
 
+  test("recall@5 clears a measured floor; degenerate knobs fall below it") {
+    // VERDICT r13 #3: the hnsw_recall gate hash-matches an oracle that
+    // replays the same algorithm, so recall 0.1 would also "pass" it.
+    // This pins QUALITY itself on a seeded corpus: production-ish knobs
+    // must clear the floor, and the floor is proven BINDING — the
+    // degenerate mutation (beam = k, zero layer-0 rounds: greedy descent
+    // only) lands far below it, so an (m, beam, rounds) regression fails
+    // this suite instead of just changing a hash the oracle mirrors.
+    // Deterministic seeds; measured: full knobs 0.90, degenerate 0.08.
+    val df = randCorpus(300, 16).localCheckpoint()
+    val queries = df.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, df, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(beam: Int, rounds: Int): Double = {
+      val got = Hnsw.topK(queries, df, k = 5, dim = 16, m = 8,
+        maxLevel = 3, planes = 3, tables = 3, beam = beam, rounds = rounds)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val full = recall(beam = 16, rounds = 3)
+    assert(full >= 0.8, s"recall@5 regressed below the 0.8 floor: $full")
+    val degenerate = recall(beam = 5, rounds = 0)
+    assert(degenerate < 0.8,
+      s"floor is not binding — degenerate knobs read $degenerate")
+  }
+
   test("persisted index serves bit-identical results to the in-plan build") {
     val root = java.nio.file.Files.createTempDirectory("hnsw-idx").toString
     val df = randCorpus(150, 16)

@@ -74,6 +74,30 @@ class PqSpec extends SparkSpecBase {
     assert(top == 7L, s"expected planted twin 7, got $top")
   }
 
+  test("pqRerankTopK recall floor is met and binding in the lossy regime") {
+    // VERDICT r13 #3 twin audit: pq_recall's gate replays the same ADC
+    // arithmetic, so only this spec can catch a quality regression.
+    // Measured on the deterministic Gaussian corpus: candidates = 60 of
+    // 300 reads 0.93; candidates = 10 reads 0.46 — the floor binds.
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 300).map(i =>
+        (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val queries = df.where($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(queries, df, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cb = Pq.seedCodebooks(df, m = m, ksub = 8)
+    def recall(cand: Int): Double =
+      Pq.pqRerankTopK(queries, df, k = 5, codebooks = cb, candidates = cand)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .toSet.intersect(exact).size.toDouble / exact.size
+    val lossy = recall(60)
+    assert(lossy >= 0.85, s"PQ recall@5 regressed below 0.85: $lossy")
+    val degenerate = recall(10)
+    assert(degenerate < 0.85,
+      s"PQ floor not binding — degenerate candidates read $degenerate")
+  }
+
   test("Lloyd training never increases quantization error (and shapes hold)") {
     val corpus = mkCorpus(200, 8).persist()
     def mse(cb: Seq[Seq[Seq[Double]]]): Double = {
