@@ -3,9 +3,19 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Ckpt.PinOps
+
 /** Graph operators for dedup pipelines: near-duplicate PAIRS (MinHash /
   * SimHash / Jaccard output) become duplicate GROUPS via weakly-connected
   * components, and each group keeps one representative.
+  *
+  * FAULT CONTRACT of every iterative loop here (CC label/star, k-core,
+  * PageRank, TrustRank, LPA, BFS): each round pins its frame via
+  * [[Ckpt.pin]] — `localCheckpoint` by default (fast, executor-local,
+  * NOT fault-tolerant), RELIABLE `checkpoint()` when the session conf
+  * `spark.graft.checkpointDir` names a DFS path, which is the setting a
+  * preemptible 100 TB fleet should run with (VERDICT r13 #2; details on
+  * [[Ckpt]]).
   */
 object Graph {
 
@@ -150,7 +160,7 @@ object Graph {
         .observe(obs,
           sum(when(col("label") =!= col("__old"), 1L).otherwise(0L)).as("changed"))
         .drop("__old")
-      val aggCk = agg.localCheckpoint() // the round's one job; fires obs
+      val aggCk = agg.pin() // the round's one job; fires obs
       changed = obs.get("changed") match {
         case n: Long => n
         case null => 0L
@@ -219,14 +229,14 @@ object Graph {
     var cur = edges
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+      .where(col("u") =!= col("v")).distinct().pin()
     var i = 0
     var done = false
     while (!done && i < maxIters) {
       // localCheckpoint: each round references cur 4x (two symmetric
       // views in each star) — without lineage truncation the logical plan
       // grows 4^rounds and plan processing OOMs.
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = smallStar(largeStar(cur)).pin()
       done = next.count() == cur.count() && next.exceptAll(cur).isEmpty
       cur.unpersist()
       cur = next
@@ -519,7 +529,7 @@ object Graph {
         greatest(col(aCol), col(bCol)).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .pin()
     def degrees(g: DataFrame): DataFrame = g
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -537,7 +547,7 @@ object Graph {
       e = e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
-        .localCheckpoint()
+        .pin()
       // release the superseded round's checkpointed blocks eagerly (the
       // CC loop's pattern) — otherwise up to rounds+1 edge-set copies
       // sit in executor storage until GC gets around to them
@@ -559,12 +569,12 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).where(
       col("src").isNotNull && col("dst").isNotNull).distinct()
-      .localCheckpoint()
+      .pin()
     val vertices = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint() // reused every round: compute the node set once
+      .pin() // reused every round: compute the node set once
     val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      .agg(count(lit(1)).as("deg")).pin()
     val base = (1000L - dampingPermille) * scale / 1000L
     var ranks = vertices.withColumn("rank", lit(scale))
     var i = 0
@@ -578,7 +588,7 @@ object Graph {
         .select(col("node"),
           (lit(base) + expr(s"$dampingPermille * coalesce(s, 0L) div 1000"))
             .as("rank"))
-        .localCheckpoint() // one job per round; see CC loop note
+        .pin() // one job per round; see CC loop note
       i += 1
     }
     ranks
@@ -611,16 +621,16 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).where(
       col("src").isNotNull && col("dst").isNotNull).distinct()
-      .localCheckpoint()
+      .pin()
     val seedNodes = seeds.select(col(seedCol).cast("long").as("node"))
       .where(col("node").isNotNull).distinct()
     val verts = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(broadcast(seedNodes.withColumn("__s", lit(true))), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(false)).as("seed"))
-      .localCheckpoint()
+      .pin()
     val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      .agg(count(lit(1)).as("deg")).pin()
     val base = (1000L - dampingPermille) * scale / 1000L
     var ranks = verts.select(col("node"),
       when(col("seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
@@ -635,7 +645,7 @@ object Graph {
         .select(col("node"),
           (when(col("seed"), lit(base)).otherwise(lit(0L)) +
             expr(s"$dampingPermille * coalesce(s, 0L) div 1000")).as("rank"))
-        .localCheckpoint()
+        .pin()
       i += 1
     }
     ranks
@@ -695,9 +705,9 @@ object Graph {
         col(bCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
     val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+      .distinct().pin()
     // symmetric edge set: the u column alone covers every vertex
-    val verts = und.select(col("u").as("node")).distinct().localCheckpoint()
+    val verts = und.select(col("u").as("node")).distinct().pin()
     var labels = verts.withColumn("label", col("node"))
     var i = 0
     while (i < rounds) {
@@ -710,7 +720,7 @@ object Graph {
         .groupBy(col("u").as("node"))
         .agg(min(struct((-col("n")).as("nn"), col("label").as("l"))).as("__m"))
         .select(col("node"), col("__m.l").as("label"))
-        .localCheckpoint() // one job per round; see the CC loop note
+        .pin() // one job per round; see the CC loop note
       i += 1
     }
     labels
@@ -741,7 +751,7 @@ object Graph {
         col(bCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
     val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+      .distinct().pin()
     var dist = seeds.distinct.toDF("node").withColumn("hops", lit(0L))
     var i = 0
     while (i < maxHops) {
@@ -750,7 +760,7 @@ object Graph {
         .select(col("u").as("node"), (col("hops") + 1).as("hops"))
       dist = dist.union(nxt)
         .groupBy("node").agg(min("hops").as("hops"))
-        .localCheckpoint()
+        .pin()
       i += 1
     }
     dist

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Ckpt.PinOps
+
 /** Data-quality gates (Deequ-style, reduced to the single-pass shape a
   * 100 TB ingest wants): declare named violation predicates, get back one
   * report row per rule with exact violation counts — the go/no-go input
@@ -161,8 +163,8 @@ object Validate {
     val h0 = df.where(value.isNotNull)
       .select(col(keyCol).as("key"), value.cast("long").as("__v"))
       .groupBy("key", "__v").agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
-    val h = boundedHistogram(h0, maxBins).localCheckpoint()
+      .pin()
+    val h = boundedHistogram(h0, maxBins).pin()
     // bounded: one row per distinct value in the corpus
     val g = h.groupBy("__v").agg(sum("__c").as("__gc"))
     val wg = org.apache.spark.sql.expressions.Window.orderBy("__v")
@@ -229,7 +231,7 @@ object Validate {
         .groupBy("key", "__v")
         .agg(sum(when(col("__cur"), 1L).otherwise(0L)).as("__ca"),
           sum(when(!col("__cur"), 1L).otherwise(0L)).as("__cb"))
-        .localCheckpoint(),
+        .pin(),
       maxBins)
 
   def ksTwoSlice(df: DataFrame, keyCol: String, value: Column,

@@ -45,6 +45,40 @@ class GraphSpec extends SparkSpecBase {
     assert(cur <= 9, s"expected <= 9 jobs (setup + 4 rounds x 2), got $cur")
   }
 
+  test("loops run green under a RELIABLE checkpoint dir and match the local-pin results") {
+    // VERDICT r13 #2: the loop tier's localCheckpoint default is not
+    // fault-tolerant on a preemptible fleet. With spark.graft.checkpointDir
+    // set, Ckpt.pin switches every round to reliable checkpoint() — same
+    // results, and the rounds actually write to the configured dir.
+    val edges = ((1L until 30L).map(i => (i, i + 1)) ++
+      Seq((40L, 41L), (41L, 42L))).toDF("a", "b")
+    def runAll(): Seq[Map[Long, Long]] = Seq(
+      Graph.connectedComponents(edges, "a", "b", maxDriverEdges = 0L)
+        .as[(Long, Long)].collect().toMap,
+      Graph.connectedComponentsStar(edges, "a", "b")
+        .as[(Long, Long)].collect().toMap,
+      Graph.kCore(edges, "a", "b", k = 2)
+        .as[(Long, Long)].collect().toMap,
+      Graph.pageRank(edges, "a", "b", iterations = 4)
+        .as[(Long, Long)].collect().toMap,
+      Graph.labelPropagation(edges, "a", "b", rounds = 3)
+        .as[(Long, Long)].collect().toMap,
+      Graph.bfsLayers(edges, "a", "b", Seq(1L), maxHops = 4)
+        .as[(Long, Long)].collect().toMap)
+    val local = runAll()
+    val dir = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt")
+    spark.conf.set(Ckpt.DirConf, dir.toString)
+    try {
+      val reliable = runAll()
+      assert(reliable == local, "reliable-checkpoint loops diverged")
+      // the rounds really went through checkpoint(): rdd files exist
+      val written = java.nio.file.Files.walk(dir).count()
+      assert(written > 1, s"checkpoint dir is empty: $dir")
+    } finally {
+      spark.conf.unset(Ckpt.DirConf)
+    }
+  }
+
   test("string CC: driver and distributed paths agree on non-BMP ids (code-point order)") {
     // U+1F600 is the surrogate pair 0xD83D 0xDE00: Scala's default
     // Ordering[String] (UTF-16 code units) ranks it BELOW U+E000/U+FFFF,
