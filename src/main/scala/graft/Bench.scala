@@ -127,6 +127,33 @@ object Bench {
       sinceGc += 1
       if (sinceGc >= 25) { sinceGc = 0; System.gc() }
     }
+    // Plan fingerprints (VERDICT r13 #6): a stable 64-bit hash of each
+    // query's physical plan, persisted next to the samples so the next
+    // verdict can tell "the plan changed" from "the box was noisy" without
+    // re-deriving either. The hash is taken over the CANONICALIZED plan
+    // string with the remaining run-varying tokens normalized: attribute
+    // ids (#123), AQE plan ids, and pinned-lineage RDD scan ids (the
+    // hnsw/graph loops scan localCheckpoint RDDs whose numbers differ per
+    // run). Same code + same data ⇒ same hash across JVMs; a join
+    // strategy, exchange, or operator change ⇒ different hash. Computed
+    // AFTER the timed loop (construction is untimed; shared caches are
+    // warm, so construction-time pins are cheap).
+    def planHash(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): String =
+      try {
+        val p = fn(spark, sfDir).queryExecution.executedPlan.canonicalized.toString
+        val norm = p
+          .replaceAll("#\\d+", "#x")
+          .replaceAll("plan_id=\\d+", "plan_id=x")
+          .replaceAll("\\[id=#x\\]", "")
+          .replaceAll("(?i)(existingrdd|logicalrdd|scan rdd)[^\\n]*", "$1")
+        java.lang.Long.toHexString(graft.functions.PortableHash.mix64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(norm)))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] planHash failed: $e"); "err"
+      }
+    val planHashes = queries.toSeq.sortBy(_._1)
+      .map { case (n, fn) => n -> planHash(fn) }
+
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) 0.0
@@ -159,7 +186,10 @@ object Bench {
       }.mkString("{", ",", "}")
       val sig = s"""{"loadavg_before":${num(loadBefore, 2)},"loadavg_after":${num(loadAvg, 2)},""" +
         s""""jvm_gc_ms":${gcMillis - gcBefore},"repeat":$repeat}"""
-      val rich = full.dropRight(1) + s""","samples":$raw,"load":$sig}"""
+      val plans = planHashes.map { case (k, h) => "\"" + k + "\":\"" + h + "\"" }
+        .mkString("{", ",", "}")
+      val rich = full.dropRight(1) +
+        s""","samples":$raw,"load":$sig,"plans":$plans}"""
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, rich + "\n")
