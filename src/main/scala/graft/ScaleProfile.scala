@@ -611,6 +611,87 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "r14") {
+      // Graph-tier 10× axis (VERDICT r13 #4): the "per-round latency
+      // amortizes, data volume is linear" claim measured for all four
+      // registered iterative graph queries — previously recorded only
+      // for LPA — plus a HUB-SKEW axis: the same loop kernels on a
+      // 1M-edge synthetic graph, uniform vs one node in ~30% of edges.
+      // The skew claim under test: every per-node reduction in the
+      // loops (degree counts, rank sums, min-label folds) is map-side
+      // partially aggregated, so a hot node receives at most one row
+      // per map partition in the exchange — no single-key straggler.
+      val big = "/tmp/scale/sf1"
+      require(new java.io.File(s"$big/events.parquet").isDirectory &&
+        new java.io.File(s"$big/documents.parquet").isDirectory,
+        "sf1 corpus missing — run `runMain graft.ScaleProfile sf1` first")
+      if (!new java.io.File(s"$big/lineitem.parquet").isDirectory) {
+        val li = spark.read.parquet(s"$src/lineitem.parquet")
+        (0 until 10).map(i => li
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+        System.err.println("[scale] derived sf1 lineitem (10x)")
+      }
+      def exp10(t1: Double, t10: Double): Double =
+        math.log(t10 / t1) / math.log(10.0)
+      val ps = Seq("pagerank", "kcore", "communities", "cc_incremental")
+      ps.foreach(q => time(q, src)) // warmup: codegen + JIT
+      ps.foreach(q => time(q, big))
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t10 = median3(time(q, big))
+        println(f"SCALE10 $q%-23s sf0.1=$t1%6.2f s  sf1=$t10%7.2f s  exponent=${exp10(t1, t10)}%5.2f")
+      }
+      // hub-skew edge tables: 1M edges over 200k nodes, deterministic.
+      // Uniform endpoints are independent hashes; the hub variant
+      // redirects ~30% of dst endpoints to node 1.
+      val uniDir = "/tmp/scale/graph-uniform"
+      val hubDir = "/tmp/scale/graph-hub"
+      if (!new java.io.File(uniDir).isDirectory) {
+        val ids = spark.range(1000000L)
+        val uni = ids.select(
+          pmod(xxhash64(col("id"), lit(1)), lit(200000L)).as("a"),
+          pmod(xxhash64(col("id"), lit(2)), lit(200000L)).as("b"))
+          .where(col("a") =!= col("b"))
+        uni.write.mode("overwrite").parquet(uniDir)
+        uni.withColumn("b",
+            when(pmod(xxhash64(col("a"), col("b"), lit(3)), lit(10)) < 3,
+              lit(1L)).otherwise(col("b")))
+          .where(col("a") =!= col("b"))
+          .write.mode("overwrite").parquet(hubDir)
+        System.err.println("[scale] derived 1M-edge uniform + hub graphs")
+      }
+      def loops(dir: String): Seq[(String, () => Unit)] = {
+        def edges = spark.read.parquet(dir)
+        Seq(
+          "pagerank_kernel" -> (() => operators.Graph
+            .pageRank(edges, "a", "b", iterations = 8)
+            .write.mode("overwrite").format("noop").save()),
+          "kcore_kernel" -> (() => operators.Graph
+            .kCore(edges, "a", "b", k = 4, rounds = 8)
+            .write.mode("overwrite").format("noop").save()),
+          "lpa_kernel" -> (() => operators.Graph
+            .labelPropagation(edges, "a", "b", rounds = 5)
+            .write.mode("overwrite").format("noop").save()),
+          "cc_star_kernel" -> (() => operators.Graph
+            .connectedComponentsStar(edges, "a", "b")
+            .write.mode("overwrite").format("noop").save()))
+      }
+      def timeK(f: () => Unit): Double = {
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }
+      loops(uniDir).foreach { case (_, f) => f() } // warmup
+      loops(hubDir).foreach { case (_, f) => f() }
+      loops(uniDir).zip(loops(hubDir)).foreach {
+        case ((name, fu), (_, fh)) =>
+          val tu = median3(timeK(fu))
+          val th = median3(timeK(fh))
+          println(f"SKEWG $name%-24s uniform=$tu%6.2f s  hub30=$th%6.2f s  ratio=${th / tu}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "r12f") {
       // Final round-12 census additions at the 10× axis: every one is a
       // single-exchange rollup — yule_k over the (key, word) count table,
