@@ -129,6 +129,20 @@ object SparkEntry {
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
   }
 
+  /** ONE trained unigram final vocab shared by the tokenizer family —
+    * the [[sharedBpeMerges]] posture exactly: training is deterministic,
+    * `unigram_train` bills the real train as its own entry, and
+    * `unigram_encode` reads encode-only off the cached counts. */
+  private[graft] val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+  private[graft] def sharedUnigramCounts(s: SparkSession, dir: String): Map[String, Long] = {
+    val sessKey = installEvictionListener(s)
+    unigramCache.computeIfAbsent(s"$sessKey#$dir", _ =>
+      graft.operators.Unigram.vocabCounts(
+        graft.operators.Unigram.train(Tables.documents(s, dir), "text",
+          rounds = 2, seedSize = 200, vocabSize = 120)))
+  }
+
   /** The fertility monitor's EVEN-doc-half training pass, cached with the
     * same session-keyed lifecycle (it cannot reuse the full-corpus merges
     * above — held-out scoring requires training to never see the odd
@@ -181,6 +195,7 @@ object SparkEntry {
     spansCache.keySet.removeIf(_.startsWith(sessKey + "#"))
     bpeCache.keySet.removeIf(_.startsWith(sessKey + "#"))
     hnswEdgeCache.keySet.removeIf(_.startsWith(sessKey + "#"))
+    unigramCache.keySet.removeIf(_.startsWith(sessKey + "#"))
     ccListenerInstalled.remove(sessKey)
   }
 
@@ -458,6 +473,149 @@ object SparkEntry {
     Map(
       "cosine_neardup_auto" -> cosineNearDupLshSql(planes),
       "ann_hnsw_auto" -> hnswTopKSql(planes))
+  }
+
+  /** Exact integer Q10 log2 as a DuckDB fragment — mirrors
+    * [[graft.operators.Unigram.ilogQ10]] bit for bit (`length(bin(c))`
+    * gives `floor(log2 c) + 1` in both engines; all ops integer). */
+  private def uniIlogSql(c: String): String = {
+    val m = s"(length(bin($c)) - 1)"
+    val p2 = s"(CAST(1 AS BIGINT) << $m)"
+    s"($m * 1024 + (($c - $p2) * 1024 // $p2))"
+  }
+
+  /** The unigram Viterbi DP as an UNROLLED chain of per-position CTEs —
+    * `<tag>0 … <tag>{MaxWordLen}`, each appending position p's best
+    * (score, argj) struct to the growing `best` table. The natural
+    * nested `list_reduce` (inner candidate-max referencing the outer
+    * fold's accumulator) miscomputes NONDETERMINISTICALLY in DuckDB
+    * 1.0's vectorized lambda evaluation (measured: per-word
+    * segmentations flip between runs, some don't cover the word);
+    * single-level lambdas that reference only plain COLUMNS — `best`,
+    * `m` — are the proven-reliable pattern (the hash chains, the
+    * pointer-walk fold), so each position is its own CTE with the
+    * position index interpolated as a constant. The inner max keeps the
+    * engine's exact tie-break: higher score, then smaller start (=
+    * longer piece). Positions past len(w) append NULL padding the walk
+    * never reads. */
+  private def uniDpChain(tag: String, src: String): String = {
+    val L = graft.operators.Unigram.MaxPieceLen
+    val W = graft.operators.Unigram.MaxWordLen
+    val b0 =
+      s"""${tag}0 AS (SELECT *,
+         |  CAST([{s: 0, j: -1}] AS STRUCT(s BIGINT, j INT)[]) AS best FROM $src)""".stripMargin
+    val steps = (1 to W).map { p =>
+      val lo = math.max(1, p - (L - 1))
+      s"""$tag$p AS (SELECT * REPLACE (list_append(best,
+         |  CASE WHEN len(w) >= $p THEN
+         |    list_reduce(list_transform(generate_series($lo, $p), jj ->
+         |      CASE WHEN m[(jj-1)*64 + $p][1] IS NULL OR best[jj] IS NULL THEN NULL
+         |           ELSE {s: best[jj].s + m[(jj-1)*64 + $p][1], j: jj-1} END),
+         |      (b, c) -> CASE WHEN c IS NULL THEN b WHEN b IS NULL THEN c
+         |                     WHEN c.s > b.s OR (c.s = b.s AND c.j < b.j) THEN c ELSE b END)
+         |  ELSE NULL END) AS best) FROM $tag${p - 1})""".stripMargin
+    }
+    (b0 +: steps).mkString(",\n")
+  }
+
+  /** The backtrack as a second fold: walk the argj pointers from len(w)
+    * collecting VISITED POSITIONS (an INT[] accumulator — a struct
+    * accumulator whose fields cross-reference miscomputes in DuckDB
+    * 1.0's list_reduce, measured; a flat list is reliable). Pieces are
+    * then the substrings between consecutive visited positions. */
+  private def uniVisSql: String =
+    s"""list_reduce(
+       |    list_prepend(CAST([len(w)] AS INT[]),
+       |      list_transform(generate_series(1, len(w)), x -> CAST([0] AS INT[]))),
+       |    (vis, _x) -> CASE WHEN vis[len(vis)] <= 0 THEN vis
+       |                      ELSE list_append(vis, d[vis[len(vis)] + 1].j) END)""".stripMargin
+
+  /** Full-algorithm mirror of [[graft.operators.Unigram.train]]: word
+    * freqs → bounded spans (chars-only past MaxWordLen) → seed (all chars
+    * + top `seedSize` multi) → `rounds` Viterbi-EM rounds (scores from
+    * exact Q10 integer logs, per-word DP + backtrack, usage fold,
+    * char-floor/prune) → chars-protected final vocab of `vocabSize`.
+    * Ends in CTE `fin` (piece, cnt); [[uniFinalSelect]] ranks it. */
+  private[graft] def unigramTrainCtes(rounds: Int, seedSize: Int,
+      vocabSize: Int, from: String = "documents"): String = {
+    val L = graft.operators.Unigram.MaxPieceLen
+    val W = graft.operators.Unigram.MaxWordLen
+    val head =
+      s"""wf AS MATERIALIZED (SELECT w, count(*) AS freq
+         |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $from)
+         |       WHERE w <> '' GROUP BY w),
+         |sp AS MATERIALIZED (SELECT w, freq, j, p, w[j+1:p] AS piece FROM wf,
+         |  unnest(generate_series(0, len(w)-1)) tj(j),
+         |  unnest(generate_series(j+1, CASE WHEN len(w) <= $W THEN least(j+$L, len(w)) ELSE j+1 END)) tp(p)),
+         |seed AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM sp GROUP BY piece),
+         |c0 AS MATERIALIZED (
+         |  SELECT piece, cnt FROM seed WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM seed WHERE len(piece) > 1
+         |  QUALIFY row_number() OVER (ORDER BY cnt DESC, piece) <= $seedSize)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"c${r - 1}"
+      s"""t$r AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM $prev),
+         |s$r AS (SELECT piece, ${uniIlogSql("cnt")} - ${uniIlogSql("tt")} AS pscore FROM $prev, t$r),
+         |m$r AS MATERIALIZED (SELECT sp.w, sp.freq,
+         |        map_from_entries(list(struct_pack(k := sp.j*64+sp.p, v := s.pscore))) AS m
+         |      FROM sp JOIN s$r s USING (piece) WHERE len(sp.w) <= $W
+         |      GROUP BY sp.w, sp.freq),
+         |${uniDpChain(s"b${r}_", s"m$r")},
+         |d$r AS MATERIALIZED (SELECT w, freq, best AS d FROM b${r}_$W),
+         |v$r AS (SELECT w, freq, $uniVisSql AS vis FROM d$r),
+         |g$r AS (SELECT w, freq,
+         |        list_transform(generate_series(1, len(vis)-1), i -> w[vis[i+1]+1 : vis[i]]) AS pieces
+         |      FROM v$r),
+         |u$r AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS usage FROM (
+         |        SELECT freq, unnest(pieces) AS piece FROM g$r
+         |        UNION ALL
+         |        SELECT freq, unnest([w[i:i] for i in range(1, len(w)+1)]) AS piece
+         |        FROM wf WHERE len(w) > $W) GROUP BY piece),
+         |c$r AS MATERIALIZED (SELECT c.piece,
+         |        CASE WHEN len(c.piece) = 1 THEN greatest(coalesce(u.usage, 0), 1)
+         |             ELSE coalesce(u.usage, 0) END AS cnt
+         |      FROM $prev c LEFT JOIN u$r u USING (piece)
+         |      WHERE len(c.piece) = 1 OR coalesce(u.usage, 0) > 0)""".stripMargin
+    }.mkString(",\n")
+    val fin =
+      s"""ch AS (SELECT piece, cnt FROM c$rounds WHERE len(piece) = 1),
+         |mu AS (SELECT piece, cnt FROM c$rounds WHERE len(piece) > 1
+         |       QUALIFY row_number() OVER (ORDER BY cnt DESC, piece)
+         |         <= greatest($vocabSize - (SELECT count(*) FROM ch), 0)),
+         |fin AS MATERIALIZED (SELECT piece, cnt FROM ch UNION ALL SELECT piece, cnt FROM mu)""".stripMargin
+    s"$head,\n$roundCtes,\n$fin"
+  }
+
+  private[graft] def uniFinalSelect: String =
+    """SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS rank,
+      |  piece, cnt FROM fin""".stripMargin
+
+  /** Per-doc unigram token stats under the trained final vocab — the
+    * bpe_encode twin: the train chain replays, then every DISTINCT word
+    * Viterbi-segments under the FINAL counts and the per-doc aggregate
+    * joins words back. */
+  private[graft] def unigramEncodeSql(rounds: Int, seedSize: Int,
+      vocabSize: Int): String = {
+    val W = graft.operators.Unigram.MaxWordLen
+    s"""WITH ${unigramTrainCtes(rounds, seedSize, vocabSize)},
+       |tf AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM fin),
+       |sf AS (SELECT piece, ${uniIlogSql("cnt")} - ${uniIlogSql("tt")} AS pscore FROM fin, tf),
+       |mf AS MATERIALIZED (SELECT sp.w, map_from_entries(list(struct_pack(k := sp.j*64+sp.p, v := s.pscore))) AS m
+       |      FROM sp JOIN sf s USING (piece) WHERE len(sp.w) <= $W GROUP BY sp.w),
+       |${uniDpChain("bf_", "mf")},
+       |df_ AS MATERIALIZED (SELECT w, best AS d FROM bf_$W),
+       |vf AS (SELECT w, $uniVisSql AS vis FROM df_),
+       |np AS (SELECT w, CAST(len(vis) - 1 AS BIGINT) AS n_pieces FROM vf
+       |       UNION ALL
+       |       SELECT w, CAST(len(w) AS BIGINT) FROM wf WHERE len(w) > $W),
+       |dw AS (SELECT doc_id, w FROM (
+       |        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |       WHERE w <> '')
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(len(w)) AS BIGINT) AS n_chars
+       |FROM dw JOIN np USING (w) GROUP BY doc_id""".stripMargin
   }
 
   /** Shared CTE chain of the duplicated-passage oracles (from a `toks`

@@ -135,6 +135,24 @@ private[graft] object TierText extends Registry {
         Bpe.vocabulary(docs, "text", sharedBpeMerges(s, dir)))
     }),
 
+    // Unigram-LM (SentencePiece-style) tokenizer training — the second
+    // widely-used subword family next to BPE (VERDICT r13 stretch).
+    // Deterministic Viterbi-EM over the bounded distinct-(word, freq)
+    // table with an exact integer Q10 log2, so the DuckDB oracle replays
+    // seed, every EM round's DP + backtrack, and the chars-protected
+    // final vocab bit for bit (no floats, no libm ln — the exact-TV
+    // precedent).
+    "unigram_train" -> ((s, dir) =>
+      graft.operators.Unigram.train(Tables.documents(s, dir), "text",
+        rounds = 2, seedSize = 200, vocabSize = 120)),
+
+    // Per-doc unigram token stats under the shared trained vocab —
+    // encode-only cost, the bpe_encode posture (the train bill lands in
+    // unigram_train's own entry).
+    "unigram_encode" -> ((s, dir) =>
+      graft.operators.Unigram.encodeViaVocab(Tables.documents(s, dir),
+        "doc_id", "text", sharedUnigramCounts(s, dir))),
+
     // Held-out tokenizer quality: train BPE on the even-doc half, score
     // the odd half — fertility (subword tokens per word, millitokens)
     // and word-level OOV rate per source, THE pair of metrics a
@@ -640,6 +658,19 @@ private[graft] object TierText extends Registry {
          |  CAST(sum(len(w)) AS BIGINT) AS n_chars
          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
          |JOIN r10 USING (w) WHERE w <> '' GROUP BY 1""".stripMargin,
+
+    // Full Viterbi-EM replay: seed substrings, per-round integer-log
+    // scores, the per-word DP as a list_reduce whose accumulator is the
+    // growing best table, pointer-walk backtrack, usage fold, and the
+    // chars-protected final ranking.
+    "unigram_train" ->
+      s"""WITH ${unigramTrainCtes(rounds = 2, seedSize = 200, vocabSize = 120)}
+         |$uniFinalSelect""".stripMargin,
+
+    // Train replay + final-vocab Viterbi over the distinct words + the
+    // per-doc aggregate (the bpe_encode join posture).
+    "unigram_encode" -> unigramEncodeSql(rounds = 2, seedSize = 200,
+      vocabSize = 120),
 
     // Train replay on the even half + greedy-application replay on the
     // odd half's distinct words (bpeApplyCtes), then the per-source
