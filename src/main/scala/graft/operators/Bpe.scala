@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.Ckpt.PinOps
+
 /** Byte-pair-encoding tokenizer TRAINING and application — the
   * tokenizer-fitting step of a training-data pipeline, run over the corpus
   * the engine curates (Sennrich, Haddow & Birch 2016, "Neural Machine
@@ -117,7 +119,7 @@ object Bpe {
     var reprs = wf
       .withColumn("syms", transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))))
-      .localCheckpoint()
+      .pin()
     var rank = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
@@ -135,7 +137,7 @@ object Bpe {
         out += ((rank, l, r))
         reprs = reprs
           .withColumn("syms", applyMergeCol(l, r))
-          .localCheckpoint()
+          .pin()
         rank += 1
       }
     }

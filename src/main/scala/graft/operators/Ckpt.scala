@@ -6,7 +6,8 @@ import org.apache.spark.sql.DataFrame
   * (VERDICT r13 #2).
   *
   * Every fixed-point loop in the engine (CC label/star, k-core, PageRank,
-  * TrustRank, LPA, BFS, the two-slice monitor histograms) must truncate
+  * TrustRank, LPA, BFS, the two-slice monitor histograms, the HNSW
+  * search/build steps, the distributed BPE and unigram rounds) must truncate
   * lineage each round: a step that references its predecessor twice grows
   * the logical plan exponentially in rounds without a pin. The DEFAULT pin
   * is `localCheckpoint()` — fast (executor-local blocks, no DFS write),

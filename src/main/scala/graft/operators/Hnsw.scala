@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
+import graft.operators.Ckpt.PinOps
 
 /** HNSW-style layered-graph ANN (Malkov & Yashunin 2016, arXiv:1603.09320)
   * re-shaped for BATCH construction on Spark — the graph-based member of
@@ -148,7 +149,7 @@ object Hnsw {
           .orderBy(col("__cos").desc, col("node_id").asc)))
         .where(col("__rn") <= b)
         .select("query_id", "node_id")
-        .localCheckpoint()
+        .pin()
     def expand(fr: DataFrame, layer: Int): DataFrame =
       edges.where(col("layer") === layer)
         .join(broadcast(fr), col("src") === col("node_id"))
@@ -183,7 +184,7 @@ object Hnsw {
       rounds: Int = 2, seed: Long = 42L): DataFrame =
     searchTopK(queries, corpus,
       knnEdges(corpus, idCol, vecCol, dim, m, maxLevel, planes, tables, seed)
-        .localCheckpoint(),
+        .pin(),
       k, idCol, vecCol, maxLevel, beam, rounds)
 
   /** Persist the graph under `root` via [[IndexStore]]'s
@@ -281,9 +282,9 @@ object Hnsw {
     val fresh = batch
       .select(col(idCol).as("node_id"), col(vecCol).as("embedding"))
       .join(nodes.select("node_id"), Seq("node_id"), "left_anti")
-      .localCheckpoint() // consumed by buckets, the append, AND the guard
+      .pin() // consumed by buckets, the append, AND the guard
     if (fresh.isEmpty) return
-    val newB = bucketed(fresh, "n", meta).localCheckpoint()
+    val newB = bucketed(fresh, "n", meta).pin()
     val oldB = bucketed(nodes, "o", meta)
     // every directed pair with a NEW endpoint: new->new, new->old,
     // old->new — old->old pairs are already represented by the stored
@@ -307,7 +308,7 @@ object Hnsw {
         .orderBy(col("cos").desc, col("dst").asc)))
       .where(col("__rn") <= meta.m)
       .select("layer", "src", "dst", "cos")
-      .localCheckpoint() // pin BEFORE the store rewrite replaces its input
+      .pin() // pin BEFORE the store rewrite replaces its input
     IndexStore.append(spark, s"$root/nodes", fresh)
     IndexStore.rewriteWith(spark, s"$root/edges", partCol = Some("layer"))(
       () => (merged, Some(0 to meta.maxLevel)))
@@ -330,17 +331,17 @@ object Hnsw {
     if (!IndexStore.exists(spark, s"$root/meta")) return
     val meta = readMeta(spark, root)
     val del = ids.select(col(idCol).as("node_id")).distinct()
-      .localCheckpoint()
+      .pin()
     val nodes = IndexStore.read(spark, s"$root/nodes")
     val survivors = nodes.join(del, Seq("node_id"), "left_anti")
-      .localCheckpoint()
+      .pin()
     val edges = IndexStore.read(spark, s"$root/edges")
       .select("layer", "src", "dst", "cos")
     val affected = edges
       .join(del.select(col("node_id").as("dst")), Seq("dst"), "left_semi")
       .select("src").distinct()
       .join(del.select(col("node_id").as("src")), Seq("src"), "left_anti")
-      .localCheckpoint()
+      .pin()
     val keep = edges
       .join(del.select(col("node_id").as("src")), Seq("src"), "left_anti")
       .join(del.select(col("node_id").as("dst")), Seq("dst"), "left_anti")
@@ -354,7 +355,7 @@ object Hnsw {
       directed(bucketed(affNodes, "n", meta), "n",
         bucketed(survivors, "o", meta), "o"), meta.m)
     val merged = keep.union(healed)
-      .localCheckpoint() // pin BEFORE the store rewrite replaces its input
+      .pin() // pin BEFORE the store rewrite replaces its input
     IndexStore.rewrite(spark, s"$root/nodes", survivors)
     IndexStore.rewriteWith(spark, s"$root/edges", partCol = Some("layer"))(
       () => (merged, Some(0 to meta.maxLevel)))
