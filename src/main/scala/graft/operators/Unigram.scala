@@ -349,7 +349,10 @@ object Unigram {
     import spark.implicits._
     val sc = scoreMap(finalCounts)
     val scored = sc.toSeq.toDF("piece", "pscore")
-    val wf = Bpe.wordFrequencies(df, textCol)
+    // pin the distinct-word table: it feeds BOTH the DP branch (via
+    // spans) and the char fallback — unpinned, the corpus-linear
+    // word-frequency pass would run twice
+    val wf = Bpe.wordFrequencies(df, textCol).pin()
     val eligible = segmented(spans(wf), scored)
       .select(col("w"), size(col("pieces")).cast("long").as("n_pieces"))
     val fallback = wf.where(length(col("w")) > MaxWordLen)
