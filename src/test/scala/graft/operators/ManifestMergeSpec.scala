@@ -326,6 +326,7 @@ class ManifestMergeSpec extends SparkSpecBase {
 
   test("optimistic concurrency stress: 4 writers x 3 rounds — dense ids, no lost updates, exact GC") {
     val path = mkTarget()
+    val collateralBefore = Upsert.collateralMergeRetries.get()
     Upsert.mergeIntoManifestBucketedParquet(spark, path,
       (0L until 20L).map(k => (k, "base")).toDF("key", "v"), Seq("key"),
       nBuckets = 4, keepSnapshots = 2)
@@ -355,9 +356,20 @@ class ManifestMergeSpec extends SparkSpecBase {
     assert(out.size == 20 + writers * rounds * 5)
 
     // dense snapshot ids: initial commit 0 + exactly one id per merge —
-    // every raced id was retried onto the next, none skipped or reused
-    assert(Upsert.currentSnapshot(spark, path)
-      .contains(f"snap-${writers * rounds}%09d"))
+    // every raced id was retried onto the next, none skipped or reused.
+    // Same tolerance as the two-writer race above: a COLLATERAL IO
+    // failure mid-attempt (a task reading a file the winner's GC swept)
+    // after the merge content is already safe re-commits the idempotent
+    // batch on the next id, burning one number — allowed ONLY when the
+    // collateral-retry counter proves that branch actually fired, so a
+    // genuine double-commit regression still fails.
+    val lastId = Upsert.currentSnapshot(spark, path)
+      .flatMap(s => "\\d+".r.findFirstIn(s)).get.toLong
+    val collateral = Upsert.collateralMergeRetries.get() - collateralBefore
+    assert(lastId >= writers * rounds &&
+      lastId - writers * rounds <= collateral,
+      s"snapshot ids not dense: last=$lastId, merges=${writers * rounds}, " +
+        s"collateral retries=$collateral")
 
     // GC left exactly the retained manifests' files: every loser retired
     // its own attempt dir, every superseded known file was swept
