@@ -101,6 +101,12 @@ object Bench {
     if (queries.contains("tokenizer_fertility"))
       timeShared("bpe_fertility_train",
         () => SparkEntry.resetSharedBpeEven(), () => SparkEntry.buildSharedBpeEven(spark, sfDir))
+    // And the unigram twin: the even-half unigram vocab is session-cached
+    // for unigram_fertility's score-only read.
+    if (queries.contains("unigram_fertility"))
+      timeShared("unigram_fertility_train",
+        () => SparkEntry.resetSharedUnigramEven(),
+        () => SparkEntry.buildSharedUnigramEven(spark, sfDir))
     // And for the graph-ANN family: ann_hnsw and hnsw_recall search the
     // identical session-cached layered graph.
     if (queries.contains("ann_hnsw") || queries.contains("hnsw_recall"))

@@ -692,6 +692,28 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "r14b") {
+      // Unigram tokenizer 10× axis: sf1 documents carry 10× the distinct
+      // words (replicas suffix every word), so the axis measures the
+      // corpus-linear word-frequency pass + the bounded-vocab EM rounds
+      // (train), the per-distinct-word DP + per-doc join (encode), and
+      // the held-out variant (fertility).
+      val big = "/tmp/scale/sf1"
+      require(new java.io.File(s"$big/documents.parquet").isDirectory,
+        "sf1 corpus missing — run `runMain graft.ScaleProfile sf1` first")
+      def exp10(t1: Double, t10: Double): Double =
+        math.log(t10 / t1) / math.log(10.0)
+      val ps = Seq("unigram_train", "unigram_encode", "unigram_fertility")
+      ps.foreach(q => time(q, src)) // warmup: codegen + JIT
+      ps.foreach(q => time(q, big))
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t10 = median3(time(q, big))
+        println(f"SCALE10 $q%-23s sf0.1=$t1%6.2f s  sf1=$t10%7.2f s  exponent=${exp10(t1, t10)}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "r12f") {
       // Final round-12 census additions at the 10× axis: every one is a
       // single-exchange rollup — yule_k over the (key, word) count table,

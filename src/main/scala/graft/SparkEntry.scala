@@ -143,6 +143,25 @@ object SparkEntry {
           rounds = 2, seedSize = 200, vocabSize = 120)))
   }
 
+  /** The unigram fertility monitor's EVEN-doc-half training pass — the
+    * [[sharedBpeMergesEven]] twin (held-out scoring must never train on
+    * the odd half). Bench bills the build as its own
+    * `unigram_fertility_train` entry so `unigram_fertility` reads
+    * score-only. */
+  private[graft] def sharedUnigramEven(s: SparkSession, dir: String): Map[String, Long] = {
+    val sessKey = installEvictionListener(s)
+    unigramCache.computeIfAbsent(s"$sessKey#$dir#even", _ =>
+      graft.operators.Unigram.vocabCounts(
+        graft.operators.Unigram.train(
+          Tables.documents(s, dir).where(col("doc_id") % 2 === 0), "text",
+          rounds = 2, seedSize = 200, vocabSize = 120)))
+  }
+  private[graft] def resetSharedUnigramEven(): Unit =
+    unigramCache.keySet.removeIf(_.endsWith("#even"))
+  private[graft] def buildSharedUnigramEven(s: SparkSession, dir: String): Unit = {
+    sharedUnigramEven(s, dir); ()
+  }
+
   /** The fertility monitor's EVEN-doc-half training pass, cached with the
     * same session-keyed lifecycle (it cannot reuse the full-corpus merges
     * above — held-out scoring requires training to never see the odd
@@ -616,6 +635,59 @@ object SparkEntry {
        |  CAST(SUM(n_pieces) AS BIGINT) AS n_tokens,
        |  CAST(SUM(len(w)) AS BIGINT) AS n_chars
        |FROM dw JOIN np USING (w) GROUP BY doc_id""".stripMargin
+  }
+
+  /** Held-out unigram fertility mirror: train replay on the even half
+    * ([[unigramTrainCtes]]), final-vocab scores, a COVERAGE gate (a word
+    * carrying a char outside the trained vocab cannot be covered by any
+    * piece path and falls back to per-char tokens — the engine's
+    * `Unigram.tokenCounts` contract), the held-out words' DP chain, and
+    * the per-source fertility/OOV aggregate; OOV = absence from the
+    * train half's word table (`wf` IS that table here), the BPE oracle's
+    * convention. */
+  private[graft] def unigramFertilitySql(rounds: Int, seedSize: Int,
+      vocabSize: Int): String = {
+    val W = graft.operators.Unigram.MaxWordLen
+    val L = graft.operators.Unigram.MaxPieceLen
+    s"""WITH ${unigramTrainCtes(rounds, seedSize, vocabSize,
+          from = "(SELECT * FROM documents WHERE doc_id % 2 = 0)")},
+       |tf AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM fin),
+       |sf AS (SELECT piece, ${uniIlogSql("cnt")} - ${uniIlogSql("tt")} AS pscore FROM fin, tf),
+       |hwf AS MATERIALIZED (SELECT w, count(*) AS freq
+       |      FROM (SELECT unnest(string_split(text, ' ')) AS w
+       |            FROM documents WHERE doc_id % 2 = 1)
+       |      WHERE w <> '' GROUP BY w),
+       |vch AS (SELECT piece AS c FROM fin WHERE len(piece) = 1),
+       |hcov AS MATERIALIZED (SELECT w FROM (
+       |        SELECT t.w, ch.c AS hit FROM (
+       |          SELECT hwf.w, u.c FROM hwf,
+       |            unnest([hwf.w[i:i] for i in range(1, len(hwf.w)+1)]) AS u(c)) t
+       |        LEFT JOIN vch ch ON ch.c = t.c)
+       |      GROUP BY w HAVING count(*) FILTER (hit IS NULL) = 0),
+       |hsp AS (SELECT w, j, p, w[j+1:p] AS piece
+       |      FROM (SELECT w FROM hcov WHERE len(w) <= $W) hw,
+       |        unnest(generate_series(0, len(w)-1)) tj(j),
+       |        unnest(generate_series(j+1, least(j+$L, len(w)))) tp(p)),
+       |hm AS MATERIALIZED (SELECT hsp.w,
+       |        map_from_entries(list(struct_pack(k := hsp.j*64+hsp.p, v := s.pscore))) AS m
+       |      FROM hsp JOIN sf s USING (piece) GROUP BY hsp.w),
+       |${uniDpChain("hb_", "hm")},
+       |hd AS MATERIALIZED (SELECT w, best AS d FROM hb_$W),
+       |hv AS (SELECT w, $uniVisSql AS vis FROM hd),
+       |hnp AS (SELECT w, CAST(len(vis) - 1 AS BIGINT) AS n_pieces FROM hv
+       |        UNION ALL
+       |        SELECT w, CAST(len(w) AS BIGINT) FROM hwf
+       |        WHERE len(w) > $W OR w NOT IN (SELECT w FROM hcov)),
+       |tok AS (SELECT source, w FROM (
+       |        SELECT source, unnest(string_split(text, ' ')) AS w
+       |        FROM documents WHERE doc_id % 2 = 1) WHERE w <> '')
+       |SELECT source, count(*) AS n_words,
+       |  CAST(sum(hnp.n_pieces) AS BIGINT) AS n_tokens,
+       |  CAST((sum(hnp.n_pieces) * 1000) // count(*) AS BIGINT) AS fertility_milli,
+       |  CAST((count(*) FILTER (wf.w IS NULL) * 1000) // count(*) AS BIGINT)
+       |    AS oov_permille
+       |FROM tok JOIN hnp USING (w) LEFT JOIN wf ON wf.w = tok.w
+       |GROUP BY source""".stripMargin
   }
 
   /** Shared CTE chain of the duplicated-passage oracles (from a `toks`

@@ -336,6 +336,55 @@ object Unigram {
     trained.select("piece", "cnt").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  /** (w, n_pieces) over the DISTINCT words of `df` under a trained final
+    * vocab, HELD-OUT-safe: a word whose every char is in the vocab (and
+    * fits [[MaxWordLen]]) Viterbi-segments; a word carrying an UNKNOWN
+    * char — possible when the vocab was trained on a different corpus
+    * half — cannot be covered by any piece path, so it deterministically
+    * falls back to per-char tokens with unknowns as singleton tokens:
+    * `n_pieces = len(w)` (the SentencePiece ⟨unk⟩-per-char posture,
+    * mirrored by the oracle's coverage gate). */
+  def tokenCounts(df: DataFrame, textCol: String,
+      finalCounts: Map[String, Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sc = scoreMap(finalCounts)
+    val scored = sc.toSeq.toDF("piece", "pscore")
+    val vocabChars = finalCounts.keys.filter(_.length == 1).toSeq.sorted
+    val wf = Bpe.wordFrequencies(df, textCol).pin()
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val covered = size(array_except(chars, typedLit(vocabChars))) === 0
+    val eligible = wf.where(covered && length(col("w")) <= MaxWordLen)
+    val viaDp = segmented(spans(eligible), scored)
+      .select(col("w"), size(col("pieces")).cast("long").as("n_pieces"))
+    val fallback = wf.where(!covered || length(col("w")) > MaxWordLen)
+      .select(col("w"), length(col("w")).cast("long").as("n_pieces"))
+    viaDp.unionByName(fallback)
+  }
+
+  /** Held-out tokenizer quality per source — the BPE fertility monitor's
+    * unigram twin: fertility (subword tokens per word, millitokens) and
+    * word-level OOV rate (absence from the TRAIN half's word table) over
+    * `test`, under a vocab trained elsewhere. */
+  def fertilityReport(test: DataFrame, textCol: String, srcCol: String,
+      trainWords: DataFrame, finalCounts: Map[String, Long]): DataFrame = {
+    val counts = tokenCounts(test, textCol, finalCounts)
+    val seen = trainWords.select(col("w")).distinct()
+      .withColumn("__seen", lit(true))
+    Par.spread(test)
+      .select(col(srcCol), explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .join(broadcast(counts), "w")
+      .join(broadcast(seen), Seq("w"), "left")
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_tokens"),
+        expr("sum(n_pieces) * 1000 div count(1)").as("fertility_milli"),
+        expr("sum(case when __seen is null then 1 else 0 end) * 1000 div count(1)")
+          .as("oov_permille"))
+  }
+
   /** Per-document unigram token stats under a trained final vocab:
     * (idCol, n_words, n_tokens, n_chars) — the [[Bpe.encodeViaVocab]]
     * twin. One corpus scan; the (word → n_pieces) artifact is built once

@@ -153,6 +153,19 @@ private[graft] object TierText extends Registry {
       graft.operators.Unigram.encodeViaVocab(Tables.documents(s, dir),
         "doc_id", "text", sharedUnigramCounts(s, dir))),
 
+    // Held-out unigram quality — the BPE fertility monitor's twin:
+    // train on the even-doc half, score the odd half; words carrying a
+    // char outside the trained vocab fall back to per-char tokens
+    // deterministically (the coverage gate both sides apply).
+    "unigram_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.where(col("doc_id") % 2 === 0)
+      val test = docs.where(col("doc_id") % 2 === 1)
+      graft.operators.Unigram.fertilityReport(test, "text", "source",
+        Bpe.wordFrequencies(train, "text").select("w"),
+        sharedUnigramEven(s, dir))
+    }),
+
     // Held-out tokenizer quality: train BPE on the even-doc half, score
     // the odd half — fertility (subword tokens per word, millitokens)
     // and word-level OOV rate per source, THE pair of metrics a
@@ -670,6 +683,11 @@ private[graft] object TierText extends Registry {
     // Train replay + final-vocab Viterbi over the distinct words + the
     // per-doc aggregate (the bpe_encode join posture).
     "unigram_encode" -> unigramEncodeSql(rounds = 2, seedSize = 200,
+      vocabSize = 120),
+
+    // Even-half unigram train replay + coverage-gated held-out DP + the
+    // per-source fertility/OOV aggregate.
+    "unigram_fertility" -> unigramFertilitySql(rounds = 2, seedSize = 200,
       vocabSize = 120),
 
     // Train replay on the even half + greedy-application replay on the

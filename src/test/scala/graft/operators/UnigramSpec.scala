@@ -81,6 +81,32 @@ class UnigramSpec extends SparkSpecBase {
       s"missing chars: ${chars -- vocabChars}")
   }
 
+  test("fertilityReport: held-out OOV and unknown-char words take the char fallback") {
+    // train on texts with a restricted alphabet; hold out words carrying
+    // an UNKNOWN char ('z') and an in-alphabet but unseen word
+    val train = Seq("the the the cat cat then").map(Tuple1(_)).toDF("text")
+    val test = Seq((0L, "s1", "the zebra tact")).toDF("doc_id", "src", "text")
+    val counts = Unigram.vocabCounts(
+      Unigram.train(train, "text", rounds = 1, seedSize = 20, vocabSize = 16))
+    val got = Unigram.fertilityReport(test, "text", "src",
+        Bpe.wordFrequencies(train, "text").select("w"), counts)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 1)
+    val (_, nWords, nTokens, fertility, oov) = got.head
+    assert(nWords == 3L)
+    // 'the' = 1 trained piece; 'zebra' carries unknown chars z/b/r → 5
+    // char-fallback tokens; 'tact' is covered (t, a, c known) and
+    // segments via the DP — exactly the driver segmentation's count
+    val t = counts.values.sum
+    val sc = counts.map { case (k, v) =>
+      k -> (Unigram.ilogQ10(v) - Unigram.ilogQ10(t)) }
+    val tactTokens = Unigram.segmentWord("tact", sc).size.toLong
+    assert(nTokens == 1L + 5L + tactTokens, s"nTokens=$nTokens tact=$tactTokens")
+    assert(fertility == nTokens * 1000L / 3L)
+    // 'zebra' and 'tact' are absent from the train word table → OOV 2/3
+    assert(oov == 2000L / 3L, s"oov=$oov")
+  }
+
   test("encodeViaVocab: per-doc stats agree with driver segmentation") {
     val docs = toyTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
