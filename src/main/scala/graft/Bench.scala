@@ -113,6 +113,12 @@ object Bench {
       timeShared("hnsw_edges_shared",
         () => SparkEntry.resetSharedHnswEdges(),
         () => SparkEntry.buildSharedHnswEdges(spark, sfDir))
+    // The AutoPlanes gate entry's edge graph (different plane count →
+    // different graph than the fixed-shape build above).
+    if (queries.contains("ann_hnsw_auto"))
+      timeShared("hnsw_auto_edges_shared",
+        () => SparkEntry.resetSharedHnswAutoEdges(),
+        () => SparkEntry.buildSharedHnswAutoEdges(spark, sfDir))
     // A 200-query × 5-pass suite accumulates dead RDD blocks and shuffle
     // files faster than the ContextCleaner's weak-reference queue drains
     // them (the cleaner only fires when the JVM happens to GC), and the

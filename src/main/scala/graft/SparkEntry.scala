@@ -202,9 +202,29 @@ object SparkEntry {
         dim = 64, m = 8, maxLevel = 3, planes = 4, tables = 4)
         .localCheckpoint())
   }
-  private[graft] def resetSharedHnswEdges(): Unit = hnswEdgeCache.clear()
+  private[graft] def resetSharedHnswEdges(): Unit =
+    hnswEdgeCache.keySet.removeIf(!_.endsWith("#auto"))
   private[graft] def buildSharedHnswEdges(s: SparkSession, dir: String): Unit = {
     sharedHnswEdges(s, dir); ()
+  }
+
+  /** The AutoPlanes twin of [[sharedHnswEdges]]: the production-shape
+    * gate entry's edge graph (stats-derived plane count), cached with
+    * the same lifecycle and billed once as the labeled
+    * `hnsw_auto_edges_shared` bench entry so `ann_hnsw_auto` reads
+    * search-only like its fixed-shape siblings. */
+  private[graft] def sharedHnswAutoEdges(s: SparkSession, dir: String): DataFrame = {
+    val sessKey = installEvictionListener(s)
+    hnswEdgeCache.computeIfAbsent(s"$sessKey#$dir#auto", _ =>
+      Hnsw.knnEdges(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, m = 8, maxLevel = 3,
+        planes = graft.operators.Dedup.AutoPlanes, tables = 4)
+        .localCheckpoint())
+  }
+  private[graft] def resetSharedHnswAutoEdges(): Unit =
+    hnswEdgeCache.keySet.removeIf(_.endsWith("#auto"))
+  private[graft] def buildSharedHnswAutoEdges(s: SparkSession, dir: String): Unit = {
+    sharedHnswAutoEdges(s, dir); ()
   }
 
   /** Drop one session's cached shared-stage frames (the listener's

@@ -216,10 +216,14 @@ private[graft] object TierAnn extends Registry {
     // (10× exponent 0.23 vs 0.72–0.79 fixed, SURVEY §6.-2n). Correctness-
     // gated: the oracle's hyperplane literals are generated at Verify-dump
     // time from the SAME stats-derived count (dataDependentOracles).
+    // Search over the session-shared AutoPlanes edge graph (billed once
+    // as the labeled hnsw_auto_edges_shared bench entry — the same
+    // honesty pattern as the fixed-shape trio's hnsw_edges_shared), so
+    // this entry reads search-only like its siblings.
     "ann_hnsw_auto" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Hnsw.topK(emb.where(col("vec_id") < 20), emb, k = 5, dim = 64,
-        m = 8, maxLevel = 3, planes = Dedup.AutoPlanes, tables = 4,
+      Hnsw.searchTopK(emb.where(col("vec_id") < 20), emb,
+        sharedHnswAutoEdges(s, dir), k = 5, maxLevel = 3,
         beam = 16, rounds = 3)
     }),
 
