@@ -54,4 +54,46 @@ object Sketch {
   private def quantileAgg(q: Int): Column =
     max(when(col("__i") === expr(s"1 + (($q * (__cnt - 1)) div 100)"),
       col("__v"))).as(s"p$q")
+
+  /** Count-Min point-frequency estimates (Cormode & Muthukrishnan 2005)
+    * — the classic bounded-memory frequency sketch next to the persisted
+    * HLL (cardinality), KLL (quantiles), and Misra–Gries (heavy hitters)
+    * profiles. `depth × width` counters: row r's bucket for an item is
+    * the portable `mix64(item || ":cm:" || r) mod width`, so every
+    * counter is a deterministic integer and the DuckDB oracle replays
+    * the sketch exactly (no probabilistic assumption enters the gate —
+    * the ERROR of the estimate is what's measured, not assumed).
+    *
+    * Input: an exact `(itemCol, cntCol)` frequency table (e.g.
+    * `Bpe.wordFrequencies`); output: one row per item with its exact
+    * count, the sketch estimate (min over rows of the item's counter),
+    * and the overestimate. CM guarantees `estimate ≥ exact` always, and
+    * `estimate ≤ exact + ε·N` w.h.p. at width ≈ e/ε — the harness
+    * surfaces the measured overestimate per item the way
+    * `lsh_calibration` surfaces bucket occupancy.
+    *
+    * Scale shape: ONE pass over the (bounded) frequency table exploded
+    * ×depth, map-side-combined into the depth·width counter table (the
+    * exchange carries ≤ depth·width rows per map partition), counters
+    * broadcast back, min per item. Counters are pure sums, so sketches
+    * merge by addition — the same mergeability contract the profile
+    * family rides. */
+  def countMinEstimates(freqs: DataFrame, itemCol: String, cntCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad sketch shape: $depth x $width")
+    val rows = freqs
+      .select(col(itemCol).as("item"), col(cntCol).cast("long").as("exact_cnt"))
+      .select(col("item"), col("exact_cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("b", pmod(
+        graft.functions.F.mix64(
+          concat(col("item"), lit(":cm:"), col("r").cast("string"))),
+        lit(width.toLong)))
+    val counters = rows.groupBy("r", "b").agg(sum("exact_cnt").as("c"))
+    rows.join(broadcast(counters), Seq("r", "b"))
+      .groupBy("item", "exact_cnt")
+      .agg(min("c").as("cm_estimate"))
+      .select(col("item"), col("exact_cnt"), col("cm_estimate"),
+        (col("cm_estimate") - col("exact_cnt")).as("overestimate"))
+  }
 }

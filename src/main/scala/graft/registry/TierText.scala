@@ -71,6 +71,20 @@ private[graft] object TierText extends Registry {
           col("n_rows").as("n_tokens"))
     }),
 
+    // Count-Min point-frequency estimates over the corpus word table —
+    // the bounded-memory frequency sketch next to HLL/KLL/Misra-Gries.
+    // Buckets come from the portable mix64, so the oracle replays the
+    // sketch exactly: the gate measures the estimate's error, never
+    // assumes it. Output keeps exact vs estimate vs overestimate per
+    // word (estimate >= exact always — spec-pinned with forced
+    // collisions at width 4).
+    "cm_estimate" -> ((s, dir) =>
+      Sketch.countMinEstimates(
+        Bpe.wordFrequencies(Tables.documents(s, dir), "text"),
+        "w", "freq", depth = 4, width = 256)
+        .select(col("item").as("w"), col("exact_cnt"),
+          col("cm_estimate"), col("overestimate"))),
+
     // Classifier evaluation in-engine: confusion matrix of the lang-ID
     // heuristic against the table's labels (+ integer accuracy signal).
     "langid_confusion" -> ((s, dir) =>
@@ -684,6 +698,22 @@ private[graft] object TierText extends Registry {
     // per-doc aggregate (the bpe_encode join posture).
     "unigram_encode" -> unigramEncodeSql(rounds = 2, seedSize = 200,
       vocabSize = 120),
+
+    // Exact sketch replay: the same mix64 buckets (the portable-hash CTE
+    // chain), the same depth x width counter sums, min over rows.
+    "cm_estimate" ->
+      s"""WITH wf AS (SELECT w, count(*) AS freq
+         |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |       WHERE w <> '' GROUP BY w),
+         |rr AS (SELECT w, freq, r, w || ':cm:' || CAST(r AS VARCHAR) AS s
+         |       FROM wf, unnest(generate_series(0, 3)) t(r)),
+         |${sqlMix64Ctes("cmh", "rr", "s", "w, freq, r")},
+         |bk AS (SELECT w, freq, r, ((sh64 % 256) + 256) % 256 AS b FROM cmh),
+         |ctr AS (SELECT r, b, CAST(SUM(freq) AS BIGINT) AS c FROM bk GROUP BY r, b)
+         |SELECT w, CAST(freq AS BIGINT) AS exact_cnt,
+         |  CAST(MIN(c) AS BIGINT) AS cm_estimate,
+         |  CAST(MIN(c) - freq AS BIGINT) AS overestimate
+         |FROM bk JOIN ctr USING (r, b) GROUP BY w, freq""".stripMargin,
 
     // Even-half unigram train replay + coverage-gated held-out DP + the
     // per-source fertility/OOV aggregate.

@@ -73,4 +73,42 @@ class SketchSpec extends SparkSpecBase {
     val absent = (1000000L to 1000500L).count(bf.mightContain)
     assert(absent < 100, s"$absent/500 false positives at fpp=0.03")
   }
+
+  test("countMinEstimates: never under; exact at ample width; collisions only overestimate") {
+    val freqs = Seq(("a", 100L), ("b", 50L), ("c", 10L), ("d", 7L),
+      ("e", 3L), ("f", 1L)).toDF("item", "cnt")
+    // ample width: 6 items over 4x256 counters collide with negligible
+    // probability under the fixed hash — estimates are exact
+    val wide = graft.operators.Sketch
+      .countMinEstimates(freqs, "item", "cnt", depth = 4, width = 256)
+      .as[(String, Long, Long, Long)].collect()
+    assert(wide.forall { case (_, exact, est, over) =>
+      est == exact && over == 0L }, wide.toSeq.toString)
+    // forced collisions: width 2 packs 6 items into 2 buckets per row —
+    // the CM guarantee (never under) must hold, and SOMETHING must
+    // overestimate (6 items cannot be collision-free in 2 buckets)
+    val narrow = graft.operators.Sketch
+      .countMinEstimates(freqs, "item", "cnt", depth = 2, width = 2)
+      .as[(String, Long, Long, Long)].collect()
+    assert(narrow.forall { case (_, exact, est, _) => est >= exact },
+      s"CM under-estimated: ${narrow.toSeq}")
+    assert(narrow.exists(_._4 > 0L),
+      s"width 2 produced no collisions: ${narrow.toSeq}")
+    // mergeability: counters are sums, so sketching a union equals
+    // summing per-half exact tables first — estimates over the union
+    // input match a single-pass sketch of the combined frequencies
+    val h1 = Seq(("a", 60L), ("b", 20L)).toDF("item", "cnt")
+    val h2 = Seq(("a", 40L), ("b", 30L), ("c", 10L)).toDF("item", "cnt")
+    val merged = h1.unionByName(h2).groupBy("item")
+      .agg(sum("cnt").as("cnt"))
+    val viaUnion = graft.operators.Sketch
+      .countMinEstimates(merged, "item", "cnt", depth = 4, width = 64)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val direct = graft.operators.Sketch
+      .countMinEstimates(
+        Seq(("a", 100L), ("b", 50L), ("c", 10L)).toDF("item", "cnt"),
+        "item", "cnt", depth = 4, width = 64)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(viaUnion == direct)
+  }
 }
