@@ -116,10 +116,10 @@ object Bpe {
     * batched trainer). Registered queries stay on the exact path. */
   private def trainLoop(wf: DataFrame, numMerges: Int): Seq[(Int, String, String)] = {
     val out = Seq.newBuilder[(Int, String, String)]
-    var reprs = wf
+    val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
+    var reprs = rot.pin(wf
       .withColumn("syms", transform(sequence(lit(1), length(col("w"))),
-        i => col("w").substr(i, lit(1))))
-      .pin()
+        i => col("w").substr(i, lit(1)))))
     var rank = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
@@ -135,9 +135,8 @@ object Bpe {
       else {
         val l = best(0).getString(0); val r = best(0).getString(1)
         out += ((rank, l, r))
-        reprs = reprs
-          .withColumn("syms", applyMergeCol(l, r))
-          .pin()
+        reprs = rot.pin(reprs
+          .withColumn("syms", applyMergeCol(l, r)))
         rank += 1
       }
     }

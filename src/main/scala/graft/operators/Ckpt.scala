@@ -1,6 +1,9 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Lineage pin for iterative loops, with a configurable FAULT CONTRACT
   * (VERDICT r13 #2).
@@ -20,11 +23,20 @@ import org.apache.spark.sql.DataFrame
   * each round's frame is written to the checkpoint dir, and a lost
   * executor merely re-reads it. The price is one DFS round-trip per loop
   * round — the right trade on a 100 TB fleet where losing hour N of an
-  * N-hour iterative job costs more than the writes. Checkpoint files
-  * accumulate for the life of the application unless the context was
-  * started with `spark.cleaner.referenceTracking.cleanCheckpoints=true`;
-  * either way they are bounded by rounds × frame size and vanish with the
-  * checkpoint dir.
+  * N-hour iterative job costs more than the writes. The frame is persisted
+  * (memory-and-disk) around the checkpoint: an eager `checkpoint()` runs
+  * TWO jobs — the materializing count and the file write — and without the
+  * cache the second recomputes every partition from scratch (and would
+  * re-fire any `observe()` metrics riding the round). The cache is dropped
+  * as soon as the files are written.
+  *
+  * Storage bound: loop call sites route per-round pins through a
+  * [[Ckpt.rotator]], which deletes round N−2's checkpoint files once round
+  * N is safely on disk — live reliable-checkpoint storage is bounded by
+  * TWO frames per loop, not by round count (and does not depend on
+  * `spark.cleaner.referenceTracking.cleanCheckpoints`, whose GC-driven
+  * cleanup is best-effort). Loop-INVARIANT pins (a frame read by every
+  * round) must stay outside the rotator.
   *
   * Both paths are EAGER (the loops rely on the pin executing the round's
   * single job — convergence `Observation`s fire during it) and both
@@ -36,21 +48,81 @@ object Ckpt {
     * localCheckpoint. */
   val DirConf = "spark.graft.checkpointDir"
 
-  def pin(df: DataFrame): DataFrame = {
+  def pin(df: DataFrame): DataFrame = pinTracked(df)._1
+
+  /** Pin plus the on-disk location of the written checkpoint (reliable
+    * path only) — the handle [[Rotator]] uses to bound loop storage. */
+  private def pinTracked(df: DataFrame): (DataFrame, Option[Path]) = {
     val spark = df.sparkSession
     val conf = spark.conf.getOption(DirConf).filter(_.nonEmpty)
     conf match {
       case Some(dir) =>
         val sc = spark.sparkContext
         // setCheckpointDir mints a fresh UUID subdir per call — set it
-        // only when unset (or pointed elsewhere) so one application's
-        // rounds share a directory.
-        if (!sc.getCheckpointDir.exists(_.contains(dir)))
-          sc.setCheckpointDir(dir)
-        df.checkpoint() // eager, reliable
-      case None => df.localCheckpoint() // eager, executor-local
+        // only when the active dir is not already a child of the
+        // CONFIGURED root. Parent-path equality, not substring matching:
+        // `contains` would accept `/data/ckpt-old/uuid` for a configured
+        // `/data/ckpt` and ignore a conf change to a substring path
+        // (ADVICE r14).
+        val root = new Path(dir)
+        val qualifiedRoot =
+          root.getFileSystem(sc.hadoopConfiguration).makeQualified(root)
+        val active = sc.getCheckpointDir
+          .exists(cp => new Path(cp).getParent == qualifiedRoot)
+        if (!active) sc.setCheckpointDir(dir)
+        // Persist around the two checkpoint jobs (count + file write) so
+        // the write reads cached blocks instead of recomputing the round.
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        val out = df.checkpoint() // eager, reliable
+        df.unpersist(blocking = false)
+        (out, checkpointFileOf(out))
+      case None => (df.localCheckpoint(), None) // eager, executor-local
     }
   }
+
+  /** The checkpoint file backing a just-checkpointed frame: its plan is a
+    * flat `LogicalRDD` scan of the `ReliableCheckpointRDD`. */
+  private def checkpointFileOf(pinned: DataFrame): Option[Path] =
+    pinned.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile.map(new Path(_))
+      case _ => None
+    }
+
+  /** A per-loop pin that keeps the last `keep` reliable-checkpoint frames
+    * on disk and deletes older rounds' files. `keep = 2` is the safe
+    * minimum for every loop here: round N is computed from round N−1 (the
+    * pin of N is eager, so by the time it returns, N−1's files have been
+    * fully consumed), and the frame a loop RETURNS is lazy over at most
+    * its final pin — never over a deleted round. Under the default
+    * localCheckpoint path this is a plain pin (executor block cleanup is
+    * the ContextCleaner's job). NOT thread-safe; one rotator per loop. */
+  final class Rotator private[Ckpt] (keep: Int) {
+    private val live = scala.collection.mutable.Queue.empty[(Path, DataFrame)]
+
+    def pin(df: DataFrame): DataFrame = {
+      val (out, file) = pinTracked(df)
+      file.foreach { p =>
+        live.enqueue((p, out))
+        while (live.size > keep) {
+          val (stale, staleDf) = live.dequeue()
+          try {
+            val fs = stale.getFileSystem(
+              staleDf.sparkSession.sparkContext.hadoopConfiguration)
+            fs.delete(stale, true)
+          } catch {
+            case e: Throwable => // cleanup is best-effort; the loop owns correctness
+              org.slf4j.LoggerFactory.getLogger(getClass)
+                .warn(s"stale checkpoint delete failed: $stale", e)
+          }
+        }
+      }
+      out
+    }
+  }
+
+  /** New per-loop rotator; see [[Rotator]]. */
+  def rotator(keep: Int = 2): Rotator = new Rotator(keep)
 
   /** `df.pin()` sugar so call sites chain like `.localCheckpoint()` did. */
   implicit class PinOps(private val df: DataFrame) extends AnyVal {

@@ -140,6 +140,7 @@ object Graph {
     labels.count() // materialize before the loop re-reads it
     val labelType = labels.schema("label").dataType
     var prevMat = labels // the round's materialized frame, for unpersisting
+    val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -160,7 +161,7 @@ object Graph {
         .observe(obs,
           sum(when(col("label") =!= col("__old"), 1L).otherwise(0L)).as("changed"))
         .drop("__old")
-      val aggCk = agg.pin() // the round's one job; fires obs
+      val aggCk = rot.pin(agg) // the round's one job; fires obs
       changed = obs.get("changed") match {
         case n: Long => n
         case null => 0L
@@ -226,17 +227,18 @@ object Graph {
 
     val nodes = edges.select(col(aCol).as("id"))
       .unionByName(edges.select(col(bCol).as("id"))).distinct().persist()
-    var cur = edges
+    val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
+    var cur = rot.pin(edges
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
-      .where(col("u") =!= col("v")).distinct().pin()
+      .where(col("u") =!= col("v")).distinct())
     var i = 0
     var done = false
     while (!done && i < maxIters) {
       // localCheckpoint: each round references cur 4x (two symmetric
       // views in each star) — without lineage truncation the logical plan
       // grows 4^rounds and plan processing OOMs.
-      val next = smallStar(largeStar(cur)).pin()
+      val next = rot.pin(smallStar(largeStar(cur)))
       done = next.count() == cur.count() && next.exceptAll(cur).isEmpty
       cur.unpersist()
       cur = next
@@ -524,12 +526,12 @@ object Graph {
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
       rounds: Int = 8): DataFrame = {
     require(k >= 1 && rounds >= 0)
-    var e = edges
+    val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
+    var e = rot.pin(edges
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .distinct()
-      .pin()
+      .distinct())
     def degrees(g: DataFrame): DataFrame = g
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -544,10 +546,9 @@ object Graph {
     while (i < rounds) {
       val last = e
       val keep = degrees(e).where(col("deg") >= k).select("node")
-      e = e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+      e = rot.pin(e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
-        .select("u", "v")
-        .pin()
+        .select("u", "v"))
       // release the superseded round's checkpointed blocks eagerly (the
       // CC loop's pattern) — otherwise up to rounds+1 edge-set copies
       // sit in executor storage until GC gets around to them
@@ -576,6 +577,7 @@ object Graph {
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")).pin()
     val base = (1000L - dampingPermille) * scale / 1000L
+    val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
     var ranks = vertices.withColumn("rank", lit(scale))
     var i = 0
     while (i < iterations) {
@@ -584,11 +586,10 @@ object Graph {
       val inSum = e.join(shares, Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("s"))
-      ranks = vertices.join(inSum, Seq("node"), "left")
+      ranks = rot.pin(vertices.join(inSum, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(s"$dampingPermille * coalesce(s, 0L) div 1000"))
-            .as("rank"))
-        .pin() // one job per round; see CC loop note
+            .as("rank"))) // one job per round; see CC loop note
       i += 1
     }
     ranks
@@ -632,6 +633,7 @@ object Graph {
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")).pin()
     val base = (1000L - dampingPermille) * scale / 1000L
+    val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
     var ranks = verts.select(col("node"),
       when(col("seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
     var i = 0
@@ -641,11 +643,10 @@ object Graph {
       val inSum = e.join(shares, Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("s"))
-      ranks = verts.join(inSum, Seq("node"), "left")
+      ranks = rot.pin(verts.join(inSum, Seq("node"), "left")
         .select(col("node"),
           (when(col("seed"), lit(base)).otherwise(lit(0L)) +
-            expr(s"$dampingPermille * coalesce(s, 0L) div 1000")).as("rank"))
-        .pin()
+            expr(s"$dampingPermille * coalesce(s, 0L) div 1000")).as("rank")))
       i += 1
     }
     ranks
@@ -708,6 +709,7 @@ object Graph {
       .distinct().pin()
     // symmetric edge set: the u column alone covers every vertex
     val verts = und.select(col("u").as("node")).distinct().pin()
+    val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
     var labels = verts.withColumn("label", col("node"))
     var i = 0
     while (i < rounds) {
@@ -720,7 +722,7 @@ object Graph {
         .groupBy(col("u").as("node"))
         .agg(min(struct((-col("n")).as("nn"), col("label").as("l"))).as("__m"))
         .select(col("node"), col("__m.l").as("label"))
-        .pin() // one job per round; see the CC loop note
+        .transform(rot.pin) // one job per round; see the CC loop note
       i += 1
     }
     labels
@@ -752,6 +754,7 @@ object Graph {
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
     val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().pin()
+    val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
     var dist = seeds.distinct.toDF("node").withColumn("hops", lit(0L))
     var i = 0
     while (i < maxHops) {
@@ -760,7 +763,7 @@ object Graph {
         .select(col("u").as("node"), (col("hops") + 1).as("hops"))
       dist = dist.union(nxt)
         .groupBy("node").agg(min("hops").as("hops"))
-        .pin()
+        .transform(rot.pin)
       i += 1
     }
     dist

@@ -141,15 +141,15 @@ object Hnsw {
     // re-executing the unpinned step's vector/edge joins per reference —
     // it benched SLOWER at sf0.1, 3.4-4.0 s vs 3.1-3.2 s per query, so
     // per-step pinning stands.)
+    val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 steps
     def topB(fr: DataFrame, b: Int): DataFrame =
-      vecs.join(broadcast(fr.distinct()), "node_id")
+      rot.pin(vecs.join(broadcast(fr.distinct()), "node_id")
         .join(broadcast(q), "query_id")
         .withColumn("__cos", F.cosineSim(col("q_v"), col("n_v")))
         .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
           .orderBy(col("__cos").desc, col("node_id").asc)))
         .where(col("__rn") <= b)
-        .select("query_id", "node_id")
-        .pin()
+        .select("query_id", "node_id"))
     def expand(fr: DataFrame, layer: Int): DataFrame =
       edges.where(col("layer") === layer)
         .join(broadcast(fr), col("src") === col("node_id"))

@@ -81,14 +81,17 @@ object Sketch {
   def countMinEstimates(freqs: DataFrame, itemCol: String, cntCol: String,
       depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && width >= 1, s"bad sketch shape: $depth x $width")
-    val rows = freqs
+    // pin the exploded rows: they feed BOTH the counter aggregate and the
+    // probe join — unpinned, the upstream frequency table (a corpus-linear
+    // scan for cm_estimate) would be computed twice (ADVICE r14)
+    val rows = Ckpt.pin(freqs
       .select(col(itemCol).as("item"), col(cntCol).cast("long").as("exact_cnt"))
       .select(col("item"), col("exact_cnt"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .withColumn("b", pmod(
         graft.functions.F.mix64(
           concat(col("item"), lit(":cm:"), col("r").cast("string"))),
-        lit(width.toLong)))
+        lit(width.toLong))))
     val counters = rows.groupBy("r", "b").agg(sum("exact_cnt").as("c"))
     rows.join(broadcast(counters), Seq("r", "b"))
       .groupBy("item", "exact_cnt")

@@ -219,11 +219,12 @@ object Unigram {
       trainLocal(words, rounds, seedSize, vocabSize)
         .toDF("rank", "piece", "cnt")
     } else {
-      val wfp = wf.pin()
+      val wfp = wf.pin() // loop-invariant: outlives every round
       val sp = spans(wfp).pin()
-      var counts = seedCounts(sp, seedSize).pin()
+      val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
+      var counts = rot.pin(seedCounts(sp, seedSize))
       for (_ <- 1 to rounds)
-        counts = emRound(wfp, sp, counts).pin()
+        counts = rot.pin(emRound(wfp, sp, counts))
       finalVocab(counts, vocabSize)
     }
   }
@@ -388,25 +389,18 @@ object Unigram {
   /** Per-document unigram token stats under a trained final vocab:
     * (idCol, n_words, n_tokens, n_chars) — the [[Bpe.encodeViaVocab]]
     * twin. One corpus scan; the (word → n_pieces) artifact is built once
-    * over the DISTINCT words via the same distributed DP the trainer
-    * uses, then broadcast back. Words in `df` are in-vocab by
-    * construction when the vocab was trained on (a superset of) `df` —
-    * the char coverage guarantee. */
+    * over the DISTINCT words by [[tokenCounts]] (which pins the shared
+    * word-frequency table and carries the coverage gate), then broadcast
+    * back. When the vocab was trained on (a superset of) `df`, every
+    * word is in-coverage by construction and segments via the DP; a word
+    * carrying an out-of-vocab char — a violated precondition the old
+    * path let flow NULL scores through the DP struct comparisons
+    * (ADVICE r14) — now deterministically takes the unk-per-char
+    * fallback (`n_pieces = len(w)`) instead of corrupting or silently
+    * dropping the word from the inner vocab join. */
   def encodeViaVocab(df: DataFrame, idCol: String, textCol: String,
       finalCounts: Map[String, Long]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val sc = scoreMap(finalCounts)
-    val scored = sc.toSeq.toDF("piece", "pscore")
-    // pin the distinct-word table: it feeds BOTH the DP branch (via
-    // spans) and the char fallback — unpinned, the corpus-linear
-    // word-frequency pass would run twice
-    val wf = Bpe.wordFrequencies(df, textCol).pin()
-    val eligible = segmented(spans(wf), scored)
-      .select(col("w"), size(col("pieces")).cast("long").as("n_pieces"))
-    val fallback = wf.where(length(col("w")) > MaxWordLen)
-      .select(col("w"), length(col("w")).cast("long").as("n_pieces"))
-    val vocab = eligible.unionByName(fallback)
+    val vocab = tokenCounts(df, textCol, finalCounts)
     val words = Par.spread(df)
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .where(col("w") =!= "")

@@ -126,4 +126,26 @@ class UnigramSpec extends SparkSpecBase {
       assert(got(i.toLong) == want, s"doc $i: got ${got(i.toLong)}, want $want")
     }
   }
+
+  test("encodeViaVocab: out-of-vocab chars take the unk-per-char fallback, never drop") {
+    // Violate the 'vocab trained on a superset' precondition: the vocab
+    // never saw 'z'. The old path flowed NULL scores through the DP
+    // struct (or silently dropped the word from the inner vocab join,
+    // undercounting n_words); the coverage gate now routes such words to
+    // the deterministic char fallback — n_pieces = len(w) — exactly the
+    // tokenCounts / fertilityReport posture (ADVICE r14).
+    val train = Seq("the the the cat cat then").map(Tuple1(_)).toDF("text")
+    val counts = Unigram.vocabCounts(
+      Unigram.train(train, "text", rounds = 1, seedSize = 20, vocabSize = 16))
+    val test = Seq((7L, "the zebra")).toDF("doc_id", "text")
+    val got = Unigram.encodeViaVocab(test, "doc_id", "text", counts)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val t = counts.values.sum
+    val sc = counts.map { case (k, v) =>
+      k -> (Unigram.ilogQ10(v) - Unigram.ilogQ10(t)) }
+    val theTokens = Unigram.segmentWord("the", sc).size.toLong
+    // n_words counts BOTH words (no silent drop); zebra = 5 char tokens
+    assert(got == Seq((7L, 2L, theTokens + 5L, 3L + 5L)),
+      s"got $got, want (7, 2, ${theTokens + 5L}, 8)")
+  }
 }
