@@ -77,6 +77,17 @@ object F {
   def freqTopItems(sketch: Column, minCount: Long): Column =
     Glue.column(FreqTopItems(Glue.expression(sketch), minCount))
 
+  def cmSketchAgg(item: Column, depth: Int = 4, width: Int = 256): Column =
+    Glue.column(CmSketchAgg(Glue.expression(item), depth, width)
+      .toAggregateExpression())
+
+  def cmUnionAgg(sketch: Column, depth: Int = 4, width: Int = 256): Column =
+    Glue.column(CmUnionAgg(Glue.expression(sketch), depth, width)
+      .toAggregateExpression())
+
+  def cmQuery(sketch: Column, item: Column): Column =
+    Glue.column(CmQuery(Glue.expression(sketch), Glue.expression(item)))
+
   def simHash64(words: Column): Column =
     Glue.column(SimHash64(Glue.expression(words)))
 

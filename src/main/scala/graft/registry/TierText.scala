@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Anomaly, Correlate, DailyCounts, Experiment, Hnsw, IndexStore, TextIndex, TimeSeries, Web, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.{Anomaly, Correlate, CountMin, DailyCounts, Experiment, Hnsw, IndexStore, TextIndex, TimeSeries, Web, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
 import graft.SparkEntry._
 
@@ -84,6 +84,38 @@ private[graft] object TierText extends Registry {
         "w", "freq", depth = 4, width = 256)
         .select(col("item").as("w"), col("exact_cnt"),
           col("cm_estimate"), col("overestimate"))),
+
+    // The PERSISTED-profile twin of cm_estimate (VERDICT r14 #6): per-
+    // source Count-Min counter tables built as two doc-parity micro-
+    // batches and folded through the mergeable CmUnionAgg — the profile
+    // maintenance path — then probed for every distinct (source, word).
+    // Counter addition is exact, so the merged profile equals the one-
+    // shot sketch and the oracle replays the whole-corpus counters with
+    // the same portable mix64 buckets; the measured overestimate is the
+    // CM guarantee surfaced, never assumed.
+    "cm_profile" -> ((s, dir) => {
+      import graft.operators.Ckpt.PinOps
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("item"))
+        .where(col("item") =!= "")
+        .pin() // feeds both batch sketches, the probe set, and the exact counts
+      val prof = CountMin.merge(
+        CountMin.sketch(toks.where(pmod(col("doc_id"), lit(2)) === 0),
+            "source", "item")
+          .unionByName(CountMin.sketch(
+            toks.where(pmod(col("doc_id"), lit(2)) === 1), "source", "item")))
+      val exact = toks.groupBy(col("source"), col("item"))
+        .agg(count(lit(1)).as("n_exact"))
+      exact
+        .join(CountMin.estimates(prof,
+            exact.select(col("source").as("key"), col("item")))
+          .withColumnRenamed("key", "source"),
+          Seq("source", "item"))
+        .select(col("source"), col("item").as("w"), col("n_exact"),
+          col("cm_estimate"),
+          (col("cm_estimate") - col("n_exact")).as("overestimate"))
+    }),
 
     // Classifier evaluation in-engine: confusion matrix of the lang-ID
     // heuristic against the table's labels (+ integer accuracy signal).
@@ -714,6 +746,29 @@ private[graft] object TierText extends Registry {
          |  CAST(MIN(c) AS BIGINT) AS cm_estimate,
          |  CAST(MIN(c) - freq AS BIGINT) AS overestimate
          |FROM bk JOIN ctr USING (r, b) GROUP BY w, freq""".stripMargin,
+
+    // The persisted-profile twin: per-SOURCE counters. Counter addition
+    // is exact, so the Spark side's two-batch merge replays as one
+    // whole-corpus counter sum — same mix64 bucket chain, counters keyed
+    // (source, r, b), min over rows per (source, word).
+    "cm_profile" ->
+      s"""WITH tf AS (SELECT source, w, count(*) AS freq
+         |       FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+         |             FROM documents)
+         |       WHERE w <> '' GROUP BY source, w),
+         |rr AS (SELECT source, w, freq, r,
+         |         w || ':cm:' || CAST(r AS VARCHAR) AS s
+         |       FROM tf, unnest(generate_series(0, 3)) t(r)),
+         |${sqlMix64Ctes("cph", "rr", "s", "source, w, freq, r")},
+         |bk AS (SELECT source, w, freq, r, ((sh64 % 256) + 256) % 256 AS b
+         |       FROM cph),
+         |ctr AS (SELECT source, r, b, CAST(SUM(freq) AS BIGINT) AS c
+         |        FROM bk GROUP BY source, r, b)
+         |SELECT source, w, CAST(freq AS BIGINT) AS n_exact,
+         |  CAST(MIN(c) AS BIGINT) AS cm_estimate,
+         |  CAST(MIN(c) - freq AS BIGINT) AS overestimate
+         |FROM bk JOIN ctr USING (source, r, b)
+         |GROUP BY source, w, freq""".stripMargin,
 
     // Even-half unigram train replay + coverage-gated held-out DP + the
     // per-source fertility/OOV aggregate.

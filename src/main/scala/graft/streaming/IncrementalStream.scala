@@ -71,6 +71,13 @@ object IncrementalStream {
     *   entities dominate each type's stream, without rescanning history.
     *   Misra–Gries merge is NOT idempotent, so the same last-batch-id
     *   replay guard as the quantile profile applies.
+    * @param cmProfilePath when set, each micro-batch folds
+    *   `display_name` per `embeddings_type` into a persisted Count-Min
+    *   point-frequency profile ([[graft.operators.CountMin]]) — "how
+    *   often has THIS entity been seen" probes for arbitrary items,
+    *   including ones below the heavy-hitter threshold the freq profile
+    *   enumerates. Counter addition is NOT idempotent, so the same
+    *   last-batch-id replay guard as the quantile/freq profiles applies.
     * @param dailyCountsPath when set, each micro-batch folds its RAW
     *   per-(embeddings_type, epoch-day) row counts into a persisted
     *   [[graft.operators.DailyCounts]] profile — the minimal sufficient
@@ -100,6 +107,7 @@ object IncrementalStream {
       cardinalityProfilePath: Option[String] = None,
       quantileProfilePath: Option[String] = None,
       freqProfilePath: Option[String] = None,
+      cmProfilePath: Option[String] = None,
       dailyCountsPath: Option[String] = None,
       componentsPath: Option[String] = None,
       scd2Path: Option[String] = None,
@@ -214,6 +222,12 @@ object IncrementalStream {
         }
         freqProfilePath.foreach { p =>
           graft.operators.Frequencies.update(s, p,
+            curated.select(col("embeddings_type"), col("display_name")),
+            keyCol = "embeddings_type", itemCol = "display_name",
+            batchId = Some(batchId))
+        }
+        cmProfilePath.foreach { p =>
+          graft.operators.CountMin.update(s, p,
             curated.select(col("embeddings_type"), col("display_name")),
             keyCol = "embeddings_type", itemCol = "display_name",
             batchId = Some(batchId))

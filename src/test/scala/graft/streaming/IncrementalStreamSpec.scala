@@ -374,6 +374,57 @@ class IncrementalStreamSpec extends SparkSpecBase {
     assert(est3 == est2, s"replayed batch mutated the profile: $est3")
   }
 
+  test("streaming Count-Min profile: accumulates across runs; replay-guarded") {
+    val src = tmp("cm-src"); val ckpt = tmp("cm-ckpt")
+    val target = tmp("cm-target") + "/out"
+    val prof = tmp("cm-prof") + "/profile"
+    def typedDoc(source: String, ts: String, ref: String, etype: String): Row =
+      Row(source, Timestamp.valueOf(ts), Seq(1f, 0f), ref, "", "c1",
+        null, etype, null)
+
+    writeBatch(src, Seq(
+      typedDoc("s1", "2024-01-01 10:00:00", "a", "t1"),
+      typedDoc("s1", "2024-01-01 11:00:00", "b", "t1"),
+      typedDoc("s2", "2024-01-01 12:00:00", "c", "t2")),
+      "batch0")
+    IncrementalStream.start(spark, src, target, ckpt,
+      cmProfilePath = Some(prof)).awaitTermination()
+    // the maintained profile must answer point probes exactly like a
+    // GROUP BY over the merged target (exact regime at this width)
+    def exactVsProbe(): (Map[(String, String), Long], Map[(String, String), Long]) = {
+      val tgt = graft.operators.Upsert.readTarget(spark, target)
+        .selectExpr("embeddings_type AS key", "display_name AS item")
+      val exact = tgt.groupBy("key", "item").count()
+        .as[(String, String, Long)].collect()
+        .map { case (k, i, n) => (k, i) -> n }.toMap
+      val probes = tgt.distinct()
+      val est = graft.operators.CountMin.estimatesAt(spark, prof, probes)
+        .select("key", "item", "cm_estimate").as[(String, String, Long)]
+        .collect().map { case (k, i, e) => (k, i) -> e }.toMap
+      (exact, est)
+    }
+    val (ex1, est1) = exactVsProbe()
+    assert(est1 == ex1, s"profile probes diverged from target counts: $est1 vs $ex1")
+
+    // second run folds two more t1 rows into the SAME profile
+    writeBatch(src, Seq(
+      typedDoc("s1", "2024-01-02 10:00:00", "d", "t1"),
+      typedDoc("s1", "2024-01-02 11:00:00", "e", "t1")),
+      "batch1")
+    IncrementalStream.start(spark, src, target, ckpt,
+      cmProfilePath = Some(prof)).awaitTermination()
+    val (ex2, est2) = exactVsProbe()
+    assert(est2 == ex2, s"post-run-2 probes diverged: $est2 vs $ex2")
+    assert(ex2.values.sum == ex1.values.sum + 2,
+      "second run did not add two rows")
+
+    // a replayed micro-batch id leaves the profile untouched
+    graft.operators.CountMin.update(spark, prof,
+      Seq(("t9", "ghost")).toDF("k", "i"), "k", "i", batchId = Some(1L))
+    val (_, est3) = exactVsProbe()
+    assert(est3 == est2, s"replayed batch mutated the profile: $est3")
+  }
+
   test("streaming daily-counts profile: folds arrivals across runs; replay-guarded") {
     val src = tmp("dc-src"); val ckpt = tmp("dc-ckpt")
     val target = tmp("dc-target") + "/out"
