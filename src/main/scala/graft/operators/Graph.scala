@@ -202,8 +202,18 @@ object Graph {
     * the edge list contracts monotonically toward stars around each
     * component's minimum.
     */
+  /** `resumeDir`: when set, each round's contracted edge set commits to a
+    * durable [[RoundState]] and a NEW invocation over the same dir
+    * resumes at the newest committed round instead of round 0 — the
+    * driver/JVM-kill recovery contract on top of [[Ckpt]]'s executor-loss
+    * one (the soak `graft.SoakResume` kills a JVM mid-loop and proves the
+    * resumed output hash-identical to an uninterrupted run). Resuming at
+    * a converged fixpoint is exact: the extra round is the identity and
+    * the convergence check fires immediately. `onRoundCommitted` is a
+    * test/soak hook, called after round i's state is durably committed. */
   def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 30, resumeDir: Option[String] = None,
+      onRoundCommitted: Int => Unit = _ => ()): DataFrame = {
     // large-star over the symmetric view: every neighbor v > u hooks to
     // m = min(Γ(u) ∪ {u}); output directed (larger → smaller) edges.
     def largeStar(cur: DataFrame): DataFrame = {
@@ -228,11 +238,16 @@ object Graph {
     val nodes = edges.select(col(aCol).as("id"))
       .unionByName(edges.select(col(bCol).as("id"))).distinct().persist()
     val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
-    var cur = rot.pin(edges
-      .select(greatest(col(aCol), col(bCol)).as("u"),
-        least(col(aCol), col(bCol)).as("v"))
-      .where(col("u") =!= col("v")).distinct())
-    var i = 0
+    val state = resumeDir.map(new RoundState(edges.sparkSession, _))
+    val resumed = state.flatMap(_.latest())
+    var cur = resumed match {
+      case Some((_, df)) => df // flat parquet scan of the committed round
+      case None => rot.pin(edges
+        .select(greatest(col(aCol), col(bCol)).as("u"),
+          least(col(aCol), col(bCol)).as("v"))
+        .where(col("u") =!= col("v")).distinct())
+    }
+    var i = resumed.fold(0)(_._1 + 1)
     var done = false
     while (!done && i < maxIters) {
       // localCheckpoint: each round references cur 4x (two symmetric
@@ -240,6 +255,7 @@ object Graph {
       // grows 4^rounds and plan processing OOMs.
       val next = rot.pin(smallStar(largeStar(cur)))
       done = next.count() == cur.count() && next.exceptAll(cur).isEmpty
+      state.foreach { st => st.commit(i, next); onRoundCommitted(i) }
       cur.unpersist()
       cur = next
       i += 1

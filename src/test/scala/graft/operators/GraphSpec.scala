@@ -101,6 +101,33 @@ class GraphSpec extends SparkSpecBase {
     } finally spark.conf.unset(Ckpt.DirConf)
   }
 
+  test("star loop resumes from committed round state after a mid-loop crash") {
+    // Driver/JVM-kill recovery on top of the executor-loss contract: a
+    // crash AFTER round 1's durable commit must resume at round 2 and
+    // land on the identical fixpoint (tools/soak_resume.sh runs the same
+    // scenario with a real Runtime.halt JVM kill).
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val clean = Graph.connectedComponentsStar(chain, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-resume").toString
+    val boom = intercept[RuntimeException] {
+      Graph.connectedComponentsStar(chain, "a", "b", resumeDir = Some(dir),
+        onRoundCommitted = i => if (i == 1) throw new RuntimeException("boom"))
+    }
+    assert(boom.getMessage == "boom")
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val resumed = Graph.connectedComponentsStar(chain, "a", "b",
+        resumeDir = Some(dir), onRoundCommitted = rounds += _)
+      .as[(Long, Long)].collect().toMap
+    assert(resumed == clean, "resumed run diverged from the clean fixpoint")
+    assert(rounds.headOption.contains(2),
+      s"expected resume at round 2 (crash committed round 1), got $rounds")
+    // storage bound: committing round i drops round i-2
+    val live = new java.io.File(dir).listFiles().map(_.getName)
+      .count(_.startsWith("round-"))
+    assert(live <= 2, s"round-state rotation left $live rounds on disk")
+  }
+
   test("Ckpt.pin honors a conf change to a dir that is a substring of the active one") {
     // The old guard used String.contains: with the active checkpoint dir
     // under <base>/ckpt-old, a conf change to <base>/ckpt (a substring)
