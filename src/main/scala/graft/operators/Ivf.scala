@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
@@ -243,23 +243,86 @@ object Ivf {
 
   private def pqRoot(indexPath: String): String = s"$indexPath/pq"
 
+  /** The centroid table as ONE plan literal (a single `Literal` node
+    * carrying ArrayData, via `typedLit` — NOT an `array(lit…)` tree,
+    * which at a production nlist×dim would be millions of expression
+    * nodes). Same plan posture as [[graft.functions.NearestCentroids]]'
+    * reference object: driver metadata shipped once with the plan. */
+  private def centroidsLit(centroids: Seq[Seq[Double]]) =
+    typedLit(centroids.map(_.toSeq))
+
+  /** `v − centroid[cell]` as array<double> — the residual FAISS's IVF-PQ
+    * workhorse encodes (Jégou et al. 2011 §IV-A): within a cell the
+    * coarse quantizer already explains the centroid component, so PQ
+    * codewords spend their ksub entries on the REMAINING within-cell
+    * variation — the accuracy knob at fixed memory. `cell` is 0-based. */
+  private[operators] def residualOf(vec: Column, cell: Column,
+      centroids: Seq[Seq[Double]]): Column =
+    zip_with(vec.cast("array<double>"),
+      element_at(centroidsLit(centroids), (cell + lit(1)).cast("int")),
+      (x, c) => x - c)
+
+  /** `⟨v, centroid[cell]⟩` — the coarse term of the residual-ADC
+    * decomposition `⟨q, v⟩ ≈ ⟨q, c⟩ + ⟨q, r̂⟩`. */
+  private[operators] def centroidDot(vec: Column, cell: Column,
+      centroids: Seq[Seq[Double]]): Column =
+    aggregate(
+      zip_with(vec.cast("array<double>"),
+        element_at(centroidsLit(centroids), (cell + lit(1)).cast("int")),
+        (x, c) => x * c),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** Whether the attached PQ encodes residuals (vs raw vectors). Indexes
+    * written before the residual option lack the column → false. */
+  def pqIsResidual(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Boolean =
+    IndexStore.exists(spark, pqRoot(indexPath)) && {
+      val pq = IndexStore.read(spark, pqRoot(indexPath))
+      pq.columns.contains("on_residual") &&
+        pq.select("on_residual").limit(1).collect()
+          .headOption.exists(_.getBoolean(0))
+    }
+
   /** Train per-subspace PQ codebooks on `trainOn` (sample at scale),
     * persist them, and REWRITE the cells with each row's `__codes` —
     * after which [[probeIndexAdc]] is available and incremental
-    * [[addToIndex]] batches encode automatically. */
+    * [[addToIndex]] batches encode automatically.
+    *
+    * `residual = true` trains and encodes on `v − centroid[cell(v)]`
+    * instead of the raw vector (FAISS's default composition): the flag
+    * rides in the persisted pq table, so probes and incremental adds
+    * pick the matching arithmetic without a caller-side knob. Codebooks
+    * stay aggregate statistics (erasure never retrains them), and the
+    * cells rewrite reuses the STORED `__cell` — assignment is not
+    * recomputed. */
   def attachPq(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       trainOn: DataFrame, m: Int, ksub: Int, iters: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val cb = Pq.trainCodebooks(trainOn,
-      Pq.seedCodebooks(trainOn, m, ksub, idCol, vecCol), iters, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      residual: Boolean = false): Unit = {
+    val cents = if (residual) loadCentroids(spark, indexPath) else Nil
+    val cb =
+      if (!residual)
+        Pq.trainCodebooks(trainOn,
+          Pq.seedCodebooks(trainOn, m, ksub, idCol, vecCol), iters, vecCol)
+      else {
+        // training assignment = the index's own coarse quantizer
+        val res = trainOn.select(col(idCol), residualOf(col(vecCol),
+          element_at(F.nearestCentroids(col(vecCol), cents, 1), 1),
+          cents).as("__res"))
+        Pq.trainCodebooks(res,
+          Pq.seedCodebooks(res, m, ksub, idCol, "__res"), iters, "__res")
+      }
     import spark.implicits._
     IndexStore.rewrite(spark, pqRoot(indexPath),
       cb.zipWithIndex.flatMap { case (words, mi) =>
-        words.zipWithIndex.map { case (w, j) => (mi, j, w) }
-      }.toDF("m", "j", "codeword").coalesce(1))
+        words.zipWithIndex.map { case (w, j) => (mi, j, w, residual) }
+      }.toDF("m", "j", "codeword", "on_residual").coalesce(1))
     val cells = readCells(spark, indexPath)
+    val encodeIn =
+      if (residual) residualOf(col(vecCol), col("__cell"), cents)
+      else col(vecCol)
     IndexStore.rewrite(spark, s"$indexPath/cells",
-      cells.drop("__codes").withColumn("__codes", F.pqCodes(col(vecCol), cb)),
+      cells.drop("__codes").withColumn("__codes", F.pqCodes(encodeIn, cb)),
       None, Some("__cell"))
   }
 
@@ -275,7 +338,15 @@ object Ivf {
   /** IVF-PQ probe: candidates from the probed cells' codes via ADC (the
     * vector column is NOT read in this pass), exact-cosine re-rank of the
     * `candidates` survivors. `nprobe == nlist` and `candidates ≥ |probed
-    * rows|` degenerate to exact brute force, like [[probeIndex]]. */
+    * rows|` degenerate to exact brute force, like [[probeIndex]].
+    *
+    * A residual-encoded index (attachPq `residual = true` — the flag is
+    * read back from the pq table) ranks candidates by
+    * `⟨q, centroid[cell]⟩ + ADC(q, residual codes)`: since
+    * `v ≈ c + r̂`, that is the same `⟨q, v⟩` estimate the raw path
+    * computes, with the quantization error confined to the within-cell
+    * residual. The coarse term is one HOF dot per (query, cell) pair —
+    * |queries|·nprobe rows, never corpus-sized. */
   def probeIndexAdc(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, queries: DataFrame, k: Int, nprobe: Int,
       candidates: Int = 100,
@@ -284,19 +355,23 @@ object Ivf {
     val cb = loadPqCodebooks(spark, indexPath)
     require(cb.nonEmpty,
       s"no PQ codebooks under $indexPath — run attachPq before probeIndexAdc")
+    val residual = pqIsResidual(spark, indexPath)
     val centroids = loadCentroids(spark, indexPath)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"),
       explode(F.nearestCentroids(col(vecCol), centroids, nprobe)).as("__cell"))
     val probed = q.select("__cell").distinct().collect().map(_.getInt(0))
     val probedCells = readCells(spark, indexPath, Some(probed.toIndexedSeq))
       .where(col("__cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+    val adc = F.pqAdc(col("q_v"), col("__codes"), cb)
+    val candScore =
+      if (residual) centroidDot(col("q_v"), col("__cell"), centroids) + adc
+      else adc
     // candidate pass: column-pruned to (id, __cell, __codes)
     val scored = probedCells
       .select(col(idCol).as("neighbor_id"), col("__cell"), col("__codes"))
       .join(broadcast(q), "__cell")
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        F.pqAdc(col("q_v"), col("__codes"), cb).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), candScore.as("cos"))
     val cand = Similarity.perQueryTopK(scored, candidates)
       .select("query_id", "neighbor_id")
     // vectors join back only for the survivors (still only probed cells)
@@ -321,7 +396,13 @@ object Ivf {
         element_at(F.nearestCentroids(col(vecCol), centroids, 1), 1))
     val assigned =
       if (pqCb.isEmpty) preAssigned
-      else preAssigned.withColumn("__codes", F.pqCodes(col(vecCol), pqCb))
+      else {
+        val in =
+          if (pqIsResidual(spark, indexPath))
+            residualOf(col(vecCol), col("__cell"), centroids)
+          else col(vecCol)
+        preAssigned.withColumn("__codes", F.pqCodes(in, pqCb))
+      }
     if (overwrite) {
       IndexStore.rewrite(spark, s"$indexPath/cells", assigned,
         None, Some("__cell"))

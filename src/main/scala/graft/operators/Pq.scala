@@ -28,9 +28,12 @@ object Pq {
     * `ivf_recall`'s seed centroids). Bounded collect: ksub rows. */
   def seedCodebooks(corpus: DataFrame, m: Int, ksub: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    // numeric-agnostic element read: the raw corpus column is
+    // array<float>, but residual training (Ivf.attachPq residual=true)
+    // seeds from a computed array<double> column
     val rows = corpus.orderBy(col(idCol)).limit(ksub)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
+      .map(_.getSeq[Number](0).map(_.doubleValue).toIndexedSeq)
     require(rows.nonEmpty, "empty corpus")
     val dim = rows.head.size
     require(dim % m == 0, s"dim $dim not divisible by m=$m")

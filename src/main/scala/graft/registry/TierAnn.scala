@@ -143,6 +143,33 @@ private[graft] object TierAnn extends Registry {
         nprobe = 8, candidates = emb.count().toInt)
     }),
 
+    // Residual-refined IVF-PQ (FAISS's default composition, round 15):
+    // codebooks train and encode on v − centroid[cell], so the ksub
+    // codewords per subspace spend entirely on within-cell variation —
+    // the accuracy knob at fixed memory; candidates rank by
+    // ⟨q, centroid⟩ + ADC(q, residual codes). Same degenerate-knob gate
+    // as ann_ivfpq (full probe + full candidates ⇒ the exact-cosine
+    // re-rank sees everything ⇒ brute force); the lossy-regime recall
+    // ordering (residual ≥ raw on a clustered corpus) is pinned in
+    // IvfSpec. Separate cache root: its index layout differs from
+    // ann_ivfpq's (residual codes + flag).
+    "ann_ivfpq_residual" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val idx = Ivf.cachedIndexDir(src, root = "/tmp/graft-ivfpqr",
+        params = "nlist=8:iters=1:m=8:ksub=16:residual=1")
+      if (!graft.operators.IndexStore.exists(s, s"$idx/pq")) {
+        Ivf.gcSupersededIndexes(idx)
+        val sample = emb.where(pmod(col("vec_id"), lit(4)) === 0)
+        if (!graft.operators.IndexStore.exists(s, s"$idx/centroids"))
+          Ivf.buildIndex(s, idx, emb, trainOn = sample, nlist = 8, iters = 1)
+        Ivf.attachPq(s, idx, trainOn = sample, m = 8, ksub = 16,
+          residual = true)
+      }
+      Ivf.probeIndexAdc(s, idx, emb.where(col("vec_id") < 20), k = 5,
+        nprobe = 8, candidates = emb.count().toInt)
+    }),
+
     // Recall harness for the IVF probe, mirroring lsh_recall: nprobe = 2
     // of nlist = 8 makes cell pruning actually lossy, and the measured
     // recall_permille pins the nprobe knob the probe scaladoc justifies
@@ -448,6 +475,22 @@ private[graft] object TierAnn extends Registry {
     // Exact-degenerate IVF-PQ probe (full probe + full candidates ⇒ the
     // re-rank sees everything): oracle = brute-force top-5, like ann_ivf.
     "ann_ivfpq" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT)
+        |    AS rank,
+        |  neighbor_id, cos
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+
+    // Residual IVF-PQ at degenerate knobs: the exact-cosine re-rank sees
+    // every corpus row, so the residual candidate arithmetic only orders
+    // a set the re-rank fully rescues — oracle = brute-force top-5.
+    "ann_ivfpq_residual" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
