@@ -692,6 +692,61 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "r15") {
+      // Round-15 (VERDICT r14 #5): (a) bpe_train/bpe_encode at the 10×
+      // axis — the unigram family was measured in r14b; BPE shares the
+      // corpus-linear word-frequency pass + bounded-vocab merge loop —
+      // and (b) the tokenizer trainers' FORCED distributed path
+      // (maxDriverWords = 0) vs the default driver path at both scales:
+      // the adaptive split's above-threshold regime never triggers
+      // naturally on the gate corpora (sf1 distinct words ≈ 10× sf0.1's,
+      // still < the 2M threshold), so parity is read by forcing it.
+      val big = "/tmp/scale/sf1"
+      if (!new java.io.File(s"$big/documents.parquet").isDirectory) {
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+        (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+          .withColumn("text", if (i == 0) col("text")
+            else concat_ws(" ", transform(split(col("text"), " "),
+              w => concat(w, lit("_" + i))))))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$big/documents.parquet")
+        System.err.println("[scale] derived sf1 documents (10x)")
+      }
+      def exp10(t1: Double, t10: Double): Double =
+        math.log(t10 / t1) / math.log(10.0)
+      val ps = Seq("bpe_train", "bpe_encode")
+      ps.foreach(q => time(q, src)) // warmup: codegen + JIT
+      ps.foreach(q => time(q, big))
+      ps.foreach { q =>
+        val t1 = median3(time(q, src))
+        val t10 = median3(time(q, big))
+        println(f"SCALE10 $q%-23s sf0.1=$t1%6.2f s  sf1=$t10%7.2f s  exponent=${exp10(t1, t10)}%5.2f")
+      }
+      def timeOp(f: => DataFrame): Double = {
+        val t0 = System.nanoTime()
+        f.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      import graft.operators.{Bpe, Unigram}
+      Seq("sf0.1" -> src, "sf1" -> big).foreach { case (tag, dir) =>
+        val d = Tables.documents(spark, dir)
+        def bpe(mdw: Long) = Bpe.train(d, "text", numMerges = 10,
+          maxDriverWords = mdw)
+        def uni(mdw: Long) = Unigram.train(d, "text", rounds = 2,
+          seedSize = 200, vocabSize = 120, maxDriverWords = mdw)
+        timeOp(bpe(1L << 21)); timeOp(bpe(0)) // warmup both paths
+        val bd = median3(timeOp(bpe(1L << 21)))
+        val bx = median3(timeOp(bpe(0)))
+        timeOp(uni(1L << 21)); timeOp(uni(0))
+        val ud = median3(timeOp(uni(1L << 21)))
+        val ux = median3(timeOp(uni(0)))
+        println(f"PARITY bpe_train     $tag%-6s driver=$bd%6.2f s  distributed=$bx%7.2f s  ratio=${bx / bd}%5.2f")
+        println(f"PARITY unigram_train $tag%-6s driver=$ud%6.2f s  distributed=$ux%7.2f s  ratio=${ux / ud}%5.2f")
+      }
+      spark.stop()
+      return
+    }
     if (mode == "r14b") {
       // Unigram tokenizer 10× axis: sf1 documents carry 10× the distinct
       // words (replicas suffix every word), so the axis measures the

@@ -22,8 +22,12 @@ package graft.functions
   *    pinyin; emitted lowercase with a trailing space so adjacent
   *    syllables stay word-separated (`中国` → `zhong guo `) — a
   *    romanization-convention choice, documented in SURVEY §7.4.1.
-  *    Characters outside the table stay unmapped and are dropped by
-  *    [[AsciiFold.fold]], like `unidecode`'s unmappable codepoints.
+  *    Beyond the hand tiers, an ICU Han-Latin tail tier (round 15)
+  *    derives readings for the rest of the basic block + extension A
+  *    from the classpath icu4j; characters neither tier maps stay
+  *    unmapped and are dropped by [[AsciiFold.fold]], like
+  *    `unidecode`'s unmappable codepoints — observably, via the
+  *    cjk_unmapped stat.
   */
 object CjkFold {
 
@@ -359,6 +363,36 @@ object CjkFold {
     entries.toMap
   }
 
+  // --- Round-15 extension tier: ICU Han-Latin tail ---------------------
+  // The ideograph surface BEYOND the two hand tiers (VERDICT r14 #7: the
+  // reference's `unidecode` maps ~30k ideographs vs the hand tiers'
+  // ~6.4k), derived at first use from ICU4J's Han-Latin transliterator —
+  // CLDR/Unihan kMandarin readings, the same authority `unidecode`'s CJK
+  // section descends from; icu4j ships on every Spark 4 classpath for
+  // collation support, so this adds no dependency. Post-processed to the
+  // table's convention: Latin-ASCII strips tones, lowercase, trailing
+  // space. The HAND tiers keep priority — their polyphone choices follow
+  // `unidecode`'s most-common-reading convention, which ICU's kMandarin
+  // sometimes disagrees with (地 di vs de, 长 chang vs zhang) — so every
+  // previously-mapped character folds exactly as before. Coverage gain
+  // (ICU 77.1): basic block 20,924/20,992 readable, ext A 5,787/6,592;
+  // what ICU can't read stays unmapped and observable via cjk_unmapped.
+  // One-time ~0.4 s derivation per JVM, paid lazily on the first fold
+  // of an ideograph outside the hand tiers; lock-free reads afterwards.
+  private lazy val icuHan: Map[Char, String] = {
+    val t = com.ibm.icu.text.Transliterator
+      .getInstance("Han-Latin; Latin-ASCII; Lower")
+    ((0x3400 to 0x4DBF) ++ (0x4E00 to 0x9FFF)).flatMap { cp =>
+      val s = cp.toChar.toString
+      val out = t.transliterate(s)
+      // accept only clean single-syllable readings (pure lowercase ASCII
+      // letters); anything else stays unmapped, like the hand tiers
+      if (out != s && out.nonEmpty && out.forall(c => c >= 'a' && c <= 'z'))
+        Some(cp.toChar -> (out + " "))
+      else None
+    }.toMap
+  }
+
   /** Transliterate one CJK-range character, or None if outside every
     * covered block (the caller drops it, `unidecode`-style). */
   def fold(ch: Char): Option[String] = {
@@ -370,9 +404,15 @@ object CjkFold {
     else if (ch >= 0x11A8 && ch <= 0x11C2) Some(jongseong(ch - 0x11A8 + 1))
     else if (ch >= 0xFF01 && ch <= 0xFF5E) Some(((ch - 0xFEE0).toChar).toString)
     else if (ch == 0x3000) Some(" ")
+    // ideograph blocks: hand tiers first (unidecode-convention polyphone
+    // choices), then the ICU Han-Latin tail; the range guard keeps the
+    // lazy ICU derivation from firing for non-ideograph misses
+    else if ((ch >= 0x4E00 && ch <= 0x9FFF) || (ch >= 0x3400 && ch <= 0x4DBF))
+      pinyin.get(ch).orElse(icuHan.get(ch))
     else kana.get(ch).orElse(punct.get(ch)).orElse(pinyin.get(ch))
   }
 
-  /** Table size, exposed for the coverage spec. */
+  /** Table sizes, exposed for the coverage spec. */
   private[functions] def pinyinSize: Int = pinyin.size
+  private[functions] def icuHanSize: Int = icuHan.size
 }

@@ -31,8 +31,8 @@ class PipelineSpec extends SparkSpecBase {
       vectorDim = 2)
     Seq(
       doc("s1", "2024-02-01 10:00:00", "中国", ""),  // both hanzi mapped
-      doc("s1", "2024-02-01 11:00:00", "x㐀y", ""), // ext-A: outside table
-      doc("s1", "2024-02-01 12:00:00", "r9", "㐁")  // dropped via color too
+      doc("s1", "2024-02-01 11:00:00", "x兙y", ""), // no tier reads 兙 (U+5159)
+      doc("s1", "2024-02-01 12:00:00", "r9", "兡")  // dropped via color too
     ).toDF(cols: _*).write.mode(SaveMode.Overwrite).parquet(conf.sourcePath)
     val stats = Pipeline.run(spark, conf)
     assert(stats.cjkUnmapped == 2L,

@@ -25,7 +25,7 @@ class AsciiFoldSpec extends SparkSpecBase {
 
   test("fold: unmappable codepoints are dropped (unidecode-style)") {
     assert(AsciiFold.fold("a☃b") == "ab")  // snowman: no transliteration
-    assert(AsciiFold.fold("a鿿b") == "ab")  // hanzi outside the pinyin table
+    assert(AsciiFold.fold("a兙b") == "ab")  // hanzi no tier can read
   }
 
   test("fold: CJK hanzi romanize to toneless pinyin with syllable spaces") {
@@ -72,14 +72,43 @@ class AsciiFoldSpec extends SparkSpecBase {
   test("cjk_unmapped_count: dropped ideographs are counted, mapped ones are not") {
     assert(AsciiFold.unmappedCjk("hello") == 0)
     assert(AsciiFold.unmappedCjk("中国") == 0)          // fully mapped
-    assert(AsciiFold.fold("㐀") == "")              // ext-A: outside table
-    assert(AsciiFold.unmappedCjk("中㐀国㐁") == 2)
+    // U+5159/U+5161 (unit chars 兙/兡) have no ICU reading either —
+    // genuinely outside every tier (ext-A 㐀 maps via ICU since round 15)
+    assert(AsciiFold.fold("兙") == "")
+    assert(AsciiFold.unmappedCjk("中兙国兡") == 2)
     // kana/hangul are not ideographs and never count
     assert(AsciiFold.unmappedCjk("かな한국") == 0)
     // agreement property: a string with zero unmapped count never loses
     // ideographs in fold (every ideograph emits pinyin + trailing space)
     val s = "气候变化影响深远"
     assert(AsciiFold.unmappedCjk(s) == 0 && AsciiFold.fold(s).nonEmpty)
+  }
+
+  test("ICU Han-Latin tail tier: rare ideographs fold; hand tiers keep priority") {
+    // outside the ~6.4k hand tiers, readable via ICU (basic block + ext A)
+    assert(AsciiFold.fold("龘") == "da ")
+    assert(AsciiFold.fold("㐀") == "qiu ")   // ext A, the old canonical gap
+    assert(AsciiFold.fold("你好蠿") == "ni hao zhuo ")
+    // hand-tier polyphone choices (unidecode's most-common reading) are
+    // NOT overridden by ICU's kMandarin where the two disagree
+    assert(AsciiFold.fold("地") == "di ")    // ICU reads de
+    assert(AsciiFold.fold("长") == "chang ") // ICU reads zhang
+    // measured coverage drop (VERDICT r14 #7): unmapped ideographs in the
+    // basic block fall from ~14.6k (hand tiers only) to the ICU-unreadable
+    // tail — still nonzero, so the cjk_unmapped observability is intact
+    val basicUnmapped =
+      (0x4E00 to 0x9FFF).count(cp => CjkFold.fold(cp.toChar).isEmpty)
+    assert(basicUnmapped <= 100, s"basic-block unmapped: $basicUnmapped")
+    assert(basicUnmapped > 0, "observability gone: nothing left unmapped")
+    val extAUnmapped =
+      (0x3400 to 0x4DBF).count(cp => CjkFold.fold(cp.toChar).isEmpty)
+    assert(extAUnmapped <= 1000, s"ext-A unmapped: $extAUnmapped")
+    // every tier output follows the table convention: lowercase ASCII
+    // letters + ONE trailing space (word separation survives concat)
+    val conv = "\\A[a-z]+ \\z".r
+    (0x4E00 to 0x9FFF).flatMap(cp => CjkFold.fold(cp.toChar)).foreach { m =>
+      assert(conv.findFirstIn(m).isDefined, s"convention broken: [$m]")
+    }
   }
 
   test("property: CJK blocks fold to pure ASCII") {
