@@ -314,18 +314,37 @@ object Upsert {
     // GC: keep the newest `keepSnapshots` snapshot dirs (the committed one
     // is the newest by construction); delete older ones + their claim
     // markers, crashed runs' future-id orphans, and stale pointer tmps.
-    val retained = (nextId - keepSnapshots + 1) to nextId
-    fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      val staleSnap = st.isDirectory && n.startsWith("snap-") &&
-        !retained.contains(n.stripPrefix("snap-").toLong)
-      val staleMarker = !st.isDirectory && n.endsWith(".commit") &&
-        idOf(n.stripSuffix(".commit"), "snap-").exists(!retained.contains(_))
-      if (staleSnap || staleMarker ||
-          (!st.isDirectory && n.startsWith("_current.tmp-")))
-        fs.delete(st.getPath, true)
+    // Best-effort: the pointer is published — see bestEffortMaintenance.
+    bestEffortMaintenance(targetPath, snapName) {
+      val retained = (nextId - keepSnapshots + 1) to nextId
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        val staleSnap = st.isDirectory && n.startsWith("snap-") &&
+          !retained.contains(n.stripPrefix("snap-").toLong)
+        val staleMarker = !st.isDirectory && n.endsWith(".commit") &&
+          idOf(n.stripSuffix(".commit"), "snap-").exists(!retained.contains(_))
+        if (staleSnap || staleMarker ||
+            (!st.isDirectory && n.startsWith("_current.tmp-")))
+          fs.delete(st.getPath, true)
+      }
     }
   }
+
+  /** Run post-commit maintenance (retention GC, stale-marker sweeps)
+    * best-effort: once the commit point has passed, a maintenance failure
+    * must not propagate — the caller (or its retry wrapper) cannot tell
+    * it from a lost merge and would re-run an already-committed batch
+    * (at-least-once where the protocol promises exactly-once; observed in
+    * the 8-writer CAS stress as an extra snapshot id). Partial sweeps are
+    * idempotent; the next commit's retention converges. */
+  private def bestEffortMaintenance(targetPath: String, snapName: String)(
+      body: => Unit): Unit =
+    try body catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] post-commit maintenance of $targetPath" +
+          s" $snapName failed (${e.getClass.getSimpleName}: ${e.getMessage});" +
+          " the commit stands — the next commit's retention will converge")
+    }
 
   /** Empty frame with the schema a manifest recorded (`schema_ddl`,
     * written since round 8) — how a fully-erased table stays readable.
@@ -1237,6 +1256,24 @@ object Upsert {
         throw e
     }
 
+    // POST-COMMIT maintenance, best-effort by contract: the manifest
+    // create above IS the commit — once putIfAbsent returned None the
+    // merge is durable, readers resolve it, and this attempt MUST report
+    // success. The pointer publish is repairable (repairPointer at every
+    // read/loop head) and retention/GC re-run on the next commit, but a
+    // failure HERE used to propagate into the caller's retry loop, which
+    // cannot distinguish it from a pre-commit loss: racedSince(current)
+    // is true (the table advanced — by THIS writer's own commit), so the
+    // loop re-merged the already-committed batch and committed it AGAIN
+    // (observed in the 8-writer CAS stress as snap-25 where dense commit
+    // ids prove 25 merges: a concurrent writer's retention deleted a
+    // manifest between this writer's exists() and read — TOCTOU
+    // FileNotFoundException — inside the retention scan below). Failures
+    // are logged and swallowed; any partially-done sweep is idempotent
+    // and the next committer finishes it. Ordering keeps the swallow
+    // safe: the live set is fully computed before the first delete, so
+    // an aborted scan never GCs with a shrunken liveness view.
+    try {
     publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString)
 
     // Retention mirrors mergeIntoParquet: keep the newest `keepSnapshots`
@@ -1252,9 +1289,16 @@ object Upsert {
     val live = retainedIds.flatMap { i =>
       if (i == nextId) nextManifest.values.flatten
       else {
+        // exists→read is TOCTOU with a concurrent later committer's
+        // retention delete; a vanished manifest is provably dead state
+        // (no reader can resolve it, its shared survivors ride this
+        // commit's own entries), so treat it as absent instead of
+        // aborting the scan mid-flight
         val p = new Path(root, f"snap-$i%09d.manifest.json")
-        if (!fs.exists(p)) Nil
-        else parseManifestEntries(readFileBody(fs, p)).values.flatten
+        try {
+          if (!fs.exists(p)) Nil
+          else parseManifestEntries(readFileBody(fs, p)).values.flatten
+        } catch { case _: java.io.FileNotFoundException => Nil }
       }
     }.map(e => normalize(fs, new Path(resolveEntry(targetPath, e)))).toSet
     // Files referenced by ANY manifest still on disk (incl. the ones about
@@ -1264,9 +1308,16 @@ object Upsert {
     val known = committedIds(fs, root).flatMap { i =>
       if (i == nextId) nextManifest.values.flatten
       else {
+        // exists→read is TOCTOU with a concurrent later committer's
+        // retention delete; a vanished manifest is provably dead state
+        // (no reader can resolve it, its shared survivors ride this
+        // commit's own entries), so treat it as absent instead of
+        // aborting the scan mid-flight
         val p = new Path(root, f"snap-$i%09d.manifest.json")
-        if (!fs.exists(p)) Nil
-        else parseManifestEntries(readFileBody(fs, p)).values.flatten
+        try {
+          if (!fs.exists(p)) Nil
+          else parseManifestEntries(readFileBody(fs, p)).values.flatten
+        } catch { case _: java.io.FileNotFoundException => Nil }
       }
     }.map(e => normalize(fs, new Path(resolveEntry(targetPath, e)))).toSet
     sweepDataRuns(fs, root, targetPath, nextId, live, known)
@@ -1276,6 +1327,13 @@ object Upsert {
         idOf(n.stripSuffix(".manifest.json"), "snap-").exists(_ < retainedIds.head)
       if (staleManifest || (!st.isDirectory && n.startsWith("_current.tmp-")))
         fs.delete(st.getPath, false)
+    }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] post-commit maintenance of $targetPath" +
+          s" $snapName failed (${e.getClass.getSimpleName}: ${e.getMessage});" +
+          " the commit stands — pointer repair / the next commit's retention" +
+          " will converge")
     }
   }
 
@@ -1359,16 +1417,18 @@ object Upsert {
         if (!publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString))
           throw new CommitConflictException(
             s"concurrent commit detected on single-writer snapshot target $targetPath")
-        val retained = (nextId - keepSnapshots + 1) to nextId
-        fs.listStatus(root).foreach { st =>
-          val n = st.getPath.getName
-          val staleSnap = st.isDirectory && n.startsWith("snap-") &&
-            !retained.contains(n.stripPrefix("snap-").toLong)
-          val staleMarker = !st.isDirectory && n.endsWith(".commit") &&
-            idOf(n.stripSuffix(".commit"), "snap-").exists(!retained.contains(_))
-          if (staleSnap || staleMarker ||
-              (!st.isDirectory && n.startsWith("_current.tmp-")))
-            fs.delete(st.getPath, true)
+        bestEffortMaintenance(targetPath, snapName) {
+          val retained = (nextId - keepSnapshots + 1) to nextId
+          fs.listStatus(root).foreach { st =>
+            val n = st.getPath.getName
+            val staleSnap = st.isDirectory && n.startsWith("snap-") &&
+              !retained.contains(n.stripPrefix("snap-").toLong)
+            val staleMarker = !st.isDirectory && n.endsWith(".commit") &&
+              idOf(n.stripSuffix(".commit"), "snap-").exists(!retained.contains(_))
+            if (staleSnap || staleMarker ||
+                (!st.isDirectory && n.startsWith("_current.tmp-")))
+              fs.delete(st.getPath, true)
+          }
         }
         before - after
     }
@@ -1414,16 +1474,18 @@ object Upsert {
         if (!publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString))
           throw new CommitConflictException(
             s"concurrent commit detected on single-writer snapshot target $targetPath")
-        val retained = (nextId - keepSnapshots + 1) to nextId
-        fs.listStatus(root).foreach { st =>
-          val n = st.getPath.getName
-          val staleSnap = st.isDirectory && n.startsWith("snap-") &&
-            !retained.contains(n.stripPrefix("snap-").toLong)
-          val staleMarker = !st.isDirectory && n.endsWith(".commit") &&
-            idOf(n.stripSuffix(".commit"), "snap-").exists(!retained.contains(_))
-          if (staleSnap || staleMarker ||
-              (!st.isDirectory && n.startsWith("_current.tmp-")))
-            fs.delete(st.getPath, true)
+        bestEffortMaintenance(targetPath, snapName) {
+          val retained = (nextId - keepSnapshots + 1) to nextId
+          fs.listStatus(root).foreach { st =>
+            val n = st.getPath.getName
+            val staleSnap = st.isDirectory && n.startsWith("snap-") &&
+              !retained.contains(n.stripPrefix("snap-").toLong)
+            val staleMarker = !st.isDirectory && n.endsWith(".commit") &&
+              idOf(n.stripSuffix(".commit"), "snap-").exists(!retained.contains(_))
+            if (staleSnap || staleMarker ||
+                (!st.isDirectory && n.startsWith("_current.tmp-")))
+              fs.delete(st.getPath, true)
+          }
         }
         before - after
     }
