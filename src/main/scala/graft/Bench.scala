@@ -219,6 +219,11 @@ object Bench {
           .replaceAll("#\\d+", "#x")
           .replaceAll("plan_id=\\d+", "plan_id=x")
           .replaceAll("\\[id=#x\\]", "")
+          // object-identity renderings (Foo@1a2b3c): an Aggregator or
+          // other reference object without a stable toString would put a
+          // fresh JVM hash in every run's plan line (round 15: the TopK
+          // UDAF did exactly that for 16 ANN-family entries)
+          .replaceAll("@[0-9a-f]+", "@x")
         java.lang.Long.toHexString(graft.functions.PortableHash.mix64(
           org.apache.spark.unsafe.types.UTF8String.fromString(norm)))
       } catch { case e: Throwable =>

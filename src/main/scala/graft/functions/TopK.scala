@@ -25,6 +25,14 @@ class TopKByScore(k: Int)
   import TopKByScore.Buf
   require(k > 0, s"k must be positive (got $k)")
 
+  // The default Object.toString prints the JVM identity hash, and
+  // Aggregator instances render verbatim inside the canonicalized
+  // ObjectHashAggregate plan line — every plan using this UDAF would
+  // carry a run-varying token, defeating the bench's plan fingerprints
+  // (round 15: 16 ANN-family hashes differed across back-to-back runs on
+  // identical code). Identity carries no information here; the knob does.
+  override def toString: String = s"TopKByScore($k)"
+
   private def compact(items: Seq[ScoredId]): Seq[ScoredId] =
     items.sortBy(n => (-n.score, n.id)).take(k)
 

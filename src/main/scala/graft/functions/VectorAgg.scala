@@ -23,6 +23,9 @@ import org.apache.spark.sql.expressions.Aggregator
 class VectorSumLong
     extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
 
+  // stable plan rendering — see TopKByScore.toString
+  override def toString: String = "VectorSumLong"
+
   private def add(a: Array[Long], b: Seq[Long]): Array[Long] = {
     if (b == null) return a
     val out = if (a.length >= b.length) a else java.util.Arrays.copyOf(a, b.length)
