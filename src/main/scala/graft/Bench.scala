@@ -43,6 +43,12 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        // plan-fingerprint hygiene: the default 100-char metadata
+        // truncation cuts DataFilters at a point that depends on token
+        // LENGTHS (a lambda variable named x_478 vs x_1 shifts the cut),
+        // so identical plans rendered in different sessions hashed apart;
+        // rendering-only, no execution effect
+        .config("spark.sql.maxMetadataStringLength", 2000)
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
@@ -212,10 +218,61 @@ object Bench {
     // build moves a hash even though builds are cached during timing.
     // Computed AFTER the timed loop (construction is untimed; shared
     // caches are warm, so construction-time pins are cheap).
-    def planHash(mk: () => org.apache.spark.sql.DataFrame): String =
+    // The NORMALIZED plan text behind every hash is written to
+    // target/plans/<name>.txt (~1 MB total) — the diagnostic for "why
+    // did this hash move": diff the dumped text across two runs/rounds
+    // instead of re-deriving the plan by hand.
+    // SPARK_GRAFT_PLAN_DUMP narrows to a comma list; `off` disables.
+    val dumpSel = sys.env.getOrElse("SPARK_GRAFT_PLAN_DUMP", "all")
+    val dumpSet: String => Boolean = dumpSel match {
+      case "all" => _ => true
+      case "off" => _ => false
+      case list => list.split(",").toSet
+    }
+    // Sort the top-level elements of the bracketed list that starts at
+    // `open` (index of '['): RewriteDistinctAggregates assigns its group
+    // ids by iterating a HashMap keyed on ExpressionSets whose hashes
+    // include raw exprIds, so a multi-distinct aggregate's FILTER-group
+    // binding and Expand projection ORDER flip with session history —
+    // semantically identical plans, different text. Sorting the element
+    // lists collapses both orderings to one fingerprint (a regression
+    // that merely permutes list elements becomes invisible — acceptable:
+    // structure, operators, and element CONTENT still hash).
+    def sortTopLevel(line: String, open: Int): String = {
+      var depth = 0
+      var i = open
+      val parts = Seq.newBuilder[String]
+      var start = open + 1
+      var end = -1
+      while (i < line.length && end < 0) {
+        line.charAt(i) match {
+          case '[' | '(' => depth += 1
+          case ']' | ')' =>
+            depth -= 1
+            if (depth == 0) { parts += line.substring(start, i); end = i }
+          case ',' if depth == 1 =>
+            parts += line.substring(start, i); start = i + 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (end < 0) line
+      else line.substring(0, open + 1) +
+        parts.result().map(_.trim).sorted.mkString(", ") +
+        line.substring(end)
+    }
+    def normalizeAggOrder(s: String): String = s.split("\n", -1).map { line =>
+      var out = line
+      val fm = out.indexOf("functions=[")
+      if (fm >= 0) out = sortTopLevel(out, fm + "functions=".length)
+      val em = out.indexOf("Expand [")
+      if (em >= 0) out = sortTopLevel(out, em + "Expand ".length)
+      out
+    }.mkString("\n")
+    def planHash(name: String, mk: () => org.apache.spark.sql.DataFrame): String =
       try {
         val p = mk().queryExecution.executedPlan.canonicalized.toString
-        val norm = p
+        val norm = normalizeAggOrder(p
           .replaceAll("#\\d+", "#x")
           .replaceAll("plan_id=\\d+", "plan_id=x")
           .replaceAll("\\[id=#x\\]", "")
@@ -224,6 +281,15 @@ object Bench {
           // fresh JVM hash in every run's plan line (round 15: the TopK
           // UDAF did exactly that for 16 ANN-family entries)
           .replaceAll("@[0-9a-f]+", "@x")
+          // lambda variables carry a JVM-global counter (x_478 after a
+          // few hundred queries vs x_1 fresh) — same plan, different name
+          .replaceAll("\\blambda x_\\d+", "lambda x_N")
+          .replaceAll("\\bx_\\d+#x", "x_N#x"))
+        if (dumpSet(name)) {
+          val dir = java.nio.file.Paths.get("target/plans")
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.writeString(dir.resolve(s"$name.txt"), norm)
+        }
         java.lang.Long.toHexString(graft.functions.PortableHash.mix64(
           org.apache.spark.unsafe.types.UTF8String.fromString(norm)))
       } catch { case e: Throwable =>
@@ -235,7 +301,7 @@ object Bench {
           .filter { case (n, _) => samples.contains(n) }
           .map { case (n, f) => n -> (() => f(spark, sfDir)) })
         .sortBy(_._1)
-        .map { case (n, mk) => n -> planHash(mk) }
+        .map { case (n, mk) => n -> planHash(n, mk) }
 
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
