@@ -229,62 +229,14 @@ object Bench {
       case "off" => _ => false
       case list => list.split(",").toSet
     }
-    // Sort the top-level elements of the bracketed list that starts at
-    // `open` (index of '['): RewriteDistinctAggregates assigns its group
-    // ids by iterating a HashMap keyed on ExpressionSets whose hashes
-    // include raw exprIds, so a multi-distinct aggregate's FILTER-group
-    // binding and Expand projection ORDER flip with session history —
-    // semantically identical plans, different text. Sorting the element
-    // lists collapses both orderings to one fingerprint (a regression
-    // that merely permutes list elements becomes invisible — acceptable:
-    // structure, operators, and element CONTENT still hash).
-    def sortTopLevel(line: String, open: Int): String = {
-      var depth = 0
-      var i = open
-      val parts = Seq.newBuilder[String]
-      var start = open + 1
-      var end = -1
-      while (i < line.length && end < 0) {
-        line.charAt(i) match {
-          case '[' | '(' => depth += 1
-          case ']' | ')' =>
-            depth -= 1
-            if (depth == 0) { parts += line.substring(start, i); end = i }
-          case ',' if depth == 1 =>
-            parts += line.substring(start, i); start = i + 1
-          case _ =>
-        }
-        i += 1
-      }
-      if (end < 0) line
-      else line.substring(0, open + 1) +
-        parts.result().map(_.trim).sorted.mkString(", ") +
-        line.substring(end)
-    }
-    def normalizeAggOrder(s: String): String = s.split("\n", -1).map { line =>
-      var out = line
-      val fm = out.indexOf("functions=[")
-      if (fm >= 0) out = sortTopLevel(out, fm + "functions=".length)
-      val em = out.indexOf("Expand [")
-      if (em >= 0) out = sortTopLevel(out, em + "Expand ".length)
-      out
-    }.mkString("\n")
+    // Every run-varying-token normalization lives in [[PlanNorm]]
+    // (exprIds, object identity hashes, lambda counters, the
+    // multi-distinct gid order) — unit-tested against the real flapping
+    // variants observed in round-15 back-to-back runs.
     def planHash(name: String, mk: () => org.apache.spark.sql.DataFrame): String =
       try {
-        val p = mk().queryExecution.executedPlan.canonicalized.toString
-        val norm = normalizeAggOrder(p
-          .replaceAll("#\\d+", "#x")
-          .replaceAll("plan_id=\\d+", "plan_id=x")
-          .replaceAll("\\[id=#x\\]", "")
-          // object-identity renderings (Foo@1a2b3c): an Aggregator or
-          // other reference object without a stable toString would put a
-          // fresh JVM hash in every run's plan line (round 15: the TopK
-          // UDAF did exactly that for 16 ANN-family entries)
-          .replaceAll("@[0-9a-f]+", "@x")
-          // lambda variables carry a JVM-global counter (x_478 after a
-          // few hundred queries vs x_1 fresh) — same plan, different name
-          .replaceAll("\\blambda x_\\d+", "lambda x_N")
-          .replaceAll("\\bx_\\d+#x", "x_N#x"))
+        val norm = PlanNorm.normalize(
+          mk().queryExecution.executedPlan.canonicalized.toString)
         if (dumpSet(name)) {
           val dir = java.nio.file.Paths.get("target/plans")
           java.nio.file.Files.createDirectories(dir)

@@ -1,0 +1,91 @@
+package graft
+
+/** Canonicalized-plan-string normalization behind the bench's plan
+  * fingerprints: strips every RUN-VARYING token so that the same code on
+  * the same data always hashes to the same value, regardless of JVM or
+  * session history — "the plan changed" in a round-over-round diff then
+  * means the CODE changed the plan, never that the box replanned.
+  *
+  * The input is `executedPlan.canonicalized.toString` (attribute ids
+  * already normalized to `none#N` there). The leaks this layer closes,
+  * each found by diffing real back-to-back full-suite runs (round 15):
+  *
+  *  1. exprIds / AQE plan ids (`#123`, `plan_id=45`) — per-session
+  *     counters.
+  *  2. Object-identity renderings (`TopKByScore@1c5f6292`): Aggregator
+  *     instances render verbatim inside ObjectHashAggregate lines, and
+  *     the default `Object.toString` prints a fresh-per-JVM hash. The
+  *     repo's own aggregators carry stable toStrings; the `@hex`
+  *     normalization is belt-and-braces for third-party objects.
+  *  3. Lambda variables (`x_478` vs `x_1`) — a JVM-global counter; the
+  *     name LENGTH also shifts fixed-width metadata truncation, which is
+  *     why the bench session raises `spark.sql.maxMetadataStringLength`.
+  *  4. Multi-distinct aggregates: `RewriteDistinctAggregates` assigns
+  *     its group ids by iterating a HashMap keyed on ExpressionSets
+  *     whose hashes include RAW exprIds, so the FILTER-group binding,
+  *     the Expand projection ROW order, and the WITHIN-row column
+  *     positions all flip with session history — semantically identical
+  *     plans, different text. Sorting the top-level elements of
+  *     `functions=[…]` / `Expand […]` lists (recursively, so each
+  *     Expand row sorts as an element multiset) collapses every
+  *     ordering to one fingerprint. Tradeoff, deliberate: a regression
+  *     that merely permutes those list elements becomes invisible;
+  *     structure, operators, and element CONTENT still hash.
+  */
+object PlanNorm {
+
+  def normalize(canonicalizedPlan: String): String =
+    normalizeAggOrder(canonicalizedPlan
+      .replaceAll("#\\d+", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("\\[id=#x\\]", "")
+      .replaceAll("@[0-9a-f]+", "@x")
+      .replaceAll("\\blambda x_\\d+", "lambda x_N")
+      .replaceAll("\\bx_\\d+#x", "x_N#x"))
+
+  /** Sort the top-level elements of the bracketed list that starts at
+    * `open` (index of a '['), recursing into bracketed elements.
+    * `normBareInts` (set on the recursive row level) replaces elements
+    * that are bare integer literals with `N` — inside an Expand row the
+    * bare int IS the rewrite's group id, and it flips with the binding. */
+  private[graft] def sortTopLevel(line: String, open: Int,
+      normBareInts: Boolean = false): String = {
+    var depth = 0
+    var i = open
+    val parts = Seq.newBuilder[String]
+    var start = open + 1
+    var end = -1
+    while (i < line.length && end < 0) {
+      line.charAt(i) match {
+        case '[' | '(' => depth += 1
+        case ']' | ')' =>
+          depth -= 1
+          if (depth == 0) { parts += line.substring(start, i); end = i }
+        case ',' if depth == 1 =>
+          parts += line.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (end < 0) line
+    else {
+      val sortedParts = parts.result().map(_.trim).map { part =>
+        if (part.startsWith("[")) sortTopLevel(part, 0, normBareInts = true)
+        else if (normBareInts && part.nonEmpty && part.forall(_.isDigit)) "N"
+        else part
+      }.sorted
+      line.substring(0, open + 1) + sortedParts.mkString(", ") +
+        line.substring(end)
+    }
+  }
+
+  private def normalizeAggOrder(s: String): String =
+    s.split("\n", -1).map { line =>
+      var out = line
+      val fm = out.indexOf("functions=[")
+      if (fm >= 0) out = sortTopLevel(out, fm + "functions=".length)
+      val em = out.indexOf("Expand [")
+      if (em >= 0) out = sortTopLevel(out, em + "Expand ".length)
+      out
+    }.mkString("\n")
+}
