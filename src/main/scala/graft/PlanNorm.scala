@@ -27,10 +27,13 @@ package graft
   *     positions all flip with session history — semantically identical
   *     plans, different text. Sorting the top-level elements of
   *     `functions=[…]` / `Expand […]` lists (recursively, so each
-  *     Expand row sorts as an element multiset) collapses every
-  *     ordering to one fingerprint. Tradeoff, deliberate: a regression
-  *     that merely permutes those list elements becomes invisible;
-  *     structure, operators, and element CONTENT still hash.
+  *     Expand row sorts as an element multiset, and each row's TRAILING
+  *     bare-int slot — the rewrite's gid — normalizes to `N`) collapses
+  *     every ordering to one fingerprint. Tradeoff, deliberate: a
+  *     regression that merely permutes those list elements becomes
+  *     invisible; structure, operators, and element CONTENT still hash
+  *     (incl. non-trailing integer literals inside Expand rows, which
+  *     round 16 stopped erasing).
   */
 object PlanNorm {
 
@@ -45,9 +48,12 @@ object PlanNorm {
 
   /** Sort the top-level elements of the bracketed list that starts at
     * `open` (index of a '['), recursing into bracketed elements.
-    * `normBareInts` (set on the recursive row level) replaces elements
-    * that are bare integer literals with `N` — inside an Expand row the
-    * bare int IS the rewrite's group id, and it flips with the binding. */
+    * `normBareInts` (set on the recursive row level) replaces the LAST
+    * element with `N` when it is a bare integer literal — inside an
+    * Expand row the rewrite's group id is the trailing projection slot,
+    * and it flips with the binding. Scoped to the last slot only
+    * (ADVICE r15): an integer literal a real plan change introduces
+    * elsewhere in the row stays visible to the fingerprint. */
   private[graft] def sortTopLevel(line: String, open: Int,
       normBareInts: Boolean = false): String = {
     var depth = 0
@@ -69,9 +75,11 @@ object PlanNorm {
     }
     if (end < 0) line
     else {
-      val sortedParts = parts.result().map(_.trim).map { part =>
+      val raw = parts.result().map(_.trim)
+      val sortedParts = raw.zipWithIndex.map { case (part, idx) =>
         if (part.startsWith("[")) sortTopLevel(part, 0, normBareInts = true)
-        else if (normBareInts && part.nonEmpty && part.forall(_.isDigit)) "N"
+        else if (normBareInts && idx == raw.length - 1 &&
+          part.nonEmpty && part.forall(_.isDigit)) "N"
         else part
       }.sorted
       line.substring(0, open + 1) + sortedParts.mkString(", ") +

@@ -273,14 +273,30 @@ object Ivf {
       lit(0.0), (acc, t) => acc + t)
 
   /** Whether the attached PQ encodes residuals (vs raw vectors). Indexes
-    * written before the residual option lack the column → false. */
+    * written before the residual option lack the column → false.
+    * Convenience over [[loadPq]] — callers that also need the codebooks
+    * should call [[loadPq]] ONCE instead (ADVICE r15: the codebooks and
+    * the flag live in the same pq table; reading it twice doubles the
+    * manifest-table reads per probe / per incremental-add batch). */
   def pqIsResidual(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Boolean =
-    IndexStore.exists(spark, pqRoot(indexPath)) && {
+      indexPath: String): Boolean = loadPq(spark, indexPath)._2
+
+  /** The persisted PQ state in ONE pq-table read: ((m, j)-ordered
+    * codebooks, residual flag). `(Nil, false)` when [[attachPq]] never
+    * ran; a pre-residual-option table lacks the flag column → false. */
+  def loadPq(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Seq[Seq[Seq[Double]]], Boolean) =
+    if (!IndexStore.exists(spark, pqRoot(indexPath))) (Nil, false)
+    else {
       val pq = IndexStore.read(spark, pqRoot(indexPath))
-      pq.columns.contains("on_residual") &&
-        pq.select("on_residual").limit(1).collect()
-          .headOption.exists(_.getBoolean(0))
+      val hasFlag = pq.columns.contains("on_residual")
+      val rows = pq.orderBy("m", "j").collect() // m·ksub driver-side rows
+      val cb = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(1))
+          .map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq)
+      val residual = hasFlag && rows.headOption
+        .exists(r => r.getBoolean(r.fieldIndex("on_residual")))
+      (cb, residual)
     }
 
   /** Train per-subspace PQ codebooks on `trainOn` (sample at scale),
@@ -327,13 +343,10 @@ object Ivf {
   }
 
   /** The persisted codebooks, (m, j)-ordered — m·ksub·dsub doubles of
-    * driver metadata. Empty when [[attachPq]] never ran. */
+    * driver metadata. Empty when [[attachPq]] never ran. See [[loadPq]]
+    * when the residual flag is needed too. */
   def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Seq[Seq[Seq[Double]]] =
-    if (!IndexStore.exists(spark, pqRoot(indexPath))) Nil
-    else IndexStore.read(spark, pqRoot(indexPath)).orderBy("m", "j")
-      .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq)
+      indexPath: String): Seq[Seq[Seq[Double]]] = loadPq(spark, indexPath)._1
 
   /** IVF-PQ probe: candidates from the probed cells' codes via ADC (the
     * vector column is NOT read in this pass), exact-cosine re-rank of the
@@ -352,10 +365,9 @@ object Ivf {
       candidates: Int = 100,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
-    val cb = loadPqCodebooks(spark, indexPath)
+    val (cb, residual) = loadPq(spark, indexPath) // one pq-table read
     require(cb.nonEmpty,
       s"no PQ codebooks under $indexPath — run attachPq before probeIndexAdc")
-    val residual = pqIsResidual(spark, indexPath)
     val centroids = loadCentroids(spark, indexPath)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"),
       explode(F.nearestCentroids(col(vecCol), centroids, nprobe)).as("__cell"))
@@ -390,7 +402,7 @@ object Ivf {
     val centroids = loadCentroids(spark, indexPath)
     // an attached PQ encodes every new batch at append time (frozen
     // codebooks, same practice as the frozen coarse centroids)
-    val pqCb = loadPqCodebooks(spark, indexPath)
+    val (pqCb, pqResidual) = loadPq(spark, indexPath) // one pq-table read
     val preAssigned = Par.spread(vectors)
       .withColumn("__cell",
         element_at(F.nearestCentroids(col(vecCol), centroids, 1), 1))
@@ -398,8 +410,7 @@ object Ivf {
       if (pqCb.isEmpty) preAssigned
       else {
         val in =
-          if (pqIsResidual(spark, indexPath))
-            residualOf(col(vecCol), col("__cell"), centroids)
+          if (pqResidual) residualOf(col(vecCol), col("__cell"), centroids)
           else col(vecCol)
         preAssigned.withColumn("__codes", F.pqCodes(in, pqCb))
       }

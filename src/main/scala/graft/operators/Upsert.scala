@@ -236,7 +236,14 @@ object Upsert {
         if (mf.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mf))
           readManifestTable(spark, targetPath)
         else spark.read.parquet(new Path(targetPath, snap).toString)
-      case None => spark.read.parquet(targetPath)
+      case None =>
+        // no pointer: a manifest-layout table whose very first publish
+        // was lost still has committed manifests — manifestBody rolls
+        // forward to the newest; otherwise this is a plain directory
+        val root = new Path(targetPath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (committedIds(fs, root).nonEmpty) readManifestTable(spark, targetPath)
+        else spark.read.parquet(targetPath)
     }
 
   /** MERGE into a snapshot-pointer Parquet target. The merged result is
@@ -812,13 +819,50 @@ object Upsert {
     (s""""$field"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(body)
       .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
 
+  /** Body of the manifest to read: the requested `snapshot` when given,
+    * else the LIVE one. "Live" is NOT just what `_current` points at:
+    * manifest CREATION is the commit point and the pointer publish is
+    * best-effort post-commit maintenance, so a swallowed publish failure
+    * (or a crash between the two) can leave the pointer one commit
+    * behind — a pure reader that trusted it would silently serve the
+    * previous table version until the next writer repaired it (ADVICE
+    * r15). The read path therefore rolls FORWARD itself: if any
+    * committed manifest is newer than the pointed one, the newest wins,
+    * and the pointer is repaired best-effort in passing so later readers
+    * skip the listing. A pointed-at manifest that no longer exists
+    * (pointer outlived retention after a partial GC) heals the same way. */
   private[operators] def manifestBody(spark: SparkSession, targetPath: String,
-      snapshot: Option[String]): Option[String] =
-    snapshot.orElse(currentSnapshot(spark, targetPath)).flatMap { snap =>
+      snapshot: Option[String]): Option[String] = {
+    val root = new Path(targetPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bodyOf(snap: String): Option[String] = {
       val p = new Path(targetPath, s"$snap.manifest.json")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) Some(readFileBody(fs, p)) else None
     }
+    snapshot match {
+      case Some(snap) => bodyOf(snap)
+      case None =>
+        val pointed = currentSnapshot(spark, targetPath)
+        val pointedId = pointed.flatMap(idOf(_, "snap-"))
+        val newestId = committedIds(fs, root).sorted.lastOption
+        (pointedId, newestId) match {
+          case (Some(p), Some(n)) if n > p =>
+            try repairPointer(spark, targetPath)
+            catch { case scala.util.control.NonFatal(_) => } // reader may lack write access
+            bodyOf(f"snap-$n%09d")
+          case (Some(_), _) =>
+            pointed.flatMap(bodyOf).orElse(
+              newestId.flatMap(n => bodyOf(f"snap-$n%09d")))
+          case (None, Some(n)) =>
+            // committed manifests but no pointer at all: a crash before
+            // the very first publish — same roll-forward
+            try repairPointer(spark, targetPath)
+            catch { case scala.util.control.NonFatal(_) => }
+            bodyOf(f"snap-$n%09d")
+          case (None, None) => None
+        }
+    }
+  }
 
   private def readBucketManifestRaw(spark: SparkSession,
       targetPath: String,

@@ -46,6 +46,14 @@ class PlanNormSpec extends AnyFunSuite {
       PlanNorm.normalize("+- HashAggregate(keys=[none#1x], functions=[max(none#2)])"))
     assert(PlanNorm.normalize("+- Expand [[a, null, 1], [b, null, 2]], [o]") !=
       PlanNorm.normalize("+- Expand [[a, null, 1], [c, null, 2]], [o]"))
+    // bare-int gid normalization is scoped to the TRAILING row slot
+    // (ADVICE r15): a changed integer literal elsewhere in the row is a
+    // real plan change and must stay visible...
+    assert(PlanNorm.normalize("+- Expand [[a, 5, null, 1]], [o]") !=
+      PlanNorm.normalize("+- Expand [[a, 7, null, 1]], [o]"))
+    // ...while the trailing gid itself still collapses
+    assert(PlanNorm.normalize("+- Expand [[a, null, 1]], [o]") ==
+      PlanNorm.normalize("+- Expand [[a, null, 2]], [o]"))
     assert(PlanNorm.normalize("Filter (a > 1)\n+- Scan x") !=
       PlanNorm.normalize("Scan x"))
   }

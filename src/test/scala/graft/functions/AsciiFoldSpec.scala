@@ -72,10 +72,14 @@ class AsciiFoldSpec extends SparkSpecBase {
   test("cjk_unmapped_count: dropped ideographs are counted, mapped ones are not") {
     assert(AsciiFold.unmappedCjk("hello") == 0)
     assert(AsciiFold.unmappedCjk("中国") == 0)          // fully mapped
-    // U+5159/U+5161 (unit chars 兙/兡) have no ICU reading either —
-    // genuinely outside every tier (ext-A 㐀 maps via ICU since round 15)
-    assert(AsciiFold.fold("兙") == "")
-    assert(AsciiFold.unmappedCjk("中兙国兡") == 2)
+    // pick an unmapped ideograph DYNAMICALLY (the tail-tier spec pins
+    // that at least one exists) instead of hard-coding 兙/兡 — whether a
+    // specific unit char has an ICU reading is icu4j-version-dependent
+    // (ADVICE r15), the counting semantics under test are not
+    val gap = (0x4E00 to 0x9FFF).find(cp => CjkFold.fold(cp.toChar).isEmpty)
+      .map(_.toChar).get
+    assert(AsciiFold.fold(gap.toString) == "")
+    assert(AsciiFold.unmappedCjk(s"中${gap}国$gap") == 2)
     // kana/hangul are not ideographs and never count
     assert(AsciiFold.unmappedCjk("かな한국") == 0)
     // agreement property: a string with zero unmapped count never loses
@@ -85,10 +89,21 @@ class AsciiFoldSpec extends SparkSpecBase {
   }
 
   test("ICU Han-Latin tail tier: rare ideographs fold; hand tiers keep priority") {
-    // outside the ~6.4k hand tiers, readable via ICU (basic block + ext A)
-    assert(AsciiFold.fold("龘") == "da ")
-    assert(AsciiFold.fold("㐀") == "qiu ")   // ext A, the old canonical gap
-    assert(AsciiFold.fold("你好蠿") == "ni hao zhuo ")
+    // outside the ~6.4k hand tiers, readable via ICU (basic block + ext A).
+    // ICU-VERSION SENSITIVITY (ADVICE r15): tail readings come from the
+    // classpath icu4j's kMandarin data (77.1 today) and CLDR revisions
+    // can change a tail polyphone's reading — so tail characters assert
+    // the CONVENTION (readable, lowercase letters + one trailing space),
+    // not an exact byte reading. Hand-tier characters below stay exact:
+    // their table is repo-pinned and immune to ICU upgrades.
+    val conv = "\\A[a-z]+ \\z".r
+    for (tail <- Seq("龘", "㐀", "蠿")) { // 㐀 = ext A, the old canonical gap
+      val out = AsciiFold.fold(tail)
+      assert(conv.findFirstIn(out).isDefined,
+        s"ICU tail char $tail broke convention: [$out]")
+    }
+    // hand-tier + tail composition keeps word separation
+    assert(AsciiFold.fold("你好蠿").startsWith("ni hao "))
     // hand-tier polyphone choices (unidecode's most-common reading) are
     // NOT overridden by ICU's kMandarin where the two disagree
     assert(AsciiFold.fold("地") == "di ")    // ICU reads de
@@ -105,7 +120,6 @@ class AsciiFoldSpec extends SparkSpecBase {
     assert(extAUnmapped <= 1000, s"ext-A unmapped: $extAUnmapped")
     // every tier output follows the table convention: lowercase ASCII
     // letters + ONE trailing space (word separation survives concat)
-    val conv = "\\A[a-z]+ \\z".r
     (0x4E00 to 0x9FFF).flatMap(cp => CjkFold.fold(cp.toChar)).foreach { m =>
       assert(conv.findFirstIn(m).isDefined, s"convention broken: [$m]")
     }

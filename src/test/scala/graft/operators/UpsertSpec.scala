@@ -162,6 +162,38 @@ class UpsertSpec extends SparkSpecBase {
     assert(old.count() == 10 && cur.count() == 10)
   }
 
+  test("lagging pointer: manifest read path rolls forward and repairs (ADVICE r15)") {
+    // manifest CREATION is the commit; the pointer publish is best-effort
+    // post-commit maintenance. Simulate a swallowed publish failure by
+    // committing twice then forcing the pointer back to snap #1 — a pure
+    // reader must still serve commit #2 (newest manifest wins) and leave
+    // the pointer repaired in passing.
+    val dir = Files.createTempDirectory("graft-upsert-lag").toString
+    val mb = s"$dir/mb"
+    Upsert.mergeIntoManifestBucketedParquet(spark, mb,
+      Seq((1L, "v1")).toDF("key", "v"), Seq("key"),
+      nBuckets = 2, keepSnapshots = 3)
+    Upsert.mergeIntoManifestBucketedParquet(spark, mb,
+      Seq((1L, "v2")).toDF("key", "v"), Seq("key"),
+      nBuckets = 2, keepSnapshots = 3)
+    val cur = new org.apache.hadoop.fs.Path(mb, "_current")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(cur, true) // ids are 0-based: commit #2 = snap-…001
+    try out.write("snap-000000000".getBytes("UTF-8")) finally out.close()
+    assert(Upsert.readTarget(spark, mb)
+      .where($"key" === 1L).select("v").as[String].head() == "v2")
+    assert(Upsert.currentSnapshot(spark, mb).contains("snap-000000001"),
+      "reader did not repair the lagging pointer")
+    // a MISSING pointer (crash before the very first publish) heals too
+    fs.delete(cur, false)
+    assert(Upsert.readTarget(spark, mb)
+      .where($"key" === 1L).select("v").as[String].head() == "v2")
+    assert(Upsert.currentSnapshot(spark, mb).contains("snap-000000001"))
+    // explicit time travel is untouched by roll-forward
+    assert(Upsert.readTargetAt(spark, mb, "snap-000000000")
+      .where($"key" === 1L).select("v").as[String].head() == "v1")
+  }
+
   test("deleteFromParquet: predicate rows go, NULL-predicate rows stay") {
     val dir = Files.createTempDirectory("graft-upsert-del").toString
     val path = s"$dir/table"
