@@ -356,7 +356,7 @@ object Upsert {
   /** Empty frame with the schema a manifest recorded (`schema_ddl`,
     * written since round 8) — how a fully-erased table stays readable.
     * Manifests too old to carry the field throw, as before. */
-  private[operators] def emptyFromManifest(spark: SparkSession, body: String,
+  private[graft] def emptyFromManifest(spark: SparkSession, body: String,
       what: String): DataFrame =
     parseManifestString(body, "schema_ddl") match {
       case Some(ddl) =>
@@ -779,7 +779,7 @@ object Upsert {
     * see every referenced file as dead and delete it. Entries that do look
     * absolute (legacy manifests: a leading `/` or a scheme) still resolve
     * verbatim. */
-  private[operators] def resolveEntry(targetPath: String, entry: String): String =
+  private[graft] def resolveEntry(targetPath: String, entry: String): String =
     if (entry.startsWith("/") || entry.contains("://")) entry
     else new Path(targetPath, entry).toString
 
@@ -804,7 +804,7 @@ object Upsert {
     * [[vacuum]] all go through this one function, so "what the table
     * reads" and "what the GC keeps" cannot drift apart (a regex that
     * under-matched here would turn into silent data deletion there). */
-  private[operators] def parseManifestEntries(body: String): Map[Int, Seq[String]] =
+  private[graft] def parseManifestEntries(body: String): Map[Int, Seq[String]] =
     "\"(\\d+)\"\\s*:\\s*\\[([^\\]]*)\\]".r.findAllMatchIn(body).map { m =>
       m.group(1).toInt -> m.group(2).split(",").map(_.trim)
         .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
@@ -815,7 +815,7 @@ object Upsert {
   private[operators] def parseManifestLong(body: String, field: String): Option[Long] =
     s""""$field"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
 
-  private[operators] def parseManifestString(body: String, field: String): Option[String] =
+  private[graft] def parseManifestString(body: String, field: String): Option[String] =
     (s""""$field"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(body)
       .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
 
@@ -831,7 +831,7 @@ object Upsert {
     * and the pointer is repaired best-effort in passing so later readers
     * skip the listing. A pointed-at manifest that no longer exists
     * (pointer outlived retention after a partial GC) heals the same way. */
-  private[operators] def manifestBody(spark: SparkSession, targetPath: String,
+  private[graft] def manifestBody(spark: SparkSession, targetPath: String,
       snapshot: Option[String]): Option[String] = {
     val root = new Path(targetPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1106,7 +1106,7 @@ object Upsert {
   /** Ids of every committed manifest on disk (manifest CREATION is the
     * commit point under optimistic concurrency — the pointer is derived,
     * possibly one commit behind after a crash). */
-  private[operators] def committedIds(fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[Long] =
+  private[graft] def committedIds(fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[Long] =
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq.flatMap { st =>
       val n = st.getPath.getName

@@ -1,0 +1,132 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.operators.Upsert
+
+/** DSv2 read connector (VERDICT r15 #1): `spark.read.format("graft")`
+  * over every merge-target layout, with snapshot time travel and
+  * file-stats range pruning AT the DSv2 layer. */
+class GraftSourceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-dsv2-$tag").toString + "/table"
+
+  private def load(path: String, snapshot: Option[String] = None): DataFrame = {
+    val r = spark.read.format("graft")
+    snapshot.fold(r)(s => r.option("snapshot", s)).load(path)
+  }
+
+  /** The delegate ParquetScan serving a connector read — how many files
+    * survived the DSv2-layer pruning. */
+  private def scannedFiles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    } match {
+      case Some(p: ParquetScan) => p.fileIndex.inputFiles.length
+      case Some(_: GraftEmptyScan) => 0
+      case other => fail(s"no DSv2 scan in plan: $other")
+    }
+
+  test("manifest layout: connector read equals readTarget, row for row") {
+    val path = tmp("mb")
+    val rows = (0L until 200L).map(k => (k, k * 10L, s"v$k")).toDF("key", "ts", "v")
+    Upsert.mergeIntoManifestBucketedParquet(spark, path, rows,
+      Seq("key"), nBuckets = 4, statsCols = Seq("ts"))
+    val viaConnector = load(path).drop("__bucket")
+      .orderBy("key").as[(Long, Long, String)].collect().toSeq
+    val viaLibrary = Upsert.readTarget(spark, path).drop("__bucket")
+      .orderBy("key").as[(Long, Long, String)].collect().toSeq
+    assert(viaConnector == viaLibrary && viaConnector.size == 200)
+  }
+
+  test("snapshot option: time travel by name and by bare id") {
+    val path = tmp("tt")
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((1L, "old")).toDF("key", "v"), Seq("key"),
+      nBuckets = 2, keepSnapshots = 2)
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((1L, "new")).toDF("key", "v"), Seq("key"),
+      nBuckets = 2, keepSnapshots = 2)
+    assert(load(path).select("v").as[String].head() == "new")
+    assert(load(path, Some("snap-000000000"))
+      .select("v").as[String].head() == "old")
+    assert(load(path, Some("0")).select("v").as[String].head() == "old")
+    assert(load(path, Some("1")).select("v").as[String].head() == "new")
+  }
+
+  test("range predicate prunes files at the DSv2 layer; results stay exact") {
+    val path = tmp("prune")
+    // ts aligned with the table's OWN bucket assignment so each file
+    // covers a disjoint ts range — the clustered layout stats pruning is
+    // for (a hash-scattered column never prunes, correctly)
+    val rows = (0L until 400L).toDF("key")
+      .withColumn("ts",
+        pmod(xxhash64($"key"), lit(8)) * 1000L + $"key")
+      .withColumn("v", concat(lit("v"), $"key"))
+    Upsert.mergeIntoManifestBucketedParquet(spark, path, rows,
+      Seq("key"), nBuckets = 8, statsCols = Seq("ts"))
+    val total = scannedFiles(load(path))
+    assert(total == 8, s"expected one file per bucket, saw $total")
+    val filtered = load(path).where($"ts" >= 1000L && $"ts" <= 1999L)
+    val kept = scannedFiles(filtered)
+    assert(kept == 1, s"range predicate did not prune ($kept of $total)")
+    // exactness: pruned read == full-scan filter
+    val viaConnector = filtered.select("key").as[Long].collect().toSet
+    val full = Upsert.readTarget(spark, path)
+      .where($"ts".between(1000L, 1999L)).select("key").as[Long].collect().toSet
+    assert(viaConnector == full && full.nonEmpty)
+    // a range beyond every file serves the zero-partition empty scan
+    val none = load(path).where($"ts" > 1000000L)
+    assert(scannedFiles(none) == 0 && none.count() == 0L)
+    assert(none.schema.fieldNames.contains("key")) // schema survives
+  }
+
+  test("column pruning flows through to the delegate parquet scan") {
+    val path = tmp("prunecol")
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      (0L until 50L).map(k => (k, s"v$k", s"w$k")).toDF("key", "v", "w"),
+      Seq("key"), nBuckets = 2)
+    val df = load(path).select("v")
+    val read = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.readSchema()
+    }.get
+    assert(read.fieldNames.toSeq == Seq("v"), read.treeString)
+    assert(df.as[String].collect().length == 50)
+  }
+
+  test("plain snapshot-pointer layout reads the live snapshot; plain dirs read directly") {
+    val snapPath = tmp("snap")
+    Upsert.mergeIntoParquet(spark, snapPath,
+      Seq(("k1", 1L)).toDF("key", "v"), Seq("key"))
+    Upsert.mergeIntoParquet(spark, snapPath,
+      Seq(("k1", 2L)).toDF("key", "v"), Seq("key"))
+    assert(load(snapPath).as[(String, Long)].head() == (("k1", 2L)))
+
+    val plain = tmp("plaindir")
+    Seq((1L, "a"), (2L, "b")).toDF("key", "v").write.parquet(plain)
+    assert(load(plain).count() == 2L)
+  }
+
+  test("connector read heals a lagging pointer (manifestBody roll-forward)") {
+    val path = tmp("lag")
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((1L, "v1")).toDF("key", "v"), Seq("key"),
+      nBuckets = 2, keepSnapshots = 2)
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((1L, "v2")).toDF("key", "v"), Seq("key"),
+      nBuckets = 2, keepSnapshots = 2)
+    val cur = new org.apache.hadoop.fs.Path(path, "_current")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(cur, true)
+    try out.write("snap-000000000".getBytes("UTF-8")) finally out.close()
+    assert(load(path).select("v").as[String].head() == "v2")
+  }
+}
