@@ -202,6 +202,43 @@ object Bench {
         if (sinceGc >= 25) { sinceGc = 0; System.gc() }
       }
     }
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // Escalated repeats for heavy entries (VERDICT r15 #6): entries whose
+    // median exceeds SPARK_GRAFT_HEAVY_S seconds (default 2) inherit the
+    // suite's worst scheduler noise — r15's committed runs read trustrank
+    // at 3.25/4.01/5.73/3.33 s on IDENTICAL plan hashes, so with 3 samples
+    // the official median still moves ±20% round over round on box noise
+    // alone. Heavy entries get extra recycled passes until they carry
+    // SPARK_GRAFT_HEAVY_REPEAT samples (default 5); a median of 5 needs
+    // two simultaneous outliers to move, not one. Cheap entries keep the
+    // 3-pass protocol — the escalation costs (heavy count × extra passes),
+    // not a full extra suite pass.
+    val heavyThreshold = sys.env.getOrElse("SPARK_GRAFT_HEAVY_S", "2.0").toDouble
+    val heavyRepeat = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPEAT", "5").toInt
+    val heavy = queries.toSeq.filter { case (n, _) =>
+      samples.get(n).exists(v =>
+        median(v) > heavyThreshold && v.size < heavyRepeat)
+    }.sortBy(_._1)
+    if (heavy.nonEmpty) {
+      System.err.println(s"[bench] escalating ${heavy.size} heavy " +
+        s"entries (median > $heavyThreshold s) to $heavyRepeat samples: " +
+        heavy.map(_._1).mkString(", "))
+      for (r <- repeat + 1 to heavyRepeat) {
+        if (restart == "pass") recycle()
+        heavy.foreach { case (name, fn) =>
+          val t0 = System.nanoTime()
+          run(name, fn, sfDir)
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] $name%-24s $dt%8.2f s  (heavy pass $r)")
+          samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+        }
+      }
+    }
     // Plan fingerprints (VERDICT r13 #6, widened r15 per VERDICT r14 #1):
     // a stable 64-bit hash of each entry's physical plan, persisted next
     // to the samples so the next verdict can tell "the plan changed" from
@@ -255,12 +292,6 @@ object Bench {
         .sortBy(_._1)
         .map { case (n, mk) => n -> planHash(n, mk) }
 
-    def median(xs: Vector[Double]): Double = {
-      val s = xs.sorted
-      if (s.isEmpty) 0.0
-      else if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
     val results = samples.keys.map(n => n -> median(samples(n))).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -285,8 +316,10 @@ object Bench {
       val raw = samples.toSeq.sortBy(_._1).map { case (k, v) =>
         "\"" + k + "\":[" + v.map(d => num(d, 3)).mkString(",") + "]"
       }.mkString("{", ",", "}")
+      val heavyJson = heavy.map("\"" + _._1 + "\"").mkString("[", ",", "]")
       val sig = s"""{"loadavg_before":${num(loadBefore, 2)},"loadavg_after":${num(loadAvg, 2)},""" +
-        s""""jvm_gc_ms":${gcMillis - gcBefore},"repeat":$repeat,"restart":"$restart"}"""
+        s""""jvm_gc_ms":${gcMillis - gcBefore},"repeat":$repeat,"restart":"$restart",""" +
+        s""""heavy_s":${num(heavyThreshold, 1)},"heavy_repeat":$heavyRepeat,"heavy":$heavyJson}"""
       val plans = planHashes.map { case (k, h) => "\"" + k + "\":\"" + h + "\"" }
         .mkString("{", ",", "}")
       val rich = full.dropRight(1) +
