@@ -38,13 +38,93 @@ package graft
 object PlanNorm {
 
   def normalize(canonicalizedPlan: String): String =
-    normalizeAggOrder(canonicalizedPlan
+    sortCommutative(normalizeAggOrder(canonicalizedPlan
       .replaceAll("#\\d+", "#x")
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("\\[id=#x\\]", "")
       .replaceAll("@[0-9a-f]+", "@x")
-      .replaceAll("\\blambda x_\\d+", "lambda x_N")
-      .replaceAll("\\bx_\\d+#x", "x_N#x"))
+      // any single-letter lambda variable: the JVM-global counter names
+      // x_478 / y_101 etc. (r16: y_* vars surfaced in the unigram HOFs);
+      // single-letter base only, so a real column like col_2 never
+      // collapses
+      .replaceAll("\\blambda ([a-z])_\\d+", "lambda $1_N")
+      .replaceAll("\\b([a-z])_\\d+#x", "$1_N#x")
+      // Range splits and Par.spread's round-robin width default to the
+      // CONTEXT's parallelism (local[N]), which differs between the
+      // bench JVM and the test JVM — environment tokens, not plan
+      // properties. A hand-written numSlices/repartition(N) change
+      // becomes invisible (magnitude only — the Exchange itself still
+      // fingerprints); no registered query hardcodes either.
+      .replaceAll("splits=\\d+", "splits=N")
+      .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(N)")
+      // RewriteDistinctAggregates binds its FILTER groups by iterating a
+      // HashMap keyed on raw-exprId ExpressionSets, so WHICH distinct agg
+      // gets gid 1 vs 2 flips with session history; the raw rendering
+      // (protocol v2) keeps real attribute names, so the flip shows as
+      // (gid#x = 1) ↔ (gid#x = 2) inside functions elements and as column
+      // ORDER inside the rewrite's keys/output/partitioning lists.
+      // Normalize the gid literal here; normalizeAggOrder sorts every
+      // list on gid-carrying lines.
+      .replaceAll("\\(gid#x = \\d+\\)", "(gid#x = N)")))
+
+  /** Leak 5 (round 16, found by back-to-back fresh-JVM PlanSnap runs):
+    * `multicommutativeop(child…, class <op>, <evalContext>)` renders its
+    * children in canonicalization's hashCode order, and an evalContext
+    * like `Some(NumericEvalContext(ANSI,true))` carries a JAVA ENUM whose
+    * hashCode is identity-based — per-JVM — so nested commutative chains
+    * flip child order across JVMs on identical plans. The ops are
+    * semantically commutative (And/Or/Add/Multiply), so sorting the
+    * OPERAND prefix textually is exact, not a tradeoff; the trailing two
+    * metadata slots (op class, eval context) stay in place. */
+  private[graft] def sortCommutative(s: String): String = {
+    val tok = "multicommutativeop("
+    val i = s.indexOf(tok)
+    if (i < 0) return s
+    val open = i + tok.length - 1 // index of '('
+    var depth = 0
+    var j = open
+    var close = -1
+    while (j < s.length && close < 0) {
+      s.charAt(j) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = j
+        case _ =>
+      }
+      j += 1
+    }
+    if (close < 0) return s // unbalanced rendering: pass through
+    val inner = sortCommutative(s.substring(open + 1, close))
+    val parts = splitTopLevel(inner)
+    val rebuilt =
+      if (parts.length <= 3) parts.mkString(", ") // nothing to reorder
+      else {
+        val (operands, meta) = parts.splitAt(parts.length - 2)
+        (operands.sorted ++ meta).mkString(", ")
+      }
+    s.substring(0, open + 1) + rebuilt + ")" +
+      sortCommutative(s.substring(close + 1))
+  }
+
+  /** Split a parenthesized arg list's body on top-level commas (both
+    * paren and bracket nesting respected), trimming each part. */
+  private def splitTopLevel(body: String): Vector[String] = {
+    val parts = Vector.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < body.length) {
+      body.charAt(i) match {
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 =>
+          parts += body.substring(start, i).trim; start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    parts += body.substring(start).trim
+    parts.result()
+  }
 
   /** Sort the top-level elements of the bracketed list that starts at
     * `open` (index of a '['), recursing into bracketed elements.
@@ -94,6 +174,51 @@ object PlanNorm {
       if (fm >= 0) out = sortTopLevel(out, fm + "functions=".length)
       val em = out.indexOf("Expand [")
       if (em >= 0) out = sortTopLevel(out, em + "Expand ".length)
+      // multi-distinct rewrite lines (they carry the generated gid
+      // column): the rewrite's column ORDER inside keys=[…]/output=[…]/
+      // hashpartitioning(…) flips with the same session-history HashMap
+      // iteration as the gid binding — sort every list on these lines
+      if (out.contains("gid#x")) out = sortAllLists(out)
       out
     }.mkString("\n")
+
+  /** Sort every top-level bracketed list on `line` (and every
+    * `hashpartitioning(…)` argument list) — applied only to
+    * multi-distinct rewrite lines, where element order is generated, not
+    * meaningful. */
+  private def sortAllLists(line: String): String = {
+    var out = line
+    var i = 0
+    while (i < out.length) {
+      if (out.charAt(i) == '[') {
+        out = sortTopLevel(out, i)
+        i = skipBalanced(out, i)
+      } else i += 1
+    }
+    var from = 0
+    while ({ val h = out.indexOf("hashpartitioning(", from); h >= 0 && {
+      val open = h + "hashpartitioning".length
+      out = sortTopLevel(out, open)
+      from = skipBalanced(out, open)
+      true
+    }}) ()
+    out
+  }
+
+  /** Index just past the bracket/paren group opening at `open`. */
+  private def skipBalanced(s: String, open: Int): Int = {
+    var depth = 0
+    var j = open
+    while (j < s.length) {
+      s.charAt(j) match {
+        case '[' | '(' => depth += 1
+        case ']' | ')' =>
+          depth -= 1
+          if (depth == 0) return j + 1
+        case _ =>
+      }
+      j += 1
+    }
+    s.length
+  }
 }

@@ -39,6 +39,50 @@ class PlanNormSpec extends AnyFunSuite {
       PlanNorm.normalize("agg(graft.functions.Foo@54519d74)"))
   }
 
+  test("multi-distinct raw rendering: gid BINDING flip collapses (protocol v2)") {
+    // captured from source_diversity under two session histories: which
+    // distinct agg gets gid 1 vs 2 flips, and the rewrite's column order
+    // inside keys/output/partitioning flips with it
+    val a = Seq(
+      "+- HashAggregate(keys=[source#12], functions=[partial_count(__id#3L) FILTER (WHERE (gid#7 = 1)), partial_count(__s#4L) FILTER (WHERE (gid#7 = 2))], output=[source#12, count#8L, count#9L])",
+      "   +- Exchange hashpartitioning(source#12, __id#3L, __s#4L, gid#7, 4), ENSURE_REQUIREMENTS, [plan_id=5]",
+      "      +- HashAggregate(keys=[source#12, __id#3L, __s#4L, gid#7], functions=[partial_count(1)], output=[source#12, __id#3L, __s#4L, gid#7, count#10L])").mkString("\n")
+    val b = Seq(
+      "+- HashAggregate(keys=[source#12], functions=[partial_count(__id#3L) FILTER (WHERE (gid#7 = 2)), partial_count(__s#4L) FILTER (WHERE (gid#7 = 1))], output=[source#12, count#8L, count#9L])",
+      "   +- Exchange hashpartitioning(source#12, __s#4L, __id#3L, gid#7, 4), ENSURE_REQUIREMENTS, [plan_id=5]",
+      "      +- HashAggregate(keys=[source#12, __s#4L, __id#3L, gid#7], functions=[partial_count(1)], output=[source#12, __s#4L, __id#3L, gid#7, count#10L])").mkString("\n")
+    assert(PlanNorm.normalize(a) == PlanNorm.normalize(b))
+    // distinct aggs over DIFFERENT columns still hash apart
+    val c = b.replace("partial_count(__s#4L)", "partial_count(__t#4L)")
+    assert(PlanNorm.normalize(a) != PlanNorm.normalize(c))
+  }
+
+  test("multicommutativeop: JVM-varying child order collapses; meta slots stay") {
+    // captured from back-to-back fresh-JVM PlanSnap runs (derive_record):
+    // the evalContext enum's identity hashCode flips the canonical sort
+    val a = "Filter multicommutativeop((0 < size(CASE WHEN NOT ((none#xL % 13) = 0) " +
+      "THEN array(cast(none#xL as float)) END, false)), CASE WHEN NOT ((none#xL % 97) = 0) " +
+      "THEN isnotnull(none#x) ELSE false END, (NOT ((none#xL % 13) = 0) <=> true), " +
+      "class org.apache.spark.sql.catalyst.expressions.And, None)"
+    val b = "Filter multicommutativeop(CASE WHEN NOT ((none#xL % 97) = 0) " +
+      "THEN isnotnull(none#x) ELSE false END, (0 < size(CASE WHEN NOT ((none#xL % 13) = 0) " +
+      "THEN array(cast(none#xL as float)) END, false)), (NOT ((none#xL % 13) = 0) <=> true), " +
+      "class org.apache.spark.sql.catalyst.expressions.And, None)"
+    assert(PlanNorm.normalize(a) == PlanNorm.normalize(b))
+    // nested ops normalize inside-out (q19's Or-of-Ands flip)
+    val n1 = "multicommutativeop(multicommutativeop(p, q, class X.And, None), " +
+      "multicommutativeop(r, s, class X.And, None), class X.Or, None)"
+    val n2 = "multicommutativeop(multicommutativeop(s, r, class X.And, None), " +
+      "multicommutativeop(q, p, class X.And, None), class X.Or, None)"
+    assert(PlanNorm.normalize(n1) == PlanNorm.normalize(n2))
+    // the trailing metadata slots are NOT sorted into the operands
+    assert(PlanNorm.normalize("multicommutativeop(z, a, class X.And, None)") ==
+      "multicommutativeop(a, z, class X.And, None)")
+    // real operand differences stay visible
+    assert(PlanNorm.normalize("multicommutativeop(a, b, class X.And, None)") !=
+      PlanNorm.normalize("multicommutativeop(a, c, class X.And, None)"))
+  }
+
   test("different plans still hash apart") {
     // normalization must not erase REAL differences: operator, column
     // content, and structure survive
