@@ -66,17 +66,61 @@ trait CommitBackend {
 }
 
 /** Default backend: exclusive-create where the FS provides one, read-back
-  * verify where it does not (see [[CommitBackend]] for the window). */
+  * verify where it does not (see [[CommitBackend]] for the window).
+  *
+  * On the LOCAL filesystem Hadoop's `create(overwrite=false)` is
+  * check-then-create, NOT atomic across processes — the round-16
+  * cross-JVM soak (`tools/soak_commit.sh`) caught two writer JVMs both
+  * "winning" one snapshot id inside the write→verify gap (12 merges, 11
+  * ids, one batch silently swallowed). POSIX has a real primitive for
+  * this — `open(O_CREAT|O_EXCL)` via `java.nio.Files.createFile` — so
+  * `file://` paths take that branch: of N processes racing one path,
+  * the kernel hands exactly one the create. HDFS's own create-exclusive
+  * is atomic already; object stores without conditional PUT keep the
+  * documented read-back-arbitration window and should use [[CasBackend]]
+  * semantics (S3 `If-None-Match: *`, GCS `ifGenerationMatch: 0`). */
 object HadoopFsBackend extends CommitBackend {
-  // serialize in-JVM create-then-write: the local FS create(false) is
-  // check-then-create, so two threads of THIS process could otherwise
-  // interleave between the check and the body write (cross-process racers
-  // are what the read-back below is for)
+  // serialize in-JVM create-then-write for the non-local branch: the
+  // Hadoop create(false) is check-then-create, so two threads of THIS
+  // process could otherwise interleave between the check and the body
+  // write (cross-process racers on such stores are what the read-back
+  // below is for)
   private val createLock = new Object
 
   override def putIfAbsent(fs: FileSystem, path: Path, body: Array[Byte],
       afterWrite: () => Unit): Option[String] = {
-    createLock.synchronized {
+    val localAtomic =
+      fs.getScheme == "file" && !Upsert.createOverwriteForTest
+    if (localAtomic) {
+      // write the body to a sibling tmp, then hard-LINK it into place:
+      // link(2) is kernel-atomic AND exclusive, and the manifest becomes
+      // visible with its FULL content in one syscall — a concurrent
+      // reader never observes a half-written manifest (fs.create exposes
+      // the file empty-first). Filesystems without hard links fall back
+      // to O_EXCL create + write (atomic arbitration, tiny visibility
+      // window — still strictly better than check-then-create).
+      val local = java.nio.file.Paths.get(fs.makeQualified(path).toUri.getPath)
+      Option(local.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      val tmp = local.resolveSibling(
+        local.getFileName.toString + ".mftmp-" +
+          java.util.UUID.randomUUID().toString.take(8))
+      java.nio.file.Files.write(tmp, body)
+      try java.nio.file.Files.createLink(local, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+          return Some(readBackOr(fs, path, "unreadable"))
+        case _: UnsupportedOperationException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+          try java.nio.file.Files.createFile(local) // kernel-atomic O_EXCL
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              return Some(readBackOr(fs, path, "unreadable"))
+          }
+          java.nio.file.Files.write(local, body)
+      }
+      java.nio.file.Files.deleteIfExists(tmp)
+    } else createLock.synchronized {
       val out =
         try fs.create(path, Upsert.createOverwriteForTest)
         catch {

@@ -1037,8 +1037,8 @@ object Upsert {
   // the manifest create NON-exclusive — modeling an object store whose
   // PUT blindly overwrites (no conditional PUT), where two racers are
   // both told their create succeeded.
-  private[operators] var beforeManifestCreateHook: Option[(String, Long) => Unit] = None
-  private[operators] var afterManifestWriteHook: Option[(String, String) => Unit] = None
+  private[graft] var beforeManifestCreateHook: Option[(String, Long) => Unit] = None
+  private[graft] var afterManifestWriteHook: Option[(String, String) => Unit] = None
   private[operators] var createOverwriteForTest: Boolean = false
 
   /** The publish primitive behind every manifest create and claim marker
@@ -1369,7 +1369,13 @@ object Upsert {
       val n = st.getPath.getName
       val staleManifest = !st.isDirectory && n.endsWith(".manifest.json") &&
         idOf(n.stripSuffix(".manifest.json"), "snap-").exists(_ < retainedIds.head)
-      if (staleManifest || (!st.isDirectory && n.startsWith("_current.tmp-")))
+      // a crash between a manifest-link tmp's write and its link leaks the
+      // tmp (HadoopFsBackend local-atomic path); age-gated so a LIVE
+      // racer's tmp — the write→link window is microseconds — never goes
+      val staleMfTmp = !st.isDirectory && n.contains(".mftmp-") &&
+        System.currentTimeMillis() - st.getModificationTime >= gcGraceMs
+      if (staleManifest || staleMfTmp ||
+          (!st.isDirectory && n.startsWith("_current.tmp-")))
         fs.delete(st.getPath, false)
     }
     } catch {

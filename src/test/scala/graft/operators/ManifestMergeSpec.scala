@@ -198,10 +198,14 @@ class ManifestMergeSpec extends SparkSpecBase {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$path/_current"), "snap-000000000")
 
-    // readers are merely STALE, never torn: they see the snap-0 state
-    val stale = Upsert.readManifestTable(spark, path)
+    // readers ROLL FORWARD (r16, ADVICE r15): manifest creation is the
+    // commit point, so a pure reader serves snap-1 immediately instead of
+    // staying stale until the next writer — and repairs the pointer in
+    // passing
+    val rolled = Upsert.readManifestTable(spark, path)
       .select("key", "v").as[(Long, String)].collect().toMap
-    assert(stale == Map(1L -> "a", 2L -> "b"))
+    assert(rolled == Map(1L -> "a2", 2L -> "b"))
+    assert(Upsert.currentSnapshot(spark, path).contains("snap-000000001"))
 
     // the next writer repairs the pointer forward and merges ON TOP of
     // the crashed-but-committed snapshot — its effect is not lost
