@@ -89,6 +89,65 @@ object ScaleProfile {
     }
     def median3(f: => Double): Double = (1 to 3).map(_ => f).sorted.apply(1)
 
+    if (mode == "r16") {
+      // Tokenizer crossover ABOVE the adaptive threshold (VERDICT r15
+      // #5): the r15 PARITY rows showed forced-distributed costing
+      // 1.9–3.6× at sub-threshold scale — as designed — but the 2M-word
+      // threshold itself had only been validated from BELOW. Derive a
+      // corpus whose distinct-word count lands past the threshold
+      // (word-suffixed replicas, the sf1 recipe) and measure the driver
+      // path (maxDriverWords raised so it still collects) against the
+      // distributed path (the DEFAULT regime at this scale) head to head.
+      import graft.operators.{Bpe, Unigram}
+      // The gate corpora can NEVER cross the threshold by replication:
+      // sf0.1 documents carry only ~31 distinct words (synthetic
+      // testdata), so suffixed replicas top out in the thousands.
+      // Synthesize the word table directly instead: nDocs × wordsPerDoc
+      // globally-unique base-36 words (shared character structure, so
+      // merges have real pair statistics), 4M distinct — ~2× past the
+      // 2M threshold, the regime the adaptive split was designed for.
+      val target = 2500000L // just past the 2M threshold — the crossover regime
+      val wordsPerDoc = 100L
+      val nDocs = target / wordsPerDoc
+      val dir = "/tmp/scale/tokx"
+      if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+        spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1L), lit(wordsPerDoc)),
+            j => concat(lit("w"),
+              conv((col("id") * wordsPerDoc + j).cast("string"), 10, 36))))
+            .as("text"))
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        System.err.println(s"[scale] synthesized tokx corpus ($nDocs docs)")
+      }
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val words = Bpe.wordFrequencies(d, "text").count()
+      println(s"TOKX distinct_words=$words threshold=${1L << 21}")
+      def timeOp(tag: String)(f: => DataFrame): Double = {
+        val t0 = System.nanoTime()
+        f.write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[tokx] $tag: $dt%.1f s")
+        dt
+      }
+      def bpe(mdw: Long) = Bpe.train(d, "text", numMerges = 5,
+        maxDriverWords = mdw)
+      def uni(mdw: Long) = Unigram.train(d, "text", rounds = 1,
+        seedSize = 200, vocabSize = 120, maxDriverWords = mdw)
+      // median-of-2-after-warmup: the driver path is minutes per pass at
+      // this scale (that cost IS the finding), median3 would be an hour
+      def med2(tag: String)(f: => DataFrame): Double = {
+        timeOp(s"$tag warmup")(f)
+        Seq(timeOp(s"$tag p1")(f), timeOp(s"$tag p2")(f)).sorted.head
+      }
+      val bd = med2("bpe driver")(bpe(1L << 27)) // forced past the threshold
+      val bx = med2("bpe dist")(bpe(0))          // the default regime here
+      println(f"TOKX bpe_train     driver=$bd%7.2f s  distributed=$bx%7.2f s  ratio(dist/drv)=${bx / bd}%5.2f")
+      val ud = med2("uni driver")(uni(1L << 27))
+      val ux = med2("uni dist")(uni(0))
+      println(f"TOKX unigram_train driver=$ud%7.2f s  distributed=$ux%7.2f s  ratio(dist/drv)=${ux / ud}%5.2f")
+      spark.stop()
+      return
+    }
     if (mode == "erasure") {
       erasureManifestProfile(spark, src, "sf0.1")
       erasureManifestProfile(spark, out, "sf0.5")

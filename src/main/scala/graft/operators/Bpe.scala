@@ -28,6 +28,17 @@ import graft.operators.Ckpt.PinOps
   *     CC's convergence check), and a map-only greedy re-segmentation;
   *     `localCheckpoint` per round caps lineage growth.
   *
+  *     The threshold is a MEMORY guard, not a speed crossover — measured
+  *     from above in round 16 (`ScaleProfile r16`, 2.5M distinct words,
+  *     local[32]): the driver loop still beats the distributed one 1.7×
+  *     for BPE (11.8 vs 20.2 s) and 21× for unigram (whose spans table
+  *     shuffle-amplifies ~40× per EM round). Default re-pinned 2M → 4M
+  *     accordingly: a 4M-word collect measured comfortably inside an
+  *     8 GiB driver (the 2.5M run held ~0.5 GiB of word tuples), and the
+  *     distributed path remains the correctness-identical fallback for
+  *     the genuinely driver-exceeding vocabularies (tens of millions)
+  *     a 100 TB corpus produces.
+  *
   * Both paths compute the identical merge list: pair counts weight every
   * adjacent symbol occurrence by word frequency (overlaps included, as in
   * the reference implementation's `get_stats`), the argmax tie-break is
@@ -59,7 +70,7 @@ object Bpe {
     * order. Fewer rows than `numMerges` iff the vocabulary ran out of
     * adjacent pairs first. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      maxDriverWords: Long = 1L << 21): DataFrame = {
+      maxDriverWords: Long = 1L << 22): DataFrame = {
     val spark = df.sparkSession
     val wf = wordFrequencies(df, textCol)
     val merges: Seq[(Int, String, String)] =

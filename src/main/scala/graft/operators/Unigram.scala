@@ -209,7 +209,7 @@ object Unigram {
     * distinct words, the [[Bpe.train]] posture — identical output on both
     * paths (spec-pinned). */
   def train(df: DataFrame, textCol: String, rounds: Int, seedSize: Int,
-      vocabSize: Int, maxDriverWords: Long = 1L << 21): DataFrame = {
+      vocabSize: Int, maxDriverWords: Long = 1L << 22): DataFrame = {
     require(rounds >= 0 && seedSize >= 0 && vocabSize >= 1)
     val spark = df.sparkSession
     import spark.implicits._
