@@ -360,6 +360,116 @@ object Ivf {
     * computes, with the quantization error confined to the within-cell
     * residual. The coarse term is one HOF dot per (query, cell) pair —
     * |queries|·nprobe rows, never corpus-sized. */
+  // --- SQ8 tier (round 16, VERDICT r15 #8) ----------------------------
+  // Scalar quantization: dim uint8 codes per vector (8× smaller than the
+  // raw float column, 8× bigger than PQ-m=8) — the accuracy-vs-memory
+  // point BETWEEN exact re-rank and PQ-ADC. Per-dimension affine codes
+  // `round((x − lo_d) / span_d · 255)`; the (lo, hi) bounds are
+  // aggregate statistics persisted like the PQ codebooks (erasure never
+  // retrains them), and incremental [[addToIndex]] batches encode
+  // automatically once attached.
+
+  private def sq8Root(indexPath: String): String = s"$indexPath/sq8"
+
+  /** The persisted per-dimension bounds, dim-ordered: (lo, hi).
+    * `(Nil, Nil)` when [[attachSq8]] never ran. */
+  def loadSq8(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Seq[Double], Seq[Double]) =
+    if (!IndexStore.exists(spark, sq8Root(indexPath))) (Nil, Nil)
+    else {
+      val rows = IndexStore.read(spark, sq8Root(indexPath))
+        .orderBy("d").collect() // dim driver-side rows
+      (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+    }
+
+  private def sq8Spans(lo: Seq[Double], hi: Seq[Double]): Seq[Double] =
+    lo.zip(hi).map { case (l, h) => if (h > l) h - l else 1.0 }
+
+  /** `round((x − lo_d) / span_d · 255)` clamped to [0, 255], as
+    * array<int> — the per-dim bounds enter as TWO `typedLit` literals
+    * (the centroid-table posture: single Literal nodes, not expression
+    * trees). A degenerate dimension (hi == lo) codes 0 and dequantizes
+    * to its constant. */
+  private[operators] def sq8Codes(vec: Column, lo: Seq[Double],
+      hi: Seq[Double]): Column =
+    zip_with(
+      zip_with(vec.cast("array<double>"), typedLit(lo), (x, l) => x - l),
+      typedLit(sq8Spans(lo, hi)),
+      (y, s) => least(lit(255), greatest(lit(0), round(y / s * 255))).cast("int"))
+
+  /** Compute exact per-dimension (min, max) over `trainOn`, persist
+    * them, and REWRITE the cells with each row's `__sq8` codes.
+    *
+    * Scale shape: the bounds pass posexplodes to (d, x) and min/max-
+    * aggregates on d — map-side combined, so the shuffle carries
+    * dim × partitions rows, never the corpus; the cells rewrite is the
+    * same one-pass column append as [[attachPq]]'s, reusing the stored
+    * `__cell` (assignment is not recomputed). */
+  def attachSq8(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      trainOn: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val bounds = trainOn
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
+    IndexStore.rewrite(spark, sq8Root(indexPath),
+      bounds.orderBy("d").coalesce(1))
+    val (lo, hi) = loadSq8(spark, indexPath)
+    val cells = readCells(spark, indexPath)
+    IndexStore.rewrite(spark, s"$indexPath/cells",
+      cells.drop("__sq8").withColumn("__sq8", sq8Codes(col(vecCol), lo, hi)),
+      None, Some("__cell"))
+  }
+
+  /** IVF-SQ8 probe: candidates ranked from the probed cells' uint8
+    * codes (the vector column is NOT read in this pass), exact-cosine
+    * re-rank of the `candidates` survivors — [[probeIndexAdc]]'s shape
+    * at the SQ8 memory point. `nprobe == nlist` and `candidates ≥
+    * |probed rows|` degenerate to exact brute force, the same oracle
+    * convention as the PQ probes.
+    *
+    * Ranking trick: `⟨q, deq(codes)⟩ = ⟨q, lo⟩ + ⟨q ⊙ span/255, codes⟩`,
+    * and the first term is CONSTANT per query — irrelevant to a
+    * per-query ranking — so the candidate score is one HOF dot of the
+    * precomputed `q ⊙ span/255` against the int codes: no per-dimension
+    * index lookup, fully codegen'd. */
+  def probeIndexSq8(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, k: Int, nprobe: Int,
+      candidates: Int = 100,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val (lo, hi) = loadSq8(spark, indexPath)
+    require(lo.nonEmpty,
+      s"no SQ8 bounds under $indexPath — run attachSq8 before probeIndexSq8")
+    val spans = sq8Spans(lo, hi)
+    val centroids = loadCentroids(spark, indexPath)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"),
+      explode(F.nearestCentroids(col(vecCol), centroids, nprobe)).as("__cell"))
+      .withColumn("__qp", zip_with(col("q_v").cast("array<double>"),
+        typedLit(spans), (x, s) => x * s / 255.0))
+    val probed = q.select("__cell").distinct().collect().map(_.getInt(0))
+    val probedCells = readCells(spark, indexPath, Some(probed.toIndexedSeq))
+      .where(col("__cell").isin(probed.map(Integer.valueOf).toSeq: _*))
+    // candidate pass: column-pruned to (id, __cell, __sq8)
+    val candScore = aggregate(
+      zip_with(col("__qp"), col("__sq8").cast("array<double>"), (a, b) => a * b),
+      lit(0.0), (acc, t) => acc + t)
+    val scored = probedCells
+      .select(col(idCol).as("neighbor_id"), col("__cell"), col("__sq8"))
+      .join(broadcast(q), "__cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), candScore.as("cos"))
+    val cand = Similarity.perQueryTopK(scored, candidates)
+      .select("query_id", "neighbor_id")
+    // vectors join back only for the survivors (still only probed cells)
+    val cv = probedCells.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_v")).dropDuplicates("neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"))
+    val rescored = cand.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("cos", F.cosineSim(col("q_v"), col("c_v")))
+      .select("query_id", "neighbor_id", "cos")
+    Similarity.perQueryTopK(rescored, k)
+  }
+
   def probeIndexAdc(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, queries: DataFrame, k: Int, nprobe: Int,
       candidates: Int = 100,
@@ -403,10 +513,11 @@ object Ivf {
     // an attached PQ encodes every new batch at append time (frozen
     // codebooks, same practice as the frozen coarse centroids)
     val (pqCb, pqResidual) = loadPq(spark, indexPath) // one pq-table read
+    val (sq8Lo, sq8Hi) = loadSq8(spark, indexPath)
     val preAssigned = Par.spread(vectors)
       .withColumn("__cell",
         element_at(F.nearestCentroids(col(vecCol), centroids, 1), 1))
-    val assigned =
+    val pqEncoded =
       if (pqCb.isEmpty) preAssigned
       else {
         val in =
@@ -414,6 +525,11 @@ object Ivf {
           else col(vecCol)
         preAssigned.withColumn("__codes", F.pqCodes(in, pqCb))
       }
+    // an attached SQ8 encodes every new batch too (frozen bounds, the
+    // frozen-codebook practice)
+    val assigned =
+      if (sq8Lo.isEmpty) pqEncoded
+      else pqEncoded.withColumn("__sq8", sq8Codes(col(vecCol), sq8Lo, sq8Hi))
     if (overwrite) {
       IndexStore.rewrite(spark, s"$indexPath/cells", assigned,
         None, Some("__cell"))

@@ -170,6 +170,30 @@ private[graft] object TierAnn extends Registry {
         nprobe = 8, candidates = emb.count().toInt)
     }),
 
+    // IVF-SQ8 (round 16, VERDICT r15 #8): dim uint8 codes per vector —
+    // the accuracy-at-fixed-memory point between PQ (m bytes) and the
+    // raw floats (4·dim); candidates rank by one HOF dot of the
+    // precomputed q⊙span/255 against the int codes (the ⟨q, lo⟩ term is
+    // per-query constant, ranking-irrelevant). Same degenerate-knob gate
+    // as the PQ probes (full probe + full candidates ⇒ exact brute
+    // force); the lossy-regime floor — SQ8 recall ≥ the residual twin's
+    // on the planted corpus, both binding — is pinned in IvfSpec.
+    "ann_sq8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val idx = Ivf.cachedIndexDir(src, root = "/tmp/graft-sq8",
+        params = "nlist=8:iters=1:sq8=1")
+      if (!graft.operators.IndexStore.exists(s, s"$idx/sq8")) {
+        Ivf.gcSupersededIndexes(idx)
+        val sample = emb.where(pmod(col("vec_id"), lit(4)) === 0)
+        if (!graft.operators.IndexStore.exists(s, s"$idx/centroids"))
+          Ivf.buildIndex(s, idx, emb, trainOn = sample, nlist = 8, iters = 1)
+        Ivf.attachSq8(s, idx, trainOn = emb)
+      }
+      Ivf.probeIndexSq8(s, idx, emb.where(col("vec_id") < 20), k = 5,
+        nprobe = 8, candidates = emb.count().toInt)
+    }),
+
     // Recall harness for the IVF probe, mirroring lsh_recall: nprobe = 2
     // of nlist = 8 makes cell pruning actually lossy, and the measured
     // recall_permille pins the nprobe knob the probe scaladoc justifies
@@ -491,6 +515,22 @@ private[graft] object TierAnn extends Registry {
     // every corpus row, so the residual candidate arithmetic only orders
     // a set the re-rank fully rescues — oracle = brute-force top-5.
     "ann_ivfpq_residual" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT)
+        |    AS rank,
+        |  neighbor_id, cos
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+
+    // IVF-SQ8 at degenerate knobs: the exact-cosine re-rank sees every
+    // corpus row, so the quantized candidate ranking only orders a set
+    // the re-rank fully rescues — oracle = brute-force top-5.
+    "ann_sq8" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

@@ -504,6 +504,65 @@ class IvfSpec extends SparkSpecBase {
     assert(res >= 0.9, s"residual recall floor broken: $res (raw $raw)")
   }
 
+  test("SQ8: recall on the planted corpus >= the residual-PQ twin's, floors binding") {
+    import spark.implicits._
+    // Same planted corpus as the residual test: 4 orthogonal cluster
+    // centers + 4 discrete zero-sum noise patterns. SQ8 stores dim = 16
+    // uint8 codes per vector (4x residual-PQ's m = 4 bytes) and must buy
+    // accuracy with that memory: at the SAME lossy budget (nprobe = 1,
+    // candidates = 5) its recall floor must be at least the residual
+    // twin's 0.9 floor — and the floor is BINDING (raw PQ fails it on
+    // this corpus, pinned in the residual test).
+    val dim = 16
+    val patterns = Seq(
+      Seq(1f, -1f, 0.5f, -0.5f), Seq(-1f, 1f, -0.5f, 0.5f),
+      Seq(0.5f, -0.5f, 1f, -1f), Seq(-0.5f, 0.5f, -1f, 1f))
+    def vec(i: Int): Seq[Float] = {
+      val g = i / 50
+      val p = i % 4
+      (0 until dim).map(d => (if (d / 4 == g) 10f else 0f) + patterns(p)(d % 4))
+    }
+    val corpus = (0 until 200).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val centers = (0 until 4).map(g =>
+      (g, Seq.tabulate(dim)(d => if (d / 4 == g) 10.0 else 0.0)))
+    val queries = corpus.where(col("vec_id").isin((0L until 8L).map(Long.box): _*))
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-sq8r").toString
+    IndexStore.rewrite(spark, s"$idx/centroids",
+      centers.toDF("cell", "centroid").coalesce(1))
+    Ivf.addToIndex(spark, idx, corpus)
+    Ivf.attachSq8(spark, idx, trainOn = corpus)
+    val got = Ivf.probeIndexSq8(spark, idx, queries, k = 5, nprobe = 1,
+        candidates = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = got.intersect(exact).size.toDouble / exact.size
+    info(s"recall@5: sq8=$sq8 (residual twin's binding floor: 0.9)")
+    assert(sq8 >= 0.9, s"SQ8 recall floor broken: $sq8")
+
+    // incremental adds encode automatically with the frozen bounds
+    val extra = Seq((500L, vec(1))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    Ivf.addToIndex(spark, idx, extra)
+    val cells = Ivf.readCells(spark, idx)
+    assert(cells.where(col("vec_id") === 500L && col("__sq8").isNotNull)
+      .count() == 1L, "appended row not SQ8-encoded")
+    // degenerate knobs are exactly brute force on the grown corpus
+    val grown = corpus.unionByName(extra)
+    val bf = Similarity.bruteForceTopK(queries, grown, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Ivf.probeIndexSq8(spark, idx, queries, k = 5, nprobe = 4,
+        candidates = 201)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == bf, "degenerate-knob SQ8 probe is not brute force")
+  }
+
   test("probeIndexAdc without an attached PQ fails with a clear contract error") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-no").toString
     Ivf.buildIndex(spark, idx, emb.where(col("vec_id") < 100),
