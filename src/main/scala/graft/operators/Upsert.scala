@@ -812,7 +812,7 @@ object Upsert {
 
   /** Top-level scalar metadata fields (round 8 format additions). Older
     * manifests simply lack them — every reader treats that as None. */
-  private[operators] def parseManifestLong(body: String, field: String): Option[Long] =
+  private[graft] def parseManifestLong(body: String, field: String): Option[Long] =
     s""""$field"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
 
   private[graft] def parseManifestString(body: String, field: String): Option[String] =
@@ -1262,9 +1262,19 @@ object Upsert {
     // schema_ddl makes a FULLY-ERASED table (every entry empty) still
     // readable as an empty frame with the right schema (ADVICE r7).
     val ddl = rows.schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
+    // bucket_keys (round 16): recorded ONLY for the hash-bucket layout
+    // (partCol __bucket ⇒ sortCols ARE the merge keys, at every call
+    // site) so a reader holding key-equality predicates can recompute
+    // pmod(xxhash64(keys), nBuckets) and prune to ONE bucket's files —
+    // the DSv2 connector's point-lookup path. Index stores partition by
+    // __cell/__idb, where bucket ≠ hash(sortCols), and record nothing.
+    val keysField =
+      if (partCol.contains("__bucket") && sortCols.nonEmpty)
+        Seq(s""""bucket_keys": "${sortCols.mkString(",")}"""")
+      else Nil
     val json = (Seq(s""""attempt": "$attempt"""",
       s""""nBuckets": $nBuckets""", s""""schema_ddl": "$ddl"""") ++
-      statsField.toSeq ++
+      keysField ++ statsField.toSeq ++
       nextManifest.toSeq.sortBy(_._1).map { case (b, files) =>
         s""""$b": [${files.map(f => "\"" + f + "\"").mkString(",")}]"""
       }).mkString("{", ",", "}")

@@ -219,7 +219,16 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
     val spark = SparkSession.active
     resolve(spark, path, snapshot) match {
       case ManifestFiles(body) =>
-        val rel = Upsert.parseManifestEntries(body).values.flatten.toSeq
+        val entries = Upsert.parseManifestEntries(body)
+        val rel = bucketOf(spark, body) match {
+          case Some(b) =>
+            // point lookup: ONE bucket's files, before any listing
+            val kept = entries.getOrElse(b, Nil)
+            System.err.println(s"[graft] dsv2 bucket pruning kept bucket " +
+              s"$b (${kept.size}/${entries.values.map(_.size).sum} files) of $path")
+            kept
+          case None => entries.values.flatten.toSeq
+        }
         val ranges = toRanges(pushed)
         val kept =
           if (ranges.isEmpty) rel
@@ -234,6 +243,36 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
         else delegate(spark, kept.map(Upsert.resolveEntry(path, _)))
       case DirPath(p) => delegate(spark, Seq(p))
     }
+  }
+
+  /** Point-lookup bucket from the pushed filters: when the manifest
+    * records its hash-bucket keys (round 16, `bucket_keys`) and EVERY
+    * key column carries an equality literal, the row's bucket is
+    * `pmod(xxhash64(keys), nBuckets)` — recomputed here with the SAME
+    * Spark expressions and the table's OWN column types (a 1-row job:
+    * xxhash64 is type-sensitive, so the literals are cast to the
+    * recorded schema first), and the scan narrows to ONE bucket's
+    * manifest entries before any file is listed. At 100 TB with
+    * nBuckets=4096 a key lookup opens ~1/4096 of the table. Filters
+    * stay residual, so a contradictory conjunction (key = 1 AND key = 2)
+    * merely scans one wrong-but-sound bucket and returns empty. */
+  private def bucketOf(spark: SparkSession, body: String): Option[Int] = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val keys = Upsert.parseManifestString(body, "bucket_keys")
+      .map(_.split(",").toSeq).getOrElse(Nil)
+    val nb = Upsert.parseManifestLong(body, "nBuckets").getOrElse(0L)
+    if (keys.isEmpty || nb <= 0) return None
+    val eqs = pushed.collect { case EqualTo(c, v) if v != null => c -> v }.toMap
+    if (!keys.forall(eqs.contains)) return None
+    val schema = tableSchema
+    val cols = keys.map { k =>
+      val dt = schema.fields.find(_.name == k).map(_.dataType)
+        .getOrElse(return None)
+      lit(eqs(k)).cast(dt)
+    }
+    Some(spark.range(1)
+      .select(pmod(xxhash64(cols: _*), lit(nb)).cast("int").as("b"))
+      .head().getInt(0))
   }
 
   /** Serve the resolved file set through Spark's own vectorized parquet

@@ -89,6 +89,33 @@ class GraftSourceSpec extends SparkSpecBase {
     assert(none.schema.fieldNames.contains("key")) // schema survives
   }
 
+  test("key-equality predicate prunes to ONE bucket at the DSv2 layer") {
+    val path = tmp("bucketprune")
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      (0L until 400L).map(k => (k, s"v$k")).toDF("key", "v"),
+      Seq("key"), nBuckets = 8)
+    assert(scannedFiles(load(path)) == 8)
+    val point = load(path).where($"key" === 5L)
+    assert(scannedFiles(point) == 1,
+      "point lookup did not prune to the key's bucket")
+    assert(point.select("v").as[String].collect().toSeq == Seq("v5"))
+    // a non-key predicate must NOT bucket-prune (and stays correct)
+    val nonKey = load(path).where($"v" === "v7")
+    assert(scannedFiles(nonKey) == 8)
+    assert(nonKey.select("key").as[Long].head() == 7L)
+    // composite keys prune only when EVERY key column has an equality
+    val path2 = tmp("bucketprune2")
+    Upsert.mergeIntoManifestBucketedParquet(spark, path2,
+      (0L until 100L).map(k => (k, k % 3, s"v$k")).toDF("a", "b", "v"),
+      Seq("a", "b"), nBuckets = 8)
+    // partial key: NO bucket prune (file-stats pruning on the key's
+    // recorded min/max may still drop some files — that's the other axis)
+    assert(scannedFiles(load(path2).where($"a" === 5L)) > 1)
+    val both = load(path2).where($"a" === 5L && $"b" === 2L)
+    assert(scannedFiles(both) == 1)
+    assert(both.select("v").as[String].head() == "v5")
+  }
+
   test("column pruning flows through to the delegate parquet scan") {
     val path = tmp("prunecol")
     Upsert.mergeIntoManifestBucketedParquet(spark, path,
