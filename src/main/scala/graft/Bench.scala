@@ -49,6 +49,9 @@ object Bench {
         // so identical plans rendered in different sessions hashed apart;
         // rendering-only, no execution effect
         .config("spark.sql.maxMetadataStringLength", 100000)
+        // storage-partitioned joins over the graft connector (round 17)
+        .config("spark.sql.sources.v2.bucketing.enabled", "true")
+        .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s

@@ -28,6 +28,14 @@ object GraftConf {
     // Parquet writers: snappy matches the reference's staging compression
     // (embeddings-pipeline.py:255).
     "spark.sql.parquet.compression.codec" -> "snappy",
+    // Storage-partitioned joins (round 17): DSv2 scans reporting
+    // KeyGroupedPartitioning (the graft connector's hash-bucket layout)
+    // join co-partitioned tables with ZERO exchange; pushPartValues
+    // aligns sides whose bucket populations differ (empty buckets).
+    // Only graft scans report a partitioning, so the flags are inert for
+    // every other relation in the plan.
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
     // Runtime bloom-filter join pruning: a selective dimension-side
     // predicate (merge batch ⋈ huge target, probe ⋈ cell table) injects a
     // bloom filter into the fact-side SCAN, skipping row groups whose

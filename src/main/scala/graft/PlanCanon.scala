@@ -36,6 +36,11 @@ object PlanCanon {
     s.conf.set("spark.sql.shuffle.partitions", 4)
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s.conf.set("spark.sql.maxMetadataStringLength", 100000)
+    // part of the rendering since round 17: graft scans grouped by
+    // bucket (KeyGroupedPartitioning) — pinned here so every rendering
+    // JVM (bench, test, PlanSnap) agrees regardless of builder defaults
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
     // plan RENDERING (treeString truncation width) reads SQLConf.get,
     // which resolves through the thread's ACTIVE session — without this
     // the new session's width is ignored and metadata truncates at the

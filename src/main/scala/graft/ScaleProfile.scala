@@ -104,9 +104,11 @@ object ScaleProfile {
       // testdata), so suffixed replicas top out in the thousands.
       // Synthesize the word table directly instead: nDocs × wordsPerDoc
       // globally-unique base-36 words (shared character structure, so
-      // merges have real pair statistics), 4M distinct — ~2× past the
-      // 2M threshold, the regime the adaptive split was designed for.
-      val target = 2500000L // just past the 2M threshold — the crossover regime
+      // merges have real pair statistics), 2.5M distinct — past the 2M
+      // threshold this profile was designed to probe. (The measurement
+      // found NO crossover — distributed stayed 1.7–21× slower — so the
+      // production default was re-pinned to 4M as a pure memory guard.)
+      val target = 2500000L // just past the probed 2M threshold
       val wordsPerDoc = 100L
       val nDocs = target / wordsPerDoc
       val dir = "/tmp/scale/tokx"
@@ -121,7 +123,10 @@ object ScaleProfile {
       }
       val d = spark.read.parquet(s"$dir/documents.parquet")
       val words = Bpe.wordFrequencies(d, "text").count()
-      println(s"TOKX distinct_words=$words threshold=${1L << 21}")
+      // default_max_driver_words is Bpe.train/Unigram.train's CURRENT
+      // maxDriverWords default (the r16 memory-guard re-pin), so the
+      // artifact names the knob it justifies (ADVICE r16)
+      println(s"TOKX distinct_words=$words default_max_driver_words=${1L << 22}")
       def timeOp(tag: String)(f: => DataFrame): Double = {
         val t0 = System.nanoTime()
         f.write.mode("overwrite").format("noop").save()
@@ -133,17 +138,17 @@ object ScaleProfile {
         maxDriverWords = mdw)
       def uni(mdw: Long) = Unigram.train(d, "text", rounds = 1,
         seedSize = 200, vocabSize = 120, maxDriverWords = mdw)
-      // median-of-2-after-warmup: the driver path is minutes per pass at
+      // MIN-of-2-after-warmup: the driver path is minutes per pass at
       // this scale (that cost IS the finding), median3 would be an hour
-      def med2(tag: String)(f: => DataFrame): Double = {
+      def min2(tag: String)(f: => DataFrame): Double = {
         timeOp(s"$tag warmup")(f)
-        Seq(timeOp(s"$tag p1")(f), timeOp(s"$tag p2")(f)).sorted.head
+        Seq(timeOp(s"$tag p1")(f), timeOp(s"$tag p2")(f)).min
       }
-      val bd = med2("bpe driver")(bpe(1L << 27)) // forced past the threshold
-      val bx = med2("bpe dist")(bpe(0))          // the default regime here
+      val bd = min2("bpe driver")(bpe(1L << 27)) // forced to collect
+      val bx = min2("bpe dist")(bpe(0))          // forced distributed
       println(f"TOKX bpe_train     driver=$bd%7.2f s  distributed=$bx%7.2f s  ratio(dist/drv)=${bx / bd}%5.2f")
-      val ud = med2("uni driver")(uni(1L << 27))
-      val ux = med2("uni dist")(uni(0))
+      val ud = min2("uni driver")(uni(1L << 27))
+      val ux = min2("uni dist")(uni(0))
       println(f"TOKX unigram_train driver=$ud%7.2f s  distributed=$ux%7.2f s  ratio(dist/drv)=${ux / ud}%5.2f")
       spark.stop()
       return

@@ -18,12 +18,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Three implementations span the storage-semantics spectrum the
   * protocol must survive:
-  *  - [[HadoopFsBackend]] (default): `create(overwrite=false)` +
-  *    read-back verify. The create is truly atomic on HDFS; on the local
-  *    FS (and S3 without conditional PUT) it is check-then-act, so
-  *    arbitration falls to the read-back and two PUTs landing inside the
-  *    write→verify gap (milliseconds) can both believe they won — the
-  *    documented honest limit of an FS-only protocol.
+  *  - [[HadoopFsBackend]] (default): content-atomic publish + read-back
+  *    verify. Local FS: tmp + hard-link (kernel-atomic AND exclusive).
+  *    Other Hadoop FSes: tmp + rename — atomic-no-overwrite on HDFS; on
+  *    stores whose rename is emulated, arbitration falls to the
+  *    read-back and two PUTs landing inside the write→verify gap
+  *    (milliseconds) can both believe they won — the documented honest
+  *    limit of an FS-only protocol. Either way the manifest becomes
+  *    visible with its FULL content or not at all (ADVICE r16).
   *  - [[CasBackend]]: true compare-and-set arbitration, modeling S3
   *    conditional PUT (`If-None-Match: *`) / GCS `ifGenerationMatch: 0` /
   *    etcd txn. The residual window is ZERO: of N racers on one path,
@@ -90,7 +92,8 @@ object HadoopFsBackend extends CommitBackend {
   override def putIfAbsent(fs: FileSystem, path: Path, body: Array[Byte],
       afterWrite: () => Unit): Option[String] = {
     val localAtomic =
-      fs.getScheme == "file" && !Upsert.createOverwriteForTest
+      fs.getScheme == "file" && !Upsert.createOverwriteForTest &&
+        !Upsert.forceGenericPublishForTest
     if (localAtomic) {
       // write the body to a sibling tmp, then hard-LINK it into place:
       // link(2) is kernel-atomic AND exclusive, and the manifest becomes
@@ -111,24 +114,53 @@ object HadoopFsBackend extends CommitBackend {
           java.nio.file.Files.deleteIfExists(tmp)
           return Some(readBackOr(fs, path, "unreadable"))
         case _: UnsupportedOperationException =>
-          java.nio.file.Files.deleteIfExists(tmp)
-          try java.nio.file.Files.createFile(local) // kernel-atomic O_EXCL
+          // no hard links on this FS: rename the already-written tmp into
+          // place. Files.move WITHOUT REPLACE_EXISTING refuses an existing
+          // target, so arbitration is check-then-rename (tiny window — the
+          // read-back verify below still covers it) while content
+          // visibility stays atomic. The previous createFile-then-write
+          // could crash between the two and permanently claim the snapshot
+          // id with an EMPTY manifest (ADVICE r16) — a rename either
+          // publishes the full body or nothing.
+          try java.nio.file.Files.move(tmp, local)
           catch {
             case _: java.nio.file.FileAlreadyExistsException =>
+              java.nio.file.Files.deleteIfExists(tmp)
               return Some(readBackOr(fs, path, "unreadable"))
           }
-          java.nio.file.Files.write(local, body)
       }
       java.nio.file.Files.deleteIfExists(tmp)
-    } else createLock.synchronized {
-      val out =
-        try fs.create(path, Upsert.createOverwriteForTest)
-        catch {
-          case _ @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                    _: java.io.IOException) if fs.exists(path) =>
-            return Some(readBackOr(fs, path, "unreadable"))
-        }
+    } else if (Upsert.createOverwriteForTest) createLock.synchronized {
+      // test fixture: model a store whose PUT blindly overwrites — the
+      // read-back verify below is the only arbitration (by design)
+      val out = fs.create(path, true)
       try out.write(body) finally out.close()
+    } else createLock.synchronized {
+      // Content-atomic publish for non-local Hadoop FSes (ADVICE r16):
+      // fs.create(path) exposes the file EMPTY first and fills it as the
+      // stream writes, so a roll-forward reader racing the commit could
+      // read a truncated manifest and silently serve a partial table.
+      // Stage the full body in a sibling tmp, then rename into place:
+      // on HDFS rename is atomic AND refuses an existing destination
+      // (arbitration and content visibility in one namespace op). Object
+      // stores whose rename is copy+delete should use [[CasBackend]]
+      // semantics — their PUT is already all-or-nothing, conditional PUT
+      // closes the arbitration window too.
+      if (fs.exists(path)) return Some(readBackOr(fs, path, "unreadable"))
+      val tmp = new Path(path.getParent,
+        path.getName + ".mftmp-" + java.util.UUID.randomUUID().toString.take(8))
+      val out = fs.create(tmp, true)
+      try out.write(body) finally out.close()
+      val renamed =
+        try fs.rename(tmp, path)
+        catch { case _: java.io.IOException => false }
+      if (!renamed) {
+        fs.delete(tmp, false)
+        // rename refused: a racer won the destination (or a transient FS
+        // error — surfaced as a conflict either way; the caller's
+        // progress-aware retry re-attempts against the visible state)
+        return Some(readBackOr(fs, path, "unreadable"))
+      }
     }
     afterWrite()
     val back = readBackOr(fs, path, null)
@@ -156,9 +188,23 @@ object CasBackend extends CommitBackend {
     val prev = owners.putIfAbsent(key(fs, path), body)
     if (prev != null) return Some(new String(prev, UTF_8))
     // this writer won the (atomic) arbitration: the write-through and the
-    // hook need no verify — no concurrent PUT can be accepted for this key
-    val out = fs.create(path, true)
+    // hook need no verify — no concurrent PUT can be accepted for this key.
+    // The write-through is still staged tmp-then-rename so a READER never
+    // observes a half-written body (the modeled store's PUT is
+    // all-or-nothing; the filesystem mirror must be too — ADVICE r16).
+    val tmp = new Path(path.getParent,
+      path.getName + ".mftmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
     try out.write(body) finally out.close()
+    if (!{ try fs.rename(tmp, path) catch { case _: java.io.IOException => false } }) {
+      // destination existed (stale file from a reclaimed path) — replace it
+      fs.delete(path, false)
+      if (!fs.rename(tmp, path)) {
+        val direct = fs.create(path, true)
+        try direct.write(body) finally direct.close()
+        fs.delete(tmp, false)
+      }
+    }
     afterWrite()
     None
   }

@@ -179,7 +179,7 @@ object IndexStore {
       })
       try {
         Upsert.commitSnapshot(spark, root, df, touchedParts, manifest,
-          sortCols, current.map(s => Upsert.idOf(s, "snap-").get + 1).getOrElse(0L),
+          sortCols, Upsert.nextFreeId(spark, root, current),
           keepSnapshots = 1, partCol, nBuckets = 0, appendEntries)
         committed = true
       } catch {

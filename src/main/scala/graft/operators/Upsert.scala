@@ -819,6 +819,23 @@ object Upsert {
     (s""""$field"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(body)
       .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
 
+  /** Structural completeness check for a manifest body (ADVICE r16): the
+    * local hard-link publish and the tmp+rename publish are content-atomic,
+    * but a store outside both paths (or a pre-round-17 writer) can expose
+    * a manifest mid-write — empty, or truncated where the regex parsers
+    * would silently drop the tail entries and serve a partial table. A
+    * committed body is one brace-balanced JSON object (the only nested
+    * braces are `file_stats`, and no string value contains a brace), so a
+    * prefix of one can never pass: truncation either cuts the final `}`
+    * or unbalances the `file_stats` object. Used by the roll-forward
+    * reader before PREFERRING a newer manifest over the pointed one —
+    * never to reject an explicitly-requested snapshot. */
+  private[graft] def isCompleteManifest(body: String): Boolean = {
+    val t = body.trim
+    t.nonEmpty && t.head == '{' && t.last == '}' &&
+      t.count(_ == '{') == t.count(_ == '}')
+  }
+
   /** Body of the manifest to read: the requested `snapshot` when given,
     * else the LIVE one. "Live" is NOT just what `_current` points at:
     * manifest CREATION is the commit point and the pointer publish is
@@ -839,6 +856,29 @@ object Upsert {
       val p = new Path(targetPath, s"$snap.manifest.json")
       if (fs.exists(p)) Some(readFileBody(fs, p)) else None
     }
+    // Roll-forward candidates are validated with [[isCompleteManifest]]
+    // before being preferred over the pointed manifest: a visible-but-
+    // mid-write manifest (non-content-atomic store) reads empty or
+    // truncated TRANSIENTLY, so an incomplete body gets a couple of short
+    // re-reads, then the next-newest complete manifest (ultimately the
+    // pointed one — always post-commit-published, hence complete) wins.
+    def completeBodyOf(id: Long): Option[String] = {
+      var tries = 0
+      while (tries < 3) {
+        bodyOf(f"snap-$id%09d") match {
+          case None => return None
+          case Some(b) if isCompleteManifest(b) => return Some(b)
+          case Some(_) => tries += 1; if (tries < 3) Thread.sleep(25L)
+        }
+      }
+      System.err.println(s"[graft] snap id $id of $targetPath is visible " +
+        "but incomplete (mid-write or torn publish) — roll-forward is " +
+        "skipping it")
+      None
+    }
+    def newestCompleteAbove(floor: Long): Option[String] =
+      committedIds(fs, root).filter(_ > floor).sorted.reverse.iterator
+        .map(completeBodyOf).collectFirst { case Some(b) => b }
     snapshot match {
       case Some(snap) => bodyOf(snap)
       case None =>
@@ -847,18 +887,21 @@ object Upsert {
         val newestId = committedIds(fs, root).sorted.lastOption
         (pointedId, newestId) match {
           case (Some(p), Some(n)) if n > p =>
-            try repairPointer(spark, targetPath)
-            catch { case scala.util.control.NonFatal(_) => } // reader may lack write access
-            bodyOf(f"snap-$n%09d")
+            newestCompleteAbove(p) match {
+              case Some(b) =>
+                try repairPointer(spark, targetPath)
+                catch { case scala.util.control.NonFatal(_) => } // reader may lack write access
+                Some(b)
+              case None => pointed.flatMap(bodyOf) // nothing complete above
+            }
           case (Some(_), _) =>
-            pointed.flatMap(bodyOf).orElse(
-              newestId.flatMap(n => bodyOf(f"snap-$n%09d")))
-          case (None, Some(n)) =>
+            pointed.flatMap(bodyOf).orElse(newestCompleteAbove(Long.MinValue))
+          case (None, Some(_)) =>
             // committed manifests but no pointer at all: a crash before
             // the very first publish — same roll-forward
             try repairPointer(spark, targetPath)
             catch { case scala.util.control.NonFatal(_) => }
-            bodyOf(f"snap-$n%09d")
+            newestCompleteAbove(Long.MinValue)
           case (None, None) => None
         }
     }
@@ -985,7 +1028,7 @@ object Upsert {
         else merge(spark.read.parquet(touchedFiles: _*), withBucket,
           keys, insertOnlyCols, refreshExprs)
 
-      val nextId = current.map(s => idOf(s, "snap-").get + 1).getOrElse(0L)
+      val nextId = nextFreeId(spark, targetPath, current)
       try {
         commitSnapshot(spark, targetPath, merged, touched.toIndexedSeq,
           manifest, keys, nextId, keepSnapshots, Some("__bucket"), effN,
@@ -1040,6 +1083,10 @@ object Upsert {
   private[graft] var beforeManifestCreateHook: Option[(String, Long) => Unit] = None
   private[graft] var afterManifestWriteHook: Option[(String, String) => Unit] = None
   private[operators] var createOverwriteForTest: Boolean = false
+  // forces HadoopFsBackend down its NON-local (tmp+rename) publish branch
+  // on a file:// path, so the branch production HDFS deployments take is
+  // exercisable inside the local test suite
+  private[operators] var forceGenericPublishForTest: Boolean = false
 
   /** The publish primitive behind every manifest create and claim marker
     * (see [[CommitBackend]]): [[HadoopFsBackend]] by default; deployments
@@ -1114,6 +1161,46 @@ object Upsert {
         idOf(n.stripSuffix(".manifest.json"), "snap-") else None
     }
 
+  /** Next snapshot id for an optimistic commit attempt: STRICTLY the
+    * live read state's id + 1 — committing any higher id would publish a
+    * manifest that silently omits the commits in between (the 8-writer
+    * CAS stress catches exactly that as a lost update). The wrinkle the
+    * completeness-filtered read path (round 17) adds: a TORN manifest at
+    * live+1 (a crashed writer won the create but never finished the
+    * body) is rolled back over by readers, so the loop would re-contend
+    * that id forever. [[reclaimTornManifest]] deletes such a claim once
+    * it is provably dead — visible, incomplete, and older than
+    * [[gcGraceMs]] (every publish path is content-atomic since r17, so a
+    * LIVE writer's incomplete window is milliseconds); until then the
+    * attempt just conflicts and retries like any other race. */
+  private[graft] def nextFreeId(spark: SparkSession, targetPath: String,
+      current: Option[String]): Long = {
+    val next = current.flatMap(idOf(_, "snap-")).getOrElse(-1L) + 1L
+    val root = new Path(targetPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    reclaimTornManifest(fs, targetPath, next)
+    next
+  }
+
+  /** Delete the manifest claiming `id` iff it is permanently torn:
+    * visible, structurally incomplete, and aged past [[gcGraceMs]]. A
+    * complete manifest (a real commit) and a young incomplete one (a
+    * possibly-live writer) are left alone. */
+  private def reclaimTornManifest(fs: org.apache.hadoop.fs.FileSystem,
+      targetPath: String, id: Long): Unit = {
+    val p = new Path(targetPath, f"snap-$id%09d.manifest.json")
+    try {
+      if (!fs.exists(p)) return
+      val st = fs.getFileStatus(p)
+      if (isCompleteManifest(readFileBody(fs, p))) return
+      if (System.currentTimeMillis() - st.getModificationTime < gcGraceMs) return
+      System.err.println(s"[graft] reclaiming torn manifest snap-$id of " +
+        s"$targetPath (incomplete, aged past the publish grace) so the id " +
+        "can be re-won")
+      commitBackend.delete(fs, p)
+    } catch { case _: java.io.IOException => } // racer finished/GC'd it: fine
+  }
+
   /** Roll the `_current` pointer forward to the newest committed manifest
     * if a crash (or a concurrent writer mid-publish) left it behind —
     * manifest files only exist once their data files are fully written,
@@ -1123,13 +1210,21 @@ object Upsert {
     val root = new Path(targetPath)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(hadoopConf)
-    val ids = committedIds(fs, root)
-    if (ids.isEmpty) currentSnapshot(spark, targetPath)
-    else {
-      val top = f"snap-${ids.max}%09d"
-      if (!currentSnapshot(spark, targetPath).contains(top))
-        publishPointer(fs, hadoopConf, targetPath, top, s"repair-${ids.max}")
-      Some(top)
+    // newest COMPLETE manifest wins (see [[isCompleteManifest]]): a
+    // mid-write/torn manifest must not capture the pointer — the repair
+    // would turn a transient read anomaly into the table's durable state
+    val ids = committedIds(fs, root).sorted.reverse
+    val topId = ids.find { i =>
+      try isCompleteManifest(readFileBody(fs, new Path(root, f"snap-$i%09d.manifest.json")))
+      catch { case _: java.io.IOException => false }
+    }
+    topId match {
+      case None => currentSnapshot(spark, targetPath)
+      case Some(id) =>
+        val top = f"snap-$id%09d"
+        if (!currentSnapshot(spark, targetPath).contains(top))
+          publishPointer(fs, hadoopConf, targetPath, top, s"repair-$id")
+        Some(top)
     }
   }
 
@@ -1585,7 +1680,7 @@ object Upsert {
         .map(resolveEntry(targetPath, _)).toSeq
       val remaining = antiJoinKeys(
         spark.read.parquet(touchedFiles: _*), delKeys.drop("__bucket"), keys)
-      val nextId = current.map(s => idOf(s, "snap-").get + 1).getOrElse(0L)
+      val nextId = nextFreeId(spark, targetPath, current)
       try {
         commitSnapshot(spark, targetPath, remaining, touched.toSeq,
           manifest, keys, nextId, keepSnapshots, Some("__bucket"), effN)
@@ -1693,7 +1788,7 @@ object Upsert {
         case Some(n) => ((0 until n): Seq[Int], Map.empty[Int, Seq[String]])
         case None => (oldManifest.keySet.toSeq.sorted, oldManifest)
       }
-      val nextId = current.map(s => idOf(s, "snap-").get + 1).getOrElse(0L)
+      val nextId = nextFreeId(spark, targetPath, current)
       try {
         commitSnapshot(spark, targetPath, clustered, touched, baseManifest,
           keys, nextId, keepSnapshots, Some("__bucket"),

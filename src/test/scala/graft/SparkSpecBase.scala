@@ -12,6 +12,11 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // storage-partitioned joins over the graft DSv2 connector (round 17);
+    // inert for non-graft relations — only graft scans report a
+    // KeyGroupedPartitioning
+    .config("spark.sql.sources.v2.bucketing.enabled", "true")
+    .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
     .getOrCreate()
 }
 

@@ -128,19 +128,93 @@ class FileStatsSpec extends SparkSpecBase {
     assert(kept.isEmpty && pruned.size == all.size)
   }
 
-  test("string columns record no stats; absent stats never prune") {
+  test("string columns record truncated bounds (r17); ranges on them prune soundly") {
     val path = mkTarget()
-    val rows = (0L until 10L).map(k => (k, s"v$k")).toDF("key", "v")
+    // values with a shared >16-byte prefix force real truncation
+    val longPfx = "prefix-0123456789abcdef-" // 24 bytes
+    val rows = (0L until 10L).map(k => (k, s"$longPfx$k", s"v$k"))
+      .toDF("key", "name", "v")
     Upsert.mergeIntoManifestBucketedParquet(spark, path, rows,
-      Seq("key"), nBuckets = 1, statsCols = Seq("v"))
+      Seq("key"), nBuckets = 1, statsCols = Seq("name"))
     val body = Upsert.manifestBody(spark, path, None).get
     val stats = FileStats.parse(body)
-    assert(stats.values.forall(byCol => !byCol.contains("v")), stats.toString)
-    // a range on the stats-less column keeps every file (sound, not fast)
+    val name = stats.values.head("name")
+    assert(name.typ == "str" && name.strMin.isDefined && name.strMax.isDefined)
+    assert(name.strMin.get.length <= FileStats.StrBoundBytes)
+    assert(name.strMax.get.length <= FileStats.StrBoundBytes)
+    // widen-only: recorded bounds bracket the true bounds
+    val mn = (longPfx + "0").getBytes("UTF-8").toSeq
+    val mx = (longPfx + "9").getBytes("UTF-8").toSeq
+    assert(FileStats.cmpBytes(name.strMin.get, mn) <= 0)
+    assert(FileStats.cmpBytes(name.strMax.get, mx) >= 0)
     val all = Upsert.parseManifestEntries(body).values.flatten.toSeq
-    val (kept, pruned) = FileStats.split(stats, all,
-      Seq(FileStats.ColRange(col = "v", lo = Some(BigDecimal(0)))))
-    assert(pruned.isEmpty && kept.size == all.size)
+    // a value inside the interval keeps the file
+    val (kept, _) = FileStats.split(stats, all,
+      Seq(FileStats.ColRange.strEq("name", longPfx + "5")))
+    assert(kept.size == all.size)
+    // a value far outside prunes it
+    val (kept2, pruned2) = FileStats.split(stats, all,
+      Seq(FileStats.ColRange.strEq("name", "zzz-way-past-the-interval")))
+    assert(kept2.isEmpty && pruned2.size == all.size)
+    // a NUMERIC range against string stats (type drift) never prunes
+    val (kept3, _) = FileStats.split(stats, all,
+      Seq(FileStats.ColRange(col = "name", lo = Some(BigDecimal(0)))))
+    assert(kept3.size == all.size)
+  }
+
+  test("property: string truncation only WIDENS — a present value is never pruned") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // strings biased toward shared long prefixes, unicode, and 0xFF-heavy
+    // tails (the truncation-increment carry paths)
+    val strGen: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(40)),
+      Gen.listOfN(20, Gen.oneOf('a', 'b', 'ü', '語', '￿')).map(_.mkString),
+      Gen.alphaNumStr.map(s => "shared-prefix-0123456789-" + s.take(20)),
+      Gen.listOfN(18, Gen.const('￿')).map(_.mkString))
+    val prop = Prop.forAll(Gen.nonEmptyListOf(strGen)) { values =>
+      val bytes = values.map(_.getBytes("UTF-8").toSeq)
+      val mn = bytes.min(Ordering.fromLessThan[Seq[Byte]](
+        FileStats.cmpBytes(_, _) < 0))
+      val mx = bytes.max(Ordering.fromLessThan[Seq[Byte]](
+        FileStats.cmpBytes(_, _) < 0))
+      val (tMax, unb) = FileStats.truncMax(mx) match {
+        case Some(t) => (Some(t), false)
+        case None => (None, true)
+      }
+      val cs = FileStats.ColStats("str", None, None, 0L,
+        strMin = Some(FileStats.truncMin(mn)), strMax = tMax,
+        strMaxUnbounded = unb)
+      // widen-only invariants
+      val widenOk = FileStats.cmpBytes(cs.strMin.get, mn) <= 0 &&
+        (unb || FileStats.cmpBytes(cs.strMax.get, mx) >= 0)
+      // every PRESENT value survives an equality range (no false prune)
+      val noFalsePrune = values.forall { v =>
+        FileStats.ColRange.strEq("c", v).mayMatch(Some(cs))
+      }
+      widenOk && noFalsePrune
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("per-file __rows row counts are recorded and carried forward") {
+    val path = mkTarget()
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      (0L until 40L).map(k => (k, s"v$k")).toDF("key", "v"),
+      Seq("key"), nBuckets = 4)
+    val stats = statsOf(path)
+    val manifest = Upsert.readBucketManifest(spark, path)
+    val total = stats.values.flatMap(FileStats.rowCount).sum
+    assert(total == 40L, s"recorded row counts sum to $total")
+    // second merge touches one bucket; untouched files keep their counts
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((7L, "UPDATED"), (1007L, "NEW")).toDF("key", "v"),
+      Seq("key"), nBuckets = 4)
+    val stats2 = statsOf(path)
+    val total2 = stats2.values.flatMap(FileStats.rowCount).sum
+    assert(total2 == 41L, s"row counts after second merge sum to $total2")
+    assert(manifest.nonEmpty) // silence unused warning paranoia
   }
 
   test("parse tolerates manifests without file_stats (legacy)") {

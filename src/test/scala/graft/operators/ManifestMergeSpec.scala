@@ -423,6 +423,76 @@ class ManifestMergeSpec extends SparkSpecBase {
     assert(HadoopFsBackend.putIfAbsent(fs, p("hfs"), "b".getBytes).contains("a"))
   }
 
+  test("generic (non-local) publish branch is content-atomic: tmp + rename, never visible-empty") {
+    // ADVICE r16: fs.create(path) exposes the manifest EMPTY first on
+    // HDFS-like stores, and a roll-forward reader racing it parses a
+    // truncated body. The branch must stage the full body and rename it
+    // into place — at the afterWrite seam (post-publish, pre-verify) the
+    // destination must already hold the COMPLETE body.
+    val dir = Files.createTempDirectory("graft-generic-pub").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(dir, n)
+    val body = """{"attempt": "t", "nBuckets": 2, "schema_ddl": "k BIGINT"}"""
+    Upsert.forceGenericPublishForTest = true
+    try {
+      var seenAtHook: String = null
+      assert(HadoopFsBackend.putIfAbsent(fs, p("m"), body.getBytes, () => {
+        val in = fs.open(p("m"))
+        try seenAtHook = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }).isEmpty)
+      assert(seenAtHook == body,
+        s"manifest visible without its full content at publish: '$seenAtHook'")
+      // loser is refused with the winner's body; no tmp litter remains
+      assert(HadoopFsBackend.putIfAbsent(fs, p("m"), "x".getBytes).contains(body))
+      val litter = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).filter(_.contains(".mftmp-"))
+      assert(litter.isEmpty, s"leaked publish tmps: ${litter.toSeq}")
+    } finally Upsert.forceGenericPublishForTest = false
+  }
+
+  test("roll-forward reader skips a truncated (mid-write) manifest instead of serving a partial table") {
+    // ADVICE r16 (medium): a visible snap-N.manifest.json is only
+    // PREFERRED over the pointed manifest when it parses as a complete
+    // body — a truncated one (non-content-atomic store, torn publish)
+    // must neither be served nor capture the pointer via repair.
+    val path = mkTarget()
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      (0L until 20L).map(k => (k, s"v$k")).toDF("key", "v"),
+      Seq("key"), nBuckets = 2, keepSnapshots = 5)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val full = Upsert.manifestBody(spark, path, Some("snap-000000000")).get
+    assert(Upsert.isCompleteManifest(full))
+    // hand-plant a TRUNCATED newer manifest: cut inside the entry list so
+    // the regex parser would silently drop entries if it were trusted
+    val torn = full.substring(0, full.length * 2 / 3)
+    assert(!Upsert.isCompleteManifest(torn))
+    val tornPath = new org.apache.hadoop.fs.Path(path, "snap-000000001.manifest.json")
+    val out = fs.create(tornPath, true)
+    try out.write(torn.getBytes("UTF-8")) finally out.close()
+    // the reader rolls PAST the torn manifest back to the pointed one
+    val read = Upsert.readManifestTable(spark, path)
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(read.size == 20 && read(7L) == "v7",
+      s"truncated manifest leaked into the read path: ${read.size} rows")
+    // pointer repair must not promote the torn manifest either
+    assert(Upsert.repairPointer(spark, path).contains("snap-000000000"))
+    // a NEW merge must reclaim the torn claim once it is provably dead
+    // (aged past the publish grace) and commit AT that id — never skip
+    // over it (skipping would omit intermediate commits in a real race)
+    fs.setTimes(tornPath, System.currentTimeMillis() - Upsert.gcGraceMs - 1000L, -1L)
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((7L, "UPDATED")).toDF("key", "v"), Seq("key"),
+      nBuckets = 2, keepSnapshots = 5)
+    val after = Upsert.readManifestTable(spark, path)
+      .select("key", "v").as[(Long, String)].collect().toMap
+    assert(after(7L) == "UPDATED" && after.size == 20)
+    assert(Upsert.currentSnapshot(spark, path).contains("snap-000000001"),
+      "merge did not re-win the reclaimed torn id")
+  }
+
   test("blind-PUT store: overwrite inside the verify window is detected and retried") {
     // The createOverwriteForTest race scenario, driven through the
     // BlindPutBackend itself: the victim's manifest PUT for snap-1

@@ -1,0 +1,192 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeLike}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.SparkSpecBase
+import graft.operators.Upsert
+
+/** SQL catalog face + storage-partitioned joins (VERDICT r16 #6 and #1):
+  * `CREATE TABLE … USING graft LOCATION …`, pure-SQL reads with
+  * `VERSION AS OF` time travel, and a SQL join of two co-bucketed graft
+  * tables running with ZERO exchange on either side. */
+class GraftCatalogSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val warehouse =
+    Files.createTempDirectory("graft-catalog-wh").toString
+  private val cat = "g17"
+
+  spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+  spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+
+  private def mkTable(tag: String, rows: DataFrame, keys: Seq[String],
+      nBuckets: Int): String = {
+    val path = Files.createTempDirectory(s"graft-cat-$tag").toString + "/table"
+    Upsert.mergeIntoManifestBucketedParquet(spark, path, rows, keys,
+      nBuckets = nBuckets)
+    path
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectAll(q.plan) // AQE stages are leaves; descend explicitly
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(collectAll)
+  }
+
+  test("CREATE TABLE … USING graft LOCATION registers; SQL reads the live merge state") {
+    val path = mkTable("ddl",
+      (0L until 60L).map(k => (k, s"v$k")).toDF("key", "v"), Seq("key"), 4)
+    spark.sql(s"CREATE TABLE $cat.db.ddl_t USING graft LOCATION '$path'")
+    val viaSql = spark.sql(s"SELECT key, v FROM $cat.db.ddl_t ORDER BY key")
+      .as[(Long, String)].collect().toSeq
+    val viaLib = Upsert.readTarget(spark, path).select("key", "v")
+      .orderBy("key").as[(Long, String)].collect().toSeq
+    assert(viaSql == viaLib && viaSql.size == 60)
+    // catalog is a REGISTRY, not a cache: a new merge is visible to the
+    // very next SQL statement
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((7L, "UPDATED")).toDF("key", "v"), Seq("key"), nBuckets = 4)
+    assert(spark.sql(s"SELECT v FROM $cat.db.ddl_t WHERE key = 7")
+      .as[String].head() == "UPDATED")
+    // DROP deregisters without touching data (key 7 was an UPDATE of an
+    // existing row, so the table still holds its 60 keys)
+    spark.sql(s"DROP TABLE $cat.db.ddl_t")
+    assert(!spark.catalog.tableExists(s"$cat.db.ddl_t"))
+    assert(Upsert.readTarget(spark, path).count() == 60L)
+  }
+
+  test("VERSION AS OF time travel through pure SQL") {
+    val path = Files.createTempDirectory("graft-cat-tt").toString + "/table"
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((1L, "old")).toDF("key", "v"), Seq("key"),
+      nBuckets = 2, keepSnapshots = 3)
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      Seq((1L, "new")).toDF("key", "v"), Seq("key"),
+      nBuckets = 2, keepSnapshots = 3)
+    spark.sql(s"CREATE TABLE $cat.db.tt USING graft LOCATION '$path'")
+    try {
+      assert(spark.sql(s"SELECT v FROM $cat.db.tt").as[String].head() == "new")
+      assert(spark.sql(s"SELECT v FROM $cat.db.tt VERSION AS OF 0")
+        .as[String].head() == "old")
+      assert(spark.sql(s"SELECT v FROM $cat.db.tt VERSION AS OF 1")
+        .as[String].head() == "new")
+    } finally spark.sql(s"DROP TABLE $cat.db.tt")
+  }
+
+  test("zero-DDL adoption: engine-written tree under the warehouse loads by name") {
+    val managed = s"$warehouse/db/adopted"
+    Upsert.mergeIntoManifestBucketedParquet(spark, managed,
+      Seq((5L, "a")).toDF("key", "v"), Seq("key"), nBuckets = 2)
+    assert(spark.sql(s"SELECT v FROM $cat.db.adopted").as[String].head() == "a")
+  }
+
+  test("bucket function reproduces the engine's write-side assignment bit for bit") {
+    val path = mkTable("fnpin",
+      (0L until 200L).map(k => (k, s"v$k")).toDF("key", "v"), Seq("key"), 8)
+    // every row: stored __bucket == GraftBoundBucket(8, key)
+    val bound = GraftBucketFunction.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("key", LongType))))
+    val rows = Upsert.readTarget(spark, path)
+      .select("key", "__bucket").as[(Long, Int)].collect()
+    assert(rows.length == 200)
+    rows.foreach { case (k, b) =>
+      val got = bound.asInstanceOf[GraftBoundBucket]
+        .produceResult(InternalRow(8, k))
+      assert(got == b, s"key=$k stored=$b function=$got")
+    }
+    // string keys too
+    val pathS = mkTable("fnpins",
+      (0L until 50L).map(k => (s"u$k", k)).toDF("name", "x"), Seq("name"), 4)
+    val boundS = GraftBucketFunction.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("name", StringType))))
+    Upsert.readTarget(spark, pathS).select("name", "__bucket")
+      .as[(String, Int)].collect().foreach { case (name, b) =>
+        val got = boundS.asInstanceOf[GraftBoundBucket].produceResult(
+          InternalRow(4, org.apache.spark.unsafe.types.UTF8String.fromString(name)))
+        assert(got == b, s"name=$name stored=$b function=$got")
+      }
+  }
+
+  test("storage-partitioned join: co-bucketed graft tables join with ZERO exchange") {
+    val n = 16
+    val left = (0L until 400L).map(k => (k, s"l$k")).toDF("key", "lv")
+    val right = (100L until 500L).map(k => (k, s"r$k")).toDF("key", "rv")
+    val pl = mkTable("spjL", left, Seq("key"), n)
+    val pr = mkTable("spjR", right, Seq("key"), n)
+    spark.sql(s"CREATE TABLE $cat.db.spj_l USING graft LOCATION '$pl'")
+    spark.sql(s"CREATE TABLE $cat.db.spj_r USING graft LOCATION '$pr'")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force a non-broadcast join: the property under test is that the
+    // SHUFFLE is elided, which broadcast would mask
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        s"""SELECT l.key, l.lv, r.rv
+           |FROM $cat.db.spj_l l JOIN $cat.db.spj_r r ON l.key = r.key
+           |ORDER BY l.key""".stripMargin)
+      val rows = joined.as[(Long, String, String)].collect().toSeq
+      // exactness vs the library-path join
+      val expect = Upsert.readTarget(spark, pl).select("key", "lv")
+        .join(Upsert.readTarget(spark, pr).select("key", "rv"), Seq("key"))
+        .orderBy("key").as[(Long, String, String)].collect().toSeq
+      assert(rows == expect && rows.size == 300)
+      // the join itself ran with NO shuffle on either side (the ORDER BY
+      // above adds a final range exchange — locate the join and assert
+      // nothing below it exchanges)
+      val nodes = collectAll(joined.queryExecution.executedPlan)
+      val join = nodes.find(n => n.nodeName.contains("SortMergeJoin") ||
+        n.nodeName.contains("ShuffledHashJoin")).getOrElse(
+        fail(s"no shuffle-family join in plan:\n${joined.queryExecution.executedPlan}"))
+      val below = join.children.flatMap(collectAll)
+      val exchanges = below.filter(_.isInstanceOf[Exchange])
+      assert(exchanges.isEmpty,
+        s"storage-partitioned join still exchanged:\n$join")
+      // both sides are the bucket-aware scan
+      val scans = below.collect { case b: BatchScanExec => b.scan }
+      assert(scans.count(_.isInstanceOf[GraftBucketedScan]) == 2,
+        s"expected two GraftBucketedScans, saw: ${scans.map(_.getClass.getSimpleName)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql(s"DROP TABLE $cat.db.spj_l")
+      spark.sql(s"DROP TABLE $cat.db.spj_r")
+    }
+  }
+
+  test("SPJ aligns sides with DIFFERENT bucket populations (pushPartValues)") {
+    // left holds keys in few buckets; right in all — missing partition
+    // values on one side must not break the join or its exactness
+    val n = 8
+    val left = Seq((3L, "a"), (11L, "b")).toDF("key", "lv") // 2 buckets max
+    val right = (0L until 80L).map(k => (k, s"r$k")).toDF("key", "rv")
+    val pl = mkTable("spjPL", left, Seq("key"), n)
+    val pr = mkTable("spjPR", right, Seq("key"), n)
+    spark.sql(s"CREATE TABLE $cat.db.spj_pl USING graft LOCATION '$pl'")
+    spark.sql(s"CREATE TABLE $cat.db.spj_pr USING graft LOCATION '$pr'")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        s"""SELECT l.key, l.lv, r.rv
+           |FROM $cat.db.spj_pl l JOIN $cat.db.spj_pr r ON l.key = r.key""".stripMargin)
+      val got = joined.as[(Long, String, String)].collect().toSet
+      assert(got == Set((3L, "a", "r3"), (11L, "b", "r11")))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql(s"DROP TABLE $cat.db.spj_pl")
+      spark.sql(s"DROP TABLE $cat.db.spj_pr")
+    }
+  }
+}

@@ -31,6 +31,7 @@ class GraftSourceSpec extends SparkSpecBase {
       case b: BatchScanExec => b.scan
     } match {
       case Some(p: ParquetScan) => p.fileIndex.inputFiles.length
+      case Some(g: GraftBucketedScan) => g.currentFiles.size
       case Some(_: GraftEmptyScan) => 0
       case other => fail(s"no DSv2 scan in plan: $other")
     }
@@ -127,6 +128,97 @@ class GraftSourceSpec extends SparkSpecBase {
     }.get
     assert(read.fieldNames.toSeq == Seq("v"), read.treeString)
     assert(df.as[String].collect().length == 50)
+  }
+
+  test("STRING-keyed table: point lookup bucket-prunes; string stats range-prune (r17)") {
+    val path = tmp("strkey")
+    // string keys with a shared long prefix: bucket pruning comes from
+    // the hash, file-stats pruning from the truncated bounds
+    val rows = (0L until 400L)
+      .map(k => (f"user-$k%04d", k, s"v$k")).toDF("name", "ts", "v")
+    Upsert.mergeIntoManifestBucketedParquet(spark, path, rows,
+      Seq("name"), nBuckets = 8)
+    assert(scannedFiles(load(path)) == 8)
+    // equality on the string KEY prunes to one bucket (ADVICE r16: the
+    // equality is mined from ALL pushed filters, not just numeric ones)
+    val point = load(path).where($"name" === "user-0005")
+    assert(scannedFiles(point) == 1,
+      "string-key point lookup did not prune to one bucket")
+    assert(point.select("v").as[String].collect().toSeq == Seq("v5"))
+    // a string range over the KEY column: files are hash-scattered on
+    // name, so every file's [min,max] covers most of the domain — stats
+    // stay SOUND (no wrong prune) and the result exact
+    val range = load(path).where($"name" >= "user-0100" && $"name" < "user-0200")
+    assert(range.count() == 100L)
+    // a range beyond every recorded bound prunes ALL files at the stats
+    // layer (no bucket equality involved)
+    val none = load(path).where($"name" > "zzzz")
+    assert(scannedFiles(none) == 0 && none.count() == 0L)
+    // prefix predicate: in-domain prefix keeps files and stays exact
+    val pfx = load(path).where($"name".startsWith("user-01"))
+    assert(pfx.count() == 100L)
+    val nopfx = load(path).where($"name".startsWith("zzz"))
+    assert(scannedFiles(nopfx) == 0 && nopfx.count() == 0L)
+  }
+
+  test("string file-stats prune files when the layout clusters the string column (r17)") {
+    val path = tmp("strstats")
+    // cluster ts-aligned with the bucket hash so each file covers a
+    // DISJOINT name range (same construction as the numeric prune test)
+    val rows = (0L until 400L).toDF("key")
+      .withColumn("name", concat(
+        lpad(pmod(xxhash64($"key"), lit(8)).cast("string"), 2, "0"),
+        lit("-prefix-that-is-long-"), lpad($"key".cast("string"), 4, "0")))
+      .withColumn("v", concat(lit("v"), $"key"))
+    Upsert.mergeIntoManifestBucketedParquet(spark, path, rows,
+      Seq("key"), nBuckets = 8, statsCols = Seq("name"))
+    assert(scannedFiles(load(path)) == 8)
+    // each bucket's file holds names sharing its 2-digit hash prefix —
+    // an equality under ONE prefix must open exactly one file
+    val one = load(path).where($"name" === "03-prefix-that-is-long-0007")
+    assert(scannedFiles(one) <= 1, "string stats did not prune disjoint files")
+    // exactness against the library read
+    val viaLib = Upsert.readTarget(spark, path)
+      .where($"name" === "03-prefix-that-is-long-0007").count()
+    assert(one.count() == viaLib)
+  }
+
+  test("corrupted bucket_keys recording fails LOUD on a point lookup (r17 #5)") {
+    val path = tmp("corrupt")
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      (0L until 100L).map(k => (k, s"w${k % 7}", s"v$k")).toDF("key", "w", "v"),
+      Seq("key"), nBuckets = 8)
+    // corrupt the manifest: claim the table is bucketed by a column
+    // whose values do NOT reproduce the recorded placement. Pick (from
+    // two candidates) one whose SAMPLED row provably mismatches, so the
+    // test never rides a 1-in-8 hash coincidence.
+    val mf = new org.apache.hadoop.fs.Path(path, "snap-000000000.manifest.json")
+    val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orig = Upsert.manifestBody(spark, path, None).get
+    val (b0, files0) = Upsert.parseManifestEntries(orig)
+      .toSeq.sortBy(_._1).find(_._2.nonEmpty).get
+    val sampleRow = spark.read.parquet(Upsert.resolveEntry(path, files0.head))
+    val corruptCol = Seq("w", "v").find { c =>
+      sampleRow.select(pmod(xxhash64(col(c)), lit(8L)).cast("int"))
+        .limit(1).as[Int].head() != b0
+    }.getOrElse(fail("both candidate columns hash-coincide — adjust data"))
+    val body = orig.replace(""""bucket_keys": "key"""",
+      s""""bucket_keys": "$corruptCol"""")
+    fs.delete(mf, false)
+    val out = fs.create(mf, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    // an equality on the CLAIMED key would point-prune into the wrong
+    // bucket and silently return a partial/empty result — the read-time
+    // sample verification must refuse instead
+    val e = intercept[Exception] {
+      load(path).where(col(corruptCol) === "w3").collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("bucket_keys"),
+      s"expected the loud layout-corruption refusal, got: ${messages(e)}")
+    // a full scan (no point lookup) of the same table still serves
+    assert(load(path).count() == 100L)
   }
 
   test("plain snapshot-pointer layout reads the live snapshot; plain dirs read directly") {
