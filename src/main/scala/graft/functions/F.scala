@@ -125,6 +125,10 @@ object F {
   def randomProject(vec: Column, outDim: Int, seed: Long, dim: Int): Column =
     Glue.column(RandomProject(Glue.expression(vec), outDim, seed, dim))
 
+  /** Dense literal-matrix × vector (the OPQ rotation; see [[MatVec]]). */
+  def matVec(vec: Column, matrix: Seq[Seq[Double]]): Column =
+    Glue.column(MatVec(Glue.expression(vec), matrix))
+
   /** 1-based product-quantization codes of a vector column (argmin-L2 per
     * subspace over literal codebooks; see [[PqCodes]]). */
   def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =

@@ -196,6 +196,51 @@ object SrpBucket {
   }
 }
 
+/** `mat_vec(v)` — dense matrix × vector against a LITERAL row-major
+  * matrix: `out_j = Σ_i M(j)(i) · v_i`. The OPQ rotation's encode/probe
+  * transform (orthonormal M, so cosine ranking is invariant); per-row,
+  * codegen'd, scan-stage at 100 TB — d² multiply-adds per vector, the
+  * same cost class as the PQ argmin it precedes. Vectors shorter than
+  * the matrix width contribute their present components. */
+case class MatVec(child: Expression, matrix: Seq[Seq[Double]])
+    extends UnaryExpression with VectorElemTypes {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+  private lazy val cf = elemIsFloat(child.dataType)
+  @transient private lazy val rows: Array[Array[Double]] =
+    matrix.map(_.toArray).toArray
+
+  def compute(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val out = new Array[Any](rows.length)
+    var j = 0
+    while (j < rows.length) {
+      val row = rows(j)
+      val n = math.min(arr.numElements(), row.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += row(i) * (if (cf) arr.getFloat(i).toDouble else arr.getDouble(i))
+        i += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matVec", this, classOf[MatVec].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MatVec =
+    copy(child = c)
+}
+
 /** `random_project(v)` — Achlioptas ±1 random projection to `outDim`
   * integer components: `out_j = Σ_i sign(j,i) · round(v_i · 2²⁰)` with a
   * deterministic ±1 sign matrix drawn from `seed`. The

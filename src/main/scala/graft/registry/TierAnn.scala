@@ -170,6 +170,32 @@ private[graft] object TierAnn extends Registry {
         nprobe = 8, candidates = emb.count().toInt)
     }),
 
+    // IVF-OPQ (round 17, VERDICT r16 #9): a LEARNED orthonormal rotation
+    // (Ge et al., CVPR 2013 — alternating PQ-fit / orthogonal Procrustes
+    // on a bounded driver sample) in front of PQ, at the SAME m
+    // bytes/vector as ann_ivfpq: the rotation re-aims the codeword
+    // budget at whatever basis the data's variance actually lives in.
+    // Same degenerate-knob gate as the other PQ probes (full probe +
+    // full candidates ⇒ exact brute force regardless of the rotation —
+    // cosine is rotation-invariant and the re-rank sees everything);
+    // the lossy-regime BINDING floor — OPQ rescues a basis-scrambled
+    // corpus that raw PQ provably fails — is pinned in IvfSpec.
+    "ann_opq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val idx = Ivf.cachedIndexDir(src, root = "/tmp/graft-opq",
+        params = "nlist=8:iters=1:m=8:ksub=16:opq=1")
+      if (!graft.operators.IndexStore.exists(s, s"$idx/opq")) {
+        Ivf.gcSupersededIndexes(idx)
+        val sample = emb.where(pmod(col("vec_id"), lit(4)) === 0)
+        if (!graft.operators.IndexStore.exists(s, s"$idx/centroids"))
+          Ivf.buildIndex(s, idx, emb, trainOn = sample, nlist = 8, iters = 1)
+        Ivf.attachOpq(s, idx, trainOn = sample, m = 8, ksub = 16)
+      }
+      Ivf.probeIndexAdc(s, idx, emb.where(col("vec_id") < 20), k = 5,
+        nprobe = 8, candidates = emb.count().toInt)
+    }),
+
     // IVF-SQ8 (round 16, VERDICT r15 #8): dim uint8 codes per vector —
     // the accuracy-at-fixed-memory point between PQ (m bytes) and the
     // raw floats (4·dim); candidates rank by one HOF dot of the
@@ -515,6 +541,22 @@ private[graft] object TierAnn extends Registry {
     // every corpus row, so the residual candidate arithmetic only orders
     // a set the re-rank fully rescues — oracle = brute-force top-5.
     "ann_ivfpq_residual" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT)
+        |    AS rank,
+        |  neighbor_id, cos
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+
+    // IVF-OPQ at degenerate knobs: cosine is rotation-invariant and the
+    // exact-cosine re-rank sees every corpus row — oracle = brute-force
+    // top-5, like the other PQ probes.
+    "ann_opq" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

@@ -256,7 +256,8 @@ private[sources] class GraftTable(schema: StructType,
 private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
     snapshot: Option[String], options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import GraftTableProvider._
 
   private var required: StructType = tableSchema
@@ -284,7 +285,102 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  // ---- aggregate pushdown (round 17, VERDICT r16 #8) -------------------
+  // COUNT(*) / COUNT(col) / MIN / MAX over an unfiltered, ungrouped graft
+  // table are answered from the manifest's file stats alone: the __rows
+  // per-file counts, per-column null counts, and exact integer/temporal
+  // min/max — ZERO data files opened (at 100 TB, "how many rows" stops
+  // being a table scan). Strings (truncated bounds) and floats (NaN
+  // ordering vs parquet stats) are deliberately NOT answered; any file
+  // missing a needed stat makes the whole pushdown decline — the normal
+  // scan path is always the sound fallback.
+
+  private var aggAnswer: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    answerFromStats(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggAnswer = answerFromStats(agg)
+    aggAnswer.isDefined
+  }
+
+  private def answerFromStats(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types._
+    if (agg.groupByExpressions.nonEmpty || allFilters.nonEmpty) return None
+    val spark = SparkSession.active
+    val body = resolve(spark, path, snapshot) match {
+      case ManifestFiles(b) => b
+      case _ => return None
+    }
+    val rels = Upsert.parseManifestEntries(body).values.flatten.toSeq
+    val stats = FileStats.parse(body)
+    // every referenced file must carry a row count, or nothing is answerable
+    val rowCounts = rels.map(rel => FileStats.rowCount(stats.getOrElse(rel, Map.empty)))
+    if (rowCounts.exists(_.isEmpty)) return None
+    val totalRows = rowCounts.flatten.sum
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[(String, DataType)] =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+            if nr.fieldNames.length == 1 =>
+          tableSchema.fields.find(_.name == nr.fieldNames.head)
+            .map(f => f.name -> f.dataType)
+        case _ => None
+      }
+    // exact-stat types only: integers and temporals (strings are
+    // truncation-widened, floats have NaN-vs-stats pitfalls)
+    def internal(d: BigDecimal, dt: DataType): Option[Any] = dt match {
+      case LongType | TimestampType | TimestampNTZType => Some(d.toLong)
+      case IntegerType | DateType => Some(d.toInt)
+      case _ => None
+    }
+    def perFile[A](col: String)(f: FileStats.ColStats => Option[A]): Option[Seq[A]] = {
+      val vs = rels.map(rel => stats.getOrElse(rel, Map.empty).get(col).flatMap(f))
+      if (vs.exists(_.isEmpty)) None else Some(vs.flatten)
+    }
+    val out = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        (StructField("count(*)", LongType, nullable = false),
+          totalRows.asInstanceOf[Any])
+      case c: Count if !c.isDistinct =>
+        val (name, _) = colOf(c.column).getOrElse(return None)
+        val nulls = perFile(name)(s => Some(s.nulls)).getOrElse(return None)
+        (StructField(s"count($name)", LongType, nullable = false),
+          (totalRows - nulls.sum).asInstanceOf[Any])
+      case m: Min =>
+        val (name, dt) = colOf(m.column).getOrElse(return None)
+        if (internal(BigDecimal(0), dt).isEmpty) return None
+        // all-null files carry None bounds and drop out of the fold —
+        // matching MIN's null-ignoring semantics; every file must still
+        // HAVE a stats entry for the column
+        val mins = perFile(name)(s =>
+          if (s.typ == "str") return None else Some(s.min)).getOrElse(return None)
+        val v = mins.flatten.reduceOption(_ min _).flatMap(internal(_, dt)).orNull
+        (StructField(s"min($name)", dt, nullable = true), v.asInstanceOf[Any])
+      case m: Max =>
+        val (name, dt) = colOf(m.column).getOrElse(return None)
+        if (internal(BigDecimal(0), dt).isEmpty) return None
+        val maxs = perFile(name)(s =>
+          if (s.typ == "str") return None else Some(s.max)).getOrElse(return None)
+        val v = maxs.flatten.reduceOption(_ max _).flatMap(internal(_, dt)).orNull
+        (StructField(s"max($name)", dt, nullable = true), v.asInstanceOf[Any])
+      case _ => return None
+    }
+    Some((StructType(out.map(_._1)),
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(out.map(_._2))))
+  }
+
   override def build(): Scan = {
+    aggAnswer.foreach { case (schema, row) =>
+      System.err.println(s"[graft] dsv2 aggregate pushdown answered from " +
+        s"manifest stats of $path — zero data files opened")
+      return new GraftStatsScan(schema, row)
+    }
     val spark = SparkSession.active
     resolve(spark, path, snapshot) match {
       case ManifestFiles(body) =>
@@ -437,6 +533,17 @@ private[sources] object GraftScanBuilder {
     * and verified this JVM (see `verifyBucketKeys`). */
   private[sources] val verifiedLayouts =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+}
+
+/** Completely-pushed aggregate served from manifest file stats: ONE
+  * pre-computed row, surfaced through [[LocalScan]] so Spark plans a
+  * LocalTableScan — no batch, no partitions, no data-file I/O. */
+private[sources] class GraftStatsScan(schema: StructType,
+    row: org.apache.spark.sql.catalyst.InternalRow)
+    extends Scan with org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+  override def description(): String = "GraftStatsScan(manifest-stats aggregate)"
 }
 
 /** Zero-row scan with the table schema — what a range that prunes every

@@ -86,6 +86,20 @@ class PlanSpec extends SparkSpecBase {
     assert(exchanges == 1, s"expected the single final-agg exchange, got $exchanges")
   }
 
+  test("spj_join: storage-partitioned join elides the shuffle on BOTH sides") {
+    val p = plan("spj_join")
+    val nodes = collectAll(p)
+    val join = nodes.find(n => n.nodeName.contains("SortMergeJoin") ||
+      n.nodeName.contains("ShuffledHashJoin")).getOrElse(
+      fail(s"no shuffle-family join in spj_join's plan:\n$p"))
+    val below = join.children.flatMap(collectAll)
+    val exchanges = below.filter(_.isInstanceOf[Exchange])
+    assert(exchanges.isEmpty,
+      s"co-bucketed graft tables still exchanged under the join:\n$p")
+    assert(below.exists(_.toString.contains("GraftBucketedScan")),
+      s"join is not reading through the bucket-aware scan:\n$p")
+  }
+
   test("topic_classify: the lexicon joins broadcast; no cartesian product") {
     val nodes = collectAll(plan("topic_classify"))
     assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),

@@ -504,6 +504,123 @@ class IvfSpec extends SparkSpecBase {
     assert(res >= 0.9, s"residual recall floor broken: $res (raw $raw)")
   }
 
+  test("OPQ: learned rotation rescues a basis-scrambled corpus raw PQ provably fails") {
+    import spark.implicits._
+    // A corpus that PQ encodes EXACTLY in its natural basis (4 distinct
+    // subvectors per subspace = ksub), then scrambled by three 45°
+    // plane rotations that each straddle a subspace BOUNDARY — the
+    // textbook OPQ failure mode: after scrambling, every subspace sees
+    // its neighbor block's pattern too (16 distinct subvectors > ksub),
+    // so raw PQ's codes collide across classes. OPQ's Procrustes
+    // alternation must learn a rotation good enough to separate them
+    // again. All vectors are equal-norm (each uses the same 4 equal-norm
+    // patterns, permuted), so dot ranking ≡ cosine ranking and code
+    // quality is the only variable.
+    val dim = 16
+    val m = 4
+    val patterns = Seq(
+      Seq(1.0, -1.0, 0.5, -0.5), Seq(-1.0, 1.0, -0.5, 0.5),
+      Seq(0.5, -0.5, 1.0, -1.0), Seq(-0.5, 0.5, -1.0, 1.0))
+    // INDEPENDENT base-4 digits per subspace (i's digit s picks the
+    // pattern) — correlated digits would leave only 4 distinct full
+    // vectors and PQ would survive any rotation. Subspace weights make
+    // every query's true top-5 TIE-FREE (the pattern-pair dot map is
+    // injective per subspace, so distinct neighbors get distinct
+    // weighted sums): without them the corpus is a lattice of massive
+    // cosine ties and the candidate cut measures float tie-ordering
+    // noise instead of code quality.
+    def baseVec(i: Int): Array[Double] =
+      (0 until m).flatMap { s =>
+        val scale = 1.0 + 0.3 * s
+        patterns((i >> (2 * s)) & 3).map(_ * scale)
+      }.toArray
+    // scramble: 45° rotations in planes straddling every subspace
+    // boundary, two per boundary
+    val w = Array.tabulate(dim, dim)((a, b) => if (a == b) 1.0 else 0.0)
+    Seq(3, 7, 11).flatMap(p => Seq(p, p - 1)).foreach { p =>
+      val c = math.cos(math.Pi / 4); val s = math.sin(math.Pi / 4)
+      (0 until dim).foreach { i =>
+        val vp = w(i)(p); val vq = w(i)(p + 2)
+        w(i)(p) = c * vp - s * vq
+        w(i)(p + 2) = s * vp + c * vq
+      }
+    }
+    def scrambled(i: Int): Seq[Float] = {
+      val x = baseVec(i)
+      (0 until dim).map { r =>
+        var acc = 0.0; var cIdx = 0
+        while (cIdx < dim) { acc += w(r)(cIdx) * x(cIdx); cIdx += 1 }
+        acc.toFloat
+      }
+    }
+    val corpus = (0 until 200).map(i => (i.toLong, scrambled(i)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val queries = corpus.where(col("vec_id").isin((0L until 8L).map(Long.box): _*))
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def recall(opq: Boolean): Double = {
+      val idx = java.nio.file.Files.createTempDirectory(
+        s"graft-opq-$opq").toString
+      // single coarse cell: lossiness comes purely from the ADC
+      // candidate cut, never from cell pruning
+      IndexStore.rewrite(spark, s"$idx/centroids",
+        Seq((0, Seq.fill(dim)(1.0))).toDF("cell", "centroid").coalesce(1))
+      Ivf.addToIndex(spark, idx, corpus)
+      if (opq) Ivf.attachOpq(spark, idx, trainOn = corpus, m = m, ksub = 4,
+        iters = 2, opqIters = 30)
+      else Ivf.attachPq(spark, idx, trainOn = corpus, m = m, ksub = 4,
+        iters = 2)
+      val got = Ivf.probeIndexAdc(spark, idx, queries, k = 5, nprobe = 1,
+          candidates = 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val raw = recall(opq = false)
+    val rot = recall(opq = true)
+    info(s"recall@5: raw=$raw opq=$rot (binding floor 0.9)")
+    // binding: raw PQ must actually fail the floor on this corpus
+    assert(raw < 0.9, s"corpus no longer defeats raw PQ: raw=$raw")
+    assert(rot >= raw, s"OPQ recall $rot < raw $raw")
+    assert(rot >= 0.9, s"OPQ recall floor broken: $rot (raw $raw)")
+  }
+
+  test("OPQ: incremental adds encode through the frozen rotation; degenerate knobs exact") {
+    import spark.implicits._
+    val base = emb.where(col("vec_id") < 400)
+    val rest = emb.where(col("vec_id") >= 400)
+    val idx = java.nio.file.Files.createTempDirectory("graft-opq-inc").toString
+    Ivf.buildIndex(spark, idx, base, trainOn = base, nlist = 4, iters = 1)
+    Ivf.attachOpq(spark, idx, trainOn = base, m = 8, ksub = 16, opqIters = 4)
+    // the persisted rotation is orthonormal: R·Rᵀ = I
+    val r = Ivf.loadOpq(spark, idx)
+    val d = r.length
+    (0 until d).foreach { i =>
+      (0 until d).foreach { j =>
+        val dot = (0 until d).map(k => r(i)(k) * r(j)(k)).sum
+        assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8,
+          s"rotation not orthonormal at ($i,$j): $dot")
+      }
+    }
+    // appended vectors encode through the frozen rotation automatically
+    Ivf.addToIndex(spark, idx, rest)
+    assert(Ivf.readCells(spark, idx)
+      .where(col("__codes").isNull).count() == 0L)
+    // degenerate knobs (full probe, full candidates) are exact brute force
+    val queries = emb.where(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Ivf.probeIndexAdc(spark, idx, queries, k = 3, nprobe = 4,
+        candidates = emb.count().toInt)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+  }
+
   test("SQ8: recall on the planted corpus >= the residual-PQ twin's, floors binding") {
     import spark.implicits._
     // Same planted corpus as the residual test: 4 orthogonal cluster

@@ -221,6 +221,39 @@ class GraftSourceSpec extends SparkSpecBase {
     assert(load(path).count() == 100L)
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered from manifest stats, zero data files (r17 #8)") {
+    val path = tmp("aggpush")
+    val rows = (0L until 300L).map(k =>
+      (k, k * 7L, if (k % 10 == 0) None else Some(k * 2L), s"v$k"))
+      .toDF("key", "ts", "maybe", "v")
+    Upsert.mergeIntoManifestBucketedParquet(spark, path, rows,
+      Seq("key"), nBuckets = 4, statsCols = Seq("ts", "maybe"))
+    val agg = load(path).agg(
+      count(lit(1)).as("n"), min($"ts").as("mn"), max($"ts").as("mx"),
+      count($"maybe").as("nm"))
+    // served as a LocalTableScan — no batch scan, no files opened
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"aggregate was not answered from stats:\n$plan")
+    val r = agg.head()
+    assert(r.getLong(0) == 300L && r.getLong(1) == 0L &&
+      r.getLong(2) == 299L * 7L && r.getLong(3) == 270L, r.toString)
+    // exactness against the normal scan path
+    val full = Upsert.readTarget(spark, path).agg(
+      count(lit(1)), min($"ts"), max($"ts"), count($"maybe")).head()
+    assert(r.toSeq == full.toSeq)
+    // declines soundly: a FILTERED aggregate takes the normal scan path
+    val filtered = load(path).where($"ts" > 100L).agg(count(lit(1)))
+    assert(filtered.queryExecution.executedPlan.toString.contains("Scan"))
+    assert(filtered.head().getLong(0) ==
+      Upsert.readTarget(spark, path).where($"ts" > 100L).count())
+    // declines soundly: string min/max (truncated bounds) stays a scan
+    val strAgg = load(path).agg(min($"v"))
+    assert(!strAgg.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(strAgg.head().getString(0) ==
+      Upsert.readTarget(spark, path).agg(min($"v")).head().getString(0))
+  }
+
   test("plain snapshot-pointer layout reads the live snapshot; plain dirs read directly") {
     val snapPath = tmp("snap")
     Upsert.mergeIntoParquet(spark, snapPath,
