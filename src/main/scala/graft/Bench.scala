@@ -312,8 +312,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Box-load marker ON the captured line itself (VERDICT r16 #7): a
+    // driver capture taken on a loaded box is then self-describing —
+    // loadavg ≳ cpus at either end says "adjudicate against the
+    // committed quiet-box runs" without any by-hand forensics.
+    def num2(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    val loadSig = s""""loadavg_before":${num2(loadBefore)},""" +
+      s""""loadavg_after":${num2(loadAvg)},"jvm_gc_ms":${gcMillis - gcBefore}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$loadSig,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // The driver captures only the TAIL of the output, so a long per-query
     // blob can be cut mid-stream (round 9's bench file lost its total that
@@ -355,7 +363,7 @@ object Bench {
       org.apache.spark.unsafe.types.UTF8String.fromString(
         planHashes.map { case (n, h) => s"$n=$h" }.mkString(";"))))
     println(s"""{"metric":"plans_digest","value":"$digest","n_plans":${planHashes.size},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total_compact","total_s":$total,"n":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","total_s":$total,"n":${results.size},$loadSig,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
