@@ -153,6 +153,78 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "r17") {
+      // Storage-partitioned-join scale measurement (round 17): two
+      // co-bucketed graft tables joined through the SQL catalog, SPJ on
+      // (zero exchange) vs v2 bucketing off (both sides shuffle) —
+      // same data, same SQL, one conf. orders(sf0.1) ⋈ per-order
+      // lineitem aggregate, both MERGEd into 32-bucket manifest tables.
+      import graft.operators.Upsert
+      // shuffle-byte accounting: the structural cost SPJ removes — at
+      // fixed cluster speed wall-clock tracks this at scale, while tiny
+      // local joins hide it under task overhead
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (e.taskMetrics != null)
+              shuffleBytes.addAndGet(
+                e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        })
+      def profile(tag: String, dir: String, nb: Int): Unit = {
+        val base = s"/tmp/scale/spj17-$tag"
+        if (Upsert.manifestBody(spark, s"$base/o", None).isEmpty) {
+          val ord = spark.read.parquet(s"$dir/orders.parquet")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          val li = spark.read.parquet(s"$dir/lineitem.parquet")
+            .groupBy("l_orderkey").agg(sum("l_quantity").as("qty"),
+              sum("l_extendedprice").as("ext"))
+          Upsert.mergeIntoManifestBucketedParquet(spark, s"$base/o", ord,
+            Seq("o_orderkey"), nBuckets = nb)
+          Upsert.mergeIntoManifestBucketedParquet(spark, s"$base/l",
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            Seq("o_orderkey"), nBuckets = nb)
+          System.err.println(s"[scale] built spj17-$tag co-bucketed tables")
+        }
+        spark.conf.set(s"spark.sql.catalog.spj17$tag", "graft.sources.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.spj17$tag.warehouse", base)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def joinOnce(leg: String): (Double, Long) = {
+          val b0 = shuffleBytes.get()
+          val t0 = System.nanoTime()
+          spark.sql(
+            s"""SELECT /*+ MERGE(a) */ a.o_orderkey, a.o_totalprice, b.qty, b.ext
+               |FROM spj17$tag.o a JOIN spj17$tag.l b
+               |  ON a.o_orderkey = b.o_orderkey""".stripMargin)
+            .write.mode("overwrite").format("noop").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          // listener events drain asynchronously; settle before reading
+          Thread.sleep(300)
+          val sb = shuffleBytes.get() - b0
+          System.err.println(f"[spj17-$tag] $leg: $dt%.2f s, shuffle=${sb / 1024 / 1024.0}%.1f MiB")
+          (dt, sb)
+        }
+        def med3(leg: String): (Double, Long) = {
+          joinOnce(s"$leg warmup")
+          val runs = (1 to 3).map(i => joinOnce(s"$leg p$i"))
+          (runs.map(_._1).sorted.apply(1), runs.map(_._2).max)
+        }
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        val (tSpj, bSpj) = med3("spj-on")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        val (tShuf, bShuf) = med3("spj-off")
+        println(f"SPJ17 $tag: join_spj=$tSpj%.2f s (${bSpj / 1024 / 1024.0}%.1f MiB shuffled)  " +
+          f"join_shuffle=$tShuf%.2f s (${bShuf / 1024 / 1024.0}%.1f MiB shuffled)  " +
+          f"wall_ratio=${tShuf / tSpj}%.2f")
+      }
+      profile("a", src, 32)           // sf0.1
+      profile("b", out, 32)           // sf0.5 (5×, derived above)
+      spark.stop()
+      return
+    }
     if (mode == "erasure") {
       erasureManifestProfile(spark, src, "sf0.1")
       erasureManifestProfile(spark, out, "sf0.5")
