@@ -165,6 +165,37 @@ class GraftCatalogSpec extends SparkSpecBase {
     }
   }
 
+  test("MISMATCHED bucket counts fall back to a shuffle join — correctly") {
+    // bucket(8, key) vs bucket(16, key) are INCOMPATIBLE transforms:
+    // Spark must not co-locate them (bucket i of 8 ≠ bucket i of 16) —
+    // the fallback is an ordinary exchange on both sides with exact
+    // results. Guards the compatibility check the SPJ path relies on.
+    val left = (0L until 100L).map(k => (k, s"l$k")).toDF("key", "lv")
+    val right = (0L until 100L).map(k => (k, s"r$k")).toDF("key", "rv")
+    val pl = mkTable("mmL", left, Seq("key"), 8)
+    val pr = mkTable("mmR", right, Seq("key"), 16)
+    spark.sql(s"CREATE TABLE $cat.db.mm_l USING graft LOCATION '$pl'")
+    spark.sql(s"CREATE TABLE $cat.db.mm_r USING graft LOCATION '$pr'")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        s"""SELECT l.key, l.lv, r.rv
+           |FROM $cat.db.mm_l l JOIN $cat.db.mm_r r ON l.key = r.key""".stripMargin)
+      val rows = joined.as[(Long, String, String)].collect()
+      assert(rows.length == 100 &&
+        rows.forall { case (k, lv, rv) => lv == s"l$k" && rv == s"r$k" })
+      // and it DID exchange (no false co-location)
+      val nodes = collectAll(joined.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[Exchange]),
+        "mismatched bucket counts were wrongly treated as co-partitioned")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql(s"DROP TABLE $cat.db.mm_l")
+      spark.sql(s"DROP TABLE $cat.db.mm_r")
+    }
+  }
+
   test("SPJ aligns sides with DIFFERENT bucket populations (pushPartValues)") {
     // left holds keys in few buckets; right in all — missing partition
     // values on one side must not break the join or its exactness
