@@ -135,10 +135,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       "graft time travel is by snapshot id (VERSION AS OF n) — snapshot " +
         "ids are monotone, timestamps are not recorded per commit")
 
+  /** Changelog ident convention (Iceberg's `…changes` shape): the CDC
+    * feed of table `t` is the streaming-only table `t__changes` —
+    * `spark.readStream.table("cat.db.t__changes")` — so even the
+    * streaming consumer never calls `.load()`. Keys default to the
+    * manifest's recorded `bucket_keys`. */
+  private val ChangesSuffix = "__changes"
+
   private def loadAt(ident: Identifier, version: Option[String]): Table = {
-    val loc = locationOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    val (baseIdent, cdc) =
+      if (ident.name.endsWith(ChangesSuffix) && locationOf(ident).isEmpty)
+        (Identifier.of(ident.namespace,
+          ident.name.stripSuffix(ChangesSuffix)), true)
+      else (ident, false)
+    val loc = locationOf(baseIdent).getOrElse(throw new NoSuchTableException(ident))
+    if (cdc && version.isDefined)
+      throw new UnsupportedOperationException(
+        "the change feed has no VERSION AS OF — offsets are snapshot ids")
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", loc)
+    if (cdc) opts.put("cdc", "true")
     version.foreach(v => opts.put("snapshot", v))
     val options = new CaseInsensitiveStringMap(opts)
     new GraftTable(GraftTableProvider.resolveSchema(spark, options), options)

@@ -100,6 +100,37 @@ class GraftCdcStreamSpec extends SparkSpecBase {
       s"expected the loud vacuumed-cursor refusal, got: ${messages(e).take(600)}")
   }
 
+  test("catalog changelog table: readStream.table(\"cat.t__changes\") serves the feed") {
+    val (path, ckpt) = mkDirs("cat")
+    Upsert.mergeIntoManifestBucketedParquet(spark, path,
+      (0L until 12L).map(k => (k, s"v$k")).toDF("key", "v"),
+      Seq("key"), nBuckets = 2)
+    val wh = java.nio.file.Files.createTempDirectory("graft-cdccat-wh").toString
+    spark.conf.set("spark.sql.catalog.cdccat17",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdccat17.warehouse", wh)
+    spark.sql(s"CREATE TABLE cdccat17.db.t USING graft LOCATION '$path'")
+    @volatile var mirror: Seq[(Long, String)] = Nil
+    val q = spark.readStream.table("cdccat17.db.t__changes")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        mirror = Upsert.applyChanges(mirror.toDF("key", "v"), batch, Seq("key"))
+          .select("key", "v").as[(Long, String)].collect().toSeq
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    assert(mirror.toMap == Upsert.readTarget(spark, path)
+      .select("key", "v").as[(Long, String)].collect().toMap)
+    // batch SELECT of the changelog ident is refused with a clear message
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM cdccat17.db.t__changes").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("cdc schema and batch projection match readChangeFeed's") {
     val (path, _) = mkDirs("schema")
     Upsert.mergeIntoManifestBucketedParquet(spark, path,
