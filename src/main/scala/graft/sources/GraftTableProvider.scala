@@ -489,6 +489,11 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
       Upsert.parseManifestString(body, "attempt").getOrElse(""),
       keys.mkString(","), nb.toString).mkString("|")
     if (GraftScanBuilder.verifiedLayouts.contains(cacheKey)) return
+    // long-lived session hygiene: the set grows one entry per (table,
+    // commit) ever point-looked-up — re-verifying after a reset is one
+    // 1-row read, so a hard cap beats unbounded growth
+    if (GraftScanBuilder.verifiedLayouts.size > 10000)
+      GraftScanBuilder.verifiedLayouts.clear()
     entries.toSeq.sortBy(_._1).find(_._2.nonEmpty).foreach { case (b, files) =>
       val sampled = spark.read.parquet(Upsert.resolveEntry(path, files.head))
         .select(pmod(xxhash64(keys.map(col): _*), lit(nb)).cast("int").as("h"))
