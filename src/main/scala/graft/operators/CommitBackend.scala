@@ -197,12 +197,27 @@ object CasBackend extends CommitBackend {
     val out = fs.create(tmp, true)
     try out.write(body) finally out.close()
     if (!{ try fs.rename(tmp, path) catch { case _: java.io.IOException => false } }) {
-      // destination existed (stale file from a reclaimed path) — replace it
-      fs.delete(path, false)
-      if (!fs.rename(tmp, path)) {
-        val direct = fs.create(path, true)
-        try direct.write(body) finally direct.close()
-        fs.delete(tmp, false)
+      // Destination existed (stale file from a reclaimed path) — replace
+      // it CONTENT-atomically (ADVICE r17: the old blind fs.create last
+      // resort could expose a missing or half-written manifest to a
+      // reader in the window). This writer won the in-memory arbitration,
+      // so no concurrent WRITER exists on this path — only readers — and
+      // a rename-with-overwrite publishes the full staged body in one
+      // namespace op where the FS provides it (java.nio ATOMIC_MOVE on
+      // local; FileContext OVERWRITE elsewhere). Failure here is an
+      // infrastructure error and surfaces loud: this owner's commit
+      // cannot be silently half-published.
+      if (fs.getScheme == "file") {
+        val l = java.nio.file.Paths.get(fs.makeQualified(path).toUri.getPath)
+        val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+        java.nio.file.Files.move(t, l,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } else {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.getUri, fs.getConf)
+        fc.rename(fs.makeQualified(tmp), fs.makeQualified(path),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       }
     }
     afterWrite()

@@ -72,15 +72,37 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   private def fs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Registry layout: one subdirectory per namespace LEVEL under
+    * `_catalog/`, so the (namespace, name) split is structural and an
+    * identifier whose name or namespace part contains a dot can never be
+    * mis-bucketed or collide with a different combination (ADVICE r17 —
+    * the old flat `ns.ns.name.json` encoding split on '.'). Each segment
+    * is %-escaped for the two filesystem-hostile characters ('%' itself
+    * and '/'), keeping the encoding bijective. */
+  private def escSeg(s: String): String =
+    s.replace("%", "%25").replace("/", "%2F")
+
+  private def unescSeg(s: String): String =
+    s.replace("%2F", "/").replace("%25", "%")
+
   private def registryFile(ident: Identifier): Path =
+    new Path((s"$warehouse/_catalog" +: ident.namespace.toSeq.map(escSeg))
+      .mkString("/"), escSeg(ident.name) + ".json")
+
+  /** Pre-r18 flat registry filename — read/drop/rename keep honoring
+    * entries a previous round's catalog wrote. */
+  private def legacyRegistryFile(ident: Identifier): Path =
     new Path(s"$warehouse/_catalog",
       (ident.namespace :+ ident.name).mkString(".") + ".json")
 
   private def managedPath(ident: Identifier): String =
     (s"$warehouse" +: ident.namespace :+ ident.name).mkString("/")
 
-  private def readRegistry(ident: Identifier): Option[String] = {
-    val f = registryFile(ident)
+  private def readRegistry(ident: Identifier): Option[String] =
+    readRegistryAt(registryFile(ident))
+      .orElse(readRegistryAt(legacyRegistryFile(ident)))
+
+  private def readRegistryAt(f: Path): Option[String] = {
     val filesystem = fs(f)
     if (!filesystem.exists(f)) None
     else {
@@ -108,15 +130,27 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = new Path(s"$warehouse/_catalog")
+    // structural layout: the namespace IS the directory path, so listing
+    // is one directory read and names round-trip through unescaping
+    val dir = new Path((s"$warehouse/_catalog" +:
+      namespace.toSeq.map(escSeg)).mkString("/"))
     val filesystem = fs(dir)
-    if (!filesystem.exists(dir)) return Array.empty
-    filesystem.listStatus(dir).toSeq
-      .map(_.getPath.getName).filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").split("\\.").toSeq)
-      .collect { case parts if parts.init == namespace.toSeq =>
-        Identifier.of(parts.init.toArray, parts.last)
-      }.toArray
+    val structural =
+      if (!filesystem.exists(dir)) Seq.empty
+      else filesystem.listStatus(dir).toSeq.filterNot(_.isDirectory)
+        .map(_.getPath.getName).filter(_.endsWith(".json"))
+        .map(n => Identifier.of(namespace, unescSeg(n.stripSuffix(".json"))))
+    // legacy flat files (pre-r18): best-effort dot-split, as before
+    val flat = new Path(s"$warehouse/_catalog")
+    val legacy =
+      if (namespace.isEmpty || !fs(flat).exists(flat)) Seq.empty
+      else fs(flat).listStatus(flat).toSeq.filterNot(_.isDirectory)
+        .map(_.getPath.getName).filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json").split("\\.").toSeq)
+        .collect { case parts if parts.init == namespace.toSeq =>
+          Identifier.of(parts.init.toArray, parts.last)
+        }
+    (structural ++ legacy).distinct.toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -198,19 +232,25 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       "graft tables evolve through engine merges, not ALTER TABLE")
 
   override def dropTable(ident: Identifier): Boolean = {
-    val f = registryFile(ident)
-    val filesystem = fs(f)
-    val existed = filesystem.exists(f)
-    if (existed) filesystem.delete(f, false)
-    existed // deregister only — data lifecycle is vacuum/erasure's job
+    // deregister only — data lifecycle is vacuum/erasure's job. Both the
+    // structural file and a legacy flat one are removed, so a drop can
+    // never leave a shadow registration behind.
+    var existed = false
+    Seq(registryFile(ident), legacyRegistryFile(ident)).distinct.foreach { f =>
+      val filesystem = fs(f)
+      if (filesystem.exists(f)) { filesystem.delete(f, false); existed = true }
+    }
+    existed
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val from = registryFile(oldIdent)
+    val from = Seq(registryFile(oldIdent), legacyRegistryFile(oldIdent))
+      .distinct.find(f => fs(f).exists(f))
+      .getOrElse(throw new NoSuchTableException(oldIdent))
     val to = registryFile(newIdent)
     val filesystem = fs(from)
-    if (!filesystem.exists(from)) throw new NoSuchTableException(oldIdent)
-    if (filesystem.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    if (readRegistry(newIdent).isDefined)
+      throw new TableAlreadyExistsException(newIdent)
     filesystem.mkdirs(to.getParent)
     if (!filesystem.rename(from, to))
       throw new IllegalStateException(s"rename $from -> $to failed")

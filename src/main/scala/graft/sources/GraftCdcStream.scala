@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -24,15 +24,23 @@ import graft.operators.Upsert
   * ids, so the stream inherits the commit protocol's semantics wholesale:
   *
   *  - '''exactly-once''': the offset log pins `(start, end]` snapshot
-  *    pairs; replays after a crash recompute the same pair — data files
-  *    are immutable and manifests never change once committed, so the
-  *    diff is deterministic. The batch is ALSO materialized under the
-  *    stream's checkpoint before first serve (`_graft_cdc/batch-s-e`),
+  *    pairs, and every batch's content is a PURE FUNCTION of that pair
+  *    (ADVICE r17) — replays after a crash recompute the same rows. Data
+  *    files are immutable and manifests never change once committed, so
+  *    the diff is deterministic; a diff batch is ALSO materialized under
+  *    the stream's checkpoint before first serve (`_graft_cdc/batch-s-e`),
   *    so a replay whose snapshots have since been vacuumed still serves
   *    byte-identical rows.
   *  - '''bootstrap''': the initial offset is −1; the first batch is the
-  *    full current table as `insert`s, matching `readChangeFeed(None)`.
-  *  - '''vacuumed cursor''': a NEW (non-materialized) batch whose start
+  *    table AT THE PINNED END SNAPSHOT `e` as `insert`s — served
+  *    ZERO-COPY from snapshot `e`'s immutable data files with the
+  *    `change_type` column injected at read time, never copied under the
+  *    checkpoint (on a large table the old full materialization
+  *    duplicated the whole dataset into checkpoint storage) and never
+  *    read from the LIVE table (a merge landing between `latestOffset`
+  *    and planning must not leak past `e`, or the next batch re-delivers
+  *    its rows — ADVICE r17, medium).
+  *  - '''vacuumed cursor''': a batch (bootstrap or diff) whose pinned
   *    snapshot is gone fails LOUD with the re-bootstrap instruction —
   *    `CdcSpec`'s polling contract, verbatim. Retention (`vacuum
   *    --keep-snapshots`) must out-live the slowest consumer's trigger
@@ -40,10 +48,10 @@ import graft.operators.Upsert
   *
   * Scale shape: the per-batch diff prunes to the buckets whose file
   * lists differ between the two manifests ([[Upsert.changesBetween]]) —
-  * a trigger costs O(merged batch + cohabitants), never a table scan.
-  * The materialization is one extra write of the (already small) diff;
-  * `commit(end)` garbage-collects batches once the offset log seals
-  * them. */
+  * a trigger costs O(merged batch + cohabitants), never a table scan,
+  * and the bootstrap costs zero extra writes. The diff materialization
+  * is one extra write of the (already small) diff; `commit(end)`
+  * garbage-collects batches once the offset log seals them. */
 object GraftCdcStream {
 
   /** CDC output schema for a table schema: `change_type`, keys (in key
@@ -143,29 +151,44 @@ private[sources] class GraftCdcMicroBatchStream(schema: StructType,
   private def batchDir(s: Long, e: Long): Path =
     new Path(checkpointLocation, s"_graft_cdc/batch-$s-$e")
 
-  /** Materialize the (start, end] diff under the checkpoint if not
-    * already there, then serve its files. Deterministic across replays:
-    * an existing `_SUCCESS`-marked batch is reused verbatim. */
+  /** Serve the (start, end] batch as a pure function of the pinned
+    * offset pair (ADVICE r17).
+    *
+    * Bootstrap (start = −1): snapshot `end`'s immutable data files are
+    * served DIRECTLY — the reader injects `change_type = 'insert'` and
+    * projects keys + data columns into CDC order; nothing is copied
+    * under the checkpoint and the live table is never consulted.
+    *
+    * Diff: materialized under the checkpoint if not already there, then
+    * served. Deterministic across replays: an existing `_SUCCESS`-marked
+    * batch is reused verbatim. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SnapOffset].id
     val e = end.asInstanceOf[SnapOffset].id
     if (e <= s) return Array.empty
+    if (s < 0L) {
+      val body = Upsert.manifestBody(spark, path, Some(snapName(e))).getOrElse(
+        throw new IllegalStateException(
+          s"graft cdc stream: bootstrap snapshot '${snapName(e)}' is no " +
+            s"longer retained under $path (vacuumed?) — delete the " +
+            "checkpoint to re-bootstrap, and raise --keep-snapshots " +
+            "above the consumer's lag"))
+      val files = Upsert.parseManifestEntries(body)
+        .toSeq.sortBy(_._1).flatMap(_._2).map(Upsert.resolveEntry(path, _))
+      if (files.isEmpty) return Array.empty
+      return bootstrapScan(files).toBatch.planInputPartitions()
+        .map(GraftCdcBootstrapPartition(_): InputPartition)
+    }
     val dir = batchDir(s, e)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dir, "_SUCCESS"))) {
-      val feed =
-        if (s < 0L) {
-          val (df, _) = Upsert.readChangeFeed(spark, path, None, keys)
-          df
-        } else {
-          require(Upsert.snapshots(spark, path).contains(snapName(s)),
-            s"graft cdc stream: cursor snapshot '${snapName(s)}' is no " +
-              s"longer retained under $path (vacuumed?) — the stream " +
-              "cannot produce an exact diff; delete the checkpoint to " +
-              "re-bootstrap, and raise --keep-snapshots above the " +
-              "consumer's lag")
-          Upsert.changesBetween(spark, path, snapName(s), snapName(e), keys)
-        }
+      require(Upsert.snapshots(spark, path).contains(snapName(s)),
+        s"graft cdc stream: cursor snapshot '${snapName(s)}' is no " +
+          s"longer retained under $path (vacuumed?) — the stream " +
+          "cannot produce an exact diff; delete the checkpoint to " +
+          "re-bootstrap, and raise --keep-snapshots above the " +
+          "consumer's lag")
+      val feed = Upsert.changesBetween(spark, path, snapName(s), snapName(e), keys)
       // project into the declared CDC schema order, then materialize
       val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col)
       feed.select(cols.toIndexedSeq: _*)
@@ -176,16 +199,29 @@ private[sources] class GraftCdcMicroBatchStream(schema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     // schema-stable across batches: any batch dir (or none) yields the
-    // same factory configuration
-    delegateScan(Nil).toBatch.createReaderFactory()
+    // same factory configuration; bootstrap partitions carry their own
+    // marker and route to the insert-injecting reader
+    new GraftCdcReaderFactory(
+      delegateScan(Nil).toBatch.createReaderFactory(),
+      bootstrapScan(Nil).toBatch.createReaderFactory())
 
-  private def delegateScan(paths: Seq[String]): Scan = {
+  /** CDC schema minus the injected `change_type` — what a bootstrap
+    * reader asks the table's parquet files for, in CDC column order. */
+  private def bootstrapSchema: StructType = StructType(schema.fields.drop(1))
+
+  private def delegateScan(paths: Seq[String]): Scan =
+    parquetScan(paths, schema)
+
+  private def bootstrapScan(paths: Seq[String]): Scan =
+    parquetScan(paths, bootstrapSchema)
+
+  private def parquetScan(paths: Seq[String], s: StructType): Scan = {
     val pt = ParquetTable(s"graft-cdc.`$path`", spark,
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
-      paths, Some(schema), classOf[ParquetFileFormat])
+      paths, Some(s), classOf[ParquetFileFormat])
     val sb = pt.newScanBuilder(
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
-    sb.pruneColumns(schema)
+    sb.pruneColumns(s)
     sb.build()
   }
 
@@ -205,4 +241,55 @@ private[sources] class GraftCdcMicroBatchStream(schema: StructType,
   }
 
   override def stop(): Unit = ()
+}
+
+/** Marker envelope for a bootstrap split: the inner partition is a plain
+  * parquet split of the pinned snapshot's data files; the reader injects
+  * the constant `change_type = 'insert'` column. */
+private[sources] final case class GraftCdcBootstrapPartition(
+    inner: InputPartition) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Routes diff partitions to the CDC-schema parquet factory untouched
+  * and bootstrap partitions to the table-file factory wrapped with the
+  * insert-constant prefix — one stable factory for every batch of the
+  * stream's lifetime (the MicroBatchStream contract). */
+private[sources] final class GraftCdcReaderFactory(
+    diff: PartitionReaderFactory, boot: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = p match {
+    case GraftCdcBootstrapPartition(inner) =>
+      val r = boot.createReader(inner)
+      new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+        // mutable row reuse is the reader contract: consumers project
+        // each row (copying values) before calling next() again
+        private val prefix =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("insert")))
+        private val joined =
+          new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+        override def next(): Boolean = r.next()
+        override def get(): org.apache.spark.sql.catalyst.InternalRow =
+          joined(prefix, r.get())
+        override def close(): Unit = r.close()
+      }
+    case other => diff.createReader(other)
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    p match {
+      case GraftCdcBootstrapPartition(_) =>
+        throw new UnsupportedOperationException(
+          "bootstrap splits are row-based (constant-column injection)")
+      case other => diff.createColumnarReader(other)
+    }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case GraftCdcBootstrapPartition(_) => false
+    case other => diff.supportColumnarReads(other)
+  }
 }

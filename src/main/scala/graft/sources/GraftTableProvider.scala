@@ -297,15 +297,42 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
 
   private var aggAnswer: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
 
+  // Planning happens on the driver with real FS I/O behind it (manifest
+  // resolution + full file_stats parse), and Spark's pushdown rule probes
+  // the same Aggregation through supportCompletePushDown and then
+  // pushAggregation — memoize per Aggregation instance so the manifest is
+  // resolved and the stats blob parsed ONCE per query (ADVICE r17).
+  private var aggCache: Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)])] = None
+
+  private def answerFor(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
+    aggCache match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = answerFromStats(agg)
+        aggCache = Some((agg, r))
+        r
+    }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    answerFromStats(agg).isDefined
+    answerFor(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    aggAnswer = answerFromStats(agg)
+    aggAnswer = answerFor(agg)
     aggAnswer.isDefined
   }
+
+  /** One manifest resolution per scan build: `answerFromStats` and
+    * `build()` both need the resolved state, and resolving twice is both
+    * wasted driver FS I/O (ADVICE r17) and a consistency hazard (a merge
+    * landing between the two would let the aggregate answer and the file
+    * scan disagree about which snapshot the query reads). */
+  private lazy val resolvedState: Resolved =
+    resolve(SparkSession.active, path, snapshot)
 
   private def answerFromStats(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -313,8 +340,7 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types._
     if (agg.groupByExpressions.nonEmpty || allFilters.nonEmpty) return None
-    val spark = SparkSession.active
-    val body = resolve(spark, path, snapshot) match {
+    val body = resolvedState match {
       case ManifestFiles(b) => b
       case _ => return None
     }
@@ -382,7 +408,7 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
       return new GraftStatsScan(schema, row)
     }
     val spark = SparkSession.active
-    resolve(spark, path, snapshot) match {
+    resolvedState match {
       case ManifestFiles(body) =>
         val entries = Upsert.parseManifestEntries(body)
         val totalFiles = entries.values.map(_.size).sum
