@@ -371,6 +371,63 @@ private[graft] object TierCore extends Registry {
       s.read.parquet(mirror).select("doc_id", "cleaned_ref", "category", "val")
     }),
 
+    // r18 (VERDICT r17 #1): SQL predicate DELETE through the catalog —
+    // compliance erasure as `DELETE FROM cat.t WHERE doc_id IN (…)`,
+    // exactly what the reference's users run against Snowflake. Routes
+    // to the bucket-pruned manifest erasure (untouched buckets' files
+    // carried verbatim — GraftSqlWriteSpec pins that); the oracle is the
+    // anti-selection on the source table.
+    "sql_delete" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val base = Ivf.cachedIndexDir(src, root = "/tmp/graft-sqld18",
+        params = "sql_delete:nBuckets=8:v1")
+      val done = new java.io.File(s"$base/_delete_done")
+      s.conf.set("spark.sql.catalog.graftsqld18", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsqld18.warehouse", base)
+      if (!done.exists()) {
+        Ivf.gcSupersededIndexes(base)
+        Upsert.mergeIntoManifestBucketedParquet(s, s"$base/table",
+          Tables.documents(s, dir)
+            .select("doc_id", "source", "lang", "n_chars"),
+          Seq("doc_id"), nBuckets = 8, keepSnapshots = 4)
+        s.sql("DELETE FROM graftsqld18.table " +
+          "WHERE doc_id IN (3, 42, 97, 123, 555)")
+        done.createNewFile()
+      }
+      s.sql("SELECT doc_id, source, lang, n_chars FROM graftsqld18.table")
+    }),
+
+    // r18 (VERDICT r17 #3): SQL INSERT INTO as append-as-upsert on the
+    // table's recorded merge keys — the reference's MERGE semantics
+    // reached from a pure-SQL session (`embeddings-pipeline.py:294-352`
+    // is a SQL statement its users run). Matched keys take the incoming
+    // row (update-wins), new keys insert; the oracle is the full-outer
+    // merge of the two batches.
+    "sql_insert" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val base = Ivf.cachedIndexDir(src, root = "/tmp/graft-sqli18",
+        params = "sql_insert:nBuckets=8:v1")
+      val done = new java.io.File(s"$base/_insert_done")
+      s.conf.set("spark.sql.catalog.graftsqli18", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsqli18.warehouse", base)
+      if (!done.exists()) {
+        Ivf.gcSupersededIndexes(base)
+        val docs = Tables.documents(s, dir)
+        Upsert.mergeIntoManifestBucketedParquet(s, s"$base/table",
+          docs.where(col("doc_id") % 3 === 0).select(
+            col("doc_id"), col("source").as("ref"),
+            col("lang").as("category"), col("n_chars").as("val")),
+          Seq("doc_id"), nBuckets = 8, keepSnapshots = 4)
+        s.sql(s"""INSERT INTO graftsqli18.table
+                 |SELECT doc_id, concat('u_', source), concat('u_', lang),
+                 |       n_chars + 1
+                 |FROM parquet.`$dir/documents.parquet`
+                 |WHERE doc_id % 2 = 0""".stripMargin)
+        done.createNewFile()
+      }
+      s.sql("SELECT doc_id, ref, category, val FROM graftsqli18.table")
+    }),
+
     // Per-key corpus cap (training-data curation): at most 10 docs per
     // source, picked by a deterministic engine-portable hash.
     "cap_per_key" -> ((s, dir) =>
@@ -808,6 +865,30 @@ private[graft] object TierCore extends Registry {
         |  SELECT doc_id, source AS rsource FROM documents WHERE doc_id % 2 = 0)
         |SELECT a.doc_id, a.lchars, b.rsource
         |FROM a JOIN b ON a.doc_id = b.doc_id""".stripMargin,
+
+    // the SQL DELETE's surviving rows are the anti-selection — the hash
+    // gate proves the catalog DELETE removed exactly the named keys and
+    // nothing else
+    "sql_delete" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (3, 42, 97, 123, 555)""".stripMargin,
+
+    // INSERT-as-merge: update-wins-on-match full-outer merge of the two
+    // batches (unlike merge_upsert there is no insert-only column — SQL
+    // INSERT carries no per-column override surface)
+    "sql_insert" ->
+      """WITH t AS (
+        |  SELECT doc_id, source AS ref, lang AS category, n_chars AS val
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |u AS (
+        |  SELECT doc_id, 'u_' || source AS ref, 'u_' || lang AS category,
+        |    n_chars + 1 AS val
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT coalesce(t.doc_id, u.doc_id) AS doc_id,
+        |  CASE WHEN u.doc_id IS NOT NULL THEN u.ref ELSE t.ref END AS ref,
+        |  CASE WHEN u.doc_id IS NOT NULL THEN u.category ELSE t.category END AS category,
+        |  CASE WHEN u.doc_id IS NOT NULL THEN u.val ELSE t.val END AS val
+        |FROM t FULL OUTER JOIN u ON t.doc_id = u.doc_id""".stripMargin,
 
     // Knuth hash in the same overflow-free split form as Dedup.capPerKey
     // (equal values wherever the naive multiply doesn't overflow).

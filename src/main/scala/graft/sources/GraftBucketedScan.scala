@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XxHash64Function}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
@@ -49,7 +49,8 @@ private[sources] class GraftBucketedScan(
     relOf: String => String, // absolute -> manifest-relative (stats key)
     buildDelegate: Seq[String] => Scan)
     extends Scan with Batch
-    with SupportsReportPartitioning with SupportsRuntimeFiltering {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   /** Bucket groups the scan COMMITTED to at plan time, in key order.
     * Runtime filtering may empty a group's file list but never removes
@@ -78,6 +79,47 @@ private[sources] class GraftBucketedScan(
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
       Array(Expressions.bucket(nBuckets, keys: _*)), staticBuckets.size)
+
+  /** Reported relation statistics (VERDICT r17 #2): without them Spark
+    * sizes a V2 relation at `spark.sql.defaultSizeInBytes` (huge), so an
+    * UNHINTED SQL join of a small graft dim table through the catalog
+    * planned a full sort-merge join — the non-broadcast-small-side
+    * anti-pattern, at the SQL face only. Row counts come from the
+    * manifest's exact per-file `__rows`; bytes from one driver
+    * `getFileStatus` per statically-kept file, scaled by
+    * `spark.sql.sources.fileCompressionFactor` exactly as Spark's own
+    * FileScan does — the same metadata cost class as the delegate's
+    * listing, memoized for the scan's lifetime. A file missing its
+    * row-count stat makes numRows absent; a listing failure makes
+    * sizeInBytes absent — the planner then falls back to its
+    * conservative default rather than trusting a partial sum. */
+  private lazy val reportedStats: Statistics = {
+    val files = staticBuckets.flatMap(_._2)
+    val rowCounts = files.map(f =>
+      FileStats.rowCount(statsByRel.getOrElse(relOf(f), Map.empty)))
+    val totalRows: Option[Long] =
+      if (rowCounts.isEmpty || rowCounts.exists(_.isEmpty)) None
+      else Some(rowCounts.flatten.sum)
+    val sizeBytes: Option[Long] =
+      try {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val conf = spark.sparkContext.hadoopConfiguration
+        val factor = spark.sessionState.conf.fileCompressionFactor
+        val raw = files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+        Some((raw * factor).toLong.max(1L))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        sizeBytes.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def numRows(): java.util.OptionalLong =
+        totalRows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
+
+  override def estimateStatistics(): Statistics = reportedStats
 
   override def planInputPartitions(): Array[InputPartition] =
     staticBuckets.flatMap { case (b, _) =>

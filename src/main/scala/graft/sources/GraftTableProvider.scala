@@ -125,8 +125,13 @@ private[sources] object GraftTableProvider {
     resolve(spark, path, snapshotOf(options)) match {
       case ManifestFiles(body) =>
         // metadata-only: manifests record schema_ddl since round 8; a
-        // pre-round-8 manifest falls back to one footer read
-        Upsert.parseManifestString(body, "schema_ddl")
+        // pre-round-8 manifest falls back to one footer read. Internal
+        // `__` layout columns (`__bucket`) are HIDDEN from the SQL face
+        // (round 18): they are physical placement, not data — the same
+        // rule the CDC schema always applied — and hiding them is what
+        // lets `INSERT INTO` resolve against the data columns alone.
+        // The library read face (`Upsert.readTarget`) still serves them.
+        val full = Upsert.parseManifestString(body, "schema_ddl")
           .map(StructType.fromDDL)
           .getOrElse {
             val files = Upsert.parseManifestEntries(body).values.flatten.toSeq
@@ -135,6 +140,7 @@ private[sources] object GraftTableProvider {
               s"$path holds no data files and records no schema")
             spark.read.parquet(files.head).schema
           }
+        StructType(full.fields.filterNot(_.name.startsWith("__")))
       case DirPath(p) => spark.read.parquet(p).schema
     }
   }
@@ -209,7 +215,9 @@ private[sources] object GraftTableProvider {
 }
 
 private[sources] class GraftTable(schema: StructType,
-    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import GraftTableProvider._
 
   private val path = pathOf(options)
@@ -222,7 +230,41 @@ private[sources] class GraftTable(schema: StructType,
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     if (cdc) java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-    else java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else if (snapshot.isDefined) // time travel is read-only by definition
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
+
+  // ---- SQL DELETE (VERDICT r17 #1) -------------------------------------
+  // canDeleteWhere and deleteWhere share ONE routing (GraftSqlWrite.
+  // deletePlan), so analysis never promises a shape execution cannot
+  // honor. A refusal is an AnalysisException at the statement — the
+  // engine never silently escalates a SQL DELETE to a full-table scan.
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    !cdc && snapshot.isEmpty &&
+      GraftSqlWrite.deletePlan(SparkSession.active, path, filters).isDefined
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(!cdc && snapshot.isEmpty,
+      "DELETE targets the live table, not a changelog or time-travel view")
+    GraftSqlWrite.deletePlan(SparkSession.active, path, filters)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"graft cannot execute this DELETE shape on $path without an " +
+          "implicit full-table rewrite — delete by the table's merge " +
+          "keys (equality/IN covering every key), or use the library " +
+          "erasure entry points"))
+      .apply()
+  }
+
+  // ---- SQL INSERT as MERGE (VERDICT r17 #3) ----------------------------
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (cdc || snapshot.isDefined) throw new UnsupportedOperationException(
+      "writes target the live table, not a changelog or time-travel view")
+    GraftSqlWrite.writeBuilder(path, info)
+  }
 
   /** The hash-bucket layout as V2 partitioning metadata, when the live
     * manifest records it: `bucket(nBuckets, keys…)`. Catalog-resolved
@@ -571,10 +613,20 @@ private[sources] object GraftScanBuilder {
   * LocalTableScan — no batch, no partitions, no data-file I/O. */
 private[sources] class GraftStatsScan(schema: StructType,
     row: org.apache.spark.sql.catalyst.InternalRow)
-    extends Scan with org.apache.spark.sql.connector.read.LocalScan {
+    extends Scan with org.apache.spark.sql.connector.read.LocalScan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
   override def description(): String = "GraftStatsScan(manifest-stats aggregate)"
+  // exactly one pre-computed row — report it so a join against the
+  // aggregate result is sized honestly (VERDICT r17 #2)
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(8L * schema.length, 8L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(1L)
+    }
 }
 
 /** Zero-row scan with the table schema — what a range that prunes every
