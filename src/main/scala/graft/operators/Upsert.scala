@@ -1052,6 +1052,62 @@ object Upsert {
     }
   }
 
+  /** INSERT-ONLY commit on the manifest-bucketed layout (round 18): the
+    * batch's rows land as NEW files in their hash buckets and the
+    * manifest entries EXTEND — nothing is read, joined, or rewritten, so
+    * ingest cost is O(batch) regardless of table size (the merge path
+    * reads and rewrites every touched bucket; at 100 TB an append-only
+    * feed should pay for its batch, not its cohabitants).
+    *
+    * Contract: key UNIQUENESS is the caller's (an appended key that
+    * already exists simply coexists — use
+    * [[mergeIntoManifestBucketedParquet]] for upsert semantics). In
+    * exchange, two appends never rewrite a shared file, which is what
+    * makes the table streamable as appends-per-snapshot
+    * ([[graft.sources.GraftAppendsStream]]): each snapshot's new-file
+    * set IS the batch. Same optimistic commit protocol as the merge —
+    * concurrent appends/merges retry against the winner's state. */
+  def appendToManifestBucketedParquet(
+      spark: SparkSession,
+      targetPath: String,
+      rows: DataFrame,
+      keys: Seq[String],
+      nBuckets: Int = 256,
+      keepSnapshots: Int = 1,
+      maxRetries: Int = 5,
+      statsCols: Seq[String] = Nil): Unit = {
+    require(!rows.columns.contains("__bucket"), "rows must not carry __bucket")
+    require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
+    var wasted = 0
+    var committed = false
+    while (!committed) {
+      val current = repairPointer(spark, targetPath)
+      val manifest = readBucketManifestRaw(spark, targetPath, current)
+      val effN = effectiveNBuckets(spark, targetPath, nBuckets)
+      val withBucket = rows.withColumn("__bucket",
+        pmod(xxhash64(keys.map(col): _*), lit(effN)).cast("int"))
+      val touched = withBucket.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return // empty batch: nothing to commit
+      val nextId = nextFreeId(spark, targetPath, current)
+      try {
+        commitSnapshot(spark, targetPath, withBucket, touched.toIndexedSeq,
+          manifest, keys, nextId, keepSnapshots, Some("__bucket"), effN,
+          appendEntries = true, statsCols = statsCols)
+        committed = true
+      } catch {
+        case e: CommitConflictException =>
+          wasted = chargeRetry(spark, targetPath, current, wasted, maxRetries, e)
+        case scala.util.control.NonFatal(e)
+            if racedSince(spark, targetPath, current) =>
+          wasted = 0
+          collateralMergeRetries.incrementAndGet()
+          System.err.println(s"[graft] append attempt on $targetPath failed " +
+            s"under a concurrent commit (${e.getClass.getSimpleName}); retrying")
+      }
+    }
+  }
+
   /** Count of collateral (non-conflict) merge-retry events — a test seam:
     * ManifestMergeSpec tolerates a burned snapshot id ONLY when one of
     * these actually occurred, so a genuine double-commit regression

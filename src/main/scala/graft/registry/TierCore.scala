@@ -428,6 +428,50 @@ private[graft] object TierCore extends Registry {
       s.sql("SELECT doc_id, ref, category, val FROM graftsqli18.table")
     }),
 
+    // r18 (VERDICT r17 #6): STREAMING READ of the plain table face —
+    // appends-per-snapshot over an insert-only table. Two insert-only
+    // commits (appendToManifestBucketedParquet: O(batch) ingest, no merge
+    // join, no rewrite) drained through readStream with one shared
+    // checkpoint; every micro-batch appends into a parquet mirror. The
+    // mirror hash-matching the two batches' union proves bootstrap +
+    // incremental appends deliver each row exactly once.
+    "append_stream" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val base = Ivf.cachedIndexDir(src, root = "/tmp/graft-apps18",
+        params = "append_stream:nBuckets=8:v1")
+      val tbl = s"$base/table"
+      val mirror = s"$base/mirror"
+      val done = new java.io.File(s"$base/_stream_done")
+      if (!done.exists()) {
+        Ivf.gcSupersededIndexes(base)
+        val docs = Tables.documents(s, dir)
+        def batch(m: Int) = docs.where(col("doc_id") % 3 === m)
+          .select("doc_id", "source", "n_chars")
+        def drain(): Unit = {
+          val q = s.readStream.format("graft").load(tbl)
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  _: Long) =>
+                b.write.mode("append").parquet(mirror)
+                ()
+            }
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        Upsert.appendToManifestBucketedParquet(s, tbl, batch(0),
+          Seq("doc_id"), nBuckets = 8, keepSnapshots = 4)
+        drain() // bootstrap: the full snapshot
+        Upsert.appendToManifestBucketedParquet(s, tbl, batch(1),
+          Seq("doc_id"), nBuckets = 8, keepSnapshots = 4)
+        drain() // incremental: exactly the appended files
+        done.createNewFile()
+      }
+      s.read.parquet(mirror).select("doc_id", "source", "n_chars")
+    }),
+
     // Per-key corpus cap (training-data curation): at most 10 docs per
     // source, picked by a deterministic engine-portable hash.
     "cap_per_key" -> ((s, dir) =>
@@ -889,6 +933,12 @@ private[graft] object TierCore extends Registry {
         |  CASE WHEN u.doc_id IS NOT NULL THEN u.category ELSE t.category END AS category,
         |  CASE WHEN u.doc_id IS NOT NULL THEN u.val ELSE t.val END AS val
         |FROM t FULL OUTER JOIN u ON t.doc_id = u.doc_id""".stripMargin,
+
+    // the appends stream delivers each inserted row exactly once, so the
+    // mirror is just the union of the two insert-only batches
+    "append_stream" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 3 = 0 OR doc_id % 3 = 1""".stripMargin,
 
     // Knuth hash in the same overflow-free split form as Dedup.capPerKey
     // (equal values wherever the naive multiply doesn't overflow).

@@ -72,6 +72,12 @@ private[sources] class GraftBucketedScan(
 
   override def toBatch: Batch = this
 
+  /** Streaming read of the plain table face (VERDICT r17 #6): appends
+    * per snapshot, insert-only contract — see [[GraftAppendsStream]]. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftAppendsStream(readSchema(), path, checkpointLocation)
+
   override def description(): String =
     s"GraftBucketedScan ${keys.mkString(",")}/$nBuckets " +
       s"groups=${staticBuckets.size} $path"

@@ -232,6 +232,12 @@ private[sources] class GraftTable(schema: StructType,
     if (cdc) java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
     else if (snapshot.isDefined) // time travel is read-only by definition
       java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else if (partitioning().nonEmpty)
+      // hash-bucketed manifest tables additionally stream as
+      // appends-per-snapshot (GraftAppendsStream); merge/delete
+      // workloads stream the CDC feed instead
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
     else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE)
 
