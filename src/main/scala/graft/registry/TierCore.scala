@@ -472,6 +472,32 @@ private[graft] object TierCore extends Registry {
       s.read.parquet(mirror).select("doc_id", "source", "n_chars")
     }),
 
+    // r18 (VERDICT r17 #4): GROUPED aggregate pushdown — a GROUP BY over
+    // a file-constant column (every file single-valued, null-free in it:
+    // the one-shot build bucketed BY grp makes each bucket's files so)
+    // is answered from manifest stats with ZERO data files opened; the
+    // stderr marker + GraftSourceSpec's LocalTableScan assertion pin the
+    // plan shape, this entry pins the values against DuckDB.
+    "agg_group_pushdown" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val base = Ivf.cachedIndexDir(src, root = "/tmp/graft-aggg18",
+        params = "agg_group:nBuckets=64:v1")
+      val tbl = s"$base/table"
+      if (Upsert.manifestBody(s, tbl, None).isEmpty) {
+        Ivf.gcSupersededIndexes(base)
+        Upsert.mergeIntoManifestBucketedParquet(s, tbl,
+          Tables.documents(s, dir).select(
+            (col("doc_id") % 6).as("grp"), col("doc_id"), col("n_chars")),
+          Seq("grp"), nBuckets = 64, statsCols = Seq("doc_id", "n_chars"))
+      }
+      s.read.format("graft").load(tbl)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          min(col("doc_id")).as("min_id"))
+    }),
+
     // Per-key corpus cap (training-data curation): at most 10 docs per
     // source, picked by a deterministic engine-portable hash.
     "cap_per_key" -> ((s, dir) =>
@@ -939,6 +965,13 @@ private[graft] object TierCore extends Registry {
     "append_stream" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id % 3 = 0 OR doc_id % 3 = 1""".stripMargin,
+
+    // the grouped stats answer must equal the real per-group aggregate
+    "agg_group_pushdown" ->
+      """SELECT doc_id % 6 AS grp, count(*) AS n,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  min(doc_id) AS min_id
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // Knuth hash in the same overflow-free split form as Dedup.capPerKey
     // (equal values wherever the naive multiply doesn't overflow).

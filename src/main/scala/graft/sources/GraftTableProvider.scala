@@ -333,17 +333,26 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  // ---- aggregate pushdown (round 17, VERDICT r16 #8) -------------------
-  // COUNT(*) / COUNT(col) / MIN / MAX over an unfiltered, ungrouped graft
-  // table are answered from the manifest's file stats alone: the __rows
-  // per-file counts, per-column null counts, and exact integer/temporal
-  // min/max — ZERO data files opened (at 100 TB, "how many rows" stops
-  // being a table scan). Strings (truncated bounds) and floats (NaN
-  // ordering vs parquet stats) are deliberately NOT answered; any file
+  // ---- aggregate pushdown (round 17, VERDICT r16 #8; grouped r18) ------
+  // COUNT(*) / COUNT(col) / MIN / MAX over an unfiltered graft table are
+  // answered from the manifest's file stats alone: the __rows per-file
+  // counts, per-column null counts, and exact integer/temporal min/max —
+  // ZERO data files opened (at 100 TB, "how many rows" stops being a
+  // table scan). GROUP BY is answered too (round 18, VERDICT r17 #4)
+  // when every file is SINGLE-VALUED in every grouping column (its
+  // recorded min == max, zero nulls): the file then contributes wholly
+  // to one group and the per-group fold is the ungrouped fold over the
+  // group's member files. That is the sound criterion — NOT "grouping
+  // by the bucket keys" (a bucket holds many key values, so per-file
+  // stats cannot split it); it fires for partition-shaped columns a
+  // one-shot build or compaction made file-constant. Strings (truncated
+  // bounds) and floats (NaN ordering vs parquet stats) are deliberately
+  // NOT answered as aggregate VALUES; a string grouping column is
+  // accepted when its recorded bounds are exact (untruncated). Any file
   // missing a needed stat makes the whole pushdown decline — the normal
   // scan path is always the sound fallback.
 
-  private var aggAnswer: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+  private var aggAnswer: Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
 
   // Planning happens on the driver with real FS I/O behind it (manifest
   // resolution + full file_stats parse), and Spark's pushdown rule probes
@@ -351,11 +360,11 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
   // pushAggregation — memoize per Aggregation instance so the manifest is
   // resolved and the stats blob parsed ONCE per query (ADVICE r17).
   private var aggCache: Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
-    Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)])] = None
+    Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])])] = None
 
   private def answerFor(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
+      : Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] =
     aggCache match {
       case Some((a, r)) if a eq agg => r
       case _ =>
@@ -384,20 +393,20 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
 
   private def answerFromStats(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+      : Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types._
-    if (agg.groupByExpressions.nonEmpty || allFilters.nonEmpty) return None
+    if (allFilters.nonEmpty) return None
     val body = resolvedState match {
       case ManifestFiles(b) => b
       case _ => return None
     }
-    val rels = Upsert.parseManifestEntries(body).values.flatten.toSeq
+    val allRels = Upsert.parseManifestEntries(body).values.flatten.toSeq
     val stats = FileStats.parse(body)
     // every referenced file must carry a row count, or nothing is answerable
-    val rowCounts = rels.map(rel => FileStats.rowCount(stats.getOrElse(rel, Map.empty)))
-    if (rowCounts.exists(_.isEmpty)) return None
-    val totalRows = rowCounts.flatten.sum
+    if (allRels.exists(rel =>
+        FileStats.rowCount(stats.getOrElse(rel, Map.empty)).isEmpty))
+      return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[(String, DataType)] =
       e match {
         case nr: org.apache.spark.sql.connector.expressions.NamedReference
@@ -413,47 +422,101 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
       case IntegerType | DateType => Some(d.toInt)
       case _ => None
     }
-    def perFile[A](col: String)(f: FileStats.ColStats => Option[A]): Option[Seq[A]] = {
-      val vs = rels.map(rel => stats.getOrElse(rel, Map.empty).get(col).flatMap(f))
-      if (vs.exists(_.isEmpty)) None else Some(vs.flatten)
+    // ---- group assignment: each file must be SINGLE-VALUED (and
+    // null-free) in every grouping column; its group key is that value.
+    // Strings qualify only with exact (untruncated) equal bounds.
+    val groupCols: Seq[(String, DataType)] =
+      agg.groupByExpressions.toSeq.map(e => colOf(e).getOrElse(return None))
+    def groupValueOf(rel: String, col: String, dt: DataType): Option[Any] = {
+      val s = stats.getOrElse(rel, Map.empty).get(col).getOrElse(return None)
+      if (s.nulls != 0) return None
+      if (s.typ == "str") (s.strMin, s.strMax) match {
+        case (Some(lo), Some(hi))
+            if lo == hi && lo.length < FileStats.StrBoundBytes &&
+              !s.strMaxUnbounded && dt == StringType =>
+          Some(org.apache.spark.unsafe.types.UTF8String
+            .fromBytes(lo.toArray))
+        case _ => None
+      } else (s.min, s.max) match {
+        case (Some(lo), Some(hi)) if lo == hi => internal(lo, dt)
+        case _ => None
+      }
     }
-    val out = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar =>
-        (StructField("count(*)", LongType, nullable = false),
-          totalRows.asInstanceOf[Any])
-      case c: Count if !c.isDistinct =>
-        val (name, _) = colOf(c.column).getOrElse(return None)
-        val nulls = perFile(name)(s => Some(s.nulls)).getOrElse(return None)
-        (StructField(s"count($name)", LongType, nullable = false),
-          (totalRows - nulls.sum).asInstanceOf[Any])
-      case m: Min =>
-        val (name, dt) = colOf(m.column).getOrElse(return None)
-        if (internal(BigDecimal(0), dt).isEmpty) return None
-        // all-null files carry None bounds and drop out of the fold —
-        // matching MIN's null-ignoring semantics; every file must still
-        // HAVE a stats entry for the column
-        val mins = perFile(name)(s =>
-          if (s.typ == "str") return None else Some(s.min)).getOrElse(return None)
-        val v = mins.flatten.reduceOption(_ min _).flatMap(internal(_, dt)).orNull
-        (StructField(s"min($name)", dt, nullable = true), v.asInstanceOf[Any])
-      case m: Max =>
-        val (name, dt) = colOf(m.column).getOrElse(return None)
-        if (internal(BigDecimal(0), dt).isEmpty) return None
-        val maxs = perFile(name)(s =>
-          if (s.typ == "str") return None else Some(s.max)).getOrElse(return None)
-        val v = maxs.flatten.reduceOption(_ max _).flatMap(internal(_, dt)).orNull
-        (StructField(s"max($name)", dt, nullable = true), v.asInstanceOf[Any])
-      case _ => return None
+    // Seq-of-Any group keys (Seq equality is structural); Nil = the one
+    // global group of an ungrouped aggregate
+    val grouped: Map[Seq[Any], Seq[String]] = allRels.groupBy { rel =>
+      groupCols.map { case (c, dt) =>
+        groupValueOf(rel, c, dt).getOrElse(return None) }
     }
-    Some((StructType(out.map(_._1)),
-      org.apache.spark.sql.catalyst.InternalRow.fromSeq(out.map(_._2))))
+    def answerGroup(rels: Seq[String]): Option[Seq[(StructField, Any)]] = {
+      val totalRows = rels
+        .flatMap(rel => FileStats.rowCount(stats.getOrElse(rel, Map.empty))).sum
+      def perFile[A](col: String)(f: FileStats.ColStats => Option[A]): Option[Seq[A]] = {
+        val vs = rels.map(rel => stats.getOrElse(rel, Map.empty).get(col).flatMap(f))
+        if (vs.exists(_.isEmpty)) None else Some(vs.flatten)
+      }
+      Some(agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          (StructField("count(*)", LongType, nullable = false),
+            totalRows.asInstanceOf[Any])
+        case c: Count if !c.isDistinct =>
+          val (name, _) = colOf(c.column).getOrElse(return None)
+          val nulls = perFile(name)(s => Some(s.nulls)).getOrElse(return None)
+          (StructField(s"count($name)", LongType, nullable = false),
+            (totalRows - nulls.sum).asInstanceOf[Any])
+        case m: Min =>
+          val (name, dt) = colOf(m.column).getOrElse(return None)
+          if (internal(BigDecimal(0), dt).isEmpty) return None
+          // all-null files carry None bounds and drop out of the fold —
+          // matching MIN's null-ignoring semantics; every file must still
+          // HAVE a stats entry for the column
+          val mins = perFile(name)(s =>
+            if (s.typ == "str") return None else Some(s.min)).getOrElse(return None)
+          val v = mins.flatten.reduceOption(_ min _).flatMap(internal(_, dt)).orNull
+          (StructField(s"min($name)", dt, nullable = true), v.asInstanceOf[Any])
+        case m: Max =>
+          val (name, dt) = colOf(m.column).getOrElse(return None)
+          if (internal(BigDecimal(0), dt).isEmpty) return None
+          val maxs = perFile(name)(s =>
+            if (s.typ == "str") return None else Some(s.max)).getOrElse(return None)
+          val v = maxs.flatten.reduceOption(_ max _).flatMap(internal(_, dt)).orNull
+          (StructField(s"max($name)", dt, nullable = true), v.asInstanceOf[Any])
+        case _ => return None
+      })
+    }
+    // group rows in a deterministic order (the plan is fingerprinted and
+    // replays must be stable): sort by the group key's string rendering
+    val groups = grouped.toSeq.sortBy(_._1.mkString(" "))
+    val answered = groups.map { case (key, rels) =>
+      key -> answerGroup(rels).getOrElse(return None)
+    }
+    if (answered.isEmpty && groupCols.nonEmpty)
+      return Some((StructType(groupCols.map { case (c, dt) =>
+        StructField(c, dt, nullable = true) }), Nil)) // empty table: no groups
+    val aggFields = answered.headOption.map(_._2.map(_._1)).getOrElse {
+      // empty ungrouped table: still answerable, but only for COUNT
+      // shapes (MIN/MAX of nothing is NULL — expressible; keep the
+      // pre-r18 behavior of answering with zero/null over zero files)
+      answerGroup(Nil).getOrElse(return None).map(_._1)
+    }
+    val schema = StructType(groupCols.map { case (c, dt) =>
+      StructField(c, dt, nullable = false) } ++ aggFields)
+    val rows = answered.map { case (key, vals) =>
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(key ++ vals.map(_._2))
+    }
+    val finalRows =
+      if (groupCols.isEmpty && rows.isEmpty)
+        Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          answerGroup(Nil).getOrElse(return None).map(_._2)))
+      else rows
+    Some((schema, finalRows))
   }
 
   override def build(): Scan = {
-    aggAnswer.foreach { case (schema, row) =>
+    aggAnswer.foreach { case (schema, rows) =>
       System.err.println(s"[graft] dsv2 aggregate pushdown answered from " +
         s"manifest stats of $path — zero data files opened")
-      return new GraftStatsScan(schema, row)
+      return new GraftStatsScan(schema, rows)
     }
     val spark = SparkSession.active
     resolvedState match {
@@ -614,24 +677,25 @@ private[sources] object GraftScanBuilder {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
 
-/** Completely-pushed aggregate served from manifest file stats: ONE
-  * pre-computed row, surfaced through [[LocalScan]] so Spark plans a
-  * LocalTableScan — no batch, no partitions, no data-file I/O. */
+/** Completely-pushed aggregate served from manifest file stats: the
+  * pre-computed answer rows (one per group; one row ungrouped),
+  * surfaced through [[LocalScan]] so Spark plans a LocalTableScan — no
+  * batch, no partitions, no data-file I/O. */
 private[sources] class GraftStatsScan(schema: StructType,
-    row: org.apache.spark.sql.catalyst.InternalRow)
+    answer: Seq[org.apache.spark.sql.catalyst.InternalRow])
     extends Scan with org.apache.spark.sql.connector.read.LocalScan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = schema
-  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = answer.toArray
   override def description(): String = "GraftStatsScan(manifest-stats aggregate)"
-  // exactly one pre-computed row — report it so a join against the
-  // aggregate result is sized honestly (VERDICT r17 #2)
+  // the answer is fully known at plan time — report it so a join against
+  // the aggregate result is sized honestly (VERDICT r17 #2)
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(math.max(8L * schema.length, 8L))
+        java.util.OptionalLong.of(math.max(8L * schema.length * (answer.size.max(1)), 8L))
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(1L)
+        java.util.OptionalLong.of(answer.size.toLong)
     }
 }
 

@@ -254,6 +254,47 @@ class GraftSourceSpec extends SparkSpecBase {
       Upsert.readTarget(spark, path).agg(min($"v")).head().getString(0))
   }
 
+  test("GROUPED aggregate pushdown: file-constant grouping columns answered from stats (r18)") {
+    val path = tmp("agggroup")
+    val rows = (0L until 240L).map(k =>
+      (k % 6L, k, if (k % 7 == 0) None else Some(k * 3L)))
+      .toDF("grp", "key", "maybe")
+    // one-shot build bucketed BY grp: each bucket — hence each file — is
+    // single-valued in grp (6 values spread over 64 buckets; the merge
+    // into an EMPTY target passes duplicate keys straight through)
+    Upsert.mergeIntoManifestBucketedParquet(spark, path, rows,
+      Seq("grp"), nBuckets = 64, statsCols = Seq("key", "maybe"))
+    val agg = load(path).groupBy($"grp").agg(
+      count(lit(1)).as("n"), min($"key").as("mn"), max($"key").as("mx"),
+      count($"maybe").as("nm"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"grouped aggregate was not answered from stats:\n$plan")
+    val got = agg.orderBy("grp").collect().map(_.toSeq).toSeq
+    val expect = Upsert.readTarget(spark, path).groupBy($"grp").agg(
+        count(lit(1)).as("n"), min($"key").as("mn"), max($"key").as("mx"),
+        count($"maybe").as("nm"))
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    assert(got == expect && got.size == 6, s"got $got")
+
+    // string grouping column with exact (untruncated) bounds
+    val pathS = tmp("agggroupstr")
+    Upsert.mergeIntoManifestBucketedParquet(spark, pathS,
+      (0L until 120L).map(k => (s"g${k % 4}", k)).toDF("cat", "key"),
+      Seq("cat"), nBuckets = 32, statsCols = Seq("key"))
+    val aggS = load(pathS).groupBy($"cat").agg(count(lit(1)).as("n"))
+    assert(aggS.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"string-grouped aggregate was not answered from stats:\n" +
+        aggS.queryExecution.executedPlan)
+    assert(aggS.orderBy("cat").as[(String, Long)].collect().toSeq ==
+      Seq(("g0", 30L), ("g1", 30L), ("g2", 30L), ("g3", 30L)))
+
+    // declines soundly: grouping by a MULTI-VALUED column stays a scan
+    val byKey = load(path).groupBy($"key").agg(count(lit(1)).as("n"))
+    assert(!byKey.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(byKey.count() == 240L)
+  }
+
   test("plain snapshot-pointer layout reads the live snapshot; plain dirs read directly") {
     val snapPath = tmp("snap")
     Upsert.mergeIntoParquet(spark, snapPath,
