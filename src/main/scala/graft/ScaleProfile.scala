@@ -225,6 +225,59 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "r18") {
+      // GraftBucketedScan planning cost vs nBuckets (VERDICT r17 #5 /
+      // What's-wrong #2): the bucket-aware scan plans its parquet
+      // delegate once per bucket, so a production table at nBuckets=4096
+      // pays thousands of delegate plannings per read where the r17
+      // bench tables paid 8. Fixed row count (400k), one commit per
+      // bucket count (≈ one file per bucket — the file-count growth IS
+      // part of the cost under test), measuring (a) physical planning
+      // alone (build(): manifest parse + stats + fullDelegate schema),
+      // (b) a full scan (adds the per-bucket delegate plannings +
+      // execution), (c) a key point-lookup (prunes to ONE bucket before
+      // any delegate is built — the shape that must stay metadata-cheap
+      // at any bucket count).
+      import graft.operators.Upsert
+      def profile(nb: Int): Unit = {
+        val tbl = s"/tmp/scale/bucketplan18/nb$nb/table"
+        if (Upsert.manifestBody(spark, tbl, None).isEmpty) {
+          val rows = spark.range(400000L).select(col("id").as("key"),
+            concat(lit("v"), col("id")).as("v"))
+          Upsert.mergeIntoManifestBucketedParquet(spark, tbl, rows,
+            Seq("key"), nBuckets = nb, statsCols = Seq("key"))
+          System.err.println(s"[scale] built bucketplan18 nb=$nb")
+        }
+        val files = Upsert.parseManifestEntries(
+          Upsert.manifestBody(spark, tbl, None).get).values.map(_.size).sum
+        def planOnce(): Double = {
+          val t0 = System.nanoTime()
+          spark.read.format("graft").load(tbl).select("key", "v")
+            .queryExecution.executedPlan
+          (System.nanoTime() - t0) / 1e9
+        }
+        def scanOnce(): Double = {
+          val t0 = System.nanoTime()
+          spark.read.format("graft").load(tbl).select("key", "v")
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def lookupOnce(): Double = {
+          val t0 = System.nanoTime()
+          spark.read.format("graft").load(tbl)
+            .where(col("key") === 123456L).select("key", "v")
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def med3(f: => Double): Double = { f; (1 to 3).map(_ => f).sorted.apply(1) }
+        println(f"BUCKETPLAN18 nb=$nb files=$files " +
+          f"plan_s=${med3(planOnce())}%.3f full_scan_s=${med3(scanOnce())}%.2f " +
+          f"point_lookup_s=${med3(lookupOnce())}%.3f")
+      }
+      Seq(256, 1024, 4096).foreach(profile)
+      spark.stop()
+      return
+    }
     if (mode == "erasure") {
       erasureManifestProfile(spark, src, "sf0.1")
       erasureManifestProfile(spark, out, "sf0.5")
