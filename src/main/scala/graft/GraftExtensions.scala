@@ -23,8 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     FunctionDefs.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    // table functions (round 18): the persisted-ANN probe as a SQL TVF
+    TableFunctionDefs.all.foreach { case (name, usage, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+  }
 }

@@ -174,5 +174,10 @@ object F {
     spark.udf.register("vector_sum_long",
       org.apache.spark.sql.functions.udaf(new VectorSumLong,
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()))
+    // table functions (round 18): `SELECT * FROM graft_ann_topk(…)`
+    val treg = spark.sessionState.tableFunctionRegistry
+    TableFunctionDefs.all.foreach { case (name, _, builder) =>
+      treg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -76,6 +76,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
           .getStruct(0)
         assert((0 until 6).map(cc.getLong) == Seq(6L, 3L, 1L, 1L, 1L, 0L))
       }
+      // table function (round 18): the persisted-ANN probe from pure SQL.
+      // Tiny 2-D index, full probe ⇒ exact: nearest to (1,0) is vec 1,
+      // then vec 3 (cos √2/2 beats vec 2's 0).
+      locally {
+        import spark.implicits._
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-ext-tvf").toString + "/idx"
+        val corpus = Seq(
+          (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+          (3L, Seq(1f, 1f)), (4L, Seq(-1f, 0f)))
+          .toDF("vec_id", "embedding")
+        graft.operators.Ivf.buildIndex(spark, idx, corpus,
+          trainOn = corpus, nlist = 2, iters = 1)
+        val rows = spark.sql(
+          s"""SELECT rank, neighbor_id
+             |FROM graft_ann_topk('$idx', 2, 2,
+             |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))
+             |ORDER BY rank""".stripMargin)
+          .as[(Long, Long)].collect().toSeq
+        assert(rows == Seq((1L, 1L), (2L, 3L)), rows.toString)
+        // non-literal arguments are refused loudly
+        val e = intercept[Exception] {
+          spark.sql(s"SELECT * FROM graft_ann_topk('$idx', 2, 2, " +
+            "array(CAST(rand() AS FLOAT)))").collect()
+        }
+        assert(e.getMessage.contains("literal"), e.getMessage)
+      }
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
