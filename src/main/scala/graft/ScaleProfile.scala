@@ -278,6 +278,69 @@ object ScaleProfile {
       spark.stop()
       return
     }
+    if (mode == "rowlevel18") {
+      // SQL row-level MERGE cost vs table size (round 18): a FIXED
+      // 10-key MERGE INTO (5 updates, 5 inserts) against tables of
+      // 100k/400k/1.6M rows at nBuckets=64. The claim under test: the
+      // rewrite side stays O(touched buckets) — ~10/64 of the table's
+      // files — so total cost is dominated by the runtime group filter's
+      // matching-rows subquery, which is ONE column-pruned scan
+      // (key + __bucket) of the target joined to the 10-row source, not
+      // a full-width rewrite. Contrast series: the library
+      // mergeIntoManifestBucketedParquet with the SAME batch, which
+      // skips the discovery scan entirely (it hashes the batch keys to
+      // buckets directly) — the price SQL MERGE pays for arbitrary
+      // clause semantics is exactly the discovery scan, and it grows
+      // with the narrow scan, not the rewrite.
+      import graft.operators.Upsert
+      val wh = "/tmp/scale/rowlevel18/wh"
+      spark.conf.set("spark.sql.catalog.grl18", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.grl18.warehouse", wh)
+      def profile(n: Long): Unit = {
+        val tag = s"n$n"
+        val tbl = s"$wh/$tag" // managed path ⇒ zero-DDL catalog adoption
+        if (Upsert.manifestBody(spark, tbl, None).isEmpty) {
+          Upsert.mergeIntoManifestBucketedParquet(spark, tbl,
+            spark.range(n).select(col("id").as("key"),
+              concat(lit("v"), col("id")).as("v")),
+            Seq("key"), nBuckets = 64, statsCols = Seq("key"),
+            keepSnapshots = 1)
+          System.err.println(s"[scale] built rowlevel18 $tag")
+        }
+        val batch = (0 until 5).map(i => n / 5 * i + 3) ++ // existing keys
+          (0 until 5).map(i => 10L * n + i) // new keys (insert once)
+        spark.createDataFrame(
+          java.util.Arrays.asList(batch.map(k =>
+            org.apache.spark.sql.Row(k, s"u$k")): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("key",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.StringType, nullable = false))))
+          .createOrReplaceTempView("rl18src")
+        def sqlMergeOnce(): Double = {
+          val t0 = System.nanoTime()
+          spark.sql(
+            s"""MERGE INTO grl18.`$tag` t USING rl18src s ON t.key = s.key
+               |WHEN MATCHED THEN UPDATE SET v = s.v
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          (System.nanoTime() - t0) / 1e9
+        }
+        def libMergeOnce(): Double = {
+          val t0 = System.nanoTime()
+          Upsert.mergeIntoManifestBucketedParquet(spark, tbl,
+            spark.sql("SELECT * FROM rl18src"), Seq("key"),
+            nBuckets = 64, keepSnapshots = 1)
+          (System.nanoTime() - t0) / 1e9
+        }
+        def med3(f: => Double): Double = { f; (1 to 3).map(_ => f).sorted.apply(1) }
+        println(f"ROWLEVEL18 n=$n merge_sql_s=${med3(sqlMergeOnce())}%.2f " +
+          f"merge_lib_s=${med3(libMergeOnce())}%.2f")
+      }
+      Seq(100000L, 400000L, 1600000L).foreach(profile)
+      spark.stop()
+      return
+    }
     if (mode == "erasure") {
       erasureManifestProfile(spark, src, "sf0.1")
       erasureManifestProfile(spark, out, "sf0.5")

@@ -1478,6 +1478,25 @@ object Upsert {
     // and the next committer finishes it. Ordering keeps the swallow
     // safe: the live set is fully computed before the first delete, so
     // an aborted scan never GCs with a shrunken liveness view.
+    postCommitMaintenance(fs, hadoopConf, targetPath, snapName, nextId,
+      nextManifest, keepSnapshots)
+  }
+
+  /** The best-effort post-commit tail shared by [[commitSnapshot]] and
+    * [[commitFileReplacement]]: pointer publish, retention, data-run GC,
+    * stale-manifest cleanup. Swallows non-fatal failures by contract —
+    * the manifest create WAS the commit; everything here is repairable
+    * by the next reader/committer (see the commitSnapshot comment for
+    * the double-commit incident that motivated the swallow). */
+  private def postCommitMaintenance(
+      fs: org.apache.hadoop.fs.FileSystem,
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      targetPath: String,
+      snapName: String,
+      nextId: Long,
+      nextManifest: Map[Int, Seq[String]],
+      keepSnapshots: Int): Unit = {
+    val root = new Path(targetPath)
     try {
     publishPointer(fs, hadoopConf, targetPath, snapName, nextId.toString)
 
@@ -1546,6 +1565,133 @@ object Upsert {
           " the commit stands — pointer repair / the next commit's retention" +
           " will converge")
     }
+  }
+
+  /** Pin the live table state for a multi-phase operation (the SQL
+    * row-level rewrite): (snapshot name, manifest body) of the current
+    * head after pointer repair, or None when the table has no
+    * manifest-layout commit. The body is read for the NAMED snapshot —
+    * not re-resolved — so scan planning and commit validation observe
+    * the same version even if commits land in between. */
+  private[graft] def pinLive(spark: SparkSession,
+      targetPath: String): Option[(String, String)] =
+    repairPointer(spark, targetPath).flatMap { snap =>
+      manifestBody(spark, targetPath, Some(snap)).map(snap -> _)
+    }
+
+  /** Commit a file-level REPLACEMENT against a pinned snapshot — the
+    * publish half of the SQL row-level rewrite (MERGE INTO / UPDATE /
+    * predicate DELETE through the DSv2 connector): the rewritten data is
+    * already on disk as `newByBucket` (manifest-relative paths under a
+    * `data/run-…` dir, written by the connector's DataWriters), and this
+    * call atomically swaps it in for exactly the files the operation's
+    * scan read (`scannedRels`), leaving every other file untouched.
+    *
+    * Isolation is snapshot-with-write-set-validation, the same contract
+    * Iceberg's copy-on-write validates: commits that landed after the
+    * pin are tolerated iff they did not touch any bucket this operation
+    * scanned or writes (the entry lists of touched buckets must be
+    * IDENTICAL to the pinned manifest's). A drifted touched bucket means
+    * the rewrite was computed from stale rows — that surfaces as
+    * [[CommitConflictException]] for the CALLER to re-run the statement;
+    * unlike the library merge loops, the rewritten rows cannot be
+    * re-derived here (they are the output of an arbitrary Spark job).
+    * Losing the manifest-create race alone is NOT fatal: the written
+    * files stay valid, so the loop revalidates against the new head and
+    * re-contends with a fresh snapshot id.
+    *
+    * Returns the committed snapshot name. */
+  private[graft] def commitFileReplacement(
+      spark: SparkSession,
+      targetPath: String,
+      pinnedBody: String,
+      scannedRels: Set[String],
+      newByBucket: Map[Int, Seq[String]],
+      keepSnapshots: Int,
+      maxRetries: Int = 5): String = {
+    require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
+    val root = new Path(targetPath)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hadoopConf)
+    val pinnedEntries = parseManifestEntries(pinnedBody)
+    val touched: Seq[Int] = (pinnedEntries.collect {
+      case (b, rels) if rels.exists(scannedRels) => b
+    } ++ newByBucket.keys).toSeq.distinct.sorted
+    // per-file stats for the new files, over the columns the table
+    // already tracks (driver footer reads, O(new files) — same cost
+    // class as commitSnapshot's)
+    val statCols = (parseManifestString(pinnedBody, "bucket_keys")
+      .map(_.split(",").toSeq).getOrElse(Nil) ++
+      FileStats.parse(pinnedBody).values.flatMap(_.keys)).distinct
+      .filterNot(Set(FileStats.RowsCol, "__bucket"))
+    val newRels = newByBucket.values.flatten.toSeq
+    val freshStats = FileStats.collect(hadoopConf,
+      newRels.map(rel => rel -> resolveEntry(targetPath, rel)), statCols)
+    var wasted = 0
+    while (true) {
+      val current = repairPointer(spark, targetPath)
+      val curBody = manifestBody(spark, targetPath, None).getOrElse(
+        throw new IllegalStateException(
+          s"$targetPath lost its manifest mid-operation"))
+      val curEntries = parseManifestEntries(curBody)
+      touched.foreach { b =>
+        if (curEntries.getOrElse(b, Nil) != pinnedEntries.getOrElse(b, Nil))
+          throw new CommitConflictException(
+            s"bucket $b of $targetPath changed concurrently since this " +
+              "statement pinned its snapshot — the rewrite would publish " +
+              "stale rows; re-run the statement against the new state")
+      }
+      val nextEntries: Map[Int, Seq[String]] = {
+        val cleaned = curEntries.map { case (b, rels) =>
+          b -> rels.filterNot(scannedRels) }
+        (cleaned.keySet ++ newByBucket.keySet).map { b =>
+          b -> (cleaned.getOrElse(b, Nil) ++ newByBucket.getOrElse(b, Nil))
+        }.toMap
+      }
+      val nextId = nextFreeId(spark, targetPath, current)
+      val snapName = f"snap-$nextId%09d"
+      val attempt = java.util.UUID.randomUUID().toString.take(8)
+      val referenced = nextEntries.values.flatten.toSet
+      val statsField: Option[String] = {
+        val carried = FileStats.parse(curBody)
+        val merged = (carried ++ freshStats).filter { case (rel, s) =>
+          referenced(rel) && s.nonEmpty }
+        if (merged.isEmpty) None
+        else Some(s""""file_stats": {${FileStats.encode(merged)}}""")
+      }
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      // schema / layout metadata carried verbatim from the pinned state:
+      // a row-level rewrite never changes the table's shape
+      val ddlField = parseManifestString(pinnedBody, "schema_ddl")
+        .map(d => s""""schema_ddl": "${esc(d)}"""")
+      val keysField = parseManifestString(pinnedBody, "bucket_keys")
+        .map(k => s""""bucket_keys": "${esc(k)}"""")
+      val nb = parseManifestLong(pinnedBody, "nBuckets").getOrElse(0L)
+      val json = (Seq(s""""attempt": "$attempt"""",
+        s""""nBuckets": $nb""") ++ ddlField.toSeq ++ keysField.toSeq ++
+        statsField.toSeq ++
+        nextEntries.toSeq.sortBy(_._1).map { case (b, files) =>
+          s""""$b": [${files.map(f => "\"" + f + "\"").mkString(",")}]"""
+        }).mkString("{", ",", "}")
+      val manifestFile = new Path(root, s"$snapName.manifest.json")
+      beforeManifestCreateHook.foreach(h => h(targetPath, nextId))
+      commitBackend.putIfAbsent(fs, manifestFile, json.getBytes("UTF-8"),
+          () => afterManifestWriteHook.foreach(h => h(targetPath, snapName))) match {
+        case Some(winner) =>
+          // lost the id race only — the written run files remain valid;
+          // revalidate the touched buckets against the winner's state and
+          // re-contend (the loop head re-reads; drift throws there)
+          wasted = chargeRetry(spark, targetPath, current, wasted, maxRetries,
+            new CommitConflictException(
+              s"snapshot $snapName of $targetPath was committed " +
+                s"concurrently (committed body: ${winner.take(120)})"))
+        case None =>
+          postCommitMaintenance(fs, hadoopConf, targetPath, snapName, nextId,
+            nextEntries, keepSnapshots)
+          return snapName
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** GC sweep of `<root>/data/run-*` shared by [[commitSnapshot]] and

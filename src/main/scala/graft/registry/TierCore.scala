@@ -428,6 +428,127 @@ private[graft] object TierCore extends Registry {
       s.sql("SELECT doc_id, ref, category, val FROM graftsqli18.table")
     }),
 
+    // r18: SQL MERGE INTO with full clause semantics — the reference's
+    // headline statement (`embeddings-pipeline.py:294-352` IS a Snowflake
+    // MERGE) executed verbatim through the catalog: Spark's own
+    // RewriteMergeIntoTable plans the clauses (conditional DELETE,
+    // partial-assignment UPDATE, conditional INSERT) and the connector's
+    // group-based copy-on-write operation (GraftRowLevelOperation)
+    // rewrites only the buckets the runtime group filter proves affected.
+    // The oracle is the clause semantics spelled out as a full-outer
+    // join. GraftRowLevelSpec pins the physical invariants (untouched
+    // buckets verbatim, key-moving updates re-bucketed, the
+    // all-rows-deleted-file trap).
+    "sql_merge" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val base = Ivf.cachedIndexDir(src, root = "/tmp/graft-sqlm18",
+        params = "sql_merge:nBuckets=8:v1")
+      val done = new java.io.File(s"$base/_merge_done")
+      s.conf.set("spark.sql.catalog.graftsqlm18", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsqlm18.warehouse", base)
+      if (!done.exists()) {
+        Ivf.gcSupersededIndexes(base)
+        val docs = Tables.documents(s, dir)
+        Upsert.mergeIntoManifestBucketedParquet(s, s"$base/table",
+          docs.where(col("doc_id") % 3 === 0).select(
+            col("doc_id"), col("source").as("ref"),
+            col("lang").as("category"), col("n_chars").as("val")),
+          Seq("doc_id"), nBuckets = 8, keepSnapshots = 4)
+        s.sql(
+          s"""MERGE INTO graftsqlm18.table t
+             |USING (SELECT doc_id, concat('u_', source) AS ref,
+             |              concat('u_', lang) AS category,
+             |              n_chars + 1 AS val
+             |       FROM parquet.`$dir/documents.parquet`
+             |       WHERE doc_id % 2 = 0) s
+             |ON t.doc_id = s.doc_id
+             |WHEN MATCHED AND s.val % 5 = 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET ref = s.ref, val = s.val
+             |WHEN NOT MATCHED AND s.val % 7 != 0 THEN INSERT *""".stripMargin)
+        done.createNewFile()
+      }
+      s.sql("SELECT doc_id, ref, category, val FROM graftsqlm18.table")
+    }),
+
+    // r18: SQL UPDATE with a non-key predicate — the RewriteUpdateTable
+    // path of the same row-level operation (carryover ∪ updated rows of
+    // affected buckets, everything else untouched).
+    "sql_update" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/documents.parquet")
+      // v2: the v1 predicate (`LIKE 'c%'`) matched zero rows of the
+      // generated corpus — a vacuous UPDATE gates nothing
+      val base = Ivf.cachedIndexDir(src, root = "/tmp/graft-sqlu18",
+        params = "sql_update:nBuckets=8:v2")
+      val done = new java.io.File(s"$base/_update_done")
+      s.conf.set("spark.sql.catalog.graftsqlu18", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsqlu18.warehouse", base)
+      if (!done.exists()) {
+        Ivf.gcSupersededIndexes(base)
+        Upsert.mergeIntoManifestBucketedParquet(s, s"$base/table",
+          Tables.documents(s, dir).where(col("doc_id") % 3 === 0).select(
+            col("doc_id"), col("source").as("ref"), col("n_chars").as("val")),
+          Seq("doc_id"), nBuckets = 8, keepSnapshots = 4)
+        s.sql("UPDATE graftsqlu18.table SET val = val + 100 " +
+          "WHERE ref LIKE 'src1%'")
+        done.createNewFile()
+      }
+      s.sql("SELECT doc_id, ref, val FROM graftsqlu18.table")
+    }),
+
+    // r18: SQL DELETE with a NON-key predicate — the shape r17 REFUSED
+    // (key-only deletes take the metadata fast path, everything else
+    // errored). Now it executes as the explicit copy-on-write rewrite:
+    // the runtime group filter narrows to buckets holding matching rows,
+    // those buckets rewrite minus the victims. The oracle is the
+    // anti-selection.
+    "sql_delete_rewrite" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val base = Ivf.cachedIndexDir(src, root = "/tmp/graft-sqldr18",
+        params = "sql_delete_rewrite:nBuckets=8:v1")
+      val done = new java.io.File(s"$base/_delete_done")
+      s.conf.set("spark.sql.catalog.graftsqldr18", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsqldr18.warehouse", base)
+      if (!done.exists()) {
+        Ivf.gcSupersededIndexes(base)
+        Upsert.mergeIntoManifestBucketedParquet(s, s"$base/table",
+          Tables.documents(s, dir)
+            .select("doc_id", "source", "lang", "n_chars"),
+          Seq("doc_id"), nBuckets = 8, keepSnapshots = 4)
+        s.sql("DELETE FROM graftsqldr18.table WHERE n_chars % 11 = 3")
+        done.createNewFile()
+      }
+      s.sql("SELECT doc_id, source, lang, n_chars FROM graftsqldr18.table")
+    }),
+
+    // r18: SQL maintenance lifecycle — `CALL cat.system.compact(…)`
+    // (Iceberg/Delta's OPTIMIZE, via ProcedureCatalog) over a table
+    // built from small-file appends, then read back. The hash gate
+    // proves compaction is content-preserving through the SQL face; the
+    // shrink itself (one file per bucket after) is asserted in
+    // GraftProceduresSpec. Oracle = union of the appended batches.
+    "sql_maintenance" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val base = Ivf.cachedIndexDir(src, root = "/tmp/graft-sqlp18",
+        params = "sql_maintenance:nBuckets=8:v1")
+      val done = new java.io.File(s"$base/_compact_done")
+      s.conf.set("spark.sql.catalog.graftsqlp18", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsqlp18.warehouse", base)
+      if (!done.exists()) {
+        Ivf.gcSupersededIndexes(base)
+        val docs = Tables.documents(s, dir)
+        Seq(0, 1, 2).foreach { m =>
+          Upsert.appendToManifestBucketedParquet(s, s"$base/table",
+            docs.where(col("doc_id") % 3 === m)
+              .select("doc_id", "source", "n_chars"),
+            Seq("doc_id"), nBuckets = 8, keepSnapshots = 4)
+        }
+        s.sql("CALL graftsqlp18.system.compact(`table` => 'table', " +
+          "target_file_rows => 1000000)")
+        done.createNewFile()
+      }
+      s.sql("SELECT doc_id, source, n_chars FROM graftsqlp18.table")
+    }),
+
     // r18 (VERDICT r17 #6): STREAMING READ of the plain table face —
     // appends-per-snapshot over an insert-only table. Two insert-only
     // commits (appendToManifestBucketedParquet: O(batch) ingest, no merge
@@ -959,6 +1080,42 @@ private[graft] object TierCore extends Registry {
         |  CASE WHEN u.doc_id IS NOT NULL THEN u.category ELSE t.category END AS category,
         |  CASE WHEN u.doc_id IS NOT NULL THEN u.val ELSE t.val END AS val
         |FROM t FULL OUTER JOIN u ON t.doc_id = u.doc_id""".stripMargin,
+
+    // MERGE clause semantics spelled out: matched ∧ val%5=0 deleted;
+    // matched else updated (ref/val from source, category KEPT — the
+    // partial assignment); unmatched target carried; unmatched source
+    // inserted unless val%7=0 (the conditional insert)
+    "sql_merge" ->
+      """WITH t AS (
+        |  SELECT doc_id, source AS ref, lang AS category, n_chars AS val
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |u AS (
+        |  SELECT doc_id, 'u_' || source AS ref, 'u_' || lang AS category,
+        |    n_chars + 1 AS val
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT coalesce(t.doc_id, u.doc_id) AS doc_id,
+        |  CASE WHEN u.doc_id IS NOT NULL THEN u.ref ELSE t.ref END AS ref,
+        |  CASE WHEN t.doc_id IS NOT NULL THEN t.category ELSE u.category END AS category,
+        |  CASE WHEN u.doc_id IS NOT NULL THEN u.val ELSE t.val END AS val
+        |FROM t FULL OUTER JOIN u ON t.doc_id = u.doc_id
+        |WHERE NOT (t.doc_id IS NOT NULL AND u.doc_id IS NOT NULL AND u.val % 5 = 0)
+        |  AND NOT (t.doc_id IS NULL AND u.val % 7 = 0)""".stripMargin,
+
+    // UPDATE = CASE over the predicate
+    "sql_update" ->
+      """SELECT doc_id, source AS ref,
+        |  CASE WHEN source LIKE 'src1%' THEN n_chars + 100 ELSE n_chars END AS val
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
+    // non-key DELETE = anti-selection on the predicate
+    "sql_delete_rewrite" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE n_chars % 11 != 3""".stripMargin,
+
+    // compaction is content-preserving: the compacted table is the
+    // union of the three appended (disjoint) batches
+    "sql_maintenance" ->
+      "SELECT doc_id, source, n_chars FROM documents",
 
     // the appends stream delivers each inserted row exactly once, so the
     // mirror is just the union of the two insert-only batches

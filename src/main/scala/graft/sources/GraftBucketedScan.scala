@@ -57,7 +57,13 @@ private[sources] class GraftBucketedScan(
     entriesByBucket: Map[Int, Seq[String]], // statically-kept ABSOLUTE paths
     statsByRel: Map[String, Map[String, FileStats.ColStats]],
     relOf: String => String, // absolute -> manifest-relative (stats key)
-    buildDelegate: Seq[String] => Scan)
+    buildDelegate: Seq[String] => Scan,
+    // row-level-operation mode (round 18): the scan feeds a group-based
+    // MERGE/UPDATE/DELETE rewrite, so runtime filtering is on the
+    // `__bucket` group id alone — the rewrite's replacement set must
+    // equal the scanned set exactly, and bucket-exact pruning is the
+    // granularity the commit protocol swaps files at
+    rowLevel: Boolean = false)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics {
@@ -74,6 +80,11 @@ private[sources] class GraftBucketedScan(
   /** Files the scan would currently read — observability + spec hook. */
   private[sources] def currentFiles: Seq[String] =
     staticBuckets.flatMap { case (b, _) => runtimeKept.getOrElse(b, Nil) }
+
+  /** Manifest-relative view of [[currentFiles]] — what the row-level
+    * rewrite's commit replaces. */
+  private[sources] def currentRels: Set[String] =
+    currentFiles.map(relOf).toSet
 
   /** Zero-path delegate: carries the pruned schema, the pushed data
     * filters, and the reader-factory configuration — never a file index
@@ -192,6 +203,11 @@ private[sources] class GraftBucketedScan(
   // ---- runtime filtering ---------------------------------------------
 
   override def filterAttributes(): Array[NamedReference] = {
+    // row-level mode: groups are buckets and the runtime group filter
+    // (RowLevelOperationRuntimeGroupFiltering) supplies matching groups'
+    // __bucket values — the one sound static narrowing for a rewrite
+    // whose unscanned rows survive verbatim
+    if (rowLevel) return Array(Expressions.column("__bucket"))
     val statsCols = statsByRel.valuesIterator.flatMap(_.keysIterator)
       .filterNot(_ == FileStats.RowsCol).toSet
     (keys ++ statsCols).distinct.map(Expressions.column).toArray
@@ -218,14 +234,22 @@ private[sources] class GraftBucketedScan(
       case EqualTo(c, v) if v != null => c -> Seq(v)
     }.groupMapReduce(_._1)(_._2)((a, b) => a.intersect(b))
     if (eqValues.isEmpty) return
-    // bucket-exact pruning when the (single-column) bucket key is
+    // bucket-exact pruning: directly on the group id when the runtime filter
+    // carries `__bucket` itself (the row-level rewrite's group filter),
+    // else via the hash when the (single-column) bucket key is
     // runtime-filtered; conjunction over several runtime filters on the
-    // same key intersects above, stays sound
-    val keptBuckets: Option[Set[Int]] =
+    // same column intersects above, stays sound
+    val byGroupId: Option[Set[Int]] = eqValues.get("__bucket")
+      .map(_.collect { case i: Int => i }.toSet)
+    val byKeyHash: Option[Set[Int]] =
       if (keys.size == 1) eqValues.get(keys.head)
         .filter(_.size <= 100000) // defensive: hash cost stays bounded
         .map(_.map(v => bucketOfValues(Seq(v))).toSet)
       else None
+    val keptBuckets: Option[Set[Int]] = (byGroupId, byKeyHash) match {
+      case (Some(a), Some(b)) => Some(a.intersect(b))
+      case (a, b) => a.orElse(b)
+    }
     // file-stats pruning per runtime-filtered column: a file survives if
     // ANY value may match (OR within a filter, AND across filters)
     def fileSurvives(abs: String): Boolean = {

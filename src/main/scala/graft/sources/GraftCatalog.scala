@@ -54,7 +54,8 @@ import graft.operators.Upsert
   * `bucket(n, keys…)` partitioning into a [[org.apache.spark.sql.catalyst.expressions.TransformExpression]]
   * and run STORAGE-PARTITIONED JOINS between co-bucketed graft tables
   * with zero Exchange (VERDICT r16 #1). */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -191,7 +192,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     if (cdc) opts.put("cdc", "true")
     version.foreach(v => opts.put("snapshot", v))
     val options = new CaseInsensitiveStringMap(opts)
-    new GraftTable(GraftTableProvider.resolveSchema(spark, options), options)
+    GraftTable.create(GraftTableProvider.resolveSchema(spark, options), options)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -266,6 +267,27 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     if (ident.namespace.isEmpty && ident.name == "bucket")
       GraftBucketFunction
     else throw new NoSuchFunctionException(ident)
+
+  // ---- ProcedureCatalog (round 18) ---------------------------------------
+  // Maintenance lifecycle from SQL: CALL cat.system.compact/vacuum/
+  // snapshots — see [[GraftProcedures]]. The `table` argument resolves
+  // through the SAME registry lookup as a query (zero-DDL adoption
+  // included), so a procedure can never target a different tree than
+  // the SELECT next to it.
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq(GraftProcedures.Namespace))
+      GraftProcedures.names
+        .map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(spark, ident, { tableRef =>
+      val parts = tableRef.split("\\.").toSeq
+      val tid = Identifier.of(parts.init.toArray, parts.last)
+      locationOf(tid).getOrElse(throw new NoSuchTableException(tid))
+    })
 }
 
 /** The table layout's bucket assignment, `pmod(xxhash64(keys…), n)`, as

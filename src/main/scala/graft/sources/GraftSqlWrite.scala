@@ -46,7 +46,7 @@ import graft.operators.Upsert
   * per-call retention). */
 private[sources] object GraftSqlWrite {
 
-  private def keepSnapshots(spark: SparkSession): Int =
+  private[sources] def keepSnapshots(spark: SparkSession): Int =
     spark.conf.get("spark.graft.sql.keepSnapshots", "2").toInt
 
   /** Upper bound on the key-tuple fan-out a DELETE's IN-lists may expand
@@ -57,7 +57,7 @@ private[sources] object GraftSqlWrite {
   /** The recorded merge layout of a manifest table: (bucket keys,
     * nBuckets) — None when the table is not a key-merged manifest
     * target. */
-  private def mergeLayout(spark: SparkSession, path: String): Option[(Seq[String], Int)] =
+  private[sources] def mergeLayout(spark: SparkSession, path: String): Option[(Seq[String], Int)] =
     Upsert.manifestBody(spark, path, None).flatMap { body =>
       for {
         keys <- Upsert.parseManifestString(body, "bucket_keys")

@@ -63,7 +63,7 @@ class GraftTableProvider extends TableProvider
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new GraftTable(schema, new CaseInsensitiveStringMap(properties))
+    GraftTable.create(schema, new CaseInsensitiveStringMap(properties))
 }
 
 private[sources] object GraftTableProvider {
@@ -214,13 +214,37 @@ private[sources] object GraftTableProvider {
   }
 }
 
+private[sources] object GraftTable {
+  /** Table construction for both the path face and the catalog: LIVE
+    * tables whose manifest records a merge layout get the row-level
+    * mutation face ([[GraftMergeableTable]] — SQL MERGE/UPDATE/DELETE as
+    * a group-based copy-on-write rewrite, round 18); everything else
+    * (CDC feeds, time travel, non-bucketed layouts) stays read/append
+    * only. One manifest read at construction — the same cost class as
+    * `partitioning()`. */
+  def create(schema: StructType, options: CaseInsensitiveStringMap): GraftTable = {
+    val cdc = options.getBoolean("cdc", false)
+    val snapshot = GraftTableProvider.snapshotOf(options)
+    val layout =
+      if (cdc || snapshot.isDefined) None
+      else try GraftSqlWrite.mergeLayout(SparkSession.active,
+        GraftTableProvider.pathOf(options))
+      catch { case scala.util.control.NonFatal(_) => None }
+    layout match {
+      case Some((keys, nb)) =>
+        new GraftMergeableTable(schema, options, keys, nb)
+      case None => new GraftTable(schema, options)
+    }
+  }
+}
+
 private[sources] class GraftTable(schema: StructType,
     options: CaseInsensitiveStringMap) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import GraftTableProvider._
 
-  private val path = pathOf(options)
+  protected val path = pathOf(options)
   private val snapshot = snapshotOf(options)
 
   private val cdc = options.getBoolean("cdc", false)
@@ -299,6 +323,55 @@ private[sources] class GraftTable(schema: StructType,
       new GraftCdcScanBuilder(schema, path,
         GraftCdcStream.resolveKeys(SparkSession.active, path, options))
     else new GraftScanBuilder(schema, path, snapshot, options)
+}
+
+/** LIVE hash-bucketed manifest table with the SQL mutation face
+  * (round 18, VERDICT r17 trajectory): beyond the base table's
+  * key-DELETE + INSERT-as-merge, this face hands Spark's own row-level
+  * rewrite machinery (`RewriteMergeIntoTable` / `RewriteUpdateTable` /
+  * `RewriteDeleteFromTable`) a group-based copy-on-write operation whose
+  * groups are the table's hash buckets — so a SQL consumer gets the full
+  * reference surface (`MERGE INTO cat.t USING src ON … WHEN MATCHED …`,
+  * the statement the reference's pipeline issues against Snowflake,
+  * `embeddings-pipeline.py:294-352`) with arbitrary clause semantics,
+  * while the engine only ever promises what its layout can do
+  * transactionally: swap whole bucket file-sets under the optimistic
+  * commit protocol.
+  *
+  * The `__bucket` METADATA column (hidden from `SELECT *`, physically
+  * present in every data file the writer lays down) is the group id:
+  * the runtime group filter projects it from matching rows and the scan
+  * prunes to affected buckets before any data file of an unaffected
+  * bucket is opened. Its PRESERVE flags are false for update/reinsert —
+  * an UPDATE may rewrite a KEY column, which MOVES the row to a new
+  * bucket, so the write side always recomputes placement from the key
+  * values rather than trusting a stale group id. */
+private[sources] class GraftMergeableTable(schema: StructType,
+    options: CaseInsensitiveStringMap,
+    keys: Seq[String], nBuckets: Int) extends GraftTable(schema, options)
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "__bucket"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def isNullable: Boolean = true // NULL for MERGE-inserted rows
+      override def comment(): String =
+        s"hash bucket id: pmod(xxhash64(${keys.mkString(",")}), $nBuckets)"
+      // a rewritten row's placement is derived from its (possibly
+      // updated) keys, never carried
+      override def metadataInJSON(): String =
+        """{"__preserve_on_update": false, "__preserve_on_reinsert": false}"""
+    })
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(path, schema, keys, nBuckets,
+      info.command)
 }
 
 private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
@@ -654,10 +727,28 @@ private[sources] class GraftScanBuilder(tableSchema: StructType, path: String,
     * returned Scan IS a ParquetScan — the connector's value is the layer
     * above it (manifest resolution, snapshot time travel, file-stats
     * pruning), not a bespoke reader. */
+  /** Schema handed to the parquet delegate: the data files of a
+    * hash-bucketed manifest layout physically carry the `__bucket`
+    * placement column (commitSnapshot partitions by a DUPLICATE
+    * `__bucket_p`, keeping the original in the row), and the SQL face
+    * exposes it as a METADATA column (round 18) — so when the layout is
+    * bucketed, the delegate's schema includes it and a requested
+    * `__bucket` projection (the row-level group filter's
+    * `SELECT DISTINCT __bucket WHERE …`) reads it like any data column.
+    * Non-bucketed layouts have no such physical column. */
+  private lazy val delegateSchema: StructType = resolvedState match {
+    case ManifestFiles(body)
+        if Upsert.parseManifestLong(body, "nBuckets").exists(_ > 0) &&
+          !tableSchema.fieldNames.contains("__bucket") =>
+      StructType(tableSchema.fields :+ org.apache.spark.sql.types.StructField(
+        "__bucket", org.apache.spark.sql.types.IntegerType, nullable = true))
+    case _ => tableSchema
+  }
+
   private def delegate(spark: SparkSession, paths: Seq[String]): Scan = {
     val pt = ParquetTable(s"graft.`$path`", spark,
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
-      paths, Some(tableSchema), classOf[ParquetFileFormat])
+      paths, Some(delegateSchema), classOf[ParquetFileFormat])
     val sb = pt.newScanBuilder(
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
     sb.pruneColumns(required)

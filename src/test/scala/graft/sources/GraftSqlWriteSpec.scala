@@ -16,8 +16,9 @@ import graft.operators.Upsert
   *    manifest erasure — same snapshot state as the library path,
   *    untouched buckets' files carried verbatim, pre-delete snapshot
   *    still time-travel-readable;
-  *  - non-key DELETE shapes are refused at analysis (no silent
-  *    full-table rewrite);
+  *  - non-key DELETE shapes execute as the group-filtered row-level
+  *    rewrite (refusal was the pre-row-level-ops contract; narrowness
+  *    is now enforced by the plan — see GraftRowLevelSpec);
   *  - `INSERT INTO cat.t SELECT …` is append-as-upsert on the recorded
   *    merge keys, matching `Upsert.merge` semantics through a pure-SQL
   *    session; `INSERT OVERWRITE` is refused;
@@ -106,24 +107,35 @@ class GraftSqlWriteSpec extends SparkSpecBase {
     spark.sql(s"DROP TABLE $cat.db.del_eq")
   }
 
-  test("non-key DELETE shapes are refused loudly, never a silent full rewrite") {
+  test("non-key DELETE executes as an explicit group-filtered rewrite (was refused pre-row-level-ops)") {
+    // Before the row-level operations landed (same round, later commit),
+    // these shapes were REFUSED because the only executor was the
+    // key-tuple metadata delete. Now they run as the group-based
+    // copy-on-write rewrite: the runtime group filter narrows the scan
+    // to buckets holding matching rows, only those buckets' files are
+    // replaced — the "never an implicit FULL-TABLE rewrite" contract is
+    // kept by the plan, not by refusal. GraftRowLevelSpec owns the
+    // deeper invariants; here we pin that the SQL statement works and
+    // stays narrow.
     val path = mkTable("delref",
       (0L until 50L).map(k => (k, s"v$k")).toDF("key", "v"), Seq("key"), 4)
     spark.sql(s"CREATE TABLE $cat.db.del_no USING graft LOCATION '$path'")
-    // predicate over a NON-key column
-    val e1 = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.db.del_no WHERE v = 'v3'")
-    }
-    assert(e1.isInstanceOf[AnalysisException] ||
-      e1.getMessage.contains("full-table"), e1.getMessage)
-    // range over the key is not a key-tuple delete either
-    val e2 = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.db.del_no WHERE key < 10")
-    }
-    assert(e2.isInstanceOf[AnalysisException] ||
-      e2.getMessage.contains("full-table"), e2.getMessage)
-    // nothing was deleted by the refused statements
-    assert(spark.sql(s"SELECT count(*) FROM $cat.db.del_no").as[Long].head() == 50L)
+    val before =
+      Upsert.parseManifestEntries(Upsert.manifestBody(spark, path, None).get)
+    // predicate over a NON-key column: one row matches → one bucket
+    // rewrites, every other bucket's entries carry verbatim
+    spark.sql(s"DELETE FROM $cat.db.del_no WHERE v = 'v3'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.del_no").as[Long].head() == 49L)
+    assert(spark.sql(s"SELECT * FROM $cat.db.del_no WHERE key = 3").isEmpty)
+    val after =
+      Upsert.parseManifestEntries(Upsert.manifestBody(spark, path, None).get)
+    val rewritten = before.keySet.count(b =>
+      before(b) != after.getOrElse(b, Nil))
+    assert(rewritten == 1,
+      s"a one-row non-key DELETE rewrote $rewritten buckets (want 1)")
+    // key-range delete (not a key-tuple shape either) — same machinery
+    spark.sql(s"DELETE FROM $cat.db.del_no WHERE key < 10")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.del_no").as[Long].head() == 40L)
     spark.sql(s"DROP TABLE $cat.db.del_no")
   }
 
