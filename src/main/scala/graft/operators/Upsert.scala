@@ -1399,11 +1399,14 @@ object Upsert {
     val statsWanted = (sortCols ++ statsCols).distinct
       .filterNot(partCol.contains(_))
     val referenced = nextManifest.values.flatten.toSet
+    // one pre-commit manifest read shared by the stats carry and the
+    // stream-epoch-marker carry below
+    val priorBody = manifestBody(spark, targetPath, None)
     val statsField: Option[String] = if (statsWanted.isEmpty) None else {
       val fresh = FileStats.collect(hadoopConf,
         newEntries.values.flatten.filter(referenced).toSeq.distinct
           .map(rel => rel -> resolveEntry(targetPath, rel)), statsWanted)
-      val carried = manifestBody(spark, targetPath, None)
+      val carried = priorBody
         .map(FileStats.parse).getOrElse(Map.empty)
       val merged = (carried ++ fresh).filter { case (rel, s) =>
         referenced(rel) && s.nonEmpty }
@@ -1425,7 +1428,11 @@ object Upsert {
       else Nil
     val json = (Seq(s""""attempt": "$attempt"""",
       s""""nBuckets": $nBuckets""", s""""schema_ddl": "$ddl"""") ++
-      keysField ++ statsField.toSeq ++
+      keysField ++
+      // streaming-sink exactly-once markers survive interleaved
+      // batch commits (see commitStreamAppend)
+      streamEpochFields(priorBody.map(parseStreamEpochs).getOrElse(Map.empty)) ++
+      statsField.toSeq ++
       nextManifest.toSeq.sortBy(_._1).map { case (b, files) =>
         s""""$b": [${files.map(f => "\"" + f + "\"").mkString(",")}]"""
       }).mkString("{", ",", "}")
@@ -1669,6 +1676,8 @@ object Upsert {
       val nb = parseManifestLong(pinnedBody, "nBuckets").getOrElse(0L)
       val json = (Seq(s""""attempt": "$attempt"""",
         s""""nBuckets": $nb""") ++ ddlField.toSeq ++ keysField.toSeq ++
+        // streaming-sink exactly-once markers survive the rewrite
+        streamEpochFields(parseStreamEpochs(curBody)) ++
         statsField.toSeq ++
         nextEntries.toSeq.sortBy(_._1).map { case (b, files) =>
           s""""$b": [${files.map(f => "\"" + f + "\"").mkString(",")}]"""
@@ -1689,6 +1698,124 @@ object Upsert {
           postCommitMaintenance(fs, hadoopConf, targetPath, snapName, nextId,
             nextEntries, keepSnapshots)
           return snapName
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Epoch markers for the streaming sink's exactly-once contract:
+    * `"stream_epoch_<queryId>": N` scalar fields in the manifest, one
+    * per writing stream, recording the highest epoch that stream has
+    * committed. EVERY commit path carries them forward (merge, append,
+    * replacement, stream) — a marker that vanished under an interleaved
+    * writer would let a crash-replayed micro-batch re-append its rows.
+    * Bounded: at most [[MaxStreamMarkers]] markers are carried (a table
+    * written by an unbounded parade of distinct queries sheds the
+    * lexicographically smallest ids first; a LIVE stream re-establishes
+    * its marker on its next commit, so only a stream that is both idle
+    * across 32 foreign stream adoptions AND crash-replaying can lose
+    * idempotence — document, don't chase). */
+  private[operators] val MaxStreamMarkers = 32
+
+  private[operators] def parseStreamEpochs(body: String): Map[String, Long] =
+    "\"stream_epoch_([A-Za-z0-9_-]+)\"\\s*:\\s*(\\d+)".r
+      .findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toLong).toMap
+
+  private[operators] def streamEpochFields(markers: Map[String, Long]): Seq[String] =
+    markers.toSeq.sortBy(_._1).takeRight(MaxStreamMarkers)
+      .map { case (q, e) => s""""stream_epoch_$q": $e""" }
+
+  /** Streaming-sink commit (round 18): append the micro-batch's
+    * already-written per-bucket files to the manifest, exactly once per
+    * (query, epoch). The files were laid down by the connector's
+    * DataWriters before this call; the manifest create is the atomic
+    * commit point, and the epoch marker rides IN the same manifest —
+    * so "batch visible" and "batch recorded as committed" are one
+    * write, and a crash-replayed epoch (its marker already ≥ epochId in
+    * the live manifest) retires its files and returns FALSE instead of
+    * double-appending. Returns true when this call committed the epoch.
+    *
+    * Insert-only semantics by design, mirroring [[GraftAppendsStream]]
+    * on the read side: key uniqueness is the pipeline's contract (the
+    * reference's incremental extract guarantees it via the watermark);
+    * MERGE semantics for a stream are `foreachBatch` +
+    * [[mergeIntoManifestBucketedParquet]], where the batch is a real
+    * DataFrame and the join can run. */
+  private[graft] def commitStreamAppend(
+      spark: SparkSession,
+      targetPath: String,
+      queryId: String,
+      epochId: Long,
+      newByBucket: Map[Int, Seq[String]],
+      schemaDdl: String,
+      keys: Seq[String],
+      nBuckets: Int,
+      keepSnapshots: Int,
+      maxRetries: Int = 5): Boolean = {
+    val root = new Path(targetPath)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(hadoopConf)
+    val newRels = newByBucket.values.flatten.toSeq
+    def retireNewFiles(): Unit = newRels.foreach { rel =>
+      try fs.delete(new Path(resolveEntry(targetPath, rel)), false)
+      catch { case _: java.io.IOException => }
+    }
+    val statCols = keys.filterNot(_ == "__bucket")
+    val freshStats = FileStats.collect(hadoopConf,
+      newRels.map(rel => rel -> resolveEntry(targetPath, rel)), statCols)
+    var wasted = 0
+    while (true) {
+      val current = repairPointer(spark, targetPath)
+      val curBody = manifestBody(spark, targetPath, None)
+      val epochs = curBody.map(parseStreamEpochs).getOrElse(Map.empty)
+      if (epochs.get(queryId).exists(_ >= epochId)) {
+        // replayed micro-batch: the epoch is already in the committed
+        // state — exactly-once means this attempt contributes nothing
+        retireNewFiles()
+        return false
+      }
+      val curEntries = curBody.map(parseManifestEntries).getOrElse(Map.empty)
+      val nextEntries = (curEntries.keySet ++ newByBucket.keySet).map { b =>
+        b -> (curEntries.getOrElse(b, Nil) ++ newByBucket.getOrElse(b, Nil))
+      }.toMap
+      val nextId = nextFreeId(spark, targetPath, current)
+      val snapName = f"snap-$nextId%09d"
+      val attempt = java.util.UUID.randomUUID().toString.take(8)
+      val referenced = nextEntries.values.flatten.toSet
+      val statsField: Option[String] = {
+        val carried = curBody.map(FileStats.parse).getOrElse(Map.empty)
+        val merged = (carried ++ freshStats).filter { case (rel, s) =>
+          referenced(rel) && s.nonEmpty }
+        if (merged.isEmpty) None
+        else Some(s""""file_stats": {${FileStats.encode(merged)}}""")
+      }
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val ddl = curBody.flatMap(parseManifestString(_, "schema_ddl"))
+        .getOrElse(schemaDdl)
+      val keysField =
+        if (keys.nonEmpty) Seq(s""""bucket_keys": "${esc(keys.mkString(","))}"""")
+        else Nil
+      val json = (Seq(s""""attempt": "$attempt"""",
+        s""""nBuckets": $nBuckets""",
+        s""""schema_ddl": "${esc(ddl)}"""") ++ keysField ++
+        streamEpochFields(epochs + (queryId -> epochId)) ++
+        statsField.toSeq ++
+        nextEntries.toSeq.sortBy(_._1).map { case (b, files) =>
+          s""""$b": [${files.map(f => "\"" + f + "\"").mkString(",")}]"""
+        }).mkString("{", ",", "}")
+      val manifestFile = new Path(root, s"$snapName.manifest.json")
+      beforeManifestCreateHook.foreach(h => h(targetPath, nextId))
+      commitBackend.putIfAbsent(fs, manifestFile, json.getBytes("UTF-8"),
+          () => afterManifestWriteHook.foreach(h => h(targetPath, snapName))) match {
+        case Some(winner) =>
+          wasted = chargeRetry(spark, targetPath, current, wasted, maxRetries,
+            new CommitConflictException(
+              s"stream epoch $epochId of $targetPath lost the snapshot " +
+                s"race (committed body: ${winner.take(120)})"))
+        case None =>
+          postCommitMaintenance(fs, hadoopConf, targetPath, snapName, nextId,
+            nextEntries, keepSnapshots)
+          return true
       }
     }
     throw new IllegalStateException("unreachable")

@@ -549,6 +549,48 @@ private[graft] object TierCore extends Registry {
       s.sql("SELECT doc_id, source, n_chars FROM graftsqlp18.table")
     }),
 
+    // r18: STREAMING WRITE — writeStream.format("graft"): a graft→graft
+    // streaming pipeline (appends read face → native sink) drained
+    // twice over one checkpoint. Each micro-batch lands as new
+    // per-bucket files appended under the optimistic commit protocol,
+    // exactly once per (query, epoch) — the epoch marker rides in the
+    // same manifest create as the data, so a crash-replayed batch
+    // retires itself (GraftStreamSinkSpec pins replay + restart + the
+    // marker surviving interleaved batch merges). Hash gate: the sink
+    // table equals the union of the appended source batches.
+    "stream_sink" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val base = Ivf.cachedIndexDir(src, root = "/tmp/graft-sink18",
+        params = "stream_sink:nBuckets=8:v1")
+      val done = new java.io.File(s"$base/_sink_done")
+      if (!done.exists()) {
+        Ivf.gcSupersededIndexes(base)
+        val docs = Tables.documents(s, dir)
+        def batch(m: Int) = docs.where(col("doc_id") % 3 === m)
+          .select("doc_id", "source", "n_chars")
+        // pre-create the sink target: an empty merge commits schema+layout
+        Upsert.mergeIntoManifestBucketedParquet(s, s"$base/sink",
+          batch(0).limit(0), Seq("doc_id"), nBuckets = 8, keepSnapshots = 4)
+        def drain(): Unit = {
+          val q = s.readStream.format("graft").load(s"$base/table")
+            .writeStream.format("graft").option("path", s"$base/sink")
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        Upsert.appendToManifestBucketedParquet(s, s"$base/table", batch(0),
+          Seq("doc_id"), nBuckets = 8, keepSnapshots = 4)
+        drain()
+        Upsert.appendToManifestBucketedParquet(s, s"$base/table", batch(1),
+          Seq("doc_id"), nBuckets = 8, keepSnapshots = 4)
+        drain()
+        done.createNewFile()
+      }
+      s.read.format("graft").load(s"$base/sink")
+        .select("doc_id", "source", "n_chars")
+    }),
+
     // r18 (VERDICT r17 #6): STREAMING READ of the plain table face —
     // appends-per-snapshot over an insert-only table. Two insert-only
     // commits (appendToManifestBucketedParquet: O(batch) ingest, no merge
@@ -1116,6 +1158,12 @@ private[graft] object TierCore extends Registry {
     // union of the three appended (disjoint) batches
     "sql_maintenance" ->
       "SELECT doc_id, source, n_chars FROM documents",
+
+    // the sink delivers each appended row exactly once, so the sink
+    // table is the union of the two source batches
+    "stream_sink" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 3 = 0 OR doc_id % 3 = 1""".stripMargin,
 
     // the appends stream delivers each inserted row exactly once, so the
     // mirror is just the union of the two insert-only batches

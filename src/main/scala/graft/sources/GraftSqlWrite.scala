@@ -200,10 +200,12 @@ private[sources] object GraftSqlWrite {
 
   // ---- INSERT ----------------------------------------------------------
 
-  /** WriteBuilder for `INSERT INTO` — append-as-upsert on the table's
-    * recorded merge keys. Validation happens HERE (builder construction
-    * is analysis time), so an unsupported target fails the statement
-    * loudly instead of mid-job. */
+  /** WriteBuilder for `INSERT INTO` (batch: append-as-upsert on the
+    * table's recorded merge keys) and `writeStream.format("graft")`
+    * (streaming: exactly-once insert-only appends — see
+    * [[GraftStreamingAppend]]). Validation happens HERE (builder
+    * construction is analysis time), so an unsupported target fails the
+    * statement loudly instead of mid-job. */
   def writeBuilder(path: String, info: LogicalWriteInfo): WriteBuilder = {
     val spark = SparkSession.active
     val (keys, nBuckets) = mergeLayout(spark, path).getOrElse(
@@ -224,6 +226,9 @@ private[sources] object GraftSqlWrite {
                 keepSnapshots = keepSnapshots(spark))
             }
           }
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftStreamingAppend(path, keys, nBuckets, info)
       }
     }
   }

@@ -258,10 +258,13 @@ private[sources] class GraftTable(schema: StructType,
       java.util.EnumSet.of(TableCapability.BATCH_READ)
     else if (partitioning().nonEmpty)
       // hash-bucketed manifest tables additionally stream as
-      // appends-per-snapshot (GraftAppendsStream); merge/delete
+      // appends-per-snapshot (GraftAppendsStream) on the read side and
+      // accept exactly-once insert-only micro-batch appends on the
+      // write side (GraftStreamingAppend, round 18); merge/delete
       // workloads stream the CDC feed instead
       java.util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.V1_BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
+        TableCapability.V1_BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
+        TableCapability.STREAMING_WRITE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE)
 
@@ -350,7 +353,27 @@ private[sources] class GraftMergeableTable(schema: StructType,
     options: CaseInsensitiveStringMap,
     keys: Seq[String], nBuckets: Int) extends GraftTable(schema, options)
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE`: a metadata-only snapshot whose every bucket
+    * entry is empty — no scan, no job; the same terminal state a
+    * tautological DELETE reaches, committed directly. Time travel still
+    * serves the pre-truncate snapshots until retention/vacuum retires
+    * them (truncation is a new VERSION, not an erasure — the erasure
+    * horizon stays with vacuum, exactly like every other delete path). */
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    val (_, pinnedBody) = Upsert.pinLive(spark, path).getOrElse(
+      return true) // no committed state: already empty
+    val allRels = Upsert.parseManifestEntries(pinnedBody)
+      .values.flatten.toSet
+    if (allRels.isEmpty) return true
+    Upsert.commitFileReplacement(spark, path, pinnedBody,
+      scannedRels = allRels, newByBucket = Map.empty,
+      keepSnapshots = GraftSqlWrite.keepSnapshots(spark))
+    true
+  }
 
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =

@@ -153,6 +153,31 @@ class GraftRowLevelSpec extends SparkSpecBase {
     assert(entriesOf(path).values.forall(_.isEmpty))
   }
 
+  test("TRUNCATE TABLE is metadata-only; time travel still serves the pre-truncate state") {
+    val (t, path) = mkTable((0L until 50L).map(k => (k, s"v$k"))
+      .toDF("key", "v"), Seq("key"), 4)
+    val preSnap = Upsert.snapshots(spark, path).last.stripPrefix("snap-").toLong
+    spark.sql(s"TRUNCATE TABLE $t")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 0L)
+    assert(entriesOf(path).values.forall(_.isEmpty))
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF $preSnap")
+      .head.getLong(0) == 50L)
+  }
+
+  test("DataFrame.mergeInto API drives the same row-level operation") {
+    val (t, _) = mkTable((0L until 60L).map(k => (k, s"v$k"))
+      .toDF("key", "v"), Seq("key"), 4)
+    Seq((3L, "api3"), (700L, "api700")).toDF("key", "v").alias("s")
+      .mergeInto(t, col(s"${t.split("\\.").last}.key") === col("s.key"))
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .merge()
+    val got = spark.sql(s"SELECT v FROM $t WHERE key IN (3, 700) ORDER BY key")
+      .as[String].collect().toSeq
+    assert(got == Seq("api3", "api700"), got.toString)
+    assert(spark.sql(s"SELECT count(*) FROM $t").head.getLong(0) == 61L)
+  }
+
   test("commitFileReplacement: disjoint-bucket concurrent commit rebases; same-bucket drift conflicts") {
     val nb = 4
     val rows = (0L until 80L).map(k => (k, s"v$k"))
