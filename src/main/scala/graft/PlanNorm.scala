@@ -34,6 +34,19 @@ package graft
   *     invisible; structure, operators, and element CONTENT still hash
   *     (incl. non-trailing integer literals inside Expand rows, which
   *     round 16 stopped erasing).
+  *  6. Persisted-layout path tokens (round 18, found when a testdata
+  *     re-deploy turned PlanGateSpec red on 21 entries with ZERO code
+  *     change): plans that scan a persisted graft index/table embed the
+  *     cache dir's snapshot fingerprint ([[graft.operators.Ivf
+  *     .cachedIndexDir]] folds the source MTIME into it), the commit
+  *     run dir's random suffix, and parquet part-file UUIDs — all
+  *     run-varying environment tokens, not plan properties. The
+  *     SOURCE-path tag (first hex of the cache dir name) is kept: two
+  *     different corpora stay distinguishable; a rebuild of the same
+  *     corpus hashes identically. Tradeoff, deliberate and documented:
+  *     a build-knob change no longer moves the fingerprint via the
+  *     snapFp token — knob changes still surface as literals in the
+  *     probe plan and through the labeled shared-build frames.
   */
 object PlanNorm {
 
@@ -65,7 +78,16 @@ object PlanNorm {
       // ORDER inside the rewrite's keys/output/partitioning lists.
       // Normalize the gid literal here; normalizeAggOrder sorts every
       // list on gid-carrying lines.
-      .replaceAll("\\(gid#x = \\d+\\)", "(gid#x = N)")))
+      .replaceAll("\\(gid#x = \\d+\\)", "(gid#x = N)")
+      // leak 6: run-varying file-layout tokens inside scan Locations.
+      // Cache-dir snapshot fingerprint (mtime-derived; srcTag kept),
+      // commit run-dir random suffix, parquet part-file UUID (the
+      // part NUMBER and the c000/codec suffix stay visible).
+      .replaceAll("(graft-ivf-index-[0-9a-f]{1,16})-[0-9a-f]{1,16}", "$1-x")
+      .replaceAll("(run-\\d+)-[0-9a-f]{8}\\b", "$1-x")
+      .replaceAll(
+        "(part-\\d+)-[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+        "$1-x")))
 
   /** Leak 5 (round 16, found by back-to-back fresh-JVM PlanSnap runs):
     * `multicommutativeop(child…, class <op>, <evalContext>)` renders its

@@ -108,4 +108,29 @@ class PlanNormSpec extends AnyFunSuite {
     val unbalanced = "+- Expand [[a, b"
     assert(PlanNorm.normalize(unbalanced) == unbalanced)
   }
+
+  test("persisted-layout path tokens normalize: snapFp, run suffix, part uuid") {
+    // captured from PlanGateSpec going red on 21 entries after a testdata
+    // re-deploy changed parquet MTIMES (cachedIndexDir folds mtime into
+    // the snapshot fingerprint) — identical code, identical plan shape,
+    // different cache-dir/run/part tokens
+    val a = "FileScan parquet [vec_id#xL] ... InMemoryFileIndex(1 paths)[" +
+      "file:/tmp/graft-ivf-index-c1aa66c82e7bfc30-bb9c058b00fd425a/cells/" +
+      "data/run-000000000-352742aa/__cell_p=6/" +
+      "part-00000-10d78fc7-dd08-4ddf-b8f4-404a0ac57d6c.c000.snappy.parquet]"
+    val b = "FileScan parquet [vec_id#xL] ... InMemoryFileIndex(1 paths)[" +
+      "file:/tmp/graft-ivf-index-c1aa66c82e7bfc30-dcc3818d5018cc4b/cells/" +
+      "data/run-000000000-15eadf8f/__cell_p=6/" +
+      "part-00000-4036b438-aa8d-49bc-9b81-a6d694fcff43.c000.snappy.parquet]"
+    assert(PlanNorm.normalize(a) == PlanNorm.normalize(b))
+    // the SOURCE tag (first hex token) is a corpus identity, not a
+    // run-varying token: two different corpora must stay apart
+    assert(PlanNorm.normalize("/tmp/graft-ivf-index-aaaa1111-e1/cells") !=
+      PlanNorm.normalize("/tmp/graft-ivf-index-bbbb2222-e1/cells"))
+    // the part NUMBER is layout (file count/ordering), not noise
+    assert(PlanNorm.normalize(
+      "part-00000-10d78fc7-dd08-4ddf-b8f4-404a0ac57d6c.c000.snappy.parquet") !=
+      PlanNorm.normalize(
+        "part-00001-10d78fc7-dd08-4ddf-b8f4-404a0ac57d6c.c000.snappy.parquet"))
+  }
 }
