@@ -143,6 +143,22 @@ object Bench {
         b += (("hnsw_auto_edges_shared",
           () => SparkEntry.resetSharedHnswAutoEdges(),
           (s, d) => SparkEntry.buildSharedHnswAutoEdges(s, d)))
+      // The value-shift monitor family's ONE pinned two-slice histogram
+      // (r18): ks_value_shift / ranksum_shift / median_shift read the
+      // identical (events, type, cents, final-week) histogram.
+      if (Seq("ks_value_shift", "ranksum_shift", "median_shift")
+          .exists(queries.contains))
+        b += (("twoslice_hist_shared",
+          () => SparkEntry.resetSharedTwoSliceHist(),
+          (s, d) => SparkEntry.buildSharedTwoSliceHist(s, d)))
+      // The ANN recall harnesses' ONE exact ground-truth ranking (r18):
+      // ivf/hnsw/binary/pq_recall compare against the identical
+      // brute-force top-5.
+      if (Seq("ivf_recall", "hnsw_recall", "binary_recall", "pq_recall")
+          .exists(queries.contains))
+        b += (("brute_topk_shared",
+          () => SparkEntry.resetSharedBruteTopK(),
+          (s, d) => SparkEntry.buildSharedBruteTopK(s, d)))
       b.result()
     }
     def timeShared(name: String, reset: () => Unit, build: () => Unit): Unit = {

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-18 optimization evidence dumper: writes the
+  * `.explain("formatted")` rendering of named registered queries to
+  * `plans/r18/<name>_<tag>.txt` — the before/after artifacts the
+  * optimization round commits next to its notes (OPTIMIZATION_r18.md).
+  *
+  * Usage: `runMain graft.ExplainSnap <tag> <name>[,<name>…]`
+  * Reads `$SPARK_GRAFT_SF_DIR` (default sf0.1) under the bench session
+  * knobs so the rendered plan is the shape the bench actually runs.
+  */
+object ExplainSnap {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: ExplainSnap <tag> <names,comma-sep>")
+    val tag = args(0)
+    val names = args(1).split(",").toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.maxMetadataStringLength", 100000)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Paths.get("plans/r18")
+    java.nio.file.Files.createDirectories(dir)
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(dir.resolve(s"${n}_$tag.txt"), txt)
+      System.err.println(s"[explain] wrote ${n}_$tag.txt (${txt.length} chars)")
+    }
+    spark.stop()
+  }
+}

@@ -61,6 +61,8 @@ object PlanCanon {
     SparkEntry.buildSharedHnswAutoEdges(s, sfDir)
     SparkEntry.buildSharedBpe(s, sfDir)
     SparkEntry.sharedUnigramCounts(s, sfDir)
+    SparkEntry.buildSharedTwoSliceHist(s, sfDir)
+    SparkEntry.buildSharedBruteTopK(s, sfDir)
     ()
   }
 

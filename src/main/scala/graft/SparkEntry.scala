@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.F
 import graft.operators.{Anomaly, Correlate, DailyCounts, Experiment, Hnsw, IndexStore, TextIndex, TimeSeries, Web, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
+import graft.operators.Ckpt.PinOps
 import graft.streaming.IncrementalStream
 
 /** Driver contract — one named query per implemented operator from
@@ -197,7 +198,11 @@ object SparkEntry {
     "bpe_fertility_train" -> ((s: SparkSession, d: String) =>
       evenHalfWordFreqFrame(s, d)),
     "unigram_fertility_train" -> ((s: SparkSession, d: String) =>
-      evenHalfWordFreqFrame(s, d)))
+      evenHalfWordFreqFrame(s, d)),
+    "twoslice_hist_shared" -> ((s: SparkSession, d: String) =>
+      twoSliceHistPlanFrame(s, d)),
+    "brute_topk_shared" -> ((s: SparkSession, d: String) =>
+      bruteTopkPlanFrame(s, d)))
 
   /** The fertility monitor's EVEN-doc-half training pass, cached with the
     * same session-keyed lifecycle (it cannot reuse the full-corpus merges
@@ -265,6 +270,60 @@ object SparkEntry {
     sharedHnswAutoEdges(s, dir); ()
   }
 
+  /** ONE pinned two-slice (key, value) histogram shared by the
+    * value-shift monitor family (round 18): `ks_value_shift`,
+    * `ranksum_shift` and `median_shift` run over the IDENTICAL
+    * (events, event_type, cents, final-week) arguments — the magnitude /
+    * direction / value-unit read-outs of one monitoring decision — so
+    * each building its own pinned histogram tripled the family's corpus
+    * scans (and pin jobs). Same lifecycle as the CC/spans caches; Bench
+    * bills the build once as the labeled `twoslice_hist_shared` entry
+    * and each monitor reports incremental (window + rollup) cost. */
+  private[graft] val histCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def twoSliceHistPlanFrame(s: SparkSession, dir: String): DataFrame = {
+    val (ev, cur) = weekSlicedEvents(s, dir)
+    Validate.twoSliceHistogramFrame(ev, "event_type", col("cents"), cur)
+  }
+  private[graft] def sharedTwoSliceHist(s: SparkSession, dir: String): DataFrame = {
+    val sessKey = installEvictionListener(s)
+    histCache.computeIfAbsent(s"$sessKey#$dir", _ => {
+      val (ev, cur) = weekSlicedEvents(s, dir)
+      Validate.twoSliceHistogram(ev, "event_type", col("cents"), cur)
+    })
+  }
+  private[graft] def resetSharedTwoSliceHist(): Unit = histCache.clear()
+  private[graft] def buildSharedTwoSliceHist(s: SparkSession, dir: String): Unit = {
+    sharedTwoSliceHist(s, dir); ()
+  }
+
+  /** ONE pinned brute-force exact top-k ranking shared by the ANN
+    * recall harnesses (round 18): `ivf_recall`, `hnsw_recall`,
+    * `binary_recall` and `pq_recall` all compare their probe against
+    * the IDENTICAL exact ground truth (first-20-queries cosine top-5 —
+    * the deliberately-quadratic pass), so each recomputing it paid the
+    * ground truth once per harness per pass. The realistic deployment
+    * shape is exactly this cache: one ground-truth table amortized over
+    * a knob-tuning sweep. `cosine_topk` (the brute-force operator's own
+    * gate entry) stays independent and still computes from inputs.
+    * Bench bills the build once as the labeled `brute_topk_shared`
+    * entry. */
+  private[graft] val bruteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def bruteTopkPlanFrame(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb.where(col("vec_id") < 20), emb, k = 5)
+  }
+  private[graft] def sharedBruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val sessKey = installEvictionListener(s)
+    bruteCache.computeIfAbsent(s"$sessKey#$dir", _ =>
+      bruteTopkPlanFrame(s, dir).localCheckpoint())
+  }
+  private[graft] def resetSharedBruteTopK(): Unit = bruteCache.clear()
+  private[graft] def buildSharedBruteTopK(s: SparkSession, dir: String): Unit = {
+    sharedBruteTopK(s, dir); ()
+  }
+
   /** Drop one session's cached shared-stage frames (the listener's
     * target; checkpoint blocks die with the session's context). */
   private[graft] def evictSharedCc(sessKey: String): Unit = {
@@ -273,6 +332,8 @@ object SparkEntry {
     bpeCache.keySet.removeIf(_.startsWith(sessKey + "#"))
     hnswEdgeCache.keySet.removeIf(_.startsWith(sessKey + "#"))
     unigramCache.keySet.removeIf(_.startsWith(sessKey + "#"))
+    histCache.keySet.removeIf(_.startsWith(sessKey + "#"))
+    bruteCache.keySet.removeIf(_.startsWith(sessKey + "#"))
     ccListenerInstalled.remove(sessKey)
   }
 
@@ -300,15 +361,26 @@ object SparkEntry {
 
   /** Recall combinator shared by the ANN recall harnesses
     * (`ivf_recall` / `binary_recall`): permille of the exact top-k pairs
-    * the approximate ranking recovered. Pair sets are tiny (queries × k)
-    * — the cost lives in the two rankings, not here. */
+    * the approximate ranking recovered.
+    *
+    * Single-pass shape (round 18): ONE full-outer join of the two pair
+    * sets and ONE aggregate computes all three counts. The previous form
+    * (a semi join + three crossJoined 1-row counts) referenced each
+    * ranking TWICE, so each reference re-ran the full ranking — the
+    * exact side is the deliberately-quadratic brute-force pass, and the
+    * r18 plan audit read 12 copies of the embeddings scan in
+    * pq_recall/binary_recall (runtime exchange reuse recovered only the
+    * exchange-identical parts). Now each ranking is evaluated exactly
+    * once, at any scale, with no checkpoint job. Counts coalesce to 0 on
+    * an empty side, matching the old count(*) semantics. */
   private[graft] def recallVsExact(exact: DataFrame, approx: DataFrame): DataFrame = {
-    val ex = exact.select("query_id", "neighbor_id")
-    val ap = approx.select("query_id", "neighbor_id")
-    val hit = ex.join(ap, Seq("query_id", "neighbor_id"), "left_semi")
-    ex.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(ap.agg(count(lit(1)).as("n_approx")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    val ex = exact.select(col("query_id"), col("neighbor_id"), lit(1L).as("__e"))
+    val ap = approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("__a"))
+    ex.join(ap, Seq("query_id", "neighbor_id"), "full_outer")
+      .agg(coalesce(sum("__e"), lit(0L)).as("n_exact"),
+        coalesce(sum("__a"), lit(0L)).as("n_approx"),
+        coalesce(sum(when(col("__e").isNotNull && col("__a").isNotNull, 1L)),
+          lit(0L)).as("n_hit"))
       .withColumn("recall_permille", expr("n_hit * 1000 div n_exact"))
   }
 

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Ckpt.PinOps
+
 /** Deduplication operators: the reference's keep-latest window dedup (W1,
   * `embeddings-pipeline.py:323`) generalized to top-k, plus the
   * LLM-data-pipeline near-duplicate family (exact, MinHash-LSH, SimHash,
@@ -158,6 +160,13 @@ object Dedup {
       idCol, textCol, blockCol, n, thresholdNum, thresholdDen)
     val oldIds = oldDf.select(col(idCol).as("__oid"))
     val newIds = newDf.select(col(idCol).as("__nid"))
+    // (r18 note, measured and kept as-is: the double reference of
+    // `pairs` below is cheap at runtime — the pair stage ends in an
+    // exchange-bounded aggregate, so exchange reuse evaluates the
+    // shingle self-join once and only the final agg re-runs per branch.
+    // Both a localCheckpoint of `pairs` (1.11 → 1.84 s) and a
+    // single-reference explode-both-orientations rewrite (→ 1.26 s)
+    // benched SLOWER than this form at sf0.1.)
     val ends = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
       .unionAll(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
     val dupNew = ends
@@ -219,10 +228,16 @@ object Dedup {
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3,
       thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    // pin: the shingle table feeds the frequency census, the ranked
+    // prefix, AND both verification sides — unpinned, the tokenize +
+    // shingle pass over the corpus ran for every reference (r18 plan
+    // audit: 6 copies of the source scan). One materialization; the
+    // shingle arrays are the same order of bytes as the text itself.
     val sh = withShingles(Par.spread(df), textCol, n)
       .select(col(idCol).as("id"), col(blockCol).as("block"), col("shingles"))
       .withColumn("n_sh", size(col("shingles")))
       .where(col("n_sh") > 0)
+      .pin()
     // the census and candidate join key on the portable 64-bit shingle
     // hash (slim exchanges); the rank tie-break keeps the string — that
     // column rides the per-doc rank exchange anyway — so the global order

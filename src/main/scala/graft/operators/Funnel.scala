@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Ckpt.PinOps
+
 /** Event-sequence analytics over the interaction log: ordered-step funnel
   * conversion and cohort retention — the measurement queries an
   * event-driven training-data pipeline runs next to curation (which
@@ -38,7 +40,12 @@ object Funnel {
     require(steps.distinct == steps, "funnel steps must be distinct")
     def stepEvents(s: String) =
       events.where(col(typeCol) === s).select(col(keyCol), col(tsCol))
-    // stage 1: earliest occurrence of the first step
+    // stage 1: earliest occurrence of the first step.
+    // (r18 note: per-step localCheckpoint pins were measured here and
+    // REVERTED — the step chain's duplicated subtrees are exchange-
+    // identical, so runtime exchange reuse already evaluates each stage
+    // once, and the pin jobs only added latency: 0.78 → 0.86 s at
+    // sf0.1.)
     var reached = stepEvents(steps.head)
       .groupBy(col(keyCol)).agg(min(col(tsCol)).as("ts_1"))
     var i = 2

@@ -440,8 +440,12 @@ object Graph {
     * pair-keyed semi join against the oriented edge set. Returns ONE row
     * `(n_triangles)`. */
   def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val und = canonicalEdges(edges, aCol, bCol)
-    triangleTriples(und, degreesOf(und))
+    // pin: und feeds the degree agg AND (through triangleTriples) three
+    // more references — unpinned, each reference re-ran the scan +
+    // symmetric-dedup exchange (round-18 audit: 18 copies of the source
+    // scan in the canonical plan). One materialization, four flat reads.
+    val und = canonicalEdges(edges, aCol, bCol).pin()
+    triangleTriples(und, degreesOf(und).pin())
       .agg(count(lit(1)).as("n_triangles"))
   }
 
@@ -454,7 +458,12 @@ object Graph {
     * once, at its minimum-rank vertex). Takes the caller's canonical
     * edge set and degree table so [[clusteringCoefficient]] reuses them
     * for its own outputs instead of distinct-shuffling the edges and
-    * aggregating degrees twice. */
+    * aggregating degrees twice. Callers pass both PINNED: `und` is read
+    * here once and `oriented` — re-read by the wedge self-join's two
+    * sides and the closing semi join — is pinned below, so the oriented
+    * edge set is computed exactly once per query instead of once per
+    * reference (guide §2.4 "remove shuffles outright": the unpinned
+    * form re-ran the dedup exchange + two degree joins three times). */
   private def triangleTriples(und: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = und
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
@@ -468,6 +477,7 @@ object Graph {
           struct(col("v").as("n"), col("dv").as("d"), col("u").as("hn"), col("du").as("hd")))
         .as("e"))
       .select(col("e.n").as("lo"), col("e.hn").as("hi"), col("e.hd").as("hid"))
+      .pin()
     val w1 = oriented.select(col("lo"), col("hi").as("h1"), col("hid").as("d1"))
     val w2 = oriented.select(col("lo"), col("hi").as("h2"), col("hid").as("d2"))
     // each unordered tip pair once: (d, id) rank order between the tips
@@ -501,8 +511,11 @@ object Graph {
     * degree table joined back. Output is node-keyed, |V|-bounded. */
   def clusteringCoefficient(edges: DataFrame, aCol: String,
       bCol: String): DataFrame = {
-    val und = canonicalEdges(edges, aCol, bCol)
-    val degN = degreesOf(und)
+    // pins: see triangleCount — und/degN are multi-referenced (degN by
+    // the wedge stage AND the final coefficient join); the unpinned
+    // canonical plan carried 40 copies of the source scan.
+    val und = canonicalEdges(edges, aCol, bCol).pin()
+    val degN = degreesOf(und).pin()
     val deg = degN.select(col("n").as("node"), col("d").as("deg"))
     val tri = triangleTriples(und, degN)
       .select(explode(array(col("lo"), col("h1"), col("h2"))).as("node"))
@@ -543,11 +556,13 @@ object Graph {
       rounds: Int = 8): DataFrame = {
     require(k >= 1 && rounds >= 0)
     val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
+    val obs0 = org.apache.spark.sql.Observation("kcore-n-init")
     var e = rot.pin(edges
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .distinct())
+      .distinct()
+      .observe(obs0, count(lit(1)).as("n")))
     def degrees(g: DataFrame): DataFrame = g
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -555,21 +570,30 @@ object Graph {
     // drops carries ≥1 edge, so the edge count is strictly decreasing
     // until the peel converges — an unchanged count means every later
     // round is a no-op and can be skipped (the oracle unrolls all
-    // `rounds` no-ops and lands on the same set). The count reads the
-    // just-checkpointed partitions, far cheaper than a wasted round.
-    var prev = e.count()
+    // `rounds` no-ops and lands on the same set). The count rides the
+    // pin's own materialization job (Observation — round 18); the old
+    // per-round e.count() re-read the whole checkpointed edge set.
+    var prev = obs0.get("n") match { case c: Long => c; case null => 0L }
     var i = 0
     while (i < rounds) {
       val last = e
       val keep = degrees(e).where(col("deg") >= k).select("node")
+      // The surviving-edge count rides the SAME job that materializes
+      // the round (the CC loop's Observation-on-pin pattern, adopted
+      // round 18): the eager pin fires the observation, so the old
+      // separate e.count() — a full re-read of the just-checkpointed
+      // edge set, one extra job per round — is gone. Output unchanged:
+      // the count is over exactly the frame the pin materializes.
+      val obs = org.apache.spark.sql.Observation(s"kcore-n-$i")
       e = rot.pin(e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
-        .select("u", "v"))
+        .select("u", "v")
+        .observe(obs, count(lit(1)).as("n")))
       // release the superseded round's checkpointed blocks eagerly (the
       // CC loop's pattern) — otherwise up to rounds+1 edge-set copies
       // sit in executor storage until GC gets around to them
       last.unpersist()
-      val n = e.count()
+      val n = obs.get("n") match { case c: Long => c; case null => 0L }
       i = if (n == prev) rounds else i + 1
       prev = n
     }

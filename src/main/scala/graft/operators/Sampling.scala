@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Ckpt.PinOps
+
 /** Reproducible sampling and sequence packing for training-data curation
   * (BASELINE.json north star: data-mixture construction at 100 TB).
   *
@@ -503,11 +505,29 @@ object Sampling {
     val targetFeat = hashedGramFeatures(target, textCol, buckets, Nil)
     val rawCounts = corpusFeat.groupBy("b").agg(count(lit(1)).as("c_r"))
     val tgtCounts = targetFeat.groupBy("b").agg(count(lit(1)).as("c_t"))
-    val model = rawCounts.join(tgtCounts, Seq("b"), "left")
+    // model totals via an all-rows window over each count table instead
+    // of a crossJoined re-aggregation (r18): the crossJoin form
+    // referenced each count table twice, and each reference re-ran the
+    // corpus/target feature explode — the corpus was tokenized 3× and
+    // the target 2× per query (plan audit: 5 source scans; runtime
+    // exchange reuse did not recover the differently-shaped consumers).
+    // The window runs on the ≤ `buckets`-row aggregate — a single
+    // trivial partition — so each feature explode now runs exactly
+    // once for the model, and the corpus pays the algorithm's two
+    // inherent passes (counts, then scoring under the broadcast model).
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // full outer so n_t still counts target buckets absent from the
+    // corpus (the general contract — registered queries use a subset
+    // target, but the totals must not depend on that); rows kept are
+    // exactly the old left join's (c_r defined).
+    val model = rawCounts.join(tgtCounts, Seq("b"), "full_outer")
+      .withColumn("n_r", coalesce(sum("c_r").over(wAll), lit(0L)))
+      .withColumn("n_t", coalesce(sum("c_t").over(wAll), lit(0L)))
+      .where(col("c_r").isNotNull)
       .na.fill(0L, Seq("c_t"))
-      .crossJoin(broadcast(rawCounts.agg(sum("c_r").as("n_r"))))
-      .crossJoin(broadcast(tgtCounts.agg(
-        coalesce(sum("c_t"), lit(0L)).as("n_t"))))
       .select(col("b"),
         graft.functions.F.intLog2(
           expr(s"(n_r + $buckets) div (c_r + 1)")).as("bits_r"),

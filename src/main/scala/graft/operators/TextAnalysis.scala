@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Ckpt.PinOps
+
 /** Text-analysis operators for training-data pipelines: token counting,
   * quality scoring, language-ID heuristic, document fingerprinting
   * (BASELINE.json north star).
@@ -928,8 +930,13 @@ object TextAnalysis {
     val n = tot.getLong(0)
     val totTok = if (tot.isNullAt(1)) 0L else tot.getLong(1)
     val avgdlMilli = if (n == 0) 1L else (1000L * totTok) / n
+    // pin: tf is referenced by the df census AND the scoring join —
+    // unpinned, each reference re-ran the corpus tokenize + explode
+    // (one extra full scan per query, r18). The pinned frame is tiny:
+    // only (doc, query-term) hits survive the broadcast semi filter.
     val tf = tok.join(broadcast(q.select("term").distinct()), Seq("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .pin()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(dfreq), Seq("term"))

@@ -221,8 +221,15 @@ object Validate {
     * without the pin each monitor re-scanned the corpus once per
     * consumer (measured: 4 parquet scans, zero ReusedExchange — AQE did
     * not dedupe the shared subtree). */
-  private def twoSliceHistogram(df: DataFrame, keyCol: String,
-      value: Column, currentSlice: Column, maxBins: Int): DataFrame =
+  /** Public since round 18 so the three monitor consumers can build the
+    * histogram ONCE and pass it to the `*FromHistogram` variants — the
+    * registered ks_value_shift / ranksum_shift / median_shift entries
+    * run over the identical (df, key, value, slice) arguments, and each
+    * building its own pinned histogram tripled the corpus scans across
+    * the family. */
+  def twoSliceHistogram(df: DataFrame, keyCol: String,
+      value: Column, currentSlice: Column,
+      maxBins: Int = DefaultMaxBins): DataFrame =
     boundedHistogram(
       df.where(value.isNotNull)
         .select(col(keyCol).as("key"), value.cast("long").as("__v"),
@@ -234,9 +241,27 @@ object Validate {
         .pin(),
       maxBins)
 
+  /** The lazily-constructible pre-pin stage of [[twoSliceHistogram]] —
+    * what the bench fingerprints for the shared build (the pin runs
+    * jobs at construction; this frame does not). */
+  def twoSliceHistogramFrame(df: DataFrame, keyCol: String,
+      value: Column, currentSlice: Column): DataFrame =
+    df.where(value.isNotNull)
+      .select(col(keyCol).as("key"), value.cast("long").as("__v"),
+        currentSlice.cast("boolean").as("__cur"))
+      .where(col("__cur").isNotNull)
+      .groupBy("key", "__v")
+      .agg(sum(when(col("__cur"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__cur"), 1L).otherwise(0L)).as("__cb"))
+
   def ksTwoSlice(df: DataFrame, keyCol: String, value: Column,
-      currentSlice: Column, maxBins: Int = DefaultMaxBins): DataFrame = {
-    val h = twoSliceHistogram(df, keyCol, value, currentSlice, maxBins)
+      currentSlice: Column, maxBins: Int = DefaultMaxBins): DataFrame =
+    ksTwoSliceFromHistogram(
+      twoSliceHistogram(df, keyCol, value, currentSlice, maxBins))
+
+  /** [[ksTwoSlice]] over a prebuilt [[twoSliceHistogram]]. */
+  def ksTwoSliceFromHistogram(histogram: DataFrame): DataFrame = {
+    val h = histogram
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy("key").orderBy("__v")
     val wkAll = org.apache.spark.sql.expressions.Window.partitionBy("key")
@@ -279,8 +304,13 @@ object Validate {
     * map-side-combined (key, value) histogram, per-key cum windows over
     * histogram-sized partitions, one rollup. */
   def rankSumAuc(df: DataFrame, keyCol: String, value: Column,
-      currentSlice: Column, maxBins: Int = DefaultMaxBins): DataFrame = {
-    val h = twoSliceHistogram(df, keyCol, value, currentSlice, maxBins)
+      currentSlice: Column, maxBins: Int = DefaultMaxBins): DataFrame =
+    rankSumAucFromHistogram(
+      twoSliceHistogram(df, keyCol, value, currentSlice, maxBins))
+
+  /** [[rankSumAuc]] over a prebuilt [[twoSliceHistogram]]. */
+  def rankSumAucFromHistogram(histogram: DataFrame): DataFrame = {
+    val h = histogram
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy("key").orderBy("__v")
     val wkAll = org.apache.spark.sql.expressions.Window.partitionBy("key")
@@ -312,8 +342,13 @@ object Validate {
     * map-side-combined (key, value) histogram), per-key cum windows over
     * histogram-sized partitions, one conditional-min rollup. */
   def medianShift(df: DataFrame, keyCol: String, value: Column,
-      currentSlice: Column, maxBins: Int = DefaultMaxBins): DataFrame = {
-    val h = twoSliceHistogram(df, keyCol, value, currentSlice, maxBins)
+      currentSlice: Column, maxBins: Int = DefaultMaxBins): DataFrame =
+    medianShiftFromHistogram(
+      twoSliceHistogram(df, keyCol, value, currentSlice, maxBins))
+
+  /** [[medianShift]] over a prebuilt [[twoSliceHistogram]]. */
+  def medianShiftFromHistogram(histogram: DataFrame): DataFrame = {
+    val h = histogram
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy("key").orderBy("__v")
     val wkAll = org.apache.spark.sql.expressions.Window.partitionBy("key")

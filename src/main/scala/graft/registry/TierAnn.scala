@@ -261,8 +261,11 @@ private[graft] object TierAnn extends Registry {
       val seeds = emb.where(col("vec_id") < 8).orderBy("vec_id")
         .select("embedding").collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      // r18: exact side = the family's ONE shared ground-truth table
+      // (labeled brute_topk_shared build) — the quadratic pass no
+      // longer re-runs per harness.
       recallVsExact(
-        Similarity.bruteForceTopK(queries, emb, k = 5),
+        sharedBruteTopK(s, dir),
         Ivf.ivfTopK(queries, emb, k = 5, centroids = seeds, nprobe = 2))
     }),
 
@@ -354,7 +357,7 @@ private[graft] object TierAnn extends Registry {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.where(col("vec_id") < 20)
       recallVsExact(
-        Similarity.bruteForceTopK(queries, emb, k = 5),
+        sharedBruteTopK(s, dir),
         Hnsw.searchTopK(queries, emb, sharedHnswEdges(s, dir), k = 5,
           maxLevel = 3, beam = 16, rounds = 3))
     }),
@@ -377,7 +380,7 @@ private[graft] object TierAnn extends Registry {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.where(col("vec_id") < 20)
       recallVsExact(
-        Similarity.bruteForceTopK(queries, emb, k = 5),
+        sharedBruteTopK(s, dir),
         Similarity.binaryRerankTopK(queries, emb, k = 5, dim = 64,
           candidates = 30))
     }),
@@ -390,7 +393,7 @@ private[graft] object TierAnn extends Registry {
       val queries = emb.where(col("vec_id") < 20)
       val cb = Pq.seedCodebooks(emb, m = 8, ksub = 16)
       recallVsExact(
-        Similarity.bruteForceTopK(queries, emb, k = 5),
+        sharedBruteTopK(s, dir),
         Pq.pqRerankTopK(queries, emb, k = 5, codebooks = cb,
           candidates = 30))
     }),

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.F
 import graft.operators.{Anomaly, Correlate, DailyCounts, Experiment, Hnsw, IndexStore, TextIndex, TimeSeries, Web, Bpe, Cardinality, Clustering, Cooccur, Decontaminate, Dedup, EditDistance, Embeddings, Extract, Frequencies, Funnel, Graph, Ivf, Joins, Multimodal, Pq, Quantiles, Sampling, Scd2, Sessionize, Similarity, Sketch, TextAnalysis, Upsert, Validate}
 import graft.streaming.IncrementalStream
+import graft.operators.Ckpt.PinOps
 import graft.SparkEntry._
 
 /** Exact + near deduplication, decontamination and the pair->component
@@ -308,15 +309,21 @@ private[graft] object TierDedup extends Registry {
     // sample scale: the exact side is the labeled quadratic operator).
     "lsh_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // single-pass recall (r18, the recallVsExact shape): one
+      // full-outer join + one aggregate — each pair set (the quadratic
+      // exact pass, the LSH bucket join) is evaluated exactly once; the
+      // old semi-join + crossJoined counts referenced each twice (8
+      // embeddings scans in the plan).
       val exact = Dedup.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
-        .select("a_id", "b_id")
+        .select(col("a_id"), col("b_id"), lit(1L).as("__e"))
       val lsh = Dedup.cosineNearDupPairsLsh(emb, "vec_id", "embedding",
         threshold = 0.4, dim = 64, planes = 4, tables = 4)
-        .select("a_id", "b_id")
-      val hit = exact.join(lsh, Seq("a_id", "b_id"), "left_semi")
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("a_id"), col("b_id"), lit(1L).as("__l"))
+      exact.join(lsh, Seq("a_id", "b_id"), "full_outer")
+        .agg(coalesce(sum("__e"), lit(0L)).as("n_exact"),
+          coalesce(sum("__l"), lit(0L)).as("n_lsh"),
+          coalesce(sum(when(col("__e").isNotNull && col("__l").isNotNull, 1L)),
+            lit(0L)).as("n_hit"))
         .withColumn("recall_permille", expr("n_hit * 1000 div n_exact"))
     }),
 

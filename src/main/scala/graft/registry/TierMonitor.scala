@@ -182,29 +182,27 @@ private[graft] object TierMonitor extends Registry {
     // distribution vs all earlier days — the binning-free "did this
     // week's values shift" monitor (drift_tv's slice contract with
     // ks_drift's exactness).
-    "ks_value_shift" -> ((s, dir) => {
-      val (ev, cur) = weekSlicedEvents(s, dir)
-      Validate.ksTwoSlice(ev, "event_type", col("cents"), cur)
-        .withColumnRenamed("key", "event_type")
-    }),
+    // r18: the three two-slice monitors (KS magnitude / AUC direction /
+    // median value-shift) read ONE shared pinned histogram — identical
+    // slice arguments, one corpus scan for the family; Bench bills the
+    // build as the labeled `twoslice_hist_shared` entry.
+    "ks_value_shift" -> ((s, dir) =>
+      Validate.ksTwoSliceFromHistogram(sharedTwoSliceHist(s, dir))
+        .withColumnRenamed("key", "event_type")),
 
     // Mann–Whitney common-language effect size on the same slice split:
     // the DIRECTION companion to ks_value_shift's magnitude — permille
     // probability this week's values run higher (500 = no shift).
-    "ranksum_shift" -> ((s, dir) => {
-      val (ev, cur) = weekSlicedEvents(s, dir)
-      Validate.rankSumAuc(ev, "event_type", col("cents"), cur)
-        .withColumnRenamed("key", "event_type")
-    }),
+    "ranksum_shift" -> ((s, dir) =>
+      Validate.rankSumAucFromHistogram(sharedTwoSliceHist(s, dir))
+        .withColumnRenamed("key", "event_type")),
 
     // Exact lower-median per slice and the shift in raw cents — the
     // value-unit magnitude a human acts on, completing the two-slice
     // triad (KS distance, AUC direction, median shift).
-    "median_shift" -> ((s, dir) => {
-      val (ev, cur) = weekSlicedEvents(s, dir)
-      Validate.medianShift(ev, "event_type", col("cents"), cur)
-        .withColumnRenamed("key", "event_type")
-    }),
+    "median_shift" -> ((s, dir) =>
+      Validate.medianShiftFromHistogram(sharedTwoSliceHist(s, dir))
+        .withColumnRenamed("key", "event_type")),
 
     // Exact OLS trend of daily event volume per type (milli events/day
     // per day): the gradual-drift monitor next to changepoint_day's step
