@@ -614,18 +614,24 @@ object Graph {
     val vertices = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .pin() // reused every round: compute the node set once
-    val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).pin()
+    // out-degree DENORMALIZED onto the edge set once (round 18): the
+    // per-round `ranks ⋈ outdeg` node-keyed join is gone — each round
+    // joins the rank table straight into the deg-carrying edge set and
+    // divides there (same integer value per (src, dst) row, so the
+    // dst-sum is unchanged bit for bit). One |V|-join × iterations
+    // removed for an 8-bytes/edge one-off widening.
+    val eDeg = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+      .pin()
     val base = (1000L - dampingPermille) * scale / 1000L
     val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
     var ranks = vertices.withColumn("rank", lit(scale))
     var i = 0
     while (i < iterations) {
-      val shares = ranks.join(outdeg, Seq("node"))
-        .select(col("node").as("src"), expr("rank div deg").as("share"))
-      val inSum = e.join(shares, Seq("src"))
+      val inSum = eDeg.join(ranks.select(col("node").as("src"), col("rank")),
+          Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("share")).as("s"))
+        .agg(sum(expr("rank div deg")).as("s"))
       ranks = vertices.join(inSum, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(s"$dampingPermille * coalesce(s, 0L) div 1000"))
@@ -682,19 +688,20 @@ object Graph {
       .join(broadcast(seedNodes.withColumn("__s", lit(true))), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(false)).as("seed"))
       .pin()
-    val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).pin()
+    // deg-denormalized edge set — see [[pageRank]] (round 18)
+    val eDeg = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+      .pin()
     val base = (1000L - dampingPermille) * scale / 1000L
     val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
     var ranks = verts.select(col("node"),
       when(col("seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
     var i = 0
     while (i < iterations) {
-      val shares = ranks.join(outdeg, Seq("node"))
-        .select(col("node").as("src"), expr("rank div deg").as("share"))
-      val inSum = e.join(shares, Seq("src"))
+      val inSum = eDeg.join(ranks.select(col("node").as("src"), col("rank")),
+          Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("share")).as("s"))
+        .agg(sum(expr("rank div deg")).as("s"))
       ranks = verts.join(inSum, Seq("node"), "left")
         .select(col("node"),
           (when(col("seed"), lit(base)).otherwise(lit(0L)) +

@@ -125,11 +125,17 @@ object Hnsw {
       .select(col(idCol).as("node_id"), col("level"))
       .orderBy(col("level").desc, col("node_id").asc).limit(1)
       .select("node_id")
-    // (query_id, node_id) beams. Every step: expand the frontier's
-    // outgoing edges at the step's layer, union the frontier itself
-    // (greedy never moves to a worse node), re-score, keep the best b.
-    // The frontier is the BROADCAST side of both joins — the edge and
-    // vector tables are corpus-scale, the frontier is |queries|·beam.
+    // (query_id, node_id, q_v) beams — the frontier CARRIES its query
+    // vector (round 18): a step previously re-attached q_v with a
+    // second broadcast join per step; |queries|·beam rows × dim floats
+    // is a few KB, so carrying the vector removes one broadcast
+    // exchange + join from every step's job (6 steps at the registered
+    // knobs) and from the final re-rank, at any scale. Every step:
+    // expand the frontier's outgoing edges at the step's layer, union
+    // the frontier itself (greedy never moves to a worse node),
+    // re-score, keep the best b. The frontier is the BROADCAST side of
+    // the one remaining join — the edge and vector tables are
+    // corpus-scale.
     // Each step's result is localCheckpointed (the Graph-loop lineage
     // discipline): a step references its predecessor TWICE (union +
     // expand), so without the pin the plan tree doubles per step — the
@@ -144,23 +150,22 @@ object Hnsw {
     val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 steps
     def topB(fr: DataFrame, b: Int): DataFrame =
       rot.pin(vecs.join(broadcast(fr.distinct()), "node_id")
-        .join(broadcast(q), "query_id")
         .withColumn("__cos", F.cosineSim(col("q_v"), col("n_v")))
         .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
           .orderBy(col("__cos").desc, col("node_id").asc)))
         .where(col("__rn") <= b)
-        .select("query_id", "node_id"))
+        .select("query_id", "node_id", "q_v"))
     def expand(fr: DataFrame, layer: Int): DataFrame =
       edges.where(col("layer") === layer)
         .join(broadcast(fr), col("src") === col("node_id"))
-        .select(col("query_id"), col("dst").as("node_id"))
-    var frontier = q.select("query_id").crossJoin(broadcast(entry))
+        .select(col("query_id"), col("dst").as("node_id"), col("q_v"))
+    var frontier = q.crossJoin(broadcast(entry))
+      .select(col("query_id"), col("node_id"), col("q_v"))
     for (l <- maxLevel to 1 by -1)
       frontier = topB(frontier.union(expand(frontier, l)), 1)
     for (_ <- 1 to rounds)
       frontier = topB(frontier.union(expand(frontier, 0)), beam)
     vecs.join(broadcast(frontier), "node_id")
-      .join(broadcast(q), "query_id")
       .where(col("node_id") =!= col("query_id"))
       .withColumn("cos", F.cosineSim(col("q_v"), col("n_v")))
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
