@@ -159,6 +159,12 @@ object Bench {
         b += (("brute_topk_shared",
           () => SparkEntry.resetSharedBruteTopK(),
           (s, d) => SparkEntry.buildSharedBruteTopK(s, d)))
+      // The decontamination span family's ONE span table (r18):
+      // decon_spans returns it, decon_span_clean splices by it.
+      if (Seq("decon_spans", "decon_span_clean").exists(queries.contains))
+        b += (("decon_spans_shared",
+          () => SparkEntry.resetSharedDeconSpans(),
+          (s, d) => SparkEntry.buildSharedDeconSpans(s, d)))
       b.result()
     }
     def timeShared(name: String, reset: () => Unit, build: () => Unit): Unit = {

@@ -63,6 +63,7 @@ object PlanCanon {
     SparkEntry.sharedUnigramCounts(s, sfDir)
     SparkEntry.buildSharedTwoSliceHist(s, sfDir)
     SparkEntry.buildSharedBruteTopK(s, sfDir)
+    SparkEntry.buildSharedDeconSpans(s, sfDir)
     ()
   }
 

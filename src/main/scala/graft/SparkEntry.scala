@@ -202,7 +202,9 @@ object SparkEntry {
     "twoslice_hist_shared" -> ((s: SparkSession, d: String) =>
       twoSliceHistPlanFrame(s, d)),
     "brute_topk_shared" -> ((s: SparkSession, d: String) =>
-      bruteTopkPlanFrame(s, d)))
+      bruteTopkPlanFrame(s, d)),
+    "decon_spans_shared" -> ((s: SparkSession, d: String) =>
+      deconSpansFrame(s, d)))
 
   /** The fertility monitor's EVEN-doc-half training pass, cached with the
     * same session-keyed lifecycle (it cannot reuse the full-corpus merges
@@ -297,6 +299,31 @@ object SparkEntry {
     sharedTwoSliceHist(s, dir); ()
   }
 
+  /** ONE contaminated-span materialization shared by the
+    * decontamination span family (round 18): `decon_spans` returns it
+    * and `decon_span_clean` splices by it — the
+    * dup_passages/dup_passage_clean precedent exactly (same window
+    * census, different final transform). Keyed by (session, dir);
+    * Bench bills the build once as the labeled `decon_spans_shared`
+    * entry. */
+  private[graft] val deconSpansCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def deconSpansFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Decontaminate.contaminatedSpans(
+      docs.where(pmod(col("doc_id"), lit(50)) =!= 0), "doc_id", "text",
+      docs.where(pmod(col("doc_id"), lit(50)) === 0), "doc_id", "text", w = 4)
+  }
+  private[graft] def sharedDeconSpans(s: SparkSession, dir: String): DataFrame = {
+    val sessKey = installEvictionListener(s)
+    deconSpansCache.computeIfAbsent(s"$sessKey#$dir", _ =>
+      deconSpansFrame(s, dir).localCheckpoint())
+  }
+  private[graft] def resetSharedDeconSpans(): Unit = deconSpansCache.clear()
+  private[graft] def buildSharedDeconSpans(s: SparkSession, dir: String): Unit = {
+    sharedDeconSpans(s, dir); ()
+  }
+
   /** ONE pinned brute-force exact top-k ranking shared by the ANN
     * recall harnesses (round 18): `ivf_recall`, `hnsw_recall`,
     * `binary_recall` and `pq_recall` all compare their probe against
@@ -334,6 +361,7 @@ object SparkEntry {
     unigramCache.keySet.removeIf(_.startsWith(sessKey + "#"))
     histCache.keySet.removeIf(_.startsWith(sessKey + "#"))
     bruteCache.keySet.removeIf(_.startsWith(sessKey + "#"))
+    deconSpansCache.keySet.removeIf(_.startsWith(sessKey + "#"))
     ccListenerInstalled.remove(sessKey)
   }
 

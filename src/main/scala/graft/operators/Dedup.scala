@@ -414,7 +414,13 @@ object Dedup {
     * windows marked duplicated; sound for a ≥-threshold census). */
   def duplicatedPassageSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int = 8, minOccurrences: Int = 2): DataFrame = {
-    val wins = windowHashes(df, idCol, textCol, w)
+    // pin (r18): the window table feeds the census AND the hits join —
+    // the doc-keyed exchange below it is reused at runtime, but the
+    // window COMPUTE above it (per-token frame concat + prefix sums,
+    // the family's dominant CPU) re-ran once per consumer. The pinned
+    // rows are (doc_id, 2 offsets, 8-byte hash) — far slimmer than the
+    // window text they summarize.
+    val wins = windowHashes(df, idCol, textCol, w).pin()
     val dup = wins.groupBy("winh").agg(count(lit(1)).as("__n"))
       .where(col("__n") >= minOccurrences).select("winh")
     mergeSpans(wins.join(dup, "winh"))

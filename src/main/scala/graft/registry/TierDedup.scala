@@ -191,13 +191,10 @@ private[graft] object TierDedup extends Registry {
     // doc kept. w=4 because the synthetic corpus's verbatim overlaps are
     // short; production uses w~8-13 (the operator is w-agnostic, and the
     // sub-w tail stays `decontaminate`'s n-gram job).
-    "decon_spans" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val bench = docs.where(pmod(col("doc_id"), lit(50)) === 0)
-      val corpus = docs.where(pmod(col("doc_id"), lit(50)) =!= 0)
-      Decontaminate.contaminatedSpans(corpus, "doc_id", "text",
-        bench, "doc_id", "text", w = 4)
-    }),
+    // r18: the span table is computed once and shared with
+    // decon_span_clean (the dup_passages family pattern); Bench bills
+    // the build as the labeled `decon_spans_shared` entry.
+    "decon_spans" -> ((s, dir) => sharedDeconSpans(s, dir)),
 
     // End-to-end span REMOVAL for the contaminated passages: splice the
     // located spans out with the codegen'd aggregate-HOF (removeSpans).
@@ -206,10 +203,8 @@ private[graft] object TierDedup extends Registry {
     // arithmetic it never ran — the dup_passage_clean pattern.
     "decon_span_clean" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val bench = docs.where(pmod(col("doc_id"), lit(50)) === 0)
       val corpus = docs.where(pmod(col("doc_id"), lit(50)) =!= 0)
-      val spans = Decontaminate.contaminatedSpans(corpus, "doc_id", "text",
-          bench, "doc_id", "text", w = 4)
+      val spans = sharedDeconSpans(s, dir)
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
             .as("spans"),
