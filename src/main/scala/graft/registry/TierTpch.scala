@@ -327,10 +327,19 @@ private[graft] object TierTpch extends Registry {
     // formulation, not a mirror.
     "q21_waiting_supplier" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
-        .agg(countDistinct(col("l_suppkey")).as("nsupp"),
-          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-            .as("nsupp_r"))
+      // Two-level aggregate instead of a double countDistinct (r18):
+      // the multi-distinct rewrite EXPANDED every lineitem row 2× and
+      // shuffled the doubled (ok, suppkey, gid) set; distinct-pair
+      // collapse then a plain count/sum computes the identical numbers
+      // with partial aggregation on both levels and no row blowup.
+      // nsupp = distinct suppliers per order; nsupp_r = distinct
+      // suppliers with ≥1 'R' line (max of the per-line flag per pair).
+      val perOrder = li.where(col("l_suppkey").isNotNull)
+        .groupBy(col("l_orderkey").as("ok"), col("l_suppkey"))
+        .agg(max(col("l_returnflag") === "R").as("__has_r"))
+        .groupBy(col("ok"))
+        .agg(count(lit(1)).as("nsupp"),
+          sum(col("__has_r").cast("long")).as("nsupp_r"))
       li.where(col("l_returnflag") === "R")
         .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
