@@ -50,6 +50,27 @@ object Ckpt {
 
   def pin(df: DataFrame): DataFrame = pinTracked(df)._1
 
+  /** Partitioning-PRESERVING pin (round 19, VERDICT r18 #1): materialize
+    * `df` hash-distributed on `keys` and return a pinned frame that still
+    * DECLARES that distribution to the planner. A plain [[pin]] loses the
+    * layout under AQE (`localCheckpoint` captures `UnknownPartitioning`),
+    * so every round of an iterative loop re-exchanges its loop-invariant
+    * pinned table when the per-round side cannot broadcast — at 100 TB
+    * that is one full edge-set shuffle per round. This pin pays ONE
+    * enforced exchange up front (`repartition(n, keys)`, `n` = the
+    * session's shuffle parallelism — scale-adaptive, never a constant)
+    * and every per-round equi-join on `keys` then reads the pinned side
+    * exchange-free ([[org.apache.spark.sql.graftglue.Repin]] has the
+    * capture mechanics). Use for loop-INVARIANT frames joined on a fixed
+    * key every round; rotator (per-round) pins keep the plain path. */
+  def pinByKey(df: DataFrame, keys: String*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftglue.Repin
+    val n = Repin.numShufflePartitions(df)
+    val rep = df.repartition(n, keys.map(col): _*)
+    Repin.withHashPartitioning(pinTracked(rep)._1, rep, keys, n)
+  }
+
   /** Pin plus the on-disk location of the written checkpoint (reliable
     * path only) — the handle [[Rotator]] uses to bound loop storage. */
   private def pinTracked(df: DataFrame): (DataFrame, Option[Path]) = {
@@ -127,5 +148,6 @@ object Ckpt {
   /** `df.pin()` sugar so call sites chain like `.localCheckpoint()` did. */
   implicit class PinOps(private val df: DataFrame) extends AnyVal {
     def pin(): DataFrame = Ckpt.pin(df)
+    def pinByKey(keys: String*): DataFrame = Ckpt.pinByKey(df, keys: _*)
   }
 }

@@ -132,9 +132,22 @@ object Graph {
     * [[connectedComponents]] for strategy selection). */
   private[operators] def connectedComponentsLoop(edges: DataFrame,
       aCol: String, bCol: String, maxIters: Int = 50): DataFrame = {
+    // hash(dst) INSIDE the cached plan (r19, VERDICT r18 #1): the
+    // per-round propagation joins labels into this loop-invariant
+    // symmetric edge set on dst, and InMemoryTableScan reports the
+    // cached plan's partitioning (AQE leaves it alone —
+    // canChangeCachedPlanOutputPartitioning defaults false), so each
+    // round's join reads the edge side exchange-free at any scale. The
+    // cache (not a pin) keeps the ACTUAL materialized size as the stats
+    // the per-round join strategy is chosen from — a pin would swap in
+    // pre-materialization estimates and flip the toy-scale build side
+    // (GraphSpec gates the loop's job shape).
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().persist()
+      .distinct()
+      .repartition(org.apache.spark.sql.graftglue.Repin
+        .numShufflePartitions(edges), col("dst"))
+      .persist()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
     labels.count() // materialize before the loop re-reads it
@@ -600,6 +613,28 @@ object Graph {
     degrees(e)
   }
 
+  /** Adaptive loop-layout switch (r19, VERDICT r18 #1): whether a
+    * per-round |V|-row loop table (ranks, labels, frontier distances)
+    * will be BROADCAST by the planner in the per-round join against the
+    * loop-invariant edge set. When it broadcasts (small graphs), the
+    * edge set's physical layout is irrelevant and AQE's runtime
+    * re-planning (tiny-partition coalescing, SMJ→BHJ conversion) is
+    * what makes the loop fast — a plain [[Ckpt.pin]] keeps that
+    * flexibility. When it cannot broadcast (production graphs, or
+    * broadcasting disabled), every round pays a sort-merge/shuffled-hash
+    * join and a plain pin re-exchanges the EDGE set each round — there
+    * [[Ckpt.pinByKey]]'s declared hash layout removes the per-round
+    * edge exchange outright. Same posture as [[connectedComponents]]'s
+    * driver/distributed switch: measure, then pick the strategy the
+    * planner would want, with the decision riding a pin-job
+    * Observation (no extra pass). 64 B/row ≈ a built HashedRelation of
+    * a two-long row — deliberately conservative so the switch flips to
+    * the declared layout BEFORE broadcasts become marginal. */
+  private def loopTableBroadcasts(df: DataFrame, nRows: Long): Boolean = {
+    val thr = org.apache.spark.sql.graftglue.Repin.autoBroadcastThreshold(df)
+    thr > 0 && nRows * 64L <= thr
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 8, dampingPermille: Long = 850L,
       scale: Long = 1000000L): DataFrame = {
@@ -611,31 +646,45 @@ object Graph {
       col(dstCol).cast("long").as("dst")).where(
       col("src").isNotNull && col("dst").isNotNull).distinct()
       .pin()
+    // |V| rides the vertex pin's own materialization job (the kCore
+    // Observation pattern) and drives the loop-layout switch below.
+    val obsV = org.apache.spark.sql.Observation("pagerank-nv")
     val vertices = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .pin() // reused every round: compute the node set once
+      .observe(obsV, count(lit(1)).as("n"))
+      .pin()
+    val nV = obsV.get("n") match { case c: Long => c; case _ => 0L }
     // out-degree DENORMALIZED onto the edge set once (round 18): the
     // per-round `ranks ⋈ outdeg` node-keyed join is gone — each round
     // joins the rank table straight into the deg-carrying edge set and
     // divides there (same integer value per (src, dst) row, so the
     // dst-sum is unchanged bit for bit). One |V|-join × iterations
     // removed for an 8-bytes/edge one-off widening.
-    val eDeg = e.join(
-        e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
-      .pin()
+    // Layout (r19, VERDICT r18 #1): when the rank table outgrows
+    // broadcast, pinByKey declares hash(src) so each round's rank join
+    // reads this loop-invariant edge set exchange-free — only the
+    // |V|-sized rank table moves per round ([[loopTableBroadcasts]]).
+    val eDeg0 = e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+    val eDeg = if (loopTableBroadcasts(edges, nV)) eDeg0.pin()
+      else Ckpt.pinByKey(eDeg0, "src")
     val base = (1000L - dampingPermille) * scale / 1000L
+    // Nodes with NO in-edges receive zero mass every round, so their
+    // rank is the constant teleport base from round 1 on — split them
+    // out ONCE (r19) and the per-round `vertices ⋈ inSum` left join
+    // disappears: the round is join + aggregate + free union. Exact:
+    // inSum's key set is the loop-invariant distinct-dst set (ranks
+    // covers every vertex each round, so the inner join drops no dst),
+    // zeroIn is its complement in the vertex set, and base + d·0 div
+    // 1000 = base is what the old coalesce(s, 0) path computed.
+    lazy val zeroIn = vertices.join(e.select(col("dst").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .select(col("node"), lit(base).as("rank")).pin()
     val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
     var ranks = vertices.withColumn("rank", lit(scale))
     var i = 0
     while (i < iterations) {
-      val inSum = eDeg.join(ranks.select(col("node").as("src"), col("rank")),
-          Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(expr("rank div deg")).as("s"))
-      ranks = vertices.join(inSum, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"$dampingPermille * coalesce(s, 0L) div 1000"))
-            .as("rank"))
+      ranks = pageRankRound(eDeg, zeroIn, ranks, base, dampingPermille)
       i += 1
       // Pin every SECOND round (and always the last): each round
       // references its predecessor exactly once, so two unpinned rounds
@@ -651,6 +700,22 @@ object Graph {
       if (i % 2 == 0 || i == iterations) ranks = rot.pin(ranks)
     }
     ranks
+  }
+
+  /** ONE [[pageRank]] round: the rank table joins into the deg-carrying
+    * edge set on src, the in-mass sums by dst, and the no-in-edge
+    * complement unions back. Shared by the loop and the plan-evidence
+    * snapper (`graft.LoopPlanSnap`) so the dumped round shape IS the
+    * executed one. */
+  private[graft] def pageRankRound(eDeg: DataFrame, zeroIn: DataFrame,
+      ranks: DataFrame, base: Long, dampingPermille: Long): DataFrame = {
+    val inSum = eDeg.join(ranks.select(col("node").as("src"), col("rank")),
+        Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(expr("rank div deg")).as("s"))
+    inSum.select(col("node"),
+        (lit(base) + expr(s"$dampingPermille * s div 1000")).as("rank"))
+      .unionByName(zeroIn)
   }
 
   /** TrustRank (Gyöngyi et al., 2004) — [[pageRank]] with the teleport
@@ -683,34 +748,64 @@ object Graph {
       .pin()
     val seedNodes = seeds.select(col(seedCol).cast("long").as("node"))
       .where(col("node").isNotNull).distinct()
+    val seedFlag = broadcast(seedNodes.withColumn("__s", lit(true)))
+    // |V| rides the vertex pin (see [[pageRank]]) for the layout switch
+    val obsV = org.apache.spark.sql.Observation("trustrank-nv")
     val verts = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .join(broadcast(seedNodes.withColumn("__s", lit(true))), Seq("node"), "left")
+      .join(seedFlag, Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(false)).as("seed"))
+      .observe(obsV, count(lit(1)).as("n"))
       .pin()
-    // deg-denormalized edge set — see [[pageRank]] (round 18)
-    val eDeg = e.join(
+    val nV = obsV.get("n") match { case c: Long => c; case _ => 0L }
+    // deg-denormalized edge set — see [[pageRank]] (round 18) — CARRYING
+    // the destination's seed flag (r19): the per-round teleport base is
+    // then computable straight off the aggregate, so the per-round
+    // `verts ⋈ inSum` left join disappears (the [[pageRank]] zeroIn
+    // restructure, seeded variant). hash(src) declared when the rank
+    // table outgrows broadcast — see [[loopTableBroadcasts]].
+    val eDeg0 = e.join(
         e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
-      .pin()
+      .join(seedFlag.select(col("node").as("dst"), col("__s")), Seq("dst"), "left")
+      .select(col("src"), col("dst"), col("deg"),
+        coalesce(col("__s"), lit(false)).as("dseed"))
+    val eDeg = if (loopTableBroadcasts(edges, nV)) eDeg0.pin()
+      else Ckpt.pinByKey(eDeg0, "src")
     val base = (1000L - dampingPermille) * scale / 1000L
+    // no-in-edge nodes: constant per-round rank (teleport base if seeded,
+    // else 0) — split out once, exactly as [[pageRank]]'s zeroIn
+    lazy val zeroIn = verts.join(e.select(col("dst").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .select(col("node"),
+        when(col("seed"), lit(base)).otherwise(lit(0L)).as("rank")).pin()
     val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
     var ranks = verts.select(col("node"),
       when(col("seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
     var i = 0
     while (i < iterations) {
-      val inSum = eDeg.join(ranks.select(col("node").as("src"), col("rank")),
-          Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(expr("rank div deg")).as("s"))
-      ranks = verts.join(inSum, Seq("node"), "left")
-        .select(col("node"),
-          (when(col("seed"), lit(base)).otherwise(lit(0L)) +
-            expr(s"$dampingPermille * coalesce(s, 0L) div 1000")).as("rank"))
+      ranks = trustRankRound(eDeg, zeroIn, ranks, base, dampingPermille)
       i += 1
       // stride-2 pinning + declined convergence exit: see [[pageRank]]
       if (i % 2 == 0 || i == iterations) ranks = rot.pin(ranks)
     }
     ranks
+  }
+
+  /** ONE [[trustRank]] round — [[pageRankRound]] with the seeded teleport
+    * base read off the edge set's denormalized dst-seed flag. dseed is
+    * functional on dst (one flag per node), so grouping by (dst, dseed)
+    * is the same key set as dst — the round stays a single aggregate
+    * with the teleport base derived in the select. */
+  private[graft] def trustRankRound(eDeg: DataFrame, zeroIn: DataFrame,
+      ranks: DataFrame, base: Long, dampingPermille: Long): DataFrame = {
+    val inSum = eDeg.join(ranks.select(col("node").as("src"), col("rank")),
+        Seq("src"))
+      .groupBy(col("dst").as("node"), col("dseed"))
+      .agg(sum(expr("rank div deg")).as("s"))
+    inSum.select(col("node"),
+        (when(col("dseed"), lit(base)).otherwise(lit(0L)) +
+          expr(s"$dampingPermille * s div 1000")).as("rank"))
+      .unionByName(zeroIn)
   }
 
   /** The DuckDB mirror of [[trustRank]] — [[pageRankSql]] with the seeded
@@ -766,23 +861,26 @@ object Graph {
     val e0 = edges.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-    val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val und0 = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().pin()
-    // symmetric edge set: the u column alone covers every vertex
-    val verts = und.select(col("u").as("node")).distinct().pin()
+    // symmetric edge set: the u column alone covers every vertex; |V|
+    // rides the pin job and drives the loop-layout switch below
+    val obsV = org.apache.spark.sql.Observation("lpa-nv")
+    val verts = und0.select(col("u").as("node")).distinct()
+      .observe(obsV, count(lit(1)).as("n")).pin()
+    val nV = obsV.get("n") match { case c: Long => c; case _ => 0L }
+    // hash(v) when the label table outgrows broadcast (r19, see
+    // [[loopTableBroadcasts]]): every round joins the |V|-sized label
+    // table into this loop-invariant edge set on v — the declared layout
+    // keeps the per-round join exchange-free on the edge side, where a
+    // plain pin re-exchanged the edges each round
+    val und = if (loopTableBroadcasts(edges, nV)) und0
+      else Ckpt.pinByKey(und0, "v")
     val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
     var labels = verts.withColumn("label", col("node"))
     var i = 0
     while (i < rounds) {
-      val counts = und
-        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
-        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("n"))
-      // argmax (n DESC, label ASC) as a min over (-n, label): exact for
-      // any label sign, and a single partial-aggregable min per node
-      labels = counts
-        .groupBy(col("u").as("node"))
-        .agg(min(struct((-col("n")).as("nn"), col("label").as("l"))).as("__m"))
-        .select(col("node"), col("__m.l").as("label"))
+      labels = lpaRound(und, labels)
       i += 1
       // stride-2 pinning: see [[pageRank]] — each round references its
       // predecessor once, so two unpinned rounds stay linear and the
@@ -790,6 +888,26 @@ object Graph {
       if (i % 2 == 0 || i == rounds) labels = rot.pin(labels)
     }
     labels
+  }
+
+  /** ONE [[labelPropagation]] round: the label table joins into the
+    * symmetric edge set on v, neighbor labels count by (u, label), and
+    * the argmax (n DESC, label ASC) is a min over (-n, label) — exact
+    * for any label sign, and a single partial-aggregable min per node.
+    * The two-level aggregate is DELIBERATE (examined r19, fusion
+    * declined): collapsing it to one exchange via repartition(u) would
+    * ship RAW join output — a hub whose neighborhood converged to one
+    * label loses the partial-aggregation collapse and lands on a single
+    * reducer (guide §2.5); two keyed aggregates keep hub fan-in
+    * arriving as per-partition partials. */
+  private[graft] def lpaRound(und: DataFrame, labels: DataFrame): DataFrame = {
+    val counts = und
+      .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+      .groupBy(col("u"), col("label")).agg(count(lit(1)).as("n"))
+    counts
+      .groupBy(col("u").as("node"))
+      .agg(min(struct((-col("n")).as("nn"), col("label").as("l"))).as("__m"))
+      .select(col("node"), col("__m.l").as("label"))
   }
 
   /** Multi-source BFS distance labels: every node reachable from the
@@ -816,21 +934,36 @@ object Graph {
     val e0 = edges.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-    val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().pin()
+    // |V| (approximate — HyperLogLog rides the pin job; the switch is a
+    // layout heuristic, not a semantics choice) drives the hash(v)
+    // declaration exactly as in [[labelPropagation]]: the per-hop
+    // frontier join keys on v, and the distance table grows toward |V|.
+    val obsV = org.apache.spark.sql.Observation("bfs-nv")
+    val und0 = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .observe(obsV, approx_count_distinct(col("u")).as("n"))
+      .pin()
+    val nV = obsV.get("n") match { case c: Long => c; case _ => 0L }
+    val und = if (loopTableBroadcasts(edges, nV)) und0
+      else Ckpt.pinByKey(und0, "v")
     val rot = Ckpt.rotator() // bounds reliable-checkpoint storage to 2 rounds
     var dist = seeds.distinct.toDF("node").withColumn("hops", lit(0L))
     var i = 0
     while (i < maxHops) {
-      val nxt = und
-        .join(dist.select(col("node").as("v"), col("hops")), Seq("v"))
-        .select(col("u").as("node"), (col("hops") + 1).as("hops"))
-      dist = dist.union(nxt)
-        .groupBy("node").agg(min("hops").as("hops"))
-        .transform(rot.pin)
+      dist = rot.pin(bfsRound(und, dist))
       i += 1
     }
     dist
+  }
+
+  /** ONE [[bfsLayers]] hop: the distance table joins into the symmetric
+    * edge set on v, and the min-hops fold absorbs the new frontier. */
+  private[graft] def bfsRound(und: DataFrame, dist: DataFrame): DataFrame = {
+    val nxt = und
+      .join(dist.select(col("node").as("v"), col("hops")), Seq("v"))
+      .select(col("u").as("node"), (col("hops") + 1).as("hops"))
+    dist.union(nxt)
+      .groupBy("node").agg(min("hops").as("hops"))
   }
 
   /** The DuckDB mirror of [[bfsLayers]]: the same hop rounds unrolled
