@@ -283,16 +283,14 @@ object SparkEntry {
     * and each monitor reports incremental (window + rollup) cost. */
   private[graft] val histCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private[graft] def twoSliceHistPlanFrame(s: SparkSession, dir: String): DataFrame = {
-    val (ev, cur) = weekSlicedEvents(s, dir)
-    Validate.twoSliceHistogramFrame(ev, "event_type", col("cents"), cur)
-  }
+  private[graft] def twoSliceHistPlanFrame(s: SparkSession, dir: String): DataFrame =
+    Validate.twoSliceHistogramByDayFrame(weekValuedEvents(s, dir),
+      "event_type", col("cents"), col("__day"), 7)
   private[graft] def sharedTwoSliceHist(s: SparkSession, dir: String): DataFrame = {
     val sessKey = installEvictionListener(s)
-    histCache.computeIfAbsent(s"$sessKey#$dir", _ => {
-      val (ev, cur) = weekSlicedEvents(s, dir)
-      Validate.twoSliceHistogram(ev, "event_type", col("cents"), cur)
-    })
+    histCache.computeIfAbsent(s"$sessKey#$dir", _ =>
+      Validate.twoSliceHistogramByDay(weekValuedEvents(s, dir),
+        "event_type", col("cents"), col("__day"), 7))
   }
   private[graft] def resetSharedTwoSliceHist(): Unit = histCache.clear()
   private[graft] def buildSharedTwoSliceHist(s: SparkSession, dir: String): Unit = {
@@ -1181,21 +1179,23 @@ object SparkEntry {
   }
 
   /** Shared slice construction of the two-slice value monitors
-    * (`ks_value_shift`, `ranksum_shift`): event values in cents and the
-    * "current = final observed week" tag. The week anchor (max day) is
-    * computed over VALUE-BEARING rows only — the oracles' value-filtered
-    * frame — so a trailing day holding only null-valued rows cannot
-    * shift the engine's window off the oracle's (review find). */
-  private[graft] def weekSlicedEvents(s: SparkSession, dir: String)
-      : (DataFrame, Column) = {
-    val ev = Tables.events(s, dir)
+    * (`ks_value_shift`, `ranksum_shift`, `median_shift`): event values in
+    * cents plus the event day. The week anchor (max day) is taken over
+    * VALUE-BEARING rows only — the oracles' value-filtered frame — so a
+    * trailing day holding only null-valued rows cannot shift the
+    * engine's window off the oracle's (review find). Since r19 the
+    * anchor is FOLDED into the histogram pass
+    * ([[Validate.twoSliceHistogramByDay]]): this helper returns just the
+    * slim (event_type, cents, __day) frame, and the max-day aggregate —
+    * previously its own corpus scan per build — is derived from the
+    * day-level histogram instead (VERDICT r18 #3: one events scan for
+    * the whole monitor family). */
+  private[graft] def weekValuedEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .select(col("event_type"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
         expr(TimeSeries.epochDaySql("cast(ts as long)")).as("__day"))
       .where(col("cents").isNotNull)
-    val maxd = ev.agg(max("__day").as("__maxd"))
-    (ev.crossJoin(broadcast(maxd)), col("__day") >= col("__maxd") - 6)
-  }
 
   /** Mirror of [[graft.operators.Experiment.halfSampleCi]]: the portable
     * mix64 chain over `id:salt` recomputed in UBIGINT (same fold as the

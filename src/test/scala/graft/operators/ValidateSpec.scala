@@ -256,6 +256,29 @@ class ValidateSpec extends SparkSpecBase {
       ("e", 1L, 0L, Some(5L), None, None)))
   }
 
+  test("twoSliceHistogramByDay: day-folded anchor equals tag-first histogram (r19)") {
+    // days 3..12; window 7 → current = days 6..12; one null-day row and
+    // one null-value row must be excluded by BOTH paths
+    val rows = Seq[(String, java.lang.Long, java.lang.Long)](
+      ("k", 1L, 3L), ("k", 1L, 6L), ("k", 1L, 12L), ("k", 2L, 5L),
+      ("k", 2L, 12L), ("j", 7L, 4L), ("j", 7L, 11L), ("j", 9L, 12L),
+      ("k", 5L, null), ("k", null, 12L))
+    val df = rows.toDF("k", "v", "d")
+    val maxd = df.where(col("v").isNotNull).agg(max("d")).head.getLong(0)
+    val tagged = Validate.twoSliceHistogram(
+      df.withColumn("cur",
+        when(col("d").isNotNull, col("d") >= maxd - 6)),
+      "k", col("v"), col("cur"))
+    val folded = Validate.twoSliceHistogramByDay(df, "k", col("v"), col("d"))
+    def rowsOf(h: org.apache.spark.sql.DataFrame) =
+      h.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rowsOf(folded) == rowsOf(tagged))
+    assert(rowsOf(folded) == Set(
+      ("k", 1L, 2L, 1L), ("k", 2L, 1L, 1L),
+      ("j", 7L, 1L, 1L), ("j", 9L, 1L, 0L)))
+  }
+
   test("enforce: passes under budget, throws over it, names the rule") {
     val rules = Seq("empty_text" -> (length(col("text")) === 0))
     // budget 1 tolerates the single empty doc
