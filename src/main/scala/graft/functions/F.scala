@@ -140,6 +140,19 @@ object F {
       codebooks: Seq[Seq[Seq[Double]]]): Column =
     Glue.column(PqAdc(Glue.expression(queryVec), Glue.expression(codes), codebooks))
 
+  /** Per-query flat ADC lookup table (see [[PqLut]]; r19). */
+  def pqLut(queryVec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    Glue.column(PqLut(Glue.expression(queryVec), codebooks))
+
+  /** ADC score from a precomputed [[pqLut]] table (see [[PqAdcLut]]);
+    * `ksub` is the flat table's per-subspace stride. */
+  def pqAdcLut(lut: Column, codes: Column, ksub: Int): Column =
+    Glue.column(PqAdcLut(Glue.expression(lut), Glue.expression(codes), ksub))
+
+  /** Dot of a vector against int codes (see [[DotCodes]]; r19). */
+  def dotCodes(vec: Column, codes: Column): Column =
+    Glue.column(DotCodes(Glue.expression(vec), Glue.expression(codes)))
+
   /** Ids of the `nprobe` nearest (cosine) centroids for a vector column
     * (see [[NearestCentroids]]). */
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =

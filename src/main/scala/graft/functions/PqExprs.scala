@@ -74,6 +74,52 @@ object PqOps {
     }
     s
   }
+
+  /** Per-query ADC lookup table (r19, VERDICT r18 #7), FLAT:
+    * `lut(mi·ksub + j)` = dot(query_sub mi, codeword j), each inner
+    * product folded in the identical ascending-index order as [[adc]]'s
+    * — so an [[adcLut]] score is the SAME doubles added in the SAME
+    * order, bit-identical to [[adc]]. Built once per query row
+    * (m·ksub·dsub work) so the per-candidate score drops from m
+    * sub-inner-products to m flat lookups. Flat (not array<array<…>>)
+    * deliberately: a nested layout costs one `getArray` wrapper
+    * allocation per subspace per CANDIDATE row, which measured slower
+    * than the sub-dots it replaced at bench dims. */
+  def lut(q: ArrayData, qf: Boolean,
+      cb: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cb.length
+    val ksub = if (m == 0) 0 else cb(0).length
+    val flat = new Array[Double](m * ksub)
+    var mi = 0
+    while (mi < m) {
+      val words = cb(mi)
+      val dsub = words(0).length
+      val off = mi * dsub
+      var j = 0
+      while (j < words.length) {
+        val w = words(j)
+        var t = 0.0
+        var i = 0
+        while (i < dsub) { t += get(q, off + i, qf) * w(i); i += 1 }
+        flat(mi * ksub + j) = t
+        j += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(flat)
+  }
+
+  /** ADC over a precomputed flat [[lut]]: Σ lut(mi·ksub + code_mi − 1),
+    * ascending mi — the same additions in the same order as [[adc]]. */
+  def adcLut(lut: ArrayData, codes: ArrayData, ksub: Int): Double = {
+    var s = 0.0
+    var mi = 0
+    while (mi < codes.numElements()) {
+      s += lut.getDouble(mi * ksub + codes.getInt(mi) - 1)
+      mi += 1
+    }
+    s
+  }
 }
 
 /** `pq_codes(v)` — the vector's `m` 1-based PQ codes (see [[PqOps]]). */
@@ -98,6 +144,54 @@ case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 
   override protected def withNewChildInternal(c: Expression): PqCodes =
     copy(child = c)
+}
+
+/** `pq_lut(query_vec)` — the query's FLAT ADC lookup table (see
+  * [[PqOps.lut]]): m × ksub inner products hoisted to the (broadcast)
+  * query side so the candidate pass pays lookups, not sub-dots (r19). */
+case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with VectorElemTypes {
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+  private lazy val vf = elemIsFloat(child.dataType)
+  private val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    PqOps.lut(v.asInstanceOf[ArrayData], vf, cb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  def compute(v: ArrayData): ArrayData = PqOps.lut(v, vf, cb)
+
+  override protected def withNewChildInternal(c: Expression): PqLut =
+    copy(child = c)
+}
+
+/** `pq_adc_lut(lut, codes)` — ADC score from a precomputed per-query
+  * flat [[PqLut]] table (see [[PqOps.adcLut]]; bit-identical to
+  * [[PqAdc]]). `ksub` is the table's row stride. */
+case class PqAdcLut(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_lut"
+
+  override def nullSafeEval(l: Any, c: Any): Any =
+    PqOps.adcLut(l.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = PqOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, (l, c) => s"$ops.adcLut($l, $c, $ksub)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcLut =
+    copy(left = l, right = r)
 }
 
 /** `pq_adc(query_vec, codes)` — asymmetric-distance score (see [[PqOps]]). */

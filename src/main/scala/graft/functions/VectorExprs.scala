@@ -28,6 +28,18 @@ object VectorOps {
     math.sqrt(s)
   }
 
+  /** Dot of a double vector against an int-code vector (the SQ8
+    * candidate score, r19): Σ a(i)·codes(i) ascending — the same
+    * doubles in the same fold order as the HOF formulation
+    * `aggregate(zip_with(a, cast(codes as array<double>), *), 0.0, +)`
+    * it replaces, without the two per-row array materializations. */
+  def dotCodes(a: ArrayData, af: Boolean, codes: ArrayData): Double = {
+    val n = math.min(a.numElements(), codes.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += get(a, i, af) * codes.getInt(i); i += 1 }
+    s
+  }
+
   /** Cosine similarity; 0.0 when either vector has zero norm. */
   def cosine(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): Double = {
     val d = dot(a, b, af, bf)
@@ -43,6 +55,27 @@ private[functions] trait VectorElemTypes { self: Expression =>
     case other => throw new IllegalArgumentException(
       s"expected array<float> or array<double>, got $other")
   }
+}
+
+/** `dot_codes(vec, codes)` — dot of a float/double vector against an
+  * int-code vector (see [[VectorOps.dotCodes]]): the SQ8 candidate
+  * score without per-row array casts (r19). */
+case class DotCodes(left: Expression, right: Expression)
+    extends BinaryExpression with VectorElemTypes {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_codes"
+  private lazy val lf = elemIsFloat(left.dataType)
+
+  override def nullSafeEval(a: Any, c: Any): Any =
+    VectorOps.dotCodes(a.asInstanceOf[ArrayData], lf, c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = VectorOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, (a, c) => s"$ops.dotCodes($a, $lf, $c)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotCodes =
+    copy(left = l, right = r)
 }
 
 /** `cosine_sim(a, b)` — native expression with whole-stage codegen. */

@@ -510,10 +510,12 @@ object Ivf {
     val probed = q.select("__cell").distinct().collect().map(_.getInt(0))
     val probedCells = readCells(spark, indexPath, Some(probed.toIndexedSeq))
       .where(col("__cell").isin(probed.map(Integer.valueOf).toSeq: _*))
-    // candidate pass: column-pruned to (id, __cell, __sq8)
-    val candScore = aggregate(
-      zip_with(col("__qp"), col("__sq8").cast("array<double>"), (a, b) => a * b),
-      lit(0.0), (acc, t) => acc + t)
+    // candidate pass: column-pruned to (id, __cell, __sq8); the score is
+    // one native dot of the precomputed q⊙span/255 against the int codes
+    // (r19: the HOF zip_with+aggregate formulation materialized two
+    // arrays per candidate row — DotCodes folds the identical doubles in
+    // the identical order with no per-row allocation)
+    val candScore = F.dotCodes(col("__qp"), col("__sq8"))
     val scored = probedCells
       .select(col(idCol).as("neighbor_id"), col("__cell"), col("__sq8"))
       .join(broadcast(q), "__cell")
@@ -544,19 +546,28 @@ object Ivf {
       s"$indexPath carries both a residual flag and an OPQ rotation — " +
         "the tiers are mutually exclusive")
     val centroids = loadCentroids(spark, indexPath)
+    // an OPQ index rotates the QUERY into code space — codes were made
+    // from rotated vectors, and ⟨Rq, Rv⟩ = ⟨q, v⟩ keeps the estimate.
+    // Everything per-(query, cell)-constant is HOISTED onto the
+    // (broadcast) query side (r19, VERDICT r18 #7): the ADC lookup
+    // table (m·ksub sub-inner-products, previously re-derived per
+    // CANDIDATE row inside pq_adc) and the residual formulation's
+    // query·centroid dot. The candidate pass then pays m lookups per
+    // row; scores are bit-identical (PqOps.adcLut folds the same
+    // doubles in the same order as PqOps.adc).
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"),
-      explode(F.nearestCentroids(col(vecCol), centroids, nprobe)).as("__cell"))
+        explode(F.nearestCentroids(col(vecCol), centroids, nprobe)).as("__cell"))
+      .withColumn("__lut", F.pqLut(
+        if (opqR.nonEmpty) F.matVec(col("q_v"), opqR) else col("q_v"), cb))
+      .withColumn("__cdot",
+        if (residual) centroidDot(col("q_v"), col("__cell"), centroids)
+        else lit(0.0))
     val probed = q.select("__cell").distinct().collect().map(_.getInt(0))
     val probedCells = readCells(spark, indexPath, Some(probed.toIndexedSeq))
       .where(col("__cell").isin(probed.map(Integer.valueOf).toSeq: _*))
-    // an OPQ index rotates the QUERY into code space — codes were made
-    // from rotated vectors, and ⟨Rq, Rv⟩ = ⟨q, v⟩ keeps the estimate
-    val adcQuery =
-      if (opqR.nonEmpty) F.matVec(col("q_v"), opqR) else col("q_v")
-    val adc = F.pqAdc(adcQuery, col("__codes"), cb)
-    val candScore =
-      if (residual) centroidDot(col("q_v"), col("__cell"), centroids) + adc
-      else adc
+    val adc = F.pqAdcLut(col("__lut"), col("__codes"),
+      ksub = if (cb.isEmpty) 0 else cb.head.length)
+    val candScore = if (residual) col("__cdot") + adc else adc
     // candidate pass: column-pruned to (id, __cell, __codes)
     val scored = probedCells
       .select(col(idCol).as("neighbor_id"), col("__cell"), col("__codes"))

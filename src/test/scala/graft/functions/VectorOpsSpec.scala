@@ -34,4 +34,37 @@ class VectorOpsSpec extends SparkSpecBase {
     val df = Seq((Seq(1.5, 2.5), Seq(2.0, 4.0))).toDF("a", "b")
     assert(df.select(F.dotProduct(col("a"), col("b"))).head().getDouble(0) == 13.0)
   }
+
+  test("pqAdcLut over pqLut is bit-identical to pqAdc (r19 candidate-pass hoist)") {
+    // m=2 subspaces of dsub=3, ksub=4 codewords — adversarial doubles
+    // (irrational-ish magnitudes) so any fold-order change would show
+    val rnd = new scala.util.Random(7)
+    val cb: Seq[Seq[Seq[Double]]] = Seq.fill(2)(Seq.fill(4)(
+      Seq.fill(3)(rnd.nextDouble() * 1e3 - 500)))
+    val rows = (1 to 50).map { i =>
+      (Seq.fill(6)(rnd.nextDouble() * 10 - 5),
+        Seq(rnd.nextInt(4) + 1, rnd.nextInt(4) + 1))
+    }
+    val df = rows.toDF("q", "codes")
+    val got = df.select(
+      F.pqAdc(col("q"), col("codes"), cb).as("direct"),
+      F.pqAdcLut(F.pqLut(col("q"), cb), col("codes"), ksub = 4).as("lut"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"ADC diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+  }
+
+  test("dotCodes equals the zip_with+aggregate HOF fold it replaces (r19)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 50).map { _ =>
+      (Seq.fill(8)(rnd.nextDouble() * 2 - 1), Seq.fill(8)(rnd.nextInt(256)))
+    }
+    val df = rows.toDF("qp", "codes")
+    val hof = aggregate(
+      zip_with(col("qp"), col("codes").cast("array<double>"), (a, b) => a * b),
+      lit(0.0), (acc, t) => acc + t)
+    df.select(hof.as("old"), F.dotCodes(col("qp"), col("codes")).as("nw"))
+      .collect()
+      .foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
 }
