@@ -420,8 +420,13 @@ class TextAnalysisSpec extends SparkSpecBase {
       val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       val out = TextAnalysis.collocations(docs, "text", minCount = 2).collect()
       assert(out.nonEmpty)
-      // listener bus is async (and private): poll until the count settles
+      // listener bus is async (and private): first wait for the scan
+      // stage's event to arrive AT ALL (a loaded bus can lag past one
+      // poll interval — two early polls both reading 0 "settle" wrong),
+      // then poll until the count stops moving.
       val deadline = System.nanoTime() + 10_000_000_000L
+      while (System.nanoTime() < deadline && scanStages.get() == 0)
+        Thread.sleep(200)
       var last = -1
       while (System.nanoTime() < deadline && scanStages.get() != last) {
         last = scanStages.get(); Thread.sleep(200)
