@@ -385,9 +385,15 @@ object SparkEntry {
     sharedPassageSpans(s, dir); ()
   }
 
-  /** Recall combinator shared by the ANN recall harnesses
-    * (`ivf_recall` / `binary_recall`): permille of the exact top-k pairs
-    * the approximate ranking recovered.
+  /** Recall combinator shared by the recall harnesses (`ivf_recall` /
+    * `binary_recall` / …, and `lsh_recall` via the key/name overrides):
+    * permille of the exact pairs the approximate ranking recovered.
+    *
+    * PRECONDITION (ADVICE r18): both inputs must be duplicate-free on
+    * `keys` — the full-outer join multiplies duplicate keys, inflating
+    * every count, where the pre-r18 independent count(*) form did not.
+    * Every call site is distinct-by-construction (row_number top-k
+    * rankings, groupBy'd LSH pair sets); a new caller must be too.
     *
     * Single-pass shape (round 18): ONE full-outer join of the two pair
     * sets and ONE aggregate computes all three counts. The previous form
@@ -399,12 +405,14 @@ object SparkEntry {
     * exchange-identical parts). Now each ranking is evaluated exactly
     * once, at any scale, with no checkpoint job. Counts coalesce to 0 on
     * an empty side, matching the old count(*) semantics. */
-  private[graft] def recallVsExact(exact: DataFrame, approx: DataFrame): DataFrame = {
-    val ex = exact.select(col("query_id"), col("neighbor_id"), lit(1L).as("__e"))
-    val ap = approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("__a"))
-    ex.join(ap, Seq("query_id", "neighbor_id"), "full_outer")
+  private[graft] def recallVsExact(exact: DataFrame, approx: DataFrame,
+      keys: Seq[String] = Seq("query_id", "neighbor_id"),
+      approxCountName: String = "n_approx"): DataFrame = {
+    val ex = exact.select(keys.map(col) :+ lit(1L).as("__e"): _*)
+    val ap = approx.select(keys.map(col) :+ lit(1L).as("__a"): _*)
+    ex.join(ap, keys, "full_outer")
       .agg(coalesce(sum("__e"), lit(0L)).as("n_exact"),
-        coalesce(sum("__a"), lit(0L)).as("n_approx"),
+        coalesce(sum("__a"), lit(0L)).as(approxCountName),
         coalesce(sum(when(col("__e").isNotNull && col("__a").isNotNull, 1L)),
           lit(0L)).as("n_hit"))
       .withColumn("recall_permille", expr("n_hit * 1000 div n_exact"))

@@ -177,7 +177,7 @@ object Graph {
       val aggCk = rot.pin(agg) // the round's one job; fires obs
       changed = obs.get("changed") match {
         case n: Long => n
-        case null => 0L
+        case _ => 0L // sum over an empty frame arrives as null
       }
       // Pointer jumping (path doubling): label(id) := label(label(id)).
       // One neighbor hop per round is O(diameter) rounds — chain-shaped
@@ -586,7 +586,7 @@ object Graph {
     // `rounds` no-ops and lands on the same set). The count rides the
     // pin's own materialization job (Observation — round 18); the old
     // per-round e.count() re-read the whole checkpointed edge set.
-    var prev = obs0.get("n") match { case c: Long => c; case null => 0L }
+    var prev = obs0.get("n") match { case c: Long => c; case _ => 0L }
     var i = 0
     while (i < rounds) {
       val last = e
@@ -606,7 +606,7 @@ object Graph {
       // CC loop's pattern) — otherwise up to rounds+1 edge-set copies
       // sit in executor storage until GC gets around to them
       last.unpersist()
-      val n = obs.get("n") match { case c: Long => c; case null => 0L }
+      val n = obs.get("n") match { case c: Long => c; case _ => 0L }
       i = if (n == prev) rounds else i + 1
       prev = n
     }

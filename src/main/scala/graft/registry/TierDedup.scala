@@ -304,22 +304,16 @@ private[graft] object TierDedup extends Registry {
     // sample scale: the exact side is the labeled quadratic operator).
     "lsh_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      // single-pass recall (r18, the recallVsExact shape): one
-      // full-outer join + one aggregate — each pair set (the quadratic
-      // exact pass, the LSH bucket join) is evaluated exactly once; the
-      // old semi-join + crossJoined counts referenced each twice (8
-      // embeddings scans in the plan).
-      val exact = Dedup.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
-        .select(col("a_id"), col("b_id"), lit(1L).as("__e"))
-      val lsh = Dedup.cosineNearDupPairsLsh(emb, "vec_id", "embedding",
-        threshold = 0.4, dim = 64, planes = 4, tables = 4)
-        .select(col("a_id"), col("b_id"), lit(1L).as("__l"))
-      exact.join(lsh, Seq("a_id", "b_id"), "full_outer")
-        .agg(coalesce(sum("__e"), lit(0L)).as("n_exact"),
-          coalesce(sum("__l"), lit(0L)).as("n_lsh"),
-          coalesce(sum(when(col("__e").isNotNull && col("__l").isNotNull, 1L)),
-            lit(0L)).as("n_hit"))
-        .withColumn("recall_permille", expr("n_hit * 1000 div n_exact"))
+      // single-pass recall: ONE shared recallVsExact helper (r19, the
+      // ADVICE dedup) — one full-outer join + one aggregate, each pair
+      // set (the quadratic exact pass, the LSH bucket join) evaluated
+      // exactly once; both sides are distinct-by-construction (the
+      // helper's uniqueness precondition).
+      recallVsExact(
+        Dedup.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4),
+        Dedup.cosineNearDupPairsLsh(emb, "vec_id", "embedding",
+          threshold = 0.4, dim = 64, planes = 4, tables = 4),
+        keys = Seq("a_id", "b_id"), approxCountName = "n_lsh")
     }),
 
     // SemDeDup-style semantic dedup: LSH cosine pairs -> components ->

@@ -334,6 +334,11 @@ private[graft] object TierTpch extends Registry {
       // with partial aggregation on both levels and no row blowup.
       // nsupp = distinct suppliers per order; nsupp_r = distinct
       // suppliers with ≥1 'R' line (max of the per-line flag per pair).
+      // NOTE (ADVICE r18): the isNotNull pre-filter drops orders whose
+      // lines ALL have null suppkey from the census entirely, where the
+      // old countDistinct form emitted them with nsupp = 0 — equivalent
+      // HERE because the consumer below requires nsupp >= 2 (and TPC-H
+      // suppkey is non-null anyway); re-check if the census is reused.
       val perOrder = li.where(col("l_suppkey").isNotNull)
         .groupBy(col("l_orderkey").as("ok"), col("l_suppkey"))
         .agg(max(col("l_returnflag") === "R").as("__has_r"))
