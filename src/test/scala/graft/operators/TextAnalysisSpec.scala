@@ -417,7 +417,19 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      // PRIVATE copy of the corpus file: collocations persists its
+      // bigram aggregate internally, and its builder runs an eager
+      // totals action — so any OTHER suite that merely BUILDS the
+      // registered collocations query on the shared session (the
+      // global-window audit sweeps all of them on sf0.001)
+      // materializes that cache, and this test's identical-lineage run
+      // would then read the InMemoryRelation with ZERO file scans. A
+      // distinct path keeps the one-scan assertion about THIS run.
+      val dir = java.nio.file.Files.createTempDirectory("graft-colloc-scan")
+      val src = java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet")
+      val dst = dir.resolve("documents.parquet")
+      java.nio.file.Files.copy(src, dst)
+      val docs = spark.read.parquet(dst.toString)
       val out = TextAnalysis.collocations(docs, "text", minCount = 2).collect()
       assert(out.nonEmpty)
       // listener bus is async (and private): first wait for the scan
